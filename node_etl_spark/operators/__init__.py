@@ -1,0 +1,37 @@
+"""Operator registry (reference index.js:2-47).
+
+Every reference operator re-expressed Spark-first, plus net-new
+relational ops (semi/anti joins, route tagging) the reference lacked.
+"""
+
+from .base import FnTransform, Op, Sink, Source, Transform
+from .joins import AntiJoin, JoinDetail, Joiner, SemiJoin, Vocab
+from .rowops import (
+    Array2Map,
+    Filter,
+    Map2Array,
+    Mapper,
+    Nothing,
+    Reducer,
+    Sorter,
+    Thru,
+    Uniquer,
+)
+from .splitter import RouteTag, Splitter
+from .tree import (
+    TreeFlatten,
+    build_document,
+    build_json_column,
+    flatten_document,
+    resolve_hierarchy,
+)
+
+__all__ = [
+    "Op", "Source", "Transform", "Sink", "FnTransform",
+    "Filter", "Mapper", "Thru", "Sorter", "Reducer", "Uniquer",
+    "Array2Map", "Map2Array", "Nothing",
+    "Joiner", "Vocab", "JoinDetail", "SemiJoin", "AntiJoin",
+    "Splitter", "RouteTag",
+    "TreeFlatten", "flatten_document", "resolve_hierarchy",
+    "build_document", "build_json_column",
+]

@@ -1,0 +1,601 @@
+"""Query catalog — the correctness + bench surface.
+
+Every entry pairs a Spark implementation (built on the operator layer /
+DataFrame API) with an ANSI-SQL oracle string for DuckDB, per the
+driver contract in ``__spark_entry__.py``. Each query demonstrates one
+operator family from SURVEY.md §2.
+
+Cross-engine determinism rules (why the code looks the way it does):
+
+* **Sums of floating-point columns are never raw double sums.** Spark
+  and DuckDB would disagree in the low bits because summation order
+  differs. Instead both sides cast to an exact DECIMAL, sum exactly,
+  and cast the exact result back to double — bit-identical regardless
+  of partitioning. Helpers: ``dsum`` / ``dsum_sql``.
+* **Averages** divide the exact decimal sum (as double) by the count —
+  one double division of identical operands on both sides.
+* **Counts** are cast to BIGINT in SQL (DuckDB would otherwise widen
+  SUM of integers to HUGEINT).
+* **Timestamps in outputs** are formatted to 'yyyy-MM-dd' strings —
+  engines agree on the text form, not necessarily on the physical
+  timestamp value hash.
+* Every computed column is aliased identically on both sides (the
+  driver hash-matches by sorted column name).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import (
+    Filter,
+    JoinDetail,
+    Joiner,
+    Mapper,
+    RouteTag,
+    SemiJoin,
+    Sorter,
+    Thru,
+    Uniquer,
+    Vocab,
+    resolve_hierarchy,
+)
+from ..pipeline import Pipeline
+from ..sources import ParquetSource
+from ..tables import table
+
+
+# --------------------------------------------------------------------
+# determinism helpers
+# --------------------------------------------------------------------
+
+def dsum(expr: str, scale: int = 2) -> Column:
+    """Order-independent sum of a float column: exact decimal sum cast
+    back to double."""
+    return F.sum(F.expr(expr).cast(f"decimal(18,{scale})")).cast("double")
+
+
+def dsum_sql(expr: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def ymd(col: str) -> Column:
+    return F.date_format(F.col(col), "yyyy-MM-dd")
+
+
+YMD_SQL = "strftime({col}, '%Y-%m-%d')"
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in QUERIES.items()}
+
+
+def oracle_map() -> dict[str, str]:
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+
+
+def _src(sf_dir: str, name: str) -> ParquetSource:
+    return ParquetSource(f"{sf_dir}/{name}.parquet", name=name)
+
+
+# --------------------------------------------------------------------
+# q01 — flagship: filter + hash aggregation (Reducer)
+# Reference shape: testR_Reduce_W / _reduceFacts (tests/jobs.js:312-334,
+# examples/bor-dwc.js:585-637): filter -> computed key -> group -> agg.
+# --------------------------------------------------------------------
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           {sq} AS sum_qty,
+           {sb} AS sum_base_price,
+           {sd} AS sum_disc_price,
+           {sq} / COUNT(*) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """.format(
+        sq=dsum_sql("l_quantity"),
+        sb=dsum_sql("l_extendedprice"),
+        sd=dsum_sql("l_extendedprice * (1 - l_discount)", 4),
+    ),
+    doc="TPC-H Q1-style pricing summary: Filter -> Reducer (groupBy/agg).",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum("l_extendedprice * (1 - l_discount)", 4).alias("sum_disc_price"),
+            (dsum("l_quantity") / cnt).alias("avg_qty"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# q02 — Filter + Mapper through the declarative Pipeline
+# Reference: testR_Filter_W + testR_Map_W (tests/jobs.js:79-122).
+# --------------------------------------------------------------------
+
+@register(
+    "q02_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_shipdate > TIMESTAMP '2000-01-01'
+    """,
+    doc="Predicate + projection via Pipeline([Source, Filter, Mapper]).",
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = Pipeline(
+        [
+            _src(sf_dir, "lineitem"),
+            Filter("l_quantity > 45 AND l_shipdate > TIMESTAMP '2000-01-01'"),
+            Mapper(
+                {
+                    "l_orderkey": "l_orderkey",
+                    "l_linenumber": "l_linenumber",
+                    "revenue": "l_extendedprice * (1 - l_discount)",
+                    "ship_date": "date_format(l_shipdate, 'yyyy-MM-dd')",
+                }
+            ),
+        ]
+    )
+    return pipe.run(spark)
+
+
+# --------------------------------------------------------------------
+# q03 — Sorter with limit (top-k)
+# Reference: testR_Sort_W (tests/jobs.js:139-153) + spy/stop take-n.
+# --------------------------------------------------------------------
+
+@register(
+    "q03_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="Distributed top-k (TakeOrderedAndProject, no full sort shuffle).",
+)
+def q03_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = Pipeline(
+        [
+            _src(sf_dir, "orders"),
+            Mapper(
+                {
+                    "o_orderkey": "o_orderkey",
+                    "o_custkey": "o_custkey",
+                    "o_totalprice": "o_totalprice",
+                    "order_date": "date_format(o_orderdate, 'yyyy-MM-dd')",
+                }
+            ),
+            Sorter(by=["o_totalprice", "o_orderkey"], ascending=[False, True], limit=100),
+        ]
+    )
+    return pipe.run(spark)
+
+
+# --------------------------------------------------------------------
+# q04 — Uniquer (distinct by key)
+# Reference: testR_Uniq_W (tests/jobs.js:125-137).
+# --------------------------------------------------------------------
+
+@register(
+    "q04_distinct_flags",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="Hash-based distinct (vs the reference's O(n^2) indexOf scan).",
+)
+def q04_distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = Pipeline(
+        [
+            _src(sf_dir, "lineitem"),
+            Mapper({"l_returnflag": "l_returnflag", "l_linestatus": "l_linestatus"}),
+            Uniquer(keys=["l_returnflag", "l_linestatus"]),
+        ]
+    )
+    return pipe.run(spark)
+
+
+# --------------------------------------------------------------------
+# q05 — Reducer: group count + sum (reference count-by-curator,
+# tests/jobs.js:318-322)
+# --------------------------------------------------------------------
+
+@register(
+    "q05_group_count",
+    f"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def q05_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# q06 — Joiner: N-way broadcast vocab join
+# Reference: testR_Join_R_W (tests/jobs.js:159-198) — enrich rows from
+# small lookup tables, left-outer, build side fully materialized.
+# --------------------------------------------------------------------
+
+@register(
+    "q06_vocab_join",
+    f"""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {dsum_sql('c.c_acctbal')} AS total_acctbal
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="Chained broadcast left joins (Joiner with two vocabs).",
+)
+def q06_vocab_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    region = table(spark, sf_dir, "region").withColumnRenamed(
+        "r_regionkey", "n_regionkey"
+    )
+    joiner = Joiner(
+        [
+            Vocab(nation, on="c_nationkey",
+                  select={"nation_name": "n_name", "n_regionkey": "n_regionkey"}),
+            Vocab(region, on="n_regionkey", select={"region_name": "r_name"}),
+        ]
+    )
+    pipe = Pipeline([_src(sf_dir, "customer"), joiner])
+    return (
+        pipe.run(spark)
+        .groupBy("region_name", "nation_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# q07 — JoinDetail: master/detail (decorrelated)
+# Reference: test_JoinDetails (tests/jobs.js:406-438) — per-master
+# detail fetch + processor(master, details). Here: one detail agg +
+# one equi-join (no per-row rescans).
+# --------------------------------------------------------------------
+
+@register(
+    "q07_order_details",
+    f"""
+    SELECT o.o_orderkey, o.o_totalprice, d.n_items, d.sum_qty
+    FROM orders o
+    LEFT JOIN (
+        SELECT l_orderkey AS o_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               {dsum_sql('l_quantity')} AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+    ) d USING (o_orderkey)
+    """,
+)
+def q07_order_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    detail = table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    jd = JoinDetail(
+        detail,
+        on="o_orderkey",
+        aggs={"n_items": F.count(F.lit(1)), "sum_qty": dsum("l_quantity")},
+    )
+    pipe = Pipeline([_src(sf_dir, "orders"), jd])
+    return pipe.run(spark).select("o_orderkey", "o_totalprice", "n_items", "sum_qty")
+
+
+# --------------------------------------------------------------------
+# q08 — temporal rollup (reference quarter helpers utils.js:126-143,
+# quarter bucketing examples/bor-dwc.js:646-652)
+# --------------------------------------------------------------------
+
+@register(
+    "q08_quarter_rollup",
+    f"""
+    SELECT CAST(EXTRACT(YEAR FROM ts) AS INTEGER) AS y,
+           CAST(EXTRACT(QUARTER FROM ts) AS INTEGER) AS q,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {dsum_sql('value', 6)} AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q08_quarter_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.year("ts").alias("y"),
+            F.quarter("ts").alias("q"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# q09 — Thru as unpivot (reference key-row emission,
+# examples/bor-dwc.js:263-276)
+# --------------------------------------------------------------------
+
+@register(
+    "q09_unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+    UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def q09_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = Pipeline(
+        [
+            _src(sf_dir, "lineitem"),
+            Thru(
+                unpivot=(
+                    ["l_orderkey", "l_linenumber"],
+                    ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+                    "measure",
+                    "value",
+                )
+            ),
+        ]
+    )
+    return pipe.run(spark)
+
+
+# --------------------------------------------------------------------
+# q10 — window function: running total per customer (net-new vs
+# reference, whose only analogue is stateful Thru — SURVEY §2.6)
+# --------------------------------------------------------------------
+
+@register(
+    "q10_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def q10_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        ymd("o_orderdate").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+# --------------------------------------------------------------------
+# q11 — schemaless JSON props -> map explode (Map2Array/Thru.explode;
+# reference dynamic fact keys, examples/bor-dwc.js:222-231)
+# --------------------------------------------------------------------
+
+@register(
+    "q11_props_explode",
+    """
+    SELECT event_id, k AS prop_key,
+           CAST(json_extract(props, '$.' || k) AS BIGINT) AS prop_value
+    FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+    """,
+)
+def q11_props_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn(
+        "props_map", F.from_json("props", "map<string,bigint>")
+    )
+    pipe = Pipeline(
+        [
+            Thru(explode="props_map", explode_as=["prop_key", "prop_value"],
+                 keep=["event_id"]),
+        ]
+    )
+    return pipe.to_frame(spark, head=ev)
+
+
+# --------------------------------------------------------------------
+# q12 — hierarchy flatten: level + mpath over an edge table
+# Reference: ParserJSONTree columns (job-tree-parser.js:53-67), modeled
+# on the region->nation->customer 3-level hierarchy (FIXTURES.md §3).
+# --------------------------------------------------------------------
+
+@register(
+    "q12_hierarchy_levels",
+    """
+    SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS id,
+           CAST(NULL AS VARCHAR) AS parent, r_name AS name,
+           0 AS level, 'r' || CAST(r_regionkey AS VARCHAR) AS mpath
+    FROM region
+    UNION ALL
+    SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+           'r' || CAST(n_regionkey AS VARCHAR), n_name, 1,
+           'r' || CAST(n_regionkey AS VARCHAR) || '#n' || CAST(n_nationkey AS VARCHAR)
+    FROM nation
+    UNION ALL
+    SELECT 'c' || CAST(c.c_custkey AS VARCHAR),
+           'n' || CAST(c.c_nationkey AS VARCHAR), c.c_name, 2,
+           'r' || CAST(n.n_regionkey AS VARCHAR) || '#n' || CAST(c.c_nationkey AS VARCHAR)
+               || '#c' || CAST(c.c_custkey AS VARCHAR)
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    doc="Iterative-join hierarchy resolution (level/mpath) vs static SQL oracle.",
+)
+def q12_hierarchy_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region").select(
+        F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias("id"),
+        F.lit(None).cast("string").alias("parent"),
+        F.col("r_name").alias("name"),
+    )
+    nation = table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("parent"),
+        F.col("n_name").alias("name"),
+    )
+    customer = table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("id"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("parent"),
+        F.col("c_name").alias("name"),
+    )
+    edges = region.unionByName(nation).unionByName(customer)
+    return resolve_hierarchy(edges, id_col="id", parent_col="parent")
+
+
+# --------------------------------------------------------------------
+# q13/q14 — semi & anti joins (net-new relational ops, SURVEY §2.6)
+# --------------------------------------------------------------------
+
+@register(
+    "q13_semi_join",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+    """,
+)
+def q13_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    right = (
+        table(spark, sf_dir, "lineitem")
+        .filter("l_quantity >= 49")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    pipe = Pipeline([_src(sf_dir, "orders"), SemiJoin(right, on="o_orderkey")])
+    return pipe.run(spark).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "q14_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995)
+    """,
+    doc="Customers with no 1995 orders (left anti join).",
+)
+def q14_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import AntiJoin
+
+    right = (
+        table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    pipe = Pipeline([_src(sf_dir, "customer"), AntiJoin(right, on="c_custkey")])
+    return pipe.run(spark).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------
+# q15 — set operations (reference had only implicit UNION ALL via
+# folder concat — SURVEY §2.6)
+# --------------------------------------------------------------------
+
+@register(
+    "q15_setops",
+    """
+    SELECT 'with_orders' AS tag, k FROM (
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        INTERSECT SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'no_orders' AS tag, k FROM (
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        EXCEPT SELECT o_custkey FROM orders)
+    """,
+)
+def q15_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seg = (
+        table(spark, sf_dir, "customer")
+        .filter("c_mktsegment = 'AUTOMOBILE'")
+        .select(F.col("c_custkey").alias("k"))
+    )
+    ordered = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    both = seg.intersect(ordered).select(F.lit("with_orders").alias("tag"), "k")
+    none = seg.exceptAll(ordered).distinct().select(
+        F.lit("no_orders").alias("tag"), "k"
+    )
+    return both.unionByName(none)
+
+
+# --------------------------------------------------------------------
+# q16 — routed split (Splitter semantics, verified relationally via
+# RouteTag; reference testR_SwitchSplit_W_W, tests/jobs.js:229-246)
+# --------------------------------------------------------------------
+
+@register(
+    "q16_routed_split",
+    f"""
+    SELECT CASE l_returnflag WHEN 'N' THEN 0 WHEN 'A' THEN 1 ELSE 2 END AS route,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Row-conserving routed fan-out: every row to exactly one route.",
+)
+def q16_routed_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = Pipeline(
+        [
+            _src(sf_dir, "lineitem"),
+            RouteTag("CASE l_returnflag WHEN 'N' THEN 0 WHEN 'A' THEN 1 ELSE 2 END"),
+        ]
+    )
+    return (
+        pipe.run(spark)
+        .groupBy("route")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty"))
+    )

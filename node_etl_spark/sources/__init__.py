@@ -1,0 +1,27 @@
+from .base_source import PathSource
+from .paged import PagedRestSource, default_url_gen
+from .readers import (
+    CsvSource,
+    FrameSource,
+    JsonSource,
+    NdjsonSource,
+    ParquetSource,
+    XmlSource,
+    apply_root_node,
+    folder_source,
+)
+from .writers import (
+    CsvSink,
+    JsonArraySink,
+    NdjsonSink,
+    NoopSink,
+    ParquetSink,
+    XmlSink,
+)
+
+__all__ = [
+    "PathSource", "ParquetSource", "CsvSource", "JsonSource", "NdjsonSource",
+    "XmlSource", "FrameSource", "folder_source", "apply_root_node",
+    "PagedRestSource", "default_url_gen",
+    "NdjsonSink", "ParquetSink", "CsvSink", "XmlSink", "JsonArraySink", "NoopSink",
+]

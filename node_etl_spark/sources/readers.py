@@ -1,0 +1,211 @@
+"""Source operators (readers + parsers fused).
+
+The reference splits byte-readers (jobs/readers) from parsers
+(jobs/parsers) because it streams raw chunks; Spark's readers are
+format-aware, so each reference reader+parser pair becomes one Source:
+
+* Reader+ParserCSV    -> CsvSource     (job-parser-csv.js:18-27)
+* ReaderJSON/ParserJSON -> JsonSource  (job-reader-json.js:18-35;
+  rootNode path handled by explode-chain)
+* ReaderJSONS/ParserJSONS -> NdjsonSource (job-reader-jsons.js:30-48;
+  PERMISSIVE mode ≈ "skip malformed lines with a warning")
+* ParserXML           -> XmlSource     (job-parser-xml.js:15-17;
+  xmlNode == rowTag; Spark 4 has native XML)
+* ReaderFolder        -> folder globs are native in every Spark path
+  (job-reader-folder.js:113-119); the filename predicate maps to
+  ``pathGlobFilter`` / an ``input_file_name()`` filter.
+* Parquet/Table sources are net-new (the reference has no columnar
+  format — SURVEY §2.6); they are the primary scan path at scale.
+
+All paths go through ``Context.resolve_url`` for ``$VAR`` and
+``{%param%}`` substitution (reference utils.js:22-28,145-172).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base_source import PathSource
+
+if TYPE_CHECKING:
+    from ..context import Context
+
+
+class ParquetSource(PathSource):
+    """Columnar scan — the scale path. Supports predicate/column
+    pushdown; globs and partition-dir discovery are native.
+    Nanos-timestamp-safe (see tables.read_parquet)."""
+
+    def _read(self, spark: SparkSession, path: str) -> DataFrame:
+        from ..tables import read_parquet
+
+        if self.options:
+            return spark.read.options(**self.options).parquet(path)
+        return read_parquet(spark, path)
+
+
+class CsvSource(PathSource):
+    """CSV with the reference parser's knobs: ``delimiter``, ``escape``,
+    ``headers``, ``encoding`` (job-parser-csv.js:11-16)."""
+
+    def __init__(
+        self,
+        path: str,
+        delimiter: str = ",",
+        escape: str = '"',
+        headers: bool = False,
+        encoding: str | None = None,
+        schema: str | None = None,
+        options: Mapping[str, str] | None = None,
+        name: str | None = None,
+    ) -> None:
+        opts = {
+            "sep": delimiter,
+            "quote": '"',
+            "escape": escape,
+            "header": str(bool(headers)).lower(),
+        }
+        if encoding:
+            opts["encoding"] = encoding
+        opts.update(options or {})
+        super().__init__(path, options=opts, name=name)
+        self.schema = schema
+
+    def _read(self, spark: SparkSession, path: str) -> DataFrame:
+        reader = spark.read.options(**self.options)
+        if self.schema:
+            reader = reader.schema(self.schema)
+        else:
+            reader = reader.option("inferSchema", "true")
+        return reader.csv(path)
+
+
+class JsonSource(PathSource):
+    """JSON documents with a ``root_node`` path (reference rootNode,
+    e.g. ``"*"``, ``"data.*"``, ``"results.vacancies.*"``).
+
+    ``a.b.*`` means: descend to ``a.b``, explode the array there, each
+    element is a row (JSONStream.parse semantics, job-parser-json.js:17).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        root_node: str = "*",
+        multiline: bool = True,
+        options: Mapping[str, str] | None = None,
+        name: str | None = None,
+    ) -> None:
+        super().__init__(path, options=dict(options or {}), name=name)
+        self.root_node = root_node
+        self.multiline = multiline
+
+    def _read(self, spark: SparkSession, path: str) -> DataFrame:
+        df = (
+            spark.read.options(**self.options)
+            .option("multiLine", str(self.multiline).lower())
+            .json(path)
+        )
+        return apply_root_node(df, self.root_node)
+
+
+class NdjsonSource(PathSource):
+    """JSON-lines. PERMISSIVE mode keeps going past malformed lines,
+    matching the reference's warn-and-skip (job-reader-jsons.js:41-44);
+    set ``corrupt_col`` to surface bad lines instead of dropping."""
+
+    def __init__(
+        self,
+        path: str,
+        schema: str | None = None,
+        corrupt_col: str | None = None,
+        options: Mapping[str, str] | None = None,
+        name: str | None = None,
+    ) -> None:
+        opts = {"mode": "PERMISSIVE"}
+        if corrupt_col:
+            opts["columnNameOfCorruptRecord"] = corrupt_col
+        opts.update(options or {})
+        super().__init__(path, options=opts, name=name)
+        self.schema = schema
+
+    def _read(self, spark: SparkSession, path: str) -> DataFrame:
+        reader = spark.read.options(**self.options)
+        if self.schema:
+            reader = reader.schema(self.schema)
+        return reader.json(path)
+
+
+class XmlSource(PathSource):
+    """Streaming-tag XML: one row per ``row_tag`` occurrence
+    (reference SAX xmlNode, job-parser-xml.js:15-17)."""
+
+    def __init__(
+        self,
+        path: str,
+        row_tag: str = "item",
+        options: Mapping[str, str] | None = None,
+        name: str | None = None,
+    ) -> None:
+        super().__init__(path, options=dict(options or {}), name=name)
+        self.row_tag = row_tag
+
+    def _read(self, spark: SparkSession, path: str) -> DataFrame:
+        return (
+            spark.read.format("xml")
+            .options(**self.options)
+            .option("rowTag", self.row_tag)
+            .load(path)
+        )
+
+
+class FrameSource(PathSource):
+    """Wrap an existing DataFrame as a Source (toolkit path — the
+    reference's hand-wired ``toStream`` usage, tests/jobs.js:79-97)."""
+
+    def __init__(self, df: DataFrame, name: str | None = None) -> None:
+        super().__init__(path="<frame>", name=name)
+        self._df = df
+
+    def load(self, spark: SparkSession, ctx: "Context") -> DataFrame:
+        return self._df
+
+
+def apply_root_node(df: DataFrame, root_node: str) -> DataFrame:
+    """Lower a JSONStream-ish root path onto a parsed document frame.
+
+    ``*``            -> rows are the top-level array elements (Spark's
+                        JSON reader already yields one row per element).
+    ``a.b.*``        -> select nested array ``a.b`` and explode it; the
+                        struct fields of each element become columns.
+    ``a.*.c`` is not supported (the reference never uses mid-path
+    wildcards).
+    """
+    if root_node in ("*", "", None):
+        return df
+    parts = root_node.split(".")
+    if parts[-1] != "*" or "*" in parts[:-1]:
+        raise ValueError(f"unsupported root_node: {root_node!r}")
+    path = ".".join(parts[:-1])
+    exploded = df.select(F.explode(F.col(path)).alias("__row"))
+    return exploded.select("__row.*")
+
+
+def folder_source(
+    path_glob: str,
+    fmt: str = "json",
+    path_filter_glob: str | None = None,
+    **kwargs,
+) -> PathSource:
+    """Folder-glob scan (reference ReaderFolder,
+    job-reader-folder.js:72-206). Spark paths are natively globbed; a
+    filename predicate becomes ``pathGlobFilter`` (evaluated at file
+    listing — no data read for excluded files)."""
+    opts = dict(kwargs.pop("options", {}) or {})
+    if path_filter_glob:
+        opts["pathGlobFilter"] = path_filter_glob
+    cls = {"json": NdjsonSource, "csv": CsvSource, "parquet": ParquetSource, "xml": XmlSource}[fmt]
+    return cls(path_glob, options=opts, **kwargs)

@@ -1,0 +1,79 @@
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from node_etl_spark.context import Context
+from node_etl_spark.operators import Filter, Mapper, Splitter
+from node_etl_spark.pipeline import Catalog, Pipeline
+from node_etl_spark.sources import (
+    FrameSource,
+    JsonArraySink,
+    NdjsonSink,
+    NdjsonSource,
+)
+
+
+def test_pipeline_compose_and_nested(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "v int")
+    inner = Pipeline([Mapper({"v": "v + 1"})])  # nested pipeline as transform
+    pipe = Pipeline([FrameSource(df), Filter("v % 2 = 0"), inner])
+    out = pipe.run(spark)
+    assert sorted(r.v for r in out.collect()) == [1, 3, 5, 7, 9]
+
+
+def test_catalog_resolution_error():
+    cat = Catalog()
+    try:
+        Pipeline(["missing-job"], catalog=cat)
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
+
+
+def test_catalog_named_chain(spark):
+    cat = Catalog()
+    df = spark.createDataFrame([(1,), (2,)], "v int")
+    cat.save(FrameSource(df, name="src"))
+    cat.save(Filter("v > 1", name="flt"))
+    out = Pipeline(["src", "flt"], catalog=cat).run(spark)
+    assert [r.v for r in out.collect()] == [2]
+
+
+def test_ndjson_sink_source_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string")
+    dest = str(tmp_path / "out")
+    Pipeline([FrameSource(df), NdjsonSink(dest)]).run(spark)
+    back = NdjsonSource(dest).load(spark, Context())
+    assert {(r.id, r.s) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_json_array_sink(spark, tmp_path):
+    # reference WriterJSON emits one JSON array document
+    df = spark.createDataFrame([(1,), (2,)], "v int")
+    dest = str(tmp_path / "arr.json")
+    JsonArraySink(dest).write(df, Context())
+    with open(dest) as fh:
+        data = json.load(fh)
+    assert sorted(d["v"] for d in data) == [1, 2]
+
+
+def test_splitter_routed_row_conservation(spark, tmp_path):
+    # reference job-splitter.js routed mode: each row to exactly one receiver
+    df = spark.createDataFrame([(i,) for i in range(20)], "v int")
+    d0, d1 = str(tmp_path / "even"), str(tmp_path / "odd")
+    split = Splitter([NdjsonSink(d0), NdjsonSink(d1)], route="v % 2")
+    Pipeline([FrameSource(df), split]).run(spark)
+    ev = spark.read.json(d0)
+    od = spark.read.json(d1)
+    assert ev.count() + od.count() == 20
+    assert ev.filter("v % 2 != 0").count() == 0
+    assert od.filter("v % 2 != 1").count() == 0
+
+
+def test_splitter_broadcast_mode(spark, tmp_path):
+    df = spark.createDataFrame([(i,) for i in range(5)], "v int")
+    dests = [str(tmp_path / f"d{i}") for i in range(2)]
+    Splitter([NdjsonSink(d) for d in dests]).write(df, Context())
+    for d in dests:
+        assert spark.read.json(d).count() == 5

@@ -1,0 +1,100 @@
+import json
+
+from node_etl_spark.context import Context
+from node_etl_spark.operators import Nothing
+from node_etl_spark.sources import (
+    CsvSource,
+    JsonSource,
+    NdjsonSource,
+    PagedRestSource,
+    ParquetSource,
+    folder_source,
+)
+
+CTX = Context()
+
+
+def test_parquet_source_with_template(spark, sf_dir):
+    src = ParquetSource("$DATA/region.parquet")
+    df = src.load(spark, Context(config={"DATA": sf_dir}))
+    assert df.count() == 5
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    # reference ParserCSV knobs: delimiter/escape/headers; escape
+    # applies to quote chars inside quoted fields (fast-csv semantics)
+    p.write_text('id;name\n1;alpha\n2;"be;\\"ta"\n')
+    df = CsvSource(str(p), delimiter=";", escape="\\", headers=True).load(spark, CTX)
+    rows = {(int(r.id), r.name) for r in df.collect()}
+    assert rows == {(1, "alpha"), (2, 'be;"ta')}
+
+
+def test_json_root_node(spark, tmp_path):
+    # reference rootNode "data.*" (JSONStream path)
+    p = tmp_path / "doc.json"
+    p.write_text(json.dumps({"meta": 1, "data": [{"id": 1, "v": "x"}, {"id": 2, "v": "y"}]}))
+    df = JsonSource(str(p), root_node="data.*").load(spark, CTX)
+    assert {(r.id, r.v) for r in df.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_ndjson_permissive_skips_bad_lines(spark, tmp_path):
+    # reference ReaderJSONS warn-and-skip (job-reader-jsons.js:41-44)
+    p = tmp_path / "rows.jsons"
+    p.write_text('{"id": 1}\nNOT-JSON\n{"id": 3}\n')
+    df = NdjsonSource(str(p), schema="id bigint").load(spark, CTX)
+    assert sorted(r.id for r in df.collect() if r.id is not None) == [1, 3]
+
+
+def test_folder_glob_with_filter(spark, tmp_path):
+    # reference ReaderFolder glob + filename predicate
+    (tmp_path / "a-keep.jsons").write_text('{"v": 1}\n')
+    (tmp_path / "b-keep.jsons").write_text('{"v": 2}\n')
+    (tmp_path / "c-skip.txt").write_text('{"v": 99}\n')
+    src = folder_source(str(tmp_path), fmt="json", path_filter_glob="*-keep.jsons")
+    df = src.load(spark, CTX)
+    assert sorted(r.v for r in df.collect()) == [1, 2]
+
+
+def test_paged_rest_source(spark):
+    # reference ReaderPaged state machine: offset/limit pages, stop on
+    # empty page, totalRows short-circuit
+    pages = {
+        0: {"total": 5, "data": [{"id": i} for i in range(3)]},
+        3: {"total": 5, "data": [{"id": i} for i in range(3, 5)]},
+        5: {"total": 5, "data": []},
+    }
+    calls = []
+
+    def fake_fetch(url, req_options=None):
+        offset = int(url.split("offset=")[1].split("&")[0])
+        calls.append(offset)
+        return json.dumps(pages.get(offset, {"total": 5, "data": []})).encode()
+
+    src = PagedRestSource(
+        "http://api/x?offset={%offset%}&limit={%limit%}",
+        rows_path="data",
+        total_path="total",
+        fetch=fake_fetch,
+        retry_wait_s=0.0,
+        name="paged",
+    )
+
+    def url_gen(template, state):
+        from node_etl_spark.context import render_template
+
+        state.setdefault("limit", 3)
+        return render_template(
+            template, {"offset": state["page"] * 3, "limit": 3}
+        )
+
+    src.url_gen = url_gen
+    ctx = Context()
+    df = src.load(spark, ctx)
+    assert sorted(r.id for r in df.collect()) == [0, 1, 2, 3, 4]
+    assert ctx.state["paged"]["total_rows_processed"] == 5
+    assert calls == [0, 3]  # stopped via totalRows, no extra page fetch
+
+
+def test_noop_drain(spark):
+    Nothing.drain(spark.range(10).toDF("v"))
