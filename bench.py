@@ -34,6 +34,13 @@ HEADLINE = [
     "q12_hierarchy_levels",
     "q13_semi_join",
     "q16_routed_split",
+    "q20_dedup_exact",
+    "q21_ngram_jaccard_pairs",
+    "q22_minhash_lsh_dedup",
+    "q23_simhash_pairs",
+    "q24_text_profile",
+    "q26_embedding_topk",
+    "q27_ann_lsh_topk",
 ]
 
 

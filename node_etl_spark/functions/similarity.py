@@ -1,0 +1,212 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two paths, per the standard ANN playbook:
+
+* **Brute-force cosine top-k** — the exactness baseline. The query
+  set is broadcast against the corpus; the dot product runs as a
+  Catalyst higher-order aggregate over double-cast elements (JVM-side,
+  no Python). O(|Q|·N·d): fine for small |Q| or blocked evaluation,
+  the correctness oracle for everything else.
+* **Hyperplane-LSH bucketed ANN** — the scale path. Sign bits against
+  ``n_planes`` deterministic pseudo-random hyperplanes give each
+  vector a small integer bucket; probing compares only same-bucket
+  vectors (optionally multi-probe over Hamming-1 neighbors). At 100 TB
+  the bucket join replaces the N×Q cross product with a shuffle on
+  bucket id; per-bucket work is data-local.
+
+Determinism: hyperplane weights come from a hash-free formula
+(sin-based pseudo-randoms of (plane, dim)), so results are exactly
+reproducible across runs/engines without storing a model.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Order-deterministic double dot product of two float arrays
+    (element-wise cast to double, sequential accumulate)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Query side is broadcast (small by contract); ranking uses the
+    *rounded* similarity with an id tiebreak so ordering is stable
+    against last-ulp float divergence.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), round_digits))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def topk_oracle_sql(
+    k: int = 5,
+    query_pred: str = "vec_id < 50",
+    table: str = "embeddings",
+    id_: str = "vec_id",
+    vec: str = "embedding",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB mirror of brute_force_topk.
+
+    Summation-order caveat: Spark folds doubles sequentially; a SQL
+    SUM has no order guarantee, so the oracle sums the per-dimension
+    products as exact DECIMAL(38,30) (order-independent). The two
+    values differ only at float-error magnitude; BOTH sides round to
+    ``round_digits`` before ranking/compare, so they agree unless the
+    true value sits within ~1e-15 of a rounding boundary (negligible,
+    and the gate would surface it).
+    """
+    return f"""
+    WITH q AS (SELECT {id_} AS query_id, {vec} AS qvec FROM {table} WHERE {query_pred}),
+    c AS (SELECT {id_} AS neighbor_id, {vec} AS cvec FROM {table}),
+    expanded AS (
+        SELECT query_id, neighbor_id, qvec, cvec,
+               unnest(generate_series(1, len(qvec))) AS i
+        FROM q, c WHERE query_id != neighbor_id),
+    pairs AS (
+        SELECT query_id, neighbor_id,
+            CAST(SUM(CAST(CAST(qvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE) AS dp,
+            CAST(SUM(CAST(CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE) AS nq,
+            CAST(SUM(CAST(CAST(cvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE) AS nc
+        FROM expanded
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(dp / (sqrt(nq) * sqrt(nc)), {round_digits}) AS sim
+        FROM pairs)
+    SELECT query_id, neighbor_id, sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+# --------------------------------------------------------------- LSH ANN
+
+
+def _plane_weight(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1]:
+    fract(sin(p*12.9898 + d*78.233) * 43758.5453) * 2 - 1 (the classic
+    shader-noise formula — stateless, engine-portable)."""
+    x = math.sin(plane * 12.9898 + dim * 78.233) * 43758.5453
+    return (x - math.floor(x)) * 2.0 - 1.0
+
+
+def _projection(vec: Column, plane: int, dim: int) -> Column:
+    """Dot(vec, hyperplane) as a compact zip_with/aggregate expression
+    (weight array is a literal -> stays in codegen)."""
+    weights = F.array(*[F.lit(_plane_weight(plane, d)) for d in range(dim)])
+    return F.aggregate(
+        F.zip_with(vec, weights, lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def lsh_buckets(
+    vec: Column, dim: int, n_tables: int = 8, planes_per_table: int = 4
+) -> Column:
+    """Multi-table hyperplane LSH: array of (table, bucket) structs.
+
+    One table of m planes has collision prob cos-sim-monotone but low
+    recall for moderate similarity; L independent tables boost it to
+    1-(1-p^m)^L — the standard recall/cost dial. Each vector lands in
+    exactly L buckets."""
+    entries = []
+    for t in range(n_tables):
+        bucket = F.lit(0)
+        for p in range(planes_per_table):
+            proj = _projection(vec, t * planes_per_table + p, dim)
+            bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        entries.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
+    return F.array(*entries)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: compare only vectors sharing an LSH bucket in
+    at least one table.
+
+    The join is a shuffle on (table, bucket) — no cross product — the
+    property that survives the 100x scale-up. Exact cosine is computed
+    only for candidates; duplicates across tables are collapsed before
+    scoring.
+    """
+    def with_buckets(df: DataFrame, idname: str, vecname: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(vecname),
+            F.explode(lsh_buckets(F.col(vec_col), dim, n_tables, planes_per_table)).alias("tb"),
+        ).select(idname, vecname, F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+
+    c = with_buckets(corpus, "neighbor_id", "cvec")
+    q = with_buckets(queries, "query_id", "qvec")
+    cand = (
+        c.join(q, on=["t", "b"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qvec", "cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "sim", F.round(cosine(F.col("qvec"), F.col("cvec")), round_digits)
+    ).select("query_id", "neighbor_id", "sim")
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -1,0 +1,120 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path logic is Catalyst expressions (JVM-side, codegen'd) —
+no Python UDFs. Every helper has a deliberately *portable* formula so
+the DuckDB oracle can reproduce results bit-for-bit (see
+plans/queries.py determinism rules).
+
+Ops: tokenization, token counting, quality scoring
+(length/punct/stopword ratios), n-gram-free language ID heuristic,
+document fingerprinting (normalized md5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword marker sets for the heuristic language
+# ID. Deliberately tiny: the point is a deterministic, cheap,
+# vectorizable scoring pass, not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "a", "to", "is"),
+    "fr": ("le", "la", "et", "les", "des", "une"),
+    "es": ("el", "de", "que", "los", "una", "por"),
+    "de": ("der", "die", "und", "das", "ein", "mit"),
+}
+
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is")
+
+
+def tokens(text_col: str | Column) -> Column:
+    """Whitespace tokenization (split on single spaces — the portable
+    baseline; see ``tokens_regex`` for the BPE-ish variant)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
+
+
+def tokens_regex(text_col: str | Column) -> Column:
+    """BPE-ish tokenizer: words, numbers, and single punctuation marks
+    as separate tokens."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+
+
+def token_count(text_col: str | Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+def stopword_ratio(text_col: str | Column, stopwords=STOPWORDS) -> Column:
+    toks = tokens(text_col)
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*stopwords)))
+    return hits.cast("double") / F.size(toks)
+
+
+def avg_token_len(text_col: str | Column) -> Column:
+    toks = tokens(text_col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return total.cast("double") / F.size(toks)
+
+
+def quality_score(text_col: str | Column) -> Column:
+    """Composite quality heuristic in [0, 1]: rewards mid-length docs
+    and normal stopword density. Pure integer/double arithmetic on
+    deterministic inputs -> portable."""
+    n = token_count(text_col).cast("double")
+    sw = stopword_ratio(text_col)
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    sw_score = F.least(sw * F.lit(4.0), F.lit(1.0))
+    return F.round((len_score + sw_score) / 2.0, 6)
+
+
+def lang_scores(text_col: str | Column) -> dict[str, Column]:
+    toks = tokens(text_col)
+
+    def marker_counter(markers: tuple[str, ...]):
+        # single-arg lambda required: a 2-arg lambda would be treated
+        # as (element, index) by F.filter
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers)))
+
+    return {lang: marker_counter(markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def lang_guess(text_col: str | Column) -> Column:
+    """Pick the language whose marker count is highest; ties resolve in
+    fixed key order (en, fr, es, de); zero markers -> 'und'."""
+    scores = lang_scores(text_col)
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang in ("de", "es", "fr", "en"):  # reversed so earlier keys win ties
+        n = scores[lang]
+        best = F.when(n >= F.greatest(best_n, F.lit(1)), F.lit(lang)).otherwise(best)
+        best_n = F.greatest(best_n, n)
+    return best
+
+
+def normalize_text(text_col: str | Column) -> Column:
+    """Lowercase + collapse whitespace runs + trim — the canonical form
+    for fingerprinting/exact dedup."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+def fingerprint(text_col: str | Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(text_col))
+
+
+def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass text profile: the columns a filtering pipeline keys on."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        F.round(avg_token_len(text_col), 6).alias("avg_token_len"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        quality_score(text_col).alias("quality"),
+        lang_guess(text_col).alias("lang_guess"),
+        fingerprint(text_col).alias("fp"),
+    )

@@ -599,3 +599,126 @@ def q16_routed_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("route")
         .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty"))
     )
+
+
+# ====================================================================
+# Training-data pipeline queries (documents / embeddings tables)
+# Net-new vs the reference (BASELINE.json north-star ops): dedup,
+# similarity search, text analysis — first-class engine components.
+# ====================================================================
+
+from ..functions import dedup as D  # noqa: E402
+from ..functions import similarity as S  # noqa: E402
+from ..functions import text as T  # noqa: E402
+
+
+@register(
+    "q20_dedup_exact",
+    D.EXACT_ORACLE_SQL.format(table="documents", text="text", id="doc_id"),
+    doc="Exact dedup: hash-groupBy on normalized-content fingerprint.",
+)
+def q20_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dup_groups(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q21_ngram_jaccard_pairs",
+    D.jaccard_oracle_sql(threshold=0.8),
+    doc="Near-dup pairs by exact 3-gram Jaccard (inverted-index join).",
+)
+def q21_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = D.shingle_rows(table(spark, sf_dir, "documents"))
+    return D.jaccard_pairs(sh, threshold=0.8)
+
+
+@register(
+    "q22_minhash_lsh_dedup",
+    D.minhash_oracle_sql(threshold=0.8),
+    doc="MinHash(12)+LSH(4x3) candidates, exact-Jaccard verified >= 0.8.",
+)
+def q22_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_dedup(table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register(
+    "q23_simhash_pairs",
+    D.simhash_oracle_sql(max_hamming=4),
+    doc="SimHash-32 signatures; Hamming<=4 pairs via chunk banding.",
+)
+def q23_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.simhash32(table(spark, sf_dir, "documents"))
+    return D.simhash_pairs(sigs, max_hamming=4)
+
+
+@register(
+    "q24_text_profile",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           round(CAST(len(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS avg_token_len,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                 t -> lower(t) IN ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    doc="Text quality profile: token count, avg len, stopword ratio, fingerprint.",
+)
+def q24_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    return df.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(toks), 6
+        ).alias("avg_token_len"),
+        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        T.fingerprint("text").alias("fp"),
+    )
+
+
+@register(
+    "q25_lang_quality",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="Corpus stats per language (filtering-pipeline bookkeeping).",
+)
+def q25_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.token_count("text").cast("bigint")).alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "q26_embedding_topk",
+    S.topk_oracle_sql(k=5, query_pred="vec_id < 50"),
+    doc="Brute-force cosine top-5 neighbors for 50 query vectors.",
+)
+def q26_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter("vec_id < 50"), k=5)
+
+
+@register(
+    "q27_ann_lsh_topk",
+    None,  # approximate op: rows-only check; recall vs q26 tested in tests/
+    doc="Hyperplane-LSH bucketed ANN top-5 (the 100TB-scale path).",
+)
+def q27_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, emb.filter("vec_id < 50"), dim=64, k=5)

@@ -1,0 +1,52 @@
+from node_etl_spark.functions import dedup as D
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dup_groups_normalizes(spark):
+    df = docs_df(
+        spark,
+        [(1, "Hello  World"), (2, "hello world"), (3, "different doc")],
+    )
+    out = {r.keep_id: r.n_copies for r in D.exact_dup_groups(df).collect()}
+    assert out == {1: 2, 3: 1}  # 1 and 2 normalize to the same content
+
+
+def test_shingle_rows_short_doc_empty(spark):
+    df = docs_df(spark, [(1, "one two"), (2, "a b c d")])
+    rows = D.shingle_rows(df, n=3).collect()
+    assert {r.doc_id for r in rows} == {2}
+    assert {r.shingle for r in rows} == {"a_b_c", "b_c_d"}
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " zz"  # one token changed
+    far = " ".join(f"x{i}" for i in range(40))
+    df = docs_df(spark, [(1, base), (2, near), (3, far)])
+    pairs = D.minhash_dedup(df, threshold=0.8).collect()
+    assert [(p.d1, p.d2) for p in pairs] == [(1, 2)]
+    assert pairs[0].jac > 0.85
+
+
+def test_lsh_candidates_subset_of_jaccard(spark, sf_dir):
+    # LSH-verified pairs must be a subset of the exact all-pairs result
+    from node_etl_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    sh = D.shingle_rows(docs)
+    exact = {(r.d1, r.d2) for r in D.jaccard_pairs(sh, 0.8).collect()}
+    lsh = {(r.d1, r.d2) for r in D.minhash_dedup(docs, threshold=0.8).collect()}
+    assert lsh <= exact
+    assert len(lsh) >= 0.8 * len(exact)  # high recall at jac>=0.8
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    df = docs_df(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "x y z")])
+    sigs = D.simhash32(df)
+    vals = {r.doc_id: r.simhash for r in sigs.collect()}
+    assert vals[1] == vals[2] != vals[3]
+    pairs = {(r.d1, r.d2): r.hamming for r in D.simhash_pairs(sigs, max_hamming=0).collect()}
+    assert pairs == {(1, 2): 0}

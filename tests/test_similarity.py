@@ -1,0 +1,49 @@
+import math
+
+from node_etl_spark.functions import similarity as S
+
+
+def vec_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_brute_force_topk_exact(spark):
+    df = vec_df(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),   # closest to 1
+            (3, [0.0, 1.0]),   # orthogonal to 1
+            (4, [-1.0, 0.0]),  # opposite
+        ],
+    )
+    out = S.brute_force_topk(df, df.filter("vec_id = 1"), k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [2, 3, 4]
+    assert abs(rows[0].sim - 0.9 / math.sqrt(0.82)) < 1e-6
+
+
+def test_lsh_topk_recall_on_clusters(spark):
+    # three tight clusters; LSH must put cluster-mates in the same bucket
+    rows = []
+    vid = 0
+    for cx, cy in [(1.0, 0.0), (0.0, 1.0), (-1.0, -1.0)]:
+        for j in range(5):
+            rows.append((vid, [cx + 0.01 * j, cy + 0.013 * j, cx * 0.5, cy * 0.5]))
+            vid += 1
+    df = vec_df(spark, rows)
+    out = S.lsh_topk(df, df, dim=4, k=1, n_tables=4, planes_per_table=3)
+    top1 = {r.query_id: r.neighbor_id for r in out.collect()}
+    same_cluster = sum(1 for q, n in top1.items() if q // 5 == n // 5)
+    assert same_cluster >= 0.9 * len(top1)
+
+
+def test_lsh_vs_brute_force_recall(spark, sf_dir):
+    from node_etl_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    bf = {(r.query_id, r.neighbor_id) for r in S.brute_force_topk(emb, queries, k=5).collect()}
+    ann = {(r.query_id, r.neighbor_id) for r in S.lsh_topk(emb, queries, dim=64, k=5).collect()}
+    # approximate: expect meaningful overlap with exact top-5
+    assert len(bf & ann) / len(bf) >= 0.5

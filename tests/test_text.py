@@ -1,0 +1,45 @@
+from pyspark.sql import functions as F
+
+from node_etl_spark.functions import text as T
+
+
+def test_profile_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    row = T.profile(df).collect()[0]
+    assert row.n_tokens == 9
+    assert abs(row.stopword_ratio - 2 / 9) < 1e-6  # 'the' twice
+    assert 0.0 <= row.quality <= 1.0
+    assert len(row.fp) == 32
+
+
+def test_lang_guess(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "le chat et la maison des gens"),
+            (3, "der hund und die katze mit ein"),
+            (4, "qqq www eee"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = dict(
+        df.select("doc_id", T.lang_guess("text").alias("lg")).rdd.map(tuple).collect()
+    )
+    assert out == {1: "en", 2: "fr", 3: "de", 4: "und"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello   WORLD "), (2, "hello world")], "id bigint, text string"
+    )
+    fps = [r.fp for r in df.select(T.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_tokens_regex(spark):
+    df = spark.createDataFrame([(1, "ab1 cd, x9!")], "id bigint, text string")
+    toks = df.select(T.tokens_regex("text").alias("t")).collect()[0].t
+    assert toks == ["ab", "1", "cd", ",", "x", "9", "!"]
