@@ -1,0 +1,8 @@
+"""Engine function library.
+
+scalars/text: expression-level helpers (JVM-side, codegen-friendly).
+dedup/similarity: training-data pipeline operators (exact + LSH paths).
+multimodal: binary-column ingest + Arrow-batched decode plumbing.
+"""
+
+from . import dedup, multimodal, similarity, text  # noqa: F401

@@ -1,0 +1,217 @@
+"""Structured Streaming variants of the engine's operators.
+
+The reference has *streaming execution* (Node object streams) but only
+*bounded* data — no watermarks, event-time windows, or late-data
+handling (SURVEY §2.6). This module is the net-new unbounded path:
+
+* ``stream_source``      — file-based streaming scan (parquet/json),
+  the drop-in unbounded twin of the batch sources.
+* ``windowed_agg``       — event-time tumbling/sliding window
+  aggregation with a watermark for late data.
+* ``streaming_dedup``    — exact dedup over a stream
+  (``dropDuplicatesWithinWatermark`` on content fingerprint).
+* ``sessionize``         — gap-based sessionization via
+  ``applyInPandasWithState`` (custom stateful operator, the
+  reference's stateful-Thru analogue at SURVEY §2.3).
+* ``route_sinks``        — ``foreachBatch`` fan-out: the streaming
+  Splitter (reference job-splitter.js) — one persist, N routed sinks.
+
+Scale notes: windowed aggs shuffle on (window, keys); state store size
+is bounded by the watermark horizon; sessionize state is per-key and
+times out on the event-time watermark.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.text import normalize_text
+
+
+def stream_source(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    fmt: str = "parquet",
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Unbounded file scan: new files under ``path`` become micro-batch
+    input. Schema must be explicit (streaming reads don't infer)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def windowed_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("event_type",),
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed count/sum with late-data watermark.
+
+    Decimal-exact value sum (same determinism rule as the batch
+    engine). Output: window_start, window_end, keys, n_events,
+    total_value.
+    """
+    win = (
+        F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), *[F.col(k) for k in keys])
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact near-real-time dedup: drop rows whose normalized-content
+    fingerprint was already seen within the watermark horizon."""
+    return (
+        docs.withColumn("fp", F.md5(normalize_text(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, total_value double"
+)
+_SESSION_STATE_SCHEMA = "start long, end long, n long, total double"
+
+
+_SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _sessions_frame(user_id, sessions) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id] * len(sessions),
+            "session_start": [pd.Timestamp(s[0], unit="ms") for s in sessions],
+            "session_end": [pd.Timestamp(s[1], unit="ms") for s in sessions],
+            "n_events": [s[2] for s in sessions],
+            "total_value": [s[3] for s in sessions],
+        }
+    )
+
+
+def _session_fn(
+    key: tuple,
+    pdf_iter,
+    state: GroupState,
+):
+    """Gap-based sessionization state function (applyInPandasWithState).
+
+    Events of one batch are merged with carried state and split on
+    >gap boundaries; every session but the trailing one is closed and
+    emitted immediately, the trailing one is kept in state with an
+    event-time timeout (fires when the watermark passes end+gap).
+    """
+    if state.hasTimedOut:
+        start, end, n, total = state.get
+        state.remove()
+        yield _sessions_frame(key[0], [(start, end, n, total)])
+        return
+
+    rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values("ts")
+    ts_ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
+    vals = rows["value"].to_numpy()
+    cur = list(state.get) if state.exists else None
+    closed: list[tuple] = []
+    for t, v in zip(ts_ms, vals):
+        t = int(t)
+        if cur is None:
+            cur = [t, t, 1, float(v)]
+        elif t - cur[1] <= _SESSION_GAP_MS:
+            cur[1] = max(cur[1], t)
+            cur[2] += 1
+            cur[3] += float(v)
+        else:
+            closed.append(tuple(cur))
+            cur = [t, t, 1, float(v)]
+    state.update(tuple(cur))
+    state.setTimeoutTimestamp(cur[1] + _SESSION_GAP_MS)
+    if closed:
+        yield _sessions_frame(key[0], closed)
+
+
+def sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator: 30-min-gap sessions per user."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def route_sinks(
+    stream: DataFrame,
+    route_expr: str,
+    sinks: Sequence[Callable[[DataFrame], None]],
+    checkpoint: str,
+):
+    """Streaming Splitter: route each micro-batch's rows to exactly one
+    sink by route index (reference job-splitter.js:116-124), one
+    upstream evaluation per batch via persist."""
+
+    def write_batch(batch: DataFrame, _batch_id: int) -> None:
+        batch = batch.withColumn("__route", F.expr(route_expr)).persist()
+        try:
+            for i, sink in enumerate(sinks):
+                sink(batch.filter(F.col("__route") == i).drop("__route"))
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def run_to_memory(stream: DataFrame, name: str, mode: str = "append"):
+    """Drain an availableNow stream into an in-memory table (tests)."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

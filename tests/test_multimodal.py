@@ -1,0 +1,73 @@
+import hashlib
+
+from node_etl_spark.functions import multimodal as M
+
+
+def make_files(tmp_path, n=4):
+    for i in range(n):
+        (tmp_path / f"img{i}.bin").write_bytes(bytes([i]) * (100 + i * 37))
+    (tmp_path / "skip.txt").write_text("not media")
+    return str(tmp_path)
+
+
+def test_binary_folder_glob(spark, tmp_path):
+    path = make_files(tmp_path)
+    df = M.binary_folder(spark, path, glob="*.bin")
+    assert df.count() == 4
+    assert {"path", "content", "length"} <= set(df.columns)
+
+
+def test_extract_image_features_schema_and_determinism(spark, tmp_path):
+    path = make_files(tmp_path)
+    out = M.extract_image_features(M.binary_folder(spark, path, glob="*.bin"))
+    rows = {r.path.split("/")[-1]: r for r in out.collect()}
+    assert len(rows) == 4
+    r0 = rows["img0.bin"]
+    assert r0.n_bytes == 100
+    assert len(r0.features) == 8
+    # deterministic fake: same content -> same features on rerun
+    again = {
+        r.path.split("/")[-1]: r
+        for r in M.extract_image_features(
+            M.binary_folder(spark, path, glob="*.bin")
+        ).collect()
+    }
+    assert again["img0.bin"].features == r0.features
+
+
+def test_extract_features_corrupt_input_null_row(spark, tmp_path):
+    path = make_files(tmp_path, n=2)
+
+    def explode_decoder(content):
+        raise ValueError("corrupt")
+
+    out = M.extract_image_features(
+        M.binary_folder(spark, path, glob="*.bin"), decode_fn=explode_decoder
+    )
+    rows = out.collect()
+    assert len(rows) == 2  # rows survive with null features (warn-and-skip policy)
+    assert all(r.features is None and r.width is None for r in rows)
+    assert all(r.n_bytes > 0 for r in rows)
+
+
+def test_sample_frames_1_to_n(spark, tmp_path):
+    path = make_files(tmp_path)
+    out = M.sample_frames(M.binary_folder(spark, path, glob="*.bin"), max_frames=3)
+    by_path = {}
+    for r in out.collect():
+        by_path.setdefault(r.path.split("/")[-1], []).append(r)
+    assert all(1 <= len(v) <= 3 for v in by_path.values())
+    f = sorted(by_path["img1.bin"], key=lambda r: r.frame_idx)[0]
+    assert f.frame_ts_ms == 0
+    expected = hashlib.md5(bytes([1]) * 64).hexdigest()
+    assert f.frame_md5 == expected
+
+
+def test_media_dedup_key(spark, tmp_path):
+    (tmp_path / "a.bin").write_bytes(b"same-bytes")
+    (tmp_path / "b.bin").write_bytes(b"same-bytes")
+    (tmp_path / "c.bin").write_bytes(b"other")
+    df = M.attach_media_metadata(M.binary_folder(spark, str(tmp_path), glob="*.bin"))
+    groups = df.groupBy("media_md5").count().collect()
+    counts = sorted(r["count"] for r in groups)
+    assert counts == [1, 2]

@@ -1,0 +1,116 @@
+import datetime as dt
+
+import pytest
+
+from node_etl_spark.streaming import stream as st
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """Small event parquet laid out for streaming reads (us timestamps)."""
+    rows = []
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    for i in range(100):
+        rows.append(
+            (
+                i,
+                base + dt.timedelta(minutes=i * 7),
+                i % 3,
+                "click" if i % 2 == 0 else "view",
+                float(i),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+    path = str(tmp_path / "events")
+    df.coalesce(1).write.parquet(path)
+    return path
+
+
+SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+
+def test_windowed_agg_stream_matches_batch(spark, events_dir):
+    stream = st.stream_source(spark, events_dir, SCHEMA)
+    assert stream.isStreaming
+    out = st.windowed_agg(stream, window="1 hour", watermark="2 hours")
+    # complete mode emits every window (append would hold back windows
+    # the watermark hasn't closed yet)
+    st.run_to_memory(out, "win_counts", mode="complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    # batch equivalent over the same files
+    batch = spark.read.parquet(events_dir)
+    expect = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in st.windowed_agg(batch, window="1 hour", watermark="2 hours").collect()
+    }
+    assert got == expect
+    assert len(got) > 5
+
+
+def test_streaming_dedup(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, base, "Hello  World"),
+            (2, base + dt.timedelta(minutes=1), "hello world"),
+            (3, base + dt.timedelta(minutes=2), "unique doc"),
+        ],
+        "doc_id bigint, ts timestamp, text string",
+    )
+    path = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(path)
+    stream = st.stream_source(spark, path, "doc_id bigint, ts timestamp, text string")
+    st.run_to_memory(st.streaming_dedup(stream), "deduped", mode="append")
+    kept = sorted(r.doc_id for r in spark.sql("SELECT doc_id FROM deduped").collect())
+    assert len(kept) == 2 and 3 in kept  # one of {1,2} plus 3
+
+
+def test_sessionize(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 7: two bursts separated by > 30 min -> 2 sessions
+        (1, base, 7, "click", 1.0),
+        (2, base + dt.timedelta(minutes=5), 7, "click", 2.0),
+        (3, base + dt.timedelta(minutes=90), 7, "view", 3.0),
+        # user 8: single event
+        (4, base + dt.timedelta(minutes=10), 8, "click", 4.0),
+        # late anchor far in the future lets the watermark close state
+        (5, base + dt.timedelta(days=2), 9, "view", 0.0),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    path = str(tmp_path / "sess")
+    df.coalesce(1).write.parquet(path)
+    stream = st.stream_source(spark, path, SCHEMA)
+    st.run_to_memory(st.sessionize(stream), "sessions", mode="append")
+    got = spark.sql("SELECT * FROM sessions ORDER BY user_id, session_start").collect()
+    u7 = [r for r in got if r.user_id == 7]
+    assert len(u7) == 2
+    assert u7[0].n_events == 2 and u7[0].total_value == 3.0
+    assert u7[1].n_events == 1 and u7[1].total_value == 3.0
+    u8 = [r for r in got if r.user_id == 8]
+    assert len(u8) == 1 and u8[0].n_events == 1
+
+
+def test_route_sinks(spark, events_dir, tmp_path):
+    stream = st.stream_source(spark, events_dir, SCHEMA)
+    outs = [str(tmp_path / f"route{i}") for i in range(2)]
+
+    def mk_sink(path):
+        return lambda df: df.write.mode("append").parquet(path)
+
+    q = st.route_sinks(
+        stream,
+        "CASE WHEN event_type = 'click' THEN 0 ELSE 1 END",
+        [mk_sink(p) for p in outs],
+        checkpoint=str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination()
+    clicks = spark.read.parquet(outs[0])
+    views = spark.read.parquet(outs[1])
+    assert clicks.count() + views.count() == 100
+    assert clicks.filter("event_type != 'click'").count() == 0
