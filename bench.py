@@ -49,9 +49,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     spark = get_spark("node-etl-spark-bench")
-    # warm the JVM/session with a trivial action so query timings
-    # measure the engine, not JVM startup
+    # warm the JVM, codegen, and parquet reader paths so per-query
+    # timings measure steady-state engine performance, not one-time
+    # session startup
     spark.range(1).count()
+    from node_etl_spark.tables import TABLES, table
+
+    for t in TABLES:
+        table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -19,8 +19,8 @@ Determinism: hyperplane weights come from a hash-free formula
 reproducible across runs/engines without storing a model.
 """
 
-from __future__ import annotations
-
+# NOTE: no `from __future__ import annotations` here — pandas_udf
+# resolves type hints at runtime and rejects stringified annotations.
 import math
 
 from pyspark.sql import Column, DataFrame, Window
@@ -167,6 +167,35 @@ def lsh_buckets(
     return F.array(*entries)
 
 
+def lsh_buckets_udf(dim: int, n_tables: int = 8, planes_per_table: int = 4):
+    """Vectorized bucket computation: one numpy matmul per Arrow batch
+    ((batch x dim) @ (dim x T*P)) instead of T*P per-row expression
+    folds — the documented fast path for wide-matrix work. Returns a
+    pandas_udf producing array<int> of length n_tables."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    import pandas as pd
+
+    M = np.array(
+        [
+            [_plane_weight(t * planes_per_table + p, d) for d in range(dim)]
+            for t in range(n_tables)
+            for p in range(planes_per_table)
+        ]
+    )  # (T*P, dim)
+    powers = 2 ** np.arange(planes_per_table)
+
+    @pandas_udf("array<int>")
+    def buckets(v: pd.Series) -> pd.Series:
+        X = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (X @ M.T > 0).astype(np.int64).reshape(len(X), n_tables, planes_per_table)
+        bucket_ids = (bits * powers).sum(axis=2).astype(np.int32)
+        return pd.Series(list(bucket_ids))
+
+    return buckets
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -186,12 +215,14 @@ def lsh_topk(
     only for candidates; duplicates across tables are collapsed before
     scoring.
     """
+    bucket_udf = lsh_buckets_udf(dim, n_tables, planes_per_table)
+
     def with_buckets(df: DataFrame, idname: str, vecname: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(idname),
             F.col(vec_col).alias(vecname),
-            F.explode(lsh_buckets(F.col(vec_col), dim, n_tables, planes_per_table)).alias("tb"),
-        ).select(idname, vecname, F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+            F.posexplode(bucket_udf(F.col(vec_col))).alias("t", "b"),
+        )
 
     c = with_buckets(corpus, "neighbor_id", "cvec")
     q = with_buckets(queries, "query_id", "qvec")

@@ -17,6 +17,7 @@ from .rowops import (
     Thru,
     Uniquer,
 )
+from .observe import Limit, Spy, pipeline_dag
 from .splitter import RouteTag, Splitter
 from .tree import (
     TreeFlatten,
@@ -31,7 +32,7 @@ __all__ = [
     "Filter", "Mapper", "Thru", "Sorter", "Reducer", "Uniquer",
     "Array2Map", "Map2Array", "Nothing",
     "Joiner", "Vocab", "JoinDetail", "SemiJoin", "AntiJoin",
-    "Splitter", "RouteTag",
+    "Splitter", "RouteTag", "Spy", "Limit", "pipeline_dag",
     "TreeFlatten", "flatten_document", "resolve_hierarchy",
     "build_document", "build_json_column",
 ]

@@ -106,23 +106,25 @@ def resolve_hierarchy(
         F.col(level_col).alias("__plevel"),
         F.col(mpath_col).alias("__pmpath"),
     )
-    pending = edges.filter(F.col(parent_col).isNotNull())
-    out = resolved
+    # persist each round's pending/newly: the loop would otherwise
+    # rebuild an exponentially deep lineage (each level re-derives all
+    # prior joins), and each round needs exactly one pass over pending
+    pending = edges.filter(F.col(parent_col).isNotNull()).persist()
+    out_parts = [resolved]
     for _ in range(max_depth):
-        if pending.isEmpty():
-            break
         joined = pending.join(
             F.broadcast(frontier), pending[parent_col] == frontier["__pid"], "left"
-        )
+        ).persist()
         newly = joined.filter(F.col("__pid").isNotNull()).select(
             *[pending[c] for c in pending.columns],
             (F.col("__plevel") + 1).alias(level_col),
             F.concat(F.col("__pmpath"), F.lit(mpath_sep), ids).alias(mpath_col),
         )
         if newly.isEmpty():
+            joined.unpersist()
             break
         newly = newly.persist()
-        out = out.unionByName(newly)
+        out_parts.append(newly)
         frontier = newly.select(
             F.col(id_col).alias("__pid"),
             F.col(level_col).alias("__plevel"),
@@ -130,12 +132,17 @@ def resolve_hierarchy(
         )
         pending = joined.filter(F.col("__pid").isNull()).select(
             *[pending[c] for c in pending.columns]
-        )
+        ).persist()
+        # no pending.isEmpty() action here: if pending drained, the
+        # next round's newly.isEmpty() terminates at the same cost
     orphans = pending.select(
         "*",
         F.lit(None).cast("int").alias(level_col),
         F.lit(None).cast("string").alias(mpath_col),
     )
+    out = out_parts[0]
+    for part in out_parts[1:]:
+        out = out.unionByName(part)
     return out.unionByName(orphans)
 
 

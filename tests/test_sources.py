@@ -98,3 +98,14 @@ def test_paged_rest_source(spark):
 
 def test_noop_drain(spark):
     Nothing.drain(spark.range(10).toDF("v"))
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    # reference ParserXML xmlNode == rowTag (job-parser-xml.js:15-17)
+    from node_etl_spark.sources import XmlSink, XmlSource
+
+    df = spark.createDataFrame([(1, "alpha"), (2, "beta")], "id bigint, name string")
+    dest = str(tmp_path / "xml_out")
+    XmlSink(dest, row_tag="item").write(df, CTX)
+    back = XmlSource(dest, row_tag="item").load(spark, CTX)
+    assert {(r.id, r.name) for r in back.collect()} == {(1, "alpha"), (2, "beta")}
