@@ -41,6 +41,13 @@ HEADLINE = [
     "q24_text_profile",
     "q26_embedding_topk",
     "q27_ann_lsh_topk",
+    "q28_asof_join",
+    "q29_range_join",
+    "q30_array2map",
+    "q32_tree_build",
+    "q33_quality_lang",
+    "q34_top_orders_per_cust",
+    "q35_embedding_neardup",
 ]
 
 

@@ -126,6 +126,62 @@ def topk_oracle_sql(
     """
 
 
+# ------------------------------------------------- embedding near-dup
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, sim) with a < b
+    and rounded cosine >= threshold.
+
+    This exact form is the correctness oracle; at 100 TB the same
+    verify step runs on LSH candidates instead of the full self-join
+    (``lsh_topk``'s bucket join) — identical scoring code path, the
+    candidate generator is the only thing that changes.
+    """
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("avec"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("sim", F.round(cosine(F.col("avec"), F.col("bvec")), round_digits))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+    )
+
+
+def neardup_oracle_sql(
+    threshold: float,
+    table: str = "embeddings",
+    id_: str = "vec_id",
+    vec: str = "embedding",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB mirror of cosine_neardup_pairs (same DECIMAL exact-sum
+    trick as topk_oracle_sql so both engines round identical doubles)."""
+    return f"""
+    WITH pairs0 AS (
+        SELECT x.{id_} AS a, y.{id_} AS b, x.{vec} AS avec, y.{vec} AS bvec
+        FROM {table} x, {table} y WHERE x.{id_} < y.{id_}),
+    expanded AS (
+        SELECT a, b, avec, bvec, unnest(generate_series(1, len(avec))) AS i
+        FROM pairs0),
+    sums AS (
+        SELECT a, b,
+            CAST(SUM(CAST(CAST(avec[i] AS DOUBLE) * CAST(bvec[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE) AS dp,
+            CAST(SUM(CAST(CAST(avec[i] AS DOUBLE) * CAST(avec[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE) AS na,
+            CAST(SUM(CAST(CAST(bvec[i] AS DOUBLE) * CAST(bvec[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE) AS nb
+        FROM expanded GROUP BY 1, 2)
+    SELECT a, b, round(dp / (sqrt(na) * sqrt(nb)), {round_digits}) AS sim
+    FROM sums
+    WHERE round(dp / (sqrt(na) * sqrt(nb)), {round_digits}) >= {threshold}
+    """
+
+
 # --------------------------------------------------------------- LSH ANN
 
 

@@ -5,7 +5,15 @@ relational ops (semi/anti joins, route tagging) the reference lacked.
 """
 
 from .base import FnTransform, Op, Sink, Source, Transform
-from .joins import AntiJoin, JoinDetail, Joiner, SemiJoin, Vocab
+from .joins import (
+    AntiJoin,
+    AsofJoin,
+    JoinDetail,
+    Joiner,
+    RangeJoin,
+    SemiJoin,
+    Vocab,
+)
 from .rowops import (
     Array2Map,
     Filter,
@@ -32,6 +40,7 @@ __all__ = [
     "Filter", "Mapper", "Thru", "Sorter", "Reducer", "Uniquer",
     "Array2Map", "Map2Array", "Nothing",
     "Joiner", "Vocab", "JoinDetail", "SemiJoin", "AntiJoin",
+    "AsofJoin", "RangeJoin",
     "Splitter", "RouteTag", "Spy", "Limit", "pipeline_dag",
     "TreeFlatten", "flatten_document", "resolve_hierarchy",
     "build_document", "build_json_column",

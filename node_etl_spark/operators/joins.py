@@ -4,13 +4,19 @@ Joiner     — broadcast vocab enrichment join (job-joiner.js:35-102).
 JoinDetail — master/detail correlated join    (job-join-detail.js:55-117).
 Semi/Anti  — net-new relational joins the reference lacks (SURVEY §2.6)
              but any engine user expects; exposed for completeness.
+AsofJoin   — temporal as-of (latest right row at-or-before each left
+             row per key); union+window form, one shuffle, no range
+             cross product.
+RangeJoin  — point-in-interval join; bucketed form so big-big range
+             joins shuffle on bucket id instead of exploding into a
+             theta cross join.
 """
 
 from __future__ import annotations
 
 from typing import TYPE_CHECKING, Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .base import Source, Transform
@@ -169,3 +175,154 @@ class AntiJoin(Transform):
         if isinstance(right, Source):
             right = right.load(df.sparkSession, ctx)
         return df.join(right, on=self.on, how="left_anti")
+
+
+class AsofJoin(Transform):
+    """Backward as-of join: enrich each left row with the latest right
+    row whose ``right_ts <= left_ts``, per key (left outer).
+
+    Net-new vs the reference (SURVEY §2.6 lists no as-of join). The
+    naive form is a range theta-join (quadratic per key). This is the
+    scalable union form: tag both sides, union, then one window pass
+    per key ordered by (ts, side) with ``last(value, ignorenulls)`` —
+    a single shuffle on the key, linear per partition, no cross
+    product. Right rows sort before left rows at equal ts, so an
+    exactly-simultaneous right row is visible (ASOF >= semantics).
+
+    Duplicate right rows at the same (key, ts) are collapsed to the
+    one with the highest ``right_id`` tiebreak column (required for
+    determinism; DuckDB's ASOF would otherwise pick arbitrarily).
+    """
+
+    def __init__(
+        self,
+        right,
+        on: str | Sequence[str],
+        left_ts: str,
+        right_ts: str,
+        payload: Mapping[str, str],
+        right_id: str | None = None,
+        name: str | None = None,
+    ) -> None:
+        super().__init__(name)
+        self.right = right
+        self.on = [on] if isinstance(on, str) else list(on)
+        self.left_ts = left_ts
+        self.right_ts = right_ts
+        self.payload = dict(payload)  # out_name -> right column/expr
+        self.right_id = right_id
+
+    def apply(self, df: DataFrame, ctx: "Context") -> DataFrame:
+        right = self.right
+        if isinstance(right, Source):
+            right = right.load(df.sparkSession, ctx)
+        if self.right_id is not None:
+            w_dedup = Window.partitionBy(
+                *self.on, self.right_ts
+            ).orderBy(F.col(self.right_id).desc())
+            right = (
+                right.withColumn("__rn", F.row_number().over(w_dedup))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        rvals = F.struct(
+            *[_to_col(src).alias(dst) for dst, src in self.payload.items()]
+        )
+        r = right.select(
+            *[F.col(k) for k in self.on],
+            F.col(self.right_ts).alias("__ts"),
+            F.lit(0).alias("__side"),
+            rvals.alias("__rvals"),
+            F.lit(None).cast(
+                df.select(F.struct(*df.columns).alias("s")).schema["s"].dataType.simpleString()
+            ).alias("__lrow"),
+        )
+        l = df.select(
+            *[F.col(k) for k in self.on],
+            F.col(self.left_ts).alias("__ts"),
+            F.lit(1).alias("__side"),
+            F.lit(None).cast(r.schema["__rvals"].dataType.simpleString()).alias("__rvals"),
+            F.struct(*df.columns).alias("__lrow"),
+        )
+        w = (
+            Window.partitionBy(*self.on)
+            .orderBy("__ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = (
+            r.unionByName(l)
+            .withColumn("__filled", F.last("__rvals", ignorenulls=True).over(w))
+            .filter(F.col("__side") == 1)
+        )
+        return filled.select(
+            *[F.col(f"__lrow.{c}").alias(c) for c in df.columns],
+            *[F.col(f"__filled.{dst}").alias(dst) for dst in self.payload],
+        )
+
+
+class RangeJoin(Transform):
+    """Point-in-interval join: keep (left, right) pairs where
+    ``left.point ∈ [right.lo, right.hi)``, optionally also equi-keyed.
+
+    Net-new vs the reference (SURVEY §2.6). Two physical strategies:
+
+    * ``bucket_width`` set — the scale path: the right interval is
+      exploded into covering buckets (``sequence(floor(lo/w),
+      floor(hi/w))``), the left point hashes to exactly one bucket,
+      and the join shuffles on (bucket, *keys) before the residual
+      range filter. Big-big range joins stay a hash join; no
+      broadcast-nested-loop cross product. Pick ``bucket_width`` near
+      the typical interval width so each interval covers O(1) buckets.
+    * ``bucket_width=None`` — broadcast theta join for dimension-sized
+      right sides (Catalyst's BroadcastNestedLoop is fine there).
+
+    A left point lands in exactly one bucket, so no post-join dedup is
+    needed; half-open [lo, hi) keeps boundary points single-counted.
+    """
+
+    def __init__(
+        self,
+        right,
+        point: str,
+        lo: str = "lo",
+        hi: str = "hi",
+        on: Sequence[str] = (),
+        bucket_width: float | None = None,
+        how: str = "inner",
+        name: str | None = None,
+    ) -> None:
+        super().__init__(name)
+        self.right = right
+        self.point = point
+        self.lo = lo
+        self.hi = hi
+        self.on = list(on)
+        self.bucket_width = bucket_width
+        self.how = how
+
+    def apply(self, df: DataFrame, ctx: "Context") -> DataFrame:
+        right = self.right
+        if isinstance(right, Source):
+            right = right.load(df.sparkSession, ctx)
+        point = F.col(self.point)
+        in_range = (point >= F.col(self.lo)) & (point < F.col(self.hi))
+        if self.bucket_width is None:
+            cond = in_range
+            for k in self.on:
+                cond = cond & (df[k] == right[k])
+            return df.join(F.broadcast(right), cond, self.how)
+        w = float(self.bucket_width)
+        r = right.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(self.lo) / w).cast("long"),
+                    # hi is exclusive, but a point in [hi_bucket*w, hi)
+                    # still lives in hi's bucket — keep it
+                    F.floor(F.col(self.hi) / w).cast("long"),
+                )
+            ),
+        )
+        l = df.withColumn("__bucket", F.floor(point / w).cast("long"))
+        joined = l.join(r, on=["__bucket", *self.on], how="inner").filter(in_range)
+        return joined.drop("__bucket")

@@ -32,9 +32,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import (
+    Array2Map,
     Filter,
     JoinDetail,
     Joiner,
+    Map2Array,
     Mapper,
     RouteTag,
     SemiJoin,
@@ -42,6 +44,7 @@ from ..operators import (
     Thru,
     Uniquer,
     Vocab,
+    build_json_column,
     resolve_hierarchy,
 )
 from ..pipeline import Pipeline
@@ -776,6 +779,314 @@ def q18_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
     )
+
+
+@register(
+    "q28_asof_join",
+    """
+    WITH clicks AS (
+        SELECT user_id, ts, value, event_id FROM events
+        WHERE event_type = 'click'
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           c.value AS last_click_value,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="Backward as-of join: latest click at-or-before each purchase, "
+        "per user. Union+window form — one shuffle, no range cross join.",
+)
+def q28_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import AsofJoin
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts", "value")
+    pipe = Pipeline(
+        [
+            AsofJoin(
+                clicks,
+                on="user_id",
+                left_ts="ts",
+                right_ts="ts",
+                payload={"last_click_value": "value", "__click_ts": "ts"},
+                right_id="event_id",
+            ),
+        ]
+    )
+    out = pipe.to_frame(spark, head=purchases)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        "last_click_value",
+        F.date_format("__click_ts", fmt).alias("last_click_ts"),
+    )
+
+
+@register(
+    "q29_range_join",
+    f"""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('low', 0.0, 10.0), ('mid', 10.0, 25.0),
+               ('high', 25.0, 40.0), ('xhigh', 40.0, 51.0))
+    SELECT b.band,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {dsum_sql('l.l_extendedprice')} AS total_price
+    FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band
+    """,
+    doc="Point-in-interval join via bucketed RangeJoin (shuffle on "
+        "bucket id, no broadcast-nested-loop cross product).",
+)
+def q29_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import RangeJoin
+
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 25.0),
+         ("high", 25.0, 40.0), ("xhigh", 40.0, 51.0)],
+        "band string, lo double, hi double",
+    )
+    pipe = Pipeline(
+        [
+            _src(sf_dir, "lineitem"),
+            RangeJoin(bands, point="l_quantity", lo="lo", hi="hi", bucket_width=10.0),
+        ]
+    )
+    return (
+        pipe.run(spark)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# q30/q31 — Array2Map / Map2Array pivots (reference job-array2map.js
+# :22-52, job-map2array.js:23-44) exercised end-to-end
+# --------------------------------------------------------------------
+
+@register(
+    "q30_array2map",
+    """
+    SELECT o_custkey,
+           NULLIF(CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT), 0) AS n_open,
+           NULLIF(CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT), 0) AS n_finished,
+           NULLIF(CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT), 0) AS n_pending
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="Array2Map pivot: array<{id,n}> -> map, then key lookups "
+        "(missing keys null, matching the reference's map semantics).",
+)
+def q30_array2map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_status = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("o_custkey")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("o_orderstatus").alias("id"), F.col("n"))
+            ).alias("st")
+        )
+    )
+    pipe = Pipeline([Array2Map(fields=["st"], id_key="id", value_field="n")])
+    out = pipe.to_frame(spark, head=per_status)
+    return out.select(
+        "o_custkey",
+        F.col("st")["O"].alias("n_open"),
+        F.col("st")["F"].alias("n_finished"),
+        F.col("st")["P"].alias("n_pending"),
+    )
+
+
+@register(
+    "q31_map2array_roundtrip",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Array2Map -> Map2Array(explode) round-trip conserves every "
+        "(customer, status, count) entry.",
+)
+def q31_map2array_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("o_custkey")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("o_orderstatus").alias("id"), F.col("n"))
+            ).alias("st")
+        )
+    )
+    pipe = Pipeline(
+        [
+            Array2Map(fields=["st"], id_key="id", value_field="n"),
+            Map2Array(fields=["st"], id_key="id", value_key="n", explode=True),
+        ]
+    )
+    out = pipe.to_frame(spark, head=per_cust)
+    return (
+        out.select("o_custkey", F.col("st.id").alias("status"), F.col("st.n").alias("n"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum("n").cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# q32 — scalable tree build (WriterJSONTree analogue,
+# job-tree-writer.js:23-128): flat rows -> one JSON doc per root
+# --------------------------------------------------------------------
+
+@register(
+    "q32_tree_build",
+    """
+    WITH n AS (SELECT 'r' || CAST(n_regionkey AS VARCHAR) AS parent,
+                      'n' || CAST(n_nationkey AS VARCHAR) AS id,
+                      n_name AS name
+               FROM nation),
+    r AS (SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS id, r_name AS name
+          FROM region),
+    kids AS (SELECT parent,
+                    string_agg('{"id":"' || id || '","name":"' || name || '"}',
+                               ',' ORDER BY id) AS children
+             FROM n GROUP BY parent)
+    SELECT r.id AS root_id,
+           CASE WHEN kids.children IS NULL
+                THEN '{"id":"' || r.id || '","name":"' || r.name || '"}'
+                ELSE '{"id":"' || r.id || '","name":"' || r.name
+                     || '","children":[' || kids.children || ']}'
+           END AS json
+    FROM r LEFT JOIN kids ON kids.parent = r.id
+    """,
+    doc="Distributed tree build: level-wise collect_list roll-up -> one "
+        "JSON string per root (region -> nations).",
+)
+def q32_tree_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region").select(
+        F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias("id"),
+        F.lit(None).cast("string").alias("parent"),
+        F.col("r_name").alias("name"),
+    )
+    nation = table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("parent"),
+        F.col("n_name").alias("name"),
+    )
+    edges = region.unionByName(nation)
+    return build_json_column(edges, id_col="id", parent_col="parent",
+                             payload_cols=["id", "name"])
+
+
+# --------------------------------------------------------------------
+# q33 — quality scoring + language ID (training-data filtering ops)
+# --------------------------------------------------------------------
+
+_LANG_CASE_SQL = """
+    CASE WHEN en_n >= greatest(fr_n, es_n, de_n, 1) THEN 'en'
+         WHEN fr_n >= greatest(es_n, de_n, 1) THEN 'fr'
+         WHEN es_n >= greatest(de_n, 1) THEN 'es'
+         WHEN de_n >= 1 THEN 'de'
+         ELSE 'und' END
+"""
+
+
+@register(
+    "q33_quality_lang",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n,
+               CAST(len(list_filter(string_split(text, ' '),
+                    t -> lower(t) IN ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
+                    / len(string_split(text, ' ')) AS sw,
+               len(list_filter(string_split(text, ' '),
+                    t -> lower(t) IN ('the','and','of','a','to','is'))) AS en_n,
+               len(list_filter(string_split(text, ' '),
+                    t -> lower(t) IN ('le','la','et','les','des','une'))) AS fr_n,
+               len(list_filter(string_split(text, ' '),
+                    t -> lower(t) IN ('el','de','que','los','una','por'))) AS es_n,
+               len(list_filter(string_split(text, ' '),
+                    t -> lower(t) IN ('der','die','und','das','ein','mit'))) AS de_n
+        FROM documents)
+    SELECT doc_id,
+           round((least(n / 100.0, 1.0) + least(sw * 4.0, 1.0)) / 2.0, 6) AS quality,
+           {_LANG_CASE_SQL} AS lang_guess
+    FROM scored
+    """,
+    doc="Composite quality score + marker-based language ID heuristic.",
+)
+def q33_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        T.quality_score("text").alias("quality"),
+        T.lang_guess("text").alias("lang_guess"),
+    )
+
+
+# --------------------------------------------------------------------
+# q34 — ranking window functions (rank + lag; net-new, SURVEY §2.6)
+# --------------------------------------------------------------------
+
+@register(
+    "q34_top_orders_per_cust",
+    """
+    SELECT o_custkey, o_orderkey, rnk, o_totalprice, prev_price
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(row_number() OVER w AS INTEGER) AS rnk,
+                 lag(o_totalprice) OVER w AS prev_price
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey))
+    WHERE rnk <= 3
+    """,
+    doc="Top-3 orders per customer with lag(prev_price) — rank + offset "
+        "window functions over one shuffle.",
+)
+def q34_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk", "o_totalprice", "prev_price")
+    )
+
+
+# --------------------------------------------------------------------
+# q35 — embedding-cosine near-dup (the 5th dedup modality)
+# --------------------------------------------------------------------
+
+@register(
+    "q35_embedding_neardup",
+    S.neardup_oracle_sql(threshold=0.4),
+    doc="Embedding-cosine near-duplicate pairs (sim >= 0.4); LSH "
+        "candidate generation swaps in at scale (same verify path).",
+)
+def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_neardup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 @register(

@@ -1,7 +1,17 @@
+import datetime as dt
+
 from pyspark.sql import functions as F
 
 from node_etl_spark.context import Context
-from node_etl_spark.operators import AntiJoin, JoinDetail, Joiner, SemiJoin, Vocab
+from node_etl_spark.operators import (
+    AntiJoin,
+    AsofJoin,
+    JoinDetail,
+    Joiner,
+    RangeJoin,
+    SemiJoin,
+    Vocab,
+)
 
 CTX = Context()
 
@@ -42,6 +52,65 @@ def test_semi_anti(spark):
     right = spark.createDataFrame([(2,), (3,), (3,)], "k int")
     assert {r.k for r in SemiJoin(right, on="k").apply(left, CTX).collect()} == {2, 3}
     assert {r.k for r in AntiJoin(right, on="k").apply(left, CTX).collect()} == {1}
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_backward(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts(5)), (2, "u", _ts(10)), (3, "u", _ts(1)), (4, "v", _ts(5))],
+        "id int, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(2), 20.0), ("u", _ts(5), 50.0), ("u", _ts(9), 90.0)],
+        "k string, ts timestamp, val double",
+    )
+    out = AsofJoin(
+        right, on="k", left_ts="ts", right_ts="ts", payload={"v": "val"}
+    ).apply(left, CTX)
+    got = {r.id: r.v for r in out.collect()}
+    # id=1: right@5 matches at equal ts (>= semantics); id=3: nothing before
+    assert got == {1: 50.0, 2: 90.0, 3: None, 4: None}
+
+
+def test_asof_dedups_equal_ts_right_rows(spark):
+    left = spark.createDataFrame([(1, "u", _ts(5))], "id int, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u", _ts(3), 1, 10.0), ("u", _ts(3), 2, 30.0)],
+        "k string, ts timestamp, rid int, val double",
+    )
+    out = AsofJoin(
+        right, on="k", left_ts="ts", right_ts="ts",
+        payload={"v": "val"}, right_id="rid",
+    ).apply(left, CTX)
+    assert out.collect()[0].v == 30.0  # highest rid wins at equal ts
+
+
+def test_range_join_bucketed_half_open(spark):
+    points = spark.createDataFrame(
+        [(1, 0.0), (2, 9.9), (3, 10.0), (4, 25.0), (5, 99.0)], "id int, x double"
+    )
+    bands = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 30.0)], "band string, lo double, hi double"
+    )
+    out = RangeJoin(bands, point="x", bucket_width=7.0).apply(points, CTX)
+    got = {(r.id, r.band) for r in out.collect()}
+    # boundary 10.0 -> band b only (half-open); 99.0 matches nothing
+    assert got == {(1, "a"), (2, "a"), (3, "b"), (4, "b")}
+
+
+def test_range_join_broadcast_matches_bucketed(spark):
+    points = spark.createDataFrame([(i, float(i)) for i in range(50)], "id int, x double")
+    bands = spark.createDataFrame(
+        [("a", 0.0, 20.0), ("b", 15.0, 40.0)], "band string, lo double, hi double"
+    )
+    bucketed = RangeJoin(bands, point="x", bucket_width=10.0).apply(points, CTX)
+    bcast = RangeJoin(bands, point="x", bucket_width=None).apply(points, CTX)
+    assert {(r.id, r.band) for r in bucketed.collect()} == {
+        (r.id, r.band) for r in bcast.collect()
+    }
 
 
 def test_joiner_uses_broadcast_plan(spark):
