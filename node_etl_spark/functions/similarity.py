@@ -49,6 +49,66 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_vec(a: Column, b: Column) -> Column:
+    """Vectorized pairwise cosine: one numpy einsum per Arrow batch.
+
+    Catalyst higher-order lambdas (``aggregate``/``zip_with``) are
+    interpreted per element — fine for a handful of rows, 10-100x too
+    slow for millions of candidate pairs. This is the hot-path scorer;
+    ``cosine`` (expression form) remains for contexts that must stay
+    pure-SQL. Summation order differs from the sequential fold but both
+    sit within float-ulp of the exact value; all consumers round to 6
+    digits before compare/rank, which absorbs it.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _sim(x: pd.Series, y: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.vstack(x.to_numpy()).astype(np.float64)
+        B = np.vstack(y.to_numpy()).astype(np.float64)
+        dp = np.einsum("ij,ij->i", A, B)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        return pd.Series(dp / (na * nb))
+
+    return _sim(a, b)
+
+
+def _block_frame(
+    df: DataFrame, id_col: str, vec_col: str, block_size: int, out_name: str
+) -> DataFrame:
+    """Pack vectors into GEMM-ready blocks: one row per block of up to
+    ``block_size`` (id, vec) structs, blocked deterministically on
+    ``floor(id / block_size)``. Turns per-pair vector shipping into
+    per-block shipping — the data-movement term drops from O(pairs*d)
+    to O(blocks*block_size*d)."""
+    return (
+        df.groupBy(
+            F.floor(F.col(id_col) / block_size).alias("__blk")
+        ).agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+            ).alias(out_name)
+        )
+    )
+
+
+def _unpack(items) -> tuple:
+    """(ids ndarray, row-normalized matrix) from a collect_list column
+    value (numpy array of {'id','vec'} dicts in Arrow land)."""
+    import numpy as np
+
+    ids = np.array([it["id"] for it in items], dtype=np.int64)
+    M = np.vstack([np.asarray(it["vec"], dtype=np.float64) for it in items])
+    norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+    norms[norms == 0.0] = 1.0
+    return ids, M / norms[:, None]
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -56,21 +116,52 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    block_size: int = 2048,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector.
+    """Exact top-k cosine neighbors for each query vector, as a blocked
+    distributed GEMM.
 
-    Query side is broadcast (small by contract); ranking uses the
+    The corpus is packed into blocks of ``block_size`` vectors; the
+    (small-by-contract) query set rides along as one broadcast row.
+    Each block computes a dense ``(block x queries)`` similarity
+    matrix with one numpy matmul and emits only its local top-k per
+    query; the global top-k over block winners is exact (a global
+    winner is a winner in its own block). Shuffled bytes are
+    O(blocks * queries * k), not O(N * queries). Ranking uses the
     *rounded* similarity with an id tiebreak so ordering is stable
     against last-ulp float divergence.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    import numpy as np
+
+    qrow = queries.agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        ).alias("__qitems")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), round_digits))
-        .select("query_id", "neighbor_id", "sim")
+    blocks = _block_frame(corpus, id_col, vec_col, block_size, "__citems")
+    joined = blocks.crossJoin(F.broadcast(qrow))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                cids, C = _unpack(row["__citems"])
+                qids, Q = _unpack(row["__qitems"])
+                S = np.round(C @ Q.T, round_digits)  # (m, q)
+                for j in range(len(qids)):
+                    sims = S[:, j]
+                    mask = cids != qids[j]
+                    cand_ids, cand_sims = cids[mask], sims[mask]
+                    # local exact top-k by (sim desc, id asc)
+                    order = np.lexsort((cand_ids, -cand_sims))[:k]
+                    for idx in order:
+                        rows.append((int(qids[j]), int(cand_ids[idx]), float(cand_sims[idx])))
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
+
+    scored = joined.mapInPandas(
+        gen, schema="query_id long, neighbor_id long, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -135,23 +226,42 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    block_size: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, sim) with a < b
-    and rounded cosine >= threshold.
+    and rounded cosine >= threshold, as a blocked all-pairs GEMM.
 
-    This exact form is the correctness oracle; at 100 TB the same
-    verify step runs on LSH candidates instead of the full self-join
-    (``lsh_topk``'s bucket join) — identical scoring code path, the
-    candidate generator is the only thing that changes.
+    Vectors are packed into blocks; every (block_i <= block_j) pair is
+    one task computing a dense similarity tile with a single matmul and
+    emitting only above-threshold pairs. Data movement is O(blocks^2 *
+    block_size * d) — each vector ships once per opposing block, not
+    once per pair. At 100 TB the block-pair stream is pre-pruned with
+    LSH bucket candidates (``lsh_buckets_udf``) — the scoring tile is
+    the same code path; the candidate generator is the only change.
     """
-    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("avec"))
-    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"))
-    return (
-        a.join(b, F.col("a") < F.col("b"))
-        .withColumn("sim", F.round(cosine(F.col("avec"), F.col("bvec")), round_digits))
-        .filter(F.col("sim") >= threshold)
-        .select("a", "b", "sim")
-    )
+    import numpy as np
+
+    blocks = _block_frame(df, id_col, vec_col, block_size, "__items").persist()
+    ba = blocks.select(F.col("__blk").alias("__ba"), F.col("__items").alias("__ia"))
+    bb = blocks.select(F.col("__blk").alias("__bb"), F.col("__items").alias("__ib"))
+    pairs = ba.join(bb, F.col("__ba") <= F.col("__bb"))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                aids, A = _unpack(row["__ia"])
+                bids, B = _unpack(row["__ib"])
+                S = np.round(A @ B.T, round_digits)
+                ii, jj = np.nonzero(S >= threshold)
+                for i, j in zip(ii, jj):
+                    if aids[i] < bids[j]:
+                        rows.append((int(aids[i]), int(bids[j]), float(S[i, j])))
+            yield pd.DataFrame(rows, columns=["a", "b", "sim"])
+
+    return pairs.mapInPandas(gen, schema="a long, b long, sim double")
 
 
 def neardup_oracle_sql(
@@ -273,24 +383,33 @@ def lsh_topk(
     """
     bucket_udf = lsh_buckets_udf(dim, n_tables, planes_per_table)
 
-    def with_buckets(df: DataFrame, idname: str, vecname: str) -> DataFrame:
+    # bucket join over (id, table, bucket) ONLY — the wide vector
+    # payload never rides through the explode/join/dedup; it is
+    # attached once per surviving candidate pair afterwards
+    def with_buckets(df: DataFrame, idname: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(idname),
-            F.col(vec_col).alias(vecname),
             F.posexplode(bucket_udf(F.col(vec_col))).alias("t", "b"),
         )
 
-    c = with_buckets(corpus, "neighbor_id", "cvec")
-    q = with_buckets(queries, "query_id", "qvec")
+    c = with_buckets(corpus, "neighbor_id")
+    q = with_buckets(queries, "query_id")
     cand = (
         c.join(q, on=["t", "b"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qvec", "cvec")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn(
-        "sim", F.round(cosine(F.col("qvec"), F.col("cvec")), round_digits)
-    ).select("query_id", "neighbor_id", "sim")
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        cand.join(F.broadcast(qv), on="query_id")
+        .join(cv, on="neighbor_id")
+        .withColumn(
+            "sim", F.round(cosine_vec(F.col("qvec"), F.col("cvec")), round_digits)
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

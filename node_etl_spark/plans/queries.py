@@ -840,8 +840,8 @@ def q28_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
     GROUP BY b.band
     """,
-    doc="Point-in-interval join via bucketed RangeJoin (shuffle on "
-        "bucket id, no broadcast-nested-loop cross product).",
+    doc="Point-in-interval join (RangeJoin broadcast path for the "
+        "dim-sized band table; bucketed path covers big-big).",
 )
 def q29_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import RangeJoin
@@ -851,10 +851,13 @@ def q29_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("high", 25.0, 40.0), ("xhigh", 40.0, 51.0)],
         "band string, lo double, hi double",
     )
+    # dimension-sized band table -> broadcast theta join is the right
+    # physical plan (the bucketed path is for big-big interval joins,
+    # where bucket count >> parallelism keeps the shuffle unskewed)
     pipe = Pipeline(
         [
             _src(sf_dir, "lineitem"),
-            RangeJoin(bands, point="l_quantity", lo="lo", hi="hi", bucket_width=10.0),
+            RangeJoin(bands, point="l_quantity", lo="lo", hi="hi", bucket_width=None),
         ]
     )
     return (
