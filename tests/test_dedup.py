@@ -50,3 +50,18 @@ def test_simhash_identical_docs_hamming_zero(spark):
     assert vals[1] == vals[2] != vals[3]
     pairs = {(r.d1, r.d2): r.hamming for r in D.simhash_pairs(sigs, max_hamming=0).collect()}
     assert pairs == {(1, 2): 0}
+
+
+def test_prefix_filter_is_exact(spark, sf_dir):
+    # PPJoin prefix candidates must not lose any qualifying pair:
+    # prefix-filtered output == plain inverted-index output
+    from node_etl_spark.functions.dedup import jaccard_pairs, shingle_rows
+    from node_etl_spark.tables import table
+
+    sh = shingle_rows(table(spark, sf_dir, "documents"))
+    plain = {(r.d1, r.d2, r.jac) for r in jaccard_pairs(sh, 0.8).collect()}
+    pref = {
+        (r.d1, r.d2, r.jac)
+        for r in jaccard_pairs(sh, 0.8, prefix_filter=True).collect()
+    }
+    assert plain == pref and len(plain) > 0
