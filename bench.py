@@ -48,6 +48,10 @@ HEADLINE = [
     "q33_quality_lang",
     "q34_top_orders_per_cust",
     "q35_embedding_neardup",
+    "q36_media_metadata",
+    "q37_frame_sample",
+    "q38_ivf_topk",
+    "q39_bpe_tokens",
 ]
 
 

@@ -292,6 +292,106 @@ def neardup_oracle_sql(
     """
 
 
+# --------------------------------------------------------------- IVF ANN
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer —
+    the second scale path next to hyperplane LSH.
+
+    Spherical k-means: centroids initialize from the ``n_cells``
+    lowest-id vectors (deterministic, no RNG), refine for
+    ``lloyd_iters`` rounds (assignment is a per-batch numpy argmax
+    against the broadcast centroid matrix; new centroids are per-cell
+    per-dimension means via posexplode + avg). Each corpus vector lands
+    in exactly one cell; each query probes its ``n_probe`` nearest
+    cells, so scoring touches ~n_probe/n_cells of the corpus. The
+    centroid matrix is the only driver-side state — k*d floats, an
+    aggregate, not data-plane rows. Shuffles: one per Lloyd round
+    (cell means) + the final (cell) candidate join.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _normalize(M: "np.ndarray") -> "np.ndarray":
+        n = np.sqrt(np.einsum("ij,ij->i", M, M))
+        n[n == 0.0] = 1.0
+        return M / n[:, None]
+
+    init = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    C = _normalize(np.vstack([np.asarray(r[0], dtype=np.float64) for r in init]))
+
+    def assign_udf(Cmat: "np.ndarray"):
+        @pandas_udf("int")
+        def cell(v: pd.Series) -> pd.Series:
+            X = _normalize(np.vstack(v.to_numpy()).astype(np.float64))
+            return pd.Series((X @ Cmat.T).argmax(axis=1).astype(np.int32))
+
+        return cell
+
+    dim = C.shape[1]
+    for _ in range(lloyd_iters):
+        assigned = corpus.select(
+            F.col(vec_col).alias("v"), assign_udf(C)(F.col(vec_col)).alias("cell")
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("d", "x"))
+            .groupBy("cell", "d")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        newC = C.copy()  # cells that lost all members keep old centroid
+        by_cell: dict[int, list] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, [None] * dim)[r.d] = r.m
+        for c_idx, vals in by_cell.items():
+            newC[c_idx] = np.asarray(vals, dtype=np.float64)
+        C = _normalize(newC)
+
+    corpus_cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        assign_udf(C)(F.col(vec_col)).alias("cell"),
+    )
+
+    @pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        X = _normalize(np.vstack(v.to_numpy()).astype(np.float64))
+        order = np.argsort(-(X @ C.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    query_probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        corpus_cells.join(F.broadcast(query_probes), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim", F.round(cosine_vec(F.col("qvec"), F.col("cvec")), round_digits)
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 # --------------------------------------------------------------- LSH ANN
 
 

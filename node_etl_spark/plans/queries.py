@@ -38,6 +38,7 @@ from ..operators import (
     Joiner,
     Map2Array,
     Mapper,
+    Reducer,
     RouteTag,
     SemiJoin,
     Sorter,
@@ -250,14 +251,19 @@ def q04_distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q05_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        table(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority", "o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice").alias("total_price"),
-        )
+    pipe = Pipeline(
+        [
+            _src(sf_dir, "orders"),
+            Reducer(
+                keys=["o_orderpriority", "o_orderstatus"],
+                aggs={
+                    "n_orders": F.count(F.lit(1)),
+                    "total_price": dsum("o_totalprice"),
+                },
+            ),
+        ]
     )
+    return pipe.run(spark)
 
 
 # --------------------------------------------------------------------
@@ -1144,6 +1150,39 @@ def q37_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("content"),
     )
     return M.sample_frames(binaries, every_ms=1000, max_frames=8)
+
+
+@register(
+    "q38_ivf_topk",
+    None,  # approximate op: rows-only check; recall vs q26 tested in tests/
+    doc="IVF (inverted-file) ANN top-5: spherical k-means coarse "
+        "quantizer, n_probe cell probing — the second scale path "
+        "next to hyperplane LSH.",
+)
+def q38_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.filter("vec_id < 50"), k=5)
+
+
+@register(
+    "q39_bpe_tokens",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws
+    FROM documents
+    """,
+    doc="BPE-ish tokenizer (words/numbers/punct as separate tokens) "
+        "vs whitespace token counts.",
+)
+def q39_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.size(T.tokens_regex("text")).alias("n_bpe"),
+        T.token_count("text").alias("n_ws"),
+    )
 
 
 @register(

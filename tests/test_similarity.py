@@ -47,3 +47,23 @@ def test_lsh_vs_brute_force_recall(spark, sf_dir):
     ann = {(r.query_id, r.neighbor_id) for r in S.lsh_topk(emb, queries, dim=64, k=5).collect()}
     # approximate: expect meaningful overlap with exact top-5
     assert len(bf & ann) / len(bf) >= 0.5
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from node_etl_spark.functions.similarity import brute_force_topk, ivf_topk
+    from node_etl_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 20")
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, q, k=5, n_cells=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # probing half the cells must recover >=50%
+    # every query still gets k results (cells are never empty enough to starve)
+    per_q = {}
+    for qid, _ in approx:
+        per_q[qid] = per_q.get(qid, 0) + 1
+    assert all(v == 5 for v in per_q.values())
