@@ -160,22 +160,27 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     WHERE l_quantity > 45 AND l_shipdate > TIMESTAMP '2000-01-01'
     """,
-    doc="Predicate + projection via Pipeline([Source, Filter, Mapper]).",
+    doc="Predicate + projection, built from a declarative JSON spec "
+        "document (the reference's persisted-Job model, spec.py).",
 )
 def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pipe = Pipeline(
-        [
-            _src(sf_dir, "lineitem"),
-            Filter("l_quantity > 45 AND l_shipdate > TIMESTAMP '2000-01-01'"),
-            Mapper(
-                {
+    from ..spec import from_spec
+
+    pipe = from_spec(
+        {
+            "name": "filter-project",
+            "chain": [
+                {"op": "parquet", "path": f"{sf_dir}/lineitem.parquet"},
+                {"op": "filter",
+                 "expr": "l_quantity > 45 AND l_shipdate > TIMESTAMP '2000-01-01'"},
+                {"op": "mapper", "cols": {
                     "l_orderkey": "l_orderkey",
                     "l_linenumber": "l_linenumber",
                     "revenue": "l_extendedprice * (1 - l_discount)",
                     "ship_date": "date_format(l_shipdate, 'yyyy-MM-dd')",
-                }
-            ),
-        ]
+                }},
+            ],
+        }
     )
     return pipe.run(spark)
 

@@ -1,0 +1,180 @@
+"""Declarative pipeline specs: JSON documents -> Pipeline.
+
+Reference: jobs are Mongoose documents — type + fields + by-UUID
+references to other jobs — serialized for transport (jobs/job.js:49-64)
+and resolved at run time (``ensureDepts``, job-pipeline.js:153-165).
+Here a pipeline is a plain JSON-able dict: ``{"op": <type>, ...}``
+nodes in a ``chain``, with ``{"op": "ref", "name": ...}`` for
+catalog-resolved references. Two deliberate departures (SURVEY §1.2):
+
+* no string-eval'd user code — predicates/projections are Spark SQL
+  expression strings, compiled by Catalyst, not a ``vm`` sandbox;
+* the catalog is an in-memory/name registry, not MongoDB.
+
+``from_spec`` attaches the originating dict to each op, so a
+spec-built pipeline round-trips via ``to_spec`` (the reference's
+serialize path).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping
+
+from .operators import (
+    AntiJoin,
+    Array2Map,
+    AsofJoin,
+    Filter,
+    JoinDetail,
+    Joiner,
+    Limit,
+    Map2Array,
+    Mapper,
+    Nothing,
+    RangeJoin,
+    Reducer,
+    SemiJoin,
+    Sorter,
+    Thru,
+    TreeFlatten,
+    Uniquer,
+    Vocab,
+)
+from .operators.base import Op
+from .pipeline import Catalog, Pipeline
+from .sources import (
+    CsvSource,
+    JsonArraySink,
+    JsonSource,
+    NdjsonSink,
+    NdjsonSource,
+    ParquetSink,
+    ParquetSource,
+    XmlSource,
+)
+
+
+def _vocab_from_spec(d: Mapping[str, Any], catalog: Catalog | None) -> Vocab:
+    if "ref" in d:
+        if catalog is None:
+            raise KeyError(f"vocab ref {d['ref']!r} but no catalog")
+        source = catalog.get(d["ref"])
+    else:
+        source = ParquetSource(d["path"])
+    return Vocab(source, on=d["on"], select=d.get("select"), prefix=d.get("prefix", ""))
+
+
+def _joiner(d: Mapping[str, Any], catalog: Catalog | None) -> Joiner:
+    return Joiner([_vocab_from_spec(v, catalog) for v in d["vocabs"]])
+
+
+_REGISTRY: dict[str, Callable[..., Op]] = {
+    # sources (reference readers+parsers, SURVEY §2.1/§2.2)
+    "parquet": lambda d, c: ParquetSource(d["path"], options=d.get("options")),
+    "csv": lambda d, c: CsvSource(
+        d["path"],
+        delimiter=d.get("delimiter", ","),
+        escape=d.get("escape", '"'),
+        headers=d.get("headers", False),
+        encoding=d.get("encoding"),
+        schema=d.get("schema"),
+    ),
+    "json": lambda d, c: JsonSource(
+        d["path"], root_node=d.get("root_node", "*"),
+        multiline=d.get("multiline", True),
+    ),
+    "ndjson": lambda d, c: NdjsonSource(d["path"], schema=d.get("schema")),
+    "xml": lambda d, c: XmlSource(d["path"], row_tag=d.get("row_tag", "item")),
+    # row transforms (§2.3)
+    "filter": lambda d, c: Filter(d["expr"]),
+    "mapper": lambda d, c: Mapper(d["cols"]),
+    "thru": lambda d, c: Thru(
+        explode=d.get("explode"), explode_as=d.get("explode_as"),
+        keep=d.get("keep"), unpivot=tuple(d["unpivot"]) if d.get("unpivot") else None,
+    ),
+    "sorter": lambda d, c: Sorter(
+        by=d["by"], ascending=d.get("ascending"), limit=d.get("limit")
+    ),
+    "reducer": lambda d, c: Reducer(keys=d["keys"], aggs=d["aggs"]),
+    "uniquer": lambda d, c: Uniquer(keys=d["keys"], order_by=d.get("order_by")),
+    "array2map": lambda d, c: Array2Map(
+        fields=d["fields"], id_key=d.get("id_key", "id"),
+        value_field=d.get("value_field"),
+    ),
+    "map2array": lambda d, c: Map2Array(
+        fields=d["fields"], id_key=d.get("id_key", "id"),
+        value_key=d.get("value_key", "value"), explode=d.get("explode", False),
+    ),
+    "nothing": lambda d, c: Nothing(),
+    "limit": lambda d, c: Limit(d["n"]),
+    "tree_flatten": lambda d, c: TreeFlatten(
+        id_col=d.get("id_col", "id"), parent_col=d.get("parent_col", "parent"),
+    ),
+    # joins (§2.4)
+    "joiner": _joiner,
+    "join_detail": lambda d, c: JoinDetail(
+        ParquetSource(d["path"]) if "path" in d else c.get(d["ref"]),
+        on=d["on"], aggs=d.get("aggs"), nest_as=d.get("nest_as"),
+    ),
+    "semi_join": lambda d, c: SemiJoin(
+        ParquetSource(d["path"]) if "path" in d else c.get(d["ref"]), on=d["on"]
+    ),
+    "anti_join": lambda d, c: AntiJoin(
+        ParquetSource(d["path"]) if "path" in d else c.get(d["ref"]), on=d["on"]
+    ),
+    "asof_join": lambda d, c: AsofJoin(
+        ParquetSource(d["path"]) if "path" in d else c.get(d["ref"]),
+        on=d["on"], left_ts=d["left_ts"], right_ts=d["right_ts"],
+        payload=d["payload"], right_id=d.get("right_id"),
+    ),
+    "range_join": lambda d, c: RangeJoin(
+        ParquetSource(d["path"]) if "path" in d else c.get(d["ref"]),
+        point=d["point"], lo=d.get("lo", "lo"), hi=d.get("hi", "hi"),
+        on=d.get("on", ()), bucket_width=d.get("bucket_width"),
+    ),
+    # sinks (§2.5)
+    "parquet_sink": lambda d, c: ParquetSink(d["path"], mode=d.get("mode", "overwrite")),
+    "ndjson_sink": lambda d, c: NdjsonSink(d["path"], mode=d.get("mode", "overwrite")),
+    "json_array_sink": lambda d, c: JsonArraySink(d["path"]),
+}
+
+
+def op_from_spec(d: Mapping[str, Any], catalog: Catalog | None = None) -> Op:
+    """One spec node -> Op. ``{"op": "ref"}`` resolves from the catalog
+    (reference ensureDepts — unresolved refs are hard errors)."""
+    kind = d.get("op")
+    if kind == "ref":
+        if catalog is None:
+            raise KeyError(f"ref {d.get('name')!r} but no catalog")
+        return catalog.get(d["name"])
+    if kind == "pipeline":
+        return from_spec(d, catalog)
+    factory = _REGISTRY.get(kind)
+    if factory is None:
+        raise KeyError(f"unknown op type: {kind!r}")
+    op = factory(d, catalog)
+    if "name" in d:  # reference Job.name field
+        op.name = d["name"]
+    op._spec = dict(d)
+    return op
+
+
+def from_spec(spec: Mapping[str, Any], catalog: Catalog | None = None) -> Pipeline:
+    """Pipeline document -> Pipeline. ``{"name", "chain": [nodes]}``."""
+    pipe = Pipeline(
+        [op_from_spec(node, catalog) for node in spec["chain"]],
+        catalog=catalog,
+        name=spec.get("name"),
+    )
+    pipe._spec = dict(spec)
+    return pipe
+
+
+def to_spec(op: Op) -> dict[str, Any]:
+    """Serialize a spec-built op/pipeline back to its document
+    (reference jobs/job.js:49-64). Only spec-built ops carry their
+    document; hand-built ops raise."""
+    spec = getattr(op, "_spec", None)
+    if spec is None:
+        raise ValueError(f"{op!r} was not built from a spec")
+    return spec

@@ -1,0 +1,80 @@
+import json
+
+from node_etl_spark.pipeline import Catalog
+from node_etl_spark.spec import from_spec, op_from_spec, to_spec
+
+
+def test_spec_filter_map_reduce(spark, sf_dir):
+    spec = {
+        "name": "orders-by-status",
+        "chain": [
+            {"op": "parquet", "path": f"{sf_dir}/orders.parquet"},
+            {"op": "filter", "expr": "o_totalprice > 1000"},
+            {"op": "reducer", "keys": ["o_orderstatus"],
+             "aggs": {"n": "count(1)"}},
+        ],
+    }
+    out = from_spec(spec).run(spark)
+    rows = {r.o_orderstatus: r.n for r in out.collect()}
+    assert sum(rows.values()) > 0
+
+
+def test_spec_json_roundtrip(spark, sf_dir):
+    # spec documents survive JSON serialization (reference job.js:49-64)
+    spec = {
+        "name": "p",
+        "chain": [
+            {"op": "parquet", "path": f"{sf_dir}/region.parquet"},
+            {"op": "sorter", "by": ["r_regionkey"], "limit": 3},
+        ],
+    }
+    pipe = from_spec(json.loads(json.dumps(spec)))
+    assert to_spec(pipe) == spec
+    assert len(pipe.run(spark).collect()) == 3
+
+
+def test_spec_catalog_refs(spark, sf_dir):
+    # by-name references resolve through the catalog; unresolved -> error
+    cat = Catalog()
+    src = op_from_spec(
+        {"op": "parquet", "path": f"{sf_dir}/nation.parquet", "name": "nation-src"}
+    )
+    cat.save(src)
+    pipe = from_spec(
+        {"name": "p", "chain": [{"op": "ref", "name": "nation-src"},
+                                {"op": "filter", "expr": "n_regionkey = 0"}]},
+        catalog=cat,
+    )
+    assert pipe.run(spark).count() == 5
+    try:
+        from_spec({"name": "x", "chain": [{"op": "ref", "name": "missing"}]}, cat)
+        raise AssertionError("unresolved ref must be a hard error")
+    except KeyError:
+        pass
+
+
+def test_spec_nested_pipeline_and_vocab_join(spark, sf_dir):
+    from node_etl_spark.sources import FrameSource
+    from node_etl_spark.tables import table
+
+    nation = table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    cat = Catalog()
+    cat.save(FrameSource(nation, name="nation_vocab"))
+    spec = {
+        "name": "enrich",
+        "chain": [
+            {"op": "parquet", "path": f"{sf_dir}/customer.parquet"},
+            {"op": "pipeline", "name": "inner", "chain": [
+                {"op": "mapper", "cols": {
+                    "c_custkey": "c_custkey", "c_nationkey": "c_nationkey"}},
+            ]},
+            {"op": "joiner", "vocabs": [
+                {"ref": "nation_vocab", "on": "c_nationkey",
+                 "select": {"nation_name": "n_name"}}]},
+        ],
+    }
+    out = from_spec(spec, cat).run(spark)
+    assert out.filter("nation_name IS NULL").count() == 0
+    assert set(out.columns) == {"c_custkey", "c_nationkey", "nation_name"}
