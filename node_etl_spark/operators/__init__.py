@@ -13,6 +13,7 @@ from .joins import (
     RangeJoin,
     SemiJoin,
     Vocab,
+    salted_join,
 )
 from .rowops import (
     Array2Map,
@@ -40,7 +41,7 @@ __all__ = [
     "Filter", "Mapper", "Thru", "Sorter", "Reducer", "Uniquer",
     "Array2Map", "Map2Array", "Nothing",
     "Joiner", "Vocab", "JoinDetail", "SemiJoin", "AntiJoin",
-    "AsofJoin", "RangeJoin",
+    "AsofJoin", "RangeJoin", "salted_join",
     "Splitter", "RouteTag", "Spy", "Limit", "pipeline_dag",
     "TreeFlatten", "flatten_document", "resolve_hierarchy",
     "build_document", "build_json_column",

@@ -260,6 +260,34 @@ class AsofJoin(Transform):
         )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed (left) side's key with
+    a random-ish shard id and replicate the right side across all
+    shards, so one hot key spreads over ``salt`` reducer partitions
+    instead of melting a single task.
+
+    AQE's skew-join split (enabled in session.py) handles most skew at
+    runtime; explicit salting remains the tool when a single key's
+    rows exceed what any one split can hold, or when the join sits
+    under an operator AQE can't re-plan. The shard id is derived from
+    a hash of the whole left row (deterministic, no RNG), so repeated
+    runs produce identical partitioning.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lsalt = left.withColumn(
+        "__salt",
+        F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt)),
+    )
+    rsalt = right.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    return lsalt.join(rsalt, on=[*keys, "__salt"], how=how).drop("__salt")
+
+
 class RangeJoin(Transform):
     """Point-in-interval join: keep (left, right) pairs where
     ``left.point ∈ [right.lo, right.hi)``, optionally also equi-keyed.

@@ -74,6 +74,17 @@ def flatten_document(
     roots = doc if isinstance(doc, list) else [doc]
     for root in roots:
         put(root, None, 0, [])
+    if all(r.get(parent_key) is None for r in rows):
+        # all-roots forest: an entirely-null column defeats schema
+        # inference — type the parent after the fact from the id column
+        stripped = [{k: v for k, v in r.items() if k != parent_key} for r in rows]
+        df = spark.createDataFrame(stripped)
+        id_type = (
+            df.schema[id_key_path].dataType.simpleString()
+            if "." not in id_key_path and id_key_path in df.columns
+            else "string"
+        )
+        return df.withColumn(parent_key, F.lit(None).cast(id_type))
     return spark.createDataFrame(rows)
 
 

@@ -179,6 +179,26 @@ def sessionize(
     )
 
 
+def enrich(
+    stream: DataFrame,
+    vocab: DataFrame,
+    on: str | Sequence[str],
+    select: dict[str, str] | None = None,
+) -> DataFrame:
+    """Streaming Joiner: stream-static broadcast left join against a
+    dimension table (the reference's vocab enrichment,
+    job-joiner.js:35-102, on the unbounded path). The static side is
+    re-read per micro-batch, so slowly-changing vocab files are picked
+    up without restarting the query; no state store involved."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if select is not None:
+        vocab = vocab.select(
+            *[F.col(k) for k in keys],
+            *[F.col(src).alias(dst) for dst, src in select.items()],
+        )
+    return stream.join(F.broadcast(vocab), on=keys, how="left")
+
+
 def route_sinks(
     stream: DataFrame,
     route_expr: str,

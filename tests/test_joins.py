@@ -119,3 +119,18 @@ def test_joiner_uses_broadcast_plan(spark):
     out = Joiner([Vocab(vocab, on="k")]).apply(probe, CTX)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_salted_join_matches_plain(spark):
+    # one hot key (90% of rows) — salted output must equal the plain join
+    left = spark.range(2000).selectExpr(
+        "id", "CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('k', id % 50) END AS k"
+    )
+    right = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"v{i}") for i in range(50)], "k string, v string"
+    )
+    from node_etl_spark.operators import salted_join
+
+    plain = {(r.id, r.v) for r in left.join(right, "k").collect()}
+    salted = {(r.id, r.v) for r in salted_join(left, right, on="k", salt=8).collect()}
+    assert salted == plain and len(plain) == 2000

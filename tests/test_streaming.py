@@ -114,3 +114,20 @@ def test_route_sinks(spark, events_dir, tmp_path):
     views = spark.read.parquet(outs[1])
     assert clicks.count() + views.count() == 100
     assert clicks.filter("event_type != 'click'").count() == 0
+
+
+def test_enrich_stream_static_join(spark, events_dir):
+    stream = st.stream_source(spark, events_dir, SCHEMA)
+    vocab = spark.createDataFrame(
+        [("click", "interaction"), ("view", "interaction"), ("error", "fault")],
+        "event_type string, category string",
+    )
+    enriched = st.enrich(stream, vocab, on="event_type",
+                         select={"category": "category"})
+    st.run_to_memory(enriched, "enriched_events")
+    out = spark.sql("SELECT * FROM enriched_events")
+    assert out.filter("event_type = 'click' AND category != 'interaction'").count() == 0
+    # left join: unknown types survive with null category
+    assert out.filter("category IS NULL").count() == out.filter(
+        "event_type NOT IN ('click','view','error')"
+    ).count()
