@@ -52,6 +52,8 @@ HEADLINE = [
     "q37_frame_sample",
     "q38_ivf_topk",
     "q39_bpe_tokens",
+    "q40_shipping_priority",
+    "q41_nation_volume",
 ]
 
 

@@ -1190,6 +1190,79 @@ def q39_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# q40/q41 — multi-join analytics (TPC-H Q3/Q5 shapes): big-big joins
+# with filters that Catalyst pushes below the shuffles
+# --------------------------------------------------------------------
+
+@register(
+    "q40_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+    doc="TPC-H Q3 shape: 3-way join, filters pushed below both "
+        "shuffles, revenue per undelivered order.",
+)
+def q40_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
+    o = table(spark, sf_dir, "orders").filter("o_orderdate < '1995-03-15'")
+    li = table(spark, sf_dir, "lineitem").filter("l_shipdate > '1995-03-15'")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum("l_extendedprice * (1 - l_discount)", 4).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            ymd("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "q41_nation_volume",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS order_year,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q5/Q9 shape: fact-fact shuffle join + broadcast dims, "
+        "revenue volume per supplier nation per year.",
+)
+def q41_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(dsum("l_extendedprice * (1 - l_discount)", 4).alias("volume"))
+    )
+
+
 @register(
     "q19_cube",
     f"""

@@ -1,0 +1,45 @@
+"""Physical-plan regression tests: the engine's scale story depends on
+specific plan shapes (pushdown, broadcast, top-k), so assert them —
+a correct-but-full-scan plan is a perf bug, not a pass."""
+
+from node_etl_spark.plans import QUERIES
+
+
+def _plan(spark, sf_dir, name) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_reaches_parquet_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q02_filter_project")
+    assert "PushedFilters:" in plan and "GreaterThan(l_quantity" in plan
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    # q02 projects 4 source columns (+2 filter columns); the scan must
+    # not read the full 16-column lineitem schema
+    plan = _plan(spark, sf_dir, "q02_filter_project")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_comment" not in scan and "l_partkey" not in scan
+
+
+def test_vocab_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q06_vocab_join")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_avoids_full_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q03_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_pushes_filter_to_build_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q13_semi_join")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(l_quantity,49.0)" in plan
+
+
+def test_multi_join_keeps_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q41_nation_volume")
+    assert "BroadcastHashJoin" in plan  # supplier + nation dims
