@@ -1,4 +1,5 @@
 from .base_source import PathSource
+from .bucketed import read_bucketed, write_bucketed
 from .paged import PagedRestSource, default_url_gen
 from .readers import (
     CsvSource,
@@ -24,4 +25,5 @@ __all__ = [
     "XmlSource", "FrameSource", "folder_source", "apply_root_node",
     "PagedRestSource", "default_url_gen",
     "NdjsonSink", "ParquetSink", "CsvSink", "XmlSink", "JsonArraySink", "NoopSink",
+    "write_bucketed", "read_bucketed",
 ]
