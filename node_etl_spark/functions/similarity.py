@@ -1,22 +1,26 @@
 """Similarity search over embedding columns (`array<float>`).
 
-Two paths, per the standard ANN playbook:
+Three paths, per the standard ANN playbook:
 
-* **Brute-force cosine top-k** — the exactness baseline. The query
-  set is broadcast against the corpus; the dot product runs as a
-  Catalyst higher-order aggregate over double-cast elements (JVM-side,
-  no Python). O(|Q|·N·d): fine for small |Q| or blocked evaluation,
-  the correctness oracle for everything else.
-* **Hyperplane-LSH bucketed ANN** — the scale path. Sign bits against
-  ``n_planes`` deterministic pseudo-random hyperplanes give each
-  vector a small integer bucket; probing compares only same-bucket
-  vectors (optionally multi-probe over Hamming-1 neighbors). At 100 TB
-  the bucket join replaces the N×Q cross product with a shuffle on
-  bucket id; per-bucket work is data-local.
+* **Brute-force cosine top-k** — the exactness baseline, executed as a
+  blocked distributed GEMM: vectors pack into per-block rows, each
+  block × query-set tile is one numpy matmul emitting only local
+  top-k, and the global merge is exact. O(|Q|·N·d) flops but
+  O(blocks·|Q|·k) shuffled rows.
+* **Hyperplane-LSH bucketed ANN** — scale path #1. Sign bits against
+  deterministic pseudo-random hyperplanes give each vector L small
+  integer buckets; candidates come from an id-only bucket join (the
+  wide vectors never ride through the explode), scored after dedup.
+  The bucket join replaces the N×Q cross product with a shuffle on
+  bucket id.
+* **IVF coarse quantizer** — scale path #2. Deterministic spherical
+  k-means cells; queries probe n_probe nearest cells, touching
+  ~n_probe/n_cells of the corpus.
 
 Determinism: hyperplane weights come from a hash-free formula
-(sin-based pseudo-randoms of (plane, dim)), so results are exactly
-reproducible across runs/engines without storing a model.
+(sin-based pseudo-randoms of (plane, dim)), and k-means initializes
+from the lowest-id vectors, so results are exactly reproducible across
+runs without storing a model.
 """
 
 # NOTE: no `from __future__ import annotations` here — pandas_udf
