@@ -54,6 +54,8 @@ HEADLINE = [
     "q39_bpe_tokens",
     "q40_shipping_priority",
     "q41_nation_volume",
+    "q43_grouping_sets",
+    "q44_percentiles",
 ]
 
 

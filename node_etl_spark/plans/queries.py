@@ -71,6 +71,10 @@ def ymd(col: str) -> Column:
     return F.date_format(F.col(col), "yyyy-MM-dd")
 
 
+# Spark-SQL-text twin of dsum() for queries written as SQL strings
+_DSUM_SPARK_SQL = "CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
 YMD_SQL = "strftime({col}, '%Y-%m-%d')"
 
 
@@ -1260,6 +1264,74 @@ def q41_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("order_year"),
         )
         .agg(dsum("l_extendedprice * (1 - l_discount)", 4).alias("volume"))
+    )
+
+
+# --------------------------------------------------------------------
+# q42-q44 — aggregate families the reference lacks (SURVEY §2.6):
+# approximate distinct (sketch), grouping sets, exact percentiles
+# --------------------------------------------------------------------
+
+@register(
+    "q42_approx_distinct",
+    None,  # sketch estimates are engine-specific; accuracy pinned in tests/
+    doc="Approximate distinct customers per priority (HyperLogLog++), "
+        "the constant-memory path for 100TB cardinality counting.",
+)
+def q42_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q43_grouping_sets",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('o_totalprice')} AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit grouping sets (neither plain rollup nor cube).",
+)
+def q43_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               {_DSUM_SPARK_SQL.format(expr='o_totalprice', scale=2)} AS total
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "q44_percentiles",
+    """
+    SELECT o_orderstatus,
+           round(median(o_totalprice), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact percentiles (distributed sort-based; both engines use "
+        "linear interpolation on the sorted values).",
+)
+def q44_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+        )
     )
 
 

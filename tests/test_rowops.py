@@ -88,3 +88,22 @@ def test_array2map_map2array_roundtrip(spark):
         (1, "a", 10),
         (1, "b", 20),
     }
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    # HLL++ at rsd=0.02 must land within ~3 sigma of exact
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.tables import table
+
+    orders = table(spark, sf_dir, "orders")
+    got = (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+            F.countDistinct("o_custkey").alias("exact"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert abs(r.approx - r.exact) <= max(3, 0.06 * r.exact)
