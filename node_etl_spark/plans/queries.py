@@ -1336,6 +1336,101 @@ def q44_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q45_first_event_per_user",
+    """
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts, event_type
+    FROM (SELECT user_id, event_id, ts, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    doc="Deterministic first-wins distinct (Uniquer with order_by): the "
+        "reference's arrival-order keep-first, made explicit.",
+)
+def q45_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = Pipeline(
+        [
+            _src(sf_dir, "events"),
+            Uniquer(keys=["user_id"], order_by=["ts", "event_id"]),
+        ]
+    )
+    return pipe.run(spark).select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
+        "event_type",
+    )
+
+
+# --------------------------------------------------------------------
+# q46/q47 — source/sink round-trips on the gate (reference ParserCSV /
+# WriterJSONS families): write a scratch copy, read it back, aggregate;
+# the oracle aggregates the original parquet directly
+# --------------------------------------------------------------------
+
+_ROUNDTRIP_ORACLE = f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('o_totalprice')} AS total
+    FROM orders GROUP BY o_orderstatus
+"""
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+def _roundtrip_frame(spark: SparkSession, sf_dir: str):
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def _roundtrip_agg(pipe: Pipeline, spark: SparkSession) -> DataFrame:
+    return (
+        pipe.run(spark)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+    )
+
+
+@register(
+    "q46_csv_roundtrip",
+    _ROUNDTRIP_ORACLE,
+    doc="CSV sink -> CSV source round-trip conserves rows and values "
+        "(ParserCSV/CsvSink on the correctness gate).",
+)
+def q46_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import CsvSink, CsvSource, FrameSource
+
+    path = f"{_SCRATCH}/csv_roundtrip"
+    Pipeline([FrameSource(_roundtrip_frame(spark, sf_dir)), CsvSink(path)]).run(spark)
+    src = CsvSource(
+        path, headers=True,
+        schema="o_orderkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    return _roundtrip_agg(Pipeline([src]), spark)
+
+
+@register(
+    "q47_ndjson_roundtrip",
+    _ROUNDTRIP_ORACLE,
+    doc="NDJSON sink -> NDJSON source round-trip (WriterJSONS/"
+        "ReaderJSONS on the correctness gate).",
+)
+def q47_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import FrameSource, NdjsonSink, NdjsonSource
+
+    path = f"{_SCRATCH}/ndjson_roundtrip"
+    Pipeline([FrameSource(_roundtrip_frame(spark, sf_dir)), NdjsonSink(path)]).run(spark)
+    src = NdjsonSource(
+        path,
+        schema="o_orderkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    return _roundtrip_agg(Pipeline([src]), spark)
+
+
+@register(
     "q19_cube",
     f"""
     SELECT l_returnflag, l_linestatus,

@@ -179,6 +179,44 @@ def sessionize(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with right
+    events of the same key that happened within ``lookback`` before it.
+
+    Both sides carry watermarks and the join condition carries the
+    time-range bound, so the state store only retains rows inside the
+    watermark+lookback horizon — the bounded-state form of the
+    reference's unbounded in-heap buffering. Right columns (other than
+    the key) are suffixed to avoid collisions.
+    """
+    keys_eq = F.col(f"l.{on}") == F.col(f"r.{on}")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        keys_eq
+        & (rts <= lts)
+        & (rts >= lts - F.expr(f"INTERVAL {lookback}"))
+    )
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    joined = l.join(r, cond, "inner")
+    lcols = [F.col(f"l.{c}") for c in left.columns]
+    rcols = [
+        F.col(f"r.{c}").alias(f"{c}{suffix}")
+        for c in right.columns
+        if c != on
+    ]
+    return joined.select(*lcols, *rcols)
+
+
 def enrich(
     stream: DataFrame,
     vocab: DataFrame,

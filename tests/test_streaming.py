@@ -131,3 +131,36 @@ def test_enrich_stream_static_join(spark, events_dir):
     assert out.filter("category IS NULL").count() == out.filter(
         "event_type NOT IN ('click','view','error')"
     ).count()
+
+
+def test_interval_join_stream_stream(spark, events_dir):
+    purchases = st.stream_source(spark, events_dir, SCHEMA).filter(
+        "event_type = 'purchase'"
+    )
+    clicks = st.stream_source(spark, events_dir, SCHEMA).filter(
+        "event_type = 'click'"
+    )
+    joined = st.interval_join(
+        purchases, clicks, on="user_id", lookback="30 minutes"
+    )
+    st.run_to_memory(joined, "purchase_click_pairs")
+    got = spark.sql(
+        "SELECT * FROM purchase_click_pairs "
+        "WHERE ts_r > ts OR ts_r < ts - INTERVAL 30 MINUTES"
+    )
+    assert got.count() == 0  # every pair inside the lookback window
+    # batch twin gives the same pair count
+    from node_etl_spark.tables import read_parquet
+
+    ev = spark.read.schema(SCHEMA).parquet(events_dir)
+    p = ev.filter("event_type = 'purchase'").alias("l")
+    c = ev.filter("event_type = 'click'").alias("r")
+    from pyspark.sql import functions as F
+
+    batch_n = p.join(
+        c,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") <= F.col("l.ts"))
+        & (F.col("r.ts") >= F.col("l.ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).count()
+    assert spark.sql("SELECT count(*) c FROM purchase_click_pairs").collect()[0].c == batch_n
