@@ -1431,6 +1431,47 @@ def q47_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q48_json_array_roundtrip",
+    _ROUNDTRIP_ORACLE,
+    doc="JSON-array-document sink -> rootNode source round-trip "
+        "(WriterJSON/ParserJSON on the gate; root_node='*').",
+)
+def q48_json_array_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import FrameSource, JsonArraySink, JsonSource
+
+    path = f"{_SCRATCH}/json_array_roundtrip.json"
+    Pipeline(
+        [FrameSource(_roundtrip_frame(spark, sf_dir)), JsonArraySink(path)]
+    ).run(spark)
+    src = JsonSource(path, root_node="*", multiline=True)
+    return _roundtrip_agg(Pipeline([src]), spark)
+
+
+@register(
+    "q49_xml_roundtrip",
+    _ROUNDTRIP_ORACLE,
+    doc="XML sink -> rowTag source round-trip (ParserXML on the gate).",
+)
+def q49_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import FrameSource, XmlSink, XmlSource
+
+    path = f"{_SCRATCH}/xml_roundtrip"
+    Pipeline(
+        [FrameSource(_roundtrip_frame(spark, sf_dir)), XmlSink(path, row_tag="order")]
+    ).run(spark)
+    src = XmlSource(path, row_tag="order")
+    out = Pipeline([src]).run(spark).select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    return (
+        out.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+    )
+
+
+@register(
     "q19_cube",
     f"""
     SELECT l_returnflag, l_linestatus,

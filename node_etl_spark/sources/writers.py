@@ -17,6 +17,7 @@ JsonArraySink's bytes can be POSTed by the caller.
 from __future__ import annotations
 
 import json
+import os
 from typing import TYPE_CHECKING, Mapping
 
 from pyspark.sql import DataFrame
@@ -99,6 +100,7 @@ class JsonArraySink(Sink):
         path = ctx.resolve_url(self.path)
         if path.startswith("file:"):
             path = path[len("file:") :]
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w", encoding="utf-8") as fh:
             json.dump(payload, fh, ensure_ascii=False, default=str)
 
