@@ -107,6 +107,62 @@ def fingerprint(text_col: str | Column) -> Column:
     return F.md5(normalize_text(text_col))
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard pre-training chunking pass. One row per chunk:
+    (doc_id, chunk_idx, n_tokens, chunk).
+
+    Pure Catalyst: tokenize once, generate window starts with
+    ``sequence`` (stride = chunk_tokens - overlap), slice + rejoin.
+    Narrow op (explode only), no shuffle; at 100 TB it pipelines
+    straight into the scan.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # window starts: 0, stride, 2*stride, ... while start < n
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.floor((n - 1) / stride).cast("int"), F.lit(0)),
+    )
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("i"),
+            F.array_join(
+                F.slice(toks, i * stride + 1, chunk_tokens), " "
+            ).alias("chunk"),
+            F.least(n - i * stride, F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.col("c.chunk").alias("chunk"),
+        )
+    )
+
+
+def clean_text(text_col: str | Column) -> Column:
+    """Boilerplate cleaning pass: mask digit runs (the portable stand-in
+    for PII-ish scrubbing), strip non-ASCII, collapse whitespace."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    c = F.regexp_replace(c, "[0-9]+", "#")
+    c = F.regexp_replace(c, "[^\\x20-\\x7e]", " ")
+    return F.trim(F.regexp_replace(c, "\\s+", " "))
+
+
 def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass text profile: the columns a filtering pipeline keys on."""
     return df.select(

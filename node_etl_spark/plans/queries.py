@@ -1472,6 +1472,46 @@ def q49_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q50_chunk_documents",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks, len(toks) AS n,
+                 unnest(range(0, greatest((len(toks) - 1) // 56, 0) + 1)) AS ci
+          FROM t)
+    SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+           CAST(least(n - ci * 56, 64) AS INTEGER) AS n_tokens,
+           array_to_string(toks[ci * 56 + 1 : ci * 56 + 64], ' ') AS chunk
+    FROM s
+    """,
+    doc="Fixed-size token chunking with overlap (64-token windows, "
+        "stride 56) — the pre-training chunk pass, shuffle-free.",
+)
+def q50_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.chunk_documents(
+        table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
+    )
+
+
+@register(
+    "q51_clean_text",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(text,
+                '[0-9]+', '#', 'g'),
+                '[^\x20-\x7e]', ' ', 'g'),
+                '\s+', ' ', 'g')) AS cleaned
+    FROM documents
+    """,
+    doc="Boilerplate/PII-ish cleaning: digit-run masking, non-ASCII "
+        "strip, whitespace collapse.",
+)
+def q51_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", T.clean_text("text").alias("cleaned")
+    )
+
+
+@register(
     "q19_cube",
     f"""
     SELECT l_returnflag, l_linestatus,

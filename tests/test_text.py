@@ -43,3 +43,30 @@ def test_tokens_regex(spark):
     df = spark.createDataFrame([(1, "ab1 cd, x9!")], "id bigint, text string")
     toks = df.select(T.tokens_regex("text").alias("t")).collect()[0].t
     assert toks == ["ab", "1", "cd", ",", "x", "9", "!"]
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from node_etl_spark.functions.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    chunks = {r.chunk_idx: r for r in chunk_documents(df, 64, 8).collect()}
+    assert len(chunks) == 3  # starts 0, 56, 112
+    # consecutive chunks share exactly `overlap` tokens
+    assert chunks[0].chunk.split(" ")[-8:] == chunks[1].chunk.split(" ")[:8]
+    # every token covered, in order, no loss
+    merged = chunks[0].chunk.split(" ")
+    for i in (1, 2):
+        merged += chunks[i].chunk.split(" ")[8:]
+    assert merged == text.split(" ")
+    assert chunks[2].n_tokens == 150 - 112
+
+
+def test_clean_text(spark):
+    from node_etl_spark.functions.text import clean_text
+
+    df = spark.createDataFrame(
+        [(1, "call 555-0123  now\tpleaseé!")], "id int, t string"
+    )
+    got = df.select(clean_text("t").alias("c")).collect()[0].c
+    assert got == "call #-# now please !"
