@@ -56,6 +56,9 @@ HEADLINE = [
     "q41_nation_volume",
     "q43_grouping_sets",
     "q44_percentiles",
+    "q45_first_event_per_user",
+    "q50_chunk_documents",
+    "q51_clean_text",
 ]
 
 

@@ -1512,6 +1512,40 @@ def q51_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q52_moving_average",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_30d_total,
+           CAST(COUNT(*) OVER w AS BIGINT) AS trailing_30d_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+    """,
+    doc="Range-frame window: per-customer trailing-30-day order volume "
+        "(event-time RANGE frame, not row counts).",
+)
+def q52_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # o_orderdate is midnight-aligned, so a day-granularity RANGE frame
+    # is exactly the oracle's INTERVAL 30 DAYS
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")))
+        .rangeBetween(-30, 0)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        ymd("o_orderdate").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d_total"),
+        F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
+    )
+
+
+@register(
     "q19_cube",
     f"""
     SELECT l_returnflag, l_linestatus,

@@ -178,3 +178,40 @@ def to_spec(op: Op) -> dict[str, Any]:
     if spec is None:
         raise ValueError(f"{op!r} was not built from a spec")
     return spec
+
+
+def dump_catalog(catalog: Catalog, path: str) -> None:
+    """Persist a catalog of spec-built jobs as one JSON file — the
+    file-backed stand-in for the reference's MongoDB job store
+    (SURVEY §1.4: "catalog = files or a table, not Mongo"). Hand-built
+    ops (no spec document) are skipped; persist those as code."""
+    import json
+
+    docs = {}
+    for name, op in catalog._jobs.items():
+        spec = getattr(op, "_spec", None)
+        if spec is not None:
+            docs[name] = spec
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(docs, fh, indent=2)
+
+
+def load_catalog(path: str) -> Catalog:
+    """Rebuild a catalog from a JSON job-store file; by-name refs
+    between jobs resolve against the catalog being built (documents
+    are loaded in file order, so forward refs follow the same
+    save-dependencies-first discipline as the reference)."""
+    import json
+
+    with open(path, encoding="utf-8") as fh:
+        docs = json.load(fh)
+    catalog = Catalog()
+    for name, spec in docs.items():
+        op = (
+            from_spec(spec, catalog)
+            if spec.get("op") == "pipeline" or "chain" in spec
+            else op_from_spec(spec, catalog)
+        )
+        op.name = name
+        catalog.save(op)
+    return catalog

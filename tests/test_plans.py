@@ -43,3 +43,21 @@ def test_semi_join_pushes_filter_to_build_side(spark, sf_dir):
 def test_multi_join_keeps_dims_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q41_nation_volume")
     assert "BroadcastHashJoin" in plan  # supplier + nation dims
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    # write partitioned by a dimension column; a filtered read must
+    # list only the matching partition directories
+    from node_etl_spark.context import Context
+    from node_etl_spark.sources import ParquetSink, ParquetSource
+    from node_etl_spark.tables import table
+
+    path = str(tmp_path / "orders_by_status")
+    ParquetSink(path, partition_by=["o_orderstatus"]).write(
+        table(spark, sf_dir, "orders"), Context()
+    )
+    df = ParquetSource(path).load(spark, Context()).filter("o_orderstatus = 'F'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    n_f = df.count()
+    assert n_f == table(spark, sf_dir, "orders").filter("o_orderstatus = 'F'").count()

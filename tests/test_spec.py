@@ -78,3 +78,24 @@ def test_spec_nested_pipeline_and_vocab_join(spark, sf_dir):
     out = from_spec(spec, cat).run(spark)
     assert out.filter("nation_name IS NULL").count() == 0
     assert set(out.columns) == {"c_custkey", "c_nationkey", "nation_name"}
+
+
+def test_catalog_file_roundtrip(spark, sf_dir, tmp_path):
+    from node_etl_spark.spec import dump_catalog, load_catalog
+
+    cat = Catalog()
+    cat.save(op_from_spec(
+        {"op": "parquet", "path": f"{sf_dir}/region.parquet", "name": "regions"}))
+    pipe = from_spec(
+        {"name": "top-regions", "chain": [
+            {"op": "ref", "name": "regions"},
+            {"op": "sorter", "by": ["r_regionkey"], "limit": 2}]},
+        catalog=cat,
+    )
+    cat.save(pipe)
+    store = str(tmp_path / "jobs.json")
+    dump_catalog(cat, store)
+
+    reloaded = load_catalog(store)
+    out = reloaded.get("top-regions").run(spark)
+    assert [r.r_regionkey for r in out.collect()] == [0, 1]
