@@ -47,9 +47,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = []
+    n_run = 0
     for name, q in QUERIES.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = q.fn(spark, sf_dir)
@@ -89,7 +91,7 @@ def main() -> int:
             print(f"OK   {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
         else:
             failures.append(name)
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} passed")
+    print(f"\n{n_run - len(failures)}/{n_run} passed")
     return 1 if failures else 0
 
 

@@ -164,3 +164,43 @@ def test_interval_join_stream_stream(spark, events_dir):
         & (F.col("r.ts") >= F.col("l.ts") - F.expr("INTERVAL 30 MINUTES")),
     ).count()
     assert spark.sql("SELECT count(*) c FROM purchase_click_pairs").collect()[0].c == batch_n
+
+
+def test_windowed_agg_drops_late_data(spark, tmp_path):
+    import datetime as dt
+
+    path = str(tmp_path / "late_events")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    on_time = [(i, base + dt.timedelta(hours=i), 1, "a", 1.0) for i in range(6)]
+    spark.createDataFrame(on_time, SCHEMA).coalesce(1).write.parquet(path)
+
+    def run():
+        agg = st.windowed_agg(
+            st.stream_source(spark, path, SCHEMA),
+            window="1 hour", watermark="2 hours",
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    emitted1 = spark.read.parquet(out).count()
+    assert emitted1 > 0  # watermark passed the earliest windows
+
+    # a row 4h older than the carried watermark arrives in a new file;
+    # the checkpointed restart must DROP it (no re-emit, no new window)
+    late = [(99, base + dt.timedelta(hours=1), 1, "a", 100.0)]
+    spark.createDataFrame(late, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+    run()
+    after = spark.read.parquet(out)
+    assert after.count() == emitted1
+    # and the late row's value never leaked into any emitted window
+    assert after.filter("total_value >= 100").count() == 0
