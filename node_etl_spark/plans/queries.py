@@ -1546,6 +1546,34 @@ def q52_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q53_nested_details",
+    """
+    SELECT o.o_orderkey,
+           coalesce(d.quantities, []) AS quantities
+    FROM orders o
+    LEFT JOIN (SELECT l_orderkey AS o_orderkey,
+                      list(l_quantity ORDER BY l_quantity) AS quantities
+               FROM lineitem GROUP BY l_orderkey) d USING (o_orderkey)
+    """,
+    doc="JoinDetail's faithful nested shape: details as a sorted array "
+        "per master (reference processor(master, details[])).",
+)
+def q53_nested_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    detail = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    jd = JoinDetail(detail, on="o_orderkey", nest_as="quantities")
+    pipe = Pipeline([_src(sf_dir, "orders"), jd])
+    return pipe.run(spark).select(
+        "o_orderkey",
+        F.coalesce(
+            F.sort_array(F.col("quantities.l_quantity")),
+            F.array().cast("array<double>"),
+        ).alias("quantities"),
+    )
+
+
+@register(
     "q19_cube",
     f"""
     SELECT l_returnflag, l_linestatus,

@@ -65,3 +65,30 @@ def test_prefix_filter_is_exact(spark, sf_dir):
         for r in jaccard_pairs(sh, 0.8, prefix_filter=True).collect()
     }
     assert plain == pref and len(plain) > 0
+
+
+def test_dedup_ops_tolerate_null_and_empty_text(spark):
+    # reference policy: malformed rows skipped, pipeline keeps going
+    from node_etl_spark.functions.dedup import (
+        exact_dup_groups,
+        minhash_dedup,
+        shingle_rows,
+        simhash32,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b"), (4, "one two three four"),
+         (5, "one two three four")],
+        "doc_id bigint, text string",
+    )
+    # shingles: null/empty/short docs contribute zero rows, no crash
+    sh = shingle_rows(df)
+    assert {r.doc_id for r in sh.collect()} == {4, 5}
+    pairs = minhash_dedup(df, threshold=0.8)
+    assert {(r.d1, r.d2) for r in pairs.collect()} == {(4, 5)}
+    # exact dedup counts null and empty separately (md5(NULL) is null)
+    groups = exact_dup_groups(df)
+    assert groups.count() == 4  # null-fp, '', 'a b', the dup pair
+    # simhash ignores null text rows rather than erroring
+    sigs = simhash32(df.filter("text IS NOT NULL"))
+    assert sigs.count() == 4
