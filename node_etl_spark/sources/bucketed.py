@@ -44,3 +44,43 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     """Read a bucketed table (bucket metadata comes from the catalog,
     so joins/aggs on the bucket key skip their exchange)."""
     return spark.table(table_name)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a dataset into ~target-sized
+    files. Streaming sinks and incremental ingestion produce file
+    counts that eventually dominate scan planning time (one task +
+    one open per file); periodic compaction is standard table
+    maintenance at scale. Returns the output file count.
+
+    Rewrites in place via a temp sibling directory (the operation is
+    a full rewrite either way; object stores rename per-file).
+    """
+    import math
+    import shutil
+
+    df = spark.read.format(fmt).load(path)
+    # local-FS sizing; on an object store, list via the Hadoop FS API
+    total_bytes = _dir_bytes(path)
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files
+
+
+def _dir_bytes(path: str) -> int:
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total

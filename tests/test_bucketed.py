@@ -49,3 +49,19 @@ def test_groupby_on_bucket_key_skips_shuffle(spark, bucketed_tables):
     agg = li.groupBy("o_orderkey").count()
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    import glob
+
+    from node_etl_spark.sources.bucketed import compact
+
+    path = str(tmp_path / "shattered")
+    df = table(spark, sf_dir, "orders")
+    df.repartition(40).write.parquet(path)  # simulate streaming debris
+    before = len(glob.glob(f"{path}/part-*"))
+    n_rows = df.count()
+    n_out = compact(spark, path, target_file_mb=256)
+    after = len(glob.glob(f"{path}/part-*"))
+    assert before == 40 and after == n_out == 1
+    assert spark.read.parquet(path).count() == n_rows

@@ -53,3 +53,26 @@ def _normalize(node):
             (_normalize(k) for k in kids), key=lambda d: d["id"]
         )
     return out
+
+
+from node_etl_spark.context import Context
+from node_etl_spark.operators import Array2Map, Map2Array
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(entries=hst.dictionaries(
+    hst.text(alphabet="abcdef", min_size=1, max_size=4),
+    hst.integers(-10**6, 10**6),
+    min_size=1, max_size=6,
+))
+def test_array2map_map2array_inverse(spark, entries):
+    rows = [(1, [{"id": k, "n": v} for k, v in entries.items()])]
+    df = spark.createDataFrame(
+        rows, "row_id int, st array<struct<id:string,n:bigint>>"
+    )
+    ctx = Context()
+    as_map = Array2Map(fields=["st"], id_key="id", value_field="n").apply(df, ctx)
+    back = Map2Array(fields=["st"], id_key="id", value_key="n").apply(as_map, ctx)
+    got = {e["id"]: e["n"] for e in back.collect()[0].st}
+    assert got == entries
