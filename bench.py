@@ -59,6 +59,10 @@ HEADLINE = [
     "q45_first_event_per_user",
     "q50_chunk_documents",
     "q51_clean_text",
+    "q54_dup_clusters",
+    "q55_hash_split",
+    "q56_stratified_sample",
+    "q57_sessionize",
 ]
 
 

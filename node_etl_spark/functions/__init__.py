@@ -5,4 +5,4 @@ dedup/similarity: training-data pipeline operators (exact + LSH paths).
 multimodal: binary-column ingest + Arrow-batched decode plumbing.
 """
 
-from . import dedup, multimodal, scalars, similarity, text  # noqa: F401
+from . import dedup, graph, multimodal, sampling, scalars, similarity, text  # noqa: F401

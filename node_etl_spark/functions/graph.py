@@ -1,0 +1,183 @@
+"""Distributed graph operators: connected components for dedup
+clustering.
+
+Near-dup pair streams (``dedup.jaccard_pairs`` / ``minhash_dedup`` /
+``simhash_pairs``) give edges; picking ONE canonical document per
+duplicate *cluster* requires the transitive closure of those edges —
+i.e. connected components. The reference engine has no graph surface
+at all (every reference operator is a single-pass stream transform,
+`jobs/convertors/*`), so this module is net-new scale machinery.
+
+Scale design (the 100 TB story):
+
+* **Alternating large-star / small-star** (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14). Each round is two
+  groupBy shuffles over the edge set; the edge set only shrinks
+  (edges attach low ids to high ids ever more directly), and
+  convergence is provably O(log^2 n) rounds — single digits in
+  practice. No driver-side adjacency, no vertex ever holds more than
+  its neighborhood in one aggregation buffer.
+* Per-round ``persist`` + ``count`` keeps lineage flat (each round
+  reads the previous round's materialized edges, not a 2^rounds deep
+  plan) and doubles as the convergence check.
+* Labels are ``min(reachable id)`` — deterministic, so results are
+  oracle-checkable against a DuckDB recursive CTE at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list.
+
+    Returns ``(id, component)`` with ``component`` = min vertex id in
+    the component, one row per vertex that appears in ``edges``
+    (isolated vertices never enter the edge stream; callers union
+    them back with ``component = id`` if needed).
+
+    Implementation: alternating large-star / small-star.  With
+    neighborhood-plus-self N+(v) and m = min(N+(v)):
+
+    * large-star: for every neighbor u > v, emit (u, m) — strictly
+      larger vertices re-attach to the local minimum;
+    * small-star: for every neighbor u <= v (and v itself), emit
+      (u, m) — v and its small neighbors collapse onto the minimum.
+
+    Both steps are one ``groupBy(v).agg(min)`` plus an explode — two
+    shuffles per round, edge count monotone non-increasing. The loop
+    stops when a round is a fixpoint (edge multiset unchanged), at
+    which point every edge is (v, root) and the answer is the edge
+    list itself.
+    """
+    # canonical undirected form: (a, b) with a > b, self-loops dropped
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .select(
+            F.greatest("s", "d").alias("a"), F.least("s", "d").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    n_edges = e.count()
+    for _ in range(max_iter):
+        # ---- large-star: attach strictly-larger neighbors to min ----
+        # neighborhood of v = all u adjacent (either direction) + v
+        nbrs = e.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
+            e.select(F.col("b").alias("v"), F.col("a").alias("u"))
+        )
+        grouped = nbrs.groupBy("v").agg(
+            F.collect_set("u").alias("us"), F.min("u").alias("mn")
+        )
+        m = F.least("mn", "v")
+        large = (
+            grouped.select(
+                F.explode("us").alias("u"), F.col("v"), m.alias("m")
+            )
+            .filter(F.col("u") > F.col("v"))
+            .select(F.col("u").alias("a"), F.col("m").alias("b"))
+        )
+        keep = e.filter(F.col("a") < F.col("b")).select("a", "b")  # none (canonical) — keeps schema
+        ls = large.unionAll(keep).filter(F.col("a") != F.col("b")).distinct()
+
+        # ---- small-star: collapse v + smaller neighbors onto min ----
+        nbrs2 = ls.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        grouped2 = nbrs2.groupBy("v").agg(
+            F.collect_set("u").alias("us"), F.min("u").alias("mn")
+        )
+        m2 = F.least("mn", "v")
+        small = (
+            grouped2.select(
+                F.explode(
+                    F.array_union("us", F.array("v"))
+                ).alias("u"),
+                F.col("v"),
+                m2.alias("m"),
+            )
+            .filter(F.col("u") <= F.col("v"))
+            .select(
+                F.greatest("u", "m").alias("a"), F.least("u", "m").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .persist()
+        )
+        new_n = small.count()
+        # fixpoint: every edge already points at the component root —
+        # a round that changes nothing will never change anything
+        if new_n == n_edges and small.exceptAll(e).isEmpty():
+            e.unpersist()
+            e = small
+            break
+        e.unpersist()
+        e, n_edges = small, new_n
+    return e.select(F.col("a").alias("id"), F.col("b").alias("component"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    d1: str = "d1",
+    d2: str = "d2",
+) -> DataFrame:
+    """Duplicate-cluster assignment from a near-dup pair stream.
+
+    Returns ``(doc_id, cluster_id, is_canonical)`` for every document
+    that belongs to a duplicate cluster (|cluster| >= 2):
+    ``cluster_id`` = min doc id in the cluster (the canonical
+    survivor), ``is_canonical`` marks it. Documents with no duplicate
+    partner are absent — at 100 TB the pair stream is sparse and this
+    output is the *removal list* joined back as an anti-join, so
+    materializing a row per clean document would be pure waste.
+    """
+    comp = connected_components(pairs, src=d1, dst=d2)
+    # component roots themselves appear only on the right side of the
+    # final edge list; add their self-assignment
+    roots = comp.select(F.col("component").alias("id"), "component").distinct()
+    assign = comp.unionByName(roots).distinct()
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(assign, F.col("doc_id") == F.col("id"), "inner")
+        .select(
+            "doc_id",
+            F.col("component").alias("cluster_id"),
+            (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+        )
+    )
+
+
+def components_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB recursive-CTE oracle for ``dedup_clusters`` over the
+    edge set produced by ``pairs_sql`` (columns d1, d2).
+
+    Transitive closure by recursive expansion (UNION dedups visited
+    states), then label = min reachable id. Test-scale only — the
+    distributed path never enumerates walks.
+    """
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+        SELECT d1 AS s, d2 AS d FROM pairs
+        UNION
+        SELECT d2, d1 FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, q.r FROM edges e JOIN reach q ON e.d = q.id
+    )
+    SELECT id AS doc_id,
+           MIN(r) AS cluster_id,
+           id = MIN(r) AS is_canonical
+    FROM reach
+    GROUP BY id
+    """

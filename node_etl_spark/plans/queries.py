@@ -1588,3 +1588,108 @@ def q19_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
     )
+
+
+# --------------------------------------------------------------------
+# q54-q57 — training-data pipeline ops round 2: duplicate clustering
+# (connected components), deterministic splits, stratified sampling,
+# batch sessionization. All net-new vs the reference (SURVEY §2.6).
+# --------------------------------------------------------------------
+
+from ..functions import graph as G  # noqa: E402
+from ..functions import sampling as SA  # noqa: E402
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@register(
+    "q54_dup_clusters",
+    G.components_oracle_sql(D.jaccard_oracle_sql(threshold=0.8)),
+    doc="Duplicate clusters: connected components (large-star/small-star) "
+        "over the exact-Jaccard>=0.8 pair graph; cluster id = min doc id, "
+        "canonical survivor flagged. Oracle = DuckDB recursive CTE.",
+)
+def q54_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(D.shingle_rows(docs), threshold=0.8)
+    return G.dedup_clusters(docs, pairs)
+
+
+@register(
+    "q55_hash_split",
+    f"""
+    SELECT doc_id, {SA.hash_split_case_sql('doc_id', _SPLITS)} AS split
+    FROM documents
+    """,
+    doc="Deterministic train/val/test split: md5-bucket assignment, "
+        "row-local (no shuffle), stable under appends/repartitioning.",
+)
+def q55_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return SA.hash_split(docs, "doc_id", _SPLITS)
+
+
+@register(
+    "q56_stratified_sample",
+    SA.stratified_sample_sql(
+        "documents", ["lang", "source"], 3, "doc_id", cols="doc_id, lang, source"
+    ),
+    doc="Exactly-3-per-(lang,source) deterministic sample: hash-ranked "
+        "row_number inside each stratum (eval-set / per-language quotas).",
+)
+def q56_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return SA.stratified_sample(docs, ["lang", "source"], 3, "doc_id").select(
+        "doc_id", "lang", "source", "sample_rank"
+    )
+
+
+@register(
+    "q57_sessionize",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT *, SUM(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+    doc="Batch sessionization (30-min inactivity gap): lag -> new-session "
+        "flag -> running sum = session id; one shuffle on user_id. "
+        "Streaming twin: streaming/stream.py sessionize.",
+)
+def q57_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn(
+            "new_sess", F.when(gap > 1800, F.lit(1)).otherwise(F.lit(0))
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 4).alias("total_value"),
+        )
+    )
