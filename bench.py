@@ -63,6 +63,10 @@ HEADLINE = [
     "q55_hash_split",
     "q56_stratified_sample",
     "q57_sessionize",
+    "q58_priority_exists",
+    "q60_small_qty_revenue",
+    "q61_large_orders",
+    "q64_returned_revenue",
 ]
 
 

@@ -1693,3 +1693,312 @@ def q57_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", 4).alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# q58-q66 — classic analytic plan shapes the reference cannot express
+# (SURVEY §2.6: no subqueries, no expression language). Each is a
+# TPC-H query shape adapted to the driver tables, exercising one
+# distinct Catalyst plan family: EXISTS semi-join, conditional
+# aggregation, decorrelated scalar subqueries (per-group and global),
+# having + join-back, OR-of-ANDs pushdown, top-k join, min-per-group
+# join-back, and pivot.
+# --------------------------------------------------------------------
+
+@register(
+    "q58_priority_exists",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS decorrelated to a left-semi join "
+        "(broadcast at this selectivity; shuffle semi at scale via AQE).",
+)
+def q58_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-07-01")
+    )
+    returned = (
+        table(spark, sf_dir, "lineitem")
+        .filter("l_returnflag = 'R'")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(returned, on="o_orderkey", how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_PROMO_CASE = "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
+
+
+@register(
+    "q59_promo_share",
+    f"""
+    SELECT {dsum_sql(_PROMO_CASE, 4)} AS promo_revenue,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue,
+           100.0 * {dsum_sql(_PROMO_CASE, 4)}
+               / {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+    doc="TPC-H Q14 shape: conditional aggregation over a broadcast "
+        "dim join (promo revenue share).",
+)
+def q59_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    p = table(spark, sf_dir, "part")
+    promo = dsum(_PROMO_CASE, 4)
+    total = dsum("l_extendedprice * (1 - l_discount)", 4)
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            promo.alias("promo_revenue"),
+            total.alias("total_revenue"),
+            (F.lit(100.0) * promo / total).alias("promo_share"),
+        )
+    )
+
+
+@register(
+    "q60_small_qty_revenue",
+    f"""
+    SELECT {dsum_sql('l_extendedprice')} / 7.0 AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN (SELECT l_partkey AS avg_pk,
+                 {dsum_sql('l_quantity')} / COUNT(*) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) a ON l_partkey = avg_pk
+    WHERE p_brand = 'Brand#3' AND l_quantity < 0.2 * avg_qty
+    """,
+    doc="TPC-H Q17 shape: correlated scalar subquery (per-part avg "
+        "quantity) decorrelated into a pre-aggregation + equi-join.",
+)
+def q60_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter("p_brand = 'Brand#3'")
+    avg_q = li.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
+        (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(avg_q, li["l_partkey"] == F.col("avg_pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q61_large_orders",
+    f"""
+    SELECT c_name, o.o_orderkey,
+           {YMD_SQL.format(col='o.o_orderdate')} AS order_date,
+           o.o_totalprice AS total_price,
+           {dsum_sql('l.l_quantity')} AS sum_qty
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="TPC-H Q18 shape: HAVING over a group-by feeding a semi-join "
+        "back onto the fact, then re-aggregation with dims.",
+)
+def q61_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"))
+        .filter(F.col("sq") > 300)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    o = table(spark, sf_dir, "orders").join(big, on="o_orderkey", how="left_semi")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            "c_name",
+            "o_orderkey",
+            ymd("o_orderdate").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+        )
+        .agg(dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "q62_idle_rich_customers",
+    f"""
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_custs,
+           {dsum_sql('c_acctbal')} AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT {dsum_sql('c_acctbal')} / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-07-01')
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape: global scalar subquery (broadcast one-row "
+        "cross join) + NOT EXISTS anti-join (lapsed high-balance "
+        "customers per nation).",
+)
+def q62_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    avg_bal = c.filter("c_acctbal > 0").agg(
+        (dsum("c_acctbal") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    recent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-07-01")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, on="c_custkey", how="left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+_Q19_PRED = (
+    "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)"
+    " OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)"
+    " OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)"
+)
+
+
+@register(
+    "q63_or_predicates",
+    f"""
+    SELECT {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE {_Q19_PRED}
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive range predicates "
+        "across both join sides — Catalyst pushes the per-side "
+        "residuals below the join.",
+)
+def q63_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(_Q19_PRED)
+        .agg(
+            dsum("l_extendedprice * (1 - l_discount)", 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q64_returned_revenue",
+    f"""
+    SELECT c_custkey, c_name, n_name AS nation,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: multi-join + group-by + deterministic top-20 "
+        "(revenue desc, custkey tiebreak -> TakeOrderedAndProject).",
+)
+def q64_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = table(spark, sf_dir, "lineitem").filter("l_returnflag = 'R'")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(dsum("l_extendedprice * (1 - l_discount)", 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q65_cheapest_parts",
+    """
+    SELECT p_type, p_partkey, p_name, p_retailprice
+    FROM part
+    JOIN (SELECT p_type AS mt, MIN(p_retailprice) AS mp
+          FROM part GROUP BY p_type) m
+      ON p_type = mt AND p_retailprice = mp
+    """,
+    doc="TPC-H Q2 shape: min-per-group scalar subquery decorrelated "
+        "to an aggregation joined back (all ties kept).",
+)
+def q65_cheapest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    m = p.groupBy(F.col("p_type").alias("mt")).agg(
+        F.min("p_retailprice").alias("mp")
+    )
+    return (
+        p.join(
+            F.broadcast(m),
+            (p["p_type"] == F.col("mt")) & (p["p_retailprice"] == F.col("mp")),
+        )
+        .select("p_type", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q66_pivot_events",
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+    doc="Dynamic pivot (reference's Array2Map analog on aggregates): "
+        "event-type counts to columns; fixed value list keeps it "
+        "one-pass (no Spark two-pass value discovery).",
+)
+def q66_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    piv = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )

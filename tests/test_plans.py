@@ -61,3 +61,36 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
     n_f = df.count()
     assert n_f == table(spark, sf_dir, "orders").filter("o_orderstatus = 'F'").count()
+
+
+def test_exists_becomes_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q58_priority_exists")
+    assert "LeftSemi" in plan
+    # returnflag filter evaluated at the lineitem scan, not post-join
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_or_predicates_push_per_side_residuals(spark, sf_dir):
+    # OR-of-ANDs: the quantity bounds (l side) and size bounds (p side)
+    # must reach their respective scans as residual disjunction bounds
+    plan = _plan(spark, sf_dir, "q63_or_predicates")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    li_scan = next(s for s in scans if "l_quantity" in s)
+    assert "Or(" in li_scan and "PushedFilters:" in li_scan
+
+
+def test_top20_join_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q64_returned_revenue")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_global_scalar_subquery_broadcasts(spark, sf_dir):
+    # the one-row avg-balance side must broadcast, never shuffle
+    plan = _plan(spark, sf_dir, "q62_idle_rich_customers")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_hash_split_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q55_hash_split")
+    assert "Exchange" not in plan
