@@ -15,8 +15,10 @@ element, mirroring tests/jobs.js:457).
 
 from __future__ import annotations
 
+import uuid
 from typing import Any, Sequence
 
+from pyspark import InheritableThread
 from pyspark.sql import DataFrame, SparkSession
 
 from .context import Context
@@ -124,5 +126,69 @@ class Pipeline(Op):
             sink.write(df, ctx)
         return None
 
+    def run_async(
+        self,
+        spark: SparkSession,
+        args: dict[str, Any] | None = None,
+        config: dict[str, str] | None = None,
+    ) -> "RunHandle":
+        """Start the pipeline under a cancellable job group and return
+        a handle (the reference's mid-flight ``stop()``,
+        job-pipeline.js:23-32 — observed from a spy in
+        tests/jobs.js:302-307).
+
+        A readable-tail chain is drained with a count (the reference's
+        ``run`` likewise attaches listeners and drains); sink-tailed
+        chains write as in :meth:`run`. Cancellation kills the job
+        group on the JVM side — every running stage's tasks are
+        interrupted, mid-flight shuffle/output files are cleaned up by
+        Spark's task abort path.
+        """
+        return RunHandle(self, spark, args, config)
+
     def explain(self, spark: SparkSession, mode: str = "formatted") -> None:
         self.to_frame(spark).explain(mode)
+
+
+class RunHandle:
+    """A cancellable in-flight pipeline run (job-group scoped)."""
+
+    def __init__(
+        self,
+        pipeline: Pipeline,
+        spark: SparkSession,
+        args: dict[str, Any] | None,
+        config: dict[str, str] | None,
+    ) -> None:
+        self._spark = spark
+        self.group = f"pipeline-{pipeline.name}-{uuid.uuid4().hex[:8]}"
+        self.rows: int | None = None
+        self.error: BaseException | None = None
+        self.stopped = False
+
+        def work() -> None:
+            sc = spark.sparkContext
+            # pinned-thread mode scopes the group to this thread
+            sc.setJobGroup(self.group, f"pipeline {pipeline.name}", interruptOnCancel=True)
+            try:
+                df = pipeline.run(spark, args, config)
+                if df is not None:
+                    self.rows = df.count()
+            except BaseException as exc:  # noqa: BLE001 — surfaced via .error
+                self.error = exc
+
+        self._thread = InheritableThread(target=work, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        """Cancel every job in the run's group (mid-flight unpipe)."""
+        self.stopped = True
+        self._spark.sparkContext.cancelJobGroup(self.group)
+
+    def wait(self, timeout: float | None = None) -> bool:
+        self._thread.join(timeout)
+        return not self._thread.is_alive()
+
+    @property
+    def running(self) -> bool:
+        return self._thread.is_alive()

@@ -77,3 +77,35 @@ def test_splitter_broadcast_mode(spark, tmp_path):
     Splitter([NdjsonSink(d) for d in dests]).write(df, Context())
     for d in dests:
         assert spark.read.json(d).count() == 5
+
+
+def test_run_async_stop_cancels_midflight(spark, sf_dir):
+    # a deliberately huge drain; stop() must kill it well before it ends
+    import time
+
+    from node_etl_spark.operators.rowops import Mapper
+    from node_etl_spark.sources import FrameSource
+
+    big = (
+        spark.range(20_000_000_000)
+        .selectExpr("id", "id * 2 AS v")
+    )
+    pipe = Pipeline([FrameSource(big), Mapper(exprs={"s": "id + v"})])
+    h = pipe.run_async(spark)
+    deadline = time.time() + 30
+    # wait until tasks are actually running, then cancel
+    while time.time() < deadline and h.running and not spark.sparkContext.statusTracker().getActiveJobsIds():
+        time.sleep(0.1)
+    h.stop()
+    assert h.wait(timeout=60), "cancelled run did not terminate"
+    assert h.stopped and h.rows is None
+    assert h.error is not None  # Spark raises 'cancelled as part of job group'
+
+
+def test_run_async_completes_without_stop(spark, sf_dir):
+    from node_etl_spark.sources import ParquetSource
+
+    pipe = Pipeline([ParquetSource(f"{sf_dir}/nation.parquet")])
+    h = pipe.run_async(spark)
+    assert h.wait(timeout=120)
+    assert h.error is None and h.rows and h.rows > 0
