@@ -2002,3 +2002,42 @@ def q66_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
     )
+
+
+@register(
+    "q67_lww_merge",
+    """
+    WITH tagged AS (
+        SELECT *, CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS prec
+        FROM events),
+    r AS (
+        SELECT user_id, event_type, event_id, value,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY prec DESC, event_id DESC) AS rn
+        FROM tagged)
+    SELECT user_id, event_type,
+           event_id AS winner_event, value AS winner_value
+    FROM r WHERE rn = 1
+    """,
+    doc="Last-write-wins key merge (reference Reducer merge idiom, "
+        "examples/bor-dwc.js:600-608): odd event ids act as the "
+        "updates batch, evens as the existing table; sources/upsert.py "
+        "last_write_wins is the engine under test.",
+)
+def q67_lww_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.upsert import last_write_wins
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "value"
+    )
+    existing = ev.filter("event_id % 2 = 0")
+    updates = ev.filter("event_id % 2 = 1")
+    return last_write_wins(
+        existing, updates, keys=["user_id", "event_type"], order_col="event_id"
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("winner_event"),
+        F.col("value").alias("winner_value"),
+    )
