@@ -75,11 +75,14 @@ def upsert_parquet(
     number of rows written (affected partitions only, when
     partitioned). Creates the dataset if absent."""
     if not _exists(path):
-        w = updates.write.mode("overwrite")
+        # the dataset contract is one row per key from day one — an
+        # updates batch may itself carry key duplicates
+        first = last_write_wins(updates.limit(0), updates, keys, order_col)
+        w = first.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
-        return updates.count()
+        return spark.read.parquet(path).count()
 
     if partition_by:
         # prune existing to the partitions the updates touch

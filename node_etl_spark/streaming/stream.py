@@ -273,3 +273,40 @@ def run_to_memory(stream: DataFrame, name: str, mode: str = "append"):
     )
     q.awaitTermination()
     return q
+
+
+def upsert_sink(
+    stream: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    order_col: str | None = None,
+    partition_by: Sequence[str] | None = None,
+    checkpoint: str = "",
+):
+    """Streaming upsert: each micro-batch merges into the parquet
+    dataset at ``path`` by key (last-write-wins; sources/upsert.py).
+    The streaming face of the reference's last-row-per-key Reducer
+    merge (examples/bor-dwc.js:600-608) — a CDC-style sink: late
+    re-deliveries of a key replace, never duplicate.
+
+    Per batch cost = one merge shuffle over (batch + affected
+    partitions); with ``partition_by`` on an event-date column only
+    the touched partitions rewrite, which is what keeps this viable
+    on a 100 TB target table."""
+    from ..sources.upsert import upsert_parquet
+
+    def write_batch(batch: DataFrame, _batch_id: int) -> None:
+        upsert_parquet(
+            batch.sparkSession,
+            path,
+            batch,
+            keys=list(keys),
+            order_col=order_col,
+            partition_by=list(partition_by) if partition_by else None,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -1,6 +1,7 @@
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from node_etl_spark.streaming import stream as st
 
@@ -204,3 +205,24 @@ def test_windowed_agg_drops_late_data(spark, tmp_path):
     assert after.count() == emitted1
     # and the late row's value never leaked into any emitted window
     assert after.filter("total_value >= 100").count() == 0
+
+
+def test_upsert_sink_replaces_keys(spark, events_dir, tmp_path):
+    out = str(tmp_path / "state")
+    stream = st.stream_source(spark, events_dir, SCHEMA)
+    q = st.upsert_sink(
+        stream,
+        out,
+        keys=["user_id", "event_type"],
+        order_col="event_id",
+        checkpoint=str(tmp_path / "ckpt_up"),
+    ).start()
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    # one surviving row per key, and it is the max event_id of the key
+    assert got.groupBy("user_id", "event_type").count().filter("count > 1").count() == 0
+    src = spark.read.schema(SCHEMA).parquet(events_dir)
+    expect = src.groupBy("user_id", "event_type").agg(F.max("event_id").alias("m"))
+    joined = got.join(expect, ["user_id", "event_type"])
+    assert joined.filter("event_id != m").count() == 0
+    assert got.count() == expect.count()
