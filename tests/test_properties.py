@@ -76,3 +76,50 @@ def test_array2map_map2array_inverse(spark, entries):
     back = Map2Array(fields=["st"], id_key="id", value_key="n").apply(as_map, ctx)
     got = {e["id"]: e["n"] for e in back.collect()[0].st}
     assert got == entries
+
+
+# ------------------------- connected components vs reference union-find
+
+edge_st = hst.lists(
+    hst.tuples(hst.integers(0, 30), hst.integers(0, 30)),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        for v in (s, d):
+            parent.setdefault(v, v)
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    # min-id label per vertex that touches at least one non-loop edge
+    touched = {v for s, d in edges if s != d for v in (s, d)}
+    return {v: find(v) for v in touched}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edge_st)
+def test_connected_components_match_union_find(spark, edges):
+    from node_etl_spark.functions.graph import connected_components
+
+    df = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    want = _union_find(edges)
+    # engine emits rows only for non-root vertices; roots self-label
+    for v, root in want.items():
+        assert got.get(v, v) == root
+    assert set(got) <= set(want)
