@@ -2041,3 +2041,58 @@ def q67_lww_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("winner_event"),
         F.col("value").alias("winner_value"),
     )
+
+
+# --------------------------------------------------------------------
+# q68-q69 — corpus statistics: vocabulary frequencies and a one-pass
+# table profile (ingestion QA for training-data pipelines).
+# --------------------------------------------------------------------
+
+@register(
+    "q68_token_frequencies",
+    """
+    SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+    WHERE t <> ''
+    GROUP BY t
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+    doc="Corpus vocabulary heavy hitters: exact top-50 tokens by "
+        "frequency (explode -> two-phase count -> TakeOrderedAndProject; "
+        "deterministic token tiebreak).",
+)
+def q68_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter("token <> ''")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@register(
+    "q69_profile_documents",
+    " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM documents
+        """
+        for c in _PROFILE_COLS
+    ),
+    doc="One-pass long-format column profile (functions/profile.py): "
+        "rows, nulls, exact cardinality per column; approx variant "
+        "for the 100TB path.",
+)
+def q69_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.profile import profile_table
+
+    return profile_table(table(spark, sf_dir, "documents"), _PROFILE_COLS)

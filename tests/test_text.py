@@ -70,3 +70,21 @@ def test_clean_text(spark):
     )
     got = df.select(clean_text("t").alias("c")).collect()[0].c
     assert got == "call #-# now please !"
+
+
+def test_profile_table_exact_and_approx(spark, sf_dir):
+    from node_etl_spark.functions.profile import profile_table
+    from node_etl_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    prof = {r["column"]: r for r in profile_table(docs, ["doc_id", "lang"]).collect()}
+    n = docs.count()
+    assert prof["doc_id"]["n_rows"] == n
+    assert prof["doc_id"]["n_nulls"] == 0
+    assert prof["doc_id"]["n_distinct"] == n
+    assert prof["lang"]["n_distinct"] == docs.select("lang").distinct().count()
+    # approx path returns the same shape with HLL++ cardinalities
+    ap = {r["column"]: r for r in
+          profile_table(docs, ["doc_id", "lang"], exact=False).collect()}
+    assert abs(ap["doc_id"]["n_distinct"] - n) / n < 0.1
+    assert ap["lang"]["n_distinct"] == prof["lang"]["n_distinct"]
