@@ -67,6 +67,9 @@ HEADLINE = [
     "q60_small_qty_revenue",
     "q61_large_orders",
     "q64_returned_revenue",
+    "q68_token_frequencies",
+    "q70_trade_volume",
+    "q71_market_share",
 ]
 
 

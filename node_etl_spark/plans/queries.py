@@ -2096,3 +2096,124 @@ def q69_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.profile import profile_table
 
     return profile_table(table(spark, sf_dir, "documents"), _PROFILE_COLS)
+
+
+# --------------------------------------------------------------------
+# q70-q71 — the two heaviest TPC-H join shapes (Q7, Q8): five/six-way
+# joins with dual dimension roles (nation joined twice under
+# different aliases) and a CASE market-share ratio.
+# --------------------------------------------------------------------
+
+@register(
+    "q70_trade_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS ship_year,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: six-way join with nation joined twice under "
+        "different roles (supplier vs customer side), cross-nation "
+        "trade volume per ship year.",
+)
+def q70_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(dsum("l_extendedprice * (1 - l_discount)", 4).alias("volume"))
+    )
+
+
+_N5_VOL = "CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END"
+
+
+@register(
+    "q71_market_share",
+    f"""
+    WITH vols AS (
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS order_year,
+               n1.n_name AS supp_nation,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        JOIN region r ON n2.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'AFRICA')
+    SELECT order_year,
+           {dsum_sql(_N5_VOL, 4)} AS nation_volume,
+           {dsum_sql('volume', 4)} AS total_volume,
+           {dsum_sql(_N5_VOL, 4)} / {dsum_sql('volume', 4)} AS mkt_share
+    FROM vols
+    GROUP BY order_year
+    """,
+    doc="TPC-H Q8 shape: seven-way join (region restricting the "
+        "customer side) + CASE ratio — one supplier nation's share of "
+        "a region's purchase volume per year.",
+)
+def q71_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter("r_name = 'AFRICA'")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    vols = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == r["r_regionkey"])
+        .select(
+            F.year("o_orderdate").alias("order_year"),
+            "supp_nation",
+            F.expr("l_extendedprice * (1 - l_discount)").alias("volume"),
+        )
+    )
+    nat = dsum(_N5_VOL, 4)
+    tot = dsum("volume", 4)
+    return vols.groupBy("order_year").agg(
+        nat.alias("nation_volume"),
+        tot.alias("total_volume"),
+        (nat / tot).alias("mkt_share"),
+    )
