@@ -2217,3 +2217,86 @@ def q71_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot.alias("total_volume"),
         (nat / tot).alias("mkt_share"),
     )
+
+
+# --------------------------------------------------------------------
+# q72-q73 — batch twins of the streaming operators (streaming/stream.py
+# streaming_dedup / windowed_agg): gap-bounded dedup and hopping
+# event-time windows, both exact over bounded data.
+# --------------------------------------------------------------------
+
+@register(
+    "q72_dedup_within_gap",
+    """
+    WITH g AS (
+        SELECT event_id, user_id, event_type, ts,
+               epoch(ts) - epoch(lag(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id)) AS gap
+        FROM events)
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM g WHERE gap IS NULL OR gap > 1800
+    """,
+    doc="Suppress re-deliveries: drop an event repeating its "
+        "(user, type) within 30 min of the previous one — the batch "
+        "twin of streaming_dedup's watermark-bounded state.",
+)
+def q72_dedup_within_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn("gap", gap)
+        .filter(F.col("gap").isNull() | (F.col("gap") > 1800))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )
+
+
+@register(
+    "q73_hopping_windows",
+    """
+    WITH hops AS (SELECT unnest(range(0, 2)) AS i),
+    assigned AS (
+        SELECT e.event_type, e.value,
+               CAST(floor(epoch(e.ts) / 3600) AS BIGINT) * 3600
+                   - h.i * 3600 AS win_start
+        FROM events e CROSS JOIN hops h
+        WHERE epoch(e.ts) < (CAST(floor(epoch(e.ts) / 3600) AS BIGINT) * 3600
+                   - h.i * 3600) + 7200)
+    SELECT strftime(to_timestamp(win_start), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+    doc="Hopping (sliding) event-time windows, 2h size / 1h hop: each "
+        "event lands in two windows (F.window explodes assignments "
+        "map-side; one shuffle for the agg) — batch twin of "
+        "windowed_agg's streaming hop.",
+)
+def q73_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 4).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
