@@ -2300,3 +2300,39 @@ def q73_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "q74_neardup_by_source",
+    f"""
+    WITH nd AS ({S.neardup_oracle_sql(threshold=0.4)})
+    SELECT least(da.source, db.source) AS source_1,
+           greatest(da.source, db.source) AS source_2,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(nd.sim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_sim
+    FROM nd
+    JOIN documents da ON nd.a = da.doc_id
+    JOIN documents db ON nd.b = db.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="Curation report: embedding near-dup pairs attributed to the "
+        "(source, source) pair they cross — blocked-GEMM pair stream "
+        "joined back to the documents dim twice (broadcast).",
+)
+def q74_neardup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = S.cosine_neardup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.4)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    da = docs.select(F.col("doc_id").alias("a"), F.col("source").alias("src_a"))
+    db = docs.select(F.col("doc_id").alias("b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_1"),
+            F.greatest("src_a", "src_b").alias("source_2"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (dsum("sim", 6) / F.count(F.lit(1))).alias("avg_sim"),
+        )
+    )
