@@ -74,7 +74,6 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_edges = e.count()
     for _ in range(max_iter):
         # ---- large-star: attach strictly-larger neighbors to min ----
         # m(v) = min(N(v) ∪ {v}) via a plain min aggregate + join-back:
@@ -112,14 +111,26 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        new_n = small.count()
         ls.unpersist()
-        # fixpoint: every edge already points at the component root —
-        # a round that changes nothing will never change anything
-        if new_n == n_edges and small.exceptAll(e).isEmpty():
-            e = small
-            break
-        e, n_edges = small, new_n
+        # converged iff the edges are a star forest: every vertex has
+        # exactly one label (a values distinct) and no label is itself
+        # relabeled (no b appears as an a). A star forest is the
+        # algorithm's fixpoint, and b < a forces each root to be its
+        # component minimum — so this detects convergence in the round
+        # it happens instead of paying a confirmation round.
+        stats = small.agg(
+            F.count(F.lit(1)).alias("n"), F.countDistinct("a").alias("nd")
+        ).first()
+        if stats["n"] == stats["nd"]:
+            relabeled = small.alias("x").join(
+                small.alias("y"),
+                F.col("x.b") == F.col("y.a"),
+                "left_semi",
+            )
+            if relabeled.isEmpty():
+                e = small
+                break
+        e = small
     return e.select(F.col("a").alias("id"), F.col("b").alias("component"))
 
 
