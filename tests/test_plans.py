@@ -94,3 +94,13 @@ def test_global_scalar_subquery_broadcasts(spark, sf_dir):
 def test_hash_split_is_shuffle_free(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q55_hash_split")
     assert "Exchange" not in plan
+
+
+def test_dual_role_dims_broadcast(spark, sf_dir):
+    # nation joined twice (supplier vs customer role) — both must
+    # broadcast; the only shuffle joins are fact-fact
+    plan = _plan(spark, sf_dir, "q70_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 4  # s, c?, n1, n2 (AQE may vary c)
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l and "n_name" in l]
+    # nation scan carries the IN-list pushdown
+    assert any("In(n_name" in s for s in scans)

@@ -99,3 +99,44 @@ def test_catalog_file_roundtrip(spark, sf_dir, tmp_path):
     reloaded = load_catalog(store)
     out = reloaded.get("top-regions").run(spark)
     assert [r.r_regionkey for r in out.collect()] == [0, 1]
+
+
+def test_example_dwh_spec(spark, sf_dir, tmp_path):
+    # examples/dwh_quarterly.json end-to-end: the bor-dwc DWH shape as
+    # one spec document (vocab join + computed key + reduce + sink)
+    import os
+
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.sources import ParquetSource
+    from node_etl_spark.tables import table
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = json.load(open(os.path.join(root, "examples", "dwh_quarterly.json")))
+    cat = Catalog()
+    cat.save(ParquetSource("$DATA/customer.parquet", name="customer-vocab"))
+    out = str(tmp_path / "dwh")
+    from_spec(spec, catalog=cat).run(
+        spark, config={"DATA": sf_dir, "OUT": out}
+    )
+    got = spark.read.parquet(out + "/quarterly_revenue")
+    # cross-check against the direct DataFrame computation
+    o = table(spark, sf_dir, "orders").filter("o_orderdate >= '1995-01-01'")
+    c = table(spark, sf_dir, "customer")
+    want = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.concat(
+                F.year("o_orderdate"), F.lit("-Q"), F.quarter("o_orderdate")
+            ).alias("order_quarter"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    assert got.count() == want.count() > 0
+    assert got.select(*want.columns).exceptAll(want).isEmpty()
