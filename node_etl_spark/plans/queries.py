@@ -2336,3 +2336,32 @@ def q74_neardup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dsum("sim", 6) / F.count(F.lit(1))).alias("avg_sim"),
         )
     )
+
+
+@register(
+    "q75_acctbal_quartiles",
+    """
+    WITH q AS (
+        SELECT c_mktsegment, c_acctbal,
+               ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+        FROM customer)
+    SELECT quartile, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM q GROUP BY 1, 2
+    """,
+    doc="Global ntile quartiles (deterministic tiebreak) re-aggregated "
+        "per segment — single-partition window sized 'customer' "
+        "(a global rank at 100TB would pre-aggregate per range).",
+)
+def q75_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        table(spark, sf_dir, "customer")
+        .withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )

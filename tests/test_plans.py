@@ -104,3 +104,17 @@ def test_dual_role_dims_broadcast(spark, sf_dir):
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l and "n_name" in l]
     # nation scan carries the IN-list pushdown
     assert any("In(n_name" in s for s in scans)
+
+
+def test_driver_contract_consistency():
+    # every oracle key has a query; names are unique and stable-format
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    osql = e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert all(n.startswith("q") for n in qs)
+    # rows-only (no-oracle) queries are the documented approximate ones
+    assert {n for n in qs if n not in osql} == {
+        "q27_ann_lsh_topk", "q38_ivf_topk", "q42_approx_distinct"
+    }
