@@ -2365,3 +2365,385 @@ def q75_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# q76-q84 — remaining classic analytic shapes (TPC-H Q6, Q9, Q11,
+# Q12, Q13, Q15, Q16, Q20, Q21), adapted to this star schema (no
+# partsupp / shipmode / commitdate columns in the test tables; the
+# plan shapes — not the literal TPC-H predicates — are the point).
+# The reference has no SQL at all (SURVEY.md §2.6); these are net-new
+# coverage like q58-q65.
+# --------------------------------------------------------------------
+
+@register(
+    "q76_forecast_revenue",
+    f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount', 4)} AS promo_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: scan-heavy single-group aggregate — every "
+        "predicate pushes to the parquet scan, partial agg leaves one "
+        "row per task before the single-row final agg.",
+)
+def q76_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum("l_extendedprice * l_discount", 4).alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q77_product_profit",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS order_year,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)'
+                     ' - 0.1 * p.p_retailprice * l.l_quantity', 4)} AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape (supply cost proxied by p_retailprice — no "
+        "partsupp table): fact-fact join on orderkey, broadcast "
+        "part/supplier/nation dims, part-name filter pushed below "
+        "every join.",
+)
+def q77_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            dsum(
+                "l_extendedprice * (1 - l_discount)"
+                " - 0.1 * p_retailprice * l_quantity",
+                4,
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "q78_important_parts",
+    """
+    WITH pv AS (
+        SELECT l.l_partkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS part_value
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY l.l_partkey)
+    SELECT l_partkey, part_value
+    FROM pv
+    WHERE part_value > (
+        SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,2))) AS DOUBLE) * 0.002
+        FROM pv)
+    """,
+    doc="TPC-H Q11 shape (shipped value standing in for partsupp "
+        "stock value): per-part aggregate HAVING a global-scalar-"
+        "subquery threshold — the total is one broadcast row joined "
+        "back, not a second scan.",
+)
+def q78_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter("n_name = 'NATION_3'")
+    pv = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("l_partkey")
+        .agg(dsum("l_extendedprice").alias("part_value"))
+    )
+    total = pv.agg((dsum("part_value") * F.lit(0.002)).alias("threshold"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "q79_lateness_priority",
+    """
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 0
+                THEN 'early'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 365
+                THEN 'within_year' ELSE 'over_year' END AS ship_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shape (lateness buckets standing in for the absent "
+        "l_shipmode): fact-fact join + conditional CASE counts per "
+        "bucket.",
+)
+def q79_lateness_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    diff = F.datediff("l_shipdate", "o_orderdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.when(diff < 0, "early")
+            .when(diff <= 365, "within_year")
+            .otherwise("over_year")
+            .alias("ship_bucket")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q80_order_distribution",
+    """
+    WITH co AS (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: left outer join preserving order-less "
+        "customers (count of NULL keys = 0), then a second aggregation "
+        "over the first's output — the histogram-of-group-sizes plan.",
+)
+def q80_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter("o_orderpriority <> '1-URGENT'")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "q81_top_supplier",
+    f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               {dsum_sql('l_extendedprice * (1 - l_discount)', 4)}
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, rev.total_revenue
+    FROM supplier s
+    JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: revenue 'view' reused twice — once for the "
+        "MAX scalar subquery, once for the equality filter. The "
+        "exact-decimal sum makes the double equality safe cross-"
+        "engine; the agg is computed once and its max broadcast back.",
+)
+def q81_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum("l_extendedprice * (1 - l_discount)", 4).alias("total_revenue"))
+    )
+    best = rev.agg(F.max("total_revenue").alias("best_revenue"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("best_revenue"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q82_supplier_diversity",
+    """
+    SELECT p.p_brand, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 19, 23, 36, 45, 49, 50)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q16 shape (lineitem supplying the part-supplier pairs — "
+        "no partsupp table): NOT IN exclusion list lowered to a "
+        "broadcast anti-join, then COUNT(DISTINCT) via two-phase "
+        "partial-distinct aggregation.",
+)
+def q82_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 19, 23, 36, 45, 49, 50)
+    )
+    bad = table(spark, sf_dir, "supplier").filter("s_acctbal < 0").select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q83_excess_shippers",
+    """
+    WITH sq AS (
+        SELECT l.l_suppkey,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_qty
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'small%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey)
+    SELECT s.s_name, s.s_acctbal, sq.total_qty
+    FROM supplier s
+    JOIN sq ON s.s_suppkey = sq.l_suppkey
+    WHERE sq.total_qty > (
+        SELECT CAST(SUM(CAST(total_qty AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) * 1.5
+        FROM sq)
+    """,
+    doc="TPC-H Q20 shape (shipped quantity standing in for partsupp "
+        "availqty): nested aggregate-over-aggregate — suppliers moving "
+        "1.5x the mean volume of the filtered part family.",
+)
+def q83_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    sq = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+    )
+    thr = sq.agg(
+        (dsum("total_qty") / F.count(F.lit(1)) * F.lit(1.5)).alias("threshold")
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        sq.join(F.broadcast(thr))
+        .filter(F.col("total_qty") > F.col("threshold"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_name", "s_acctbal", "total_qty")
+    )
+
+
+@register(
+    "q84_waiting_suppliers",
+    """
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND date_diff('day', o.o_orderdate, l.l_shipdate) > 365)
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape ('late' = shipped >1y after an F-status "
+        "order's date — no commit/receipt dates in schema): correlated "
+        "EXISTS + NOT EXISTS decorrelated to a semi-join against other "
+        "suppliers' lines and an anti-join against other suppliers' "
+        "late lines, both shuffled on orderkey; deterministic top-20.",
+)
+def q84_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter("o_orderstatus = 'F'")
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.datediff("l_shipdate", "o_orderdate") > 365)
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    s = table(spark, sf_dir, "supplier")
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l1.l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return waited.orderBy(F.col("numwait").desc(), "s_name").limit(20)
