@@ -6,6 +6,9 @@ from node_etl_spark.plans import QUERIES
 
 
 def _plan(spark, sf_dir, name) -> str:
+    # default metadata truncation (100 chars) hides the tail of long
+    # PushedFilters lists — widen it so pushdown assertions are real
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     df = QUERIES[name].fn(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -118,3 +121,43 @@ def test_driver_contract_consistency():
     assert {n for n in qs if n not in osql} == {
         "q27_ann_lsh_topk", "q38_ivf_topk", "q42_approx_distinct"
     }
+
+
+def test_scan_agg_pushes_all_predicates(spark, sf_dir):
+    # q76 (TPC-H Q6 shape): every predicate must reach the parquet scan
+    plan = _plan(spark, sf_dir, "q76_forecast_revenue")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PushedFilters:" in scan
+    assert "LessThan(l_quantity,24.0)" in scan
+    assert "l_shipdate" in scan and "l_discount" in scan
+
+
+def test_profit_rollup_broadcasts_all_dims(spark, sf_dir):
+    # q77 (Q9 shape): part/supplier/nation broadcast; the LIKE filter
+    # reaches the part scan as a contains pushdown
+    plan = _plan(spark, sf_dir, "q77_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "StringContains(p_name,widget)" in plan
+
+
+def test_max_scalar_reuses_agg_via_broadcast(spark, sf_dir):
+    # q81 (Q15 shape): the MAX side is one row — must broadcast back,
+    # never shuffle the revenue agg twice
+    plan = _plan(spark, sf_dir, "q81_top_supplier")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_not_in_lowers_to_anti_join(spark, sf_dir):
+    # q82 (Q16 shape): exclusion list = broadcast anti-join; distinct
+    # counting stays two-phase (partial aggregate before the exchange)
+    plan = _plan(spark, sf_dir, "q82_supplier_diversity")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exists_pair_becomes_semi_plus_anti(spark, sf_dir):
+    # q84 (Q21 shape): EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti,
+    # top-20 avoids a full sort
+    plan = _plan(spark, sf_dir, "q84_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
