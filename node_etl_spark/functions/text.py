@@ -174,3 +174,62 @@ def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         lang_guess(text_col).alias("lang_guess"),
         fingerprint(text_col).alias("fp"),
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition/diversity signals per document:
+
+    * ``top_word_ratio``    — share of tokens taken by the single most
+      frequent token (boilerplate / keyword-stuffing detector),
+    * ``unique_word_ratio`` — distinct tokens / total tokens,
+    * ``dup_bigram_ratio``  — share of bigram occurrences that are
+      repeats of an earlier bigram in the same document.
+
+    The word-frequency part explodes tokens and two-phase-aggregates
+    on ``(id, token)`` — map-side partial aggregation collapses each
+    document's repeats before the shuffle, so the exchanged volume is
+    bounded by per-doc vocabulary, not corpus token count. The bigram
+    part never shuffles: it is pure array arithmetic at the scan.
+    Scale note: at 100 TB both signals stay one shuffle total, keyed
+    on the same ``id`` the downstream quality-filter join uses.
+
+    (Net-new vs the reference, which has no text analytics —
+    SURVEY.md §2.6; sibling of quality_score/lang_guess above.)
+    """
+    toks = tokens(text_col)
+    bg = F.expr(
+        f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
+        f"i -> concat(split({text_col}, ' ')[i - 1], ' ', "
+        f"split({text_col}, ' ')[i]))"
+    )
+    per_doc = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(bg)).cast("double") / F.size(bg)
+        ).alias("dup_bigram_ratio"),
+    )
+    counts = (
+        df.select(F.col(id_col), F.explode(toks).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("c").alias("top_c"),
+            F.sum("c").alias("n_tok"),
+            F.count(F.lit(1)).alias("n_uniq"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("top_c").cast("double") / F.col("n_tok")).alias(
+                "top_word_ratio"
+            ),
+            (F.col("n_uniq").cast("double") / F.col("n_tok")).alias(
+                "unique_word_ratio"
+            ),
+        )
+    )
+    return per_doc.join(counts, id_col)

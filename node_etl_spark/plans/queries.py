@@ -2747,3 +2747,49 @@ def q84_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
     return waited.orderBy(F.col("numwait").desc(), "s_name").limit(20)
+
+
+@register(
+    "q85_repetition_signals",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE n_chars >= 50),
+    bg AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(1 AS DOUBLE)
+                   - CAST(len(list_distinct(bgl)) AS DOUBLE) / len(bgl)
+                   AS dup_bigram_ratio
+        FROM (SELECT doc_id, text,
+                     list_transform(
+                         generate_series(2, len(string_split(text, ' '))),
+                         i -> string_split(text, ' ')[i-1] || ' '
+                              || string_split(text, ' ')[i]) AS bgl
+              FROM d)),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM d),
+    tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    freq AS (
+        SELECT doc_id,
+               CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                   AS top_word_ratio,
+               CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                   AS unique_word_ratio
+        FROM tc GROUP BY 1)
+    SELECT bg.doc_id, bg.n_tokens, bg.dup_bigram_ratio,
+           freq.top_word_ratio, freq.unique_word_ratio
+    FROM bg JOIN freq ON bg.doc_id = freq.doc_id
+    """,
+    doc="Gopher-style repetition/diversity signals per document "
+        "(top-word share, unique-word ratio, duplicate-bigram ratio) "
+        "— bigrams are shuffle-free array arithmetic at the scan; word "
+        "frequencies are one (doc, token) two-phase agg.",
+)
+def q85_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter("n_chars >= 50")
+    out = T.repetition_signals(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "dup_bigram_ratio",
+        "top_word_ratio",
+        "unique_word_ratio",
+    )

@@ -88,3 +88,22 @@ def test_profile_table_exact_and_approx(spark, sf_dir):
           profile_table(docs, ["doc_id", "lang"], exact=False).collect()}
     assert abs(ap["doc_id"]["n_distinct"] - n) / n < 0.1
     assert ap["lang"]["n_distinct"] == prof["lang"]["n_distinct"]
+
+
+def test_repetition_signals(spark):
+    from node_etl_spark.functions.text import repetition_signals
+
+    # "a a a b": tokens=4, top word 'a' 3/4, unique 2/4,
+    # bigrams ["a a", "a a", "a b"] -> 1 - 2/3 dup ratio
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w")], "doc_id int, text string"
+    )
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert got[1].n_tokens == 4
+    assert got[1].top_word_ratio == 0.75
+    assert got[1].unique_word_ratio == 0.5
+    assert abs(got[1].dup_bigram_ratio - (1 - 2 / 3)) < 1e-12
+    # fully diverse doc: no repetition anywhere
+    assert got[2].top_word_ratio == 0.25
+    assert got[2].unique_word_ratio == 1.0
+    assert got[2].dup_bigram_ratio == 0.0
