@@ -70,6 +70,11 @@ HEADLINE = [
     "q68_token_frequencies",
     "q70_trade_volume",
     "q71_market_share",
+    "q76_forecast_revenue",
+    "q77_product_profit",
+    "q80_order_distribution",
+    "q84_waiting_suppliers",
+    "q85_repetition_signals",
 ]
 
 
