@@ -75,6 +75,7 @@ HEADLINE = [
     "q80_order_distribution",
     "q84_waiting_suppliers",
     "q85_repetition_signals",
+    "q86_decontaminate",
 ]
 
 

@@ -2793,3 +2793,30 @@ def q85_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_word_ratio",
         "unique_word_ratio",
     )
+
+
+@register(
+    "q86_decontaminate",
+    D.decontaminate_oracle_sql(
+        "documents",
+        SA.hash_split_case_sql("doc_id", _SPLITS),
+        n=5,
+        max_df=50,
+    ),
+    doc="Train/test decontamination: hash-split the corpus, then find "
+        "(train, test) pairs sharing a distinct 5-gram shingle — "
+        "boilerplate shingles (doc frequency > 50) dropped before the "
+        "join, which is also the skew cap on the shingle key.",
+)
+def q86_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = SA.hash_split(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        _SPLITS,
+    )
+    return D.decontaminate_pairs(
+        docs.filter("split = 'train'"),
+        docs.filter("split = 'test'"),
+        n=5,
+        max_df=50,
+    )

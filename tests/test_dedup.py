@@ -92,3 +92,32 @@ def test_dedup_ops_tolerate_null_and_empty_text(spark):
     # simhash ignores null text rows rather than erroring
     sigs = simhash32(df.filter("text IS NOT NULL"))
     assert sigs.count() == 4
+
+
+def test_decontaminate_pairs(spark):
+    from node_etl_spark.functions.dedup import decontaminate_pairs
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # shares 5-gram w/ 10
+            (2, "one two three four five six"),           # no overlap
+            (3, "common common common common common x"),  # boilerplate only
+            (4, "common common common common common z"),  # boilerplate only
+        ],
+        "doc_id int, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon eta"),
+            (11, "common common common common common y"),
+        ],
+        "doc_id int, text string",
+    )
+    got = decontaminate_pairs(train, test, n=5).collect()
+    pairs = {(r.train_doc, r.test_doc): r.n_shared for r in got}
+    # without max_df: the real overlap AND the boilerplate pairs
+    assert pairs == {(1, 10): 1, (3, 11): 1, (4, 11): 1}
+    # boilerplate shingle is in 3 docs, the real overlap in 2 ->
+    # max_df=2 keeps contamination evidence, drops the common phrase
+    got2 = decontaminate_pairs(train, test, n=5, max_df=2).collect()
+    assert {(r.train_doc, r.test_doc) for r in got2} == {(1, 10)}
