@@ -40,7 +40,7 @@ from .operators import (
     Uniquer,
     Vocab,
 )
-from .operators.base import Op
+from .operators.base import FnTransform, Op
 from .pipeline import Catalog, Pipeline
 from .sources import (
     CsvSource,
@@ -137,6 +137,85 @@ _REGISTRY: dict[str, Callable[..., Op]] = {
     "ndjson_sink": lambda d, c: NdjsonSink(d["path"], mode=d.get("mode", "overwrite")),
     "json_array_sink": lambda d, c: JsonArraySink(d["path"]),
 }
+
+
+# -- training-data curation ops (functions/ surfaced declaratively) --
+
+
+def _clean_text_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    from .functions.text import clean_text
+
+    col = d.get("text_col", "text")
+    return FnTransform(
+        lambda df: df.withColumn(col, clean_text(col)), name="clean_text"
+    )
+
+
+def _quality_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    from pyspark.sql import functions as F
+
+    from .functions.text import quality_score
+
+    col, mn = d.get("text_col", "text"), d.get("min")
+
+    def fn(df):
+        out = df.withColumn("quality", quality_score(col))
+        return out.filter(F.col("quality") >= mn) if mn is not None else out
+
+    return FnTransform(fn, name="quality")
+
+
+def _lang_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    from .functions.text import lang_guess
+
+    col = d.get("text_col", "text")
+    return FnTransform(
+        lambda df: df.withColumn("lang_guess", lang_guess(col)), name="lang"
+    )
+
+
+def _exact_dedup_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .functions.text import normalize_text
+
+    col, idc = d.get("text_col", "text"), d.get("id_col", "doc_id")
+
+    def fn(df):
+        # keep the min-id representative per normalized fingerprint —
+        # the declarative twin of dedup.exact_dup_groups
+        w = Window.partitionBy("__fp").orderBy(idc)
+        return (
+            df.withColumn("__fp", F.md5(normalize_text(col)))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .drop("__fp", "__rn")
+        )
+
+    return FnTransform(fn, name="exact_dedup")
+
+
+def _hash_split_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    from .functions.sampling import hash_split
+
+    return FnTransform(
+        lambda df: hash_split(df, d["id"], d["splits"], seed=d.get("seed", 42)),
+        name="hash_split",
+    )
+
+
+_REGISTRY.update(
+    {
+        # corpus curation (functions/text.py, functions/sampling.py,
+        # functions/dedup.py — net-new vs reference, SURVEY §2.6)
+        "clean_text": _clean_text_op,
+        "quality": _quality_op,
+        "lang": _lang_op,
+        "exact_dedup": _exact_dedup_op,
+        "hash_split": _hash_split_op,
+    }
+)
 
 
 def op_from_spec(d: Mapping[str, Any], catalog: Catalog | None = None) -> Op:

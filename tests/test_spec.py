@@ -140,3 +140,34 @@ def test_example_dwh_spec(spark, sf_dir, tmp_path):
     )
     assert got.count() == want.count() > 0
     assert got.select(*want.columns).exceptAll(want).isEmpty()
+
+
+def test_example_corpus_curation_spec(spark, sf_dir, tmp_path):
+    # examples/corpus_curation.json end-to-end: the training-data
+    # curation pipeline (clean -> quality gate -> exact dedup ->
+    # deterministic split) as one declarative document
+    import os
+
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.tables import table
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = json.load(open(os.path.join(root, "examples", "corpus_curation.json")))
+    out = str(tmp_path / "corpus")
+    pipe = from_spec(spec)
+    pipe.run(spark, config={"DATA": sf_dir, "OUT": out})
+    got = spark.read.parquet(out + "/curated")
+    n_in = table(spark, sf_dir, "documents").count()
+    n_out = got.count()
+    assert 0 < n_out <= n_in
+    assert set(got.columns) >= {"doc_id", "text", "quality", "split"}
+    # quality gate held
+    assert got.filter("quality < 0.2").count() == 0
+    # split assignment total and determinism (re-run -> same rows)
+    assert got.filter("split IS NULL").count() == 0
+    sizes = {r["split"]: r["n"] for r in
+             got.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes["train"] > sizes.get("val", 0)
+    # round-trips through to_spec like every spec-built pipeline
+    assert to_spec(pipe)["name"] == "corpus-curation"
