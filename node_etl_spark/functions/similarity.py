@@ -520,3 +520,58 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+# ------------------------------------------------------ vector aggregates
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Per-label centroid of an embedding column, as flat
+    ``(label, pos, centroid, n_vecs)`` rows (0-based position).
+    ``round_digits`` trims sub-float32 noise so the result is portable
+    across engines (same convention as the cosine oracles).
+
+    The class-prototype / k-means-E-step building block: posexplode
+    the vector and two-phase aggregate on ``(label, pos)`` — partial
+    sums collapse per task before the shuffle, so the exchanged volume
+    is ``labels x dim``, independent of corpus size; no vector ever
+    assembles on the driver. Component sums use the exact-decimal
+    trick (see ``topk_oracle_sql``) so the result is order-independent
+    and oracle-checkable.
+    """
+    return (
+        df.select(F.col(label_col).alias("label"), F.posexplode(vec_col))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("col").cast("double").cast("decimal(38,30)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                round_digits,
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+def label_centroids_oracle_sql(
+    table: str = "embeddings",
+    label: str = "label",
+    vec: str = "embedding",
+    round_digits: int = 9,
+) -> str:
+    """DuckDB mirror of :func:`label_centroids`."""
+    return f"""
+    SELECT {label} AS label, i - 1 AS pos,
+           round(CAST(SUM(CAST(CAST({vec}[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
+               / COUNT(*), {round_digits}) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM {table}, unnest(generate_series(1, len({vec}))) AS t(i)
+    GROUP BY 1, 2
+    """

@@ -2820,3 +2820,22 @@ def q86_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=5,
         max_df=50,
     )
+
+
+@register(
+    "q87_label_centroids",
+    S.label_centroids_oracle_sql(),
+    doc="Per-label embedding centroids as (label, pos) rows — "
+        "posexplode + two-phase agg; shuffle volume is labels x dim, "
+        "independent of corpus size (k-means E-step / class-prototype "
+        "building block).",
+)
+def q87_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    out = S.label_centroids(emb)
+    return out.select(
+        "label",
+        F.col("pos").cast("long").alias("pos"),
+        "centroid",
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+    )
