@@ -575,3 +575,84 @@ def label_centroids_oracle_sql(
     FROM {table}, unnest(generate_series(1, len({vec}))) AS t(i)
     GROUP BY 1, 2
     """
+
+
+def centroid_outliers(
+    df: DataFrame,
+    k: int = 3,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``k`` farthest vectors from their own label's centroid —
+    the mislabel / outlier sweep for embedding QA.
+
+    Composes :func:`label_centroids`: the centroid table (labels x
+    dim rows) broadcasts back onto the exploded vectors, squared
+    residuals aggregate per vector with the exact-decimal trick, and
+    a per-label window takes the deterministic top-k (distance desc,
+    id asc). Two shuffles total — the centroid agg and the per-vector
+    residual agg; the window partitions on label (small fan-in).
+    """
+    cents = label_centroids(df, label_col, vec_col, id_col)
+    expl = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col),
+    )
+    dists = (
+        expl.join(F.broadcast(cents), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        (F.col("col").cast("double") - F.col("centroid"))
+                        * (F.col("col").cast("double") - F.col("centroid"))
+                    ).cast("decimal(38,30)")
+                ).cast("double"),
+                round_digits,
+            ).alias("sq_dist")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("sq_dist").desc(), "vec_id")
+    return (
+        dists.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("label", "vec_id", "sq_dist", "rank")
+    )
+
+
+def centroid_outliers_oracle_sql(
+    k: int = 3,
+    table: str = "embeddings",
+    label: str = "label",
+    vec: str = "embedding",
+    id_: str = "vec_id",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`centroid_outliers`."""
+    cents = label_centroids_oracle_sql(table, label, vec)
+    return f"""
+    WITH cents AS ({cents}),
+    expl AS (
+        SELECT {id_} AS vec_id, {label} AS label, i - 1 AS pos,
+               CAST({vec}[i] AS DOUBLE) AS e
+        FROM {table}, unnest(generate_series(1, len({vec}))) AS t(i)),
+    dists AS (
+        SELECT expl.vec_id, expl.label,
+               round(CAST(SUM(CAST((e - centroid) * (e - centroid)
+                                   AS DECIMAL(38,30))) AS DOUBLE),
+                     {round_digits}) AS sq_dist
+        FROM expl JOIN cents ON expl.label = cents.label
+                            AND expl.pos = cents.pos
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT label, vec_id, sq_dist,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY sq_dist DESC, vec_id) AS rank
+        FROM dists)
+    SELECT label, vec_id, sq_dist, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """

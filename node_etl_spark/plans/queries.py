@@ -2839,3 +2839,19 @@ def q87_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid",
         F.col("n_vecs").cast("long").alias("n_vecs"),
     )
+
+
+@register(
+    "q88_centroid_outliers",
+    S.centroid_outliers_oracle_sql(k=3),
+    doc="Embedding QA: top-3 farthest vectors from their own label "
+        "centroid (mislabel/outlier sweep) — centroid table broadcast "
+        "back, per-vector residual agg, deterministic per-label "
+        "window top-k.",
+)
+def q88_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    out = S.centroid_outliers(emb, k=3)
+    return out.select(
+        "label", "vec_id", "sq_dist", F.col("rank").cast("long").alias("rank")
+    )
