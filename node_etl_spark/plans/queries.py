@@ -2855,3 +2855,60 @@ def q88_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "label", "vec_id", "sq_dist", F.col("rank").cast("long").alias("rank")
     )
+
+
+@register(
+    "q89_source_health",
+    f"""
+    WITH scored AS (
+        SELECT source, lang,
+               len(string_split(text, ' ')) AS n,
+               round((least(len(string_split(text, ' ')) / 100.0, 1.0)
+                      + least(CAST(len(list_filter(string_split(text, ' '),
+                            t -> lower(t) IN ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
+                            / len(string_split(text, ' ')) * 4.0, 1.0)) / 2.0, 6)
+                   AS quality,
+               len(list_filter(string_split(text, ' '),
+                    t -> lower(t) IN ('the','and','of','a','to','is'))) AS en_n,
+               len(list_filter(string_split(text, ' '),
+                    t -> lower(t) IN ('le','la','et','les','des','une'))) AS fr_n,
+               len(list_filter(string_split(text, ' '),
+                    t -> lower(t) IN ('el','de','que','los','una','por'))) AS es_n,
+               len(list_filter(string_split(text, ' '),
+                    t -> lower(t) IN ('der','die','und','das','ein','mit'))) AS de_n
+        FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS avg_quality,
+           CAST(SUM(CASE WHEN ({_LANG_CASE_SQL}) = lang THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS lang_agreement,
+           CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM scored GROUP BY 1
+    """,
+    doc="Corpus health report per source: doc counts, mean quality, "
+        "agreement between the lang-ID heuristic and the labeled "
+        "lang, mean length — the monitoring rollup a curation "
+        "pipeline publishes each ingest; one two-phase agg over "
+        "row-local text signals.",
+)
+def q89_source_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = table(spark, sf_dir, "documents")
+    scored = df.select(
+        "source",
+        "lang",
+        T.token_count("text").alias("n"),
+        T.quality_score("text").alias("quality"),
+        T.lang_guess("text").alias("lang_guess"),
+    )
+    cnt = F.count(F.lit(1))
+    return scored.groupBy("source").agg(
+        cnt.alias("n_docs"),
+        (dsum("quality", 6) / cnt).alias("avg_quality"),
+        (
+            F.sum(F.when(F.col("lang_guess") == F.col("lang"), 1).otherwise(0))
+            .cast("double")
+            / cnt
+        ).alias("lang_agreement"),
+        (F.sum("n").cast("double") / cnt).alias("avg_tokens"),
+    )
