@@ -12,6 +12,9 @@ document fingerprinting (normalized md5).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified
+# type hints (PEP 563 above) against module globals
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -187,49 +190,58 @@ def repetition_signals(
     * ``dup_bigram_ratio``  — share of bigram occurrences that are
       repeats of an earlier bigram in the same document.
 
-    The word-frequency part explodes tokens and two-phase-aggregates
-    on ``(id, token)`` — map-side partial aggregation collapses each
-    document's repeats before the shuffle, so the exchanged volume is
-    bounded by per-doc vocabulary, not corpus token count. The bigram
-    part never shuffles: it is pure array arithmetic at the scan.
-    Scale note: at 100 TB both signals stay one shuffle total, keyed
-    on the same ``id`` the downstream quality-filter join uses.
+    One Arrow-batched pass, zero shuffles: every signal is a
+    per-document counter, so a single Pandas UDF computes all three
+    from each text batch (an earlier explode + (id, token) two-phase
+    agg version was correct but paid two shuffles and a join; the
+    interpreted-lambda array form for bigrams was the dominant cost —
+    same tradeoff as dedup.shingle_rows). At 100 TB this stays
+    embarrassingly parallel: narrow scan in, narrow columns out.
+
+    Ratios divide exact integer counts in the same order as the SQL
+    oracle's divisions, so results stay bit-identical cross-engine.
 
     (Net-new vs the reference, which has no text analytics —
     SURVEY.md §2.6; sibling of quality_score/lang_guess above.)
     """
-    toks = tokens(text_col)
-    bg = F.expr(
-        f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
-        f"i -> concat(split({text_col}, ' ')[i - 1], ' ', "
-        f"split({text_col}, ' ')[i]))"
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "n_tokens int, dup_bigram_ratio double, "
+        "top_word_ratio double, unique_word_ratio double"
     )
-    per_doc = df.select(
-        F.col(id_col),
-        F.size(toks).alias("n_tokens"),
-        (
-            F.lit(1.0)
-            - F.size(F.array_distinct(bg)).cast("double") / F.size(bg)
-        ).alias("dup_bigram_ratio"),
-    )
-    counts = (
-        df.select(F.col(id_col), F.explode(toks).alias("w"))
-        .groupBy(id_col, "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(
-            F.max("c").alias("top_c"),
-            F.sum("c").alias("n_tok"),
-            F.count(F.lit(1)).alias("n_uniq"),
+    def _signals(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            toks = (t or "").split(" ")
+            n = len(toks)
+            counts = Counter(toks)
+            n_bg = n - 1
+            bg_distinct = (
+                len({(toks[i], toks[i + 1]) for i in range(n_bg)})
+                if n_bg > 0
+                else None
+            )
+            rows.append(
+                (
+                    n,
+                    1.0 - bg_distinct / n_bg if n_bg > 0 else None,
+                    max(counts.values()) / n if n else None,
+                    len(counts) / n if n else None,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_tokens",
+                "dup_bigram_ratio",
+                "top_word_ratio",
+                "unique_word_ratio",
+            ],
         )
-        .select(
-            F.col(id_col),
-            (F.col("top_c").cast("double") / F.col("n_tok")).alias(
-                "top_word_ratio"
-            ),
-            (F.col("n_uniq").cast("double") / F.col("n_tok")).alias(
-                "unique_word_ratio"
-            ),
-        )
-    )
-    return per_doc.join(counts, id_col)
+
+    return df.select(
+        F.col(id_col), _signals(F.col(text_col)).alias("__sig")
+    ).select(id_col, "__sig.*")
