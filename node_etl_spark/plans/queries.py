@@ -2912,3 +2912,18 @@ def q89_source_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lang_agreement"),
         (F.sum("n").cast("double") / cnt).alias("avg_tokens"),
     )
+
+
+from ..functions import profile as P  # noqa: E402
+
+
+@register(
+    "q90_price_histogram",
+    P.histogram_oracle_sql("lineitem", "l_extendedprice", bins=20),
+    doc="Exact equi-width histogram of l_extendedprice (profiling "
+        "family): single-row min/max pre-agg broadcast back onto the "
+        "scan, row-local bin assignment, one count-by-bin shuffle of "
+        "at most `bins` groups.",
+)
+def q90_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.histogram(table(spark, sf_dir, "lineitem"), "l_extendedprice", bins=20)

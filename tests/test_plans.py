@@ -161,3 +161,10 @@ def test_exists_pair_becomes_semi_plus_anti(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q84_waiting_suppliers")
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_histogram_minmax_broadcasts(spark, sf_dir):
+    # q90: the one-row min/max side must broadcast back onto the scan,
+    # and the only wide op is the count-by-bin agg
+    plan = _plan(spark, sf_dir, "q90_price_histogram")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
