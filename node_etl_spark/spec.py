@@ -32,6 +32,7 @@ from .operators import (
     Mapper,
     Nothing,
     RangeJoin,
+    RouteTag,
     Reducer,
     SemiJoin,
     Sorter,
@@ -136,7 +137,21 @@ _REGISTRY: dict[str, Callable[..., Op]] = {
     "parquet_sink": lambda d, c: ParquetSink(d["path"], mode=d.get("mode", "overwrite")),
     "ndjson_sink": lambda d, c: NdjsonSink(d["path"], mode=d.get("mode", "overwrite")),
     "json_array_sink": lambda d, c: JsonArraySink(d["path"]),
+    # fan-out / routed multi-sink (reference Splitter receivers are
+    # job ids, jobs/hi-order/job-splitter.js:17-19 — here nested sink
+    # nodes or catalog refs; `route` picks exactly one receiver index
+    # per row, no route broadcasts to all)
+    "splitter": lambda d, c: _splitter(d, c),
+    "route_tag": lambda d, c: RouteTag(d["route"], as_col=d.get("as", "route")),
 }
+
+
+def _splitter(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    from .operators import Splitter
+
+    return Splitter(
+        [op_from_spec(r, c) for r in d["receivers"]], route=d.get("route")
+    )
 
 
 # -- training-data curation ops (functions/ surfaced declaratively) --

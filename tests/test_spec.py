@@ -171,3 +171,42 @@ def test_example_corpus_curation_spec(spark, sf_dir, tmp_path):
     assert sizes["train"] > sizes.get("val", 0)
     # round-trips through to_spec like every spec-built pipeline
     assert to_spec(pipe)["name"] == "corpus-curation"
+
+
+def test_spec_splitter_fanout_and_route(spark, sf_dir, tmp_path):
+    # reference Splitter semantics from a spec document: broadcast
+    # fan-out (all receivers get every row) and routed split
+    # (exactly-one-receiver, row-conserving)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    fan = {
+        "name": "fanout",
+        "chain": [
+            {"op": "parquet", "path": "$DATA/nation.parquet"},
+            {"op": "splitter", "receivers": [
+                {"op": "parquet_sink", "path": a},
+                {"op": "ndjson_sink", "path": b},
+            ]},
+        ],
+    }
+    from_spec(fan).run(spark, config={"DATA": sf_dir})
+    n = spark.read.parquet(sf_dir + "/nation.parquet").count()
+    assert spark.read.parquet(a).count() == n
+    assert spark.read.json(b).count() == n
+
+    ra, rb = str(tmp_path / "even"), str(tmp_path / "odd")
+    routed = {
+        "name": "routed",
+        "chain": [
+            {"op": "parquet", "path": "$DATA/nation.parquet"},
+            {"op": "splitter", "route": "n_nationkey % 2",
+             "receivers": [
+                 {"op": "parquet_sink", "path": ra},
+                 {"op": "parquet_sink", "path": rb},
+             ]},
+        ],
+    }
+    from_spec(routed).run(spark, config={"DATA": sf_dir})
+    ne = spark.read.parquet(ra).count()
+    no = spark.read.parquet(rb).count()
+    assert ne + no == n and ne > 0 and no > 0
+    assert spark.read.parquet(ra).filter("n_nationkey % 2 <> 0").count() == 0
