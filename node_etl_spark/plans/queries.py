@@ -2927,3 +2927,60 @@ from ..functions import profile as P  # noqa: E402
 )
 def q90_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.histogram(table(spark, sf_dir, "lineitem"), "l_extendedprice", bins=20)
+
+
+@register(
+    "q91_balance_distribution",
+    """
+    SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+    """,
+    doc="Relative-standing window functions per segment: percent_rank "
+        "and cume_dist are tie-stable (no arbitrary-order dependence), "
+        "one shuffle on the partition key.",
+)
+def q91_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "q92_reorder_gaps",
+    """
+    WITH g AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               lead(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS next_date
+        FROM orders)
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           date_diff('day', o_orderdate, next_date) AS days_to_next
+    FROM g WHERE next_date IS NOT NULL
+    """,
+    doc="Re-order gap per customer: lead() over a deterministic "
+        "(date, id) order — the inter-arrival building block for "
+        "churn/retention features; one shuffle on the entity key.",
+)
+def q92_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            ymd("o_orderdate").alias("order_date"),
+            F.datediff(
+                F.lead("o_orderdate").over(w), F.col("o_orderdate")
+            ).cast("long").alias("days_to_next"),
+        )
+        .filter(F.col("days_to_next").isNotNull())
+    )
