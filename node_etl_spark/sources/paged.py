@@ -119,3 +119,111 @@ class PagedRestSource(Source):
         # schema inference with file-based JSON reads
         rdd = spark.sparkContext.parallelize([json.dumps(r) for r in all_rows])
         return spark.read.json(rdd)
+
+
+# ---------------------------------------------------------------------
+# Partition-parallel variant: a Spark 4 Python DataSource.
+#
+# The driver-side loop above is the faithful port of the reference's
+# sequential state machine; this is the scale path. When the server
+# reports (or the caller probes) a total row count, the page space is
+# a static partition of known work — so each executor can pull its own
+# page range in parallel, and ingestion throughput scales with the
+# cluster instead of the driver's socket. 1000 executors => 1000
+# concurrent page streams, each with the reference's retry-once
+# semantics (job-reader-paged.js:157-170).
+# ---------------------------------------------------------------------
+
+try:  # pyspark >= 4 only
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    _HAS_DATASOURCE_API = True
+except ImportError:  # pragma: no cover
+    _HAS_DATASOURCE_API = False
+
+
+if _HAS_DATASOURCE_API:
+
+    class PageRange(InputPartition):
+        def __init__(self, start_page: int, end_page: int) -> None:
+            self.start_page = start_page
+            self.end_page = end_page  # exclusive
+
+    class PagedRestDataSource(DataSource):
+        """``spark.read.format("paged_rest")`` — parallel paged-REST scan.
+
+        Options:
+
+        * ``url_template`` (required): with ``{%page%}``/``{%offset%}``/
+          ``{%limit%}`` placeholders.
+        * ``total_rows`` (required): known/probed total — defines the
+          page space (a first-page probe is one driver-side fetch).
+        * ``page_size`` (default 100, reference default page size),
+        * ``pages_per_partition`` (default 8): fetch granularity per
+          Spark task,
+        * ``rows_path`` (default ``data``): dotted path of the row
+          array inside each page document ('' = document is the array).
+
+        The schema is caller-supplied (``.schema(ddl)``); REST payloads
+        are dynamic JSON, and declaring the projection keeps the scan
+        columnar from the first batch.
+        """
+
+        @classmethod
+        def name(cls) -> str:
+            return "paged_rest"
+
+        def reader(self, schema) -> "PagedRestReader":
+            return PagedRestReader(schema, self.options)
+
+    class PagedRestReader(DataSourceReader):
+        def __init__(self, schema, options) -> None:
+            self.schema = schema
+            self.template = options["url_template"]
+            self.total_rows = int(options["total_rows"])
+            self.page_size = int(options.get("page_size", 100))
+            self.pages_per_partition = int(options.get("pages_per_partition", 8))
+            self.rows_path = options.get("rows_path", "data")
+
+        def partitions(self):
+            n_pages = -(-self.total_rows // self.page_size)
+            step = self.pages_per_partition
+            return [
+                PageRange(p, min(p + step, n_pages))
+                for p in range(0, n_pages, step)
+            ]
+
+        def read(self, partition: "PageRange"):
+            # runs on executors: pure-stdlib fetch + stdlib json
+            from ..context import get_path, render_template
+
+            fields = [f.name for f in self.schema.fields]
+            for page in range(partition.start_page, partition.end_page):
+                url = render_template(
+                    self.template,
+                    {
+                        "page": page,
+                        "offset": page * self.page_size,
+                        "limit": self.page_size,
+                    },
+                )
+                try:
+                    payload = _default_fetch(url)
+                except Exception:  # retry once after 1 s (reference)
+                    time.sleep(1.0)
+                    payload = _default_fetch(url)
+                doc = json.loads(payload)
+                rows = get_path(doc, self.rows_path) if self.rows_path else doc
+                for r in rows or []:
+                    yield tuple(r.get(f) for f in fields)
+
+
+def register_paged_rest(spark: SparkSession) -> None:
+    """Register the ``paged_rest`` format on this session."""
+    if not _HAS_DATASOURCE_API:  # pragma: no cover
+        raise RuntimeError("pyspark>=4 required for the paged_rest data source")
+    spark.dataSource.register(PagedRestDataSource)

@@ -109,3 +109,45 @@ def test_xml_roundtrip(spark, tmp_path):
     XmlSink(dest, row_tag="item").write(df, CTX)
     back = XmlSource(dest, row_tag="item").load(spark, CTX)
     assert {(r.id, r.name) for r in back.collect()} == {(1, "alpha"), (2, "beta")}
+
+
+def test_parallel_paged_rest_datasource(spark, tmp_path):
+    # partition-parallel paged scan: page files behind file:// URLs,
+    # 7 pages of 4 rows (last short) split into 3-page task ranges
+    import json as _json
+
+    from node_etl_spark.sources.paged import (
+        PagedRestReader,
+        register_paged_rest,
+    )
+
+    total, size = 26, 4
+    rows = [{"id": i, "name": f"r{i}"} for i in range(total)]
+    for p in range(7):
+        (tmp_path / f"page_{p}.json").write_text(
+            _json.dumps({"data": rows[p * size : (p + 1) * size]})
+        )
+    register_paged_rest(spark)
+    df = (
+        spark.read.format("paged_rest")
+        .schema("id long, name string")
+        .option("url_template", f"file://{tmp_path}/page_{{%page%}}.json")
+        .option("total_rows", total)
+        .option("page_size", size)
+        .option("pages_per_partition", 3)
+        .load()
+    )
+    got = sorted((r.id, r.name) for r in df.collect())
+    assert got == [(i, f"r{i}") for i in range(total)]
+    # the page space really is split into parallel ranges
+    reader = PagedRestReader(
+        df.schema,
+        {
+            "url_template": "x",
+            "total_rows": str(total),
+            "page_size": str(size),
+            "pages_per_partition": "3",
+        },
+    )
+    parts = reader.partitions()
+    assert [(p.start_page, p.end_page) for p in parts] == [(0, 3), (3, 6), (6, 7)]
