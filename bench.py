@@ -76,6 +76,10 @@ HEADLINE = [
     "q84_waiting_suppliers",
     "q85_repetition_signals",
     "q86_decontaminate",
+    "q88_centroid_outliers",
+    "q90_price_histogram",
+    "q92_reorder_gaps",
+    "q93_incremental_dedup",
 ]
 
 

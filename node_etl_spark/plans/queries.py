@@ -2984,3 +2984,39 @@ def q92_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("days_to_next").isNotNull())
     )
+
+
+@register(
+    "q93_incremental_dedup",
+    f"""
+    WITH s AS (
+        SELECT doc_id, text, {SA.hash_split_case_sql('doc_id', _SPLITS)} AS split,
+               md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS fp
+        FROM documents)
+    SELECT n.doc_id, n.fp
+    FROM s n
+    WHERE n.split = 'test'
+      AND EXISTS (SELECT 1 FROM s c
+                  WHERE c.split = 'train' AND c.fp = n.fp)
+    """,
+    doc="Incremental-ingest dedup gate: new-batch documents whose "
+        "leading-content fingerprint (first 10 tokens — the cheap "
+        "boilerplate/mirror detector) already exists in the corpus — "
+        "a semi-join on the hash, the plan an append pipeline runs "
+        "before admitting a batch (anti-join = the complement that "
+        "gets ingested).",
+)
+def q93_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = SA.hash_split(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        _SPLITS,
+    ).withColumn(
+        "fp", F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 10)))
+    )
+    corpus = docs.filter("split = 'train'").select("fp")
+    return (
+        docs.filter("split = 'test'")
+        .join(corpus, "fp", "left_semi")
+        .select("doc_id", "fp")
+    )
