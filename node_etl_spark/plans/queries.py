@@ -3020,3 +3020,42 @@ def q93_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(corpus, "fp", "left_semi")
         .select("doc_id", "fp")
     )
+
+
+@register(
+    "q94_salted_enrichment",
+    """
+    SELECT o.o_orderkey, c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+    """ + dsum_sql("l.l_extendedprice * (1 - l.l_discount)", 4) + """ AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1, 2
+    """,
+    doc="Skew-armored fact enrichment: the lineitem->orders join runs "
+        "through salted_join (deterministic hash shard + replicated "
+        "right side), proving salting is semantics-neutral — the "
+        "oracle is the plain join. For genuinely hot keys this is the "
+        "fallback when AQE's runtime skew split can't apply.",
+)
+def q94_salted_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(li, o, on="o_orderkey", salt=8)
+    return (
+        joined.join(F.broadcast(c), joined["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice * (1 - l_discount)", 4).alias("revenue"),
+        )
+    )
