@@ -3059,3 +3059,31 @@ def q94_salted_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice * (1 - l_discount)", 4).alias("revenue"),
         )
     )
+
+
+@register(
+    "q95_json_props_rollup",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS total_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER)
+               AS max_k
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Semi-structured extraction in-plane: the JSON props string "
+        "parses to a typed struct at the scan (from_json — the "
+        "reference's JSONStream rootNode analog, job-parser-json.js) "
+        "and aggregates without ever materializing untyped rows.",
+)
+def q95_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn(
+        "k", F.from_json("props", "k INT").getField("k")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("bigint").alias("total_k"),
+        F.max("k").alias("max_k"),
+    )
