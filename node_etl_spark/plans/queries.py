@@ -3087,3 +3087,62 @@ def q95_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("total_k"),
         F.max("k").alias("max_k"),
     )
+
+
+@register(
+    "q96_calendar_coverage",
+    """
+    WITH spine AS (
+        SELECT CAST(unnest(generate_series(DATE '1996-01-01',
+                                           DATE '1996-12-31',
+                                           INTERVAL 1 DAY)) AS DATE) AS d),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1)
+    SELECT CAST(EXTRACT(MONTH FROM spine.d) AS INTEGER) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN daily.n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS days_with_orders,
+           CAST(SUM(COALESCE(daily.n, 0)) AS BIGINT) AS total_orders
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    GROUP BY 1
+    """,
+    doc="Calendar-spine coverage: a generated date spine (sequence + "
+        "explode — rows from no table) left-joins daily order counts "
+        "so zero-activity days survive into the monthly rollup; the "
+        "spine is a year of rows, always broadcast.",
+)
+def q96_calendar_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit("1996-01-01")),
+                F.to_date(F.lit("1996-12-31")),
+            )
+        ).alias("d")
+    )
+    daily = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "d", "left")
+        .groupBy(F.month("d").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.when(F.col("n").isNotNull(), 1).otherwise(0)).alias(
+                "days_with_orders"
+            ),
+            F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("total_orders"),
+        )
+    )
