@@ -3146,3 +3146,75 @@ def q96_calendar_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("total_orders"),
         )
     )
+
+
+@register(
+    "q97_event_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t1
+        WHERE e.event_type = 'click' GROUP BY 1),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t2
+        WHERE e.event_type = 'purchase' GROUP BY 1)
+    SELECT * FROM (
+        SELECT 1 AS stage_idx, 'view' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM p)
+    """,
+    doc="Strict-order conversion funnel (view -> click -> purchase): "
+        "each stage is a conditional-min agg joined to the previous "
+        "stage's first-qualifying timestamp — per-stage frames stay "
+        "keyed on user_id, so every join shuffles on the same key and "
+        "AQE can reuse the exchange.",
+)
+def q97_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter("event_type = 'view'")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter("event_type = 'click'")
+        .alias("e")
+        .join(
+            v.alias("v"),
+            (F.col("e.user_id") == F.col("v.user_id"))
+            & (F.col("e.ts") >= F.col("v.t1")),
+        )
+        .groupBy(F.col("e.user_id").alias("user_id"))
+        .agg(F.min("e.ts").alias("t2"))
+    )
+    p = (
+        ev.filter("event_type = 'purchase'")
+        .alias("e")
+        .join(
+            c.alias("c"),
+            (F.col("e.user_id") == F.col("c.user_id"))
+            & (F.col("e.ts") >= F.col("c.t2")),
+        )
+        .groupBy(F.col("e.user_id").alias("user_id"))
+        .agg(F.min("e.ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        stage(v, 1, "view")
+        .unionAll(stage(c, 2, "click"))
+        .unionAll(stage(p, 3, "purchase"))
+    )
