@@ -3218,3 +3218,37 @@ def q97_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(c, 2, "click"))
         .unionAll(stage(p, 3, "purchase"))
     )
+
+
+@register(
+    "q98_retention_cohorts",
+    """
+    WITH f AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+        FROM events GROUP BY 1),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day FROM events)
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           date_diff('day', f.cohort_day, activity.act_day) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM f JOIN activity ON f.user_id = activity.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Daily retention cohort matrix: users keyed to their "
+        "first-event day, distinct activity days joined back on "
+        "user_id, counts per (cohort, day offset). Day offsets are "
+        "date arithmetic (engine-portable); both aggs and the join "
+        "share the user_id shuffle key.",
+)
+def q98_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    cohort = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("cd"))
+    activity = ev.select("user_id", F.col("ts").cast("date").alias("act_day")).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cd", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("act_day", "cd").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
