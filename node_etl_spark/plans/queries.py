@@ -3252,3 +3252,108 @@ def q98_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "q99_locf_imputation",
+    """
+    WITH spine AS (
+        SELECT u.user_id, CAST(d.d AS DATE) AS day
+        FROM (SELECT DISTINCT user_id FROM events) u,
+             (SELECT unnest(generate_series(DATE '2024-01-01',
+                                            DATE '2024-01-30',
+                                            INTERVAL 1 DAY)) AS d) d),
+    daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                   AS day_value
+        FROM events GROUP BY 1, 2)
+    SELECT spine.user_id, strftime(spine.day, '%Y-%m-%d') AS day,
+           last_value(daily.day_value IGNORE NULLS) OVER (
+               PARTITION BY spine.user_id ORDER BY spine.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_value
+    FROM spine LEFT JOIN daily
+      ON spine.user_id = daily.user_id AND spine.day = daily.day
+    """,
+    doc="Time-series gap filling: per-user daily spine (cross join "
+        "with a generated calendar — broadcast, rows = users x days) "
+        "left-joined to daily averages, then last-observation-carried-"
+        "forward via an ignore-nulls running window. The "
+        "feature-engineering imputation op; one shuffle on user_id "
+        "shared by the join and the window.",
+)
+def q99_locf_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(
+        F.broadcast(
+            ev.sparkSession.range(1).select(
+                F.explode(
+                    F.sequence(
+                        F.to_date(F.lit("2024-01-01")),
+                        F.to_date(F.lit("2024-01-30")),
+                    )
+                ).alias("day")
+            )
+        )
+    )
+    cnt = F.count(F.lit(1))
+    daily = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg((dsum("value", 4) / cnt).alias("day_value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
+@register(
+    "q100_value_anomalies",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sq
+        FROM events GROUP BY 1),
+    z AS (
+        SELECT e.event_id, e.event_type, e.value,
+               round((e.value - s / n)
+                     / sqrt((sq - s * s / n) / (n - 1)), 6) AS zscore
+        FROM events e JOIN stats ON e.event_type = stats.event_type)
+    SELECT event_id, event_type, value, zscore
+    FROM z WHERE abs(zscore) > 3
+    """,
+    doc="Z-score anomaly sweep per event_type: variance from exact "
+        "decimal sum/sum-of-squares (engine-portable, order-"
+        "independent — built-in stddev's accumulation order is not), "
+        "stats broadcast back onto the scan, flag |z| > 3.",
+)
+def q100_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", 4).alias("s"),
+        F.sum(F.expr("CAST(value * value AS DECIMAL(28,8))"))
+        .cast("double")
+        .alias("sq"),
+    )
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt((F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("zscore", F.round((F.col("value") - mean) / std, 6))
+        .filter(F.abs("zscore") > 3)
+        .select("event_id", "event_type", "value", "zscore")
+    )
