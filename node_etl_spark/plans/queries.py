@@ -3357,3 +3357,24 @@ def q100_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs("zscore") > 3)
         .select("event_id", "event_type", "value", "zscore")
     )
+
+
+@register(
+    "q101_approx_percentiles",
+    None,  # sketch estimates are engine-specific; accuracy pinned in tests/
+    doc="Approximate percentiles per segment (Greenwald-Khanna / "
+        "t-digest-class sketch, bounded memory) — the 100TB companion "
+        "to exact percentile q44: mergeable per-partition sketches, "
+        "one narrow shuffle of sketch state instead of a global sort.",
+)
+def q101_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.percentile_approx(
+                "c_acctbal", [0.5, 0.9, 0.99], 10000
+            ).alias("approx_pcts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

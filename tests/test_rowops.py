@@ -107,3 +107,35 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     )
     for r in got:
         assert abs(r.approx - r.exact) <= max(3, 0.06 * r.exact)
+
+
+def test_approx_percentiles_accuracy(spark, sf_dir):
+    # q101 rows-only query: sketch estimates must sit within 2% of the
+    # exact interpolated percentiles on the gate data
+    from node_etl_spark.plans import QUERIES
+    from node_etl_spark.tables import table
+
+    got = {
+        r.c_mktsegment: r.approx_pcts
+        for r in QUERIES["q101_approx_percentiles"].fn(spark, sf_dir).collect()
+    }
+    import pyspark.sql.functions as F
+
+    # percentile_approx guarantees RANK accuracy (returns a real data
+    # value within eps of the target rank), so bracket each estimate
+    # between the exact quantiles at p +/- 2%
+    lo_hi = {
+        r.c_mktsegment: (r.lo, r.hi)
+        for r in table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr("percentile(c_acctbal, array(0.48, 0.88, 0.97))").alias("lo"),
+            F.expr("percentile(c_acctbal, array(0.52, 0.92, 1.0))").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(lo_hi)
+    for seg, approx in got.items():
+        lo, hi = lo_hi[seg]
+        for a, l, h in zip(approx, lo, hi):
+            assert l <= a <= h, (seg, a, l, h)
