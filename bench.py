@@ -80,6 +80,9 @@ HEADLINE = [
     "q90_price_histogram",
     "q92_reorder_gaps",
     "q93_incremental_dedup",
+    "q97_event_funnel",
+    "q99_locf_imputation",
+    "q100_value_anomalies",
 ]
 
 
