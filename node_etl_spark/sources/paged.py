@@ -19,6 +19,9 @@ from __future__ import annotations
 
 import json
 import time
+
+import pandas as pd  # module-level: pandas_udf resolves stringified
+# type hints (PEP 563 above) against module globals
 from typing import TYPE_CHECKING, Any, Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -227,3 +230,56 @@ def register_paged_rest(spark: SparkSession) -> None:
     if not _HAS_DATASOURCE_API:  # pragma: no cover
         raise RuntimeError("pyspark>=4 required for the paged_rest data source")
     spark.dataSource.register(PagedRestDataSource)
+
+
+# ---------------------------------------------------------------------
+# API-case JoinDetail: per-master-row URL enrichment.
+#
+# Reference JoinDetail re-instantiates a reader stream per master row,
+# with an initer building the row's URL from context.master
+# (job-join-detail.js:90-91, examples/trud.js:55), and passes the
+# master through bare when the detail fetch fails (93-96). The
+# data-case decorrelation lives in operators/joins.py (JoinDetail);
+# this is the API case: fetches run executor-side in Arrow batches, so
+# enrichment throughput scales with the cluster while
+# ``max_per_second`` caps each task's politeness budget (global rate
+# ~= max_per_second x tasks; repartition the master frame to set the
+# task count). Failed fetches yield NULL payloads — the reference's
+# pass-through-on-error semantics — and the payload stays a raw string
+# for a downstream ``from_json`` with a declared schema.
+# ---------------------------------------------------------------------
+
+
+def fetch_details(
+    df: DataFrame,
+    url_col: str,
+    out_col: str = "payload",
+    fetch: Callable[[str], bytes] | None = None,
+    max_per_second: float | None = None,
+) -> DataFrame:
+    """Add ``out_col``: the fetched body (UTF-8 text) of each row's
+    ``url_col``, NULL where the fetch fails. ``fetch`` must be
+    picklable (module-level function); defaults to urllib."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    fetcher = fetch or (lambda url: _default_fetch(url))
+    min_interval = 1.0 / max_per_second if max_per_second else 0.0
+
+    @pandas_udf("string")
+    def _fetch(urls: pd.Series) -> pd.Series:
+        out = []
+        last = 0.0
+        for u in urls:
+            if min_interval:
+                wait = last + min_interval - time.monotonic()
+                if wait > 0:
+                    time.sleep(wait)
+                last = time.monotonic()
+            try:
+                out.append(fetcher(u).decode("utf-8"))
+            except Exception:  # reference: master passes through bare
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    return df.withColumn(out_col, _fetch(F.col(url_col)))

@@ -151,3 +151,27 @@ def test_parallel_paged_rest_datasource(spark, tmp_path):
     )
     parts = reader.partitions()
     assert [(p.start_page, p.end_page) for p in parts] == [(0, 3), (3, 6), (6, 7)]
+
+
+def test_fetch_details_enrichment(spark, tmp_path):
+    # API-case JoinDetail: per-row URL fetch executor-side, NULL on
+    # fetch error (reference pass-through-on-error), payload parsed
+    # downstream with from_json
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.sources.paged import fetch_details
+
+    for key in (1, 2):  # row 3 has no file -> fetch error -> NULL
+        (tmp_path / f"detail_{key}.json").write_text(
+            _json.dumps({"score": key * 10})
+        )
+    df = spark.createDataFrame([(1,), (2,), (3,)], "id int").withColumn(
+        "url", F.concat(F.lit(f"file://{tmp_path}/detail_"), "id", F.lit(".json"))
+    )
+    out = fetch_details(df, "url", max_per_second=1000).withColumn(
+        "score", F.from_json("payload", "score INT").getField("score")
+    )
+    got = {r.id: r.score for r in out.collect()}
+    assert got == {1: 10, 2: 20, 3: None}
