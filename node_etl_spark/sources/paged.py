@@ -27,7 +27,7 @@ from typing import TYPE_CHECKING, Any, Callable, Iterator
 from pyspark.sql import DataFrame, SparkSession
 
 from ..context import Context, get_path, render_template
-from ..operators.base import Source
+from ..operators.base import Source, Transform
 
 if TYPE_CHECKING:
     pass
@@ -283,3 +283,59 @@ def fetch_details(
         return pd.Series(out, dtype="object")
 
     return df.withColumn(out_col, _fetch(F.col(url_col)))
+
+
+class FetchDetails(Transform):
+    """Spec-friendly form of :func:`fetch_details` (reference
+    JoinDetail's initer-built per-master URL, examples/trud.js:55):
+    ``url_template`` carries a ``$VAR`` config root and ``{%col%}``
+    placeholders that render per row from the frame's columns —
+    resolved at apply time against the pipeline Context, exactly like
+    reader source URLs. Alternatively pass ``url_col`` for a
+    pre-built URL column."""
+
+    def __init__(
+        self,
+        url_template: str | None = None,
+        url_col: str | None = None,
+        out_col: str = "payload",
+        max_per_second: float | None = None,
+        fetch: Callable[[str], bytes] | None = None,
+        name: str | None = None,
+    ) -> None:
+        super().__init__(name)
+        if (url_template is None) == (url_col is None):
+            raise ValueError("exactly one of url_template / url_col required")
+        self.url_template = url_template
+        self.url_col = url_col
+        self.out_col = out_col
+        self.max_per_second = max_per_second
+        self.fetch = fetch
+
+    def apply(self, df: DataFrame, ctx: "Context") -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from ..context import _PLACEHOLDER
+
+        if self.url_col is not None:
+            return fetch_details(
+                df, self.url_col, out_col=self.out_col,
+                fetch=self.fetch, max_per_second=self.max_per_second,
+            )
+        tpl = ctx.expand_var(self.url_template)
+        segs, pos = [], 0
+        for m in _PLACEHOLDER.finditer(tpl):
+            if m.start() > pos:
+                segs.append(F.lit(tpl[pos:m.start()]))
+            segs.append(F.col(m.group(1).strip()).cast("string"))
+            pos = m.end()
+        if pos < len(tpl):
+            segs.append(F.lit(tpl[pos:]))
+        out = fetch_details(
+            df.withColumn("__detail_url", F.concat(*segs)),
+            "__detail_url",
+            out_col=self.out_col,
+            fetch=self.fetch,
+            max_per_second=self.max_per_second,
+        )
+        return out.drop("__detail_url")

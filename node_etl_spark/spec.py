@@ -211,6 +211,17 @@ def _exact_dedup_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     return FnTransform(fn, name="exact_dedup")
 
 
+def _fetch_details_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    from .sources.paged import FetchDetails
+
+    return FetchDetails(
+        url_template=d.get("url_template"),
+        url_col=d.get("url_col"),
+        out_col=d.get("out", "payload"),
+        max_per_second=d.get("max_per_second"),
+    )
+
+
 def _hash_split_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     from .functions.sampling import hash_split
 
@@ -229,6 +240,8 @@ _REGISTRY.update(
         "lang": _lang_op,
         "exact_dedup": _exact_dedup_op,
         "hash_split": _hash_split_op,
+        # API-case JoinDetail (reference examples/trud.js)
+        "fetch_details": _fetch_details_op,
     }
 )
 

@@ -210,3 +210,30 @@ def test_spec_splitter_fanout_and_route(spark, sf_dir, tmp_path):
     no = spark.read.parquet(rb).count()
     assert ne + no == n and ne > 0 and no > 0
     assert spark.read.parquet(ra).filter("n_nationkey % 2 <> 0").count() == 0
+
+
+def test_example_api_enrichment_spec(spark, sf_dir, tmp_path):
+    # examples/api_enrichment.json end-to-end: the reference's trud.js
+    # shape (per-master URL detail fetch + enrichment) as one spec
+    # document; nation 3's detail file is missing -> NULL population
+    # (reference pass-through-on-error)
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = json.load(open(os.path.join(root, "examples", "api_enrichment.json")))
+    api = tmp_path / "api"
+    api.mkdir()
+    n = spark.read.parquet(sf_dir + "/nation.parquet").count()
+    for k in range(n):
+        if k == 3:
+            continue
+        (api / f"nation_{k}.json").write_text('{"population": %d}' % (k * 1000))
+    out = str(tmp_path / "out")
+    from_spec(spec).run(
+        spark, config={"DATA": sf_dir, "API": f"file://{api}", "OUT": out}
+    )
+    got = {r.n_nationkey: r.population for r in
+           spark.read.parquet(out + "/enriched_nations").collect()}
+    assert len(got) == n
+    assert got[3] is None
+    assert got[5] == 5000
