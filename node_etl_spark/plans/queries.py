@@ -3411,3 +3411,31 @@ def q102_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q103_lineno_integrity",
+    """
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(MAX(l_linenumber) AS INTEGER) AS max_lineno
+    FROM lineitem
+    GROUP BY 1
+    HAVING COUNT(*) <> MAX(l_linenumber)
+    """,
+    doc="Sequence-integrity audit: orders whose line numbers are not "
+        "the dense 1..n sequence (count <> max) — the referential/"
+        "completeness check an ingest pipeline runs per batch; one "
+        "agg, HAVING evaluated post-partial so violations alone leave "
+        "the final stage.",
+)
+def q103_lineno_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.max("l_linenumber").alias("max_lineno"),
+        )
+        .filter(F.col("n_lines") != F.col("max_lineno"))
+    )

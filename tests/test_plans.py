@@ -169,3 +169,16 @@ def test_histogram_minmax_broadcasts(spark, sf_dir):
     # and the only wide op is the count-by-bin agg
     plan = _plan(spark, sf_dir, "q90_price_histogram")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_aqe_coalesces_small_shuffles(spark, sf_dir):
+    # config posture: AQE must be live and actually re-planning —
+    # after execution the 32-partition shuffle of a small agg should
+    # read back coalesced
+    from node_etl_spark.plans import QUERIES
+
+    df = QUERIES["q05_group_count"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan isFinalPlan=true" in plan
+    assert "AQEShuffleRead coalesced" in plan
