@@ -3439,3 +3439,38 @@ def q103_lineno_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_lines") != F.col("max_lineno"))
     )
+
+
+@register(
+    "q104_brand_mode",
+    """
+    WITH counts AS (
+        SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM part GROUP BY 1, 2),
+    ranked AS (
+        SELECT p_brand, p_type, n,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY n DESC, p_type) AS rk
+        FROM counts)
+    SELECT p_brand, p_type AS mode_type, n
+    FROM ranked WHERE rk = 1
+    """,
+    doc="Per-group mode (most frequent p_type per brand) with a "
+        "deterministic tiebreak — two-phase count then a tiny window "
+        "over the already-aggregated frame (built-in mode() has "
+        "engine-specific ties, so the explicit form is the portable "
+        "and scale-safe one: the window sees |brands x types| rows, "
+        "not the corpus).",
+)
+def q104_brand_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_brand", "p_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("n").desc(), "p_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("p_brand", F.col("p_type").alias("mode_type"), "n")
+    )
