@@ -61,11 +61,13 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        t_spark = time.time() - t0
         if q.oracle is None:
-            print(f"SKIP-ORACLE {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+            print(f"SKIP-ORACLE {name}: rows={len(srows)} ({t_spark:.1f}s spark)")
             if not srows:
                 print(f"  WARN {name}: zero rows (weak check)")
             continue
+        t0 = time.time()
         try:
             res = con.execute(q.oracle)
             ocols = [d[0] for d in res.description]
@@ -88,7 +90,10 @@ def main() -> int:
                 print(f"FAIL {name}: value mismatch, first diffs: {bad}")
                 ok = False
         if ok:
-            print(f"OK   {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(
+                f"OK   {name}: {len(srows)} rows "
+                f"({t_spark:.1f}s spark, {time.time()-t0:.1f}s duckdb)"
+            )
         else:
             failures.append(name)
     print(f"\n{n_run - len(failures)}/{n_run} passed")
