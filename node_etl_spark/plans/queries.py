@@ -3474,3 +3474,51 @@ def q104_brand_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rk = 1")
         .select("p_brand", F.col("p_type").alias("mode_type"), "n")
     )
+
+
+@register(
+    "q105_streaming_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Structured Streaming on the correctness gate: the events "
+        "table replayed through a real availableNow stream "
+        "(readStream -> 1h tumbling windows with a 2h watermark -> "
+        "memory sink); tumbling windows are SQL-expressible, so the "
+        "stream's final state hash-matches the batch oracle exactly — "
+        "the stream/batch-parity guarantee the streaming module "
+        "promises.",
+)
+def q105_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..streaming import stream as st
+
+    # normalize the (nanosecond-timestamp) source to a us-timestamp
+    # copy streams can read, then replay it as micro-batches
+    staged = tempfile.mkdtemp(prefix="netl_stream_") + "/events"
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").parquet(staged)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    out = st.windowed_agg(
+        st.stream_source(spark, staged, schema),
+        window="1 hour",
+        watermark="2 hours",
+    )
+    sink = f"q105_{uuid.uuid4().hex[:8]}"
+    st.run_to_memory(out, sink, mode="complete")
+    return spark.table(sink).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
