@@ -3516,6 +3516,10 @@ def q105_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = f"q105_{uuid.uuid4().hex[:8]}"
     st.run_to_memory(out, sink, mode="complete")
+    # results now live in the memory sink; drop the staged copy
+    import shutil
+
+    shutil.rmtree(staged.rsplit("/", 1)[0], ignore_errors=True)
     return spark.table(sink).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
