@@ -3526,3 +3526,437 @@ def q105_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+# --------------------------------------------------------------------
+# q106-q115 — session-4 batch: CDC interval-ization, skew diagnostics,
+# fuzzy matching, weighted sampling, rolling distinct, vocabulary
+# growth, robust outliers, partition checksums, incremental rollup
+# maintenance, ordered path aggregation.
+# --------------------------------------------------------------------
+
+_TS_US_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_US_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@register(
+    "q106_scd2_intervals",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN event_type = lag(event_type) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                    THEN 0 ELSE 1 END AS chg
+        FROM events),
+    islands AS (
+        SELECT user_id, event_type, ts,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM ordered),
+    spans AS (
+        SELECT user_id, island,
+               min(event_type) AS event_type,
+               min(ts) AS vf,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM islands GROUP BY user_id, island)
+    SELECT user_id, event_type,
+           strftime(vf, '{_TS_US_DUCK}') AS valid_from,
+           strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY island),
+                    '{_TS_US_DUCK}') AS valid_to,
+           n_events
+    FROM spans
+    """,
+    doc="SCD Type-2 interval build from a change log (gaps-and-islands): "
+        "collapse consecutive same-state runs per user, then "
+        "interval-ize with lead() — open intervals get NULL valid_to. "
+        "The reference's closest idiom is stateful Thru carrying "
+        "running state across rows (examples/bor-dwc.js:48-66); here "
+        "it is two windows + one agg, all map-side-combinable, and "
+        "partition-parallel by user at 100TB.",
+)
+def q106_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events")
+    chg = ev.withColumn(
+        "chg",
+        F.when(
+            F.col("event_type") == F.lag("event_type").over(w), F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    isl = chg.withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("vf"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("island")
+    return spans.select(
+        "user_id",
+        "event_type",
+        F.date_format("vf", _TS_US_SPARK).alias("valid_from"),
+        F.date_format(F.lead("vf").over(w2), _TS_US_SPARK).alias("valid_to"),
+        "n_events",
+    )
+
+
+@register(
+    "q107_skew_profile",
+    """
+    WITH per_key AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM lineitem GROUP BY l_orderkey)
+    SELECT group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(group_size * COUNT(*) AS BIGINT) AS rows_covered
+    FROM per_key GROUP BY group_size
+    """,
+    doc="Shuffle-key skew diagnostics: count-of-counts (frequency of "
+        "group sizes) over the join key. Two map-side-combinable "
+        "aggregations with a tiny result — the pre-flight check that "
+        "decides whether a 100TB join needs salting (q94) or AQE skew "
+        "handling before you pay for the real shuffle.",
+)
+def q107_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_key = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    return per_key.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        (F.col("group_size") * F.count(F.lit(1))).cast("bigint").alias("rows_covered"),
+    )
+
+
+@register(
+    "q108_fuzzy_part_pairs",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    doc="Blocked fuzzy-match join (entity resolution): candidate pairs "
+        "only within a blocking key (p_brand), then edit-distance "
+        "filter — sum(|block|^2) comparisons instead of n^2. "
+        "levenshtein is JVM-codegen in Spark; at corpus scale swap "
+        "blocking for the PPJoin prefix filter (functions/dedup.py).",
+)
+def q108_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+        .filter("dist <= 4")
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            "dist",
+        )
+    )
+
+
+@register(
+    "q109_weighted_sample",
+    """
+    WITH keyed AS (
+        SELECT o_orderkey, o_totalprice,
+               -ln((CAST((o_orderkey * 2654435761) % 4294967296 AS DOUBLE)
+                    + 1.0) / 4294967297.0) / o_totalprice AS clock
+        FROM orders)
+    SELECT o_orderkey, o_totalprice
+    FROM keyed ORDER BY clock, o_orderkey LIMIT 100
+    """,
+    doc="Deterministic weighted sampling without replacement "
+        "(exponential clocks / A-ES): u from a portable multiplicative "
+        "integer hash (exact in both engines), priority -ln(u)/weight, "
+        "take the 100 smallest. TakeOrderedAndProject keeps it a "
+        "per-partition top-k + driver merge — no global sort at 100TB, "
+        "and the sample is reproducible regardless of partitioning.",
+)
+def q109_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keyed = table(spark, sf_dir, "orders").withColumn(
+        "clock",
+        -F.log(
+            (
+                ((F.col("o_orderkey") * 2654435761) % 4294967296).cast("double")
+                + F.lit(1.0)
+            )
+            / F.lit(4294967297.0)
+        )
+        / F.col("o_totalprice"),
+    )
+    return (
+        keyed.orderBy("clock", "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q110_rolling_distinct_users",
+    """
+    WITH daily AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM daily)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT daily.user_id) AS BIGINT) AS users_7d
+    FROM days JOIN daily
+      ON daily.d >= days.d - INTERVAL 6 DAY AND daily.d <= days.d
+    GROUP BY days.d
+    """,
+    doc="Rolling 7-day distinct users per day — exact sliding distinct "
+        "count. countDistinct over a window frame is not expressible, "
+        "so: dedup to (day, user) first (bounds the probe to "
+        "|days x users|), then a broadcast range join against the "
+        "tiny day spine. At 100TB the daily dedup is the only big "
+        "shuffle; the spine join stays broadcast forever.",
+)
+def q110_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        table(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("d"), "user_id")
+        .distinct()
+    )
+    days = daily.select(F.col("d").alias("spine_d")).distinct()
+    return (
+        daily.join(
+            F.broadcast(days),
+            (F.col("d") >= F.date_sub(F.col("spine_d"), 6))
+            & (F.col("d") <= F.col("spine_d")),
+        )
+        .groupBy("spine_d")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .select(F.date_format("spine_d", "yyyy-MM-dd").alias("day"), "users_7d")
+    )
+
+
+@register(
+    "q111_vocab_growth",
+    """
+    WITH firsts AS (
+        SELECT t AS token, min(doc_id) AS first_doc
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+        GROUP BY t),
+    batches AS (
+        SELECT first_doc AS batch,
+               CAST(COUNT(*) AS BIGINT) AS new_tokens
+        FROM firsts GROUP BY 1)
+    SELECT batch, new_tokens,
+           CAST(SUM(new_tokens) OVER (ORDER BY batch
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS vocab_size
+    FROM batches
+    """,
+    doc="Vocabulary growth curve (Heaps-law profile): first-occurrence "
+        "doc per token, bucketed into 100-doc ingest batches, with a "
+        "cumulative vocabulary size. The explode+min shuffle is the "
+        "only corpus-sized stage; the running sum runs over |batches| "
+        "rows. Detects corpus staleness/drift during 100TB ingest.",
+)
+def q111_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    firsts = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter("token <> ''")
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    batches = (
+        firsts.groupBy(F.col("first_doc").alias("batch"))
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return batches.select(
+        "batch",
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("bigint").alias("vocab_size"),
+    )
+
+
+@register(
+    "q112_mad_outliers",
+    """
+    WITH med AS (
+        SELECT o_orderpriority, median(o_totalprice) AS med
+        FROM orders GROUP BY o_orderpriority),
+    dev AS (
+        SELECT o.o_orderpriority, o.o_totalprice, m.med,
+               abs(o.o_totalprice - m.med) AS adev
+        FROM orders o JOIN med m USING (o_orderpriority)),
+    mad AS (
+        SELECT o_orderpriority, median(adev) AS mad FROM dev
+        GROUP BY o_orderpriority)
+    SELECT d.o_orderpriority,
+           round(max(d.med), 4) AS med,
+           round(max(m.mad), 4) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (o_orderpriority)
+    GROUP BY d.o_orderpriority
+    """,
+    doc="Robust outlier detection via median absolute deviation "
+        "(3-sigma-equivalent 1.4826 scaling) — the z-score sweep's "
+        "(q100) robust twin, immune to the outliers it hunts. Two "
+        "exact-percentile aggs + broadcast join-backs; both engines "
+        "interpolate medians on the same sorted values so the "
+        "boundary decisions are bit-identical.",
+)
+def q112_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    dev = orders.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "adev", F.abs(F.col("o_totalprice") - F.col("med"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.max("med"), 4).alias("med"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "q113_partition_checksum",
+    """
+    SELECT strftime(l_shipdate, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(concat('0x', substr(md5(
+                concat(CAST(l_orderkey AS VARCHAR), '|',
+                       CAST(l_linenumber AS VARCHAR), '|',
+                       l_returnflag, '|',
+                       strftime(l_shipdate, '%Y-%m-%d'))), 1, 8))
+                AS BIGINT)) AS BIGINT) AS checksum
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Anti-entropy partition fingerprints: per-month row count + "
+        "order-independent checksum (sum of per-row md5-derived "
+        "64-bit values over the key columns). Fully map-side "
+        "combinable, output is |partitions| rows — at 100TB two "
+        "replicas compare without moving data, and a diverged month "
+        "pinpoints the partition to re-sync (pairs with "
+        "sources/upsert.py).",
+)
+def q113_partition_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    row_str = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_returnflag"),
+        F.date_format("l_shipdate", "yyyy-MM-dd"),
+    )
+    row_hash = F.conv(F.substring(F.md5(row_str.cast("binary")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(row_hash).cast("bigint").alias("checksum"),
+        )
+    )
+
+
+@register(
+    "q114_incremental_rollup",
+    f"""
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="Incremental materialized-rollup maintenance: the orders feed "
+        "arrives in two ingest batches; batch 1's partial aggregates "
+        "(count + exact decimal sum — both mergeable) are persisted as "
+        "the rollup table, then batch 2's partials merge in without "
+        "rescanning history. The final state equals the direct "
+        "GROUP BY over everything — the 100TB pattern where each "
+        "increment costs O(delta), not O(corpus).",
+)
+def q114_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            "o_orderpriority",
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        )
+
+    rollup_dir = tempfile.mkdtemp(prefix="netl_rollup_") + "/rollup"
+    partial(orders.filter("o_orderkey % 2 = 0")).write.mode("overwrite").parquet(
+        rollup_dir
+    )
+    existing = spark.read.parquet(rollup_dir)
+    return (
+        existing.unionByName(partial(orders.filter("o_orderkey % 2 = 1")))
+        .groupBy("day", "o_orderpriority")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("s").cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "q115_event_paths",
+    """
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    doc="Ordered path aggregation: each user's full event-type sequence "
+        "as one delimited string (sequence features for ML / funnel "
+        "inspection). Spark has no ordered string_agg, so: "
+        "collect_list of (ts, event_id, type) structs, array_sort "
+        "(struct field order = sort key), transform+array_join — one "
+        "shuffle, no window, per-user state bounded by session length.",
+)
+def q115_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
