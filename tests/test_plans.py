@@ -182,3 +182,40 @@ def test_aqe_coalesces_small_shuffles(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AdaptiveSparkPlan isFinalPlan=true" in plan
     assert "AQEShuffleRead coalesced" in plan
+
+
+def test_scd2_rides_one_user_shuffle(spark, sf_dir):
+    # both windows and the island agg cluster by user_id — everything
+    # after the first hash exchange must reuse that partitioning
+    plan = _plan(spark, sf_dir, "q106_scd2_intervals")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_weighted_sample_is_topk(spark, sf_dir):
+    # the sample must be per-partition top-k + driver merge, never a
+    # global sort of the corpus
+    plan = _plan(spark, sf_dir, "q109_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_rolling_distinct_broadcasts_spine(spark, sf_dir):
+    # the day-spine range join must broadcast the spine, not shuffle
+    # the (day, user) probe side into a cartesian
+    plan = _plan(spark, sf_dir, "q110_rolling_distinct_users")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_pairs_join_on_blocking_key(spark, sf_dir):
+    # the blocking key must be the equi-join condition; a nested-loop
+    # plan would mean n^2 levenshtein comparisons
+    plan = _plan(spark, sf_dir, "q108_fuzzy_part_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_checksum_is_single_shuffle(spark, sf_dir):
+    # per-row hashing is map-side; only the month rollup may shuffle
+    plan = _plan(spark, sf_dir, "q113_partition_checksum")
+    assert plan.count("Exchange hashpartitioning") == 1
