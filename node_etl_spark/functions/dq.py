@@ -1,0 +1,135 @@
+"""Declarative data-quality checks (Deequ-style assertion suite).
+
+The reference has no validation layer — its error policy is implicit
+(skip bad NDJSON lines with a warning, `jobs/readers/job-reader-jsons.js:41-44`;
+pass rows through unchanged when a join processor throws,
+`jobs/hi-order/job-joiner.js:94-97`). At 100 TB that policy silently
+corrupts downstream aggregates, so validation becomes a first-class
+pre-flight query instead:
+
+* every **row-level** check compiles to a conditional aggregate, so an
+  arbitrary number of them run in ONE scan (map-side combinable,
+  ``|checks|`` output rows, no shuffle of data rows);
+* **uniqueness** adds one count-by-key shuffle (partial aggs combine
+  map-side, only keys with duplicates survive the filter);
+* **referential** checks are left-anti joins against the dimension's
+  distinct keys — broadcast when the dimension is dimension-sized.
+
+Output is one long-format DataFrame ``(check, n_violations, n_rows,
+passed)`` — the shape a scheduler gates on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A row-level check is (name, violation_condition). The condition
+# marks BAD rows; NULL handling is explicit per builder so not_null
+# and domain checks compose without double-counting.
+
+
+def not_null(col: str) -> tuple[str, Column]:
+    return (f"not_null({col})", F.col(col).isNull())
+
+
+def in_range(col: str, lo, hi) -> tuple[str, Column]:
+    """Violated when a non-null value falls outside [lo, hi]."""
+    return (
+        f"in_range({col})",
+        F.col(col).isNotNull() & ~F.col(col).between(F.lit(lo), F.lit(hi)),
+    )
+
+
+def accepted_values(col: str, vals) -> tuple[str, Column]:
+    return (
+        f"accepted_values({col})",
+        F.col(col).isNotNull() & ~F.col(col).isin(list(vals)),
+    )
+
+
+def matches(col: str, pattern: str) -> tuple[str, Column]:
+    """Violated when a non-null value does not fully match ``pattern``."""
+    return (
+        f"matches({col})",
+        F.col(col).isNotNull() & ~F.col(col).rlike(pattern),
+    )
+
+
+def row_checks(df: DataFrame, checks: list[tuple[str, Column]]) -> DataFrame:
+    """All row-level checks in one conditional-aggregate pass.
+
+    Returns ``(check, n_violations)`` — one row per check, one scan
+    total regardless of how many checks run.
+    """
+    aggs = [
+        F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias(name)
+        for name, cond in checks
+    ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{name}', `{name}`" for name, _ in checks)
+    return wide.selectExpr(
+        f"stack({len(checks)}, {stack}) AS (check, n_violations)"
+    )
+
+
+def uniqueness_check(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Rows participating in any duplicate key group (0 = unique)."""
+    name = f"unique({','.join(cols)})"
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter("c > 1")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_violations"))
+        .select(F.lit(name).alias("check"), "n_violations")
+    )
+
+
+def referential_check(
+    df: DataFrame, col: str, dim: DataFrame, key: str, broadcast_dim: bool = True
+) -> DataFrame:
+    """Non-null foreign keys with no match in ``dim.key`` (orphans)."""
+    name = f"referential({col})"
+    keys = dim.select(F.col(key).alias(col)).distinct()
+    if broadcast_dim:
+        keys = F.broadcast(keys)
+    return (
+        df.filter(F.col(col).isNotNull())
+        .join(keys, on=col, how="left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+        .select(F.lit(name).alias("check"), "n_violations")
+    )
+
+
+def dq_suite(
+    df: DataFrame,
+    checks: list[tuple[str, Column]] = (),
+    unique: list[list[str]] = (),
+    references: list[tuple[str, DataFrame, str]] = (),
+) -> DataFrame:
+    """Run a full suite; returns ``(check, n_violations, n_rows, passed)``.
+
+    ``n_rows`` is computed once (single-row aggregate) and joined onto
+    every result row by broadcast — never a per-check rescan.
+    """
+    parts: list[DataFrame] = []
+    if checks:
+        parts.append(row_checks(df, list(checks)))
+    for cols in unique:
+        parts.append(uniqueness_check(df, list(cols)))
+    for col, dim, key in references:
+        parts.append(referential_check(df, col, dim, key))
+    if not parts:
+        raise ValueError("dq_suite: no checks given")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    total = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    return out.join(F.broadcast(total)).select(
+        "check",
+        "n_violations",
+        "n_rows",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -11,7 +11,7 @@ data rows to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -96,4 +96,100 @@ def histogram_oracle_sql(table: str, col: str, bins: int = 20) -> str:
            lo + (bin + 1) * ((hi - lo) / {bins}.0) AS hi_edge,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM binned GROUP BY 1, lo, hi
+    """
+
+
+def psi_drift(
+    df: DataFrame, col: str, is_ref: Column, bins: int = 10
+) -> DataFrame:
+    """Population Stability Index between two cohorts of one table.
+
+    Distribution-drift detection for ingest monitoring: bin ``col``
+    equi-width over the GLOBAL min/max (one single-row pre-agg,
+    broadcast back — both cohorts share edges), count each cohort per
+    bin in one conditional-aggregate pass, then per-bin
+    ``(p - q) * ln(p / q)`` with Laplace smoothing (+0.5 per bin) so
+    empty bins stay finite. Output: one row per bin with its PSI term
+    plus the ``total_psi`` (rule of thumb: <0.1 stable, >0.25 drifted).
+
+    The only data-sized ops are the min/max scan and the bin count —
+    both map-side combinable; everything after runs on ``bins`` rows.
+    The total is summed over round(term, 12) decimals, so it is
+    order-independent and engine-portable.
+    """
+    bounds = df.agg(
+        F.min(col).cast("double").alias("__lo"),
+        F.max(col).cast("double").alias("__hi"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    bin_ = F.least(
+        F.floor((F.col(col).cast("double") - F.col("__lo")) / width),
+        F.lit(bins - 1),
+    ).cast("int")
+    counts = (
+        df.withColumn("__is_ref", F.when(is_ref, F.lit(1)).otherwise(F.lit(0)))
+        .join(F.broadcast(bounds))
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.sum("__is_ref").cast("bigint").alias("n_ref"),
+            F.sum(1 - F.col("__is_ref")).cast("bigint").alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("double").alias("__t_ref"),
+        F.sum("n_cur").cast("double").alias("__t_cur"),
+    )
+    smooth = F.lit(0.5 * bins)
+    p = (F.col("n_ref").cast("double") + F.lit(0.5)) / (F.col("__t_ref") + smooth)
+    q = (F.col("n_cur").cast("double") + F.lit(0.5)) / (F.col("__t_cur") + smooth)
+    terms = counts.join(F.broadcast(tot)).select(
+        "bin", "n_ref", "n_cur", ((p - q) * F.log(p / q)).alias("psi_term")
+    )
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return terms.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        "psi_term",
+        F.sum(F.round("psi_term", 12).cast("decimal(24,12)"))
+        .over(w)
+        .cast("double")
+        .alias("total_psi"),
+    )
+
+
+def psi_oracle_sql(
+    table: str, col: str, is_ref_sql: str, bins: int = 10
+) -> str:
+    """DuckDB mirror of :func:`psi_drift` (same expression shapes, so
+    the doubles agree bit-for-bit)."""
+    return f"""
+    WITH b AS (SELECT CAST(MIN({col}) AS DOUBLE) AS lo,
+                      CAST(MAX({col}) AS DOUBLE) AS hi FROM {table}),
+    binned AS (
+        SELECT CAST(least(floor((CAST({col} AS DOUBLE) - lo)
+                                / ((hi - lo) / {bins}.0)),
+                          {bins - 1}) AS INTEGER) AS bin,
+               CASE WHEN {is_ref_sql} THEN 1 ELSE 0 END AS is_ref
+        FROM {table}, b),
+    counts AS (
+        SELECT bin, CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+               CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+        FROM binned GROUP BY bin),
+    tot AS (SELECT CAST(SUM(n_ref) AS DOUBLE) AS t_ref,
+                   CAST(SUM(n_cur) AS DOUBLE) AS t_cur FROM counts),
+    terms AS (
+        SELECT bin, n_ref, n_cur,
+               ((CAST(n_ref AS DOUBLE) + 0.5) / (t_ref + {0.5 * bins})
+                - (CAST(n_cur AS DOUBLE) + 0.5) / (t_cur + {0.5 * bins}))
+               * ln(((CAST(n_ref AS DOUBLE) + 0.5) / (t_ref + {0.5 * bins}))
+                    / ((CAST(n_cur AS DOUBLE) + 0.5)
+                       / (t_cur + {0.5 * bins}))) AS psi_term
+        FROM counts, tot)
+    SELECT bin, n_ref, n_cur, psi_term,
+           CAST(SUM(CAST(round(psi_term, 12) AS DECIMAL(24,12)))
+                    OVER () AS DOUBLE) AS total_psi
+    FROM terms
     """

@@ -3960,3 +3960,147 @@ def q115_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# q116-q118 — data-quality gate, drift detection, mergeable sketches
+# --------------------------------------------------------------------
+
+@register(
+    "q116_dq_suite",
+    """
+    WITH v AS (
+            SELECT 'not_null(l_orderkey)' AS chk,
+                   CAST(SUM(CASE WHEN l_orderkey IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+            FROM lineitem
+        UNION ALL
+            SELECT 'in_range(l_quantity)',
+                   CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+                                  AND NOT (l_quantity BETWEEN 1 AND 25)
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+        UNION ALL
+            SELECT 'in_range(l_discount)',
+                   CAST(SUM(CASE WHEN l_discount IS NOT NULL
+                                  AND NOT (l_discount BETWEEN 0.0 AND 0.1)
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+        UNION ALL
+            SELECT 'accepted_values(l_returnflag)',
+                   CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+                                  AND l_returnflag NOT IN ('A', 'N', 'R')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+        UNION ALL
+            SELECT 'unique(l_orderkey,l_linenumber)',
+                   CAST(COALESCE(SUM(c), 0) AS BIGINT)
+            FROM (SELECT COUNT(*) AS c FROM lineitem
+                  GROUP BY l_orderkey, l_linenumber) WHERE c > 1
+        UNION ALL
+            SELECT 'referential(l_orderkey)',
+                   CAST(COUNT(*) AS BIGINT)
+            FROM lineitem WHERE l_orderkey IS NOT NULL
+              AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    SELECT chk AS "check", n_violations,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+           n_violations = 0 AS passed
+    FROM v
+    """,
+    doc="Deequ-style data-quality gate (functions/dq.py): four "
+        "row-level checks compiled into ONE conditional-aggregate "
+        "scan, plus a uniqueness shuffle and a broadcast-anti "
+        "referential check — long-format (check, n_violations, "
+        "n_rows, passed) a scheduler gates on. The reference's "
+        "silent skip-bad-rows policy (job-reader-jsons.js:41-44), "
+        "inverted into explicit pre-flight validation.",
+)
+def q116_dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import dq
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    return dq.dq_suite(
+        li,
+        checks=[
+            dq.not_null("l_orderkey"),
+            dq.in_range("l_quantity", 1, 25),
+            dq.in_range("l_discount", 0.0, 0.1),
+            dq.accepted_values("l_returnflag", ["A", "N", "R"]),
+        ],
+        unique=[["l_orderkey", "l_linenumber"]],
+        references=[("l_orderkey", orders, "o_orderkey")],
+    )
+
+
+@register(
+    "q117_psi_drift",
+    P.psi_oracle_sql(
+        "orders", "o_totalprice", "year(o_orderdate) <= 1997", bins=10
+    ),
+    doc="Population-Stability-Index drift detection "
+        "(profile.psi_drift): order-value distribution of 1995-1997 "
+        "vs 1998-2001 cohorts over shared global equi-width bins; "
+        "Laplace-smoothed per-bin (p-q)*ln(p/q) terms plus an "
+        "order-independent decimal total. Data-sized work is one "
+        "min/max pre-agg and one conditional bin count — drift "
+        "monitoring at 100TB costs two map-side-combinable scans.",
+)
+def q117_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.psi_drift(
+        table(spark, sf_dir, "orders"),
+        "o_totalprice",
+        F.year("o_orderdate") <= 1997,
+        bins=10,
+    )
+
+
+@register(
+    "q118_sketch_rollup",
+    None,  # DataSketches state is not SQL-expressible; accuracy is
+    # pinned against exact counts in tests/test_dq.py
+    doc="Mergeable-sketch rollup (the incremental-analytics pattern): "
+        "per-day HLL user sketches and KLL value sketches are the "
+        "persisted state; weekly answers come from UNIONING sketches "
+        "(hll_union_agg / kll_sketch_merge_double), never from "
+        "rescanning events. At 100TB this turns 'distinct users last "
+        "N days' from an O(corpus) shuffle into an O(days) merge of "
+        "kilobyte sketches — the same trick as q114's additive "
+        "rollup, extended to non-additive aggregates.",
+)
+def q118_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.hll_sketch_agg("user_id").alias("users_sk"),
+            F.kll_sketch_agg_double("value").alias("value_sk"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return (
+        daily.groupBy(F.weekofyear(F.to_date("day")).alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("users_sk"))
+            .cast("bigint")
+            .alias("est_users"),
+            # kll merge is pairwise, so fold the week's day-sketches
+            # (<= 7 per group) with a higher-order aggregate
+            F.kll_sketch_get_quantile_double(
+                F.aggregate(
+                    F.slice(
+                        F.collect_list("value_sk"),
+                        2,
+                        F.greatest(
+                            F.size(F.collect_list("value_sk")) - 1, F.lit(0)
+                        ),
+                    ),
+                    F.element_at(F.collect_list("value_sk"), 1),
+                    lambda acc, x: F.kll_sketch_merge_double(acc, x),
+                ),
+                F.lit(0.5),
+            ).alias("est_p50_value"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("week")
+    )

@@ -1,7 +1,7 @@
 from .base_source import PathSource
 from .bucketed import read_bucketed, write_bucketed
 from .paged import PagedRestSource, default_url_gen
-from .layout import zorder_write
+from .layout import compact_parquet, zorder_write
 from .upsert import last_write_wins, upsert_parquet
 from .readers import (
     CsvSource,
@@ -28,5 +28,5 @@ __all__ = [
     "PagedRestSource", "default_url_gen",
     "NdjsonSink", "ParquetSink", "CsvSink", "XmlSink", "JsonArraySink", "NoopSink",
     "write_bucketed", "read_bucketed",
-    "upsert_parquet", "last_write_wins", "zorder_write",
+    "upsert_parquet", "last_write_wins", "zorder_write", "compact_parquet",
 ]

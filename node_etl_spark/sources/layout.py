@@ -79,3 +79,55 @@ def zorder_write(
         .format(fmt)
         .save(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Bin-pack a parquet dataset's files to ~``target_file_bytes``;
+    returns the new file count.
+
+    Small-file proliferation is the operational tax of incremental
+    ingest (every micro-batch / upsert appends a few files; a year
+    later every scan pays per-file open + footer-read + task-schedule
+    cost for thousands of slivers). Compaction sizes the output from
+    the dataset's actual on-disk bytes — ceil(bytes / target) — and
+    rewrites with ``coalesce`` (narrow: merges input splits, no
+    shuffle, preserves existing sort order within files).
+
+    The swap is rename-based via the Hadoop FileSystem API, so it
+    works on any supported filesystem; renames are atomic on HDFS /
+    local posix, copy-based on object stores — run compaction in the
+    same maintenance window as `upsert_parquet` there.
+    """
+    import math
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    src = Path(path)
+    fs = src.getFileSystem(conf)
+
+    total = 0
+    it = fs.listFiles(src, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += f.getLen()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+
+    tmp = Path(path.rstrip("/") + "__compacting")
+    old = Path(path.rstrip("/") + "__precompact")
+    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(
+        str(tmp)
+    )
+    if not fs.rename(src, old):
+        raise IOError(f"compact_parquet: could not stage {path}")
+    if not fs.rename(tmp, src):
+        fs.rename(old, src)  # roll back
+        raise IOError(f"compact_parquet: could not swap in compacted {path}")
+    fs.delete(old, True)
+    return n_files

@@ -1,0 +1,129 @@
+"""Data-quality suite, PSI drift, sketch accuracy, compaction."""
+
+import pyspark.sql.functions as F
+
+from node_etl_spark.functions import dq
+from node_etl_spark.functions.profile import psi_drift
+from node_etl_spark.sources import compact_parquet
+from node_etl_spark.tables import table
+
+
+def test_dq_suite_counts_seeded_violations(spark):
+    rows = [
+        # (id, val, flag, fk)
+        (1, 5.0, "A", 10),
+        (2, 5.0, "B", 10),
+        (3, 99.0, "A", 10),   # val out of range
+        (3, 5.0, "Z", 11),    # dup id + bad flag + orphan fk
+        (None, 5.0, "A", 10), # null id
+    ]
+    df = spark.createDataFrame(rows, "id int, val double, flag string, fk int")
+    dim = spark.createDataFrame([(10,)], "k int")
+    out = {
+        r["check"]: (r["n_violations"], r["n_rows"], r["passed"])
+        for r in dq.dq_suite(
+            df,
+            checks=[
+                dq.not_null("id"),
+                dq.in_range("val", 0.0, 10.0),
+                dq.accepted_values("flag", ["A", "B"]),
+            ],
+            unique=[["id"]],
+            references=[("fk", dim, "k")],
+        ).collect()
+    }
+    assert out["not_null(id)"] == (1, 5, False)
+    assert out["in_range(val)"] == (1, 5, False)
+    assert out["accepted_values(flag)"] == (1, 5, False)
+    assert out["unique(id)"] == (2, 5, False)  # both rows of the dup pair
+    assert out["referential(fk)"] == (1, 5, False)
+
+
+def test_dq_suite_passes_clean_table(spark):
+    df = spark.createDataFrame([(1, "A"), (2, "B")], "id int, flag string")
+    out = dq.dq_suite(
+        df, checks=[dq.not_null("id")], unique=[["id"]]
+    ).collect()
+    assert all(r["passed"] and r["n_violations"] == 0 for r in out)
+
+
+def test_dq_row_checks_single_scan(spark):
+    # all row-level checks must collapse into ONE aggregate over ONE scan
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    plan = (
+        dq.row_checks(df, [dq.not_null("id"), dq.in_range("v", 0, 50)])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Range (0, 100") == 1
+
+
+def test_psi_zero_on_homogeneous_split(spark, sf_dir):
+    # an orderkey-parity split draws both cohorts from the same
+    # distribution -> PSI far below the 0.1 "stable" threshold
+    out = psi_drift(
+        table(spark, sf_dir, "orders"),
+        "o_totalprice",
+        F.col("o_orderkey") % 2 == 0,
+        bins=10,
+    ).collect()
+    assert len(out) == 10
+    assert abs(out[0]["total_psi"]) < 0.05
+
+
+def test_psi_large_on_disjoint_ranges(spark):
+    df = spark.range(2000).select(
+        (F.col("id") % 2 == 0).alias("ref"),
+        # ref cohort ~ [0, 1000); cur cohort ~ [5000, 6000)
+        F.when(F.col("id") % 2 == 0, F.col("id") / 2)
+        .otherwise(5000 + F.col("id") / 2)
+        .alias("x"),
+    )
+    out = psi_drift(df, "x", F.col("ref"), bins=10).collect()
+    assert out[0]["total_psi"] > 1.0  # way past the 0.25 drift bar
+
+
+def test_hll_weekly_estimates_match_exact(spark, sf_dir):
+    from node_etl_spark.plans import QUERIES
+
+    est = {
+        r["week"]: (r["est_users"], r["est_p50_value"])
+        for r in QUERIES["q118_sketch_rollup"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["week"]: (r["exact_users"], r["exact_p50"])
+        for r in (
+            table(spark, sf_dir, "events")
+            .groupBy(F.weekofyear(F.col("ts").cast("date")).alias("week"))
+            .agg(
+                F.countDistinct("user_id").alias("exact_users"),
+                F.expr("percentile(value, 0.5)").alias("exact_p50"),
+            )
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for wk, (users, p50) in est.items():
+        assert abs(users - exact[wk][0]) <= max(2, 0.02 * exact[wk][0])
+        assert abs(p50 - exact[wk][1]) <= 0.05 * abs(exact[wk][1])
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    import glob
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    df.repartition(20).write.parquet(path)
+    before = len(glob.glob(path + "/*.parquet"))
+    assert before == 20
+    checksum_before = spark.read.parquet(path).agg(F.sum("id"), F.count("*")).first()
+
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    after = len(glob.glob(path + "/*.parquet"))
+    assert after == 1
+    assert spark.read.parquet(path).agg(F.sum("id"), F.count("*")).first() == checksum_before
+    # no leftover staging dirs
+    assert glob.glob(str(tmp_path / "frag__*")) == []
