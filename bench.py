@@ -83,6 +83,15 @@ HEADLINE = [
     "q97_event_funnel",
     "q99_locf_imputation",
     "q100_value_anomalies",
+    "q106_scd2_intervals",
+    "q107_skew_profile",
+    "q109_weighted_sample",
+    "q110_rolling_distinct_users",
+    "q113_partition_checksum",
+    "q115_event_paths",
+    "q116_dq_suite",
+    "q117_psi_drift",
+    "q118_sketch_rollup",
 ]
 
 
