@@ -222,6 +222,55 @@ def _fetch_details_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     )
 
 
+def _dq_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """Declarative data-quality gate (functions/dq.py).
+
+    ``mode: "report"`` replaces the stream with the long-format check
+    report; ``mode: "enforce"`` runs the suite eagerly and raises on
+    any failed check, passing rows through untouched otherwise — the
+    strict inverse of the reference's silent skip-bad-rows policy
+    (job-reader-jsons.js:41-44).
+    """
+    from .functions import dq
+
+    def build_checks(specs):
+        out = []
+        for spec in specs:
+            kind = spec["kind"]
+            if kind == "not_null":
+                out.append(dq.not_null(spec["col"]))
+            elif kind == "in_range":
+                out.append(dq.in_range(spec["col"], spec["lo"], spec["hi"]))
+            elif kind == "accepted_values":
+                out.append(dq.accepted_values(spec["col"], spec["values"]))
+            elif kind == "matches":
+                out.append(dq.matches(spec["col"], spec["pattern"]))
+            else:
+                raise KeyError(f"unknown dq check kind: {kind!r}")
+        return out
+
+    def fn(df):
+        spark = df.sparkSession
+        refs = [
+            (r["col"], spark.read.parquet(r["path"]), r["key"])
+            for r in d.get("references", [])
+        ]
+        report = dq.dq_suite(
+            df,
+            checks=build_checks(d.get("checks", [])),
+            unique=[list(u) for u in d.get("unique", [])],
+            references=refs,
+        )
+        if d.get("mode", "report") == "enforce":
+            failed = [r["check"] for r in report.collect() if not r["passed"]]
+            if failed:
+                raise ValueError(f"dq enforce: failed checks: {failed}")
+            return df
+        return report
+
+    return FnTransform(fn, name="dq")
+
+
 def _hash_split_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     from .functions.sampling import hash_split
 
@@ -240,6 +289,7 @@ _REGISTRY.update(
         "lang": _lang_op,
         "exact_dedup": _exact_dedup_op,
         "hash_split": _hash_split_op,
+        "dq": _dq_op,
         # API-case JoinDetail (reference examples/trud.js)
         "fetch_details": _fetch_details_op,
     }

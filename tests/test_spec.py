@@ -237,3 +237,64 @@ def test_example_api_enrichment_spec(spark, sf_dir, tmp_path):
     assert len(got) == n
     assert got[3] is None
     assert got[5] == 5000
+
+
+def test_spec_dq_report_mode(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from node_etl_spark.spec import from_spec
+
+    src = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (None, 5.0)], "id int, v double"
+    ).write.parquet(src)
+    pipe = from_spec(
+        {
+            "name": "dq-report",
+            "chain": [
+                {"op": "parquet", "path": src},
+                {
+                    "op": "dq",
+                    "checks": [
+                        {"kind": "not_null", "col": "id"},
+                        {"kind": "in_range", "col": "v", "lo": 0, "hi": 10},
+                    ],
+                    "unique": [["id"]],
+                },
+            ],
+        }
+    )
+    out = {r["check"]: r["n_violations"] for r in pipe.run(spark).collect()}
+    assert out == {"not_null(id)": 1, "in_range(v)": 1, "unique(id)": 0}
+
+
+def test_spec_dq_enforce_mode_raises_and_passes(spark, tmp_path):
+    import pytest
+
+    from node_etl_spark.spec import from_spec
+
+    src = str(tmp_path / "t2")
+    spark.createDataFrame([(1,), (2,), (None,)], "id int").write.parquet(src)
+    bad = from_spec(
+        {
+            "name": "dq-enforce",
+            "chain": [
+                {"op": "parquet", "path": src},
+                {"op": "dq", "mode": "enforce",
+                 "checks": [{"kind": "not_null", "col": "id"}]},
+            ],
+        }
+    )
+    with pytest.raises(ValueError, match="not_null"):
+        bad.run(spark).collect()
+
+    ok = from_spec(
+        {
+            "name": "dq-enforce-ok",
+            "chain": [
+                {"op": "parquet", "path": src},
+                {"op": "dq", "mode": "enforce", "unique": [["id"]]},
+            ],
+        }
+    )
+    assert ok.run(spark).count() == 3  # rows pass through untouched
