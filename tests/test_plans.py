@@ -120,7 +120,7 @@ def test_driver_contract_consistency():
     # rows-only (no-oracle) queries are the documented approximate ones
     assert {n for n in qs if n not in osql} == {
         "q27_ann_lsh_topk", "q38_ivf_topk", "q42_approx_distinct",
-        "q101_approx_percentiles",
+        "q101_approx_percentiles", "q118_sketch_rollup",
     }
 
 
