@@ -92,6 +92,12 @@ HEADLINE = [
     "q116_dq_suite",
     "q117_psi_drift",
     "q118_sketch_rollup",
+    "q119_bm25_search",
+    "q120_brand_trend",
+    "q121_trailing_window",
+    "q122_part_pagerank",
+    "q123_order_streaks",
+    "q124_bitmap_distinct",
 ]
 
 

@@ -193,3 +193,106 @@ def components_oracle_sql(pairs_sql: str) -> str:
     FROM reach
     GROUP BY id
     """
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge set.
+
+    Returns (node, rank) for every node that appears as a source
+    (symmetric edge sets — e.g. co-occurrence graphs — make that every
+    node). Classic power iteration: each round is one shuffle join
+    (ranks onto edges by src) plus one groupBy(dst) — the GraphX/
+    Pregel cost shape expressed as plain DataFrame ops, so Catalyst
+    handles partitioning and AQE handles skewed hub nodes.
+
+    Scale notes: rank state is one row per node (tiny vs edges);
+    edges are persisted once and reused every round;
+    ``localCheckpoint`` truncates lineage so round N's plan does not
+    embed rounds 1..N-1. Dangling nodes are out of scope (callers
+    pass symmetrized edge sets; a dangling-mass correction would add
+    one broadcast scalar per round).
+
+    Cross-engine determinism: per-edge contributions are doubles of
+    identical shape (rank/outdeg), summed order-independently via
+    round(15) -> DECIMAL(24,15) -> exact sum -> double, so a DuckDB
+    oracle with unrolled iterations (``pagerank_oracle_sql``) matches
+    bit-for-bit.
+    """
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    nstats = deg.agg(F.count(F.lit(1)).alias("n"))
+    e = (
+        edges.join(deg, src)
+        .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "outdeg")
+        .localCheckpoint(eager=True)
+    )
+    ranks = (
+        deg.crossJoin(F.broadcast(nstats))
+        .select(
+            F.col(src).alias("node"),
+            F.expr("1.0 / CAST(n AS DOUBLE)").alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        contrib = e.join(ranks, e.e_src == ranks.node).select(
+            F.col("e_dst").alias("node"),
+            (F.col("rank") / F.col("outdeg")).alias("c"),
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(
+                F.sum(F.round("c", 15).cast("decimal(24,15)"))
+                .cast("double")
+                .alias("csum")
+            )
+            .crossJoin(F.broadcast(nstats))
+            .select(
+                "node",
+                F.expr(
+                    f"{1.0 - damping} / CAST(n AS DOUBLE)"
+                    f" + {damping} * csum"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """DuckDB mirror of :func:`pagerank`: the power iteration unrolled
+    into one CTE per round, same expression shapes (same rounding,
+    same decimal sums) so every double agrees bit-for-bit.
+    ``edges_sql`` must yield columns (src, dst)."""
+    parts = [
+        f"WITH pairs AS ({edges_sql})",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg"
+        " FROM pairs GROUP BY src)",
+        "nst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg)",
+        "e AS (SELECT p.src, p.dst, d.outdeg FROM pairs p"
+        " JOIN deg d ON p.src = d.src)",
+        "r0 AS (SELECT src AS node, 1.0 / CAST(n AS DOUBLE) AS rank"
+        " FROM deg, nst)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"r{i} AS (SELECT e.dst AS node,"
+            f" {1.0 - damping} / CAST(n AS DOUBLE)"
+            f" + {damping} * CAST(SUM(CAST(round(r.rank / e.outdeg, 15)"
+            " AS DECIMAL(24,15))) AS DOUBLE) AS rank"
+            f" FROM e JOIN r{i - 1} r ON e.src = r.node, nst"
+            " GROUP BY e.dst, n)"
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT node, rank FROM r{iterations}"
+    )

@@ -4104,3 +4104,310 @@ def q118_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# --------------------------------------------------------------------
+# q119-q124 — session-5 batch: corpus retrieval (BM25), per-group
+# trend fitting, interval RANGE windows, fixed-iteration PageRank,
+# gaps-and-islands, and exact-distinct bitmap rollups. The reference
+# has none of these (its only per-row surface is user JS in
+# Filter/Mapper/Reducer processors); each is a scale pattern a
+# training-data / analytics pipeline needs.
+# --------------------------------------------------------------------
+
+_BM25_TERMS = ["hash", "stream", "vector"]
+
+
+@register(
+    "q119_bm25_search",
+    None,  # filled below from functions.search (shared generator)
+    doc="BM25 ranked retrieval over the documents corpus "
+        "(functions/search.py): one token scan yields doc lengths and "
+        "query-term tfs (term filter BEFORE the tf shuffle, so only "
+        "matching postings move); df/idf and corpus stats broadcast; "
+        "per-term contributions summed order-independently "
+        "(round->decimal) for a bit-exact DuckDB match. The retrieval "
+        "half of corpus curation — contamination audits and targeted "
+        "inspection at 100TB reuse the posting-list build.",
+)
+def q119_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.search import bm25_topk
+
+    return bm25_topk(table(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+def _init_q119_oracle() -> None:
+    from ..functions.search import bm25_oracle_sql
+
+    QUERIES["q119_bm25_search"].oracle = bm25_oracle_sql(
+        "documents", _BM25_TERMS, k=10
+    )
+
+
+_init_q119_oracle()
+
+
+@register(
+    "q120_brand_trend",
+    """
+    WITH m AS (
+        SELECT p.p_brand AS brand,
+               (year(l.l_shipdate) - 1992) * 12 + month(l.l_shipdate) - 1 AS x,
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(18,4))) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY brand, x),
+    s AS (
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy
+        FROM m GROUP BY brand HAVING COUNT(*) >= 2)
+    SELECT brand, n AS n_months,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                 6) AS intercept
+    FROM s ORDER BY brand
+    """,
+    doc="Per-brand revenue trend: least-squares slope/intercept of "
+        "monthly revenue over a month index, computed from five "
+        "combinable sufficient statistics (n, Sx, Sxx, Sy, Sxy) — the "
+        "map-side-reducible form of regression, so fitting 10^6 "
+        "groups at 100TB is exactly one agg shuffle, no per-group "
+        "iteration. Float sums ride the decimal-exact rails.",
+)
+def q120_brand_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    monthly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.expr(
+                "(year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1"
+            ).alias("x"),
+        )
+        .agg(
+            F.sum(
+                F.expr("l_extendedprice * (1 - l_discount)").cast(
+                    "decimal(18,4)"
+                )
+            ).alias("y")
+        )
+    )
+    s = (
+        monthly.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.expr("x * y")).cast("double").alias("sxy"),
+        )
+        .filter("n >= 2")
+    )
+    slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    return s.select(
+        "brand",
+        F.col("n").alias("n_months"),
+        F.round(F.expr(slope), 6).alias("slope"),
+        F.round(F.expr(f"(sy - ({slope}) * sx) / n"), 6).alias("intercept"),
+    ).orderBy("brand")
+
+
+@register(
+    "q121_trailing_window",
+    """
+    WITH w AS (
+        SELECT o_orderkey,
+               o_custkey,
+               datediff('day', DATE '1970-01-01', o_orderdate) AS d,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders)
+    SELECT o_orderkey AS orderkey,
+           CAST(COUNT(*) OVER win AS BIGINT) AS n_trailing,
+           CAST(SUM(price) OVER win AS DOUBLE) AS trailing_value
+    FROM w
+    WINDOW win AS (PARTITION BY o_custkey ORDER BY d
+                   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Event-time RANGE window: per order, the customer's trailing "
+        "30-day order count and exact decimal value. RANGE frames "
+        "(value-based, all same-day peers included) are deterministic "
+        "where ROWS frames are not; state per group is bounded by the "
+        "30-day horizon and the shuffle key (custkey) is "
+        "high-cardinality, so at 100TB this is one well-spread "
+        "shuffle with no global choke point.",
+)
+def q121_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("datediff(o_orderdate, DATE '1970-01-01')").alias("d"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    win = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return w.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.count(F.lit(1)).over(win).cast("bigint").alias("n_trailing"),
+        F.sum("price").over(win).cast("double").alias("trailing_value"),
+    )
+
+
+_PART_EDGES_SQL = """
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+"""
+
+
+@register(
+    "q122_part_pagerank",
+    None,  # filled below (unrolled-iteration oracle from functions.graph)
+    doc="PageRank over the part co-purchase graph (functions/"
+        "graph.py pagerank): parts co-occurring in an order form "
+        "symmetric edges; 5 power iterations, each one shuffle join "
+        "(ranks onto edges) + one groupBy(dst) — the Pregel cost "
+        "shape as plain DataFrame ops with localCheckpoint lineage "
+        "truncation. Decimal-portable contribution sums make even "
+        "this iterative float computation hash-match a DuckDB "
+        "oracle with the iterations unrolled into CTEs.",
+)
+def q122_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import pagerank
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=5, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 12).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
+
+
+def _init_q122_oracle() -> None:
+    from ..functions.graph import pagerank_oracle_sql
+
+    inner = pagerank_oracle_sql(_PART_EDGES_SQL, iterations=5, damping=0.85)
+    QUERIES["q122_part_pagerank"].oracle = f"""
+    SELECT node, round(rank, 12) AS rank FROM ({inner})
+    ORDER BY rank DESC, node LIMIT 20
+    """
+
+
+_init_q122_oracle()
+
+
+@register(
+    "q123_order_streaks",
+    """
+    WITH months AS (
+        SELECT DISTINCT o_custkey,
+               (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS m
+        FROM orders),
+    seq AS (
+        SELECT o_custkey, m,
+               m - CAST(row_number() OVER (PARTITION BY o_custkey
+                                           ORDER BY m) AS INTEGER) AS grp
+        FROM months),
+    isl AS (
+        SELECT o_custkey, grp, CAST(COUNT(*) AS BIGINT) AS len
+        FROM seq GROUP BY o_custkey, grp)
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM isl GROUP BY o_custkey
+    ORDER BY longest_streak DESC, custkey LIMIT 100
+    """,
+    doc="Gaps-and-islands: longest streak of consecutive active "
+        "months per customer via the row_number-difference grouping "
+        "trick — two window-free aggs and one window, all partitioned "
+        "by the high-cardinality customer key, integer-exact. The "
+        "engagement-streak / continuity-audit shape.",
+)
+def q123_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    months = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.expr(
+                "(year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1"
+            ).alias("m"),
+        )
+        .distinct()
+    )
+    seq = months.withColumn(
+        "grp",
+        F.col("m")
+        - F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("m"))
+        .cast("int"),
+    )
+    isl = seq.groupBy("o_custkey", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        isl.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.max("len").cast("bigint").alias("longest_streak"),
+        )
+        .orderBy(F.desc("longest_streak"), F.asc("custkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q124_bitmap_distinct",
+    """
+    SELECT weekofyear(ts) AS week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events GROUP BY week ORDER BY week
+    """,
+    doc="EXACT mergeable distinct state — the deterministic twin of "
+        "q118's HLL rollup: per-(day, bucket) RoaringBitmap-style "
+        "bitmaps (bitmap_construct_agg) are the persisted state; any "
+        "rollup (here weekly) is bitmap_or_agg + bitmap_count, never "
+        "a rescan of raw events. At 100TB 'exact distinct users over "
+        "an ad-hoc range' becomes an OR-merge of per-day bitmap "
+        "segments, shuffling kilobytes per bucket instead of the "
+        "user-id universe. Oracle = plain COUNT(DISTINCT).",
+)
+def q124_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        table(spark, sf_dir, "events")
+        .select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    weekly = (
+        daily.groupBy(
+            F.weekofyear(F.to_date("day")).alias("week"), F.col("bucket")
+        )
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+    )
+    return (
+        weekly.groupBy("week")
+        .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("distinct_users"))
+        .orderBy("week")
+    )

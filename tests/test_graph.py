@@ -65,3 +65,67 @@ def test_dedup_clusters_canonical(spark):
     }
     # docs without a duplicate partner are absent (removal-list contract)
     assert 4 not in by_doc and 7 not in by_doc
+
+
+# --------------------------------------------------------------------
+# pagerank
+# --------------------------------------------------------------------
+
+def _sym(pairs):
+    out = set()
+    for a, b in pairs:
+        out.add((a, b))
+        out.add((b, a))
+    return sorted(out)
+
+
+def _ref_pagerank(edges, iterations=5, d=0.85):
+    nodes = sorted({s for s, _ in edges})
+    outdeg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        nxt = {}
+        for v in nodes:
+            s = sum(
+                round(r[src] / outdeg[src], 15)
+                for src, dst in edges
+                if dst == v
+            )
+            nxt[v] = (1 - d) / n + d * s
+        r = nxt
+    return r
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    from node_etl_spark.functions.graph import pagerank
+
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    got = {r.node: r.rank for r in pagerank(edges, iterations=5).collect()}
+    for v in (1, 2, 3):
+        assert abs(got[v] - 1.0 / 3) < 1e-12
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    from node_etl_spark.functions.graph import pagerank
+
+    pairs = _sym([(1, 2), (1, 3), (1, 4), (1, 5)])  # star centered on 1
+    got = {
+        r.node: r.rank
+        for r in pagerank(_edges(spark, pairs), iterations=5).collect()
+    }
+    want = _ref_pagerank(pairs)
+    assert got[1] > got[2]
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+    # rank mass is conserved (no dangling nodes in a symmetric graph)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_matches_unrolled_oracle_shapes(spark):
+    # the DuckDB oracle generator must unroll exactly `iterations` CTEs
+    from node_etl_spark.functions.graph import pagerank_oracle_sql
+
+    sql = pagerank_oracle_sql("SELECT 1 AS src, 2 AS dst", iterations=3)
+    assert "r3 AS" in sql and "r4 AS" not in sql
+    assert "DECIMAL(24,15)" in sql

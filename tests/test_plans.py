@@ -219,3 +219,31 @@ def test_checksum_is_single_shuffle(spark, sf_dir):
     # per-row hashing is map-side; only the month rollup may shuffle
     plan = _plan(spark, sf_dir, "q113_partition_checksum")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_brand_trend_broadcasts_part_and_combines_mapside(spark, sf_dir):
+    # q120: part is a dim (broadcast); the two-level agg (month cell ->
+    # brand sufficient stats) must show partial aggregation so 100TB
+    # fan-in happens map-side
+    plan = _plan(spark, sf_dir, "q120_brand_trend")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+
+
+def test_trailing_window_single_exchange(spark, sf_dir):
+    # q121: one shuffle (by custkey) feeds the RANGE window; anything
+    # more means the window didn't reuse the partitioning
+    plan = _plan(spark, sf_dir, "q121_trailing_window")
+    assert plan.count("Exchange") == 1
+    assert "RangeFrame, -29, currentrow" in plan
+
+
+def test_bitmap_rollup_aggregates_state_not_rows(spark, sf_dir):
+    # q124: weekly merge must aggregate per-day bitmap state
+    # (ObjectHashAggregate), never re-shuffle raw events twice
+    plan = _plan(spark, sf_dir, "q124_bitmap_distinct")
+    # map-side combine on both the build and the merge levels
+    assert "partial_bitmap_construct_agg" in plan
+    assert "partial_bitmap_or_agg" in plan
+    # day->week->sort: three data exchanges + the output range sort
+    assert plan.count("Exchange") <= 4
