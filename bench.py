@@ -98,6 +98,10 @@ HEADLINE = [
     "q122_part_pagerank",
     "q123_order_streaks",
     "q124_bitmap_distinct",
+    "q125_golden_records",
+    "q126_doc_keywords",
+    "q127_corr_matrix",
+    "q128_basket_pairs",
 ]
 
 

@@ -4411,3 +4411,263 @@ def q124_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("distinct_users"))
         .orderBy("week")
     )
+
+
+# --------------------------------------------------------------------
+# q125-q126 — entity resolution end-to-end (fuzzy pairs -> connected
+# components -> golden records) and per-document TF-IDF keywords
+# (the feature-extraction side of the retrieval stack in q119).
+# --------------------------------------------------------------------
+
+_FUZZY_PAIRS_SQL = """
+        SELECT a.p_partkey AS d1, b.p_partkey AS d2
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
+"""
+
+
+def _init_q125_oracle() -> str:
+    inner = G.components_oracle_sql(_FUZZY_PAIRS_SQL)
+    return f"""
+    SELECT doc_id AS partkey, cluster_id AS canonical_key, is_canonical
+    FROM ({inner})
+    """
+
+
+@register(
+    "q125_golden_records",
+    None,  # filled right after registration (needs G import above)
+    doc="Entity resolution end-to-end: blocked fuzzy-match pairs "
+        "(q108's blocking-key + levenshtein shape) feed connected "
+        "components (large-star/small-star), yielding one canonical "
+        "'golden record' per duplicate cluster — the master-data "
+        "survivorship pattern. Pair generation is sum(|block|^2), "
+        "clustering is O(log^2 n) bounded shuffle rounds, and the "
+        "output is the sparse removal/merge list, never a row per "
+        "clean entity. Oracle = DuckDB recursive CTE.",
+)
+def q125_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 4)
+        .select(
+            F.col("a.p_partkey").alias("d1"),
+            F.col("b.p_partkey").alias("d2"),
+        )
+    )
+    return G.dedup_clusters(p, pairs, id_col="p_partkey").select(
+        F.col("doc_id").alias("partkey"),
+        F.col("cluster_id").alias("canonical_key"),
+        "is_canonical",
+    )
+
+
+QUERIES["q125_golden_records"].oracle = _init_q125_oracle()
+
+
+@register(
+    "q126_doc_keywords",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    scored AS (
+        SELECT doc_id, term, tf,
+               CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+        FROM tf),
+    ranked AS (
+        SELECT doc_id, term,
+               CAST(tf AS DOUBLE)
+               * (ln((CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) + 1.0)
+                     / (CAST(df AS DOUBLE) + 1.0)) + 1.0) AS score,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY CAST(tf AS DOUBLE)
+                       * (ln((CAST((SELECT COUNT(*) FROM documents)
+                                   AS DOUBLE) + 1.0)
+                             / (CAST(df AS DOUBLE) + 1.0)) + 1.0) DESC,
+                       term) AS rn
+        FROM scored)
+    SELECT doc_id, term AS keyword, round(score, 6) AS score
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Per-document top TF-IDF keyword: tf from one token scan, "
+        "document frequency as a COUNT window over the (doc, term) "
+        "grid (no join — df rides the same shuffle as the term "
+        "partition), smooth-idf score, deterministic argmax "
+        "(score desc, term asc). The score is a single double "
+        "product — no float-sum portability machinery needed. "
+        "Feature extraction for search/boosting over the q119 stack.",
+)
+def q126_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.search import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        tokens(docs)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.expr(
+                "CAST(tf AS DOUBLE)"
+                " * (ln((CAST(n_docs AS DOUBLE) + 1.0)"
+                " / (CAST(df AS DOUBLE) + 1.0)) + 1.0)"
+            ),
+        )
+    )
+    ranked = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.desc("score"), F.asc("term")
+            )
+        ),
+    )
+    return ranked.filter("rn = 1").select(
+        "doc_id", F.col("term").alias("keyword"), F.round("score", 6).alias("score")
+    )
+
+
+# --------------------------------------------------------------------
+# q127-q128 — moment-based statistics (correlation matrix in one
+# scan) and market-basket co-occurrence mining.
+# --------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1:]
+]
+
+
+def _corr_stats_sql() -> str:
+    parts = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in _CORR_COLS:
+        parts.append(
+            f"CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) AS s_{c}"
+        )
+        parts.append(
+            f"CAST(SUM(CAST({c} * {c} AS DECIMAL(28,4))) AS DOUBLE) AS ss_{c}"
+        )
+    for a, b in _CORR_PAIRS:
+        parts.append(
+            f"CAST(SUM(CAST({a} * {b} AS DECIMAL(28,4))) AS DOUBLE)"
+            f" AS sp_{a}__{b}"
+        )
+    return ", ".join(parts)
+
+
+def _corr_expr_sql(a: str, b: str) -> str:
+    return (
+        f"round((n * sp_{a}__{b} - s_{a} * s_{b})"
+        f" / (sqrt(n * ss_{a} - s_{a} * s_{a})"
+        f" * sqrt(n * ss_{b} - s_{b} * s_{b})), 6)"
+    )
+
+
+@register(
+    "q127_corr_matrix",
+    "WITH s AS (SELECT " + _corr_stats_sql() + " FROM lineitem)\n"
+    + " UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, {_corr_expr_sql(a, b)}"
+        f" AS corr FROM s"
+        for a, b in _CORR_PAIRS
+    ),
+    doc="Pairwise Pearson correlation matrix over four measures in ONE "
+        "scan: all 15 sufficient statistics (n, per-column sums and "
+        "sum-of-squares, per-pair cross-products) come from a single "
+        "map-side-combinable aggregate — at 100TB the corpus is read "
+        "once regardless of how many pairs are requested. Decimal "
+        "casts keep every moment exact, so the final corr doubles "
+        "match DuckDB bit-for-bit (single sqrt/divide shapes).",
+)
+def q127_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(
+            F.sum(F.col(c).cast("decimal(18,4)")).cast("double").alias(f"s_{c}")
+        )
+        aggs.append(
+            F.sum(F.expr(f"{c} * {c}").cast("decimal(28,4)"))
+            .cast("double")
+            .alias(f"ss_{c}")
+        )
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            F.sum(F.expr(f"{a} * {b}").cast("decimal(28,4)"))
+            .cast("double")
+            .alias(f"sp_{a}__{b}")
+        )
+    s = li.agg(*aggs)
+    # long-format output via one explode — the aggregate runs once,
+    # not once per UNION branch
+    pairs_arr = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.expr(_corr_expr_sql(a, b)).alias("corr"),
+            )
+            for a, b in _CORR_PAIRS
+        ]
+    )
+    return s.select(F.explode(pairs_arr).alias("r")).select("r.*")
+
+
+@register(
+    "q128_basket_pairs",
+    """
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 2
+    ORDER BY n_orders DESC, part_a, part_b LIMIT 50
+    """,
+    doc="Market-basket co-occurrence mining: per-order part pairs "
+        "(a < b dedup), support count, threshold, deterministic "
+        "top-50. Pair explosion is bounded by order width squared "
+        "(baskets are short), the support count is map-side "
+        "combinable, and the final top-k is TakeOrderedAndProject — "
+        "no global sort. The affinity-features / 'frequently bought "
+        "together' shape.",
+)
+def q128_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .filter("n_orders >= 2")
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(50)
+    )

@@ -247,3 +247,41 @@ def test_bitmap_rollup_aggregates_state_not_rows(spark, sf_dir):
     assert "partial_bitmap_or_agg" in plan
     # day->week->sort: three data exchanges + the output range sort
     assert plan.count("Exchange") <= 4
+
+
+def test_doc_keywords_df_rides_term_shuffle(spark, sf_dir):
+    # q126: document frequency must be a COUNT window over the
+    # (doc, term) grid — no self-join; corpus size broadcasts
+    plan = _plan(spark, sf_dir, "q126_doc_keywords")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row n_docs side
+    assert plan.count("SortMergeJoin") == 0
+    # tf agg -> term window -> doc window: three data exchanges max
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_golden_records_keys_are_component_minima(spark, sf_dir):
+    from node_etl_spark.plans import QUERIES
+
+    rows = QUERIES["q125_golden_records"].fn(spark, sf_dir).collect()
+    assert rows, "fuzzy clusters expected at sf0.001"
+    for r in rows:
+        assert r.canonical_key <= r.partkey
+        assert r.is_canonical == (r.partkey == r.canonical_key)
+    # exactly one canonical per cluster
+    canon = {}
+    for r in rows:
+        canon.setdefault(r.canonical_key, 0)
+        canon[r.canonical_key] += r.is_canonical
+    assert all(v == 1 for v in canon.values())
+
+
+def test_corr_matrix_is_one_scan(spark, sf_dir):
+    # q127: 15 sufficient statistics, ONE lineitem scan, partial aggs
+    plan = _plan(spark, sf_dir, "q127_corr_matrix")
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_" in plan
+
+
+def test_basket_pairs_top50_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q128_basket_pairs")
+    assert "TakeOrderedAndProject" in plan
