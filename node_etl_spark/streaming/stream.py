@@ -310,3 +310,83 @@ def upsert_sink(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def bitmap_state_sink(
+    stream: DataFrame,
+    path: str,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    checkpoint: str = "",
+):
+    """Incremental maintenance of EXACT-distinct bitmap state from a
+    stream — the unbounded face of the q124 rollup (and the exact
+    twin of a streaming HLL pipeline).
+
+    Each micro-batch is aggregated to per-(day, bucket) bitmap deltas
+    (``bitmap_construct_agg``), OR-merged with the existing state rows
+    for the touched keys, and upserted. The state table at ``path``
+    holds one bitmap per (day, bucket) forever; any ad-hoc range
+    rollup (``bitmap_state_rollup``) reads state only — never the raw
+    event history.
+
+    Per-batch cost is O(batch + touched state rows): the merge reads
+    back only days present in the batch (partition pruning on the
+    date-partitioned state), and re-delivered ids are absorbed by the
+    OR — exactly-once distinct counts without exactly-once delivery.
+    """
+    from ..sources.upsert import upsert_parquet
+
+    def write_batch(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = (
+            batch.select(
+                F.date_format(ts_col, "yyyy-MM-dd").alias("day"),
+                F.bitmap_bucket_number(id_col).alias("bucket"),
+                F.bitmap_bit_position(id_col).alias("pos"),
+            )
+            .groupBy("day", "bucket")
+            .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        )
+        try:
+            state = spark.read.parquet(path)
+        except Exception:
+            state = None
+        if state is not None:
+            days = [r.day for r in delta.select("day").distinct().collect()]
+            touched = state.filter(F.col("day").isin(days))
+            delta = (
+                touched.unionByName(delta)
+                .groupBy("day", "bucket")
+                .agg(F.bitmap_or_agg("bm").alias("bm"))
+            )
+        upsert_parquet(
+            spark,
+            path,
+            delta,
+            keys=["day", "bucket"],
+            partition_by=["day"],
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def bitmap_state_rollup(spark: SparkSession, path: str) -> DataFrame:
+    """Weekly exact distinct counts from bitmap state only (no event
+    rescan): OR-merge the per-day bitmaps, count bits."""
+    state = spark.read.parquet(path)
+    weekly = (
+        state.groupBy(
+            F.weekofyear(F.to_date("day")).alias("week"), F.col("bucket")
+        )
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+    )
+    return (
+        weekly.groupBy("week")
+        .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("distinct_users"))
+        .orderBy("week")
+    )

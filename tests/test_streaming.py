@@ -226,3 +226,51 @@ def test_upsert_sink_replaces_keys(spark, events_dir, tmp_path):
     joined = got.join(expect, ["user_id", "event_type"])
     assert joined.filter("event_id != m").count() == 0
     assert got.count() == expect.count()
+
+
+def test_bitmap_state_sink_incremental_exact_distinct(spark, tmp_path):
+    # two deliveries with overlapping users: the OR-merge must absorb
+    # re-deliveries (no double counting) and accumulate new ids
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(users_by_day):
+        rows = []
+        for day_off, users in users_by_day.items():
+            for j, u in enumerate(users):
+                rows.append(
+                    (day_off * 1000 + j,
+                     base + dt.timedelta(days=day_off, minutes=j),
+                     u, "click", 1.0)
+                )
+        return spark.createDataFrame(rows, SCHEMA)
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    # batch 1: day0 users {0..9}, day1 users {5..14}
+    mk({0: list(range(10)), 1: list(range(5, 15))}).write.mode("append").parquet(src)
+    stream = st.stream_source(spark, src, schema=SCHEMA)
+    st.bitmap_state_sink(stream, state, checkpoint=ck).start().awaitTermination()
+
+    # batch 2: day0 re-delivers {0..9} plus new {100, 101}; day2 appears
+    mk({0: list(range(10)) + [100, 101], 2: [7]}).write.mode("append").parquet(src)
+    stream = st.stream_source(spark, src, schema=SCHEMA)
+    st.bitmap_state_sink(stream, state, checkpoint=ck).start().awaitTermination()
+
+    # partition-column inference reads `day` back as a date — normalize
+    daily = {
+        str(r.day): r.n
+        for r in spark.read.parquet(state)
+        .groupBy("day")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n"))
+        .collect()
+    }
+    assert daily == {"2024-01-01": 12, "2024-01-02": 10, "2024-01-03": 1}
+
+    weekly = {
+        r.week: r.distinct_users
+        for r in st.bitmap_state_rollup(spark, state).collect()
+    }
+    # all three days fall in ISO week 1 of 2024; users 0..14,100,101
+    assert weekly == {1: 17}
