@@ -280,6 +280,70 @@ def _hash_split_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     )
 
 
+def _bm25_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    from .functions.search import bm25_topk
+
+    return FnTransform(
+        lambda df: bm25_topk(
+            df,
+            list(d["terms"]),
+            k=d.get("k", 10),
+            id_col=d.get("id", "doc_id"),
+            text_col=d.get("text", "text"),
+        ),
+        name="bm25",
+    )
+
+
+def _keywords_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """Join each document with its top TF-IDF keyword (q126 shape:
+    df as a COUNT window over the posting grid, no join for df)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .functions.search import tokens
+
+    id_col = d.get("id", "doc_id")
+    text_col = d.get("text", "text")
+
+    def fn(df):
+        n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+        tf = (
+            tokens(df, id_col, text_col)
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        scored = (
+            tf.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+            )
+            .crossJoin(F.broadcast(n))
+            .withColumn(
+                "score",
+                F.expr(
+                    "CAST(tf AS DOUBLE)"
+                    " * (ln((CAST(n_docs AS DOUBLE) + 1.0)"
+                    " / (CAST(df AS DOUBLE) + 1.0)) + 1.0)"
+                ),
+            )
+        )
+        top = (
+            scored.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(
+                        F.desc("score"), F.asc("term")
+                    )
+                ),
+            )
+            .filter("rn = 1")
+            .select(id_col, F.col("term").alias("keyword"))
+        )
+        return df.join(top, id_col, "left")
+
+    return FnTransform(fn, name="keywords")
+
+
 _REGISTRY.update(
     {
         # corpus curation (functions/text.py, functions/sampling.py,
@@ -292,6 +356,9 @@ _REGISTRY.update(
         "dq": _dq_op,
         # API-case JoinDetail (reference examples/trud.js)
         "fetch_details": _fetch_details_op,
+        # retrieval (functions/search.py)
+        "bm25": _bm25_op,
+        "keywords": _keywords_op,
     }
 )
 

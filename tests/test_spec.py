@@ -298,3 +298,49 @@ def test_spec_dq_enforce_mode_raises_and_passes(spark, tmp_path):
         }
     )
     assert ok.run(spark).count() == 3  # rows pass through untouched
+
+
+def test_example_corpus_search_spec(spark, sf_dir, tmp_path):
+    # examples/corpus_search.json end-to-end: clean -> dedup ->
+    # keywords -> bm25 top-k, cross-checked against bm25_topk on the
+    # same curated frame
+    import os
+
+    from node_etl_spark.functions.search import bm25_topk
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = json.load(open(os.path.join(root, "examples", "corpus_search.json")))
+    out = str(tmp_path / "search")
+    from_spec(spec).run(spark, config={"DATA": sf_dir, "OUT": out})
+    got = spark.read.parquet(out + "/search_hits")
+    assert got.count() > 0
+    assert set(got.columns) == {"doc_id", "bm25", "n_terms_hit"}
+
+    # same curated frame by hand
+    from node_etl_spark.context import Context
+
+    curated = from_spec({"name": "c", "chain": spec["chain"][:3]}).to_frame(
+        spark, Context(config={"DATA": sf_dir})
+    )
+    want = {
+        r.doc_id: r.bm25
+        for r in bm25_topk(curated, ["hash", "stream", "vector"], k=25).collect()
+    }
+    assert {r.doc_id: r.bm25 for r in got.collect()} == want
+
+
+def test_keywords_op_joins_top_tfidf(spark):
+    from node_etl_spark.spec import from_spec as fs
+
+    df = spark.createDataFrame(
+        [(1, "alpha alpha beta"), (2, "beta gamma"), (3, "")],
+        ["doc_id", "text"],
+    )
+    pipe = fs({"name": "k", "chain": [{"op": "keywords"}]})
+    got = {
+        r.doc_id: r.keyword
+        for r in pipe.to_frame(spark, head=df).collect()
+    }
+    # doc 1: alpha (tf=2, rarer than beta); doc 3 has no tokens -> null
+    assert got[1] == "alpha"
+    assert got[3] is None
