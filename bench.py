@@ -102,6 +102,8 @@ HEADLINE = [
     "q126_doc_keywords",
     "q127_corr_matrix",
     "q128_basket_pairs",
+    "q129_hashed_features",
+    "q130_part_reach",
 ]
 
 

@@ -302,3 +302,60 @@ def pagerank_oracle_sql(
         ",\n    ".join(parts)
         + f"\n    SELECT node, rank FROM r{iterations}"
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: min-hop distance from any seed, bounded by
+    ``max_hops`` (nodes further than that are absent).
+
+    Per round: one shuffle join (frontier onto edges) + one
+    min-aggregate — the same Pregel cost shape as :func:`pagerank`,
+    all-integer so no float portability machinery. The frontier state
+    is one row per reached node; at 100 TB the edge set dominates and
+    is persisted once. Oracle: ``bfs_oracle_sql`` unrolls the rounds
+    into CTEs (the k-hop-neighborhood / blast-radius shape).
+    """
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint(eager=True)
+    dist = seeds.select(
+        F.col(node).alias("node"), F.lit(0).cast("int").alias("dist")
+    )
+    for _ in range(max_hops):
+        expanded = e.join(dist, e.e_src == dist.node).select(
+            F.col("e_dst").alias("node"),
+            (F.col("dist") + 1).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+        )
+    return dist
+
+
+def bfs_oracle_sql(
+    edges_sql: str, seeds_sql: str, max_hops: int = 3
+) -> str:
+    """DuckDB mirror of :func:`bfs_hops`: rounds unrolled into CTEs.
+    ``edges_sql`` yields (src, dst); ``seeds_sql`` yields (node)."""
+    parts = [
+        f"WITH e AS ({edges_sql})",
+        f"d0 AS (SELECT node, 0 AS dist FROM ({seeds_sql}))",
+    ]
+    for i in range(1, max_hops + 1):
+        parts.append(
+            f"d{i} AS (SELECT node, CAST(MIN(dist) AS INTEGER) AS dist"
+            f" FROM (SELECT node, dist FROM d{i - 1}"
+            f" UNION ALL SELECT e.dst AS node, d.dist + 1 AS dist"
+            f" FROM e JOIN d{i - 1} d ON e.src = d.node)"
+            " GROUP BY node)"
+        )
+    return ",\n    ".join(parts) + f"\n    SELECT node, dist FROM d{max_hops}"

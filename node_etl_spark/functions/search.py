@@ -27,7 +27,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["tokens", "inverted_index", "bm25_topk", "bm25_oracle_sql"]
+__all__ = [
+    "tokens",
+    "inverted_index",
+    "bm25_topk",
+    "bm25_oracle_sql",
+    "write_inverted_index",
+    "load_postings",
+]
 
 
 def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -148,3 +155,47 @@ def bm25_oracle_sql(
     FROM scored GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id LIMIT {k}
     """
+
+
+def write_inverted_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the posting lists term-bucketed on disk: the
+    one-time corpus-cost build behind repeated cheap probes.
+
+    Postings are partitioned by ``bucket = pmod(xxhash64(term), n)``
+    so a probe for any term set prunes to |terms| partitions at the
+    file listing — the 100 TB probe reads kilobytes of postings, not
+    the index. (xxhash64 is fine here: the bucket never leaves Spark,
+    so no cross-engine portability constraint.)"""
+    idx = inverted_index(docs, id_col, text_col).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    )
+    idx.write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+
+def load_postings(
+    spark, path: str, query_terms: list[str], n_buckets: int = 64
+) -> DataFrame:
+    """Read only the query terms' posting lists: the bucket IN-list
+    prunes partition directories, the term IN-list prunes rows."""
+    buckets = sorted(
+        {
+            # mirror pmod(xxhash64(term), n) driver-side
+            row.b
+            for row in spark.createDataFrame(
+                [(t,) for t in query_terms], "term string"
+            )
+            .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b"))
+            .collect()
+        }
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(query_terms))
+    )

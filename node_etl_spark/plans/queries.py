@@ -4671,3 +4671,100 @@ def q128_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------
+# q129-q130 — ML feature prep (hashing trick) and bounded multi-source
+# BFS (k-hop neighborhoods) over the co-purchase graph.
+# --------------------------------------------------------------------
+
+_FH_BUCKETS = 256
+_FH_SEED = 7
+
+
+@register(
+    "q129_hashed_features",
+    f"""
+    WITH tf AS (
+        SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> '' GROUP BY doc_id, term)
+    SELECT doc_id,
+           {SA.hash_bucket_sql("term", seed=_FH_SEED, buckets=_FH_BUCKETS)}
+           AS feature,
+           CAST(SUM(tf) AS BIGINT) AS weight
+    FROM tf GROUP BY doc_id, feature
+    """,
+    doc="Hashing-trick feature vectors (sparse long format): term "
+        "counts hashed into a fixed 256-bucket feature space with the "
+        "portable md5 bucket (sampling.hash_bucket), collisions "
+        "summed. Row-local hashing + one (doc, feature) agg — the "
+        "fixed-width featurization that never needs a vocabulary "
+        "broadcast, which is what makes it viable when the vocab "
+        "itself is corpus-scale.",
+)
+def q129_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.search import tokens
+
+    tf = (
+        tokens(table(spark, sf_dir, "documents"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.withColumn(
+            "feature",
+            SA.hash_bucket(F.col("term"), seed=_FH_SEED, buckets=_FH_BUCKETS),
+        )
+        .groupBy("doc_id", "feature")
+        .agg(F.sum("tf").cast("bigint").alias("weight"))
+    )
+
+
+_BFS_SEEDS_SQL = """
+        SELECT DISTINCT l_partkey AS node FROM lineitem
+        WHERE l_partkey % 100 = 0
+"""
+
+
+@register(
+    "q130_part_reach",
+    None,  # filled below (unrolled-CTE oracle from functions.graph)
+    doc="Multi-source BFS (functions/graph.py bfs_hops): min-hop "
+        "distance from seed parts over the co-purchase graph, bounded "
+        "at 3 hops — the blast-radius / k-hop-neighborhood shape "
+        "(recall impact, recommendation spread). Per round one "
+        "frontier join + one integer min-agg; all-integer, so the "
+        "unrolled-CTE oracle matches exactly.",
+)
+def q130_part_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        li.filter("l_partkey % 100 = 0")
+        .select(F.col("l_partkey").alias("node"))
+        .distinct()
+    )
+    return G.bfs_hops(edges, seeds, max_hops=3)
+
+
+def _init_q130_oracle() -> None:
+    QUERIES["q130_part_reach"].oracle = G.bfs_oracle_sql(
+        _PART_EDGES_SQL, _BFS_SEEDS_SQL, max_hops=3
+    )
+
+
+_init_q130_oracle()

@@ -129,3 +129,28 @@ def test_pagerank_matches_unrolled_oracle_shapes(spark):
     sql = pagerank_oracle_sql("SELECT 1 AS src, 2 AS dst", iterations=3)
     assert "r3 AS" in sql and "r4 AS" not in sql
     assert "DECIMAL(24,15)" in sql
+
+
+def test_bfs_hops_min_distance(spark):
+    from node_etl_spark.functions.graph import bfs_hops
+
+    # path 1-2-3-4 plus shortcut 1-4: dist(4) must take the shortcut
+    pairs = _sym([(1, 2), (2, 3), (3, 4), (1, 4)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.dist
+        for r in bfs_hops(_edges(spark, pairs), seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 1}
+
+
+def test_bfs_hops_bounds_horizon(spark):
+    from node_etl_spark.functions.graph import bfs_hops
+
+    pairs = _sym([(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.dist
+        for r in bfs_hops(_edges(spark, pairs), seeds, max_hops=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}  # 4 and 5 beyond the horizon

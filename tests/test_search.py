@@ -83,3 +83,25 @@ def test_bm25_plan_broadcasts_dimension_sides(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats side
+
+
+def test_posting_store_prunes_to_query_buckets(spark, tmp_path):
+    from node_etl_spark.functions.search import (
+        load_postings,
+        write_inverted_index,
+    )
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    path = str(tmp_path / "postings")
+    write_inverted_index(docs, path, n_buckets=16)
+
+    got = load_postings(spark, path, ["hash", "stream"], n_buckets=16)
+    rows = {r.term: r for r in got.collect()}
+    assert set(rows) == {"hash", "stream"}
+    assert [(p.doc_id, p.tf) for p in rows["hash"].postings] == [(1, 1), (2, 1)]
+
+    # the probe must prune partition directories, not list all buckets
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket#" in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "bucket IN" in scan or "bucket#" in scan
