@@ -202,6 +202,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 4,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge set.
 
@@ -241,7 +242,15 @@ def pagerank(
         F.expr("1.0 / CAST(n AS DOUBLE)").alias("rank"),
     )
     for i in range(iterations):
-        contrib = e.join(ranks, e.e_src == ranks.node).select(
+        # rank state is one row per node — tiny next to the edge set.
+        # Broadcasting it makes every round a map-side join over the
+        # checkpointed edges (no per-round edge shuffle; the only wide
+        # op left is the contribution groupBy). Catalyst can't
+        # estimate the post-agg size itself, so mid-chain rounds
+        # otherwise fall back to sort-merge. Disable for
+        # billion-node graphs where ranks exceed the broadcast budget.
+        rside = F.broadcast(ranks) if broadcast_ranks else ranks
+        contrib = e.join(rside, e.e_src == ranks.node).select(
             F.col("e_dst").alias("node"),
             (F.col("rank") / F.col("outdeg")).alias("c"),
         )
