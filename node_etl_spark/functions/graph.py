@@ -206,9 +206,13 @@ def pagerank(
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge set.
 
-    Returns (node, rank) for every node that appears as a source
-    (symmetric edge sets — e.g. co-occurrence graphs — make that every
-    node). Classic power iteration: each round is one shuffle join
+    Returns (node, rank) for every node that appears as a source —
+    including zero-in-degree sources, which keep the (1-d)/n base rank
+    via a left join from the node universe each round (symmetric edge
+    sets — e.g. co-occurrence graphs — make the universe every node).
+    Destination-only nodes are out of scope (they are dangling: no
+    outdeg; their would-be rank mass is dropped, see below).
+    Classic power iteration: each round is one shuffle join
     (ranks onto edges by src) plus one groupBy(dst) — the GraphX/
     Pregel cost shape expressed as plain DataFrame ops, so Catalyst
     handles partitioning and AQE handles skewed hub nodes.
@@ -237,8 +241,12 @@ def pagerank(
         .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "outdeg")
         .localCheckpoint(eager=True)
     )
-    ranks = deg.crossJoin(F.broadcast(nstats)).select(
-        F.col(src).alias("node"),
+    # the node universe: every source node, kept in the result every
+    # round (below) so zero-in-degree sources don't silently vanish
+    # after iteration 1 on non-symmetric edge sets
+    nodes = deg.select(F.col(src).alias("node")).localCheckpoint(eager=True)
+    ranks = nodes.crossJoin(F.broadcast(nstats)).select(
+        "node",
         F.expr("1.0 / CAST(n AS DOUBLE)").alias("rank"),
     )
     for i in range(iterations):
@@ -254,19 +262,21 @@ def pagerank(
             F.col("e_dst").alias("node"),
             (F.col("rank") / F.col("outdeg")).alias("c"),
         )
+        csums = contrib.groupBy("node").agg(
+            F.sum(F.round("c", 15).cast("decimal(24,15)"))
+            .cast("double")
+            .alias("csum")
+        )
+        # left join from the universe: a source with no in-edges gets
+        # csum 0 -> the (1-d)/n base rank, instead of dropping out
         ranks = (
-            contrib.groupBy("node")
-            .agg(
-                F.sum(F.round("c", 15).cast("decimal(24,15)"))
-                .cast("double")
-                .alias("csum")
-            )
+            nodes.join(csums, "node", "left")
             .crossJoin(F.broadcast(nstats))
             .select(
                 "node",
                 F.expr(
                     f"{1.0 - damping} / CAST(n AS DOUBLE)"
-                    f" + {damping} * csum"
+                    f" + {damping} * coalesce(csum, 0.0)"
                 ).alias("rank"),
             )
         )
@@ -295,17 +305,23 @@ def pagerank_oracle_sql(
         "nst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg)",
         "e AS (SELECT p.src, p.dst, d.outdeg FROM pairs p"
         " JOIN deg d ON p.src = d.src)",
-        "r0 AS (SELECT src AS node, 1.0 / CAST(n AS DOUBLE) AS rank"
-        " FROM deg, nst)",
+        "nodes AS (SELECT src AS node FROM deg)",
+        "r0 AS (SELECT node, 1.0 / CAST(n AS DOUBLE) AS rank"
+        " FROM nodes, nst)",
     ]
     for i in range(1, iterations + 1):
         parts.append(
-            f"r{i} AS (SELECT e.dst AS node,"
+            f"c{i} AS (SELECT e.dst AS node,"
+            " CAST(SUM(CAST(round(r.rank / e.outdeg, 15)"
+            " AS DECIMAL(24,15))) AS DOUBLE) AS csum"
+            f" FROM e JOIN r{i - 1} r ON e.src = r.node"
+            " GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nodes.node,"
             f" {1.0 - damping} / CAST(n AS DOUBLE)"
-            f" + {damping} * CAST(SUM(CAST(round(r.rank / e.outdeg, 15)"
-            " AS DECIMAL(24,15))) AS DOUBLE) AS rank"
-            f" FROM e JOIN r{i - 1} r ON e.src = r.node, nst"
-            " GROUP BY e.dst, n)"
+            f" + {damping} * COALESCE(c.csum, 0.0) AS rank"
+            f" FROM nodes LEFT JOIN c{i} c ON nodes.node = c.node, nst)"
         )
     return (
         ",\n    ".join(parts)
@@ -324,30 +340,39 @@ def bfs_hops(
     """Multi-source BFS: min-hop distance from any seed, bounded by
     ``max_hops`` (nodes further than that are absent).
 
-    Per round: one shuffle join (frontier onto edges) + one
-    min-aggregate — the same Pregel cost shape as :func:`pagerank`,
-    all-integer so no float portability machinery. The frontier state
-    is one row per reached node; at 100 TB the edge set dominates and
-    is persisted once. Oracle: ``bfs_oracle_sql`` unrolls the rounds
-    into CTEs (the k-hop-neighborhood / blast-radius shape).
+    Per round: one shuffle join (*frontier* onto edges — only the
+    rows reached for the first time last round, never the whole
+    accumulated distance set, so round k costs O(frontier_k x degree)
+    rather than re-expanding every prior round) + one dedup + one
+    anti-join against the reached set. Same Pregel cost shape as
+    :func:`pagerank`, all-integer so no float portability machinery.
+    At 100 TB the edge set dominates and is persisted once. Oracle:
+    ``bfs_oracle_sql`` unrolls the rounds into CTEs (the
+    k-hop-neighborhood / blast-radius shape).
     """
     e = edges.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
     ).localCheckpoint(eager=True)
     dist = seeds.select(
         F.col(node).alias("node"), F.lit(0).cast("int").alias("dist")
-    )
+    ).localCheckpoint(eager=True)
+    frontier = dist
     for _ in range(max_hops):
-        expanded = e.join(dist, e.e_src == dist.node).select(
-            F.col("e_dst").alias("node"),
-            (F.col("dist") + 1).alias("dist"),
+        # in unit-weight BFS any node already in `dist` was reached in
+        # <= k hops, so an anti-join (not a min-agg over the union) is
+        # enough to keep only first-time reachings
+        expanded = (
+            e.join(frontier, e.e_src == frontier.node)
+            .select(F.col("e_dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .dropDuplicates(["node"])
         )
-        dist = (
-            dist.unionByName(expanded)
-            .groupBy("node")
-            .agg(F.min("dist").cast("int").alias("dist"))
-        )
-    return dist
+        frontier = expanded.join(
+            dist, "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        dist = dist.unionByName(frontier).localCheckpoint(eager=True)
+    return dist.select("node", F.col("dist").cast("int").alias("dist"))
 
 
 def bfs_oracle_sql(

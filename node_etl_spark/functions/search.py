@@ -34,7 +34,15 @@ __all__ = [
     "bm25_oracle_sql",
     "write_inverted_index",
     "load_postings",
+    "sql_string_list",
 ]
+
+
+def sql_string_list(terms: list[str]) -> str:
+    """Render a SQL IN-list of string literals with single quotes
+    doubled, so a term containing ``'`` can't break or inject into the
+    generated oracle SQL."""
+    return ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
 
 
 def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -127,7 +135,7 @@ def bm25_oracle_sql(
 ) -> str:
     """DuckDB mirror of :func:`bm25_topk` — same expression shapes so
     every double agrees bit-for-bit."""
-    in_list = ", ".join(f"'{t}'" for t in query_terms)
+    in_list = sql_string_list(query_terms)
     return f"""
     WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}),

@@ -335,7 +335,7 @@ def bitmap_state_sink(
     date-partitioned state), and re-delivered ids are absorbed by the
     OR — exactly-once distinct counts without exactly-once delivery.
     """
-    from ..sources.upsert import upsert_parquet
+    from ..sources.upsert import _exists, upsert_parquet
 
     def write_batch(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
@@ -348,10 +348,11 @@ def bitmap_state_sink(
             .groupBy("day", "bucket")
             .agg(F.bitmap_construct_agg("pos").alias("bm"))
         )
-        try:
-            state = spark.read.parquet(path)
-        except Exception:
-            state = None
+        # existence is checked explicitly (not a bare except around the
+        # read): a transient read failure must PROPAGATE and fail the
+        # batch, or the delta would be upserted without OR-merging prior
+        # state — silently losing accumulated distinct ids
+        state = spark.read.parquet(path) if _exists(path) else None
         if state is not None:
             days = [r.day for r in delta.select("day").distinct().collect()]
             touched = state.filter(F.col("day").isin(days))

@@ -121,3 +121,17 @@ def test_decontaminate_pairs(spark):
     # max_df=2 keeps contamination evidence, drops the common phrase
     got2 = decontaminate_pairs(train, test, n=5, max_df=2).collect()
     assert {(r.train_doc, r.test_doc) for r in got2} == {(1, 10)}
+
+
+def test_simhash_preserves_string_id_type(spark):
+    # id_col contract: output id type follows the input column type
+    # (ADVICE r01: schema used to hardcode `doc_id long`)
+    from node_etl_spark.functions.dedup import simhash32
+
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z")], "name string, text string"
+    )
+    out = simhash32(df, text_col="text", id_col="name")
+    assert dict(out.dtypes) == {"doc_id": "string", "simhash": "bigint"}
+    rows = {r.doc_id: r.simhash for r in out.collect()}
+    assert set(rows) == {"a", "b"} and rows["a"] == rows["b"]

@@ -154,3 +154,23 @@ def test_bfs_hops_bounds_horizon(spark):
         for r in bfs_hops(_edges(spark, pairs), seeds, max_hops=2).collect()
     }
     assert got == {1: 0, 2: 1, 3: 2}  # 4 and 5 beyond the horizon
+
+
+def test_pagerank_keeps_zero_indegree_sources(spark):
+    # non-symmetric: 1 -> 2 -> 3; sources 1 and 2. Node 1 has no
+    # in-edges and must stay in the result at the (1-d)/n base rank
+    # every round (ADVICE r01: it used to vanish after iteration 1).
+    import duckdb
+
+    from node_etl_spark.functions.graph import pagerank, pagerank_oracle_sql
+
+    edges = _edges(spark, [(1, 2), (2, 3)])
+    got = {r.node: r.rank for r in pagerank(edges, iterations=4).collect()}
+    # universe = source nodes {1, 2}; dst-only node 3 is dangling
+    assert set(got) == {1, 2}
+    n = 2
+    assert abs(got[1] - (1 - 0.85) / n) < 1e-12
+    # oracle mirrors exactly
+    sql = pagerank_oracle_sql("SELECT 1 AS src, 2 AS dst UNION ALL SELECT 2, 3", iterations=4)
+    want = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
+    assert got == want
