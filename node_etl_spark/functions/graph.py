@@ -229,10 +229,15 @@ def pagerank(
     one broadcast scalar per round).
 
     Cross-engine determinism: per-edge contributions are doubles of
-    identical shape (rank/outdeg), summed order-independently via
-    round(15) -> DECIMAL(24,15) -> exact sum -> double, so a DuckDB
-    oracle with unrolled iterations (``pagerank_oracle_sql``) matches
-    bit-for-bit.
+    identical shape (rank/outdeg), quantized to a 15-decimal fixed
+    point (``round(c * 1e15) -> BIGINT``) and summed as plain longs —
+    integer addition is order-independent, so a DuckDB oracle with
+    unrolled iterations (``pagerank_oracle_sql``) matches bit-for-bit.
+    The long sum cannot overflow: rank mass is conserved (total <= 1),
+    so every per-node csum is <= ~1e15 << 2^63 at any graph scale —
+    and unlike a DECIMAL(24,15) accumulator (BigDecimal-backed on the
+    JVM) the fixed-point path is pure long arithmetic in codegen
+    (measured ~2x on the whole 5-round query at sf0.1).
     """
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
     nstats = deg.agg(F.count(F.lit(1)).alias("n"))
@@ -260,13 +265,11 @@ def pagerank(
         rside = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = e.join(rside, e.e_src == ranks.node).select(
             F.col("e_dst").alias("node"),
-            (F.col("rank") / F.col("outdeg")).alias("c"),
+            F.round(F.col("rank") / F.col("outdeg") * F.lit(1e15))
+            .cast("bigint")
+            .alias("c"),
         )
-        csums = contrib.groupBy("node").agg(
-            F.sum(F.round("c", 15).cast("decimal(24,15)"))
-            .cast("double")
-            .alias("csum")
-        )
+        csums = contrib.groupBy("node").agg(F.sum("c").alias("csum"))
         # left join from the universe: a source with no in-edges gets
         # csum 0 -> the (1-d)/n base rank, instead of dropping out
         ranks = (
@@ -276,7 +279,8 @@ def pagerank(
                 "node",
                 F.expr(
                     f"{1.0 - damping} / CAST(n AS DOUBLE)"
-                    f" + {damping} * coalesce(csum, 0.0)"
+                    f" + {damping}"
+                    " * (CAST(coalesce(csum, 0) AS DOUBLE) / 1e15)"
                 ).alias("rank"),
             )
         )
@@ -296,8 +300,8 @@ def pagerank_oracle_sql(
 ) -> str:
     """DuckDB mirror of :func:`pagerank`: the power iteration unrolled
     into one CTE per round, same expression shapes (same rounding,
-    same decimal sums) so every double agrees bit-for-bit.
-    ``edges_sql`` must yield columns (src, dst)."""
+    same 15-decimal fixed-point long sums) so every double agrees
+    bit-for-bit. ``edges_sql`` must yield columns (src, dst)."""
     parts = [
         f"WITH pairs AS ({edges_sql})",
         "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg"
@@ -312,15 +316,16 @@ def pagerank_oracle_sql(
     for i in range(1, iterations + 1):
         parts.append(
             f"c{i} AS (SELECT e.dst AS node,"
-            " CAST(SUM(CAST(round(r.rank / e.outdeg, 15)"
-            " AS DECIMAL(24,15))) AS DOUBLE) AS csum"
+            " SUM(CAST(round(r.rank / e.outdeg * 1e15)"
+            " AS BIGINT)) AS csum"
             f" FROM e JOIN r{i - 1} r ON e.src = r.node"
             " GROUP BY e.dst)"
         )
         parts.append(
             f"r{i} AS (SELECT nodes.node,"
             f" {1.0 - damping} / CAST(n AS DOUBLE)"
-            f" + {damping} * COALESCE(c.csum, 0.0) AS rank"
+            f" + {damping}"
+            " * (CAST(COALESCE(c.csum, 0) AS DOUBLE) / 1e15) AS rank"
             f" FROM nodes LEFT JOIN c{i} c ON nodes.node = c.node, nst)"
         )
     return (
@@ -336,19 +341,24 @@ def bfs_hops(
     src: str = "src",
     dst: str = "dst",
     node: str = "node",
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """Multi-source BFS: min-hop distance from any seed, bounded by
     ``max_hops`` (nodes further than that are absent).
 
-    Per round: one shuffle join (*frontier* onto edges — only the
-    rows reached for the first time last round, never the whole
+    Per round: one join (*frontier* onto edges — only the rows
+    reached for the first time last round, never the whole
     accumulated distance set, so round k costs O(frontier_k x degree)
     rather than re-expanding every prior round) + one dedup + one
     anti-join against the reached set. Same Pregel cost shape as
     :func:`pagerank`, all-integer so no float portability machinery.
-    At 100 TB the edge set dominates and is persisted once. Oracle:
-    ``bfs_oracle_sql`` unrolls the rounds into CTEs (the
-    k-hop-neighborhood / blast-radius shape).
+    At 100 TB the edge set dominates and is persisted once; with
+    ``broadcast_frontier`` (default) each round is a map-side join
+    over those persisted edges — no per-round edge shuffle at all.
+    Disable it when frontiers are themselves corpus-scale (billions
+    of newly-reached nodes per hop) and let the shuffle join shard
+    both sides. Oracle: ``bfs_oracle_sql`` unrolls the rounds into
+    CTEs (the k-hop-neighborhood / blast-radius shape).
     """
     e = edges.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
@@ -361,8 +371,9 @@ def bfs_hops(
         # in unit-weight BFS any node already in `dist` was reached in
         # <= k hops, so an anti-join (not a min-agg over the union) is
         # enough to keep only first-time reachings
+        fr = F.broadcast(frontier) if broadcast_frontier else frontier
         expanded = (
-            e.join(frontier, e.e_src == frontier.node)
+            e.join(fr, e.e_src == frontier.node)
             .select(F.col("e_dst").alias("node"), (F.col("dist") + 1).alias("dist"))
             .dropDuplicates(["node"])
         )

@@ -1674,7 +1674,11 @@ def q56_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q57_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    # cast via LTZ: TIMESTAMP_NTZ (what a tz-less parquet column loads
+    # as) cannot cast to long directly; session tz is pinned UTC so
+    # NTZ->LTZ->epoch matches DuckDB's epoch() on naive timestamps
+    ep = F.col("ts").cast("timestamp").cast("long")
+    gap = ep - F.lag(ep).over(w)
     return (
         table(spark, sf_dir, "events")
         .withColumn(
@@ -2244,7 +2248,9 @@ def q71_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q72_dedup_within_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    # NTZ-safe epoch seconds (see q57): NTZ->LTZ->long under UTC
+    ep = F.col("ts").cast("timestamp").cast("long")
+    gap = ep - F.lag(ep).over(w)
     return (
         table(spark, sf_dir, "events")
         .withColumn("gap", gap)
@@ -4448,8 +4454,15 @@ def _init_q125_oracle() -> str:
         "clean entity. Oracle = DuckDB recursive CTE.",
 )
 def q125_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cpus = spark.sparkContext.defaultParallelism
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a, b = p.alias("a"), p.alias("b")
+    # explicit fixed-count repartition on the blocking key: the join
+    # shuffle is only kilobytes (AQE would coalesce it to ~1 task) but
+    # each blocked partition then runs O(block^2) levenshtein
+    # evaluations — user-specified partitioning tells AQE to keep the
+    # compute spread
+    a = p.repartition(cpus, "p_brand").alias("a")
+    b = p.repartition(cpus, "p_brand").alias("b")
     pairs = (
         a.join(
             b,
@@ -4601,7 +4614,11 @@ def _corr_expr_sql(a: str, b: str) -> str:
         "match DuckDB bit-for-bit (single sqrt/divide shapes).",
 )
 def q127_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    from ..util import spread
+
+    # the decimal moment math is the whole cost of this query; a
+    # single-row-group local file would otherwise pin it to one split
+    li = spread(table(spark, sf_dir, "lineitem").select(*_CORR_COLS))
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
     for c in _CORR_COLS:
         aggs.append(
@@ -4751,7 +4768,9 @@ def q130_part_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
         )
-        .distinct()
+        # no distinct: BFS is invariant under edge multiplicity and
+        # dedups each round's frontier anyway — dropping the 7M-row
+        # distinct shuffle is free
     )
     seeds = (
         li.filter("l_partkey % 100 = 0")

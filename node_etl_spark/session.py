@@ -39,6 +39,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE on AQE coalescing: it targets shuffle BYTES, a poor
+        # proxy for downstream CPU — a kilobyte-scale shuffle feeding
+        # millions of levenshtein evaluations would be coalesced to
+        # one task. Compute-heavy stages over small shuffles therefore
+        # use explicit repartition()/util.spread() at the operator
+        # level (AQE never coalesces user-specified partitioning)
+        # rather than a global minPartitionSize floor, which measured
+        # as pure task-overhead for the many tiny stages of iterative
+        # operators.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

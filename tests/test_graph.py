@@ -87,12 +87,13 @@ def _ref_pagerank(edges, iterations=5, d=0.85):
     for _ in range(iterations):
         nxt = {}
         for v in nodes:
+            # mirror the engine's 15-decimal fixed-point quantization
             s = sum(
-                round(r[src] / outdeg[src], 15)
+                round(r[src] / outdeg[src] * 1e15)
                 for src, dst in edges
                 if dst == v
             )
-            nxt[v] = (1 - d) / n + d * s
+            nxt[v] = (1 - d) / n + d * (s / 1e15)
         r = nxt
     return r
 
@@ -128,7 +129,8 @@ def test_pagerank_matches_unrolled_oracle_shapes(spark):
 
     sql = pagerank_oracle_sql("SELECT 1 AS src, 2 AS dst", iterations=3)
     assert "r3 AS" in sql and "r4 AS" not in sql
-    assert "DECIMAL(24,15)" in sql
+    # fixed-point long sums, not decimal accumulators
+    assert "1e15" in sql and "AS BIGINT" in sql
 
 
 def test_bfs_hops_min_distance(spark):
