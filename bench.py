@@ -104,6 +104,9 @@ HEADLINE = [
     "q128_basket_pairs",
     "q129_hashed_features",
     "q130_part_reach",
+    "q131_pack_sequences",
+    "q132_token_entropy",
+    "q133_kmeans_step",
 ]
 
 

@@ -4787,3 +4787,202 @@ def _init_q130_oracle() -> None:
 
 
 _init_q130_oracle()
+
+
+# --------------------------------------------------------------------
+# q131-q133 — training-pipeline batch prep: sequence packing for a
+# fixed token budget, token-entropy quality scoring, and an
+# oracle-checked k-means assignment step over the embedding table.
+# --------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+
+@register(
+    "q131_pack_sequences",
+    f"""
+    WITH counted AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+    packed AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_excl
+        FROM counted)
+    SELECT doc_id, source, n_tokens,
+           CAST(cum_excl // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(cum_excl % {_PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM packed
+    """,
+    doc="Sequence packing (concatenate-and-chunk): per source shard, "
+        "documents in doc_id order are laid into fixed "
+        f"{_PACK_BUDGET}-token packs via an exclusive running token "
+        "total — pack id and intra-pack offset are pure integer "
+        "window math, the exact layout an LLM pretraining loader "
+        "uses. One shuffle (window by source); at 100 TB packing is "
+        "per-shard by construction so no global ordering bottleneck. "
+        "Net-new vs reference (stateful Thru is the closest shape, "
+        "jobs/convertors/job-thru.js:17-53).",
+)
+def q131_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            token_count("text").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "cum_excl",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("cum_excl") / _PACK_BUDGET).cast("bigint").alias("pack_id"),
+            (F.col("cum_excl") % _PACK_BUDGET).alias("pack_offset"),
+        )
+    )
+
+
+@register(
+    "q132_token_entropy",
+    """
+    WITH tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        WHERE term <> '' GROUP BY doc_id, term),
+    sums AS (
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n,
+               CAST(SUM(CAST(tf * log2(CAST(tf AS DOUBLE))
+                             AS DECIMAL(28,12))) AS DOUBLE) AS tlog
+        FROM tf GROUP BY doc_id)
+    SELECT doc_id, n AS n_tokens,
+           round(log2(CAST(n AS DOUBLE)) - tlog / CAST(n AS DOUBLE), 6)
+               AS entropy
+    FROM sums
+    """,
+    doc="Token-distribution Shannon entropy per document — the "
+        "repetition/quality signal LLM data curation filters on "
+        "(low entropy = boilerplate/spam). H = log2(n) - (1/n) "
+        "SUM(tf*log2(tf)): the per-term double products are quantized "
+        "to DECIMAL(28,12) and summed exactly, so the result is "
+        "partition-order independent and the final round(6) absorbs "
+        "sub-ulp libm differences between engines. One token scan + "
+        "two aggs, all JVM-side.",
+)
+def q132_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.search import tokens
+
+    tf = (
+        tokens(table(spark, sf_dir, "documents"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    sums = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n"),
+        F.sum(
+            (F.col("tf") * F.log2(F.col("tf").cast("double")))
+            .cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("tlog"),
+    )
+    return sums.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.round(
+            F.log2(F.col("n").cast("double"))
+            - F.col("tlog") / F.col("n").cast("double"),
+            6,
+        ).alias("entropy"),
+    )
+
+
+_KM_SEED_MOD = 250
+
+
+@register(
+    "q133_kmeans_step",
+    f"""
+    WITH c AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec
+        FROM embeddings WHERE vec_id % {_KM_SEED_MOD} = 0),
+    expanded AS (
+        SELECT e.vec_id, c.centroid_id, e.embedding AS evec, c.cvec,
+               unnest(generate_series(1, len(e.embedding))) AS i
+        FROM embeddings e, c),
+    dists AS (
+        SELECT vec_id, centroid_id,
+               round(CAST(SUM(CAST(
+                   (CAST(evec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))
+                   * (CAST(evec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))
+                   AS DECIMAL(38,30))) AS DOUBLE), 6) AS sq_dist
+        FROM expanded GROUP BY 1, 2),
+    assigned AS (
+        SELECT vec_id, centroid_id, sq_dist,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sq_dist, centroid_id) AS rn
+        FROM dists)
+    SELECT centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           round(CAST(SUM(CAST(sq_dist AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_sq_dist
+    FROM assigned WHERE rn = 1
+    GROUP BY centroid_id
+    """,
+    doc="One Lloyd iteration of k-means, oracle-checked end to end: "
+        "deterministic seed centroids (vec_id % "
+        f"{_KM_SEED_MOD} = 0), per-vector argmin of squared distance "
+        "(rounded to 6 digits with centroid-id tiebreak, the "
+        "engine-portable comparator), then per-cluster size and "
+        "inertia. Spark side is a broadcast of k centroid rows + one "
+        "zip_with/aggregate expression per pair — no shuffle until "
+        "the k-row final agg; the iterated/driver-seeded variant is "
+        "q38's IVF trainer (functions/similarity.py ivf_topk).",
+)
+def q133_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    c = e.filter(F.col("vec_id") % _KM_SEED_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    diff2 = F.zip_with(
+        "embedding",
+        "cvec",
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    sq = F.round(
+        F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v), 6
+    ).alias("sq_dist")
+    dists = e.crossJoin(F.broadcast(c)).select("vec_id", "centroid_id", sq)
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy("sq_dist", "centroid_id")
+    )
+    return (
+        dists.withColumn("rn", rn)
+        .filter("rn = 1")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+            F.round(
+                F.sum(F.col("sq_dist").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_sq_dist"),
+        )
+    )

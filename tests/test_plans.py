@@ -285,3 +285,18 @@ def test_corr_matrix_is_one_scan(spark, sf_dir):
 def test_basket_pairs_top50_avoids_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q128_basket_pairs")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    # packing rides ONE exchange (window by source); the running-total
+    # window must not introduce a second shuffle
+    plan = _plan(spark, sf_dir, "q131_pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_kmeans_step_broadcasts_centroids(spark, sf_dir):
+    # the k seed rows broadcast; vectors never shuffle before the
+    # k-row final aggregate
+    plan = _plan(spark, sf_dir, "q133_kmeans_step")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
