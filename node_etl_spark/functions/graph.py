@@ -140,6 +140,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     d1: str = "d1",
     d2: str = "d2",
+    block_col: str | None = None,
 ) -> DataFrame:
     """Duplicate-cluster assignment from a near-dup pair stream.
 
@@ -150,8 +151,19 @@ def dedup_clusters(
     partner are absent — at 100 TB the pair stream is sparse and this
     output is the *removal list* joined back as an anti-join, so
     materializing a row per clean document would be pure waste.
+
+    With ``block_col`` (a column of ``pairs`` that provably bounds
+    every edge, e.g. the blocking key that generated them), the
+    transitive closure runs as one-shuffle per-block union-find
+    (:func:`blocked_components`) instead of the iterative global
+    algorithm.
     """
-    comp = connected_components(pairs, src=d1, dst=d2)
+    if block_col is not None:
+        comp = blocked_components(pairs, block_col, d1=d1, d2=d2).select(
+            F.col("id").alias("id"), F.col("component").alias("component")
+        )
+    else:
+        comp = connected_components(pairs, src=d1, dst=d2)
     # component roots themselves appear only on the right side of the
     # final edge list; add their self-assignment
     roots = comp.select(F.col("component").alias("id"), "component").distinct()
@@ -193,6 +205,61 @@ def components_oracle_sql(pairs_sql: str) -> str:
     FROM reach
     GROUP BY id
     """
+
+
+def blocked_components(
+    pairs: DataFrame,
+    block_col: str,
+    d1: str = "d1",
+    d2: str = "d2",
+) -> DataFrame:
+    """Connected components for *pre-blocked* edge streams: every edge
+    lies within one block (the normal shape for blocking-based entity
+    resolution — pairs are only ever generated inside a blocking key,
+    e.g. ``q125``'s brand blocks), so components cannot span blocks
+    and the global answer is the per-block answer.
+
+    That turns the O(log^2 n)-round global algorithm
+    (:func:`connected_components`) into ONE shuffle: group each
+    block's edges, run path-compressed union-find over the group in
+    an Arrow batch, emit (id, component = min member id). Use the
+    iterative global algorithm when edges cross blocking keys
+    (LSH-band candidates, graph data); use this when a blocking
+    key provably bounds every edge — at 100 TB the win is the
+    difference between one shuffle and ~8.
+    """
+    import pandas as pd
+
+    id_type = pairs.schema[d1].dataType.simpleString()
+
+    def per_block(pdf: pd.DataFrame):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent.get(root, root)
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent.get(x, x)
+            return root
+
+        for a, b in zip(pdf[d1], pdf[d2]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by id: larger root attaches under smaller, so
+                # every root is its component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = set(pdf[d1]) | set(pdf[d2])
+        return pd.DataFrame(
+            {"id": list(nodes), "component": [find(n) for n in nodes]}
+        )
+
+    return (
+        pairs.select(block_col, d1, d2)
+        .groupBy(block_col)
+        .applyInPandas(per_block, f"id {id_type}, component {id_type}")
+    )
 
 
 def pagerank(

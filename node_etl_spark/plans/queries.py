@@ -4471,11 +4471,15 @@ def q125_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 4)
         .select(
+            F.col("a.p_brand").alias("blk"),
             F.col("a.p_partkey").alias("d1"),
             F.col("b.p_partkey").alias("d2"),
         )
     )
-    return G.dedup_clusters(p, pairs, id_col="p_partkey").select(
+    # every pair is within one brand block by construction -> the
+    # transitive closure is per-block union-find (one shuffle), not
+    # the iterative global algorithm
+    return G.dedup_clusters(p, pairs, id_col="p_partkey", block_col="blk").select(
         F.col("doc_id").alias("partkey"),
         F.col("cluster_id").alias("canonical_key"),
         "is_canonical",

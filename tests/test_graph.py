@@ -176,3 +176,33 @@ def test_pagerank_keeps_zero_indegree_sources(spark):
     sql = pagerank_oracle_sql("SELECT 1 AS src, 2 AS dst UNION ALL SELECT 2, 3", iterations=4)
     want = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+def test_blocked_components_matches_global(spark):
+    # pre-blocked edges: per-block union-find must agree with the
+    # iterative global algorithm (plus root self-rows)
+    from node_etl_spark.functions.graph import (
+        blocked_components,
+        connected_components,
+    )
+
+    rows = [
+        ("x", 1, 2), ("x", 2, 3), ("x", 5, 6),
+        ("y", 10, 11), ("y", 11, 12), ("y", 12, 10),
+    ]
+    pairs = spark.createDataFrame(rows, "blk string, d1 long, d2 long")
+    got = {
+        (r.id, r.component)
+        for r in blocked_components(pairs, "blk").collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (5, 5), (6, 5),
+        (10, 10), (11, 10), (12, 10),
+    }
+    glob = {
+        (r.id, r.component)
+        for r in connected_components(pairs, src="d1", dst="d2").collect()
+    }
+    # global edge-list output omits root self-rows; on the rest the
+    # assignments agree
+    assert glob <= got
