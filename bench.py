@@ -107,6 +107,7 @@ HEADLINE = [
     "q131_pack_sequences",
     "q132_token_entropy",
     "q133_kmeans_step",
+    "q134_cube",
 ]
 
 

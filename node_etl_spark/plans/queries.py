@@ -4990,3 +4990,38 @@ def q133_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_sq_dist"),
         )
     )
+
+
+@register(
+    "q134_cube",
+    f"""
+    SELECT
+        COALESCE(l_returnflag, '<all>') AS returnflag,
+        COALESCE(l_linestatus, '<all>') AS linestatus,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        {dsum_sql('l_extendedprice')} AS total_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="Full CUBE over two dimensions (all 2^k grouping combinations "
+        "in one pass) — completes the grouping family alongside "
+        "ROLLUP (q18) and explicit GROUPING SETS (q43). NULL grouping "
+        "markers are coalesced to a sentinel on both engines so the "
+        "subtotal rows hash identically. Spark expands the cube "
+        "map-side and shares one shuffle across all combinations.",
+)
+def q134_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n",
+            "total_price",
+        )
+    )

@@ -211,6 +211,80 @@ def _exact_dedup_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     return FnTransform(fn, name="exact_dedup")
 
 
+def _pack_sequences_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """Concatenate-and-chunk sequence packing (the q131 shape): lay
+    documents into fixed token-budget packs per shard via an exclusive
+    running token total. Adds n_tokens / pack_id / pack_offset."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .functions.text import token_count
+
+    col = d.get("text_col", "text")
+    idc = d.get("id_col", "doc_id")
+    shard = d.get("shard_col", "source")
+    budget = int(d.get("budget", 2048))
+
+    def fn(df):
+        w = (
+            Window.partitionBy(shard)
+            .orderBy(idc)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+        return (
+            df.withColumn("n_tokens", token_count(col).cast("bigint"))
+            .withColumn("__cum", cum)
+            .withColumn("pack_id", (F.col("__cum") / budget).cast("bigint"))
+            .withColumn("pack_offset", F.col("__cum") % budget)
+            .drop("__cum")
+        )
+
+    return FnTransform(fn, name="pack_sequences")
+
+
+def _token_entropy_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """Token-distribution entropy quality signal (the q132 shape),
+    joined back as an ``entropy`` column; optional ``min`` filter
+    drops low-entropy (boilerplate/repetitive) documents."""
+    from pyspark.sql import functions as F
+
+    from .functions.search import tokens
+
+    idc, mn = d.get("id_col", "doc_id"), d.get("min")
+
+    def fn(df):
+        tf = (
+            tokens(df, id_col=idc)
+            .groupBy(idc, "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        ent = (
+            tf.groupBy(idc)
+            .agg(
+                F.sum("tf").cast("bigint").alias("__n"),
+                F.sum(
+                    (F.col("tf") * F.log2(F.col("tf").cast("double")))
+                    .cast("decimal(28,12)")
+                )
+                .cast("double")
+                .alias("__tlog"),
+            )
+            .select(
+                idc,
+                F.round(
+                    F.log2(F.col("__n").cast("double"))
+                    - F.col("__tlog") / F.col("__n").cast("double"),
+                    6,
+                ).alias("entropy"),
+            )
+        )
+        out = df.join(ent, on=idc, how="left")
+        return out.filter(F.col("entropy") >= mn) if mn is not None else out
+
+    return FnTransform(fn, name="token_entropy")
+
+
 def _fetch_details_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     from .sources.paged import FetchDetails
 
@@ -353,6 +427,8 @@ _REGISTRY.update(
         "lang": _lang_op,
         "exact_dedup": _exact_dedup_op,
         "hash_split": _hash_split_op,
+        "pack_sequences": _pack_sequences_op,
+        "token_entropy": _token_entropy_op,
         "dq": _dq_op,
         # API-case JoinDetail (reference examples/trud.js)
         "fetch_details": _fetch_details_op,

@@ -161,14 +161,27 @@ def test_example_corpus_curation_spec(spark, sf_dir, tmp_path):
     n_in = table(spark, sf_dir, "documents").count()
     n_out = got.count()
     assert 0 < n_out <= n_in
-    assert set(got.columns) >= {"doc_id", "text", "quality", "split"}
-    # quality gate held
+    assert set(got.columns) >= {
+        "doc_id", "text", "quality", "entropy", "split",
+        "n_tokens", "pack_id", "pack_offset",
+    }
+    # quality + entropy gates held
     assert got.filter("quality < 0.2").count() == 0
+    assert got.filter("entropy < 3.0").count() == 0
     # split assignment total and determinism (re-run -> same rows)
     assert got.filter("split IS NULL").count() == 0
     sizes = {r["split"]: r["n"] for r in
              got.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert sizes["train"] > sizes.get("val", 0)
+    # packing layout: offsets stay within budget and pack 0 starts at 0
+    assert got.filter("pack_offset >= 2048 OR pack_offset < 0").count() == 0
+    first = (
+        got.filter("split = 'train'")
+        .orderBy("doc_id")
+        .select("pack_id", "pack_offset")
+        .first()
+    )
+    assert first["pack_id"] == 0 and first["pack_offset"] == 0
     # round-trips through to_spec like every spec-built pipeline
     assert to_spec(pipe)["name"] == "corpus-curation"
 
