@@ -107,7 +107,7 @@ HEADLINE = [
     "q131_pack_sequences",
     "q132_token_entropy",
     "q133_kmeans_step",
-    "q134_cube",
+    "q134_linear_interp",
 ]
 
 

@@ -1675,9 +1675,11 @@ def q56_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q57_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # cast via LTZ: TIMESTAMP_NTZ (what a tz-less parquet column loads
-    # as) cannot cast to long directly; session tz is pinned UTC so
-    # NTZ->LTZ->epoch matches DuckDB's epoch() on naive timestamps
-    ep = F.col("ts").cast("timestamp").cast("long")
+    # as) cannot cast to a numeric directly; session tz is pinned UTC.
+    # DOUBLE epoch = micros/1e6 in both engines (DuckDB epoch() is
+    # fractional), so the gap compare is microsecond-exact — a long
+    # cast would truncate to seconds and disagree near the threshold
+    ep = F.col("ts").cast("timestamp").cast("double")
     gap = ep - F.lag(ep).over(w)
     return (
         table(spark, sf_dir, "events")
@@ -2248,8 +2250,8 @@ def q71_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q72_dedup_within_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    # NTZ-safe epoch seconds (see q57): NTZ->LTZ->long under UTC
-    ep = F.col("ts").cast("timestamp").cast("long")
+    # NTZ-safe microsecond-exact epoch (see q57): NTZ->LTZ->double
+    ep = F.col("ts").cast("timestamp").cast("double")
     gap = ep - F.lag(ep).over(w)
     return (
         table(spark, sf_dir, "events")
@@ -4993,35 +4995,90 @@ def q133_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q134_cube",
-    f"""
-    SELECT
-        COALESCE(l_returnflag, '<all>') AS returnflag,
-        COALESCE(l_linestatus, '<all>') AS linestatus,
-        CAST(COUNT(*) AS BIGINT) AS n,
-        {dsum_sql('l_extendedprice')} AS total_price
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
+    "q134_linear_interp",
+    """
+    WITH sparse AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_id % 5 = 0 THEN value END AS obs
+        FROM events),
+    bounded AS (
+        SELECT user_id, event_id, ts, obs,
+               LAST_VALUE(obs IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS pv,
+               FIRST_VALUE(obs IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS nv,
+               LAST_VALUE(CASE WHEN obs IS NOT NULL THEN epoch(ts) END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS pt,
+               FIRST_VALUE(CASE WHEN obs IS NOT NULL THEN epoch(ts) END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS nt
+        FROM sparse)
+    SELECT user_id, event_id,
+           round(CASE
+               WHEN obs IS NOT NULL THEN obs
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               WHEN nt = pt THEN pv
+               ELSE pv + (nv - pv) * (CAST(epoch(ts) - pt AS DOUBLE)
+                                      / CAST(nt - pt AS DOUBLE))
+           END, 6) AS value_interp
+    FROM bounded
     """,
-    doc="Full CUBE over two dimensions (all 2^k grouping combinations "
-        "in one pass) — completes the grouping family alongside "
-        "ROLLUP (q18) and explicit GROUPING SETS (q43). NULL grouping "
-        "markers are coalesced to a sentinel on both engines so the "
-        "subtotal rows hash identically. Spark expands the cube "
-        "map-side and shares one shuffle across all combinations.",
+    doc="Time-weighted linear interpolation of a sparsely-observed "
+        "series (sensor gap-filling; every 5th event is 'observed'): "
+        "bracketing observations via IGNORE NULLS window frames, then "
+        "v_prev + (v_next - v_prev) * dt-fraction, edges falling back "
+        "to nearest-known. Complements q99's LOCF with the "
+        "interpolating variant; same single user_id shuffle, "
+        "identical arithmetic shapes both engines, round(6).",
 )
-def q134_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        table(spark, sf_dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            dsum("l_extendedprice").alias("total_price"),
+def q134_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DOUBLE epoch: micros/1e6, bit-identical to DuckDB's fractional
+    # epoch() — the interpolation fraction is microsecond-exact
+    ep = F.col("ts").cast("timestamp").cast("double")
+    obs = F.when(F.col("event_id") % 5 == 0, F.col("value"))
+    obs_t = F.when(F.col("obs").isNotNull(), F.col("ep"))
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    b = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", obs.alias("obs"), ep.alias("ep"))
+        .withColumn("pv", F.last("obs", ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("obs", ignorenulls=True).over(wn))
+        .withColumn("pt", F.last(obs_t, ignorenulls=True).over(wp))
+        .withColumn("nt", F.first(obs_t, ignorenulls=True).over(wn))
+    )
+    interp = (
+        F.when(F.col("obs").isNotNull(), F.col("obs"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(F.col("nt") == F.col("pt"), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("ep") - F.col("pt")).cast("double")
+                / (F.col("nt") - F.col("pt")).cast("double")
+            )
         )
-        .select(
-            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
-            "n",
-            "total_price",
-        )
+    )
+    return b.select(
+        "user_id", "event_id", F.round(interp, 6).alias("value_interp")
     )
