@@ -82,6 +82,21 @@ def cosine_vec(a: Column, b: Column) -> Column:
     return _sim(a, b)
 
 
+def _require_integral_id(df: DataFrame, id_col: str) -> None:
+    """The blocked-GEMM operators block on ``floor(id / block_size)``
+    and pack ids into int64 numpy arrays — an integral id column is a
+    hard contract (string/decimal ids would silently coerce or fail
+    deep inside an Arrow batch). Fail fast with a clear message;
+    callers with string keys should zipWithUniqueId/monotonically_
+    increasing_id first and join back."""
+    t = df.schema[id_col].dataType.simpleString()
+    if t not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"similarity blocking requires an integral id column; "
+            f"{id_col!r} is {t}"
+        )
+
+
 def _block_frame(
     df: DataFrame, id_col: str, vec_col: str, block_size: int, out_name: str
 ) -> DataFrame:
@@ -90,6 +105,7 @@ def _block_frame(
     ``floor(id / block_size)``. Turns per-pair vector shipping into
     per-block shipping — the data-movement term drops from O(pairs*d)
     to O(blocks*block_size*d)."""
+    _require_integral_id(df, id_col)
     return (
         df.groupBy(
             F.floor(F.col(id_col) / block_size).alias("__blk")

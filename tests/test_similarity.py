@@ -67,3 +67,18 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     for qid, _ in approx:
         per_q[qid] = per_q.get(qid, 0) + 1
     assert all(v == 5 for v in per_q.values())
+
+
+def test_blocked_gemm_rejects_non_integral_ids(spark):
+    # the blocked operators pack ids into int64 arrays and block on
+    # floor(id / block_size) — string keys must fail fast, not coerce
+    import pytest
+
+    from node_etl_spark.functions.similarity import brute_force_topk
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    with pytest.raises(TypeError, match="integral id"):
+        brute_force_topk(df, df, k=1)
