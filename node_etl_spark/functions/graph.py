@@ -152,10 +152,11 @@ def dedup_clusters(
     output is the *removal list* joined back as an anti-join, so
     materializing a row per clean document would be pure waste.
 
-    With ``block_col`` (a column of ``pairs`` that provably bounds
-    every edge, e.g. the blocking key that generated them), the
-    transitive closure runs as one-shuffle per-block union-find
-    (:func:`blocked_components`) instead of the iterative global
+    With ``block_col`` (a column of ``pairs`` whose key partitions
+    the NODES — each entity belongs to exactly one block, as with a
+    functional attribute like q125's brand; NOT an LSH band id, see
+    :func:`blocked_components`), the transitive closure runs as
+    one-shuffle per-block union-find instead of the iterative global
     algorithm.
     """
     if block_col is not None:
@@ -212,23 +213,47 @@ def blocked_components(
     block_col: str,
     d1: str = "d1",
     d2: str = "d2",
+    validate: bool = False,
 ) -> DataFrame:
-    """Connected components for *pre-blocked* edge streams: every edge
-    lies within one block (the normal shape for blocking-based entity
-    resolution — pairs are only ever generated inside a blocking key,
-    e.g. ``q125``'s brand blocks), so components cannot span blocks
-    and the global answer is the per-block answer.
+    """Connected components when the blocking key partitions the
+    *nodes*: every node belongs to exactly one block (q125's brand
+    blocks — a part has exactly one brand), so components cannot span
+    blocks and the global answer is the per-block answer.
 
-    That turns the O(log^2 n)-round global algorithm
-    (:func:`connected_components`) into ONE shuffle: group each
-    block's edges, run path-compressed union-find over the group in
-    an Arrow batch, emit (id, component = min member id). Use the
-    iterative global algorithm when edges cross blocking keys
-    (LSH-band candidates, graph data); use this when a blocking
-    key provably bounds every edge — at 100 TB the win is the
-    difference between one shuffle and ~8.
+    Edge containment alone is NOT sufficient: LSH/minhash *band*
+    pairs also each lie within one band, but a document appears in
+    several bands and components legitimately span bands through
+    shared nodes — use the iterative :func:`connected_components`
+    there. ``validate=True`` checks the node-partition property with
+    one extra aggregate over the pair stream and raises on violation
+    (off by default: when blocking derives from a functional
+    attribute of the entity, the property holds by construction).
+
+    Valid input turns the O(log^2 n)-round global algorithm into ONE
+    shuffle: group each block's edges, run path-compressed union-find
+    over the group in an Arrow batch, emit (id, component = min
+    member id) — at 100 TB the win is the difference between one
+    shuffle and ~8.
     """
     import pandas as pd
+
+    if validate:
+        both = pairs.select(block_col, F.col(d1).alias("id")).unionByName(
+            pairs.select(block_col, F.col(d2).alias("id"))
+        )
+        offenders = (
+            both.groupBy("id")
+            .agg(F.countDistinct(block_col).alias("nb"))
+            .filter("nb > 1")
+        )
+        bad = offenders.limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"blocked_components: node {bad[0]['id']!r} appears in "
+                f"multiple {block_col!r} blocks — the blocking key must "
+                "partition the nodes; use connected_components for "
+                "cross-block edge sets (e.g. LSH band pairs)"
+            )
 
     id_type = pairs.schema[d1].dataType.simpleString()
 
@@ -408,7 +433,8 @@ def bfs_hops(
     src: str = "src",
     dst: str = "dst",
     node: str = "node",
-    broadcast_frontier: bool = True,
+    broadcast_frontier: bool | None = None,
+    broadcast_max_rows: int = 5_000_000,
 ) -> DataFrame:
     """Multi-source BFS: min-hop distance from any seed, bounded by
     ``max_hops`` (nodes further than that are absent).
@@ -419,13 +445,17 @@ def bfs_hops(
     rather than re-expanding every prior round) + one dedup + one
     anti-join against the reached set. Same Pregel cost shape as
     :func:`pagerank`, all-integer so no float portability machinery.
-    At 100 TB the edge set dominates and is persisted once; with
-    ``broadcast_frontier`` (default) each round is a map-side join
-    over those persisted edges — no per-round edge shuffle at all.
-    Disable it when frontiers are themselves corpus-scale (billions
-    of newly-reached nodes per hop) and let the shuffle join shard
-    both sides. Oracle: ``bfs_oracle_sql`` unrolls the rounds into
-    CTEs (the k-hop-neighborhood / blast-radius shape).
+    At 100 TB the edge set dominates and is persisted once; a small
+    frontier broadcasts, making the round a map-side join over those
+    persisted edges — no per-round edge shuffle at all.
+
+    ``broadcast_frontier=None`` (default) decides **per round** from
+    the frontier's actual row count (free — the frontier is eagerly
+    checkpointed anyway): broadcast while ``<= broadcast_max_rows``,
+    shuffle join beyond, so a corpus-scale hop can never hit Spark's
+    8 GB broadcast ceiling or the driver's memory. True/False force
+    one mode for every round. Oracle: ``bfs_oracle_sql`` unrolls the
+    rounds into CTEs (the k-hop-neighborhood / blast-radius shape).
     """
     e = edges.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
@@ -434,11 +464,18 @@ def bfs_hops(
         F.col(node).alias("node"), F.lit(0).cast("int").alias("dist")
     ).localCheckpoint(eager=True)
     frontier = dist
+    n_frontier = None  # None = not yet counted (first round: seeds)
     for _ in range(max_hops):
         # in unit-weight BFS any node already in `dist` was reached in
         # <= k hops, so an anti-join (not a min-agg over the union) is
         # enough to keep only first-time reachings
-        fr = F.broadcast(frontier) if broadcast_frontier else frontier
+        if broadcast_frontier is None:
+            if n_frontier is None:
+                n_frontier = frontier.count()
+            bcast = n_frontier <= broadcast_max_rows
+        else:
+            bcast = broadcast_frontier
+        fr = F.broadcast(frontier) if bcast else frontier
         expanded = (
             e.join(fr, e.e_src == frontier.node)
             .select(F.col("e_dst").alias("node"), (F.col("dist") + 1).alias("dist"))
@@ -447,7 +484,10 @@ def bfs_hops(
         frontier = expanded.join(
             dist, "node", "left_anti"
         ).localCheckpoint(eager=True)
-        if frontier.isEmpty():
+        # counting the checkpointed frontier doubles as the emptiness
+        # check and feeds the next round's broadcast decision
+        n_frontier = frontier.count()
+        if n_frontier == 0:
             break
         dist = dist.unionByName(frontier).localCheckpoint(eager=True)
     return dist.select("node", F.col("dist").cast("int").alias("dist"))

@@ -153,6 +153,8 @@ def brute_force_topk(
     """
     import numpy as np
 
+    _require_integral_id(queries, id_col)  # query ids land in the same
+    # int64 arrays as corpus ids — validate BOTH sides up front
     qrow = queries.agg(
         F.collect_list(
             F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))

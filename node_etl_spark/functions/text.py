@@ -166,6 +166,84 @@ def clean_text(text_col: str | Column) -> Column:
     return F.trim(F.regexp_replace(c, "\\s+", " "))
 
 
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+    budget: int = 2048,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (the LLM pretraining
+    loader layout): within each shard, documents in id order are laid
+    into fixed ``budget``-token packs via an exclusive running token
+    total. Adds ``n_tokens`` / ``pack_id`` / ``pack_offset``. One
+    shuffle (window by shard); packing is per-shard by construction,
+    so there is no global ordering bottleneck at corpus scale.
+
+    Shared by the q131 catalog query and the ``pack_sequences`` spec
+    op — the integer window shapes are load-bearing for oracle parity,
+    so they live exactly once.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    return (
+        df.withColumn("n_tokens", token_count(text_col).cast("bigint"))
+        .withColumn("__cum", cum)
+        .withColumn("pack_id", (F.col("__cum") / budget).cast("bigint"))
+        .withColumn("pack_offset", F.col("__cum") % budget)
+        .drop("__cum")
+    )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    repetition/boilerplate quality signal. Returns (id, n_tokens,
+    entropy) with H = log2(n) - (1/n) * SUM(tf * log2(tf)); the
+    per-term double products are quantized to DECIMAL(28,12) and
+    summed exactly, so the result is partition-order independent and
+    a final round(6) absorbs sub-ulp libm differences across engines.
+
+    Shared by the q132 catalog query and the ``token_entropy`` spec
+    op (single source of the oracle-parity shapes).
+    """
+    from .search import tokens as token_rows
+
+    tf = (
+        token_rows(df, id_col=id_col, text_col=text_col)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(
+                (F.col("tf") * F.log2(F.col("tf").cast("double")))
+                .cast("decimal(28,12)")
+            )
+            .cast("double")
+            .alias("__tlog"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.log2(F.col("n_tokens").cast("double"))
+                - F.col("__tlog") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("entropy"),
+        )
+    )
+
+
 def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass text profile: the columns a filtering pipeline keys on."""
     return df.select(

@@ -4462,9 +4462,10 @@ def q125_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle is only kilobytes (AQE would coalesce it to ~1 task) but
     # each blocked partition then runs O(block^2) levenshtein
     # evaluations — user-specified partitioning tells AQE to keep the
-    # compute spread
-    a = p.repartition(cpus, "p_brand").alias("a")
-    b = p.repartition(cpus, "p_brand").alias("b")
+    # compute spread. One repartition, aliased for both join sides
+    # (a single exchange, reused).
+    r = p.repartition(cpus, "p_brand")
+    a, b = r.alias("a"), r.alias("b")
     pairs = (
         a.join(
             b,
@@ -4834,32 +4835,11 @@ _PACK_BUDGET = 2048
         "jobs/convertors/job-thru.js:17-53).",
 )
 def q131_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import token_count
+    from ..functions.text import pack_sequences
 
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            "source",
-            token_count("text").cast("bigint").alias("n_tokens"),
-        )
-        .withColumn(
-            "cum_excl",
-            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            (F.col("cum_excl") / _PACK_BUDGET).cast("bigint").alias("pack_id"),
-            (F.col("cum_excl") % _PACK_BUDGET).alias("pack_offset"),
-        )
-    )
+    return pack_sequences(
+        table(spark, sf_dir, "documents"), budget=_PACK_BUDGET
+    ).select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
 
 
 @register(
@@ -4891,31 +4871,9 @@ def q131_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "two aggs, all JVM-side.",
 )
 def q132_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.search import tokens
+    from ..functions.text import token_entropy
 
-    tf = (
-        tokens(table(spark, sf_dir, "documents"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    sums = tf.groupBy("doc_id").agg(
-        F.sum("tf").cast("bigint").alias("n"),
-        F.sum(
-            (F.col("tf") * F.log2(F.col("tf").cast("double")))
-            .cast("decimal(28,12)")
-        )
-        .cast("double")
-        .alias("tlog"),
-    )
-    return sums.select(
-        "doc_id",
-        F.col("n").alias("n_tokens"),
-        F.round(
-            F.log2(F.col("n").cast("double"))
-            - F.col("tlog") / F.col("n").cast("double"),
-            6,
-        ).alias("entropy"),
-    )
+    return token_entropy(table(spark, sf_dir, "documents"))
 
 
 _KM_SEED_MOD = 250

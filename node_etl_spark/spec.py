@@ -212,72 +212,39 @@ def _exact_dedup_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
 
 
 def _pack_sequences_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
-    """Concatenate-and-chunk sequence packing (the q131 shape): lay
-    documents into fixed token-budget packs per shard via an exclusive
-    running token total. Adds n_tokens / pack_id / pack_offset."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from .functions.text import token_count
+    """Concatenate-and-chunk sequence packing (the q131 shape):
+    delegates to functions/text.py pack_sequences — the single source
+    of the oracle-parity window shapes."""
+    from .functions.text import pack_sequences
 
     col = d.get("text_col", "text")
     idc = d.get("id_col", "doc_id")
     shard = d.get("shard_col", "source")
     budget = int(d.get("budget", 2048))
 
-    def fn(df):
-        w = (
-            Window.partitionBy(shard)
-            .orderBy(idc)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
-        return (
-            df.withColumn("n_tokens", token_count(col).cast("bigint"))
-            .withColumn("__cum", cum)
-            .withColumn("pack_id", (F.col("__cum") / budget).cast("bigint"))
-            .withColumn("pack_offset", F.col("__cum") % budget)
-            .drop("__cum")
-        )
-
-    return FnTransform(fn, name="pack_sequences")
+    return FnTransform(
+        lambda df: pack_sequences(
+            df, text_col=col, id_col=idc, shard_col=shard, budget=budget
+        ),
+        name="pack_sequences",
+    )
 
 
 def _token_entropy_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     """Token-distribution entropy quality signal (the q132 shape),
     joined back as an ``entropy`` column; optional ``min`` filter
-    drops low-entropy (boilerplate/repetitive) documents."""
+    drops low-entropy (boilerplate/repetitive) documents. Delegates
+    to functions/text.py token_entropy."""
     from pyspark.sql import functions as F
 
-    from .functions.search import tokens
+    from .functions.text import token_entropy
 
+    col = d.get("text_col", "text")
     idc, mn = d.get("id_col", "doc_id"), d.get("min")
 
     def fn(df):
-        tf = (
-            tokens(df, id_col=idc)
-            .groupBy(idc, "term")
-            .agg(F.count(F.lit(1)).alias("tf"))
-        )
-        ent = (
-            tf.groupBy(idc)
-            .agg(
-                F.sum("tf").cast("bigint").alias("__n"),
-                F.sum(
-                    (F.col("tf") * F.log2(F.col("tf").cast("double")))
-                    .cast("decimal(28,12)")
-                )
-                .cast("double")
-                .alias("__tlog"),
-            )
-            .select(
-                idc,
-                F.round(
-                    F.log2(F.col("__n").cast("double"))
-                    - F.col("__tlog") / F.col("__n").cast("double"),
-                    6,
-                ).alias("entropy"),
-            )
+        ent = token_entropy(df, text_col=col, id_col=idc).select(
+            idc, "entropy"
         )
         out = df.join(ent, on=idc, how="left")
         return out.filter(F.col("entropy") >= mn) if mn is not None else out

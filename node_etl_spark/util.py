@@ -20,10 +20,18 @@ def spread(df: DataFrame, minimum: int | None = None) -> DataFrame:
     """Ensure ``df`` has at least ``minimum`` (default: cluster
     parallelism) partitions before a CPU-bound stage.
 
-    No-op when the plan already yields enough partitions, so it is
-    safe to leave in scale paths: big scans keep their native splits
-    and pay nothing.
+    Only scan-bottom (exchange-free) plans are probed and possibly
+    repartitioned: once any shuffle sits upstream, partitioning is
+    already >= ``spark.sql.shuffle.partitions`` and a probe would be
+    pure waste — worse, with AQE enabled ``df.rdd`` *executes* every
+    upstream query stage at plan-construction time, so probing a
+    derived frame would silently run (and later re-run) cluster jobs.
+    Narrow plans have no stages to materialize, making the probe free;
+    big scans keep their native splits and pay nothing.
     """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        return df
     sc = df.sparkSession.sparkContext
     target = minimum or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

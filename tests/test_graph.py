@@ -206,3 +206,24 @@ def test_blocked_components_matches_global(spark):
     # global edge-list output omits root self-rows; on the rest the
     # assignments agree
     assert glob <= got
+
+
+def test_blocked_components_validate_rejects_band_style_blocks(spark):
+    # node 2 appears in blocks x and y (the LSH-band shape) — validate
+    # must refuse; without validate the caller owns the contract
+    import pytest
+
+    from node_etl_spark.functions.graph import blocked_components
+
+    pairs = spark.createDataFrame(
+        [("x", 1, 2), ("y", 2, 3)], "blk string, d1 long, d2 long"
+    )
+    with pytest.raises(ValueError, match="multiple"):
+        blocked_components(pairs, "blk", validate=True).collect()
+    # q125-style node-partitioning blocks pass validation
+    ok = spark.createDataFrame(
+        [("x", 1, 2), ("y", 10, 11)], "blk string, d1 long, d2 long"
+    )
+    got = {(r.id, r.component)
+           for r in blocked_components(ok, "blk", validate=True).collect()}
+    assert got == {(1, 1), (2, 1), (10, 10), (11, 10)}

@@ -82,3 +82,20 @@ def test_blocked_gemm_rejects_non_integral_ids(spark):
     )
     with pytest.raises(TypeError, match="integral id"):
         brute_force_topk(df, df, k=1)
+
+
+def test_blocked_gemm_rejects_string_query_ids(spark):
+    # corpus OK but query ids string -> still a fast TypeError
+    import pytest
+
+    from node_etl_spark.functions.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [("q1", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(TypeError, match="integral id"):
+        brute_force_topk(corpus, queries, k=1)
