@@ -328,8 +328,10 @@ def pagerank(
     The long sum cannot overflow: rank mass is conserved (total <= 1),
     so every per-node csum is <= ~1e15 << 2^63 at any graph scale —
     and unlike a DECIMAL(24,15) accumulator (BigDecimal-backed on the
-    JVM) the fixed-point path is pure long arithmetic in codegen
-    (measured ~2x on the whole 5-round query at sf0.1).
+    JVM) the fixed-point path is pure long arithmetic in codegen.
+    (At sf0.1 the rounds are scheduling/shuffle-latency bound and the
+    two are measured equal; the per-row gap matters once per-round
+    contribution counts reach billions.)
     """
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
     nstats = deg.agg(F.count(F.lit(1)).alias("n"))
