@@ -4458,18 +4458,35 @@ def _init_q125_oracle() -> str:
 def q125_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     cpus = spark.sparkContext.defaultParallelism
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    # explicit fixed-count repartition on the blocking key: the join
-    # shuffle is only kilobytes (AQE would coalesce it to ~1 task) but
-    # each blocked partition then runs O(block^2) levenshtein
-    # evaluations — user-specified partitioning tells AQE to keep the
-    # compute spread. One repartition, aliased for both join sides
-    # (a single exchange, reused).
-    r = p.repartition(cpus, "p_brand")
-    a, b = r.alias("a"), r.alias("b")
+    # salted blocked self-join: the O(block^2) levenshtein work is the
+    # whole cost, and 25 brand keys alone leave stragglers (hash
+    # collisions put two brands on one task, others idle). Salting the
+    # left side (one deterministic salt per row) and replicating the
+    # right side to every salt splits each brand's pair space into
+    # `salt` independent slices — same pairs exactly once (the pair
+    # (x, y) meets only at x's salt), 25*salt near-uniform tasks.
+    # Explicit fixed-count repartition on (brand, salt) so AQE never
+    # coalesces the kilobyte shuffle under the compute.
+    salt = 8
+    a = (
+        p.withColumn("salt", F.pmod(F.hash("p_partkey"), F.lit(salt)))
+        .repartition(cpus, "p_brand", "salt")
+        .alias("a")
+    )
+    b = (
+        p.crossJoin(
+            F.broadcast(
+                spark.range(salt).select(F.col("id").cast("int").alias("salt"))
+            )
+        )
+        .repartition(cpus, "p_brand", "salt")
+        .alias("b")
+    )
     pairs = (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey")),
         )
         .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 4)
