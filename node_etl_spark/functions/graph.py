@@ -335,15 +335,20 @@ def pagerank(
     """
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
     nstats = deg.agg(F.count(F.lit(1)).alias("n"))
-    e = (
-        edges.join(deg, src)
-        .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "outdeg")
-        .localCheckpoint(eager=True)
-    )
     # the node universe: every source node, kept in the result every
     # round (below) so zero-in-degree sources don't silently vanish
     # after iteration 1 on non-symmetric edge sets
     nodes = deg.select(F.col(src).alias("node")).localCheckpoint(eager=True)
+    # drop edges into dangling (dst-only) nodes ONCE: their would-be
+    # contributions were always discarded (dangling nodes are out of
+    # scope, see above) — pre-filtering spares every round from
+    # computing them and keeps the result set = the source universe
+    e = (
+        edges.join(deg, src)
+        .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "outdeg")
+        .join(F.broadcast(nodes), F.col("e_dst") == F.col("node"), "left_semi")
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.crossJoin(F.broadcast(nstats)).select(
         "node",
         F.expr("1.0 / CAST(n AS DOUBLE)").alias("rank"),
@@ -363,20 +368,24 @@ def pagerank(
             .cast("bigint")
             .alias("c"),
         )
+        # union a zero contribution for every node instead of a
+        # left-join from the universe: the zero rows ride the SAME
+        # groupBy shuffle (adding 0 to a long sum is exact), every
+        # node stays in the result — including zero-in-degree sources
+        # at the (1-d)/n base rank — and each round sheds a join
+        # (with its per-round broadcast job; measured ~10% on the
+        # 5-round query). The oracle keeps the equivalent LEFT JOIN +
+        # COALESCE formulation: same csum, bit-identical ranks.
+        contrib = contrib.unionByName(
+            nodes.select("node", F.lit(0).cast("bigint").alias("c"))
+        )
         csums = contrib.groupBy("node").agg(F.sum("c").alias("csum"))
-        # left join from the universe: a source with no in-edges gets
-        # csum 0 -> the (1-d)/n base rank, instead of dropping out
-        ranks = (
-            nodes.join(csums, "node", "left")
-            .crossJoin(F.broadcast(nstats))
-            .select(
-                "node",
-                F.expr(
-                    f"{1.0 - damping} / CAST(n AS DOUBLE)"
-                    f" + {damping}"
-                    " * (CAST(coalesce(csum, 0) AS DOUBLE) / 1e15)"
-                ).alias("rank"),
-            )
+        ranks = csums.crossJoin(F.broadcast(nstats)).select(
+            "node",
+            F.expr(
+                f"{1.0 - damping} / CAST(n AS DOUBLE)"
+                f" + {damping} * (CAST(csum AS DOUBLE) / 1e15)"
+            ).alias("rank"),
         )
         if (
             checkpoint_every
