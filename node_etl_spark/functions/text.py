@@ -245,7 +245,15 @@ def token_entropy(
 
 
 def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One-pass text profile: the columns a filtering pipeline keys on."""
+    """One-pass text profile: the columns a filtering pipeline keys on.
+
+    The higher-order lambdas here (aggregate/filter over token arrays)
+    are interpreted per element — CPU enough that an under-split local
+    scan bottlenecks on one core, hence the spread (no-op at scale).
+    """
+    from ..util import spread
+
+    df = spread(df)
     return df.select(
         F.col(id_col),
         token_count(text_col).alias("n_tokens"),

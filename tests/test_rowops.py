@@ -139,3 +139,19 @@ def test_approx_percentiles_accuracy(spark, sf_dir):
         lo, hi = lo_hi[seg]
         for a, l, h in zip(approx, lo, hi):
             assert l <= a <= h, (seg, a, l, h)
+
+
+def test_spread_skips_derived_frames(spark, sf_dir):
+    # spread() must return a post-shuffle frame UNCHANGED: probing
+    # df.rdd there would execute upstream stages under AQE
+    from node_etl_spark.tables import table
+    from node_etl_spark.util import spread
+
+    base = table(spark, sf_dir, "orders")
+    derived = base.groupBy("o_orderstatus").count()
+    assert spread(derived) is derived
+    # scan-bottom frames are probed (and spread when under-split)
+    out = spread(base.select("o_orderkey"))
+    assert out.rdd.getNumPartitions() >= min(
+        spark.sparkContext.defaultParallelism, 8
+    )
