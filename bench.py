@@ -108,6 +108,7 @@ HEADLINE = [
     "q132_token_entropy",
     "q133_kmeans_step",
     "q134_linear_interp",
+    "q135_session_window",
 ]
 
 

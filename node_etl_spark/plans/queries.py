@@ -5057,3 +5057,53 @@ def q134_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select(
         "user_id", "event_id", F.round(interp, 6).alias("value_interp")
     )
+
+
+@register(
+    "q135_session_window",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT *, SUM(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS seq
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, seq
+    """,
+    doc="Native session windows (F.session_window, 30-min gap): the "
+        "idiomatic Spark construct for gap sessionization — one "
+        "shuffle on (user, merged window), windows merge while each "
+        "event starts within `gap` of the session end. q57 builds the "
+        "same sessions by hand with lag/cumsum (its manual boundary "
+        "is strictly-greater, the native one is >=, hence this "
+        "oracle's >=); the streaming twin is "
+        "streaming/stream.py sessionize (applyInPandasWithState).",
+)
+def q135_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum("value", 4).alias("total_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
