@@ -299,11 +299,13 @@ def pagerank(
     """Fixed-iteration PageRank over a directed edge set.
 
     Returns (node, rank) for every node that appears as a source —
-    including zero-in-degree sources, which keep the (1-d)/n base rank
-    via a left join from the node universe each round (symmetric edge
-    sets — e.g. co-occurrence graphs — make the universe every node).
-    Destination-only nodes are out of scope (they are dangling: no
-    outdeg; their would-be rank mass is dropped, see below).
+    including zero-in-degree sources, which keep the (1-d)/n base
+    rank: every round unions a zero contribution for each universe
+    node into the aggregation, so no node ever drops out (symmetric
+    edge sets — e.g. co-occurrence graphs — make the universe every
+    node). Destination-only nodes are out of scope (they are
+    dangling: no outdeg; edges into them are pre-filtered once and
+    their would-be rank mass is dropped, see below).
     Classic power iteration: each round is one shuffle join
     (ranks onto edges by src) plus one groupBy(dst) — the GraphX/
     Pregel cost shape expressed as plain DataFrame ops, so Catalyst
@@ -342,11 +344,15 @@ def pagerank(
     # drop edges into dangling (dst-only) nodes ONCE: their would-be
     # contributions were always discarded (dangling nodes are out of
     # scope, see above) — pre-filtering spares every round from
-    # computing them and keeps the result set = the source universe
+    # computing them and keeps the result set = the source universe.
+    # The broadcast hint obeys the same budget as the rank state
+    # (nodes and ranks have identical cardinality): with
+    # broadcast_ranks=False the semi-join falls back to a shuffle.
+    nside = F.broadcast(nodes) if broadcast_ranks else nodes
     e = (
         edges.join(deg, src)
         .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "outdeg")
-        .join(F.broadcast(nodes), F.col("e_dst") == F.col("node"), "left_semi")
+        .join(nside, F.col("e_dst") == F.col("node"), "left_semi")
         .localCheckpoint(eager=True)
     )
     ranks = nodes.crossJoin(F.broadcast(nstats)).select(

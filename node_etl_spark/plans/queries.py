@@ -5063,7 +5063,7 @@ def q134_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q135_session_window",
     """
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, event_id, ts, value,
                CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
@@ -5071,7 +5071,7 @@ def q134_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT *, SUM(new_sess) OVER (
-            PARTITION BY user_id ORDER BY ts
+            PARTITION BY user_id ORDER BY ts, event_id
             ROWS UNBOUNDED PRECEDING) AS seq
         FROM flagged
     )
