@@ -42,6 +42,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list.
 
@@ -49,6 +50,17 @@ def connected_components(
     the component, one row per vertex that appears in ``edges``
     (isolated vertices never enter the edge stream; callers union
     them back with ``component = id`` if needed).
+
+    **Small-graph fast path**: the canonical edge set is materialized
+    (checkpointed) before iterating anyway, so its size is known for
+    free; at or below ``driver_threshold`` edges (bounded driver
+    memory — 100k edges is a few MB) the closure finishes as a
+    driver-side union-find instead of paying 2-3 cluster jobs per
+    star round on kilobyte data. Near-dup pair streams are sparse by
+    construction, so this is the common case even at corpus scale;
+    the iterative path takes over exactly when the edge set is big
+    enough to amortize its shuffles. ``driver_threshold=0`` forces
+    the distributed path.
 
     Implementation: alternating large-star / small-star.  With
     neighborhood-plus-self N+(v) and m = min(N+(v)):
@@ -74,6 +86,29 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if driver_threshold and e.count() <= driver_threshold:
+        id_type = e.schema["a"].dataType.simpleString()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent.get(root, root)
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent.get(x, x)
+            return root
+
+        rows = e.collect()
+        for r in rows:
+            ra, rb = find(r["a"]), find(r["b"])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo  # roots stay component minima
+        nodes = {v for r in rows for v in (r["a"], r["b"])}
+        out = [(v, find(v)) for v in sorted(nodes) if find(v) != v]
+        return edges.sparkSession.createDataFrame(
+            out, schema=f"id {id_type}, component {id_type}"
+        )
     for _ in range(max_iter):
         # ---- large-star: attach strictly-larger neighbors to min ----
         # m(v) = min(N(v) ∪ {v}) via a plain min aggregate + join-back:

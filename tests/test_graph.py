@@ -36,13 +36,15 @@ def test_star_already_converged(spark):
 
 
 def test_two_stars_bridge(spark):
-    # two stars joined by one bridge edge -> single component
+    # two stars joined by one bridge edge -> single component; the
+    # driver fast path and the forced-distributed path must agree
     edges = [(1, i) for i in range(2, 6)] + [(100, i) for i in range(101, 105)]
     edges.append((5, 104))
-    comp = connected_components(_edges(spark, edges))
-    got = _labels(comp)
-    assert set(got.values()) == {1}
-    assert set(got) == {2, 3, 4, 5, 100, 101, 102, 103, 104}
+    for thr in (100_000, 0):
+        comp = connected_components(_edges(spark, edges), driver_threshold=thr)
+        got = _labels(comp)
+        assert set(got.values()) == {1}, thr
+        assert set(got) == {2, 3, 4, 5, 100, 101, 102, 103, 104}, thr
 
 
 def test_empty_edges(spark):
