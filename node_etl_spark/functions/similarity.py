@@ -242,6 +242,45 @@ def topk_oracle_sql(
 # ------------------------------------------------- embedding near-dup
 
 
+def lsh_neardup_candidates(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+) -> DataFrame:
+    """Candidate (a, b) id pairs (a < b) for near-dup scoring: vectors
+    that share a hyperplane-LSH bucket in at least one table.
+
+    The self-join key is (table, bucket) — an equi-join over id-only
+    rows (the wide vectors never ride through the explode/join), so
+    shuffled volume is O(N * n_tables) ids and the pair stream is
+    linear in bucket occupancy, not O(N^2). This is the same shape as
+    text MinHash-LSH (`dedup.lsh_candidate_pairs`), applied to the
+    embedding modality. Recall follows the hyperplane s-curve
+    1-(1-(1-theta/pi)^P)^T — at threshold 0.9 with T=8, P=4 it is
+    ~0.998; raise planes_per_table to cut candidates at the cost of
+    recall.
+    """
+    bucket_udf = lsh_buckets_udf(dim, n_tables, planes_per_table)
+    bk = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(bucket_udf(F.col(vec_col))).alias("t", "b"),
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("a"), F.col("b.__id").alias("b"))
+        .distinct()
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float,
@@ -249,19 +288,66 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     round_digits: int = 6,
     block_size: int = 1024,
+    candidates: DataFrame | None = None,
+    mode: str = "auto",
+    auto_lsh_above: int = 200_000,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, sim) with a < b
-    and rounded cosine >= threshold, as a blocked all-pairs GEMM.
+    and rounded cosine >= threshold.
 
-    Vectors are packed into blocks; every (block_i <= block_j) pair is
-    one task computing a dense similarity tile with a single matmul and
-    emitting only above-threshold pairs. Data movement is O(blocks^2 *
-    block_size * d) — each vector ships once per opposing block, not
-    once per pair. At 100 TB the block-pair stream is pre-pruned with
-    LSH bucket candidates (``lsh_buckets_udf``) — the scoring tile is
-    the same code path; the candidate generator is the only change.
+    Two physical strategies:
+
+    * **exact** — blocked all-pairs GEMM: vectors pack into blocks,
+      every (block_i <= block_j) pair is one task computing a dense
+      similarity tile with a single matmul. Data movement is
+      O(blocks^2 * block_size * d); the tile stream is quadratic in
+      corpus size, so this is only for corpora that fit an all-pairs
+      budget.
+    * **lsh** — the 100 TB path: candidate pairs from the hyperplane-
+      LSH bucket equi-join (:func:`lsh_neardup_candidates`), exact
+      cosine scored only on candidates via the Arrow-batched
+      vectorized kernel. No quadratic stage anywhere; recall follows
+      the LSH s-curve (~0.998 at threshold 0.9 with the defaults).
+      Pair-level (not block-level) pruning is deliberate: blocks are
+      id-ordered and therefore similarity-random, so at scale almost
+      every block PAIR contains some colliding vector pair and
+      block-granular pruning converges back to the quadratic stream,
+      while sparse candidates would waste block_size^2 flops per tile.
+
+    ``mode``: "exact" | "lsh" | "auto" (default). Auto counts the
+    corpus and switches to LSH above ``auto_lsh_above`` rows — below
+    it the all-pairs GEMM is both exact and faster (no bucket join);
+    above it the quadratic tile stream is the scale-killer. An
+    explicit ``candidates`` frame ((a, b) id pairs) skips generation
+    and forces the candidate-scored path.
     """
     import numpy as np
+
+    if candidates is None and mode not in ("auto", "exact", "lsh"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if candidates is None and mode in ("auto", "lsh"):
+        use_lsh = mode == "lsh" or df.count() > auto_lsh_above
+        if use_lsh:
+            dim = df.select(F.size(vec_col)).first()[0]
+            candidates = lsh_neardup_candidates(
+                df, dim, id_col, vec_col, n_tables, planes_per_table
+            )
+
+    if candidates is not None:
+        va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
+        vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
+        return (
+            candidates.join(va, "a")
+            .join(vb, "b")
+            .withColumn(
+                "sim",
+                F.round(cosine_vec(F.col("__va"), F.col("__vb")), round_digits),
+            )
+            .filter(F.col("sim") >= threshold)
+            .select("a", "b", "sim")
+        )
 
     blocks = _block_frame(df, id_col, vec_col, block_size, "__items").persist()
     ba = blocks.select(F.col("__blk").alias("__ba"), F.col("__items").alias("__ia"))
@@ -302,6 +388,71 @@ def neardup_oracle_sql(
     expanded AS (
         SELECT a, b, avec, bvec, unnest(generate_series(1, len(avec))) AS i
         FROM pairs0),
+    sums AS (
+        SELECT a, b,
+            CAST(SUM(CAST(CAST(avec[i] AS DOUBLE) * CAST(bvec[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE) AS dp,
+            CAST(SUM(CAST(CAST(avec[i] AS DOUBLE) * CAST(avec[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE) AS na,
+            CAST(SUM(CAST(CAST(bvec[i] AS DOUBLE) * CAST(bvec[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE) AS nb
+        FROM expanded GROUP BY 1, 2)
+    SELECT a, b, round(dp / (sqrt(na) * sqrt(nb)), {round_digits}) AS sim
+    FROM sums
+    WHERE round(dp / (sqrt(na) * sqrt(nb)), {round_digits}) >= {threshold}
+    """
+
+
+def neardup_lsh_oracle_sql(
+    threshold: float,
+    dim: int,
+    table: str = "embeddings",
+    id_: str = "vec_id",
+    vec: str = "embedding",
+    round_digits: int = 6,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+) -> str:
+    """DuckDB mirror of the LSH-pruned :func:`cosine_neardup_pairs`
+    (mode="lsh"), replicating the candidate generation exactly — the
+    same pattern as ``dedup.minhash_oracle_sql``.
+
+    The hyperplane weights are emitted as literal VALUES from the very
+    Python floats the Spark kernel uses (repr round-trips doubles
+    exactly), so both engines hash against bit-identical planes.
+    Projection sums use the exact-DECIMAL trick (order-independent);
+    a sign flip vs numpy's float64 matmul would need the true
+    projection within ~1e-13 of zero — same negligible-boundary risk
+    class as every rounded-cosine oracle here.
+    """
+    weights = ",".join(
+        f"({t},{p},{i + 1},{_plane_weight(t * planes_per_table + p, i)!r})"
+        for t in range(n_tables)
+        for p in range(planes_per_table)
+        for i in range(dim)
+    )
+    return f"""
+    WITH w(t, p, i, wt) AS (VALUES {weights}),
+    expl AS (
+        SELECT {id_} AS vid, i, CAST({vec}[i] AS DOUBLE) AS x
+        FROM {table}, unnest(generate_series(1, len({vec}))) AS u(i)),
+    proj AS (
+        SELECT vid, t, p,
+               CAST(SUM(CAST(x * wt AS DECIMAL(38,30))) AS DOUBLE) AS pr
+        FROM expl JOIN w USING (i)
+        GROUP BY 1, 2, 3),
+    buckets AS (
+        SELECT vid, t, SUM(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS b
+        FROM proj GROUP BY 1, 2),
+    cands AS (
+        SELECT DISTINCT x.vid AS a, y.vid AS b
+        FROM buckets x JOIN buckets y
+          ON x.t = y.t AND x.b = y.b AND x.vid < y.vid),
+    pexp AS (
+        SELECT c.a, c.b, ea.{vec} AS avec, eb.{vec} AS bvec
+        FROM cands c
+        JOIN {table} ea ON ea.{id_} = c.a
+        JOIN {table} eb ON eb.{id_} = c.b),
+    expanded AS (
+        SELECT a, b, avec, bvec, unnest(generate_series(1, len(avec))) AS i
+        FROM pexp),
     sums AS (
         SELECT a, b,
             CAST(SUM(CAST(CAST(avec[i] AS DOUBLE) * CAST(bvec[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE) AS dp,

@@ -195,7 +195,7 @@ def pack_sequences(
     return (
         df.withColumn("n_tokens", token_count(text_col).cast("bigint"))
         .withColumn("__cum", cum)
-        .withColumn("pack_id", (F.col("__cum") / budget).cast("bigint"))
+        .withColumn("pack_id", F.expr(f"__cum DIV {int(budget)}"))
         .withColumn("pack_offset", F.col("__cum") % budget)
         .drop("__cum")
     )

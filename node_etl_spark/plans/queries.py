@@ -5107,3 +5107,22 @@ def q135_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "total_value")
     )
+
+
+# --------------------------------------------------------------------
+# q136 — LSH-pruned embedding near-dup (the 100 TB path for q35)
+# --------------------------------------------------------------------
+
+@register(
+    "q136_neardup_lsh",
+    S.neardup_lsh_oracle_sql(threshold=0.4, dim=64),
+    doc="Embedding near-dup via hyperplane-LSH candidate pruning: the "
+        "bucket equi-join replaces q35's quadratic block-pair stream; "
+        "exact cosine scores candidates only. The oracle replicates "
+        "the candidate generation bit-exactly (literal plane weights), "
+        "same pattern as the MinHash gate (q22).",
+)
+def q136_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_neardup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.4, mode="lsh"
+    )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from node_etl_spark.functions.graph import connected_components, dedup_clusters
@@ -90,8 +92,10 @@ def _ref_pagerank(edges, iterations=5, d=0.85):
         nxt = {}
         for v in nodes:
             # mirror the engine's 15-decimal fixed-point quantization
+            # half-up (not Python's banker's rounding) to match Spark
+            # F.round / DuckDB round; contributions are non-negative.
             s = sum(
-                round(r[src] / outdeg[src] * 1e15)
+                math.floor(r[src] / outdeg[src] * 1e15 + 0.5)
                 for src, dst in edges
                 if dst == v
             )

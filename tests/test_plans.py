@@ -300,3 +300,12 @@ def test_kmeans_step_broadcasts_centroids(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q133_kmeans_step")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_neardup_lsh_is_bucket_equijoin(spark, sf_dir):
+    # q136 is the 100TB near-dup path: candidates must come from an
+    # equi-join on (table, bucket) — a nested-loop / cartesian plan
+    # would mean the quadratic stream survived
+    plan = _plan(spark, sf_dir, "q136_neardup_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -99,3 +99,42 @@ def test_blocked_gemm_rejects_string_query_ids(spark):
     )
     with pytest.raises(TypeError, match="integral id"):
         brute_force_topk(corpus, queries, k=1)
+
+
+def test_lsh_neardup_subset_of_exact(spark, sf_dir):
+    # LSH pruning may MISS pairs (bucket non-collision) but must never
+    # invent or mis-score one: every emitted pair is in the exact set
+    # with the identical rounded sim, and recall tracks the s-curve
+    from node_etl_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.a, r.b): r.sim
+        for r in S.cosine_neardup_pairs(emb, 0.4, mode="exact").collect()
+    }
+    lsh = {
+        (r.a, r.b): r.sim
+        for r in S.cosine_neardup_pairs(emb, 0.4, mode="lsh").collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(lsh[p] == exact[p] for p in lsh)
+    # theory: recall = 1-(1-(1-theta/pi)^4)^8 ~ 0.75 at sim 0.4 and
+    # rises with sim; the observed mix must clear a loose floor
+    assert len(lsh) / len(exact) >= 0.5
+
+
+def test_neardup_auto_switches_to_lsh(spark, sf_dir):
+    # auto mode must route by corpus size: a tiny threshold forces the
+    # LSH path, whose plan has the bucket equi-join and no quadratic
+    # block cross-join (the "<=" theta-join shows as nested-loop)
+    from node_etl_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    lsh_plan = S.cosine_neardup_pairs(
+        emb, 0.4, mode="auto", auto_lsh_above=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in lsh_plan
+    exact_plan = S.cosine_neardup_pairs(
+        emb, 0.4, mode="auto", auto_lsh_above=10_000_000
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in exact_plan  # block_i <= block_j tiles
