@@ -135,3 +135,27 @@ def test_simhash_preserves_string_id_type(spark):
     assert dict(out.dtypes) == {"doc_id": "string", "simhash": "bigint"}
     rows = {r.doc_id: r.simhash for r in out.collect()}
     assert set(rows) == {"a", "b"} and rows["a"] == rows["b"]
+
+
+def test_jaccard_auto_selects_prefix_filter(spark):
+    # the auto path computes sum(df*(df-1)/2) over shingle document
+    # frequencies and flips to PPJoin above the budget; both regimes
+    # must return identical (exact) pairs, and the switchover is
+    # visible as the df-ranking window in the executed plan
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(29)) + " zz"
+    df = docs_df(spark, [(1, base), (2, near), (3, "aa bb cc dd ee")])
+
+    def plan_of(out):
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    sh = D.shingle_rows(df)
+    plain = D.jaccard_pairs(sh, threshold=0.8, auto_pairs_budget=10**9)
+    assert "row_number" not in plan_of(plain)  # under budget: plain join
+    ppjoin = D.jaccard_pairs(
+        D.shingle_rows(df), threshold=0.8, auto_pairs_budget=0
+    )
+    assert "row_number" in plan_of(ppjoin)  # over budget: PPJoin prefixes
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, ppjoin.collect())
+    )
