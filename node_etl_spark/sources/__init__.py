@@ -15,7 +15,9 @@ from .readers import (
 )
 from .writers import (
     CsvSink,
+    HttpNdjsonSink,
     JsonArraySink,
+    MongoSink,
     NdjsonSink,
     NoopSink,
     ParquetSink,
@@ -27,6 +29,7 @@ __all__ = [
     "XmlSource", "FrameSource", "folder_source", "apply_root_node",
     "PagedRestSource", "default_url_gen",
     "NdjsonSink", "ParquetSink", "CsvSink", "XmlSink", "JsonArraySink", "NoopSink",
+    "HttpNdjsonSink", "MongoSink",
     "write_bucketed", "read_bucketed",
     "upsert_parquet", "last_write_wins", "zorder_write", "compact_parquet",
 ]

@@ -9,9 +9,13 @@
 * WriterJSONTree -> TreeSink (job-writer-tree.js) lives in
   operators/tree.py (build_document / build_json_column).
 
-HTTP/Mongo destinations (utils.js:38-57) are out of scope for the data
-plane; the reference used them for dimension-sized payloads — the
-JsonArraySink's bytes can be POSTed by the caller.
+Destinations (utils.js:38-57 getWriteStreamByUrl): ``file:`` is the
+path sinks; ``http(s):`` posts through the same injectable transport
+as the readers — JsonArraySink routes http destinations itself (the
+reference WriterJSON case: ONE array document, dimension-sized), and
+HttpNdjsonSink is the scale variant (per-partition executor-side
+NDJSON POSTs). ``mongodb:`` maps to MongoSink (driver dependency
+import-gated; collection = last path segment, utils.js:52-57).
 """
 
 from __future__ import annotations
@@ -79,16 +83,47 @@ class XmlSink(_PathSink):
         )
 
 
+def _default_post(url: str, data: bytes, req_options: dict | None = None) -> bytes:
+    """Upload bytes to an http(s) destination (reference utils.js:38-51:
+    the write side accepts post/get/put and DEFAULTS to POST). reqOptions
+    resolve exactly like the read seam (auth -> Basic header)."""
+    import urllib.request
+
+    from .paged import resolve_req_options
+
+    headers, method, _ = resolve_req_options(req_options)
+    if not (req_options or {}).get("method"):
+        method = "POST"
+    headers.setdefault("Content-Type", "application/json")
+    req = urllib.request.Request(url, data=data, headers=headers, method=method)
+    with urllib.request.urlopen(req, timeout=30) as resp:  # nosec - caller URL
+        return resp.read()
+
+
 class JsonArraySink(Sink):
     """Single JSON-array document (reference WriterJSON,
     job-writer-json.js:33-41). Driver-side by construction; refuses
     more than ``max_rows`` rows — use NdjsonSink/ParquetSink for data.
+
+    Destination may be a filesystem path or an ``http(s):`` URL —
+    the latter POSTs the array document through the injectable
+    ``transport`` (reference WriterJSON + getWriteStreamByUrl http
+    case), with ``req_options`` carrying headers/auth/method.
     """
 
-    def __init__(self, path: str, max_rows: int = 1_000_000, name: str | None = None) -> None:
+    def __init__(
+        self,
+        path: str,
+        max_rows: int = 1_000_000,
+        req_options: dict | None = None,
+        transport=None,
+        name: str | None = None,
+    ) -> None:
         super().__init__(name)
         self.path = path
         self.max_rows = max_rows
+        self.req_options = req_options
+        self.transport = transport
 
     def write(self, df: DataFrame, ctx: "Context") -> None:
         capped = df.limit(self.max_rows + 1).collect()
@@ -98,11 +133,116 @@ class JsonArraySink(Sink):
             )
         payload = [row.asDict(recursive=True) for row in capped]
         path = ctx.resolve_url(self.path)
+        if path.startswith(("http:", "https:")):
+            data = json.dumps(payload, ensure_ascii=False, default=str).encode("utf-8")
+            (self.transport or _default_post)(path, data, self.req_options)
+            return
         if path.startswith("file:"):
             path = path[len("file:") :]
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w", encoding="utf-8") as fh:
             json.dump(payload, fh, ensure_ascii=False, default=str)
+
+
+class HttpNdjsonSink(Sink):
+    """Executor-side NDJSON upload: each partition serializes its rows
+    to newline-delimited JSON and POSTs bodies of up to ``batch_rows``
+    rows through the injectable transport.
+
+    The scale twin of JsonArraySink's http case — no driver collect,
+    upload throughput scales with the cluster (1000 executors = 1000
+    concurrent streams), and ``batch_rows`` bounds body size so a
+    skewed partition can't build a gigabyte request. The transport
+    callable is serialized into the task closure, so fakes work in
+    tests and auth (``req_options``) reaches executors with no extra
+    plumbing.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        req_options: dict | None = None,
+        transport=None,
+        batch_rows: int = 10_000,
+        name: str | None = None,
+    ) -> None:
+        super().__init__(name)
+        self.url = url
+        self.req_options = req_options
+        self.transport = transport
+        self.batch_rows = batch_rows
+
+    def write(self, df: DataFrame, ctx: "Context") -> None:
+        url = ctx.resolve_url(self.url)
+        transport = self.transport or _default_post
+        req_options = self.req_options
+        batch_rows = self.batch_rows
+
+        def send_partition(rows) -> None:
+            buf: list[str] = []
+
+            def flush() -> None:
+                if buf:
+                    body = ("\n".join(buf) + "\n").encode("utf-8")
+                    transport(url, body, req_options)
+                    buf.clear()
+
+            for row in rows:
+                buf.append(
+                    json.dumps(
+                        row.asDict(recursive=True), ensure_ascii=False, default=str
+                    )
+                )
+                if len(buf) >= batch_rows:
+                    flush()
+            flush()
+
+        df.foreachPartition(send_partition)
+
+
+class MongoSink(Sink):
+    """``mongodb://host/db/collection`` destination (reference
+    utils.js:52-57: collection = last path segment, the rest is the
+    db URL). Per-partition ``insert_many`` batches — the same
+    executor-parallel shape as HttpNdjsonSink. The pymongo driver is
+    not in this container, so availability is checked up front with a
+    clear error instead of a mid-job executor stack."""
+
+    def __init__(
+        self, url: str, batch_rows: int = 1000, name: str | None = None
+    ) -> None:
+        super().__init__(name)
+        self.url = url
+        self.batch_rows = batch_rows
+
+    def write(self, df: DataFrame, ctx: "Context") -> None:
+        import importlib.util
+
+        if importlib.util.find_spec("pymongo") is None:
+            raise ImportError(
+                "MongoSink requires the pymongo driver; install it, or use "
+                "NdjsonSink/HttpNdjsonSink and load the files separately"
+            )
+        url = ctx.resolve_url(self.url)
+        base, _, collection = url.rpartition("/")
+        batch_rows = self.batch_rows
+
+        def send_partition(rows) -> None:  # pragma: no cover - needs driver
+            import pymongo
+
+            client = pymongo.MongoClient(base)
+            db = client.get_default_database()
+            buf: list[dict] = []
+            for row in rows:
+                buf.append(row.asDict(recursive=True))
+                if len(buf) >= batch_rows:
+                    db[collection].insert_many(buf)
+                    buf = []
+            if buf:
+                db[collection].insert_many(buf)
+            client.close()
+
+        df.foreachPartition(send_partition)
 
 
 class NoopSink(Sink):

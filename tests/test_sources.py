@@ -175,3 +175,159 @@ def test_fetch_details_enrichment(spark, tmp_path):
     )
     got = {r.id: r.score for r in out.collect()}
     assert got == {1: 10, 2: 20, 3: None}
+
+
+# ------------------------------------------------- reqOptions / transports
+
+
+def test_resolve_req_options_basic_auth():
+    # reference job-reader.js:10-13: auth -> Basic base64(user:password)
+    # header, auth consumed, method defaults to GET
+    import base64
+
+    from node_etl_spark.sources.paged import resolve_req_options
+
+    headers, method, body = resolve_req_options(
+        {"auth": {"user": "u", "password": "p"}, "headers": {"X-Trace": "1"}}
+    )
+    expected = base64.b64encode(b"u:p").decode()
+    assert headers == {"X-Trace": "1", "Authorization": f"Basic {expected}"}
+    assert method == "GET" and body is None
+    headers2, method2, body2 = resolve_req_options(
+        {"method": "post", "body": "x=1"}
+    )
+    assert method2 == "POST" and body2 == b"x=1" and headers2 == {}
+
+
+def test_default_fetch_applies_req_options(monkeypatch):
+    # the urllib seam must carry resolved headers/method/body
+    import io
+    import urllib.request
+
+    from node_etl_spark.sources import paged
+
+    seen = {}
+
+    def fake_urlopen(req, timeout=None):
+        seen["url"] = req.full_url
+        seen["method"] = req.get_method()
+        seen["auth"] = req.get_header("Authorization")
+        seen["body"] = req.data
+        return io.BytesIO(b"ok")
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    out = paged._default_fetch(
+        "http://api.example.org/x",
+        {"auth": {"user": "u", "password": "p"}, "method": "POST", "body": "b"},
+    )
+    assert out == b"ok" and seen["method"] == "POST" and seen["body"] == b"b"
+    assert seen["auth"] and seen["auth"].startswith("Basic ")
+
+
+def test_default_fetch_ftp_passthrough(monkeypatch):
+    # ftp: URLs (reference utils.js:101-122) ride the same seam via
+    # urllib's native ftp handler — a bare urlopen, no Request wrapper
+    import io
+    import urllib.request
+
+    from node_etl_spark.sources import paged
+
+    seen = {}
+
+    def fake_urlopen(url, timeout=None):
+        assert isinstance(url, str)  # not a Request object
+        seen["url"] = url
+        return io.BytesIO(b"ftp-bytes")
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    assert paged._default_fetch("ftp://user:pw@host/pub/f.csv") == b"ftp-bytes"
+    assert seen["url"] == "ftp://user:pw@host/pub/f.csv"
+
+
+def test_paged_rest_source_propagates_req_options(spark):
+    seen = []
+
+    def fake_fetch(url, req_options=None):
+        seen.append(req_options)
+        page = int(url.split("offset=")[1]) // 100
+        data = [{"id": 1}] if page == 0 else []
+        return json.dumps({"data": data, "total": 1}).encode()
+
+    opts = {"auth": {"user": "u", "password": "p"}}
+    src = PagedRestSource(
+        "http://api.example.org/x?offset={%offset%}",
+        rows_path="data",
+        total_path="total",
+        fetch=fake_fetch,
+        req_options=opts,
+        retry_wait_s=0.0,
+        name="p",
+    )
+    df = src.load(spark, Context())
+    assert df.count() == 1
+    assert seen and all(o is opts for o in seen)
+
+
+def test_json_array_sink_posts_http_destination(spark):
+    # reference WriterJSON with an http destination: ONE array document
+    # through the injectable transport, reqOptions carried along
+    from node_etl_spark.sources import JsonArraySink
+
+    calls = []
+    opts = {"auth": {"user": "u", "password": "p"}}
+    sink = JsonArraySink(
+        "http://collector.example.org/ingest",
+        req_options=opts,
+        transport=lambda url, data, ro: calls.append((url, data, ro)),
+    )
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string")
+    sink.write(df, Context())
+    (url, data, ro), = calls
+    assert url == "http://collector.example.org/ingest" and ro is opts
+    assert sorted(json.loads(data), key=lambda r: r["id"]) == [
+        {"id": 1, "name": "a"},
+        {"id": 2, "name": "b"},
+    ]
+
+
+def test_http_ndjson_sink_uploads_all_partitions(spark, tmp_path):
+    # executor-side per-partition POSTs: fake transport lands each body
+    # in a unique file; every row arrives exactly once, bodies respect
+    # batch_rows
+    import uuid
+
+    from node_etl_spark.sources import HttpNdjsonSink
+
+    outdir = str(tmp_path / "bodies")
+    import os
+
+    os.makedirs(outdir)
+
+    def fake_transport(url, data, req_options):
+        with open(f"{outdir}/{uuid.uuid4().hex}", "wb") as fh:
+            fh.write(data)
+
+    df = spark.range(0, 20, 1, 4).toDF("id")
+    HttpNdjsonSink(
+        "http://collector.example.org/rows",
+        transport=fake_transport,
+        batch_rows=3,
+    ).write(df, Context())
+    rows = []
+    for f in os.listdir(outdir):
+        with open(f"{outdir}/{f}", "rb") as fh:
+            body = fh.read().decode()
+        lines = body.strip().split("\n")
+        assert len(lines) <= 3  # batch_rows honored
+        rows += [json.loads(l)["id"] for l in lines]
+    assert sorted(rows) == list(range(20))
+
+
+def test_mongo_sink_requires_driver(spark):
+    import pytest
+
+    from node_etl_spark.sources import MongoSink
+
+    df = spark.range(3).toDF("id")
+    with pytest.raises(ImportError, match="pymongo"):
+        MongoSink("mongodb://db.example.org/etl/out").write(df, Context())
