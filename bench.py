@@ -109,6 +109,7 @@ HEADLINE = [
     "q133_kmeans_step",
     "q134_linear_interp",
     "q135_session_window",
+    "q136_neardup_lsh",
 ]
 
 

@@ -5126,3 +5126,132 @@ def q136_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_neardup_pairs(
         table(spark, sf_dir, "embeddings"), threshold=0.4, mode="lsh"
     )
+
+
+# --------------------------------------------------------------------
+# q137 — stream-stream interval join on the oracle gate (q105 replay
+# pattern: stage -> availableNow -> memory sink -> batch compare)
+# --------------------------------------------------------------------
+
+@register(
+    "q137_stream_interval_join",
+    f"""
+    SELECT l.event_id,
+           CAST(COUNT(*) AS BIGINT) AS n_win,
+           {dsum_sql('r.value', 6)} AS sum_win_value
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts <= l.ts
+     AND r.ts >= l.ts - INTERVAL 30 MINUTE
+    GROUP BY 1
+    """,
+    doc="Stream-stream interval join (streaming/stream.py "
+        "interval_join) replayed availableNow: each event paired with "
+        "the same user's events in the trailing 30 minutes "
+        "(self-inclusive), then rolled up per left event. The "
+        "watermark+lookback bound is what keeps the join state finite "
+        "on an unbounded stream; on a bounded replay the result equals "
+        "the batch interval join exactly — that equivalence is the "
+        "oracle.",
+)
+def q137_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import stream as st
+
+    staged = tempfile.mkdtemp(prefix="netl_stream_") + "/events"
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    ev.write.mode("overwrite").parquet(staged)
+    schema = "event_id bigint, ts timestamp, user_id bigint, value double"
+    joined = st.interval_join(
+        st.stream_source(spark, staged, schema),
+        st.stream_source(spark, staged, schema),
+        on="user_id",
+        lookback="30 minutes",
+        watermark="10 hours",
+    )
+    sink = f"q137_{uuid.uuid4().hex[:8]}"
+    st.run_to_memory(joined, sink, mode="append")
+    shutil.rmtree(staged.rsplit("/", 1)[0], ignore_errors=True)
+    return (
+        spark.table(sink)
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_win"),
+            dsum("value_r", 6).alias("sum_win_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# q138 — stateful streaming sessionization on the oracle gate
+# --------------------------------------------------------------------
+
+@register(
+    "q138_stream_sessionize",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               epoch_ms(date_trunc('millisecond', ts)) AS tms,
+               CASE WHEN epoch_ms(date_trunc('millisecond', ts))
+                       - epoch_ms(date_trunc('millisecond', lag(ts) OVER w)) > 1800000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS seq
+        FROM flagged
+    ),
+    agg AS (
+        SELECT user_id, seq,
+               MIN(tms) AS session_start_ms, MAX(tms) AS session_end_ms,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+                   AS total_value
+        FROM sess GROUP BY 1, 2
+    ),
+    wm AS (SELECT MAX(epoch_ms(date_trunc('millisecond', ts))) - 3600000 AS w
+           FROM events)
+    SELECT a.user_id, a.session_start_ms, a.session_end_ms, a.n_events,
+           a.total_value
+    FROM agg a, wm
+    WHERE a.seq < (SELECT MAX(seq) FROM agg b WHERE b.user_id = a.user_id)
+       OR a.session_end_ms + 1800000 < wm.w
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState "
+        "sessionize, 30-min gap, 1h watermark) on the exact oracle "
+        "gate. A single-batch availableNow replay emits (a) sessions "
+        "closed by a later in-batch event (every session except each "
+        "user's last) and (b) sessions whose event-time timeout "
+        "(end + gap) fell strictly below the final watermark "
+        "(max event ms - 1h) in the post-batch timeout sweep. The "
+        "oracle replicates both rules plus the operator's "
+        "millisecond-truncated gap arithmetic — pinning state "
+        "emission semantics, not just aggregate values.",
+)
+def q138_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import stream as st
+
+    staged = tempfile.mkdtemp(prefix="netl_stream_") + "/events"
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    ev.write.mode("overwrite").parquet(staged)
+    schema = "event_id bigint, ts timestamp, user_id bigint, value double"
+    out = st.sessionize(st.stream_source(spark, staged, schema), watermark="1 hour")
+    sink = f"q138_{uuid.uuid4().hex[:8]}"
+    st.run_to_memory(out, sink, mode="append")
+    shutil.rmtree(staged.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.table(sink).select(
+        "user_id",
+        F.unix_millis("session_start").alias("session_start_ms"),
+        F.unix_millis("session_end").alias("session_end_ms"),
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )
