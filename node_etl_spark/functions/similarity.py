@@ -330,10 +330,13 @@ def cosine_neardup_pairs(
     if candidates is None and mode in ("auto", "lsh"):
         use_lsh = mode == "lsh" or df.count() > auto_lsh_above
         if use_lsh:
-            dim = df.select(F.size(vec_col)).first()[0]
-            candidates = lsh_neardup_candidates(
-                df, dim, id_col, vec_col, n_tables, planes_per_table
-            )
+            row = df.select(F.size(vec_col)).first()
+            if row is None:  # empty corpus: the exact path below
+                use_lsh = False  # yields an empty, correctly-typed result
+            else:
+                candidates = lsh_neardup_candidates(
+                    df, row[0], id_col, vec_col, n_tables, planes_per_table
+                )
 
     if candidates is not None:
         va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))

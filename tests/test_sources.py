@@ -331,3 +331,25 @@ def test_mongo_sink_requires_driver(spark):
     df = spark.range(3).toDF("id")
     with pytest.raises(ImportError, match="pymongo"):
         MongoSink("mongodb://db.example.org/etl/out").write(df, Context())
+
+
+def test_mongo_url_split_keeps_query_options():
+    from node_etl_spark.sources.writers import _split_mongo_url
+
+    base, coll = _split_mongo_url(
+        "mongodb://host:27017/etl/out?replicaSet=rs0&authSource=admin"
+    )
+    assert coll == "out"
+    assert base == "mongodb://host:27017/etl?replicaSet=rs0&authSource=admin"
+    base2, coll2 = _split_mongo_url("mongodb://host/etl/out")
+    assert (base2, coll2) == ("mongodb://host/etl", "out")
+
+
+def test_cosine_neardup_lsh_empty_corpus(spark):
+    # explicit lsh mode on an empty frame must return an empty result
+    # with the right schema, not crash probing the vector dim
+    from node_etl_spark.functions import similarity as S
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    out = S.cosine_neardup_pairs(empty, 0.5, mode="lsh")
+    assert out.columns == ["a", "b", "sim"] and out.count() == 0
