@@ -330,9 +330,17 @@ def cosine_neardup_pairs(
     if candidates is None and mode in ("auto", "lsh"):
         use_lsh = mode == "lsh" or df.count() > auto_lsh_above
         if use_lsh:
-            row = df.select(F.size(vec_col)).first()
-            if row is None:  # empty corpus: the exact path below
-                use_lsh = False  # yields an empty, correctly-typed result
+            # probe the dim from a non-null vector; empty/all-null
+            # corpora fall back to the exact path below, which yields
+            # an empty, correctly-typed result instead of handing a
+            # degenerate dim to the plane-matrix builder
+            row = (
+                df.filter(F.col(vec_col).isNotNull())
+                .select(F.size(vec_col))
+                .first()
+            )
+            if row is None or not row[0] or row[0] <= 0:
+                use_lsh = False
             else:
                 candidates = lsh_neardup_candidates(
                     df, row[0], id_col, vec_col, n_tables, planes_per_table

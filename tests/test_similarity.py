@@ -138,3 +138,16 @@ def test_neardup_auto_switches_to_lsh(spark, sf_dir):
         emb, 0.4, mode="auto", auto_lsh_above=10_000_000
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in exact_plan  # block_i <= block_j tiles
+
+
+def test_cosine_neardup_lsh_degenerate_corpora(spark):
+    # explicit lsh mode on an empty or all-null frame must return an
+    # empty result with the right schema, not crash probing the dim
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    out = S.cosine_neardup_pairs(empty, 0.5, mode="lsh")
+    assert out.columns == ["a", "b", "sim"] and out.count() == 0
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id bigint, embedding array<float>"
+    )
+    out2 = S.cosine_neardup_pairs(nulls, 0.5, mode="lsh")
+    assert out2.columns == ["a", "b", "sim"] and out2.count() == 0

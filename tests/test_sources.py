@@ -343,13 +343,3 @@ def test_mongo_url_split_keeps_query_options():
     assert base == "mongodb://host:27017/etl?replicaSet=rs0&authSource=admin"
     base2, coll2 = _split_mongo_url("mongodb://host/etl/out")
     assert (base2, coll2) == ("mongodb://host/etl", "out")
-
-
-def test_cosine_neardup_lsh_empty_corpus(spark):
-    # explicit lsh mode on an empty frame must return an empty result
-    # with the right schema, not crash probing the vector dim
-    from node_etl_spark.functions import similarity as S
-
-    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
-    out = S.cosine_neardup_pairs(empty, 0.5, mode="lsh")
-    assert out.columns == ["a", "b", "sim"] and out.count() == 0
