@@ -86,6 +86,10 @@ _REGISTRY: dict[str, Callable[..., Op]] = {
     ),
     "ndjson": lambda d, c: NdjsonSource(d["path"], schema=d.get("schema")),
     "xml": lambda d, c: XmlSource(d["path"], row_tag=d.get("row_tag", "item")),
+    # reference ReaderPaged as a spec node: url template with
+    # {%offset%}/{%limit%} placeholders, reqOptions shape per
+    # job-reader.js (headers / auth / method)
+    "paged_rest": lambda d, c: _paged_rest_source(d),
     # row transforms (§2.3)
     "filter": lambda d, c: Filter(d["expr"]),
     "mapper": lambda d, c: Mapper(d["cols"]),
@@ -136,7 +140,13 @@ _REGISTRY: dict[str, Callable[..., Op]] = {
     # sinks (§2.5)
     "parquet_sink": lambda d, c: ParquetSink(d["path"], mode=d.get("mode", "overwrite")),
     "ndjson_sink": lambda d, c: NdjsonSink(d["path"], mode=d.get("mode", "overwrite")),
-    "json_array_sink": lambda d, c: JsonArraySink(d["path"]),
+    # destination may be a path or an http(s) URL (reference WriterJSON
+    # + getWriteStreamByUrl); req_options carries headers/auth/method
+    "json_array_sink": lambda d, c: JsonArraySink(
+        d["path"], req_options=d.get("req_options")
+    ),
+    "http_ndjson_sink": lambda d, c: _http_ndjson_sink(d),
+    "mongo_sink": lambda d, c: _mongo_sink(d),
     # fan-out / routed multi-sink (reference Splitter receivers are
     # job ids, jobs/hi-order/job-splitter.js:17-19 — here nested sink
     # nodes or catalog refs; `route` picks exactly one receiver index
@@ -260,7 +270,37 @@ def _fetch_details_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
         url_col=d.get("url_col"),
         out_col=d.get("out", "payload"),
         max_per_second=d.get("max_per_second"),
+        req_options=d.get("req_options"),
     )
+
+
+def _paged_rest_source(d: Mapping[str, Any]) -> Op:
+    from .sources.paged import PagedRestSource
+
+    return PagedRestSource(
+        d["url"],
+        rows_path=d.get("rows_path"),
+        total_path=d.get("total_path"),
+        req_options=d.get("req_options"),
+        max_pages=d.get("max_pages", 100_000),
+        name=d.get("name"),
+    )
+
+
+def _http_ndjson_sink(d: Mapping[str, Any]) -> Op:
+    from .sources.writers import HttpNdjsonSink
+
+    return HttpNdjsonSink(
+        d["url"],
+        req_options=d.get("req_options"),
+        batch_rows=d.get("batch_rows", 10_000),
+    )
+
+
+def _mongo_sink(d: Mapping[str, Any]) -> Op:
+    from .sources.writers import MongoSink
+
+    return MongoSink(d["url"], batch_rows=d.get("batch_rows", 1000))
 
 
 def _dq_op(d: Mapping[str, Any], c: Catalog | None) -> Op:

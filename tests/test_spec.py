@@ -357,3 +357,56 @@ def test_keywords_op_joins_top_tfidf(spark):
     # doc 1: alpha (tf=2, rarer than beta); doc 3 has no tokens -> null
     assert got[1] == "alpha"
     assert got[3] is None
+
+
+def test_spec_paged_rest_and_http_sinks(spark):
+    # reference spec-document parity: ReaderPaged and WriterJSON http
+    # destinations as spec nodes, reqOptions shape included (transport
+    # swapped post-build — specs carry config, not code)
+    calls = {"fetch": [], "post": []}
+
+    def fake_fetch(url, req_options=None):
+        calls["fetch"].append((url, req_options))
+        page = int(url.split("offset=")[1]) // 100
+        return json.dumps(
+            {"data": [{"id": page}] if page == 0 else [], "total": 1}
+        ).encode()
+
+    src = op_from_spec(
+        {
+            "op": "paged_rest",
+            "url": "http://api.example.org/x?offset={%offset%}",
+            "rows_path": "data",
+            "total_path": "total",
+            "req_options": {"auth": {"user": "u", "password": "p"}},
+            "name": "pr",
+        }
+    )
+    assert to_spec(src)["req_options"]["auth"]["user"] == "u"
+    src.fetch = fake_fetch
+    src.retry_wait_s = 0.0
+    from node_etl_spark.context import Context
+
+    df = src.load(spark, Context())
+    assert df.count() == 1
+    assert calls["fetch"][0][1] == {"auth": {"user": "u", "password": "p"}}
+
+    sink = op_from_spec(
+        {
+            "op": "json_array_sink",
+            "path": "http://collector.example.org/in",
+            "req_options": {"method": "put"},
+        }
+    )
+    sink.transport = lambda url, data, ro: calls["post"].append((url, data, ro))
+    sink.write(spark.range(2).toDF("id"), Context())
+    (url, data, ro), = calls["post"]
+    assert url.endswith("/in") and ro == {"method": "put"}
+    assert json.loads(data) == [{"id": 0}, {"id": 1}]
+
+    hs = op_from_spec(
+        {"op": "http_ndjson_sink", "url": "http://c.example.org/r", "batch_rows": 5}
+    )
+    assert hs.batch_rows == 5
+    ms = op_from_spec({"op": "mongo_sink", "url": "mongodb://h/db/coll"})
+    assert ms.url.endswith("/coll")
