@@ -13,24 +13,56 @@ exactly the local/bench regime.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+# Logical operators that keep a plan scan-bottom: per-partition-only
+# work with no grouping/join/ordering between the source and the
+# consumer. Anything NOT on this list (Join, Aggregate, Window, Sort,
+# Repartition, Deduplicate, ...) — or unrecognized — means the frame
+# is derived, so spread() must not touch it. The whitelist direction
+# is deliberate: a false "derived" merely skips a local-only
+# optimization, while a false "scan-bottom" would execute upstream
+# query stages through the rdd probe.
+_NARROW_NODES = frozenset(
+    {
+        "Relation", "LogicalRDD", "LocalRelation", "UnresolvedRelation",
+        "View", "SubqueryAlias", "Project", "Filter", "Generate",
+        "Union", "Sample", "MapInPandas", "SerializeFromObject",
+        "DeserializeToObject", "MapElements", "TypedFilter",
+    }
+)
+_NODE_NAME = re.compile(r"(?m)^[\s|:+\-]*'?([A-Za-z][A-Za-z0-9]*)")
+
+
+def _is_scan_bottom(df: DataFrame) -> bool:
+    """True when every operator in the OPTIMIZED LOGICAL plan is a
+    narrow whitelisted node. The logical tree is used instead of the
+    physical dump because logical node names are stable across Spark
+    versions, while physical strings ("Exchange", AQE wrappers) are
+    not — the round-2 review flagged the old string guard as brittle.
+    Node names are matched per line-start so expression text (e.g.
+    ``sort_array``) can't false-positive."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    names = _NODE_NAME.findall(plan)
+    return bool(names) and all(n in _NARROW_NODES for n in names)
 
 
 def spread(df: DataFrame, minimum: int | None = None) -> DataFrame:
     """Ensure ``df`` has at least ``minimum`` (default: cluster
     parallelism) partitions before a CPU-bound stage.
 
-    Only scan-bottom (exchange-free) plans are probed and possibly
-    repartitioned: once any shuffle sits upstream, partitioning is
-    already >= ``spark.sql.shuffle.partitions`` and a probe would be
-    pure waste — worse, with AQE enabled ``df.rdd`` *executes* every
-    upstream query stage at plan-construction time, so probing a
-    derived frame would silently run (and later re-run) cluster jobs.
-    Narrow plans have no stages to materialize, making the probe free;
-    big scans keep their native splits and pay nothing.
+    Only scan-bottom plans are probed and possibly repartitioned: once
+    any shuffle sits upstream, partitioning is already >=
+    ``spark.sql.shuffle.partitions`` and a probe would be pure waste —
+    worse, with AQE enabled ``df.rdd`` *executes* every upstream query
+    stage at plan-construction time, so probing a derived frame would
+    silently run (and later re-run) cluster jobs. Narrow plans have no
+    stages to materialize, making the probe free; big scans keep their
+    native splits and pay nothing.
     """
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan:
+    if not _is_scan_bottom(df):
         return df
     sc = df.sparkSession.sparkContext
     target = minimum or sc.defaultParallelism

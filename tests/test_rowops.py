@@ -155,3 +155,24 @@ def test_spread_skips_derived_frames(spark, sf_dir):
     assert out.rdd.getNumPartitions() >= min(
         spark.sparkContext.defaultParallelism, 8
     )
+
+
+def test_spread_logical_guard_classifies_plans(spark, sf_dir):
+    # the scan-bottom test reads the logical plan: narrow chains probe,
+    # anything with a join/agg/window/sort/repartition upstream is
+    # derived and must be returned untouched
+    from node_etl_spark.tables import table
+    from node_etl_spark.util import _is_scan_bottom
+
+    base = table(spark, sf_dir, "orders")
+    assert _is_scan_bottom(base.select("o_orderkey").filter("o_orderkey > 0"))
+    import pyspark.sql.functions as F
+
+    assert not _is_scan_bottom(base.groupBy("o_orderstatus").count())
+    assert not _is_scan_bottom(base.join(base.select("o_orderkey"), "o_orderkey"))
+    assert not _is_scan_bottom(base.orderBy("o_orderkey"))
+    assert not _is_scan_bottom(base.repartition(4))
+    # expression text must not fool the matcher: sort_array is narrow
+    assert _is_scan_bottom(
+        base.select(F.sort_array(F.array("o_orderkey")).alias("a"))
+    )
