@@ -110,6 +110,7 @@ HEADLINE = [
     "q134_linear_interp",
     "q135_session_window",
     "q136_neardup_lsh",
+    "q139_pii_scrub",
 ]
 
 

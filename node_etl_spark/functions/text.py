@@ -166,6 +166,47 @@ def clean_text(text_col: str | Column) -> Column:
     return F.trim(F.regexp_replace(c, "\\s+", " "))
 
 
+# PII redaction patterns, ordered (emails first: an IP-shaped host
+# inside an address should surface as a@<IP>, never eat the local
+# part). Engine-portable by construction: no alternation, backrefs,
+# or lookaround, so Java regex (Spark, leftmost backtracking) and RE2
+# (DuckDB, leftmost-longest) produce identical matches — that is what
+# lets the scrub run on the exact oracle gate.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}\b", "<PHONE>"),
+)
+
+
+def redact_pii(
+    text_col: str | Column, kinds: tuple[str, ...] | None = None
+) -> Column:
+    """Training-corpus PII scrub: replace emails, dotted-quad IPs, and
+    +-prefixed phone numbers with typed placeholder tokens.
+
+    A chain of ``regexp_replace`` expressions — pure JVM whole-stage
+    codegen, zero shuffles, no Python crossing; at 100 TB this is a
+    free rider on whatever scan already reads the text column.
+    ``kinds`` selects a subset of :data:`PII_PATTERNS` by name.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for name, pat, token in PII_PATTERNS:
+        if kinds is None or name in kinds:
+            c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def redact_pii_sql(expr: str, kinds: tuple[str, ...] | None = None) -> str:
+    """DuckDB mirror of :func:`redact_pii` (same patterns, same order,
+    global flag)."""
+    for name, pat, token in PII_PATTERNS:
+        if kinds is None or name in kinds:
+            pat_sql = pat.replace("'", "''")
+            expr = f"regexp_replace({expr}, '{pat_sql}', '{token}', 'g')"
+    return expr
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str = "text",

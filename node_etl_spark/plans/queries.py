@@ -5275,3 +5275,54 @@ def q138_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("session_end").alias("session_end_ms"),
         "n_events",
     )
+
+
+# --------------------------------------------------------------------
+# q139 — PII scrub on the exact gate (emails / IPs / phones -> tokens)
+# --------------------------------------------------------------------
+
+def _q139_dirty_sql() -> str:
+    return (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.org from ' || CAST(doc_id % 223 + 1 AS VARCHAR)"
+        " || '.0.113.' || CAST(doc_id % 251 AS VARCHAR)"
+        " || ' tel +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0')"
+    )
+
+
+@register(
+    "q139_pii_scrub",
+    f"""
+    SELECT doc_id,
+           md5({T.redact_pii_sql(_q139_dirty_sql())}) AS scrub_fp,
+           CAST(strlen({T.redact_pii_sql(_q139_dirty_sql())}) AS BIGINT)
+               AS n_chars_clean
+    FROM documents
+    """,
+    doc="PII redaction (functions/text.py redact_pii): emails, "
+        "dotted-quad IPs and +phone numbers replaced by typed tokens "
+        "via a pure-codegen regexp_replace chain. Deterministic "
+        "synthetic PII is injected per doc so the scrub is exercised "
+        "on every row; patterns avoid alternation/lookaround so Java "
+        "regex and RE2 match identically and the result rides the "
+        "exact hash gate.",
+)
+def q139_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org from "),
+        (F.col("doc_id") % 223 + 1).cast("string"),
+        F.lit(".0.113."),
+        (F.col("doc_id") % 251).cast("string"),
+        F.lit(" tel +1555"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 7, "0"),
+    )
+    clean = T.redact_pii(dirty)
+    return df.select(
+        "doc_id",
+        F.md5(clean).alias("scrub_fp"),
+        F.length(clean).cast("bigint").alias("n_chars_clean"),
+    )

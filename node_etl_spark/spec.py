@@ -176,6 +176,17 @@ def _clean_text_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     )
 
 
+def _redact_pii_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    from .functions.text import redact_pii
+
+    col = d.get("text_col", "text")
+    kinds = tuple(d["kinds"]) if d.get("kinds") else None
+    return FnTransform(
+        lambda df: df.withColumn(col, redact_pii(col, kinds=kinds)),
+        name="redact_pii",
+    )
+
+
 def _quality_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     from pyspark.sql import functions as F
 
@@ -430,6 +441,7 @@ _REGISTRY.update(
         # corpus curation (functions/text.py, functions/sampling.py,
         # functions/dedup.py — net-new vs reference, SURVEY §2.6)
         "clean_text": _clean_text_op,
+        "redact_pii": _redact_pii_op,
         "quality": _quality_op,
         "lang": _lang_op,
         "exact_dedup": _exact_dedup_op,

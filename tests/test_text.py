@@ -107,3 +107,32 @@ def test_repetition_signals(spark):
     assert got[2].top_word_ratio == 0.25
     assert got[2].unique_word_ratio == 1.0
     assert got[2].dup_bigram_ratio == 0.0
+
+
+def test_redact_pii_patterns(spark):
+    from node_etl_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-mail.co.uk and d@e.io end"),
+            (2, "host 192.168.001.1 visited"),
+            (3, "call +4915551234567 now"),
+            (4, "addr a@1.2.3.4 mixed"),   # IP-shaped host: local part survives
+            (5, "plain text, 1.2 version, user at example dot org"),
+        ],
+        "id bigint, text string",
+    )
+    out = {r.id: r.clean for r in df.select("id", redact_pii("text").alias("clean")).collect()}
+    assert out[1] == "mail <EMAIL> and <EMAIL> end"
+    assert out[2] == "host <IP> visited"
+    assert out[3] == "call <PHONE> now"
+    assert out[4] == "addr a@<IP> mixed"
+    assert out[5] == "plain text, 1.2 version, user at example dot org"
+
+
+def test_redact_pii_kind_subset(spark):
+    from node_etl_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame([(1, "a@b.co 1.2.3.4")], "id bigint, text string")
+    only_email = df.select(redact_pii("text", kinds=("email",)).alias("c"))
+    assert only_email.first()["c"] == "<EMAIL> 1.2.3.4"
