@@ -111,6 +111,7 @@ HEADLINE = [
     "q135_session_window",
     "q136_neardup_lsh",
     "q139_pii_scrub",
+    "q140_winnow_fingerprints",
 ]
 
 

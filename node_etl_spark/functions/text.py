@@ -110,6 +110,123 @@ def fingerprint(text_col: str | Column) -> Column:
     return F.md5(normalize_text(text_col))
 
 
+# Rolling-hash fingerprint parameters: Rabin-Karp base/modulus chosen
+# so every intermediate fits a 64-bit signed int in BOTH engines
+# (max accumulator = (2^32-1)*257 + cp < 2^41) — what makes the DuckDB
+# oracle bit-exact without bigint tricks.
+_RK_BASE = 257
+_RK_MOD = 1 << 32
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprints (winnowing, Schleimer et al.
+    SIGMOD'03 / MOSS): normalize, hash every character ``k``-gram with
+    a Rabin-Karp rolling hash, then keep the distinct minima of each
+    ``window`` of consecutive gram hashes.
+
+    The selected set is position-robust: unlike the exact md5
+    fingerprint, two documents sharing substrings share fingerprints
+    regardless of where the substrings sit, which is what plagiarism /
+    near-dup sweeps join on. One Arrow-batched pass, zero shuffles —
+    the same scale shape as simhash32. Returns (id, fps array<bigint>
+    sorted distinct, n_grams). Documents shorter than ``k`` after
+    normalization drop out (they have no gram).
+    """
+    import numpy as np
+    import pandas as pd
+
+    norm = normalize_text(text_col)
+    powers = np.array(
+        [pow(_RK_BASE, k - 1 - j, _RK_MOD) for j in range(k)], dtype=np.uint64
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, fps, ngrams = [], [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["__norm"]):
+                if txt is None or len(txt) < k:
+                    continue
+                cps = np.array([ord(c) for c in txt], dtype=np.uint64)
+                n = len(cps) - k + 1
+                # direct windowed evaluation mod 2^32 == the sequential
+                # rolling recurrence (mod arithmetic commutes); each
+                # product fits uint64 comfortably
+                idx = np.arange(n)[:, None] + np.arange(k)[None, :]
+                h = (cps[idx] * powers[None, :]).sum(axis=1) % _RK_MOD
+                if n >= window:
+                    wmin = np.lib.stride_tricks.sliding_window_view(
+                        h, window
+                    ).min(axis=1)
+                else:
+                    wmin = np.array([h.min()], dtype=h.dtype)
+                ids.append(doc_id)
+                fps.append(np.unique(wmin).astype(np.int64).tolist())
+                ngrams.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
+                    "fps": pd.Series(fps, dtype="object"),
+                    "n_grams": pd.Series(ngrams, dtype="int64"),
+                }
+            )
+
+    from ..util import spread
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    narrow = spread(
+        df.select(F.col(id_col).alias("doc_id"), norm.alias("__norm"))
+    )
+    return narrow.mapInPandas(
+        gen, f"doc_id {id_type}, fps array<bigint>, n_grams bigint"
+    )
+
+
+def winnow_oracle_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> str:
+    """DuckDB mirror of :func:`winnow_fingerprints`, aggregated to
+    (doc_id, n_grams, n_selected, fp_digest): the same Rabin-Karp
+    recurrence unrolled as a nested expression, window minima via a
+    ROWS frame restricted to full windows."""
+    h = f"ascii(substr(g, 1, 1))"
+    for j in range(2, k + 1):
+        h = f"(({h}) * {_RK_BASE} + ascii(substr(g, {j}, 1))) % {_RK_MOD}"
+    return f"""
+    WITH norm AS (
+        SELECT {id_} AS doc_id,
+               trim(regexp_replace(lower({text}), '\\s+', ' ', 'g')) AS t
+        FROM {table}),
+    grams AS (
+        SELECT doc_id, i, substr(t, i, {k}) AS g, len(t) - {k} + 1 AS n
+        FROM norm, unnest(range(1, len(t) - {k - 2})) AS u(i)
+        WHERE len(t) >= {k}),
+    hashed AS (SELECT doc_id, i, n, {h} AS h FROM grams),
+    sel AS (
+        SELECT doc_id, n,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW
+                            AND {window - 1} FOLLOWING) AS wh
+        FROM hashed
+        QUALIFY i <= greatest(n - {window} + 1, 1)),
+    dedup AS (SELECT DISTINCT doc_id, n, wh FROM sel)
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           md5(string_agg(CAST(wh AS VARCHAR), ',' ORDER BY wh)) AS fp_digest
+    FROM dedup GROUP BY doc_id
+    """
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,

@@ -5326,3 +5326,29 @@ def q139_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(clean).alias("scrub_fp"),
         F.length(clean).cast("bigint").alias("n_chars_clean"),
     )
+
+
+# --------------------------------------------------------------------
+# q140 — rolling-hash (winnowing) document fingerprints on the gate
+# --------------------------------------------------------------------
+
+@register(
+    "q140_winnow_fingerprints",
+    T.winnow_oracle_sql(),
+    doc="Rolling-hash document fingerprinting (functions/text.py "
+        "winnow_fingerprints, Schleimer et al. winnowing): Rabin-Karp "
+        "k-gram hashes, distinct window minima as the position-robust "
+        "fingerprint set. One Arrow pass, zero shuffles; the oracle "
+        "unrolls the identical recurrence mod 2^32, so the digest of "
+        "the selected set hash-matches exactly.",
+)
+def q140_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = T.winnow_fingerprints(table(spark, sf_dir, "documents"))
+    return fps.select(
+        "doc_id",
+        "n_grams",
+        F.size("fps").cast("bigint").alias("n_selected"),
+        F.md5(F.concat_ws(",", F.col("fps").cast("array<string>"))).alias(
+            "fp_digest"
+        ),
+    )

@@ -136,3 +136,39 @@ def test_redact_pii_kind_subset(spark):
     df = spark.createDataFrame([(1, "a@b.co 1.2.3.4")], "id bigint, text string")
     only_email = df.select(redact_pii("text", kinds=("email",)).alias("c"))
     assert only_email.first()["c"] == "<EMAIL> 1.2.3.4"
+
+
+def test_winnow_shared_substring_shares_fingerprints(spark):
+    # the point of winnowing vs exact md5: a long shared substring
+    # yields shared selected hashes regardless of its position
+    from node_etl_spark.functions.text import winnow_fingerprints
+
+    core = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, "PREFIX AAA " + core),
+            (2, core + " suffix zzz trailing"),
+            (3, "completely different content with no overlap at all here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fps = {r.doc_id: set(r.fps) for r in winnow_fingerprints(df).collect()}
+    overlap_12 = len(fps[1] & fps[2])
+    overlap_13 = len(fps[1] & fps[3])
+    assert overlap_12 >= 5  # shared core -> many shared fingerprints
+    assert overlap_13 == 0
+
+
+def test_winnow_short_and_null_docs_drop(spark):
+    from node_etl_spark.functions.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, None), (3, "long enough to fingerprint")],
+        "doc_id bigint, text string",
+    )
+    rows = winnow_fingerprints(df).collect()
+    assert [r.doc_id for r in rows] == [3]
+    (r,) = rows
+    # n_grams = len(norm) - k + 1; fps sorted distinct
+    assert r.n_grams == len("long enough to fingerprint") - 8 + 1
+    assert r.fps == sorted(set(r.fps))
