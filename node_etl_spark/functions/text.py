@@ -150,13 +150,25 @@ def winnow_fingerprints(
         for pdf in batches:
             ids, fps, ngrams = [], [], []
             for doc_id, txt in zip(pdf["doc_id"], pdf["__norm"]):
+                # null ids must drop WITH their row: Arrow hands a
+                # nullable int64 id column to pandas as float64+NaN,
+                # and a NaN id can't convert back to the declared
+                # bigint output field
+                if doc_id is None or (
+                    isinstance(doc_id, float) and pd.isna(doc_id)
+                ):
+                    continue
                 if txt is None or len(txt) < k:
                     continue
-                cps = np.array([ord(c) for c in txt], dtype=np.uint64)
+                # vectorized codepoint extraction (no per-char Python)
+                cps = np.frombuffer(
+                    txt.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
                 n = len(cps) - k + 1
-                # direct windowed evaluation mod 2^32 == the sequential
-                # rolling recurrence (mod arithmetic commutes); each
-                # product fits uint64 comfortably
+                # windowed gather evaluation mod 2^32 == the sequential
+                # rolling recurrence (mod arithmetic commutes); k is a
+                # small constant so the (n, k) gather stays linear-ish,
+                # and each product fits uint64 comfortably
                 idx = np.arange(n)[:, None] + np.arange(k)[None, :]
                 h = (cps[idx] * powers[None, :]).sum(axis=1) % _RK_MOD
                 if n >= window:
@@ -307,6 +319,7 @@ def redact_pii(
     free rider on whatever scan already reads the text column.
     ``kinds`` selects a subset of :data:`PII_PATTERNS` by name.
     """
+    _validate_pii_kinds(kinds)
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     for name, pat, token in PII_PATTERNS:
         if kinds is None or name in kinds:
@@ -314,9 +327,25 @@ def redact_pii(
     return c
 
 
+def _validate_pii_kinds(kinds: tuple[str, ...] | None) -> None:
+    """A typo'd or empty kind selection must fail loudly — a privacy
+    scrub that silently redacts nothing is worse than an error."""
+    if kinds is None:
+        return
+    known = {name for name, _, _ in PII_PATTERNS}
+    if not kinds:
+        raise ValueError("redact_pii: empty kinds selection")
+    unknown = [k for k in kinds if k not in known]
+    if unknown:
+        raise ValueError(
+            f"redact_pii: unknown kinds {unknown}; known: {sorted(known)}"
+        )
+
+
 def redact_pii_sql(expr: str, kinds: tuple[str, ...] | None = None) -> str:
     """DuckDB mirror of :func:`redact_pii` (same patterns, same order,
     global flag)."""
+    _validate_pii_kinds(kinds)
     for name, pat, token in PII_PATTERNS:
         if kinds is None or name in kinds:
             pat_sql = pat.replace("'", "''")

@@ -5294,10 +5294,10 @@ def _q139_dirty_sql() -> str:
     "q139_pii_scrub",
     f"""
     SELECT doc_id,
-           md5({T.redact_pii_sql(_q139_dirty_sql())}) AS scrub_fp,
-           CAST(strlen({T.redact_pii_sql(_q139_dirty_sql())}) AS BIGINT)
-               AS n_chars_clean
-    FROM documents
+           md5(clean) AS scrub_fp,
+           CAST(length(clean) AS BIGINT) AS n_chars_clean
+    FROM (SELECT doc_id, {T.redact_pii_sql(_q139_dirty_sql())} AS clean
+          FROM documents)
     """,
     doc="PII redaction (functions/text.py redact_pii): emails, "
         "dotted-quad IPs and +phone numbers replaced by typed tokens "

@@ -180,7 +180,10 @@ def _redact_pii_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     from .functions.text import redact_pii
 
     col = d.get("text_col", "text")
-    kinds = tuple(d["kinds"]) if d.get("kinds") else None
+    # "kinds" absent -> all patterns; explicitly empty or typo'd kinds
+    # raise inside redact_pii (a silently-disabled scrub is worse than
+    # an error)
+    kinds = tuple(d["kinds"]) if "kinds" in d else None
     return FnTransform(
         lambda df: df.withColumn(col, redact_pii(col, kinds=kinds)),
         name="redact_pii",

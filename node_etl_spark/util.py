@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame
 # query stages through the rdd probe.
 _NARROW_NODES = frozenset(
     {
-        "Relation", "LogicalRDD", "LocalRelation", "UnresolvedRelation",
+        "Relation", "RelationV2", "InMemoryRelation", "Range",
+        "LogicalRDD", "LocalRelation", "UnresolvedRelation",
         "View", "SubqueryAlias", "Project", "Filter", "Generate",
         "Union", "Sample", "MapInPandas", "SerializeFromObject",
         "DeserializeToObject", "MapElements", "TypedFilter",

@@ -172,3 +172,26 @@ def test_winnow_short_and_null_docs_drop(spark):
     # n_grams = len(norm) - k + 1; fps sorted distinct
     assert r.n_grams == len("long enough to fingerprint") - 8 + 1
     assert r.fps == sorted(set(r.fps))
+
+
+def test_redact_pii_rejects_bad_kinds(spark):
+    import pytest
+
+    from node_etl_spark.functions.text import redact_pii, redact_pii_sql
+
+    with pytest.raises(ValueError, match="unknown kinds"):
+        redact_pii("text", kinds=("emails",))  # plural typo
+    with pytest.raises(ValueError, match="empty kinds"):
+        redact_pii_sql("text", kinds=())
+
+
+def test_winnow_null_doc_id_drops(spark):
+    from node_etl_spark.functions.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(None, "this row has a null id and long text"),
+         (7, "this row survives with a fingerprint")],
+        "doc_id bigint, text string",
+    )
+    rows = winnow_fingerprints(df).collect()
+    assert [r.doc_id for r in rows] == [7]
