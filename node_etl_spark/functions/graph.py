@@ -330,6 +330,7 @@ def pagerank(
     dst: str = "dst",
     checkpoint_every: int = 8,
     broadcast_ranks: bool = True,
+    assume_no_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge set.
 
@@ -387,13 +388,17 @@ def pagerank(
     # The broadcast hint obeys the same budget as the rank state
     # (nodes and ranks have identical cardinality): with
     # broadcast_ranks=False the semi-join falls back to a shuffle.
-    nside = F.broadcast(nodes) if broadcast_ranks else nodes
-    e = (
-        edges.join(deg, src)
-        .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "outdeg")
-        .join(nside, F.col("e_dst") == F.col("node"), "left_semi")
-        .localCheckpoint(eager=True)
+    e = edges.join(deg, src).select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "outdeg"
     )
+    if not assume_no_dangling:
+        # ``assume_no_dangling=True`` is a caller contract that every
+        # dst also appears as a src (true for any symmetrized /
+        # co-occurrence edge set), which makes this semi-join a no-op
+        # — skipping it drops one join from the one-time edge build.
+        nside = F.broadcast(nodes) if broadcast_ranks else nodes
+        e = e.join(nside, F.col("e_dst") == F.col("node"), "left_semi")
+    e = e.localCheckpoint(eager=True)
     ranks = nodes.crossJoin(F.broadcast(nstats)).select(
         "node",
         F.expr("1.0 / CAST(n AS DOUBLE)").alias("rank"),
