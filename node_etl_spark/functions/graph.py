@@ -572,3 +572,198 @@ def bfs_oracle_sql(
             " GROUP BY node)"
         )
     return ",\n    ".join(parts) + f"\n    SELECT node, dist FROM d{max_hops}"
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_labels: bool = True,
+) -> DataFrame:
+    """Synchronous label propagation (community detection), fixed
+    iteration count, deterministic tie-break.
+
+    Classic LPA (Raghavan et al. 2007) assigns each node the label
+    most frequent among its in-neighbors; random tie-breaking makes
+    it non-reproducible, so this variant breaks ties by SMALLEST
+    label — fully deterministic, hence oracle-checkable
+    (``label_propagation_oracle_sql`` unrolls the rounds). Labels
+    start as the node's own id; a node with no in-edges keeps its
+    current label. All-integer state: no float portability concerns.
+
+    Scale shape: per round one join (labels onto the checkpointed
+    edge set by ``src``) + one count aggregate keyed (dst, label) +
+    one max_by reduction keyed dst — the two aggregations hash on
+    overlapping keys so AQE plans them back-to-back without an extra
+    wide stage. Label state is one row per node (tiny next to edges)
+    and broadcasts by default, making the per-round join map-side
+    over edges persisted once — the same Pregel cost shape as
+    :func:`pagerank`. Disable ``broadcast_labels`` for billion-node
+    graphs where the state exceeds the broadcast budget.
+
+    The reference engine has no graph surface (single-pass stream
+    transforms only, jobs/convertors/*); net-new capability.
+    """
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for i in range(iterations):
+        lside = F.broadcast(labels) if broadcast_labels else labels
+        # most-frequent neighbor label, smallest label on ties:
+        # max_by over (count, -label) is a single scalar reduction —
+        # no per-node collected sets, no window sort
+        votes = (
+            e.join(lside, F.col("e_src") == F.col("node"))
+            .groupBy(F.col("e_dst").alias("v"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = votes.groupBy("v").agg(
+            F.expr("max_by(label, struct(cnt, -label))").alias("new_label")
+        )
+        labels = (
+            labels.join(winner, labels.node == winner.v, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+        )
+        if i + 1 < iterations:
+            # same rationale as pagerank: truncate lineage only when
+            # plan depth (not data) becomes the cost
+            if (i + 1) % 8 == 0:
+                labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def label_propagation_oracle_sql(
+    edges_sql: str, iterations: int = 3, id_span: int = 10_000_000_000
+) -> str:
+    """DuckDB mirror of :func:`label_propagation`: rounds unrolled
+    into CTEs. DuckDB's ``arg_max`` takes a single ordering value, so
+    the (cnt DESC, label ASC) winner is encoded arithmetically as
+    ``arg_max(label, cnt * id_span - label)`` — exactly the engine's
+    ``max_by(label, struct(cnt, -label))`` whenever node ids are
+    non-negative, below ``id_span``, and ``cnt * id_span`` fits an
+    int64 (always true at oracle test scale)."""
+    parts = [
+        f"WITH e AS ({edges_sql})",
+        "nodes AS (SELECT DISTINCT src AS node FROM e"
+        " UNION SELECT DISTINCT dst FROM e)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"v{i} AS (SELECT e.dst AS v, l.label,"
+            " CAST(COUNT(*) AS BIGINT) AS cnt"
+            f" FROM e JOIN l{i - 1} l ON e.src = l.node"
+            " GROUP BY e.dst, l.label)"
+        )
+        parts.append(
+            f"w{i} AS (SELECT v, arg_max(label, cnt * {id_span} - label)"
+            f" AS new_label FROM v{i} GROUP BY v)"
+        )
+        parts.append(
+            f"l{i} AS (SELECT l.node,"
+            " COALESCE(w.new_label, l.label) AS label"
+            f" FROM l{i - 1} l LEFT JOIN w{i} w ON l.node = w.v)"
+        )
+    return ",\n    ".join(parts) + f"\n    SELECT node, label FROM l{iterations}"
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    node: str = "node",
+    broadcast_max_rows: int = 5_000_000,
+) -> DataFrame:
+    """Weighted single/multi-source shortest paths: frontier
+    Bellman-Ford with non-negative BIGINT weights, bounded at
+    ``max_rounds`` relaxation rounds (a distance using more than
+    that many hops is not found — callers pick the bound like
+    :func:`bfs_hops` picks ``max_hops``).
+
+    Per round only the *improved* frontier (nodes whose distance
+    dropped last round) re-expands — round k costs
+    O(frontier_k x degree), not a full re-relaxation of every
+    settled node; with non-negative weights a node re-enters the
+    frontier only while genuinely shorter paths keep arriving.
+    Integer weights keep min/plus arithmetic exact across engines;
+    ``shortest_paths_oracle_sql`` unrolls the rounds (the simple
+    full-relaxation form — same fixpoint per round). Edges persist
+    once (localCheckpoint); a frontier under ``broadcast_max_rows``
+    broadcasts, so the common round is a map-side join.
+    """
+    e = edges.select(
+        F.col(src).alias("e_src"),
+        F.col(dst).alias("e_dst"),
+        F.col(weight).cast("bigint").alias("w"),
+    ).localCheckpoint(eager=True)
+    dist = seeds.select(
+        F.col(node).alias("node"), F.lit(0).cast("bigint").alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max_rounds):
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+        fr = (
+            F.broadcast(frontier)
+            if n_frontier <= broadcast_max_rows
+            else frontier
+        )
+        # best candidate distance per reached neighbor this round
+        relax = (
+            e.join(fr, F.col("e_src") == F.col("node"))
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        # a candidate survives if the node is new or strictly closer
+        improved = (
+            relax.join(dist.withColumnRenamed("dist", "old"), "node", "left")
+            .filter(F.col("old").isNull() | (F.col("cand") < F.col("old")))
+            .select("node", F.col("cand").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
+
+
+def shortest_paths_oracle_sql(
+    edges_sql: str, seeds_sql: str, max_rounds: int = 4
+) -> str:
+    """DuckDB mirror of :func:`shortest_paths`: Bellman-Ford rounds
+    unrolled into CTEs. ``edges_sql`` yields (src, dst, weight);
+    ``seeds_sql`` yields (node). The unrolled form relaxes every
+    settled node each round; per-round fixpoints match the engine's
+    frontier form exactly."""
+    parts = [
+        f"WITH e AS ({edges_sql})",
+        f"s0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM ({seeds_sql}))",
+    ]
+    for i in range(1, max_rounds + 1):
+        parts.append(
+            f"s{i} AS (SELECT node, MIN(dist) AS dist FROM ("
+            f"SELECT node, dist FROM s{i - 1}"
+            " UNION ALL "
+            "SELECT e.dst AS node, d.dist + CAST(e.weight AS BIGINT) AS dist"
+            f" FROM e JOIN s{i - 1} d ON e.src = d.node"
+            ") GROUP BY node)"
+        )
+    return ",\n    ".join(parts) + f"\n    SELECT node, dist FROM s{max_rounds}"

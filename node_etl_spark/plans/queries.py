@@ -5354,3 +5354,126 @@ def q140_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp_digest"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# q141 — label-propagation communities over the co-purchase graph
+# --------------------------------------------------------------------
+
+_PART_EDGES2_SQL = """
+        SELECT src, dst FROM (
+            SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+                SELECT DISTINCT a.l_orderkey, a.l_partkey AS src,
+                       b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey <> b.l_partkey
+            ) GROUP BY src, dst
+        ) WHERE cnt >= 2
+"""
+
+
+def _part_cooccur(spark: SparkSession, sf_dir: str, min_cnt: int = 1) -> DataFrame:
+    """Part co-occurrence pairs (src, dst, cnt = distinct co-orders)
+    via groupBy + double explode — one lineitem shuffle, the pair
+    blowup stays narrow inside each order's bounded set (see q122)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    pairs = (
+        sets.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if min_cnt > 1:
+        pairs = pairs.filter(F.col("cnt") >= min_cnt)
+    return pairs
+
+
+@register(
+    "q141_part_communities",
+    None,  # filled below (unrolled-iteration oracle from functions.graph)
+    doc="Community detection via synchronous label propagation "
+        "(functions/graph.py label_propagation): parts co-purchased "
+        "in >= 2 distinct orders form symmetric edges; 3 LPA rounds, "
+        "most-frequent-neighbor label with deterministic "
+        "smallest-label tie-break. Per round one broadcast join over "
+        "checkpointed edges + two aggregations — the Pregel cost "
+        "shape; all-integer state rides the exact hash gate via an "
+        "unrolled-CTE oracle.",
+)
+def q141_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import label_propagation
+
+    edges = _part_cooccur(spark, sf_dir, min_cnt=2).select("src", "dst")
+    return label_propagation(edges, iterations=3)
+
+
+def _init_q141_oracle() -> None:
+    from ..functions.graph import label_propagation_oracle_sql
+
+    QUERIES["q141_part_communities"].oracle = label_propagation_oracle_sql(
+        _PART_EDGES2_SQL, iterations=3
+    )
+
+
+_init_q141_oracle()
+
+
+# --------------------------------------------------------------------
+# q142 — weighted shortest paths (frontier Bellman-Ford)
+# --------------------------------------------------------------------
+
+_PART_WEDGES_SQL = """
+        SELECT src, dst, 1000 // (1 + cnt) AS weight FROM (
+            SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+                SELECT DISTINCT a.l_orderkey, a.l_partkey AS src,
+                       b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey <> b.l_partkey
+            ) GROUP BY src, dst
+        )
+"""
+
+_PART_SEED_SQL = "SELECT MIN(l_partkey) AS node FROM lineitem"
+
+
+@register(
+    "q142_part_distances",
+    None,  # filled below (unrolled-round oracle from functions.graph)
+    doc="Weighted shortest paths (functions/graph.py shortest_paths, "
+        "frontier Bellman-Ford): co-purchase edges weighted "
+        "1000 // (1 + co-order count) — frequent pairings are cheap "
+        "hops — from the lowest part key, 4 relaxation rounds. Only "
+        "the improved frontier re-expands each round; BIGINT "
+        "min/plus arithmetic is exact in both engines, oracle "
+        "unrolls the rounds into CTEs.",
+)
+def q142_part_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import shortest_paths
+
+    edges = _part_cooccur(spark, sf_dir).select(
+        "src",
+        "dst",
+        # integer DIV, not double '/'+cast: floor semantics stay exact
+        # for any operand (same rule as pack_sequences' pack_id)
+        F.expr("CAST(1000 AS BIGINT) DIV (1 + cnt)").alias("weight"),
+    )
+    seeds = (
+        table(spark, sf_dir, "lineitem")
+        .agg(F.min("l_partkey").alias("node"))
+    )
+    return shortest_paths(edges, seeds, max_rounds=4)
+
+
+def _init_q142_oracle() -> None:
+    from ..functions.graph import shortest_paths_oracle_sql
+
+    QUERIES["q142_part_distances"].oracle = shortest_paths_oracle_sql(
+        _PART_WEDGES_SQL, _PART_SEED_SQL, max_rounds=4
+    )
+
+
+_init_q142_oracle()

@@ -233,3 +233,101 @@ def test_blocked_components_validate_rejects_band_style_blocks(spark):
     got = {(r.id, r.component)
            for r in blocked_components(ok, "blk", validate=True).collect()}
     assert got == {(1, 1), (2, 1), (10, 10), (11, 10)}
+
+
+# ------------------------------------------------ label propagation
+
+
+def _sym(pairs):
+    return pairs + [(b, a) for a, b in pairs]
+
+
+def test_lpa_two_triangles_bridge(spark):
+    from node_etl_spark.functions.graph import label_propagation
+
+    # two triangles {1,2,3} and {10,11,12} joined by one bridge 3-10:
+    # each triangle's majority vote pulls labels to its own minimum
+    e = _edges(
+        spark,
+        _sym([(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]),
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(e, iterations=3).collect()}
+    assert got[1] == got[2] == 1
+    assert got[11] == got[12]
+    assert set(got) == {1, 2, 3, 10, 11, 12}
+
+
+def test_lpa_tie_breaks_to_smallest_label(spark):
+    from node_etl_spark.functions.graph import label_propagation
+
+    # node 5 sees neighbors 1 and 2 once each -> tie on count,
+    # smallest label (1) must win deterministically
+    e = _edges(spark, [(1, 5), (2, 5)])
+    got = {r["node"]: r["label"] for r in label_propagation(e, iterations=1).collect()}
+    assert got[5] == 1
+    # source-only nodes keep their own label (no in-edges)
+    assert got[1] == 1 and got[2] == 2
+
+
+def test_lpa_isolated_sink_updates_from_single_neighbor(spark):
+    from node_etl_spark.functions.graph import label_propagation
+
+    e = _edges(spark, [(7, 8)])
+    got = {r["node"]: r["label"] for r in label_propagation(e, iterations=2).collect()}
+    assert got == {7: 7, 8: 7}
+
+
+# ------------------------------------------------ weighted shortest paths
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(triples, "src long, dst long, weight long")
+
+
+def _seeds(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node long")
+
+
+def test_sssp_prefers_cheaper_two_hop_path(spark):
+    from node_etl_spark.functions.graph import shortest_paths
+
+    # direct 1->3 costs 10; via 2 costs 2+3=5
+    e = _wedges(spark, [(1, 3, 10), (1, 2, 2), (2, 3, 3)])
+    got = {r["node"]: r["dist"] for r in shortest_paths(e, _seeds(spark, [1]), 4).collect()}
+    assert got == {1: 0, 2: 2, 3: 5}
+
+
+def test_sssp_round_bound_limits_path_length(spark):
+    from node_etl_spark.functions.graph import shortest_paths
+
+    # chain 1->2->3->4->5, one round per hop
+    e = _wedges(spark, [(1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1)])
+    got = {r["node"]: r["dist"] for r in shortest_paths(e, _seeds(spark, [1]), 2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}  # 4 and 5 unreached within 2 rounds
+
+
+def test_sssp_multi_source_takes_nearest_seed(spark):
+    from node_etl_spark.functions.graph import shortest_paths
+
+    e = _wedges(spark, [(1, 2, 5), (9, 2, 1), (2, 3, 1)])
+    got = {r["node"]: r["dist"] for r in shortest_paths(e, _seeds(spark, [1, 9]), 3).collect()}
+    assert got == {1: 0, 9: 0, 2: 1, 3: 2}
+
+
+def test_sssp_improvement_repropagates(spark):
+    from node_etl_spark.functions.graph import shortest_paths
+
+    # 3 is first reached expensively via 1->3 (round 1, cost 20), then
+    # cheaper via 1->2->3 (round 2, cost 4); the improvement must
+    # re-propagate to 4 in round 3
+    e = _wedges(spark, [(1, 3, 20), (1, 2, 2), (2, 3, 2), (3, 4, 1)])
+    got = {r["node"]: r["dist"] for r in shortest_paths(e, _seeds(spark, [1]), 3).collect()}
+    assert got[3] == 4 and got[4] == 5
+
+
+def test_sssp_zero_weight_edges_exact(spark):
+    from node_etl_spark.functions.graph import shortest_paths
+
+    e = _wedges(spark, [(1, 2, 0), (2, 3, 0)])
+    got = {r["node"]: r["dist"] for r in shortest_paths(e, _seeds(spark, [1]), 3).collect()}
+    assert got == {1: 0, 2: 0, 3: 0}
