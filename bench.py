@@ -112,6 +112,9 @@ HEADLINE = [
     "q136_neardup_lsh",
     "q139_pii_scrub",
     "q140_winnow_fingerprints",
+    "q141_part_communities",
+    "q142_part_distances",
+    "q143_containment_dedup",
 ]
 
 

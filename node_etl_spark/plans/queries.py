@@ -5477,3 +5477,24 @@ def _init_q142_oracle() -> None:
 
 
 _init_q142_oracle()
+
+
+# --------------------------------------------------------------------
+# q143 — substring-containment dedup via winnowing-fingerprint blocking
+# --------------------------------------------------------------------
+
+@register(
+    "q143_containment_dedup",
+    D.containment_oracle_sql(),
+    doc="Exact substring-containment dedup (functions/dedup.py "
+        "containment_pairs): documents whose normalized text occurs "
+        "verbatim inside a longer document. Candidates come from a "
+        "winnowing-fingerprint inverted-index join — the Schleimer "
+        "guarantee makes the blocking lossless for contained docs of "
+        ">= window+k-1 chars — and only colliding pairs pay the exact "
+        "instr verify; the oracle is the all-pairs test, equal by "
+        "exactness of the blocking.",
+)
+def q143_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs)

@@ -159,3 +159,77 @@ def test_jaccard_auto_selects_prefix_filter(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, ppjoin.collect())
     )
+
+
+# ------------------------------------------- substring containment
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_containment_finds_quoted_doc(spark):
+    from node_etl_spark.functions.dedup import containment_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, base),
+        (2, "PREFIX words here " + base + " and a long suffix follows"),
+        (3, "completely unrelated content about spark partitions and shuffles"),
+    ]
+    got = {
+        (r.contained_id, r.container_id)
+        for r in containment_pairs(_docs(spark, rows)).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_containment_normalizes_whitespace_and_case(spark):
+    from node_etl_spark.functions.dedup import containment_pairs
+
+    rows = [
+        (1, "Alpha   Beta\tGamma Delta Epsilon Zeta"),
+        (2, "intro alpha beta gamma delta epsilon zeta outro is much longer"),
+    ]
+    got = {
+        (r.contained_id, r.container_id)
+        for r in containment_pairs(_docs(spark, rows)).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_containment_equal_texts_emit_once_smaller_id_contained(spark):
+    from node_etl_spark.functions.dedup import containment_pairs
+
+    t = "identical content appears twice in this corpus of documents"
+    got = {
+        (r.contained_id, r.container_id)
+        for r in containment_pairs(_docs(spark, [(5, t), (9, t)])).collect()
+    }
+    assert got == {(5, 9)}
+
+
+def test_containment_short_docs_out_of_scope(spark):
+    from node_etl_spark.functions.dedup import containment_pairs
+
+    # contained side under window + k - 1 = 11 normalized chars is
+    # below the winnowing guarantee and excluded by contract
+    rows = [(1, "tiny text"), (2, "this holds tiny text inside a longer doc")]
+    assert containment_pairs(_docs(spark, rows)).count() == 0
+
+
+def test_containment_transitive_chain_all_pairs(spark):
+    from node_etl_spark.functions.dedup import containment_pairs
+
+    s = "core shared sentence fragment"
+    mid = "left pad " + s + " right pad"
+    rows = [
+        (1, s),
+        (2, mid),
+        (3, "outer prefix " + mid + " outer suffix"),
+    ]
+    got = {
+        (r.contained_id, r.container_id)
+        for r in containment_pairs(_docs(spark, rows)).collect()
+    }
+    assert got == {(1, 2), (1, 3), (2, 3)}
