@@ -115,6 +115,8 @@ HEADLINE = [
     "q141_part_communities",
     "q142_part_distances",
     "q143_containment_dedup",
+    "q144_brand_trend_ols",
+    "q145_part_skyline",
 ]
 
 

@@ -193,3 +193,82 @@ def psi_oracle_sql(
                     OVER () AS DOUBLE) AS total_psi
     FROM terms
     """
+
+
+# ------------------------------------------------ group-wise OLS trend
+
+
+def ols_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line fit (trend detection):
+    slope and intercept of ``y`` over ``x`` within each group.
+
+    Contract: ``x`` and ``y`` are BIGINT (pre-scale money to cents,
+    timestamps to day/week indexes). All five sufficient statistics
+    (n, Sx, Sy, Sxx, Sxy) are then exact int64 sums — one shuffle,
+    map-side partial aggregation, order-independent — and the closed
+    form runs on doubles converted from identical integers, so Spark
+    and DuckDB produce bit-identical results (``ols_oracle_sql``).
+    Built-in regr_slope/regr_intercept are avoided deliberately:
+    their double accumulation is summation-order-dependent, which
+    breaks the exact cross-engine gate. Degenerate groups (fewer
+    than 2 points, or zero x-variance) are dropped.
+
+    At 100 TB this is a plain two-level aggregate: the heavy input
+    collapses to one row of longs per group before any wide exchange.
+    """
+    x, y = F.col(x_col).cast("bigint"), F.col(y_col).cast("bigint")
+    g = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    g = g.filter((F.col("n") >= 2) & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0))
+    g = g.withColumn(
+        "slope",
+        F.expr(
+            "CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE)"
+        ),
+    )
+    return g.select(
+        *group_cols,
+        F.col("n").alias("n_points"),
+        "slope",
+        F.expr(
+            "(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))"
+            " / CAST(n AS DOUBLE)"
+        ).alias("intercept"),
+    )
+
+
+def ols_oracle_sql(points_sql: str, group_cols: list[str]) -> str:
+    """DuckDB mirror of :func:`ols_trend`. ``points_sql`` must yield
+    the group columns plus BIGINT columns x and y; the closed form
+    repeats the engine's exact integer sums and double conversions."""
+    gc = ", ".join(group_cols)
+    return f"""
+    WITH pts AS ({points_sql}),
+    stats AS (
+        SELECT {gc},
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM pts GROUP BY {gc}),
+    fit AS (
+        SELECT {gc}, n, sx, sy,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+        FROM stats
+        WHERE n >= 2 AND n * sxx - sx * sx <> 0)
+    SELECT {gc}, n AS n_points, slope,
+           (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS intercept
+    FROM fit
+    """

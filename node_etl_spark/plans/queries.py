@@ -5498,3 +5498,103 @@ _init_q142_oracle()
 def q143_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return D.containment_pairs(docs)
+
+
+# --------------------------------------------------------------------
+# q144 — per-brand weekly revenue trend (exact-integer OLS)
+# --------------------------------------------------------------------
+
+_Q144_POINTS_SQL = """
+        SELECT p.p_brand,
+               datediff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE)) // 7
+                   AS x,
+               SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+"""
+
+
+@register(
+    "q144_brand_trend_ols",
+    P.ols_oracle_sql(_Q144_POINTS_SQL, ["p_brand"]),
+    doc="Per-group OLS trend fit (functions/profile.py ols_trend): "
+        "weekly revenue (exact integer cents) regressed on the week "
+        "index per brand. Sufficient statistics are exact int64 sums "
+        "(two-level aggregate, map-side partials), the closed form "
+        "runs on doubles converted from identical integers — "
+        "bit-exact across engines where built-in regr_slope's "
+        "order-dependent double accumulation is not.",
+)
+def q144_brand_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.profile import ols_trend
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT) DIV 7"
+        ).alias("week"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    weekly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "week")
+        .agg(F.sum("cents").alias("y"))
+    )
+    return ols_trend(weekly, ["p_brand"], "week", "y")
+
+
+# --------------------------------------------------------------------
+# q145 — Pareto frontier (skyline operator)
+# --------------------------------------------------------------------
+
+@register(
+    "q145_part_skyline",
+    None,  # filled below from functions.frontier
+    doc="Skyline / Pareto frontier (functions/frontier.py skyline, "
+        "Borzsonyi et al. ICDE'01): parts where no other part is "
+        "cheaper AND larger. Distributive two-phase plan — streaming "
+        "local skylines per partition (Arrow pass, kept set bounded "
+        "by frontier size), then one reduce over the tiny local "
+        "frontiers; the corpus scan never shuffles. Oracle is the "
+        "quadratic NOT EXISTS dominance test.",
+)
+def q145_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.frontier import skyline
+
+    parts = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    return skyline(parts, maximize=("p_size",), minimize=("p_retailprice",))
+
+
+def _init_q145_oracle() -> None:
+    from ..functions.frontier import skyline_oracle_sql
+
+    QUERIES["q145_part_skyline"].oracle = skyline_oracle_sql(
+        "SELECT p_partkey, p_brand, p_size, p_retailprice FROM part",
+        maximize=("p_size",),
+        minimize=("p_retailprice",),
+    )
+
+
+_init_q145_oracle()
+
+
+# --------------------------------------------------------------------
+# q146 — ORC sink -> ORC source round-trip (columnar format parity)
+# --------------------------------------------------------------------
+
+@register(
+    "q146_orc_roundtrip",
+    _ROUNDTRIP_ORACLE,
+    doc="ORC sink -> ORC source round-trip conserves rows and values "
+        "(OrcSink/OrcSource): the second columnar lake format next "
+        "to parquet, with the same pushdown story.",
+)
+def q146_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import FrameSource, OrcSink, OrcSource
+
+    path = f"{_SCRATCH}/orc_roundtrip"
+    Pipeline([FrameSource(_roundtrip_frame(spark, sf_dir)), OrcSink(path)]).run(spark)
+    return _roundtrip_agg(Pipeline([OrcSource(path)]), spark)

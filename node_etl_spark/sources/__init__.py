@@ -8,6 +8,7 @@ from .readers import (
     FrameSource,
     JsonSource,
     NdjsonSource,
+    OrcSource,
     ParquetSource,
     XmlSource,
     apply_root_node,
@@ -20,15 +21,16 @@ from .writers import (
     MongoSink,
     NdjsonSink,
     NoopSink,
+    OrcSink,
     ParquetSink,
     XmlSink,
 )
 
 __all__ = [
-    "PathSource", "ParquetSource", "CsvSource", "JsonSource", "NdjsonSource",
+    "PathSource", "ParquetSource", "OrcSource", "CsvSource", "JsonSource", "NdjsonSource",
     "XmlSource", "FrameSource", "folder_source", "apply_root_node",
     "PagedRestSource", "default_url_gen",
-    "NdjsonSink", "ParquetSink", "CsvSink", "XmlSink", "JsonArraySink", "NoopSink",
+    "NdjsonSink", "ParquetSink", "OrcSink", "CsvSink", "XmlSink", "JsonArraySink", "NoopSink",
     "HttpNdjsonSink", "MongoSink",
     "write_bucketed", "read_bucketed",
     "upsert_parquet", "last_write_wins", "zorder_write", "compact_parquet",

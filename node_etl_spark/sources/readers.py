@@ -47,6 +47,16 @@ class ParquetSource(PathSource):
         return read_parquet(spark, path)
 
 
+class OrcSource(PathSource):
+    """ORC columnar scan — same pushdown story as ParquetSource
+    (predicate + column pruning reach the stripe reader); net-new
+    next to the reference's row formats, here for warehouses whose
+    lake standardized on ORC."""
+
+    def _read(self, spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.options(**self.options).orc(path)
+
+
 class CsvSource(PathSource):
     """CSV with the reference parser's knobs: ``delimiter``, ``escape``,
     ``headers``, ``encoding`` (job-parser-csv.js:11-16)."""

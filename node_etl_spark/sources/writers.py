@@ -67,6 +67,11 @@ class ParquetSink(_PathSink):
         self._writer(df).parquet(ctx.resolve_url(self.path))
 
 
+class OrcSink(_PathSink):
+    def write(self, df: DataFrame, ctx: "Context") -> None:
+        self._writer(df).orc(ctx.resolve_url(self.path))
+
+
 class CsvSink(_PathSink):
     def write(self, df: DataFrame, ctx: "Context") -> None:
         self._writer(df).option("header", "true").csv(ctx.resolve_url(self.path))

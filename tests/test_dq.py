@@ -127,3 +127,33 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert spark.read.parquet(path).agg(F.sum("id"), F.count("*")).first() == checksum_before
     # no leftover staging dirs
     assert glob.glob(str(tmp_path / "frag__*")) == []
+
+
+# ------------------------------------------------ OLS trend fit
+
+
+def test_ols_trend_exact_line(spark):
+    from node_etl_spark.functions.profile import ols_trend
+
+    df = spark.createDataFrame(
+        [("a", 1, 100), ("a", 2, 200), ("a", 3, 300),
+         ("b", 1, 50), ("b", 2, 40), ("b", 3, 30)],
+        "g string, x long, y long",
+    )
+    got = {r.g: (r.slope, r.intercept, r.n_points)
+           for r in ols_trend(df, ["g"], "x", "y").collect()}
+    assert got["a"] == (100.0, 0.0, 3)
+    assert got["b"] == (-10.0, 60.0, 3)
+
+
+def test_ols_trend_drops_degenerate_groups(spark):
+    from node_etl_spark.functions.profile import ols_trend
+
+    df = spark.createDataFrame(
+        [("one", 5, 7),               # single point
+         ("flat", 2, 1), ("flat", 2, 9),  # zero x-variance
+         ("ok", 0, 0), ("ok", 1, 2)],
+        "g string, x long, y long",
+    )
+    got = {r.g for r in ols_trend(df, ["g"], "x", "y").collect()}
+    assert got == {"ok"}

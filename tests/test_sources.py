@@ -343,3 +343,17 @@ def test_mongo_url_split_keeps_query_options():
     assert base == "mongodb://host:27017/etl?replicaSet=rs0&authSource=admin"
     base2, coll2 = _split_mongo_url("mongodb://host/etl/out")
     assert (base2, coll2) == ("mongodb://host/etl", "out")
+
+
+def test_orc_roundtrip_preserves_types_and_values(spark, tmp_path):
+    from node_etl_spark.sources import OrcSink, OrcSource
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25), (3, None, 0.0)],
+        "id long, tag string, v double",
+    )
+    path = str(tmp_path / "orc_out")
+    OrcSink(path).write(df, CTX)
+    back = OrcSource(path).load(spark, CTX)
+    assert back.schema == df.schema
+    assert sorted(back.collect()) == sorted(df.collect())
