@@ -117,6 +117,7 @@ HEADLINE = [
     "q143_containment_dedup",
     "q144_brand_trend_ols",
     "q145_part_skyline",
+    "q147_audio_energy",
 ]
 
 

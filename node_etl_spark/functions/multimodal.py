@@ -138,3 +138,88 @@ def attach_media_metadata(df: DataFrame) -> DataFrame:
     return df.withColumn("media_md5", F.md5(F.col("content"))).withColumn(
         "media_bytes", F.length(F.col("content"))
     )
+
+
+def pcm_window_energy(
+    binaries: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    window: int = 256,
+) -> DataFrame:
+    """Windowed audio energy over an opaque binary column, treating
+    the payload as unsigned 8-bit PCM samples — the silence-detection
+    / loudness-profiling primitive, runnable without any codec: a
+    real decoder (librosa/ffmpeg, absent here) would only swap the
+    byte interpretation, not the plumbing.
+
+    Per row: non-overlapping windows of ``window`` samples (trailing
+    partial window kept with its true size), energy =
+    ``sum((s - 128)^2)`` as BIGINT — all-integer, so the DuckDB
+    oracle (:func:`pcm_energy_oracle_sql`, hex-sliced byte
+    extraction) matches exactly. One Arrow-batched 1:N pass, zero
+    shuffles; numpy ``add.reduceat`` keeps the inner loop vectorized.
+    """
+    import numpy as np
+
+    id_type = binaries.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, win bigint, n_samples bigint, energy bigint"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, wins, ns, es = [], [], [], []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                if content is None or len(content) == 0:
+                    continue
+                s = np.frombuffer(bytes(content), dtype=np.uint8).astype(
+                    np.int64
+                )
+                d = (s - 128) ** 2
+                starts = np.arange(0, len(s), window)
+                e = np.add.reduceat(d, starts)
+                sizes = np.minimum(starts + window, len(s)) - starts
+                k = len(starts)
+                ids.extend([rid] * k)
+                wins.extend(range(k))
+                ns.extend(sizes.tolist())
+                es.extend(e.tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "win": pd.Series(wins, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "energy": pd.Series(es, dtype="int64"),
+                }
+            )
+
+    from ..util import spread
+
+    return spread(binaries.select(id_col, content_col)).mapInPandas(
+        batches, schema=schema
+    )
+
+
+def pcm_energy_oracle_sql(
+    table: str = "documents",
+    id_: str = "doc_id",
+    payload_sql: str = "encode(text)",
+    window: int = 256,
+) -> str:
+    """DuckDB mirror of :func:`pcm_window_energy`: bytes recovered by
+    slicing ``hex(payload)`` two chars at a time (DuckDB has no
+    direct blob indexing), then the same integer window aggregate."""
+    return f"""
+    WITH b AS (
+        SELECT {id_} AS doc_id, hex({payload_sql}) AS h,
+               octet_length({payload_sql}) AS n
+        FROM {table} WHERE octet_length({payload_sql}) > 0),
+    samp AS (
+        SELECT doc_id, (i - 1) // {window} AS win,
+               CAST(concat('0x', substr(h, 2 * i - 1, 2)) AS BIGINT) AS v
+        FROM b, unnest(range(1, n + 1)) AS t(i))
+    SELECT doc_id, CAST(win AS BIGINT) AS win,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM((v - 128) * (v - 128)) AS BIGINT) AS energy
+    FROM samp GROUP BY 1, 2
+    """

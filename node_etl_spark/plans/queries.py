@@ -5598,3 +5598,35 @@ def q146_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{_SCRATCH}/orc_roundtrip"
     Pipeline([FrameSource(_roundtrip_frame(spark, sf_dir)), OrcSink(path)]).run(spark)
     return _roundtrip_agg(Pipeline([OrcSource(path)]), spark)
+
+
+# --------------------------------------------------------------------
+# q147 — windowed PCM energy over opaque binary payloads (audio path)
+# --------------------------------------------------------------------
+
+@register(
+    "q147_audio_energy",
+    None,  # filled below from functions.multimodal
+    doc="Windowed audio-energy profile (functions/multimodal.py "
+        "pcm_window_energy): documents' UTF-8 payloads stand in for "
+        "u8 PCM samples; per 256-sample window an exact integer "
+        "energy sum. The codec-free audio plumbing twin of "
+        "q36/q37 — 1:N Arrow pass, zero shuffles — with a hex-slice "
+        "DuckDB oracle so even the byte math sits on the exact gate.",
+)
+def q147_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import pcm_window_energy
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    return pcm_window_energy(docs)
+
+
+def _init_q147_oracle() -> None:
+    from ..functions.multimodal import pcm_energy_oracle_sql
+
+    QUERIES["q147_audio_energy"].oracle = pcm_energy_oracle_sql()
+
+
+_init_q147_oracle()

@@ -71,3 +71,28 @@ def test_media_dedup_key(spark, tmp_path):
     groups = df.groupBy("media_md5").count().collect()
     counts = sorted(r["count"] for r in groups)
     assert counts == [1, 2]
+
+
+def test_pcm_window_energy_exact_windows(spark):
+    from node_etl_spark.functions.multimodal import pcm_window_energy
+
+    # 5 bytes, window 4: full window [0,1,2,3] then partial [4]
+    df = spark.createDataFrame(
+        [(1, bytes([128, 129, 127, 130, 100]))], "doc_id long, content binary"
+    )
+    rows = {
+        (r.win, r.n_samples, r.energy)
+        for r in pcm_window_energy(df, window=4).collect()
+    }
+    # energies: (0^2+1^2+1^2+2^2)=6 ; (28^2)=784
+    assert rows == {(0, 4, 6), (1, 1, 784)}
+
+
+def test_pcm_window_energy_skips_empty_and_null(spark):
+    from node_etl_spark.functions.multimodal import pcm_window_energy
+
+    df = spark.createDataFrame(
+        [(1, b""), (2, None), (3, bytes([0] * 3))], "doc_id long, content binary"
+    )
+    rows = [(r.doc_id, r.win, r.energy) for r in pcm_window_energy(df, window=8).collect()]
+    assert rows == [(3, 0, 3 * 128 * 128)]
