@@ -439,6 +439,53 @@ def _keywords_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     return FnTransform(fn, name="keywords")
 
 
+def _skyline_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    from .functions.frontier import skyline
+
+    mx = tuple(d.get("maximize", ()))
+    mn = tuple(d.get("minimize", ()))
+    return FnTransform(
+        lambda df: skyline(df, maximize=mx, minimize=mn), name="skyline"
+    )
+
+
+def _ols_trend_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    from .functions.profile import ols_trend
+
+    g, x, y = list(d["group_cols"]), d["x_col"], d["y_col"]
+    return FnTransform(lambda df: ols_trend(df, g, x, y), name="ols_trend")
+
+
+def _containment_dedup_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    from pyspark.sql import functions as F
+
+    from .functions.dedup import containment_pairs
+
+    col, idc = d.get("text_col", "text"), d.get("id_col", "doc_id")
+
+    def fn(df):
+        # drop documents fully contained in a longer document — the
+        # curation form of q143 (pairs stream -> anti-join)
+        contained = containment_pairs(df, text_col=col, id_col=idc).select(
+            F.col("contained_id").alias(idc)
+        )
+        return df.join(contained, idc, "left_anti")
+
+    return FnTransform(fn, name="containment_dedup")
+
+
+def _pcm_energy_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    from .functions.multimodal import pcm_window_energy
+
+    idc = d.get("id_col", "doc_id")
+    col = d.get("content_col", "content")
+    w = int(d.get("window", 256))
+    return FnTransform(
+        lambda df: pcm_window_energy(df, id_col=idc, content_col=col, window=w),
+        name="pcm_energy",
+    )
+
+
 _REGISTRY.update(
     {
         # corpus curation (functions/text.py, functions/sampling.py,
@@ -457,6 +504,12 @@ _REGISTRY.update(
         # retrieval (functions/search.py)
         "bm25": _bm25_op,
         "keywords": _keywords_op,
+        # analytics / multimodal net-new (functions/frontier.py,
+        # functions/profile.py, functions/dedup.py, functions/multimodal.py)
+        "skyline": _skyline_op,
+        "ols_trend": _ols_trend_op,
+        "containment_dedup": _containment_dedup_op,
+        "pcm_energy": _pcm_energy_op,
     }
 )
 

@@ -410,3 +410,51 @@ def test_spec_paged_rest_and_http_sinks(spark):
     assert hs.batch_rows == 5
     ms = op_from_spec({"op": "mongo_sink", "url": "mongodb://h/db/coll"})
     assert ms.url.endswith("/coll")
+
+
+def test_spec_skyline_and_ols(spark, sf_dir):
+    sky = from_spec(
+        {
+            "name": "sky",
+            "chain": [
+                {"op": "parquet", "path": f"{sf_dir}/part.parquet"},
+                {"op": "skyline", "maximize": ["p_size"],
+                 "minimize": ["p_retailprice"]},
+            ],
+        }
+    ).run(spark)
+    rows = sky.collect()
+    assert len(rows) >= 1
+    # no row in the frontier dominates another
+    for a in rows:
+        for b in rows:
+            assert not (
+                b.p_size >= a.p_size
+                and b.p_retailprice <= a.p_retailprice
+                and (b.p_size > a.p_size or b.p_retailprice < a.p_retailprice)
+            )
+
+
+def test_spec_containment_dedup_drops_contained(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "PAD the quick brown fox jumps over the lazy dog PAD"),
+            (3, "entirely different words live here today"),
+        ],
+        "doc_id long, text string",
+    )
+    from node_etl_spark.context import Context
+
+    op = op_from_spec({"op": "containment_dedup"})
+    kept = {r.doc_id for r in op.apply(df, Context()).collect()}
+    assert kept == {2, 3}
+
+
+def test_spec_pcm_energy_node(spark):
+    from node_etl_spark.context import Context
+
+    df = spark.createDataFrame([(1, bytes([128] * 10))], "doc_id long, content binary")
+    op = op_from_spec({"op": "pcm_energy", "window": 4})
+    rows = {(r.win, r.energy) for r in op.apply(df, Context()).collect()}
+    assert rows == {(0, 0), (1, 0), (2, 0)}
