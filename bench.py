@@ -118,6 +118,7 @@ HEADLINE = [
     "q144_brand_trend_ols",
     "q145_part_skyline",
     "q147_audio_energy",
+    "q148_bigram_lm_score",
 ]
 
 

@@ -518,3 +518,125 @@ def repetition_signals(
     return df.select(
         F.col(id_col), _signals(F.col(text_col)).alias("__sig")
     ).select(id_col, "__sig.*")
+
+
+def bigram_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """All consecutive token pairs per document WITH multiplicity
+    (unlike ``..dedup.shingle_rows``, which dedups — language-model
+    counts need every occurrence). Arrow-batched narrow pass."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<w1:string,w2:string>>")
+    def _pairs(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = [w for w in (t or "").split(" ") if w]
+            out.append(
+                [{"w1": a, "w2": b} for a, b in zip(toks, toks[1:])]
+            )
+        return pd.Series(out)
+
+    from ..util import spread
+
+    return (
+        spread(df.select(F.col(id_col).alias("doc_id"), text_col))
+        .select("doc_id", F.explode(_pairs(F.col(text_col))).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perplexity-style quality scoring: mean log-probability of each
+    document under an add-one-smoothed bigram model trained on the
+    corpus itself (the CCNet/Gopher-family LM filter, with the corpus
+    standing in for the external LM — swap the stats frames to score
+    against a reference corpus). Low score = improbable token
+    sequences (spam/garbled text); high = natural.
+
+    ``P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V)``, V = distinct
+    successor types. Scale shape: the corpus collapses to per-doc
+    bigram term frequencies (one shuffle), corpus statistics are
+    re-aggregations OF that frame (strictly smaller), and the scoring
+    joins run on vocabulary-sized keys — no text ever re-scans.
+    Cross-engine exactness: smoothed probabilities are ratios of
+    identical integers, each ``tf * ln(p)`` term is quantized to
+    DECIMAL(28,12) and summed exactly (order-independent), and a
+    final round(6) absorbs sub-ulp libm differences — the q132
+    token-entropy discipline.
+    """
+    bg = bigram_rows(df, text_col=text_col, id_col=id_col)
+    tf = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.persist()
+    cb = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+    cc = tf.groupBy("w1").agg(F.sum("tf").alias("cc"))
+    v = tf.agg(F.countDistinct("w2").alias("v"))
+    term = (
+        tf.join(cb, ["w1", "w2"])
+        .join(cc, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "tf",
+            (
+                F.col("tf")
+                * F.log(
+                    (F.col("cb") + F.lit(1)).cast("double")
+                    / (F.col("cc") + F.col("v")).cast("double")
+                )
+            )
+            .cast("decimal(28,12)")
+            .alias("t"),
+        )
+    )
+    return (
+        term.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum("t").cast("double").alias("__tsum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("__tsum") / F.col("n_bigrams").cast("double"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def bigram_lm_oracle_sql(
+    table: str = "documents", text: str = "text", id_: str = "doc_id"
+) -> str:
+    """DuckDB mirror of :func:`bigram_lm_score` (same smoothing, same
+    DECIMAL(28,12) term quantization, same final rounding)."""
+    return f"""
+    WITH toks AS (
+        SELECT {id_} AS doc_id, list_filter(string_split({text}, ' '),
+               w -> w <> '') AS ts
+        FROM {table}),
+    bg AS (
+        SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        FROM toks, unnest(range(1, len(ts))) AS t(i)),
+    tf AS (
+        SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM bg GROUP BY 1, 2, 3),
+    cb AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cb
+           FROM tf GROUP BY 1, 2),
+    cc AS (SELECT w1, CAST(SUM(tf) AS BIGINT) AS cc FROM tf GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM tf),
+    term AS (
+        SELECT tf.doc_id, tf.tf,
+               CAST(tf.tf * ln(CAST(cb.cb + 1 AS DOUBLE)
+                               / CAST(cc.cc + v.v AS DOUBLE))
+                    AS DECIMAL(28,12)) AS t
+        FROM tf JOIN cb USING (w1, w2) JOIN cc USING (w1), v)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(t) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6)
+               AS avg_logprob
+    FROM term GROUP BY doc_id
+    """

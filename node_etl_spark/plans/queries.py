@@ -5630,3 +5630,23 @@ def _init_q147_oracle() -> None:
 
 
 _init_q147_oracle()
+
+
+# --------------------------------------------------------------------
+# q148 — bigram language-model quality scoring (perplexity filter)
+# --------------------------------------------------------------------
+
+@register(
+    "q148_bigram_lm_score",
+    T.bigram_lm_oracle_sql(),
+    doc="LM-perplexity quality filter (functions/text.py "
+        "bigram_lm_score): mean log-probability per document under an "
+        "add-one-smoothed bigram model trained on the corpus itself — "
+        "the CCNet/Gopher-family signal. Corpus collapses to bigram "
+        "term frequencies once; stats are re-aggregations of that "
+        "frame; scoring joins run on vocabulary keys. DECIMAL(28,12) "
+        "term quantization keeps the log sums bit-portable (q132 "
+        "discipline).",
+)
+def q148_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.bigram_lm_score(table(spark, sf_dir, "documents"))

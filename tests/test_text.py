@@ -195,3 +195,46 @@ def test_winnow_null_doc_id_drops(spark):
     )
     rows = winnow_fingerprints(df).collect()
     assert [r.doc_id for r in rows] == [7]
+
+
+# ------------------------------------------------ bigram LM scoring
+
+
+def test_bigram_rows_keeps_multiplicity(spark):
+    from node_etl_spark.functions.text import bigram_rows
+
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    rows = [(r.w1, r.w2) for r in bigram_rows(df).collect()]
+    assert sorted(rows) == [("a", "b"), ("a", "b"), ("b", "a")]
+
+
+def test_bigram_lm_score_known_values(spark):
+    import math
+
+    from node_etl_spark.functions.text import bigram_lm_score
+
+    # corpus: doc1 "x y x y", doc2 "x y z"
+    # bigrams: d1: (x,y)x2 (y,x)x1 ; d2: (x,y) (y,z)
+    # cb: (x,y)=3 (y,x)=1 (y,z)=1 ; cc: x=3, y=2 ; V = |{y,x,z}| = 3
+    df = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x y z")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_bigrams, r.avg_logprob)
+           for r in bigram_lm_score(df).collect()}
+    p_xy = (3 + 1) / (3 + 3)
+    p_yx = (1 + 1) / (2 + 3)
+    p_yz = (1 + 1) / (2 + 3)
+    d1 = round((2 * math.log(p_xy) + math.log(p_yx)) / 3, 6)
+    d2 = round((math.log(p_xy) + math.log(p_yz)) / 2, 6)
+    assert got[1][0] == 3 and abs(got[1][1] - d1) < 2e-6
+    assert got[2][0] == 2 and abs(got[2][1] - d2) < 2e-6
+
+
+def test_bigram_lm_single_token_docs_absent(spark):
+    from node_etl_spark.functions.text import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "lonely"), (2, ""), (3, "two words")], "doc_id long, text string"
+    )
+    got = {r.doc_id for r in bigram_lm_score(df).collect()}
+    assert got == {3}
