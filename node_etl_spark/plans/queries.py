@@ -3493,13 +3493,17 @@ def q104_brand_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _replay_events(spark, sf_dir: str, cols, build, mode: str, sink_prefix: str):
-    """Shared availableNow replay harness (q105/q137/q138): stage the
-    events table to a temp parquet dir (normalizing the nanosecond
+def _replay_events(
+    spark, sf_dir: str, cols, build, mode: str, sink_prefix: str, copies: int = 1
+):
+    """Shared availableNow replay harness (q105/q137/q138/q149): stage
+    the events table to a temp parquet dir (normalizing the nanosecond
     timestamps to us), hand ``build`` a factory of fresh streaming
     scans over it (stream-stream joins need two independent sources),
     drain the built stream into a memory sink, clean up the staging
-    dir, and return the sink table."""
+    dir, and return the sink table. ``copies > 1`` stages that many
+    identical copies of every event — the at-least-once re-delivery
+    simulation q149's dedup consumes."""
     import shutil
     import tempfile
     import uuid
@@ -3514,9 +3518,11 @@ def _replay_events(spark, sf_dir: str, cols, build, mode: str, sink_prefix: str)
         "value": "double",
     }
     staged = tempfile.mkdtemp(prefix="netl_stream_") + "/events"
-    table(spark, sf_dir, "events").select(*cols).write.mode("overwrite").parquet(
-        staged
-    )
+    ev = table(spark, sf_dir, "events").select(*cols)
+    out_ev = ev
+    for _ in range(copies - 1):
+        out_ev = out_ev.unionAll(ev)
+    out_ev.write.mode("overwrite").parquet(staged)
     schema = ", ".join(f"{c} {ddl[c]}" for c in cols)
     out = build(lambda: st.stream_source(spark, staged, schema))
     sink = f"{sink_prefix}_{uuid.uuid4().hex[:8]}"
@@ -5650,3 +5656,48 @@ _init_q147_oracle()
 )
 def q148_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bigram_lm_score(table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------
+# q149 — streaming exactly-once dedup under at-least-once delivery
+# --------------------------------------------------------------------
+
+@register(
+    "q149_stream_dedup",
+    """
+    SELECT event_id, user_id,
+           epoch_ms(date_trunc('millisecond', ts)) AS tms,
+           value
+    FROM events
+    """,
+    doc="Streaming re-delivery suppression "
+        "(streaming/stream.py dedup_by_keys: watermarked "
+        "dropDuplicatesWithinWatermark, bounded per-key state) on the "
+        "exact oracle gate: every event is staged TWICE (at-least-once "
+        "delivery) and the stream must collapse each pair to exactly "
+        "one row — the oracle is simply the original events table. "
+        "Duplicates are byte-identical, so which copy survives is "
+        "value-deterministic.",
+)
+def q149_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import stream as st
+
+    sink = _replay_events(
+        spark,
+        sf_dir,
+        ["event_id", "ts", "user_id", "value"],
+        lambda source: st.dedup_by_keys(
+            source(), keys=["event_id"], watermark="1 hour"
+        ),
+        mode="append",
+        sink_prefix="q149",
+        copies=2,
+    )
+    return sink.select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "CAST(unix_millis(date_trunc('millisecond', ts)) AS BIGINT)"
+        ).alias("tms"),
+        "value",
+    )

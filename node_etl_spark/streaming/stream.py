@@ -97,6 +97,23 @@ def streaming_dedup(
     )
 
 
+def dedup_by_keys(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """At-least-once -> exactly-once: drop re-delivered rows whose
+    key was already seen within the watermark horizon (the generic
+    twin of :func:`streaming_dedup`, which keys on content
+    fingerprints). State per key is bounded by the watermark — Spark
+    evicts entries older than it, so arbitrary-length streams hold
+    only the horizon's keys."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 SESSION_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint, total_value double"

@@ -274,3 +274,25 @@ def test_bitmap_state_sink_incremental_exact_distinct(spark, tmp_path):
     }
     # all three days fall in ISO week 1 of 2024; users 0..14,100,101
     assert weekly == {1: 17}
+
+
+def test_dedup_by_keys_collapses_redelivery(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (10, base, 1.5),
+        (11, base + dt.timedelta(minutes=1), 2.5),
+    ]
+    df = spark.createDataFrame(rows * 3, "event_id bigint, ts timestamp, value double")
+    path = str(tmp_path / "redelivered")
+    df.coalesce(1).write.parquet(path)
+    stream = st.stream_source(
+        spark, path, "event_id bigint, ts timestamp, value double"
+    )
+    st.run_to_memory(
+        st.dedup_by_keys(stream, keys=["event_id"]), "dedup_keys", mode="append"
+    )
+    got = sorted(
+        (r.event_id, r.value)
+        for r in spark.sql("SELECT event_id, value FROM dedup_keys").collect()
+    )
+    assert got == [(10, 1.5), (11, 2.5)]
