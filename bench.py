@@ -119,6 +119,7 @@ HEADLINE = [
     "q145_part_skyline",
     "q147_audio_energy",
     "q148_bigram_lm_score",
+    "q150_mix_sources",
 ]
 
 

@@ -126,3 +126,97 @@ def stratified_sample_sql(
         FROM {table})
     WHERE sample_rank <= {n_per_stratum}
     """
+
+
+def mix_sources(
+    df: DataFrame,
+    proportions: dict[str, float],
+    budget_frac: float = 0.4,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic dataset mixing (the LLM data-recipe sampler):
+    downsample each source so the kept corpus approaches
+    ``budget_frac`` of the total size distributed by ``proportions``
+    (source -> target share of the budget).
+
+    Per-source keep rate = ``min(1, budget * share / source_size)``
+    — sources over their share shed rows, sources under it keep
+    everything (no upsampling; repetition policy belongs to the epoch
+    loader). Selection is the portable hash-bucket threshold, so it
+    is row-local, append-stable, and reproducible across engines —
+    the same contract as :func:`hash_split`. The only pre-pass is a
+    per-source size aggregate (a handful of rows, broadcast back);
+    the corpus itself is touched once. Rows keep (id, source) plus a
+    ``keep_rate`` column for auditability.
+    """
+    total_w = sum(proportions.values())
+    if abs(total_w - 1.0) > 1e-9:
+        raise ValueError(f"proportions must sum to 1.0, got {total_w}")
+    sizes = df.groupBy(source_col).agg(
+        F.sum(size_col).cast("bigint").alias("sz")
+    )
+    # budget_frac * prop is folded to a literal HERE (and likewise in
+    # the SQL mirror): leaving the constant inside the column
+    # expression lets Catalyst's ReorderAssociativeOperator regroup
+    # the multiply tree, shifting the result a ulp away from the
+    # oracle's left-associated form
+    props = df.sparkSession.createDataFrame(
+        [(s, budget_frac * p) for s, p in proportions.items()],
+        f"{source_col} string, share double",
+    )
+    total = sizes.agg(F.sum("sz").cast("bigint").alias("tot"))
+    rates = (
+        sizes.join(props, source_col)
+        .crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0),
+                F.col("share")
+                * F.col("tot").cast("double")
+                / F.col("sz").cast("double"),
+            ).alias("keep_rate"),
+        )
+    )
+    bucket = hash_bucket(F.col(id_col), seed=seed)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(bucket.cast("double") < F.col("keep_rate") * F.lit(float(BUCKETS)))
+        .select(id_col, source_col, "keep_rate")
+    )
+
+
+def mix_sources_sql(
+    proportions: dict[str, float],
+    budget_frac: float = 0.4,
+    table: str = "documents",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of :func:`mix_sources` (same md5 bucket, same
+    double rate arithmetic from identical integers)."""
+    vals = ", ".join(
+        f"('{s}', CAST({budget_frac * p!r} AS DOUBLE))"
+        for s, p in proportions.items()
+    )
+    bucket = hash_bucket_sql(f"d.{id_col}", seed=seed)
+    return f"""
+    WITH sizes AS (
+        SELECT {source_col}, CAST(SUM({size_col}) AS BIGINT) AS sz
+        FROM {table} GROUP BY 1),
+    props({source_col}, share) AS (VALUES {vals}),
+    tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS tot FROM sizes),
+    rates AS (
+        SELECT s.{source_col},
+               least(1.0, p.share * CAST(t.tot AS DOUBLE)
+                          / CAST(s.sz AS DOUBLE)) AS keep_rate
+        FROM sizes s JOIN props p USING ({source_col}), tot t)
+    SELECT d.{id_col}, d.{source_col}, r.keep_rate
+    FROM {table} d JOIN rates r USING ({source_col})
+    WHERE CAST({bucket} AS DOUBLE) < r.keep_rate * {float(BUCKETS)!r}
+    """

@@ -5701,3 +5701,24 @@ def q149_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tms"),
         "value",
     )
+
+
+# --------------------------------------------------------------------
+# q150 — deterministic dataset mixing (LLM data-recipe sampler)
+# --------------------------------------------------------------------
+
+_Q150_PROPS = {f"src{k}": (k + 1) / 210.0 for k in range(20)}
+
+
+@register(
+    "q150_mix_sources",
+    SA.mix_sources_sql(_Q150_PROPS, budget_frac=0.4),
+    doc="Dataset mixing to a size budget (functions/sampling.py "
+        "mix_sources): per-source keep rates derived from target "
+        "shares and actual source sizes (one tiny pre-agg, broadcast "
+        "back), selection by the portable md5 bucket — row-local, "
+        "append-stable, reproducible. The LLM data-recipe sampling "
+        "step on the exact gate.",
+)
+def q150_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SA.mix_sources(table(spark, sf_dir, "documents"), _Q150_PROPS)

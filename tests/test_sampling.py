@@ -62,3 +62,37 @@ def test_stratified_sample_exact_counts(spark, sf_dir):
         for r in stratified_sample(docs, ["lang"], 3, "doc_id").select("doc_id").collect()
     )
     assert ids1 == ids2
+
+
+# ------------------------------------------------ dataset mixing
+
+
+def test_mix_sources_rates_and_determinism(spark):
+    from node_etl_spark.functions.sampling import mix_sources
+
+    rows = [(i, "big" if i < 800 else "small", 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    # budget = 50% of total; small source targets 40% of the budget =
+    # 200 docs worth but only has 200 -> keeps everything (rate capped
+    # at 1); big targets 60% of 500 = 300 of its 800 -> rate 0.375
+    out = mix_sources(
+        df, {"big": 0.6, "small": 0.4}, budget_frac=0.5
+    ).collect()
+    rates = {r.source: r.keep_rate for r in out}
+    assert rates["small"] == 1.0
+    assert abs(rates["big"] - 0.375) < 1e-12
+    n_big = sum(1 for r in out if r.source == "big")
+    assert 240 <= n_big <= 360  # hash thresholding ~ rate * 800
+    # deterministic: same call, same rows
+    again = {r.doc_id for r in mix_sources(df, {"big": 0.6, "small": 0.4}, budget_frac=0.5).collect()}
+    assert again == {r.doc_id for r in out}
+
+
+def test_mix_sources_validates_proportions(spark):
+    import pytest
+
+    from node_etl_spark.functions.sampling import mix_sources
+
+    df = spark.createDataFrame([(1, "a", 10)], "doc_id long, source string, n_chars long")
+    with pytest.raises(ValueError):
+        mix_sources(df, {"a": 0.5})
