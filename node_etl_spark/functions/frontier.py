@@ -35,9 +35,12 @@ def skyline(
     Exact duplicates on every criterion do not dominate each other
     (no strict improvement), so tied frontier rows are all kept —
     mirroring the SQL ``NOT EXISTS`` dominance test exactly
-    (:func:`skyline_oracle_sql`). Rows with NULL in any criterion are
-    excluded (dominance is undefined on missing values). All
-    non-criterion columns pass through untouched.
+    (:func:`skyline_oracle_sql`). Rows with NULL — or, for floating
+    criteria, NaN — in any criterion are excluded: dominance is
+    undefined on missing values, and NaN comparison semantics differ
+    between numpy (never comparable) and SQL engines (DuckDB orders
+    NaN above every value), so admitting NaN rows would diverge from
+    the oracle. All non-criterion columns pass through untouched.
 
     Criteria are compared as float64; integer criteria beyond 2^53
     would compare with rounding — keep criterion magnitudes inside
@@ -50,9 +53,13 @@ def skyline(
     if not dims:
         raise ValueError("skyline needs at least one criterion")
     signs = np.array([1.0] * len(maximize) + [-1.0] * len(minimize))
+    from pyspark.sql.types import DoubleType, FloatType
+
     cond = None
     for d in dims:
         c = F.col(d).isNotNull()
+        if isinstance(df.schema[d].dataType, (DoubleType, FloatType)):
+            c = c & ~F.isnan(F.col(d))
         cond = c if cond is None else (cond & c)
     df = df.filter(cond)
     schema = df.schema
@@ -66,17 +73,22 @@ def skyline(
         order = np.lexsort(
             tuple(-m[:, j] for j in reversed(range(m.shape[1])))
         )
-        km = np.empty((0, m.shape[1]))
+        # preallocated kept buffer: appending via vstack would copy
+        # the whole matrix per kept row — O(|skyline|^2) exactly when
+        # frontiers are large (anti-correlated criteria)
+        km = np.empty_like(m)
+        cnt = 0
         keep_idx = []
         for i in order:
             v = m[i]
-            if km.shape[0]:
-                ge = (km >= v).all(axis=1)
-                gt = (km > v).any(axis=1)
+            if cnt:
+                ge = (km[:cnt] >= v).all(axis=1)
+                gt = (km[:cnt] > v).any(axis=1)
                 if bool((ge & gt).any()):
                     continue
             keep_idx.append(i)
-            km = np.vstack([km, v[None, :]])
+            km[cnt] = v
+            cnt += 1
         keep_idx = sorted(keep_idx)  # restore input order for stability
         return frame.iloc[keep_idx].reset_index(drop=True), m[keep_idx]
 
@@ -111,11 +123,18 @@ def skyline_oracle_sql(
     relation_sql: str,
     maximize: tuple[str, ...] = (),
     minimize: tuple[str, ...] = (),
+    float_criteria: tuple[str, ...] = (),
 ) -> str:
     """DuckDB mirror of :func:`skyline`: the quadratic NOT EXISTS
-    dominance test (fine at oracle scale)."""
+    dominance test (fine at oracle scale). List floating-point
+    criteria in ``float_criteria`` so their NaN rows are excluded
+    like the engine's filter does."""
     dims = list(maximize) + list(minimize)
-    notnull = " AND ".join(f"{d} IS NOT NULL" for d in dims)
+    notnull = " AND ".join(
+        f"{d} IS NOT NULL"
+        + (f" AND NOT isnan({d})" if d in float_criteria else "")
+        for d in dims
+    )
     weak = " AND ".join(
         [f"b.{d} >= a.{d}" for d in maximize]
         + [f"b.{d} <= a.{d}" for d in minimize]

@@ -580,6 +580,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     broadcast_labels: bool = True,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Synchronous label propagation (community detection), fixed
     iteration count, deterministic tie-break.
@@ -635,11 +636,14 @@ def label_propagation(
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
             )
         )
-        if i + 1 < iterations:
-            # same rationale as pagerank: truncate lineage only when
-            # plan depth (not data) becomes the cost
-            if (i + 1) % 8 == 0:
-                labels = labels.localCheckpoint(eager=True)
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and i + 1 < iterations
+        ):
+            # same rationale (and same knob) as pagerank: truncate
+            # lineage only when plan depth, not data, becomes the cost
+            labels = labels.localCheckpoint(eager=True)
     return labels
 
 

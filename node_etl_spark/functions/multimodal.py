@@ -170,6 +170,13 @@ def pcm_window_energy(
         for pdf in it:
             ids, wins, ns, es = [], [], [], []
             for rid, content in zip(pdf[id_col], pdf[content_col]):
+                # null ids drop WITH their row (same Arrow hazard as
+                # winnow_fingerprints: nullable int64 ids arrive as
+                # float64+NaN and cannot convert back to bigint)
+                if rid is None or (
+                    isinstance(rid, float) and pd.isna(rid)
+                ):
+                    continue
                 if content is None or len(content) == 0:
                     continue
                 s = np.frombuffer(bytes(content), dtype=np.uint8).astype(

@@ -151,6 +151,12 @@ def mix_sources(
     per-source size aggregate (a handful of rows, broadcast back);
     the corpus itself is touched once. Rows keep (id, source) plus a
     ``keep_rate`` column for auditability.
+
+    Sources present in ``df`` but absent from ``proportions`` are
+    excluded from the mix AND from the budget base (``total`` sums
+    only mixable sources), so the kept volume tracks ``budget_frac``
+    of the data the recipe actually covers — an unlisted source
+    never silently inflates every other source's keep rate.
     """
     total_w = sum(proportions.values())
     if abs(total_w - 1.0) > 1e-9:
@@ -167,9 +173,10 @@ def mix_sources(
         [(s, budget_frac * p) for s, p in proportions.items()],
         f"{source_col} string, share double",
     )
-    total = sizes.agg(F.sum("sz").cast("bigint").alias("tot"))
+    mixable = sizes.join(props, source_col)
+    total = mixable.agg(F.sum("sz").cast("bigint").alias("tot"))
     rates = (
-        sizes.join(props, source_col)
+        mixable
         .crossJoin(F.broadcast(total))
         .select(
             source_col,
@@ -210,12 +217,15 @@ def mix_sources_sql(
         SELECT {source_col}, CAST(SUM({size_col}) AS BIGINT) AS sz
         FROM {table} GROUP BY 1),
     props({source_col}, share) AS (VALUES {vals}),
-    tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS tot FROM sizes),
+    mixable AS (
+        SELECT s.{source_col}, s.sz, p.share
+        FROM sizes s JOIN props p USING ({source_col})),
+    tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS tot FROM mixable),
     rates AS (
-        SELECT s.{source_col},
-               least(1.0, p.share * CAST(t.tot AS DOUBLE)
-                          / CAST(s.sz AS DOUBLE)) AS keep_rate
-        FROM sizes s JOIN props p USING ({source_col}), tot t)
+        SELECT m.{source_col},
+               least(1.0, m.share * CAST(t.tot AS DOUBLE)
+                          / CAST(m.sz AS DOUBLE)) AS keep_rate
+        FROM mixable m, tot t)
     SELECT d.{id_col}, d.{source_col}, r.keep_rate
     FROM {table} d JOIN rates r USING ({source_col})
     WHERE CAST({bucket} AS DOUBLE) < r.keep_rate * {float(BUCKETS)!r}

@@ -4324,20 +4324,10 @@ _PART_EDGES_SQL = """
 def q122_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.graph import pagerank
 
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # co-occurrence pairs via groupBy + double explode, not a
-    # self-join: one shuffle of lineitem (vs two join sides) and the
-    # pair blowup happens narrowly inside each order's set — measured
-    # 2.4x faster at sf0.1 with an identical edge set. Per-order set
-    # sizes are bounded (max items per order), so no explode skew.
-    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
-    edges = (
-        sets.select(F.explode("ps").alias("src"), "ps")
-        .select("src", F.explode("ps").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    # shared explode-based co-occurrence build (see _part_cooccur:
+    # one lineitem shuffle, pair blowup narrow inside each order's
+    # bounded set — measured 2.4x over the equi-self-join at sf0.1)
+    edges = _part_cooccur(spark, sf_dir).select("src", "dst")
     # the edge set is symmetric by construction (both directions of
     # every co-occurring pair), so there are no dangling nodes
     ranks = pagerank(edges, iterations=5, damping=0.85, assume_no_dangling=True)
@@ -5581,6 +5571,7 @@ def _init_q145_oracle() -> None:
         "SELECT p_partkey, p_brand, p_size, p_retailprice FROM part",
         maximize=("p_size",),
         minimize=("p_retailprice",),
+        float_criteria=("p_retailprice",),
     )
 
 
@@ -5686,8 +5677,15 @@ def q149_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         ["event_id", "ts", "user_id", "value"],
+        # watermark far beyond the dataset's time span: correctness
+        # must not hinge on availableNow draining the doubled staging
+        # dir in ONE micro-batch (a maxFilesPerTrigger-style split
+        # would otherwise advance the watermark between batches and
+        # drop 'late' re-deliveries the oracle still counts). State
+        # then holds every key — fine at replay scale; production
+        # streams pick a horizon matching their re-delivery window.
         lambda source: st.dedup_by_keys(
-            source(), keys=["event_id"], watermark="1 hour"
+            source(), keys=["event_id"], watermark="87600 hours"
         ),
         mode="append",
         sink_prefix="q149",
