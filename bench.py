@@ -120,6 +120,8 @@ HEADLINE = [
     "q147_audio_energy",
     "q148_bigram_lm_score",
     "q150_mix_sources",
+    "q151_audience_overlap",
+    "q152_benford_audit",
 ]
 
 

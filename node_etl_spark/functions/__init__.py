@@ -18,5 +18,6 @@ from . import (  # noqa: F401
     scalars,
     search,
     similarity,
+    sketch,
     text,
 )

@@ -133,3 +133,82 @@ def dq_suite(
         "n_rows",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+# ------------------------------------------------ Benford's-law profile
+
+_BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_profile(
+    df: DataFrame, amount_col: str, scale: int = 100
+) -> DataFrame:
+    """First-significant-digit distribution of a positive amount
+    column vs Benford's law — the classic fabricated-data /
+    broken-feed detector for financial facts.
+
+    Digit extraction is integer-exact and engine-portable: amounts
+    become ``round(x * scale)`` BIGINTs (the repo's cents idiom) and
+    the leading digit comes from the integer's decimal string —
+    never from ``log10`` floor tricks, whose last-ulp libm
+    differences could flip a digit at power-of-ten boundaries.
+    Expected probabilities are injected as Python double literals
+    into BOTH engines (no runtime ``log10`` at all), so observed,
+    expected, and the per-digit chi-square contribution are
+    bit-identical (:func:`benford_oracle_sql`). One count aggregate
+    over the scan; nine output rows.
+    """
+    d1 = F.substring(
+        F.expr(f"CAST(CAST(round({amount_col} * {scale}) AS BIGINT) AS STRING)"),
+        1,
+        1,
+    ).cast("int")
+    obs = (
+        df.filter(F.col(amount_col) > 0)
+        .select(d1.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_P.items()], "digit int, expected_p double"
+    )
+    n = obs.agg(F.sum("observed").cast("bigint").alias("n"))
+    return (
+        expected.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce(F.col("observed"), F.lit(0)).cast("bigint").alias("observed"),
+            "expected_p",
+            F.expr(
+                "pow(CAST(coalesce(observed, 0) AS DOUBLE)"
+                " - CAST(n AS DOUBLE) * expected_p, 2)"
+                " / (CAST(n AS DOUBLE) * expected_p)"
+            ).alias("chi2_term"),
+        )
+    )
+
+
+def benford_oracle_sql(
+    table: str, amount_col: str, scale: int = 100
+) -> str:
+    """DuckDB mirror of :func:`benford_profile` (same literal
+    expected probabilities, same integer digit extraction)."""
+    vals = ", ".join(f"({d}, CAST({p!r} AS DOUBLE))" for d, p in _BENFORD_P.items())
+    return f"""
+    WITH obs AS (
+        SELECT CAST(substr(CAST(CAST(round({amount_col} * {scale}) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS observed
+        FROM {table} WHERE {amount_col} > 0 GROUP BY 1),
+    expected(digit, expected_p) AS (VALUES {vals}),
+    n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs)
+    SELECT e.digit,
+           CAST(COALESCE(o.observed, 0) AS BIGINT) AS observed,
+           e.expected_p,
+           pow(CAST(COALESCE(o.observed, 0) AS DOUBLE)
+               - CAST(n.n AS DOUBLE) * e.expected_p, 2)
+               / (CAST(n.n AS DOUBLE) * e.expected_p) AS chi2_term
+    FROM expected e LEFT JOIN obs o USING (digit), n
+    """

@@ -1,0 +1,155 @@
+"""KMV (k-minimum-values / bottom-k) set sketches.
+
+Estimate distinct-set overlap between groups — "audience overlap"
+(users shared by two event types, documents shared by two shingle
+sources, ...) — without ever intersecting the full sets. Each group
+keeps only its k smallest element hashes (Bar-Yossef et al. 2002;
+Beyer et al. SIGMOD'07 for the unioned-sketch Jaccard estimator):
+
+* building the sketch is one aggregation over (group, element) —
+  at 100 TB a group's sketch is k rows regardless of its audience
+  size, and sketches are mergeable (bottom-k of a union = bottom-k
+  of merged bottom-k lists), so they roll up across partitions,
+  days, or shards like q118's HLL state;
+* a pairwise estimate touches only 2k sketch rows per pair:
+  rank the union's hashes, keep the k smallest, and the fraction
+  present in BOTH sketches estimates Jaccard.
+
+Unlike the DataSketches HLL path (q118, rows-only check), the KMV
+sketch is a pure deterministic function of the data — md5-derived
+60-bit hashes, rank, count — so the whole estimator sits on the
+EXACT cross-engine oracle gate; accuracy vs true Jaccard is pinned
+separately in unit tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _h60(col, seed: int):
+    """Portable uniform 60-bit hash: first 15 hex chars of
+    md5("<val>:<seed>") — identical in Spark and DuckDB."""
+    h = F.md5(F.concat(col.cast("string"), F.lit(f":{seed}")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+
+
+def _h60_sql(expr: str, seed: int) -> str:
+    return (
+        f"CAST(('0x' || substring(md5(CAST({expr} AS VARCHAR) || ':{seed}'),"
+        f" 1, 15)) AS BIGINT)"
+    )
+
+
+def kmv_bottomk(
+    df: DataFrame,
+    group_col: str,
+    element_col: str,
+    k: int = 256,
+    seed: int = 7,
+) -> DataFrame:
+    """Per-group bottom-k element-hash sketch: (group, h) rows, at
+    most ``k`` per group — the mergeable KMV state."""
+    hashed = df.select(
+        F.col(group_col).alias("g"),
+        _h60(F.col(element_col), seed).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("g", "h")
+    )
+
+
+def kmv_jaccard(
+    df: DataFrame,
+    group_col: str,
+    element_col: str,
+    k: int = 256,
+    seed: int = 7,
+) -> DataFrame:
+    """Estimated Jaccard overlap for every group pair (g1 < g2).
+
+    For a pair, the k smallest hashes of the UNION of both sketches
+    form an implicit uniform sample of the union; the fraction also
+    present in both groups estimates ``|A∩B| / |A∪B|``. Join volume
+    is |pairs| x 2k sketch rows — independent of audience sizes.
+    Returns (g1, g2, est_jaccard, k_used).
+    """
+    # the sketch feeds pair construction and both union sides; it is
+    # groups x k rows — persisting it is cheap and saves three
+    # recomputations of the corpus-sized hash/rank aggregation
+    bk = kmv_bottomk(df, group_col, element_col, k=k, seed=seed).persist()
+    # explicit pair construction: groups are dimension-sized (the
+    # sketch exists precisely because ELEMENTS are not)
+    groups = bk.select("g").distinct()
+    pairs = (
+        groups.alias("x")
+        .join(groups.alias("y"), F.col("x.g") < F.col("y.g"))
+        .select(F.col("x.g").alias("g1"), F.col("y.g").alias("g2"))
+    )
+    left = pairs.join(bk.withColumnRenamed("g", "g1"), "g1").select(
+        "g1", "g2", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    right = pairs.join(bk.withColumnRenamed("g", "g2"), "g2").select(
+        "g1", "g2", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    union = (
+        left.unionByName(right)
+        .groupBy("g1", "g2", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("g1", "g2").orderBy("h")
+    topk = union.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    return topk.groupBy("g1", "g2").agg(
+        F.expr(
+            "CAST(SUM(in_a * in_b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+        ).alias("est_jaccard"),
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+    )
+
+
+def kmv_jaccard_oracle_sql(
+    table: str,
+    group_col: str,
+    element_col: str,
+    k: int = 256,
+    seed: int = 7,
+) -> str:
+    """DuckDB mirror of :func:`kmv_jaccard` (same hash, same ranks,
+    same estimator arithmetic)."""
+    h = _h60_sql(element_col, seed)
+    return f"""
+    WITH hashed AS (
+        SELECT DISTINCT {group_col} AS g, {h} AS h FROM {table}),
+    bk AS (
+        SELECT g, h FROM (
+            SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+            FROM hashed) WHERE rn <= {k}),
+    pairs AS (
+        SELECT x.g AS g1, y.g AS g2
+        FROM (SELECT DISTINCT g FROM bk) x
+        JOIN (SELECT DISTINCT g FROM bk) y ON x.g < y.g),
+    uni AS (
+        SELECT g1, g2, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+            SELECT p.g1, p.g2, s.h, 1 AS in_a, 0 AS in_b
+            FROM pairs p JOIN bk s ON s.g = p.g1
+            UNION ALL
+            SELECT p.g1, p.g2, s.h, 0 AS in_a, 1 AS in_b
+            FROM pairs p JOIN bk s ON s.g = p.g2)
+        GROUP BY 1, 2, 3),
+    topk AS (
+        SELECT * FROM (
+            SELECT g1, g2, in_a, in_b,
+                   row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn
+            FROM uni) WHERE rn <= {k})
+    SELECT g1, g2,
+           CAST(SUM(in_a * in_b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS est_jaccard,
+           CAST(COUNT(*) AS BIGINT) AS k_used
+    FROM topk GROUP BY g1, g2
+    """

@@ -5720,3 +5720,71 @@ _Q150_PROPS = {f"src{k}": (k + 1) / 210.0 for k in range(20)}
 )
 def q150_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.mix_sources(table(spark, sf_dir, "documents"), _Q150_PROPS)
+
+
+# --------------------------------------------------------------------
+# q151 — KMV bottom-k sketches: audience overlap between event types
+# --------------------------------------------------------------------
+
+@register(
+    "q151_audience_overlap",
+    None,  # filled below from functions.sketch
+    doc="Audience-overlap estimation via KMV bottom-k sketches "
+        "(functions/sketch.py kmv_jaccard, Bar-Yossef'02 / Beyer "
+        "SIGMOD'07): per event type keep the 256 smallest md5-derived "
+        "user hashes; pairwise Jaccard estimates touch 2k sketch rows "
+        "per pair, never the audiences. Mergeable state like q118's "
+        "HLL — but a pure deterministic function of the data, so the "
+        "whole estimator sits on the EXACT oracle gate; accuracy vs "
+        "true Jaccard is pinned in tests/test_sampling.py.",
+)
+def q151_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sketch import kmv_jaccard
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    return kmv_jaccard(ev, "event_type", "user_id", k=256)
+
+
+def _init_q151_oracle() -> None:
+    from ..functions.sketch import kmv_jaccard_oracle_sql
+
+    QUERIES["q151_audience_overlap"].oracle = kmv_jaccard_oracle_sql(
+        "events", "event_type", "user_id", k=256
+    )
+
+
+_init_q151_oracle()
+
+
+# --------------------------------------------------------------------
+# q152 — Benford first-digit audit of the revenue feed
+# --------------------------------------------------------------------
+
+@register(
+    "q152_benford_audit",
+    None,  # filled below from functions.dq
+    doc="Benford's-law first-digit audit (functions/dq.py "
+        "benford_profile): observed vs expected leading-digit "
+        "distribution of lineitem extended prices with per-digit "
+        "chi-square contributions — the fabricated-data detector. "
+        "Integer-string digit extraction and literal-injected "
+        "expected probabilities keep every double bit-identical "
+        "across engines.",
+)
+def q152_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dq import benford_profile
+
+    return benford_profile(
+        table(spark, sf_dir, "lineitem"), "l_extendedprice"
+    )
+
+
+def _init_q152_oracle() -> None:
+    from ..functions.dq import benford_oracle_sql
+
+    QUERIES["q152_benford_audit"].oracle = benford_oracle_sql(
+        "lineitem", "l_extendedprice"
+    )
+
+
+_init_q152_oracle()

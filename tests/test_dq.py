@@ -157,3 +157,35 @@ def test_ols_trend_drops_degenerate_groups(spark):
     )
     got = {r.g for r in ols_trend(df, ["g"], "x", "y").collect()}
     assert got == {"ok"}
+
+
+# ------------------------------------------------ Benford profile
+
+
+def test_benford_profile_counts_and_terms(spark):
+    import math
+
+    from node_etl_spark.functions.dq import benford_profile
+
+    # amounts 1.00..9.00 once each -> each digit observed exactly once
+    df = spark.createDataFrame(
+        [(float(d),) for d in range(1, 10)], "amt double"
+    )
+    rows = {r.digit: r for r in benford_profile(df, "amt").collect()}
+    assert set(rows) == set(range(1, 10))
+    for d in range(1, 10):
+        assert rows[d].observed == 1
+        p = math.log10(1 + 1 / d)
+        assert abs(rows[d].expected_p - p) < 1e-15
+        assert abs(rows[d].chi2_term - (1 - 9 * p) ** 2 / (9 * p)) < 1e-9
+
+
+def test_benford_profile_ignores_nonpositive_and_fills_zero_digits(spark):
+    from node_etl_spark.functions.dq import benford_profile
+
+    df = spark.createDataFrame(
+        [(123.0,), (19.99,), (-5.0,), (0.0,)], "amt double"
+    )
+    rows = {r.digit: r.observed for r in benford_profile(df, "amt").collect()}
+    assert rows[1] == 2  # 123.00 and 19.99 both lead with 1
+    assert sum(rows.values()) == 2 and len(rows) == 9  # zeros present

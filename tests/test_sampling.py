@@ -96,3 +96,57 @@ def test_mix_sources_validates_proportions(spark):
     df = spark.createDataFrame([(1, "a", 10)], "doc_id long, source string, n_chars long")
     with pytest.raises(ValueError):
         mix_sources(df, {"a": 0.5})
+
+
+# ------------------------------------------------ KMV sketches
+
+
+def test_kmv_bottomk_caps_and_orders(spark):
+    from node_etl_spark.functions.sketch import kmv_bottomk
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(100)] + [("b", 5)], "g string, e long"
+    )
+    bk = kmv_bottomk(df, "g", "e", k=10).collect()
+    by_g = {}
+    for r in bk:
+        by_g.setdefault(r.g, []).append(r.h)
+    assert len(by_g["a"]) == 10 and len(by_g["b"]) == 1
+    # kept hashes are the smallest of the group's full hash set
+    from node_etl_spark.functions.sketch import _h60
+    import pyspark.sql.functions as F
+
+    full = sorted(
+        r.h
+        for r in spark.createDataFrame([(i,) for i in range(100)], "e long")
+        .select(_h60(F.col("e"), 7).alias("h"))
+        .collect()
+    )
+    assert sorted(by_g["a"]) == full[:10]
+
+
+def test_kmv_jaccard_estimates_true_overlap(spark):
+    from node_etl_spark.functions.sketch import kmv_jaccard
+
+    # |A|=|B|=600, |A∩B|=300 -> true J = 300/900 = 1/3
+    rows = [("a", i) for i in range(600)] + [("b", i) for i in range(300, 900)]
+    df = spark.createDataFrame(rows, "g string, e long")
+    got = kmv_jaccard(df, "g", "e", k=256).collect()
+    assert len(got) == 1
+    est = got[0].est_jaccard
+    assert got[0].k_used == 256
+    assert abs(est - 1 / 3) < 0.08  # within a few standard errors
+
+
+def test_kmv_jaccard_disjoint_and_identical(spark):
+    from node_etl_spark.functions.sketch import kmv_jaccard
+
+    rows = (
+        [("x", i) for i in range(200)]
+        + [("y", i) for i in range(200)]          # identical to x
+        + [("z", i + 10_000) for i in range(200)] # disjoint
+    )
+    df = spark.createDataFrame(rows, "g string, e long")
+    got = {(r.g1, r.g2): r.est_jaccard for r in kmv_jaccard(df, "g", "e", k=64).collect()}
+    assert got[("x", "y")] == 1.0
+    assert got[("x", "z")] == 0.0 and got[("y", "z")] == 0.0
