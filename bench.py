@@ -122,6 +122,7 @@ HEADLINE = [
     "q150_mix_sources",
     "q151_audience_overlap",
     "q152_benford_audit",
+    "q153_sorted_neighborhood",
 ]
 
 

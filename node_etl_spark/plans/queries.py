@@ -5788,3 +5788,48 @@ def _init_q152_oracle() -> None:
 
 
 _init_q152_oracle()
+
+
+# --------------------------------------------------------------------
+# q153 — sorted-neighborhood blocking + edit-distance verify
+# --------------------------------------------------------------------
+
+@register(
+    "q153_sorted_neighborhood",
+    None,  # filled below from functions.dedup
+    doc="Sorted-neighborhood entity-resolution blocking (functions/"
+        "dedup.py sorted_neighborhood_pairs, Hernandez-Stolfo "
+        "SIGMOD'95): parts ranked by name via util.global_row_index "
+        "(range partition + offset pass — no single-partition "
+        "window), each paired with its 5 successors through a bucket "
+        "equi-join (O(N x window) volume), then exact levenshtein <= "
+        "2 verify. The complement of q108's hard brand block: "
+        "catches near-matches equality blocking splits apart.",
+)
+def q153_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.sorted_neighborhood_pairs(
+        table(spark, sf_dir, "part").select("p_partkey", "p_name"),
+        sort_col="p_name",
+        id_col="p_partkey",
+        window=6,
+    )
+    return pairs.withColumn(
+        "dist", F.levenshtein("key_a", "key_b")
+    ).filter(F.col("dist") <= 2)
+
+
+def _init_q153_oracle() -> None:
+    QUERIES["q153_sorted_neighborhood"].oracle = (
+        D.sorted_neighborhood_oracle_sql(
+            "part", "p_name", "p_partkey", window=6,
+            extra_where="levenshtein(a.key, b.key) <= 2",
+        ).replace(
+            "SELECT a.rid AS id_a, b.rid AS id_b, a.key AS key_a, b.key AS key_b",
+            "SELECT a.rid AS id_a, b.rid AS id_b, a.key AS key_a,"
+            " b.key AS key_b, CAST(levenshtein(a.key, b.key) AS INTEGER)"
+            " AS dist",
+        )
+    )
+
+
+_init_q153_oracle()

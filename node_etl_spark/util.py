@@ -70,3 +70,65 @@ def spread(df: DataFrame, minimum: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def global_row_index(
+    df: DataFrame,
+    sort_cols: list[str],
+    index_col: str = "idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 0-based global rank over a TOTAL order (``sort_cols``
+    must be a unique key — append the row id as tiebreak) — without
+    the single-partition window ``row_number() OVER (ORDER BY ...)``
+    degenerates into.
+
+    Two-pass zipWithIndex shape: range-partition + local sort (one
+    shuffle, every partition holds a contiguous key range), count
+    rows per partition (a numPartitions-row driver collect), then a
+    narrow Arrow pass adds ``offset[pid] + local position``. Range
+    boundary sampling is nondeterministic, but with a total order the
+    resulting index is not — a row's rank does not depend on where
+    the boundaries fall. The sorted frame is persisted between the
+    count and index passes and unpersisted before returning (the
+    output is localCheckpoint-ed, so the handle is safe to release).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in sort_cols]
+    ordered = (
+        df.repartitionByRange(n_parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in ordered.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {index_col} bigint"
+    field_names = [f.name for f in df.schema.fields]
+
+    def attach(batches):
+        pos = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = offsets[int(pdf["__pid"].iloc[0])]
+            out = pdf[field_names].copy()
+            out[index_col] = pd.RangeIndex(pos, pos + len(pdf)).astype("int64")
+            pos += len(pdf)
+            yield out
+
+    result = ordered.mapInPandas(attach, out_schema).localCheckpoint(eager=True)
+    ordered.unpersist(False)
+    return result

@@ -233,3 +233,49 @@ def test_containment_transitive_chain_all_pairs(spark):
         for r in containment_pairs(_docs(spark, rows)).collect()
     }
     assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+# ------------------------------------------- sorted-neighborhood
+
+
+def test_global_row_index_matches_total_order(spark):
+    from node_etl_spark.util import global_row_index
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 7:02d}") for i in range(200)], "rid long, key string"
+    ).repartition(8)
+    out = global_row_index(df, ["key", "rid"]).collect()
+    expected = sorted(((r.key, r.rid) for r in out))
+    got = sorted(out, key=lambda r: r.idx)
+    assert [r.idx for r in got] == list(range(200))
+    assert [(r.key, r.rid) for r in got] == expected
+
+
+def test_sorted_neighborhood_window_pairs_exact(spark):
+    from node_etl_spark.functions.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"name{i:03d}") for i in range(10)], "rid long, key string"
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(df, "key", "rid", window=3).collect()
+    }
+    expected = {
+        (a, b) for a in range(10) for b in range(10) if 0 < b - a < 3
+    }
+    assert pairs == expected
+
+
+def test_sorted_neighborhood_crosses_equal_keys_deterministically(spark):
+    from node_etl_spark.functions.dedup import sorted_neighborhood_pairs
+
+    # duplicate keys: ranks tie-break on id, every adjacent pair found
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "same")], "rid long, key string"
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(df, "key", "rid", window=2).collect()
+    }
+    assert pairs == {(1, 2), (2, 3)}
