@@ -123,6 +123,7 @@ HEADLINE = [
     "q151_audience_overlap",
     "q152_benford_audit",
     "q153_sorted_neighborhood",
+    "q154_quantize_embeddings",
 ]
 
 

@@ -5833,3 +5833,32 @@ def _init_q153_oracle() -> None:
 
 
 _init_q153_oracle()
+
+
+# --------------------------------------------------------------------
+# q154 — int8 scalar quantization of the embedding store
+# --------------------------------------------------------------------
+
+@register(
+    "q154_quantize_embeddings",
+    S.quantize_oracle_sql(),
+    doc="Scalar (min-max int8) embedding quantization (functions/"
+        "similarity.py quantize_embeddings): per-dimension stats "
+        "shuffle is dimension-sized, codes computed row-locally under "
+        "a broadcast of the packed ranges — the 4x memory/IO step "
+        "that keeps a 100 TB ANN index resident. Exact-gated via "
+        "per-vector code digests.",
+)
+def q154_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = S.quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        "n_dims",
+        F.expr(
+            "CAST(aggregate(q, 0L, (acc, x) -> acc + CAST(x AS BIGINT)) AS BIGINT)"
+        ).alias("q_sum"),
+        F.md5(F.concat_ws(",", F.expr("transform(q, x -> CAST(x AS STRING))"))).alias(
+            "q_digest"
+        ),
+    )

@@ -151,3 +151,43 @@ def test_cosine_neardup_lsh_degenerate_corpora(spark):
     )
     out2 = S.cosine_neardup_pairs(nulls, 0.5, mode="lsh")
     assert out2.columns == ["a", "b", "sim"] and out2.count() == 0
+
+
+# ------------------------------------------------ scalar quantization
+
+
+def test_quantize_embeddings_codes_and_roundtrip(spark):
+    from node_etl_spark.functions.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 10.0, 5.0]),
+            (2, [1.0, 20.0, 5.0]),
+            (3, [2.0, 30.0, 5.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: list(r.q) for r in quantize_embeddings(df).collect()}
+    # dim0 range [0,2]: codes 0, 128 (round(127.5)), 255
+    # dim1 range [10,30]: codes 0, 128, 255
+    # dim2 constant -> 0 everywhere
+    assert got[1] == [0, 0, 0]
+    assert got[2] == [128, 128, 0]
+    assert got[3] == [255, 255, 0]
+
+
+def test_quantize_embeddings_bounds(spark, sf_dir):
+    from node_etl_spark.functions.similarity import quantize_embeddings
+    from node_etl_spark.tables import table
+    import pyspark.sql.functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    stats = q.select(
+        F.min(F.array_min("q")).alias("lo"),
+        F.max(F.array_max("q")).alias("hi"),
+        F.min("n_dims").alias("d1"),
+        F.max("n_dims").alias("d2"),
+    ).first()
+    assert stats.lo == 0 and stats.hi == 255
+    assert stats.d1 == stats.d2  # constant dimensionality
