@@ -124,6 +124,7 @@ HEADLINE = [
     "q152_benford_audit",
     "q153_sorted_neighborhood",
     "q154_quantize_embeddings",
+    "q155_resample_epochs",
 ]
 
 

@@ -230,3 +230,120 @@ def mix_sources_sql(
     FROM {table} d JOIN rates r USING ({source_col})
     WHERE CAST({bucket} AS DOUBLE) < r.keep_rate * {float(BUCKETS)!r}
     """
+
+
+def resample_sources(
+    df: DataFrame,
+    proportions: dict[str, float],
+    budget_frac: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic up/down-resampling to a data recipe — the epoch
+    materializer that :func:`mix_sources` deliberately is not: a
+    source UNDER its target share gets REPEATED (multiple epochs of
+    its rows), one OVER it gets thinned, so the emitted stream hits
+    ``budget_frac`` x total size at the target mix.
+
+    Per source, the repeat factor ``f = budget * share / size``; each
+    row emits ``floor(f)`` copies plus one more when its portable
+    hash bucket falls under ``frac(f)`` — in expectation exactly
+    ``f`` copies, deterministically (same rows always get the extra
+    copy; append-stable like every sampler here). ``f < 1``
+    degenerates to hash-threshold downsampling. Output rows carry a
+    1-based ``copy`` index so epoch loaders can spread repeats.
+    Row-local after a dimension-sized rate broadcast; the corpus is
+    scanned once, and the explode is bounded by ceil(f).
+    """
+    total_w = sum(proportions.values())
+    if abs(total_w - 1.0) > 1e-9:
+        raise ValueError(f"proportions must sum to 1.0, got {total_w}")
+    sizes = df.groupBy(source_col).agg(
+        F.sum(size_col).cast("bigint").alias("sz")
+    )
+    props = df.sparkSession.createDataFrame(
+        [(s, budget_frac * p) for s, p in proportions.items()],
+        f"{source_col} string, share double",
+    )
+    mixable = sizes.join(props, source_col)
+    total = mixable.agg(F.sum("sz").cast("bigint").alias("tot"))
+    rates = (
+        mixable.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            (
+                F.col("share")
+                * F.col("tot").cast("double")
+                / F.col("sz").cast("double")
+            ).alias("f"),
+        )
+        .select(
+            source_col,
+            F.floor("f").cast("bigint").alias("whole"),
+            (F.col("f") - F.floor("f")).alias("frac"),
+        )
+    )
+    bucket = hash_bucket(F.col(id_col), seed=seed)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .withColumn(
+            "n_copies",
+            F.col("whole")
+            + F.when(
+                bucket.cast("double") < F.col("frac") * F.lit(float(BUCKETS)),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("bigint"),
+        )
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            id_col,
+            source_col,
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_copies"))).alias(
+                "copy"
+            ),
+        )
+    )
+
+
+def resample_sources_sql(
+    proportions: dict[str, float],
+    budget_frac: float = 1.0,
+    table: str = "documents",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of :func:`resample_sources`."""
+    vals = ", ".join(
+        f"('{s}', CAST({budget_frac * p!r} AS DOUBLE))"
+        for s, p in proportions.items()
+    )
+    bucket = hash_bucket_sql(f"d.{id_col}", seed=seed)
+    return f"""
+    WITH sizes AS (
+        SELECT {source_col}, CAST(SUM({size_col}) AS BIGINT) AS sz
+        FROM {table} GROUP BY 1),
+    props({source_col}, share) AS (VALUES {vals}),
+    mixable AS (
+        SELECT s.{source_col}, s.sz, p.share
+        FROM sizes s JOIN props p USING ({source_col})),
+    tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS tot FROM mixable),
+    rates AS (
+        SELECT m.{source_col},
+               CAST(floor(f) AS BIGINT) AS whole, f - floor(f) AS frac
+        FROM (SELECT m.{source_col},
+                     m.share * CAST(t.tot AS DOUBLE) / CAST(m.sz AS DOUBLE) AS f
+              FROM mixable m, tot t) m),
+    expanded AS (
+        SELECT d.{id_col}, d.{source_col},
+               r.whole + CASE WHEN CAST({bucket} AS DOUBLE)
+                                   < r.frac * {float(BUCKETS)!r}
+                          THEN 1 ELSE 0 END AS n_copies
+        FROM {table} d JOIN rates r USING ({source_col}))
+    SELECT {id_col}, {source_col}, CAST(c AS BIGINT) AS copy
+    FROM expanded, unnest(range(1, n_copies + 1)) AS u(c)
+    WHERE n_copies >= 1
+    """

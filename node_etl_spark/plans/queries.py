@@ -5862,3 +5862,23 @@ def q154_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_digest"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# q155 — epoch materialization: resample sources up/down to a recipe
+# --------------------------------------------------------------------
+
+@register(
+    "q155_resample_epochs",
+    SA.resample_sources_sql(_Q150_PROPS, budget_frac=1.0),
+    doc="Up/down-resampling to a data recipe (functions/sampling.py "
+        "resample_sources): under-share sources repeat (deterministic "
+        "floor(f) copies + hash-selected remainder), over-share "
+        "sources thin — the epoch materializer complementing q150's "
+        "downsample-only mixer. Row-local explode bounded by ceil(f) "
+        "after a dimension-sized rate broadcast.",
+)
+def q155_resample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SA.resample_sources(
+        table(spark, sf_dir, "documents"), _Q150_PROPS, budget_frac=1.0
+    )

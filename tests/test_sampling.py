@@ -150,3 +150,35 @@ def test_kmv_jaccard_disjoint_and_identical(spark):
     got = {(r.g1, r.g2): r.est_jaccard for r in kmv_jaccard(df, "g", "e", k=64).collect()}
     assert got[("x", "y")] == 1.0
     assert got[("x", "z")] == 0.0 and got[("y", "z")] == 0.0
+
+
+def test_resample_sources_repeats_under_share(spark):
+    from node_etl_spark.functions.sampling import resample_sources
+
+    # big: 900 chars, small: 100. Target 50/50 at budget 1.0:
+    # f_small = 1000*0.5/100 = 5.0 -> every small row exactly 5 copies
+    # f_big = 1000*0.5/900 = 0.5555... -> rows get 0 or 1 copies
+    rows = [(i, "big", 1) for i in range(900)] + [
+        (1000 + i, "small", 1) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = resample_sources(df, {"big": 0.5, "small": 0.5}, budget_frac=1.0).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append((r.doc_id, r.copy))
+    small = by_src["small"]
+    assert len(small) == 500  # 100 docs x exactly 5 copies
+    assert {c for _, c in small} == {1, 2, 3, 4, 5}
+    n_big = len(by_src["big"])
+    assert 400 <= n_big <= 600  # ~0.556 * 900, hash-thresholded
+    assert all(c == 1 for _, c in by_src["big"])
+
+
+def test_resample_sources_is_deterministic(spark):
+    from node_etl_spark.functions.sampling import resample_sources
+
+    rows = [(i, "s", 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    a = sorted((r.doc_id, r.copy) for r in resample_sources(df, {"s": 1.0}, 0.3).collect())
+    b = sorted((r.doc_id, r.copy) for r in resample_sources(df, {"s": 1.0}, 0.3).collect())
+    assert a == b
