@@ -486,6 +486,49 @@ def _pcm_energy_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     )
 
 
+def _mix_sources_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    from .functions.sampling import mix_sources
+
+    props = dict(d["proportions"])
+    idc = d.get("id_col", "doc_id")
+
+    def fn(df):
+        # the operator emits the (id, source, keep_rate) decision;
+        # the pipeline op keeps the full selected ROWS
+        kept = mix_sources(
+            df,
+            props,
+            budget_frac=float(d.get("budget_frac", 0.4)),
+            source_col=d.get("source_col", "source"),
+            id_col=idc,
+            size_col=d.get("size_col", "n_chars"),
+        ).select(idc)
+        return df.join(kept, idc, "left_semi")
+
+    return FnTransform(fn, name="mix_sources")
+
+
+def _resample_sources_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    from .functions.sampling import resample_sources
+
+    props = dict(d["proportions"])
+    idc = d.get("id_col", "doc_id")
+
+    def fn(df):
+        # full rows at the resampled grain, tagged with the copy index
+        picks = resample_sources(
+            df,
+            props,
+            budget_frac=float(d.get("budget_frac", 1.0)),
+            source_col=d.get("source_col", "source"),
+            id_col=idc,
+            size_col=d.get("size_col", "n_chars"),
+        ).select(idc, "copy")
+        return df.join(picks, idc)
+
+    return FnTransform(fn, name="resample_sources")
+
+
 _REGISTRY.update(
     {
         # corpus curation (functions/text.py, functions/sampling.py,
@@ -510,6 +553,8 @@ _REGISTRY.update(
         "ols_trend": _ols_trend_op,
         "containment_dedup": _containment_dedup_op,
         "pcm_energy": _pcm_energy_op,
+        "mix_sources": _mix_sources_op,
+        "resample_sources": _resample_sources_op,
     }
 )
 

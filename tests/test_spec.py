@@ -458,3 +458,35 @@ def test_spec_pcm_energy_node(spark):
     op = op_from_spec({"op": "pcm_energy", "window": 4})
     rows = {(r.win, r.energy) for r in op.apply(df, Context()).collect()}
     assert rows == {(0, 0), (1, 0), (2, 0)}
+
+
+def test_example_training_mix_spec(spark, sf_dir, tmp_path):
+    import json as _json
+
+    spec = _json.load(open("examples/training_mix.json"))
+    from node_etl_spark.spec import from_spec
+
+    from_spec(spec).run(spark, config={"DATA": sf_dir, "OUT": str(tmp_path)})
+    out = spark.read.parquet(str(tmp_path / "mixed"))
+    n_in = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_out = out.count()
+    assert 0 < n_out < n_in            # really thinned
+    assert "text" in out.columns        # full rows survive the mix
+
+
+def test_spec_resample_sources_emits_copies(spark):
+    from node_etl_spark.context import Context
+    from node_etl_spark.spec import op_from_spec
+
+    df = spark.createDataFrame(
+        [(i, "low", 10) for i in range(10)] + [(100 + i, "high", 10) for i in range(90)],
+        "doc_id long, source string, n_chars long",
+    )
+    op = op_from_spec(
+        {"op": "resample_sources", "budget_frac": 1.0,
+         "proportions": {"low": 0.5, "high": 0.5}}
+    )
+    out = op.apply(df, Context()).collect()
+    low = [r for r in out if r.source == "low"]
+    assert len(low) == 50  # f = 1000*0.5/100 = 5 copies each
+    assert {r.copy for r in low} == {1, 2, 3, 4, 5}
