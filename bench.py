@@ -125,6 +125,7 @@ HEADLINE = [
     "q153_sorted_neighborhood",
     "q154_quantize_embeddings",
     "q155_resample_epochs",
+    "q156_cusum_drift",
 ]
 
 

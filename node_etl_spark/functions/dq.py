@@ -21,7 +21,7 @@ passed)`` — the shape a scheduler gates on.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # A row-level check is (name, violation_condition). The condition
@@ -211,4 +211,107 @@ def benford_oracle_sql(
                - CAST(n.n AS DOUBLE) * e.expected_p, 2)
                / (CAST(n.n AS DOUBLE) * e.expected_p) AS chi2_term
     FROM expected e LEFT JOIN obs o USING (digit), n
+    """
+
+
+# ------------------------------------------------ CUSUM change detection
+
+
+def cusum_shift(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    threshold: int,
+    ref_col: str | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM level-shift detection over per-group ordered
+    BIGINT series (Page 1954) — the metric-drift alarm for pipeline
+    observability (daily volumes, feed latencies, revenue).
+
+    Uses the prefix identity instead of the textbook recursion:
+    ``s+_t = P_t - min(0, min_{j<=t} P_j)`` and
+    ``s-_t = max(0, max_{j<=t} P_j) - P_t`` where ``P`` is the
+    running sum of ``value - ref`` — so the whole detector is two
+    window passes over ONE shuffle (the group partition), no
+    iterative state, and all-integer arithmetic keeps both engines
+    bit-identical. ``ref`` defaults to each group's integer-mean
+    (``total DIV n``), joined back from a pre-aggregate. Emits the
+    full trace: (group, order, value, s_pos, s_neg, alarm).
+    """
+    gcols = [F.col(c) for c in group_cols]
+    if ref_col is None:
+        means = df.groupBy(*gcols).agg(
+            F.expr(f"CAST(SUM({value_col}) AS BIGINT) DIV COUNT(*)").alias(
+                "__ref"
+            )
+        )
+        df = df.join(means, group_cols)
+        ref = F.col("__ref")
+    else:
+        ref = F.col(ref_col)
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = F.sum(F.col(value_col) - ref).over(w)
+    out = (
+        df.withColumn("__p", p)
+        .withColumn("__pmin", F.min("__p").over(w))
+        .withColumn("__pmax", F.max("__p").over(w))
+        .select(
+            *group_cols,
+            order_col,
+            F.col(value_col).cast("bigint").alias("value"),
+            (F.col("__p") - F.least(F.lit(0).cast("bigint"), F.col("__pmin")))
+            .cast("bigint")
+            .alias("s_pos"),
+            (
+                F.greatest(F.lit(0).cast("bigint"), F.col("__pmax"))
+                - F.col("__p")
+            )
+            .cast("bigint")
+            .alias("s_neg"),
+        )
+        .withColumn(
+            "alarm",
+            (F.col("s_pos") > threshold) | (F.col("s_neg") > threshold),
+        )
+    )
+    return out
+
+
+def cusum_oracle_sql(
+    points_sql: str,
+    group_cols: list[str],
+    order_col: str,
+    threshold: int,
+) -> str:
+    """DuckDB mirror of :func:`cusum_shift` (group-mean reference).
+    ``points_sql`` must yield the group columns, ``order_col``, and a
+    BIGINT ``value``."""
+    gc = ", ".join(group_cols)
+    return f"""
+    WITH pts AS ({points_sql}),
+    refs AS (
+        SELECT {gc}, CAST(SUM(value) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+               AS ref
+        FROM pts GROUP BY {gc}),
+    prefixed AS (
+        SELECT p.*, SUM(p.value - r.ref) OVER w AS pp
+        FROM pts p JOIN refs r USING ({gc})
+        WINDOW w AS (PARTITION BY {gc} ORDER BY p.{order_col}
+                     ROWS UNBOUNDED PRECEDING)),
+    pre AS (
+        SELECT *, MIN(pp) OVER w AS pmin, MAX(pp) OVER w AS pmax
+        FROM prefixed
+        WINDOW w AS (PARTITION BY {gc} ORDER BY {order_col}
+                     ROWS UNBOUNDED PRECEDING))
+    SELECT {gc}, {order_col}, CAST(value AS BIGINT) AS value,
+           CAST(pp - least(0, pmin) AS BIGINT) AS s_pos,
+           CAST(greatest(0, pmax) - pp AS BIGINT) AS s_neg,
+           (pp - least(0, pmin) > {threshold}
+            OR greatest(0, pmax) - pp > {threshold}) AS alarm
+    FROM pre
     """

@@ -5882,3 +5882,61 @@ def q155_resample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.resample_sources(
         table(spark, sf_dir, "documents"), _Q150_PROPS, budget_frac=1.0
     )
+
+
+# --------------------------------------------------------------------
+# q156 — CUSUM drift alarm over daily order volumes
+# --------------------------------------------------------------------
+
+_Q156_POINTS_SQL = """
+        SELECT o_orderstatus,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS value
+        FROM orders GROUP BY 1, 2
+"""
+
+
+@register(
+    "q156_cusum_drift",
+    None,  # filled below from functions.dq
+    doc="Two-sided CUSUM level-shift detection (functions/dq.py "
+        "cusum_shift, Page 1954) over daily order-revenue series per "
+        "status: the textbook recursion replaced by the prefix "
+        "identity s+ = P - min(0, running_min P), so the whole "
+        "detector is two window passes over one shuffle — no "
+        "iterative state — in exact integer cents.",
+)
+def q156_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dq import cusum_shift
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderstatus",
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("value")
+        )
+    )
+    return cusum_shift(
+        daily,
+        ["o_orderstatus"],
+        "day",
+        "value",
+        threshold=10_000_000_00,
+    )
+
+
+def _init_q156_oracle() -> None:
+    from ..functions.dq import cusum_oracle_sql
+
+    QUERIES["q156_cusum_drift"].oracle = cusum_oracle_sql(
+        _Q156_POINTS_SQL, ["o_orderstatus"], "day", threshold=10_000_000_00
+    )
+
+
+_init_q156_oracle()

@@ -189,3 +189,38 @@ def test_benford_profile_ignores_nonpositive_and_fills_zero_digits(spark):
     rows = {r.digit: r.observed for r in benford_profile(df, "amt").collect()}
     assert rows[1] == 2  # 123.00 and 19.99 both lead with 1
     assert sum(rows.values()) == 2 and len(rows) == 9  # zeros present
+
+
+# ------------------------------------------------ CUSUM drift
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    from node_etl_spark.functions.dq import cusum_shift
+
+    # hand series with a level shift at t=5: 10,10,10,10,10,30,30,30
+    vals = [10, 10, 10, 10, 10, 30, 30, 30]
+    df = spark.createDataFrame(
+        [("g", t, v) for t, v in enumerate(vals)], "g string, t long, value long"
+    )
+    got = {r.t: (r.s_pos, r.s_neg, r.alarm)
+           for r in cusum_shift(df, ["g"], "t", "value", threshold=20).collect()}
+    # reference recursion with ref = mean DIV = 140//8 = 17
+    ref, sp, sn = 17, 0, 0
+    for t, v in enumerate(vals):
+        sp = max(0, sp + (v - ref))
+        sn = max(0, sn - (v - ref))
+        assert got[t] == (sp, sn, sp > 20 or sn > 20), f"t={t}"
+
+
+def test_cusum_explicit_ref_col(spark):
+    from node_etl_spark.functions.dq import cusum_shift
+
+    df = spark.createDataFrame(
+        [("g", 0, 5, 0), ("g", 1, 5, 0), ("g", 2, 5, 0)],
+        "g string, t long, value long, baseline long",
+    )
+    rows = cusum_shift(df, ["g"], "t", "value", threshold=11,
+                       ref_col="baseline").collect()
+    by_t = {r.t: r.s_pos for r in rows}
+    assert by_t == {0: 5, 1: 10, 2: 15}
+    assert [r.alarm for r in sorted(rows, key=lambda r: r.t)] == [False, False, True]
