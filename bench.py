@@ -126,6 +126,7 @@ HEADLINE = [
     "q154_quantize_embeddings",
     "q155_resample_epochs",
     "q156_cusum_drift",
+    "q157_negative_samples",
 ]
 
 

@@ -347,3 +347,89 @@ def resample_sources_sql(
     FROM expanded, unnest(range(1, n_copies + 1)) AS u(c)
     WHERE n_copies >= 1
     """
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    seed: int = 13,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor row, ``k`` pseudo-uniform OTHER rows, reproducible
+    across runs and engines (no ``rand()``).
+
+    Anchors and candidates share one dense index
+    (:func:`...util.global_row_index` over the id — range partition +
+    offset pass, no single-partition window). Negative ``j`` of an
+    anchor is ``r = H(id, j) mod (N - 1)`` bumped by one when
+    ``r >= idx(anchor)`` — the classic shift that guarantees
+    ``neg != anchor`` while staying uniform over the remaining
+    ``N - 1`` rows. Resolution back to ids is an equi-join on the
+    index: O(N x k) rows, shuffled on a dense integer key (no skew
+    by construction). H is the portable 60-bit md5 hash, so the
+    DuckDB oracle reproduces every pick exactly.
+    """
+    from ..util import global_row_index
+    from .sketch import _h60
+
+    idxed = global_row_index(
+        df.select(F.col(id_col).alias("anchor_id")), ["anchor_id"]
+    )
+    n = idxed.count()
+    if n < 2:
+        raise ValueError("negative sampling needs at least 2 rows")
+    probes = idxed.select(
+        "anchor_id",
+        "idx",
+        F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias("j"),
+    )
+    r = (
+        _h60(
+            F.concat(
+                F.col("anchor_id").cast("string"),
+                F.lit(":"),
+                F.col("j").cast("string"),
+            ),
+            seed,
+        )
+        % F.lit(n - 1)
+    )
+    probes = probes.withColumn(
+        "neg_idx",
+        r + F.when(r >= F.col("idx"), F.lit(1)).otherwise(F.lit(0)),
+    )
+    cands = idxed.select(
+        F.col("idx").alias("neg_idx"), F.col("anchor_id").alias("neg_id")
+    )
+    return probes.join(cands, "neg_idx").select(
+        "anchor_id", F.col("j").cast("int").alias("neg_rank"), "neg_id"
+    )
+
+
+def negative_samples_sql(
+    table: str, id_col: str, k: int = 4, seed: int = 13
+) -> str:
+    """DuckDB mirror of :func:`negative_samples`."""
+    h = (
+        f"CAST(('0x' || substring(md5(CAST(anchor_id AS VARCHAR) || ':' ||"
+        f" CAST(j AS VARCHAR) || ':{seed}'), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+    WITH idxed AS (
+        SELECT {id_col} AS anchor_id,
+               row_number() OVER (ORDER BY {id_col}) - 1 AS idx
+        FROM {table}),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idxed),
+    probes AS (
+        SELECT anchor_id, idx, CAST(u.j AS BIGINT) AS j,
+               {h} % (n.n - 1) AS r
+        FROM idxed, n, unnest(range(1, {k + 1})) AS u(j)),
+    resolved AS (
+        SELECT p.anchor_id, p.j,
+               p.r + CASE WHEN p.r >= p.idx THEN 1 ELSE 0 END AS neg_idx
+        FROM probes p)
+    SELECT r.anchor_id, CAST(r.j AS INTEGER) AS neg_rank,
+           c.anchor_id AS neg_id
+    FROM resolved r JOIN idxed c ON c.idx = r.neg_idx
+    """

@@ -5940,3 +5940,24 @@ def _init_q156_oracle() -> None:
 
 
 _init_q156_oracle()
+
+
+# --------------------------------------------------------------------
+# q157 — deterministic negative sampling (contrastive training pairs)
+# --------------------------------------------------------------------
+
+@register(
+    "q157_negative_samples",
+    SA.negative_samples_sql("documents", "doc_id", k=4),
+    doc="Deterministic negative sampling (functions/sampling.py "
+        "negative_samples): 4 pseudo-uniform non-self negatives per "
+        "document over a dense global index (util.global_row_index), "
+        "guaranteed-distinct via the mod-(N-1)+shift trick, resolved "
+        "by an equi-join on the dense key. The contrastive-pair "
+        "generator for embedding training — reproducible across "
+        "runs and engines, on the exact gate.",
+)
+def q157_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SA.negative_samples(
+        table(spark, sf_dir, "documents"), id_col="doc_id", k=4
+    )

@@ -182,3 +182,40 @@ def test_resample_sources_is_deterministic(spark):
     a = sorted((r.doc_id, r.copy) for r in resample_sources(df, {"s": 1.0}, 0.3).collect())
     b = sorted((r.doc_id, r.copy) for r in resample_sources(df, {"s": 1.0}, 0.3).collect())
     assert a == b
+
+
+# ------------------------------------------------ negative sampling
+
+
+def test_negative_samples_never_self_and_exact_k(spark):
+    from node_etl_spark.functions.sampling import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    out = negative_samples(df, k=3).collect()
+    assert len(out) == 90
+    by_anchor = {}
+    for r in out:
+        assert r.neg_id != r.anchor_id
+        by_anchor.setdefault(r.anchor_id, []).append(r.neg_rank)
+    assert all(sorted(v) == [1, 2, 3] for v in by_anchor.values())
+
+
+def test_negative_samples_deterministic_and_seeded(spark):
+    from node_etl_spark.functions.sampling import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    a = sorted((r.anchor_id, r.neg_rank, r.neg_id) for r in negative_samples(df, k=2).collect())
+    b = sorted((r.anchor_id, r.neg_rank, r.neg_id) for r in negative_samples(df, k=2).collect())
+    c = sorted((r.anchor_id, r.neg_rank, r.neg_id) for r in negative_samples(df, k=2, seed=99).collect())
+    assert a == b
+    assert a != c  # different seed, different picks
+
+
+def test_negative_samples_requires_two_rows(spark):
+    import pytest
+
+    from node_etl_spark.functions.sampling import negative_samples
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        negative_samples(df)
