@@ -127,6 +127,7 @@ HEADLINE = [
     "q155_resample_epochs",
     "q156_cusum_drift",
     "q157_negative_samples",
+    "q158_concentration_audit",
 ]
 
 

@@ -272,3 +272,52 @@ def ols_oracle_sql(points_sql: str, group_cols: list[str]) -> str:
                / CAST(n AS DOUBLE) AS intercept
     FROM fit
     """
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gini coefficient of a BIGINT measure across groups — the
+    concentration/inequality audit (is 90% of the corpus coming from
+    3 sources? is revenue concentrated in a handful of suppliers?).
+
+    Sort-formula form on the per-group totals:
+    ``G = (2 * SUM(i * x_i) - (n + 1) * SUM(x)) / (n * SUM(x))``
+    with ``x`` ascending and ``i`` the 1-based rank. Everything up
+    to the final division is exact int64 arithmetic, so both engines
+    agree bit-for-bit (:func:`gini_oracle_sql`). The rank window
+    runs over PER-GROUP TOTALS — dimension-sized after the first
+    aggregate — so the single-partition sort is a few thousand rows
+    regardless of input scale. Ties order by group for determinism.
+    Returns one row: (n_groups, total, gini).
+    """
+    totals = df.groupBy(group_col).agg(
+        F.sum(value_col).cast("bigint").alias("x")
+    )
+    w = Window.orderBy("x", group_col)
+    ranked = totals.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("x").cast("bigint").alias("total"),
+        F.expr(
+            "CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)"
+            " / CAST(COUNT(*) * SUM(x) AS DOUBLE)"
+        ).alias("gini"),
+    )
+
+
+def gini_oracle_sql(points_sql: str) -> str:
+    """DuckDB mirror of :func:`gini_concentration`. ``points_sql``
+    must yield (g, x) per-group BIGINT totals."""
+    return f"""
+    WITH totals AS ({points_sql}),
+    ranked AS (
+        SELECT x, row_number() OVER (ORDER BY x, g) AS i FROM totals)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(x) AS BIGINT) AS total,
+           CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
+               / CAST(COUNT(*) * SUM(x) AS DOUBLE) AS gini
+    FROM ranked
+    """

@@ -5961,3 +5961,43 @@ def q157_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.negative_samples(
         table(spark, sf_dir, "documents"), id_col="doc_id", k=4
     )
+
+
+# --------------------------------------------------------------------
+# q158 — Gini concentration of corpus contribution and revenue
+# --------------------------------------------------------------------
+
+@register(
+    "q158_concentration_audit",
+    None,  # filled below from functions.profile
+    doc="Gini concentration audit (functions/profile.py "
+        "gini_concentration): inequality of supplier revenue "
+        "contribution via the exact integer sort formula "
+        "(2*SUM(i*x) - (n+1)*SUM(x)) / (n*SUM(x)) — the rank window "
+        "runs over per-group totals (dimension-sized after the first "
+        "aggregate), and only the final division is floating point.",
+)
+def q158_concentration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.profile import gini_concentration
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return gini_concentration(li, "l_suppkey", "cents")
+
+
+def _init_q158_oracle() -> None:
+    from ..functions.profile import gini_oracle_sql
+
+    QUERIES["q158_concentration_audit"].oracle = gini_oracle_sql(
+        """
+        SELECT l_suppkey AS g,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM lineitem GROUP BY 1
+        """
+    )
+
+
+_init_q158_oracle()

@@ -224,3 +224,34 @@ def test_cusum_explicit_ref_col(spark):
     by_t = {r.t: r.s_pos for r in rows}
     assert by_t == {0: 5, 1: 10, 2: 15}
     assert [r.alarm for r in sorted(rows, key=lambda r: r.t)] == [False, False, True]
+
+
+# ------------------------------------------------ Gini concentration
+
+
+def test_gini_uniform_is_zero_and_extreme_near_one(spark):
+    from node_etl_spark.functions.profile import gini_concentration
+
+    even = spark.createDataFrame(
+        [(f"g{i}", 1, 100) for i in range(10)], "g string, row int, v long"
+    )
+    r = gini_concentration(even, "g", "v").first()
+    assert r.n_groups == 10 and r.total == 1000
+    assert abs(r.gini) < 1e-12
+
+    skewed = spark.createDataFrame(
+        [("whale", 1, 10_000)] + [(f"g{i}", 1, 1) for i in range(9)],
+        "g string, row int, v long",
+    )
+    r2 = gini_concentration(skewed, "g", "v").first()
+    assert r2.gini > 0.85
+
+
+def test_gini_known_value(spark):
+    from node_etl_spark.functions.profile import gini_concentration
+
+    # x = [1,2,3,4]: G = (2*(1+4+9+16) - 5*10) / (4*10) = 10/40 = 0.25
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3), ("d", 4)], "g string, v long"
+    )
+    assert gini_concentration(df, "g", "v").first().gini == 0.25
