@@ -646,6 +646,61 @@ def lsh_buckets_udf(dim: int, n_tables: int = 8, planes_per_table: int = 4):
     return buckets
 
 
+def lsh_probe_buckets_udf(
+    dim: int,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+    n_probes: int = 2,
+):
+    """Multi-probe variant of :func:`lsh_buckets_udf` (Lv et al.
+    VLDB'07): per table, the base bucket PLUS ``n_probes`` buckets
+    reached by flipping the lowest-|margin| hyperplane bits — the
+    buckets a near-boundary vector most likely "just missed".
+    Returns array<array<int>>: per table, 1 + n_probes bucket ids
+    (all distinct — each probe flips a different plane).
+
+    Query-side only: probing multiplies the QUERY stream (small) by
+    1 + n_probes while the corpus stays single-bucket, buying the
+    recall of ~(1 + n_probes) x more tables at none of the corpus
+    index cost.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    import pandas as pd
+
+    M = np.array(
+        [
+            [_plane_weight(t * planes_per_table + p, d) for d in range(dim)]
+            for t in range(n_tables)
+            for p in range(planes_per_table)
+        ]
+    )  # (T*P, dim)
+    powers = 2 ** np.arange(planes_per_table)
+    probes = min(n_probes, planes_per_table)
+
+    @pandas_udf("array<array<int>>")
+    def buckets(v: pd.Series) -> pd.Series:
+        X = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        S = (X @ M.T).reshape(len(X), n_tables, planes_per_table)
+        bits = (S > 0).astype(np.int64)
+        base = (bits * powers).sum(axis=2).astype(np.int64)  # (n, T)
+        # planes ordered by how close the vector sits to the boundary
+        order = np.argsort(np.abs(S), axis=2)  # (n, T, P)
+        out = []
+        for i in range(len(X)):
+            per_table = []
+            for t in range(n_tables):
+                row = [int(base[i, t])]
+                for j in range(probes):
+                    row.append(int(base[i, t]) ^ (1 << int(order[i, t, j])))
+                per_table.append(row)
+            out.append(per_table)
+        return pd.Series(out)
+
+    return buckets
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -656,6 +711,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    n_probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: compare only vectors sharing an LSH bucket in
     at least one table.
@@ -663,7 +719,11 @@ def lsh_topk(
     The join is a shuffle on (table, bucket) — no cross product — the
     property that survives the 100x scale-up. Exact cosine is computed
     only for candidates; duplicates across tables are collapsed before
-    scoring.
+    scoring. ``n_probes > 0`` turns on query-side multi-probe (Lv et
+    al. VLDB'07): each query additionally probes the buckets reached
+    by flipping its ``n_probes`` closest-to-boundary hyperplane bits
+    per table — the recall of ~(1 + n_probes) x more tables while the
+    corpus index and its shuffle stay exactly the same size.
     """
     bucket_udf = lsh_buckets_udf(dim, n_tables, planes_per_table)
 
@@ -677,7 +737,19 @@ def lsh_topk(
         )
 
     c = with_buckets(corpus, "neighbor_id")
-    q = with_buckets(queries, "query_id")
+    if n_probes > 0:
+        probe_udf = lsh_probe_buckets_udf(
+            dim, n_tables, planes_per_table, n_probes
+        )
+        q = (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.posexplode(probe_udf(F.col(vec_col))).alias("t", "bs"),
+            )
+            .select("query_id", "t", F.explode("bs").alias("b"))
+        )
+    else:
+        q = with_buckets(queries, "query_id")
     cand = (
         c.join(q, on=["t", "b"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

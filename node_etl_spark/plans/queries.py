@@ -735,11 +735,15 @@ def q26_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q27_ann_lsh_topk",
     None,  # approximate op: rows-only check; recall vs q26 tested in tests/
-    doc="Hyperplane-LSH bucketed ANN top-5 (the 100TB-scale path).",
+    doc="Hyperplane-LSH bucketed ANN top-5 (the 100TB-scale path), "
+        "with query-side multi-probe (2 boundary-bit flips per table, "
+        "Lv et al. VLDB'07): the recall of ~3x more tables at zero "
+        "extra corpus-index cost — probing multiplies only the small "
+        "query stream. Recall bracket pinned in tests/test_similarity.py.",
 )
 def q27_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    return S.lsh_topk(emb, emb.filter("vec_id < 50"), dim=64, k=5)
+    return S.lsh_topk(emb, emb.filter("vec_id < 50"), dim=64, k=5, n_probes=2)
 
 
 # --------------------------------------------------------------------

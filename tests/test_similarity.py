@@ -191,3 +191,47 @@ def test_quantize_embeddings_bounds(spark, sf_dir):
     ).first()
     assert stats.lo == 0 and stats.hi == 255
     assert stats.d1 == stats.d2  # constant dimensionality
+
+
+# ------------------------------------------------ multi-probe LSH
+
+
+def test_multiprobe_improves_or_matches_recall(spark, sf_dir):
+    from node_etl_spark.functions.similarity import brute_force_topk, lsh_topk
+    from node_etl_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 10")
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=5).collect()}
+    base = {(r.query_id, r.neighbor_id) for r in lsh_topk(emb, q, dim=64, k=5).collect()}
+    probed = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(emb, q, dim=64, k=5, n_probes=2).collect()
+    }
+    r_base = len(exact & base) / len(exact)
+    r_probed = len(exact & probed) / len(exact)
+    assert r_probed >= r_base
+    assert r_probed >= 0.6
+
+
+def test_probe_buckets_flip_exactly_one_bit(spark):
+    import pandas as pd
+
+    from node_etl_spark.functions.similarity import (
+        lsh_buckets_udf,
+        lsh_probe_buckets_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.3, -0.2, 0.9, 0.1])], "vec_id long, embedding array<float>"
+    )
+    base = df.select(lsh_buckets_udf(4, 4, 3)("embedding").alias("b")).first()["b"]
+    probed = df.select(
+        lsh_probe_buckets_udf(4, 4, 3, 2)("embedding").alias("p")
+    ).first()["p"]
+    for t in range(4):
+        assert probed[t][0] == base[t]
+        for extra in probed[t][1:]:
+            x = extra ^ base[t]
+            assert x != 0 and (x & (x - 1)) == 0  # exactly one bit flipped
+        assert len(set(probed[t])) == 3  # base + 2 distinct probes
