@@ -128,6 +128,7 @@ HEADLINE = [
     "q156_cusum_drift",
     "q157_negative_samples",
     "q158_concentration_audit",
+    "q159_contrastive_triplets",
 ]
 
 

@@ -6005,3 +6005,49 @@ def _init_q158_oracle() -> None:
 
 
 _init_q158_oracle()
+
+
+# --------------------------------------------------------------------
+# q159 — contrastive triplets: near-dup positives + hash-ring negatives
+# --------------------------------------------------------------------
+
+def _init_q159_oracle() -> None:
+    pos_sql = D.minhash_oracle_sql(threshold=0.8)
+    neg_sql = SA.negative_samples_sql("documents", "doc_id", k=2)
+    QUERIES["q159_contrastive_triplets"].oracle = f"""
+    WITH pos AS ({pos_sql}),
+    neg AS ({neg_sql})
+    SELECT p.d1 AS anchor_id, p.d2 AS positive_id, p.jac,
+           n.neg_rank, n.neg_id
+    FROM pos p JOIN neg n ON n.anchor_id = p.d1
+    WHERE n.neg_id <> p.d2
+    """
+
+
+@register(
+    "q159_contrastive_triplets",
+    None,  # filled above after registration
+    doc="Contrastive training triplets: minhash-verified near-dup "
+        "pairs as (anchor, positive), crossed with 2 deterministic "
+        "hash-ring negatives per anchor (functions/sampling.py "
+        "negative_samples) — the embedding-training pair generator "
+        "end-to-end, every stage exact-gated. Negatives colliding "
+        "with the positive are dropped (the negative contract only "
+        "excludes the anchor itself).",
+)
+def q159_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pos = D.minhash_dedup(docs, threshold=0.8).select(
+        F.col("d1").alias("anchor_id"),
+        F.col("d2").alias("positive_id"),
+        "jac",
+    )
+    neg = SA.negative_samples(docs, id_col="doc_id", k=2)
+    return (
+        pos.join(neg, "anchor_id")
+        .filter(F.col("neg_id") != F.col("positive_id"))
+        .select("anchor_id", "positive_id", "jac", "neg_rank", "neg_id")
+    )
+
+
+_init_q159_oracle()
