@@ -129,6 +129,7 @@ HEADLINE = [
     "q157_negative_samples",
     "q158_concentration_audit",
     "q159_contrastive_triplets",
+    "q160_triangle_census",
 ]
 
 

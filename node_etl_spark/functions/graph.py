@@ -771,3 +771,130 @@ def shortest_paths_oracle_sql(
             ") GROUP BY node)"
         )
     return ",\n    ".join(parts) + f"\n    SELECT node, dist FROM s{max_rounds}"
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Global triangle count and clustering coefficient of an
+    undirected graph (edges may arrive in either/both directions;
+    they are canonicalized first).
+
+    Degree-oriented wedge join (Cohen'09 / Suri-Vassilvitskii'11
+    "MR triangle counting"): orient every edge from its (degree,
+    node)-smaller endpoint to the larger, so each triangle is
+    counted exactly once at its lowest-degree corner and — the scale
+    property — every node's oriented out-degree is bounded by
+    O(sqrt(|E|)), which caps the wedge-join blowup that a skewed hub
+    would otherwise cause (a million-follower node generates wedges
+    only from edges pointing OUT of it, and almost all of its edges
+    point in). Two self-joins over the oriented edge set, all
+    integer. Returns one row: (n_nodes, n_edges, n_wedges,
+    n_triangles, clustering_coeff) where clustering_coeff =
+    3 * triangles / wedges (open + closed) on the undirected graph.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    # orient a->b when (deg_a, a) < (deg_b, b)
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    w1 = oriented.alias("x")
+    w2 = oriented.alias("y")
+    wedges_or = w1.join(
+        w2, (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v"))
+    ).select(F.col("x.v").alias("p"), F.col("y.v").alias("q"))
+    closing = und.select(
+        F.least("a", "b").alias("p"), F.greatest("a", "b").alias("q")
+    )
+    tri = wedges_or.join(closing, ["p", "q"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1)")).cast("bigint").alias("__w2"),
+    )
+    nedges = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(nedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.expr("CAST(__w2 DIV 2 AS BIGINT)").alias("n_wedges"),
+            "n_triangles",
+            F.expr(
+                "CASE WHEN __w2 = 0 THEN 0.0 ELSE"
+                " CAST(3 * n_triangles AS DOUBLE)"
+                " / CAST(__w2 DIV 2 AS DOUBLE) END"
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+def triangle_oracle_sql(edges_sql: str) -> str:
+    """DuckDB mirror of :func:`triangle_stats`. ``edges_sql`` yields
+    (src, dst) in any orientation."""
+    return f"""
+    WITH raw AS ({edges_sql}),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw WHERE src <> dst),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY node),
+    oriented AS (
+        SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS u,
+               CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS v
+        FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b),
+    wedges AS (
+        SELECT x.v AS p, y.v AS q
+        FROM oriented x JOIN oriented y ON x.u = y.u AND x.v < y.v),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM wedges w WHERE EXISTS (
+            SELECT 1 FROM und WHERE und.a = least(w.p, w.q)
+                               AND und.b = greatest(w.p, w.q))),
+    st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(deg * (deg - 1)) AS BIGINT) AS w2
+        FROM deg),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und)
+    SELECT st.n_nodes, ne.n_edges,
+           CAST(st.w2 // 2 AS BIGINT) AS n_wedges,
+           tri.n_triangles,
+           CASE WHEN st.w2 = 0 THEN 0.0 ELSE
+               CAST(3 * tri.n_triangles AS DOUBLE)
+               / CAST(st.w2 // 2 AS DOUBLE) END AS clustering_coeff
+    FROM st, ne, tri
+    """

@@ -6051,3 +6051,36 @@ def q159_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _init_q159_oracle()
+
+
+# --------------------------------------------------------------------
+# q160 — triangle census of the co-purchase graph
+# --------------------------------------------------------------------
+
+@register(
+    "q160_triangle_census",
+    None,  # filled below from functions.graph
+    doc="Triangle count + global clustering coefficient (functions/"
+        "graph.py triangle_stats) over the thresholded co-purchase "
+        "graph: degree-oriented wedge join (Suri-Vassilvitskii MR "
+        "triangle counting) — each triangle counted once at its "
+        "lowest-degree corner, oriented out-degrees bounded by "
+        "O(sqrt(E)) so hub skew cannot blow up the wedge join. "
+        "All-integer; exact oracle.",
+)
+def q160_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import triangle_stats
+
+    edges = _part_cooccur(spark, sf_dir, min_cnt=2).select("src", "dst")
+    return triangle_stats(edges)
+
+
+def _init_q160_oracle() -> None:
+    from ..functions.graph import triangle_oracle_sql
+
+    QUERIES["q160_triangle_census"].oracle = triangle_oracle_sql(
+        _PART_EDGES2_SQL
+    )
+
+
+_init_q160_oracle()

@@ -331,3 +331,31 @@ def test_sssp_zero_weight_edges_exact(spark):
     e = _wedges(spark, [(1, 2, 0), (2, 3, 0)])
     got = {r["node"]: r["dist"] for r in shortest_paths(e, _seeds(spark, [1]), 3).collect()}
     assert got == {1: 0, 2: 0, 3: 0}
+
+
+# ------------------------------------------------ triangle census
+
+
+def test_triangle_stats_known_graphs(spark):
+    from node_etl_spark.functions.graph import triangle_stats
+
+    # K4: 4 triangles, 12 wedges, coeff = 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = triangle_stats(_edges(spark, k4)).first()
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+    assert r.n_wedges == 12 and r.clustering_coeff == 1.0
+
+    # path 1-2-3: no triangle, one wedge
+    r2 = triangle_stats(_edges(spark, [(1, 2), (2, 3)])).first()
+    assert (r2.n_triangles, r2.n_wedges) == (0, 1)
+    assert r2.clustering_coeff == 0.0
+
+
+def test_triangle_stats_mixed_direction_and_dupes(spark):
+    from node_etl_spark.functions.graph import triangle_stats
+
+    # triangle given with duplicates, reversed edges and a self-loop
+    e = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2)]
+    r = triangle_stats(_edges(spark, e)).first()
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (3, 3, 1)
+    assert r.clustering_coeff == 1.0
