@@ -130,6 +130,7 @@ HEADLINE = [
     "q158_concentration_audit",
     "q159_contrastive_triplets",
     "q160_triangle_census",
+    "q161_kmv_cardinality",
 ]
 
 

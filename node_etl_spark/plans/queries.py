@@ -6084,3 +6084,35 @@ def _init_q160_oracle() -> None:
 
 
 _init_q160_oracle()
+
+
+# --------------------------------------------------------------------
+# q161 — KMV cardinality estimation per event type
+# --------------------------------------------------------------------
+
+@register(
+    "q161_kmv_cardinality",
+    None,  # filled below from functions.sketch
+    doc="Distinct-audience estimation from KMV bottom-k state "
+        "(functions/sketch.py kmv_distinct): (k-1)*2^60/h_k per "
+        "event type, exact below k. The deterministic alternative to "
+        "q118's HLL — same mergeable-state scale shape, but on the "
+        "exact cross-engine gate; accuracy bracket pinned in "
+        "tests/test_sampling.py.",
+)
+def q161_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sketch import kmv_distinct
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    return kmv_distinct(ev, "event_type", "user_id", k=128)
+
+
+def _init_q161_oracle() -> None:
+    from ..functions.sketch import kmv_distinct_oracle_sql
+
+    QUERIES["q161_kmv_cardinality"].oracle = kmv_distinct_oracle_sql(
+        "events", "event_type", "user_id", k=128
+    )
+
+
+_init_q161_oracle()

@@ -219,3 +219,15 @@ def test_negative_samples_requires_two_rows(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError):
         negative_samples(df)
+
+
+def test_kmv_distinct_exact_below_k_and_bracket_above(spark):
+    from node_etl_spark.functions.sketch import kmv_distinct
+
+    rows = [("small", i) for i in range(40)] + [("big", i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, e long")
+    got = {r.g: (r.n_sketch, r.est_distinct) for r in kmv_distinct(df, "g", "e", k=128).collect()}
+    assert got["small"] == (40, 40.0)  # exact below k
+    n, est = got["big"]
+    assert n == 128
+    assert abs(est - 5000) / 5000 < 0.30  # ~1/sqrt(126) rel error, 3 sigma
