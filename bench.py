@@ -131,6 +131,7 @@ HEADLINE = [
     "q159_contrastive_triplets",
     "q160_triangle_census",
     "q161_kmv_cardinality",
+    "q162_related_parts_ppr",
 ]
 
 

@@ -6116,3 +6116,55 @@ def _init_q161_oracle() -> None:
 
 
 _init_q161_oracle()
+
+
+# --------------------------------------------------------------------
+# q162 — personalized PageRank: related parts for a seed set
+# --------------------------------------------------------------------
+
+_Q162_SEEDS_SQL = "SELECT DISTINCT l_partkey AS node FROM lineitem WHERE l_partkey < 5"
+
+
+@register(
+    "q162_related_parts_ppr",
+    None,  # filled below from functions.graph
+    doc="Personalized PageRank (functions/graph.py "
+        "personalized_pagerank, Haveliwala WWW'02): restart mass "
+        "returns to a 5-part seed set over the co-purchase graph — "
+        "the 'related items' primitive. Same checkpointed-edge "
+        "broadcast rounds and bit-exact fixed-point sums as q122; "
+        "top-25 by rank with deterministic ties.",
+)
+def q162_related_parts_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import personalized_pagerank
+
+    edges = _part_cooccur(spark, sf_dir).select("src", "dst")
+    seeds = (
+        table(spark, sf_dir, "lineitem")
+        .filter("l_partkey < 5")
+        .select(F.col("l_partkey").alias("node"))
+        .distinct()
+    )
+    ranks = personalized_pagerank(
+        edges, seeds, iterations=5, damping=0.85, assume_no_dangling=True
+    )
+    return (
+        ranks.select("node", F.round("rank", 12).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(25)
+    )
+
+
+def _init_q162_oracle() -> None:
+    from ..functions.graph import ppr_oracle_sql
+
+    inner = ppr_oracle_sql(
+        _PART_EDGES_SQL, _Q162_SEEDS_SQL, iterations=5, damping=0.85
+    )
+    QUERIES["q162_related_parts_ppr"].oracle = f"""
+    SELECT node, round(rank, 12) AS rank FROM ({inner})
+    ORDER BY rank DESC, node LIMIT 25
+    """
+
+
+_init_q162_oracle()

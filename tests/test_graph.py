@@ -359,3 +359,41 @@ def test_triangle_stats_mixed_direction_and_dupes(spark):
     r = triangle_stats(_edges(spark, e)).first()
     assert (r.n_nodes, r.n_edges, r.n_triangles) == (3, 3, 1)
     assert r.clustering_coeff == 1.0
+
+
+# ------------------------------------------------ personalized pagerank
+
+
+def test_ppr_mass_concentrates_near_seed(spark):
+    from node_etl_spark.functions.graph import personalized_pagerank
+
+    # barbell: seed-side triangle {1,2,3} bridged to {10,11,12}
+    pairs = _sym([(1, 2), (2, 3), (1, 3), (3, 10), (10, 11), (11, 12), (10, 12)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(
+            _edges(spark, pairs), seeds, iterations=6
+        ).collect()
+    }
+    # seed and its triangle outrank the far triangle
+    assert got[1] > got[11] and got[2] > got[12]
+    # ranks are a probability-like vector: non-negative, sum <= 1
+    assert all(v >= 0 for v in got.values())
+    assert sum(got.values()) <= 1.0 + 1e-9
+
+
+def test_ppr_seed_outside_universe_ignored(spark):
+    from node_etl_spark.functions.graph import personalized_pagerank
+
+    pairs = _sym([(1, 2)])
+    seeds = spark.createDataFrame([(1,), (999,)], "node long")
+    # even iteration count: a 2-node cycle oscillates round-to-round
+    # (standard power-iteration behavior on bipartite graphs)
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(_edges(spark, pairs), seeds, 4).collect()
+    }
+    assert set(got) == {1, 2}
+    # 999 ignored -> |S| = 1, so node 1 keeps the full restart mass
+    assert got[1] > got[2]
