@@ -137,7 +137,9 @@ def dq_suite(
 
 # ------------------------------------------------ Benford's-law profile
 
-_BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+import math  # noqa: E402  (stdlib; used for the Benford constants)
+
+_BENFORD_P = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
 
 
 def benford_profile(
@@ -164,7 +166,11 @@ def benford_profile(
         1,
     ).cast("int")
     obs = (
-        df.filter(F.col(amount_col) > 0)
+        # filter on the SCALED integer, not the raw amount: a value in
+        # (0, 0.5/scale) passes `amount > 0` but rounds to 0 cents —
+        # leading digit '0' — and would inflate n while matching no
+        # digit row, turning every chi2_term into a spurious alarm
+        df.filter(F.expr(f"CAST(round({amount_col} * {scale}) AS BIGINT) >= 1"))
         .select(d1.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("observed"))
@@ -201,7 +207,8 @@ def benford_oracle_sql(
         SELECT CAST(substr(CAST(CAST(round({amount_col} * {scale}) AS BIGINT)
                     AS VARCHAR), 1, 1) AS INTEGER) AS digit,
                CAST(COUNT(*) AS BIGINT) AS observed
-        FROM {table} WHERE {amount_col} > 0 GROUP BY 1),
+        FROM {table}
+        WHERE CAST(round({amount_col} * {scale}) AS BIGINT) >= 1 GROUP BY 1),
     expected(digit, expected_p) AS (VALUES {vals}),
     n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs)
     SELECT e.digit,

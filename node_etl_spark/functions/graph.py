@@ -322,6 +322,32 @@ def blocked_components(
     )
 
 
+def _pagerank_edge_frame(
+    edges, src: str, dst: str, broadcast_ranks: bool, assume_no_dangling: bool
+):
+    """Shared one-time edge build for the power-iteration family
+    (:func:`pagerank` / :func:`personalized_pagerank`): out-degrees,
+    the checkpointed node universe (every source), and the
+    checkpointed (e_src, e_dst, outdeg) edge frame with dst-only
+    dangling edges pre-filtered unless the caller vouches there are
+    none (symmetric / co-occurrence edge sets). One definition so the
+    two loops can never drift."""
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = deg.select(F.col(src).alias("node")).localCheckpoint(eager=True)
+    e = edges.join(deg, src).select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "outdeg"
+    )
+    if not assume_no_dangling:
+        # ``assume_no_dangling=True`` is a caller contract that every
+        # dst also appears as a src, making this semi-join a no-op —
+        # skipping it drops one join from the one-time edge build.
+        # The broadcast hint obeys the rank-state budget (nodes and
+        # ranks have identical cardinality).
+        nside = F.broadcast(nodes) if broadcast_ranks else nodes
+        e = e.join(nside, F.col("e_dst") == F.col("node"), "left_semi")
+    return deg, nodes, e.localCheckpoint(eager=True)
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
@@ -375,30 +401,14 @@ def pagerank(
     two are measured equal; the per-row gap matters once per-round
     contribution counts reach billions.)
     """
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
-    nstats = deg.agg(F.count(F.lit(1)).alias("n"))
-    # the node universe: every source node, kept in the result every
+    # node universe = every source node, kept in the result every
     # round (below) so zero-in-degree sources don't silently vanish
-    # after iteration 1 on non-symmetric edge sets
-    nodes = deg.select(F.col(src).alias("node")).localCheckpoint(eager=True)
-    # drop edges into dangling (dst-only) nodes ONCE: their would-be
-    # contributions were always discarded (dangling nodes are out of
-    # scope, see above) — pre-filtering spares every round from
-    # computing them and keeps the result set = the source universe.
-    # The broadcast hint obeys the same budget as the rank state
-    # (nodes and ranks have identical cardinality): with
-    # broadcast_ranks=False the semi-join falls back to a shuffle.
-    e = edges.join(deg, src).select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "outdeg"
+    # after iteration 1 on non-symmetric edge sets; dangling (dst-
+    # only) edges pre-filtered once — see _pagerank_edge_frame
+    deg, nodes, e = _pagerank_edge_frame(
+        edges, src, dst, broadcast_ranks, assume_no_dangling
     )
-    if not assume_no_dangling:
-        # ``assume_no_dangling=True`` is a caller contract that every
-        # dst also appears as a src (true for any symmetrized /
-        # co-occurrence edge set), which makes this semi-join a no-op
-        # — skipping it drops one join from the one-time edge build.
-        nside = F.broadcast(nodes) if broadcast_ranks else nodes
-        e = e.join(nside, F.col("e_dst") == F.col("node"), "left_semi")
-    e = e.localCheckpoint(eager=True)
+    nstats = deg.agg(F.count(F.lit(1)).alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nstats)).select(
         "node",
         F.expr("1.0 / CAST(n AS DOUBLE)").alias("rank"),
@@ -839,9 +849,12 @@ def triangle_stats(
     tri = wedges_or.join(closing, ["p", "q"], "left_semi").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+    # wedge-count accumulator as DECIMAL(38,0): sum(deg^2) overflows
+    # int64 on billion-edge hub-heavy graphs, and a silent Spark wrap
+    # would diverge from DuckDB's exact HUGEINT sum
     stats = deg.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-        F.sum(F.expr("deg * (deg - 1)")).cast("bigint").alias("__w2"),
+        F.sum(F.expr("CAST(deg AS DECIMAL(38,0)) * (deg - 1)")).alias("__w2"),
     )
     nedges = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     return (
@@ -850,12 +863,13 @@ def triangle_stats(
         .select(
             "n_nodes",
             "n_edges",
-            F.expr("CAST(__w2 DIV 2 AS BIGINT)").alias("n_wedges"),
+            # deg*(deg-1) is always even, so /2 is exact in decimal
+            F.expr("CAST(__w2 / 2 AS BIGINT)").alias("n_wedges"),
             "n_triangles",
             F.expr(
                 "CASE WHEN __w2 = 0 THEN 0.0 ELSE"
                 " CAST(3 * n_triangles AS DOUBLE)"
-                " / CAST(__w2 DIV 2 AS DOUBLE) END"
+                " / CAST(CAST(__w2 / 2 AS DECIMAL(38,0)) AS DOUBLE) END"
             ).alias("clustering_coeff"),
         )
     )
@@ -910,6 +924,7 @@ def personalized_pagerank(
     node: str = "node",
     broadcast_ranks: bool = True,
     assume_no_dangling: bool = False,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Personalized PageRank: the restart mass returns to a SEED set
     instead of the uniform distribution — the "related items for X"
@@ -923,8 +938,9 @@ def personalized_pagerank(
     the source universe are ignored. Initial rank = uniform over the
     (kept) seeds.
     """
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
-    nodes = deg.select(F.col(src).alias("node")).localCheckpoint(eager=True)
+    deg, nodes, e = _pagerank_edge_frame(
+        edges, src, dst, broadcast_ranks, assume_no_dangling
+    )
     s = (
         seeds.select(F.col(node).alias("node"))
         .distinct()
@@ -932,13 +948,6 @@ def personalized_pagerank(
         .localCheckpoint(eager=True)
     )
     nstats = s.agg(F.count(F.lit(1)).alias("ns"))
-    e = edges.join(deg, src).select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "outdeg"
-    )
-    if not assume_no_dangling:
-        nside = F.broadcast(nodes) if broadcast_ranks else nodes
-        e = e.join(nside, F.col("e_dst") == F.col("node"), "left_semi")
-    e = e.localCheckpoint(eager=True)
     # base restart vector: (1-d)/|S| on seeds, 0 elsewhere — kept as
     # a column on the node universe so every round's union/join shape
     # matches pagerank's
@@ -981,7 +990,11 @@ def personalized_pagerank(
                 f"base + {damping} * (CAST(csum AS DOUBLE) / 1e15)"
             ).alias("rank"),
         )
-        if (i + 1) % 8 == 0 and i + 1 < iterations:
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and i + 1 < iterations
+        ):
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
 

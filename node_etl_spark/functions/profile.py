@@ -286,8 +286,13 @@ def gini_concentration(
     Sort-formula form on the per-group totals:
     ``G = (2 * SUM(i * x_i) - (n + 1) * SUM(x)) / (n * SUM(x))``
     with ``x`` ascending and ``i`` the 1-based rank. Everything up
-    to the final division is exact int64 arithmetic, so both engines
-    agree bit-for-bit (:func:`gini_oracle_sql`). The rank window
+    to the final division is exact integer arithmetic — the rank-sum
+    accumulates as DECIMAL(38,0), because ``SUM(i * x)`` reaches
+    ~n/2 * total and overflows int64 at millions of groups with
+    cent-scale totals (DuckDB's HUGEINT sums are exact either way,
+    so a silent Spark wrap would break parity exactly at scale) —
+    hence both engines agree bit-for-bit (:func:`gini_oracle_sql`).
+    The rank window
     runs over PER-GROUP TOTALS — dimension-sized after the first
     aggregate — so the single-partition sort is a few thousand rows
     regardless of input scale. Ties order by group for determinism.
@@ -302,8 +307,9 @@ def gini_concentration(
         F.count(F.lit(1)).cast("bigint").alias("n_groups"),
         F.sum("x").cast("bigint").alias("total"),
         F.expr(
-            "CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)"
-            " / CAST(COUNT(*) * SUM(x) AS DOUBLE)"
+            "CAST(2 * SUM(CAST(i AS DECIMAL(38,0)) * x)"
+            " - (COUNT(*) + 1) * SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE)"
+            " / CAST(COUNT(*) * SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE)"
         ).alias("gini"),
     )
 

@@ -369,6 +369,11 @@ def negative_samples(
     index: O(N x k) rows, shuffled on a dense integer key (no skew
     by construction). H is the portable 60-bit md5 hash, so the
     DuckDB oracle reproduces every pick exactly.
+
+    Sampling is WITH replacement across ranks: the k draws hash
+    independently, so an anchor can (rarely, ~C(k,2)/(N-1)) receive
+    the same negative at two ranks — the standard negative-sampling
+    trade; dedup downstream if your loss requires distinct negatives.
     """
     from ..util import global_row_index
     from .sketch import _h60

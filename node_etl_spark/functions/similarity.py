@@ -617,6 +617,25 @@ def lsh_buckets(
     return F.array(*entries)
 
 
+def _plane_matrix(dim: int, n_tables: int, planes_per_table: int):
+    """Shared hyperplane construction for the bucket UDFs: (M, powers)
+    with M[(t * planes_per_table + p), d] = _plane_weight(...). ONE
+    source of the hash family — the corpus index, the neardup bucket
+    UDF, and the multi-probe query side must draw from identical
+    planes or recall silently collapses."""
+    import numpy as np
+
+    M = np.array(
+        [
+            [_plane_weight(t * planes_per_table + p, d) for d in range(dim)]
+            for t in range(n_tables)
+            for p in range(planes_per_table)
+        ]
+    )  # (T*P, dim)
+    powers = 2 ** np.arange(planes_per_table)
+    return M, powers
+
+
 def lsh_buckets_udf(dim: int, n_tables: int = 8, planes_per_table: int = 4):
     """Vectorized bucket computation: one numpy matmul per Arrow batch
     ((batch x dim) @ (dim x T*P)) instead of T*P per-row expression
@@ -627,14 +646,7 @@ def lsh_buckets_udf(dim: int, n_tables: int = 8, planes_per_table: int = 4):
 
     import pandas as pd
 
-    M = np.array(
-        [
-            [_plane_weight(t * planes_per_table + p, d) for d in range(dim)]
-            for t in range(n_tables)
-            for p in range(planes_per_table)
-        ]
-    )  # (T*P, dim)
-    powers = 2 ** np.arange(planes_per_table)
+    M, powers = _plane_matrix(dim, n_tables, planes_per_table)
 
     @pandas_udf("array<int>")
     def buckets(v: pd.Series) -> pd.Series:
@@ -669,14 +681,7 @@ def lsh_probe_buckets_udf(
 
     import pandas as pd
 
-    M = np.array(
-        [
-            [_plane_weight(t * planes_per_table + p, d) for d in range(dim)]
-            for t in range(n_tables)
-            for p in range(planes_per_table)
-        ]
-    )  # (T*P, dim)
-    powers = 2 ** np.arange(planes_per_table)
+    M, powers = _plane_matrix(dim, n_tables, planes_per_table)
     probes = min(n_probes, planes_per_table)
 
     @pandas_udf("array<array<int>>")
@@ -934,6 +939,12 @@ def quantize_embeddings(
 
     Returns (id, q array<int>, n_dims); dequantization is
     ``lo_d + q * (hi_d - lo_d) / levels``.
+
+    Dimensionality contract: vectors shorter than the corpus maximum
+    are EXCLUDED (a row-local length filter against the packed stats
+    arrays — mirrored in the oracle) rather than silently null-padded
+    by ``arrays_zip``; ragged corpora should be bucketed by dimension
+    first.
     """
     stats = (
         df.select(F.posexplode(vec_col).alias("pos", "v"))
@@ -951,6 +962,7 @@ def quantize_embeddings(
     )
     return (
         df.crossJoin(F.broadcast(packed))
+        .filter(F.size(F.col(vec_col)) == F.size(F.col("los")))
         .select(
             F.col(id_col),
             F.expr(
@@ -986,7 +998,8 @@ def quantize_oracle_sql(
                         / (s.hi - s.lo) * {levels}) AS BIGINT) END AS qv
         FROM {table} e,
              unnest(generate_series(1, len(e.{vec}))) AS t(i)
-             JOIN stats s ON s.i = t.i)
+             JOIN stats s ON s.i = t.i
+        WHERE len(e.{vec}) = (SELECT MAX(len({vec})) FROM {table}))
     SELECT vec_id,
            CAST(COUNT(*) AS BIGINT) AS n_dims,
            CAST(SUM(qv) AS BIGINT) AS q_sum,

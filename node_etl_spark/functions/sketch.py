@@ -79,9 +79,13 @@ def kmv_jaccard(
     Returns (g1, g2, est_jaccard, k_used).
     """
     # the sketch feeds pair construction and both union sides; it is
-    # groups x k rows — persisting it is cheap and saves three
-    # recomputations of the corpus-sized hash/rank aggregation
-    bk = kmv_bottomk(df, group_col, element_col, k=k, seed=seed).persist()
+    # groups x k rows — eagerly checkpointing it (tiny, lineage
+    # truncated) saves three recomputations of the corpus-sized
+    # hash/rank aggregation WITHOUT leaving an unreleased persist
+    # handle behind for the life of the session
+    bk = kmv_bottomk(df, group_col, element_col, k=k, seed=seed).localCheckpoint(
+        eager=True
+    )
     # explicit pair construction: groups are dimension-sized (the
     # sketch exists precisely because ELEMENTS are not)
     groups = bk.select("g").distinct()

@@ -92,6 +92,11 @@ def global_row_index(
     the boundaries fall. The sorted frame is persisted between the
     count and index passes and unpersisted before returning (the
     output is localCheckpoint-ed, so the handle is safe to release).
+
+    NULL sort keys sort FIRST (Spark ascending default) — the
+    opposite of DuckDB's NULLS-LAST ``row_number``. Callers pairing
+    this with a SQL oracle must exclude NULL keys (as
+    ``sorted_neighborhood_pairs`` does) or the ranks shift.
     """
     import pandas as pd
     from pyspark.sql import functions as F
