@@ -123,3 +123,61 @@ def test_connected_components_match_union_find(spark, edges):
     for v, root in want.items():
         assert got.get(v, v) == root
     assert set(got) <= set(want)
+
+
+# ------------------------------------------------ skyline invariants
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pts=hst.lists(
+        hst.tuples(hst.integers(0, 50), hst.integers(0, 50)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_skyline_equals_bruteforce(spark, pts):
+    from node_etl_spark.functions.frontier import skyline
+
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {r.id for r in skyline(df, maximize=("x", "y")).collect()}
+
+    def dominated(i):
+        xi, yi = pts[i]
+        return any(
+            (xj >= xi and yj >= yi and (xj > xi or yj > yi))
+            for j, (xj, yj) in enumerate(pts)
+            if j != i
+        )
+
+    want = {i for i in range(len(pts)) if not dominated(i)}
+    assert got == want
+
+
+# ------------------------------------------------ CUSUM invariants
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=hst.lists(hst.integers(-100, 100), min_size=1, max_size=30),
+    ref=hst.integers(-50, 50),
+)
+def test_cusum_prefix_identity_matches_recursion(spark, vals, ref):
+    from node_etl_spark.functions.dq import cusum_shift
+
+    df = spark.createDataFrame(
+        [("g", t, v, ref) for t, v in enumerate(vals)],
+        "g string, t long, value long, baseline long",
+    )
+    got = {
+        r.t: (r.s_pos, r.s_neg)
+        for r in cusum_shift(df, ["g"], "t", "value", 10, ref_col="baseline").collect()
+    }
+    sp = sn = 0
+    for t, v in enumerate(vals):
+        sp = max(0, sp + (v - ref))
+        sn = max(0, sn - (v - ref))
+        assert got[t] == (sp, sn), (t, vals, ref)
