@@ -6138,7 +6138,10 @@ _Q162_SEEDS_SQL = "SELECT DISTINCT l_partkey AS node FROM lineitem WHERE l_partk
 def q162_related_parts_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.graph import personalized_pagerank
 
-    edges = _part_cooccur(spark, sf_dir).select("src", "dst")
+    # thresholded graph (>= 2 co-orders): one-off pairings are noise
+    # for a related-items ranking, and the smaller edge set halves the
+    # per-round join cost
+    edges = _part_cooccur(spark, sf_dir, min_cnt=2).select("src", "dst")
     seeds = (
         table(spark, sf_dir, "lineitem")
         .filter("l_partkey < 5")
@@ -6159,7 +6162,7 @@ def _init_q162_oracle() -> None:
     from ..functions.graph import ppr_oracle_sql
 
     inner = ppr_oracle_sql(
-        _PART_EDGES_SQL, _Q162_SEEDS_SQL, iterations=5, damping=0.85
+        _PART_EDGES2_SQL, _Q162_SEEDS_SQL, iterations=5, damping=0.85
     )
     QUERIES["q162_related_parts_ppr"].oracle = f"""
     SELECT node, round(rank, 12) AS rank FROM ({inner})
