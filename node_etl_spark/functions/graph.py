@@ -728,7 +728,7 @@ def shortest_paths(
         F.col(node).alias("node"), F.lit(0).cast("bigint").alias("dist")
     ).localCheckpoint(eager=True)
     frontier = dist
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         n_frontier = frontier.count()
         if n_frontier == 0:
             break
@@ -751,11 +751,15 @@ def shortest_paths(
             .localCheckpoint(eager=True)
         )
         frontier = improved
-        dist = (
-            dist.join(improved.select("node"), "node", "left_anti")
-            .unionByName(improved)
-            .localCheckpoint(eager=True)
+        dist = dist.join(improved.select("node"), "node", "left_anti").unionByName(
+            improved
         )
+        if rnd + 1 < max_rounds:
+            # the final round's dist is consumed once by the caller —
+            # both inputs (prior dist, improved) are already
+            # checkpointed, so the last eager materialization would be
+            # a pure extra job
+            dist = dist.localCheckpoint(eager=True)
     return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
 
 
