@@ -132,6 +132,7 @@ HEADLINE = [
     "q160_triangle_census",
     "q161_kmv_cardinality",
     "q162_related_parts_ppr",
+    "q163_ks_drift",
 ]
 
 

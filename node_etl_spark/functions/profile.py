@@ -327,3 +327,98 @@ def gini_oracle_sql(points_sql: str) -> str:
                / CAST(COUNT(*) * SUM(x) AS DOUBLE) AS gini
     FROM ranked
     """
+
+
+def ks_statistic(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    g1,
+    g2,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the BIGINT
+    ``value_col`` distributions of two groups — the nonparametric
+    drift test complementing PSI (q117): no binning choices, exact
+    ties handling, sensitive to any distributional change.
+
+    Exactness: D = max |F1(v) - F2(v)| over the pooled jump points,
+    evaluated as the INTEGER cross-product form
+    ``max |cum1 * n2 - cum2 * n1|`` so there is no floating point
+    until the single final division — bit-identical across engines.
+    Scale shape: counts aggregate per distinct value FIRST (one
+    shuffle; the window then runs over the distinct-value frame,
+    which for quantized measures — cents, ms, token counts — is
+    bounded by the value domain, not the row count). Quantize truly
+    continuous data before calling. Returns one row:
+    (n1, n2, d_num, ks).
+    """
+    c = (
+        df.filter(F.col(group_col).isin([g1, g2]))
+        .groupBy(value_col)
+        .agg(
+            F.sum(F.when(F.col(group_col) == g1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(F.when(F.col(group_col) == g2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c2"),
+        )
+    )
+    w = (
+        Window.orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = c.withColumn("cum1", F.sum("c1").over(w)).withColumn(
+        "cum2", F.sum("c2").over(w)
+    )
+    tot = c.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n1").cast("bigint").alias("n1"),
+            F.max("n2").cast("bigint").alias("n2"),
+            F.max(
+                F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+            )
+            .cast("bigint")
+            .alias("d_num"),
+        )
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            F.expr("CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)").alias(
+                "ks"
+            ),
+        )
+    )
+
+
+def ks_oracle_sql(
+    points_sql: str, g1_lit: str, g2_lit: str
+) -> str:
+    """DuckDB mirror of :func:`ks_statistic`. ``points_sql`` must
+    yield (g, value) with BIGINT value."""
+    return f"""
+    WITH pts AS ({points_sql}),
+    c AS (
+        SELECT value,
+               CAST(SUM(CASE WHEN g = {g1_lit} THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN g = {g2_lit} THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM pts WHERE g IN ({g1_lit}, {g2_lit}) GROUP BY value),
+    cum AS (
+        SELECT value,
+               SUM(c1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum1,
+               SUM(c2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum2
+        FROM c),
+    tot AS (SELECT CAST(MAX(cum1) AS BIGINT) AS n1,
+                   CAST(MAX(cum2) AS BIGINT) AS n2 FROM cum)
+    SELECT t.n1, t.n2,
+           CAST(MAX(abs(cum1 * t.n2 - cum2 * t.n1)) AS BIGINT) AS d_num,
+           CAST(MAX(abs(cum1 * t.n2 - cum2 * t.n1)) AS DOUBLE)
+               / CAST(t.n1 * t.n2 AS DOUBLE) AS ks
+    FROM cum, tot t GROUP BY t.n1, t.n2
+    """

@@ -6171,3 +6171,45 @@ def _init_q162_oracle() -> None:
 
 
 _init_q162_oracle()
+
+
+# --------------------------------------------------------------------
+# q163 — two-sample KS drift test between order-status cohorts
+# --------------------------------------------------------------------
+
+@register(
+    "q163_ks_drift",
+    None,  # filled below from functions.profile
+    doc="Two-sample Kolmogorov-Smirnov drift statistic (functions/"
+        "profile.py ks_statistic): order-value distributions of the "
+        "'F' vs 'O' cohorts compared at every pooled jump point with "
+        "D evaluated in the integer cross-product form "
+        "max|cum1*n2 - cum2*n1| — no binning choices (the "
+        "nonparametric complement of q117's PSI), no floating point "
+        "until the single final division.",
+)
+def q163_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.profile import ks_statistic
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("g"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("value"),
+    )
+    return ks_statistic(orders, "g", "value", "F", "O")
+
+
+def _init_q163_oracle() -> None:
+    from ..functions.profile import ks_oracle_sql
+
+    QUERIES["q163_ks_drift"].oracle = ks_oracle_sql(
+        """
+        SELECT o_orderstatus AS g,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS value
+        FROM orders
+        """,
+        "'F'",
+        "'O'",
+    )
+
+
+_init_q163_oracle()

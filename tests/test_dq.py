@@ -255,3 +255,54 @@ def test_gini_known_value(spark):
         [("a", 1), ("b", 2), ("c", 3), ("d", 4)], "g string, v long"
     )
     assert gini_concentration(df, "g", "v").first().gini == 0.25
+
+
+# ------------------------------------------------ KS drift
+
+
+def test_ks_statistic_known_value(spark):
+    from node_etl_spark.functions.profile import ks_statistic
+
+    # g1 = {1,2,3,4}, g2 = {3,4,5,6}: D = 1/2 at value 2
+    rows = [("a", v) for v in [1, 2, 3, 4]] + [("b", v) for v in [3, 4, 5, 6]]
+    df = spark.createDataFrame(rows, "g string, value long")
+    r = ks_statistic(df, "g", "value", "a", "b").first()
+    assert (r.n1, r.n2) == (4, 4)
+    assert r.ks == 0.5 and r.d_num == 8
+
+
+def test_ks_statistic_identical_and_disjoint(spark):
+    from node_etl_spark.functions.profile import ks_statistic
+
+    same = spark.createDataFrame(
+        [("a", v) for v in [1, 2, 2, 9]] + [("b", v) for v in [1, 2, 2, 9]],
+        "g string, value long",
+    )
+    assert ks_statistic(same, "g", "value", "a", "b").first().ks == 0.0
+
+    disj = spark.createDataFrame(
+        [("a", v) for v in [1, 2]] + [("b", v) for v in [10, 11]],
+        "g string, value long",
+    )
+    assert ks_statistic(disj, "g", "value", "a", "b").first().ks == 1.0
+
+
+def test_ks_statistic_scipy_crosscheck(spark):
+    import random
+
+    from node_etl_spark.functions.profile import ks_statistic
+
+    rng = random.Random(7)
+    a = [rng.randint(0, 60) for _ in range(150)]
+    b = [rng.randint(10, 90) for _ in range(120)]
+    df = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in b], "g string, value long"
+    )
+    got = ks_statistic(df, "g", "value", "a", "b").first().ks
+
+    # reference: brute-force two-sample KS with ties
+    def ecdf(xs, v):
+        return sum(1 for x in xs if x <= v) / len(xs)
+
+    want = max(abs(ecdf(a, v) - ecdf(b, v)) for v in set(a) | set(b))
+    assert abs(got - want) < 1e-12
