@@ -133,6 +133,7 @@ HEADLINE = [
     "q161_kmv_cardinality",
     "q162_related_parts_ppr",
     "q163_ks_drift",
+    "q164_boilerplate_strip",
 ]
 
 

@@ -640,3 +640,89 @@ def bigram_lm_oracle_sql(
                AS avg_logprob
     FROM term GROUP BY doc_id
     """
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 10,
+    sep: str = ". ",
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet/C4 cleanup step):
+    split each document into segments on ``sep``, drop every segment
+    that occurs in at least ``min_df`` DISTINCT documents (footers,
+    cookie banners, license blurbs — content no model should see
+    thousands of times), and rejoin the survivors in order.
+
+    Scale shape: one segment explode (narrow), one distinct-df
+    aggregate keyed by segment text, an anti-join of the segment
+    stream against the hot set, and an ordered re-assembly per
+    document (sort_array over (pos, seg) structs — no window). The
+    df aggregate's state is the distinct segment vocabulary, which
+    boilerplate itself keeps small. Returns (id, text) with the
+    cleaned text; documents that were ALL boilerplate come back as
+    empty strings, ready for a length filter.
+    """
+    import re as _re
+
+    seg = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("pos", "seg"),
+    )
+    hot = (
+        seg.filter(F.col("seg") != "")
+        .groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("seg")
+    )
+    kept = seg.join(hot, "seg", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, seg))),"
+                " x -> x.seg)"
+            ),
+            sep,
+        ).alias("text")
+    )
+    # docs whose every segment was boilerplate have no kept rows —
+    # join back onto the id universe so they return as empty strings
+    # (the documented contract), not silently vanish
+    ids = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return ids.join(rebuilt, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+
+
+def strip_boilerplate_sql(
+    table_sql: str,
+    id_: str = "doc_id",
+    text: str = "text",
+    min_df: int = 10,
+    sep: str = ". ",
+) -> str:
+    """DuckDB mirror of :func:`strip_boilerplate`. ``table_sql``
+    yields (doc_id, text)."""
+    return f"""
+    WITH src AS ({table_sql}),
+    seg AS (
+        SELECT {id_} AS doc_id, t.i AS pos, ss[t.i] AS seg
+        FROM (SELECT {id_}, string_split({text}, '{sep}') AS ss FROM src),
+             unnest(range(1, len(ss) + 1)) AS t(i)),
+    hot AS (
+        SELECT seg FROM (
+            SELECT seg, COUNT(DISTINCT doc_id) AS df
+            FROM seg WHERE seg <> '' GROUP BY 1)
+        WHERE df >= {min_df}),
+    kept AS (SELECT * FROM seg WHERE seg NOT IN (SELECT seg FROM hot)),
+    rebuilt AS (
+        SELECT doc_id, string_agg(seg, '{sep}' ORDER BY pos) AS text
+        FROM kept GROUP BY doc_id)
+    SELECT i.doc_id, COALESCE(r.text, '') AS text
+    FROM (SELECT DISTINCT {id_} AS doc_id FROM src) i
+    LEFT JOIN rebuilt r USING (doc_id)
+    """

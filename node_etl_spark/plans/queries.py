@@ -6213,3 +6213,57 @@ def _init_q163_oracle() -> None:
 
 
 _init_q163_oracle()
+
+
+# --------------------------------------------------------------------
+# q164 — corpus boilerplate stripping (shared-footer removal)
+# --------------------------------------------------------------------
+
+_Q164_DIRTY_SQL = """
+        SELECT doc_id,
+               text || '. standard footer text provided by ' || source
+                    || ' all rights reserved' AS text
+        FROM documents
+"""
+
+
+@register(
+    "q164_boilerplate_strip",
+    None,  # filled below from functions.text
+    doc="Corpus boilerplate removal (functions/text.py "
+        "strip_boilerplate, the CCNet/C4 cleanup): a deterministic "
+        "per-source footer is injected into every document (the q139 "
+        "synthesis pattern — each footer then appears in all ~25 docs "
+        "of its source) and segments occurring in >= 10 distinct docs "
+        "are stripped; original sentences (df = 1) survive. Segment "
+        "explode + distinct-df agg + anti-join + ordered reassembly, "
+        "no window.",
+)
+def q164_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dirty = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(". standard footer text provided by "),
+            F.col("source"),
+            F.lit(" all rights reserved"),
+        ).alias("text"),
+    )
+    out = T.strip_boilerplate(dirty, min_df=10)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("clean_fp"),
+        F.length("text").cast("bigint").alias("n_chars_clean"),
+    )
+
+
+def _init_q164_oracle() -> None:
+    inner = T.strip_boilerplate_sql(_Q164_DIRTY_SQL, min_df=10)
+    QUERIES["q164_boilerplate_strip"].oracle = f"""
+    SELECT doc_id, md5(text) AS clean_fp,
+           CAST(length(text) AS BIGINT) AS n_chars_clean
+    FROM ({inner})
+    """
+
+
+_init_q164_oracle()

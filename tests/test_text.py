@@ -238,3 +238,40 @@ def test_bigram_lm_single_token_docs_absent(spark):
     )
     got = {r.doc_id for r in bigram_lm_score(df).collect()}
     assert got == {3}
+
+
+# ------------------------------------------------ boilerplate strip
+
+
+def test_strip_boilerplate_removes_shared_footer_keeps_content(spark):
+    from node_etl_spark.functions.text import strip_boilerplate
+
+    docs = [(i, f"unique sentence {i}. shared footer here") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in strip_boilerplate(df, min_df=3).collect()}
+    for i in range(5):
+        assert out[i] == f"unique sentence {i}"
+
+
+def test_strip_boilerplate_all_boilerplate_doc_empty(spark):
+    from node_etl_spark.functions.text import strip_boilerplate
+
+    df = spark.createDataFrame(
+        [(1, "spam. spam"), (2, "spam. real content two"), (3, "spam")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in strip_boilerplate(df, min_df=3).collect()}
+    assert out[1] == "" and out[3] == ""
+    assert out[2] == "real content two"
+
+
+def test_strip_boilerplate_preserves_segment_order(spark):
+    from node_etl_spark.functions.text import strip_boilerplate
+
+    df = spark.createDataFrame(
+        [(1, "alpha one. common. beta two. common. gamma three"),
+         (2, "common"), (3, "common")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in strip_boilerplate(df, min_df=3).collect()}
+    assert out[1] == "alpha one. beta two. gamma three"
