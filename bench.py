@@ -134,6 +134,7 @@ HEADLINE = [
     "q162_related_parts_ppr",
     "q163_ks_drift",
     "q164_boilerplate_strip",
+    "q165_mannwhitney_auc",
 ]
 
 

@@ -422,3 +422,95 @@ def ks_oracle_sql(
                / CAST(t.n1 * t.n2 AS DOUBLE) AS ks
     FROM cum, tot t GROUP BY t.n1, t.n2
     """
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    g1,
+    g2,
+) -> DataFrame:
+    """Mann-Whitney U test statistic and AUC effect size between two
+    groups' BIGINT value distributions — the rank-based location-
+    shift test beside :func:`ks_statistic`'s shape test; the AUC is
+    P(random g1 value > random g2 value) + 0.5 * P(tie), i.e. the
+    ROC-AUC of ``value`` as a classifier for the group.
+
+    Exact tie handling with zero floating point until the end:
+    ranks use the midrank convention, and DOUBLED midranks are
+    integers — a tied block occupying 0-based positions
+    [start, start + c) has doubled midrank ``2 * start + c + 1`` —
+    so the rank sum, U, and the AUC numerator stay exact int64 (per
+    value-block counts aggregate first, the window runs over the
+    distinct-value frame like :func:`ks_statistic`). Returns one
+    row: (n1, n2, u1_x2, auc) with ``u1_x2 = 2 * U1``.
+    """
+    c = (
+        df.filter(F.col(group_col).isin([g1, g2]))
+        .groupBy(value_col)
+        .agg(
+            F.sum(F.when(F.col(group_col) == g1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(F.when(F.col(group_col) == g2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c2"),
+        )
+        .withColumn("c", F.col("c1") + F.col("c2"))
+    )
+    w = (
+        Window.orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = c.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "r1x2_term",
+        # doubled midrank of the block times the g1 count in it:
+        # start = cum - c (0-based), doubled midrank = 2*start + c + 1
+        F.col("c1") * (F.lit(2) * (F.col("cum") - F.col("c")) + F.col("c") + 1),
+    )
+    tot = ranked.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum("r1x2_term").cast("bigint").alias("r1x2"),
+    )
+    return tot.select(
+        "n1",
+        "n2",
+        # 2*U1 = 2*R1 - n1*(n1+1) = r1x2 - n1*(n1+1)
+        (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1))
+        .cast("bigint")
+        .alias("u1_x2"),
+        F.expr(
+            "CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)"
+            " / CAST(2 * n1 * n2 AS DOUBLE)"
+        ).alias("auc"),
+    )
+
+
+def mannwhitney_oracle_sql(points_sql: str, g1_lit: str, g2_lit: str) -> str:
+    """DuckDB mirror of :func:`mannwhitney_u`. ``points_sql`` yields
+    (g, value) with BIGINT value."""
+    return f"""
+    WITH pts AS ({points_sql}),
+    c AS (
+        SELECT value,
+               CAST(SUM(CASE WHEN g = {g1_lit} THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN g = {g2_lit} THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM pts WHERE g IN ({g1_lit}, {g2_lit}) GROUP BY value),
+    ranked AS (
+        SELECT c1, c2, c1 + c2 AS c,
+               SUM(c1 + c2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+                   AS cum
+        FROM c),
+    tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(SUM(c1 * (2 * (cum - c) + c + 1)) AS BIGINT) AS r1x2
+        FROM ranked)
+    SELECT n1, n2,
+           CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+               / CAST(2 * n1 * n2 AS DOUBLE) AS auc
+    FROM tot
+    """

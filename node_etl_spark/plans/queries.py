@@ -6267,3 +6267,44 @@ def _init_q164_oracle() -> None:
 
 
 _init_q164_oracle()
+
+
+# --------------------------------------------------------------------
+# q165 — Mann-Whitney U / AUC between order-status cohorts
+# --------------------------------------------------------------------
+
+@register(
+    "q165_mannwhitney_auc",
+    None,  # filled below from functions.profile
+    doc="Mann-Whitney U with AUC effect size (functions/profile.py "
+        "mannwhitney_u): rank-based location test between the 'F' "
+        "and 'O' order-value distributions, exact midrank tie "
+        "handling via DOUBLED integer midranks — no floating point "
+        "until the final division. The location complement of "
+        "q163's KS shape test.",
+)
+def q165_mannwhitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.profile import mannwhitney_u
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("g"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("value"),
+    )
+    return mannwhitney_u(orders, "g", "value", "F", "O")
+
+
+def _init_q165_oracle() -> None:
+    from ..functions.profile import mannwhitney_oracle_sql
+
+    QUERIES["q165_mannwhitney_auc"].oracle = mannwhitney_oracle_sql(
+        """
+        SELECT o_orderstatus AS g,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS value
+        FROM orders
+        """,
+        "'F'",
+        "'O'",
+    )
+
+
+_init_q165_oracle()

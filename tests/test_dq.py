@@ -306,3 +306,41 @@ def test_ks_statistic_scipy_crosscheck(spark):
 
     want = max(abs(ecdf(a, v) - ecdf(b, v)) for v in set(a) | set(b))
     assert abs(got - want) < 1e-12
+
+
+# ------------------------------------------------ Mann-Whitney U
+
+
+def test_mannwhitney_scipy_style_crosscheck(spark):
+    import random
+
+    from node_etl_spark.functions.profile import mannwhitney_u
+
+    rng = random.Random(11)
+    a = [rng.randint(0, 50) for _ in range(80)]
+    b = [rng.randint(20, 70) for _ in range(60)]
+    df = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in b], "g string, value long"
+    )
+    r = mannwhitney_u(df, "g", "value", "a", "b").first()
+
+    # brute-force U1 = #(x > y) + 0.5 * #(x == y) over all pairs
+    wins = sum(1 for x in a for y in b if x > y)
+    ties = sum(1 for x in a for y in b if x == y)
+    assert r.u1_x2 == 2 * wins + ties
+    assert abs(r.auc - (wins + 0.5 * ties) / (len(a) * len(b))) < 1e-12
+
+
+def test_mannwhitney_extremes(spark):
+    from node_etl_spark.functions.profile import mannwhitney_u
+
+    # all of g1 strictly above g2 -> AUC 1; identical -> AUC 0.5
+    hi = spark.createDataFrame(
+        [("a", v) for v in [10, 11]] + [("b", v) for v in [1, 2]],
+        "g string, value long",
+    )
+    assert mannwhitney_u(hi, "g", "value", "a", "b").first().auc == 1.0
+    same = spark.createDataFrame(
+        [("a", 5), ("a", 7), ("b", 5), ("b", 7)], "g string, value long"
+    )
+    assert mannwhitney_u(same, "g", "value", "a", "b").first().auc == 0.5
