@@ -135,6 +135,11 @@ HEADLINE = [
     "q163_ks_drift",
     "q164_boilerplate_strip",
     "q165_mannwhitney_auc",
+    "q166_heavy_hitters",
+    "q167_chisq_independence",
+    "q168_mutual_information",
+    "q169_semdedup",
+    "q170_pq_codes",
 ]
 
 

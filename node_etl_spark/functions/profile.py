@@ -514,3 +514,256 @@ def mannwhitney_oracle_sql(points_sql: str, g1_lit: str, g2_lit: str) -> str:
                / CAST(2 * n1 * n2 AS DOUBLE) AS auc
     FROM tot
     """
+
+
+def chisq_independence(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two
+    categorical columns, plus Cramér's V effect size — the
+    label-vs-feature leakage / drift audit a training-data pipeline
+    runs before trusting a stratification column.
+
+    Scale shape: one count aggregation collapses the table to its
+    contingency cells (for real categoricals, bounded by the domain
+    product, not the row count); margins are re-aggregations OF the
+    cell frame (strictly smaller, broadcast back); nothing after the
+    first shuffle touches data rows again.
+
+    Cross-engine exactness: every per-cell input (O, R, C, N) is an
+    exact BIGINT. The statistic is evaluated in the zero-cell-free
+    form ``chi2 = SUM(O^2 * N / (R * C)) - N`` (algebraically equal
+    to SUM (O-E)^2/E over ALL cells including unobserved ones, which
+    the cell frame by construction omits but which still carry
+    E = R*C/N); each term is computed in double from identical
+    integers (products in double — at petabyte row counts ``O*N``
+    would wrap int64), quantized to DECIMAL(28,12), summed exactly,
+    N subtracted exactly, final round(6) — the q148 ``tf*ln(p)``
+    discipline. Returns one row:
+    (n, n_a, n_b, dof, chi2, cramers_v).
+    """
+    cells = (
+        df.select(
+            F.col(a_col).cast("string").alias("a"),
+            F.col(b_col).cast("string").alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    ra = cells.groupBy("a").agg(F.sum("o").cast("bigint").alias("r"))
+    cb = cells.groupBy("b").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("a").cast("bigint").alias("n_a"),
+        F.countDistinct("b").cast("bigint").alias("n_b"),
+    )
+    term = (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)"
+                " * CAST(n AS DOUBLE)"
+                " / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))"
+                " AS DECIMAL(28,12))"
+            ).alias("t"),
+        )
+    )
+    return (
+        term.groupBy("n", "n_a", "n_b")
+        .agg(F.sum("t").alias("__s"))
+        .withColumn(
+            "chi2",
+            F.round(
+                (F.col("__s") - F.col("n").cast("decimal(28,12)")).cast(
+                    "double"
+                ),
+                6,
+            ),
+        )
+        .select(
+            "n",
+            "n_a",
+            "n_b",
+            ((F.col("n_a") - 1) * (F.col("n_b") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            "chi2",
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n").cast("double")
+                        * F.least(F.col("n_a") - 1, F.col("n_b") - 1).cast(
+                            "double"
+                        )
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+def chisq_oracle_sql(points_sql: str) -> str:
+    """DuckDB mirror of :func:`chisq_independence`. ``points_sql``
+    yields (a, b) string pairs, nulls pre-filtered or not (mirrored
+    filter applied here)."""
+    return f"""
+    WITH pts AS (SELECT * FROM ({points_sql})
+                 WHERE a IS NOT NULL AND b IS NOT NULL),
+    cells AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+        FROM pts GROUP BY a, b),
+    ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY a),
+    cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY b),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+                   CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b
+            FROM cells),
+    term AS (
+        SELECT t.n, t.n_a, t.n_b,
+               CAST(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+                    * CAST(t.n AS DOUBLE)
+                    / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+                    AS DECIMAL(28,12)) AS t
+        FROM cells JOIN ra USING (a) JOIN cb USING (b), tot t),
+    s AS (
+        SELECT n, n_a, n_b,
+               round(CAST(SUM(t) - CAST(n AS DECIMAL(28,12)) AS DOUBLE),
+                     6) AS chi2
+        FROM term GROUP BY n, n_a, n_b)
+    SELECT n, n_a, n_b,
+           CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+           chi2,
+           round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                 * CAST(least(n_a - 1, n_b - 1) AS DOUBLE))), 6)
+               AS cramers_v
+    FROM s
+    """
+
+
+def mutual_information(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Mutual information (in bits) between two categorical columns
+    with its normalized form NMI = MI / sqrt(H(a) * H(b)) — the
+    information-theoretic complement of :func:`chisq_independence`
+    (chi-square asks "is there ANY dependence"; MI measures HOW MUCH,
+    on a scale comparable across column pairs — the feature-relevance
+    ranking a training pipeline uses to pick stratification keys or
+    detect target leakage).
+
+    Same cell-frame scale shape as chi-square: one shuffle to cells,
+    margins re-aggregate the cell frame. Cross-engine exactness:
+    MI = SUM (O/N) * log2(O*N / (R*C)) with every input an identical
+    BIGINT; each term (and each marginal-entropy term
+    -(R/N)*log2(R/N)) is quantized to DECIMAL(28,12), summed exactly,
+    final round(6) absorbing sub-ulp libm differences. Returns one
+    row: (n, mi_bits, h_a, h_b, nmi).
+    """
+    cells = (
+        df.select(
+            F.col(a_col).cast("string").alias("a"),
+            F.col(b_col).cast("string").alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    ra = cells.groupBy("a").agg(F.sum("o").cast("bigint").alias("r"))
+    cb = cells.groupBy("b").agg(F.sum("o").cast("bigint").alias("c"))
+    n = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    mi = (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n",
+            F.expr(
+                "CAST((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))"
+                " * LOG2(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)"
+                "        / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))"
+                " AS DECIMAL(28,12))"
+            ).alias("t"),
+        )
+        .groupBy("n")
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("mi_bits"))
+    )
+    ent = (
+        lambda m, cnt: m.crossJoin(F.broadcast(n))
+        .select(
+            F.expr(
+                f"CAST(-(CAST({cnt} AS DOUBLE) / CAST(n AS DOUBLE))"
+                f" * LOG2(CAST({cnt} AS DOUBLE) / CAST(n AS DOUBLE))"
+                " AS DECIMAL(28,12))"
+            ).alias("t")
+        )
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("h"))
+    )
+    ha = ent(ra, "r").withColumnRenamed("h", "h_a")
+    hb = ent(cb, "c").withColumnRenamed("h", "h_b")
+    return (
+        mi.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            "n",
+            "mi_bits",
+            "h_a",
+            "h_b",
+            F.when(
+                (F.col("h_a") > 0) & (F.col("h_b") > 0),
+                F.round(
+                    F.col("mi_bits") / F.sqrt(F.col("h_a") * F.col("h_b")),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("nmi"),
+        )
+    )
+
+
+def mutual_information_oracle_sql(points_sql: str) -> str:
+    """DuckDB mirror of :func:`mutual_information`."""
+    return f"""
+    WITH pts AS (SELECT * FROM ({points_sql})
+                 WHERE a IS NOT NULL AND b IS NOT NULL),
+    cells AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+        FROM pts GROUP BY a, b),
+    ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY a),
+    cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY b),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    mi AS (
+        SELECT t.n,
+               round(CAST(SUM(CAST(
+                   (CAST(o AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   * log2(CAST(o AS DOUBLE) * CAST(t.n AS DOUBLE)
+                          / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
+                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS mi_bits
+        FROM cells JOIN ra USING (a) JOIN cb USING (b), tot t
+        GROUP BY t.n),
+    ha AS (
+        SELECT round(CAST(SUM(CAST(
+                   -(CAST(r AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   * log2(CAST(r AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS h_a
+        FROM ra, tot t),
+    hb AS (
+        SELECT round(CAST(SUM(CAST(
+                   -(CAST(c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   * log2(CAST(c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS h_b
+        FROM cb, tot t)
+    SELECT n, mi_bits, h_a, h_b,
+           CASE WHEN h_a > 0 AND h_b > 0
+                THEN round(mi_bits / sqrt(h_a * h_b), 6)
+                ELSE 0.0 END AS nmi
+    FROM mi, ha, hb
+    """

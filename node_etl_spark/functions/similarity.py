@@ -1006,3 +1006,269 @@ def quantize_oracle_sql(
            md5(string_agg(CAST(qv AS VARCHAR), ',' ORDER BY q.i)) AS q_digest
     FROM q GROUP BY vec_id
     """
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int = 50,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Semantic deduplication (Abbas et al. 2023, "SemDeDup"): cluster
+    the embedding space, then drop in-cluster semantic duplicates —
+    the embedding-level complement of MinHash/SimHash lexical dedup,
+    catching paraphrases and re-renderings that share no n-grams.
+
+    Shape per the paper: pairwise comparison happens ONLY within a
+    cluster, so total pair work is sum(c_i^2) instead of N^2 — at
+    100 TB choose k proportional to N (the paper uses k ~ sqrt(N)
+    scale) to bound cluster populations; the assignment stage is a
+    broadcast of k centroid rows and one narrow argmin pass (q133's
+    Lloyd-step kernel), and the in-cluster self-join shuffles on
+    cluster id. Centroids here are the deterministic data seeds
+    ``id % seed_mod = 0`` (an externally trained codebook frame can
+    replace them — the geometry is unchanged), so the whole operator
+    is a pure function of the data and sits on the exact value gate.
+
+    Dedup rule (deterministic, oracle-expressible): a vector is a
+    duplicate iff a SAME-CLUSTER vector with a smaller id has
+    round(cosine, 6) >= threshold; it is recorded against the
+    SMALLEST such keeper. Returns (dup_id, cluster_id, keep_id, cos).
+    """
+    _require_integral_id(df, id_col)
+    e = df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
+    ).filter(F.col("v").isNotNull())
+    c = e.filter(F.col("id") % seed_mod == 0).select(
+        F.col("id").alias("cluster_id"), F.col("v").alias("cv")
+    )
+    sq = F.round(
+        F.aggregate(
+            F.zip_with(
+                "v",
+                "cv",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    ).alias("sq_dist")
+    rn = F.row_number().over(
+        Window.partitionBy("id").orderBy("sq_dist", "cluster_id")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(c))
+        .select("id", "v", "cluster_id", sq)
+        .withColumn("rn", rn)
+        .filter("rn = 1")
+        .select("id", "cluster_id", "v")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("b.id").alias("dup_id"),
+            F.col("b.cluster_id").alias("cluster_id"),
+            F.col("a.id").alias("keep_id"),
+            F.round(cosine_vec(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    first = F.row_number().over(
+        Window.partitionBy("dup_id").orderBy("keep_id")
+    )
+    return (
+        pairs.withColumn("rn", first)
+        .filter("rn = 1")
+        .select("dup_id", "cluster_id", "keep_id", "cos")
+    )
+
+
+def semdedup_oracle_sql(
+    table: str = "embeddings",
+    id_: str = "vec_id",
+    vec: str = "embedding",
+    seed_mod: int = 50,
+    threshold: float = 0.9,
+) -> str:
+    """DuckDB mirror of :func:`semdedup` (expanded-index arithmetic,
+    identical rounding and tiebreaks)."""
+    return f"""
+    WITH e AS (
+        SELECT CAST({id_} AS BIGINT) AS id, {vec} AS v
+        FROM {table} WHERE {vec} IS NOT NULL),
+    c AS (SELECT id AS cluster_id, v AS cv FROM e
+          WHERE id % {seed_mod} = 0),
+    expanded AS (
+        SELECT e.id, c.cluster_id, e.v, c.cv,
+               unnest(generate_series(1, len(e.v))) AS i
+        FROM e, c),
+    dists AS (
+        SELECT id, cluster_id,
+               round(CAST(SUM(CAST(
+                   (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+                   * (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+                   AS DECIMAL(38,30))) AS DOUBLE), 6) AS sq_dist
+        FROM expanded GROUP BY 1, 2),
+    assigned AS (
+        SELECT e.id, d.cluster_id, e.v
+        FROM e JOIN (
+            SELECT id, cluster_id,
+                   row_number() OVER (PARTITION BY id
+                       ORDER BY sq_dist, cluster_id) AS rn
+            FROM dists) d ON e.id = d.id AND d.rn = 1),
+    pairx AS (
+        SELECT b.id AS dup_id, b.cluster_id, a.id AS keep_id,
+               a.v AS av, b.v AS bv,
+               unnest(generate_series(1, len(a.v))) AS i
+        FROM assigned a JOIN assigned b
+          ON a.cluster_id = b.cluster_id AND a.id < b.id),
+    cosines AS (
+        SELECT dup_id, cluster_id, keep_id,
+               round(SUM(CAST(av[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE))
+                     / (sqrt(SUM(CAST(av[i] AS DOUBLE)
+                                 * CAST(av[i] AS DOUBLE)))
+                        * sqrt(SUM(CAST(bv[i] AS DOUBLE)
+                                   * CAST(bv[i] AS DOUBLE)))), 6) AS cos
+        FROM pairx GROUP BY 1, 2, 3),
+    hits AS (
+        SELECT dup_id, cluster_id, keep_id, cos,
+               row_number() OVER (PARTITION BY dup_id
+                   ORDER BY keep_id) AS rn
+        FROM cosines WHERE cos >= {threshold})
+    SELECT dup_id, cluster_id, keep_id, cos FROM hits WHERE rn = 1
+    """
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_blocks: int = 8,
+    seed_mod: int = 50,
+) -> DataFrame:
+    """Product quantization (Jégou et al. PAMI'11): split each
+    D-dim embedding into ``n_blocks`` contiguous sub-vectors and
+    represent each by the id of its nearest sub-codeword — the
+    compressed vector-store layout behind IVF-PQ ANN indexes; an
+    embedding shrinks from D floats to n_blocks small codes (here
+    8 codes for 64 floats, 32x), and ANN distance evaluation becomes
+    table lookups instead of float math.
+
+    Codebooks are deterministic data seeds (sub-slices of vectors
+    with ``id % seed_mod = 0``; swap in externally trained codebooks
+    without changing the geometry). Scale shape: the codebook
+    (n_blocks x k sub-vectors) broadcasts; assignment is one narrow
+    pass with a per-(vector, block) argmin — no shuffle until the
+    final per-vector code rollup, which aggregates n_blocks rows per
+    vector. Tie-breaks and rounding mirror q133: round(sq_dist, 6),
+    then smallest code id.
+
+    Returns (vec_id, code_fp, recon_err): md5 fingerprint of the
+    ordered code sequence and the total quantization error
+    (decimal-summed per-block rounded distances — order-free).
+    """
+    _require_integral_id(df, id_col)
+    w = dim // n_blocks
+    e = df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
+    ).filter(F.col("v").isNotNull())
+    blocks = F.explode(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1))
+    ).alias("b")
+    sub = F.expr(f"slice(v, b * {w} + 1, {w})")
+    evec = e.select("id", blocks, "v").select(
+        "id", "b", sub.alias("sub")
+    )
+    cvec = (
+        e.filter(F.col("id") % seed_mod == 0)
+        .select(F.col("id").alias("code"), blocks, "v")
+        .select("code", "b", sub.alias("csub"))
+    )
+    sq = F.round(
+        F.aggregate(
+            F.zip_with(
+                "sub",
+                "csub",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    ).alias("sq_dist")
+    rn = F.row_number().over(
+        Window.partitionBy("id", "b").orderBy("sq_dist", "code")
+    )
+    best = (
+        evec.join(F.broadcast(cvec), "b")
+        .select("id", "b", "code", sq)
+        .withColumn("rn", rn)
+        .filter("rn = 1")
+    )
+    codes = F.concat_ws(
+        ",",
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("b", "code"))),
+            lambda s: s["code"].cast("string"),
+        ),
+    )
+    return best.groupBy(F.col("id").alias(id_col)).agg(
+        F.md5(codes).alias("code_fp"),
+        F.round(
+            F.sum(F.col("sq_dist").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("recon_err"),
+    )
+
+
+def pq_oracle_sql(
+    table: str = "embeddings",
+    id_: str = "vec_id",
+    vec: str = "embedding",
+    dim: int = 64,
+    n_blocks: int = 8,
+    seed_mod: int = 50,
+) -> str:
+    """DuckDB mirror of :func:`pq_encode`."""
+    w = dim // n_blocks
+    return f"""
+    WITH e AS (
+        SELECT CAST({id_} AS BIGINT) AS id, {vec} AS v
+        FROM {table} WHERE {vec} IS NOT NULL),
+    c AS (SELECT id AS code, v AS cv FROM e WHERE id % {seed_mod} = 0),
+    expanded AS (
+        SELECT e.id, c.code, b.b, e.v, c.cv,
+               unnest(generate_series(1, {w})) AS i
+        FROM e, c, (SELECT unnest(generate_series(0, {n_blocks - 1})) AS b) b),
+    dists AS (
+        SELECT id, b, code,
+               round(CAST(SUM(CAST(
+                   (CAST(v[b * {w} + i] AS DOUBLE)
+                    - CAST(cv[b * {w} + i] AS DOUBLE))
+                   * (CAST(v[b * {w} + i] AS DOUBLE)
+                      - CAST(cv[b * {w} + i] AS DOUBLE))
+                   AS DECIMAL(38,30))) AS DOUBLE), 6) AS sq_dist
+        FROM expanded GROUP BY 1, 2, 3),
+    best AS (
+        SELECT id, b, code, sq_dist,
+               row_number() OVER (PARTITION BY id, b
+                   ORDER BY sq_dist, code) AS rn
+        FROM dists)
+    SELECT id AS {id_},
+           md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY b))
+               AS code_fp,
+           round(CAST(SUM(CAST(sq_dist AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS recon_err
+    FROM best WHERE rn = 1
+    GROUP BY id
+    """

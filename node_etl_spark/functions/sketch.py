@@ -223,3 +223,89 @@ def kmv_distinct_oracle_sql(
                      / CAST(hk AS DOUBLE) END AS est_distinct
     FROM agg
     """
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, k: int = 100
+) -> DataFrame:
+    """Exact frequent-items detection at sketch cost: every item with
+    count strictly greater than N/(k+1), found with a Misra-Gries
+    pass (Misra & Gries 1982; merge rule from Agarwal et al.'s
+    mergeable-summaries PODS'12) plus an exact verification pass
+    restricted to the sketch's candidates.
+
+    Why not a plain groupBy at 100 TB: the vocabulary tail (trillions
+    of near-unique tokens/URLs/ids) dominates the shuffle even though
+    none of it can be frequent. Here the tail never crosses the wire:
+
+    * pass 1 — each input partition keeps a k-counter Misra-Gries
+      summary (mapInPandas; per Arrow batch a vectorized
+      ``value_counts`` is merged into the summary, then the summary
+      is re-trimmed with the mergeable-summaries rule: subtract the
+      (k+1)-th largest count, drop non-positives). An item absent
+      from a partition's summary has partition count <= n_p/(k+1),
+      so an item absent from EVERY summary has global count
+      <= N/(k+1): the union of summaries is a guaranteed superset of
+      the answer. Output: <= k items per partition.
+    * pass 2 — the candidate set (partitions x k rows, broadcast)
+      semi-joins the item stream and only candidates are counted
+      exactly; ``cnt * (k+1) > N`` filters sketch survivors that the
+      exact count disproves.
+
+    The result is therefore EXACT (sits on the value-hash gate with
+    a plain GROUP BY/HAVING oracle); only the pruning is
+    approximate. Returns (item, cnt, n, share), share rounded(6).
+    """
+    items = (
+        df.select(F.col(col).cast("string").alias("item"))
+        .filter(F.col("item").isNotNull())
+    )
+
+    def _mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for item, cnt in pdf["item"].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    i: c - cut for i, c in counters.items() if c > cut
+                }
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    cands = items.mapInPandas(_mg, schema="item string").distinct()
+    n = items.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        items.join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("cnt") * (k + 1) > F.col("n"))
+        .select(
+            "item",
+            "cnt",
+            "n",
+            F.round(
+                F.col("cnt").cast("double") / F.col("n").cast("double"), 6
+            ).alias("share"),
+        )
+    )
+
+
+def heavy_hitters_oracle_sql(items_sql: str, k: int) -> str:
+    """DuckDB mirror of :func:`heavy_hitters`: the sketch is only a
+    pruner, so the oracle is the definition itself. ``items_sql``
+    yields one ``item`` VARCHAR column."""
+    return f"""
+    WITH items AS (SELECT item FROM ({items_sql}) WHERE item IS NOT NULL),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM items),
+    cnts AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM items GROUP BY item)
+    SELECT item, cnt, t.n,
+           round(CAST(cnt AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS share
+    FROM cnts, tot t
+    WHERE cnt * ({k} + 1) > t.n
+    """

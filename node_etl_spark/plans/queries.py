@@ -6308,3 +6308,164 @@ def _init_q165_oracle() -> None:
 
 
 _init_q165_oracle()
+
+
+# --------------------------------------------------------------------
+# q166 — exact heavy hitters via Misra-Gries candidate pruning
+# --------------------------------------------------------------------
+
+_Q166_K = 20
+# deterministic skewed item domain (the testdata tables are uniform;
+# the q164 synthesis pattern): 3 hot items at ~25% each + a tail of
+# singleton cold items that a full groupBy would shuffle for nothing
+_Q166_ITEM = (
+    "CASE WHEN event_id % 4 <> 0 THEN 'hot_' || CAST(event_id % 3 AS"
+    " VARCHAR) ELSE 'cold_' || CAST(event_id AS VARCHAR) END"
+)
+
+
+def _init_q166() -> None:
+    from ..functions.sketch import heavy_hitters, heavy_hitters_oracle_sql
+
+    @register(
+        "q166_heavy_hitters",
+        heavy_hitters_oracle_sql(
+            f"SELECT {_Q166_ITEM} AS item FROM events", _Q166_K
+        ),
+        doc="Exact frequent items at sketch cost (functions/sketch.py "
+            "heavy_hitters): per-partition Misra-Gries summaries prune "
+            "the candidate set (the singleton tail never crosses the "
+            "wire), then an exact count pass over candidates keeps "
+            "items with cnt > N/(k+1) — the sketch is only a pruner, "
+            "so the entry sits on the exact gate with the plain "
+            "GROUP BY/HAVING definition as its oracle. Item domain is "
+            "a deterministic 3-hot/long-tail synthesis over events "
+            "(the testdata is uniform).",
+    )
+    def q166_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        items = table(spark, sf_dir, "events").select(
+            F.when(
+                F.col("event_id") % 4 != 0,
+                F.concat(F.lit("hot_"), (F.col("event_id") % 3).cast("string")),
+            )
+            .otherwise(
+                F.concat(F.lit("cold_"), F.col("event_id").cast("string"))
+            )
+            .alias("item")
+        )
+        from ..functions.sketch import heavy_hitters as hh
+
+        return hh(items, "item", k=_Q166_K)
+
+
+_init_q166()
+
+
+# --------------------------------------------------------------------
+# q167/q168 — categorical dependence audits (chi-square + mutual
+# information) on the cell-frame shape
+# --------------------------------------------------------------------
+
+def _init_q167_q168() -> None:
+    from ..functions.profile import (
+        chisq_independence,
+        chisq_oracle_sql,
+        mutual_information,
+        mutual_information_oracle_sql,
+    )
+
+    @register(
+        "q167_chisq_independence",
+        chisq_oracle_sql(
+            "SELECT o_orderpriority AS a, o_orderstatus AS b FROM orders"
+        ),
+        doc="Pearson chi-square independence test + Cramér's V between "
+            "order priority and status (functions/profile.py "
+            "chisq_independence): one shuffle to contingency cells, "
+            "margins re-aggregate the cell frame; per-cell statistic "
+            "from identical BIGINTs, DECIMAL(28,12)-quantized, exact "
+            "sum — the stratification-column audit of a training "
+            "pipeline.",
+    )
+    def q167_chisq_independence(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        return chisq_independence(
+            table(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+        )
+
+    @register(
+        "q168_mutual_information",
+        mutual_information_oracle_sql(
+            "SELECT lang AS a, source AS b FROM documents"
+        ),
+        doc="Mutual information (bits) + NMI between document language "
+            "and source (functions/profile.py mutual_information): the "
+            "feature-relevance / target-leakage measure beside q167's "
+            "chi-square; same cell-frame scale shape, quantized-log "
+            "exactness discipline (q148).",
+    )
+    def q168_mutual_information(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        return mutual_information(
+            table(spark, sf_dir, "documents"), "lang", "source"
+        )
+
+
+_init_q167_q168()
+
+
+# --------------------------------------------------------------------
+# q169 — SemDeDup: semantic (embedding-space) deduplication
+# --------------------------------------------------------------------
+
+def _init_q169() -> None:
+    from ..functions.similarity import semdedup, semdedup_oracle_sql
+
+    @register(
+        "q169_semdedup",
+        semdedup_oracle_sql(seed_mod=50, threshold=0.35),
+        doc="Semantic dedup (functions/similarity.py semdedup; Abbas "
+            "et al. SemDeDup): k-means-style cluster assignment "
+            "(broadcast centroids, q133 kernel) then in-cluster cosine "
+            "pruning — pair work is sum(c_i^2), never N^2; the "
+            "embedding-space complement of MinHash (q22) / SimHash "
+            "(q23) lexical dedup. Deterministic keep-lowest-id rule "
+            "on the exact gate.",
+    )
+    def q169_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return semdedup(
+            table(spark, sf_dir, "embeddings"),
+            seed_mod=50,
+            threshold=0.35,
+        )
+
+
+_init_q169()
+
+
+# --------------------------------------------------------------------
+# q170 — product quantization codes for the embedding store
+# --------------------------------------------------------------------
+
+def _init_q170() -> None:
+    from ..functions.similarity import pq_encode, pq_oracle_sql
+
+    @register(
+        "q170_pq_codes",
+        pq_oracle_sql(seed_mod=50),
+        doc="Product quantization (functions/similarity.py pq_encode; "
+            "Jégou et al. PAMI'11): 64-dim vectors compressed to 8 "
+            "sub-codeword ids (32x) against deterministic seed "
+            "codebooks — the IVF-PQ store layout beside q154's int8 "
+            "scalar quantization; broadcast codebook, narrow argmin, "
+            "one n_blocks-rows-per-vector rollup shuffle. Code "
+            "fingerprints and decimal-summed reconstruction error on "
+            "the exact gate.",
+    )
+    def q170_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return pq_encode(table(spark, sf_dir, "embeddings"), seed_mod=50)
+
+
+_init_q170()

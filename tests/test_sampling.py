@@ -231,3 +231,72 @@ def test_kmv_distinct_exact_below_k_and_bracket_above(spark):
     n, est = got["big"]
     assert n == 128
     assert abs(est - 5000) / 5000 < 0.30  # ~1/sqrt(126) rel error, 3 sigma
+
+
+def test_heavy_hitters_exact_above_threshold(spark):
+    from node_etl_spark.functions.sketch import heavy_hitters
+
+    # 60 'a', 30 'b', 110 singletons -> N=200; k=4 -> keep cnt*5 > 200
+    rows = (
+        [("a",)] * 60 + [("b",)] * 30 + [(f"t{i}",) for i in range(110)]
+    )
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    got = {(r.item, r.cnt, r.n) for r in heavy_hitters(df, "item", k=4).collect()}
+    assert got == {("a", 60, 200)}  # b: 30*5=150 <= 200 -> excluded
+
+
+def test_heavy_hitters_candidate_superset_small_k(spark):
+    from node_etl_spark.functions.sketch import heavy_hitters
+
+    # adversarial interleaving across partitions must never lose a
+    # true heavy hitter (per-partition MG union is a guaranteed
+    # superset of items with cnt > N/(k+1))
+    rows = [(f"x{i % 7}",) for i in range(70)] + [("hot",)] * 30
+    df = spark.createDataFrame(rows, "item string").repartition(16)
+    got = {r.item: r.cnt for r in heavy_hitters(df, "item", k=2).collect()}
+    # N=100, threshold cnt > 33.3: only 'hot' (30) misses, x* have 10
+    assert got == {}
+    got4 = {r.item: r.cnt for r in heavy_hitters(df, "item", k=4).collect()}
+    # threshold cnt > 20: only 'hot'
+    assert got4 == {"hot": 30}
+
+
+def test_chisq_independent_uniform_is_zero(spark):
+    from node_etl_spark.functions.profile import chisq_independence
+
+    # perfectly independent 2x2 with equal margins -> chi2 = 0
+    rows = [("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")] * 25
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chisq_independence(df, "a", "b").collect()[0]
+    assert r.n == 100 and r.dof == 1
+    assert r.chi2 == 0.0 and r.cramers_v == 0.0
+
+
+def test_chisq_perfect_dependence_equals_n(spark):
+    from node_etl_spark.functions.profile import chisq_independence
+
+    # a determines b exactly -> chi2 = n * min(r-1, c-1); V = 1
+    rows = [("x", "u")] * 30 + [("y", "v")] * 20
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chisq_independence(df, "a", "b").collect()[0]
+    assert r.chi2 == 50.0 and r.cramers_v == 1.0
+
+
+def test_mutual_information_matches_closed_form(spark):
+    from node_etl_spark.functions.profile import mutual_information
+
+    # perfect dependence with equal halves: MI = H = 1 bit, NMI = 1
+    rows = [("x", "u")] * 50 + [("y", "v")] * 50
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert r.mi_bits == 1.0 and r.h_a == 1.0 and r.h_b == 1.0
+    assert r.nmi == 1.0
+
+
+def test_mutual_information_independent_is_zero(spark):
+    from node_etl_spark.functions.profile import mutual_information
+
+    rows = [("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert r.mi_bits == 0.0 and r.nmi == 0.0

@@ -235,3 +235,52 @@ def test_probe_buckets_flip_exactly_one_bit(spark):
             x = extra ^ base[t]
             assert x != 0 and (x & (x - 1)) == 0  # exactly one bit flipped
         assert len(set(probed[t])) == 3  # base + 2 distinct probes
+
+
+def test_semdedup_finds_in_cluster_dups(spark):
+    # ids 0 and 50 are the centroid seeds (seed_mod=50); 1 is nearly
+    # parallel to 0 (same cluster, cos ~ 1), 51 nearly parallel to 50,
+    # 3 is orthogonal to everything
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (50, [0.0, 1.0, 0.0, 0.0]),
+        (51, [0.0, 0.998, 0.02, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    out = S.semdedup(vec_df(spark, rows), seed_mod=50, threshold=0.9)
+    got = {(r.dup_id, r.keep_id, r.cluster_id) for r in out.collect()}
+    assert got == {(1, 0, 0), (51, 50, 50)}
+
+
+def test_semdedup_keeper_is_smallest_id(spark):
+    # three mutually-similar vectors in one cluster: 1 and 2 both
+    # record the SMALLEST earlier id (0) as keeper, not each other
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.99, 0.01]),
+        (2, [0.98, 0.02]),
+    ]
+    out = S.semdedup(vec_df(spark, rows), seed_mod=50, threshold=0.9)
+    keepers = {r.dup_id: r.keep_id for r in out.collect()}
+    assert keepers == {1: 0, 2: 0}
+
+
+def test_pq_codes_identical_vectors_share_fingerprint(spark):
+    # 8-dim, 2 blocks of 4; vectors 0 and 100 are seeds (codebook);
+    # 1 copies 0 exactly -> same codes as 0; 2 mixes block halves
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+        (100, [0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+    ]
+    out = S.pq_encode(
+        vec_df(spark, rows), dim=8, n_blocks=2, seed_mod=100
+    )
+    by_id = {r.vec_id: r for r in out.collect()}
+    assert by_id[1].code_fp == by_id[0].code_fp
+    assert by_id[1].recon_err == 0.0
+    assert by_id[2].code_fp != by_id[0].code_fp
+    assert by_id[2].recon_err == 0.0  # block halves match different seeds
+    assert by_id[0].recon_err == 0.0  # seeds quantize to themselves
