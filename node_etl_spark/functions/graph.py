@@ -331,18 +331,31 @@ def _pagerank_edge_frame(
     checkpointed (e_src, e_dst, outdeg) edge frame with dst-only
     dangling edges pre-filtered unless the caller vouches there are
     none (symmetric / co-occurrence edge sets). One definition so the
-    two loops can never drift."""
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
-    nodes = deg.select(F.col(src).alias("node")).localCheckpoint(eager=True)
-    e = edges.join(deg, src).select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "outdeg"
+    two loops can never drift.
+
+    The RAW edge frame is checkpointed FIRST: callers hand in lazy,
+    often expensive plans (q122's co-occurrence build is a lineitem
+    shuffle + set explode + pair distinct), and deriving degrees,
+    universe, and the annotated edge frame each as separate eager
+    jobs from that lazy plan would re-execute the whole upstream
+    once per job — measured ~2s of the q122 budget at sf0.1.
+    Everything downstream of ``e0`` is one cheap agg or a map-side
+    broadcast join over already-materialized rows."""
+    e0 = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint(eager=True)
+    deg = e0.groupBy("e_src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = deg.select(F.col("e_src").alias("node")).localCheckpoint(
+        eager=True
     )
+    # the broadcast hint obeys the rank-state budget (deg and ranks
+    # have identical cardinality: one row per source node)
+    dside = F.broadcast(deg) if broadcast_ranks else deg
+    e = e0.join(dside, "e_src").select("e_src", "e_dst", "outdeg")
     if not assume_no_dangling:
         # ``assume_no_dangling=True`` is a caller contract that every
         # dst also appears as a src, making this semi-join a no-op —
         # skipping it drops one join from the one-time edge build.
-        # The broadcast hint obeys the rank-state budget (nodes and
-        # ranks have identical cardinality).
         nside = F.broadcast(nodes) if broadcast_ranks else nodes
         e = e.join(nside, F.col("e_dst") == F.col("node"), "left_semi")
     return deg, nodes, e.localCheckpoint(eager=True)
