@@ -199,6 +199,18 @@ def main() -> None:
     # queries dict under short keys ("q01", "q122", ...) with compact
     # separators so the ONE JSON line always fits that capture window
     short = {name.split("_", 1)[0]: secs for name, secs in timings.items()}
+    # fixed-work CPU calibration (hash+sum over 100M longs, best of
+    # 3): round-over-round suite comparisons span VM instances whose
+    # raw speed varies by tens of percent; dividing by calib_sec
+    # separates engine changes from machine changes
+    calib = None
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(100_000_000).selectExpr(
+            "sum(xxhash64(id)) AS s"
+        ).collect()
+        dt = time.time() - t0
+        calib = dt if calib is None else min(calib, dt)
     print(
         json.dumps(
             {
@@ -207,6 +219,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": short,
                 "sf": sf,
+                "calib_sec": round(calib, 3),
             },
             separators=(",", ":"),
         )

@@ -2835,11 +2835,9 @@ def q86_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         _SPLITS,
     )
-    return D.decontaminate_pairs(
-        docs.filter("split = 'train'"),
-        docs.filter("split = 'test'"),
-        n=5,
-        max_df=50,
+    # splits of one frame -> sided variant: one shingle pass, not two
+    return D.decontaminate_pairs_sided(
+        docs, "split", "train", "test", n=5, max_df=50
     )
 
 
