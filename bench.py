@@ -140,6 +140,7 @@ HEADLINE = [
     "q168_mutual_information",
     "q169_semdedup",
     "q170_pq_codes",
+    "q171_bloom_semi_join",
 ]
 
 

@@ -309,3 +309,101 @@ def heavy_hitters_oracle_sql(items_sql: str, k: int) -> str:
     FROM cnts, tot t
     WHERE cnt * ({k} + 1) > t.n
     """
+
+
+def bloom_words(
+    keys: DataFrame, key_col: str, n_bits: int, n_hashes: int = 6
+) -> list[int]:
+    """Build a bloom filter over ``keys[key_col]`` as a dense list of
+    ``n_bits/64`` int64 words (driver-side, bounded: the whole point
+    of a bloom is that it fits in memory when the key SET does not
+    need to be shipped). Build cost is one sparse aggregation —
+    (word_idx, OR of bit masks) rows, at most ``n_bits/64`` of them —
+    and a driver collect of that word list, never of the keys.
+
+    Hash family: ``xxhash64(key, seed_i)`` for i in [0, n_hashes) —
+    the same JVM-side expression the probe test uses, so build and
+    probe can never disagree.
+    """
+    n_words = (n_bits + 63) // 64
+    rows = []
+    for i in range(n_hashes):
+        h = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(n_bits))
+        rows.append(
+            F.struct(
+                (h / 64).cast("int").alias("w"),
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("bigint"),
+                    (h % 64).cast("int"),
+                ).alias("m"),
+            )
+        )
+    sparse = (
+        keys.select(F.explode(F.array(*rows)).alias("b"))
+        .select(F.col("b.w").alias("w"), F.col("b.m").alias("m"))
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("word"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in sparse:
+        words[r.w] = r.word
+    return words
+
+
+def bloom_might_contain(
+    words: list[int], key, n_bits: int, n_hashes: int = 6
+):
+    """Pure-Catalyst bloom membership test (codegen'd, no UDF, no
+    join): AND over ``n_hashes`` bit probes into the literal word
+    array. ``key`` is a Column."""
+    arr = F.lit(words)
+    test = None
+    for i in range(n_hashes):
+        h = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(n_bits))
+        word = F.element_at(arr, (h / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (h % 64).cast("int")
+        )
+        probe = word.bitwiseAND(bit) != 0
+        test = probe if test is None else (test & probe)
+    return test
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    keys: DataFrame,
+    big_key: str,
+    keys_key: str,
+    bits_per_key: int = 12,
+    n_hashes: int = 6,
+) -> DataFrame:
+    """Exact semi join with bloom pre-pruning — the runtime-filter
+    pattern (Spark's AQE InjectRuntimeFilter, made explicit and
+    portable): at 100 TB a fact-side semi join shuffles the whole
+    fact table on the join key even though only a sliver survives.
+    Here the key side collapses to a bloom (one agg + a word-list
+    collect, ~``bits_per_key``/8 bytes per distinct key), the fact
+    scan is pruned by a codegen'd literal-array bit test BEFORE any
+    exchange, and only the survivors (true matches + the bloom's
+    false positives, ~0.05% at 12 bits/key, 6 hashes) reach the
+    exact verification semi join. Result is EXACTLY the semi join —
+    the bloom only prunes, the join decides.
+    """
+    n_keys = keys.select(keys_key).distinct().count()
+    n_bits = max(64, n_keys * bits_per_key)
+    words = bloom_words(
+        keys.select(F.col(keys_key).alias(keys_key)).distinct(),
+        keys_key,
+        n_bits,
+        n_hashes,
+    )
+    pruned = big.filter(
+        bloom_might_contain(words, F.col(big_key), n_bits, n_hashes)
+    )
+    return pruned.join(
+        keys.select(F.col(keys_key).alias(big_key)).distinct(),
+        big_key,
+        "left_semi",
+    )

@@ -6467,3 +6467,46 @@ def _init_q170() -> None:
 
 
 _init_q170()
+
+
+# --------------------------------------------------------------------
+# q171 — bloom-pruned semi join (the explicit runtime filter)
+# --------------------------------------------------------------------
+
+def _init_q171() -> None:
+    from ..functions.sketch import bloom_semi_join
+
+    @register(
+        "q171_bloom_semi_join",
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag
+        """,
+        doc="Semi join with explicit bloom runtime filter (functions/"
+            "sketch.py bloom_semi_join): urgent-order keys collapse "
+            "to a bloom word array (one agg + bounded collect), the "
+            "lineitem scan is pruned by a codegen'd literal bit test "
+            "BEFORE any exchange, and only survivors reach the exact "
+            "verify semi join — shuffle volume tracks the match rate, "
+            "not the fact-table size. Result is exactly the semi "
+            "join; the oracle is the plain IN-subquery definition.",
+    )
+    def q171_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = table(spark, sf_dir, "lineitem")
+        urgent = table(spark, sf_dir, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        hits = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+        return hits.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            dsum("l_extendedprice * (1 - l_discount)", 4).alias("revenue"),
+        )
+
+
+_init_q171()

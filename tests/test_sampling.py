@@ -300,3 +300,42 @@ def test_mutual_information_independent_is_zero(spark):
     df = spark.createDataFrame(rows, "a string, b string")
     r = mutual_information(df, "a", "b").collect()[0]
     assert r.mi_bits == 0.0 and r.nmi == 0.0
+
+
+def test_bloom_semi_join_is_exact(spark):
+    from node_etl_spark.functions.sketch import bloom_semi_join
+
+    big = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1000)], "k bigint, v string"
+    )
+    keys = spark.createDataFrame(
+        [(i * 7,) for i in range(30)], "kk bigint"
+    )
+    got = {r.k for r in bloom_semi_join(big, keys, "k", "kk").collect()}
+    want = {i * 7 for i in range(30) if i * 7 < 1000}
+    assert got == want
+
+
+def test_bloom_semi_join_empty_keys(spark):
+    from node_etl_spark.functions.sketch import bloom_semi_join
+
+    big = spark.createDataFrame([(1,), (2,)], "k bigint")
+    keys = spark.createDataFrame([], "kk bigint")
+    assert bloom_semi_join(big, keys, "k", "kk").count() == 0
+
+
+def test_bloom_words_probe_agreement(spark):
+    from node_etl_spark.functions.sketch import (
+        bloom_might_contain,
+        bloom_words,
+    )
+    from pyspark.sql import functions as F
+
+    keys = spark.createDataFrame([(i,) for i in range(100)], "k bigint")
+    words = bloom_words(keys, "k", n_bits=100 * 12)
+    # zero false negatives by construction
+    hits = (
+        keys.filter(bloom_might_contain(words, F.col("k"), 100 * 12))
+        .count()
+    )
+    assert hits == 100
