@@ -141,6 +141,8 @@ HEADLINE = [
     "q169_semdedup",
     "q170_pq_codes",
     "q171_bloom_semi_join",
+    "q172_bitext_mining",
+    "q173_temperature_mix",
 ]
 
 

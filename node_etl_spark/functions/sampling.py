@@ -438,3 +438,102 @@ def negative_samples_sql(
            c.anchor_id AS neg_id
     FROM resolved r JOIN idxed c ON c.idx = r.neg_idx
     """
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based source sampling (the multilingual /
+    multi-source rebalancing rule of XLM-R, mT5, and the Pile-style
+    recipes): target share of source i is
+    ``p_i = n_i^alpha / SUM n_j^alpha`` — alpha = 1 keeps natural
+    proportions, alpha -> 0 approaches uniform, in between it lifts
+    small sources without letting the head dominate. Unlike
+    :func:`mix_sources` (explicit per-source shares) the recipe here
+    is one scalar.
+
+    Same scale shape as mix_sources: a per-source size aggregate
+    (dimension-sized, broadcast back) and a row-local portable
+    hash-bucket keep test — the corpus is touched once, append-stably.
+    Cross-engine exactness: the only non-rational step, ``n^alpha``,
+    is quantized to DECIMAL(38,12) before the (exact) weight sum, and
+    keep rates are rounded to 9 digits before the bucket compare, so
+    sub-ulp libm pow differences cannot flip a row. Returns
+    (id, source, keep_rate).
+    """
+    sizes = df.groupBy(source_col).agg(
+        F.sum(size_col).cast("bigint").alias("sz")
+    )
+    w = sizes.select(
+        source_col,
+        "sz",
+        F.expr(f"CAST(pow(CAST(sz AS DOUBLE), {alpha!r}) AS DECIMAL(38,12))")
+        .alias("w"),
+    )
+    tot = w.agg(
+        F.sum("sz").cast("bigint").alias("tot"),
+        F.sum("w").alias("wsum"),
+    )
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac)
+                * (
+                    F.col("w").cast("double")
+                    / F.col("wsum").cast("double")
+                )
+                * F.col("tot").cast("double")
+                / F.col("sz").cast("double"),
+            ),
+            9,
+        ).alias("keep_rate"),
+    )
+    bucket = hash_bucket(F.col(id_col), seed=seed)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(
+            bucket.cast("double") < F.col("keep_rate") * F.lit(float(BUCKETS))
+        )
+        .select(id_col, source_col, "keep_rate")
+    )
+
+
+def temperature_mix_sql(
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    table: str = "documents",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of :func:`temperature_mix`."""
+    bucket = hash_bucket_sql(f"d.{id_col}", seed=seed)
+    return f"""
+    WITH sizes AS (
+        SELECT {source_col}, CAST(SUM({size_col}) AS BIGINT) AS sz
+        FROM {table} GROUP BY 1),
+    w AS (
+        SELECT {source_col}, sz,
+               CAST(pow(CAST(sz AS DOUBLE), {alpha!r}) AS DECIMAL(38,12)) AS w
+        FROM sizes),
+    tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS tot, SUM(w) AS wsum FROM w),
+    rates AS (
+        SELECT w.{source_col},
+               round(least(1.0,
+                   {budget_frac!r} * (CAST(w.w AS DOUBLE) / CAST(t.wsum AS DOUBLE))
+                   * CAST(t.tot AS DOUBLE) / CAST(w.sz AS DOUBLE)), 9)
+                   AS keep_rate
+        FROM w, tot t)
+    SELECT d.{id_col}, d.{source_col}, r.keep_rate
+    FROM {table} d JOIN rates r USING ({source_col})
+    WHERE CAST({bucket} AS DOUBLE) < r.keep_rate * {float(BUCKETS)!r}
+    """

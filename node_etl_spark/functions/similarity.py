@@ -1272,3 +1272,116 @@ def pq_oracle_sql(
     FROM best WHERE rn = 1
     GROUP BY id
     """
+
+
+def bitext_margin_pairs(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    k: int = 4,
+    threshold: float = 1.1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext / parallel-pair mining (Artetxe & Schwenk
+    ACL'19; the CCMatrix/LASER harvesting rule): for each vector on
+    side A, its best cosine match on side B scored by the RATIO
+    margin — best similarity divided by the average of both
+    directions' mean top-k similarities. Absolute cosine thresholds
+    break under hubness (some vectors are near everything); the
+    margin normalizes by each endpoint's neighborhood density, which
+    is what makes mined pairs usable as training bitext.
+
+    Built on :func:`brute_force_topk` both directions (blocked GEMM,
+    shuffle O(blocks * queries * k)); swap in :func:`lsh_topk` for
+    the billion-pair regime — the margin math is unchanged. All
+    statistics use the 6-digit-rounded sims with decimal mean
+    accumulation, so the whole miner sits on the exact value gate.
+    Returns (src_id, tgt_id, sim, margin) with margin >= threshold.
+    """
+    fwd = brute_force_topk(b_df, a_df, k=k, id_col=id_col, vec_col=vec_col)
+    bwd = brute_force_topk(a_df, b_df, k=k, id_col=id_col, vec_col=vec_col)
+
+    def mean_k(tk: DataFrame, name: str) -> DataFrame:
+        return tk.groupBy("query_id").agg(
+            F.round(
+                F.sum(F.col("sim").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias(name)
+        )
+
+    ma = mean_k(fwd, "mean_a")
+    mb = mean_k(bwd, "mean_b")
+    best = fwd.filter(F.col("rank") == 1).select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("tgt_id"),
+        "sim",
+    )
+    return (
+        best.join(ma.withColumnRenamed("query_id", "src_id"), "src_id")
+        .join(mb.withColumnRenamed("query_id", "tgt_id"), "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "sim",
+            F.round(
+                F.col("sim") / ((F.col("mean_a") + F.col("mean_b")) / 2), 6
+            ).alias("margin"),
+        )
+        .filter(F.col("margin") >= threshold)
+    )
+
+
+def bitext_oracle_sql(
+    table: str = "embeddings",
+    id_: str = "vec_id",
+    vec: str = "embedding",
+    side_expr: str = "label % 2",
+    k: int = 4,
+    threshold: float = 1.1,
+) -> str:
+    """DuckDB mirror of :func:`bitext_margin_pairs` with sides A/B =
+    ``side_expr`` 0/1; one cross-side sims CTE serves both
+    directions."""
+    return f"""
+    WITH e AS (SELECT CAST({id_} AS BIGINT) AS id, {vec} AS v,
+                      {side_expr} AS side FROM {table}),
+    a AS (SELECT id, v FROM e WHERE side = 0),
+    b AS (SELECT id, v FROM e WHERE side = 1),
+    expanded AS (
+        SELECT a.id AS a_id, b.id AS b_id, a.v AS av, b.v AS bv,
+               unnest(generate_series(1, len(a.v))) AS i
+        FROM a, b),
+    sims AS (
+        SELECT a_id, b_id,
+               round(CAST(SUM(CAST(CAST(av[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
+                     / (sqrt(CAST(SUM(CAST(CAST(av[i] AS DOUBLE) * CAST(av[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE))
+                        * sqrt(CAST(SUM(CAST(CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE))),
+                     6) AS sim
+        FROM expanded GROUP BY 1, 2),
+    fwd AS (
+        SELECT a_id, b_id, sim,
+               row_number() OVER (PARTITION BY a_id
+                   ORDER BY sim DESC, b_id) AS rnk
+        FROM sims),
+    bwd AS (
+        SELECT a_id, b_id, sim,
+               row_number() OVER (PARTITION BY b_id
+                   ORDER BY sim DESC, a_id) AS rnk
+        FROM sims),
+    ma AS (
+        SELECT a_id,
+               round(CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_a
+        FROM fwd WHERE rnk <= {k} GROUP BY a_id),
+    mb AS (
+        SELECT b_id,
+               round(CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_b
+        FROM bwd WHERE rnk <= {k} GROUP BY b_id),
+    best AS (SELECT a_id, b_id, sim FROM fwd WHERE rnk = 1)
+    SELECT best.a_id AS src_id, best.b_id AS tgt_id, best.sim,
+           round(best.sim / ((ma.mean_a + mb.mean_b) / 2), 6) AS margin
+    FROM best JOIN ma USING (a_id) JOIN mb USING (b_id)
+    WHERE round(best.sim / ((ma.mean_a + mb.mean_b) / 2), 6) >= {threshold}
+    """

@@ -24,7 +24,7 @@ separately in unit tests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -353,12 +353,16 @@ def bloom_words(
 
 
 def bloom_might_contain(
-    words: list[int], key, n_bits: int, n_hashes: int = 6
+    words, key, n_bits: int, n_hashes: int = 6
 ):
-    """Pure-Catalyst bloom membership test (codegen'd, no UDF, no
-    join): AND over ``n_hashes`` bit probes into the literal word
-    array. ``key`` is a Column."""
-    arr = F.lit(words)
+    """Pure-Catalyst bloom membership test (codegen'd, no UDF): AND
+    over ``n_hashes`` bit probes into the word array. ``words`` is a
+    Column (an array attribute — see :func:`bloom_semi_join`) or a
+    Python list; prefer the Column form for non-toy filters: a list
+    lowers to a CreateArray expression that Spark re-materializes
+    PER ROW (~10us/row at 5k words, measured), while an attribute
+    from a broadcast single-row frame is built once."""
+    arr = words if isinstance(words, Column) else F.lit(words)
     test = None
     for i in range(n_hashes):
         h = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(n_bits))
@@ -391,19 +395,27 @@ def bloom_semi_join(
     exact verification semi join. Result is EXACTLY the semi join —
     the bloom only prunes, the join decides.
     """
-    n_keys = keys.select(keys_key).distinct().count()
+    kdist = keys.select(F.col(keys_key).alias(keys_key)).distinct()
+    kdist = kdist.localCheckpoint(eager=True)  # one evaluation serves
+    # the count, the bloom build, and the verify join
+    n_keys = kdist.count()
     n_bits = max(64, n_keys * bits_per_key)
-    words = bloom_words(
-        keys.select(F.col(keys_key).alias(keys_key)).distinct(),
-        keys_key,
-        n_bits,
-        n_hashes,
+    words = bloom_words(kdist, keys_key, n_bits, n_hashes)
+    # single-row broadcast frame, NOT a literal: a 5k-element literal
+    # array is re-created per probed row (CreateArray in codegen);
+    # the broadcast attribute is built once per partition
+    wdf = big.sparkSession.createDataFrame(
+        [(words,)], "__bloom_words array<bigint>"
     )
-    pruned = big.filter(
-        bloom_might_contain(words, F.col(big_key), n_bits, n_hashes)
+    pruned = (
+        big.join(F.broadcast(wdf))
+        .filter(
+            bloom_might_contain(
+                F.col("__bloom_words"), F.col(big_key), n_bits, n_hashes
+            )
+        )
+        .drop("__bloom_words")
     )
     return pruned.join(
-        keys.select(F.col(keys_key).alias(big_key)).distinct(),
-        big_key,
-        "left_semi",
+        kdist.withColumnRenamed(keys_key, big_key), big_key, "left_semi"
     )

@@ -6510,3 +6510,62 @@ def _init_q171() -> None:
 
 
 _init_q171()
+
+
+# --------------------------------------------------------------------
+# q172 — margin-based bitext mining over the embedding space
+# --------------------------------------------------------------------
+
+def _init_q172() -> None:
+    from ..functions.similarity import bitext_margin_pairs, bitext_oracle_sql
+
+    @register(
+        "q172_bitext_mining",
+        bitext_oracle_sql(k=4, threshold=1.1),
+        doc="Margin-based parallel-pair mining (functions/similarity.py "
+            "bitext_margin_pairs; Artetxe & Schwenk ratio margin, the "
+            "CCMatrix/LASER harvesting rule): label-parity halves of "
+            "the embedding table stand in for the two languages; best "
+            "cross-side cosine normalized by both endpoints' mean "
+            "top-4 neighborhood density. Two blocked-GEMM top-k "
+            "passes; hubness-robust where an absolute cosine cut is "
+            "not. Exact gate via rounded sims + decimal means.",
+    )
+    def q172_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = table(spark, sf_dir, "embeddings")
+        return bitext_margin_pairs(
+            emb.filter("label % 2 = 0"),
+            emb.filter("label % 2 = 1"),
+            k=4,
+            threshold=1.1,
+        )
+
+
+_init_q172()
+
+
+# --------------------------------------------------------------------
+# q173 — temperature-based source rebalancing
+# --------------------------------------------------------------------
+
+def _init_q173() -> None:
+    from ..functions.sampling import temperature_mix, temperature_mix_sql
+
+    @register(
+        "q173_temperature_mix",
+        temperature_mix_sql(alpha=0.5, budget_frac=0.5),
+        doc="Temperature-based source sampling (functions/sampling.py "
+            "temperature_mix; the XLM-R/mT5 multilingual rebalancing "
+            "rule): per-source share n_i^0.5 / sum n_j^0.5 lifts "
+            "small sources toward uniform, realized as a portable "
+            "hash-bucket keep test — one dimension-sized size agg, "
+            "one narrow pass, append-stable. The one-scalar-recipe "
+            "complement of q150's explicit-share mix.",
+    )
+    def q173_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return temperature_mix(
+            table(spark, sf_dir, "documents"), alpha=0.5, budget_frac=0.5
+        )
+
+
+_init_q173()

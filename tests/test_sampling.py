@@ -339,3 +339,30 @@ def test_bloom_words_probe_agreement(spark):
         .count()
     )
     assert hits == 100
+
+
+def test_temperature_mix_alpha_one_keeps_budget_everywhere(spark):
+    from node_etl_spark.functions.sampling import temperature_mix
+
+    rows = [(i, "big" if i < 80 else "small", 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    # alpha=1: p_i proportional to n_i -> keep_rate = budget for all
+    out = temperature_mix(df, alpha=1.0, budget_frac=0.5)
+    rates = {r.source: r.keep_rate for r in out.collect()}
+    assert rates == {"big": 0.5, "small": 0.5}
+
+
+def test_temperature_mix_low_alpha_lifts_small_sources(spark):
+    from node_etl_spark.functions.sampling import temperature_mix
+
+    rows = [(i, "big" if i < 90 else "small", 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    out = temperature_mix(df, alpha=0.3, budget_frac=0.5)
+    rates = {}
+    for r in out.collect():
+        rates[r.source] = r.keep_rate
+    assert rates["small"] > rates["big"]
+    # small source's target share can exceed its size -> rate caps at 1
+    out_uniform = temperature_mix(df, alpha=0.01, budget_frac=0.9)
+    rs = {r.source: r.keep_rate for r in out_uniform.collect()}
+    assert rs["small"] == 1.0

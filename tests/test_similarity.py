@@ -284,3 +284,27 @@ def test_pq_codes_identical_vectors_share_fingerprint(spark):
     assert by_id[2].code_fp != by_id[0].code_fp
     assert by_id[2].recon_err == 0.0  # block halves match different seeds
     assert by_id[0].recon_err == 0.0  # seeds quantize to themselves
+
+
+def test_bitext_margin_prefers_isolated_pairs(spark):
+    # a0<->b0 are near-parallel and isolated; a1 is a hub vector
+    # moderately close to BOTH b vectors, so its margin stays low
+    a = vec_df(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.5, 0.5, 0.5, 0.5]),
+        ],
+    )
+    b = vec_df(
+        spark,
+        [
+            (1, [0.999, 0.01, 0.0, 0.0]),
+            (3, [0.6, 0.4, 0.5, 0.5]),
+        ],
+    )
+    out = S.bitext_margin_pairs(a, b, k=2, threshold=0.0)
+    rows = {r.src_id: r for r in out.collect()}
+    assert rows[0].tgt_id == 1
+    # isolated near-parallel pair scores a higher margin than the hub
+    assert rows[0].margin > rows[2].margin
