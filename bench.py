@@ -143,6 +143,8 @@ HEADLINE = [
     "q171_bloom_semi_join",
     "q172_bitext_mining",
     "q173_temperature_mix",
+    "q174_part_kcore",
+    "q175_degree_assortativity",
 ]
 
 

@@ -1061,3 +1061,152 @@ def ppr_oracle_sql(
         ",\n    ".join(parts)
         + f"\n    SELECT node, rank FROM r{iterations}"
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling over a symmetric edge set: each
+    round drops nodes with out-degree < k and restricts edges to
+    surviving endpoints; after enough rounds the fixpoint is the
+    k-core (Seidman 1983) — the dense-backbone extraction used to
+    find obligate co-occurrence structure (and, in dedup graphs,
+    template families too entangled for pairwise rules).
+
+    ``rounds`` is FIXED, not run-to-convergence, for the same reason
+    pagerank's iterations are: the DuckDB oracle unrolls the exact
+    same rounds, making the (node, deg) output bit-comparable at any
+    scale; peeling converges geometrically in practice, and a
+    converged round is a no-op (degree filter keeps everything), so
+    overshooting rounds is safe, not wrong.
+
+    Scale shape: per round one degree aggregation (shuffle on src
+    over the shrinking edge set) and two semi joins against the
+    (node-sized, broadcast) keep set; the edge frame is checkpointed
+    once up front so the authoring plan never re-executes. Returns
+    (node, deg) of survivors with degrees in the peeled subgraph.
+    """
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(
+            F.col("e_src").alias("node")
+        )
+        e = e.join(
+            F.broadcast(keep), F.col("e_src") == F.col("node"), "left_semi"
+        ).join(
+            F.broadcast(keep), F.col("e_dst") == F.col("node"), "left_semi"
+        )
+    return (
+        e.groupBy(F.col("e_src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .filter(F.col("deg") >= k)
+    )
+
+
+def kcore_oracle_sql(
+    edges_sql: str, k: int, rounds: int = 4
+) -> str:
+    """DuckDB mirror of :func:`kcore` with the rounds unrolled into
+    CTEs. ``edges_sql`` yields (src, dst), symmetric."""
+    parts = [f"WITH e0 AS ({edges_sql})"]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"k{r} AS (SELECT src AS node FROM {prev}"
+            f" GROUP BY src HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"e{r} AS (SELECT e.src, e.dst FROM {prev} e"
+            f" WHERE e.src IN (SELECT node FROM k{r})"
+            f" AND e.dst IN (SELECT node FROM k{r}))"
+        )
+        prev = f"e{r}"
+    parts.append(
+        f"final AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg"
+        f" FROM {prev} GROUP BY src HAVING COUNT(*) >= {k})"
+    )
+    return ",\n".join(parts) + "\nSELECT node, deg FROM final"
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of (source degree, destination degree) over directed
+    edges — positive means hubs link to hubs (social-graph shape),
+    negative means hubs link to leaves (star/hub-and-spoke shape).
+    The one-number structural audit run before graph algorithms whose
+    cost depends on that shape (triangle counting, LPA, components).
+
+    Exactness: the five sufficient statistics (sum dx, dy, dx^2,
+    dy^2, dx*dy) accumulate as DECIMAL(38,0) from exact BIGINT
+    degrees — the q144 OLS discipline; at billions of edges an int64
+    sum of degree products would wrap. One degree agg, two broadcast
+    joins onto edges, one scalar agg. Returns one row
+    (n_edges, assortativity) with the coefficient rounded(6).
+    """
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+    dx = deg.select(F.col(src).alias("__s"), F.col("deg").alias("dx"))
+    dy = deg.select(F.col(src).alias("__d"), F.col("deg").alias("dy"))
+    joined = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .join(F.broadcast(dx), "__s")
+        .join(F.broadcast(dy), "__d")
+    )
+    s = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(F.col("dx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("dy").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("dx") * F.col("dx")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("dx") * F.col("dy")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    num = (
+        "CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    )
+    den = (
+        "sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    return s.select(
+        "n_edges",
+        F.round(F.expr(f"({num}) / ({den})"), 6).alias("assortativity"),
+    )
+
+
+def assortativity_oracle_sql(edges_sql: str) -> str:
+    """DuckDB mirror of :func:`degree_assortativity`."""
+    return f"""
+    WITH e AS ({edges_sql}),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+    j AS (
+        SELECT dx.deg AS dx, dy.deg AS dy
+        FROM e JOIN deg dx ON e.src = dx.src JOIN deg dy ON e.dst = dy.src),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+               SUM(CAST(dx AS DECIMAL(38,0))) AS sx,
+               SUM(CAST(dy AS DECIMAL(38,0))) AS sy,
+               SUM(CAST(dx * dx AS DECIMAL(38,0))) AS sxx,
+               SUM(CAST(dy * dy AS DECIMAL(38,0))) AS syy,
+               SUM(CAST(dx * dy AS DECIMAL(38,0))) AS sxy
+        FROM j)
+    SELECT n_edges,
+           round((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS assortativity
+    FROM s
+    """

@@ -6569,3 +6569,51 @@ def _init_q173() -> None:
 
 
 _init_q173()
+
+
+# --------------------------------------------------------------------
+# q174/q175 — graph-structure audits: k-core backbone + assortativity
+# --------------------------------------------------------------------
+
+def _init_q174_q175() -> None:
+    # reuses _PART_EDGES2_SQL (the distinct-co-order >= 2 edge set
+    # shared with q141/q142)
+    from ..functions.graph import (
+        assortativity_oracle_sql,
+        degree_assortativity,
+        kcore,
+        kcore_oracle_sql,
+    )
+
+    @register(
+        "q174_part_kcore",
+        kcore_oracle_sql(_PART_EDGES2_SQL, k=3, rounds=4),
+        doc="3-core of the repeat co-purchase graph (functions/"
+            "graph.py kcore): fixed-round degree peeling to the dense "
+            "backbone — per round one degree agg over the shrinking "
+            "checkpointed edge set + two broadcast semi joins; rounds "
+            "unrolled in the DuckDB oracle, overshoot is a no-op.",
+    )
+    def q174_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+        edges = _part_cooccur(spark, sf_dir, min_cnt=2).select("src", "dst")
+        return kcore(edges, k=3, rounds=4)
+
+    @register(
+        "q175_degree_assortativity",
+        assortativity_oracle_sql(_PART_EDGES2_SQL),
+        doc="Degree assortativity (functions/graph.py "
+            "degree_assortativity; Newman 2002) of the repeat "
+            "co-purchase graph: Pearson correlation of endpoint "
+            "degrees from five DECIMAL(38,0) sufficient statistics "
+            "(the q144 OLS discipline) — the one-number structural "
+            "audit run before committing to a triangle/LPA/component "
+            "plan whose cost depends on hub shape.",
+    )
+    def q175_degree_assortativity(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        edges = _part_cooccur(spark, sf_dir, min_cnt=2).select("src", "dst")
+        return degree_assortativity(edges)
+
+
+_init_q174_q175()

@@ -397,3 +397,43 @@ def test_ppr_seed_outside_universe_ignored(spark):
     assert set(got) == {1, 2}
     # 999 ignored -> |S| = 1, so node 1 keeps the full restart mass
     assert got[1] > got[2]
+
+
+def test_kcore_peels_tail(spark):
+    from node_etl_spark.functions.graph import kcore
+
+    # triangle 1-2-3 (2-core) with a pendant chain 3-4-5
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src bigint, dst bigint",
+    )
+    out = {r.node: r.deg for r in kcore(edges, k=2, rounds=4).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_overshoot_rounds_is_noop(spark):
+    from node_etl_spark.functions.graph import kcore
+
+    und = [(1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src bigint, dst bigint",
+    )
+    few = {(r.node, r.deg) for r in kcore(edges, k=2, rounds=1).collect()}
+    many = {(r.node, r.deg) for r in kcore(edges, k=2, rounds=6).collect()}
+    assert few == many
+
+
+def test_assortativity_star_is_negative(spark):
+    from node_etl_spark.functions.graph import degree_assortativity
+
+    # star: hub 0 to leaves 1..5, symmetric -> strongly disassortative
+    und = [(0, i) for i in range(1, 6)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src bigint, dst bigint",
+    )
+    r = degree_assortativity(edges).collect()[0]
+    assert r.n_edges == 10
+    assert r.assortativity == -1.0
