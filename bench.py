@@ -145,6 +145,8 @@ HEADLINE = [
     "q173_temperature_mix",
     "q174_part_kcore",
     "q175_degree_assortativity",
+    "q176_partition_pruned_read",
+    "q177_url_canonical_dedup",
 ]
 
 

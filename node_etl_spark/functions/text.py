@@ -726,3 +726,50 @@ def strip_boilerplate_sql(
     FROM (SELECT DISTINCT {id_} AS doc_id FROM src) i
     LEFT JOIN rebuilt r USING (doc_id)
     """
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical URL form for crawl-level dedup (the Common Crawl /
+    C4 URL-normalization step): lowercase scheme+host, strip
+    fragments, strip tracking query parameters (utm_*, fbclid,
+    gclid, ref), drop an empty leftover '?', and remove a trailing
+    slash from non-root paths. Pure Catalyst string/regexp
+    expressions (codegen'd, shuffle-free); the regexes stay in the
+    portable subset both Java regex and RE2 execute identically.
+    """
+    # scheme+host lowercased, rest untouched
+    c = F.regexp_replace(
+        col, "^(https?)://([^/?#]*)", "$1://$2"
+    )  # anchor match (no-op rewrite, keeps groups referenced once)
+    c = F.concat(
+        F.lower(F.regexp_extract(c, "^(https?://[^/?#]*)", 1)),
+        F.regexp_extract(c, "^https?://[^/?#]*(.*)$", 1),
+    )
+    c = F.regexp_replace(c, "#.*$", "")  # fragment
+    # tracking params, wherever they sit in the query string
+    c = F.regexp_replace(c, "([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*", "$1")
+    c = F.regexp_replace(c, "[?&]+$", "")  # empty leftover separators
+    c = F.regexp_replace(c, "\\?&", "?")  # "?&x" -> "?x"
+    c = F.regexp_replace(c, "&&+", "&")  # collapse doubled separators
+    c = F.regexp_replace(c, "(https?://[^/?#]+/[^?#]*?)/+(\\?|$)", "$1$2")
+    return c
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`canonicalize_url` (same regex subset,
+    same rule order)."""
+    c = f"regexp_replace({expr}, '^(https?)://([^/?#]*)', '\\1://\\2')"
+    c = (
+        f"lower(regexp_extract({c}, '^(https?://[^/?#]*)', 1)) || "
+        f"regexp_extract({c}, '^https?://[^/?#]*(.*)$', 1)"
+    )
+    c = f"regexp_replace({c}, '#.*$', '')"
+    c = (
+        f"regexp_replace({c}, "
+        f"'([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*', '\\1', 'g')"
+    )
+    c = f"regexp_replace({c}, '[?&]+$', '')"
+    c = f"regexp_replace({c}, '\\?&', '?')"
+    c = f"regexp_replace({c}, '&&+', '&', 'g')"
+    c = f"regexp_replace({c}, '(https?://[^/?#]+/[^?#]*?)/+(\\?|$)', '\\1\\2')"
+    return c

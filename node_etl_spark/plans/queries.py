@@ -6617,3 +6617,125 @@ def _init_q174_q175() -> None:
 
 
 _init_q174_q175()
+
+
+# --------------------------------------------------------------------
+# q176 — partitioned layout write + partition-pruned read-back
+# --------------------------------------------------------------------
+
+@register(
+    "q176_partition_pruned_read",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    doc="Hive-partitioned lake layout round-trip: orders written "
+        "partitionBy(o_orderstatus), read back with a partition "
+        "predicate — the scan must touch only the 'F' directory "
+        "(partition pruning asserted in tests/test_plans.py), the "
+        "physical-layout counterpart of q113's checksum and the "
+        "bucketed-join layout (sources/bucketed.py). At 100 TB "
+        "partition pruning is the difference between scanning a "
+        "shard and scanning the lake.",
+)
+def q176_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{_SCRATCH}/orders_by_status"
+    (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice",
+                "o_orderstatus")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter("o_orderstatus = 'F'")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
+# --------------------------------------------------------------------
+# q177 — URL canonicalization + crawl-level dedup
+# --------------------------------------------------------------------
+
+# deterministic raw-URL synthesis (testdata has no URL column): two
+# docs share a page id (doc_id % 250) and each raw form varies by
+# case, tracking params, trailing slash, and fragment — so the
+# canonicalizer must collapse what string equality cannot
+_Q177_RAW_URL_SQL = """
+    'https://' ||
+    CASE WHEN doc_id % 7 = 0 THEN 'WWW.Example.ORG' ELSE 'www.example.org' END
+    || '/page/' || CAST(doc_id % 250 AS VARCHAR)
+    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+            THEN '?utm_source=feed&utm_campaign=x'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN '#section-2' ELSE '' END
+"""
+
+
+def _init_q177() -> None:
+    canon = T.canonicalize_url_sql("url")
+
+    @register(
+        "q177_url_canonical_dedup",
+        f"""
+        WITH raw AS (
+            SELECT doc_id, ({_Q177_RAW_URL_SQL}) AS url FROM documents),
+        canon AS (SELECT doc_id, {canon} AS curl FROM raw)
+        SELECT curl AS canonical_url,
+               CAST(COUNT(*) AS BIGINT) AS n_raw,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+        FROM canon GROUP BY curl
+        """,
+        doc="Crawl-level URL dedup (functions/text.py "
+            "canonicalize_url; the Common Crawl / C4 normalization "
+            "step): lowercase host, strip fragments and utm/clid "
+            "tracking params, trim trailing slashes — all codegen'd "
+            "regexp expressions, zero Python — then keep the lowest "
+            "doc per canonical URL. Raw forms are synthesized "
+            "deterministically with case/param/slash/fragment "
+            "variation the canonicalizer must collapse.",
+    )
+    def q177_url_canonical_dedup(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        raw = table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"),
+                F.when(
+                    F.col("doc_id") % 7 == 0, F.lit("WWW.Example.ORG")
+                ).otherwise(F.lit("www.example.org")),
+                F.lit("/page/"),
+                (F.col("doc_id") % 250).cast("string"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(
+                    F.lit("")
+                ),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.lit("?utm_source=feed&utm_campaign=x"),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 11 == 0, F.lit("#section-2")
+                ).otherwise(F.lit("")),
+            ).alias("url"),
+        )
+        return (
+            raw.select(
+                "doc_id", T.canonicalize_url(F.col("url")).alias("curl")
+            )
+            .groupBy(F.col("curl").alias("canonical_url"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+                F.min("doc_id").cast("bigint").alias("keep_doc"),
+            )
+        )
+
+
+_init_q177()

@@ -309,3 +309,23 @@ def test_neardup_lsh_is_bucket_equijoin(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q136_neardup_lsh")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_readback_prunes_partitions(spark, sf_dir):
+    # q176 writes partitionBy(o_orderstatus) then filters 'F': the
+    # read-back scan must carry the predicate as a PartitionFilter
+    # (directory pruning), not a data filter
+    plan = _plan(spark, sf_dir, "q176_partition_pruned_read")
+    scan = next(
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "orders_by_status" in l
+    )
+    assert "PartitionFilters:" in scan and "o_orderstatus" in scan
+
+
+def test_bloom_semi_join_prunes_before_exchange(spark, sf_dir):
+    # the bloom bit-test must sit in the scan-side Filter (before any
+    # exchange), and the verify join must stay a broadcast semi join
+    plan = _plan(spark, sf_dir, "q171_bloom_semi_join")
+    assert "might_contain" in plan or "shiftleft" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

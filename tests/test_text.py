@@ -275,3 +275,24 @@ def test_strip_boilerplate_preserves_segment_order(spark):
     )
     out = {r.doc_id: r.text for r in strip_boilerplate(df, min_df=3).collect()}
     assert out[1] == "alpha one. beta two. gamma three"
+
+
+def test_canonicalize_url_rules(spark):
+    from node_etl_spark.functions.text import canonicalize_url
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("https://WWW.Example.ORG/page/1", "https://www.example.org/page/1"),
+        ("https://a.org/p?utm_source=x&id=2", "https://a.org/p?id=2"),
+        ("https://a.org/p?id=2&utm_medium=y", "https://a.org/p?id=2"),
+        ("https://a.org/p/?utm_source=x", "https://a.org/p"),
+        ("https://a.org/p#frag", "https://a.org/p"),
+        ("https://a.org/p?fbclid=abc", "https://a.org/p"),
+        ("http://a.org/", "http://a.org/"),  # root slash kept
+        ("https://a.org/p?id=1&gclid=z&x=2", "https://a.org/p?id=1&x=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
