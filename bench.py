@@ -147,6 +147,8 @@ HEADLINE = [
     "q175_degree_assortativity",
     "q176_partition_pruned_read",
     "q177_url_canonical_dedup",
+    "q178_matryoshka_audit",
+    "q179_quality_weighted_sample",
 ]
 
 

@@ -6739,3 +6739,177 @@ def _init_q177() -> None:
 
 
 _init_q177()
+
+
+# --------------------------------------------------------------------
+# q178 — matryoshka truncation fidelity audit for the embedding store
+# --------------------------------------------------------------------
+
+_Q178_TRUNC_DIM = 16
+
+
+@register(
+    "q178_matryoshka_audit",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               a.embedding AS v1, b.embedding AS v2
+        FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+    expanded AS (
+        SELECT id1, id2, v1, v2,
+               unnest(generate_series(1, len(v1))) AS i
+        FROM pairs),
+    cos AS (
+        SELECT id1, id2,
+               round(CAST(SUM(CAST(CAST(v1[i] AS DOUBLE) * CAST(v2[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
+                     / (sqrt(CAST(SUM(CAST(CAST(v1[i] AS DOUBLE) * CAST(v1[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE))
+                        * sqrt(CAST(SUM(CAST(CAST(v2[i] AS DOUBLE) * CAST(v2[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE))),
+                     6) AS cf,
+               round(CAST(SUM(CAST(CASE WHEN i <= {_Q178_TRUNC_DIM}
+                         THEN CAST(v1[i] AS DOUBLE) * CAST(v2[i] AS DOUBLE)
+                         ELSE 0 END AS DECIMAL(38,30))) AS DOUBLE)
+                     / (sqrt(CAST(SUM(CAST(CASE WHEN i <= {_Q178_TRUNC_DIM}
+                               THEN CAST(v1[i] AS DOUBLE) * CAST(v1[i] AS DOUBLE)
+                               ELSE 0 END AS DECIMAL(38,30))) AS DOUBLE))
+                        * sqrt(CAST(SUM(CAST(CASE WHEN i <= {_Q178_TRUNC_DIM}
+                                 THEN CAST(v2[i] AS DOUBLE) * CAST(v2[i] AS DOUBLE)
+                                 ELSE 0 END AS DECIMAL(38,30))) AS DOUBLE))),
+                     6) AS ct
+        FROM expanded GROUP BY 1, 2),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               SUM(CAST(cf AS DECIMAL(18,6))) AS sx,
+               SUM(CAST(ct AS DECIMAL(18,6))) AS sy,
+               SUM(CAST(cf AS DECIMAL(18,6)) * CAST(cf AS DECIMAL(18,6))) AS sxx,
+               SUM(CAST(ct AS DECIMAL(18,6)) * CAST(ct AS DECIMAL(18,6))) AS syy,
+               SUM(CAST(cf AS DECIMAL(18,6)) * CAST(ct AS DECIMAL(18,6))) AS sxy,
+               SUM(CAST(abs(cf - ct) AS DECIMAL(18,6))) AS sad
+        FROM cos)
+    SELECT n_pairs,
+           round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS pearson_r,
+           round(CAST(sad AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+               AS mean_abs_diff
+    FROM s
+    """,
+    doc="Matryoshka truncation audit (Kusupati et al. MRL): does the "
+        "first-16-dim prefix of the 64-dim store preserve pairwise "
+        "geometry? Consecutive-id probe pairs scored with full vs "
+        "truncated cosine; Pearson r and mean |diff| from exact "
+        "DECIMAL sufficient statistics of the rounded cosines (the "
+        "q144/q175 discipline). The decision audit run before "
+        "shipping truncated embeddings (q154 int8 / q170 PQ are the "
+        "other two compression paths).",
+)
+def q178_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+    b = e.select(
+        (F.col("vec_id") - 1).alias("id1"),
+        F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("v2"),
+    )
+    d = _Q178_TRUNC_DIM
+    pairs = a.join(b, "id1").select(
+        "id1",
+        "id2",
+        F.round(S.cosine_vec(F.col("v1"), F.col("v2")), 6).alias("cf"),
+        F.round(
+            S.cosine_vec(
+                F.slice(F.col("v1"), 1, d), F.slice(F.col("v2"), 1, d)
+            ),
+            6,
+        ).alias("ct"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,6)")
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(dec("cf")).alias("sx"),
+        F.sum(dec("ct")).alias("sy"),
+        F.sum(dec("cf") * dec("cf")).alias("sxx"),
+        F.sum(dec("ct") * dec("ct")).alias("syy"),
+        F.sum(dec("cf") * dec("ct")).alias("sxy"),
+        F.sum(F.abs(F.col("cf") - F.col("ct")).cast("decimal(18,6)")).alias(
+            "sad"
+        ),
+    )
+    num = (
+        "CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    )
+    den = (
+        "sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    return s.select(
+        "n_pairs",
+        F.round(F.expr(f"({num}) / ({den})"), 6).alias("pearson_r"),
+        F.round(
+            F.col("sad").cast("double") / F.col("n_pairs").cast("double"), 6
+        ).alias("mean_abs_diff"),
+    )
+
+
+# --------------------------------------------------------------------
+# q179 — quality-weighted soft sampling (DCLM-style quality filter)
+# --------------------------------------------------------------------
+
+def _init_q179() -> None:
+    from ..functions.sampling import hash_bucket, hash_bucket_sql
+
+    bucket = hash_bucket_sql("doc_id", seed=7)
+
+    @register(
+        "q179_quality_weighted_sample",
+        f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> lower(t) IN ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
+                        / len(string_split(text, ' ')) AS sw
+            FROM documents),
+        q AS (
+            SELECT doc_id,
+                   round((least(n / 100.0, 1.0) + least(sw * 4.0, 1.0)) / 2.0, 6)
+                       AS quality
+            FROM scored)
+        SELECT doc_id, quality,
+               round(greatest(quality, 0.05), 6) AS keep_rate
+        FROM q
+        WHERE CAST({bucket} AS DOUBLE)
+              < round(greatest(quality, 0.05), 6) * 10000.0
+        """,
+        doc="Quality-weighted soft sampling (the DCLM/FineWeb move "
+            "from hard quality cuts to probabilistic keeps): keep "
+            "probability = quality score floored at 0.05, realized "
+            "with the portable hash bucket — row-local, append-"
+            "stable, reproducible; a document's fate never depends "
+            "on partitioning. Composes q33's scorer with q55's "
+            "hash-split machinery.",
+    )
+    def q179_quality_weighted_sample(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        docs = table(spark, sf_dir, "documents")
+        scored = docs.select(
+            "doc_id", T.quality_score("text").alias("quality")
+        )
+        rate = F.round(F.greatest(F.col("quality"), F.lit(0.05)), 6)
+        b = hash_bucket(F.col("doc_id"), seed=7)
+        return (
+            scored.withColumn("keep_rate", rate)
+            .filter(b.cast("double") < F.col("keep_rate") * F.lit(10000.0))
+            .select("doc_id", "quality", "keep_rate")
+        )
+
+
+_init_q179()
