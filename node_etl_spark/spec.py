@@ -529,6 +529,95 @@ def _resample_sources_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     return FnTransform(fn, name="resample_sources")
 
 
+def _temperature_mix_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    from .functions.sampling import temperature_mix
+
+    idc = d.get("id_col", "doc_id")
+
+    def fn(df):
+        kept = temperature_mix(
+            df,
+            alpha=float(d.get("alpha", 0.5)),
+            budget_frac=float(d.get("budget_frac", 0.5)),
+            source_col=d.get("source_col", "source"),
+            id_col=idc,
+            size_col=d.get("size_col", "n_chars"),
+        ).select(idc)
+        return df.join(kept, idc, "left_semi")
+
+    return FnTransform(fn, name="temperature_mix")
+
+
+def _heavy_hitters_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    from .functions.sketch import heavy_hitters
+
+    def fn(df):
+        return heavy_hitters(df, d["col"], k=int(d.get("k", 100)))
+
+    return FnTransform(fn, name="heavy_hitters")
+
+
+def _canonical_url_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    from pyspark.sql import functions as F
+
+    from .functions.text import canonicalize_url
+
+    col = d.get("col", "url")
+    out = d.get("out", col)
+
+    def fn(df):
+        return df.withColumn(out, canonicalize_url(F.col(col)))
+
+    return FnTransform(fn, name="canonical_url")
+
+
+def _semdedup_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    from pyspark.sql import functions as F
+
+    from .functions.similarity import semdedup
+
+    idc = d.get("id_col", "vec_id")
+
+    def fn(df):
+        removed = semdedup(
+            df,
+            id_col=idc,
+            vec_col=d.get("vec_col", "embedding"),
+            seed_mod=int(d.get("seed_mod", 50)),
+            threshold=float(d.get("threshold", 0.9)),
+        ).select(F.col("dup_id").alias(idc))
+        return df.join(removed, idc, "left_anti")
+
+    return FnTransform(fn, name="semdedup")
+
+
+def _bloom_semi_join_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    from .functions.sketch import bloom_semi_join
+
+    if "ref" in d:
+        if c is None:
+            raise KeyError(f"bloom_semi_join ref {d['ref']!r} but no catalog")
+        keys_source = c.get(d["ref"])
+    else:
+        keys_source = Pipeline([ParquetSource(d["path"])])
+
+    def fn(df):
+        keys = (
+            keys_source.run(df.sparkSession)
+            if isinstance(keys_source, Pipeline)
+            else keys_source
+        )
+        return bloom_semi_join(
+            df,
+            keys,
+            d["on"],
+            d.get("keys_on", d["on"]),
+            bits_per_key=int(d.get("bits_per_key", 12)),
+        )
+
+    return FnTransform(fn, name="bloom_semi_join")
+
+
 _REGISTRY.update(
     {
         # corpus curation (functions/text.py, functions/sampling.py,
@@ -555,6 +644,11 @@ _REGISTRY.update(
         "pcm_energy": _pcm_energy_op,
         "mix_sources": _mix_sources_op,
         "resample_sources": _resample_sources_op,
+        "temperature_mix": _temperature_mix_op,
+        "heavy_hitters": _heavy_hitters_op,
+        "canonical_url": _canonical_url_op,
+        "semdedup": _semdedup_op,
+        "bloom_semi_join": _bloom_semi_join_op,
     }
 )
 

@@ -490,3 +490,74 @@ def test_spec_resample_sources_emits_copies(spark):
     low = [r for r in out if r.source == "low"]
     assert len(low) == 50  # f = 1000*0.5/100 = 5 copies each
     assert {r.copy for r in low} == {1, 2, 3, 4, 5}
+
+
+def test_spec_temperature_mix_keeps_rows(spark):
+    from node_etl_spark.context import Context
+    from node_etl_spark.spec import op_from_spec
+
+    df = spark.createDataFrame(
+        [(i, "big", 10) for i in range(90)]
+        + [(100 + i, "small", 10) for i in range(10)],
+        "doc_id long, source string, n_chars long",
+    )
+    op = op_from_spec(
+        {"op": "temperature_mix", "alpha": 0.3, "budget_frac": 0.5}
+    )
+    out = op.apply(df, Context()).collect()
+    assert 0 < len(out) < 100
+    assert {"doc_id", "source", "n_chars"} <= set(out[0].asDict())
+
+
+def test_spec_heavy_hitters(spark):
+    from node_etl_spark.context import Context
+    from node_etl_spark.spec import op_from_spec
+
+    df = spark.createDataFrame(
+        [("hot",)] * 50 + [(f"t{i}",) for i in range(50)], "item string"
+    )
+    op = op_from_spec({"op": "heavy_hitters", "col": "item", "k": 4})
+    out = {r.item: r.cnt for r in op.apply(df, Context()).collect()}
+    assert out == {"hot": 50}
+
+
+def test_spec_canonical_url(spark):
+    from node_etl_spark.context import Context
+    from node_etl_spark.spec import op_from_spec
+
+    df = spark.createDataFrame(
+        [("https://A.org/p?utm_source=x",)], "url string"
+    )
+    op = op_from_spec({"op": "canonical_url"})
+    assert op.apply(df, Context()).collect()[0].url == "https://a.org/p"
+
+
+def test_spec_semdedup_drops_dups(spark):
+    from node_etl_spark.context import Context
+    from node_etl_spark.spec import op_from_spec
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.999, 0.01]),
+            (50, [0.0, 1.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    op = op_from_spec({"op": "semdedup", "threshold": 0.9})
+    kept = {r.vec_id for r in op.apply(df, Context()).collect()}
+    assert kept == {0, 50}
+
+
+def test_spec_bloom_semi_join_with_path(spark, tmp_path):
+    from node_etl_spark.context import Context
+    from node_etl_spark.spec import op_from_spec
+
+    keys = spark.createDataFrame([(2,), (4,)], "k bigint")
+    keys.write.parquet(str(tmp_path / "keys"))
+    df = spark.createDataFrame([(i,) for i in range(10)], "k bigint")
+    op = op_from_spec(
+        {"op": "bloom_semi_join", "path": str(tmp_path / "keys"), "on": "k"}
+    )
+    got = {r.k for r in op.apply(df, Context()).collect()}
+    assert got == {2, 4}
