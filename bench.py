@@ -149,6 +149,7 @@ HEADLINE = [
     "q177_url_canonical_dedup",
     "q178_matryoshka_audit",
     "q179_quality_weighted_sample",
+    "q180_hybrid_rrf",
 ]
 
 

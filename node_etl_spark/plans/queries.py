@@ -6913,3 +6913,89 @@ def _init_q179() -> None:
 
 
 _init_q179()
+
+
+# --------------------------------------------------------------------
+# q180 — hybrid retrieval: BM25 + embedding ranks fused by RRF
+# --------------------------------------------------------------------
+
+def _init_q180() -> None:
+    from ..functions.search import bm25_oracle_sql
+    from ..functions.similarity import topk_oracle_sql
+
+    lex_inner = bm25_oracle_sql("documents", _BM25_TERMS, k=20)
+    sem_inner = topk_oracle_sql(k=20, query_pred="vec_id = 0")
+
+    @register(
+        "q180_hybrid_rrf",
+        f"""
+        WITH lex AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS BIGINT) AS lex_rank
+            FROM ({lex_inner})),
+        sem AS (
+            SELECT neighbor_id AS doc_id, CAST(rank AS BIGINT) AS sem_rank
+            FROM ({sem_inner})),
+        fused AS (
+            SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+                   round(COALESCE(1.0 / (60 + lex_rank), 0)
+                         + COALESCE(1.0 / (60 + sem_rank), 0), 9) AS rrf,
+                   lex_rank, sem_rank
+            FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+        SELECT doc_id, rrf, lex_rank, sem_rank
+        FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+        """,
+        doc="Hybrid retrieval via reciprocal rank fusion (Cormack et "
+            "al. SIGIR'09, the standard lexical+vector fusion in RAG "
+            "stacks): q119's BM25 ranking and q26's exact embedding "
+            "top-k fused as sum 1/(60+rank) over a full outer join of "
+            "the two k-row candidate lists — rank arithmetic on "
+            "identical integers, so the fusion inherits both "
+            "retrievers' exact-gate determinism. Both inputs are "
+            "top-k frames; the fusion itself touches 2k rows "
+            "regardless of corpus size.",
+    )
+    def q180_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.search import bm25_topk
+        from ..functions.similarity import brute_force_topk
+
+        docs = table(spark, sf_dir, "documents")
+        emb = table(spark, sf_dir, "embeddings")
+        lex = (
+            bm25_topk(docs, _BM25_TERMS, k=20)
+            .withColumn(
+                "lex_rank",
+                F.row_number()
+                .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+                .cast("bigint"),
+            )
+            .select("doc_id", "lex_rank")
+        )
+        sem = brute_force_topk(emb, emb.filter("vec_id = 0"), k=20).select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("bigint").alias("sem_rank"),
+        )
+        fused = (
+            lex.join(sem, "doc_id", "full_outer")
+            .select(
+                "doc_id",
+                F.round(
+                    F.coalesce(
+                        F.lit(1.0) / (F.lit(60) + F.col("lex_rank")),
+                        F.lit(0.0),
+                    )
+                    + F.coalesce(
+                        F.lit(1.0) / (F.lit(60) + F.col("sem_rank")),
+                        F.lit(0.0),
+                    ),
+                    9,
+                ).alias("rrf"),
+                "lex_rank",
+                "sem_rank",
+            )
+        )
+        return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
+_init_q180()
