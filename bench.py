@@ -150,6 +150,7 @@ HEADLINE = [
     "q178_matryoshka_audit",
     "q179_quality_weighted_sample",
     "q180_hybrid_rrf",
+    "q181_span_corruption",
 ]
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import pandas as pd  # module-level: pandas_udf resolves stringified
 # type hints (PEP 563 above) against module globals
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small per-language stopword marker sets for the heuristic language
@@ -773,3 +773,193 @@ def canonicalize_url_sql(expr: str) -> str:
     c = f"regexp_replace({c}, '&&+', '&', 'g')"
     c = f"regexp_replace({c}, '(https?://[^/?#]+/[^?#]*?)/+(\\?|$)', '\\1\\2')"
     return c
+
+
+def span_corrupt(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_rate: float = 0.15,
+    seed: int = 13,
+) -> DataFrame:
+    """Span-corruption masking (the T5/UL2 denoising objective's data
+    prep, Raffel et al. JMLR'20): mask ~``mask_rate`` of token
+    positions via the portable hash (deterministic, append-stable —
+    the same document always yields the same corruption), collapse
+    each maximal masked RUN into one numbered sentinel, and emit the
+    corrupted input next to the target sequence (sentinels + masked
+    spans), fingerprinted.
+
+    Plan shape: one tokenize pass, one shuffle on the document key
+    for the position windows (dense position, run grouping, sentinel
+    numbering — all gaps-and-islands arithmetic, the q123 trick),
+    one rollup back to document grain. Token state never collects to
+    the driver. Returns (doc_id, corrupted_fp, target_fp, n_tokens,
+    n_masked, n_spans).
+    """
+    from ..functions.sampling import BUCKETS, hash_bucket
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "tok"),
+    ).filter(F.col("tok") != "")
+    wdoc = Window.partitionBy("doc_id").orderBy("p0")
+    t = toks.withColumn("pos", F.row_number().over(wdoc))
+    cut = int(round(mask_rate * BUCKETS))
+    t = t.withColumn(
+        "masked",
+        hash_bucket(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                     F.col("pos").cast("string")),
+            seed=seed,
+        )
+        < F.lit(cut),
+    )
+    wmask = Window.partitionBy("doc_id", "masked").orderBy("pos")
+    t = t.withColumn(
+        "run_id",
+        F.when(
+            F.col("masked"), F.col("pos") - F.row_number().over(wmask)
+        ),
+    )
+    wrun = Window.partitionBy("doc_id").orderBy("run_id")
+    runs = (
+        t.filter("masked")
+        .groupBy("doc_id", "run_id")
+        .agg(
+            F.min("pos").alias("pos"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("span"),
+        )
+        .withColumn("k", F.row_number().over(wrun))
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("k").cast("string"),
+                        F.lit(">"))
+    pieces = (
+        t.filter(~F.col("masked"))
+        .select("doc_id", "pos", F.col("tok").alias("piece"))
+        .unionByName(
+            runs.select("doc_id", "pos", sentinel.alias("piece"))
+        )
+    )
+    corrupted = pieces.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "piece"))),
+                    lambda s: s["piece"],
+                ),
+            )
+        ).alias("corrupted_fp")
+    )
+    targets = runs.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("k", "pos", "span"))),
+                    lambda s: F.concat(
+                        F.lit("<extra_id_"), s["k"].cast("string"),
+                        F.lit("> "), s["span"],
+                    ),
+                ),
+            )
+        ).alias("target_fp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+    )
+    stats = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("masked").cast("int")).cast("bigint").alias("n_masked"),
+    )
+    return (
+        stats.join(corrupted, "doc_id", "left")
+        .join(targets, "doc_id", "left")
+        .select(
+            "doc_id",
+            "corrupted_fp",
+            F.coalesce("target_fp", F.md5(F.lit(""))).alias("target_fp"),
+            "n_tokens",
+            "n_masked",
+            F.coalesce("n_spans", F.lit(0).cast("bigint")).alias("n_spans"),
+        )
+    )
+
+
+def span_corrupt_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_: str = "doc_id",
+    mask_rate: float = 0.15,
+    seed: int = 13,
+) -> str:
+    """DuckDB mirror of :func:`span_corrupt` (same hash, same runs,
+    same sentinel numbering and fingerprints)."""
+    from ..functions.sampling import BUCKETS, hash_bucket_sql
+
+    cut = int(round(mask_rate * BUCKETS))
+    bucket = hash_bucket_sql(
+        f"CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)", seed=seed
+    )
+    return f"""
+    WITH raw AS (
+        SELECT {id_} AS doc_id, unnest(string_split({text}, ' ')) AS tok,
+               generate_subscripts(string_split({text}, ' '), 1) AS p0
+        FROM {table}),
+    toks AS (SELECT * FROM raw WHERE tok <> ''),
+    t0 AS (
+        SELECT doc_id, tok,
+               row_number() OVER (PARTITION BY doc_id ORDER BY p0) AS pos
+        FROM toks),
+    t AS (
+        SELECT doc_id, tok, pos,
+               ({bucket}) < {cut} AS masked
+        FROM t0),
+    tr AS (
+        SELECT doc_id, tok, pos, masked,
+               CASE WHEN masked THEN pos - row_number() OVER (
+                   PARTITION BY doc_id, masked ORDER BY pos) END AS run_id
+        FROM t),
+    runs AS (
+        SELECT doc_id, run_id, MIN(pos) AS pos,
+               string_agg(tok, ' ' ORDER BY pos) AS span
+        FROM tr WHERE masked GROUP BY doc_id, run_id),
+    runs_k AS (
+        SELECT doc_id, pos, span,
+               row_number() OVER (PARTITION BY doc_id ORDER BY run_id)
+                   AS k
+        FROM runs),
+    pieces AS (
+        SELECT doc_id, pos, tok AS piece FROM tr WHERE NOT masked
+        UNION ALL
+        SELECT doc_id, pos,
+               '<extra_id_' || CAST(k AS VARCHAR) || '>' AS piece
+        FROM runs_k),
+    corrupted AS (
+        SELECT doc_id,
+               md5(string_agg(piece, ' ' ORDER BY pos)) AS corrupted_fp
+        FROM pieces GROUP BY doc_id),
+    targets AS (
+        SELECT doc_id,
+               md5(string_agg('<extra_id_' || CAST(k AS VARCHAR) || '> '
+                              || span, ' ' ORDER BY k)) AS target_fp,
+               CAST(COUNT(*) AS BIGINT) AS n_spans
+        FROM runs_k GROUP BY doc_id),
+    stats AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_masked
+        FROM t GROUP BY doc_id)
+    SELECT s.doc_id, c.corrupted_fp,
+           COALESCE(t2.target_fp, md5('')) AS target_fp,
+           s.n_tokens, s.n_masked,
+           COALESCE(t2.n_spans, 0) AS n_spans
+    FROM stats s
+    LEFT JOIN corrupted c ON s.doc_id = c.doc_id
+    LEFT JOIN targets t2 ON s.doc_id = t2.doc_id
+    """

@@ -6999,3 +6999,31 @@ def _init_q180() -> None:
 
 
 _init_q180()
+
+
+# --------------------------------------------------------------------
+# q181 — span-corruption masking (T5/UL2 denoising data prep)
+# --------------------------------------------------------------------
+
+def _init_q181() -> None:
+    @register(
+        "q181_span_corruption",
+        T.span_corrupt_sql(mask_rate=0.15, seed=13),
+        doc="Span-corruption masking (functions/text.py span_corrupt; "
+            "the T5/UL2 denoising objective's data prep): ~15% of "
+            "token positions masked by the portable hash, maximal "
+            "masked runs collapsed to numbered sentinels, corrupted "
+            "input and sentinel+span target emitted as fingerprints — "
+            "deterministic and append-stable, so the same document "
+            "always produces the same corruption on any engine. One "
+            "tokenize pass, one doc-key shuffle for the "
+            "gaps-and-islands run arithmetic (the q123 trick), one "
+            "rollup.",
+    )
+    def q181_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return T.span_corrupt(
+            table(spark, sf_dir, "documents"), mask_rate=0.15, seed=13
+        )
+
+
+_init_q181()

@@ -561,3 +561,17 @@ def test_spec_bloom_semi_join_with_path(spark, tmp_path):
     )
     got = {r.k for r in op.apply(df, Context()).collect()}
     assert got == {2, 4}
+
+
+def test_example_web_corpus_refresh_spec(spark, sf_dir, tmp_path):
+    import json as _json
+
+    spec = _json.load(open("examples/web_corpus_refresh.json"))
+    from node_etl_spark.spec import from_spec
+
+    from_spec(spec).run(spark, config={"DATA": sf_dir, "OUT": str(tmp_path)})
+    out = spark.read.parquet(str(tmp_path / "refreshed"))
+    n_in = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_out = out.count()
+    assert 0 < n_out <= n_in
+    assert "text" in out.columns

@@ -296,3 +296,33 @@ def test_canonicalize_url_rules(spark):
         r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
     ]
     assert got == [want for _, want in cases]
+
+
+def test_span_corrupt_shapes_and_determinism(spark):
+    from node_etl_spark.functions.text import span_corrupt
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, ""), (3, "one")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in span_corrupt(df, mask_rate=0.5).collect()}
+    assert 2 not in out  # empty doc never tokenizes
+    r1 = out[1]
+    assert r1.n_tokens == 10
+    assert 0 <= r1.n_masked <= 10
+    assert r1.n_spans <= r1.n_masked
+    # deterministic: same input -> same fingerprints
+    again = {r.doc_id: r for r in span_corrupt(df, mask_rate=0.5).collect()}
+    assert again[1].corrupted_fp == r1.corrupted_fp
+    assert again[1].target_fp == r1.target_fp
+
+
+def test_span_corrupt_zero_rate_is_identity(spark):
+    from node_etl_spark.functions.text import span_corrupt
+    import hashlib
+
+    df = spark.createDataFrame([(1, "x y z")], "doc_id bigint, text string")
+    r = span_corrupt(df, mask_rate=0.0).collect()[0]
+    assert r.n_masked == 0 and r.n_spans == 0
+    assert r.corrupted_fp == hashlib.md5(b"x y z").hexdigest()
+    assert r.target_fp == hashlib.md5(b"").hexdigest()
