@@ -151,6 +151,8 @@ HEADLINE = [
     "q179_quality_weighted_sample",
     "q180_hybrid_rrf",
     "q181_span_corruption",
+    "q182_join_size_estimate",
+    "q183_snapshot_diff",
 ]
 
 

@@ -419,3 +419,87 @@ def bloom_semi_join(
     return pruned.join(
         kdist.withColumnRenamed(keys_key, big_key), big_key, "left_semi"
     )
+
+
+def join_size_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    a_key: str,
+    b_key: str,
+    sample_frac: float = 0.05,
+    seed: int = 17,
+) -> DataFrame:
+    """Equi-join output-size estimate from a coordinated key sample —
+    the pre-flight audit run before committing a cluster to a join
+    whose output might be 100x its inputs (skewed keys multiply:
+    |A join B| = sum_v cntA(v) * cntB(v)).
+
+    Method (end-biased / coordinated sampling, the Estan-Naughton
+    ICDE'06 family): both sides keep only keys whose portable hash
+    bucket falls under ``sample_frac`` — the SAME hash on both sides,
+    so a sampled key is sampled on both or neither and per-key
+    products are EXACT within the sample; the estimate scales the
+    sampled product mass by 1/sample_frac. One narrow filter + one
+    count-agg per side over the sample (shuffle volume ~frac of the
+    key histograms), never the join itself. Deterministic (hash
+    sample, integer arithmetic), so the estimator itself sits on the
+    exact value gate; its accuracy vs the true size is pinned by unit
+    bracket tests. Returns (n_sampled_keys, est_join_rows).
+    """
+    from .sampling import BUCKETS, hash_bucket
+
+    cut = int(round(sample_frac * BUCKETS))
+    frac = cut / BUCKETS  # realized fraction (integer bucket cut)
+
+    def side(df, key, name):
+        return (
+            df.select(F.col(key).alias("k"))
+            .filter(hash_bucket(F.col("k"), seed=seed) < cut)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    ca = side(a, a_key, "ca")
+    cb = side(b, b_key, "cb")
+    prod = ca.join(cb, "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled_keys"),
+        F.sum(
+            (F.col("ca") * F.col("cb")).cast("decimal(38,0)")
+        ).alias("mass"),
+    )
+    return prod.select(
+        "n_sampled_keys",
+        F.round(F.col("mass").cast("double") / F.lit(frac), 3).alias(
+            "est_join_rows"
+        ),
+    )
+
+
+def join_size_oracle_sql(
+    a_sql: str,
+    b_sql: str,
+    sample_frac: float = 0.05,
+    seed: int = 17,
+) -> str:
+    """DuckDB mirror of :func:`join_size_estimate`. ``a_sql``/``b_sql``
+    each yield one ``k`` column."""
+    from .sampling import BUCKETS, hash_bucket_sql
+
+    cut = int(round(sample_frac * BUCKETS))
+    frac = cut / BUCKETS
+    bucket = hash_bucket_sql("k", seed=seed)
+    return f"""
+    WITH ca AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS ca
+        FROM ({a_sql}) WHERE ({bucket}) < {cut} GROUP BY k),
+    cb AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS cb
+        FROM ({b_sql}) WHERE ({bucket}) < {cut} GROUP BY k),
+    prod AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled_keys,
+               SUM(CAST(ca * cb AS DECIMAL(38,0))) AS mass
+        FROM ca JOIN cb USING (k))
+    SELECT n_sampled_keys,
+           round(CAST(mass AS DOUBLE) / {frac!r}, 3) AS est_join_rows
+    FROM prod
+    """

@@ -7027,3 +7027,118 @@ def _init_q181() -> None:
 
 
 _init_q181()
+
+
+# --------------------------------------------------------------------
+# q182 — join-size estimation from a coordinated key sample
+# --------------------------------------------------------------------
+
+def _init_q182() -> None:
+    from ..functions.sketch import join_size_estimate, join_size_oracle_sql
+
+    @register(
+        "q182_join_size_estimate",
+        join_size_oracle_sql(
+            "SELECT o_custkey AS k FROM orders",
+            "SELECT c_custkey AS k FROM customer",
+            sample_frac=0.05,
+        ),
+        doc="Equi-join output-size estimate (functions/sketch.py "
+            "join_size_estimate; end-biased coordinated sampling, "
+            "Estan & Naughton ICDE'06 family): both sides keep keys "
+            "under the SAME portable hash cut, so per-key count "
+            "products are exact within the sample and the estimate "
+            "is their mass / frac — the pre-flight audit before a "
+            "join whose skewed keys could multiply output 100x. One "
+            "narrow filter + count-agg per side; the join itself "
+            "never runs. Deterministic, so the estimator sits on the "
+            "exact gate; accuracy is bracket-tested in unit tests.",
+    )
+    def q182_join_size_estimate(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        return join_size_estimate(
+            table(spark, sf_dir, "orders"),
+            table(spark, sf_dir, "customer"),
+            "o_custkey",
+            "c_custkey",
+            sample_frac=0.05,
+        )
+
+
+_init_q182()
+
+
+# --------------------------------------------------------------------
+# q183 — snapshot diff (lakehouse change audit)
+# --------------------------------------------------------------------
+
+@register(
+    "q183_snapshot_diff",
+    """
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 13 = 0
+                    THEN o_totalprice + 0.01 ELSE o_totalprice END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 101 = 0),
+    j AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+                      OR NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+                    THEN 'changed' ELSE 'unchanged' END AS status,
+               CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                    THEN concat_ws(',',
+                        CASE WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+                             THEN 'o_orderstatus' END,
+                        CASE WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+                             THEN 'o_totalprice' END)
+                    ELSE '' END AS changed_cols
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+    SELECT status, changed_cols, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT status,
+                 CASE WHEN status = 'changed' THEN changed_cols ELSE '' END
+                     AS changed_cols
+          FROM j)
+    GROUP BY status, changed_cols
+    """,
+    doc="Snapshot diff (functions/dq.py snapshot_diff): yesterday's "
+        "orders vs a deterministically mutated today (drops, price "
+        "changes, inserts) classified added/removed/changed/unchanged "
+        "with per-row changed-column lists — the lakehouse load audit; "
+        "null-safe column compares, one key shuffle, rolled up to "
+        "(status, changed_cols) counts for the gate.",
+)
+def q183_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dq import snapshot_diff
+
+    old = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        old.filter("o_orderkey % 97 <> 0")
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 0.01
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            old.filter("o_orderkey % 101 = 0").withColumn(
+                "o_orderkey", F.col("o_orderkey") + 100000000
+            )
+        )
+    )
+    d = snapshot_diff(old, new, keys=["o_orderkey"])
+    return d.groupBy("status", "changed_cols").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+

@@ -344,3 +344,31 @@ def test_mannwhitney_extremes(spark):
         [("a", 5), ("a", 7), ("b", 5), ("b", 7)], "g string, value long"
     )
     assert mannwhitney_u(same, "g", "value", "a", "b").first().auc == 0.5
+
+
+def test_snapshot_diff_classifies(spark):
+    from node_etl_spark.functions.dq import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "id bigint, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 21.0), (3, "c", None), (5, "e", 50.0)],
+        "id bigint, s string, v double",
+    )
+    out = {r.id: r for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert out[1].status == "unchanged" and out[1].changed_cols == ""
+    assert out[2].status == "changed" and out[2].changed_cols == "s,v"
+    assert out[3].status == "unchanged"  # NULL <-> NULL is no change
+    assert out[4].status == "removed"
+    assert out[5].status == "added"
+
+
+def test_snapshot_diff_null_transitions_are_changes(spark):
+    from node_etl_spark.functions.dq import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "id bigint, v double")
+    new = spark.createDataFrame([(1, 5.0)], "id bigint, v double")
+    r = snapshot_diff(old, new, ["id"]).collect()[0]
+    assert r.status == "changed" and r.changed_cols == "v"

@@ -366,3 +366,36 @@ def test_temperature_mix_low_alpha_lifts_small_sources(spark):
     out_uniform = temperature_mix(df, alpha=0.01, budget_frac=0.9)
     rs = {r.source: r.keep_rate for r in out_uniform.collect()}
     assert rs["small"] == 1.0
+
+
+def test_join_size_estimate_bracket(spark):
+    from node_etl_spark.functions.sketch import join_size_estimate
+
+    # uniform fanout: 500 keys x (4 left, 3 right) -> true size 6000
+    a = spark.createDataFrame(
+        [(k,) for k in range(500) for _ in range(4)], "ka bigint"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in range(500) for _ in range(3)], "kb bigint"
+    )
+    r = join_size_estimate(a, b, "ka", "kb", sample_frac=0.2).collect()[0]
+    true = a.join(b, a.ka == b.kb).count()
+    assert true == 6000
+    assert 0.5 * true <= r.est_join_rows <= 1.5 * true
+    assert r.n_sampled_keys > 0
+
+
+def test_join_size_estimate_catches_skew(spark):
+    from node_etl_spark.functions.sketch import join_size_estimate
+
+    # one hot key with 200x200 fanout dominates; a sample that
+    # includes it must scale its product mass
+    a = spark.createDataFrame(
+        [(0,)] * 200 + [(k,) for k in range(1, 100)], "ka bigint"
+    )
+    b = spark.createDataFrame(
+        [(0,)] * 200 + [(k,) for k in range(1, 100)], "kb bigint"
+    )
+    # large frac -> hot key certainly sampled -> estimate >= its mass
+    r = join_size_estimate(a, b, "ka", "kb", sample_frac=0.9).collect()[0]
+    assert r.est_join_rows >= 200 * 200
