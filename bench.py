@@ -153,6 +153,8 @@ HEADLINE = [
     "q181_span_corruption",
     "q182_join_size_estimate",
     "q183_snapshot_diff",
+    "q184_lateness_audit",
+    "q185_distribution_match",
 ]
 
 

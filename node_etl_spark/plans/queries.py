@@ -7142,3 +7142,140 @@ def q183_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------------------
+# q184 — late-data / watermark audit over the event stream
+# --------------------------------------------------------------------
+
+@register(
+    "q184_lateness_audit",
+    """
+    WITH arr AS (
+        SELECT event_id, ts,
+               CAST(CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)
+                    || ':lat'), 1, 8)) AS BIGINT) % 10000 AS INTEGER)
+                   AS b
+        FROM events),
+    delayed AS (
+        SELECT event_id,
+               CASE WHEN b < 9000 THEN CAST(floor(b / 3) AS BIGINT)
+                    ELSE CAST(3600 + (b - 9000) * 30 AS BIGINT) END
+                   AS delay_s
+        FROM arr)
+    SELECT CASE WHEN delay_s < 60 THEN '0_under_1m'
+                WHEN delay_s < 600 THEN '1_under_10m'
+                WHEN delay_s < 3600 THEN '2_under_1h'
+                ELSE '3_over_1h' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN delay_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped_at_1h
+    FROM delayed GROUP BY 1
+    """,
+    doc="Late-data audit (the measurement behind choosing a streaming "
+        "watermark): per-event arrival delays (synthesized "
+        "deterministically — 90% spread over the sub-hour range, a "
+        "hash-chosen tail up to "
+        "hours late), bucketed, with the would-be drop count at a 1h "
+        "watermark. Run THIS before picking the q105/q135/q138 "
+        "watermarks: a watermark is a data-loss policy, and the audit "
+        "is one scan + one agg.",
+)
+def q184_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # portable bucket with the ':lat' seed suffix (hash_bucket takes
+    # integer seeds; inline the same md5 form here)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":lat"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") % 10000
+    delayed = table(spark, sf_dir, "events").select(
+        "event_id", h.cast("int").alias("b")
+    ).select(
+        "event_id",
+        F.when(F.col("b") < 9000, F.floor(F.col("b") / 3).cast("bigint"))
+        .otherwise((F.lit(3600) + (F.col("b") - 9000) * 30).cast("bigint"))
+        .alias("delay_s"),
+    )
+    bucket = (
+        F.when(F.col("delay_s") < 60, "0_under_1m")
+        .when(F.col("delay_s") < 600, "1_under_10m")
+        .when(F.col("delay_s") < 3600, "2_under_1h")
+        .otherwise("3_over_1h")
+    )
+    return delayed.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("delay_s") > 3600, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped_at_1h"),
+    )
+
+
+# --------------------------------------------------------------------
+# q185 — importance reweighting to a target distribution
+# --------------------------------------------------------------------
+
+@register(
+    "q185_distribution_match",
+    """
+    WITH cur AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_cur
+        FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(n_cur) AS BIGINT) AS n FROM cur),
+    tgt(lang, p_tgt) AS (VALUES
+        ('en', CAST(0.7 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
+        ('es', CAST(0.1 AS DOUBLE)), ('de', CAST(0.1 AS DOUBLE))),
+    w AS (
+        SELECT c.lang, c.n_cur,
+               round(p_tgt * CAST(t.n AS DOUBLE)
+                     / CAST(c.n_cur AS DOUBLE), 9) AS weight
+        FROM cur c JOIN tgt USING (lang), tot t)
+    SELECT lang, n_cur, weight,
+           round(CAST(n_cur AS DOUBLE) * weight, 6) AS effective_rows
+    FROM w
+    """,
+    doc="Importance reweighting to a target language mix (the "
+        "distribution-matching complement of q117's PSI drift "
+        "measure and q173's temperature sampler): per-group weight "
+        "= target share x total / group size, from one dimension-"
+        "sized count agg — downstream consumers multiply per-row "
+        "loss or sampling rates by the broadcast weight column; "
+        "groups outside the recipe are excluded (weight undefined "
+        "by design, same contract as q150).",
+)
+def q185_distribution_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cur = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cur"))
+    )
+    tot = cur.agg(F.sum("n_cur").cast("bigint").alias("n"))
+    tgt = cur.sparkSession.createDataFrame(
+        [("en", 0.7), ("fr", 0.1), ("es", 0.1), ("de", 0.1)],
+        "lang string, p_tgt double",
+    )
+    return (
+        cur.join(F.broadcast(tgt), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_cur",
+            F.round(
+                F.col("p_tgt")
+                * F.col("n").cast("double")
+                / F.col("n_cur").cast("double"),
+                9,
+            ).alias("weight"),
+        )
+        .select(
+            "lang",
+            "n_cur",
+            "weight",
+            F.round(F.col("n_cur").cast("double") * F.col("weight"), 6)
+            .alias("effective_rows"),
+        )
+    )
