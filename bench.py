@@ -155,6 +155,8 @@ HEADLINE = [
     "q183_snapshot_diff",
     "q184_lateness_audit",
     "q185_distribution_match",
+    "q186_conversation_assembly",
+    "q187_preference_pairs",
 ]
 
 

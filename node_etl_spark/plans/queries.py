@@ -7279,3 +7279,159 @@ def q185_distribution_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("effective_rows"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# q186 — conversation/turn assembly from the event stream
+# --------------------------------------------------------------------
+
+@register(
+    "q186_conversation_assembly",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+        SELECT user_id, event_id, ts, event_type,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_n
+        FROM ev)
+    SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           md5(string_agg(event_type, '|' ORDER BY ts, event_id))
+               AS transcript_fp,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS started_at
+    FROM sess GROUP BY user_id, session_n
+    """,
+    doc="Conversation assembly (the chat-data prep shape): events "
+        "sessionized per user with a 30-min gap rule (q57's "
+        "gaps-and-islands sessionizer), then each session's turns "
+        "serialized IN EVENT-TIME ORDER into a transcript "
+        "fingerprint — ordered reassembly is the step that turns an "
+        "event lake into dialogue training rows, and the ordered "
+        "string_agg/sort_array trick keeps it one user-key shuffle.",
+)
+def q186_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            > 1800
+        ),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("brk", brk).withColumn(
+        "session_n",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    transcript = F.concat_ws(
+        "|",
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ),
+    )
+    return sess.groupBy(
+        "user_id", F.col("session_n").cast("bigint").alias("session_n")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.md5(transcript).alias("transcript_fp"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "started_at"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# q187 — preference-pair construction (reward-model / DPO data prep)
+# --------------------------------------------------------------------
+
+@register(
+    "q187_preference_pairs",
+    """
+    WITH scored AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n,
+               CAST(len(list_filter(string_split(text, ' '),
+                    t -> lower(t) IN ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
+                    / len(string_split(text, ' ')) AS sw
+        FROM documents),
+    q AS (
+        SELECT doc_id, source,
+               round((least(n / 100.0, 1.0) + least(sw * 4.0, 1.0)) / 2.0, 6)
+                   AS quality
+        FROM scored),
+    ranked AS (
+        SELECT doc_id, source, quality,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY quality DESC, doc_id) AS rb,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY quality ASC, doc_id) AS rw
+        FROM q),
+    best AS (SELECT source, doc_id AS chosen_doc,
+                    quality AS chosen_q FROM ranked WHERE rb = 1),
+    worst AS (SELECT source, doc_id AS rejected_doc,
+                     quality AS rejected_q FROM ranked WHERE rw = 1)
+    SELECT b.source, chosen_doc, rejected_doc,
+           round(chosen_q - rejected_q, 6) AS margin
+    FROM best b JOIN worst w ON b.source = w.source
+    WHERE round(chosen_q - rejected_q, 6) >= 0.1
+      AND chosen_doc <> rejected_doc
+    """,
+    doc="Preference-pair construction (reward-model / DPO data prep): "
+        "within each prompt group (source stands in), the best- and "
+        "worst-scoring responses by the q33 quality scorer form a "
+        "(chosen, rejected) pair, kept when the margin clears 0.1 — "
+        "low-margin pairs are label noise. Two rank windows over one "
+        "group-key shuffle; deterministic tiebreaks.",
+)
+def q187_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "source", T.quality_score("text").alias("quality")
+    )
+    wb = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    ww = Window.partitionBy("source").orderBy(
+        F.asc("quality"), F.asc("doc_id")
+    )
+    ranked = q.withColumn("rb", F.row_number().over(wb)).withColumn(
+        "rw", F.row_number().over(ww)
+    )
+    best = ranked.filter("rb = 1").select(
+        "source",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("quality").alias("chosen_q"),
+    )
+    worst = ranked.filter("rw = 1").select(
+        "source",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("quality").alias("rejected_q"),
+    )
+    return (
+        best.join(worst, "source")
+        .select(
+            "source",
+            "chosen_doc",
+            "rejected_doc",
+            F.round(F.col("chosen_q") - F.col("rejected_q"), 6).alias(
+                "margin"
+            ),
+        )
+        .filter(
+            (F.col("margin") >= 0.1)
+            & (F.col("chosen_doc") != F.col("rejected_doc"))
+        )
+    )
