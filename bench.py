@@ -157,6 +157,7 @@ HEADLINE = [
     "q185_distribution_match",
     "q186_conversation_assembly",
     "q187_preference_pairs",
+    "q188_fd_audit",
 ]
 
 

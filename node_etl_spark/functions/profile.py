@@ -767,3 +767,63 @@ def mutual_information_oracle_sql(points_sql: str) -> str:
                 ELSE 0.0 END AS nmi
     FROM mi, ha, hb
     """
+
+
+def fd_audit(
+    df: DataFrame, candidates: list[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency audit (the Metanome/profiling primitive
+    behind key discovery and denormalization safety): for each
+    candidate ``lhs -> rhs``, does every lhs value map to exactly one
+    rhs value? Reports per candidate the lhs group count, the number
+    of VIOLATING groups (>1 distinct rhs), the worst fanout, and the
+    verdict — the audit a pipeline runs before treating a column as
+    a join key or collapsing a denormalized table.
+
+    One count-distinct aggregation per candidate over (lhs, rhs)
+    pairs — each is a single shuffle whose volume is the distinct
+    pair count, not the row count; results union into one
+    dimension-sized frame. NULL lhs rows are excluded (SQL FDs are
+    defined over non-null determinants).
+    """
+    outs = []
+    for lhs, rhs in candidates:
+        g = (
+            df.filter(F.col(lhs).isNotNull())
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("nd"))
+        )
+        outs.append(
+            g.agg(
+                F.lit(lhs).alias("lhs_col"),
+                F.lit(rhs).alias("rhs_col"),
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating"),
+                F.max("nd").cast("bigint").alias("max_fanout"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.withColumn("holds", F.col("n_violating") == 0)
+
+
+def fd_audit_oracle_sql(
+    table: str, candidates: list[tuple[str, str]]
+) -> str:
+    """DuckDB mirror of :func:`fd_audit`."""
+    parts = []
+    for lhs, rhs in candidates:
+        parts.append(f"""
+        SELECT '{lhs}' AS lhs_col, '{rhs}' AS rhs_col,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+               CAST(MAX(nd) AS BIGINT) AS max_fanout,
+               SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS nd
+              FROM {table} WHERE {lhs} IS NOT NULL GROUP BY {lhs})
+        """)
+    return " UNION ALL ".join(parts)

@@ -7435,3 +7435,37 @@ def q187_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("chosen_doc") != F.col("rejected_doc"))
         )
     )
+
+
+# --------------------------------------------------------------------
+# q188 — functional-dependency audit (profiling / key discovery)
+# --------------------------------------------------------------------
+
+_Q188_FDS = [
+    ("p_partkey", "p_brand"),   # key -> anything: holds
+    ("p_brand", "p_type"),      # brand does not pin type: violated
+    ("p_name", "p_brand"),      # names reused across brands?
+]
+
+
+def _init_q188() -> None:
+    from ..functions.profile import fd_audit, fd_audit_oracle_sql
+
+    @register(
+        "q188_fd_audit",
+        fd_audit_oracle_sql("part", _Q188_FDS),
+        doc="Functional-dependency audit (functions/profile.py "
+            "fd_audit; the profiling primitive behind key discovery): "
+            "per candidate lhs->rhs, violating-group count and worst "
+            "fanout from one count-distinct agg over the pair frame — "
+            "run before trusting a column as a join key or collapsing "
+            "a denormalized table. Candidates here: the real key "
+            "(holds) and two plausible-but-false dependencies.",
+    )
+    def q188_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.profile import fd_audit as fda
+
+        return fda(table(spark, sf_dir, "part"), _Q188_FDS)
+
+
+_init_q188()

@@ -372,3 +372,19 @@ def test_snapshot_diff_null_transitions_are_changes(spark):
     new = spark.createDataFrame([(1, 5.0)], "id bigint, v double")
     r = snapshot_diff(old, new, ["id"]).collect()[0]
     assert r.status == "changed" and r.changed_cols == "v"
+
+
+def test_fd_audit_detects_violations(spark):
+    from node_etl_spark.functions.profile import fd_audit
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "x"), (4, "b", "y"), (None, "c", "z")],
+        "k bigint, g string, v string",
+    )
+    out = {(r.lhs_col, r.rhs_col): r for r in fd_audit(
+        df, [("k", "g"), ("g", "v")]
+    ).collect()}
+    kg = out[("k", "g")]
+    assert kg.holds and kg.n_groups == 4  # null lhs excluded
+    gv = out[("g", "v")]
+    assert not gv.holds and gv.n_violating == 1 and gv.max_fanout == 2
