@@ -1098,10 +1098,21 @@ def kcore(
         keep = deg.filter(F.col("deg") >= k).select(
             F.col("e_src").alias("node")
         )
-        e = e.join(
-            F.broadcast(keep), F.col("e_src") == F.col("node"), "left_semi"
-        ).join(
-            F.broadcast(keep), F.col("e_dst") == F.col("node"), "left_semi"
+        # per-round checkpoint (the module-header invariant): keep is
+        # referenced twice and derives from e, so an unchecked round
+        # would embed the prior plan three times — ~3^rounds growth
+        e = (
+            e.join(
+                F.broadcast(keep),
+                F.col("e_src") == F.col("node"),
+                "left_semi",
+            )
+            .join(
+                F.broadcast(keep),
+                F.col("e_dst") == F.col("node"),
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
         )
     return (
         e.groupBy(F.col("e_src").alias("node"))
@@ -1139,9 +1150,15 @@ def degree_assortativity(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
     """Degree assortativity coefficient (Newman 2002): the Pearson
-    correlation of (source degree, destination degree) over directed
-    edges — positive means hubs link to hubs (social-graph shape),
+    correlation of endpoint degrees over a SYMMETRIC edge set (both
+    directions present, the contract of this module's co-occurrence
+    callers) — positive means hubs link to hubs (social-graph shape),
     negative means hubs link to leaves (star/hub-and-spoke shape).
+    Degrees are source out-degrees, which on a symmetric set equal
+    total degrees; for a genuinely directed analysis (in-degree of
+    target, edges to sink nodes kept) symmetrize first or extend
+    with an in-degree frame — the inner join here drops edges whose
+    dst never appears as a src.
     The one-number structural audit run before graph algorithms whose
     cost depends on that shape (triangle counting, LPA, components).
 
@@ -1180,7 +1197,12 @@ def degree_assortativity(
     )
     return s.select(
         "n_edges",
-        F.round(F.expr(f"({num}) / ({den})"), 6).alias("assortativity"),
+        # a regular graph zeroes both variance terms: 0/0 is NaN in
+        # Spark but NULL in DuckDB — explicit NULL on both sides
+        F.expr(
+            f"CASE WHEN ({den}) > 0"
+            f" THEN round(({num}) / ({den}), 6) END"
+        ).alias("assortativity"),
     )
 
 
@@ -1201,12 +1223,17 @@ def assortativity_oracle_sql(edges_sql: str) -> str:
                SUM(CAST(dx * dy AS DECIMAL(38,0))) AS sxy
         FROM j)
     SELECT n_edges,
-           round((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    * sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
-                 6) AS assortativity
+           CASE WHEN (sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0
+                THEN round((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                           6)
+                END AS assortativity
     FROM s
     """

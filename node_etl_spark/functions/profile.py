@@ -594,17 +594,23 @@ def chisq_independence(
             .cast("bigint")
             .alias("dof"),
             "chi2",
-            F.round(
-                F.sqrt(
-                    F.col("chi2")
-                    / (
-                        F.col("n").cast("double")
-                        * F.least(F.col("n_a") - 1, F.col("n_b") - 1).cast(
-                            "double"
+            # single-category columns make the denominator 0: Spark
+            # double 0/0 is NaN while DuckDB division-by-zero is NULL
+            # — return an explicit NULL on both sides
+            F.when(
+                F.least(F.col("n_a") - 1, F.col("n_b") - 1) > 0,
+                F.round(
+                    F.sqrt(
+                        F.col("chi2")
+                        / (
+                            F.col("n").cast("double")
+                            * F.least(
+                                F.col("n_a") - 1, F.col("n_b") - 1
+                            ).cast("double")
                         )
-                    )
+                    ),
+                    6,
                 ),
-                6,
             ).alias("cramers_v"),
         )
     )
@@ -641,9 +647,10 @@ def chisq_oracle_sql(points_sql: str) -> str:
     SELECT n, n_a, n_b,
            CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
            chi2,
-           round(sqrt(chi2 / (CAST(n AS DOUBLE)
-                 * CAST(least(n_a - 1, n_b - 1) AS DOUBLE))), 6)
-               AS cramers_v
+           CASE WHEN least(n_a - 1, n_b - 1) > 0
+                THEN round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                     * CAST(least(n_a - 1, n_b - 1) AS DOUBLE))), 6)
+                END AS cramers_v
     FROM s
     """
 

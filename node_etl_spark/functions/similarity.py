@@ -1056,15 +1056,24 @@ def semdedup(
         ),
         6,
     ).alias("sq_dist")
-    rn = F.row_number().over(
-        Window.partitionBy("id").orderBy("sq_dist", "cluster_id")
-    )
+    # argmin as a struct-min AGGREGATE, not a row_number window: the
+    # aggregation partial-combines map-side, so the exchange carries
+    # one row per vector instead of the rows-x-centroids expansion
+    # (struct comparison is field-lexicographic — (sq_dist,
+    # cluster_id) reproduces the round-then-smallest-id tiebreak; v
+    # rides along and is never reached, cluster_id is unique)
     assigned = (
         e.crossJoin(F.broadcast(c))
-        .select("id", "v", "cluster_id", sq)
-        .withColumn("rn", rn)
-        .filter("rn = 1")
-        .select("id", "cluster_id", "v")
+        .select("id", F.struct(sq, "cluster_id", "v").alias("cand"))
+        .groupBy("id")
+        .agg(F.min("cand").alias("best"))
+        .select(
+            "id",
+            F.col("best.cluster_id").alias("cluster_id"),
+            F.col("best.v").alias("v"),
+        )
+        # referenced twice by the self-join below; materialize once
+        .localCheckpoint(eager=True)
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
@@ -1207,14 +1216,20 @@ def pq_encode(
         ),
         6,
     ).alias("sq_dist")
-    rn = F.row_number().over(
-        Window.partitionBy("id", "b").orderBy("sq_dist", "code")
-    )
+    # same struct-min aggregate as semdedup's assignment: the
+    # exchange carries n_blocks rows per vector, not the
+    # rows-x-codewords expansion
     best = (
         evec.join(F.broadcast(cvec), "b")
-        .select("id", "b", "code", sq)
-        .withColumn("rn", rn)
-        .filter("rn = 1")
+        .select("id", "b", F.struct(sq, "code").alias("cand"))
+        .groupBy("id", "b")
+        .agg(F.min("cand").alias("m"))
+        .select(
+            "id",
+            "b",
+            F.col("m.code").alias("code"),
+            F.col("m.sq_dist").alias("sq_dist"),
+        )
     )
     codes = F.concat_ws(
         ",",

@@ -250,7 +250,9 @@ def heavy_hitters(
     * pass 2 — the candidate set (partitions x k rows, broadcast)
       semi-joins the item stream and only candidates are counted
       exactly; ``cnt * (k+1) > N`` filters sketch survivors that the
-      exact count disproves.
+      exact count disproves. N itself rides the sketch pass (each
+      partition emits its row count beside its summary), so the
+      stream really is scanned exactly twice.
 
     The result is therefore EXACT (sits on the value-hash gate with
     a plain GROUP BY/HAVING oracle); only the pruning is
@@ -265,7 +267,9 @@ def heavy_hitters(
         import pandas as pd
 
         counters: dict[str, int] = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             for item, cnt in pdf["item"].value_counts().items():
                 counters[item] = counters.get(item, 0) + int(cnt)
             if len(counters) > k:
@@ -273,10 +277,22 @@ def heavy_hitters(
                 counters = {
                     i: c - cut for i, c in counters.items() if c > cut
                 }
-        yield pd.DataFrame({"item": list(counters.keys())})
+        # candidates carry pcount=0; one extra row per partition
+        # carries its row count, so the global N needs no second scan
+        yield pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "pcount": [0] * len(counters) + [n_rows],
+            }
+        )
 
-    cands = items.mapInPandas(_mg, schema="item string").distinct()
-    n = items.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    summary = items.mapInPandas(
+        _mg, schema="item string, pcount long"
+    ).localCheckpoint(eager=True)
+    cands = summary.filter(F.col("item").isNotNull()).select(
+        "item"
+    ).distinct()
+    n = summary.agg(F.sum("pcount").cast("bigint").alias("n"))
     return (
         items.join(F.broadcast(cands), "item", "left_semi")
         .groupBy("item")

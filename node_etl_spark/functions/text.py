@@ -737,31 +737,35 @@ def canonicalize_url(col: Column) -> Column:
     expressions (codegen'd, shuffle-free); the regexes stay in the
     portable subset both Java regex and RE2 execute identically.
     """
-    # scheme+host lowercased, rest untouched
-    c = F.regexp_replace(
-        col, "^(https?)://([^/?#]*)", "$1://$2"
-    )  # anchor match (no-op rewrite, keeps groups referenced once)
+    # scheme+host lowercased (case-insensitive match), rest untouched
     c = F.concat(
-        F.lower(F.regexp_extract(c, "^(https?://[^/?#]*)", 1)),
-        F.regexp_extract(c, "^https?://[^/?#]*(.*)$", 1),
+        F.lower(F.regexp_extract(col, "^(?i)(https?://[^/?#]*)", 1)),
+        F.regexp_extract(col, "^(?i)https?://[^/?#]*(.*)$", 1),
     )
     c = F.regexp_replace(c, "#.*$", "")  # fragment
     # tracking params, wherever they sit in the query string
     c = F.regexp_replace(c, "([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*", "$1")
     c = F.regexp_replace(c, "[?&]+$", "")  # empty leftover separators
+    # collapse doubled separators BEFORE the '?&' fix: stripping two
+    # adjacent tracking params leaves '?&&id=..', and a '?&' pass run
+    # first would only eat one '&' (replace does not rescan)
+    c = F.regexp_replace(c, "&&+", "&")
     c = F.regexp_replace(c, "\\?&", "?")  # "?&x" -> "?x"
-    c = F.regexp_replace(c, "&&+", "&")  # collapse doubled separators
     c = F.regexp_replace(c, "(https?://[^/?#]+/[^?#]*?)/+(\\?|$)", "$1$2")
-    return c
+    # non-http(s) inputs (ftp:, protocol-relative, bare hosts) pass
+    # through unchanged instead of collapsing to '' — a dedup group
+    # keyed on '' would silently merge every such row
+    return F.when(
+        col.rlike("^(?i)https?://"), c
+    ).otherwise(col)
 
 
 def canonicalize_url_sql(expr: str) -> str:
     """DuckDB mirror of :func:`canonicalize_url` (same regex subset,
     same rule order)."""
-    c = f"regexp_replace({expr}, '^(https?)://([^/?#]*)', '\\1://\\2')"
     c = (
-        f"lower(regexp_extract({c}, '^(https?://[^/?#]*)', 1)) || "
-        f"regexp_extract({c}, '^https?://[^/?#]*(.*)$', 1)"
+        f"lower(regexp_extract({expr}, '^(?i)(https?://[^/?#]*)', 1)) || "
+        f"regexp_extract({expr}, '^(?i)https?://[^/?#]*(.*)$', 1)"
     )
     c = f"regexp_replace({c}, '#.*$', '')"
     c = (
@@ -769,10 +773,13 @@ def canonicalize_url_sql(expr: str) -> str:
         f"'([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*', '\\1', 'g')"
     )
     c = f"regexp_replace({c}, '[?&]+$', '')"
-    c = f"regexp_replace({c}, '\\?&', '?')"
     c = f"regexp_replace({c}, '&&+', '&', 'g')"
+    c = f"regexp_replace({c}, '\\?&', '?', 'g')"
     c = f"regexp_replace({c}, '(https?://[^/?#]+/[^?#]*?)/+(\\?|$)', '\\1\\2')"
-    return c
+    return (
+        f"CASE WHEN regexp_matches({expr}, '^(?i)https?://')"
+        f" THEN {c} ELSE {expr} END"
+    )
 
 
 def span_corrupt(

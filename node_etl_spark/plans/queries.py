@@ -6787,13 +6787,18 @@ _Q178_TRUNC_DIM = 16
                SUM(CAST(abs(cf - ct) AS DECIMAL(18,6))) AS sad
         FROM cos)
     SELECT n_pairs,
-           round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
-                 6) AS pearson_r,
+           CASE WHEN (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0
+                THEN round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                           6)
+                END AS pearson_r,
            round(CAST(sad AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
                AS mean_abs_diff
     FROM s
@@ -6851,7 +6856,12 @@ def q178_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         "n_pairs",
-        F.round(F.expr(f"({num}) / ({den})"), 6).alias("pearson_r"),
+        # constant cosine columns zero a variance term: 0/0 is NaN in
+        # Spark, NULL in DuckDB — explicit NULL on both sides
+        F.expr(
+            f"CASE WHEN ({den}) > 0"
+            f" THEN round(({num}) / ({den}), 6) END"
+        ).alias("pearson_r"),
         F.round(
             F.col("sad").cast("double") / F.col("n_pairs").cast("double"), 6
         ).alias("mean_abs_diff"),
@@ -6863,7 +6873,7 @@ def q178_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 def _init_q179() -> None:
-    from ..functions.sampling import hash_bucket, hash_bucket_sql
+    from ..functions.sampling import BUCKETS, hash_bucket, hash_bucket_sql
 
     bucket = hash_bucket_sql("doc_id", seed=7)
 
@@ -6886,7 +6896,7 @@ def _init_q179() -> None:
                round(greatest(quality, 0.05), 6) AS keep_rate
         FROM q
         WHERE CAST({bucket} AS DOUBLE)
-              < round(greatest(quality, 0.05), 6) * 10000.0
+              < round(greatest(quality, 0.05), 6) * {float(BUCKETS)!r}
         """,
         doc="Quality-weighted soft sampling (the DCLM/FineWeb move "
             "from hard quality cuts to probabilistic keeps): keep "
@@ -6907,7 +6917,10 @@ def _init_q179() -> None:
         b = hash_bucket(F.col("doc_id"), seed=7)
         return (
             scored.withColumn("keep_rate", rate)
-            .filter(b.cast("double") < F.col("keep_rate") * F.lit(10000.0))
+            .filter(
+                b.cast("double")
+                < F.col("keep_rate") * F.lit(float(BUCKETS))
+            )
             .select("doc_id", "quality", "keep_rate")
         )
 

@@ -437,3 +437,16 @@ def test_assortativity_star_is_negative(spark):
     r = degree_assortativity(edges).collect()[0]
     assert r.n_edges == 10
     assert r.assortativity == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    from node_etl_spark.functions.graph import degree_assortativity
+
+    # 4-cycle: every node degree 2 -> zero variance -> NULL, not NaN
+    und = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src bigint, dst bigint",
+    )
+    r = degree_assortativity(edges).collect()[0]
+    assert r.n_edges == 8 and r.assortativity is None

@@ -399,3 +399,13 @@ def test_join_size_estimate_catches_skew(spark):
     # large frac -> hot key certainly sampled -> estimate >= its mass
     r = join_size_estimate(a, b, "ka", "kb", sample_frac=0.9).collect()[0]
     assert r.est_join_rows >= 200 * 200
+
+
+def test_chisq_single_category_is_null_not_nan(spark):
+    from node_etl_spark.functions.profile import chisq_independence
+
+    df = spark.createDataFrame(
+        [("only", "u"), ("only", "v")], "a string, b string"
+    )
+    r = chisq_independence(df, "a", "b").collect()[0]
+    assert r.dof == 0 and r.cramers_v is None

@@ -290,6 +290,14 @@ def test_canonicalize_url_rules(spark):
         ("https://a.org/p?fbclid=abc", "https://a.org/p"),
         ("http://a.org/", "http://a.org/"),  # root slash kept
         ("https://a.org/p?id=1&gclid=z&x=2", "https://a.org/p?id=1&x=2"),
+        # two adjacent tracking params before a kept one: '?&&id' must
+        # fully collapse (review finding: && collapse ran after ?&)
+        ("https://a.org/p?utm_source=x&utm_campaign=y&id=2",
+         "https://a.org/p?id=2"),
+        # uppercase scheme canonicalizes; non-http passes through
+        ("HTTPS://A.org/p#f", "https://a.org/p"),
+        ("ftp://Mixed.Case/keep?utm_source=x", "ftp://Mixed.Case/keep?utm_source=x"),
+        ("not a url", "not a url"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [
