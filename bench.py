@@ -158,6 +158,7 @@ HEADLINE = [
     "q186_conversation_assembly",
     "q187_preference_pairs",
     "q188_fd_audit",
+    "q189_stream_heavy_hitters",
 ]
 
 

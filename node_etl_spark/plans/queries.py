@@ -7482,3 +7482,79 @@ def _init_q188() -> None:
 
 
 _init_q188()
+
+
+# --------------------------------------------------------------------
+# q189 — streaming heavy hitters on the oracle gate (q105 replay
+# pattern; the incremental twin of q166)
+# --------------------------------------------------------------------
+
+def _init_q189() -> None:
+    from ..functions.sketch import heavy_hitters_oracle_sql
+
+    item_sql = (
+        "CASE WHEN event_id % 4 <> 0 THEN 'hot_' ||"
+        " CAST(event_id % 3 AS VARCHAR) ELSE 'cold_' ||"
+        " CAST(event_id AS VARCHAR) END"
+    )
+
+    @register(
+        "q189_stream_heavy_hitters",
+        heavy_hitters_oracle_sql(
+            f"SELECT {item_sql} AS item FROM events", _Q166_K
+        ),
+        doc="Streaming frequent items with batch parity (q105's "
+            "availableNow replay): the q166 item stream counted "
+            "INCREMENTALLY by a complete-mode streaming aggregation "
+            "— state is one row per distinct item, updated per "
+            "micro-batch, no event rescans — then thresholded at "
+            "cnt*(k+1) > N when the state table is read. Same "
+            "GROUP BY/HAVING oracle as q166: the stream's final "
+            "state must equal the batch answer exactly.",
+    )
+    def q189_stream_heavy_hitters(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        def build(source):
+            src = source()
+            item = (
+                F.when(
+                    F.col("event_id") % 4 != 0,
+                    F.concat(
+                        F.lit("hot_"), (F.col("event_id") % 3).cast("string")
+                    ),
+                )
+                .otherwise(
+                    F.concat(
+                        F.lit("cold_"), F.col("event_id").cast("string")
+                    )
+                )
+                .alias("item")
+            )
+            return src.select(item).groupBy("item").count()
+
+        sink = _replay_events(
+            spark,
+            sf_dir,
+            ["event_id", "ts"],
+            build,
+            mode="complete",
+            sink_prefix="q189",
+        )
+        n = sink.agg(F.sum("count").cast("bigint").alias("n"))
+        return (
+            sink.crossJoin(F.broadcast(n))
+            .filter(F.col("count") * (_Q166_K + 1) > F.col("n"))
+            .select(
+                "item",
+                F.col("count").cast("bigint").alias("cnt"),
+                "n",
+                F.round(
+                    F.col("count").cast("double") / F.col("n").cast("double"),
+                    6,
+                ).alias("share"),
+            )
+        )
+
+
+_init_q189()
