@@ -159,6 +159,7 @@ HEADLINE = [
     "q187_preference_pairs",
     "q188_fd_audit",
     "q189_stream_heavy_hitters",
+    "q190_pass_at_k",
 ]
 
 

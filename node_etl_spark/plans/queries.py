@@ -7558,3 +7558,73 @@ def _init_q189() -> None:
 
 
 _init_q189()
+
+
+# --------------------------------------------------------------------
+# q190 — pass@k estimation (the LLM eval-harness aggregate)
+# --------------------------------------------------------------------
+
+_Q190_K = 5
+
+
+def _q190_falling(base: str, k: int) -> str:
+    """Exact falling-factorial product base*(base-1)*...*(base-k+1) as
+    a chained DECIMAL(38,0) expression — identical text on both
+    engines, so the arithmetic cannot diverge (a double product would
+    leave the 2^53-exact range at large n; an aggregate product has
+    no order guarantee)."""
+    terms = [f"CAST({base} - {j} AS DECIMAL(38,0))" for j in range(k)]
+    return " * ".join(terms)
+
+
+@register(
+    "q190_pass_at_k",
+    f"""
+    WITH tasks AS (
+        SELECT user_id AS task_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN value > 60 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c
+        FROM events GROUP BY user_id)
+    SELECT task_id, n, c,
+           CASE WHEN n - c < {_Q190_K} THEN 1.0
+                ELSE round(1.0 - CAST({_q190_falling('(n - c)', _Q190_K)}
+                                      AS DOUBLE)
+                               / CAST({_q190_falling('n', _Q190_K)}
+                                      AS DOUBLE), 9)
+           END AS pass_at_k
+    FROM tasks WHERE n >= {_Q190_K}
+    """,
+    doc="pass@k estimation (Chen et al. 2021, the HumanEval "
+        "estimator): per task (user stands in), n attempts and c "
+        "successes (value > 60) collapse to the unbiased "
+        "1 - C(n-c,k)/C(n,k), evaluated as exact DECIMAL(38,0) "
+        "falling-factorial chains — a double product leaves the "
+        "2^53-exact range at large n and an aggregate product has no "
+        "order guarantee, so the expression is generated as "
+        "identical text for both engines. One count aggregation; "
+        "everything after is row-local on task-sized rows.",
+)
+def q190_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _Q190_K
+    tasks = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("task_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("value") > 60, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c"),
+        )
+        .filter(F.col("n") >= k)
+    )
+    return tasks.select(
+        "task_id",
+        "n",
+        "c",
+        F.expr(
+            f"CASE WHEN n - c < {k} THEN 1.0"
+            f" ELSE round(1.0 - CAST({_q190_falling('(n - c)', k)} AS DOUBLE)"
+            f" / CAST({_q190_falling('n', k)} AS DOUBLE), 9) END"
+        ).alias("pass_at_k"),
+    )
