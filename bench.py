@@ -160,6 +160,7 @@ HEADLINE = [
     "q188_fd_audit",
     "q189_stream_heavy_hitters",
     "q190_pass_at_k",
+    "q191_bradley_terry",
 ]
 
 

@@ -1237,3 +1237,138 @@ def assortativity_oracle_sql(edges_sql: str) -> str:
                 END AS assortativity
     FROM s
     """
+
+
+def bradley_terry(
+    prefs: DataFrame,
+    iterations: int = 3,
+    winner: str = "winner",
+    loser: str = "loser",
+) -> DataFrame:
+    """Bradley-Terry preference ratings via Hunter's MM updates
+    (Hunter, Annals of Statistics 2004) — the model behind reward
+    ranking from pairwise comparisons (RLHF preference data, arena
+    ELO): given (winner, loser) rows, each iteration sets
+    ``p_i = W_i / sum_j g_ij / (p_i + p_j)`` with W_i total wins and
+    g_ij games between i and j.
+
+    Same discipline as :func:`pagerank`: FIXED iteration count (the
+    DuckDB oracle unrolls the same rounds), ratings rounded to 9
+    digits per round so both engines iterate identical doubles, and
+    per round one broadcast of the (item-sized) rating state joined
+    twice onto the symmetric games frame + one aggregation — the
+    comparison graph is the edge set, ratings are the rank state.
+    Items with zero wins rate 0 (their update is 0/x); pairs drive
+    the denominator, so disconnected comparison components rate on
+    their own scale (the usual BT identifiability caveat — compare
+    within components, here per round count). Returns
+    (item, games, wins, rating).
+    """
+    pairs = prefs.select(
+        F.col(winner).alias("w"), F.col(loser).alias("l")
+    )
+    games = (
+        pairs.select(
+            F.least("w", "l").alias("a"),
+            F.greatest("w", "l").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("g"))
+    )
+    sym = games.select(
+        F.col("a").alias("i"), F.col("b").alias("j"), "g"
+    ).unionByName(
+        games.select(
+            F.col("b").alias("i"), F.col("a").alias("j"), "g"
+        )
+    ).localCheckpoint(eager=True)
+    wins = (
+        pairs.groupBy(F.col("w").alias("i"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wins"))
+    )
+    stats = (
+        sym.groupBy("i")
+        .agg(F.sum("g").cast("bigint").alias("games"))
+        .join(wins, "i", "left")
+        .select(
+            "i",
+            "games",
+            F.coalesce("wins", F.lit(0).cast("bigint")).alias("wins"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    r = stats.select("i", F.lit(1.0).alias("p"))
+    for _ in range(iterations):
+        ri = r.select(F.col("i").alias("__i"), F.col("p").alias("pi"))
+        rj = r.select(F.col("i").alias("__j"), F.col("p").alias("pj"))
+        den = (
+            sym.join(F.broadcast(ri), F.col("i") == F.col("__i"))
+            .join(F.broadcast(rj), F.col("j") == F.col("__j"))
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("g").cast("double")
+                        / (F.col("pi") + F.col("pj")),
+                        12,
+                    ).cast("decimal(28,12)")
+                ).alias("den")
+            )
+        )
+        r = (
+            stats.join(den, "i")
+            .select(
+                "i",
+                F.round(
+                    F.col("wins").cast("double")
+                    / F.col("den").cast("double"),
+                    9,
+                ).alias("p"),
+            )
+        )
+    return stats.join(r, "i").select(
+        F.col("i").alias("item"),
+        "games",
+        "wins",
+        F.col("p").alias("rating"),
+    )
+
+
+def bradley_terry_oracle_sql(
+    prefs_sql: str, iterations: int = 3
+) -> str:
+    """DuckDB mirror of :func:`bradley_terry` (rounds unrolled,
+    identical per-term rounding and decimal denominator sums).
+    ``prefs_sql`` yields (w, l) rows."""
+    parts = [
+        f"WITH pairs AS ({prefs_sql})",
+        "games AS (SELECT least(w, l) AS a, greatest(w, l) AS b,"
+        " CAST(COUNT(*) AS BIGINT) AS g FROM pairs GROUP BY 1, 2)",
+        "sym AS (SELECT a AS i, b AS j, g FROM games"
+        " UNION ALL SELECT b AS i, a AS j, g FROM games)",
+        "wins AS (SELECT w AS i, CAST(COUNT(*) AS BIGINT) AS wins"
+        " FROM pairs GROUP BY w)",
+        "stats AS (SELECT s.i, CAST(SUM(s.g) AS BIGINT) AS games,"
+        " COALESCE(MAX(wins.wins), 0) AS wins"
+        " FROM sym s LEFT JOIN wins ON s.i = wins.i GROUP BY s.i)",
+        "r0 AS (SELECT i, 1.0 AS p FROM stats)",
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f"d{t} AS (SELECT sym.i,"
+            f" SUM(CAST(round(CAST(g AS DOUBLE) / (ri.p + rj.p), 12)"
+            f" AS DECIMAL(28,12))) AS den"
+            f" FROM sym JOIN r{t-1} ri ON sym.i = ri.i"
+            f" JOIN r{t-1} rj ON sym.j = rj.i GROUP BY sym.i)"
+        )
+        parts.append(
+            f"r{t} AS (SELECT stats.i,"
+            f" round(CAST(wins AS DOUBLE) / CAST(den AS DOUBLE), 9) AS p"
+            f" FROM stats JOIN d{t} ON stats.i = d{t}.i)"
+        )
+    parts_sql = ",\n".join(parts)
+    return (
+        f"{parts_sql}\n"
+        f"SELECT stats.i AS item, games, wins, p AS rating\n"
+        f"FROM stats JOIN r{iterations} ON stats.i = r{iterations}.i"
+    )

@@ -7628,3 +7628,67 @@ def q190_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / CAST({_q190_falling('n', k)} AS DOUBLE), 9) END"
         ).alias("pass_at_k"),
     )
+
+
+# --------------------------------------------------------------------
+# q191 — Bradley-Terry ratings from quality-preference pairs
+# --------------------------------------------------------------------
+
+_Q191_PREFS_SQL = """
+        WITH scored AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> lower(t) IN ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
+                        / len(string_split(text, ' ')) AS sw
+            FROM documents),
+        q AS (
+            SELECT doc_id, source,
+                   round((least(n / 100.0, 1.0)
+                          + least(sw * 4.0, 1.0)) / 2.0, 6) AS quality
+            FROM scored)
+        SELECT a.doc_id AS w, b.doc_id AS l
+        FROM q a JOIN q b
+          ON a.source = b.source AND a.doc_id <> b.doc_id
+         AND round(a.quality - b.quality, 6) >= 0.05
+"""
+
+
+def _init_q191() -> None:
+    from ..functions.graph import bradley_terry, bradley_terry_oracle_sql
+
+    @register(
+        "q191_bradley_terry",
+        bradley_terry_oracle_sql(_Q191_PREFS_SQL, iterations=3),
+        doc="Bradley-Terry preference ratings (functions/graph.py "
+            "bradley_terry; Hunter's MM, 3 fixed rounds unrolled in "
+            "the oracle): q187's quality comparisons expanded to all "
+            "within-source pairs with margin >= 0.05 become (winner, "
+            "loser) games; ratings iterate as broadcast state over "
+            "the symmetric comparison graph with per-round "
+            "round(9) and decimal denominator sums — the reward-"
+            "ranking / arena-scoring aggregate, on the exact gate "
+            "like its pagerank sibling.",
+    )
+    def q191_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+        q = table(spark, sf_dir, "documents").select(
+            "doc_id", "source", T.quality_score("text").alias("quality")
+        )
+        a = q.alias("a")
+        b = q.alias("b")
+        prefs = a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (
+                F.round(F.col("a.quality") - F.col("b.quality"), 6)
+                >= 0.05
+            ),
+        ).select(
+            F.col("a.doc_id").alias("winner"),
+            F.col("b.doc_id").alias("loser"),
+        )
+        return bradley_terry(prefs, iterations=3)
+
+
+_init_q191()

@@ -450,3 +450,26 @@ def test_assortativity_regular_graph_is_null(spark):
     )
     r = degree_assortativity(edges).collect()[0]
     assert r.n_edges == 8 and r.assortativity is None
+
+
+def test_bradley_terry_orders_by_strength(spark):
+    from node_etl_spark.functions.graph import bradley_terry
+
+    # 1 beats 2 twice and 3 once; 2 beats 3 once; 3 never wins
+    prefs = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3), (2, 3)], "winner bigint, loser bigint"
+    )
+    out = {r.item: r for r in bradley_terry(prefs, iterations=5).collect()}
+    assert out[1].wins == 3 and out[3].wins == 0
+    assert out[1].rating > out[2].rating > out[3].rating
+    assert out[3].rating == 0.0  # never wins -> zero rating
+
+
+def test_bradley_terry_symmetric_record_is_even(spark):
+    from node_etl_spark.functions.graph import bradley_terry
+
+    prefs = spark.createDataFrame(
+        [(1, 2), (2, 1)], "winner bigint, loser bigint"
+    )
+    out = {r.item: r.rating for r in bradley_terry(prefs, iterations=4).collect()}
+    assert out[1] == out[2]
