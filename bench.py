@@ -161,6 +161,8 @@ HEADLINE = [
     "q189_stream_heavy_hitters",
     "q190_pass_at_k",
     "q191_bradley_terry",
+    "q192_schema_evolution",
+    "q193_trimmed_mean",
 ]
 
 

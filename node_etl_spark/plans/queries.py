@@ -7692,3 +7692,116 @@ def _init_q191() -> None:
 
 
 _init_q191()
+
+
+# --------------------------------------------------------------------
+# q192 — schema evolution: mixed-schema batches, merged read
+# --------------------------------------------------------------------
+
+@register(
+    "q192_schema_evolution",
+    """
+    WITH unioned AS (
+        SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT COALESCE(o_orderpriority, '<pre-migration>') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+    FROM unioned GROUP BY 1
+    """,
+    doc="Schema evolution at the lake layer: two parquet batches "
+        "written with DIFFERENT schemas (a pre-migration batch "
+        "without o_orderpriority, a post-migration batch with it), "
+        "read back as one frame via mergeSchema — missing columns "
+        "null-fill, no rewrite of old files; the audit rolls up by "
+        "priority with the legacy rows bucketed explicitly. The "
+        "append-only schema-migration pattern every long-lived lake "
+        "table needs.",
+)
+def q192_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{_SCRATCH}/orders_schema_evo"
+    orders = table(spark, sf_dir, "orders")
+    (
+        orders.filter("o_orderkey % 2 = 0")
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(f"{path}/batch=v1")
+    )
+    (
+        orders.filter("o_orderkey % 2 = 1")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(f"{path}/batch=v2")
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.groupBy(
+        F.coalesce("o_orderpriority", F.lit("<pre-migration>")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
+# --------------------------------------------------------------------
+# q193 — per-group trimmed mean (outlier-robust aggregation)
+# --------------------------------------------------------------------
+
+@register(
+    "q193_trimmed_mean",
+    """
+    WITH ranked AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY o_orderpriority)
+                    AS BIGINT) AS n
+        FROM orders)
+    SELECT o_orderpriority,
+           n,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           round(CAST(SUM(cents) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 100.0, 6) AS trimmed_mean
+    FROM ranked
+    WHERE rn > CAST(floor(n * 0.1) AS BIGINT)
+      AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
+    GROUP BY o_orderpriority, n
+    """,
+    doc="10% two-sided trimmed mean of order value per priority: "
+        "rank window + exact integer cent sums — the outlier-robust "
+        "location estimate beside q112's MAD (robust SPREAD) and "
+        "q44's percentiles; one group-key shuffle, trim bounds from "
+        "the same window pass, no second scan.",
+)
+def q193_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    trim = F.floor(F.col("n") * 0.1).cast("bigint")
+    return (
+        ranked.filter((F.col("rn") > trim) & (F.col("rn") <= F.col("n") - trim))
+        .groupBy("o_orderpriority", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.round(
+                F.sum("cents").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(100.0),
+                6,
+            ).alias("trimmed_mean"),
+        )
+        .select("o_orderpriority", "n", "n_kept", "trimmed_mean")
+    )
