@@ -163,6 +163,7 @@ HEADLINE = [
     "q191_bradley_terry",
     "q192_schema_evolution",
     "q193_trimmed_mean",
+    "q194_range_boundaries",
 ]
 
 

@@ -7805,3 +7805,94 @@ def q193_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderpriority", "n", "n_kept", "trimmed_mean")
     )
+
+
+# --------------------------------------------------------------------
+# q194 — range-partition boundary planning from a hash sample
+# --------------------------------------------------------------------
+
+_Q194_PARTS = 10
+_Q194_FRAC_CUT = 500  # 5% of the 10k bucket space
+
+
+@register(
+    "q194_range_boundaries",
+    f"""
+    WITH sample AS (
+        SELECT o_totalprice AS v, o_orderkey
+        FROM orders
+        WHERE CAST(CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+              || ':rb'), 1, 8)) AS BIGINT) % 10000 AS INTEGER)
+              < {_Q194_FRAC_CUT}),
+    ranked AS (
+        SELECT v, row_number() OVER (ORDER BY v, o_orderkey) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM sample)
+    SELECT CAST(p AS INTEGER) AS boundary_idx,
+           (SELECT v FROM ranked
+            WHERE rn = CAST(ceil(CAST(p AS DOUBLE) * n
+                                 / {_Q194_PARTS}) AS BIGINT))
+               AS boundary_value,
+           (SELECT MAX(n) FROM ranked) AS n_sampled
+    FROM (SELECT unnest(generate_series(1, {_Q194_PARTS - 1})) AS p)
+    """,
+    doc="Range-partition boundary planning (what RangePartitioner's "
+        "reservoir sketch does, made deterministic and auditable): a "
+        "portable 5% hash sample of the sort key, exact rank-selected "
+        "boundary values at the k-quantile ranks — the plan you "
+        "compute BEFORE a balanced global sort / sorted write of "
+        "100 TB; deterministic sampling means the plan is "
+        "reproducible and append-stable, unlike rand() reservoirs. "
+        "One narrow filter + one sample-sized window.",
+)
+def q194_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("o_orderkey").cast("string"), F.lit(":rb"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") % 10000
+    sample = (
+        table(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderkey")
+        .filter(h.cast("int") < _Q194_FRAC_CUT)
+    )
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = sample.select(
+        F.col("o_totalprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias("n"),
+    )
+    ps = spark.range(1, _Q194_PARTS).select(
+        F.col("id").cast("int").alias("boundary_idx")
+    )
+    target = F.ceil(
+        F.col("boundary_idx").cast("double")
+        * F.col("n").cast("double")
+        / F.lit(_Q194_PARTS)
+    ).cast("bigint")
+    return (
+        ps.crossJoin(ranked)
+        .filter(F.col("rn") == target)
+        .select(
+            "boundary_idx",
+            F.col("v").alias("boundary_value"),
+            "n",
+        )
+        .groupBy("boundary_idx")
+        .agg(
+            F.max("boundary_value").alias("boundary_value"),
+            F.max("n").cast("bigint").alias("n_sampled"),
+        )
+    )
