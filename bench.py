@@ -164,6 +164,8 @@ HEADLINE = [
     "q192_schema_evolution",
     "q193_trimmed_mean",
     "q194_range_boundaries",
+    "q195_sentence_truncate",
+    "q196_leakage_safe_split",
 ]
 
 

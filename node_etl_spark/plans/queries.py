@@ -7896,3 +7896,132 @@ def q194_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").cast("bigint").alias("n_sampled"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# q195 — token-budgeted truncation at sentence boundaries
+# --------------------------------------------------------------------
+
+_Q195_BUDGET = 40
+
+
+@register(
+    "q195_sentence_truncate",
+    f"""
+    WITH sents AS (
+        SELECT doc_id, s, i,
+               len(list_filter(string_split(s, ' '), t -> t <> ''))
+                   AS toks
+        FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS s,
+                     generate_subscripts(string_split(text, '. '), 1) AS i
+              FROM documents)),
+    cum AS (
+        SELECT doc_id, s, i, toks,
+               SUM(toks) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS UNBOUNDED PRECEDING) AS cum_toks
+        FROM sents),
+    kept AS (SELECT * FROM cum
+             WHERE cum_toks <= {_Q195_BUDGET} OR i = 1)
+    SELECT doc_id,
+           md5(string_agg(s, '. ' ORDER BY i)) AS truncated_fp,
+           CAST(MAX(cum_toks) AS BIGINT) AS n_tokens_kept,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences_kept
+    FROM kept GROUP BY doc_id
+    """,
+    doc="Token-budgeted truncation at sentence boundaries (context-"
+        "window fitting without mid-sentence cuts): sentences split "
+        "on '. ', per-sentence token counts, a running-total window, "
+        "keep while the budget holds — the FIRST sentence always "
+        "survives so no document vanishes (an over-budget opener is "
+        "kept whole, the deterministic choice both engines share). "
+        "One doc-key shuffle; ordered reassembly fingerprinted.",
+)
+def q195_sentence_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sents = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", "\\. ")).alias("i0", "s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("i0") + 1).alias("i"),
+            "s",
+            F.size(
+                F.filter(F.split("s", " "), lambda t: t != "")
+            ).alias("toks"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sents.withColumn("cum_toks", F.sum("toks").over(w))
+    kept = cum.filter(
+        (F.col("cum_toks") <= _Q195_BUDGET) | (F.col("i") == 1)
+    )
+    joined = F.concat_ws(
+        ". ",
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "s"))),
+            lambda x: x["s"],
+        ),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.md5(joined).alias("truncated_fp"),
+        F.max("cum_toks").cast("bigint").alias("n_tokens_kept"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sentences_kept"),
+    )
+
+
+# --------------------------------------------------------------------
+# q196 — leakage-safe splits: split by duplicate CLUSTER, not by doc
+# --------------------------------------------------------------------
+
+def _init_q196() -> None:
+    comp_inner = G.components_oracle_sql(D.jaccard_oracle_sql(threshold=0.8))
+    case = SA.hash_split_case_sql("COALESCE(c.cluster_id, d.doc_id)", _SPLITS)
+
+    @register(
+        "q196_leakage_safe_split",
+        f"""
+        WITH comp AS ({comp_inner})
+        SELECT d.doc_id,
+               CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT)
+                   AS split_key,
+               {case} AS split
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        """,
+        doc="Leakage-safe train/val/test split: near-duplicate "
+            "CLUSTERS (q54's exact-Jaccard components) share one "
+            "split key — a near-copy of a training document can "
+            "never land in the test set, the group-split discipline "
+            "every dedup-aware eval needs; clean documents key on "
+            "themselves. Composes dedup_clusters with the row-local "
+            "q55 hash split; the only extra cost over q55 is the "
+            "pair-stream closure, joined back as a dimension-sized "
+            "frame.",
+    )
+    def q196_leakage_safe_split(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        docs = table(spark, sf_dir, "documents")
+        pairs = D.jaccard_pairs(D.shingle_rows(docs), threshold=0.8)
+        clusters = G.dedup_clusters(docs, pairs).select(
+            "doc_id", "cluster_id"
+        )
+        keyed = (
+            docs.select("doc_id")
+            .join(clusters, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("cluster_id", "doc_id")
+                .cast("bigint")
+                .alias("split_key"),
+            )
+        )
+        return SA.hash_split(keyed, "split_key", _SPLITS)
+
+
+_init_q196()

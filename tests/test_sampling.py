@@ -409,3 +409,18 @@ def test_chisq_single_category_is_null_not_nan(spark):
     )
     r = chisq_independence(df, "a", "b").collect()[0]
     assert r.dof == 0 and r.cramers_v is None
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    from node_etl_spark.plans.queries import QUERIES
+
+    out = QUERIES["q196_leakage_safe_split"].fn(spark, sf_dir).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.split_key, set()).add(r.split)
+    # every split key (= dup cluster or singleton) maps to ONE split
+    assert all(len(s) == 1 for s in by_key.values())
+    # and at least one real cluster exists (key shared by >1 doc)
+    from collections import Counter
+    counts = Counter(r.split_key for r in out)
+    assert max(counts.values()) > 1
