@@ -166,6 +166,8 @@ HEADLINE = [
     "q194_range_boundaries",
     "q195_sentence_truncate",
     "q196_leakage_safe_split",
+    "q197_k_anonymity",
+    "q198_survival_curve",
 ]
 
 

@@ -8025,3 +8025,179 @@ def _init_q196() -> None:
 
 
 _init_q196()
+
+
+# --------------------------------------------------------------------
+# q197 — k-anonymity / l-diversity privacy audit
+# --------------------------------------------------------------------
+
+_Q197_K = 5
+
+
+@register(
+    "q197_k_anonymity",
+    f"""
+    WITH groups AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS l_div
+        FROM customer GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < {_Q197_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_risky_groups,
+           CAST(SUM(CASE WHEN n < {_Q197_K} THEN n ELSE 0 END) AS BIGINT)
+               AS n_risky_rows,
+           CAST(MIN(n) AS BIGINT) AS k_anonymity,
+           CAST(MIN(l_div) AS BIGINT) AS l_diversity
+    FROM groups
+    """,
+    doc="k-anonymity / l-diversity audit over quasi-identifiers "
+        "(nation x market segment, account balance as the sensitive "
+        "attribute): the dataset's k is the SMALLEST quasi-id group, "
+        "l the smallest distinct-sensitive-value count — the privacy "
+        "re-identification check run before releasing or training on "
+        "user-derived tables. One group agg + one rollup; risky "
+        "exposure quantified as groups and rows under k.",
+)
+def q197_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("c_acctbal").cast("bigint").alias("l_div"),
+        )
+    )
+    k = _Q197_K
+    return groups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("n") < k, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_risky_groups"),
+        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_risky_rows"),
+        F.min("n").cast("bigint").alias("k_anonymity"),
+        F.min("l_div").cast("bigint").alias("l_diversity"),
+    )
+
+
+# --------------------------------------------------------------------
+# q198 — Kaplan-Meier retention curve over user lifetimes
+# --------------------------------------------------------------------
+
+@register(
+    "q198_survival_curve",
+    """
+    WITH u AS (
+        SELECT user_id,
+               date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+                   AS dur,
+               CAST(MAX(ts) AS DATE) AS ld
+        FROM events GROUP BY user_id),
+    horizon AS (SELECT MAX(ld) AS h FROM u),
+    obs AS (
+        SELECT dur, CASE WHEN ld = h THEN 0 ELSE 1 END AS churned
+        FROM u, horizon),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM obs),
+    byd AS (
+        SELECT dur,
+               CAST(COUNT(*) AS BIGINT) AS leaving,
+               CAST(SUM(churned) AS BIGINT) AS d
+        FROM obs GROUP BY dur),
+    risk AS (
+        SELECT dur, d,
+               t.n - (SUM(leaving) OVER (ORDER BY dur
+                      ROWS UNBOUNDED PRECEDING) - leaving) AS r
+        FROM byd, tot t),
+    terms AS (
+        SELECT dur, d, CAST(r AS BIGINT) AS r,
+               CASE WHEN d >= r THEN NULL
+                    ELSE CAST(round(ln(CAST(r - d AS DOUBLE)
+                                       / CAST(r AS DOUBLE)), 12)
+                              AS DECIMAL(28,12)) END AS lnf,
+               MAX(CASE WHEN d >= r THEN 1 ELSE 0 END)
+                   OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS dead
+        FROM risk),
+    curve AS (
+        SELECT dur, d, r, dead,
+               SUM(lnf) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS cln
+        FROM terms)
+    SELECT CAST(dur AS BIGINT) AS duration_days, d AS n_churned, r AS n_at_risk,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE round(exp(CAST(cln AS DOUBLE)), 6) END AS survival
+    FROM curve
+    """,
+    doc="Kaplan-Meier retention curve over user activity lifetimes "
+        "(last-seen-at-horizon users censored, the standard "
+        "right-censoring rule): at-risk counts from one cumulative "
+        "window over duration-grouped counts, survival as the "
+        "product of (1 - d/r) factors — accumulated as "
+        "DECIMAL-quantized ln terms (the q148 discipline; an ordered "
+        "double product would be engine-divergent) with an explicit "
+        "zero once a duration absorbs every survivor. Two "
+        "aggregations + duration-sized windows; user state never "
+        "re-scans events.",
+)
+def q198_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max(F.col("ts").cast("date")),
+                F.min(F.col("ts").cast("date")),
+            ).alias("dur"),
+            F.max(F.col("ts").cast("date")).alias("ld"),
+        )
+    )
+    horizon = u.agg(F.max("ld").alias("h"))
+    obs = u.crossJoin(F.broadcast(horizon)).select(
+        "dur",
+        F.when(F.col("ld") == F.col("h"), 0).otherwise(1).alias("churned"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    byd = obs.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+        F.sum("churned").cast("bigint").alias("d"),
+    )
+    wc = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = byd.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        (
+            F.col("n")
+            - (F.sum("leaving").over(wc) - F.col("leaving"))
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    terms = risk.select(
+        "dur",
+        "d",
+        "r",
+        F.when(
+            F.col("d") < F.col("r"),
+            F.round(
+                F.log(
+                    (F.col("r") - F.col("d")).cast("double")
+                    / F.col("r").cast("double")
+                ),
+                12,
+            ).cast("decimal(28,12)"),
+        ).alias("lnf"),
+        F.max(F.when(F.col("d") >= F.col("r"), 1).otherwise(0))
+        .over(wc)
+        .alias("dead"),
+    )
+    curve = terms.withColumn("cln", F.sum("lnf").over(wc))
+    return curve.select(
+        F.col("dur").cast("bigint").alias("duration_days"),
+        F.col("d").alias("n_churned"),
+        F.col("r").alias("n_at_risk"),
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cln").cast("double")), 6))
+        .alias("survival"),
+    )
