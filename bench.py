@@ -168,6 +168,8 @@ HEADLINE = [
     "q196_leakage_safe_split",
     "q197_k_anonymity",
     "q198_survival_curve",
+    "q199_kfold_assignment",
+    "q200_dataset_card",
 ]
 
 

@@ -8201,3 +8201,179 @@ def q198_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.col("cln").cast("double")), 6))
         .alias("survival"),
     )
+
+
+# --------------------------------------------------------------------
+# q199 — k-fold cross-validation assignment with balance audit
+# --------------------------------------------------------------------
+
+_Q199_FOLDS = 5
+
+
+def _init_q199() -> None:
+    from ..functions.sampling import hash_bucket, hash_bucket_sql
+
+    bucket = hash_bucket_sql("doc_id", seed=11)
+
+    @register(
+        "q199_kfold_assignment",
+        f"""
+        WITH folds AS (
+            SELECT doc_id, lang,
+                   CAST(({bucket}) % {_Q199_FOLDS} AS INTEGER) AS fold
+            FROM documents)
+        SELECT fold, lang,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM folds GROUP BY fold, lang
+        """,
+        doc="k-fold cross-validation assignment (hash-deterministic, "
+            "append-stable — a document's fold never changes when the "
+            "corpus grows, unlike rand() folds) with the per-fold "
+            "class-balance audit that validates the folds are usable: "
+            "fold x language counts from one aggregation. Row-local "
+            "assignment, the q55 discipline applied to evaluation "
+            "protocol.",
+    )
+    def q199_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+        b = hash_bucket(F.col("doc_id"), seed=11)
+        return (
+            table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                "lang",
+                (b % _Q199_FOLDS).cast("int").alias("fold"),
+            )
+            .groupBy("fold", "lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+
+_init_q199()
+
+
+# --------------------------------------------------------------------
+# q200 — dataset card: the one-query corpus curation report
+# --------------------------------------------------------------------
+
+@register(
+    "q200_dataset_card",
+    """
+    WITH base AS (
+        SELECT doc_id, text, lang, source, n_chars,
+               md5(text) AS fp,
+               len(string_split(text, ' ')) AS n_tok,
+               CAST(len(list_filter(string_split(text, ' '),
+                    t -> lower(t) IN ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
+                    / len(string_split(text, ' ')) AS sw
+        FROM documents),
+    q AS (SELECT *,
+                 round((least(n_tok / 100.0, 1.0)
+                        + least(sw * 4.0, 1.0)) / 2.0, 6) AS quality
+          FROM base),
+    lang_p AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n
+        FROM q GROUP BY lang),
+    ent AS (
+        SELECT round(CAST(SUM(CAST(
+                   -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS h
+        FROM lang_p)
+    SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM q
+        UNION ALL
+        SELECT 'total_chars', CAST(SUM(n_chars) AS DOUBLE) FROM q
+        UNION ALL
+        SELECT 'mean_quality',
+               round(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) FROM q
+        UNION ALL
+        SELECT 'exact_dup_rate',
+               round(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) FROM q
+        UNION ALL
+        SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS DOUBLE) FROM q
+        UNION ALL
+        SELECT 'lang_entropy_bits', h FROM ent
+        UNION ALL
+        SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS DOUBLE) FROM q
+        UNION ALL
+        SELECT 'pct_short_docs',
+               round(CAST(SUM(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) FROM q
+    )
+    """,
+    doc="Dataset card (the one-query corpus report a curation "
+        "pipeline publishes with every release): size, exact-dup "
+        "rate, mean quality, language count + entropy (quantized-log "
+        "cells, q168 discipline), source count, short-doc share — "
+        "each KPI a cheap aggregate over ONE shared scored scan, "
+        "emitted long-format (metric, value). The composite "
+        "observability artifact; per-metric deep dives are the "
+        "queries it links to (q20 dedup, q33 quality, q69 profile, "
+        "q117 drift).",
+)
+def q200_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5("text").alias("fp"),
+        T.quality_score("text").alias("quality"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    q = q.persist()
+    n = q.count()
+    lang_ent = (
+        q.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            F.expr(
+                f"CAST(-(CAST(c AS DOUBLE) / CAST({n} AS DOUBLE))"
+                f" * LOG2(CAST(c AS DOUBLE) / CAST({n} AS DOUBLE))"
+                " AS DECIMAL(28,12))"
+            ).alias("t")
+        )
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("h"))
+    )
+    stats = q.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_quality"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct("fp").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("exact_dup_rate"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        F.round(
+            F.sum(F.when(F.col("n_tok") < 20, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("pct_short_docs"),
+    )
+    wide = stats.crossJoin(F.broadcast(lang_ent))
+    out = wide.selectExpr(
+        "stack(8,"
+        " 'n_docs', n_docs,"
+        " 'total_chars', total_chars,"
+        " 'mean_quality', mean_quality,"
+        " 'exact_dup_rate', exact_dup_rate,"
+        " 'n_langs', n_langs,"
+        " 'lang_entropy_bits', h,"
+        " 'n_sources', n_sources,"
+        " 'pct_short_docs', pct_short_docs"
+        ") AS (metric, value)"
+    )
+    q.unpersist()
+    return out
