@@ -6322,6 +6322,16 @@ _Q166_ITEM = (
 )
 
 
+def _q166_item_col() -> Column:
+    """Spark twin of ``_Q166_ITEM`` — ONE definition serves the batch
+    (q166) and streaming (q189) heavy-hitter entries so the
+    batch-parity claim cannot drift."""
+    return F.when(
+        F.col("event_id") % 4 != 0,
+        F.concat(F.lit("hot_"), (F.col("event_id") % 3).cast("string")),
+    ).otherwise(F.concat(F.lit("cold_"), F.col("event_id").cast("string")))
+
+
 def _init_q166() -> None:
     from ..functions.sketch import heavy_hitters, heavy_hitters_oracle_sql
 
@@ -6342,14 +6352,7 @@ def _init_q166() -> None:
     )
     def q166_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         items = table(spark, sf_dir, "events").select(
-            F.when(
-                F.col("event_id") % 4 != 0,
-                F.concat(F.lit("hot_"), (F.col("event_id") % 3).cast("string")),
-            )
-            .otherwise(
-                F.concat(F.lit("cold_"), F.col("event_id").cast("string"))
-            )
-            .alias("item")
+            _q166_item_col().alias("item")
         )
         from ..functions.sketch import heavy_hitters as hh
 
@@ -7492,16 +7495,10 @@ _init_q188()
 def _init_q189() -> None:
     from ..functions.sketch import heavy_hitters_oracle_sql
 
-    item_sql = (
-        "CASE WHEN event_id % 4 <> 0 THEN 'hot_' ||"
-        " CAST(event_id % 3 AS VARCHAR) ELSE 'cold_' ||"
-        " CAST(event_id AS VARCHAR) END"
-    )
-
     @register(
         "q189_stream_heavy_hitters",
         heavy_hitters_oracle_sql(
-            f"SELECT {item_sql} AS item FROM events", _Q166_K
+            f"SELECT {_Q166_ITEM} AS item FROM events", _Q166_K
         ),
         doc="Streaming frequent items with batch parity (q105's "
             "availableNow replay): the q166 item stream counted "
@@ -7510,28 +7507,21 @@ def _init_q189() -> None:
             "micro-batch, no event rescans — then thresholded at "
             "cnt*(k+1) > N when the state table is read. Same "
             "GROUP BY/HAVING oracle as q166: the stream's final "
-            "state must equal the batch answer exactly.",
+            "state must equal the batch answer exactly. State here is "
+            "one row per distinct item — right for bounded/hot "
+            "domains; for an unbounded cold tail pair the stream "
+            "with q166's Misra-Gries pruning instead of raw counts.",
     )
     def q189_stream_heavy_hitters(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
         def build(source):
-            src = source()
-            item = (
-                F.when(
-                    F.col("event_id") % 4 != 0,
-                    F.concat(
-                        F.lit("hot_"), (F.col("event_id") % 3).cast("string")
-                    ),
-                )
-                .otherwise(
-                    F.concat(
-                        F.lit("cold_"), F.col("event_id").cast("string")
-                    )
-                )
-                .alias("item")
+            return (
+                source()
+                .select(_q166_item_col().alias("item"))
+                .groupBy("item")
+                .count()
             )
-            return src.select(item).groupBy("item").count()
 
         sink = _replay_events(
             spark,
@@ -7846,21 +7836,14 @@ _Q194_FRAC_CUT = 500  # 5% of the 10k bucket space
         "One narrow filter + one sample-sized window.",
 )
 def q194_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(F.col("o_orderkey").cast("string"), F.lit(":rb"))
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long") % 10000
+    from ..functions.sampling import hash_bucket
+
     sample = (
         table(spark, sf_dir, "orders")
         .select("o_totalprice", "o_orderkey")
-        .filter(h.cast("int") < _Q194_FRAC_CUT)
+        .filter(
+            hash_bucket(F.col("o_orderkey"), seed="rb") < _Q194_FRAC_CUT
+        )
     )
     w = Window.orderBy("o_totalprice", "o_orderkey")
     ranked = sample.select(
@@ -7882,19 +7865,22 @@ def q194_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("n").cast("double")
         / F.lit(_Q194_PARTS)
     ).cast("bigint")
-    return (
+    # left join from the boundary index frame: each idx matches at
+    # most one ranked row (target is a function of idx and the
+    # constant n), and an EMPTY sample still yields one NULL row per
+    # boundary — matching the oracle's scalar-subquery shape — where
+    # an inner filter would silently emit zero rows
+    matched = (
         ps.crossJoin(ranked)
         .filter(F.col("rn") == target)
         .select(
             "boundary_idx",
             F.col("v").alias("boundary_value"),
-            "n",
+            F.col("n").cast("bigint").alias("n_sampled"),
         )
-        .groupBy("boundary_idx")
-        .agg(
-            F.max("boundary_value").alias("boundary_value"),
-            F.max("n").cast("bigint").alias("n_sampled"),
-        )
+    )
+    return ps.join(matched, "boundary_idx", "left").select(
+        "boundary_idx", "boundary_value", "n_sampled"
     )
 
 
@@ -8324,15 +8310,22 @@ def q200_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.quality_score("text").alias("quality"),
         F.size(F.split("text", " ")).alias("n_tok"),
     )
+    # the scored scan is referenced by two aggregate branches of ONE
+    # returned plan — persist here, with no action before return, so
+    # the cache materializes on first use and serves the second
+    # branch (an eager count + unpersist-before-return would drop the
+    # blocks before the query ever ran)
     q = q.persist()
-    n = q.count()
+    lang_counts = q.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    lang_tot = lang_counts.agg(F.sum("c").cast("bigint").alias("nn"))
     lang_ent = (
-        q.groupBy("lang")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        lang_counts.crossJoin(F.broadcast(lang_tot))
         .select(
             F.expr(
-                f"CAST(-(CAST(c AS DOUBLE) / CAST({n} AS DOUBLE))"
-                f" * LOG2(CAST(c AS DOUBLE) / CAST({n} AS DOUBLE))"
+                "CAST(-(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))"
+                " * LOG2(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))"
                 " AS DECIMAL(28,12))"
             ).alias("t")
         )
@@ -8375,5 +8368,4 @@ def q200_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'pct_short_docs', pct_short_docs"
         ") AS (metric, value)"
     )
-    q.unpersist()
     return out
