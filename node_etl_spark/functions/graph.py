@@ -1244,6 +1244,7 @@ def bradley_terry(
     iterations: int = 3,
     winner: str = "winner",
     loser: str = "loser",
+    broadcast_ratings: bool = True,
 ) -> DataFrame:
     """Bradley-Terry preference ratings via Hunter's MM updates
     (Hunter, Annals of Statistics 2004) — the model behind reward
@@ -1263,6 +1264,15 @@ def bradley_terry(
     their own scale (the usual BT identifiability caveat — compare
     within components, here per round count). Returns
     (item, games, wins, rating).
+
+    ``broadcast_ratings`` mirrors :func:`pagerank`'s
+    ``broadcast_ranks``: the per-round rating state is one row per
+    item — tiny next to the games frame — so by default it is
+    broadcast and every round is a map-side join over the
+    checkpointed symmetric games. For billion-item preference graphs
+    where the rating state exceeds the broadcast budget, pass False
+    to fall back to shuffle joins (identical results; the unit test
+    hash-matches both paths).
     """
     pairs = prefs.select(
         F.col(winner).alias("w"), F.col(loser).alias("l")
@@ -1301,9 +1311,11 @@ def bradley_terry(
     for _ in range(iterations):
         ri = r.select(F.col("i").alias("__i"), F.col("p").alias("pi"))
         rj = r.select(F.col("i").alias("__j"), F.col("p").alias("pj"))
+        if broadcast_ratings:
+            ri, rj = F.broadcast(ri), F.broadcast(rj)
         den = (
-            sym.join(F.broadcast(ri), F.col("i") == F.col("__i"))
-            .join(F.broadcast(rj), F.col("j") == F.col("__j"))
+            sym.join(ri, F.col("i") == F.col("__i"))
+            .join(rj, F.col("j") == F.col("__j"))
             .groupBy("i")
             .agg(
                 F.sum(

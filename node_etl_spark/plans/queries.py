@@ -7335,12 +7335,14 @@ def q186_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type"
     )
+    # microsecond-exact gap (q57 pattern): DOUBLE epoch = micros/1e6
+    # on both engines. unix_timestamp() truncates to whole seconds and
+    # would split sessions differently from DuckDB's fractional
+    # epoch() whenever a same-user gap lands within ~1s of the 1800s
+    # threshold — sf0.01 already has a gap inside (1799, 1801).
+    ep = F.col("ts").cast("timestamp").cast("double")
     brk = F.when(
-        F.lag("ts").over(w).isNull()
-        | (
-            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-            > 1800
-        ),
+        F.lag(ep).over(w).isNull() | (ep - F.lag(ep).over(w) > 1800),
         1,
     ).otherwise(0)
     sess = ev.withColumn("brk", brk).withColumn(
@@ -7624,7 +7626,14 @@ def q190_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q191 — Bradley-Terry ratings from quality-preference pairs
 # --------------------------------------------------------------------
 
-_Q191_PREFS_SQL = """
+# pairs-per-anchor cap for the rank-banded preference construction:
+# each winner plays at most this many lower-ranked opponents, so the
+# games frame is O(BAND * n_docs) regardless of source-group size —
+# the all-pairs margin self-join it replaces was O(group^2) (10^10
+# pairs per source at ~100k docs/source).
+Q191_RANK_BAND = 8
+
+_Q191_PREFS_SQL = f"""
         WITH scored AS (
             SELECT doc_id, source,
                    len(string_split(text, ' ')) AS n,
@@ -7636,12 +7645,63 @@ _Q191_PREFS_SQL = """
             SELECT doc_id, source,
                    round((least(n / 100.0, 1.0)
                           + least(sw * 4.0, 1.0)) / 2.0, 6) AS quality
-            FROM scored)
+            FROM scored),
+        ranked AS (
+            SELECT doc_id, source, quality,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY quality DESC, doc_id) AS rk
+            FROM q)
         SELECT a.doc_id AS w, b.doc_id AS l
-        FROM q a JOIN q b
-          ON a.source = b.source AND a.doc_id <> b.doc_id
+        FROM ranked a JOIN ranked b
+          ON a.source = b.source
+         AND b.rk BETWEEN a.rk + 1 AND a.rk + {Q191_RANK_BAND}
          AND round(a.quality - b.quality, 6) >= 0.05
 """
+
+
+def q191_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-banded (winner, loser) preference pairs: within each
+    source, docs are ranked by quality (doc_id tiebreak) and each doc
+    plays only its next ``Q191_RANK_BAND`` lower-ranked neighbours
+    that clear the 0.05 quality margin. Expressed as a pure equi-join
+    (offsets 1..BAND exploded on the winner side, joined on
+    (source, rank+offset)), so Spark never evaluates a per-group
+    cross product — pairs AND comparisons are both O(BAND * n).
+    Exposed module-level so tests can assert the per-anchor bound."""
+    q = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.quality_score("text").alias("quality")
+    )
+    ranked = q.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.desc("quality"), "doc_id"
+            )
+        ),
+    )
+    a = (
+        ranked.select(
+            "source",
+            F.col("doc_id").alias("winner"),
+            F.col("quality").alias("qa"),
+            "rk",
+        )
+        .withColumn(
+            "off", F.explode(F.sequence(F.lit(1), F.lit(Q191_RANK_BAND)))
+        )
+        .withColumn("rk_b", F.col("rk") + F.col("off"))
+    )
+    b = ranked.select(
+        "source",
+        F.col("doc_id").alias("loser"),
+        F.col("quality").alias("qb"),
+        F.col("rk").alias("rk_b"),
+    )
+    return (
+        a.join(b, ["source", "rk_b"])
+        .filter(F.round(F.col("qa") - F.col("qb"), 6) >= 0.05)
+        .select("winner", "loser")
+    )
 
 
 def _init_q191() -> None:
@@ -7652,33 +7712,21 @@ def _init_q191() -> None:
         bradley_terry_oracle_sql(_Q191_PREFS_SQL, iterations=3),
         doc="Bradley-Terry preference ratings (functions/graph.py "
             "bradley_terry; Hunter's MM, 3 fixed rounds unrolled in "
-            "the oracle): q187's quality comparisons expanded to all "
-            "within-source pairs with margin >= 0.05 become (winner, "
-            "loser) games; ratings iterate as broadcast state over "
-            "the symmetric comparison graph with per-round "
-            "round(9) and decimal denominator sums — the reward-"
-            "ranking / arena-scoring aggregate, on the exact gate "
-            "like its pagerank sibling.",
+            "the oracle): rank-banded within-source quality "
+            "comparisons (each doc vs its next "
+            f"{Q191_RANK_BAND} lower-ranked neighbours clearing a "
+            "0.05 margin — O(band*n) pairs via an exploded-offset "
+            "equi-join, replacing round-3's O(group^2) all-pairs "
+            "self-join) become (winner, loser) games; ratings "
+            "iterate as broadcast state over the symmetric "
+            "comparison graph with per-round round(9) and decimal "
+            "denominator sums — the reward-ranking / arena-scoring "
+            "aggregate, on the exact gate like its pagerank sibling.",
     )
     def q191_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
-        q = table(spark, sf_dir, "documents").select(
-            "doc_id", "source", T.quality_score("text").alias("quality")
+        return bradley_terry(
+            q191_preference_pairs(spark, sf_dir), iterations=3
         )
-        a = q.alias("a")
-        b = q.alias("b")
-        prefs = a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") != F.col("b.doc_id"))
-            & (
-                F.round(F.col("a.quality") - F.col("b.quality"), 6)
-                >= 0.05
-            ),
-        ).select(
-            F.col("a.doc_id").alias("winner"),
-            F.col("b.doc_id").alias("loser"),
-        )
-        return bradley_terry(prefs, iterations=3)
 
 
 _init_q191()
@@ -8311,11 +8359,13 @@ def q200_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).alias("n_tok"),
     )
     # the scored scan is referenced by two aggregate branches of ONE
-    # returned plan — persist here, with no action before return, so
-    # the cache materializes on first use and serves the second
-    # branch (an eager count + unpersist-before-return would drop the
-    # blocks before the query ever ran)
-    q = q.persist()
+    # returned plan. An un-unpersisted persist() would pin the cached
+    # blocks for the session lifetime (the 200-query gate runs in one
+    # session) — localCheckpoint materializes the scan once, serves
+    # both branches, and its blocks are reclaimed when the DataFrame
+    # handle is GC'd, the same twice-referenced-frame pattern the
+    # graph operators use.
+    q = q.localCheckpoint(eager=True)
     lang_counts = q.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )

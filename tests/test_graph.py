@@ -473,3 +473,26 @@ def test_bradley_terry_symmetric_record_is_even(spark):
     )
     out = {r.item: r.rating for r in bradley_terry(prefs, iterations=4).collect()}
     assert out[1] == out[2]
+
+
+def test_bradley_terry_shuffle_path_matches_broadcast(spark):
+    # broadcast_ratings=False is the billion-item fallback (VERDICT r3
+    # ask #3, mirroring pagerank's broadcast_ranks): same fixed-round
+    # MM updates through shuffle joins must produce bit-identical
+    # ratings, since per-term rounding happens before the sum.
+    from node_etl_spark.functions.graph import bradley_terry
+
+    prefs = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3), (2, 3), (3, 4), (2, 4), (4, 1)],
+        "winner bigint, loser bigint",
+    )
+    bc = sorted(
+        tuple(r) for r in bradley_terry(prefs, iterations=4).collect()
+    )
+    sh = sorted(
+        tuple(r)
+        for r in bradley_terry(
+            prefs, iterations=4, broadcast_ratings=False
+        ).collect()
+    )
+    assert bc == sh

@@ -329,3 +329,30 @@ def test_bloom_semi_join_prunes_before_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q171_bloom_semi_join")
     assert "might_contain" in plan or "shiftleft" in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_q191_pairs_per_anchor_bounded(spark, sf_dir):
+    # round-3's scale-killer: preference pairs were an O(group^2)
+    # all-pairs margin self-join. The rank-banded construction caps
+    # pairs per winner at Q191_RANK_BAND and — because the band is an
+    # exploded-offset equi-join — never evaluates a per-group cross
+    # product. Assert both the data bound and the plan shape.
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.plans.queries import (
+        Q191_RANK_BAND,
+        q191_preference_pairs,
+    )
+
+    pairs = q191_preference_pairs(spark, sf_dir)
+    mx = (
+        pairs.groupBy("winner")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]
+        .mx
+    )
+    assert mx is not None and mx <= Q191_RANK_BAND
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
