@@ -170,6 +170,7 @@ HEADLINE = [
     "q198_survival_curve",
     "q199_kfold_assignment",
     "q200_dataset_card",
+    "q201_skew_salted_activity",
 ]
 
 

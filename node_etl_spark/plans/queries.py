@@ -97,12 +97,97 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+# Driver-gate visibility rotation (round-3 verdict ask #5): the
+# driver's CORRECTNESS artifact records only the first ~50
+# registration-order entries, and rounds 2-3 added q52-q200 behind
+# that cap — three rounds of new work the driver never verified.
+# query_map()/oracle_map() therefore emit a sentinel set of the
+# newest/riskiest queries FIRST (round-4 fixes, round-3 wave:
+# iterative graph, similarity, streaming replay, decimal-heavy
+# stats), then every other query in registration order. The full
+# 195-query gate is unchanged (scripts/check_oracle.py iterates
+# QUERIES itself); only the driver's 50-row sample rotates.
+DRIVER_GATE_SENTINELS: list[str] = [
+    # round-4 fixes and additions — must be verified first
+    "q201_skew_salted_activity",
+    "q191_bradley_terry",
+    "q186_conversation_assembly",
+    "q200_dataset_card",
+    # judge-named riskiest of the round-3 wave
+    "q136_neardup_lsh",
+    "q159_contrastive_triplets",
+    "q166_heavy_hitters",
+    "q189_stream_heavy_hitters",
+    "q196_leakage_safe_split",
+    # iterative graph suite
+    "q141_part_communities",
+    "q142_part_distances",
+    "q160_triangle_census",
+    "q162_related_parts_ppr",
+    "q174_part_kcore",
+    "q175_degree_assortativity",
+    # similarity / embedding suite
+    "q169_semdedup",
+    "q170_pq_codes",
+    "q172_bitext_mining",
+    "q154_quantize_embeddings",
+    "q178_matryoshka_audit",
+    # dedup family beyond the q20-q23 classics
+    "q140_winnow_fingerprints",
+    "q143_containment_dedup",
+    "q153_sorted_neighborhood",
+    "q177_url_canonical_dedup",
+    # streaming replay parity (round-2 wave, never driver-run)
+    "q105_streaming_hourly",
+    "q137_stream_interval_join",
+    "q138_stream_sessionize",
+    "q149_stream_dedup",
+    # sampling / mixing / split protocol
+    "q150_mix_sources",
+    "q157_negative_samples",
+    "q173_temperature_mix",
+    "q179_quality_weighted_sample",
+    "q185_distribution_match",
+    "q187_preference_pairs",
+    "q190_pass_at_k",
+    "q199_kfold_assignment",
+    # retrieval / text
+    "q180_hybrid_rrf",
+    "q148_bigram_lm_score",
+    "q164_boilerplate_strip",
+    "q181_span_corruption",
+    "q195_sentence_truncate",
+    # stats / audit / drift
+    "q152_benford_audit",
+    "q156_cusum_drift",
+    "q158_concentration_audit",
+    "q161_kmv_cardinality",
+    "q163_ks_drift",
+    "q165_mannwhitney_auc",
+    "q167_chisq_independence",
+    "q168_mutual_information",
+    "q188_fd_audit",
+    "q197_k_anonymity",
+    "q198_survival_curve",
+]
+
+
+def _gate_order() -> list[str]:
+    head = [n for n in DRIVER_GATE_SENTINELS if n in QUERIES]
+    seen = set(head)
+    return head + [n for n in QUERIES if n not in seen]
+
+
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in QUERIES.items()}
+    return {name: QUERIES[name].fn for name in _gate_order()}
 
 
 def oracle_map() -> dict[str, str]:
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    return {
+        name: QUERIES[name].oracle
+        for name in _gate_order()
+        if QUERIES[name].oracle is not None
+    }
 
 
 def _src(sf_dir: str, name: str) -> ParquetSource:
@@ -8419,3 +8504,80 @@ def q200_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ") AS (metric, value)"
     )
     return out
+
+
+# --------------------------------------------------------------------
+# q201 — salted join over a genuinely Zipf-skewed fact key
+# --------------------------------------------------------------------
+
+# Geometric hot-key distribution (integer-only, identical text in both
+# engines): bucket 0 holds ~50% of rows, bucket 1 ~25%, ... bucket 8
+# the tail — the shape of a bot-dominated clickstream or a null-ish
+# default key, where one reducer would receive half the fact table.
+_Q201_SKEW_KEY = (
+    "CASE WHEN {m} < 512 THEN 0 WHEN {m} < 768 THEN 1"
+    " WHEN {m} < 896 THEN 2 WHEN {m} < 960 THEN 3"
+    " WHEN {m} < 992 THEN 4 WHEN {m} < 1008 THEN 5"
+    " WHEN {m} < 1016 THEN 6 WHEN {m} < 1020 THEN 7 ELSE 8 END"
+)
+
+
+@register(
+    "q201_skew_salted_activity",
+    """
+    WITH e AS (
+        SELECT """ + _Q201_SKEW_KEY.format(m="event_id % 1024") + """ AS k,
+               value
+        FROM events),
+    prof AS (
+        SELECT """ + _Q201_SKEW_KEY.format(m="o_orderkey % 1024") + """ AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+    """ + dsum_sql("o_totalprice", 2) + """ AS order_total
+        FROM orders GROUP BY 1)
+    SELECT e.k AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(prof.n_orders) AS n_orders,
+    """ + dsum_sql("e.value", 2) + """ AS event_value,
+           MAX(prof.order_total) AS order_total
+    FROM e JOIN prof ON e.k = prof.k
+    GROUP BY e.k
+    """,
+    doc="Skew-join demonstration over a GENUINELY Zipf-skewed key "
+        "(geometric buckets: the hot key holds ~half the event fact; "
+        "q94's orderkey join has uniform ~4-row fanout). The per-key "
+        "profile is row-per-key but fact-derived — the 100 TB case "
+        "where the right side is a billion-row user table too big to "
+        "broadcast, the join must shuffle, and the hot key would melt "
+        "one reducer. salted_join (operators/joins.py) shards the "
+        "skewed left by a deterministic row hash and replicates the "
+        "profile across shards, so the hot key spreads over 16 "
+        "reducer partitions; the oracle is the plain join (salting is "
+        "semantics-neutral), and tests/test_plans.py asserts the "
+        "salted equi-join shape.",
+)
+def q201_skew_salted_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import salted_join
+
+    e = table(spark, sf_dir, "events").select(
+        F.expr(_Q201_SKEW_KEY.format(m="event_id % 1024")).alias("k"),
+        "value",
+    )
+    prof = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.expr(_Q201_SKEW_KEY.format(m="o_orderkey % 1024")).alias("k"),
+            "o_totalprice",
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice", 2).alias("order_total"),
+        )
+    )
+    joined = salted_join(e, prof, on="k", salt=16)
+    return joined.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("n_orders").alias("n_orders"),
+        dsum("value", 2).alias("event_value"),
+        F.max("order_total").alias("order_total"),
+    )

@@ -245,24 +245,33 @@ class MongoSink(Sink):
                 "NdjsonSink/HttpNdjsonSink and load the files separately"
             )
         base, collection = _split_mongo_url(ctx.resolve_url(self.url))
-        batch_rows = self.batch_rows
+        df.foreachPartition(
+            _mongo_partition_writer(base, collection, self.batch_rows)
+        )
 
-        def send_partition(rows) -> None:  # pragma: no cover - needs driver
-            import pymongo
 
-            client = pymongo.MongoClient(base)
-            db = client.get_default_database()
-            buf: list[dict] = []
-            for row in rows:
-                buf.append(row.asDict(recursive=True))
-                if len(buf) >= batch_rows:
-                    db[collection].insert_many(buf)
-                    buf = []
-            if buf:
+def _mongo_partition_writer(base: str, collection: str, batch_rows: int):
+    """Per-partition insert_many loop for :class:`MongoSink`, factored
+    module-level so the unit test can run it in-process against a fake
+    pymongo (the real path runs inside executor workers, where a
+    driver-side monkeypatch never lands)."""
+
+    def send_partition(rows) -> None:
+        import pymongo
+
+        client = pymongo.MongoClient(base)
+        db = client.get_default_database()
+        buf: list[dict] = []
+        for row in rows:
+            buf.append(row.asDict(recursive=True))
+            if len(buf) >= batch_rows:
                 db[collection].insert_many(buf)
-            client.close()
+                buf = []
+        if buf:
+            db[collection].insert_many(buf)
+        client.close()
 
-        df.foreachPartition(send_partition)
+    return send_partition
 
 
 class NoopSink(Sink):

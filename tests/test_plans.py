@@ -356,3 +356,16 @@ def test_q191_pairs_per_anchor_bounded(spark, sf_dir):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q201_salted_join_shape(spark, sf_dir):
+    # the skew demo must actually run through the salt machinery:
+    # the join keys include the deterministic __salt shard, the
+    # profile side is replicated via explode, and nothing degenerates
+    # into a cross product. (Value parity with the plain join is the
+    # oracle's job.)
+    plan = _plan(spark, sf_dir, "q201_skew_salted_activity")
+    assert "__salt" in plan
+    assert "explode" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

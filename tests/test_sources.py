@@ -357,3 +357,68 @@ def test_orc_roundtrip_preserves_types_and_values(spark, tmp_path):
     back = OrcSource(path).load(spark, CTX)
     assert back.schema == df.schema
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_mongo_sink_write_roundtrip(spark, monkeypatch):
+    # VERDICT r3 ask #4: exercise the write path, not just the
+    # ImportError guard. A fake pymongo module records every
+    # insert_many; foreachPartition is redirected in-process (the
+    # real one runs in executor workers where a driver monkeypatch
+    # never lands). Verifies reference utils.js:52-57 URL parity
+    # (db = URL default database, collection = last path segment)
+    # and insert_many batch boundaries at batch_rows.
+    import importlib.machinery
+    import sys
+    import types
+
+    from node_etl_spark.sources import MongoSink
+
+    calls: list[tuple[str, str, int]] = []
+    closed: list[bool] = []
+
+    class FakeCollection:
+        def __init__(self, db_name, name):
+            self.db_name, self.name = db_name, name
+
+        def insert_many(self, docs):
+            assert all(isinstance(d, dict) for d in docs)
+            calls.append((self.db_name, self.name, len(docs)))
+
+    class FakeDb:
+        def __init__(self, name):
+            self.name = name
+
+        def __getitem__(self, coll):
+            return FakeCollection(self.name, coll)
+
+    class FakeClient:
+        def __init__(self, url):
+            # collection must NOT leak into the client URL
+            assert url == "mongodb://db.example.org:27017/etl?replicaSet=rs0"
+            self.url = url
+
+        def get_default_database(self):
+            return FakeDb("etl")
+
+        def close(self):
+            closed.append(True)
+
+    fake = types.ModuleType("pymongo")
+    fake.MongoClient = FakeClient
+    fake.__spec__ = importlib.machinery.ModuleSpec("pymongo", None)
+    monkeypatch.setitem(sys.modules, "pymongo", fake)
+    df = spark.range(25).toDF("id")
+    # patch the concrete (classic) DataFrame class — pyspark 4's
+    # abstract base is not in the instance's MRO ahead of it
+    monkeypatch.setattr(
+        type(df),
+        "foreachPartition",
+        lambda self, f: f(iter(self.collect())),
+    )
+    MongoSink(
+        "mongodb://db.example.org:27017/etl/out?replicaSet=rs0",
+        batch_rows=10,
+    ).write(df, Context())
+
+    assert calls == [("etl", "out", 10), ("etl", "out", 10), ("etl", "out", 5)]
+    assert closed == [True]

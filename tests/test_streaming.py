@@ -296,3 +296,110 @@ def test_dedup_by_keys_collapses_redelivery(spark, tmp_path):
         for r in spark.sql("SELECT event_id, value FROM dedup_keys").collect()
     )
     assert got == [(10, 1.5), (11, 2.5)]
+
+
+def test_sessionize_restart_recovers_carried_state(spark, tmp_path):
+    # kill-and-resume (VERDICT r3 ask #7): phase 1 leaves open
+    # sessions in the state store and shuts down; phase 2 restarts
+    # from the checkpoint, CONTINUES a carried session with a
+    # mid-gap event, and flushes via a watermark anchor. The single
+    # cross-phase session can only exist if the restarted query
+    # recovered applyInPandasWithState state from the checkpoint.
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        stream = st.stream_source(spark, src, SCHEMA)
+        (
+            st.sessionize(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    # phase 1: user 7 burst begins; user 8 lone event. No watermark
+    # anchor, so nothing times out — both sessions are open state at
+    # shutdown.
+    spark.createDataFrame(
+        [
+            (1, base, 7, "click", 1.0),
+            (2, base + dt.timedelta(minutes=5), 7, "click", 2.0),
+            (4, base + dt.timedelta(minutes=10), 8, "click", 4.0),
+        ],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    assert not spark.read.schema(st.SESSION_SCHEMA).parquet(out).count()
+
+    # phase 2 (restart): +8min continues user 7's carried session
+    # (within the 30-min gap of the +5min state row); the day-2
+    # anchor advances the watermark past every timeout.
+    spark.createDataFrame(
+        [
+            (3, base + dt.timedelta(minutes=8), 7, "view", 3.0),
+            (5, base + dt.timedelta(days=2), 9, "view", 0.0),
+        ],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = {
+        r.user_id: r
+        for r in spark.read.schema(st.SESSION_SCHEMA).parquet(out).collect()
+    }
+    assert set(got) == {7, 8}
+    assert got[7].n_events == 3 and got[7].total_value == 6.0
+    assert got[8].n_events == 1 and got[8].total_value == 4.0
+
+
+def test_bitmap_state_sink_restart_idempotent(spark, tmp_path):
+    # restart semantics for the bitmap-distinct upsert sink: a
+    # restart with no new input must not change state, and a restart
+    # that re-delivers already-seen ids in brand-new files must be
+    # absorbed by the OR-merge (stream.py bitmap_state_sink upsert) —
+    # exactly-once distinct counts without exactly-once delivery.
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    def mk(users):
+        return spark.createDataFrame(
+            [
+                (j, base + dt.timedelta(minutes=j), u, "click", 1.0)
+                for j, u in enumerate(users)
+            ],
+            SCHEMA,
+        )
+
+    def run_once():
+        stream = st.stream_source(spark, src, schema=SCHEMA)
+        st.bitmap_state_sink(
+            stream, state, checkpoint=ck
+        ).start().awaitTermination()
+
+    def day0_count():
+        return (
+            spark.read.parquet(state)
+            .agg(F.sum(F.bitmap_count("bm")).alias("n"))
+            .collect()[0]
+            .n
+        )
+
+    mk(range(10)).write.mode("append").parquet(src)
+    run_once()
+    assert day0_count() == 10
+
+    # restart, zero new files: state must be byte-for-byte stable
+    run_once()
+    assert day0_count() == 10
+
+    # restart with a NEW file re-delivering users 0..9 plus user 42
+    mk(list(range(10)) + [42]).write.mode("append").parquet(src)
+    run_once()
+    assert day0_count() == 11
