@@ -1012,7 +1012,7 @@ def semdedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed_mod: int = 50,
+    seed_mod: int | None = None,
     threshold: float = 0.9,
 ) -> DataFrame:
     """Semantic deduplication (Abbas et al. 2023, "SemDeDup"): cluster
@@ -1021,15 +1021,27 @@ def semdedup(
     catching paraphrases and re-renderings that share no n-grams.
 
     Shape per the paper: pairwise comparison happens ONLY within a
-    cluster, so total pair work is sum(c_i^2) instead of N^2 — at
-    100 TB choose k proportional to N (the paper uses k ~ sqrt(N)
-    scale) to bound cluster populations; the assignment stage is a
-    broadcast of k centroid rows and one narrow argmin pass (q133's
-    Lloyd-step kernel), and the in-cluster self-join shuffles on
-    cluster id. Centroids here are the deterministic data seeds
-    ``id % seed_mod = 0`` (an externally trained codebook frame can
-    replace them — the geometry is unchanged), so the whole operator
-    is a pure function of the data and sits on the exact value gate.
+    cluster, so total pair work is sum(c_i^2) instead of N^2. The
+    number of clusters is the cost dial: assignment is O(n*k) and the
+    in-cluster pair stage is O(n * n/k), so k ~ sqrt(n) balances them
+    at O(n^1.5) — the best exact shape this algorithm admits (the
+    paper's practical variant fixes k and caps cluster size, trading
+    exactness). ``seed_mod=None`` (default) applies that rule: the
+    seed stride is floor(sqrt(n)) — computed identically by the SQL
+    oracle, IEEE sqrt is correctly rounded in both engines — giving
+    ~sqrt(n) clusters of ~sqrt(n) vectors. A fixed ``seed_mod``
+    reproduces the pinned-stride behavior (k grows LINEARLY with n
+    and the assignment pass goes quadratic — measured 83x for 10x
+    data at sf1; don't do that outside tests). The assignment stage
+    is a broadcast of k centroid rows and one narrow argmin pass
+    (q133's Lloyd-step kernel) whose exchange carries only (id,
+    cluster) — vectors are re-joined by id afterwards, never shipped
+    through the n*k candidate stream — and the in-cluster self-join
+    shuffles on cluster id. Centroids are the deterministic data
+    seeds ``id % stride = 0`` (an externally trained codebook frame
+    can replace them — the geometry is unchanged), so the whole
+    operator is a pure function of the data and sits on the exact
+    value gate.
 
     Dedup rule (deterministic, oracle-expressible): a vector is a
     duplicate iff a SAME-CLUSTER vector with a smaller id has
@@ -1040,6 +1052,11 @@ def semdedup(
     e = df.select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
     ).filter(F.col("v").isNotNull())
+    if seed_mod is None:
+        # sqrt-balanced cluster count; one cheap count job. floor +
+        # IEEE-correctly-rounded sqrt make this integer-exact in both
+        # engines (the oracle mirrors it as a scalar subquery).
+        seed_mod = max(1, math.floor(math.sqrt(e.count())))
     c = e.filter(F.col("id") % seed_mod == 0).select(
         F.col("id").alias("cluster_id"), F.col("v").alias("cv")
     )
@@ -1060,18 +1077,18 @@ def semdedup(
     # aggregation partial-combines map-side, so the exchange carries
     # one row per vector instead of the rows-x-centroids expansion
     # (struct comparison is field-lexicographic — (sq_dist,
-    # cluster_id) reproduces the round-then-smallest-id tiebreak; v
-    # rides along and is never reached, cluster_id is unique)
+    # cluster_id) reproduces the round-then-smallest-id tiebreak;
+    # cluster_id is unique). The candidate structs carry only
+    # (sq_dist, cluster_id) — the wide vector re-joins by id AFTER
+    # the argmin, so the n*k stream is narrow scalars, not n*k
+    # copies of the embedding.
     assigned = (
         e.crossJoin(F.broadcast(c))
-        .select("id", F.struct(sq, "cluster_id", "v").alias("cand"))
+        .select("id", F.struct(sq, "cluster_id").alias("cand"))
         .groupBy("id")
         .agg(F.min("cand").alias("best"))
-        .select(
-            "id",
-            F.col("best.cluster_id").alias("cluster_id"),
-            F.col("best.v").alias("v"),
-        )
+        .select("id", F.col("best.cluster_id").alias("cluster_id"))
+        .join(e, "id")
         # referenced twice by the self-join below; materialize once
         .localCheckpoint(eager=True)
     )
@@ -1105,17 +1122,26 @@ def semdedup_oracle_sql(
     table: str = "embeddings",
     id_: str = "vec_id",
     vec: str = "embedding",
-    seed_mod: int = 50,
+    seed_mod: int | None = None,
     threshold: float = 0.9,
 ) -> str:
     """DuckDB mirror of :func:`semdedup` (expanded-index arithmetic,
-    identical rounding and tiebreaks)."""
+    identical rounding and tiebreaks; ``seed_mod=None`` mirrors the
+    sqrt-balanced stride as a scalar subquery over the same frame)."""
+    stride = (
+        str(seed_mod)
+        if seed_mod is not None
+        else (
+            "(SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))"
+            " FROM e)"
+        )
+    )
     return f"""
     WITH e AS (
         SELECT CAST({id_} AS BIGINT) AS id, {vec} AS v
         FROM {table} WHERE {vec} IS NOT NULL),
     c AS (SELECT id AS cluster_id, v AS cv FROM e
-          WHERE id % {seed_mod} = 0),
+          WHERE id % {stride} = 0),
     expanded AS (
         SELECT e.id, c.cluster_id, e.v, c.cv,
                unnest(generate_series(1, len(e.v))) AS i
@@ -1164,6 +1190,7 @@ def pq_encode(
     dim: int = 64,
     n_blocks: int = 8,
     seed_mod: int = 50,
+    max_codewords: int = 64,
 ) -> DataFrame:
     """Product quantization (Jégou et al. PAMI'11): split each
     D-dim embedding into ``n_blocks`` contiguous sub-vectors and
@@ -1174,13 +1201,21 @@ def pq_encode(
     table lookups instead of float math.
 
     Codebooks are deterministic data seeds (sub-slices of vectors
-    with ``id % seed_mod = 0``; swap in externally trained codebooks
-    without changing the geometry). Scale shape: the codebook
-    (n_blocks x k sub-vectors) broadcasts; assignment is one narrow
-    pass with a per-(vector, block) argmin — no shuffle until the
-    final per-vector code rollup, which aggregates n_blocks rows per
-    vector. Tie-breaks and rounding mirror q133: round(sq_dist, 6),
-    then smallest code id.
+    with ``id % seed_mod = 0``, capped at the FIRST ``max_codewords``
+    seeds; swap in externally trained codebooks without changing the
+    geometry). The cap is what PQ means: codebook size is a fixed
+    quantization-budget hyperparameter (here 64 -> 6-bit codes per
+    8-dim sub-vector; Jégou's reference config is 256/8-bit), NOT a
+    function of corpus size — an uncapped ``id % seed_mod`` codebook
+    grows linearly with the data and turns the n*k assignment pass
+    quadratic (measured 116x for 10x data at sf1 before the cap).
+    Scale shape: the codebook (n_blocks x k sub-vectors) broadcasts;
+    assignment is one narrow pass with a per-(vector, block) argmin —
+    no shuffle until the final per-vector code rollup, which
+    aggregates n_blocks rows per vector; with k capped the whole
+    operator is O(n * max_codewords * dim) — linear in n. Tie-breaks
+    and rounding mirror q133: round(sq_dist, 6), then smallest code
+    id.
 
     Returns (vec_id, code_fp, recon_err): md5 fingerprint of the
     ordered code sequence and the total quantization error
@@ -1199,7 +1234,10 @@ def pq_encode(
         "id", "b", sub.alias("sub")
     )
     cvec = (
-        e.filter(F.col("id") % seed_mod == 0)
+        e.filter(
+            (F.col("id") % seed_mod == 0)
+            & (F.col("id") < seed_mod * max_codewords)
+        )
         .select(F.col("id").alias("code"), blocks, "v")
         .select("code", "b", sub.alias("csub"))
     )
@@ -1253,6 +1291,7 @@ def pq_oracle_sql(
     dim: int = 64,
     n_blocks: int = 8,
     seed_mod: int = 50,
+    max_codewords: int = 64,
 ) -> str:
     """DuckDB mirror of :func:`pq_encode`."""
     w = dim // n_blocks
@@ -1260,7 +1299,9 @@ def pq_oracle_sql(
     WITH e AS (
         SELECT CAST({id_} AS BIGINT) AS id, {vec} AS v
         FROM {table} WHERE {vec} IS NOT NULL),
-    c AS (SELECT id AS code, v AS cv FROM e WHERE id % {seed_mod} = 0),
+    c AS (SELECT id AS code, v AS cv FROM e
+          WHERE id % {seed_mod} = 0
+            AND id < {seed_mod * max_codewords}),
     expanded AS (
         SELECT e.id, c.code, b.b, e.v, c.cv,
                unnest(generate_series(1, {w})) AS i

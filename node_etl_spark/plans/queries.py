@@ -5008,6 +5008,12 @@ def q132_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KM_SEED_MOD = 250
+# k is a FIXED hyperparameter, not a function of corpus size: an
+# uncapped `vec_id % stride` seed set grows linearly with the data and
+# turns Lloyd's O(n*k*d) step quadratic (measured 35x for 10x data at
+# sf1 before the cap). The first _KM_K multiples of the stride are the
+# centroids at every scale factor >= sf0.1.
+_KM_K = 8
 
 
 @register(
@@ -5015,7 +5021,8 @@ _KM_SEED_MOD = 250
     f"""
     WITH c AS (
         SELECT vec_id AS centroid_id, embedding AS cvec
-        FROM embeddings WHERE vec_id % {_KM_SEED_MOD} = 0),
+        FROM embeddings WHERE vec_id % {_KM_SEED_MOD} = 0
+          AND vec_id < {_KM_SEED_MOD * _KM_K}),
     expanded AS (
         SELECT e.vec_id, c.centroid_id, e.embedding AS evec, c.cvec,
                unnest(generate_series(1, len(e.embedding))) AS i
@@ -5040,8 +5047,10 @@ _KM_SEED_MOD = 250
     GROUP BY centroid_id
     """,
     doc="One Lloyd iteration of k-means, oracle-checked end to end: "
-        "deterministic seed centroids (vec_id % "
-        f"{_KM_SEED_MOD} = 0), per-vector argmin of squared distance "
+        "deterministic seed centroids (first "
+        f"{_KM_K} multiples of {_KM_SEED_MOD} — k fixed, so the step "
+        "stays O(n*k*d) linear at any corpus size), per-vector argmin "
+        "of squared distance "
         "(rounded to 6 digits with centroid-id tiebreak, the "
         "engine-portable comparator), then per-cluster size and "
         "inertia. Spark side is a broadcast of k centroid rows + one "
@@ -5051,7 +5060,10 @@ _KM_SEED_MOD = 250
 )
 def q133_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    c = e.filter(F.col("vec_id") % _KM_SEED_MOD == 0).select(
+    c = e.filter(
+        (F.col("vec_id") % _KM_SEED_MOD == 0)
+        & (F.col("vec_id") < _KM_SEED_MOD * _KM_K)
+    ).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("cvec"),
     )
@@ -6511,19 +6523,22 @@ def _init_q169() -> None:
 
     @register(
         "q169_semdedup",
-        semdedup_oracle_sql(seed_mod=50, threshold=0.35),
+        semdedup_oracle_sql(threshold=0.35),
         doc="Semantic dedup (functions/similarity.py semdedup; Abbas "
             "et al. SemDeDup): k-means-style cluster assignment "
             "(broadcast centroids, q133 kernel) then in-cluster cosine "
-            "pruning — pair work is sum(c_i^2), never N^2; the "
-            "embedding-space complement of MinHash (q22) / SimHash "
-            "(q23) lexical dedup. Deterministic keep-lowest-id rule "
-            "on the exact gate.",
+            "pruning — pair work is sum(c_i^2), never N^2, and the "
+            "cluster count follows the sqrt-balanced rule (k ~ "
+            "sqrt(n), mirrored by the oracle as a scalar subquery) so "
+            "assignment and pair stages are both O(n^1.5), the best "
+            "exact shape the algorithm admits; the embedding-space "
+            "complement of MinHash (q22) / SimHash (q23) lexical "
+            "dedup. Deterministic keep-lowest-id rule on the exact "
+            "gate.",
     )
     def q169_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return semdedup(
             table(spark, sf_dir, "embeddings"),
-            seed_mod=50,
             threshold=0.35,
         )
 
@@ -6544,11 +6559,13 @@ def _init_q170() -> None:
         doc="Product quantization (functions/similarity.py pq_encode; "
             "Jégou et al. PAMI'11): 64-dim vectors compressed to 8 "
             "sub-codeword ids (32x) against deterministic seed "
-            "codebooks — the IVF-PQ store layout beside q154's int8 "
-            "scalar quantization; broadcast codebook, narrow argmin, "
-            "one n_blocks-rows-per-vector rollup shuffle. Code "
-            "fingerprints and decimal-summed reconstruction error on "
-            "the exact gate.",
+            "codebooks capped at 64 codewords (6-bit codes — codebook "
+            "size is a fixed quantization budget, so encoding stays "
+            "O(n*64*d) linear at any corpus size) — the IVF-PQ store "
+            "layout beside q154's int8 scalar quantization; broadcast "
+            "codebook, narrow argmin, one n_blocks-rows-per-vector "
+            "rollup shuffle. Code fingerprints and decimal-summed "
+            "reconstruction error on the exact gate.",
     )
     def q170_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pq_encode(table(spark, sf_dir, "embeddings"), seed_mod=50)

@@ -579,11 +579,12 @@ def _semdedup_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     idc = d.get("id_col", "vec_id")
 
     def fn(df):
+        sm = d.get("seed_mod")
         removed = semdedup(
             df,
             id_col=idc,
             vec_col=d.get("vec_col", "embedding"),
-            seed_mod=int(d.get("seed_mod", 50)),
+            seed_mod=int(sm) if sm is not None else None,
             threshold=float(d.get("threshold", 0.9)),
         ).select(F.col("dup_id").alias(idc))
         return df.join(removed, idc, "left_anti")
