@@ -25,6 +25,7 @@ runs without storing a model.
 
 # NOTE: no `from __future__ import annotations` here — pandas_udf
 # resolves type hints at runtime and rejects stringified annotations.
+import hashlib
 import math
 
 from pyspark.sql import Column, DataFrame, Window
@@ -291,8 +292,8 @@ def cosine_neardup_pairs(
     candidates: DataFrame | None = None,
     mode: str = "auto",
     auto_lsh_above: int = 200_000,
-    n_tables: int = 8,
-    planes_per_table: int = 4,
+    n_tables: int | None = None,
+    planes_per_table: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, sim) with a < b
     and rounded cosine >= threshold.
@@ -328,8 +329,18 @@ def cosine_neardup_pairs(
     if candidates is None and mode not in ("auto", "exact", "lsh"):
         raise ValueError(f"unknown mode {mode!r}")
     if candidates is None and mode in ("auto", "lsh"):
-        use_lsh = mode == "lsh" or df.count() > auto_lsh_above
+        # one count job serves both the auto-mode switch and the
+        # adaptive ladder rung; non-null vectors only, matching the
+        # oracle's counted frame
+        n = df.filter(F.col(vec_col).isNotNull()).count()
+        use_lsh = mode == "lsh" or n > auto_lsh_above
         if use_lsh:
+            if n_tables is None or planes_per_table is None:
+                auto_t, auto_p = lsh_adaptive_config(n)
+                n_tables = auto_t if n_tables is None else n_tables
+                planes_per_table = (
+                    auto_p if planes_per_table is None else planes_per_table
+                )
             # probe the dim from a non-null vector; empty/all-null
             # corpora fall back to the exact path below, which yields
             # an empty, correctly-typed result instead of handing a
@@ -418,29 +429,56 @@ def neardup_lsh_oracle_sql(
     id_: str = "vec_id",
     vec: str = "embedding",
     round_digits: int = 6,
-    n_tables: int = 8,
-    planes_per_table: int = 4,
+    n_tables: int | None = None,
+    planes_per_table: int | None = None,
 ) -> str:
     """DuckDB mirror of the LSH-pruned :func:`cosine_neardup_pairs`
     (mode="lsh"), replicating the candidate generation exactly — the
     same pattern as ``dedup.minhash_oracle_sql``.
 
-    The hyperplane weights are emitted as literal VALUES from the very
-    Python floats the Spark kernel uses (repr round-trips doubles
-    exactly), so both engines hash against bit-identical planes.
-    Projection sums use the exact-DECIMAL trick (order-independent);
-    a sign flip vs numpy's float64 matmul would need the true
-    projection within ~1e-13 of zero — same negligible-boundary risk
-    class as every rounded-cosine oracle here.
+    The hyperplane weights are md5-derived (:func:`_plane_weight`) —
+    integer md5 bits scaled by an exact power-of-two divide — so the
+    SQL recomputes them bit-identically at runtime for WHICHEVER
+    ladder rung the corpus size selects (``n_tables``/
+    ``planes_per_table`` None = the :data:`LSH_LADDER` rule, as a
+    CASE over the same non-null count Spark uses; pinned ints mirror
+    a pinned Spark config). Projection sums use the exact-DECIMAL
+    trick (order-independent); a sign flip vs numpy's float64 matmul
+    would need the true projection within ~1e-13 of zero — same
+    negligible-boundary risk class as every rounded-cosine oracle
+    here.
     """
-    weights = ",".join(
-        f"({t},{p},{i + 1},{_plane_weight(t * planes_per_table + p, i)!r})"
-        for t in range(n_tables)
-        for p in range(planes_per_table)
-        for i in range(dim)
-    )
+    if (n_tables is None) != (planes_per_table is None):
+        raise ValueError("pin both n_tables and planes_per_table or neither")
+    if n_tables is not None:
+        cfg = f"SELECT {planes_per_table} AS p_cnt, {n_tables} AS t_cnt"
+    else:
+        p_case = " ".join(
+            f"WHEN n <= {LSH_TARGET_OCCUPANCY << p} THEN {p}"
+            for p, _ in LSH_LADDER[:-1]
+        )
+        t_case = " ".join(
+            f"WHEN n <= {LSH_TARGET_OCCUPANCY << p} THEN {t}"
+            for p, t in LSH_LADDER[:-1]
+        )
+        cfg = f"""SELECT CASE {p_case} ELSE {LSH_LADDER[-1][0]} END AS p_cnt,
+                   CASE {t_case} ELSE {LSH_LADDER[-1][1]} END AS t_cnt
+            FROM (SELECT COUNT(*) AS n FROM {table}
+                  WHERE {vec} IS NOT NULL)"""
+    max_p, max_t = LSH_LADDER[-1]
     return f"""
-    WITH w(t, p, i, wt) AS (VALUES {weights}),
+    WITH cfg AS ({cfg}),
+    w AS (
+        SELECT tt.t, pp.p, dd.i,
+               CAST(('0x' || substring(md5(
+                   'plane:' || CAST(tt.t * cfg.p_cnt + pp.p AS VARCHAR)
+                   || ':' || CAST(dd.i - 1 AS VARCHAR)), 1, 8))
+                   AS BIGINT) / 2147483648.0 - 1.0 AS wt
+        FROM cfg,
+             generate_series(0, {max_t - 1}) tt(t),
+             generate_series(0, {max_p - 1}) pp(p),
+             generate_series(1, {dim}) dd(i)
+        WHERE tt.t < cfg.t_cnt AND pp.p < cfg.p_cnt),
     expl AS (
         SELECT {id_} AS vid, i, CAST({vec}[i] AS DOUBLE) AS x
         FROM {table}, unnest(generate_series(1, len({vec}))) AS u(i)),
@@ -580,11 +618,58 @@ def ivf_topk(
 
 
 def _plane_weight(plane: int, dim: int) -> float:
-    """Deterministic pseudo-random hyperplane weight in [-1, 1]:
-    fract(sin(p*12.9898 + d*78.233) * 43758.5453) * 2 - 1 (the classic
-    shader-noise formula — stateless, engine-portable)."""
-    x = math.sin(plane * 12.9898 + dim * 78.233) * 43758.5453
-    return (x - math.floor(x)) * 2.0 - 1.0
+    """Deterministic pseudo-random hyperplane weight in [-1, 1):
+    32 md5 bits of "plane:<p>:<d>" scaled by 2^-31, minus 1. md5 is
+    the one hash both engines compute bit-identically (the repo-wide
+    portable-hash rule, sampling.py), and h/2^31 - 1 is exact float
+    arithmetic (power-of-two divide), so the SQL oracle can generate
+    the planes for ANY ladder rung at runtime instead of embedding
+    literal weights for one pinned configuration. (The previous
+    sin-fract shader formula was Python-side only: DuckDB's sin()
+    differs from libm by ~1 ulp, which the *43758 fract amplifies to
+    1e-9 — far above the near-zero-projection risk floor.)"""
+    h = int(
+        hashlib.md5(f"plane:{plane}:{dim}".encode()).hexdigest()[:8], 16
+    )
+    return h / 2147483648.0 - 1.0
+
+
+# (planes_per_table P, n_tables T) ladder for hyperplane LSH, indexed
+# by corpus size: P is the smallest value keeping expected bucket
+# occupancy n / 2^P at or under 64 (bucket count must scale with the
+# corpus — a pinned P=4 gives 16 buckets forever, occupancy grows
+# linearly and the in-bucket pair stream quadratically: measured 66x
+# for 10x data at sf1), and T holds the s-curve recall
+# 1-(1-p^P)^T >= ~0.99 at the cosine-0.9 design point (p = 1 -
+# theta/pi = 0.856). Cost per vector is T*P projections ~ (log n)^2.
+# Both engines derive the rung from the SAME count — the oracle as a
+# CASE over a scalar subquery, Spark from one count() job — so the
+# exact gate holds at every scale factor. Extend by appending rungs.
+LSH_LADDER: list[tuple[int, int]] = [
+    (4, 8),
+    (5, 8),
+    (6, 10),
+    (7, 12),
+    (8, 14),
+    (9, 17),
+    (10, 20),
+    (11, 23),
+    (12, 28),
+    (13, 33),
+    (14, 39),
+    (15, 45),
+    (16, 53),
+]
+LSH_TARGET_OCCUPANCY = 64
+
+
+def lsh_adaptive_config(n: int) -> tuple[int, int]:
+    """(n_tables, planes_per_table) for a corpus of ``n`` vectors,
+    from :data:`LSH_LADDER` (rung = smallest P with n <= 64 * 2^P)."""
+    for planes, tables in LSH_LADDER:
+        if n <= LSH_TARGET_OCCUPANCY << planes:
+            return tables, planes
+    return LSH_LADDER[-1][1], LSH_LADDER[-1][0]
 
 
 def _projection(vec: Column, plane: int, dim: int) -> Column:

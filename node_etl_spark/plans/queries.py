@@ -5244,9 +5244,14 @@ def q135_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     S.neardup_lsh_oracle_sql(threshold=0.4, dim=64),
     doc="Embedding near-dup via hyperplane-LSH candidate pruning: the "
         "bucket equi-join replaces q35's quadratic block-pair stream; "
-        "exact cosine scores candidates only. The oracle replicates "
-        "the candidate generation bit-exactly (literal plane weights), "
-        "same pattern as the MinHash gate (q22).",
+        "exact cosine scores candidates only. Planes-per-table (and "
+        "the recall-holding table count) follow the LSH_LADDER rule — "
+        "bucket count scales with the corpus so occupancy, and with "
+        "it the in-bucket pair stream, stays bounded instead of "
+        "growing linearly/quadratically. The oracle replicates the "
+        "candidate generation bit-exactly for whichever rung the "
+        "count selects (md5-derived plane weights, exact in both "
+        "engines), same pattern as the MinHash gate (q22).",
 )
 def q136_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_neardup_pairs(

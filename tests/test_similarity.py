@@ -308,3 +308,30 @@ def test_bitext_margin_prefers_isolated_pairs(spark):
     assert rows[0].tgt_id == 1
     # isolated near-parallel pair scores a higher margin than the hub
     assert rows[0].margin > rows[2].margin
+
+
+# ------------------------------------------------ adaptive LSH ladder
+
+
+def test_lsh_adaptive_config_ladder():
+    # rung rule: smallest P with n <= 64 * 2^P; T holds recall
+    assert S.lsh_adaptive_config(500) == (8, 4)
+    assert S.lsh_adaptive_config(1024) == (8, 4)
+    assert S.lsh_adaptive_config(1025) == (8, 5)
+    assert S.lsh_adaptive_config(2000) == (8, 5)
+    assert S.lsh_adaptive_config(20000) == (17, 9)
+    # beyond the last rung: pinned at the final entry
+    t, p = S.lsh_adaptive_config(10**12)
+    assert (p, t) == S.LSH_LADDER[-1]
+    # bucket occupancy bound holds on every rung boundary
+    for planes, _tables in S.LSH_LADDER:
+        n = S.LSH_TARGET_OCCUPANCY << planes
+        assert S.lsh_adaptive_config(n)[1] == planes
+
+
+def test_plane_weight_is_md5_exact():
+    import hashlib
+
+    h = int(hashlib.md5(b"plane:7:3").hexdigest()[:8], 16)
+    assert S._plane_weight(7, 3) == h / 2147483648.0 - 1.0
+    assert -1.0 <= S._plane_weight(0, 0) < 1.0
