@@ -279,3 +279,33 @@ def test_sorted_neighborhood_crosses_equal_keys_deterministically(spark):
         for r in sorted_neighborhood_pairs(df, "key", "rid", window=2).collect()
     }
     assert pairs == {(1, 2), (2, 3)}
+
+
+def test_simhash_band_pairs_complete_at_max_hamming(spark):
+    # four flipped bits landing in FOUR DIFFERENT blocks: single-chunk
+    # banding with chunks <= max_hamming misses this pair; the 2-of-6
+    # combination banding must find it (pigeonhole: 2 blocks untouched)
+    base = (1 << 60) - 1
+    h2 = base ^ (1 << 1) ^ (1 << 11) ^ (1 << 21) ^ (1 << 31)  # blocks 0-3
+    h3 = base ^ (1 << 1) ^ (1 << 2) ^ (1 << 3) ^ (1 << 4) ^ (1 << 5)  # ham 5
+    sigs = spark.createDataFrame(
+        [(1, base), (2, h2), (3, h3)], "doc_id long, simhash long"
+    )
+    pairs = {(r.d1, r.d2): r.hamming for r in
+             D.simhash_band_pairs(sigs, max_hamming=4).collect()}
+    assert pairs[(1, 2)] == 4
+    assert (1, 3) not in pairs  # hamming 5 verified away
+
+
+def test_simhash60_matches_manual(spark):
+    import hashlib
+
+    df = spark.createDataFrame([(7, "a b")], "doc_id long, text string")
+    got = D.simhash60(df).first()["simhash"]
+    hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in ("a", "b")]
+    expect = sum(
+        1 << i
+        for i in range(60)
+        if sum(1 if (h >> i) & 1 else -1 for h in hs) > 0
+    )
+    assert got == expect
