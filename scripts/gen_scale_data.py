@@ -83,9 +83,38 @@ def replicate_tabular(con, src: str, dst: str, factor: int) -> None:
             f"({c} + r.r * {card[c]})::BIGINT AS {c}" if c in keys else c
             for c in cols
         )
+        # part names must not replicate verbatim: fuzzy-match queries
+        # (levenshtein pairs, golden records) would see every part
+        # gain R-1 exact twins — an O(R^2) duplicate-cluster artifact
+        # of the replication, not a property of bigger data. Replica
+        # r>0 swaps the word at position (key+r) mod n_words for a
+        # deterministic draw from the corpus word list.
+        joins = ""
+        if tbl == "part" and "p_name" in cols:
+            con.execute(
+                "CREATE OR REPLACE TEMP TABLE part_words AS "
+                "SELECT ROW_NUMBER() OVER (ORDER BY w) - 1 AS wi, w "
+                f"FROM (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w "
+                f"      FROM '{src}/part.parquet')"
+            )
+            n_words = con.execute(
+                "SELECT COUNT(*) FROM part_words"
+            ).fetchone()[0]
+            sel = sel.replace(
+                "p_name",
+                "CASE WHEN r.r = 0 THEN p_name ELSE "
+                "list_aggregate(list_transform(string_split(p_name, ' '), "
+                "(x, i) -> CASE WHEN i - 1 = "
+                "(p_partkey + r.r) % len(string_split(p_name, ' ')) "
+                "THEN pw.w ELSE x END), 'string_agg', ' ') END AS p_name",
+            )
+            joins = (
+                " JOIN part_words pw ON pw.wi = "
+                f"(p_partkey * 31 + r.r * 7) % {n_words}"
+            )
         con.execute(
             f"COPY (SELECT {sel} FROM '{src}/{tbl}.parquet', "
-            f"range({factor}) r(r) ORDER BY r.r) "
+            f"range({factor}) r(r){joins} ORDER BY r.r) "
             f"TO '{dst}/{tbl}.parquet' (FORMAT PARQUET)"
         )
         print(f"  {tbl}: x{factor}")

@@ -1,4 +1,5 @@
 from node_etl_spark.functions import dedup as D
+from pyspark.sql import functions as F
 
 
 def docs_df(spark, rows):
@@ -309,3 +310,47 @@ def test_simhash60_matches_manual(spark):
         if sum(1 if (h >> i) & 1 else -1 for h in hs) > 0
     )
     assert got == expect
+
+
+def test_edit_distance_pairs_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcdef"
+    base_words = ["".join(rng.choice(alpha) for _ in range(rng.randint(6, 12)))
+                  for _ in range(12)]
+    rows = []
+    rid = 0
+    for w in base_words:
+        for _ in range(4):
+            s = list(w)
+            for _ in range(rng.randint(0, 5)):
+                op = rng.choice("ids")
+                p = rng.randrange(len(s)) if s else 0
+                if op == "i":
+                    s.insert(p, rng.choice(alpha))
+                elif op == "d" and s:
+                    del s[p]
+                elif s:
+                    s[p] = rng.choice(alpha)
+            rows.append((rid, "".join(s)))
+            rid += 1
+    rows.append((rid, "ab"))      # short-string fallback branch
+    rows.append((rid + 1, "ac"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.d1, r.d2, r.dist) for r in
+           D.edit_distance_pairs(df, k=4).collect()}
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r.d1, r.d2, r.dist)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).cast("int").alias("dist"),
+        )
+        .filter("dist <= 4")
+        .collect()
+    }
+    assert got == brute
+    assert brute  # the generator actually produced close pairs
