@@ -4571,32 +4571,66 @@ def _init_q125_oracle() -> str:
 @register(
     "q125_golden_records",
     None,  # filled right after registration (needs G import above)
-    doc="Entity resolution end-to-end: PassJoin segment-filtered "
-        "fuzzy-match pairs (functions/dedup.py edit_distance_pairs — "
-        "lossless, so the oracle stays the definitional same-brand "
-        "levenshtein<=4 join) feed connected components "
-        "(large-star/small-star), yielding one canonical 'golden "
-        "record' per duplicate cluster — the master-data survivorship "
-        "pattern, at the levenshtein<=2 typo/OCR match class. Pair "
-        "generation is linear in corpus size (the blocked all-pairs "
-        "sweep it replaces was sum(|block|^2) — "
-        "measured 32x for 10x data at sf1), clustering is O(log^2 n) "
-        "bounded shuffle rounds, and the output is the sparse "
-        "removal/merge list, never a row per clean entity. Oracle = "
-        "DuckDB recursive CTE.",
+    doc="Entity resolution end-to-end: FastSS deletion-neighborhood "
+        "fuzzy-match pairs (functions/dedup.py "
+        "deletion_neighborhood_pairs — lossless, so the oracle stays "
+        "the definitional same-brand levenshtein<=2 join) feed "
+        "connected components (large-star/small-star), yielding one "
+        "canonical 'golden record' per duplicate cluster — the "
+        "master-data survivorship pattern at the typo/OCR match "
+        "class. Pair generation is linear in corpus size for these "
+        "bounded-length keys (~L^2/2 deletion variants per name; the "
+        "blocked all-pairs sweep was sum(|block|^2), and PassJoin "
+        "segments collapse on ~10-char low-entropy names — see the "
+        "operator docstrings for the short/long regime split), "
+        "clustering is O(log^2 n) bounded shuffle rounds, and the "
+        "output is the sparse removal/merge list, never a row per "
+        "clean entity. Oracle = DuckDB recursive CTE.",
 )
 def q125_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    pairs = D.edit_distance_pairs(
-        p, k=2, id_col="p_partkey", str_col="p_name", block_col="p_brand"
+    # resolve on the distinct-VALUE dictionary, not on rows: with a
+    # bounded name vocabulary (64 distinct names across 20k parts
+    # here; city/employer/product strings in real MDM have the same
+    # shape) the row-level pair stream is ~n^2/|vocab| — 6.7M pairs at
+    # sf1 — while the dictionary is tiny. The similarity join and the
+    # transitive closure run per distinct (brand, name); rows join
+    # back by value afterwards, expanding membership linearly without
+    # ever materializing a row-level pair. Value id = min partkey of
+    # the value, so the value-component root IS the row-level
+    # canonical key and the result matches the row-level definition
+    # (same-value rows are lev-0 connected) exactly.
+    vals = p.groupBy("p_brand", "p_name").agg(
+        F.min("p_partkey").alias("vid"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    vpairs = D.deletion_neighborhood_pairs(
+        vals, k=2, id_col="vid", str_col="p_name", block_col="p_brand"
     ).select(F.col("p_brand").alias("blk"), "d1", "d2")
     # every pair is within one brand block by construction -> the
     # transitive closure is per-block union-find (one shuffle), not
     # the iterative global algorithm
-    return G.dedup_clusters(p, pairs, id_col="p_partkey", block_col="blk").select(
-        F.col("doc_id").alias("partkey"),
-        F.col("cluster_id").alias("canonical_key"),
-        "is_canonical",
+    vclusters = G.dedup_clusters(vals, vpairs, id_col="vid", block_col="blk")
+    assign = vals.join(
+        vclusters, vals["vid"] == vclusters["doc_id"], "left"
+    ).select(
+        "p_brand",
+        "p_name",
+        "m",
+        F.coalesce("cluster_id", "vid").alias("root"),
+        F.col("cluster_id").isNotNull().alias("has_partner_value"),
+    )
+    return (
+        p.join(assign, ["p_brand", "p_name"])
+        # a row belongs to the output iff its cluster has >= 2 rows:
+        # its value links to another value, or the value itself holds
+        # multiple rows (lev-0 partners)
+        .filter(F.col("has_partner_value") | (F.col("m") >= 2))
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("root").alias("canonical_key"),
+            (F.col("p_partkey") == F.col("root")).alias("is_canonical"),
+        )
     )
 
 

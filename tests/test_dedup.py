@@ -354,3 +354,47 @@ def test_edit_distance_pairs_matches_brute_force(spark):
     }
     assert got == brute
     assert brute  # the generator actually produced close pairs
+
+
+def test_deletion_neighborhood_pairs_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(11)
+    alpha = "abcde"
+    words = ["".join(rng.choice(alpha) for _ in range(rng.randint(5, 10)))
+             for _ in range(10)]
+    rows, rid = [], 0
+    for w in words:
+        for _ in range(5):
+            s = list(w)
+            for _ in range(rng.randint(0, 3)):
+                op = rng.choice("ids")
+                p = rng.randrange(len(s)) if s else 0
+                if op == "i":
+                    s.insert(p, rng.choice(alpha))
+                elif op == "d" and s:
+                    del s[p]
+                elif s:
+                    s[p] = rng.choice(alpha)
+            rows.append((rid, "".join(s)))
+            rid += 1
+    rows += [(rid, ""), (rid + 1, "a"), (rid + 2, "b"), (rid + 3, "ab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (1, 2):
+        got = {(r.d1, r.d2, r.dist) for r in
+               D.deletion_neighborhood_pairs(df, k=k).collect()}
+        a, b = df.alias("a"), df.alias("b")
+        brute = {
+            (r.d1, r.d2, r.dist)
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("d1"),
+                F.col("b.doc_id").alias("d2"),
+                F.levenshtein(F.col("a.text"), F.col("b.text"))
+                .cast("int").alias("dist"),
+            )
+            .filter(f"dist <= {k}")
+            .collect()
+        }
+        assert got == brute, f"k={k}"
+        assert brute
