@@ -796,8 +796,8 @@ def lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_tables: int = 8,
-    planes_per_table: int = 4,
+    n_tables: int | None = None,
+    planes_per_table: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
@@ -807,7 +807,11 @@ def lsh_topk(
     at least one table.
 
     The join is a shuffle on (table, bucket) — no cross product — the
-    property that survives the 100x scale-up. Exact cosine is computed
+    property that survives the 100x scale-up; with the default
+    ladder-derived config (``n_tables``/``planes_per_table`` None ->
+    :func:`lsh_adaptive_config` of the corpus count) bucket occupancy
+    stays bounded as the corpus grows, so the candidate stream scales
+    ~linearly instead of quadratically. Exact cosine is computed
     only for candidates; duplicates across tables are collapsed before
     scoring. ``n_probes > 0`` turns on query-side multi-probe (Lv et
     al. VLDB'07): each query additionally probes the buckets reached
@@ -815,6 +819,12 @@ def lsh_topk(
     per table — the recall of ~(1 + n_probes) x more tables while the
     corpus index and its shuffle stay exactly the same size.
     """
+    if n_tables is None or planes_per_table is None:
+        auto_t, auto_p = lsh_adaptive_config(corpus.count())
+        n_tables = auto_t if n_tables is None else n_tables
+        planes_per_table = (
+            auto_p if planes_per_table is None else planes_per_table
+        )
     bucket_udf = lsh_buckets_udf(dim, n_tables, planes_per_table)
 
     # bucket join over (id, table, bucket) ONLY — the wide vector

@@ -592,6 +592,44 @@ def _semdedup_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     return FnTransform(fn, name="semdedup")
 
 
+def _fuzzy_dedup_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """Edit-distance near-dup removal: pair the corpus at levenshtein
+    <= k (deletion neighborhoods for short strings — the default —
+    or the PassJoin segment filter via ``"method": "passjoin"`` for
+    long ones), then drop every non-canonical member of each pair
+    cluster (keep-lowest-id, the exact_dedup survivorship rule)."""
+    from pyspark.sql import functions as F
+
+    from .functions import dedup as dd
+    from .functions.graph import dedup_clusters
+
+    idc = d.get("id_col", "doc_id")
+    strc = d.get("str_col", "text")
+    k = int(d.get("k", 2))
+    method = d.get("method", "deletion")
+
+    def fn(df):
+        pair_fn = (
+            dd.edit_distance_pairs
+            if method == "passjoin"
+            else dd.deletion_neighborhood_pairs
+        )
+        pairs = pair_fn(
+            df, k=k, id_col=idc, str_col=strc,
+            block_col=d.get("block_col"),
+        )
+        removed = (
+            dedup_clusters(
+                df, pairs, id_col=idc, block_col=d.get("block_col")
+            )
+            .filter(~F.col("is_canonical"))
+            .select(F.col("doc_id").alias(idc))
+        )
+        return df.join(removed, idc, "left_anti")
+
+    return FnTransform(fn, name="fuzzy_dedup")
+
+
 def _bloom_semi_join_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     from .functions.sketch import bloom_semi_join
 
@@ -649,6 +687,7 @@ _REGISTRY.update(
         "heavy_hitters": _heavy_hitters_op,
         "canonical_url": _canonical_url_op,
         "semdedup": _semdedup_op,
+        "fuzzy_dedup": _fuzzy_dedup_op,
         "bloom_semi_join": _bloom_semi_join_op,
     }
 )

@@ -575,3 +575,17 @@ def test_example_web_corpus_refresh_spec(spark, sf_dir, tmp_path):
     n_out = out.count()
     assert 0 < n_out <= n_in
     assert "text" in out.columns
+
+
+def test_spec_fuzzy_dedup_drops_typo_twins(spark):
+    from node_etl_spark.context import Context
+    from node_etl_spark.spec import op_from_spec
+
+    df = spark.createDataFrame(
+        [(0, "alpha"), (1, "alpho"), (2, "gamma"), (3, "alpha")],
+        "doc_id long, text string",
+    )
+    op = op_from_spec({"op": "fuzzy_dedup", "k": 2})
+    kept = {r.doc_id for r in op.apply(df, Context()).collect()}
+    # 0/1/3 are one lev<=2 cluster (keep lowest id 0); 2 untouched
+    assert kept == {0, 2}
