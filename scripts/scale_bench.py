@@ -64,6 +64,10 @@ def main() -> None:
     print(json.dumps(large)[:400], flush=True)
 
     factor = (large.get("sf") or 1.0) / (small.get("sf") or 0.1)
+    # the two legs run back-to-back but co-tenant CPU contention can
+    # shift between them; normalizing the large leg by the calib delta
+    # separates data scaling from machine drift
+    drift = large["calib_sec"] / small["calib_sec"]
     sq, lq = small["queries"], large["queries"]
     rows = []
     for q in sq:
@@ -71,9 +75,9 @@ def main() -> None:
             continue
         s, l = sq[q], lq[q]
         ratio = l / s if s > 0 else float("inf")
-        rows.append((q, s, l, ratio))
-    rows.sort(key=lambda r: -r[3])
-    flagged = [r for r in rows if r[3] > args.flag_ratio]
+        rows.append((q, s, l, ratio, ratio / drift))
+    rows.sort(key=lambda r: -r[4])
+    flagged = [r for r in rows if r[4] > args.flag_ratio]
 
     lines = [
         "# SCALE_BENCH — empirical scaling evidence",
@@ -81,21 +85,25 @@ def main() -> None:
         f"Same VM, same session config (local[32]); sf{small['sf']} "
         f"(best of {args.runs_small}) vs sf{large['sf']} "
         f"(best of {args.runs_large}), {factor:.0f}x data.",
-        f"CPU calibration: calib_sec {small['calib_sec']} (small run) / "
-        f"{large['calib_sec']} (large run) — same-VM runs, so ratios are "
-        "directly comparable.",
+        f"CPU calibration: calib_sec {small['calib_sec']} (small leg) / "
+        f"{large['calib_sec']} (large leg) — the adj column divides the "
+        f"raw ratio by the {drift:.2f}x machine drift between legs.",
         "",
         f"Suite total: {small['value']}s -> {large['value']}s "
-        f"({large['value'] / small['value']:.2f}x for {factor:.0f}x data).",
-        f"Queries flagged (> {args.flag_ratio}x): {len(flagged)} "
+        f"({large['value'] / small['value']:.2f}x raw, "
+        f"{large['value'] / small['value'] / drift:.2f}x adj "
+        f"for {factor:.0f}x data).",
+        f"Queries flagged (adj > {args.flag_ratio}x): {len(flagged)} "
         f"of {len(rows)}.",
         "",
-        "| query | sf0.1 s | sf1 s | ratio |",
-        "|---|---|---|---|",
+        "| query | sf0.1 s | sf1 s | ratio | adj |",
+        "|---|---|---|---|---|",
     ]
-    for q, s, l, ratio in rows:
-        mark = " **FLAG**" if ratio > args.flag_ratio else ""
-        lines.append(f"| {q}{mark} | {s:.3f} | {l:.3f} | {ratio:.1f}x |")
+    for q, s, l, ratio, adj in rows:
+        mark = " **FLAG**" if adj > args.flag_ratio else ""
+        lines.append(
+            f"| {q}{mark} | {s:.3f} | {l:.3f} | {ratio:.1f}x | {adj:.1f}x |"
+        )
     lines += [
         "",
         "## Flagged queries",
