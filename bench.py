@@ -171,6 +171,7 @@ HEADLINE = [
     "q199_kfold_assignment",
     "q200_dataset_card",
     "q201_skew_salted_activity",
+    "q202_bitext_mining_lsh",
 ]
 
 

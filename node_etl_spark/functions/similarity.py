@@ -1432,6 +1432,8 @@ def bitext_margin_pairs(
     threshold: float = 1.1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "exact",
+    dim: int | None = None,
 ) -> DataFrame:
     """Margin-based bitext / parallel-pair mining (Artetxe & Schwenk
     ACL'19; the CCMatrix/LASER harvesting rule): for each vector on
@@ -1442,15 +1444,34 @@ def bitext_margin_pairs(
     margin normalizes by each endpoint's neighborhood density, which
     is what makes mined pairs usable as training bitext.
 
-    Built on :func:`brute_force_topk` both directions (blocked GEMM,
-    shuffle O(blocks * queries * k)); swap in :func:`lsh_topk` for
-    the billion-pair regime — the margin math is unchanged. All
-    statistics use the 6-digit-rounded sims with decimal mean
-    accumulation, so the whole miner sits on the exact value gate.
-    Returns (src_id, tgt_id, sim, margin) with margin >= threshold.
+    ``method="exact"`` (default) runs :func:`brute_force_topk` both
+    directions (blocked GEMM, shuffle O(blocks * queries * k)) —
+    O(|A|*|B|) by definition, the reference semantics.
+    ``method="lsh"`` is the billion-pair regime: each direction's
+    top-k comes from :func:`lsh_topk` (ladder-sized hyperplane
+    buckets, rung from that direction's corpus count; ``dim``
+    required), so candidate volume tracks bucket occupancy instead of
+    the side product; the margin math is unchanged and
+    :func:`bitext_lsh_oracle_sql` replicates the candidate generation
+    bit-exactly for the gate. All statistics use the 6-digit-rounded
+    sims with decimal mean accumulation, so both forms sit on the
+    exact value gate. Returns (src_id, tgt_id, sim, margin) with
+    margin >= threshold.
     """
-    fwd = brute_force_topk(b_df, a_df, k=k, id_col=id_col, vec_col=vec_col)
-    bwd = brute_force_topk(a_df, b_df, k=k, id_col=id_col, vec_col=vec_col)
+    if method == "lsh":
+        if dim is None:
+            raise ValueError('method="lsh" requires dim')
+        fwd = lsh_topk(
+            b_df, a_df, dim=dim, k=k, id_col=id_col, vec_col=vec_col
+        )
+        bwd = lsh_topk(
+            a_df, b_df, dim=dim, k=k, id_col=id_col, vec_col=vec_col
+        )
+    elif method == "exact":
+        fwd = brute_force_topk(b_df, a_df, k=k, id_col=id_col, vec_col=vec_col)
+        bwd = brute_force_topk(a_df, b_df, k=k, id_col=id_col, vec_col=vec_col)
+    else:
+        raise ValueError(f"unknown method {method!r}")
 
     def mean_k(tk: DataFrame, name: str) -> DataFrame:
         return tk.groupBy("query_id").agg(
@@ -1529,6 +1550,133 @@ def bitext_oracle_sql(
         SELECT b_id,
                round(CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE)
                      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_b
+        FROM bwd WHERE rnk <= {k} GROUP BY b_id),
+    best AS (SELECT a_id, b_id, sim FROM fwd WHERE rnk = 1)
+    SELECT best.a_id AS src_id, best.b_id AS tgt_id, best.sim,
+           round(best.sim / ((ma.mean_a + mb.mean_b) / 2), 6) AS margin
+    FROM best JOIN ma USING (a_id) JOIN mb USING (b_id)
+    WHERE round(best.sim / ((ma.mean_a + mb.mean_b) / 2), 6) >= {threshold}
+    """
+
+
+def _lsh_cfg_w_sql(tag: str, count_src: str, dim: int) -> str:
+    """cfg_{tag} (ladder rung from COUNT(*) of ``count_src``) and
+    w_{tag} (md5 plane weights for that rung) CTE fragments — the
+    shared SQL replication of :func:`lsh_adaptive_config` +
+    :func:`_plane_weight`."""
+    p_case = " ".join(
+        f"WHEN n <= {LSH_TARGET_OCCUPANCY << p} THEN {p}"
+        for p, _ in LSH_LADDER[:-1]
+    )
+    t_case = " ".join(
+        f"WHEN n <= {LSH_TARGET_OCCUPANCY << p} THEN {t}"
+        for p, t in LSH_LADDER[:-1]
+    )
+    max_p, max_t = LSH_LADDER[-1]
+    return f"""cfg_{tag} AS (
+        SELECT CASE {p_case} ELSE {LSH_LADDER[-1][0]} END AS p_cnt,
+               CASE {t_case} ELSE {LSH_LADDER[-1][1]} END AS t_cnt
+        FROM (SELECT COUNT(*) AS n FROM {count_src})),
+    w_{tag} AS (
+        SELECT tt.t, pp.p, dd.i,
+               CAST(('0x' || substring(md5(
+                   'plane:' || CAST(tt.t * cfg_{tag}.p_cnt + pp.p AS VARCHAR)
+                   || ':' || CAST(dd.i - 1 AS VARCHAR)), 1, 8))
+                   AS BIGINT) / 2147483648.0 - 1.0 AS wt
+        FROM cfg_{tag},
+             generate_series(0, {max_t - 1}) tt(t),
+             generate_series(0, {max_p - 1}) pp(p),
+             generate_series(1, {dim}) dd(i)
+        WHERE tt.t < cfg_{tag}.t_cnt AND pp.p < cfg_{tag}.p_cnt)"""
+
+
+def _lsh_bucket_sql(tag: str, side: str) -> str:
+    """bk_{tag}_{side} CTE: (vid, t, b) bucket rows for the vectors in
+    CTE ``side`` (columns id, v) under the w_{tag} plane family."""
+    return f"""bk_{tag}_{side} AS (
+        SELECT vid, t, SUM(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS b
+        FROM (
+            SELECT x.id AS vid, w.t, w.p,
+                   CAST(SUM(CAST(CAST(x.v[w.i] AS DOUBLE) * w.wt
+                       AS DECIMAL(38,30))) AS DOUBLE) AS pr
+            FROM {side} x, w_{tag} w
+            GROUP BY 1, 2, 3) pr
+        GROUP BY vid, t)"""
+
+
+def bitext_lsh_oracle_sql(
+    table: str = "embeddings",
+    id_: str = "vec_id",
+    vec: str = "embedding",
+    side_expr: str = "label % 2",
+    k: int = 4,
+    threshold: float = 1.1,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`bitext_margin_pairs` with
+    ``method="lsh"``: each direction's candidates are the LSH bucket
+    collisions under that direction's corpus-count ladder rung
+    (forward: planes/rung from side B, backward: from side A), exact
+    cosine + top-k + margin over candidates only — replicated
+    bit-exactly, the q136 pattern extended to a two-sided miner."""
+    mean_sql = (
+        "round(CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE), 6)"
+    )
+    return f"""
+    WITH e AS (SELECT CAST({id_} AS BIGINT) AS id, {vec} AS v,
+                      {side_expr} AS side FROM {table}),
+    a AS (SELECT id, v FROM e WHERE side = 0),
+    b AS (SELECT id, v FROM e WHERE side = 1),
+    {_lsh_cfg_w_sql("f", "b", dim)},
+    {_lsh_bucket_sql("f", "a")},
+    {_lsh_bucket_sql("f", "b")},
+    cand_f AS (
+        SELECT DISTINCT qa.vid AS a_id, cb.vid AS b_id
+        FROM bk_f_a qa JOIN bk_f_b cb ON qa.t = cb.t AND qa.b = cb.b),
+    {_lsh_cfg_w_sql("r", "a", dim)},
+    {_lsh_bucket_sql("r", "a")},
+    {_lsh_bucket_sql("r", "b")},
+    cand_r AS (
+        SELECT DISTINCT qb.vid AS b_id, ca.vid AS a_id
+        FROM bk_r_b qb JOIN bk_r_a ca ON qb.t = ca.t AND qb.b = ca.b),
+    simf AS (
+        SELECT c.a_id, c.b_id,
+               round(CAST(SUM(CAST(CAST(av.v[i] AS DOUBLE) * CAST(bv.v[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
+                     / (sqrt(CAST(SUM(CAST(CAST(av.v[i] AS DOUBLE) * CAST(av.v[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE))
+                        * sqrt(CAST(SUM(CAST(CAST(bv.v[i] AS DOUBLE) * CAST(bv.v[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE))),
+                     6) AS sim
+        FROM cand_f c
+        JOIN a av ON av.id = c.a_id
+        JOIN b bv ON bv.id = c.b_id,
+        unnest(generate_series(1, {dim})) AS u(i)
+        GROUP BY 1, 2),
+    simr AS (
+        SELECT c.a_id, c.b_id,
+               round(CAST(SUM(CAST(CAST(av.v[i] AS DOUBLE) * CAST(bv.v[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
+                     / (sqrt(CAST(SUM(CAST(CAST(av.v[i] AS DOUBLE) * CAST(av.v[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE))
+                        * sqrt(CAST(SUM(CAST(CAST(bv.v[i] AS DOUBLE) * CAST(bv.v[i] AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE))),
+                     6) AS sim
+        FROM cand_r c
+        JOIN a av ON av.id = c.a_id
+        JOIN b bv ON bv.id = c.b_id,
+        unnest(generate_series(1, {dim})) AS u(i)
+        GROUP BY 1, 2),
+    fwd AS (
+        SELECT a_id, b_id, sim,
+               row_number() OVER (PARTITION BY a_id
+                   ORDER BY sim DESC, b_id) AS rnk
+        FROM simf),
+    bwd AS (
+        SELECT a_id, b_id, sim,
+               row_number() OVER (PARTITION BY b_id
+                   ORDER BY sim DESC, a_id) AS rnk
+        FROM simr),
+    ma AS (
+        SELECT a_id, {mean_sql} AS mean_a
+        FROM fwd WHERE rnk <= {k} GROUP BY a_id),
+    mb AS (
+        SELECT b_id, {mean_sql} AS mean_b
         FROM bwd WHERE rnk <= {k} GROUP BY b_id),
     best AS (SELECT a_id, b_id, sim FROM fwd WHERE rnk = 1)
     SELECT best.a_id AS src_id, best.b_id AS tgt_id, best.sim,

@@ -110,6 +110,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 DRIVER_GATE_SENTINELS: list[str] = [
     # round-4 fixes and additions — must be verified first
     "q201_skew_salted_activity",
+    "q202_bitext_mining_lsh",
     "q191_bradley_terry",
     "q186_conversation_assembly",
     "q200_dataset_card",
@@ -8617,3 +8618,40 @@ def q201_skew_salted_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value", 2).alias("event_value"),
         F.max("order_total").alias("order_total"),
     )
+
+
+# --------------------------------------------------------------------
+# q202 — LSH-gated bitext mining (the billion-pair path for q172)
+# --------------------------------------------------------------------
+
+def _init_q202() -> None:
+    from ..functions.similarity import bitext_lsh_oracle_sql, bitext_margin_pairs
+
+    @register(
+        "q202_bitext_mining_lsh",
+        bitext_lsh_oracle_sql(k=4, threshold=1.1, dim=64),
+        doc="LSH-gated margin-based bitext mining (functions/"
+            "similarity.py bitext_margin_pairs method='lsh'): each "
+            "direction's top-k comes from ladder-sized hyperplane "
+            "buckets (rung from that direction's corpus count) instead "
+            "of the O(|A|*|B|) GEMM — the q35->q136 exact/LSH pairing "
+            "applied to the two-sided miner, so the billion-pair "
+            "regime is oracle-gated rather than asserted. The oracle "
+            "replicates both directions' candidate generation "
+            "bit-exactly (md5 plane weights, per-direction rung "
+            "CASE) and scores exact cosine + margin on candidates "
+            "only.",
+    )
+    def q202_bitext_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = table(spark, sf_dir, "embeddings")
+        return bitext_margin_pairs(
+            emb.filter("label % 2 = 0"),
+            emb.filter("label % 2 = 1"),
+            k=4,
+            threshold=1.1,
+            method="lsh",
+            dim=64,
+        )
+
+
+_init_q202()
