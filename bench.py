@@ -172,6 +172,7 @@ HEADLINE = [
     "q200_dataset_card",
     "q201_skew_salted_activity",
     "q202_bitext_mining_lsh",
+    "q203_zorder_layout",
 ]
 
 

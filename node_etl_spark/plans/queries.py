@@ -111,6 +111,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     # round-4 fixes and additions — must be verified first
     "q201_skew_salted_activity",
     "q202_bitext_mining_lsh",
+    "q203_zorder_layout",
     "q191_bradley_terry",
     "q186_conversation_assembly",
     "q200_dataset_card",
@@ -8655,3 +8656,35 @@ def _init_q202() -> None:
 
 
 _init_q202()
+
+
+# --------------------------------------------------------------------
+# q203 — z-order layout statistics (multi-dimensional file skipping)
+# --------------------------------------------------------------------
+
+def _init_q203() -> None:
+    from ..functions.layout import zorder_bucket_stats, zorder_stats_sql
+
+    @register(
+        "q203_zorder_layout",
+        zorder_stats_sql("lineitem", "l_partkey", "l_suppkey"),
+        doc="Z-order layout statistics (functions/layout.py; Morton "
+            "interleaving, the Delta/Iceberg OPTIMIZE ZORDER BY and "
+            "UB-tree idea): lineitem's (l_partkey, l_suppkey) bits "
+            "interleave into a 32-bit z-value and rows group by the "
+            "z>>22 file grain; per-bucket min/max of BOTH keys is "
+            "exactly what a writer puts in parquet footers, and under "
+            "z-order both ranges are tight simultaneously — a filter "
+            "on EITHER key skips most files, where a single-column "
+            "sort serves only its own column. Pure shift/and "
+            "arithmetic, codegen end to end, identical in both "
+            "engines — layout planning on the exact gate beside "
+            "q176's partition pruning and q194's range boundaries.",
+    )
+    def q203_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return zorder_bucket_stats(
+            table(spark, sf_dir, "lineitem"), "l_partkey", "l_suppkey"
+        )
+
+
+_init_q203()

@@ -369,3 +369,25 @@ def test_q201_salted_join_shape(spark, sf_dir):
     assert "explode" in plan.lower()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q203_zorder_buckets_bound_both_dims(spark, sf_dir):
+    from node_etl_spark.plans import QUERIES
+
+    rows = QUERIES["q203_zorder_layout"].fn(spark, sf_dir).collect()
+    assert len(rows) > 1, "expect multiple z-range buckets"
+    # the pruning property: per-bucket spans are (much) tighter than
+    # the global span in BOTH interleaved dimensions
+    gx = max(r.x_max for r in rows) - min(r.x_min for r in rows)
+    gy = max(r.y_max for r in rows) - min(r.y_min for r in rows)
+    import statistics
+
+    mx = statistics.mean(r.x_max - r.x_min for r in rows)
+    my = statistics.mean(r.y_max - r.y_min for r in rows)
+    assert mx < gx and my < gy
+    # and the plan is pure codegen arithmetic — no UDF anywhere
+    plan = (
+        QUERIES["q203_zorder_layout"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
