@@ -173,6 +173,7 @@ HEADLINE = [
     "q201_skew_salted_activity",
     "q202_bitext_mining_lsh",
     "q203_zorder_layout",
+    "q204_stream_interval_left",
 ]
 
 

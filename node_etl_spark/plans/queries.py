@@ -112,6 +112,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q201_skew_salted_activity",
     "q202_bitext_mining_lsh",
     "q203_zorder_layout",
+    "q204_stream_interval_left",
     "q191_bradley_terry",
     "q186_conversation_assembly",
     "q200_dataset_card",
@@ -8688,3 +8689,80 @@ def _init_q203() -> None:
 
 
 _init_q203()
+
+
+# --------------------------------------------------------------------
+# q204 — LEFT-OUTER stream-stream interval join on the oracle gate
+# --------------------------------------------------------------------
+
+_Q204_WM_MS = 36_000_000  # 10h watermark delay
+_Q204_LOOKBACK_MS = 1_800_000  # 30 min join lookback
+_Q204_MARGIN_MS = 3_600_000  # settled-region safety margin
+
+
+@register(
+    "q204_stream_interval_left",
+    f"""
+    WITH wm AS (
+        SELECT MAX(epoch_ms(date_trunc('millisecond', ts)))
+               - {_Q204_WM_MS} AS w
+        FROM events),
+    r AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT l.event_id,
+           r.event_id AS purchase_id,
+           r.value AS purchase_value
+    FROM events l LEFT JOIN r
+      ON l.user_id = r.user_id
+     AND r.ts <= l.ts
+     AND r.ts >= l.ts - INTERVAL 30 MINUTE
+    WHERE epoch_ms(date_trunc('millisecond', l.ts))
+          < (SELECT w FROM wm) - {_Q204_LOOKBACK_MS + _Q204_MARGIN_MS}
+    """,
+    doc="LEFT-OUTER stream-stream interval join (streaming/stream.py "
+        "interval_join how='leftOuter') replayed availableNow: each "
+        "event joined to the same user's purchases in the trailing 30 "
+        "minutes, and events with NO such purchase emit once with "
+        "nulls — but only after the watermark passes the point where "
+        "a match could still arrive (the streaming-correct 'no "
+        "match', never emit-then-retract). Spark finalizes tail state "
+        "lazily, so both the query and the oracle restrict to the "
+        "SETTLED region (left ts below final watermark - lookback - "
+        "1h margin), where null emission is guaranteed — the same "
+        "explicit watermark-cutoff discipline as q138's session "
+        "close. Oracle = batch left join under the identical cutoff.",
+)
+def q204_stream_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import stream as st
+
+    # ms-truncated epoch from the double-epoch cast (q57/q138
+    # pattern; ts is TIMESTAMP_NTZ, unix_* helpers reject it)
+    ms = F.floor(
+        F.col("ts").cast("timestamp").cast("double") * 1000
+    ).cast("bigint")
+    wm_ms = (
+        table(spark, sf_dir, "events").agg(F.max(ms).alias("m")).first()["m"]
+        - _Q204_WM_MS
+    )
+    settled = wm_ms - _Q204_LOOKBACK_MS - _Q204_MARGIN_MS
+    sink = _replay_events(
+        spark,
+        sf_dir,
+        ["event_id", "ts", "user_id", "event_type", "value"],
+        lambda source: st.interval_join(
+            source(),
+            source().filter("event_type = 'purchase'"),
+            on="user_id",
+            lookback="30 minutes",
+            watermark="10 hours",
+            how="leftOuter",
+        ),
+        mode="append",
+        sink_prefix="q204",
+    )
+    return sink.filter(ms < settled).select(
+        "event_id",
+        F.col("event_id_r").alias("purchase_id"),
+        F.col("value_r").alias("purchase_value"),
+    )
+
+

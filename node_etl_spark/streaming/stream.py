@@ -205,6 +205,7 @@ def interval_join(
     lookback: str = "30 minutes",
     watermark: str = "1 hour",
     suffix: str = "_r",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: pair each left event with right
     events of the same key that happened within ``lookback`` before it.
@@ -214,7 +215,19 @@ def interval_join(
     watermark+lookback horizon — the bounded-state form of the
     reference's unbounded in-heap buffering. Right columns (other than
     the key) are suffixed to avoid collisions.
+
+    ``how="leftOuter"`` additionally emits each unmatched left event
+    with nulls on the right, but only once the watermark has passed
+    the point where a matching right event could still arrive — the
+    streaming-correct form of "no match": a left row near the head of
+    the stream is withheld, not emitted-then-retracted. On a bounded
+    availableNow replay the emitted set is therefore the batch left
+    join RESTRICTED to left rows older than the final watermark (the
+    rest never finalize) — q204's oracle states that cutoff
+    explicitly, same pattern as q138's session-close watermark.
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"unsupported interval join type {how!r}")
     keys_eq = F.col(f"l.{on}") == F.col(f"r.{on}")
     lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
     cond = (
@@ -224,7 +237,7 @@ def interval_join(
     )
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
-    joined = l.join(r, cond, "inner")
+    joined = l.join(r, cond, how)
     lcols = [F.col(f"l.{c}") for c in left.columns]
     rcols = [
         F.col(f"r.{c}").alias(f"{c}{suffix}")
