@@ -391,3 +391,34 @@ def test_q203_zorder_buckets_bound_both_dims(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zorder_write_produces_tight_files(spark, sf_dir, tmp_path):
+    from node_etl_spark.functions.layout import zorder_write
+    from node_etl_spark.tables import table
+    from pyspark.sql import functions as F
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    out = str(tmp_path / "zo")
+    zorder_write(li, out, "l_partkey", "l_suppkey", n_files=8)
+    back = spark.read.parquet(out).withColumn(
+        "f", F.input_file_name()
+    )
+    per_file = back.groupBy("f").agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("px"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("py"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    assert back.count() == li.count()
+    assert len(per_file) >= 4
+    g = li.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("gx"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("gy"),
+    ).first()
+    import statistics
+
+    mx = statistics.mean(r.px for r in per_file)
+    my = statistics.mean(r.py for r in per_file)
+    # z-clustering: per-file footprint strictly tighter than global
+    # span in BOTH dimensions (a single-column sort can't do both)
+    assert mx < g.gx and my < g.gy
