@@ -174,6 +174,7 @@ HEADLINE = [
     "q202_bitext_mining_lsh",
     "q203_zorder_layout",
     "q204_stream_interval_left",
+    "q205_binary_sketches",
 ]
 
 

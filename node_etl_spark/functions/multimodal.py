@@ -104,6 +104,72 @@ def extract_image_features(
     )
 
 
+AHASH_CELLS = 60  # grid cells = hash bits; 60 keeps the signed-int64
+# fingerprint compatible with dedup.simhash_band_pairs' 6x10-bit combos
+
+# byte classes for the fake "gray grid": cell i = count of this byte
+# in the content. A real decoder yields coarse luminance cells that
+# move LITTLE under small image edits; a histogram over content bytes
+# has the same smoothness property (an md5-style grid would be
+# avalanche — only exact duplicates would ever collide, defeating the
+# point of a perceptual hash).
+AHASH_CLASSES = (
+    "abcdefghijklmnopqrstuvwxyz"  # 26 letters
+    "0123456789"                  # 10 digits
+    " .,:;!?-_()[]{}'\"/@#%*+="    # 24 punctuation/space classes
+)
+assert len(AHASH_CLASSES) == AHASH_CELLS
+
+
+def _fake_gray_grid(content: bytes) -> list[int]:
+    """Deterministic stand-in for decode+resize-to-gray-grid: 60 cell
+    intensities = per-byte-class counts over the content (ASCII-safe
+    under UTF-8: multi-byte sequences never contain ASCII bytes).
+    Replace with a real decoder + luma resize in production; the
+    hash/banding pipeline downstream is unchanged."""
+    return [content.count(c.encode()) for c in AHASH_CLASSES]
+
+
+def ahash60(
+    binaries: DataFrame,
+    grid_fn: Callable[[bytes], list[int]] = _fake_gray_grid,
+    id_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint — the classic
+    pHash-family baseline: decode to a small gray grid, then bit i =
+    1 iff cell i is above the grid mean (compared as
+    ``cells*n > sum`` to stay integer-exact and engine-portable).
+    Visually-near-identical media produce Hamming-close fingerprints;
+    feed the output to ``dedup.simhash_band_pairs`` for
+    guaranteed-complete near-dup candidates — the same banding scale
+    shape as text SimHash, applied to the image modality. Returns
+    (id_col, phash long)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for key, content in zip(pdf[id_col], pdf[content_col]):
+                cells = grid_fn(bytes(content))
+                total = sum(cells)
+                n = len(cells)
+                h = 0
+                for i, c in enumerate(cells):
+                    if c * n > total:
+                        h |= 1 << i
+                ids.append(key)
+                hashes.append(h)
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                 "phash": pd.Series(hashes, dtype="int64")}
+            )
+
+    id_type = binaries.schema[id_col].dataType.simpleString()
+    return binaries.select(id_col, content_col).mapInPandas(
+        batches, schema=f"{id_col} {id_type}, phash long"
+    )
+
+
 def sample_frames(
     binaries: DataFrame,
     every_ms: int = 1000,

@@ -1559,6 +1559,74 @@ def bitext_oracle_sql(
     """
 
 
+def sign_sketch60(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """60-bit binary sketch of a dense vector: bit i = 1 iff
+    component i exceeds the vector's own mean over the first 60
+    dims — the aHash rule applied to decoded features, and the
+    simplest member of the binary-code family (ITQ / sign-random-
+    projection) that turns embedding similarity into Hamming
+    distance. Near-identical vectors flip few bits, so
+    ``dedup.simhash_band_pairs`` finds near-dups with bounded,
+    guaranteed-complete candidate generation. The mean comparison is
+    ``60 * v_i > sum`` with an order-free DECIMAL sum, so both
+    engines agree bit-for-bit. Returns (id_col, sketch long)."""
+    sel = "slice(v, 1, 60)"
+    # re-cast each partial back to (38,30): Spark narrows the scale
+    # of decimal additions, and 60 unit-magnitude terms fit 8 integer
+    # digits losslessly
+    s = (
+        f"CAST(aggregate({sel}, CAST(0 AS DECIMAL(38,30)), "
+        "(acc, x) -> CAST(acc + CAST(x AS DECIMAL(38,30)) "
+        "AS DECIMAL(38,30))) AS DOUBLE)"
+    )
+    bits = (
+        f"aggregate(zip_with({sel}, sequence(0, 59), "
+        "(x, i) -> named_struct('x', x, 'i', i)), 0L, "
+        "(acc, p) -> acc + IF(CAST(p.x AS DOUBLE) * 60 > __s, "
+        "shiftleft(1L, p.i), 0L))"
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("v")
+        )
+        .filter(F.col("v").isNotNull())
+        .withColumn("__s", F.expr(s))
+        .select(
+            F.col("__id").alias(id_col),
+            F.expr(bits).alias("sketch"),
+        )
+    )
+
+
+def sign_sketch60_sql(
+    table: str = "embeddings",
+    id_: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    """DuckDB CTE body mirroring :func:`sign_sketch60`; yields
+    ``sigs(doc_id, simhash)`` for composition with
+    ``dedup._band_pairs_sql``."""
+    return f"""
+    cells AS (
+        SELECT {id_} AS doc_id, i - 1 AS i,
+               CAST({vec}[i] AS DOUBLE) AS x,
+               CAST({vec}[i] AS DECIMAL(38,30)) AS xd
+        FROM {table}, unnest(generate_series(1, 60)) AS u(i)
+        WHERE {vec} IS NOT NULL),
+    tot AS (SELECT doc_id, CAST(SUM(xd) AS DOUBLE) AS s
+            FROM cells GROUP BY doc_id),
+    sigs AS (
+        SELECT c.doc_id,
+               SUM(CASE WHEN c.x * 60 > tot.s
+                        THEN CAST(1 AS BIGINT) << c.i ELSE 0 END) AS simhash
+        FROM cells c JOIN tot USING (doc_id)
+        GROUP BY c.doc_id)"""
+
+
 def _lsh_cfg_w_sql(tag: str, count_src: str, dim: int) -> str:
     """cfg_{tag} (ladder rung from COUNT(*) of ``count_src``) and
     w_{tag} (md5 plane weights for that rung) CTE fragments — the

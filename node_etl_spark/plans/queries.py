@@ -113,6 +113,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q202_bitext_mining_lsh",
     "q203_zorder_layout",
     "q204_stream_interval_left",
+    "q205_binary_sketches",
     "q191_bradley_terry",
     "q186_conversation_assembly",
     "q200_dataset_card",
@@ -8766,3 +8767,48 @@ def q204_stream_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------------------
+# q205 — perceptual-hash near-dup for the image modality
+# --------------------------------------------------------------------
+
+def _init_q205() -> None:
+    from ..functions.similarity import sign_sketch60_sql
+
+    oracle = f"""
+    WITH {sign_sketch60_sql()}
+    SELECT doc_id AS vec_id, simhash AS sketch,
+           CAST(bit_count(simhash) AS INTEGER) AS popcount
+    FROM sigs
+    """
+
+    @register(
+        "q205_binary_sketches",
+        oracle,
+        doc="Binary sign-sketches for the embedding store (functions/"
+            "similarity.py sign_sketch60): each dense vector compacts "
+            "to a 60-bit code (bit = component above the vector's own "
+            "mean — the aHash rule on decoded features, simplest of "
+            "the ITQ/sign-projection binary-code family; order-free "
+            "DECIMAL mean so both engines agree bit-for-bit). The "
+            "code table is the memory/compute layout real media-dedup "
+            "and billion-scale ANN stores keep hot: Hamming on 60 "
+            "bits instead of float dot products, 34x smaller than the "
+            "float32 vectors. Near-dup pair-finding composes with "
+            "dedup.simhash_band_pairs (guaranteed-complete Manku "
+            "banding) — pinned by a planted-pair unit test, since "
+            "this synthetic fixture has no cos>0.51 pair to find. "
+            "One narrow codegen pass, no shuffle.",
+    )
+    def q205_binary_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.similarity import sign_sketch60
+
+        return sign_sketch60(table(spark, sf_dir, "embeddings")).select(
+            "vec_id",
+            "sketch",
+            F.bit_count("sketch").cast("int").alias("popcount"),
+        )
+
+
+_init_q205()

@@ -335,3 +335,50 @@ def test_plane_weight_is_md5_exact():
     h = int(hashlib.md5(b"plane:7:3").hexdigest()[:8], 16)
     assert S._plane_weight(7, 3) == h / 2147483648.0 - 1.0
     assert -1.0 <= S._plane_weight(0, 0) < 1.0
+
+
+# ------------------------------------------------ binary sign sketches
+
+
+def test_sign_sketch_neardup_composition(spark):
+    # planted: v1 is v0 with two tiny component nudges (flips <= 2
+    # bits); v2 is an unrelated pattern. The sketch -> banding
+    # composition must pair (0, 1) and only that.
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    v0 = rng.normal(size=60)
+    v1 = v0.copy()
+    # nudge two components across the mean boundary
+    m = v0.mean()
+    above = np.where(v0 > m)[0]
+    v1[above[0]] = m - abs(v0[above[0]] - m) - 0.5
+    v2 = -v0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate([v0, v1, v2])],
+        "vec_id long, embedding array<float>",
+    )
+    from node_etl_spark.functions.dedup import simhash_band_pairs
+    from pyspark.sql import functions as F
+
+    sigs = S.sign_sketch60(df).select(
+        F.col("vec_id").alias("doc_id"), F.col("sketch").alias("simhash")
+    )
+    pairs = {(r.d1, r.d2) for r in
+             simhash_band_pairs(sigs, max_hamming=4).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_ahash60_matches_manual_grid():
+    from node_etl_spark.functions.multimodal import (
+        AHASH_CLASSES,
+        _fake_gray_grid,
+    )
+
+    content = b"hello world 42!"
+    cells = _fake_gray_grid(content)
+    assert len(cells) == 60
+    assert cells[AHASH_CLASSES.index("l")] == 3
+    assert cells[AHASH_CLASSES.index("4")] == 1
+    assert cells[AHASH_CLASSES.index(" ")] == 2
