@@ -1574,31 +1574,35 @@ def sign_sketch60(
     guaranteed-complete candidate generation. The mean comparison is
     ``60 * v_i > sum`` with an order-free DECIMAL sum, so both
     engines agree bit-for-bit. Returns (id_col, sketch long)."""
-    sel = "slice(v, 1, 60)"
-    # re-cast each partial back to (38,30): Spark narrows the scale
-    # of decimal additions, and 60 unit-magnitude terms fit 8 integer
-    # digits losslessly
-    s = (
-        f"CAST(aggregate({sel}, CAST(0 AS DECIMAL(38,30)), "
-        "(acc, x) -> CAST(acc + CAST(x AS DECIMAL(38,30)) "
-        "AS DECIMAL(38,30))) AS DOUBLE)"
+    # posexplode + two hash aggregates (the oracle's own shape): the
+    # decimal mean-sum runs in the vectorized aggregate (order-free
+    # AND fast), not a per-element higher-order fold, which measured
+    # ~50us per element interpreter-bound. Narrow (id, i, x) rows
+    # shuffle twice; at any scale that is the cheap part.
+    cells = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .select(
+            "__id",
+            F.posexplode(F.slice("v", 1, 60)).alias("i", "x"),
+        )
     )
-    bits = (
-        f"aggregate(zip_with({sel}, sequence(0, 59), "
-        "(x, i) -> named_struct('x', x, 'i', i)), 0L, "
-        "(acc, p) -> acc + IF(CAST(p.x AS DOUBLE) * 60 > __s, "
-        "shiftleft(1L, p.i), 0L))"
+    tot = cells.groupBy("__id").agg(
+        F.sum(F.col("x").cast("decimal(38,30)"))
+        .cast("double")
+        .alias("__s")
     )
     return (
-        df.select(
-            F.col(id_col).alias("__id"), F.col(vec_col).alias("v")
+        cells.join(tot, "__id")
+        .groupBy("__id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "IF(CAST(x AS DOUBLE) * 60 > __s, shiftleft(1L, i), 0L)"
+                )
+            ).alias("sketch")
         )
-        .filter(F.col("v").isNotNull())
-        .withColumn("__s", F.expr(s))
-        .select(
-            F.col("__id").alias(id_col),
-            F.expr(bits).alias("sketch"),
-        )
+        .select(F.col("__id").alias(id_col), "sketch")
     )
 
 
