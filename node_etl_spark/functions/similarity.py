@@ -1571,14 +1571,24 @@ def sign_sketch60(
     projection) that turns embedding similarity into Hamming
     distance. Near-identical vectors flip few bits, so
     ``dedup.simhash_band_pairs`` finds near-dups with bounded,
-    guaranteed-complete candidate generation. The mean comparison is
-    ``60 * v_i > sum`` with an order-free DECIMAL sum, so both
-    engines agree bit-for-bit. Returns (id_col, sketch long)."""
+    guaranteed-complete candidate generation.
+
+    Cross-engine exactness: every component is quantized to a 1e-6
+    integer grid with IEEE-exact double ops — ``CAST(FLOOR(CAST(x AS
+    DOUBLE) * 1e6 + 0.5) AS BIGINT)`` — then the bit rule is the pure
+    BIGINT comparison ``q_i * 60 > sum(q)``. float->double widening,
+    one double multiply/add, FLOOR, and BIGINT arithmetic are all
+    bit-identical between Spark and DuckDB, so the sketch agrees by
+    construction, not by data luck. (The previous FLOAT->DECIMAL(38,30)
+    mean-sum was NOT: the engines' float->decimal casts diverge by
+    ~1.5e-11, flipping bits whose margin is that small.) Components
+    within half a grid cell (5e-7) of the mean land on the grid's
+    deterministic side on both engines. Returns (id_col, sketch long)."""
     # posexplode + two hash aggregates (the oracle's own shape): the
-    # decimal mean-sum runs in the vectorized aggregate (order-free
-    # AND fast), not a per-element higher-order fold, which measured
-    # ~50us per element interpreter-bound. Narrow (id, i, x) rows
-    # shuffle twice; at any scale that is the cheap part.
+    # grid quantization runs in the vectorized aggregate, not a
+    # per-element higher-order fold, which measured ~50us per element
+    # interpreter-bound. Narrow (id, i, q) rows shuffle twice; at any
+    # scale that is the cheap part.
     cells = (
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("v"))
         .filter(F.col("v").isNotNull())
@@ -1586,20 +1596,21 @@ def sign_sketch60(
             "__id",
             F.posexplode(F.slice("v", 1, 60)).alias("i", "x"),
         )
+        .select(
+            "__id",
+            "i",
+            F.expr(
+                "CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+            ).alias("q"),
+        )
     )
-    tot = cells.groupBy("__id").agg(
-        F.sum(F.col("x").cast("decimal(38,30)"))
-        .cast("double")
-        .alias("__s")
-    )
+    tot = cells.groupBy("__id").agg(F.sum("q").alias("__s"))
     return (
         cells.join(tot, "__id")
         .groupBy("__id")
         .agg(
             F.sum(
-                F.expr(
-                    "IF(CAST(x AS DOUBLE) * 60 > __s, shiftleft(1L, i), 0L)"
-                )
+                F.expr("IF(q * 60 > __s, shiftleft(1L, i), 0L)")
             ).alias("sketch")
         )
         .select(F.col("__id").alias(id_col), "sketch")
@@ -1611,22 +1622,23 @@ def sign_sketch60_sql(
     id_: str = "vec_id",
     vec: str = "embedding",
 ) -> str:
-    """DuckDB CTE body mirroring :func:`sign_sketch60`; yields
-    ``sigs(doc_id, simhash)`` for composition with
-    ``dedup._band_pairs_sql``."""
+    """DuckDB CTE body mirroring :func:`sign_sketch60` (same 1e-6
+    integer grid, same BIGINT bit rule); yields ``sigs(doc_id,
+    simhash)`` for composition with ``dedup._band_pairs_sql``."""
     return f"""
     cells AS (
         SELECT {id_} AS doc_id, i - 1 AS i,
-               CAST({vec}[i] AS DOUBLE) AS x,
-               CAST({vec}[i] AS DECIMAL(38,30)) AS xd
+               CAST(floor(CAST({vec}[i] AS DOUBLE) * 1e6 + 0.5)
+                    AS BIGINT) AS q
         FROM {table}, unnest(generate_series(1, 60)) AS u(i)
         WHERE {vec} IS NOT NULL),
-    tot AS (SELECT doc_id, CAST(SUM(xd) AS DOUBLE) AS s
+    tot AS (SELECT doc_id, CAST(SUM(q) AS BIGINT) AS s
             FROM cells GROUP BY doc_id),
     sigs AS (
         SELECT c.doc_id,
-               SUM(CASE WHEN c.x * 60 > tot.s
-                        THEN CAST(1 AS BIGINT) << c.i ELSE 0 END) AS simhash
+               CAST(SUM(CASE WHEN c.q * 60 > tot.s
+                        THEN CAST(1 AS BIGINT) << c.i ELSE 0 END)
+                    AS BIGINT) AS simhash
         FROM cells c JOIN tot USING (doc_id)
         GROUP BY c.doc_id)"""
 

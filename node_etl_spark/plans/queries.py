@@ -8790,16 +8790,20 @@ def _init_q205() -> None:
             "similarity.py sign_sketch60): each dense vector compacts "
             "to a 60-bit code (bit = component above the vector's own "
             "mean — the aHash rule on decoded features, simplest of "
-            "the ITQ/sign-projection binary-code family; order-free "
-            "DECIMAL mean so both engines agree bit-for-bit). The "
-            "code table is the memory/compute layout real media-dedup "
-            "and billion-scale ANN stores keep hot: Hamming on 60 "
-            "bits instead of float dot products, 34x smaller than the "
-            "float32 vectors. Near-dup pair-finding composes with "
-            "dedup.simhash_band_pairs (guaranteed-complete Manku "
-            "banding) — pinned by a planted-pair unit test, since "
-            "this synthetic fixture has no cos>0.51 pair to find. "
-            "One narrow codegen pass, no shuffle.",
+            "the ITQ/sign-projection binary-code family). Cross-engine "
+            "exact by construction: components quantize to a 1e-6 "
+            "BIGINT grid via IEEE-exact double ops and the bit rule "
+            "is pure integer arithmetic (q_i*60 > sum q) — the r4 "
+            "FLOAT->DECIMAL mean diverged ~1.5e-11 between engines "
+            "and flipped near-threshold bits. The code table is the "
+            "memory/compute layout real media-dedup and billion-scale "
+            "ANN stores keep hot: Hamming on 60 bits instead of float "
+            "dot products, 34x smaller than the float32 vectors. "
+            "Near-dup pair-finding composes with dedup."
+            "simhash_band_pairs (guaranteed-complete Manku banding) — "
+            "oracle-gated end-to-end in q206. Shape: posexplode to "
+            "narrow (id, i, q) rows, two hash aggregates (two small "
+            "shuffles on the narrow rows); no driver work, no Python.",
     )
     def q205_binary_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..functions.similarity import sign_sketch60

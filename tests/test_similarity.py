@@ -370,6 +370,38 @@ def test_sign_sketch_neardup_composition(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_sign_sketch_near_mean_cross_engine(spark):
+    # The r4 failure mode: a component within ~1e-9 of its vector
+    # mean flipped a bit on one engine only (Spark and DuckDB's
+    # FLOAT->DECIMAL(38,30) casts diverge by ~1.5e-11). The integer
+    # grid must make both engines agree bit-for-bit on exactly this
+    # adversarial input.
+    import duckdb
+
+    # v0: one component 0.98e-9 above its own mean (59x 0.1 plus
+    # 0.1 + 1e-9 => x0 - mean = (59/60)*1e-9). v1: a clearly mixed
+    # vector so nonzero sketches are exercised too.
+    v0 = [0.1 + 1e-9] + [0.1] * 59
+    v1 = [(-1.0) ** i * (0.05 + 0.001 * i) for i in range(60)]
+    df = spark.createDataFrame(
+        [(0, v0), (1, v1)], "vec_id bigint, embedding array<double>"
+    )
+    got = {r.vec_id: r.sketch for r in S.sign_sketch60(df).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+        "(0, " + str(v0) + "::DOUBLE[]), (1, " + str(v1) + "::DOUBLE[])"
+        ") t(vec_id, embedding)"
+    )
+    sql = "WITH " + S.sign_sketch60_sql() + " SELECT doc_id, simhash FROM sigs"
+    want = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert got == want
+    # the near-mean component quantizes onto the same 1e-6 grid cell
+    # as the mean itself -> deterministically NOT above it
+    assert got[0] == 0
+
+
 def test_ahash60_matches_manual_grid():
     from node_etl_spark.functions.multimodal import (
         AHASH_CLASSES,
