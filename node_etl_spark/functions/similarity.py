@@ -466,6 +466,13 @@ def neardup_lsh_oracle_sql(
             FROM (SELECT COUNT(*) AS n FROM {table}
                   WHERE {vec} IS NOT NULL)"""
     max_p, max_t = LSH_LADDER[-1]
+    if n_tables is not None:
+        # pinned values may exceed the ladder maximum (a caller
+        # mirroring a hand-tuned Spark config); the generate_series
+        # bounds must cover them or the plane family silently
+        # truncates and the gate mismatches with no error
+        max_p = max(max_p, planes_per_table)
+        max_t = max(max_t, n_tables)
     return f"""
     WITH cfg AS ({cfg}),
     w AS (
@@ -820,7 +827,13 @@ def lsh_topk(
     corpus index and its shuffle stay exactly the same size.
     """
     if n_tables is None or planes_per_table is None:
-        auto_t, auto_p = lsh_adaptive_config(corpus.count())
+        # count the non-null-vector frame — the same frame
+        # cosine_neardup_pairs counts and the oracle CTEs replicate —
+        # so a corpus containing null embeddings selects the same
+        # ladder rung everywhere even at a rung boundary
+        auto_t, auto_p = lsh_adaptive_config(
+            corpus.filter(F.col(vec_col).isNotNull()).count()
+        )
         n_tables = auto_t if n_tables is None else n_tables
         planes_per_table = (
             auto_p if planes_per_table is None else planes_per_table
@@ -1617,6 +1630,35 @@ def sign_sketch60(
     )
 
 
+def sketch_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The composed media-dedup pipeline the sketch exists for:
+    :func:`sign_sketch60` compacts every vector to a 60-bit code,
+    then ``dedup.simhash_band_pairs`` (Manku combination banding,
+    pigeonhole-complete for hamming <= ``max_hamming``) finds every
+    Hamming-close code pair with bounded candidate generation — no
+    all-pairs float math anywhere. This is the embedding-scale
+    analogue of the reference's Uniquer key-dedup contract
+    (jobs/convertors/job-uniquer.js:15-26): near-identical vectors
+    collapse to candidate pairs via exact integer keys. Returns
+    (d1, d2, hamming) with d1 < d2.
+
+    Scale shape: sketching is two narrow-row hash aggregates; banding
+    emits C(6,2)=15 combo rows/doc over 20-bit keys, so the in-bucket
+    pair stream tracks true near-dup density, not corpus^2.
+    """
+    from .dedup import simhash_band_pairs
+
+    sigs = sign_sketch60(df, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("doc_id"), F.col("sketch").alias("simhash")
+    )
+    return simhash_band_pairs(sigs, max_hamming=max_hamming, bits=60, blocks=6)
+
+
 def sign_sketch60_sql(
     table: str = "embeddings",
     id_: str = "vec_id",
@@ -1647,7 +1689,10 @@ def _lsh_cfg_w_sql(tag: str, count_src: str, dim: int) -> str:
     """cfg_{tag} (ladder rung from COUNT(*) of ``count_src``) and
     w_{tag} (md5 plane weights for that rung) CTE fragments — the
     shared SQL replication of :func:`lsh_adaptive_config` +
-    :func:`_plane_weight`."""
+    :func:`_plane_weight`. The rung count is the NON-NULL-vector
+    frame (``WHERE v IS NOT NULL``) — the frame :func:`lsh_topk`
+    counts — so a side containing null embeddings picks the same
+    rung on both engines even at a rung boundary."""
     p_case = " ".join(
         f"WHEN n <= {LSH_TARGET_OCCUPANCY << p} THEN {p}"
         for p, _ in LSH_LADDER[:-1]
@@ -1660,7 +1705,8 @@ def _lsh_cfg_w_sql(tag: str, count_src: str, dim: int) -> str:
     return f"""cfg_{tag} AS (
         SELECT CASE {p_case} ELSE {LSH_LADDER[-1][0]} END AS p_cnt,
                CASE {t_case} ELSE {LSH_LADDER[-1][1]} END AS t_cnt
-        FROM (SELECT COUNT(*) AS n FROM {count_src})),
+        FROM (SELECT COUNT(*) AS n FROM {count_src}
+              WHERE v IS NOT NULL)),
     w_{tag} AS (
         SELECT tt.t, pp.p, dd.i,
                CAST(('0x' || substring(md5(

@@ -8816,3 +8816,85 @@ def _init_q205() -> None:
 
 
 _init_q205()
+
+
+def _init_q206() -> None:
+    from ..functions.dedup import _band_pairs_sql
+
+    off = 1 << 40
+    # the sketch pipeline's own grid quantization, applied to (a) the
+    # corpus and (b) a deterministic near-dup batch derived from it —
+    # each vector with component (vec_id % 60) zeroed. Zeroing a
+    # float to literal 0.0 is exact on every engine, so the variant's
+    # grid cells equal the original's except one, and both engines
+    # see byte-identical inputs to the integer bit rule.
+    oracle = f"""
+    WITH base AS (
+        SELECT vec_id AS doc_id, i - 1 AS i,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings, unnest(generate_series(1, 60)) AS u(i)
+        WHERE embedding IS NOT NULL),
+    cells AS (
+        SELECT doc_id, i, q FROM base
+        UNION ALL
+        SELECT doc_id + {off}, i,
+               CASE WHEN i = doc_id % 60 THEN 0 ELSE q END
+        FROM base),
+    tot AS (SELECT doc_id, CAST(SUM(q) AS BIGINT) AS s
+            FROM cells GROUP BY doc_id),
+    sigs AS (
+        SELECT c.doc_id,
+               CAST(SUM(CASE WHEN c.q * 60 > tot.s
+                        THEN CAST(1 AS BIGINT) << c.i ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM cells c JOIN tot USING (doc_id)
+        GROUP BY c.doc_id),
+    {_band_pairs_sql(4, 60, 6)}
+    """
+
+    @register(
+        "q206_sketch_neardup",
+        oracle,
+        doc="End-to-end near-dup discovery over binary sketches "
+            "(functions/similarity.py sketch_neardup_pairs): "
+            "sign_sketch60 -> Manku combination banding -> exact "
+            "Hamming verify — the composed pipeline a media-dedup "
+            "store runs, now oracle-gated whole (r4 verdict ask #2; "
+            "previously pinned only by a planted-pair unit test). "
+            "The fixture has no natural Hamming<=4 pair (min is 13), "
+            "so the query derives a near-dup batch from the corpus "
+            "itself: every vector unioned with a variant whose "
+            "component (vec_id % 60) is zeroed — a deterministic, "
+            "cross-engine-exact float edit — and the pipeline must "
+            "recover exactly the planted original<->variant pairs "
+            "(500 at sf0.01, verified: zero spurious pairs). "
+            "Embedding-scale analogue of the reference Uniquer "
+            "contract (jobs/convertors/job-uniquer.js:15-26). Shape: "
+            "narrow-row aggregates + 15 combo keys/doc over a 20-bit "
+            "key space; candidate volume tracks near-dup density, "
+            "never corpus^2.",
+    )
+    def q206_sketch_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.similarity import sketch_neardup_pairs
+
+        e = (
+            table(spark, sf_dir, "embeddings")
+            .filter(F.col("embedding").isNotNull())
+            .select("vec_id", "embedding")
+        )
+        j = (F.col("vec_id") % 60).cast("int")
+        variant = e.select(
+            (F.col("vec_id") + F.lit(off)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == j, F.lit(0.0).cast("float"))
+                .otherwise(x),
+            ).alias("embedding"),
+        )
+        return sketch_neardup_pairs(
+            e.unionByName(variant), max_hamming=4
+        )
+
+
+_init_q206()

@@ -52,6 +52,10 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "SCALE_BENCH.md"))
     args = ap.parse_args()
 
+    # the intermediate dumps always land in .scratch even when
+    # --small/--large point elsewhere; create it or the crash lands
+    # AFTER the expensive small leg finishes
+    os.makedirs(os.path.join(REPO, ".scratch"), exist_ok=True)
     print(f"== bench @ {args.small} (runs={args.runs_small})", flush=True)
     small = run_bench(args.small, args.runs_small)
     with open(os.path.join(REPO, ".scratch/bench_small.json"), "w") as f:
