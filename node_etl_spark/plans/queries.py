@@ -8818,6 +8818,30 @@ def _init_q205() -> None:
 _init_q205()
 
 
+def _q206_variant(e: DataFrame, off: int) -> DataFrame:
+    """Derive the planted near-dup batch: each vector re-keyed to
+    vec_id + off with component (vec_id % 60) zeroed.
+
+    Two-step select on purpose: the transform lambda's outer reference
+    to vec_id must resolve against the ORIGINAL id. Re-aliasing
+    vec_id -> vec_id + off in the SAME projection makes Spark bind the
+    lambda to the post-projection value (2^40 % 60 = 16 -> wrong
+    component zeroed, the r5 verdict bug). See util.hof_shadow_risks.
+    """
+    j = (F.col("vec_id") % 60).cast("int")
+    return e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == j, F.lit(0.0).cast("float"))
+            .otherwise(x),
+        ).alias("embedding"),
+    ).select(
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"),
+        "embedding",
+    )
+
+
 def _init_q206() -> None:
     from ..functions.dedup import _band_pairs_sql
 
@@ -8883,17 +8907,8 @@ def _init_q206() -> None:
             .filter(F.col("embedding").isNotNull())
             .select("vec_id", "embedding")
         )
-        j = (F.col("vec_id") % 60).cast("int")
-        variant = e.select(
-            (F.col("vec_id") + F.lit(off)).alias("vec_id"),
-            F.transform(
-                "embedding",
-                lambda x, i: F.when(i == j, F.lit(0.0).cast("float"))
-                .otherwise(x),
-            ).alias("embedding"),
-        )
         return sketch_neardup_pairs(
-            e.unionByName(variant), max_hamming=4
+            e.unionByName(_q206_variant(e, off)), max_hamming=4
         )
 
 

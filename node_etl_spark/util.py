@@ -137,3 +137,77 @@ def global_row_index(
     result = ordered.mapInPandas(attach, out_schema).localCheckpoint(eager=True)
     ordered.unpersist(False)
     return result
+
+
+# --- HOF alias-shadowing lint -------------------------------------------
+#
+# Spark binds a higher-order-function lambda's OUTER column references
+# late — against the projection's OUTPUT attributes, not the input row.
+# So in
+#     df.select((col("id") + OFF).alias("id"),
+#               transform("xs", lambda x, i: ... col("id") ...))
+# the lambda's `id` is the re-aliased id+OFF, not the scan's id — the
+# exact bug that made q206 zero component (vec_id + 2^40 % 60) instead
+# of (vec_id % 60). Plain (non-lambda) expressions in the same
+# projection correctly read the input row, which is why this hazard is
+# invisible until a lambda is involved.
+
+_HOF_LAMBDA_PARAMS = re.compile(r"\((\w+(?:, \w+)*)\) ->|(\w+) ->")
+_HOF_ALIAS = re.compile(r" AS (\w+)$")
+_HOF_IDENT = re.compile(r"[A-Za-z_]\w*")
+
+
+def hof_shadow_risks(*cols) -> list[str]:
+    """Lint a projection (the args you'd pass to ``df.select``) for
+    higher-order-function lambdas that reference a column re-aliased in
+    the same projection — a silent wrong-answer hazard (see the module
+    comment above). Returns one human-readable warning per risk;
+    empty list = clean. Accepts Columns and plain string names.
+
+    Heuristic over Catalyst's unresolved-expression strings: an alias
+    ``<expr> AS name`` where ``<expr>`` is not the bare column ``name``
+    counts as shadowing; any lambda body (text after ``->``) in the
+    projection that mentions ``name`` as a bare identifier is flagged.
+    """
+    exprs: list[str] = []
+    for c in cols:
+        if isinstance(c, str):
+            exprs.append(c)
+        else:
+            exprs.append(c._jc.toString())
+
+    shadowed: dict[str, str] = {}
+    for s in exprs:
+        m = _HOF_ALIAS.search(s)
+        if not m:
+            continue
+        name = m.group(1)
+        if s[: m.start()].strip() != name:
+            shadowed[name] = s
+    if not shadowed:
+        return []
+
+    risks: list[str] = []
+    for s in exprs:
+        if " -> " not in s:
+            continue
+        params: set[str] = set()
+        for pm in _HOF_LAMBDA_PARAMS.finditer(s):
+            grp = pm.group(1) or pm.group(2)
+            params.update(p.strip() for p in grp.split(","))
+        am = _HOF_ALIAS.search(s)
+        body = (s[: am.start()] if am else s).split(" -> ", 1)[1]
+        for im in _HOF_IDENT.finditer(body):
+            ident = im.group(0)
+            if ident in params or ident not in shadowed:
+                continue
+            end = im.end()
+            if end < len(body) and body[end] == "(":
+                continue  # function name, not a column reference
+            risks.append(
+                f"lambda in {s!r} references '{ident}', which this "
+                f"projection re-aliases ({shadowed[ident]!r}); the "
+                "lambda will read the POST-projection value — "
+                "transform first, re-alias in a second select"
+            )
+    return risks

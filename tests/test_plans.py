@@ -422,3 +422,67 @@ def test_zorder_write_produces_tight_files(spark, sf_dir, tmp_path):
     # z-clustering: per-file footprint strictly tighter than global
     # span in BOTH dimensions (a single-column sort can't do both)
     assert mx < g.gx and my < g.gy
+
+
+def test_q206_variant_zeroes_component_vec_id_mod_60(spark, sf_dir):
+    # r5 verdict bug: alias-shadowing made the transform lambda zero
+    # component (vec_id + 2^40) % 60 instead of vec_id % 60. Pin the
+    # contract directly: for every vector, exactly one component
+    # differs from the original, at index vec_id % 60, set to 0.0.
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.plans.queries import _q206_variant
+    from node_etl_spark.tables import table
+
+    off = 1 << 40
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+        .limit(64)
+    )
+    v = _q206_variant(e, off).select(
+        (F.col("vec_id") - off).alias("vec_id"),
+        F.col("embedding").alias("variant"),
+    )
+    joined = e.join(v, "vec_id").select(
+        "vec_id",
+        F.filter(
+            F.arrays_zip(
+                F.col("embedding").alias("a"),
+                F.col("variant").alias("b"),
+                F.sequence(F.lit(0), F.lit(59)).alias("i"),
+            ),
+            lambda s: s.a != s.b,
+        ).alias("diffs"),
+    ).collect()
+    assert len(joined) == 64
+    for r in joined:
+        assert len(r.diffs) == 1, f"vec {r.vec_id}: {len(r.diffs)} diffs"
+        d = r.diffs[0]
+        assert d.i == r.vec_id % 60
+        assert d.b == 0.0
+
+
+def test_hof_shadow_lint_flags_realias_in_same_projection(spark):
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.util import hof_shadow_risks
+
+    j = (F.col("vec_id") % 60).cast("int")
+
+    def tr():
+        return F.transform(
+            "embedding",
+            lambda x, i: F.when(i == j, F.lit(0.0)).otherwise(x),
+        ).alias("embedding")
+
+    shadow = (F.col("vec_id") + F.lit(1 << 40)).alias("vec_id")
+    # the exact q206-buggy projection: flagged
+    risks = hof_shadow_risks(shadow, tr())
+    assert len(risks) == 1 and "vec_id" in risks[0]
+    # the fixed two-step shape: each projection alone is clean
+    assert hof_shadow_risks("vec_id", tr()) == []
+    assert hof_shadow_risks(shadow, "embedding") == []
+    # passthrough alias (col AS same-name) is not shadowing
+    assert hof_shadow_risks(F.col("vec_id").alias("vec_id"), tr()) == []
