@@ -1596,7 +1596,16 @@ def sign_sketch60(
     mean-sum was NOT: the engines' float->decimal casts diverge by
     ~1.5e-11, flipping bits whose margin is that small.) Components
     within half a grid cell (5e-7) of the mean land on the grid's
-    deterministic side on both engines. Returns (id_col, sketch long)."""
+    deterministic side on both engines.
+
+    Magnitude assumption: the 1e-6 grid presumes components are large
+    relative to the cell — roughly unit-norm embeddings (components
+    ~1/sqrt(60) ~ 0.13, i.e. >> 1e-6). A vector whose components all
+    sit within ~5e-7 of its own mean (near-constant, or magnitudes
+    ~1e-6 and below) quantizes to an all-equal grid row and collapses
+    to sketch 0 — every such vector then bands together as a
+    Hamming-0 "near-dup" class. Normalize (or rescale) inputs whose
+    scale is unknown before sketching. Returns (id_col, sketch long)."""
     # posexplode + two hash aggregates (the oracle's own shape): the
     # grid quantization runs in the vectorized aggregate, not a
     # per-element higher-order fold, which measured ~50us per element

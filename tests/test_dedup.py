@@ -398,3 +398,51 @@ def test_deletion_neighborhood_pairs_matches_brute_force(spark):
         }
         assert got == brute, f"k={k}"
         assert brute
+
+
+def test_edit_distance_short_guard_raises_unblocked(spark):
+    # 8 strings shorter than k+1=5 chars with limit=5 -> the
+    # unblocked straggler pass would be all-pairs: must raise
+    import pytest
+
+    rows = [(i, "ab"[: 1 + i % 2] + "cd") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="short_allpairs_limit"):
+        D.edit_distance_pairs(df, k=4, short_allpairs_limit=5)
+
+
+def test_edit_distance_short_guard_opt_out_and_correct(spark):
+    # limit=None accepts the quadratic pass and still returns exact
+    # pairs over the short strings
+    rows = [(0, "ab"), (1, "ac"), (2, "zz"), (3, "ab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.d1, r.d2, r.dist) for r in
+           D.edit_distance_pairs(df, k=1, short_allpairs_limit=None)
+           .collect()}
+    assert (0, 1, 1) in got and (0, 3, 0) in got and (1, 3, 1) in got
+    assert not any({d1, d2} == {2} for d1, d2, _ in got)
+
+
+def test_edit_distance_short_guard_is_per_block_when_blocked(spark):
+    # 12 short strings total but max 3 per block: with block_col set
+    # the straggler join is per-block bounded, so limit=5 must PASS
+    # (the r5 guard wrongly counted the corpus-wide total and made
+    # its own "set block_col" advice impossible to follow)
+    rows = [(i, "ab" + "cd"[: i % 2], f"blk{i // 3}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, b string")
+    out = D.edit_distance_pairs(
+        df, k=4, block_col="b", short_allpairs_limit=5
+    )
+    assert out.count() >= 1  # same-block near-dups found
+
+    # ...but one oversized block must still trip it
+    rows_big = [(i, "ab", "same") for i in range(7)]
+    df_big = spark.createDataFrame(
+        rows_big, "doc_id long, text string, b string"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="in one b block"):
+        D.edit_distance_pairs(
+            df_big, k=4, block_col="b", short_allpairs_limit=5
+        )
