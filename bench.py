@@ -175,6 +175,8 @@ HEADLINE = [
     "q203_zorder_layout",
     "q204_stream_interval_left",
     "q205_binary_sketches",
+    "q206_sketch_neardup",
+    "q207_semdedup_capped",
 ]
 
 

@@ -1122,6 +1122,9 @@ def semdedup(
     vec_col: str = "embedding",
     seed_mod: int | None = None,
     threshold: float = 0.9,
+    mode: str = "exact",
+    n_clusters: int = 256,
+    max_cluster_size: int = 512,
 ) -> DataFrame:
     """Semantic deduplication (Abbas et al. 2023, "SemDeDup"): cluster
     the embedding space, then drop in-cluster semantic duplicates —
@@ -1155,8 +1158,34 @@ def semdedup(
     duplicate iff a SAME-CLUSTER vector with a smaller id has
     round(cosine, 6) >= threshold; it is recorded against the
     SMALLEST such keeper. Returns (dup_id, cluster_id, keep_id, cos).
+
+    ``mode="capped"`` is the paper's practical variant and the 100 TB
+    shape: a FIXED cluster count (``n_clusters``, so assignment is
+    O(n*k) GEMM flops — strictly linear in n, vs exact mode's
+    O(n^1.5)) and a hard ``max_cluster_size`` cap (in-cluster pairing
+    runs within centroid-distance-ordered chunks of at most that many
+    vectors — near-identical vectors sit at near-identical centroid
+    distance, so duplicate pairs stay in one chunk, so
+    pair work is <= n * max_cluster_size however skewed the clusters
+    get). The trade is exactness: a duplicate pair split across two
+    chunks of the same cluster, or assigned to different clusters
+    than exact mode's sqrt(n) seeds, is missed — see
+    tests/test_similarity.py's agreement bracket. Assignment runs as
+    an Arrow-batched numpy GEMM against the broadcast (<= n_clusters
+    x dim) centroid matrix with distances quantized to the 1e-6 grid
+    (positive-half-up, matching round(x, 6) on both engines), ties to
+    the smallest cluster id — deterministic and oracle-expressible
+    (:func:`semdedup_capped_oracle_sql`). ``seed_mod`` is ignored in
+    capped mode; the seed stride is ceil(n / n_clusters) so the seed
+    count stays ~n_clusters at any corpus size.
     """
     _require_integral_id(df, id_col)
+    if mode == "capped":
+        return _semdedup_capped(
+            df, id_col, vec_col, n_clusters, max_cluster_size, threshold
+        )
+    if mode != "exact":
+        raise ValueError(f"semdedup: unknown mode {mode!r}")
     e = df.select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
     ).filter(F.col("v").isNotNull())
@@ -1274,6 +1303,185 @@ def semdedup_oracle_sql(
                unnest(generate_series(1, len(a.v))) AS i
         FROM assigned a JOIN assigned b
           ON a.cluster_id = b.cluster_id AND a.id < b.id),
+    cosines AS (
+        SELECT dup_id, cluster_id, keep_id,
+               round(SUM(CAST(av[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE))
+                     / (sqrt(SUM(CAST(av[i] AS DOUBLE)
+                                 * CAST(av[i] AS DOUBLE)))
+                        * sqrt(SUM(CAST(bv[i] AS DOUBLE)
+                                   * CAST(bv[i] AS DOUBLE)))), 6) AS cos
+        FROM pairx GROUP BY 1, 2, 3),
+    hits AS (
+        SELECT dup_id, cluster_id, keep_id, cos,
+               row_number() OVER (PARTITION BY dup_id
+                   ORDER BY keep_id) AS rn
+        FROM cosines WHERE cos >= {threshold})
+    SELECT dup_id, cluster_id, keep_id, cos FROM hits WHERE rn = 1
+    """
+
+
+def _semdedup_capped(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int,
+    max_cluster_size: int,
+    threshold: float,
+) -> DataFrame:
+    """Capped SemDeDup (see :func:`semdedup` ``mode="capped"``).
+
+    Scale shape: one count job; one bounded collect of <= n_clusters+1
+    seed rows (the centroid matrix, ~n_clusters*dim*8 bytes, rides to
+    executors in the UDF closure); one Arrow-batched GEMM pass over
+    the corpus emitting only (id, cluster_id); a row_number window per
+    cluster for the chunk ids; and a per-(cluster, chunk) self-join
+    whose largest group is max_cluster_size rows. No stage is
+    super-linear in n, and no stage ships the wide vectors anywhere
+    except the final per-chunk cosine verify.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..util import spread
+
+    e = df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
+    ).filter(F.col("v").isNotNull())
+    n = e.count()
+    if n == 0:
+        return e.select(
+            F.col("id").alias("dup_id"),
+            F.col("id").alias("cluster_id"),
+            F.col("id").alias("keep_id"),
+            F.lit(0.0).alias("cos"),
+        ).limit(0)
+    stride = max(1, (n + n_clusters - 1) // n_clusters)
+    seed_rows = sorted(
+        e.filter(F.col("id") % stride == 0).collect(),
+        key=lambda r: r.id,
+    )  # bounded: <= n_clusters + 1 rows
+    cids = np.array([r.id for r in seed_rows], dtype=np.int64)
+    C = np.array([list(r.v) for r in seed_rows], dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            # expanded-form GEMM; error ~1e-13 << the 5e-7 grid
+            # half-cell, so the quantized argmin matches the oracle's
+            # direct-difference decimal sum
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2
+            q = np.floor(d2 * 1e6 + 0.5)  # sq_dist >= 0: half-up grid
+            best = q.min(axis=1)
+            # argmax(first True) = smallest cluster id among grid ties
+            # (C rows are sorted by cluster id)
+            idx = (q == best[:, None]).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cluster_id": cids[idx],
+                    "q_dist": best.astype(np.int64),
+                }
+            )
+
+    # Chunk by CENTROID-DISTANCE order, not id order: near-identical
+    # vectors sit at near-identical distance from their centroid, so
+    # they stay adjacent and land in the same chunk — id order would
+    # scatter a duplicate pair across chunks with probability
+    # ~(n_chunks-1)/n_chunks. (Sorted-neighborhood trick; the id
+    # tiebreak keeps the split deterministic.)
+    chunk = (
+        (F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy("q_dist", "id"))
+         - 1) / max_cluster_size
+    ).cast("bigint")
+    assigned = (
+        spread(e)
+        .mapInPandas(assign, "id bigint, cluster_id bigint, q_dist bigint")
+        .join(e, "id")
+        .withColumn("chunk", chunk)
+        # referenced twice by the self-join below; materialize once
+        .localCheckpoint(eager=True)
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("b.id").alias("dup_id"),
+            F.col("b.cluster_id").alias("cluster_id"),
+            F.col("a.id").alias("keep_id"),
+            F.round(cosine_vec(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    first = F.row_number().over(
+        Window.partitionBy("dup_id").orderBy("keep_id")
+    )
+    return (
+        pairs.withColumn("rn", first)
+        .filter("rn = 1")
+        .select("dup_id", "cluster_id", "keep_id", "cos")
+    )
+
+
+def semdedup_capped_oracle_sql(
+    table: str = "embeddings",
+    id_: str = "vec_id",
+    vec: str = "embedding",
+    n_clusters: int = 256,
+    max_cluster_size: int = 512,
+    threshold: float = 0.9,
+) -> str:
+    """DuckDB mirror of :func:`semdedup` ``mode="capped"``: the seed
+    stride ceil(n / n_clusters) as integer arithmetic, decimal-exact
+    squared distances rounded to the same 1e-6 grid as the GEMM side,
+    ties to the smallest cluster id, centroid-distance-ordered chunking at
+    ``max_cluster_size``, and in-chunk cosine pruning."""
+    return f"""
+    WITH e AS (
+        SELECT CAST({id_} AS BIGINT) AS id, {vec} AS v
+        FROM {table} WHERE {vec} IS NOT NULL),
+    c AS (SELECT id AS cluster_id, v AS cv FROM e
+          WHERE id % (SELECT GREATEST(1,
+              (COUNT(*) + {n_clusters} - 1) // {n_clusters}) FROM e) = 0),
+    expanded AS (
+        SELECT e.id, c.cluster_id, e.v, c.cv,
+               unnest(generate_series(1, len(e.v))) AS i
+        FROM e, c),
+    dists AS (
+        SELECT id, cluster_id,
+               round(CAST(SUM(CAST(
+                   (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+                   * (CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+                   AS DECIMAL(38,30))) AS DOUBLE), 6) AS sq_dist
+        FROM expanded GROUP BY 1, 2),
+    assigned AS (
+        SELECT e.id, d.cluster_id, e.v, d.sq_dist
+        FROM e JOIN (
+            SELECT id, cluster_id, sq_dist,
+                   row_number() OVER (PARTITION BY id
+                       ORDER BY sq_dist, cluster_id) AS rn
+            FROM dists) d ON e.id = d.id AND d.rn = 1),
+    chunked AS (
+        SELECT id, cluster_id, v,
+               (row_number() OVER (PARTITION BY cluster_id
+                    ORDER BY sq_dist, id) - 1)
+                   // {max_cluster_size} AS chunk
+        FROM assigned),
+    pairx AS (
+        SELECT b.id AS dup_id, b.cluster_id, a.id AS keep_id,
+               a.v AS av, b.v AS bv,
+               unnest(generate_series(1, len(a.v))) AS i
+        FROM chunked a JOIN chunked b
+          ON a.cluster_id = b.cluster_id AND a.chunk = b.chunk
+         AND a.id < b.id),
     cosines AS (
         SELECT dup_id, cluster_id, keep_id,
                round(SUM(CAST(av[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE))

@@ -108,71 +108,61 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # 195-query gate is unchanged (scripts/check_oracle.py iterates
 # QUERIES itself); only the driver's 50-row sample rotates.
 DRIVER_GATE_SENTINELS: list[str] = [
-    # round-4 fixes and additions — must be verified first
-    "q201_skew_salted_activity",
-    "q202_bitext_mining_lsh",
-    "q203_zorder_layout",
-    "q204_stream_interval_left",
-    "q205_binary_sketches",
-    "q191_bradley_terry",
-    "q186_conversation_assembly",
-    "q200_dataset_card",
-    # judge-named riskiest of the round-3 wave
-    "q136_neardup_lsh",
-    "q159_contrastive_triplets",
-    "q166_heavy_hitters",
-    "q189_stream_heavy_hitters",
-    "q196_leakage_safe_split",
-    # iterative graph suite
-    "q141_part_communities",
-    "q142_part_distances",
-    "q160_triangle_census",
-    "q162_related_parts_ppr",
-    "q174_part_kcore",
-    "q175_degree_assortativity",
-    # similarity / embedding suite
-    "q169_semdedup",
-    "q170_pq_codes",
-    "q172_bitext_mining",
-    "q154_quantize_embeddings",
-    "q178_matryoshka_audit",
-    # dedup family beyond the q20-q23 classics
-    "q140_winnow_fingerprints",
-    "q143_containment_dedup",
-    "q153_sorted_neighborhood",
-    "q177_url_canonical_dedup",
-    # streaming replay parity (round-2 wave, never driver-run)
-    "q105_streaming_hourly",
-    "q137_stream_interval_join",
-    "q138_stream_sessionize",
-    "q149_stream_dedup",
-    # sampling / mixing / split protocol
-    "q150_mix_sources",
-    "q157_negative_samples",
-    "q173_temperature_mix",
-    "q179_quality_weighted_sample",
-    "q185_distribution_match",
-    "q187_preference_pairs",
-    "q190_pass_at_k",
-    "q199_kfold_assignment",
-    # retrieval / text
-    "q180_hybrid_rrf",
-    "q148_bigram_lm_score",
-    "q164_boilerplate_strip",
-    "q181_span_corruption",
-    "q195_sentence_truncate",
-    # stats / audit / drift
-    "q152_benford_audit",
-    "q156_cusum_drift",
-    "q158_concentration_audit",
-    "q161_kmv_cardinality",
-    "q163_ks_drift",
-    "q165_mannwhitney_auc",
-    "q167_chisq_independence",
-    "q168_mutual_information",
-    "q188_fd_audit",
-    "q197_k_anonymity",
-    "q198_survival_curve",
+    # round-6 fixes and additions — must be verified first
+    "q206_sketch_neardup",
+    "q207_semdedup_capped",
+    # q100-q104: missed every rotation since r2 (r3/r4/r5 all
+    # sampled q105-q205 + the early band)
+    "q100_value_anomalies",
+    "q101_approx_percentiles",
+    "q102_event_transitions",
+    "q103_lineno_integrity",
+    "q104_brand_mode",
+    # q52-q94 backfill (same three-rotation gap; q95-q99 carry to
+    # r7 — the driver records exactly 50 rows)
+    "q52_moving_average",
+    "q53_nested_details",
+    "q54_dup_clusters",
+    "q55_hash_split",
+    "q56_stratified_sample",
+    "q57_sessionize",
+    "q58_priority_exists",
+    "q59_promo_share",
+    "q60_small_qty_revenue",
+    "q61_large_orders",
+    "q62_idle_rich_customers",
+    "q63_or_predicates",
+    "q64_returned_revenue",
+    "q65_cheapest_parts",
+    "q66_pivot_events",
+    "q67_lww_merge",
+    "q68_token_frequencies",
+    "q69_profile_documents",
+    "q70_trade_volume",
+    "q71_market_share",
+    "q72_dedup_within_gap",
+    "q73_hopping_windows",
+    "q74_neardup_by_source",
+    "q75_acctbal_quartiles",
+    "q76_forecast_revenue",
+    "q77_product_profit",
+    "q78_important_parts",
+    "q79_lateness_priority",
+    "q80_order_distribution",
+    "q81_top_supplier",
+    "q82_supplier_diversity",
+    "q83_excess_shippers",
+    "q84_waiting_suppliers",
+    "q85_repetition_signals",
+    "q86_decontaminate",
+    "q87_label_centroids",
+    "q88_centroid_outliers",
+    "q89_source_health",
+    "q90_price_histogram",
+    "q91_balance_distribution",
+    "q92_reorder_gaps",
+    "q93_incremental_dedup",
+    "q94_salted_enrichment",
 ]
 
 
@@ -8913,3 +8903,45 @@ def _init_q206() -> None:
 
 
 _init_q206()
+
+
+# --------------------------------------------------------------------
+# q207 — capped SemDeDup: the 100 TB-shape practical variant
+# --------------------------------------------------------------------
+
+def _init_q207() -> None:
+    from ..functions.similarity import semdedup, semdedup_capped_oracle_sql
+
+    @register(
+        "q207_semdedup_capped",
+        semdedup_capped_oracle_sql(
+            n_clusters=16, max_cluster_size=20, threshold=0.35
+        ),
+        doc="Capped SemDeDup (functions/similarity.py semdedup "
+            "mode='capped'; Abbas et al. 2023's practical variant, "
+            "r4/r5 verdict ask): FIXED cluster count (seed stride "
+            "ceil(n/k), so assignment is O(n*k) GEMM flops — linear, "
+            "vs q169's exact-O(n^1.5) sqrt rule) plus a hard "
+            "max_cluster_size cap (in-cluster pairing runs within "
+            "id-ordered chunks, so pair work is <= n*cap however "
+            "skewed assignment gets). Assignment is an Arrow-batched "
+            "numpy GEMM against the broadcast centroid matrix with "
+            "squared distances quantized to the 1e-6 half-up grid "
+            "(cross-engine-exact vs the oracle's decimal sum, same "
+            "rule as q205), ties to the smallest cluster id. The "
+            "parameters (k=16, cap=20) are sized so the cap actually "
+            "engages at sf0.01 (~31 vectors/cluster -> 2 chunks). "
+            "Agreement vs exact mode is bracketed in "
+            "tests/test_similarity.py.",
+    )
+    def q207_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return semdedup(
+            table(spark, sf_dir, "embeddings"),
+            threshold=0.35,
+            mode="capped",
+            n_clusters=16,
+            max_cluster_size=20,
+        )
+
+
+_init_q207()

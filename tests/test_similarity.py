@@ -414,3 +414,57 @@ def test_ahash60_matches_manual_grid():
     assert cells[AHASH_CLASSES.index("l")] == 3
     assert cells[AHASH_CLASSES.index("4")] == 1
     assert cells[AHASH_CLASSES.index(" ")] == 2
+
+
+def _planted_corpus(n_base=200, n_dups=50, noise=0.02, seed=11):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n_base, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(n_base)]
+    truth = set()
+    for k in range(n_dups):
+        v = base[4 * k] + noise * rng.normal(size=64)
+        v /= np.linalg.norm(v)
+        rows.append((n_base + k, v.tolist()))
+        truth.add((n_base + k, 4 * k))  # (dup_id, keep_id), dup id larger
+    return rows, truth
+
+
+def test_semdedup_capped_agreement_bracket(spark):
+    # Capped mode is the 100 TB shape (fixed k, GEMM assignment,
+    # max_cluster_size chunks) and an APPROXIMATION: bracket its
+    # agreement against ground truth and against exact mode on a
+    # planted-near-dup corpus (cosine ~0.99 pairs).
+    rows, truth = _planted_corpus()
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    exact = {(r.dup_id, r.keep_id)
+             for r in S.semdedup(df, threshold=0.95).collect()}
+    capped = {(r.dup_id, r.keep_id)
+              for r in S.semdedup(df, threshold=0.95, mode="capped",
+                                  n_clusters=8, max_cluster_size=16)
+              .collect()}
+    # precision vs ground truth is exact-cosine-verified by
+    # construction: every emitted pair must be a planted pair
+    # (no base-base pair reaches cosine 0.95 among 200 random
+    # 64-dim unit vectors)
+    assert capped <= truth and exact <= truth
+    # recall brackets (measured 0.86 exact / 0.70 capped on this
+    # seed; floor set with margin — regressions to id-ordered
+    # chunking measured ~0.45 and must fail)
+    assert len(exact) / len(truth) >= 0.75
+    assert len(capped) / len(truth) >= 0.55
+    # capped agrees with exact on most of what exact finds
+    assert len(capped & exact) / len(exact) >= 0.55
+
+
+def test_semdedup_capped_empty_and_mode_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    assert S.semdedup(df, mode="capped").collect() == []
+    with pytest.raises(ValueError, match="mode"):
+        S.semdedup(df, mode="bogus")
