@@ -177,6 +177,7 @@ HEADLINE = [
     "q205_binary_sketches",
     "q206_sketch_neardup",
     "q207_semdedup_capped",
+    "q208_zorder_kd",
 ]
 
 

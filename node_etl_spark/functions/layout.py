@@ -11,6 +11,14 @@ preserves locality in EVERY dimension, then range-partition files by
 that value. Each file's min/max on each original column becomes tight,
 so a predicate on ANY of the z-columns prunes most files.
 
+Everything here is k-dimensional (Delta/Iceberg users routinely
+z-order 3-4 columns); the 2-column calls read the same as before
+because the column list is a vararg. Column j's bit i lands at
+position ``i*k + j``, and ``k * bits`` must fit in the 63 usable bits
+of a BIGINT — pass a smaller ``bits`` for more columns (16 covers
+k=2, 10 covers k=3..6 comfortably; quantization makes extra depth
+worthless once 2^bits exceeds the file count anyway).
+
 Quantization first, always: raw interleaving of columns with unequal
 ranges is one-sided — a 10-value column against a 200k-value column
 contributes only its few low bits, so the curve degenerates into a
@@ -27,32 +35,43 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def morton_interleave(x: Column, y: Column, bits: int = 16) -> Column:
-    """Morton (Z-curve) interleave of two non-negative integer columns
-    already quantized to ``bits`` bits each: result bit 2i is x's bit
-    i, bit 2i+1 is y's bit i. Pure shift/and/multiply expression —
-    whole-stage codegen, no UDF; mirrored in SQL by
-    :func:`morton_sql`."""
-    if not 1 <= bits <= 31:
-        raise ValueError("bits must be in [1, 31]")
-    xs = x.cast("bigint")
-    ys = y.cast("bigint")
-    out = F.lit(0).cast("bigint")
-    for i in range(bits):
-        out = out + (
-            F.shiftright(xs, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
-        ) + (
-            F.shiftright(ys, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+def _check_bits(k: int, bits: int) -> None:
+    if k < 1:
+        raise ValueError("need at least one column")
+    if not 1 <= bits or k * bits > 63:
+        raise ValueError(
+            f"k*bits must be in [1, 63]; got {k} cols x {bits} bits"
         )
+
+
+def morton_interleave(*cols: Column, bits: int = 16) -> Column:
+    """Morton (Z-curve) interleave of k non-negative integer columns
+    already quantized to ``bits`` bits each: column j's bit i lands at
+    result position ``i*k + j`` (for two columns: x bits on even
+    positions, y on odd — unchanged from the 2-D form). Pure
+    shift/and/multiply expression — whole-stage codegen, no UDF;
+    mirrored in SQL by :func:`morton_sql`."""
+    k = len(cols)
+    _check_bits(k, bits)
+    out = F.lit(0).cast("bigint")
+    for j, c in enumerate(cols):
+        cj = c.cast("bigint")
+        for i in range(bits):
+            out = out + (
+                F.shiftright(cj, i).bitwiseAND(F.lit(1))
+                * F.lit(1 << (i * k + j))
+            )
     return out
 
 
-def morton_sql(x: str, y: str, bits: int = 16) -> str:
+def morton_sql(*cols: str, bits: int = 16) -> str:
     """DuckDB/ANSI mirror of :func:`morton_interleave`."""
+    k = len(cols)
+    _check_bits(k, bits)
     terms = []
-    for i in range(bits):
-        terms.append(f"((({x} >> {i}) & 1) * {1 << (2 * i)})")
-        terms.append(f"((({y} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            terms.append(f"((({c} >> {i}) & 1) * {1 << (i * k + j)})")
     return "(" + " + ".join(terms) + ")"
 
 
@@ -72,87 +91,106 @@ def _quantize_sql(col: str, lo: str, hi: str, bits: int) -> str:
 
 def zorder_bucket_stats(
     df: DataFrame,
-    x_col: str,
-    y_col: str,
+    *cols: str,
     bits: int = 16,
     n_buckets: int = 256,
 ) -> DataFrame:
-    """Per-z-bucket statistics proving the pruning property: each
-    dimension min-max quantizes to ``bits`` bits, the quantized pair
-    Morton-interleaves, and rows range-partition into ``n_buckets``
-    equal-width z ranges (the file/task grain a writer would use).
-    For each bucket we report row count plus min/max of BOTH source
-    columns — under z-order both ranges are tight simultaneously,
-    which is why a filter on either column can skip most buckets,
-    whereas a single-column sort makes only its own column's range
-    tight. Output: (bucket, n_rows, x_min, x_max, y_min, y_max), the
-    exact min/max a parquet writer would put in file footers. All
-    bucketing is integer arithmetic over one broadcast stats row, so
-    both engines agree bit-for-bit."""
+    """Per-z-bucket statistics proving the pruning property in k
+    dimensions: each listed column min-max quantizes to ``bits`` bits,
+    the quantized tuple Morton-interleaves, and rows range-partition
+    into ``n_buckets`` equal-width z ranges (the file/task grain a
+    writer would use). For each bucket we report row count plus
+    min/max of EVERY source column — under z-order all k ranges are
+    tight simultaneously, which is why a filter on ANY z-column can
+    skip most files, whereas a single-column sort makes only its own
+    column's range tight. Output: (bucket, n_rows, <col>_min,
+    <col>_max ...), the exact min/max a parquet writer would put in
+    file footers. All bucketing is integer arithmetic over one
+    broadcast stats row, so both engines agree bit-for-bit."""
+    k = len(cols)
+    _check_bits(k, bits)
     stats = df.agg(
-        F.min(x_col).cast("bigint").alias("__xlo"),
-        F.max(x_col).cast("bigint").alias("__xhi"),
-        F.min(y_col).cast("bigint").alias("__ylo"),
-        F.max(y_col).cast("bigint").alias("__yhi"),
+        *[
+            a
+            for c in cols
+            for a in (
+                F.min(c).cast("bigint").alias(f"__lo_{c}"),
+                F.max(c).cast("bigint").alias(f"__hi_{c}"),
+            )
+        ]
     )
     zed = (
-        df.select(
-            F.col(x_col).cast("bigint").alias("x"),
-            F.col(y_col).cast("bigint").alias("y"),
-        )
+        df.select(*[F.col(c).cast("bigint").alias(c) for c in cols])
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "z",
             morton_interleave(
-                _quantize("x", "__xlo", "__xhi", bits),
-                _quantize("y", "__ylo", "__yhi", bits),
-                bits,
+                *[
+                    _quantize(c, f"__lo_{c}", f"__hi_{c}", bits)
+                    for c in cols
+                ],
+                bits=bits,
             ),
         )
     )
     # z is bounded by construction (quantized dims), so bucket width
-    # is the static 2^(2*bits) / n_buckets — one integer expression,
+    # is the static 2^(k*bits) / n_buckets — one integer expression,
     # one shuffle
     return (
         zed.groupBy(
-            F.expr(f"z * {n_buckets} div {1 << (2 * bits)}").alias("bucket")
+            F.expr(f"z * {n_buckets} div {1 << (k * bits)}").alias("bucket")
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.min("x").alias("x_min"),
-            F.max("x").alias("x_max"),
-            F.min("y").alias("y_min"),
-            F.max("y").alias("y_max"),
+            *[
+                a
+                for c in cols
+                for a in (
+                    F.min(c).alias(f"{c}_min"),
+                    F.max(c).alias(f"{c}_max"),
+                )
+            ],
         )
     )
 
 
 def zorder_stats_sql(
     table: str,
-    x: str,
-    y: str,
+    *cols: str,
     bits: int = 16,
     n_buckets: int = 256,
 ) -> str:
     """DuckDB mirror of :func:`zorder_bucket_stats`."""
-    xq = _quantize_sql("x", "xlo", "xhi", bits)
-    yq = _quantize_sql("y", "ylo", "yhi", bits)
-    m = morton_sql(xq, yq, bits)
+    k = len(cols)
+    _check_bits(k, bits)
+    stat_items = ", ".join(
+        f"CAST(MIN({c}) AS BIGINT) AS lo_{c}, "
+        f"CAST(MAX({c}) AS BIGINT) AS hi_{c}"
+        for c in cols
+    )
+    quantized = [
+        _quantize_sql(f"c_{j}", f"lo_{c}", f"hi_{c}", bits)
+        for j, c in enumerate(cols)
+    ]
+    m = morton_sql(*quantized, bits=bits)
+    casts = ", ".join(
+        f"CAST({c} AS BIGINT) AS c_{j}" for j, c in enumerate(cols)
+    )
+    minmax = ", ".join(
+        f"MIN(c_{j}) AS {c}_min, MAX(c_{j}) AS {c}_max"
+        for j, c in enumerate(cols)
+    )
     return f"""
     WITH stats AS (
-        SELECT CAST(MIN({x}) AS BIGINT) AS xlo,
-               CAST(MAX({x}) AS BIGINT) AS xhi,
-               CAST(MIN({y}) AS BIGINT) AS ylo,
-               CAST(MAX({y}) AS BIGINT) AS yhi
+        SELECT {stat_items}
         FROM {table}),
     zed AS (
-        SELECT CAST({x} AS BIGINT) AS x, CAST({y} AS BIGINT) AS y,
+        SELECT {casts},
                {m} AS z
         FROM {table}, stats)
-    SELECT (z * {n_buckets} // {1 << (2 * bits)}) AS bucket,
+    SELECT (z * {n_buckets} // {1 << (k * bits)}) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           MIN(x) AS x_min, MAX(x) AS x_max,
-           MIN(y) AS y_min, MAX(y) AS y_max
+           {minmax}
     FROM zed
     GROUP BY 1
     """
@@ -161,39 +199,43 @@ def zorder_stats_sql(
 def zorder_write(
     df: DataFrame,
     path: str,
-    x_col: str,
-    y_col: str,
+    *cols: str,
     bits: int = 16,
     n_files: int = 8,
     file_format: str = "parquet",
 ) -> None:
-    """Write ``df`` clustered by the z-order of (x_col, y_col): each
+    """Write ``df`` clustered by the z-order of ``cols``: each
     dimension min-max quantizes to ``bits`` bits (one tiny stats agg),
     rows range-partition into ``n_files`` contiguous z ranges and
     sort by z within each task, so every output file covers a tight
-    min/max box in BOTH dimensions — the write-side move that makes
-    :func:`zorder_bucket_stats`'s skipping numbers real on disk
+    min/max box in EVERY listed dimension — the write-side move that
+    makes :func:`zorder_bucket_stats`'s skipping numbers real on disk
     (Delta/Iceberg OPTIMIZE ZORDER BY, expressed as plain
     repartitionByRange + sortWithinPartitions; parquet footer min/max
     then do the pruning on read). ``n_files`` is the file grain: at
     cluster scale set it to data_size / target_file_size."""
+    k = len(cols)
+    _check_bits(k, bits)
     lo_hi = df.agg(
-        F.min(x_col).cast("bigint").alias("xlo"),
-        F.max(x_col).cast("bigint").alias("xhi"),
-        F.min(y_col).cast("bigint").alias("ylo"),
-        F.max(y_col).cast("bigint").alias("yhi"),
+        *[
+            a
+            for c in cols
+            for a in (
+                F.min(c).cast("bigint").alias(f"lo_{c}"),
+                F.max(c).cast("bigint").alias(f"hi_{c}"),
+            )
+        ]
     ).first()
     maxq = (1 << bits) - 1
-    xq = F.expr(
-        f"(({x_col} - {lo_hi.xlo}) * {maxq})"
-        f" div greatest(1, {lo_hi.xhi - lo_hi.xlo})"
-    )
-    yq = F.expr(
-        f"(({y_col} - {lo_hi.ylo}) * {maxq})"
-        f" div greatest(1, {lo_hi.yhi - lo_hi.ylo})"
-    )
+    quantized = [
+        F.expr(
+            f"(({c} - {lo_hi[f'lo_{c}']}) * {maxq})"
+            f" div greatest(1, {lo_hi[f'hi_{c}'] - lo_hi[f'lo_{c}']})"
+        )
+        for c in cols
+    ]
     (
-        df.withColumn("__z", morton_interleave(xq, yq, bits))
+        df.withColumn("__z", morton_interleave(*quantized, bits=bits))
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")

@@ -378,12 +378,12 @@ def test_q203_zorder_buckets_bound_both_dims(spark, sf_dir):
     assert len(rows) > 1, "expect multiple z-range buckets"
     # the pruning property: per-bucket spans are (much) tighter than
     # the global span in BOTH interleaved dimensions
-    gx = max(r.x_max for r in rows) - min(r.x_min for r in rows)
-    gy = max(r.y_max for r in rows) - min(r.y_min for r in rows)
+    gx = max(r.l_partkey_max for r in rows) - min(r.l_partkey_min for r in rows)
+    gy = max(r.l_suppkey_max for r in rows) - min(r.l_suppkey_min for r in rows)
     import statistics
 
-    mx = statistics.mean(r.x_max - r.x_min for r in rows)
-    my = statistics.mean(r.y_max - r.y_min for r in rows)
+    mx = statistics.mean(r.l_partkey_max - r.l_partkey_min for r in rows)
+    my = statistics.mean(r.l_suppkey_max - r.l_suppkey_min for r in rows)
     assert mx < gx and my < gy
     # and the plan is pure codegen arithmetic — no UDF anywhere
     plan = (
@@ -486,3 +486,65 @@ def test_hof_shadow_lint_flags_realias_in_same_projection(spark):
     assert hof_shadow_risks(shadow, "embedding") == []
     # passthrough alias (col AS same-name) is not shadowing
     assert hof_shadow_risks(F.col("vec_id").alias("vec_id"), tr()) == []
+
+
+def test_zorder_kd_readback_prunes_files(spark, sf_dir, tmp_path):
+    # The written-layout gate for k-D z-order (r4/r5 verdict ask):
+    # write lineitem clustered on THREE keys, then measure, per
+    # output file, the footer min/max box a parquet reader prunes
+    # with — a mid-range predicate on EACH dimension must intersect
+    # a minority of files (a single-column sort can only do this for
+    # its own column), and the predicate must reach the scan as a
+    # PushedFilter so the row-group pruning actually engages.
+    from node_etl_spark.functions.layout import zorder_write
+    from node_etl_spark.tables import table
+    from pyspark.sql import functions as F
+
+    cols = ["l_partkey", "l_suppkey", "l_orderkey"]
+    li = table(spark, sf_dir, "lineitem").select(*cols)
+    out = str(tmp_path / "zo3")
+    zorder_write(li, out, *cols, bits=10, n_files=16)
+
+    back = spark.read.parquet(out)
+    boxes = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            *[
+                a
+                for c in cols
+                for a in (F.min(c).alias(f"{c}_min"),
+                          F.max(c).alias(f"{c}_max"))
+            ]
+        )
+        .collect()
+    )
+    n_files = len(boxes)
+    assert n_files >= 8
+    assert back.count() == li.count()
+
+    for c in cols:
+        lo, hi = li.agg(F.min(c), F.max(c)).first()
+        # a 10%-of-range band at the 20-30% point of dimension c
+        # (NOT mid-range: z-order's first split is at 50%, and a band
+        # straddling the split boundary trivially intersects both
+        # halves)
+        a = lo + (hi - lo) * 20 // 100
+        b = lo + (hi - lo) * 30 // 100
+        surviving = sum(
+            1
+            for r in boxes
+            if r[f"{c}_min"] <= b and r[f"{c}_max"] >= a
+        )
+        # z-order: each dimension's footer boxes prune most files
+        assert surviving <= n_files * 3 // 4, (
+            f"{c}: {surviving}/{n_files} files intersect a 10% band"
+        )
+        plan = (
+            back.filter((F.col(c) >= a) & (F.col(c) <= b))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        scan = next(
+            l for l in plan.splitlines() if "FileScan parquet" in l
+        )
+        assert f"GreaterThanOrEqual({c}" in scan, f"{c} not pushed"
