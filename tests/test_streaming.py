@@ -403,3 +403,74 @@ def test_bitmap_state_sink_restart_idempotent(spark, tmp_path):
     mk(list(range(10)) + [42]).write.mode("append").parquet(src)
     run_once()
     assert day0_count() == 11
+
+
+def test_interval_left_outer_boundary_emission_across_restart(spark, tmp_path):
+    # Watermark-boundary emission for interval_join(how="leftOuter")
+    # (r4/r5 verdict ask #7/#5): a left row whose candidate match sits
+    # just INSIDE the 30-min lookback pairs up; one whose candidate is
+    # one second OUTSIDE must emit exactly once WITH NULLS — and only
+    # after the watermark passes, across a checkpoint restart (the
+    # null row can only come from recovered join state). A third key
+    # pins the boundary itself as inclusive (r.ts == l.ts - lookback).
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    srcl, srcr = str(tmp_path / "l"), str(tmp_path / "r")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    LSCHEMA = "lid bigint, ts timestamp, k bigint"
+    RSCHEMA = "rid bigint, ts timestamp, k bigint"
+    OUT_SCHEMA = "lid bigint, ts timestamp, k bigint, rid_r bigint, ts_r timestamp"
+
+    def run_once():
+        l = st.stream_source(spark, srcl, LSCHEMA)
+        r = st.stream_source(spark, srcr, RSCHEMA)
+        (
+            st.interval_join(
+                l, r, on="k",
+                lookback="30 minutes", watermark="10 minutes",
+                how="leftOuter",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    spark.createDataFrame(
+        [(1, base, 1), (2, base, 2), (3, base, 3)], LSCHEMA
+    ).coalesce(1).write.mode("append").parquet(srcl)
+    spark.createDataFrame(
+        [
+            (10, base - dt.timedelta(minutes=29), 1),  # just inside
+            (20, base - dt.timedelta(minutes=30, seconds=1), 2),  # outside
+            (30, base - dt.timedelta(minutes=30), 3),  # exactly on boundary
+        ],
+        RSCHEMA,
+    ).coalesce(1).write.mode("append").parquet(srcr)
+    run_once()
+    phase1 = spark.read.schema(OUT_SCHEMA).parquet(out).collect()
+    # the unmatched left row must be WITHHELD, not emitted-with-nulls,
+    # while a match could still arrive (watermark 09:50 < l.ts 10:00)
+    assert all(r.rid_r is not None for r in phase1)
+
+    # phase 2 (restart from checkpoint): far-future anchors on both
+    # sides push the watermark past every real left row; the k=2
+    # null row can only be emitted from state recovered at restart
+    anchor = base + dt.timedelta(days=1)
+    spark.createDataFrame(
+        [(99, anchor, 99)], LSCHEMA
+    ).coalesce(1).write.mode("append").parquet(srcl)
+    spark.createDataFrame(
+        [(98, anchor, 98)], RSCHEMA
+    ).coalesce(1).write.mode("append").parquet(srcr)
+    run_once()
+
+    rows = [
+        r
+        for r in spark.read.schema(OUT_SCHEMA).parquet(out).collect()
+        if r.k < 90  # the anchors themselves never finalize
+    ]
+    assert len(rows) == 3, f"expected exactly-once emission, got {rows}"
+    got = {(r.k, r.rid_r) for r in rows}
+    assert got == {(1, 10), (2, None), (3, 30)}
