@@ -178,6 +178,7 @@ HEADLINE = [
     "q206_sketch_neardup",
     "q207_semdedup_capped",
     "q208_zorder_kd",
+    "q209_duplicate_spans",
 ]
 
 
@@ -218,8 +219,19 @@ def main() -> None:
             rdd.unpersist(False)
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # optional subset (comma-separated full names or qNN prefixes):
+    # scale-decade runs re-measure a handful of queries on much
+    # larger data, where running the full suite would be wasteful
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    headline = HEADLINE
+    if only_env:
+        want = {w.strip() for w in only_env.split(",") if w.strip()}
+        headline = [
+            n for n in HEADLINE
+            if n in want or n.split("_", 1)[0] in want
+        ]
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         q = QUERIES.get(name)
         if q is None:
             continue

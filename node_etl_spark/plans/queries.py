@@ -111,6 +111,8 @@ DRIVER_GATE_SENTINELS: list[str] = [
     # round-6 fixes and additions — must be verified first
     "q206_sketch_neardup",
     "q207_semdedup_capped",
+    "q208_zorder_kd",
+    "q209_duplicate_spans",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -118,7 +120,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q102_event_transitions",
     "q103_lineno_integrity",
     "q104_brand_mode",
-    # q52-q94 backfill (same three-rotation gap; q95-q99 carry to
+    # q52-q92 backfill (same three-rotation gap; q93-q99 carry to
     # r7 — the driver records exactly 50 rows)
     "q52_moving_average",
     "q53_nested_details",
@@ -161,8 +163,6 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q90_price_histogram",
     "q91_balance_distribution",
     "q92_reorder_gaps",
-    "q93_incremental_dedup",
-    "q94_salted_enrichment",
 ]
 
 
@@ -8982,3 +8982,32 @@ def _init_q208() -> None:
 
 
 _init_q208()
+
+
+# --------------------------------------------------------------------
+# q209 — exact duplicated-substring spans (ExactSubstr dedup)
+# --------------------------------------------------------------------
+
+def _init_q209() -> None:
+    from ..functions.dedup import duplicate_spans, duplicate_spans_sql
+
+    @register(
+        "q209_duplicate_spans",
+        duplicate_spans_sql(k=8),
+        doc="Exact duplicated-substring spans (functions/dedup.py "
+            "duplicate_spans; Lee et al. 2022 ExactSubstr dedup — the "
+            "training-data hygiene step beside MinHash q22 / SimHash "
+            "q23 whole-doc dedup): every 8-token window md5-hashes "
+            "(the only cross-engine-exact hash); windows whose hash "
+            "repeats corpus-wide flag their positions, and a per-doc "
+            "gaps-and-islands merge reconstructs the maximal repeated "
+            "spans the paper deletes. One narrow row per token "
+            "window, one hash agg (map-side combine), one join back, "
+            "one per-doc window — linear end to end, nothing "
+            "quadratic, hash key space scales with the corpus.",
+    )
+    def q209_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return duplicate_spans(table(spark, sf_dir, "documents"), k=8)
+
+
+_init_q209()

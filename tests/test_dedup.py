@@ -446,3 +446,35 @@ def test_edit_distance_short_guard_is_per_block_when_blocked(spark):
         D.edit_distance_pairs(
             df_big, k=4, block_col="b", short_allpairs_limit=5
         )
+
+
+def test_duplicate_spans_merges_planted_repeats(spark):
+    # Two docs share an 10-token verbatim passage; doc 3 repeats a
+    # 8-token run internally; doc 4 is clean. Spans must be maximal
+    # (one merged span, not per-window rows) and 1-based inclusive.
+    passage = " ".join(f"p{i}" for i in range(10))
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    run = " ".join(f"r{i}" for i in range(8))
+    rows = [
+        (1, uniq("a", 5) + " " + passage + " " + uniq("b", 5)),
+        (2, passage + " " + uniq("c", 12)),
+        (3, run + " " + uniq("d", 9) + " " + run),
+        (4, uniq("e", 30)),
+    ]
+    df = docs_df(spark, rows)
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens)
+           for r in D.duplicate_spans(df, k=8).collect()}
+    # doc 1: passage occupies tokens 6..15; doc 2: tokens 1..10
+    # doc 3: run at 1..8 and again at 18..25 (8 + 9 + 8 tokens)
+    assert got == {
+        (1, 6, 15, 10),
+        (2, 1, 10, 10),
+        (3, 1, 8, 8),
+        (3, 18, 25, 8),
+    }
+
+
+def test_duplicate_spans_ignores_short_and_null_docs(spark):
+    rows = [(1, None), (2, "a b c"), (3, "x " * 3)]
+    df = docs_df(spark, rows)
+    assert D.duplicate_spans(df, k=8).collect() == []
