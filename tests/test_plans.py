@@ -548,3 +548,13 @@ def test_zorder_kd_readback_prunes_files(spark, sf_dir, tmp_path):
             l for l in plan.splitlines() if "FileScan parquet" in l
         )
         assert f"GreaterThanOrEqual({c}" in scan, f"{c} not pushed"
+
+
+def test_q209_duplicate_spans_plan_is_pure_codegen(spark, sf_dir):
+    # window hashing, repeat filter, and span merge are all JVM
+    # expressions — any Python eval node here would be a 10-100x
+    # regression on the hot path
+    plan = _plan(spark, sf_dir, "q209_duplicate_spans")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the repeat filter is an aggregate with map-side partial combine
+    assert "partial_count" in plan or "HashAggregate" in plan
