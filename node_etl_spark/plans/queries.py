@@ -113,6 +113,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q207_semdedup_capped",
     "q208_zorder_kd",
     "q209_duplicate_spans",
+    "q210_simhash_dedup_groups",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -9011,3 +9012,44 @@ def _init_q209() -> None:
 
 
 _init_q209()
+
+
+# --------------------------------------------------------------------
+# q210 — per-segment SimHash dedup groups (the groups form)
+# --------------------------------------------------------------------
+
+def _init_q210() -> None:
+    @register(
+        "q210_simhash_dedup_groups",
+        G.components_oracle_sql(
+            D.simhash60_oracle_sql(
+                max_hamming=2, segment="concat_ws('|', lang, source)"
+            )
+        ),
+        doc="Groups-form SimHash dedup, segment-scoped: the operator "
+            "SCALE_BENCH's q23 analysis prescribes for dense corpora — "
+            "emit keep/drop clusters (output ~n) instead of the full "
+            "pair list (output ~n^2 on near-duplicate-heavy data). "
+            "simhash60 carries the (lang,source) segment key through "
+            "the Arrow batch (no join-back shuffle), Manku banding "
+            "folds the segment into the 20-bit combo keys so "
+            "candidates never cross segments, and the transitive "
+            "closure runs as graph.blocked_components — ONE shuffle of "
+            "per-segment union-find instead of the O(log^2 n)-round "
+            "global algorithm, valid because (lang,source) partitions "
+            "the nodes (each doc has exactly one segment). Output: "
+            "(doc_id, cluster_id=min id, is_canonical) for docs with "
+            ">=1 same-segment near-dup at hamming<=2.",
+    )
+    def q210_simhash_dedup_groups(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").withColumn(
+            "seg", F.concat_ws("|", "lang", "source")
+        )
+        sigs = D.simhash60(docs, carry_cols=["seg"])
+        pairs = D.simhash_band_pairs(sigs, max_hamming=2, segment_col="seg")
+        return G.dedup_clusters(docs, pairs, block_col="seg")
+
+
+_init_q210()

@@ -478,3 +478,47 @@ def test_duplicate_spans_ignores_short_and_null_docs(spark):
     rows = [(1, None), (2, "a b c"), (3, "x " * 3)]
     df = docs_df(spark, rows)
     assert D.duplicate_spans(df, k=8).collect() == []
+
+
+def test_simhash60_carry_cols_pass_through(spark):
+    df = spark.createDataFrame(
+        [(1, "a b", "web"), (2, None, "web"), (3, "c d", "books")],
+        "doc_id bigint, text string, src string",
+    )
+    rows = {r.doc_id: r.src for r in
+            D.simhash60(df, carry_cols=["src"]).collect()}
+    assert rows == {1: "web", 3: "books"}  # null-text row dropped
+
+
+def test_simhash_band_pairs_segment_scoped(spark):
+    # identical signatures across segments must NOT pair; within a
+    # segment they must, and the segment column rides the output
+    sigs = spark.createDataFrame(
+        [(1, 42, "en|web"), (2, 42, "en|books"), (3, 42, "en|web"),
+         (4, 40, "en|web")],  # hamming(42,40)=1, same segment
+        "doc_id long, simhash long, seg string",
+    )
+    got = {(r.d1, r.d2): (r.hamming, r.seg) for r in
+           D.simhash_band_pairs(
+               sigs, max_hamming=2, segment_col="seg").collect()}
+    assert got == {(1, 3): (0, "en|web"),
+                   (1, 4): (1, "en|web"),
+                   (3, 4): (1, "en|web")}
+
+
+def test_simhash_dedup_groups_canonical_is_min(spark):
+    from node_etl_spark.functions import graph as G
+
+    docs = spark.createDataFrame(
+        [(i, "t", "s1" if i < 4 else "s2") for i in range(1, 7)],
+        "doc_id bigint, text string, seg string",
+    )
+    # chain 1-2, 2-3 in s1; 5-6 in s2; doc 4 clean
+    pairs = spark.createDataFrame(
+        [(1, 2, 0, "s1"), (2, 3, 1, "s1"), (5, 6, 2, "s2")],
+        "d1 bigint, d2 bigint, hamming int, seg string",
+    )
+    out = {r.doc_id: (r.cluster_id, r.is_canonical) for r in
+           G.dedup_clusters(docs, pairs, block_col="seg").collect()}
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False),
+                   5: (5, True), 6: (5, False)}
