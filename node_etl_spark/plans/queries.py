@@ -114,6 +114,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q208_zorder_kd",
     "q209_duplicate_spans",
     "q210_simhash_dedup_groups",
+    "q211_ivf_pq_topk",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -9053,3 +9054,30 @@ def _init_q210() -> None:
 
 
 _init_q210()
+
+
+# --------------------------------------------------------------------
+# q211 — IVF-PQ composed ANN search (exact-oracle ADC)
+# --------------------------------------------------------------------
+
+def _init_q211() -> None:
+    @register(
+        "q211_ivf_pq_topk",
+        S.ivf_pq_oracle_sql(),
+        doc="IVF-PQ composed ANN top-5 (functions/similarity.py "
+            "ivf_pq_topk; Jégou PAMI'11 IVFADC, non-residual): "
+            "deterministic seeded coarse cells (count-derived CASE "
+            "ladder, n_cells ~ sqrt(n), n_probe = log2(cells)) prune "
+            "the corpus per query; distances inside probed cells are "
+            "PQ asymmetric-distance lookups against q170's seeded "
+            "codebook. Every step round-6 quantized with id "
+            "tie-breaks, so unlike q27/q38 (float ANN, rows-only "
+            "checks) the full composed search gates EXACTLY against "
+            "DuckDB. Candidate volume per query ~n*log2(cells)/cells "
+            "— sub-linear; both codebooks broadcast.",
+    )
+    def q211_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return S.ivf_pq_topk(table(spark, sf_dir, "embeddings"))
+
+
+_init_q211()

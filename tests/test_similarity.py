@@ -468,3 +468,46 @@ def test_semdedup_capped_empty_and_mode_validation(spark):
     assert S.semdedup(df, mode="capped").collect() == []
     with pytest.raises(ValueError, match="mode"):
         S.semdedup(df, mode="bogus")
+
+
+def test_ivf_pq_config_ladder():
+    assert S.ivf_pq_config(500) == (8, 3)
+    assert S.ivf_pq_config(1000) == (8, 3)
+    assert S.ivf_pq_config(1001) == (16, 4)
+    assert S.ivf_pq_config(2000) == (16, 4)
+    # above the last rung the config PINS (no silent restart)
+    assert S.ivf_pq_config(10**9) == (512, 9)
+
+
+def test_ivf_pq_topk_structure_and_recall(spark, sf_dir):
+    import numpy as np
+    from node_etl_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    got = S.ivf_pq_topk(emb, k=5).collect()
+    by_q = {}
+    for r in got:
+        assert r.neighbor_id != r.query_id  # self excluded
+        by_q.setdefault(r.query_id, []).append((r.rank, r.dist))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        dists = [r[1] for r in rows]
+        assert dists == sorted(dists)  # exact dist ascending in rank
+    # recall@5 vs exact L2 over the raw vectors: PQ over 8 seeded
+    # codewords is coarse, but the composed index must still place a
+    # majority of true neighbors in the returned set
+    rows = emb.filter("embedding is not null").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    hits = total = 0
+    for q in by_q:
+        qi = np.where(ids == q)[0][0]
+        d = ((X - X[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        true5 = set(ids[np.argsort(d, kind="stable")[:5]])
+        approx = {r.neighbor_id for r in got if r.query_id == q}
+        hits += len(true5 & approx)
+        total += 5
+    recall = hits / total
+    assert recall >= 0.4, recall  # bracket: probed cells + 8-code PQ
