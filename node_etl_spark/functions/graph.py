@@ -195,15 +195,22 @@ def dedup_clusters(
     algorithm.
     """
     if block_col is not None:
-        comp = blocked_components(pairs, block_col, d1=d1, d2=d2).select(
+        # per_block union-find emits a row for EVERY node of the block
+        # including roots (component = self), and blocks partition the
+        # nodes — the assignment is already complete and duplicate-free;
+        # a roots union here would re-evaluate the whole pair lineage
+        # (simhash + banding + union-find) a second time
+        assign = blocked_components(pairs, block_col, d1=d1, d2=d2).select(
             F.col("id").alias("id"), F.col("component").alias("component")
         )
     else:
         comp = connected_components(pairs, src=d1, dst=d2)
-    # component roots themselves appear only on the right side of the
-    # final edge list; add their self-assignment
-    roots = comp.select(F.col("component").alias("id"), "component").distinct()
-    assign = comp.unionByName(roots).distinct()
+        # component roots themselves appear only on the right side of
+        # the final edge list; add their self-assignment
+        roots = comp.select(
+            F.col("component").alias("id"), "component"
+        ).distinct()
+        assign = comp.unionByName(roots).distinct()
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(assign, F.col("doc_id") == F.col("id"), "inner")

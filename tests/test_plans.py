@@ -558,3 +558,29 @@ def test_q209_duplicate_spans_plan_is_pure_codegen(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the repeat filter is an aggregate with map-side partial combine
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_q210_blocked_union_find_runs_once(spark, sf_dir):
+    # the groups form must evaluate the per-segment union-find exactly
+    # once: the roots self-assignment comes from per_block itself, not
+    # a union that re-runs the simhash+banding lineage (13.1s -> 3.6s
+    # at sf0.01 when this regressed during development)
+    plan = _plan(spark, sf_dir, "q210_simhash_dedup_groups")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    # both sides of the banding self-join read the persisted combo rows
+    assert "InMemoryTableScan" in plan
+    # segment rides the equality key: banding is a hash join, never a
+    # cartesian pair stream
+    assert "CartesianProduct" not in plan
+
+
+def test_q211_ivf_pq_plan_stays_jvm_side(spark, sf_dir):
+    # the whole IVF-PQ search — assignment argmin, PQ encode, ADC
+    # lookups, re-rank — is codegen arithmetic; a Python eval node
+    # anywhere here would put a 10-100x tax on the corpus passes
+    plan = _plan(spark, sf_dir, "q211_ivf_pq_topk")
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    # codebooks and the ADC table broadcast; only bounded nested-loop
+    # joins against the <=512-row centroid set are allowed
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
