@@ -179,6 +179,8 @@ HEADLINE = [
     "q207_semdedup_capped",
     "q208_zorder_kd",
     "q209_duplicate_spans",
+    "q210_simhash_dedup_groups",
+    "q211_ivf_pq_topk",
 ]
 
 

@@ -1707,29 +1707,38 @@ def ivf_pq_topk(
     Queries are the corpus slice ``id % query_mod = 0`` — a workload
     that scales with the corpus.
 
-    Scale shape: both codebooks broadcast (<= 512 cells, <= 64 x 8
-    sub-codewords — aggregates, not data-plane rows). Cell assignment
-    is one narrow pass of n x n_cells rounded distances with a
-    struct-min rollup (the FAISS coarse-assign GEMM, expressed as
-    codegen arithmetic); PQ encoding is q170's n x 64 x 8 pass; the
-    candidate join ships only the probed ~n*log2(cells)/cells rows
-    per query, each carrying ``n_blocks`` code rows joined to the
-    broadcast ADC table. Shuffles: the struct-min rollups (partial
-    aggs), one candidate-id join, the final per-query top-k window.
+    Scale shape: both codebooks are bounded collects (<= 512 cells,
+    <= 64 x 8 sub-codewords — ~256 KiB of closure state, the q207
+    pattern), and ONE Arrow-batched GEMM pass over the corpus
+    computes the coarse cell AND all ``n_blocks`` PQ codes per
+    vector — 3 us/distance scalar codegen replaced by ~10 ns/element
+    matmul (measured 151s -> seconds at sf3). Distances are
+    quantized to the q205/q207 integer grid (``floor(d2*1e6+0.5)``
+    as BIGINT; expanded-form GEMM error ~1e-13 << the 5e-7
+    half-cell), so the float-free ADC sums and every tie-break are
+    cross-engine exact. The candidate join ships only the probed
+    ~n*log2(cells)/cells rows per query, each carrying ``n_blocks``
+    code rows joined to the broadcast ADC table.
 
     A final refinement stage (the "+R" in Jégou's IVFADC+R) exact
     re-ranks the ADC shortlist: the ``rerank * k`` best candidates by
-    ADC rejoin their raw vectors and the true round-6 L2 decides the
-    top-k — recovering neighbors a coarse codebook misranks, at the
-    cost of ``rerank * k`` full-dim distances per query instead of
-    ~n. Measured recall@5 vs exact L2: 0.56 at sf0.01 (8 cells,
-    probe 3), 0.30 at sf0.1 (16 cells, probe 4) — tracking the
-    probed-cell fraction, as expected on this quasi-uniform synthetic
-    corpus where the coarse quantizer has no cluster structure to
-    exploit; on real clustered embeddings cell recall dominates the
-    floor. Returns (query_id, neighbor_id, dist, rank), rank 1..k by
-    (exact dist asc, neighbor_id) excluding self.
+    ADC rejoin their raw vectors and the true grid-quantized L2
+    decides the top-k — recovering neighbors a coarse codebook
+    misranks, at the cost of ``rerank * k`` full-dim distances per
+    query instead of ~n. Measured recall@5 vs exact L2: 0.56 at
+    sf0.01 (8 cells, probe 3), 0.30 at sf0.1 (16 cells, probe 4) —
+    tracking the probed-cell fraction, as expected on this
+    quasi-uniform synthetic corpus where the coarse quantizer has no
+    cluster structure to exploit; on real clustered embeddings cell
+    recall dominates the floor. Returns (query_id, neighbor_id,
+    dist = grid/1e6, rank), rank 1..k by (dist asc, neighbor_id)
+    excluding self.
     """
+    import numpy as np
+    import pandas as pd
+
+    from ..util import spread
+
     _require_integral_id(df, id_col)
     w = dim // n_blocks
     e = df.select(
@@ -1738,7 +1747,149 @@ def ivf_pq_topk(
     n = e.count()  # one scalar job; both engines derive config from it
     n_cells, n_probe = ivf_pq_config(n)
 
-    sq_full = F.round(
+    # bounded collects: coarse centroids and PQ codebook (same
+    # deterministic seed rules as the oracle)
+    cent_rows = sorted(
+        e.filter(
+            (F.col("id") % cell_mod == 0) & (F.col("id") < cell_mod * n_cells)
+        ).collect(),
+        key=lambda r: r.id,
+    )
+    cw_rows = sorted(
+        e.filter(
+            (F.col("id") % seed_mod == 0)
+            & (F.col("id") < seed_mod * max_codewords)
+        ).collect(),
+        key=lambda r: r.id,
+    )
+    if not cent_rows or not cw_rows:
+        return e.select(
+            F.col("id").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            F.lit(0.0).alias("dist"),
+            F.lit(0).alias("rank"),
+        ).limit(0)
+    cell_ids = np.array([r.id // cell_mod for r in cent_rows], dtype=np.int32)
+    C = np.array([list(r.v) for r in cent_rows], dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    code_ids = np.array([r.id for r in cw_rows], dtype=np.int64)
+    CW = np.array([list(r.v) for r in cw_rows], dtype=np.float64)
+
+    def _grid(d2: "np.ndarray") -> "np.ndarray":
+        return np.floor(d2 * 1e6 + 0.5).astype(np.int64)
+
+    def _cells_of(X: "np.ndarray") -> "np.ndarray":
+        g = _grid((X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2)
+        # stable argmin == smallest cell id among grid ties (C rows
+        # are sorted by cell id)
+        return cell_ids[(g == g.min(axis=1)[:, None]).argmax(axis=1)]
+
+    def _codes_of(X: "np.ndarray") -> "np.ndarray":
+        out = np.empty((len(X), n_blocks), dtype=np.int64)
+        for b in range(n_blocks):
+            Xb = X[:, b * w:(b + 1) * w]
+            Cb = CW[:, b * w:(b + 1) * w]
+            g = _grid(
+                (Xb * Xb).sum(axis=1)[:, None]
+                - 2.0 * (Xb @ Cb.T)
+                + (Cb * Cb).sum(axis=1)
+            )
+            out[:, b] = code_ids[(g == g.min(axis=1)[:, None]).argmax(axis=1)]
+        return out
+
+    def encode(batches):
+        # one corpus pass: coarse cell + all PQ codes per vector
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cell": _cells_of(X).astype(np.int32),
+                    "codes": list(_codes_of(X)),
+                }
+            )
+
+    encoded = (
+        spread(e)
+        .mapInPandas(encode, "id bigint, cell int, codes array<bigint>")
+        # read twice (cell assignment + code unpivot): materialize the
+        # index once instead of running the corpus GEMM pass twice
+        .localCheckpoint(eager=True)
+    )
+    assigned = encoded.select("id", "cell")
+    codes = encoded.select(
+        "id", F.posexplode("codes").alias("b", "code")
+    )
+
+    # query side: probe the n_probe nearest cells; ADC lookup table
+    q = e.filter(F.col("id") % query_mod == 0).select(
+        F.col("id").alias("query_id"), F.col("v").alias("v")
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            g = _grid((X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2)
+            # stable sort on grid keeps cell-ascending order for ties
+            order = np.argsort(g, axis=1, kind="stable")[:, :n_probe]
+            qid = np.repeat(pdf["query_id"].to_numpy(), order.shape[1])
+            yield pd.DataFrame(
+                {"query_id": qid, "cell": cell_ids[order].ravel()}
+            )
+
+    def qdists(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            frames = []
+            for b in range(n_blocks):
+                Xb = X[:, b * w:(b + 1) * w]
+                Cb = CW[:, b * w:(b + 1) * w]
+                g = _grid(
+                    (Xb * Xb).sum(axis=1)[:, None]
+                    - 2.0 * (Xb @ Cb.T)
+                    + (Cb * Cb).sum(axis=1)
+                )
+                frames.append(pd.DataFrame({
+                    "query_id": np.repeat(
+                        pdf["query_id"].to_numpy(), len(code_ids)),
+                    "b": np.int32(b),
+                    "code": np.tile(code_ids, len(X)),
+                    "qd": g.ravel(),
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    probes = q.mapInPandas(probe, "query_id bigint, cell int")
+    dtab = q.mapInPandas(
+        qdists, "query_id bigint, b int, code bigint, qd bigint"
+    )
+
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+    )
+    # float-free ADC: integer sum of per-block grid distances
+    adc = (
+        cand.join(codes, F.col("neighbor_id") == F.col("id"))
+        .join(F.broadcast(dtab), ["query_id", "b", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd").alias("adc_grid"))
+    )
+    adc_w = Window.partitionBy("query_id").orderBy("adc_grid", "neighbor_id")
+    shortlist = (
+        adc.withColumn("ar", F.row_number().over(adc_w))
+        .filter(F.col("ar") <= rerank * k)
+        .select("query_id", "neighbor_id")
+    )
+    # +R refinement: exact grid-quantized L2 on the shortlist's raw
+    # vectors (codegen fold; error ~1e-14 << the 5e-7 half-cell)
+    grid_full = F.floor(
         F.aggregate(
             F.zip_with(
                 "v",
@@ -1748,112 +1899,26 @@ def ivf_pq_topk(
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        ),
-        6,
-    ).alias("sq_dist")
-    cents = e.filter(
-        (F.col("id") % cell_mod == 0) & (F.col("id") < cell_mod * n_cells)
-    ).select((F.col("id") / cell_mod).cast("int").alias("cell"),
-             F.col("v").alias("cv"))
-
-    # coarse assignment: argmin over the broadcast centroid matrix
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .select("id", F.struct(sq_full, "cell").alias("cand"))
-        .groupBy("id")
-        .agg(F.min("cand").alias("m"))
-        .select("id", F.col("m.cell").alias("cell"))
-    )
-
-    # PQ corpus codes: q170's geometry, keeping (id, b, code) rows
-    blocks = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("b")
-    sub = F.expr(f"slice(v, b * {w} + 1, {w})")
-    evec = e.select("id", blocks, "v").select("id", "b", sub.alias("sub"))
-    cvec = (
-        e.filter(
-            (F.col("id") % seed_mod == 0)
-            & (F.col("id") < seed_mod * max_codewords)
-        )
-        .select(F.col("id").alias("code"), blocks, "v")
-        .select("code", "b", sub.alias("csub"))
-    )
-    sq_sub = F.round(
-        F.aggregate(
-            F.zip_with(
-                "sub",
-                "csub",
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    ).alias("sq_dist")
-    codes = (
-        evec.join(F.broadcast(cvec), "b")
-        .select("id", "b", F.struct(sq_sub, "code").alias("cand"))
-        .groupBy("id", "b")
-        .agg(F.min("cand").alias("m"))
-        .select("id", "b", F.col("m.code").alias("code"))
-    )
-
-    # query side: probe the n_probe nearest cells; ADC lookup table
-    q = e.filter(F.col("id") % query_mod == 0).select(
-        F.col("id").alias("query_id"), F.col("v").alias("v")
-    )
-    probe_w = Window.partitionBy("query_id").orderBy("sq_dist", "cell")
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select("query_id", "cell", sq_full)
-        .withColumn("pr", F.row_number().over(probe_w))
-        .filter(F.col("pr") <= n_probe)
-        .select("query_id", "cell")
-    )
-    qsub = q.select(
-        "query_id", blocks, "v"
-    ).select("query_id", "b", sub.alias("sub"))
-    dtab = (
-        qsub.join(F.broadcast(cvec), "b")
-        .select("query_id", "b", "code", sq_sub)
-    )
-
-    cand = (
-        assigned.join(F.broadcast(probes), "cell")
-        .filter(F.col("id") != F.col("query_id"))
-        .select("query_id", F.col("id").alias("neighbor_id"))
-    )
-    adc = (
-        cand.join(codes, F.col("neighbor_id") == F.col("id"))
-        .join(F.broadcast(dtab), ["query_id", "b", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.round(
-                F.sum(F.col("sq_dist").cast("decimal(18,6)")).cast("double"),
-                6,
-            ).alias("adc_dist")
-        )
-    )
-    adc_w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
-    shortlist = (
-        adc.withColumn("ar", F.row_number().over(adc_w))
-        .filter(F.col("ar") <= rerank * k)
-        .select("query_id", "neighbor_id")
-    )
-    # +R refinement: exact round-6 L2 on the shortlist's raw vectors
+        ) * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")
     refined = (
         shortlist.join(e, F.col("neighbor_id") == F.col("id"))
         .select("query_id", "neighbor_id", F.col("v").alias("cv"))
         .join(
             F.broadcast(q.select("query_id", "v")), "query_id"
         )
-        .select("query_id", "neighbor_id", sq_full.alias("dist"))
+        .select("query_id", "neighbor_id", grid_full.alias("g"))
     )
-    topk_w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    topk_w = Window.partitionBy("query_id").orderBy("g", "neighbor_id")
     return (
         refined.withColumn("rank", F.row_number().over(topk_w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "dist", "rank")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("g").cast("double") / F.lit(1e6)).alias("dist"),
+            "rank",
+        )
     )
 
 
@@ -1871,8 +1936,10 @@ def ivf_pq_oracle_sql(
     rerank: int = 4,
 ) -> str:
     """DuckDB mirror of :func:`ivf_pq_topk` — config CASE ladder from
-    the same non-null count, identical round-6 distances, identical
-    (dist, id) tie-breaks, same ADC-shortlist exact re-rank."""
+    the same non-null count, identical integer-grid distances
+    (``FLOOR(d2*1e6+0.5)`` over exact decimal sums vs Spark's GEMM:
+    error ~1e-13 << the 5e-7 half-cell), identical (grid, id)
+    tie-breaks, same ADC-shortlist exact re-rank."""
     w = dim // n_blocks
     cells_case = " ".join(
         f"WHEN n <= {t} THEN {c}" for t, c in IVF_CELL_LADDER
@@ -1896,29 +1963,31 @@ def ivf_pq_oracle_sql(
         WHERE id % {cell_mod} = 0 AND id < {cell_mod} * cfg.n_cells),
     fulld AS (
         SELECT e.id, cents.cell,
-               round(CAST(SUM(CAST(
+               CAST(FLOOR(CAST(SUM(CAST(
                    (CAST(e.v[i] AS DOUBLE) - CAST(cents.cv[i] AS DOUBLE))
                    * (CAST(e.v[i] AS DOUBLE) - CAST(cents.cv[i] AS DOUBLE))
-                   AS DECIMAL(38,30))) AS DOUBLE), 6) AS sq_dist
+                   AS DECIMAL(38,30))) AS DOUBLE) * 1e6 + 0.5)
+                   AS BIGINT) AS g
         FROM e, cents, (SELECT unnest(generate_series(1, {dim})) AS i) dd
         GROUP BY 1, 2),
     assigned AS (
         SELECT id, cell FROM (
             SELECT id, cell,
                    row_number() OVER (PARTITION BY id
-                       ORDER BY sq_dist, cell) AS rn
+                       ORDER BY g, cell) AS rn
             FROM fulld) WHERE rn = 1),
     cw AS (SELECT id AS code, v AS cv FROM e
            WHERE id % {seed_mod} = 0
              AND id < {seed_mod * max_codewords}),
     subd AS (
         SELECT e.id, b.b, cw.code,
-               round(CAST(SUM(CAST(
+               CAST(FLOOR(CAST(SUM(CAST(
                    (CAST(e.v[b.b * {w} + i] AS DOUBLE)
                     - CAST(cw.cv[b.b * {w} + i] AS DOUBLE))
                    * (CAST(e.v[b.b * {w} + i] AS DOUBLE)
                       - CAST(cw.cv[b.b * {w} + i] AS DOUBLE))
-                   AS DECIMAL(38,30))) AS DOUBLE), 6) AS sq_dist
+                   AS DECIMAL(38,30))) AS DOUBLE) * 1e6 + 0.5)
+                   AS BIGINT) AS g
         FROM e, cw,
              (SELECT unnest(generate_series(0, {n_blocks - 1})) AS b) b,
              (SELECT unnest(generate_series(1, {w})) AS i) ii
@@ -1927,17 +1996,17 @@ def ivf_pq_oracle_sql(
         SELECT id, b, code FROM (
             SELECT id, b, code,
                    row_number() OVER (PARTITION BY id, b
-                       ORDER BY sq_dist, code) AS rn
+                       ORDER BY g, code) AS rn
             FROM subd) WHERE rn = 1),
     probes AS (
         SELECT query_id, cell FROM (
             SELECT f.id AS query_id, f.cell,
                    row_number() OVER (PARTITION BY f.id
-                       ORDER BY f.sq_dist, f.cell) AS pr
+                       ORDER BY f.g, f.cell) AS pr
             FROM fulld f WHERE f.id % {query_mod} = 0) p, cfg
         WHERE pr <= cfg.n_probe),
     dtab AS (
-        SELECT id AS query_id, b, code, sq_dist FROM subd
+        SELECT id AS query_id, b, code, g AS qd FROM subd
         WHERE id % {query_mod} = 0),
     cand AS (
         SELECT p.query_id, a.id AS neighbor_id
@@ -1945,8 +2014,7 @@ def ivf_pq_oracle_sql(
         WHERE a.id <> p.query_id),
     adc AS (
         SELECT c.query_id, c.neighbor_id,
-               round(CAST(SUM(CAST(d.sq_dist AS DECIMAL(18,6)))
-                   AS DOUBLE), 6) AS adc_dist
+               SUM(d.qd) AS adc_grid
         FROM cand c
         JOIN codes k ON k.id = c.neighbor_id
         JOIN dtab d ON d.query_id = c.query_id
@@ -1956,26 +2024,28 @@ def ivf_pq_oracle_sql(
         SELECT query_id, neighbor_id FROM (
             SELECT query_id, neighbor_id,
                    row_number() OVER (PARTITION BY query_id
-                       ORDER BY adc_dist, neighbor_id) AS ar
+                       ORDER BY adc_grid, neighbor_id) AS ar
             FROM adc)
         WHERE ar <= {rerank * k}),
     refined AS (
         SELECT s.query_id, s.neighbor_id,
-               round(CAST(SUM(CAST(
+               CAST(FLOOR(CAST(SUM(CAST(
                    (CAST(qe.v[i] AS DOUBLE) - CAST(ne.v[i] AS DOUBLE))
                    * (CAST(qe.v[i] AS DOUBLE) - CAST(ne.v[i] AS DOUBLE))
-                   AS DECIMAL(38,30))) AS DOUBLE), 6) AS dist
+                   AS DECIMAL(38,30))) AS DOUBLE) * 1e6 + 0.5)
+                   AS BIGINT) AS g
         FROM shortlist s
         JOIN e qe ON qe.id = s.query_id
         JOIN e ne ON ne.id = s.neighbor_id,
              (SELECT unnest(generate_series(1, {dim})) AS i) dd
         GROUP BY 1, 2)
-    SELECT query_id, neighbor_id, dist,
+    SELECT query_id, neighbor_id,
+           CAST(g AS DOUBLE) / 1e6 AS dist,
            CAST(rank AS INTEGER) AS rank
     FROM (
-        SELECT query_id, neighbor_id, dist,
+        SELECT query_id, neighbor_id, g,
                row_number() OVER (PARTITION BY query_id
-                   ORDER BY dist, neighbor_id) AS rank
+                   ORDER BY g, neighbor_id) AS rank
         FROM refined)
     WHERE rank <= {k}
     """
