@@ -35,6 +35,9 @@ __all__ = [
     "write_inverted_index",
     "load_postings",
     "sql_string_list",
+    "bm25_multi",
+    "retrieval_metrics",
+    "retrieval_eval_oracle_sql",
 ]
 
 
@@ -207,3 +210,295 @@ def load_postings(
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(query_terms))
     )
+
+
+# ------------------------------------------------- retrieval evaluation
+
+
+def _dcg_weights(k: int) -> list[float]:
+    """Position weights w[p] = 1/log2(p+1), p = 1..k — computed ONCE
+    in Python and embedded as literals in both engines, so no runtime
+    log2 ever crosses the engine boundary (DuckDB's libm need not
+    agree with the JVM's at the last bit)."""
+    import math
+
+    return [1.0 / math.log2(p + 1) for p in range(1, k + 1)]
+
+
+def _cum_weights(k: int) -> list[float]:
+    """W[i] = sum of the first i position weights (W[0] = 0) — the
+    prefix sums that turn a grade histogram into IDCG without sorting:
+    a run of equal-grade ideal positions [s+1 .. e] contributes
+    gain * (W[e] - W[s]). Prefix sums are accumulated in Python, so
+    both engines read the identical double literal."""
+    ws = _dcg_weights(k)
+    out = [0.0]
+    for w in ws:
+        out.append(out[-1] + w)
+    return out
+
+
+def bm25_multi(
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch BM25: every query in ``queries`` scored in ONE corpus
+    scan. Returns ALL matching (query_id, doc_id, bm25, grade) rows —
+    grade = number of distinct query terms the document contains (the
+    graded-relevance signal :func:`retrieval_metrics` consumes);
+    no top-k here, so the caller decides the cut.
+
+    Scale shape: the union term set filters the token stream before
+    the tf shuffle (exactly :func:`bm25_topk`); the (query_id, term)
+    map is dimension-sized and broadcast, so fanning a posting out to
+    the queries that want it is a map-side multiply, not a second
+    scan per query.
+    """
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
+        "query_id string, term string",
+    )
+    toks = tokens(docs, id_col, text_col)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("tot_dl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(all_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "s",
+            F.expr(
+                "ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)"
+                " + 1.0)"
+                f" * (CAST(tf AS DOUBLE) * ({k1} + 1.0))"
+                f" / (CAST(tf AS DOUBLE) + {k1} * (1.0 - {b} + {b}"
+                " * CAST(dl AS DOUBLE) / (CAST(tot_dl AS DOUBLE) / n_docs)))"
+            ),
+        )
+        .join(F.broadcast(qt), "term")
+    )
+    return scored.groupBy("query_id", id_col).agg(
+        F.sum(F.round("s", 12).cast("decimal(24,12)"))
+        .cast("double")
+        .alias("bm25"),
+        F.count(F.lit(1)).cast("int").alias("grade"),
+    )
+
+
+def retrieval_metrics(
+    matches: DataFrame,
+    k: int = 10,
+    rel_min: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-query ranking quality over a scored match set: nDCG@k
+    (Järvelin & Kekäläinen TOIS'02, gains 2^grade - 1), MRR@k,
+    precision@k and recall@k with "relevant" = grade >= ``rel_min``.
+    Input is :func:`bm25_multi`'s (query_id, doc_id, score-as-bm25,
+    grade) frame — or any ranker's, which is the point: the evaluator
+    is ranker-agnostic.
+
+    Scale shape: the ONLY per-query sort is the bounded top-k window
+    (rank by score). IDCG does NOT re-sort the full match set — the
+    ideal ranking of a grade multiset depends only on the per-grade
+    COUNTS, so it comes from a map-side-combinable (query, grade)
+    histogram plus Python-literal prefix-sum weights: a run of
+    ideal positions [s+1..e] at gain g contributes g * (W[e] - W[s]).
+    Every log2 is a Python literal; ratios divide identical doubles.
+
+    Returns (query_id, ndcg, mrr, precision, recall, n_relevant).
+    """
+    from pyspark.sql import Window
+
+    w_arr = F.array(*[F.lit(w) for w in _dcg_weights(k)])
+    cw = _cum_weights(k)
+    cw_arr = F.array(*[F.lit(x) for x in cw])
+
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc(id_col)
+    )
+    ranked = (
+        matches.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+    )
+    gain = F.expr("shiftleft(1, grade) - 1")
+    top = ranked.groupBy("query_id").agg(
+        F.sum(
+            F.round(
+                gain.cast("double") * F.element_at(w_arr, F.col("rank")), 12
+            ).cast("decimal(24,12)")
+        )
+        .cast("double")
+        .alias("dcg"),
+        F.sum(
+            F.when(F.col("grade") >= rel_min, 1).otherwise(0)
+        ).alias("hits"),
+        F.min(
+            F.when(F.col("grade") >= rel_min, F.col("rank"))
+        ).alias("first_rel"),
+    )
+    hist = matches.groupBy("query_id", "grade").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # ideal positions for grade g start after all higher-grade docs
+    higher_w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.desc("grade"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("cnt").over(higher_w), F.lit(0))
+    ideal = (
+        hist.withColumn("s", F.least(start, F.lit(k)))
+        .withColumn("e", F.least(start + F.col("cnt"), F.lit(k)))
+        .withColumn(
+            "contrib",
+            F.round(
+                gain.cast("double")
+                * (
+                    F.element_at(cw_arr, F.col("e").cast("int") + 1)
+                    - F.element_at(cw_arr, F.col("s").cast("int") + 1)
+                ),
+                12,
+            ),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.col("contrib").cast("decimal(24,12)"))
+            .cast("double")
+            .alias("idcg"),
+            F.sum(
+                F.when(F.col("grade") >= rel_min, F.col("cnt")).otherwise(0)
+            ).cast("bigint").alias("n_relevant"),
+        )
+    )
+    return (
+        top.join(ideal, "query_id")
+        .select(
+            "query_id",
+            F.when(F.col("idcg") > 0.0,
+                   F.round(F.col("dcg") / F.col("idcg"), 6))
+            .otherwise(F.lit(0.0)).alias("ndcg"),
+            F.coalesce(
+                F.round(F.lit(1.0) / F.col("first_rel"), 6), F.lit(0.0)
+            ).alias("mrr"),
+            F.round(F.col("hits") / F.lit(float(k)), 6).alias("precision"),
+            F.when(F.col("n_relevant") > 0,
+                   F.round(F.col("hits") / F.col("n_relevant"), 6))
+            .otherwise(F.lit(0.0)).alias("recall"),
+            "n_relevant",
+        )
+    )
+
+
+def retrieval_eval_oracle_sql(
+    table: str,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    rel_min: int = 2,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB mirror of ``bm25_multi`` |> ``retrieval_metrics`` —
+    identical expression shapes, identical Python-literal log2
+    weights, identical decimal-sum reductions."""
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    in_list = sql_string_list(all_terms)
+    qt_rows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, ts in sorted(queries.items())
+        for t in ts
+    )
+    w_list = ", ".join(repr(w) for w in _dcg_weights(k))
+    cw_list = ", ".join(repr(x) for x in _cum_weights(k))
+    return f"""
+    WITH qt(query_id, term) AS (VALUES {qt_rows}),
+    wts AS (SELECT [{w_list}] AS w, [{cw_list}] AS cw),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}),
+    toks2 AS (SELECT * FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM toks2 GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS tot_dl FROM dl),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks2 WHERE term IN ({in_list}) GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY term),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf AS DOUBLE) * ({k1} + 1.0))
+               / (CAST(tf AS DOUBLE) + {k1} * (1.0 - {b} + {b}
+                  * CAST(dl AS DOUBLE)
+                  / (CAST(tot_dl AS DOUBLE) / n_docs))) AS s
+        FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
+             JOIN qt USING (term), stats),
+    matches AS (
+        SELECT query_id, doc_id,
+               CAST(SUM(CAST(round(s, 12) AS DECIMAL(24,12))) AS DOUBLE)
+                   AS bm25,
+               CAST(COUNT(*) AS INTEGER) AS grade
+        FROM scored GROUP BY 1, 2),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY bm25 DESC, doc_id) AS rank
+        FROM matches QUALIFY rank <= {k}),
+    top AS (
+        SELECT query_id,
+               CAST(SUM(CAST(round(
+                   CAST((1 << grade) - 1 AS DOUBLE) * w[rank], 12)
+                   AS DECIMAL(24,12))) AS DOUBLE) AS dcg,
+               SUM(CASE WHEN grade >= {rel_min} THEN 1 ELSE 0 END) AS hits,
+               MIN(CASE WHEN grade >= {rel_min} THEN rank END) AS first_rel
+        FROM ranked, wts GROUP BY query_id),
+    hist AS (
+        SELECT query_id, grade, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM matches GROUP BY 1, 2),
+    ideal AS (
+        SELECT query_id,
+               CAST(SUM(CAST(round(
+                   CAST((1 << grade) - 1 AS DOUBLE)
+                   * (cw[CAST(e AS INTEGER) + 1]
+                      - cw[CAST(s AS INTEGER) + 1]), 12)
+                   AS DECIMAL(24,12))) AS DOUBLE) AS idcg,
+               CAST(SUM(CASE WHEN grade >= {rel_min} THEN cnt ELSE 0 END)
+                   AS BIGINT) AS n_relevant
+        FROM (
+            SELECT query_id, grade, cnt,
+                   least(COALESCE(SUM(cnt) OVER (PARTITION BY query_id
+                       ORDER BY grade DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0), {k}) AS s,
+                   least(COALESCE(SUM(cnt) OVER (PARTITION BY query_id
+                       ORDER BY grade DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) + cnt, {k}) AS e
+            FROM hist), wts
+        GROUP BY query_id)
+    SELECT t.query_id,
+           CASE WHEN idcg > 0.0 THEN round(dcg / idcg, 6)
+                ELSE 0.0 END AS ndcg,
+           COALESCE(round(CAST(1.0 AS DOUBLE) / first_rel, 6), 0.0) AS mrr,
+           round(CAST(hits AS DOUBLE) / {float(k)}, 6) AS precision,
+           CASE WHEN n_relevant > 0
+                THEN round(CAST(hits AS DOUBLE) / n_relevant, 6)
+                ELSE 0.0 END AS recall,
+           n_relevant
+    FROM top t JOIN ideal i ON t.query_id = i.query_id
+    """

@@ -115,6 +115,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q209_duplicate_spans",
     "q210_simhash_dedup_groups",
     "q211_ivf_pq_topk",
+    "q212_retrieval_eval",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -9081,3 +9082,47 @@ def _init_q211() -> None:
 
 
 _init_q211()
+
+
+# --------------------------------------------------------------------
+# q212 — retrieval quality evaluation (nDCG@10 / MRR / P@10 / R@10)
+# --------------------------------------------------------------------
+
+_Q212_QUERIES = {
+    "q_hash_stream_vector": ["hash", "stream", "vector"],
+    "q_join_filter_sort": ["join", "filter", "sort"],
+    "q_window_group_order": ["window", "group", "order"],
+    "q_scan_merge_batch": ["scan", "merge", "batch"],
+}
+
+
+def _init_q212() -> None:
+    from ..functions.search import (
+        bm25_multi,
+        retrieval_eval_oracle_sql,
+        retrieval_metrics,
+    )
+
+    @register(
+        "q212_retrieval_eval",
+        retrieval_eval_oracle_sql("documents", _Q212_QUERIES, k=10,
+                                  rel_min=3),
+        doc="Retrieval quality harness (functions/search.py "
+            "bm25_multi |> retrieval_metrics): four probe queries "
+            "BM25-ranked in ONE corpus scan, then per-query nDCG@10 "
+            "(Järvelin & Kekäläinen TOIS'02 graded gains, grade = "
+            "distinct query terms matched), MRR@10, precision@10 and "
+            "recall@10 with relevant = all-terms match. The eval "
+            "half of a RAG/search curation loop next to q119 (BM25) "
+            "and q180 (RRF fusion). Every log2 weight is a Python "
+            "literal shared by both engines; IDCG comes from a "
+            "map-side grade histogram + prefix-sum weights, not a "
+            "second full sort — the only per-query ordering is the "
+            "bounded top-10 window.",
+    )
+    def q212_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        m = bm25_multi(table(spark, sf_dir, "documents"), _Q212_QUERIES)
+        return retrieval_metrics(m, k=10, rel_min=3)
+
+
+_init_q212()

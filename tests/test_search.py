@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 
 from node_etl_spark.functions.search import bm25_topk, inverted_index, tokens
+from pyspark.sql import functions as F
 
 DOCS = [
     (1, "spark spark hash join"),
@@ -105,3 +106,69 @@ def test_posting_store_prunes_to_query_buckets(spark, tmp_path):
     assert "PartitionFilters" in plan and "bucket#" in plan
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "bucket IN" in scan or "bucket#" in scan
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    # 1 query, k=3: ranked docs with grades (2, 0, 1); one more
+    # grade-2 doc exists but was not retrieved
+    from node_etl_spark.functions.search import (
+        _cum_weights, _dcg_weights, retrieval_metrics,
+    )
+
+    m = spark.createDataFrame(
+        [("q", 10, 9.0, 2), ("q", 11, 8.0, 0), ("q", 12, 7.0, 1),
+         ("q", 13, 1.0, 2)],  # rank 4: outside the k=3 cut
+        "query_id string, doc_id bigint, bm25 double, grade int",
+    )
+    out = retrieval_metrics(m, k=3, rel_min=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    w = _dcg_weights(3)
+    dcg = 3 * w[0] + 0 * w[1] + 1 * w[2]
+    # ideal grades within k=3: (2, 2, 1) -> gains (3, 3, 1)
+    idcg = 3 * w[0] + 3 * w[1] + 1 * w[2]
+    assert abs(r.ndcg - round(dcg / idcg, 6)) < 1e-9
+    assert r.mrr == 1.0          # first relevant at rank 1
+    assert abs(r.precision - round(1 / 3, 6)) < 1e-9
+    assert r.recall == 0.5       # 1 of 2 grade>=2 docs retrieved
+    assert r.n_relevant == 2
+    # prefix sums consistent with the weights they accumulate
+    cw = _cum_weights(3)
+    assert abs(cw[3] - sum(w)) < 1e-12
+
+
+def test_retrieval_metrics_no_relevant_docs(spark):
+    m = spark.createDataFrame(
+        [("q", 1, 2.0, 1), ("q", 2, 1.0, 1)],
+        "query_id string, doc_id bigint, bm25 double, grade int",
+    )
+    r = retrieval_metrics_one(spark, m)
+    assert r.mrr == 0.0 and r.recall == 0.0 and r.n_relevant == 0
+    assert r.ndcg > 0.0  # graded gains still rank the grade-1 docs
+
+
+def retrieval_metrics_one(spark, m):
+    from node_etl_spark.functions.search import retrieval_metrics
+
+    rows = retrieval_metrics(m, k=3, rel_min=2).collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_bm25_multi_matches_single_query(spark, sf_dir):
+    # bm25_multi's per-query scores must equal bm25_topk's for the
+    # same term bag (one scan for N queries is an optimization, not a
+    # semantic change)
+    from node_etl_spark.functions.search import bm25_multi
+    from node_etl_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    terms = ["hash", "stream", "vector"]
+    single = {r.doc_id: r.bm25 for r in bm25_topk(docs, terms, k=5).collect()}
+    multi = bm25_multi(docs, {"q0": terms, "q1": ["join"]})
+    got = {
+        r.doc_id: r.bm25
+        for r in multi.filter("query_id = 'q0'")
+        .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(5).collect()
+    }
+    assert got == single
