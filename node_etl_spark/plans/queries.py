@@ -116,6 +116,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q210_simhash_dedup_groups",
     "q211_ivf_pq_topk",
     "q212_retrieval_eval",
+    "q213_rater_agreement",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -9126,3 +9127,50 @@ def _init_q212() -> None:
 
 
 _init_q212()
+
+
+# --------------------------------------------------------------------
+# q213 — label agreement audit (Cohen's kappa per language)
+# --------------------------------------------------------------------
+
+def _init_q213() -> None:
+    from ..functions import agreement as AG
+
+    labels_sql = """
+    SELECT lang,
+           CASE WHEN n_chars < 200 THEN 0
+                WHEN n_chars < 400 THEN 1 ELSE 2 END AS la,
+           CASE WHEN len(string_split(text, ' ')) < 36 THEN 0
+                WHEN len(string_split(text, ' ')) < 72 THEN 1
+                ELSE 2 END AS lb
+    FROM documents
+    """
+
+    @register(
+        "q213_rater_agreement",
+        AG.cohen_kappa_oracle_sql(labels_sql, group_cols=("lang",)),
+        doc="Chance-corrected label agreement (functions/agreement.py "
+            "cohen_kappa; Cohen 1960): two cheap quality raters — a "
+            "char-length bucketer and a token-count bucketer — scored "
+            "per language. The audit that belongs in front of q187 "
+            "preference pairs / q191 Bradley-Terry: raw percent "
+            "agreement rewards imbalanced marginals, kappa does not. "
+            "One map-side contingency aggregate (<= 9 cells per "
+            "group); marginal products join on the label; ratios are "
+            "single integer divisions — no row survives the first "
+            "shuffle.",
+    )
+    def q213_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents")
+        la = (
+            F.when(F.col("n_chars") < 200, 0)
+            .when(F.col("n_chars") < 400, 1)
+            .otherwise(2)
+        )
+        nt = F.size(F.split("text", " "))
+        lb = F.when(nt < 36, 0).when(nt < 72, 1).otherwise(2)
+        labeled = docs.select("lang", la.alias("la"), lb.alias("lb"))
+        return AG.cohen_kappa(labeled, "la", "lb", group_cols=("lang",))
+
+
+_init_q213()
