@@ -117,6 +117,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q211_ivf_pq_topk",
     "q212_retrieval_eval",
     "q213_rater_agreement",
+    "q214_fs_record_linkage",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -9174,3 +9175,63 @@ def _init_q213() -> None:
 
 
 _init_q213()
+
+
+# --------------------------------------------------------------------
+# q214 — Fellegi-Sunter probabilistic record linkage
+# --------------------------------------------------------------------
+
+def _init_q214() -> None:
+    from ..functions.linkage import FSField, fs_link_oracle_sql, fs_link_pairs
+
+    def _fields():
+        return [
+            FSField(
+                "bal_kbucket",
+                "FLOOR(c_acctbal / CAST(1000.0 AS DOUBLE))",
+                "FLOOR(c_acctbal / CAST(1000.0 AS DOUBLE))",
+                0.95,
+            ),
+            FSField(
+                "name_suffix",
+                "right(c_name, 2)",
+                "right(c_name, 2)",
+                0.9,
+            ),
+            FSField(
+                "bal_unit_digit",
+                "CAST(FLOOR(c_acctbal) AS BIGINT) % 10",
+                "CAST(FLOOR(c_acctbal) AS BIGINT) % 10",
+                0.85,
+            ),
+        ]
+
+    @register(
+        "q214_fs_record_linkage",
+        fs_link_oracle_sql(
+            "customer", _fields(), ("c_nationkey", "c_mktsegment"),
+            "c_custkey",
+        ),
+        doc="Fellegi-Sunter probabilistic record linkage (functions/"
+            "linkage.py; Fellegi & Sunter JASA'69): customers blocked "
+            "by (nation, segment), candidate pairs scored by summed "
+            "per-field log-likelihood weights ln(m/u) / ln((1-m)/"
+            "(1-u)) over three fields with distinct discriminating "
+            "power; u estimated EXACTLY from value frequencies "
+            "(sum c_v^2 / n^2). Pairs land in match / possible-review "
+            "bands; the sub-threshold mass is never materialized. "
+            "Generalizes q125's single-field golden records to "
+            "calibrated multi-field evidence. ln runs once per field "
+            "in a broadcast scalar frame — pair scoring is pure "
+            "fixed-order double addition, no UDF, one block shuffle.",
+    )
+    def q214_fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fs_link_pairs(
+            table(spark, sf_dir, "customer"),
+            _fields(),
+            ("c_nationkey", "c_mktsegment"),
+            "c_custkey",
+        )
+
+
+_init_q214()
