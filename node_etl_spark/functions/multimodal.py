@@ -135,6 +135,7 @@ def ahash60(
     grid_fn: Callable[[bytes], list[int]] = _fake_gray_grid,
     id_col: str = "path",
     content_col: str = "content",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Average-hash (aHash) perceptual fingerprint — the classic
     pHash-family baseline: decode to a small gray grid, then bit i =
@@ -144,12 +145,15 @@ def ahash60(
     feed the output to ``dedup.simhash_band_pairs`` for
     guaranteed-complete near-dup candidates — the same banding scale
     shape as text SimHash, applied to the image modality. Returns
-    (id_col, phash long)."""
+    (id_col, phash long, *carry_cols) — extra columns ride the Arrow
+    batch unchanged (e.g. an album/source segment key for scoped
+    banding), saving the join-back shuffle."""
+    carry = list(carry_cols)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, hashes = [], []
-            for key, content in zip(pdf[id_col], pdf[content_col]):
+            hashes = []
+            for content in pdf[content_col]:
                 cells = grid_fn(bytes(content))
                 total = sum(cells)
                 n = len(cells)
@@ -157,16 +161,17 @@ def ahash60(
                 for i, c in enumerate(cells):
                     if c * n > total:
                         h |= 1 << i
-                ids.append(key)
                 hashes.append(h)
-            yield pd.DataFrame(
-                {id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
-                 "phash": pd.Series(hashes, dtype="int64")}
-            )
+            out = pdf[[id_col, *carry]].reset_index(drop=True)
+            out["phash"] = pd.Series(hashes, dtype="int64")
+            yield out[[id_col, "phash", *carry]]
 
     id_type = binaries.schema[id_col].dataType.simpleString()
-    return binaries.select(id_col, content_col).mapInPandas(
-        batches, schema=f"{id_col} {id_type}, phash long"
+    carry_schema = "".join(
+        f", {c} {binaries.schema[c].dataType.simpleString()}" for c in carry
+    )
+    return binaries.select(id_col, content_col, *carry).mapInPandas(
+        batches, schema=f"{id_col} {id_type}, phash long{carry_schema}"
     )
 
 
@@ -296,3 +301,27 @@ def pcm_energy_oracle_sql(
            CAST(SUM((v - 128) * (v - 128)) AS BIGINT) AS energy
     FROM samp GROUP BY 1, 2
     """
+
+
+def ahash60_phash_sql(text_expr: str = "text") -> str:
+    """DuckDB expression mirroring :func:`ahash60` over the fake
+    gray grid (per-byte-class counts of ``text_expr``): cell i =
+    occurrence count of AHASH_CLASSES[i], bit i = cell*60 > total —
+    the same all-integer rule, so the fingerprint is bit-identical.
+    (A real decoder would make this oracle impossible; the fake grid
+    is exactly what keeps the banding pipeline gateable.)"""
+    cnts = [
+        f"(length({text_expr}) - length(replace({text_expr}, "
+        f"'{c.replace(chr(39), chr(39) * 2)}', '')))"
+        for c in AHASH_CLASSES
+    ]
+    total = " + ".join(f"c{i}" for i in range(len(cnts)))
+    cells = ", ".join(f"{e} AS c{i}" for i, e in enumerate(cnts))
+    bits = " + ".join(
+        f"CASE WHEN c{i} * {len(cnts)} > tot THEN CAST({1 << i} AS BIGINT) "
+        f"ELSE 0 END"
+        for i in range(len(cnts))
+    )
+    return f"""(
+        SELECT {bits} FROM (
+            SELECT *, {total} AS tot FROM (SELECT {cells})))"""

@@ -118,6 +118,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q212_retrieval_eval",
     "q213_rater_agreement",
     "q214_fs_record_linkage",
+    "q215_media_dedup_groups",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -9235,3 +9236,49 @@ def _init_q214() -> None:
 
 
 _init_q214()
+
+
+# --------------------------------------------------------------------
+# q215 — perceptual-hash media dedup groups (multimodal q210)
+# --------------------------------------------------------------------
+
+def _init_q215() -> None:
+    from ..functions.dedup import _band_pairs_sql
+    from ..functions.multimodal import ahash60, ahash60_phash_sql
+
+    pairs_sql = f"""
+    WITH sigs AS (
+        SELECT doc_id, {ahash60_phash_sql("documents.text")} AS simhash,
+               source AS seg
+        FROM documents),
+    {_band_pairs_sql(1, 60, 6, segment=True)}
+    """
+
+    @register(
+        "q215_media_dedup_groups",
+        G.components_oracle_sql(pairs_sql),
+        doc="Perceptual-hash media dedup groups: the image-modality "
+            "twin of q210 — multimodal.ahash60 fingerprints each "
+            "media blob (fake byte-class gray grid standing in for "
+            "decode+resize; the all-integer bit rule keeps it "
+            "oracle-exact), Manku banding scoped per source album "
+            "(segment folded into the 20-bit combo keys), and "
+            "Hamming<=1 near-identical media collapse to keep/drop "
+            "clusters via the one-shuffle blocked union-find. The "
+            "near-dup image dedup step of a multimodal training "
+            "pipeline, sharing the text pipeline's banding plan "
+            "wholesale — one fingerprint swap.",
+    )
+    def q215_media_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents")
+        bins = docs.select(
+            "doc_id", F.encode("text", "UTF-8").alias("content"), "source"
+        )
+        sigs = ahash60(
+            bins, id_col="doc_id", carry_cols=("source",)
+        ).withColumnRenamed("phash", "simhash")
+        pairs = D.simhash_band_pairs(sigs, max_hamming=1, segment_col="source")
+        return G.dedup_clusters(docs, pairs, block_col="source")
+
+
+_init_q215()

@@ -96,3 +96,28 @@ def test_pcm_window_energy_skips_empty_and_null(spark):
     )
     rows = [(r.doc_id, r.win, r.energy) for r in pcm_window_energy(df, window=8).collect()]
     assert rows == [(3, 0, 3 * 128 * 128)]
+
+
+def test_ahash60_carry_cols_and_segment_scoped_pairs(spark):
+    from node_etl_spark.functions import dedup as D
+    from node_etl_spark.functions.multimodal import ahash60
+
+    rows = [
+        (1, b"aaa bbb ccc 123", "album1"),
+        (2, b"aaa bbb ccc 123", "album1"),   # identical -> hamming 0
+        (3, b"aaa bbb ccc 123", "album2"),   # identical but other album
+        (4, b"zzz qqq!!!", "album1"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, content binary, src string"
+    )
+    sigs = ahash60(df, id_col="doc_id", carry_cols=("src",))
+    got = {r.doc_id: (r.phash, r.src) for r in sigs.collect()}
+    assert got[1] == got[2] and got[1][0] == got[3][0]  # same fingerprint
+    assert got[1][1] == "album1" and got[3][1] == "album2"
+    pairs = D.simhash_band_pairs(
+        sigs.withColumnRenamed("phash", "simhash"),
+        max_hamming=1, segment_col="src",
+    ).collect()
+    # only the within-album identical pair survives the segment scope
+    assert [(p.d1, p.d2, p.hamming) for p in pairs] == [(1, 2, 0)]
