@@ -119,6 +119,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q213_rater_agreement",
     "q214_fs_record_linkage",
     "q215_media_dedup_groups",
+    "q216_incremental_neardup",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -9282,3 +9283,44 @@ def _init_q215() -> None:
 
 
 _init_q215()
+
+
+# --------------------------------------------------------------------
+# q216 — incremental near-dup: batch probe of a persisted LSH index
+# --------------------------------------------------------------------
+
+def _init_q216() -> None:
+    from ..functions.dedup import (
+        incremental_neardup_oracle_sql,
+        neardup_index_probe,
+        neardup_index_write,
+    )
+
+    @register(
+        "q216_incremental_neardup",
+        incremental_neardup_oracle_sql(
+            SA.hash_split_case_sql("doc_id", _SPLITS)
+        ),
+        doc="Incremental near-dup against a PERSISTED LSH index "
+            "(functions/dedup.py neardup_index_write/probe): the "
+            "train-split corpus is shingled+minhashed ONCE and "
+            "written as bucket + shingle-posting parquets; the "
+            "test-split batch probes it — band-bucket equi-join "
+            "costs ~batch, never corpus, and exact-Jaccard verify "
+            "touches only candidate postings. THE serving shape at "
+            "100 TB: per-batch cost is independent of corpus size "
+            "(q22 re-hashes everything per run; q93 is "
+            "exact-fingerprint only). The gate goes through the real "
+            "write -> read-back path; the oracle computes both sides "
+            "directly (the parquet round-trip is lossless).",
+    )
+    def q216_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = SA.hash_split(
+            table(spark, sf_dir, "documents"), "doc_id", _SPLITS
+        )
+        path = f"{_SCRATCH}/neardup_index"
+        neardup_index_write(docs.filter("split = 'train'"), path)
+        return neardup_index_probe(docs.filter("split = 'test'"), path)
+
+
+_init_q216()

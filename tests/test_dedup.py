@@ -522,3 +522,24 @@ def test_simhash_dedup_groups_canonical_is_min(spark):
            G.dedup_clusters(docs, pairs, block_col="seg").collect()}
     assert out == {1: (1, True), 2: (1, False), 3: (1, False),
                    5: (5, True), 6: (5, False)}
+
+
+def test_incremental_neardup_probe_finds_planted_match(spark, tmp_path):
+    corpus = docs_df(spark, [
+        (1, " ".join(f"w{i}" for i in range(40))),
+        (2, " ".join(f"x{i}" for i in range(40))),
+    ])
+    # batch doc 10 is a one-token edit of corpus doc 1; 11 is novel
+    batch = docs_df(spark, [
+        (10, " ".join(f"w{i}" for i in range(39)) + " zz"),
+        (11, " ".join(f"y{i}" for i in range(40))),
+    ])
+    path = str(tmp_path / "idx")
+    D.neardup_index_write(corpus, path)
+    got = D.neardup_index_probe(batch, path, threshold=0.8).collect()
+    assert [(r.new_id, r.corpus_id) for r in got] == [(10, 1)]
+    assert got[0].jac > 0.85
+    # probe never pairs batch docs with each other: novel doc absent
+    # appending the batch = appending its bucket/shingle rows; the
+    # index parquets exist and round-trip
+    assert spark.read.parquet(f"{path}/buckets").count() == 8  # 2 docs x 4 bands
