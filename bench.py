@@ -181,6 +181,12 @@ HEADLINE = [
     "q209_duplicate_spans",
     "q210_simhash_dedup_groups",
     "q211_ivf_pq_topk",
+    "q212_retrieval_eval",
+    "q213_rater_agreement",
+    "q214_fs_record_linkage",
+    "q215_media_dedup_groups",
+    "q216_incremental_neardup",
+    "q217_stream_enrich",
 ]
 
 

@@ -120,6 +120,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q214_fs_record_linkage",
     "q215_media_dedup_groups",
     "q216_incremental_neardup",
+    "q217_stream_enrich",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -9324,3 +9325,72 @@ def _init_q216() -> None:
 
 
 _init_q216()
+
+
+# --------------------------------------------------------------------
+# q217 — stream-static broadcast enrichment on the correctness gate
+# --------------------------------------------------------------------
+
+def _init_q217() -> None:
+    @register(
+        "q217_stream_enrich",
+        """
+        SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               n.n_name AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_value
+        FROM events e
+        LEFT JOIN customer c ON e.user_id = c.c_custkey
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+        """,
+        doc="Stream-static enrichment on the gate (streaming/"
+            "stream.py enrich, the reference's unbounded Joiner path "
+            "job-joiner.js:35-102): the events table replayed through "
+            "a real availableNow stream, broadcast-left-joined per "
+            "micro-batch against the customer->nation dimension, then "
+            "1h tumbling windows keyed by nation. The static side is "
+            "re-read per micro-batch (slowly-changing dims without "
+            "restart); no state beyond the window agg, so the final "
+            "state hash-matches the batch oracle exactly. At 100 TB "
+            "the dim stays broadcast-sized while the stream scales "
+            "with partitions — no stream-side shuffle before the agg.",
+    )
+    def q217_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..streaming import stream as st
+
+        nat = table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+        dim = (
+            table(spark, sf_dir, "customer")
+            .select(
+                F.col("c_custkey").alias("user_id"), "c_nationkey"
+            )
+            .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("user_id", "n_name")
+        )
+        sink = _replay_events(
+            spark,
+            sf_dir,
+            ["event_id", "ts", "user_id", "event_type", "value"],
+            lambda source: st.windowed_agg(
+                st.enrich(source(), dim, on="user_id"),
+                keys=("n_name",),
+            ),
+            mode="complete",
+            sink_prefix="q217",
+        )
+        return sink.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.col("n_name").alias("nation"),
+            "n_events",
+            "total_value",
+        )
+
+
+_init_q217()
