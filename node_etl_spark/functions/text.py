@@ -970,3 +970,212 @@ def span_corrupt_sql(
     LEFT JOIN corrupted c ON s.doc_id = c.doc_id
     LEFT JOIN targets t2 ON s.doc_id = t2.doc_id
     """
+
+
+def trigram_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """All consecutive token triples per document WITH multiplicity
+    (the trigram analogue of :func:`bigram_rows`). Arrow-batched
+    narrow pass; one output row per trigram occurrence."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<w1:string,w2:string,w3:string>>")
+    def _triples(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = [w for w in (t or "").split(" ") if w]
+            out.append(
+                [
+                    {"w1": a, "w2": b, "w3": c}
+                    for a, b, c in zip(toks, toks[1:], toks[2:])
+                ]
+            )
+        return pd.Series(out)
+
+    from ..util import spread
+
+    return (
+        spread(df.select(F.col(id_col).alias("doc_id"), text_col))
+        .select("doc_id", F.explode(_triples(F.col(text_col))).alias("g"))
+        .select(
+            "doc_id",
+            F.col("g.w1").alias("w1"),
+            F.col("g.w2").alias("w2"),
+            F.col("g.w3").alias("w3"),
+        )
+    )
+
+
+_KN_D = 0.75  # absolute discount (Kneser-Ney 1995 / Chen-Goodman 1999)
+
+
+def kn_trigram_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Interpolated Kneser-Ney trigram scoring: mean log-probability
+    of each document under a KN-smoothed trigram model trained on the
+    corpus itself (the stronger cousin of :func:`bigram_lm_score`'s
+    add-one model — KN is what CCNet-style perplexity filters actually
+    train). Swap the stats frames to score against a reference corpus.
+
+    Model (absolute discount D=0.75, continuation lower orders, all
+    counts derived from the trigram stream so both engines agree on
+    the event space):
+
+    - ``p3(w3|w1,w2) = max(c3-D,0)/c2 + D*N1+(w1 w2 .)/c2 * p2``
+    - ``p2(w3|w2)    = max(N1+(. w2 w3)-D,0)/N1+(. w2 .)
+                       + D*N1+(w2 .)/N1+(. w2 .) * p1``
+    - ``p1(w3)       = N1+(. w3)/|bigram types|`` (continuation
+      unigram over the distinct-bigram table)
+
+    Every scored trigram is in-corpus (self-trained), so all
+    denominators are positive. Docs with <3 tokens have no trigrams
+    and are absent from the output (length-filter them upstream).
+
+    Scale shape: one Arrow pass to trigram occurrences, one shuffle
+    to per-doc trigram term frequencies; every corpus statistic is a
+    re-aggregation OF that frame (strictly smaller), and scoring
+    joins run on type-space keys — raw text never re-scans. At
+    100 TB the tf3 frame is the only text-sized shuffle, identical
+    in shape to exact-dedup's.
+
+    Cross-engine exactness (the q148 discipline): probabilities are
+    pure IEEE double arithmetic over identical integers with an
+    identical expression tree (deterministic in both engines); each
+    ``tf * ln(p3)`` term is quantized to DECIMAL(28,12) and summed
+    exactly; a final round(6) absorbs sub-ulp libm ln() differences.
+    """
+    tg = trigram_rows(df, text_col=text_col, id_col=id_col)
+    tf3 = tg.groupBy("doc_id", "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    tf3 = tf3.persist()
+    # trigram/bigram occurrence counts over the corpus
+    c3 = tf3.groupBy("w1", "w2", "w3").agg(F.sum("tf").alias("c3"))
+    c2 = c3.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c2"),
+        F.count(F.lit(1)).alias("n3f"),  # N1+(w1 w2 .)
+    )
+    # continuation statistics over the trigram TYPE table
+    cc2 = c3.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("cc2")  # N1+(. w2 w3)
+    )
+    mid = cc2.groupBy("w2").agg(
+        F.sum("cc2").alias("mid"),  # N1+(. w2 .)
+        F.count(F.lit(1)).alias("n2f"),  # N1+(w2 .)
+    )
+    # continuation unigram over the distinct-bigram table of the
+    # corpus (last two positions of each trigram type)
+    big = cc2.select("w2", "w3")
+    prec = big.groupBy("w3").agg(F.count(F.lit(1)).alias("prec"))
+    bt = big.agg(F.count(F.lit(1)).alias("bt"))
+
+    D = F.lit(_KN_D)
+    p1 = F.col("prec").cast("double") / F.col("bt").cast("double")
+    p2 = (
+        F.greatest(F.col("cc2").cast("double") - D, F.lit(0.0))
+        / F.col("mid").cast("double")
+        + (
+            D
+            * F.col("n2f").cast("double")
+            / F.col("mid").cast("double")
+        )
+        * p1
+    )
+    p3 = (
+        F.greatest(F.col("c3").cast("double") - D, F.lit(0.0))
+        / F.col("c2").cast("double")
+        + (
+            D
+            * F.col("n3f").cast("double")
+            / F.col("c2").cast("double")
+        )
+        * p2
+    )
+    term = (
+        tf3.join(c3, ["w1", "w2", "w3"])
+        .join(c2, ["w1", "w2"])
+        .join(cc2, ["w2", "w3"])
+        .join(mid, "w2")
+        .join(prec, "w3")
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "doc_id",
+            "tf",
+            (F.col("tf") * F.log(p3)).cast("decimal(28,12)").alias("t"),
+        )
+    )
+    return (
+        term.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_trigrams"),
+            F.sum("t").cast("double").alias("__tsum"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            F.round(
+                F.col("__tsum") / F.col("n_trigrams").cast("double"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def kn_trigram_oracle_sql(
+    table: str = "documents", text: str = "text", id_: str = "doc_id"
+) -> str:
+    """DuckDB mirror of :func:`kn_trigram_score` — same counts, same
+    IEEE expression tree (doubles forced via CAST/e-notation so DuckDB
+    never falls into DECIMAL arithmetic), same DECIMAL(28,12) term
+    quantization, same final rounding."""
+    return f"""
+    WITH toks AS (
+        SELECT {id_} AS doc_id, list_filter(string_split({text}, ' '),
+               w -> w <> '') AS ts
+        FROM {table}),
+    tg AS (
+        SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
+        FROM toks, unnest(range(1, len(ts) - 1)) AS t(i)),
+    tf3 AS (
+        SELECT doc_id, w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tg GROUP BY 1, 2, 3, 4),
+    c3 AS (SELECT w1, w2, w3, CAST(SUM(tf) AS BIGINT) AS c3
+           FROM tf3 GROUP BY 1, 2, 3),
+    c2 AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c2,
+                  CAST(COUNT(*) AS BIGINT) AS n3f
+           FROM c3 GROUP BY 1, 2),
+    cc2 AS (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS cc2
+            FROM c3 GROUP BY 1, 2),
+    mid AS (SELECT w2, CAST(SUM(cc2) AS BIGINT) AS mid,
+                   CAST(COUNT(*) AS BIGINT) AS n2f
+            FROM cc2 GROUP BY 1),
+    prec AS (SELECT w3, CAST(COUNT(*) AS BIGINT) AS prec
+             FROM (SELECT w2, w3 FROM cc2) GROUP BY 1),
+    bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM cc2),
+    term AS (
+        SELECT tf3.doc_id, tf3.tf,
+               CAST(tf3.tf * ln(
+                   greatest(CAST(c3.c3 AS DOUBLE) - 0.75e0, 0e0)
+                       / CAST(c2.c2 AS DOUBLE)
+                   + (0.75e0 * CAST(c2.n3f AS DOUBLE)
+                      / CAST(c2.c2 AS DOUBLE))
+                   * (greatest(CAST(cc2.cc2 AS DOUBLE) - 0.75e0, 0e0)
+                          / CAST(mid.mid AS DOUBLE)
+                      + (0.75e0 * CAST(mid.n2f AS DOUBLE)
+                         / CAST(mid.mid AS DOUBLE))
+                      * (CAST(prec.prec AS DOUBLE)
+                         / CAST(bt.bt AS DOUBLE)))
+               ) AS DECIMAL(28,12)) AS t
+        FROM tf3
+        JOIN c3 USING (w1, w2, w3)
+        JOIN c2 USING (w1, w2)
+        JOIN cc2 USING (w2, w3)
+        JOIN mid USING (w2)
+        JOIN prec USING (w3), bt)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+           round(CAST(SUM(t) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6)
+               AS avg_logprob
+    FROM term GROUP BY doc_id
+    """

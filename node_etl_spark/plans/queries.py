@@ -9394,3 +9394,29 @@ def _init_q217() -> None:
 
 
 _init_q217()
+
+
+# --------------------------------------------------------------------
+# q218 — Kneser-Ney trigram LM scoring (CCNet-grade perplexity filter)
+# --------------------------------------------------------------------
+
+def _init_q218() -> None:
+    @register(
+        "q218_kn_trigram_score",
+        T.kn_trigram_oracle_sql(),
+        doc="Interpolated Kneser-Ney trigram scoring "
+            "(functions/text.py kn_trigram_score): mean log-prob of "
+            "each document under a KN-smoothed trigram model with "
+            "continuation lower orders — the model family CCNet-style "
+            "perplexity filters actually train, upgrading q148's "
+            "add-one bigram. All statistics are re-aggregations of "
+            "the per-doc trigram tf frame (one text-sized shuffle); "
+            "scoring joins run in type space. Exactness: identical "
+            "integer counts, identical IEEE double expression tree, "
+            "DECIMAL(28,12) term quantization, round(6) finish.",
+    )
+    def q218_kn_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return T.kn_trigram_score(table(spark, sf_dir, "documents"))
+
+
+_init_q218()

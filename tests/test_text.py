@@ -334,3 +334,118 @@ def test_span_corrupt_zero_rate_is_identity(spark):
     assert r.n_masked == 0 and r.n_spans == 0
     assert r.corrupted_fp == hashlib.md5(b"x y z").hexdigest()
     assert r.target_fp == hashlib.md5(b"").hexdigest()
+
+
+def _kn_py_mirror(docs):
+    """Independent plain-Python interpolated-KN trigram mirror."""
+    import math
+    from collections import Counter, defaultdict
+
+    D = 0.75
+    toks = {i: [w for w in t.split(" ") if w] for i, t in docs}
+    tris = {
+        i: list(zip(ts, ts[1:], ts[2:])) for i, ts in toks.items()
+    }
+    c3 = Counter(g for gs in tris.values() for g in gs)
+    c2, n3f = Counter(), defaultdict(set)
+    cc2 = defaultdict(set)
+    for (w1, w2, w3), c in c3.items():
+        c2[(w1, w2)] += c
+        n3f[(w1, w2)].add(w3)
+        cc2[(w2, w3)].add(w1)
+    mid, n2f = Counter(), defaultdict(set)
+    prec = defaultdict(set)
+    for (w2, w3), pres in cc2.items():
+        mid[w2] += len(pres)
+        n2f[w2].add(w3)
+        prec[w3].add(w2)
+    bt = len(cc2)
+
+    def p3(w1, w2, w3):
+        p1 = len(prec[w3]) / bt
+        p2 = max(len(cc2[(w2, w3)]) - D, 0) / mid[w2] + (
+            D * len(n2f[w2]) / mid[w2]
+        ) * p1
+        return max(c3[(w1, w2, w3)] - D, 0) / c2[(w1, w2)] + (
+            D * len(n3f[(w1, w2)]) / c2[(w1, w2)]
+        ) * p2
+
+    out = {}
+    for i, gs in tris.items():
+        if not gs:
+            continue
+        s = sum(math.log(p3(*g)) for g in gs)
+        out[i] = (len(gs), round(s / len(gs), 6))
+    return out
+
+
+def test_kn_trigram_score_matches_python_mirror(spark):
+    docs = [
+        (1, "a b c a b d"),
+        (2, "a b c"),
+        (3, "d c b a d c"),
+        (4, "ab"),  # <3 tokens: absent from output
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_trigrams, r.avg_logprob)
+        for r in T.kn_trigram_score(df).collect()
+    }
+    want = _kn_py_mirror(docs)
+    assert set(got) == set(want) == {1, 2, 3}
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 2e-6, (i, got[i], want[i])
+
+
+def test_kn_trigram_probabilities_sum_to_one(spark):
+    # over the full vocab, p3(.|w1,w2) must be a distribution for any
+    # seen context — the property that distinguishes KN smoothing from
+    # an ad-hoc score
+    docs = [(1, "a b c a b d b c a"), (2, "c a b c d a")]
+    want = _kn_py_mirror(docs)  # builds the stats; reuse its closure
+    import math
+    from collections import Counter, defaultdict
+
+    D = 0.75
+    toks = [w for _, t in docs for w in t.split(" ") if w]
+    vocab = sorted(set(toks))
+    tris = [
+        g
+        for _, t in docs
+        for g in zip(
+            [w for w in t.split(" ") if w],
+            [w for w in t.split(" ") if w][1:],
+            [w for w in t.split(" ") if w][2:],
+        )
+    ]
+    c3 = Counter(tris)
+    c2, n3f = Counter(), defaultdict(set)
+    cc2 = defaultdict(set)
+    for (w1, w2, w3), c in c3.items():
+        c2[(w1, w2)] += c
+        n3f[(w1, w2)].add(w3)
+        cc2[(w2, w3)].add(w1)
+    mid, n2f = Counter(), defaultdict(set)
+    prec = defaultdict(set)
+    for (w2, w3), pres in cc2.items():
+        mid[w2] += len(pres)
+        n2f[w2].add(w3)
+        prec[w3].add(w2)
+    bt = len(cc2)
+    # p1 is a distribution over vocab only when every vocab word is a
+    # continuation (true here: corpus chosen so every word follows
+    # something); then each interpolation level preserves total mass
+    assert abs(sum(len(prec[w]) / bt for w in vocab) - 1.0) < 1e-12
+    for ctx in {(w1, w2) for (w1, w2, _) in c3}:
+        total = 0.0
+        for w3 in vocab:
+            p1 = len(prec[w3]) / bt
+            p2 = max(len(cc2[(ctx[1], w3)]) - D, 0) / mid[ctx[1]] + (
+                D * len(n2f[ctx[1]]) / mid[ctx[1]]
+            ) * p1
+            total += max(c3[(ctx[0], ctx[1], w3)] - D, 0) / c2[ctx] + (
+                D * len(n3f[ctx]) / c2[ctx]
+            ) * p2
+        assert abs(total - 1.0) < 1e-9, (ctx, total)
