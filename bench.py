@@ -187,6 +187,8 @@ HEADLINE = [
     "q215_media_dedup_groups",
     "q216_incremental_neardup",
     "q217_stream_enrich",
+    "q218_kn_trigram_score",
+    "q219_dsir_select",
 ]
 
 

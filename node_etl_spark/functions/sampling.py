@@ -14,6 +14,9 @@ sibling of dedup.py/similarity.py.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified
+# annotations against the defining module's globals
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -536,4 +539,160 @@ def temperature_mix_sql(
     SELECT d.{id_col}, d.{source_col}, r.keep_rate
     FROM {table} d JOIN rates r USING ({source_col})
     WHERE CAST({bucket} AS DOUBLE) < r.keep_rate * {float(BUCKETS)!r}
+    """
+
+
+def dsir_select(
+    df: DataFrame,
+    target_pred: str,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    NeurIPS 2023): score every document by how much more likely its
+    tokens are under a unigram model of the TARGET distribution
+    (rows satisfying ``target_pred``) than under the raw-corpus
+    model, and select the top ``k``. The paper hashes n-grams into
+    10k buckets; unigrams over the shared corpus vocabulary keep the
+    estimator exact here — swap the token stream for hashed n-grams
+    at production vocab sizes.
+
+    ``log_ratio(d) = (1/|d|) * sum_w tf_w(d)
+                     * ln(p_t(w) / p_r(w))``,
+    with add-one smoothing over the raw-corpus vocabulary for both
+    models (shared support, so unseen-in-target words contribute a
+    finite negative ratio rather than -inf).
+
+    Returns (doc_id, n_tokens, log_ratio, selected) for every doc
+    with >=1 token; ``selected`` marks the top-k by (log_ratio desc,
+    doc_id) — per-token normalization keeps long documents from
+    dominating, the length-bias fix the paper applies.
+
+    Scale shape: one shuffle to per-doc token tf (the exact-dedup
+    shape); both unigram models are re-aggregations of that frame;
+    scoring joins run on vocabulary keys; the top-k is one global
+    sort of doc-level rows. Exactness: integer counts, identical
+    IEEE trees, DECIMAL(28,12) terms, round(6) finish — ranks then
+    agree engine-to-engine because the rounded scores do.
+    """
+    from ..util import spread
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _toks(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [[w for w in (t or "").split(" ") if w] for t in texts]
+        )
+
+    base = spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(target_pred).alias("is_t"),
+            text_col,
+        )
+    ).select(
+        "doc_id", "is_t", F.explode(_toks(F.col(text_col))).alias("w")
+    )
+    tf = base.groupBy("doc_id", "is_t", "w").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    tf = tf.persist()
+    raw = tf.groupBy("w").agg(F.sum("tf").alias("cr"))
+    tgt = (
+        tf.filter("is_t")
+        .groupBy("w")
+        .agg(F.sum("tf").alias("ct"))
+    )
+    totals = tf.agg(
+        F.sum("tf").alias("nr"),
+        F.sum(F.when(F.col("is_t"), F.col("tf")).otherwise(F.lit(0))).alias("nt"),
+        F.countDistinct("w").alias("v"),
+    )
+    pt = (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double") / (
+        F.col("nt") + F.col("v")
+    ).cast("double")
+    pr = (F.col("cr") + F.lit(1)).cast("double") / (
+        F.col("nr") + F.col("v")
+    ).cast("double")
+    term = (
+        tf.join(raw, "w")
+        .join(tgt, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "tf",
+            (F.col("tf") * F.log(pt / pr))
+            .cast("decimal(28,12)")
+            .alias("t"),
+        )
+    )
+    scored = (
+        term.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum("t").cast("double").alias("__tsum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("__tsum") / F.col("n_tokens").cast("double"), 6
+            ).alias("log_ratio"),
+        )
+    )
+    w = Window.orderBy(F.col("log_ratio").desc(), F.col("doc_id"))
+    return scored.withColumn(
+        "selected", (F.row_number().over(w) <= k).cast("boolean")
+    )
+
+
+def dsir_oracle_sql(
+    target_pred: str,
+    k: int = 100,
+    table: str = "documents",
+    text: str = "text",
+    id_: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`dsir_select` (same smoothing, same
+    expression tree, same quantization and tiebreak)."""
+    return f"""
+    WITH base AS (
+        SELECT doc_id, is_t,
+               unnest(list_filter(string_split(txt, ' '),
+                                  x -> x <> '')) AS w
+        FROM (SELECT {id_} AS doc_id, ({target_pred}) AS is_t,
+                     {text} AS txt
+              FROM {table})),
+    tf AS (
+        SELECT doc_id, is_t, w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM base GROUP BY 1, 2, 3),
+    raw AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS cr FROM tf GROUP BY 1),
+    tgt AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS ct
+            FROM tf WHERE is_t GROUP BY 1),
+    totals AS (
+        SELECT CAST(SUM(tf) AS BIGINT) AS nr,
+               CAST(SUM(CASE WHEN is_t THEN tf ELSE 0 END) AS BIGINT)
+                   AS nt,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+        FROM tf),
+    term AS (
+        SELECT tf.doc_id, tf.tf,
+               CAST(tf.tf * ln(
+                   (CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+                    / CAST(totals.nt + totals.v AS DOUBLE))
+                   / (CAST(raw.cr + 1 AS DOUBLE)
+                      / CAST(totals.nr + totals.v AS DOUBLE))
+               ) AS DECIMAL(28,12)) AS t
+        FROM tf JOIN raw USING (w) LEFT JOIN tgt USING (w), totals),
+    scored AS (
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               round(CAST(SUM(t) AS DOUBLE)
+                     / CAST(SUM(tf) AS DOUBLE), 6) AS log_ratio
+        FROM term GROUP BY doc_id)
+    SELECT doc_id, n_tokens, log_ratio,
+           (row_number() OVER (ORDER BY log_ratio DESC, doc_id)
+            <= {k}) AS selected
+    FROM scored
     """

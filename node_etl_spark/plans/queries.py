@@ -121,6 +121,8 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q215_media_dedup_groups",
     "q216_incremental_neardup",
     "q217_stream_enrich",
+    "q218_kn_trigram_score",
+    "q219_dsir_select",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -9420,3 +9422,30 @@ def _init_q218() -> None:
 
 
 _init_q218()
+
+
+# --------------------------------------------------------------------
+# q219 — DSIR: data selection via importance resampling
+# --------------------------------------------------------------------
+
+def _init_q219() -> None:
+    @register(
+        "q219_dsir_select",
+        SA.dsir_oracle_sql("lang = 'en'", k=100),
+        doc="DSIR data selection (functions/sampling.py dsir_select, "
+            "Xie et al. NeurIPS 2023): per-token log importance ratio "
+            "of a target unigram model (lang='en' docs) over the raw "
+            "corpus model, add-one smoothed on shared support; top-k "
+            "selection with deterministic tiebreak. One text-sized "
+            "shuffle to per-doc token tf; models are re-aggregations; "
+            "scoring joins in vocab space; doc-level top-k sort. "
+            "Exactness: q148 decimal-term discipline, ranks agree "
+            "because the round(6) scores do.",
+    )
+    def q219_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return SA.dsir_select(
+            table(spark, sf_dir, "documents"), "lang = 'en'", k=100
+        )
+
+
+_init_q219()

@@ -424,3 +424,54 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
     from collections import Counter
     counts = Counter(r.split_key for r in out)
     assert max(counts.values()) > 1
+
+
+def test_dsir_select_mirror_and_ranking(spark):
+    import math
+    from collections import Counter
+
+    from node_etl_spark.functions.sampling import dsir_select
+
+    # English-looking docs (target) share vocabulary; noise docs don't
+    docs = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the dog sat on the rug", "en"),
+        (3, "qq zz qq xx zz yy", "xx"),
+        (4, "the cat and the dog sat", "xx"),  # en-like but not target
+        (5, "zz yy xx qq", "xx"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: r
+        for r in dsir_select(df, "lang = 'en'", k=2).collect()
+    }
+
+    # plain-python mirror
+    tf = {
+        i: Counter(t.split(" ")) for i, t, _ in docs
+    }
+    cr = Counter()
+    ct = Counter()
+    for i, t, lg in docs:
+        cr.update(tf[i])
+        if lg == "en":
+            ct.update(tf[i])
+    nr, nt, v = sum(cr.values()), sum(ct.values()), len(cr)
+    want = {}
+    for i, _, _ in docs:
+        n = sum(tf[i].values())
+        s = sum(
+            c * math.log(((ct[w] + 1) / (nt + v)) / ((cr[w] + 1) / (nr + v)))
+            for w, c in tf[i].items()
+        )
+        want[i] = round(s / n, 6)
+    for i in want:
+        assert out[i].n_tokens == sum(tf[i].values())
+        assert abs(out[i].log_ratio - want[i]) < 2e-6, (i, out[i], want[i])
+    # the en-like doc 4 outranks the pure-noise docs
+    assert out[4].log_ratio > out[3].log_ratio
+    assert out[4].log_ratio > out[5].log_ratio
+    # exactly k selected, and they are the top-ranked by (score, id)
+    sel = {i for i, r in out.items() if r.selected}
+    top2 = sorted(want, key=lambda i: (-want[i], i))[:2]
+    assert sel == set(top2) and len(sel) == 2
