@@ -189,6 +189,7 @@ HEADLINE = [
     "q217_stream_enrich",
     "q218_kn_trigram_score",
     "q219_dsir_select",
+    "q220_domain_cap",
 ]
 
 

@@ -123,6 +123,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q217_stream_enrich",
     "q218_kn_trigram_score",
     "q219_dsir_select",
+    "q220_domain_cap",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -9449,3 +9450,66 @@ def _init_q219() -> None:
 
 
 _init_q219()
+
+
+# --------------------------------------------------------------------
+# q220 — per-domain rate capping (C4/web-corpus domain balancing)
+# --------------------------------------------------------------------
+
+def _init_q220() -> None:
+    _CAP = 5
+    # synthetic skewed domain: quadratic map of doc_id onto ~20
+    # domains, denser at low ids (web corpora are domain-skewed; the
+    # cap must actually bind on some domains and not on others)
+    _DOM_SPARK = (
+        "concat('d', cast(cast(floor((cast(doc_id % 100 as double)"
+        " * cast(doc_id % 100 as double)) / 500.0e0) as bigint)"
+        " as string))"
+    )
+    _DOM_DUCK = (
+        "concat('d', CAST(CAST(FLOOR((CAST(doc_id % 100 AS DOUBLE)"
+        " * CAST(doc_id % 100 AS DOUBLE)) / 500.0e0) AS BIGINT)"
+        " AS VARCHAR))"
+    )
+
+    @register(
+        "q220_domain_cap",
+        f"""
+        WITH d AS (
+            SELECT doc_id, n_chars, {_DOM_DUCK} AS domain
+            FROM documents),
+        ranked AS (
+            SELECT doc_id, domain, n_chars,
+                   row_number() OVER (PARTITION BY domain
+                       ORDER BY n_chars DESC, doc_id) AS rk
+            FROM d)
+        SELECT doc_id, domain, n_chars, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= {_CAP}
+        """,
+        doc="Per-domain rate capping (the C4/web-pipeline domain "
+            "balancing step): rank documents within each domain by "
+            "quality proxy (n_chars desc, doc_id tiebreak) and keep "
+            "at most N per domain, so no single host dominates the "
+            "training mix. Domains are synthesized deterministically "
+            "with a skewed quadratic map so the cap binds on hot "
+            "domains and passes cold ones through. One window over a "
+            "domain-partitioned shuffle — partition-parallel at "
+            "100 TB, no global sort; hot-domain skew is bounded "
+            "because rank short-circuits at the cap under "
+            "TakeOrdered-style partial windows.",
+    )
+    def q220_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars", F.expr(_DOM_SPARK).alias("domain")
+        )
+        w = Window.partitionBy("domain").orderBy(
+            F.col("n_chars").desc(), "doc_id"
+        )
+        return (
+            d.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= _CAP)
+            .select("doc_id", "domain", "n_chars", "rk")
+        )
+
+
+_init_q220()
