@@ -190,6 +190,7 @@ HEADLINE = [
     "q218_kn_trigram_score",
     "q219_dsir_select",
     "q220_domain_cap",
+    "q221_bpe_learn",
 ]
 
 

@@ -1179,3 +1179,149 @@ def kn_trigram_oracle_sql(
                AS avg_logprob
     FROM term GROUP BY doc_id
     """
+
+
+def bpe_learn_merges(
+    df: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first ``k`` BPE merges from the corpus (Sennrich
+    2016 / GPT-2 tokenizer training), distributed the way industrial
+    trainers do it: collapse the corpus to a word-frequency
+    dictionary ONCE (the only text-sized shuffle), then iterate on
+    the vocabulary — count adjacent symbol pairs weighted by word
+    frequency, pick the most frequent pair (count desc, then
+    lexicographic — fully deterministic), merge all non-overlapping
+    occurrences left-to-right, repeat. Merges never cross word
+    boundaries.
+
+    Symbol sequences are encoded as ``||``-delimited strings
+    (``'||h||u||g||'``), so applying a merge is one engine-native
+    ``replace(s, '|a||b|', '|ab|')`` — left-to-right non-overlapping
+    in both Spark and DuckDB, and boundary-safe because every symbol
+    is delimiter-wrapped on both sides (assumes no ``|`` in the
+    corpus; filtered defensively). The best pair is joined back as a
+    broadcast single row — no driver collect; the whole loop is a
+    lazy plan over vocabulary-sized frames.
+
+    Returns (step, w1, w2, merged, cnt): the merge table in learned
+    order with each pair's frequency at selection time. Fewer than
+    ``k`` rows iff the vocabulary runs out of pairs.
+
+    Integer counts and string ops only — no floats anywhere, so the
+    gate is exact by construction.
+    """
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter("w <> '' AND w NOT LIKE '%|%'")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    # Per-round localCheckpoint (the graph.py iteration idiom):
+    # ``best`` derives FROM ``v``, so ``v x broadcast(best)`` doubles
+    # the logical plan every round — 2^k copies by round k, and the
+    # analyzer OOMs long before any data does. Eager checkpointing
+    # keeps each round's plan constant-size.
+    v = words.select(
+        F.concat(
+            F.lit("|"),
+            F.regexp_replace("w", "(.)", r"|$1|"),
+            F.lit("|"),
+        ).alias("s"),
+        "wc",
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for step in range(1, k + 1):
+        arr = v.select(
+            F.expr(r"filter(split(s, '\\|\\|'), x -> x <> '')").alias("a"),
+            "wc",
+        )
+        pairs = arr.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(a) >= 2 THEN "
+                    "transform(sequence(1, size(a)-1),"
+                    " i -> struct(a[i-1] AS w1, a[i] AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("p"),
+            "wc",
+        )
+        pcnt = (
+            pairs.select("p.w1", "p.w2", "wc")
+            .groupBy("w1", "w2")
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        best = (
+            pcnt.orderBy(F.col("cnt").desc(), "w1", "w2")
+            .limit(1)
+            .select(
+                F.lit(step).cast("int").alias("step"),
+                "w1",
+                "w2",
+                F.concat("w1", "w2").alias("merged"),
+                F.col("cnt").cast("bigint").alias("cnt"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merges.append(best)
+        v = (
+            v.crossJoin(F.broadcast(best.select("w1", "w2", "merged")))
+            .select(
+                F.expr(
+                    "replace(s, concat('|', w1, '||', w2, '|'),"
+                    " concat('|', merged, '|'))"
+                ).alias("s"),
+                "wc",
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def bpe_learn_oracle_sql(
+    k: int = 8, table: str = "documents", text: str = "text"
+) -> str:
+    """DuckDB mirror of :func:`bpe_learn_merges`: the k greedy
+    rounds unrolled as a CTE chain (pair-count -> top-1 -> replace),
+    same encoding, same tiebreak."""
+    parts = [
+        f"""
+    WITH w0 AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+            SELECT unnest(list_filter(string_split({text}, ' '),
+                          x -> x <> '' AND x NOT LIKE '%|%')) AS w
+            FROM {table}) GROUP BY 1),
+    v0 AS (
+        SELECT concat('|', regexp_replace(w, '(.)', '|\\1|', 'g'),
+                      '|') AS s, wc
+        FROM w0)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+    p{i} AS (
+        SELECT a[i] AS w1, a[i+1] AS w2,
+               CAST(SUM(wc) AS BIGINT) AS cnt
+        FROM (SELECT list_filter(string_split(s, '||'),
+                                 x -> x <> '') AS a, wc
+              FROM v{i - 1}),
+             unnest(range(1, len(a))) AS t(i)
+        GROUP BY 1, 2),
+    b{i} AS (
+        SELECT CAST({i} AS INT) AS step, w1, w2,
+               concat(w1, w2) AS merged, cnt
+        FROM p{i} ORDER BY cnt DESC, w1, w2 LIMIT 1),
+    v{i} AS (
+        SELECT replace(s, concat('|', b.w1, '||', b.w2, '|'),
+                       concat('|', b.merged, '|')) AS s, wc
+        FROM v{i - 1}, b{i} b)"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM b{i}" for i in range(1, k + 1)
+    )
+    parts.append(f"\n    {union}")
+    return "".join(parts)

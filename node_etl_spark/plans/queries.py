@@ -124,6 +124,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q218_kn_trigram_score",
     "q219_dsir_select",
     "q220_domain_cap",
+    "q221_bpe_learn",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -9513,3 +9514,29 @@ def _init_q220() -> None:
 
 
 _init_q220()
+
+
+# --------------------------------------------------------------------
+# q221 — BPE tokenizer training: first k merges, learned distributed
+# --------------------------------------------------------------------
+
+def _init_q221() -> None:
+    @register(
+        "q221_bpe_learn",
+        T.bpe_learn_oracle_sql(k=8),
+        doc="BPE tokenizer TRAINING (functions/text.py "
+            "bpe_learn_merges; q39 only applies a fixed vocab): learn "
+            "the first 8 merges the way industrial trainers do — "
+            "corpus collapses to a word-frequency dict once, then "
+            "each greedy round is a vocab-sized pair count, a "
+            "deterministic top-1 (count desc, lexicographic), and an "
+            "engine-native non-overlapping replace on "
+            "delimiter-wrapped symbol strings; the winner joins back "
+            "as a broadcast row, never a driver collect. Integer "
+            "counts and string ops only — exact by construction.",
+    )
+    def q221_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return T.bpe_learn_merges(table(spark, sf_dir, "documents"), k=8)
+
+
+_init_q221()

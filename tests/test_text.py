@@ -449,3 +449,36 @@ def test_kn_trigram_probabilities_sum_to_one(spark):
                 D * len(n3f[ctx]) / c2[ctx]
             ) * p2
         assert abs(total - 1.0) < 1e-9, (ctx, total)
+
+
+def test_bpe_learn_merges_hand_traced(spark):
+    # corpus: "aaab" x3, "ab" x2 (as three docs)
+    # r1 pairs: (a,a)=6, (a,b)=5       -> merge (a,a); aaab=[aa,a,b]
+    # r2 pairs: (aa,a)=3, (a,b)=5      -> merge (a,b); aaab=[aa,ab], ab=[ab]
+    # r3 pairs: (aa,ab)=3              -> merge (aa,ab)
+    # r4: no pairs left                -> only 3 merges emitted
+    df = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "aaab"), (3, "ab")],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        T.bpe_learn_merges(df, k=4).collect(), key=lambda r: r.step
+    )
+    got = [(r.step, r.w1, r.w2, r.merged, r.cnt) for r in out]
+    assert got == [
+        (1, "a", "a", "aa", 6),
+        (2, "a", "b", "ab", 5),
+        (3, "aa", "ab", "aaab", 3),
+    ]
+
+
+def test_bpe_learn_merges_lexicographic_tiebreak(spark):
+    # "xy" x2 and "ab" x2: counts tie at 2 -> (a,b) wins round 1
+    df = spark.createDataFrame(
+        [(1, "xy ab xy ab")], "doc_id long, text string"
+    )
+    out = sorted(
+        T.bpe_learn_merges(df, k=2).collect(), key=lambda r: r.step
+    )
+    assert (out[0].w1, out[0].w2, out[0].cnt) == ("a", "b", 2)
+    assert (out[1].w1, out[1].w2, out[1].cnt) == ("x", "y", 2)
