@@ -519,3 +519,113 @@ def join_size_oracle_sql(
            round(CAST(mass AS DOUBLE) / {frac!r}, 3) AS est_join_rows
     FROM prod
     """
+
+
+def cm_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Count-Min sketch build (Cormode-Muthukrishnan 2005): one
+    (group..., r, c, cnt) row per touched cell, ``c = h_r(key) mod
+    width`` with the md5-derived row hashes the rest of this module
+    uses (cross-engine exact). Sketches are MERGEABLE by
+    construction: union two sketch frames and re-sum on (group, r, c)
+    — the rollup algebra KMV established for distincts, applied to
+    frequencies. Point estimate of a key = min over rows r of
+    ``cnt[r][h_r(key)]`` (an upper bound, never an undercount).
+
+    Scale shape: one narrow map (explode depth rows per input row),
+    one hash aggregate onto at most depth*width*|groups| cells —
+    sketch size is INDEPENDENT of input rows, the whole point at
+    100 TB: per-partition sketches merge associatively, so frequency
+    monitoring costs a constant-size state per group however large
+    the stream.
+    """
+    gcols = [F.col(g) for g in group_cols]
+    rows = df.select(
+        *gcols,
+        F.col(key_col).cast("string").alias("k"),
+    ).select(
+        *gcols,
+        "k",
+        F.explode(
+            F.array(*[F.lit(r) for r in range(depth)])
+        ).alias("r"),
+    )
+    c = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("k"), F.lit(":"), F.col("r").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+    return (
+        rows.withColumn("c", c)
+        .groupBy(*group_cols, "r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_hash_sql(key_expr: str, r_expr: str, width: int) -> str:
+    """DuckDB mirror of the cm_sketch column hash."""
+    return (
+        f"(CAST(('0x' || substring(md5(CAST({key_expr} AS VARCHAR)"
+        f" || ':' || CAST({r_expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f" % {width})"
+    )
+
+
+def cm_point_estimates(
+    keys: DataFrame,
+    key_col: str,
+    sketch: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query a (r, c, cnt) Count-Min sketch: for each input key
+    take min over rows of the hashed cell's count. Carries every
+    other column of ``keys`` through. Keys never inserted may miss
+    cells entirely (inner join drops them — CM has no membership
+    semantics; pair with a Bloom filter for that)."""
+    carry = [c for c in keys.columns]
+    probe = keys.select(
+        *carry,
+        F.explode(
+            F.array(*[F.lit(r) for r in range(depth)])
+        ).alias("r"),
+    ).withColumn(
+        "c",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(key_col).cast("string"),
+                        F.lit(":"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width,
+    )
+    return (
+        probe.join(sketch, ["r", "c"])
+        .groupBy(*carry)
+        .agg(F.min("cnt").cast("bigint").alias("cm_est"))
+    )

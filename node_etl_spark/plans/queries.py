@@ -9213,15 +9213,37 @@ def _init_q214() -> None:
             ),
         ]
 
+    # Count-laddered third block key (the q136/q202 ladder discipline
+    # applied to blocking): (nation, segment) alone is 125 FIXED
+    # blocks, so within-block candidate pairs grow ~n^2/125 — 93s at
+    # sf1, hours at sf10. Bucketing acctbal with width 11000/f,
+    # f = ceil(n / 31250), holds blocks at ~250 rows at any corpus
+    # size; f = 1 at every gate SF (n <= 15000), where the +1000
+    # shift keeps all rows in bucket 0 — gate results are unchanged
+    # bit-for-bit, and the ladder only engages where the quadratic
+    # would. Standard multi-pass blocking semantics: candidate pairs
+    # must also agree on the coarse balance bucket.
+    _LADDER_SRC = (
+        "(SELECT c.*, CAST(FLOOR((CAST(c_acctbal AS DOUBLE)"
+        " + 1000.0e0) / (11000.0e0 / CAST((SELECT (COUNT(*)"
+        " + 31249) // 31250 FROM customer) AS DOUBLE)))"
+        " AS BIGINT) AS bal_block FROM customer c)"
+    )
+
     @register(
         "q214_fs_record_linkage",
         fs_link_oracle_sql(
-            "customer", _fields(), ("c_nationkey", "c_mktsegment"),
+            _LADDER_SRC,
+            _fields(),
+            ("c_nationkey", "c_mktsegment", "bal_block"),
             "c_custkey",
         ),
         doc="Fellegi-Sunter probabilistic record linkage (functions/"
             "linkage.py; Fellegi & Sunter JASA'69): customers blocked "
-            "by (nation, segment), candidate pairs scored by summed "
+            "by (nation, segment, count-laddered balance bucket — "
+            "fixed 125-block granularity is quadratic in corpus "
+            "size; the ladder holds blocks at ~250 rows and is a "
+            "no-op at gate SFs), candidate pairs scored by summed "
             "per-field log-likelihood weights ln(m/u) / ln((1-m)/"
             "(1-u)) over three fields with distinct discriminating "
             "power; u estimated EXACTLY from value frequencies "
@@ -9233,10 +9255,20 @@ def _init_q214() -> None:
             "fixed-order double addition, no UDF, one block shuffle.",
     )
     def q214_fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cust = table(spark, sf_dir, "customer")
+        f = (cust.count() + 31249) // 31250
+        width = 11000.0 / f
+        cust = cust.withColumn(
+            "bal_block",
+            F.floor(
+                (F.col("c_acctbal").cast("double") + F.lit(1000.0))
+                / F.lit(width)
+            ).cast("bigint"),
+        )
         return fs_link_pairs(
-            table(spark, sf_dir, "customer"),
+            cust,
             _fields(),
-            ("c_nationkey", "c_mktsegment"),
+            ("c_nationkey", "c_mktsegment", "bal_block"),
             "c_custkey",
         )
 
@@ -9540,3 +9572,108 @@ def _init_q221() -> None:
 
 
 _init_q221()
+
+
+# --------------------------------------------------------------------
+# q222 — Count-Min sketch: mergeable frequency monitoring
+# --------------------------------------------------------------------
+
+def _init_q222() -> None:
+    from ..functions import sketch as SK
+
+    _D, _W = 4, 256
+
+    @register(
+        "q222_cm_sketch",
+        f"""
+        WITH ins AS (
+            SELECT event_type, user_id, r
+            FROM events CROSS JOIN (SELECT unnest(range({_D})) AS r)),
+        per AS (
+            SELECT event_type, r,
+                   {SK.cm_hash_sql('user_id', 'r', _W)} AS c,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ins GROUP BY 1, 2, 3),
+        merged AS (
+            SELECT r, c, CAST(SUM(cnt) AS BIGINT) AS cnt
+            FROM per GROUP BY 1, 2),
+        truth AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+            FROM events GROUP BY 1),
+        probe AS (
+            SELECT t.user_id, t.true_cnt, u.r,
+                   {SK.cm_hash_sql('t.user_id', 'u.r', _W)} AS c
+            FROM truth t CROSS JOIN (SELECT unnest(range({_D})) AS r) u)
+        SELECT p.user_id, p.true_cnt,
+               CAST(MIN(m.cnt) AS BIGINT) AS cm_est,
+               CAST(MIN(m.cnt) - p.true_cnt AS BIGINT) AS overcount
+        FROM probe p JOIN merged m USING (r, c)
+        GROUP BY 1, 2
+        """,
+        doc="Count-Min sketch on the gate (functions/sketch.py "
+            "cm_sketch/cm_point_estimates): per-event-type sketches "
+            "built independently, MERGED by re-summing cells (the "
+            "associative rollup a 1000-executor frequency monitor "
+            "needs — sketch size is depth*width regardless of input "
+            "rows), then every user probed: estimate = min over rows "
+            "of the hashed cell, always >= the true count. md5 row "
+            "hashes keep both engines on identical cells, so the "
+            "oracle is exact including collision overcounts.",
+    )
+    def q222_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        per = SK.cm_sketch(
+            ev, "user_id", depth=_D, width=_W,
+            group_cols=("event_type",),
+        )
+        merged = per.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+        truth = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("true_cnt")
+        )
+        est = SK.cm_point_estimates(
+            truth, "user_id", merged, depth=_D, width=_W
+        )
+        return est.select(
+            "user_id",
+            "true_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("true_cnt"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+
+
+_init_q222()
+
+
+# --------------------------------------------------------------------
+# q223 — eval-set n-gram novelty audit (memorization risk)
+# --------------------------------------------------------------------
+
+def _init_q223() -> None:
+    @register(
+        "q223_novelty_audit",
+        D.novelty_audit_oracle_sql(
+            "documents",
+            SA.hash_split_case_sql("doc_id", _SPLITS),
+            n=8,
+        ),
+        doc="Eval-set novelty audit (functions/dedup.py "
+            "novelty_audit): per TEST doc, the share of its distinct "
+            "8-grams never seen in ANY train doc — the memorization "
+            "check run before trusting a benchmark number (q86 finds "
+            "contaminated pairs; this scores every eval doc). One "
+            "shingle pass per side, train distinct is the only "
+            "train-sized shuffle, then a shingle-keyed left join. "
+            "Integer counts and exact divisions only.",
+    )
+    def q223_novelty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = SA.hash_split(
+            table(spark, sf_dir, "documents").select("doc_id", "text"),
+            "doc_id",
+            _SPLITS,
+        )
+        return D.novelty_audit(docs, "split", "train", "test", n=8)
+
+
+_init_q223()
