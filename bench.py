@@ -191,6 +191,8 @@ HEADLINE = [
     "q219_dsir_select",
     "q220_domain_cap",
     "q221_bpe_learn",
+    "q222_cm_sketch",
+    "q223_novelty_audit",
 ]
 
 

@@ -125,6 +125,8 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q219_dsir_select",
     "q220_domain_cap",
     "q221_bpe_learn",
+    "q222_cm_sketch",
+    "q223_novelty_audit",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
