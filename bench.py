@@ -193,6 +193,9 @@ HEADLINE = [
     "q221_bpe_learn",
     "q222_cm_sketch",
     "q223_novelty_audit",
+    "q224_blocklist_filter",
+    "q225_jl_projection",
+    "q226_top_pc_power",
 ]
 
 

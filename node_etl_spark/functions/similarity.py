@@ -2436,3 +2436,245 @@ def bitext_lsh_oracle_sql(
     FROM best JOIN ma USING (a_id) JOIN mb USING (b_id)
     WHERE round(best.sim / ((ma.mean_a + mb.mean_b) / 2), 6) >= {threshold}
     """
+
+
+# -- Johnson-Lindenstrauss sign projection ----------------------------
+
+def jl_signs(k: int = 16, dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 Achlioptas/JL sign matrix, k rows × dim cols:
+    sign(j, i) = +1 iff the md5 of ``"j:i"`` has an even leading-15-hex
+    value — the same md5-parity idiom the sketch module's Count-Min
+    hashes use, so a SQL engine can re-derive the identical matrix
+    (``('0x' || substring(md5(j || ':' || i), 1, 15))::BIGINT % 2``).
+    No RNG state to store or ship: the matrix IS the formula."""
+    out = []
+    for j in range(k):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()
+            row.append(1 if int(h[:15], 16) % 2 == 0 else -1)
+        out.append(row)
+    return out
+
+
+def jl_project(
+    df: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction by ±1 sign
+    projection (Achlioptas 2003): proj_j = Σ_i sign(j,i) · q_i over
+    components quantized to the module's 1e-6 integer grid — so the
+    projection is EXACT BIGINT arithmetic, bit-identical on any
+    engine. E[‖proj(a)−proj(b)‖²] = k · ‖a−b‖² (unscaled sign form),
+    which is all a distance-preserving pre-filter needs: project once,
+    band/bucket in k dims, verify survivors in the original space.
+
+    Scale shape: the sign matrix compiles into k row-local
+    ``aggregate(zip_with(...))`` expressions — ZERO shuffles, zero
+    joins, one projection riding the existing scan; at 100 TB this is
+    the cheapest possible 4× narrowing of an embedding column
+    (64 floats → 16 longs) before any LSH/banding stage.
+
+    Bounds: |q_i| ≤ ~1.1e6 for unit-norm-ish inputs, so |proj_j| ≤
+    dim·1.1e6 ≈ 7e7 — nowhere near BIGINT range.
+
+    Returns (id_col, proj array<bigint> length k).
+    """
+    signs = jl_signs(k, dim)
+    q = F.transform(
+        F.slice(F.col(vec_col), 1, dim),
+        lambda x: F.floor(x.cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), q.alias("__q")
+    )
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                F.col("__q"),
+                F.lit(signs[j]),
+                lambda x, s: x * s.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias(f"__p{j}")
+        for j in range(k)
+    ]
+    return base.select(id_col, *projs).select(
+        id_col,
+        F.array(*[F.col(f"__p{j}") for j in range(k)]).alias("proj"),
+    )
+
+
+def jl_project_cells_sql(
+    k: int = 16,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    """DuckDB CTE body mirroring :func:`jl_project`, exploded form:
+    yields ``proj(vec_id, j, p)`` — one row per (vector, output dim).
+    The sign matrix is re-derived in-engine from the md5 parity
+    formula (see :func:`jl_signs`), proving the matrix is portable
+    rather than a Python-side artifact."""
+    return f"""
+    jl_cells AS (
+        SELECT {id_} AS vec_id, i - 1 AS i,
+               CAST(floor(CAST({vec}[i] AS DOUBLE) * 1e6 + 0.5)
+                    AS BIGINT) AS q
+        FROM {table}, unnest(generate_series(1, {dim})) AS u(i)
+        WHERE {vec} IS NOT NULL),
+    jl_signs AS (
+        SELECT j, i,
+               CASE WHEN CAST(('0x' || substring(md5(
+                        CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)
+                    ), 1, 15)) AS BIGINT) % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM unnest(range({k})) AS a(j),
+             unnest(range({dim})) AS b(i)),
+    proj AS (
+        SELECT c.vec_id, s.j, CAST(SUM(c.q * s.s) AS BIGINT) AS p
+        FROM jl_cells c JOIN jl_signs s USING (i)
+        GROUP BY 1, 2)"""
+
+
+# -- top principal direction via power iteration ----------------------
+
+def power_iteration_pc(
+    df: DataFrame,
+    rounds: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Top principal direction of the (uncentered) second-moment
+    matrix XᵀX by distributed power iteration — the one-vector core
+    of PCA as an embedding-QA primitive: the dominant axis exposes
+    batch effects, a collapsed encoder, or a single feature dominating
+    the space (von Luxburg; Halko-Martinsson-Tropp 2011 §4 for the
+    randomized generalization). Uncentered on purpose: centering at
+    scale adds one pass for the mean and the synthetic gate wants the
+    pure iteration; callers pre-center with a subtract if needed.
+
+    Each round is v ← normalize(Xᵀ(Xv)), computed WITHOUT ever
+    materializing the dim×dim Gram matrix:
+
+    * score_i = ⟨x_i, v⟩ — one row-local ``aggregate(zip_with(...))``
+      over the grid-quantized vector and the broadcast-literal v
+      (BIGINT exact, zero shuffle);
+    * w_j = Σ_i score_i · q_ij — ONE hash aggregate onto dim rows
+      (posexplode → groupBy(j)), DECIMAL(38,0) so the per-term
+      products (≤ ~2e19) never overflow;
+    * L∞ normalization: v_j ← ⌊w_j / max|w| · 1e6 + 0.5⌋ on the 1e-6
+      grid. Power iteration converges under any norm; the max form
+      needs no sqrt and keeps v in small exact integers.
+
+    State per round is dim numbers (collected like the graph module's
+    broadcast-rank state; the FINAL round's v stays a DataFrame — no
+    terminal collect). Per-round cluster cost at 100 TB: one scan +
+    one dim-row aggregate; no joins, no dim×dim anywhere.
+
+    Cross-engine exactness: q and v live on the 1e-6 integer grid;
+    score and w are exact integer/decimal sums (order-independent);
+    the only float ops are the decimal→double cast, one divide, one
+    multiply, one floor — IEEE-identical on Spark and DuckDB, so an
+    unrolled-CTE oracle (:func:`power_iteration_oracle_sql`) matches
+    bit-for-bit. Returns (j int, v bigint) — dim rows, the final
+    direction on the 1e-6 grid.
+    """
+    q = F.transform(
+        F.slice(F.col(vec_col), 1, dim),
+        lambda x: F.floor(x.cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), q.alias("__q"))
+        .persist()
+    )
+
+    def w_frame(v: list[int]) -> DataFrame:
+        score = F.aggregate(
+            F.zip_with(
+                F.col("__q"), F.lit(v), lambda x, vj: x * vj.cast("bigint")
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        return (
+            base.select(score.alias("__s"), F.posexplode("__q").alias("j", "__qi"))
+            .groupBy("j")
+            .agg(
+                F.sum(
+                    F.col("__s").cast("decimal(38,0)") * F.col("__qi")
+                ).alias("w")
+            )
+        )
+
+    v = [1_000_000] * dim
+    for _ in range(rounds - 1):
+        rows = w_frame(v).collect()  # bounded: dim rows of state
+        w = {r["j"]: float(r["w"]) for r in rows}
+        m = max(abs(x) for x in w.values())
+        v = [
+            math.floor(w[j] / m * 1e6 + 0.5) if m > 0 else 0
+            for j in range(dim)
+        ]
+    wf = w_frame(v)
+    mf = wf.agg(F.max(F.abs(F.col("w").cast("double"))).alias("m"))
+    out = wf.crossJoin(F.broadcast(mf)).select(
+        F.col("j").cast("int").alias("j"),
+        F.floor(F.col("w").cast("double") / F.col("m") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("v"),
+    )
+    base.unpersist()
+    return out
+
+
+def power_iteration_oracle_sql(
+    rounds: int = 5,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    """DuckDB mirror of :func:`power_iteration_pc`: the iteration
+    unrolled into (score, w, m, v) CTEs per round, identical grids,
+    identical decimal/double expression shapes."""
+    parts = [
+        f"""WITH pc_cells AS (
+        SELECT {id_} AS vid, i - 1 AS j,
+               CAST(floor(CAST({vec}[i] AS DOUBLE) * 1e6 + 0.5)
+                    AS BIGINT) AS q
+        FROM {table}, unnest(generate_series(1, {dim})) AS u(i)
+        WHERE {vec} IS NOT NULL),
+    v0 AS (SELECT j, CAST(1000000 AS BIGINT) AS val
+           FROM unnest(range({dim})) AS a(j))"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""s{r} AS (
+        SELECT c.vid, CAST(SUM(c.q * v.val) AS BIGINT) AS s
+        FROM pc_cells c JOIN v{r - 1} v USING (j) GROUP BY 1),
+    w{r} AS (
+        SELECT c.j, SUM(CAST(s.s AS DECIMAL(38,0)) * c.q) AS w
+        FROM pc_cells c JOIN s{r} s USING (vid) GROUP BY 1),
+    m{r} AS (SELECT MAX(ABS(CAST(w AS DOUBLE))) AS m FROM w{r}),
+    v{r} AS (
+        SELECT j, CAST(floor(CAST(w AS DOUBLE) / m * 1e6 + 0.5)
+                       AS BIGINT) AS val
+        FROM w{r}, m{r})"""
+        )
+    body = ",\n    ".join(parts)
+    return (
+        f"{body}\n    SELECT CAST(j AS INTEGER) AS j, val AS v"
+        f" FROM v{rounds}"
+    )

@@ -1325,3 +1325,70 @@ def bpe_learn_oracle_sql(
     )
     parts.append(f"\n    {union}")
     return "".join(parts)
+
+
+# Default blocklist for the gate queries: drawn from the synthetic
+# corpus vocabulary so matches actually occur, plus one absent phrase
+# ("drop table") proving the non-match path. Real deployments pass the
+# C4/CCNet bad-words list (~400 terms) — same plan shape.
+DEFAULT_BLOCKLIST: tuple[str, ...] = (
+    "slow join",
+    "dup",
+    "big data",
+    "drop table",
+)
+
+
+def blocklist_matches(
+    df: DataFrame,
+    terms: tuple[str, ...] = DEFAULT_BLOCKLIST,
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style blocklist filter: for every document, which blocked
+    words/phrases occur on whitespace-token boundaries (C4 drops any
+    page containing a "bad words" list entry; RefinedWeb keeps the
+    doc but logs the hit for auditing — this returns the audit form,
+    callers drop with ``.filter(~F.col("blocked"))``).
+
+    Matching rule: the space-padded text contains ``' ' + term + ' '``
+    — exact token-boundary phrase match, multi-word terms included,
+    no regex (a 400-term regex alternation backtracks; 400 substring
+    probes stay linear and engines disagree on regex dialects anyway).
+
+    Scale shape: the term list compiles into ONE higher-order
+    ``filter`` expression over an array literal — pure whole-stage
+    codegen, zero shuffles, zero joins; at 100 TB it rides the scan
+    that already reads the text column. This is the right plan while
+    the list is bounded (C4's is ~400); for 100k+ term dictionaries
+    switch to tokenize + broadcast semi-join on the term's rarest
+    word, then verify the full phrase (the PPJoin-style prefix filter
+    in dedup.py is that plan's blueprint).
+
+    Returns (all input columns, matched array<string> in ``terms``
+    order, n_blocked, blocked).
+    """
+    if not terms:
+        raise ValueError("blocklist_matches: empty term list")
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    matched = F.filter(
+        F.array(*[F.lit(t) for t in terms]),
+        lambda t: padded.contains(F.concat(F.lit(" "), t, F.lit(" "))),
+    )
+    return df.select(
+        *df.columns,
+        matched.alias("matched"),
+        F.size(matched).cast("int").alias("n_blocked"),
+        (F.size(matched) > 0).alias("blocked"),
+    )
+
+
+def blocklist_matches_sql(
+    text_expr: str, terms: tuple[str, ...] = DEFAULT_BLOCKLIST
+) -> str:
+    """DuckDB mirror of :func:`blocklist_matches`'s ``matched`` array
+    (same term order, same space-padded token-boundary contains)."""
+    lits = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return (
+        f"list_filter([{lits}], t -> contains(' ' || {text_expr} || ' ',"
+        " ' ' || t || ' '))"
+    )

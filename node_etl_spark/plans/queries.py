@@ -127,6 +127,9 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q221_bpe_learn",
     "q222_cm_sketch",
     "q223_novelty_audit",
+    "q224_blocklist_filter",
+    "q225_jl_projection",
+    "q226_top_pc_power",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -9679,3 +9682,191 @@ def _init_q223() -> None:
 
 
 _init_q223()
+
+
+# --------------------------------------------------------------------
+# q224 — blocklist phrase filter (C4 bad-words audit)
+# --------------------------------------------------------------------
+
+def _init_q224() -> None:
+    from ..functions import text as T
+
+    terms = T.DEFAULT_BLOCKLIST
+    m = T.blocklist_matches_sql("d.text", terms)
+
+    @register(
+        "q224_blocklist_filter",
+        f"""
+        SELECT d.doc_id, d.lang, d.source,
+               COALESCE(array_to_string({m}, ','), '') AS terms_csv,
+               CAST(len({m}) AS INTEGER) AS n_blocked,
+               len({m}) > 0 AS blocked
+        FROM documents d
+        """,
+        doc="C4-style blocklist phrase filter (functions/text.py "
+            "blocklist_matches): token-boundary contains over the "
+            "space-padded text, term list compiled into one "
+            "higher-order filter expression — pure codegen, zero "
+            "shuffles, rides the scan. Audit form (matched terms + "
+            "flag per doc); dropping is a trailing filter. The list "
+            "includes one corpus-absent phrase to prove the "
+            "non-match path.",
+    )
+    def q224_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text"
+        )
+        return T.blocklist_matches(docs, terms).select(
+            "doc_id",
+            "lang",
+            "source",
+            F.array_join("matched", ",").alias("terms_csv"),
+            "n_blocked",
+            "blocked",
+        )
+
+
+_init_q224()
+
+
+# --------------------------------------------------------------------
+# q225 — Johnson-Lindenstrauss projection distortion audit
+# --------------------------------------------------------------------
+
+def _init_q225() -> None:
+    from ..functions import similarity as S
+
+    _K, _DIM = 16, 64
+
+    @register(
+        "q225_jl_projection",
+        f"""
+        WITH {S.jl_project_cells_sql(_K, _DIM).lstrip()},
+        pv AS (
+            SELECT vec_id, list(p ORDER BY j) AS proj
+            FROM proj GROUP BY 1),
+        qv AS (
+            SELECT vec_id, list(q ORDER BY i) AS qx
+            FROM jl_cells GROUP BY 1),
+        od AS (
+            SELECT aq.vec_id AS vec_id_a, bq.vec_id AS vec_id_b,
+                   CAST(SUM((aq.qx[u.i] - bq.qx[u.i])
+                            * (aq.qx[u.i] - bq.qx[u.i])) AS BIGINT)
+                       AS orig_d2
+            FROM qv aq
+            JOIN qv bq ON bq.vec_id = aq.vec_id + 1,
+                 unnest(generate_series(1, {_DIM})) AS u(i)
+            GROUP BY 1, 2),
+        pd AS (
+            SELECT ap.vec_id AS vec_id_a, bp.vec_id AS vec_id_b,
+                   CAST(SUM((ap.proj[u.j] - bp.proj[u.j])
+                            * (ap.proj[u.j] - bp.proj[u.j])) AS BIGINT)
+                       AS proj_d2
+            FROM pv ap
+            JOIN pv bp ON bp.vec_id = ap.vec_id + 1,
+                 unnest(generate_series(1, {_K})) AS u(j)
+            GROUP BY 1, 2),
+        pairs AS (
+            SELECT vec_id_a, vec_id_b, orig_d2, proj_d2
+            FROM od JOIN pd USING (vec_id_a, vec_id_b))
+        SELECT vec_id_a, vec_id_b, orig_d2, proj_d2,
+               CAST(proj_d2 AS DOUBLE)
+                   / NULLIF(CAST(orig_d2 AS DOUBLE), 0.0)
+                   / {_K} AS distortion
+        FROM pairs
+        """,
+        doc="Johnson-Lindenstrauss ±1 sign projection "
+            "(functions/similarity.py jl_project, Achlioptas 2003) "
+            "gated through its OWN guarantee: for a deterministic "
+            "chain of vector pairs (vec_id, vec_id+1), projected "
+            "squared distance ≈ k × original squared distance. Both "
+            "distances are exact BIGINTs on the 1e-6 grid; the sign "
+            "matrix is md5-parity-derived, re-computed in-engine by "
+            "the oracle. Projection itself is k row-local fold "
+            "expressions — zero shuffles, the 4× narrowing (64 "
+            "floats → 16 longs) a 100 TB LSH stage wants upstream.",
+    )
+    def q225_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = table(spark, sf_dir, "embeddings")
+        qx = F.transform(
+            F.slice(F.col("embedding"), 1, _DIM),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(1e6) + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        base = emb.filter(F.col("embedding").isNotNull()).select(
+            "vec_id", qx.alias("qx")
+        )
+        proj = S.jl_project(emb, k=_K, dim=_DIM)
+        joined = (
+            base.alias("a")
+            .join(
+                base.alias("b"),
+                F.col("b.vec_id") == F.col("a.vec_id") + 1,
+            )
+            .join(
+                proj.alias("ap"),
+                F.col("ap.vec_id") == F.col("a.vec_id"),
+            )
+            .join(
+                proj.alias("bp"),
+                F.col("bp.vec_id") == F.col("b.vec_id"),
+            )
+        )
+
+        def sq_dist(x: Column, y: Column) -> Column:
+            return F.aggregate(
+                F.zip_with(x, y, lambda p, q: (p - q) * (p - q)),
+                F.lit(0).cast("bigint"),
+                lambda acc, t: acc + t,
+            )
+
+        return joined.select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            sq_dist(F.col("a.qx"), F.col("b.qx")).alias("orig_d2"),
+            sq_dist(F.col("ap.proj"), F.col("bp.proj")).alias("proj_d2"),
+        ).select(
+            "vec_id_a",
+            "vec_id_b",
+            "orig_d2",
+            "proj_d2",
+            (
+                F.col("proj_d2").cast("double")
+                / F.nullif(F.col("orig_d2").cast("double"), F.lit(0.0))
+                / F.lit(_K)
+            ).alias("distortion"),
+        )
+
+
+_init_q225()
+
+
+# --------------------------------------------------------------------
+# q226 — top principal direction (distributed power iteration)
+# --------------------------------------------------------------------
+
+def _init_q226() -> None:
+    from ..functions import similarity as S
+
+    @register(
+        "q226_top_pc_power",
+        S.power_iteration_oracle_sql(rounds=5, dim=64),
+        doc="Top principal direction of XᵀX by 5-round distributed "
+            "power iteration (functions/similarity.py "
+            "power_iteration_pc; Halko-Martinsson-Tropp 2011 §4): "
+            "per round one row-local dot with the broadcast v, one "
+            "hash aggregate onto 64 rows (DECIMAL(38,0) exact), L∞ "
+            "re-normalization on the 1e-6 grid. No Gram matrix, no "
+            "joins; per-round state is 64 numbers — the embedding-QA "
+            "axis check (batch effects / collapsed encoder) priced "
+            "for a 1000-executor scan. Oracle: the iteration "
+            "unrolled into CTEs, bit-exact by integer/decimal grids.",
+    )
+    def q226_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return S.power_iteration_pc(
+            table(spark, sf_dir, "embeddings"), rounds=5, dim=64
+        )
+
+
+_init_q226()

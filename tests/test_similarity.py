@@ -511,3 +511,107 @@ def test_ivf_pq_topk_structure_and_recall(spark, sf_dir):
         total += 5
     recall = hits / total
     assert recall >= 0.4, recall  # bracket: probed cells + 8-code PQ
+
+
+# -- Johnson-Lindenstrauss sign projection ----------------------------
+
+
+def test_jl_signs_match_duckdb_md5_parity():
+    # the matrix must be re-derivable in-engine: DuckDB's md5-parity
+    # formula (the oracle's jl_signs CTE) gives the identical signs
+    import duckdb
+
+    signs = S.jl_signs(k=4, dim=8)
+    rows = duckdb.sql(
+        """
+        SELECT j, i, CASE WHEN CAST(('0x' || substring(md5(
+                   CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)
+               ), 1, 15)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END
+        FROM unnest(range(4)) AS a(j), unnest(range(8)) AS b(i)
+        """
+    ).fetchall()
+    for j, i, s in rows:
+        assert signs[j][i] == s
+
+
+def test_jl_project_preserves_distance_in_expectation(spark):
+    # E[proj_d2] = k * orig_d2 (unscaled ±1 form): over enough pairs
+    # the mean distortion must bracket 1
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(64)]) for i in range(80)
+    ]
+    df = vec_df(spark, rows)
+    proj = {r.vec_id: r.proj for r in S.jl_project(df, k=16).collect()}
+    assert all(len(p) == 16 for p in proj.values())
+    qx = {
+        vid: [math.floor(float(x) * 1e6 + 0.5) for x in emb]
+        for vid, emb in rows
+    }
+    ratios = []
+    for a in range(0, 79):
+        b = a + 1
+        od = sum((qx[a][i] - qx[b][i]) ** 2 for i in range(64))
+        pd = sum((proj[a][j] - proj[b][j]) ** 2 for j in range(16))
+        ratios.append(pd / od / 16)
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3, mean
+
+
+def test_jl_project_exact_integer_contract(spark):
+    # projection of a known vector = sign-weighted sum of the grid
+    emb = [0.25] * 32 + [-0.125] * 32
+    df = vec_df(spark, [(0, emb)])
+    (row,) = S.jl_project(df, k=3).collect()
+    signs = S.jl_signs(k=3, dim=64)
+    q = [math.floor(x * 1e6 + 0.5) for x in emb]
+    for j in range(3):
+        assert row.proj[j] == sum(s * x for s, x in zip(signs[j], q))
+
+
+# -- power-iteration top principal direction --------------------------
+
+
+def test_power_iteration_finds_planted_axis(spark):
+    # data = strong axis e_3 + weak noise axes: the dominant
+    # eigenvector of X^T X is e_3, so |v| must peak there at the grid
+    # max and stay small elsewhere
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(60):
+        main = rng.choice([-0.9, 0.9])
+        v = [rng.uniform(-0.05, 0.05) for _ in range(8)]
+        v[3] += main
+        rows.append((i, v))
+    df = vec_df(spark, rows)
+    out = {r.j: r.v for r in S.power_iteration_pc(df, rounds=5, dim=8).collect()}
+    assert set(out) == set(range(8))
+    assert abs(out[3]) == 1_000_000  # L-inf max lands on the axis
+    for j in range(8):
+        if j != 3:
+            assert abs(out[j]) < 200_000, (j, out[j])
+
+
+def test_power_iteration_matches_numpy_eigvec(spark):
+    import random
+
+    import numpy as np
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-0.4, 0.4) for _ in range(16)]) for i in range(50)
+    ]
+    df = vec_df(spark, rows)
+    out = {r.j: r.v for r in S.power_iteration_pc(df, rounds=12, dim=16).collect()}
+    v = np.array([out[j] for j in range(16)], dtype=float)
+    v /= np.linalg.norm(v)
+    X = np.array(
+        [[math.floor(x * 1e6 + 0.5) for x in emb] for _, emb in rows]
+    )
+    w, vecs = np.linalg.eigh(X.T @ X)
+    top = vecs[:, -1]
+    assert abs(float(np.dot(v, top))) > 0.99

@@ -482,3 +482,77 @@ def test_bpe_learn_merges_lexicographic_tiebreak(spark):
     )
     assert (out[0].w1, out[0].w2, out[0].cnt) == ("a", "b", 2)
     assert (out[1].w1, out[1].w2, out[1].cnt) == ("x", "y", 2)
+
+
+# -- blocklist phrase filter -------------------------------------------
+
+
+def test_blocklist_token_boundary_and_order(spark):
+    from node_etl_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "a slow join beats a dup row"),     # two hits
+            (2, "dedup is not dup-adjacent"),        # substring, no hit
+            (3, "big data big data"),                # phrase hit
+            (4, "nothing here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in T.blocklist_matches(
+            df, terms=("slow join", "dup", "big data", "drop table")
+        ).collect()
+    }
+    assert out[1].matched == ["slow join", "dup"]  # terms-list order
+    assert out[1].n_blocked == 2 and out[1].blocked
+    assert out[2].matched == [] and not out[2].blocked
+    assert out[3].matched == ["big data"]
+    assert out[4].n_blocked == 0
+    # "drop table" is absent everywhere — the non-match path
+    assert all("drop table" not in r.matched for r in out.values())
+
+
+def test_blocklist_empty_terms_raises(spark):
+    import pytest
+
+    from node_etl_spark.functions import text as T
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="empty term list"):
+        T.blocklist_matches(df, terms=())
+
+
+def test_blocklist_sql_mirror_matches(spark):
+    import duckdb
+
+    from node_etl_spark.functions import text as T
+
+    terms = ("slow join", "dup")
+    texts = [
+        "a slow join here",
+        "dup",
+        "no hits",
+        "word dup word slow join",
+    ]
+    spark_rows = T.blocklist_matches(
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        ),
+        terms=terms,
+    ).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") t(doc_id, text)"
+    )
+    sql_rows = dict(
+        con.execute(
+            f"SELECT doc_id, {T.blocklist_matches_sql('text', terms)} FROM d"
+        ).fetchall()
+    )
+    for r in spark_rows:
+        assert list(r.matched) == sql_rows[r.doc_id]
