@@ -196,6 +196,8 @@ HEADLINE = [
     "q224_blocklist_filter",
     "q225_jl_projection",
     "q226_top_pc_power",
+    "q227_pmi_collocations",
+    "q228_tokenizer_fertility",
 ]
 
 

@@ -1182,7 +1182,10 @@ def kn_trigram_oracle_sql(
 
 
 def bpe_learn_merges(
-    df: DataFrame, k: int = 8, text_col: str = "text"
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    return_vocab: bool = False,
 ) -> DataFrame:
     """Learn the first ``k`` BPE merges from the corpus (Sennrich
     2016 / GPT-2 tokenizer training), distributed the way industrial
@@ -1209,6 +1212,13 @@ def bpe_learn_merges(
 
     Integer counts and string ops only — no floats anywhere, so the
     gate is exact by construction.
+
+    With ``return_vocab=True`` returns the POST-merge vocabulary
+    instead: (w, s, wc) — each distinct word, its ``||``-delimited
+    symbol string after all ``k`` merges, and its corpus frequency.
+    Carrying ``w`` through the rounds changes nothing about merge
+    selection (pair counts read only (s, wc)); it is what a
+    downstream fertility/compression audit joins on.
     """
     words = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
@@ -1221,7 +1231,9 @@ def bpe_learn_merges(
     # the logical plan every round — 2^k copies by round k, and the
     # analyzer OOMs long before any data does. Eager checkpointing
     # keeps each round's plan constant-size.
+    carry = [F.col("w")] if return_vocab else []
     v = words.select(
+        *carry,
         F.concat(
             F.lit("|"),
             F.regexp_replace("w", "(.)", r"|$1|"),
@@ -1268,6 +1280,7 @@ def bpe_learn_merges(
         v = (
             v.crossJoin(F.broadcast(best.select("w1", "w2", "merged")))
             .select(
+                *carry,
                 F.expr(
                     "replace(s, concat('|', w1, '||', w2, '|'),"
                     " concat('|', merged, '|'))"
@@ -1276,18 +1289,22 @@ def bpe_learn_merges(
             )
             .localCheckpoint(eager=True)
         )
+    if return_vocab:
+        return v
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
     return out
 
 
-def bpe_learn_oracle_sql(
-    k: int = 8, table: str = "documents", text: str = "text"
+def _bpe_chain_sql(
+    k: int, table: str, text: str, carry_w: bool = False
 ) -> str:
-    """DuckDB mirror of :func:`bpe_learn_merges`: the k greedy
-    rounds unrolled as a CTE chain (pair-count -> top-1 -> replace),
-    same encoding, same tiebreak."""
+    """Shared CTE chain for the BPE oracles: w0 (word counts), v0
+    (char-split encoding), then k rounds of (p{i} pair-count, b{i}
+    top-1 merge, v{i} replace). ``carry_w`` threads the original
+    word through every v{i} for vocab-consuming finals."""
+    wsel = "w, " if carry_w else ""
     parts = [
         f"""
     WITH w0 AS (
@@ -1296,7 +1313,7 @@ def bpe_learn_oracle_sql(
                           x -> x <> '' AND x NOT LIKE '%|%')) AS w
             FROM {table}) GROUP BY 1),
     v0 AS (
-        SELECT concat('|', regexp_replace(w, '(.)', '|\\1|', 'g'),
+        SELECT {wsel}concat('|', regexp_replace(w, '(.)', '|\\1|', 'g'),
                       '|') AS s, wc
         FROM w0)"""
     ]
@@ -1316,15 +1333,23 @@ def bpe_learn_oracle_sql(
                concat(w1, w2) AS merged, cnt
         FROM p{i} ORDER BY cnt DESC, w1, w2 LIMIT 1),
     v{i} AS (
-        SELECT replace(s, concat('|', b.w1, '||', b.w2, '|'),
+        SELECT {wsel}replace(s, concat('|', b.w1, '||', b.w2, '|'),
                        concat('|', b.merged, '|')) AS s, wc
         FROM v{i - 1}, b{i} b)"""
         )
+    return "".join(parts)
+
+
+def bpe_learn_oracle_sql(
+    k: int = 8, table: str = "documents", text: str = "text"
+) -> str:
+    """DuckDB mirror of :func:`bpe_learn_merges`: the k greedy
+    rounds unrolled as a CTE chain (pair-count -> top-1 -> replace),
+    same encoding, same tiebreak."""
     union = "\n    UNION ALL ".join(
         f"SELECT * FROM b{i}" for i in range(1, k + 1)
     )
-    parts.append(f"\n    {union}")
-    return "".join(parts)
+    return _bpe_chain_sql(k, table, text) + f"\n    {union}"
 
 
 # Default blocklist for the gate queries: drawn from the synthetic
@@ -1391,4 +1416,227 @@ def blocklist_matches_sql(
     return (
         f"list_filter([{lits}], t -> contains(' ' || {text_expr} || ' ',"
         " ' ' || t || ' '))"
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_support: int = 5,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information over
+    adjacent word pairs (Church-Hanks 1990; the phrase-detection
+    statistic word2vec's phrase pass and every tokenizer-prep
+    pipeline use): PMI(w1,w2) = log2( p(w1,w2) / (p(w1)·p(w2)) )
+    with p(w1,w2) = c12/N_bigrams and p(w) = c(w)/N_unigrams.
+    q128's basket pairs rank by raw support, which just surfaces
+    frequent words; PMI normalizes by the marginals so "slow join"
+    outranks "the the".
+
+    Scale shape: bigrams come from a row-local ``arrays_zip`` of the
+    token array against itself shifted by one — no self-join, no
+    window; then ONE hash aggregate onto distinct-bigram cells
+    (vocab², but Zipf-truncated by ``min_support``), and the unigram
+    margins are vocab-sized broadcast joins. Total-count scalars ride
+    a broadcast cross join. At 100 TB nothing here is corpus-sized
+    after the first aggregate.
+
+    Cross-engine exactness: counts are BIGINT; each PMI is one
+    double log2 of a ratio of exact integers, quantized to
+    DECIMAL(28,12) and rounded to 6 — the module-wide quantized-log
+    rule (see mutual_information). Returns (w1, w2, c12, c1, c2,
+    pmi) for pairs with ``c12 >= min_support``.
+    """
+    toks = df.select(
+        F.expr(
+            f"filter(split({text_col}, ' '), x -> x <> '')"
+        ).alias("a")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) >= 2 THEN "
+                "transform(sequence(1, size(a)-1),"
+                " i -> struct(a[i-1] AS w1, a[i] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cells = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .filter(F.col("c12") >= min_support)
+    )
+    uni = (
+        toks.select(F.explode("a").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    nb = bigrams.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    nu = uni.agg(F.sum("c").cast("bigint").alias("nu"))
+    return (
+        cells.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            F.round(
+                F.expr(
+                    "CAST(LOG2((CAST(c12 AS DOUBLE) / CAST(nb AS DOUBLE))"
+                    " / ((CAST(c1 AS DOUBLE) / CAST(nu AS DOUBLE))"
+                    "    * (CAST(c2 AS DOUBLE) / CAST(nu AS DOUBLE))))"
+                    " AS DECIMAL(28,12))"
+                ).cast("double"),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def pmi_collocations_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    min_support: int = 5,
+) -> str:
+    """DuckDB mirror of :func:`pmi_collocations`."""
+    return f"""
+    WITH toks AS (
+        SELECT list_filter(string_split({text_col}, ' '),
+                           x -> x <> '') AS a
+        FROM {table}),
+    bigrams AS (
+        SELECT a[i] AS w1, a[i + 1] AS w2
+        FROM toks, unnest(range(1, len(a))) AS t(i)),
+    cells AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bigrams GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_support}),
+    uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(a) AS w FROM toks) GROUP BY 1),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bigrams),
+    nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uni)
+    SELECT c.w1, c.w2, c.c12, u1.c AS c1, u2.c AS c2,
+           round(CAST(CAST(
+               log2((CAST(c.c12 AS DOUBLE) / CAST(nb.nb AS DOUBLE))
+                    / ((CAST(u1.c AS DOUBLE) / CAST(nu.nu AS DOUBLE))
+                       * (CAST(u2.c AS DOUBLE) / CAST(nu.nu AS DOUBLE))))
+               AS DECIMAL(28,12)) AS DOUBLE), 6) AS pmi
+    FROM cells c
+    JOIN uni u1 ON u1.w = c.w1
+    JOIN uni u2 ON u2.w = c.w2, nb, nu"""
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility audit: train the first ``k`` BPE merges on
+    the whole corpus (:func:`bpe_learn_merges`), then measure how the
+    learned tokenizer compresses each language/group — fertility =
+    tokens per word, plus chars per token. The standard multilingual-
+    tokenizer health check (a language with fertility ≫ others is
+    under-served by the merge table and will pay more sequence
+    positions per sentence; cf. the fertility tables in the XLM-R /
+    NLLB tokenizer analyses).
+
+    Scale shape: the corpus collapses to per-(group, word) counts —
+    the only text-sized shuffle; the trained vocabulary (w → symbol
+    count after k merges) is vocab-sized and joins back as a
+    BROADCAST. Integer sums per group; two double divisions at the
+    end. Exact by construction.
+
+    Returns (group, words, tokens, chars, fertility, chars_per_token).
+    """
+    vocab = bpe_learn_merges(
+        df, k=k, text_col=text_col, return_vocab=True
+    ).select(
+        "w",
+        F.expr(
+            r"CAST(size(filter(split(s, '\\|\\|'), x -> x <> ''))"
+            " AS BIGINT)"
+        ).alias("n_tokens"),
+        F.length("w").cast("bigint").alias("n_chars"),
+    )
+    wl = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .filter("w <> '' AND w NOT LIKE '%|%'")
+        .groupBy("grp", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    )
+    return (
+        wl.join(F.broadcast(vocab), "w")
+        .groupBy("grp")
+        .agg(
+            F.sum("wc").cast("bigint").alias("words"),
+            F.sum(F.col("wc") * F.col("n_tokens"))
+            .cast("bigint")
+            .alias("tokens"),
+            F.sum(F.col("wc") * F.col("n_chars"))
+            .cast("bigint")
+            .alias("chars"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "words",
+            "tokens",
+            "chars",
+            (F.col("tokens").cast("double") / F.col("words").cast("double"))
+            .alias("fertility"),
+            (F.col("chars").cast("double") / F.col("tokens").cast("double"))
+            .alias("chars_per_token"),
+        )
+    )
+
+
+def tokenizer_fertility_oracle_sql(
+    k: int = 8,
+    table: str = "documents",
+    text: str = "text",
+    group: str = "lang",
+) -> str:
+    """DuckDB mirror of :func:`tokenizer_fertility` (same merge
+    chain via :func:`_bpe_chain_sql` with the word carried, same
+    integer rollup)."""
+    return (
+        _bpe_chain_sql(k, table, text, carry_w=True)
+        + f""",
+    nt AS (
+        SELECT w,
+               CAST(len(list_filter(string_split(s, '||'),
+                        x -> x <> '')) AS BIGINT) AS n_tokens,
+               CAST(length(w) AS BIGINT) AS n_chars
+        FROM v{k}),
+    wl AS (
+        SELECT grp, w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+            SELECT {group} AS grp,
+                   unnest(list_filter(string_split({text}, ' '),
+                          x -> x <> '' AND x NOT LIKE '%|%')) AS w
+            FROM {table}) GROUP BY 1, 2),
+    agg AS (
+        SELECT grp, CAST(SUM(wc) AS BIGINT) AS words,
+               CAST(SUM(wc * n_tokens) AS BIGINT) AS tokens,
+               CAST(SUM(wc * n_chars) AS BIGINT) AS chars
+        FROM wl JOIN nt USING (w) GROUP BY 1)
+    SELECT grp AS {group}, words, tokens, chars,
+           CAST(tokens AS DOUBLE) / CAST(words AS DOUBLE) AS fertility,
+           CAST(chars AS DOUBLE) / CAST(tokens AS DOUBLE)
+               AS chars_per_token
+    FROM agg"""
     )

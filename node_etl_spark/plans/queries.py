@@ -130,6 +130,8 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q224_blocklist_filter",
     "q225_jl_projection",
     "q226_top_pc_power",
+    "q227_pmi_collocations",
+    "q228_tokenizer_fertility",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -9870,3 +9872,61 @@ def _init_q226() -> None:
 
 
 _init_q226()
+
+
+# --------------------------------------------------------------------
+# q227 — PMI collocation mining (phrase detection)
+# --------------------------------------------------------------------
+
+def _init_q227() -> None:
+    from ..functions import text as T
+
+    @register(
+        "q227_pmi_collocations",
+        T.pmi_collocations_sql("documents", "text", min_support=5),
+        doc="Collocation mining by pointwise mutual information "
+            "(functions/text.py pmi_collocations; Church-Hanks 1990 "
+            "— the word2vec phrase-pass statistic): adjacent bigrams "
+            "from a row-local shifted arrays_zip (no self-join), one "
+            "hash aggregate to support-filtered cells, vocab-sized "
+            "broadcast margins, quantized-log2 PMI. q128 ranks by "
+            "raw support; PMI normalizes by marginals so rare-but-"
+            "bound pairs outrank frequent-word noise.",
+    )
+    def q227_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return T.pmi_collocations(
+            table(spark, sf_dir, "documents"), "text", min_support=5
+        )
+
+
+_init_q227()
+
+
+# --------------------------------------------------------------------
+# q228 — tokenizer fertility audit (per-language BPE compression)
+# --------------------------------------------------------------------
+
+def _init_q228() -> None:
+    from ..functions import text as T
+
+    @register(
+        "q228_tokenizer_fertility",
+        T.tokenizer_fertility_oracle_sql(k=8),
+        doc="Tokenizer fertility audit (functions/text.py "
+            "tokenizer_fertility): train q221's first 8 BPE merges "
+            "on the corpus, then per language measure tokens/word "
+            "and chars/token — the multilingual-tokenizer health "
+            "check (XLM-R/NLLB-style fertility tables). Corpus "
+            "collapses to per-(lang, word) counts once; the trained "
+            "vocab joins back broadcast. Integer sums, two final "
+            "double divisions — exact.",
+    )
+    def q228_tokenizer_fertility(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        return T.tokenizer_fertility(
+            table(spark, sf_dir, "documents"), k=8
+        )
+
+
+_init_q228()

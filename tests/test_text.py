@@ -556,3 +556,80 @@ def test_blocklist_sql_mirror_matches(spark):
     )
     for r in spark_rows:
         assert list(r.matched) == sql_rows[r.doc_id]
+
+
+# -- PMI collocations ---------------------------------------------------
+
+
+def test_pmi_ranks_bound_pairs_over_frequent_noise(spark):
+    from node_etl_spark.functions import text as T
+
+    # "x y" always co-occur (perfect collocation); "the" is frequent
+    # but pairs randomly — PMI must rank (x,y) above any (the, *)
+    docs = [("x y a the b", ), ("x y the c d", ), ("x y e the f", ),
+            ("x y the g h", ), ("x y i j the", )]
+    df = spark.createDataFrame(docs, "text string")
+    rows = T.pmi_collocations(df, min_support=2).collect()
+    by_pair = {(r.w1, r.w2): r for r in rows}
+    assert ("x", "y") in by_pair
+    xy = by_pair[("x", "y")]
+    assert xy.c12 == 5 and xy.c1 == 5 and xy.c2 == 5
+    for (w1, w2), r in by_pair.items():
+        if (w1, w2) != ("x", "y"):
+            assert r.pmi < xy.pmi, (w1, w2)
+
+
+def test_pmi_min_support_filters(spark):
+    from node_etl_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [("a b",), ("a b",), ("c d",)], "text string"
+    )
+    rows = T.pmi_collocations(df, min_support=2).collect()
+    assert {(r.w1, r.w2) for r in rows} == {("a", "b")}
+
+
+# -- tokenizer fertility -------------------------------------------------
+
+
+def test_tokenizer_fertility_exact_counts(spark):
+    from node_etl_spark.functions import text as T
+
+    # corpus where the top merge is unambiguous: "ab" appears 4x
+    # (lang L1), "cd" 1x (lang L2). After k=1 merge (a,b)->ab:
+    # L1 words tokenize to 1 symbol, L2's "cd" stays 2 symbols.
+    df = spark.createDataFrame(
+        [("L1", "ab ab"), ("L1", "ab ab"), ("L2", "cd")],
+        "lang string, text string",
+    )
+    out = {r.lang: r for r in T.tokenizer_fertility(df, k=1).collect()}
+    assert out["L1"].words == 4 and out["L1"].tokens == 4
+    assert out["L1"].fertility == 1.0
+    assert out["L2"].words == 1 and out["L2"].tokens == 2
+    assert out["L2"].fertility == 2.0
+    assert out["L2"].chars_per_token == 1.0
+
+
+def test_bpe_return_vocab_matches_merge_application(spark):
+    from node_etl_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [("hug hug hugs",), ("hug pug",)], "text string"
+    )
+    vocab = {
+        r.w: r.s for r in T.bpe_learn_merges(
+            df, k=2, return_vocab=True
+        ).collect()
+    }
+    merges = [
+        (r.w1, r.w2, r.merged)
+        for r in sorted(
+            T.bpe_learn_merges(df, k=2).collect(), key=lambda r: r.step
+        )
+    ]
+    # re-apply the learned merges by hand and compare symbolizations
+    for w in ["hug", "hugs", "pug"]:
+        s = "|" + "".join(f"|{c}|" for c in w) + "|"
+        for w1, w2, m in merges:
+            s = s.replace(f"|{w1}||{w2}|", f"|{m}|")
+        assert vocab[w] == s, (w, vocab[w], s)
