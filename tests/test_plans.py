@@ -589,3 +589,53 @@ def test_q211_ivf_pq_plan_is_arrow_gemm(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # probes and the ADC lookup table broadcast to the candidate join
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q224_blocklist_plan_is_scan_and_project_only(spark, sf_dir):
+    # the term list compiles into one HOF filter expression: the
+    # whole query must be scan + project — zero exchanges, zero
+    # joins, zero Python — or the "rides the scan at 100 TB" claim
+    # in the docstring is false
+    plan = _plan(spark, sf_dir, "q224_blocklist_filter")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q225_jl_projection_is_row_local(spark, sf_dir):
+    # the 16 sign-fold projections are row-local expressions; the
+    # only exchanges allowed are for the pair-chain self-join —
+    # never a Python eval or a cartesian pair stream
+    plan = _plan(spark, sf_dir, "q225_jl_projection")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q226_power_iteration_no_join_in_round(spark, sf_dir):
+    # each round is one row-local dot + one 64-row hash aggregate:
+    # the FINAL plan (last round + normalization) must contain no
+    # shuffle join in the data plane — the only join is the 1-row
+    # broadcast of max|w|
+    plan = _plan(spark, sf_dir, "q226_top_pc_power")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_q227_pmi_margins_broadcast(spark, sf_dir):
+    # bigrams come from a row-local shifted transform (no self-join);
+    # unigram margins and scalar totals must join BROADCAST — a
+    # shuffle join on the vocab would serialize the Zipf head
+    plan = _plan(spark, sf_dir, "q227_pmi_collocations")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q228_fertility_vocab_joins_broadcast(spark, sf_dir):
+    # the trained vocab (w -> n_tokens) is vocab-sized: it must reach
+    # the per-(lang, word) frame as a broadcast, never a shuffle join
+    plan = _plan(spark, sf_dir, "q228_tokenizer_fertility")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
