@@ -198,6 +198,7 @@ HEADLINE = [
     "q226_top_pc_power",
     "q227_pmi_collocations",
     "q228_tokenizer_fertility",
+    "q229_hits_hubs_authorities",
 ]
 
 

@@ -2650,7 +2650,7 @@ def power_iteration_oracle_sql(
     unrolled into (score, w, m, v) CTEs per round, identical grids,
     identical decimal/double expression shapes."""
     parts = [
-        f"""WITH pc_cells AS (
+        f"""WITH pc_cells AS MATERIALIZED (
         SELECT {id_} AS vid, i - 1 AS j,
                CAST(floor(CAST({vec}[i] AS DOUBLE) * 1e6 + 0.5)
                     AS BIGINT) AS q
@@ -2660,15 +2660,18 @@ def power_iteration_oracle_sql(
            FROM unnest(range({dim})) AS a(j))"""
     ]
     for r in range(1, rounds + 1):
+        # w{r} is read by BOTH m{r} and v{r}: DuckDB inlines plain
+        # CTEs, so without MATERIALIZED the cells-join chain would
+        # re-execute 2^rounds times (the q229 HITS oracle lesson)
         parts.append(
-            f"""s{r} AS (
+            f"""s{r} AS MATERIALIZED (
         SELECT c.vid, CAST(SUM(c.q * v.val) AS BIGINT) AS s
         FROM pc_cells c JOIN v{r - 1} v USING (j) GROUP BY 1),
-    w{r} AS (
+    w{r} AS MATERIALIZED (
         SELECT c.j, SUM(CAST(s.s AS DECIMAL(38,0)) * c.q) AS w
         FROM pc_cells c JOIN s{r} s USING (vid) GROUP BY 1),
     m{r} AS (SELECT MAX(ABS(CAST(w AS DOUBLE))) AS m FROM w{r}),
-    v{r} AS (
+    v{r} AS MATERIALIZED (
         SELECT j, CAST(floor(CAST(w AS DOUBLE) / m * 1e6 + 0.5)
                        AS BIGINT) AS val
         FROM w{r}, m{r})"""

@@ -132,6 +132,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q226_top_pc_power",
     "q227_pmi_collocations",
     "q228_tokenizer_fertility",
+    "q229_hits_hubs_authorities",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -9930,3 +9931,46 @@ def _init_q228() -> None:
 
 
 _init_q228()
+
+
+# --------------------------------------------------------------------
+# q229 — HITS hubs & authorities (bipartite purchase graph)
+# --------------------------------------------------------------------
+
+_HITS_EDGES_SQL = """
+    SELECT o.o_custkey AS src, l.l_partkey AS dst
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def _init_q229() -> None:
+    from ..functions.graph import hits, hits_oracle_sql
+
+    @register(
+        "q229_hits_hubs_authorities",
+        hits_oracle_sql(_HITS_EDGES_SQL, rounds=4),
+        doc="HITS hubs & authorities (functions/graph.py hits; "
+            "Kleinberg 1999) over the bipartite customer→part "
+            "purchase graph: 4 rounds of two shuffle-join + "
+            "hash-aggregate half-steps (the pagerank cost shape), "
+            "scores on the 1e-6 BIGINT grid with L∞ renormalization "
+            "riding a 1-row broadcast — the dual centrality "
+            "(broad buyers vs widely-bought parts) PageRank's "
+            "single score conflates. Oracle: half-rounds unrolled "
+            "into CTEs, bit-exact.",
+    )
+    def q229_hits_hubs_authorities(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        orders = table(spark, sf_dir, "orders")
+        li = table(spark, sf_dir, "lineitem")
+        edges = orders.join(
+            li, li.l_orderkey == orders.o_orderkey
+        ).select(
+            F.col("o_custkey").alias("src"),
+            F.col("l_partkey").alias("dst"),
+        )
+        return hits(edges, rounds=4)
+
+
+_init_q229()

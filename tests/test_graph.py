@@ -496,3 +496,33 @@ def test_bradley_terry_shuffle_path_matches_broadcast(spark):
         ).collect()
     )
     assert bc == sh
+
+
+def test_hits_hub_and_authority_ordering(spark):
+    from node_etl_spark.functions.graph import hits
+
+    # H buys items 1,2,3; S buys item 1 only. Item 1 (bought by
+    # both) must out-rank items 2,3; hub H must out-rank S.
+    edges = spark.createDataFrame(
+        [("H", 1), ("H", 2), ("H", 3), ("S", 1)],
+        "src string, dst int",
+    )
+    rows = hits(edges, rounds=4).collect()
+    hub = {r.node: r.score for r in rows if r.role == "hub"}
+    auth = {r.node: r.score for r in rows if r.role == "authority"}
+    assert hub["H"] == 1_000_000 and hub["H"] > hub["S"]
+    assert auth["1"] == 1_000_000  # node is cast to string
+    assert auth["1"] > auth["2"] == auth["3"]
+
+
+def test_hits_dedups_parallel_edges(spark):
+    from node_etl_spark.functions.graph import hits
+
+    # duplicate (src,dst) rows must not double-count contributions
+    edges = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2)], "src string, dst int"
+    )
+    rows = hits(edges, rounds=2).collect()
+    hub = {r.node: r.score for r in rows if r.role == "hub"}
+    # symmetric structure after dedup: both hubs end at the grid max
+    assert hub["a"] == hub["b"] == 1_000_000

@@ -639,3 +639,11 @@ def test_q228_fertility_vocab_joins_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q228_tokenizer_fertility")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q229_hits_no_cartesian_no_python(spark, sf_dir):
+    # half-rounds are shuffle joins on s/d keys; the only cross join
+    # allowed is the 1-row L-inf max broadcast
+    plan = _plan(spark, sf_dir, "q229_hits_hubs_authorities")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
