@@ -2600,34 +2600,49 @@ def power_iteration_pc(
         .persist()
     )
 
-    def w_frame(v: list[int]) -> DataFrame:
-        score = F.aggregate(
-            F.zip_with(
-                F.col("__q"), F.lit(v), lambda x, vj: x * vj.cast("bigint")
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
+    def w_row(v: list[int]) -> DataFrame:
+        # score as an explicit 64-term BIGINT sum (literal v values):
+        # higher-order folds (aggregate/zip_with) are INTERPRETED
+        # per-element, and a posexplode fans n rows out 64x before a
+        # decimal shuffle — at sf1 that round shape measured 8s; the
+        # flat codegen expression + single-row map-side aggregate
+        # below measures <1s. Sums are decimal, so the math (and the
+        # unrolled-CTE oracle) is order-independent and unchanged.
+        score = None
+        for j in range(dim):
+            term = F.col("__q")[j] * F.lit(int(v[j])).cast("bigint")
+            score = term if score is None else score + term
+        # project the score ONCE: referenced 64x by the aggregate, a
+        # non-cheap expression survives CollapseProject as its own
+        # attribute — inlined it recomputes the 64-term chain per
+        # aggregate column (64x work) and the codegen blowup measured
+        # 32s at sf0.01 vs ~2s projected
+        scored = base.select(
+            "__q", score.cast("decimal(38,0)").alias("__s")
         )
-        return (
-            base.select(score.alias("__s"), F.posexplode("__q").alias("j", "__qi"))
-            .groupBy("j")
-            .agg(
-                F.sum(
-                    F.col("__s").cast("decimal(38,0)") * F.col("__qi")
-                ).alias("w")
-            )
+        return scored.agg(
+            *[
+                F.sum(F.col("__s") * F.col("__q")[j]).alias(f"w{j}")
+                for j in range(dim)
+            ]
         )
 
     v = [1_000_000] * dim
     for _ in range(rounds - 1):
-        rows = w_frame(v).collect()  # bounded: dim rows of state
-        w = {r["j"]: float(r["w"]) for r in rows}
-        m = max(abs(x) for x in w.values())
+        (row,) = w_row(v).collect()  # bounded: one row of dim sums
+        w = [float(row[f"w{j}"]) for j in range(dim)]
+        m = max(abs(x) for x in w)
         v = [
             math.floor(w[j] / m * 1e6 + 0.5) if m > 0 else 0
             for j in range(dim)
         ]
-    wf = w_frame(v)
+    # final round stays in-engine: unpivot the 1-row aggregate to
+    # (j, w), then one L-inf normalization against its broadcast max
+    wf = w_row(v).select(
+        F.posexplode(
+            F.array(*[F.col(f"w{j}") for j in range(dim)])
+        ).alias("j", "w")
+    )
     mf = wf.agg(F.max(F.abs(F.col("w").cast("double"))).alias("m"))
     out = wf.crossJoin(F.broadcast(mf)).select(
         F.col("j").cast("int").alias("j"),
