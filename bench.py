@@ -199,6 +199,7 @@ HEADLINE = [
     "q227_pmi_collocations",
     "q228_tokenizer_fertility",
     "q229_hits_hubs_authorities",
+    "q230_quantile_calibrate",
 ]
 
 

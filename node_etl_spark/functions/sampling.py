@@ -696,3 +696,105 @@ def dsir_oracle_sql(
             <= {k}) AS selected
     FROM scored
     """
+
+
+def quantile_calibrate(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Quantile normalization of per-group scores onto the global
+    score distribution (the microarray-normalization construct,
+    applied to corpus curation: per-source quality scorers drift —
+    a 0.8 from one scorer is not a 0.8 from another — so mixing on
+    raw scores over/under-samples whole sources; calibrating each
+    row to the GLOBAL score at its within-source quantile makes
+    cross-source thresholds comparable).
+
+    Math (exact integers end-to-end): within-group midrank
+    percentile p = (2r-1)/(2n_s) maps to global rank
+    g = ceil((2r-1)·N / (2n_s)) — computed in BIGINT floor-division
+    form ((2r-1)·N + 2n_s - 1) div (2n_s), never a double — and the
+    calibrated value is the g-th smallest global (score, id) pair.
+
+    Scale shape: the within-group rank is a group-partitioned window
+    (parallel across groups); group sizes and the total are broadcast
+    scalars; the global rank comes from util.global_row_index (range
+    partition + two narrow passes — no single-partition window); the
+    final lookup is one shuffle join on an integer rank. NULL scores
+    are excluded (documented in global_row_index: Spark and DuckDB
+    disagree on NULL rank order).
+
+    Ties: (score_col, id_col) is the total order on both the group
+    and global sides — id must be unique. Returns (id_col, group_col,
+    score_col, calibrated).
+    """
+    from ..util import global_row_index
+
+    base = df.filter(F.col(score_col).isNotNull()).select(
+        id_col, group_col, score_col
+    )
+    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    ranked = base.select(
+        id_col,
+        group_col,
+        score_col,
+        F.row_number().over(w).cast("bigint").alias("__r"),
+    )
+    sizes = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ns")
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    g = global_row_index(
+        base.select(score_col, id_col), [score_col, id_col], "__gidx"
+    ).select(
+        (F.col("__gidx") + 1).alias("__grank"),
+        F.col(score_col).alias("calibrated"),
+    )
+    return (
+        ranked.join(F.broadcast(sizes), group_col)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            group_col,
+            score_col,
+            F.expr(
+                "((2 * __r - 1) * __n + 2 * __ns - 1) div (2 * __ns)"
+            ).alias("__g"),
+        )
+        .join(g, F.col("__g") == F.col("__grank"))
+        .select(id_col, group_col, score_col, "calibrated")
+    )
+
+
+def quantile_calibrate_sql(
+    rows_sql: str,
+    score: str = "score",
+    group: str = "grp",
+    id_: str = "id",
+) -> str:
+    """DuckDB mirror of :func:`quantile_calibrate`; ``rows_sql`` must
+    yield (id_, group, score) with score NOT NULL filtered."""
+    return f"""
+    WITH qc_b AS ({rows_sql}),
+    qc_r AS (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY {group} ORDER BY {score}, {id_})
+               AS BIGINT) AS r
+        FROM qc_b),
+    qc_n AS (SELECT {group}, CAST(COUNT(*) AS BIGINT) AS ns
+             FROM qc_b GROUP BY 1),
+    qc_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qc_b),
+    qc_g AS (
+        SELECT CAST(row_number() OVER (ORDER BY {score}, {id_})
+               AS BIGINT) AS grank,
+               {score} AS calibrated
+        FROM qc_b)
+    SELECT r.{id_}, r.{group}, r.{score},
+           g.calibrated
+    FROM qc_r r
+    JOIN qc_n USING ({group}), qc_t t
+    JOIN qc_g g
+      ON g.grank = ((2 * r.r - 1) * t.n + 2 * qc_n.ns - 1)
+                   // (2 * qc_n.ns)"""

@@ -133,6 +133,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q227_pmi_collocations",
     "q228_tokenizer_fertility",
     "q229_hits_hubs_authorities",
+    "q230_quantile_calibrate",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -9067,7 +9068,10 @@ def _init_q210() -> None:
             "seg", F.concat_ws("|", "lang", "source")
         )
         sigs = D.simhash60(docs, carry_cols=["seg"])
-        pairs = D.simhash_band_pairs(sigs, max_hamming=2, segment_col="seg")
+        pairs = D.simhash_band_pairs(
+            sigs, max_hamming=2, segment_col="seg",
+            collapse_identical=True,
+        )
         return G.dedup_clusters(docs, pairs, block_col="seg")
 
 
@@ -9323,7 +9327,15 @@ def _init_q215() -> None:
         sigs = ahash60(
             bins, id_col="doc_id", carry_cols=("source",)
         ).withColumnRenamed("phash", "simhash")
-        pairs = D.simhash_band_pairs(sigs, max_hamming=1, segment_col="source")
+        # groups form: identical perceptual hashes collapse to a rep
+        # before banding (low-entropy byte-grid hashes saturate the
+        # 60-bit space — without the collapse the in-bucket pair
+        # stream went quadratic, 27.5x at 10x data; components are
+        # exactly equal either way, see simhash_band_pairs)
+        pairs = D.simhash_band_pairs(
+            sigs, max_hamming=1, segment_col="source",
+            collapse_identical=True,
+        )
         return G.dedup_clusters(docs, pairs, block_col="source")
 
 
@@ -9974,3 +9986,50 @@ def _init_q229() -> None:
 
 
 _init_q229()
+
+
+# --------------------------------------------------------------------
+# q230 — cross-source score calibration (quantile normalization)
+# --------------------------------------------------------------------
+
+def _init_q230() -> None:
+    from ..functions import sampling as SA2
+
+    rows_sql = (
+        "SELECT doc_id, source, CAST(length(text) AS BIGINT) AS score"
+        " FROM documents WHERE text IS NOT NULL"
+    )
+
+    @register(
+        "q230_quantile_calibrate",
+        SA2.quantile_calibrate_sql(
+            rows_sql, score="score", group="source", id_="doc_id"
+        ),
+        doc="Cross-source score calibration by quantile "
+            "normalization (functions/sampling.py quantile_calibrate; "
+            "the microarray construct applied to corpus mixing): each "
+            "doc's within-source midrank percentile maps to the "
+            "global score at that quantile, in exact BIGINT "
+            "floor-division — so thresholds compare across sources "
+            "whose scorers drift. Group window is source-parallel; "
+            "global rank via util.global_row_index (range partition, "
+            "no single-partition window); one integer-rank join.",
+    )
+    def q230_quantile_calibrate(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        docs = (
+            table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select(
+                "doc_id",
+                "source",
+                F.length("text").cast("bigint").alias("score"),
+            )
+        )
+        return SA2.quantile_calibrate(
+            docs, score_col="score", group_col="source", id_col="doc_id"
+        )
+
+
+_init_q230()

@@ -543,3 +543,48 @@ def test_incremental_neardup_probe_finds_planted_match(spark, tmp_path):
     # appending the batch = appending its bucket/shingle rows; the
     # index parquets exist and round-trip
     assert spark.read.parquet(f"{path}/buckets").count() == 8  # 2 docs x 4 bands
+
+
+def test_collapse_identical_components_equal_full_pairs(spark):
+    from node_etl_spark.functions import dedup as D
+    from node_etl_spark.functions import graph as G
+
+    # sketches: 0b0000 x3 (ids 1,2,3), 0b0001 (id 4, hamming 1 to the
+    # zeros), 0b1111 x2 (ids 5,6, far away) -> components {1,2,3,4}
+    # and {5,6} under max_hamming=1
+    rows = [(1, 0, "s"), (2, 0, "s"), (3, 0, "s"),
+            (4, 1, "s"), (5, 15, "s"), (6, 15, "s")]
+    sigs = spark.createDataFrame(
+        rows, "doc_id bigint, simhash bigint, seg string"
+    )
+    docs = sigs.select("doc_id", "seg")
+
+    def clusters(collapse):
+        pairs = D.simhash_band_pairs(
+            sigs, max_hamming=1, bits=4, blocks=2, segment_col="seg",
+            collapse_identical=collapse,
+        )
+        out = G.dedup_clusters(docs, pairs, block_col="seg")
+        return {(r.doc_id, r.cluster_id) for r in out.collect()}
+
+    full, star = clusters(False), clusters(True)
+    assert star == full
+    assert {(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5)} == star
+
+
+def test_collapse_identical_emits_stars_not_cliques(spark):
+    from node_etl_spark.functions import dedup as D
+
+    # 4 identical sketches: full form emits C(4,2)=6 pairs, collapsed
+    # form emits 3 star edges at hamming 0
+    sigs = spark.createDataFrame(
+        [(i, 7) for i in range(1, 5)], "doc_id bigint, simhash bigint"
+    )
+    full = D.simhash_band_pairs(sigs, max_hamming=1, bits=4, blocks=2)
+    star = D.simhash_band_pairs(
+        sigs, max_hamming=1, bits=4, blocks=2, collapse_identical=True
+    )
+    assert full.count() == 6
+    rows = star.collect()
+    assert len(rows) == 3
+    assert all(r.d1 == 1 and r.hamming == 0 for r in rows)

@@ -647,3 +647,14 @@ def test_q229_hits_no_cartesian_no_python(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q229_hits_hubs_authorities")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q230_calibrate_sizes_broadcast_no_python_rank(spark, sf_dir):
+    # group sizes and the global total ride broadcasts; the global
+    # rank's narrow Arrow pass (global_row_index) is the ONLY Python
+    # stage; the final lookup is a shuffle join on an integer rank —
+    # never a cartesian
+    plan = _plan(spark, sf_dir, "q230_quantile_calibrate")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") <= 1

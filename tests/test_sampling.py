@@ -475,3 +475,33 @@ def test_dsir_select_mirror_and_ranking(spark):
     sel = {i for i, r in out.items() if r.selected}
     top2 = sorted(want, key=lambda i: (-want[i], i))[:2]
     assert sel == set(top2) and len(sel) == 2
+
+
+def test_quantile_calibrate_hand_example(spark):
+    from node_etl_spark.functions.sampling import quantile_calibrate
+
+    # groups A=[10,20], B=[5,30,40]; global sorted = 5,10,20,30,40.
+    # midrank mapping: A r1 -> ceil(1*5/4)=2 -> 10; A r2 -> ceil(3*5/4)=4
+    # -> 30; B r1 -> 1 -> 5; B r2 -> ceil(15/6)=3 -> 20; B r3 -> 5 -> 40
+    df = spark.createDataFrame(
+        [(1, "A", 10), (2, "A", 20), (3, "B", 5), (4, "B", 30), (5, "B", 40)],
+        "id bigint, grp string, score bigint",
+    )
+    out = {
+        r.id: r.calibrated
+        for r in quantile_calibrate(df, "score", "grp", "id").collect()
+    }
+    assert out == {1: 10, 2: 30, 3: 5, 4: 20, 5: 40}
+
+
+def test_quantile_calibrate_identity_on_single_group(spark):
+    from node_etl_spark.functions.sampling import quantile_calibrate
+
+    # one group: every row calibrates to its own score (midrank of n
+    # maps back into itself: g = ceil((2r-1)n/(2n)) = r)
+    df = spark.createDataFrame(
+        [(i, "X", i * 7 % 13) for i in range(1, 12)],
+        "id bigint, grp string, score bigint",
+    )
+    rows = quantile_calibrate(df, "score", "grp", "id").collect()
+    assert all(r.calibrated == r.score for r in rows)
