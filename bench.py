@@ -200,6 +200,7 @@ HEADLINE = [
     "q228_tokenizer_fertility",
     "q229_hits_hubs_authorities",
     "q230_quantile_calibrate",
+    "q231_decayed_trending",
 ]
 
 

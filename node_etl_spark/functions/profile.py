@@ -834,3 +834,112 @@ def fd_audit_oracle_sql(
               FROM {table} WHERE {lhs} IS NOT NULL GROUP BY {lhs})
         """)
     return " UNION ALL ".join(parts)
+
+
+def decayed_trending(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    halflife_days: int = 1,
+) -> DataFrame:
+    """Exponentially-decayed activity scores per key — the trending /
+    freshness-weighted monitor (half-life counting, as in decayed
+    stream counters): each event contributes 2^-(age_days /
+    halflife) to its key's count and value. A key with old volume
+    decays away; a key with recent bursts rises — what a raw COUNT
+    (q05) or a windowed agg (q73) can't express without materializing
+    every window.
+
+    Cross-engine exactness: age is a CALENDAR-DAY difference (both
+    engines agree on date subtraction, unlike fractional epoch
+    seconds), the weight 1 / (1 << k) is an EXACT power of two in
+    binary floating point (never a libm pow call), and the per-event
+    product value·w is one IEEE multiply of identical operands. Terms
+    quantize via ``round(x * 1e12) -> BIGINT`` — NOT a decimal cast:
+    2^-k in decimal always terminates in ...5, so at k = 13 a
+    DECIMAL(28,12) cast lands on an EXACT tie and the engines split
+    (Spark HALF_UP vs DuckDB half-even; measured +5.7e-11 drift at
+    sf0.01). ``round()`` on positive doubles is half-away-from-zero
+    on both engines, and the fixed-point longs sum exactly in
+    DECIMAL(38,0). Ages beyond 62 half-lives clamp to weight 0
+    (below the 1e-12 grid anyway).
+
+    Scale shape: one scan, one hash aggregate onto |keys| rows; the
+    reference timestamp (max ts) rides a 1-row broadcast. Decayed
+    counters are NOT mergeable across different reference times —
+    re-score per run, or fix T upstream for incremental rollups.
+
+    Returns (key_col, n_events, decayed_count, decayed_value),
+    decayed_* as DOUBLE of the exact decimal sums.
+    """
+    tmax = df.agg(F.max(F.to_date(F.col(ts_col))).alias("__tmax"))
+    k = F.least(
+        F.floor(
+            F.datediff(F.col("__tmax"), F.to_date(F.col(ts_col)))
+            / F.lit(halflife_days)
+        ).cast("int"),
+        F.lit(62),
+    )
+    # shiftleft needs a column shift amount -> SQL form over a
+    # materialized __k (the python API only takes a literal int)
+    w = F.expr("1.0d / CAST(shiftleft(CAST(1 AS BIGINT), __k) AS DOUBLE)")
+    return (
+        df.crossJoin(F.broadcast(tmax))
+        .select(key_col, value_col, k.alias("__k"))
+        .select(
+            F.col(key_col),
+            w.alias("__w"),
+            (F.col(value_col).cast("double") * w).alias("__wv"),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (
+                F.sum(
+                    F.round(F.col("__w") * F.lit(1e12))
+                    .cast("bigint")
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1e12)
+            ).alias("decayed_count"),
+            (
+                F.sum(
+                    F.round(F.col("__wv") * F.lit(1e12))
+                    .cast("bigint")
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1e12)
+            ).alias("decayed_value"),
+        )
+    )
+
+
+def decayed_trending_sql(
+    table: str = "events",
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+    halflife_days: int = 1,
+) -> str:
+    """DuckDB mirror of :func:`decayed_trending`."""
+    return f"""
+    WITH dt_t AS (SELECT MAX(CAST({ts} AS DATE)) AS tmax FROM {table}),
+    dt_w AS (
+        SELECT {key},
+               1.0 / CAST(CAST(1 AS BIGINT) << LEAST(
+                   CAST(floor(date_diff('day', CAST({ts} AS DATE),
+                                        dt_t.tmax)
+                              / {halflife_days}) AS INTEGER), 62)
+                   AS DOUBLE) AS w,
+               CAST({value} AS DOUBLE) AS v
+        FROM {table}, dt_t)
+    SELECT {key},
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(round(w * 1e12) AS BIGINT)
+                    AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+               AS decayed_count,
+           CAST(SUM(CAST(CAST(round(v * w * 1e12) AS BIGINT)
+                    AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+               AS decayed_value
+    FROM dt_w GROUP BY 1"""

@@ -134,6 +134,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q228_tokenizer_fertility",
     "q229_hits_hubs_authorities",
     "q230_quantile_calibrate",
+    "q231_decayed_trending",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -10033,3 +10034,31 @@ def _init_q230() -> None:
 
 
 _init_q230()
+
+
+# --------------------------------------------------------------------
+# q231 — exponentially-decayed trending scores
+# --------------------------------------------------------------------
+
+def _init_q231() -> None:
+    from ..functions import profile as P2
+
+    @register(
+        "q231_decayed_trending",
+        P2.decayed_trending_sql("events", halflife_days=1),
+        doc="Half-life-decayed activity scores per event type "
+            "(functions/profile.py decayed_trending): each event "
+            "weighs 2^-(age_days) — recent bursts outrank stale "
+            "volume, the trending monitor raw counts and fixed "
+            "windows cannot express. Exact despite the floats: "
+            "calendar-day ages, power-of-two weights (never libm), "
+            "one IEEE multiply, DECIMAL(28,12)-quantized sums. One "
+            "scan, one |keys|-row aggregate, 1-row broadcast T.",
+    )
+    def q231_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return P2.decayed_trending(
+            table(spark, sf_dir, "events"), halflife_days=1
+        )
+
+
+_init_q231()
