@@ -201,6 +201,7 @@ HEADLINE = [
     "q229_hits_hubs_authorities",
     "q230_quantile_calibrate",
     "q231_decayed_trending",
+    "q232_hard_negatives",
 ]
 
 

@@ -416,45 +416,11 @@ def retrieval_eval_oracle_sql(
     """DuckDB mirror of ``bm25_multi`` |> ``retrieval_metrics`` —
     identical expression shapes, identical Python-literal log2
     weights, identical decimal-sum reductions."""
-    all_terms = sorted({t for ts in queries.values() for t in ts})
-    in_list = sql_string_list(all_terms)
-    qt_rows = ", ".join(
-        f"('{qid}', '{t}')"
-        for qid, ts in sorted(queries.items())
-        for t in ts
-    )
     w_list = ", ".join(repr(w) for w in _dcg_weights(k))
     cw_list = ", ".join(repr(x) for x in _cum_weights(k))
     return f"""
-    WITH qt(query_id, term) AS (VALUES {qt_rows}),
+    WITH {_bm25_matches_cte(table, queries, k1, b)},
     wts AS (SELECT [{w_list}] AS w, [{cw_list}] AS cw),
-    toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}),
-    toks2 AS (SELECT * FROM toks WHERE term <> ''),
-    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-           FROM toks2 GROUP BY doc_id),
-    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                     CAST(SUM(dl) AS BIGINT) AS tot_dl FROM dl),
-    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-           FROM toks2 WHERE term IN ({in_list}) GROUP BY doc_id, term),
-    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
-              FROM tf GROUP BY term),
-    scored AS (
-        SELECT qt.query_id, tf.doc_id,
-               ln((CAST(n_docs AS DOUBLE) - df + 0.5)
-                  / (CAST(df AS DOUBLE) + 0.5) + 1.0)
-               * (CAST(tf AS DOUBLE) * ({k1} + 1.0))
-               / (CAST(tf AS DOUBLE) + {k1} * (1.0 - {b} + {b}
-                  * CAST(dl AS DOUBLE)
-                  / (CAST(tot_dl AS DOUBLE) / n_docs))) AS s
-        FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
-             JOIN qt USING (term), stats),
-    matches AS (
-        SELECT query_id, doc_id,
-               CAST(SUM(CAST(round(s, 12) AS DECIMAL(24,12))) AS DOUBLE)
-                   AS bm25,
-               CAST(COUNT(*) AS INTEGER) AS grade
-        FROM scored GROUP BY 1, 2),
     ranked AS (
         SELECT *, row_number() OVER (PARTITION BY query_id
                       ORDER BY bm25 DESC, doc_id) AS rank
@@ -502,3 +468,108 @@ def retrieval_eval_oracle_sql(
            n_relevant
     FROM top t JOIN ideal i ON t.query_id = i.query_id
     """
+
+def _bm25_matches_cte(
+    table: str, queries: dict[str, list[str]], k1: float, b: float
+) -> str:
+    """Shared oracle CTE chain for the multi-query BM25 scorers:
+    qt (query terms) through ``matches(query_id, doc_id, bm25,
+    grade)`` — the SQL twin of :func:`bm25_multi`. Callers append
+    their own ranking/metric CTEs."""
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    in_list = sql_string_list(all_terms)
+    qt_rows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, ts in sorted(queries.items())
+        for t in ts
+    )
+    return f"""qt(query_id, term) AS (VALUES {qt_rows}),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}),
+    toks2 AS (SELECT * FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM toks2 GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS tot_dl FROM dl),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks2 WHERE term IN ({in_list}) GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY term),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf AS DOUBLE) * ({k1} + 1.0))
+               / (CAST(tf AS DOUBLE) + {k1} * (1.0 - {b} + {b}
+                  * CAST(dl AS DOUBLE)
+                  / (CAST(tot_dl AS DOUBLE) / n_docs))) AS s
+        FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
+             JOIN qt USING (term), stats),
+    matches AS (
+        SELECT query_id, doc_id,
+               CAST(SUM(CAST(round(s, 12) AS DECIMAL(24,12))) AS DOUBLE)
+                   AS bm25,
+               CAST(COUNT(*) AS INTEGER) AS grade
+        FROM scored GROUP BY 1, 2)"""
+
+
+def hard_negatives(
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 5,
+    rel_min: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training (the
+    DPR/ANCE recipe, Karpukhin EMNLP'20 §3.2): for each training
+    query, the top-scoring documents the ranker LIKES that are NOT
+    relevant (grade < ``rel_min`` distinct query terms) — the
+    negatives that actually move a contrastive model, unlike random
+    negatives which are trivially separable. Returns (query_id,
+    doc_id, bm25, grade, rank) — rank 1..k by (bm25 desc, doc_id)
+    among non-relevant matches only.
+
+    Scale shape: :func:`bm25_multi` scores every query in one corpus
+    scan; the rank is a per-query window over term-matched docs only
+    (vocabulary-filtered — never corpus-wide), cut at k by
+    row_number. BM25 values ride the same round-12 decimal sums as
+    q212, so the cut is deterministic cross-engine.
+    """
+    m = bm25_multi(docs, queries, id_col=id_col, text_col=text_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    return (
+        m.filter(F.col("grade") < rel_min)
+        .select(
+            "query_id",
+            "doc_id",
+            "bm25",
+            "grade",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hard_negatives_oracle_sql(
+    table: str,
+    queries: dict[str, list[str]],
+    k: int = 5,
+    rel_min: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB mirror of :func:`hard_negatives`."""
+    return f"""
+    WITH {_bm25_matches_cte(table, queries, k1, b)}
+    SELECT query_id, doc_id, bm25, grade,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY bm25 DESC, doc_id) AS rank
+        FROM matches WHERE grade < {rel_min})
+    WHERE rank <= {k}"""

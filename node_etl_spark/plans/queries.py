@@ -135,6 +135,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q229_hits_hubs_authorities",
     "q230_quantile_calibrate",
     "q231_decayed_trending",
+    "q232_hard_negatives",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -10062,3 +10063,34 @@ def _init_q231() -> None:
 
 
 _init_q231()
+
+
+# --------------------------------------------------------------------
+# q232 — hard-negative mining for retrieval training
+# --------------------------------------------------------------------
+
+def _init_q232() -> None:
+    from ..functions.search import hard_negatives, hard_negatives_oracle_sql
+
+    @register(
+        "q232_hard_negatives",
+        hard_negatives_oracle_sql(
+            "documents", _Q212_QUERIES, k=5, rel_min=3
+        ),
+        doc="Hard-negative mining (functions/search.py "
+            "hard_negatives; the DPR/ANCE contrastive-training "
+            "recipe): per query, the top-5 BM25-ranked documents "
+            "that are NOT relevant (grade < 3 distinct terms) — the "
+            "negatives a retrieval model actually learns from. Same "
+            "one-scan batch BM25 as q212 (shared _bm25_matches_cte "
+            "oracle prefix), per-query window cut over term-matched "
+            "docs only, deterministic via the round-12 decimal "
+            "score sums.",
+    )
+    def q232_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return hard_negatives(
+            table(spark, sf_dir, "documents"), _Q212_QUERIES, k=5, rel_min=3
+        )
+
+
+_init_q232()

@@ -172,3 +172,27 @@ def test_bm25_multi_matches_single_query(spark, sf_dir):
         .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(5).collect()
     }
     assert got == single
+
+
+def test_hard_negatives_excludes_relevant_and_ranks(spark):
+    from node_etl_spark.functions.search import hard_negatives
+
+    docs = spark.createDataFrame(
+        [
+            (1, "join filter sort extras"),   # all 3 terms: relevant
+            (2, "join filter something"),     # 2 terms: hard negative
+            (3, "join alone here"),           # 1 term: negative
+            (4, "nothing matching at all"),   # no terms: absent
+        ],
+        "doc_id bigint, text string",
+    )
+    out = hard_negatives(
+        docs, {"q": ["join", "filter", "sort"]}, k=5, rel_min=3
+    ).collect()
+    ids = {r.doc_id for r in out}
+    assert 1 not in ids          # relevant doc never a negative
+    assert 4 not in ids          # non-matching doc never a candidate
+    assert ids == {2, 3}
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[2].rank < by_id[3].rank  # more terms -> higher bm25
+    assert by_id[2].grade == 2 and by_id[3].grade == 1
