@@ -202,6 +202,7 @@ HEADLINE = [
     "q230_quantile_calibrate",
     "q231_decayed_trending",
     "q232_hard_negatives",
+    "q233_knn_label_eval",
 ]
 
 

@@ -2696,3 +2696,84 @@ def power_iteration_oracle_sql(
         f"{body}\n    SELECT CAST(j AS INTEGER) AS j, val AS v"
         f" FROM v{rounds}"
     )
+
+
+def knn_label_eval(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN label-prediction confusion matrix — THE standard embedding
+    quality probe (as in the SentEval/MTEB kNN classification tracks):
+    predict each probe vector's label by majority vote of its k
+    nearest corpus neighbors (cosine), and report (true_label,
+    pred_label, n) confusion counts. A collapsed or batch-effected
+    embedding space shows up immediately as off-diagonal mass.
+
+    Built on :func:`brute_force_topk` (blocked distributed GEMM,
+    self-matches excluded, sims rounded to 6 so the cut is
+    cross-engine deterministic); the vote is one integer aggregate +
+    a per-query window with (count desc, label asc) tie-break. Scale:
+    the probe set is what you bound (|Q|·N·d flops) — run the eval on
+    a sampled probe frame, never all-pairs.
+    """
+    nn = brute_force_topk(
+        df, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    labels = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("nlabel"),
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("c"), F.asc("nlabel")
+    )
+    pred = (
+        votes.select(
+            "query_id", "nlabel", F.row_number().over(w).alias("rn")
+        )
+        .filter("rn = 1")
+        .select("query_id", F.col("nlabel").alias("pred_label"))
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("true_label"),
+    )
+    return (
+        pred.join(truth, "query_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def knn_label_eval_oracle_sql(
+    k: int = 5,
+    query_pred: str = "vec_id < 100",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB mirror of :func:`knn_label_eval` over
+    :func:`topk_oracle_sql`'s exact-decimal ranking."""
+    inner = topk_oracle_sql(k=k, query_pred=query_pred, table=table)
+    return f"""
+    WITH topk AS ({inner}),
+    votes AS (
+        SELECT t.query_id, l.label AS nlabel,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM topk t JOIN {table} l ON l.vec_id = t.neighbor_id
+        GROUP BY 1, 2),
+    pred AS (
+        SELECT query_id, nlabel AS pred_label FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY c DESC, nlabel) AS rn
+            FROM votes) WHERE rn = 1)
+    SELECT tl.label AS true_label, p.pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred p JOIN {table} tl ON tl.vec_id = p.query_id
+    GROUP BY 1, 2"""

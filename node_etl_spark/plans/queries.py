@@ -136,6 +136,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q230_quantile_calibrate",
     "q231_decayed_trending",
     "q232_hard_negatives",
+    "q233_knn_label_eval",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -10094,3 +10095,29 @@ def _init_q232() -> None:
 
 
 _init_q232()
+
+
+# --------------------------------------------------------------------
+# q233 — kNN label-prediction eval (embedding quality probe)
+# --------------------------------------------------------------------
+
+def _init_q233() -> None:
+    @register(
+        "q233_knn_label_eval",
+        S.knn_label_eval_oracle_sql(k=5, query_pred="vec_id < 100"),
+        doc="kNN label-prediction confusion matrix (functions/"
+            "similarity.py knn_label_eval; the SentEval/MTEB-style "
+            "embedding probe): 100 probe vectors, top-5 cosine "
+            "neighbors via the blocked GEMM (q26's plan), majority "
+            "vote with (count desc, label asc) tie-break, "
+            "(true_label, pred_label, n) counts. Off-diagonal mass "
+            "= collapsed or batch-effected space. Probe-bounded "
+            "|Q|·N·d flops — the eval you run sampled, never "
+            "all-pairs.",
+    )
+    def q233_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = table(spark, sf_dir, "embeddings")
+        return S.knn_label_eval(emb, emb.filter("vec_id < 100"), k=5)
+
+
+_init_q233()

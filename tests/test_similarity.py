@@ -615,3 +615,37 @@ def test_power_iteration_matches_numpy_eigvec(spark):
     w, vecs = np.linalg.eigh(X.T @ X)
     top = vecs[:, -1]
     assert abs(float(np.dot(v, top))) > 0.99
+
+
+def test_knn_label_eval_separable_clusters(spark):
+    # two tight clusters with distinct labels: the confusion matrix
+    # must be purely diagonal
+    rows = []
+    vid = 0
+    for label, (cx, cy) in [(0, (1.0, 0.0)), (1, (-1.0, 0.1))]:
+        for j in range(6):
+            rows.append((vid, [cx + 0.01 * j, cy + 0.01 * j], label))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = S.knn_label_eval(df, df, k=3).collect()
+    conf = {(r.true_label, r.pred_label): r.n for r in out}
+    assert conf == {(0, 0): 6, (1, 1): 6}
+
+
+def test_knn_label_eval_majority_tiebreak(spark):
+    # probe at the midpoint of one vector from each label with k=2:
+    # the vote ties 1-1 and the (count desc, label asc) tie-break
+    # must pick the SMALLER label deterministically
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 7),
+            (1, [0.0, 1.0], 3),
+            (2, [0.7071, 0.7071], 3),
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    out = S.knn_label_eval(df, df.filter("vec_id = 2"), k=2).collect()
+    (r,) = out
+    assert r.true_label == 3 and r.pred_label == 3  # min label wins tie
