@@ -203,6 +203,8 @@ HEADLINE = [
     "q231_decayed_trending",
     "q232_hard_negatives",
     "q233_knn_label_eval",
+    "q234_temporal_split",
+    "q235_target_encoding",
 ]
 
 

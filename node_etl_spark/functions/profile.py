@@ -943,3 +943,84 @@ def decayed_trending_sql(
                     AS DECIMAL(38,0))) AS DOUBLE) / 1e12
                AS decayed_value
     FROM dt_w GROUP BY 1"""
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_cents_col: str,
+    id_col: str,
+    smoothing: int = 10,
+) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing — the
+    categorical-feature encoder gradient-boosting pipelines use
+    (Micci-Barreca SIGKDD Expl. 2001; CatBoost's ordered variant is
+    this plus a permutation): enc_i = (sum_cat(y) − y_i + m·ȳ) /
+    (n_cat − 1 + m). Leaving the row's own target out prevents the
+    direct-leakage overfit of naive mean encoding; the prior pull m·ȳ
+    tames rare categories (and makes singletons well-defined).
+
+    Exactness: targets arrive as exact integer cents (BIGINT), and
+    the smoothed mean is computed as ONE exact integer fraction —
+    enc = ((sum_cat − y_i)·N + m·total) / ((n_cat − 1 + m)·N), both
+    sides DECIMAL(38,0) — then a single double division. No round()
+    anywhere: round(x, 6) at magnitude ~1e7 is NOT engine-portable
+    (Spark goes through BigDecimal's exact binary expansion, DuckDB
+    rounds in scaled double space whose ULP at 1e13 is ~4e-3 — the
+    sf0.1 gate caught ±1e-6 flips), whereas a division of identical
+    exact integers is bit-identical by IEEE.
+
+    Scale shape: one |categories|-row aggregate broadcast back, one
+    1-row global broadcast; the encoding itself is row-local. Returns
+    (id_col, cat_col, enc).
+    """
+    cs = df.groupBy(cat_col).agg(
+        F.sum(target_cents_col).cast("bigint").alias("__cs"),
+        F.count(F.lit(1)).cast("bigint").alias("__cn"),
+    )
+    g = df.agg(
+        F.sum(target_cents_col).cast("bigint").alias("__tot"),
+        F.count(F.lit(1)).cast("bigint").alias("__nt"),
+    )
+    num = (
+        (F.col("__cs") - F.col(target_cents_col)).cast("decimal(38,0)")
+        * F.col("__nt")
+        + F.lit(smoothing).cast("decimal(38,0)") * F.col("__tot")
+    )
+    den = (F.col("__cn") - 1 + smoothing).cast("decimal(38,0)") * F.col(
+        "__nt"
+    )
+    return (
+        df.join(F.broadcast(cs), cat_col)
+        .crossJoin(F.broadcast(g))
+        .select(
+            id_col,
+            cat_col,
+            (num.cast("double") / den.cast("double")).alias("enc"),
+        )
+    )
+
+
+def target_encode_loo_sql(
+    rows_sql: str,
+    cat: str = "cat",
+    y: str = "y",
+    id_: str = "id",
+    smoothing: int = 10,
+) -> str:
+    """DuckDB mirror of :func:`target_encode_loo`; ``rows_sql`` must
+    yield (id_, cat, y) with y exact integer cents."""
+    return f"""
+    WITH te_b AS ({rows_sql}),
+    te_c AS (SELECT {cat}, CAST(SUM({y}) AS BIGINT) AS cs,
+                    CAST(COUNT(*) AS BIGINT) AS cn
+             FROM te_b GROUP BY 1),
+    te_g AS (SELECT CAST(SUM({y}) AS BIGINT) AS tot,
+                    CAST(COUNT(*) AS BIGINT) AS nt
+             FROM te_b)
+    SELECT b.{id_}, b.{cat},
+           CAST(CAST(cs - b.{y} AS DECIMAL(38,0)) * nt
+                + CAST({smoothing} AS DECIMAL(38,0)) * tot AS DOUBLE)
+           / CAST(CAST(cn - 1 + {smoothing} AS DECIMAL(38,0)) * nt
+                  AS DOUBLE) AS enc
+    FROM te_b b JOIN te_c USING ({cat}), te_g"""

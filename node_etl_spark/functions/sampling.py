@@ -798,3 +798,67 @@ def quantile_calibrate_sql(
     JOIN qc_g g
       ON g.grank = ((2 * r.r - 1) * t.n + 2 * qc_n.ns - 1)
                    // (2 * qc_n.ns)"""
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+    test_frac_pct: int = 20,
+) -> DataFrame:
+    """Leakage-safe TEMPORAL train/test split: per entity, the most
+    recent ``test_frac_pct`` percent of events (by event time) become
+    test, the rest train — the split every forecasting / next-action
+    / recommendation dataset needs. A hash split (q55) leaks future
+    behavior into training for sequence models; splitting on each
+    entity's own timeline does not, and per-entity (rather than one
+    global cutoff) keeps sparse and dense entities both represented
+    in test.
+
+    Exact integer rule: event rank r (1-based, by ts then a unique
+    tiebreak) out of n per entity is test iff r * 100 > n * (100 -
+    test_frac_pct) — pure BIGINT, no percent float. One
+    entity-partitioned window (parallel across entities, the q220
+    domain-cap shape). Ties on ts break by the row's own id columns —
+    callers must include a unique tiebreak in ``ts_col`` order via
+    the DataFrame sort keys; here the event id column is appended
+    automatically when present.
+
+    Returns the input plus (split string 'train'|'test').
+    """
+    order = [F.col(ts_col)]
+    if "event_id" in df.columns:
+        order.append(F.col("event_id"))
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    wn = Window.partitionBy(entity_col)
+    return (
+        df.withColumn("__r", F.row_number().over(w).cast("bigint"))
+        .withColumn("__n", F.count(F.lit(1)).over(wn).cast("bigint"))
+        .withColumn(
+            "split",
+            F.when(
+                F.col("__r") * 100 > F.col("__n") * (100 - test_frac_pct),
+                F.lit("test"),
+            ).otherwise(F.lit("train")),
+        )
+        .drop("__r", "__n")
+    )
+
+
+def temporal_split_sql(
+    table: str = "events",
+    ts: str = "ts",
+    entity: str = "user_id",
+    test_frac_pct: int = 20,
+    tiebreak: str = "event_id",
+) -> str:
+    """DuckDB mirror of :func:`temporal_split` (select-list form:
+    yields entity, tiebreak, split)."""
+    return f"""
+    SELECT {entity}, {tiebreak},
+           CASE WHEN CAST(row_number() OVER (PARTITION BY {entity}
+                          ORDER BY {ts}, {tiebreak}) AS BIGINT) * 100
+                     > CAST(COUNT(*) OVER (PARTITION BY {entity})
+                            AS BIGINT) * {100 - test_frac_pct}
+                THEN 'test' ELSE 'train' END AS split
+    FROM {table}"""

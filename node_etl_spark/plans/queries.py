@@ -137,6 +137,8 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q231_decayed_trending",
     "q232_hard_negatives",
     "q233_knn_label_eval",
+    "q234_temporal_split",
+    "q235_target_encoding",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -10121,3 +10123,74 @@ def _init_q233() -> None:
 
 
 _init_q233()
+
+
+# --------------------------------------------------------------------
+# q234 — temporal leakage-safe split
+# --------------------------------------------------------------------
+
+def _init_q234() -> None:
+    from ..functions import sampling as SA3
+
+    @register(
+        "q234_temporal_split",
+        f"""
+        WITH s AS ({SA3.temporal_split_sql("events", test_frac_pct=20)})
+        SELECT user_id, event_id, split FROM s
+        """,
+        doc="Temporal leakage-safe split (functions/sampling.py "
+            "temporal_split): per entity the most recent 20% of "
+            "events (by event time, exact integer rank rule r*100 > "
+            "n*80) become test — the split sequence/recommendation "
+            "training requires, where q55's hash split would leak "
+            "future behavior into train. One entity-partitioned "
+            "window, parallel across entities.",
+    )
+    def q234_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id"
+        )
+        return SA3.temporal_split(ev, test_frac_pct=20).select(
+            "user_id", "event_id", "split"
+        )
+
+
+_init_q234()
+
+
+# --------------------------------------------------------------------
+# q235 — leave-one-out target encoding
+# --------------------------------------------------------------------
+
+def _init_q235() -> None:
+    from ..functions import profile as P3
+
+    rows_sql = (
+        "SELECT o_orderkey AS id, o_orderpriority AS cat,"
+        " CAST(round(o_totalprice * 100) AS BIGINT) AS y FROM orders"
+    )
+
+    @register(
+        "q235_target_encoding",
+        P3.target_encode_loo_sql(rows_sql),
+        doc="Leave-one-out target encoding with additive smoothing "
+            "(functions/profile.py target_encode_loo; Micci-Barreca "
+            "2001, the CatBoost-family encoder): order priority "
+            "encoded against total price in exact integer cents — "
+            "enc = (sum_cat − y_i + 10·ȳ)/(n_cat − 1 + 10). LOO "
+            "kills the self-leakage of naive mean encoding; the "
+            "prior tames rare categories. One category-row "
+            "aggregate broadcast back; encoding row-local.",
+    )
+    def q235_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+        orders = table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderpriority").alias("cat"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("y"),
+        )
+        return P3.target_encode_loo(orders, "cat", "y", "id")
+
+
+_init_q235()

@@ -39,3 +39,32 @@ def test_decayed_trending_clamps_ancient_events(spark):
     # grid -> exactly the fresh event's weight survives
     assert r.n_events == 2
     assert abs(r.decayed_count - 1.0) < 1e-11
+
+
+def test_target_encode_loo_hand_example(spark):
+    from node_etl_spark.functions.profile import target_encode_loo
+
+    # cat "a": y = [100, 300] cents; global mean = (100+300+500)/3
+    # enc(id=1) = (300 - ... ) LOO: (400-100 + 10*300) / (2-1+10)
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 300), (3, "b", 500)],
+        "id bigint, cat string, y bigint",
+    )
+    out = {r.id: r.enc for r in target_encode_loo(df, "cat", "y", "id").collect()}
+    # exact fraction form: ((cs - y) * N + m * total) / ((cn-1+m) * N)
+    assert out[1] == ((400 - 100) * 3 + 10 * 900) / (11 * 3)
+    assert out[2] == ((400 - 300) * 3 + 10 * 900) / (11 * 3)
+    # singleton category: pure prior = total/N scaled
+    assert out[3] == (0 * 3 + 10 * 900) / (10 * 3)
+
+
+def test_target_encode_loo_leaves_own_target_out(spark):
+    from node_etl_spark.functions.profile import target_encode_loo
+
+    # two rows, same cat, very different targets: each row's encoding
+    # must move TOWARD the other row's value, not its own
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "a", 1000)], "id bigint, cat string, y bigint"
+    )
+    out = {r.id: r.enc for r in target_encode_loo(df, "cat", "y", "id", smoothing=0).collect()}
+    assert out[1] == 1000.0 and out[2] == 0.0

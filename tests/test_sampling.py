@@ -505,3 +505,34 @@ def test_quantile_calibrate_identity_on_single_group(spark):
     )
     rows = quantile_calibrate(df, "score", "grp", "id").collect()
     assert all(r.calibrated == r.score for r in rows)
+
+
+def test_temporal_split_per_entity_tail(spark):
+    from datetime import datetime
+
+    from node_etl_spark.functions.sampling import temporal_split
+
+    # user A: 5 events -> last 1 is test (r*100 > n*80 iff r=5);
+    # user B: 2 events -> r=2: 200 > 160 -> test, r=1 train
+    rows = [
+        (i, datetime(2024, 1, 1 + i), "A") for i in range(5)
+    ] + [(10, datetime(2024, 2, 1), "B"), (11, datetime(2024, 2, 2), "B")]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id string")
+    out = {r.event_id: r.split for r in temporal_split(df).collect()}
+    assert out[4] == "test" and all(out[i] == "train" for i in range(4))
+    assert out[11] == "test" and out[10] == "train"
+
+
+def test_temporal_split_never_trains_on_future(spark):
+    from datetime import datetime, timedelta
+
+    from node_etl_spark.functions.sampling import temporal_split
+
+    rows = [
+        (i, datetime(2024, 1, 1) + timedelta(hours=i), "u") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id string")
+    rows_out = temporal_split(df, test_frac_pct=30).collect()
+    max_train = max(r.ts for r in rows_out if r.split == "train")
+    min_test = min(r.ts for r in rows_out if r.split == "test")
+    assert max_train < min_test  # every test event is after all train
