@@ -205,6 +205,7 @@ HEADLINE = [
     "q233_knn_label_eval",
     "q234_temporal_split",
     "q235_target_encoding",
+    "q236_skipgram_pairs",
 ]
 
 

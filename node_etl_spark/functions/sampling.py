@@ -862,3 +862,89 @@ def temporal_split_sql(
                             AS BIGINT) * {100 - test_frac_pct}
                 THEN 'test' ELSE 'train' END AS split
     FROM {table}"""
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    item_col: str = "event_type",
+    window: int = 2,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Skip-gram (center, context) pair extraction from per-entity
+    event sequences — the training-data prep for item/prod2vec-style
+    sequence embeddings (Mikolov 2013 applied to behavior logs,
+    Grbovic KDD'15): each event pairs with its ``window`` predecessors
+    in the entity's timeline, emitting both directions with the
+    signed offset.
+
+    Scale shape: ``window`` LAG columns over ONE entity-partitioned
+    time-ordered window, then a row-local explode — never a
+    collect_list (whose per-entity array would blow up on power
+    users) and never a self-join (whose range condition would
+    re-shuffle the sequence). Cost is exactly window×n rows out of
+    one sort-shuffle — the minimal possible.
+
+    Returns (entity, center, context, rel_pos) with rel_pos in
+    ±1..window; pairs are integer/string ops only — gate-exact.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, id_col)
+    lags = [
+        F.lag(item_col, i).over(w).alias(f"__l{i}")
+        for i in range(1, window + 1)
+    ]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(item_col).alias("center"),
+                F.col(f"__l{i}").alias("context"),
+                F.lit(-i).alias("rel_pos"),
+            )
+            for i in range(1, window + 1)
+        ],
+        *[
+            F.struct(
+                F.col(f"__l{i}").alias("center"),
+                F.col(item_col).alias("context"),
+                F.lit(i).alias("rel_pos"),
+            )
+            for i in range(1, window + 1)
+        ],
+    )
+    return (
+        df.select(F.col(entity_col).alias("entity"), item_col, *lags)
+        .select("entity", F.explode(pairs).alias("p"))
+        .select("entity", "p.center", "p.context", "p.rel_pos")
+        .filter(F.col("center").isNotNull() & F.col("context").isNotNull())
+    )
+
+
+def skipgram_pairs_sql(
+    table: str = "events",
+    entity: str = "user_id",
+    ts: str = "ts",
+    item: str = "event_type",
+    window: int = 2,
+    id_: str = "event_id",
+) -> str:
+    """DuckDB mirror of :func:`skipgram_pairs`."""
+    lag_cols = ", ".join(
+        f"lag({item}, {i}) OVER (PARTITION BY {entity}"
+        f" ORDER BY {ts}, {id_}) AS l{i}"
+        for i in range(1, window + 1)
+    )
+    arms = []
+    for i in range(1, window + 1):
+        arms.append(f"SELECT entity, {item} AS center, l{i} AS context,"
+                    f" CAST({-i} AS INTEGER) AS rel_pos FROM lagged")
+        arms.append(f"SELECT entity, l{i} AS center, {item} AS context,"
+                    f" CAST({i} AS INTEGER) AS rel_pos FROM lagged")
+    union = "\n        UNION ALL ".join(arms)
+    return f"""
+    WITH lagged AS (
+        SELECT {entity} AS entity, {item}, {lag_cols}
+        FROM {table})
+    SELECT entity, center, context, rel_pos FROM (
+        {union})
+    WHERE center IS NOT NULL AND context IS NOT NULL"""

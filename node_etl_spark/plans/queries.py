@@ -139,6 +139,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q233_knn_label_eval",
     "q234_temporal_split",
     "q235_target_encoding",
+    "q236_skipgram_pairs",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -10194,3 +10195,38 @@ def _init_q235() -> None:
 
 
 _init_q235()
+
+
+# --------------------------------------------------------------------
+# q236 — skip-gram pair extraction (sequence-embedding prep)
+# --------------------------------------------------------------------
+
+def _init_q236() -> None:
+    from ..functions import sampling as SA4
+
+    @register(
+        "q236_skipgram_pairs",
+        f"""
+        WITH pr AS ({SA4.skipgram_pairs_sql("events", window=2)})
+        SELECT entity, center, context, rel_pos,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pr GROUP BY 1, 2, 3, 4
+        """,
+        doc="Skip-gram (center, context, rel_pos) pair extraction "
+            "from per-user event timelines (functions/sampling.py "
+            "skipgram_pairs; the prod2vec/item2vec data prep, "
+            "Grbovic KDD'15): window LAG columns over ONE "
+            "entity-partitioned sort — never collect_list (power-"
+            "user arrays), never a range self-join. Rolled up to "
+            "(entity, pair, offset) counts for the gate.",
+    )
+    def q236_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pr = SA4.skipgram_pairs(
+            table(spark, sf_dir, "events"), window=2
+        )
+        return pr.groupBy("entity", "center", "context", "rel_pos").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+
+
+_init_q236()

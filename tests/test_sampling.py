@@ -536,3 +536,45 @@ def test_temporal_split_never_trains_on_future(spark):
     max_train = max(r.ts for r in rows_out if r.split == "train")
     min_test = min(r.ts for r in rows_out if r.split == "test")
     assert max_train < min_test  # every test event is after all train
+
+
+def test_skipgram_pairs_window_and_direction(spark):
+    from datetime import datetime
+
+    from node_etl_spark.functions.sampling import skipgram_pairs
+
+    # one user, sequence a b c with window=2: center b pairs with a
+    # (rel_pos -1); center c pairs with b (-1) and a (-2); plus the
+    # mirrored forward pairs
+    rows = [
+        (1, datetime(2024, 1, 1), "u", "a"),
+        (2, datetime(2024, 1, 2), "u", "b"),
+        (3, datetime(2024, 1, 3), "u", "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id string, event_type string"
+    )
+    got = {
+        (r.center, r.context, r.rel_pos)
+        for r in skipgram_pairs(df, window=2).collect()
+    }
+    assert got == {
+        ("b", "a", -1), ("a", "b", 1),
+        ("c", "b", -1), ("b", "c", 1),
+        ("c", "a", -2), ("a", "c", 2),
+    }
+
+
+def test_skipgram_pairs_never_cross_entities(spark):
+    from datetime import datetime
+
+    from node_etl_spark.functions.sampling import skipgram_pairs
+
+    rows = [
+        (1, datetime(2024, 1, 1), "u1", "a"),
+        (2, datetime(2024, 1, 2), "u2", "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id string, event_type string"
+    )
+    assert skipgram_pairs(df, window=2).count() == 0
