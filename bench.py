@@ -206,6 +206,7 @@ HEADLINE = [
     "q234_temporal_split",
     "q235_target_encoding",
     "q236_skipgram_pairs",
+    "q237_source_divergence",
 ]
 
 

@@ -1640,3 +1640,138 @@ def tokenizer_fertility_oracle_sql(
                AS chars_per_token
     FROM agg"""
     )
+
+
+def source_js_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k_tokens: int = 200,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between the unigram
+    distributions of corpus groups — the "which sources are
+    distributionally close" audit that drives mixing decisions
+    (merging near-identical sources distorts q173/q185's balancing;
+    JS is the symmetric, bounded [0,1] companion to q117's numeric
+    PSI and q168's categorical MI). JS(A,B) = ½KL(A‖M) + ½KL(B‖M),
+    M = (A+B)/2.
+
+    Vocabulary is capped to the ``top_k_tokens`` tokens by GLOBAL
+    document frequency (the standard estimator truncation): the
+    (group × vocab) probability grid is then bounded — |groups|·k
+    rows — whatever the corpus size, and missing cells densify to 0
+    via the grid join (a token absent from one side still contributes
+    ½·p·log2(2) mass through M, which an inner join would drop).
+
+    Cross-engine exactness: probabilities are single divisions of
+    exact BIGINT counts; each JS term quantizes to DECIMAL(28,12)
+    before the exact sum (the module's quantized-log rule), final
+    round(6). Returns (src_a, src_b, js_bits) for src_a < src_b.
+    """
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(
+            F.expr(f"filter(split({text_col}, ' '), x -> x <> '')")
+        ).alias("w"),
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(top_k_tokens)
+        .select("w")
+    )
+    counts = (
+        toks.join(F.broadcast(vocab), "w")
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    totals = counts.groupBy("g").agg(F.sum("c").cast("bigint").alias("n"))
+    groups = totals.select("g")
+    grid = (
+        groups.crossJoin(F.broadcast(vocab))
+        .join(counts, ["g", "w"], "left")
+        .join(F.broadcast(totals), "g")
+        .select(
+            "g",
+            "w",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("n").cast("double")
+            ).alias("p"),
+        )
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.w") == F.col("b.w")) & (F.col("a.g") < F.col("b.g")),
+    ).select(
+        F.col("a.g").alias("src_a"),
+        F.col("b.g").alias("src_b"),
+        F.col("a.p").alias("pa"),
+        F.col("b.p").alias("pb"),
+    )
+    term = (
+        F.when(
+            F.col("pa") > 0,
+            F.col("pa")
+            * F.log2(F.col("pa") / ((F.col("pa") + F.col("pb")) / 2)),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("pb") > 0,
+            F.col("pb")
+            * F.log2(F.col("pb") / ((F.col("pa") + F.col("pb")) / 2)),
+        ).otherwise(F.lit(0.0))
+    ) / 2
+    return (
+        pairs.select(
+            "src_a",
+            "src_b",
+            F.round(term, 12).cast("decimal(28,12)").alias("t"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("js_bits"))
+    )
+
+
+def source_js_divergence_sql(
+    table: str = "documents",
+    group: str = "source",
+    text: str = "text",
+    top_k_tokens: int = 200,
+) -> str:
+    """DuckDB mirror of :func:`source_js_divergence`."""
+    return f"""
+    WITH js_toks AS (
+        SELECT {group} AS g,
+               unnest(list_filter(string_split({text}, ' '),
+                      x -> x <> '')) AS w
+        FROM {table}),
+    js_vocab AS (
+        SELECT w FROM (
+            SELECT w, COUNT(*) AS c FROM js_toks GROUP BY 1
+            ORDER BY c DESC, w LIMIT {top_k_tokens})),
+    js_counts AS (
+        SELECT g, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM js_toks JOIN js_vocab USING (w) GROUP BY 1, 2),
+    js_totals AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n
+                  FROM js_counts GROUP BY 1),
+    js_grid AS (
+        SELECT t.g, v.w,
+               CAST(COALESCE(c.c, 0) AS DOUBLE) / CAST(t.n AS DOUBLE)
+                   AS p
+        FROM js_totals t CROSS JOIN js_vocab v
+        LEFT JOIN js_counts c ON c.g = t.g AND c.w = v.w),
+    js_pairs AS (
+        SELECT a.g AS src_a, b.g AS src_b, a.p AS pa, b.p AS pb
+        FROM js_grid a JOIN js_grid b
+          ON a.w = b.w AND a.g < b.g)
+    SELECT src_a, src_b,
+           round(CAST(SUM(CAST(round(
+               (CASE WHEN pa > 0
+                     THEN pa * log2(pa / ((pa + pb) / 2)) ELSE 0.0 END
+                + CASE WHEN pb > 0
+                       THEN pb * log2(pb / ((pa + pb) / 2))
+                       ELSE 0.0 END) / 2, 12)
+               AS DECIMAL(28,12))) AS DOUBLE), 6) AS js_bits
+    FROM js_pairs GROUP BY 1, 2"""

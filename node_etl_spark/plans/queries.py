@@ -140,6 +140,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q234_temporal_split",
     "q235_target_encoding",
     "q236_skipgram_pairs",
+    "q237_source_divergence",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -10230,3 +10231,32 @@ def _init_q236() -> None:
 
 
 _init_q236()
+
+
+# --------------------------------------------------------------------
+# q237 — pairwise source divergence (mixing audit)
+# --------------------------------------------------------------------
+
+def _init_q237() -> None:
+    from ..functions import text as T2
+
+    @register(
+        "q237_source_divergence",
+        T2.source_js_divergence_sql("documents", top_k_tokens=200),
+        doc="Pairwise Jensen-Shannon divergence between source "
+            "unigram distributions (functions/text.py "
+            "source_js_divergence): the which-sources-are-"
+            "distributionally-close audit behind mixing decisions — "
+            "symmetric bounded companion to q117 PSI (numeric) and "
+            "q168 MI (categorical). Vocab capped at global-df top "
+            "200, so the probability grid is |groups|·k rows at any "
+            "corpus size; absent tokens densify through the grid "
+            "join (an inner join would drop their ½·p mass).",
+    )
+    def q237_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return T2.source_js_divergence(
+            table(spark, sf_dir, "documents"), top_k_tokens=200
+        )
+
+
+_init_q237()

@@ -633,3 +633,41 @@ def test_bpe_return_vocab_matches_merge_application(spark):
         for w1, w2, m in merges:
             s = s.replace(f"|{w1}||{w2}|", f"|{m}|")
         assert vocab[w] == s, (w, vocab[w], s)
+
+
+# -- source JS divergence -------------------------------------------------
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    from node_etl_spark.functions.text import source_js_divergence
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "a b a b"),
+            ("s2", "a b a b"),      # identical distro to s1 -> JS 0
+            ("s3", "c d c d"),      # disjoint from s1 -> JS 1 bit
+        ],
+        "source string, text string",
+    )
+    out = {
+        (r.src_a, r.src_b): r.js_bits
+        for r in source_js_divergence(df, top_k_tokens=10).collect()
+    }
+    assert out[("s1", "s2")] == 0.0
+    assert abs(out[("s1", "s3")] - 1.0) < 1e-9  # disjoint supports = 1 bit
+    assert 0.0 < out[("s2", "s3")] <= 1.0
+
+
+def test_js_divergence_symmetric_in_distribution(spark):
+    from node_etl_spark.functions.text import source_js_divergence
+
+    # swapping which source holds which text must not change the value
+    df1 = spark.createDataFrame(
+        [("a1", "x x y"), ("a2", "y y x")], "source string, text string"
+    )
+    df2 = spark.createDataFrame(
+        [("a1", "y y x"), ("a2", "x x y")], "source string, text string"
+    )
+    v1 = source_js_divergence(df1, top_k_tokens=5).collect()[0].js_bits
+    v2 = source_js_divergence(df2, top_k_tokens=5).collect()[0].js_bits
+    assert v1 == v2 > 0
