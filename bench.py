@@ -207,6 +207,7 @@ HEADLINE = [
     "q235_target_encoding",
     "q236_skipgram_pairs",
     "q237_source_divergence",
+    "q238_wilson_ranking",
 ]
 
 

@@ -1024,3 +1024,89 @@ def target_encode_loo_sql(
            / CAST(CAST(cn - 1 + {smoothing} AS DECIMAL(38,0)) * nt
                   AS DOUBLE) AS enc
     FROM te_b b JOIN te_c USING ({cat}), te_g"""
+
+
+def wilson_rank(
+    df: DataFrame,
+    key_col: str,
+    success_col: str,
+    z: float = 1.96,
+    min_trials: int = 1,
+) -> DataFrame:
+    """Rank keys by the Wilson score interval's LOWER bound on their
+    success rate (Wilson 1927; the "how not to sort by average
+    rating" construct): a key with 2/2 successes must NOT outrank one
+    with 98/100 — the lower bound prices in sample size, the raw rate
+    does not. The standard ranking for review scores, CTRs, and
+    (in a data pipeline) per-source pass-rates from a small audited
+    sample.
+
+    lb = (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n).
+
+    Cross-engine determinism: n and s are exact BIGINTs and sqrt is
+    correctly rounded by IEEE mandate, but the multiply-add CHAIN is
+    not contraction-safe (one engine may fuse a*b+c, shifting the
+    last ULP — observed at the sf0.01 gate), so both sides round the
+    two output rates to 6 decimals; at magnitude <= 1 that rounding
+    is itself portable (unlike round(,6) at 1e7, see
+    target_encode_loo).
+
+    One hash aggregate onto |keys| rows; everything after is
+    row-local. Returns (key, n_trials, n_success, rate, wilson_lb).
+    """
+    agg = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trials"),
+        F.sum(F.col(success_col).cast("int"))
+        .cast("bigint")
+        .alias("n_success"),
+    ).filter(F.col("n_trials") >= min_trials)
+    n = F.col("n_trials").cast("double")
+    p = F.col("n_success").cast("double") / n
+    z2 = z * z
+    lb = (
+        p
+        + F.lit(z2) / (2 * n)
+        - F.lit(z)
+        * F.sqrt(p * (1 - p) / n + F.lit(z2) / (4 * n * n))
+    ) / (1 + F.lit(z2) / n)
+    return agg.select(
+        key_col,
+        "n_trials",
+        "n_success",
+        F.round(p, 6).alias("rate"),
+        F.round(lb, 6).alias("wilson_lb"),
+    )
+
+
+def wilson_rank_sql(
+    rows_sql: str,
+    key: str = "k",
+    success: str = "s",
+    z: float = 1.96,
+    min_trials: int = 1,
+) -> str:
+    """DuckDB mirror of :func:`wilson_rank`; ``rows_sql`` yields
+    (key, success 0/1)."""
+    z2 = z * z
+    return f"""
+    WITH wr_b AS ({rows_sql}),
+    wr_a AS (
+        SELECT {key}, CAST(COUNT(*) AS BIGINT) AS n_trials,
+               CAST(SUM(CAST({success} AS INTEGER)) AS BIGINT)
+                   AS n_success
+        FROM wr_b GROUP BY 1
+        HAVING COUNT(*) >= {min_trials})
+    SELECT {key}, n_trials, n_success,
+           round(CAST(n_success AS DOUBLE) / CAST(n_trials AS DOUBLE),
+                 6) AS rate,
+           round((CAST(n_success AS DOUBLE) / CAST(n_trials AS DOUBLE)
+            + {z2} / (2 * CAST(n_trials AS DOUBLE))
+            - {z} * sqrt(
+                (CAST(n_success AS DOUBLE) / CAST(n_trials AS DOUBLE))
+                * (1 - CAST(n_success AS DOUBLE)
+                       / CAST(n_trials AS DOUBLE))
+                / CAST(n_trials AS DOUBLE)
+                + {z2} / (4 * CAST(n_trials AS DOUBLE)
+                            * CAST(n_trials AS DOUBLE))))
+           / (1 + {z2} / CAST(n_trials AS DOUBLE)), 6) AS wilson_lb
+    FROM wr_a"""

@@ -141,6 +141,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q235_target_encoding",
     "q236_skipgram_pairs",
     "q237_source_divergence",
+    "q238_wilson_ranking",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -10260,3 +10261,42 @@ def _init_q237() -> None:
 
 
 _init_q237()
+
+
+# --------------------------------------------------------------------
+# q238 — Wilson lower-bound ranking (sample-size-aware rates)
+# --------------------------------------------------------------------
+
+def _init_q238() -> None:
+    from ..functions import profile as P4
+
+    rows_sql = (
+        "SELECT l_partkey AS k,"
+        " CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END AS s"
+        " FROM lineitem"
+    )
+
+    @register(
+        "q238_wilson_ranking",
+        P4.wilson_rank_sql(rows_sql, min_trials=5),
+        doc="Wilson score lower-bound ranking (functions/profile.py "
+            "wilson_rank; Wilson 1927 — 'how not to sort by average "
+            "rating'): parts ranked by the lower confidence bound of "
+            "their non-return rate, so 2/2 never outranks 98/100. "
+            "Exact WITHOUT quantization: BIGINT counts into one "
+            "fixed-shape double expression whose only non-arithmetic "
+            "op is sqrt — correctly rounded by IEEE mandate, unlike "
+            "the libm transcendentals the module quantizes. One "
+            "keys-row aggregate, row-local math.",
+    )
+    def q238_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = table(spark, sf_dir, "lineitem").select(
+            F.col("l_partkey").alias("k"),
+            F.when(F.col("l_returnflag") != "R", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("s"),
+        )
+        return P4.wilson_rank(li, "k", "s", min_trials=5)
+
+
+_init_q238()

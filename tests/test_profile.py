@@ -68,3 +68,34 @@ def test_target_encode_loo_leaves_own_target_out(spark):
     )
     out = {r.id: r.enc for r in target_encode_loo(df, "cat", "y", "id", smoothing=0).collect()}
     assert out[1] == 1000.0 and out[2] == 0.0
+
+
+def test_wilson_rank_sample_size_awareness(spark):
+    from node_etl_spark.functions.profile import wilson_rank
+
+    # 2/2 perfect vs 98/100: the raw rate prefers the tiny sample,
+    # the Wilson lower bound must NOT
+    rows = [("tiny", 1)] * 2 + [("big", 1)] * 98 + [("big", 0)] * 2
+    df = spark.createDataFrame(rows, "k string, s int")
+    out = {r.k: r for r in wilson_rank(df, "k", "s").collect()}
+    assert out["tiny"].rate == 1.0 and out["big"].rate == 0.98
+    assert out["big"].wilson_lb > out["tiny"].wilson_lb
+    # closed form at z=1.96, 98/100
+    import math as m
+
+    z, n, p = 1.96, 100.0, 0.98
+    lb = (
+        p + z * z / (2 * n)
+        - z * m.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    ) / (1 + z * z / n)
+    assert abs(out["big"].wilson_lb - round(lb, 6)) < 1e-9
+
+
+def test_wilson_rank_min_trials_filter(spark):
+    from node_etl_spark.functions.profile import wilson_rank
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 1)], "k string, s int"
+    )
+    out = wilson_rank(df, "k", "s", min_trials=2).collect()
+    assert [r.k for r in out] == ["a"]
