@@ -658,3 +658,30 @@ def test_q230_calibrate_sizes_broadcast_no_python_rank(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("MapInPandas") <= 1
+
+
+def test_wave4_queries_no_python_no_cartesian(spark, sf_dir):
+    # q231-q238 are all codegen compositions: no row-at-a-time or
+    # Arrow Python stages, and no cartesian pair streams anywhere
+    for name in [
+        "q231_decayed_trending",
+        "q232_hard_negatives",
+        "q234_temporal_split",
+        "q235_target_encoding",
+        "q236_skipgram_pairs",
+        "q237_source_divergence",
+        "q238_wilson_ranking",
+    ]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q236_skipgram_single_sort_shuffle(spark, sf_dir):
+    # the LAG-column design exists to avoid a range self-join: the
+    # plan must contain NO join at all — one window sort is the only
+    # wide operation before the rollup
+    plan = _plan(spark, sf_dir, "q236_skipgram_pairs")
+    assert "Join" not in plan
+    assert "Window" in plan
