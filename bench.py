@@ -208,6 +208,7 @@ HEADLINE = [
     "q236_skipgram_pairs",
     "q237_source_divergence",
     "q238_wilson_ranking",
+    "q239_funnel_count",
 ]
 
 

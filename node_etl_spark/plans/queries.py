@@ -142,6 +142,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q236_skipgram_pairs",
     "q237_source_divergence",
     "q238_wilson_ranking",
+    "q239_funnel_count",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -10300,3 +10301,84 @@ def _init_q238() -> None:
 
 
 _init_q238()
+
+
+# --------------------------------------------------------------------
+# q239 — funnel subsequence counting (linear DP vs the oracle's joins)
+# --------------------------------------------------------------------
+
+def _init_q239() -> None:
+    _P1, _P2, _P3 = "view", "click", "purchase"
+
+    @register(
+        "q239_funnel_count",
+        f"""
+        WITH p1 AS (SELECT user_id, ts, event_id FROM events
+                    WHERE event_type = '{_P1}'),
+        p2 AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = '{_P2}'),
+        p3 AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = '{_P3}')
+        SELECT a.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_funnels
+        FROM p1 a
+        JOIN p2 b ON b.user_id = a.user_id
+                 AND (b.ts, b.event_id) > (a.ts, a.event_id)
+        JOIN p3 c ON c.user_id = b.user_id
+                 AND (c.ts, c.event_id) > (b.ts, b.event_id)
+        GROUP BY 1
+        """,
+        doc="Funnel SUBSEQUENCE counting — how many distinct "
+            "view→click→purchase orderings (with any gaps) each "
+            "user's timeline contains, the weighted-funnel metric "
+            "q97's reached-stage form cannot express. Spark runs the "
+            "LINEAR DP fold over each user's sorted event array "
+            "(c3 += c2; c2 += c1; c1 += 1 — one aggregate, one "
+            "shuffle, O(events) work); the ORACLE deliberately "
+            "computes it the O(n³)-join way — the two agree only if "
+            "the DP is exactly right, which is the strongest check "
+            "the gate can make. At 100 TB the DP is the only viable "
+            "shape (position joins explode on power users).",
+    )
+    def q239_funnel_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        arr = ev.groupBy("user_id").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda s: s["event_type"],
+            ).alias("seq")
+        )
+        zero = F.struct(
+            F.lit(0).cast("bigint").alias("c1"),
+            F.lit(0).cast("bigint").alias("c2"),
+            F.lit(0).cast("bigint").alias("c3"),
+        )
+        dp = F.aggregate(
+            F.col("seq"),
+            zero,
+            lambda acc, e: F.struct(
+                (
+                    acc["c1"]
+                    + F.when(e == _P1, F.lit(1)).otherwise(F.lit(0))
+                ).alias("c1"),
+                (
+                    acc["c2"]
+                    + F.when(e == _P2, acc["c1"]).otherwise(F.lit(0))
+                ).alias("c2"),
+                (
+                    acc["c3"]
+                    + F.when(e == _P3, acc["c2"]).otherwise(F.lit(0))
+                ).alias("c3"),
+            ),
+        )
+        return (
+            arr.select("user_id", dp["c3"].alias("n_funnels"))
+            .filter(F.col("n_funnels") > 0)
+        )
+
+
+_init_q239()

@@ -685,3 +685,11 @@ def test_q236_skipgram_single_sort_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q236_skipgram_pairs")
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_q239_funnel_dp_is_single_aggregate_no_join(spark, sf_dir):
+    # the whole point of the DP form: NO position joins anywhere —
+    # one groupBy(user) shuffle and a row-local fold
+    plan = _plan(spark, sf_dir, "q239_funnel_count")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
