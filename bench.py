@@ -209,6 +209,7 @@ HEADLINE = [
     "q237_source_divergence",
     "q238_wilson_ranking",
     "q239_funnel_count",
+    "q240_theil_sen_trend",
 ]
 
 

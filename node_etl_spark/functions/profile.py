@@ -1110,3 +1110,98 @@ def wilson_rank_sql(
                             * CAST(n_trials AS DOUBLE))))
            / (1 + {z2} / CAST(n_trials AS DOUBLE)), 6) AS wilson_lb
     FROM wr_a"""
+
+
+def theil_sen_trend(
+    points: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Theil-Sen robust trend: the MEDIAN of all pairwise
+    slopes (Theil 1950 / Sen 1968) — the robust twin of
+    :func:`ols_trend` exactly as MAD (q112) is of the z-score:
+    up to ~29% contaminated points cannot move it, where one bad
+    week drags OLS arbitrarily.
+
+    Determinism: slope candidates carry their EXACT integer
+    components (dy, dx BIGINT); selection orders by the double
+    slope with (dy, dx) as exact tiebreak — identical doubles and
+    identical tiebreaks on both engines pick the identical pair —
+    and the reported slope is that pair's one double division. Lower
+    median (rank ⌈n/2⌉) on purpose: no averaging of two middles, so
+    no second float op.
+
+    Scale shape: pairwise slopes are O(k²) PER GROUP over
+    PRE-AGGREGATED points (weekly/daily rollups — k is time buckets,
+    never raw rows); the self-join carries the group key so pairs
+    never cross groups, and the median is one group-partitioned
+    window over k² rows. For raw-row inputs aggregate first (as the
+    gate query does).
+
+    Returns (group_cols..., n_pairs, dy, dx, slope).
+    """
+    g = [F.col(c) for c in group_cols]
+    base = points.select(
+        *g,
+        F.col(x_col).cast("bigint").alias("__x"),
+        F.col(y_col).cast("bigint").alias("__y"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.__x") < F.col("b.__x")
+    for c in group_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    pairs = a.join(b, cond).select(
+        *[F.col(f"a.{c}").alias(c) for c in group_cols],
+        (F.col("b.__y") - F.col("a.__y")).alias("dy"),
+        (F.col("b.__x") - F.col("a.__x")).alias("dx"),
+    )
+    slope = F.col("dy").cast("double") / F.col("dx").cast("double")
+    w = Window.partitionBy(*group_cols).orderBy(
+        slope.asc(), F.col("dy").asc(), F.col("dx").asc()
+    )
+    wn = Window.partitionBy(*group_cols)
+    ranked = pairs.select(
+        *group_cols,
+        "dy",
+        "dx",
+        F.row_number().over(w).cast("bigint").alias("__r"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("__n"),
+    )
+    return ranked.filter(
+        F.col("__r") * 2 == F.col("__n") + (F.col("__n") % 2)
+    ).select(
+        *group_cols,
+        F.col("__n").alias("n_pairs"),
+        "dy",
+        "dx",
+        (F.col("dy").cast("double") / F.col("dx").cast("double")).alias(
+            "slope"
+        ),
+    )
+
+
+def theil_sen_oracle_sql(
+    points_sql: str, group_cols: list[str], x: str = "x", y: str = "y"
+) -> str:
+    """DuckDB mirror of :func:`theil_sen_trend`; ``points_sql`` must
+    yield (group_cols..., x, y) with x/y exact BIGINTs."""
+    gl = ", ".join(group_cols)
+    on = " AND ".join(f"a.{c} = b.{c}" for c in group_cols)
+    ga = ", ".join(f"a.{c} AS {c}" for c in group_cols)
+    return f"""
+    WITH ts_p AS ({points_sql}),
+    ts_pairs AS (
+        SELECT {ga},
+               CAST(b.{y} - a.{y} AS BIGINT) AS dy,
+               CAST(b.{x} - a.{x} AS BIGINT) AS dx
+        FROM ts_p a JOIN ts_p b ON {on} AND a.{x} < b.{x}),
+    ts_r AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY {gl}
+                   ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE),
+                            dy, dx) AS BIGINT) AS r,
+               CAST(COUNT(*) OVER (PARTITION BY {gl}) AS BIGINT) AS n
+        FROM ts_pairs)
+    SELECT {gl}, n AS n_pairs, dy, dx,
+           CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS slope
+    FROM ts_r WHERE r * 2 = n + (n % 2)"""

@@ -143,6 +143,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q237_source_divergence",
     "q238_wilson_ranking",
     "q239_funnel_count",
+    "q240_theil_sen_trend",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -10382,3 +10383,55 @@ def _init_q239() -> None:
 
 
 _init_q239()
+
+
+# --------------------------------------------------------------------
+# q240 — Theil-Sen robust trend (robust twin of q144's OLS)
+# --------------------------------------------------------------------
+
+def _init_q240() -> None:
+    from ..functions import profile as P5
+
+    pts_sql = """
+        SELECT p.p_brand,
+               CAST(date_diff('day', DATE '1970-01-01', l.l_shipdate)
+                    AS BIGINT) // 7 AS x,
+               CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2"""
+
+    @register(
+        "q240_theil_sen_trend",
+        P5.theil_sen_oracle_sql(pts_sql, ["p_brand"]),
+        doc="Per-brand Theil-Sen robust trend (functions/profile.py "
+            "theil_sen_trend; Sen 1968) over the same weekly-revenue "
+            "points as q144's OLS — the median of pairwise slopes "
+            "that ~29% contaminated weeks cannot move, where one bad "
+            "week drags OLS arbitrarily. Pairs are O(weeks²) per "
+            "group over PRE-AGGREGATED points, group key rides the "
+            "self-join; slope candidates carry exact (dy, dx) BIGINT "
+            "components and the lower median is picked by one "
+            "group window with an exact tiebreak.",
+    )
+    def q240_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_partkey",
+            F.expr(
+                "CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)"
+                " DIV 7"
+            ).alias("x"),
+            F.expr(
+                "CAST(round(l_extendedprice * 100) AS BIGINT)"
+            ).alias("cents"),
+        )
+        part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        weekly = (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_brand", "x")
+            .agg(F.sum("cents").cast("bigint").alias("y"))
+        )
+        return P5.theil_sen_trend(weekly, ["p_brand"], "x", "y")
+
+
+_init_q240()

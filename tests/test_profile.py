@@ -99,3 +99,28 @@ def test_wilson_rank_min_trials_filter(spark):
     )
     out = wilson_rank(df, "k", "s", min_trials=2).collect()
     assert [r.k for r in out] == ["a"]
+
+
+def test_theil_sen_resists_outlier(spark):
+    from node_etl_spark.functions.profile import theil_sen_trend
+
+    # perfect slope 2 line with one wild outlier: Theil-Sen must
+    # still report slope 2 (OLS would not)
+    pts = [("g", x, 2 * x) for x in range(10)]
+    pts[5] = ("g", 5, 1_000_000)
+    df = spark.createDataFrame(pts, "g string, x bigint, y bigint")
+    (r,) = theil_sen_trend(df, ["g"], "x", "y").collect()
+    assert r.slope == 2.0
+    assert r.n_pairs == 45
+
+
+def test_theil_sen_lower_median_deterministic(spark):
+    from node_etl_spark.functions.profile import theil_sen_trend
+
+    # 3 points -> 3 pairwise slopes 1.0, 3.0, 2.0; lower median of
+    # even/odd counts: n=3 -> rank 2 -> slope 2
+    df = spark.createDataFrame(
+        [("g", 0, 0), ("g", 1, 1), ("g", 2, 4)], "g string, x bigint, y bigint"
+    )
+    (r,) = theil_sen_trend(df, ["g"], "x", "y").collect()
+    assert r.slope == 2.0 and r.dy == 4 and r.dx == 2
