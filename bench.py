@@ -210,6 +210,7 @@ HEADLINE = [
     "q238_wilson_ranking",
     "q239_funnel_count",
     "q240_theil_sen_trend",
+    "q241_lead_lag_corr",
 ]
 
 

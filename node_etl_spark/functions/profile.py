@@ -1205,3 +1205,111 @@ def theil_sen_oracle_sql(
     SELECT {gl}, n AS n_pairs, dy, dx,
            CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS slope
     FROM ts_r WHERE r * 2 = n + (n % 2)"""
+
+
+def lead_lag_corr(
+    a: DataFrame,
+    b: DataFrame,
+    max_lag: int = 7,
+    t_col: str = "t",
+    v_col: str = "v",
+) -> DataFrame:
+    """Lead-lag cross-correlation between two integer time series:
+    Pearson correlation of (a_t, b_{t+lag}) for every lag in
+    [-max_lag, +max_lag] — the alignment scan behind "does A's spike
+    LEAD B's?" (demand vs supply, ingest vs errors). The argmax lag
+    is the causal-direction hint a plain same-day corr (q127) hides.
+
+    Exactness: values are exact BIGINTs (cents/counts); per lag the
+    five sufficient statistics are exact DECIMAL(38,0) sums, the
+    Pearson numerator/denominators are exact decimal products, and
+    the only float ops are two decimal→double casts, one multiply,
+    one sqrt (IEEE-exact), one divide — rounded to 6 at magnitude
+    ≤ 1, where that rounding is itself portable.
+
+    Scale shape: the inputs are PRE-AGGREGATED series (daily rollups
+    — the data-sized work happens upstream); each a-row explodes to
+    2·max_lag+1 lag rows and joins b on the shifted key — one shuffle
+    over (2k+1)·|series| rows, then a (2k+1)-row aggregate. Returns
+    (lag, n, corr) for lags with ≥ 2 aligned points and nonzero
+    variance.
+    """
+    lags = F.explode(
+        F.sequence(F.lit(-max_lag), F.lit(max_lag))
+    ).alias("lag")
+    al = a.select(
+        F.col(t_col).cast("bigint").alias("ta"),
+        F.col(v_col).cast("bigint").alias("x"),
+    ).select("ta", "x", lags)
+    bl = b.select(
+        F.col(t_col).cast("bigint").alias("tb"),
+        F.col(v_col).cast("bigint").alias("y"),
+    )
+    joined = al.join(bl, F.col("tb") == F.col("ta") + F.col("lag"))
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    stats = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d("x")).alias("sx"),
+        F.sum(d("y")).alias("sy"),
+        F.sum(d("x") * F.col("y")).alias("sxy"),
+        F.sum(d("x") * F.col("x")).alias("sxx"),
+        F.sum(d("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        stats.filter(F.col("n") >= 2)
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "n",
+            num.cast("double").alias("__num"),
+            d1.cast("double").alias("__d1"),
+            d2.cast("double").alias("__d2"),
+        )
+        .filter((F.col("__d1") > 0) & (F.col("__d2") > 0))
+        .select(
+            "lag",
+            "n",
+            F.round(
+                F.col("__num")
+                / F.sqrt(F.col("__d1") * F.col("__d2")),
+                6,
+            ).alias("corr"),
+        )
+    )
+
+
+def lead_lag_corr_sql(
+    a_sql: str, b_sql: str, max_lag: int = 7
+) -> str:
+    """DuckDB mirror of :func:`lead_lag_corr`; ``a_sql``/``b_sql``
+    must yield (t, v) with BIGINT values."""
+    return f"""
+    WITH ll_a AS ({a_sql}),
+    ll_b AS ({b_sql}),
+    ll_j AS (
+        SELECT u.lag, a.v AS x, b.v AS y
+        FROM ll_a a
+        CROSS JOIN unnest(range({-max_lag}, {max_lag + 1})) AS u(lag)
+        JOIN ll_b b ON b.t = a.t + u.lag),
+    ll_s AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+               SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+        FROM ll_j GROUP BY 1),
+    ll_t AS (
+        SELECT CAST(lag AS INTEGER) AS lag, n,
+               CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+                   AS num,
+               CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+                   AS d1,
+               CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)
+                   AS d2
+        FROM ll_s WHERE n >= 2)
+    SELECT lag, n, round(num / sqrt(d1 * d2), 6) AS corr
+    FROM ll_t WHERE d1 > 0 AND d2 > 0"""

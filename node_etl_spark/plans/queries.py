@@ -144,6 +144,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q238_wilson_ranking",
     "q239_funnel_count",
     "q240_theil_sen_trend",
+    "q241_lead_lag_corr",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -10435,3 +10436,63 @@ def _init_q240() -> None:
 
 
 _init_q240()
+
+
+# --------------------------------------------------------------------
+# q241 — lead-lag cross-correlation between daily series
+# --------------------------------------------------------------------
+
+def _init_q241() -> None:
+    from ..functions import profile as P6
+
+    a_sql = """
+        SELECT CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                    AS BIGINT) AS t,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1"""
+    b_sql = """
+        SELECT CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                    AS BIGINT) AS t,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1"""
+
+    @register(
+        "q241_lead_lag_corr",
+        P6.lead_lag_corr_sql(a_sql, b_sql, max_lag=7),
+        doc="Lead-lag cross-correlation (functions/profile.py "
+            "lead_lag_corr): Pearson corr of urgent-priority daily "
+            "revenue against low-priority revenue at every lag in "
+            "±7 days — the alignment scan that tells you whether A "
+            "LEADS B, which q127's same-day correlation hides. Five "
+            "exact DECIMAL(38,0) sufficient statistics per lag; the "
+            "only floats are one multiply, one IEEE sqrt, one "
+            "divide, rounded at ≤1 magnitude. Series pre-aggregate "
+            "upstream; the lag explode is (2k+1)·days rows.",
+    )
+    def q241_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+        orders = table(spark, sf_dir, "orders")
+
+        def daily(prio: str) -> DataFrame:
+            return (
+                orders.filter(F.col("o_orderpriority") == prio)
+                .select(
+                    F.expr(
+                        "CAST(datediff(o_orderdate, DATE '1970-01-01')"
+                        " AS BIGINT)"
+                    ).alias("t"),
+                    F.expr(
+                        "CAST(round(o_totalprice * 100) AS BIGINT)"
+                    ).alias("cents"),
+                )
+                .groupBy("t")
+                .agg(F.sum("cents").cast("bigint").alias("v"))
+            )
+
+        return P6.lead_lag_corr(
+            daily("1-URGENT"), daily("5-LOW"), max_lag=7
+        )
+
+
+_init_q241()

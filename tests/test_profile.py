@@ -124,3 +124,32 @@ def test_theil_sen_lower_median_deterministic(spark):
     )
     (r,) = theil_sen_trend(df, ["g"], "x", "y").collect()
     assert r.slope == 2.0 and r.dy == 4 and r.dx == 2
+
+
+def test_lead_lag_corr_finds_planted_lag(spark):
+    from node_etl_spark.functions.profile import lead_lag_corr
+
+    # b is exactly a shifted by +3 days: corr at lag 3 must be 1.0
+    # and strictly higher than every other lag
+    import random
+
+    rng = random.Random(5)
+    vals = [rng.randrange(100, 10_000) for _ in range(60)]
+    a = spark.createDataFrame(
+        [(t, v) for t, v in enumerate(vals)], "t bigint, v bigint"
+    )
+    b = spark.createDataFrame(
+        [(t + 3, v) for t, v in enumerate(vals)], "t bigint, v bigint"
+    )
+    out = {r.lag: r.corr for r in lead_lag_corr(a, b, max_lag=5).collect()}
+    assert out[3] == 1.0
+    assert all(v < 1.0 for k, v in out.items() if k != 3)
+
+
+def test_lead_lag_corr_skips_degenerate_lags(spark):
+    from node_etl_spark.functions.profile import lead_lag_corr
+
+    # constant series -> zero variance -> no corr rows emitted
+    a = spark.createDataFrame([(t, 5) for t in range(10)], "t bigint, v bigint")
+    b = spark.createDataFrame([(t, t) for t in range(10)], "t bigint, v bigint")
+    assert lead_lag_corr(a, b, max_lag=2).count() == 0
