@@ -211,6 +211,7 @@ HEADLINE = [
     "q239_funnel_count",
     "q240_theil_sen_trend",
     "q241_lead_lag_corr",
+    "q242_line_dedup",
 ]
 
 

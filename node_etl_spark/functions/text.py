@@ -1775,3 +1775,123 @@ def source_js_divergence_sql(
                        ELSE 0.0 END) / 2, 12)
                AS DECIMAL(28,12))) AS DOUBLE), 6) AS js_bits
     FROM js_pairs GROUP BY 1, 2"""
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int = 3,
+) -> DataFrame:
+    """Corpus-level exact line deduplication, keep-first-occurrence
+    (the RefinedWeb / Dolma "exact line dedup" pass — Penedo et al.
+    2023 §3.3): split each document into fixed-width lines of
+    ``words_per_line`` whitespace tokens, keep only the globally
+    FIRST occurrence of every line (ordered by ``(doc_id, pos)``),
+    drop later copies, and reassemble each document from its
+    surviving lines in order.
+
+    Complements :func:`strip_boilerplate` (q164), which removes hot
+    segments from EVERY document including the first: line dedup
+    preserves exactly one copy of each line in the corpus, the
+    contract LLM dedup pipelines want (no content is lost, only
+    repetition).
+
+    Scale shape: one narrow line explode, then a ``groupBy(line) →
+    min(struct(doc_id, pos))`` winner aggregate — partial (map-side)
+    aggregation absorbs hot boilerplate lines before the shuffle,
+    which is why this is written as agg + join-back rather than a
+    ``row_number`` window (a window partition on a line duplicated
+    millions of times is a straggler at 100 TB; the min-struct agg
+    reduces it map-side, and the join back is AQE-skew-splittable).
+    Reassembly is sort_array over (pos, line) structs — no window.
+
+    Returns (doc_id, n_lines, n_kept, clean_text); documents whose
+    every line first appeared elsewhere come back with ``n_kept = 0``
+    and an empty ``clean_text``.
+    """
+    k = int(words_per_line)
+    ws = F.split(F.col(text_col), " ")
+    n_ln = (F.size(ws) + F.lit(k - 1)).cast("bigint") / F.lit(k)
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.floor(n_ln).cast("int") - 1),
+                lambda i: F.array_join(
+                    F.slice(ws, i * k + 1, k), " "
+                ),
+            )
+        ).alias("pos", "line"),
+    )
+    winners = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    )
+    kept = (
+        lines.join(winners, "line")
+        .filter(
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("pos") == F.col("w.pos"))
+        )
+        .select("doc_id", "pos", "line")
+    )
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, line))),"
+                " x -> x.line)"
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias(
+            "n_kept"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+def line_dedup_sql(
+    table_sql: str,
+    id_: str = "doc_id",
+    text: str = "text",
+    words_per_line: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`line_dedup` (same fixed-width line
+    split, same ``(doc_id, pos)`` first-occurrence rule, expressed as
+    the equivalent ``row_number`` window — engine-shape independence
+    is the point of the cross check)."""
+    k = int(words_per_line)
+    return f"""
+    WITH ld_w AS (
+        SELECT {id_} AS doc_id, string_split({text}, ' ') AS ws
+        FROM {table_sql}),
+    ld_lines AS (
+        SELECT doc_id, CAST(t.i AS INT) AS pos,
+               array_to_string(ws[(t.i*{k}+1):(t.i*{k}+{k})], ' ')
+                   AS line
+        FROM ld_w,
+             unnest(range((len(ws) + {k - 1}) // {k})) AS t(i)),
+    ld_rk AS (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY line
+                                  ORDER BY doc_id, pos) AS rn
+        FROM ld_lines),
+    ld_tot AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM ld_lines GROUP BY 1),
+    ld_kept AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(line, ' ' ORDER BY pos) AS clean_text
+        FROM ld_rk WHERE rn = 1 GROUP BY 1)
+    SELECT t.doc_id, t.n_lines,
+           COALESCE(kp.n_kept, 0) AS n_kept,
+           COALESCE(kp.clean_text, '') AS clean_text
+    FROM ld_tot t LEFT JOIN ld_kept kp USING (doc_id)"""

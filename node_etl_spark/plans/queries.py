@@ -145,6 +145,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q239_funnel_count",
     "q240_theil_sen_trend",
     "q241_lead_lag_corr",
+    "q242_line_dedup",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -10496,3 +10497,34 @@ def _init_q241() -> None:
 
 
 _init_q241()
+
+# --------------------------------------------------------------------
+# q242 — corpus-level exact line dedup, keep-first (RefinedWeb pass)
+# --------------------------------------------------------------------
+
+def _init_q242() -> None:
+    from ..functions import text as T7
+
+    @register(
+        "q242_line_dedup",
+        T7.line_dedup_sql("documents", words_per_line=3),
+        doc="Exact line-level dedup with document reconstruction "
+            "(functions/text.py line_dedup; RefinedWeb §3.3 / Dolma): "
+            "fixed 3-word lines, globally keep only the first "
+            "(doc_id, pos) occurrence of each line, reassemble docs "
+            "from survivors. The complement of q164's boilerplate "
+            "strip — one copy of every line survives, so no content "
+            "is lost, only repetition. Spark runs the skew-safe "
+            "groupBy(line)→min(struct) winner aggregate (map-side "
+            "partials absorb hot lines); the oracle runs the "
+            "equivalent row_number window — the gate proves the two "
+            "shapes agree including full reconstructed text.",
+    )
+    def q242_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents")
+        from ..functions.text import line_dedup
+
+        return line_dedup(docs, words_per_line=3)
+
+
+_init_q242()

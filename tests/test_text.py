@@ -671,3 +671,57 @@ def test_js_divergence_symmetric_in_distribution(spark):
     v1 = source_js_divergence(df1, top_k_tokens=5).collect()[0].js_bits
     v2 = source_js_divergence(df2, top_k_tokens=5).collect()[0].js_bits
     assert v1 == v2 > 0
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    from node_etl_spark.functions.text import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),        # both lines first here
+            (2, "a b c q r s"),        # "a b c" is a later copy
+            (3, "x y z a b c"),        # every line seen before
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in line_dedup(df, words_per_line=3).collect()
+    }
+    assert rows[1].n_lines == 2 and rows[1].n_kept == 2
+    assert rows[1].clean_text == "a b c x y z"
+    assert rows[2].n_lines == 2 and rows[2].n_kept == 1
+    assert rows[2].clean_text == "q r s"
+    # doc 3 lost everything but still appears, empty
+    assert rows[3].n_lines == 2 and rows[3].n_kept == 0
+    assert rows[3].clean_text == ""
+
+
+def test_line_dedup_ragged_tail_line(spark):
+    from node_etl_spark.functions.text import line_dedup
+
+    # 4 tokens with k=3 -> lines "a b c" and the short tail "d";
+    # the tail is its own line and dedups independently
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "d")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in line_dedup(df, words_per_line=3).collect()
+    }
+    assert rows[1].n_lines == 2 and rows[1].n_kept == 2
+    assert rows[2].n_lines == 1 and rows[2].n_kept == 0
+
+
+def test_line_dedup_winner_agg_has_partial_aggregation(spark):
+    from node_etl_spark.functions.text import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    plan = (
+        line_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the skew-safety argument rests on map-side partial aggregation
+    # of the min(struct) winner agg before the line shuffle
+    assert "partial_min" in plan or "partial_first" in plan.lower()
