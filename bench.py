@@ -212,6 +212,7 @@ HEADLINE = [
     "q240_theil_sen_trend",
     "q241_lead_lag_corr",
     "q242_line_dedup",
+    "q243_hll_cardinality",
 ]
 
 

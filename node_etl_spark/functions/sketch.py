@@ -629,3 +629,163 @@ def cm_point_estimates(
         .groupBy(*carry)
         .agg(F.min("cnt").cast("bigint").alias("cm_est"))
     )
+
+
+# --------------------------------------------------------------------
+# Dense HyperLogLog on the exact cross-engine gate
+# --------------------------------------------------------------------
+
+def _hll_consts(p: int) -> tuple[int, int, int, float]:
+    """(m, q, rmax, alpha_m) for precision ``p``: m = 2^p registers,
+    q = 60 - p hash bits feeding the rank, rmax = q + 1 the max
+    register value, alpha the Flajolet bias constant (m >= 128)."""
+    m = 1 << p
+    q = 60 - p
+    return m, q, q + 1, 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_col: str,
+    element_col: str,
+    p: int = 10,
+    seed: int = 11,
+) -> DataFrame:
+    """Per-group dense HyperLogLog register state (Flajolet et al.
+    2007): md5-derived 60-bit hash, top ``p`` bits pick the register,
+    the rank of the first set bit in the remaining ``q = 60 - p``
+    bits is max-aggregated per register. Returns (g, idx, M) — at
+    most ``2^p`` rows per group regardless of group size, and
+    MERGEABLE: max over matching idx merges two groups' state, which
+    is the whole point of HLL rollups (q118 carries the same shape
+    through DataSketches; this one is a pure deterministic function
+    of the data, so it sits on the exact oracle gate).
+
+    The rank uses string bit-length (``length(conv(w, 10, 2))``),
+    identical to DuckDB's ``length(bin(w))`` for w > 0 — no float
+    log2 near power-of-two boundaries.
+    """
+    m, q, rmax, _ = _hll_consts(p)
+    h = _h60(F.col(element_col), seed)
+    hashed = df.select(
+        F.col(group_col).alias("g"),
+        h.alias("h"),
+    ).select(
+        "g",
+        # shiftright, NOT /: division routes through double, which
+        # cannot hold 60-bit hashes exactly (> 2^53)
+        F.shiftright(F.col("h"), q).alias("idx"),
+        (F.col("h") % F.lit(1 << q)).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(rmax)).otherwise(
+        F.lit(rmax)
+        - F.length(F.conv(F.col("w").cast("string"), 10, 2))
+    )
+    return (
+        hashed.select("g", "idx", rho.cast("int").alias("rho"))
+        .groupBy("g", "idx")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def _hll_estimate(regs: DataFrame, p: int) -> DataFrame:
+    """(g, n_set, zeros, est_distinct) from register state: the exact
+    BIGINT sum ``zeros * 2^(q+1) + sum(2^(q+1-M))`` (dyadic terms
+    scaled to integers — no float-sum order dependence), one double
+    divide for the raw estimate, and the linear-counting branch below
+    2.5m when empty registers remain. Final round(6) absorbs nothing:
+    every input to the float ops is bit-identical cross-engine."""
+    m, q, rmax, alpha = _hll_consts(p)
+    num = alpha * m * m * float(1 << rmax)  # one python-folded literal
+    agg = regs.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_set"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - M)"))
+        .cast("bigint")
+        .alias("s_set"),
+    )
+    zeros = (F.lit(m).cast("bigint") - F.col("n_set")).alias("zeros")
+    s = F.col("zeros") * F.lit(1 << rmax).cast("bigint") + F.col("s_set")
+    raw = F.lit(num) / s.cast("double")
+    lin = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / F.col("zeros").cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0), lin
+    ).otherwise(raw)
+    return agg.select("g", "n_set", zeros, "s_set").select(
+        "g",
+        "n_set",
+        "zeros",
+        F.round(est, 6).alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    element_col: str,
+    p: int = 10,
+    seed: int = 11,
+    merged_label: str = "*",
+) -> DataFrame:
+    """Per-group HLL distinct estimates PLUS the merged-rollup row:
+    the ``merged_label`` group's estimate is computed from the
+    max-merge of the per-group register states — never from the raw
+    data — proving the mergeability contract the 100 TB rollup relies
+    on (per-day/per-shard sketches union into totals without a
+    second scan). Returns (g, n_set, zeros, est_distinct)."""
+    regs = hll_registers(df, group_col, element_col, p=p, seed=seed)
+    merged = (
+        regs.groupBy("idx")
+        .agg(F.max("M").alias("M"))
+        .select(F.lit(merged_label).alias("g"), "idx", "M")
+    )
+    return _hll_estimate(regs.unionByName(merged), p)
+
+
+def hll_oracle_sql(
+    table: str,
+    group_col: str,
+    element_col: str,
+    p: int = 10,
+    seed: int = 11,
+    merged_label: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`hll_distinct` — same hash, same
+    register ranks, same exact-integer sum and float tail."""
+    m, q, rmax, alpha = _hll_consts(p)
+    num = alpha * m * m * float(1 << rmax)
+    h = _h60_sql(element_col, seed)
+    return f"""
+    WITH hll_h AS (
+        SELECT {group_col} AS g,
+               ({h}) // {1 << q} AS idx,
+               ({h}) % {1 << q} AS w
+        FROM {table}),
+    hll_regs AS (
+        SELECT g, idx,
+               MAX(CASE WHEN w = 0 THEN {rmax}
+                        ELSE {rmax} - length(bin(w)) END) AS M
+        FROM hll_h GROUP BY 1, 2),
+    hll_all AS (
+        SELECT g, idx, M FROM hll_regs
+        UNION ALL
+        SELECT '{merged_label}' AS g, idx, MAX(M) AS M
+        FROM hll_regs GROUP BY 2),
+    hll_agg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_set,
+               CAST(SUM(1::BIGINT << ({rmax} - M)) AS BIGINT) AS s_set
+        FROM hll_all GROUP BY 1),
+    hll_est AS (
+        SELECT g, n_set, CAST({m} - n_set AS BIGINT) AS zeros,
+               CAST({num!r} AS DOUBLE)
+                   / CAST(({m} - n_set) * {1 << rmax}::BIGINT + s_set
+                          AS DOUBLE) AS raw
+        FROM hll_agg)
+    SELECT g, n_set, zeros,
+           round(CASE WHEN raw <= {2.5 * m!r} AND zeros > 0
+                      THEN CAST({float(m)!r} AS DOUBLE)
+                           * ln(CAST({float(m)!r} AS DOUBLE)
+                                / CAST(zeros AS DOUBLE))
+                      ELSE raw END, 6) AS est_distinct
+    FROM hll_est"""

@@ -146,6 +146,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q240_theil_sen_trend",
     "q241_lead_lag_corr",
     "q242_line_dedup",
+    "q243_hll_cardinality",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -10528,3 +10529,35 @@ def _init_q242() -> None:
 
 
 _init_q242()
+
+# --------------------------------------------------------------------
+# q243 — dense HyperLogLog audience rollup on the exact gate
+# --------------------------------------------------------------------
+
+def _init_q243() -> None:
+    from ..functions import sketch as SK3
+
+    @register(
+        "q243_hll_cardinality",
+        SK3.hll_oracle_sql("events", "event_type", "user_id", p=10),
+        doc="Dense HyperLogLog distinct-user estimation per event "
+            "type PLUS the merged total row (functions/sketch.py "
+            "hll_distinct; Flajolet 2007): 1024 md5-derived "
+            "registers, rank via integer bit-length (no float log2), "
+            "exact dyadic BIGINT harmonic sum, linear-counting "
+            "branch. The '*' row is computed by max-merging the "
+            "per-group REGISTER STATES, never by rescanning — the "
+            "mergeability contract a 100 TB per-day/per-shard rollup "
+            "relies on. Complements q161's KMV (bottom-k) and q42's "
+            "approx_count_distinct (rows-only): this one is a pure "
+            "deterministic data function, so the full estimator "
+            "sits on the exact cross-engine gate.",
+    )
+    def q243_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        from ..functions.sketch import hll_distinct
+
+        return hll_distinct(ev, "event_type", "user_id", p=10)
+
+
+_init_q243()

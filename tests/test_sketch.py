@@ -46,3 +46,50 @@ def test_cm_sketch_mergeable_and_upper_bound(spark):
     for (r, _c), cnt in merged.items():
         per_row[r] = per_row.get(r, 0) + cnt
     assert all(v == 9 for v in per_row.values())
+
+
+def test_hll_accuracy_and_small_range(spark):
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.functions.sketch import hll_distinct
+
+    n = 5000
+    df = spark.range(n).select(
+        F.lit("big").alias("g"), F.col("id").alias("e")
+    ).union(
+        spark.range(10).select(
+            F.lit("small").alias("g"), F.col("id").alias("e")
+        )
+    )
+    rows = {r.g: r for r in hll_distinct(df, "g", "e", p=10).collect()}
+    # 1024 registers -> ~1.04/sqrt(1024) = 3.3% std error; 10% bound
+    assert abs(rows["big"].est_distinct - n) / n < 0.10
+    # small group lands in the linear-counting branch and is near-exact
+    assert rows["small"].zeros > 0
+    assert abs(rows["small"].est_distinct - 10) < 0.5
+    # merged row covers the union (5000 + 10 overlapping ids)
+    assert abs(rows["*"].est_distinct - n) / n < 0.10
+
+
+def test_hll_merged_row_equals_union_sketch(spark):
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.functions.sketch import hll_distinct
+
+    # max-merging per-group register state must give EXACTLY the
+    # estimate of sketching the union directly — the mergeability
+    # contract (register max is associative), not an approximation
+    df = spark.range(2000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.col("id").alias("e"),
+    )
+    merged = {
+        r.g: r.est_distinct for r in hll_distinct(df, "g", "e").collect()
+    }["*"]
+    direct = {
+        r.g: r.est_distinct
+        for r in hll_distinct(
+            df.select(F.lit("all").alias("g"), "e"), "g", "e"
+        ).collect()
+    }["all"]
+    assert merged == direct
