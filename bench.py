@@ -213,6 +213,7 @@ HEADLINE = [
     "q241_lead_lag_corr",
     "q242_line_dedup",
     "q243_hll_cardinality",
+    "q244_rendezvous_shards",
 ]
 
 

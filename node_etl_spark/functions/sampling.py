@@ -948,3 +948,65 @@ def skipgram_pairs_sql(
     SELECT entity, center, context, rel_pos FROM (
         {union})
     WHERE center IS NOT NULL AND context IS NOT NULL"""
+
+
+# --------------------------------------------------------------------
+# Rendezvous (highest-random-weight) sharding
+# --------------------------------------------------------------------
+
+def rendezvous_shard(
+    key_col: Column, n_shards: int, seed: int = 17
+) -> Column:
+    """Stable shard assignment by rendezvous / HRW hashing (Thaler &
+    Ravishankar 1998): shard = argmax over s of
+    ``h(key, s)``, with h the portable md5-derived 60-bit hash.
+
+    Why not ``hash % n``: modulo resharding moves ~(1 - 1/n') of ALL
+    keys when the shard count changes; HRW moves exactly the keys
+    whose new shard wins — an expected ``1/(n+1)`` fraction, and every
+    moved key lands ON the added shard (no shuffling between
+    survivors). That is the property a 100 TB ingest needs to grow
+    its shard/bucket count without rewriting the corpus. The argmax
+    is a single narrow projection (transform + array_max over
+    (hash, shard) structs) — zero shuffle, zero state.
+    """
+    cands = F.transform(
+        F.sequence(F.lit(0), F.lit(int(n_shards) - 1)),
+        lambda s: F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            key_col.cast("string"),
+                            s.cast("string"),
+                            F.lit(str(seed)),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+            s.alias("s"),
+        ),
+    )
+    return F.array_max(cands)["s"].cast("int")
+
+
+def rendezvous_shard_sql(
+    key_expr: str, n_shards: int, seed: int = 17
+) -> str:
+    """DuckDB scalar mirror of :func:`rendezvous_shard` (arg_max over
+    an unnested candidate list is expressed as list_transform +
+    list_max over (h, s) structs, matching Spark's struct-max)."""
+    return (
+        "CAST(list_max(list_transform(range(0, "
+        f"{int(n_shards)}), s -> {{'h': CAST(('0x' || "
+        f"substring(md5(CAST({key_expr} AS VARCHAR) || ':' || "
+        f"CAST(s AS VARCHAR) || ':{seed}'), 1, 15)) AS BIGINT), "
+        "'s': s})).s AS INT)"
+    )

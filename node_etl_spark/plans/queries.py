@@ -147,6 +147,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q241_lead_lag_corr",
     "q242_line_dedup",
     "q243_hll_cardinality",
+    "q244_rendezvous_shards",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -10561,3 +10562,62 @@ def _init_q243() -> None:
 
 
 _init_q243()
+
+# --------------------------------------------------------------------
+# q244 — rendezvous-hash sharding + minimal-movement reshard audit
+# --------------------------------------------------------------------
+
+def _init_q244() -> None:
+    from ..functions import sampling as SA7
+
+    _s8 = SA7.rendezvous_shard_sql("doc_id", 8)
+    _s9 = SA7.rendezvous_shard_sql("doc_id", 9)
+
+    @register(
+        "q244_rendezvous_shards",
+        f"""
+        WITH assigned AS (
+            SELECT doc_id, {_s8} AS shard, {_s9} AS shard_next
+            FROM documents)
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN shard_next <> shard
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+               CAST(SUM(CASE WHEN shard_next <> shard
+                              AND shard_next <> 8
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_moved_wrong
+        FROM assigned GROUP BY 1
+        """,
+        doc="Rendezvous/HRW shard placement with a grow-by-one "
+            "reshard audit (functions/sampling.py rendezvous_shard; "
+            "Thaler & Ravishankar 1998): assign every document to 8 "
+            "shards and to 9, then count per-shard movement. HRW's "
+            "contract — the reason a 100 TB ingest can grow its "
+            "shard count without rewriting the corpus — is that "
+            "moved keys land ONLY on the added shard (n_moved_wrong "
+            "= 0 everywhere, ~1/9 of keys move in total), vs "
+            "hash%n which reshuffles ~8/9 of everything. The argmax "
+            "is one narrow zero-shuffle projection per row.",
+    )
+    def q244_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents")
+        from ..functions.sampling import rendezvous_shard
+
+        a = docs.select(
+            rendezvous_shard(F.col("doc_id"), 8).alias("shard"),
+            rendezvous_shard(F.col("doc_id"), 9).alias("shard_next"),
+        )
+        moved = (F.col("shard_next") != F.col("shard")).cast("int")
+        wrong = (
+            (F.col("shard_next") != F.col("shard"))
+            & (F.col("shard_next") != F.lit(8))
+        ).cast("int")
+        return a.groupBy("shard").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(moved).cast("bigint").alias("n_moved"),
+            F.sum(wrong).cast("bigint").alias("n_moved_wrong"),
+        )
+
+
+_init_q244()

@@ -610,3 +610,43 @@ def test_funnel_dp_counts_subsequences(spark):
     )
     (row,) = df.select(dp["c3"].alias("n")).collect()
     assert row.n == 3
+
+
+def test_rendezvous_minimal_movement(spark):
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.functions.sampling import rendezvous_shard
+
+    df = spark.range(2000).select(
+        rendezvous_shard(F.col("id"), 8).alias("s8"),
+        rendezvous_shard(F.col("id"), 9).alias("s9"),
+    )
+    rows = df.collect()
+    moved = [r for r in rows if r.s8 != r.s9]
+    # every moved key lands ON the added shard (HRW contract)
+    assert all(r.s9 == 8 for r in moved)
+    # expected movement 1/9 of keys; allow generous slack
+    assert 0.05 < len(moved) / len(rows) < 0.20
+    # shards stay roughly balanced (uniform hash): no shard holds
+    # more than 2x its fair share
+    from collections import Counter
+
+    c = Counter(r.s8 for r in rows)
+    assert set(c) == set(range(8))
+    assert max(c.values()) < 2 * (len(rows) / 8)
+
+
+def test_rendezvous_shrink_moves_only_orphans(spark):
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.functions.sampling import rendezvous_shard
+
+    # removing the top shard relocates exactly its keys; everyone
+    # else keeps their assignment (the symmetric HRW property)
+    df = spark.range(1000).select(
+        rendezvous_shard(F.col("id"), 9).alias("s9"),
+        rendezvous_shard(F.col("id"), 8).alias("s8"),
+    )
+    for r in df.collect():
+        if r.s9 != 8:
+            assert r.s8 == r.s9
