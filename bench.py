@@ -214,6 +214,7 @@ HEADLINE = [
     "q242_line_dedup",
     "q243_hll_cardinality",
     "q244_rendezvous_shards",
+    "q245_attribution",
 ]
 
 

@@ -1313,3 +1313,124 @@ def lead_lag_corr_sql(
         FROM ll_s WHERE n >= 2)
     SELECT lag, n, round(num / sqrt(d1 * d2), 6) AS corr
     FROM ll_t WHERE d1 > 0 AND d2 > 0"""
+
+
+# --------------------------------------------------------------------
+# Multi-touch attribution
+# --------------------------------------------------------------------
+
+def attribution(
+    purchases: DataFrame,
+    touches: DataFrame,
+    lookback_days: int = 7,
+) -> DataFrame:
+    """Multi-touch revenue attribution over a conversion lookback
+    window: for every purchase, credit its value (exact cents) to the
+    user's touch events in the ``lookback_days`` before it under
+    three standard models at once —
+
+    * ``first_cents``: all credit to the earliest touch in window;
+    * ``last_cents``: all credit to the latest touch before the
+      purchase;
+    * ``linear_cents``: cents split evenly by INTEGER division, the
+      remainder going to the earliest touch — exact BIGINT
+      conservation (the three columns each sum to the total cents of
+      attributed purchases; floats would leak pennies and break the
+      cross-engine gate).
+
+    Inputs: ``purchases`` (user_id, ts, event_id, cents) and
+    ``touches`` (user_id, ts, event_id, event_type). Returns one row
+    per touch event_type with the three credited totals and
+    ``n_touches``.
+
+    Scale shape: a per-user range join (purchase x touches-in-window
+    — bounded by touch density, never corpus²), then one window over
+    each purchase to rank its touches and count them, then a narrow
+    final aggregate. The purchase-scoped window shuffles on the
+    purchase key, which is unique — no skew; at 100 TB the range
+    join is the cost and AQE handles per-user fan-out.
+    """
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.col("cents").alias("p_cents"),
+    )
+    t = touches.select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("t_type"),
+    )
+    joined = p.join(
+        t,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {int(lookback_days)} DAYS")
+        ),
+    )
+    w = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    ranked = joined.select(
+        "p_id",
+        "p_cents",
+        "t_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("p_id")).alias("n"),
+    )
+    first_c = F.when(F.col("rn") == 1, F.col("p_cents")).otherwise(F.lit(0))
+    last_c = F.when(F.col("rn") == F.col("n"), F.col("p_cents")).otherwise(
+        F.lit(0)
+    )
+    # integer split: floor share to everyone, remainder to the first
+    share = F.expr("p_cents DIV n")
+    linear_c = share + F.when(
+        F.col("rn") == 1, F.col("p_cents") % F.col("n")
+    ).otherwise(F.lit(0))
+    return (
+        ranked.groupBy(F.col("t_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum(first_c).cast("bigint").alias("first_cents"),
+            F.sum(last_c).cast("bigint").alias("last_cents"),
+            F.sum(linear_c).cast("bigint").alias("linear_cents"),
+        )
+    )
+
+
+def attribution_sql(
+    purchases_sql: str,
+    touches_sql: str,
+    lookback_days: int = 7,
+) -> str:
+    """DuckDB mirror of :func:`attribution` (same range join, same
+    (ts, event_id) rank order, same integer remainder-to-first
+    split)."""
+    return f"""
+    WITH at_p AS ({purchases_sql}),
+    at_t AS ({touches_sql}),
+    at_j AS (
+        SELECT p.event_id AS p_id, p.cents AS p_cents,
+               t.event_type AS t_type, t.ts AS t_ts,
+               t.event_id AS t_id
+        FROM at_p p JOIN at_t t
+          ON t.user_id = p.user_id
+         AND t.ts < p.ts
+         AND t.ts >= p.ts - INTERVAL {int(lookback_days)} DAY),
+    at_r AS (
+        SELECT p_id, p_cents, t_type,
+               row_number() OVER (PARTITION BY p_id
+                                  ORDER BY t_ts, t_id) AS rn,
+               COUNT(*) OVER (PARTITION BY p_id) AS n
+        FROM at_j)
+    SELECT t_type AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(CASE WHEN rn = 1 THEN p_cents ELSE 0 END)
+                AS BIGINT) AS first_cents,
+           CAST(SUM(CASE WHEN rn = n THEN p_cents ELSE 0 END)
+                AS BIGINT) AS last_cents,
+           CAST(SUM(p_cents // n
+                    + CASE WHEN rn = 1 THEN p_cents % n ELSE 0 END)
+                AS BIGINT) AS linear_cents
+    FROM at_r GROUP BY 1"""

@@ -148,6 +148,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q242_line_dedup",
     "q243_hll_cardinality",
     "q244_rendezvous_shards",
+    "q245_attribution",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -10621,3 +10622,52 @@ def _init_q244() -> None:
 
 
 _init_q244()
+
+# --------------------------------------------------------------------
+# q245 — multi-touch revenue attribution (first/last/linear at once)
+# --------------------------------------------------------------------
+
+def _init_q245() -> None:
+    from ..functions import profile as P7
+
+    _p_sql = """
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'"""
+    _t_sql = """
+        SELECT user_id, ts, event_id, event_type
+        FROM events WHERE event_type IN ('view', 'click')"""
+
+    @register(
+        "q245_attribution",
+        P7.attribution_sql(_p_sql, _t_sql, lookback_days=7),
+        doc="Multi-touch revenue attribution (functions/profile.py "
+            "attribution): every purchase's exact cents credited to "
+            "the user's view/click touches in a 7-day lookback under "
+            "first-touch, last-touch, and linear models "
+            "simultaneously — the marketing-path aggregate q97's "
+            "funnel and q115's paths don't express. Integer "
+            "remainder-to-first split conserves cents exactly "
+            "(each model column sums to the same attributed total, "
+            "unit-tested), which is what keeps a float-free exact "
+            "gate possible. Per-user range join bounded by touch "
+            "density; the ranking window shuffles on the unique "
+            "purchase key — no skew.",
+    )
+    def q245_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        from ..functions.profile import attribution
+
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        touches = ev.filter(
+            F.col("event_type").isin("view", "click")
+        ).select("user_id", "ts", "event_id", "event_type")
+        return attribution(purchases, touches, lookback_days=7)
+
+
+_init_q245()

@@ -153,3 +153,50 @@ def test_lead_lag_corr_skips_degenerate_lags(spark):
     a = spark.createDataFrame([(t, 5) for t in range(10)], "t bigint, v bigint")
     b = spark.createDataFrame([(t, t) for t in range(10)], "t bigint, v bigint")
     assert lead_lag_corr(a, b, max_lag=2).count() == 0
+
+
+def test_attribution_models_and_conservation(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.functions.profile import attribution
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    touches = spark.createDataFrame(
+        [
+            (1, ts(-30), 10, "view"),    # in window
+            (1, ts(-20), 11, "click"),   # in window
+            (1, ts(-10), 12, "view"),    # in window (last)
+            (2, ts(-200), 20, "view"),   # 200h > 7d -> outside window
+            (3, ts(5), 30, "view"),      # AFTER purchase -> excluded
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    purchases = spark.createDataFrame(
+        [(1, t0, 100, 1000), (2, t0, 101, 7), (3, t0, 102, 500)],
+        "user_id long, ts timestamp, event_id long, cents long",
+    )
+    rows = {
+        r.event_type: r
+        for r in attribution(purchases, touches, lookback_days=7).collect()
+    }
+    # u1: 3 touches (view,click,view); u2/u3: nothing attributed
+    # first model: u1's first touch is a view (+1000)
+    assert rows["view"].first_cents == 1000
+    assert rows["click"].first_cents == 0
+    # last model: u1's last touch is the view at -10h
+    assert rows["view"].last_cents == 1000
+    assert rows["click"].last_cents == 0
+    # linear: 1000 DIV 3 = 333 each, remainder 1 to first (view):
+    # views get 334 + 333, click 333
+    assert rows["click"].linear_cents == 333
+    assert rows["view"].linear_cents == 334 + 333
+    # conservation: every model distributes the same attributed total
+    tot = 1000
+    for col in ("first_cents", "last_cents", "linear_cents"):
+        assert sum(getattr(r, col) for r in rows.values()) == tot
