@@ -215,6 +215,7 @@ HEADLINE = [
     "q243_hll_cardinality",
     "q244_rendezvous_shards",
     "q245_attribution",
+    "q246_quota_sample",
 ]
 
 

@@ -1010,3 +1010,119 @@ def rendezvous_shard_sql(
         f"CAST(s AS VARCHAR) || ':{seed}'), 1, 15)) AS BIGINT), "
         "'s': s})).s AS INT)"
     )
+
+
+# --------------------------------------------------------------------
+# Largest-remainder (Hamilton) quota sampling
+# --------------------------------------------------------------------
+
+def quota_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    budget: int,
+    seed: int = 23,
+) -> DataFrame:
+    """Exact-budget stratified sampling by largest-remainder
+    (Hamilton) apportionment: every stratum gets
+    ``floor(budget * n_g / N)`` slots, and the leftover slots go to
+    the strata with the largest remainders (ties broken by stratum
+    key) — so the sample size is EXACTLY ``budget`` whenever
+    ``N >= budget``, unlike per-stratum rounding (q56's fractions)
+    which drifts by up to one row per stratum. Within a stratum the
+    winners are the ``alloc_g`` rows with the smallest md5 hash —
+    deterministic, reproducible, stable under repartitioning.
+
+    All apportionment arithmetic is integer (``(budget * n_g) DIV N``
+    and its modulo) — no float quotas, so the whole allocation sits
+    on the exact cross-engine gate.
+
+    Scale shape: one count aggregate (map-side partials), the
+    apportionment on the dimension-sized strata frame, a broadcast
+    join of allocations back onto the stream, and one
+    rank-within-stratum window ordered by hash. A stratum holding
+    most of the corpus makes that window a hot partition; for such
+    skew pre-filter with an over-sampled hash-bucket gate (keep
+    ~2x alloc/n_g of the stratum by bucket) before ranking.
+
+    Returns the sampled rows: (*strata_cols, id).
+    """
+    g = [F.col(c) for c in strata_cols]
+    counts = df.groupBy(*g).agg(F.count(F.lit(1)).cast("bigint").alias("n_g"))
+    tot = counts.agg(F.sum("n_g").cast("bigint").alias("n_tot"))
+    alloc = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            *[F.col(c) for c in strata_cols],
+            "n_g",
+            F.expr(f"CAST({budget} * n_g AS BIGINT) DIV n_tot").alias(
+                "fl"
+            ),
+            F.expr(f"CAST({budget} * n_g AS BIGINT) % n_tot").alias("rem"),
+        )
+    )
+    leftover = F.lit(budget).cast("bigint") - F.sum("fl").over(
+        Window.partitionBy()
+    )
+    wr = Window.partitionBy().orderBy(
+        F.col("rem").desc(), *[F.col(c).asc() for c in strata_cols]
+    )
+    alloc = alloc.select(
+        *[F.col(c) for c in strata_cols],
+        (
+            F.col("fl")
+            + F.when(F.row_number().over(wr) <= leftover, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )
+    h = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    ).alias("h")
+    ws = Window.partitionBy(*g).orderBy("h")
+    return (
+        df.select(*g, F.col(id_col), h)
+        .join(F.broadcast(alloc), strata_cols)
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= F.col("alloc"))
+        .select(*strata_cols, id_col)
+    )
+
+
+def quota_sample_sql(
+    table_sql: str,
+    strata_cols: list[str],
+    id_col: str,
+    budget: int,
+    seed: int = 23,
+) -> str:
+    """DuckDB mirror of :func:`quota_sample`."""
+    keys = ", ".join(strata_cols)
+    order = ", ".join(f"{c} ASC" for c in strata_cols)
+    return f"""
+    WITH qs_src AS (SELECT * FROM {table_sql}),
+    qs_n AS (
+        SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n_g
+        FROM qs_src GROUP BY {keys}),
+    qs_t AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot FROM qs_n),
+    qs_a0 AS (
+        SELECT {keys}, n_g,
+               CAST({budget} * n_g AS BIGINT) // n_tot AS fl,
+               CAST({budget} * n_g AS BIGINT) % n_tot AS rem
+        FROM qs_n CROSS JOIN qs_t),
+    qs_a AS (
+        SELECT {keys},
+               CAST(fl + CASE WHEN row_number() OVER (
+                        ORDER BY rem DESC, {order})
+                    <= {budget} - (SELECT SUM(fl) FROM qs_a0)
+                    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM qs_a0),
+    qs_h AS (
+        SELECT s.*, md5(CAST({id_col} AS VARCHAR) || ':{seed}') AS hx
+        FROM qs_src s),
+    qs_r AS (
+        SELECT qh.*, a.alloc,
+               row_number() OVER (PARTITION BY {", ".join("qh." + c for c in strata_cols)}
+                                  ORDER BY hx) AS rn
+        FROM qs_h qh JOIN qs_a a USING ({keys}))
+    SELECT {keys}, {id_col} FROM qs_r WHERE rn <= alloc"""

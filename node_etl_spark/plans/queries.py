@@ -149,6 +149,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q243_hll_cardinality",
     "q244_rendezvous_shards",
     "q245_attribution",
+    "q246_quota_sample",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -10671,3 +10672,41 @@ def _init_q245() -> None:
 
 
 _init_q245()
+
+# --------------------------------------------------------------------
+# q246 — exact-budget largest-remainder quota sampling
+# --------------------------------------------------------------------
+
+def _init_q246() -> None:
+    from ..functions import sampling as SA8
+
+    @register(
+        "q246_quota_sample",
+        SA8.quota_sample_sql(
+            "(SELECT lang, source, doc_id FROM documents)",
+            ["lang", "source"],
+            "doc_id",
+            budget=120,
+        ),
+        doc="Exact-budget stratified sampling by largest-remainder "
+            "(Hamilton) apportionment (functions/sampling.py "
+            "quota_sample): floor(B*n_g/N) slots per (lang, source) "
+            "stratum, leftovers to the largest integer remainders, "
+            "winners = smallest md5 within stratum. Returns EXACTLY "
+            "B=120 documents (q56's per-stratum fraction rounding "
+            "cannot promise that), fully integer apportionment on "
+            "the exact gate. One count agg + dimension-sized "
+            "apportionment + broadcast join + rank window.",
+    )
+    def q246_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select(
+            "lang", "source", "doc_id"
+        )
+        from ..functions.sampling import quota_sample
+
+        return quota_sample(
+            docs, ["lang", "source"], "doc_id", budget=120
+        )
+
+
+_init_q246()

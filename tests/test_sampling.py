@@ -650,3 +650,63 @@ def test_rendezvous_shrink_moves_only_orphans(spark):
     for r in df.collect():
         if r.s9 != 8:
             assert r.s8 == r.s9
+
+
+def test_quota_sample_exact_budget_and_proportionality(spark):
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.functions.sampling import quota_sample
+
+    # 70/20/10 strata; budget 10 -> exact quotas 7/2/1
+    df = spark.range(100).select(
+        F.when(F.col("id") < 70, "a")
+        .when(F.col("id") < 90, "b")
+        .otherwise("c")
+        .alias("s"),
+        F.col("id"),
+    )
+    out = quota_sample(df, ["s"], "id", budget=10).collect()
+    from collections import Counter
+
+    c = Counter(r.s for r in out)
+    assert len(out) == 10
+    assert c == {"a": 7, "b": 2, "c": 1}
+
+
+def test_quota_sample_largest_remainder_tiebreak(spark):
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.functions.sampling import quota_sample
+
+    # three equal strata of 5, budget 7: floors are 2 each (6), one
+    # leftover; remainders tie so the leftover goes to the first
+    # stratum key in ascending order ("x")
+    df = spark.range(15).select(
+        F.element_at(
+            F.array(F.lit("x"), F.lit("y"), F.lit("z")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("s"),
+        F.col("id"),
+    )
+    out = quota_sample(df, ["s"], "id", budget=7).collect()
+    from collections import Counter
+
+    c = Counter(r.s for r in out)
+    assert len(out) == 7
+    assert c == {"x": 3, "y": 2, "z": 2}
+
+
+def test_quota_sample_stable_under_repartition(spark):
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.functions.sampling import quota_sample
+
+    df = spark.range(200).select(
+        (F.col("id") % 4).cast("string").alias("s"), F.col("id")
+    )
+    a = sorted(r.id for r in quota_sample(df, ["s"], "id", 20).collect())
+    b = sorted(
+        r.id
+        for r in quota_sample(df.repartition(13), ["s"], "id", 20).collect()
+    )
+    assert a == b
