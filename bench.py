@@ -216,6 +216,7 @@ HEADLINE = [
     "q244_rendezvous_shards",
     "q245_attribution",
     "q246_quota_sample",
+    "q247_percolate",
 ]
 
 

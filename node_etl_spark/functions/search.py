@@ -573,3 +573,106 @@ def hard_negatives_oracle_sql(
                       ORDER BY bm25 DESC, doc_id) AS rank
         FROM matches WHERE grade < {rel_min})
     WHERE rank <= {k}"""
+
+
+# --------------------------------------------------------------------
+# Percolation — reverse search (stored queries match the stream)
+# --------------------------------------------------------------------
+
+def percolate(
+    docs: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reverse search / percolation (the Elasticsearch percolator,
+    Kafka-topic routing rule, or alerting-subscription primitive):
+    a REGISTRY of stored conjunctive keyword queries is matched
+    against every incoming document — a document matches a query iff
+    it contains ALL of the query's terms.
+
+    This inverts :func:`bm25_topk`'s access path: there, one ad-hoc
+    query probes a prebuilt corpus index; here, the corpus streams
+    past a dimension-sized rule registry. The registry is broadcast,
+    the document token stream is filtered to registry terms BEFORE
+    the first shuffle (so non-matching tokens never move), and the
+    only aggregation is (doc, query) -> distinct matched terms
+    compared against the query's term count. At 100 TB the cost is
+    one corpus scan regardless of rule count — the shape alerting
+    pipelines need.
+
+    Returns (query_id, n_terms, n_docs): per stored query, its size
+    and how many documents match it; queries matching nothing are
+    kept with ``n_docs = 0`` (an alerting registry must distinguish
+    "rule dead" from "rule dropped").
+    """
+    spark = docs.sparkSession
+    reg = spark.createDataFrame(
+        [
+            (qid, t, len(set(terms)))
+            for qid, terms in queries
+            for t in set(terms)
+        ],
+        "query_id string, term string, n_terms int",
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), " "))
+        ).alias("term"),
+    )
+    hits = toks.join(F.broadcast(reg), "term").groupBy(
+        "doc_id", "query_id", "n_terms"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    matched = (
+        hits.filter(F.col("n_hit") == F.col("n_terms"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    all_q = spark.createDataFrame(
+        [(qid, len(set(terms))) for qid, terms in queries],
+        "query_id string, n_terms int",
+    )
+    return all_q.join(matched, "query_id", "left").select(
+        "query_id",
+        F.col("n_terms").cast("bigint").alias("n_terms"),
+        F.coalesce(F.col("n_docs"), F.lit(0).cast("bigint")).alias(
+            "n_docs"
+        ),
+    )
+
+
+def percolate_oracle_sql(
+    table_sql: str,
+    queries: list[tuple[str, list[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`percolate` (registry as VALUES, same
+    distinct-token conjunction count)."""
+    reg_rows = ", ".join(
+        f"('{qid}', '{t}', {len(set(terms))})"
+        for qid, terms in queries
+        for t in set(terms)
+    )
+    all_rows = ", ".join(
+        f"('{qid}', {len(set(terms))})" for qid, terms in queries
+    )
+    return f"""
+    WITH pc_reg(query_id, term, n_terms) AS (VALUES {reg_rows}),
+    pc_all(query_id, n_terms) AS (VALUES {all_rows}),
+    pc_tok AS (
+        SELECT DISTINCT {id_col} AS doc_id, t.term
+        FROM {table_sql},
+             unnest(string_split({text_col}, ' ')) AS t(term)),
+    pc_hit AS (
+        SELECT k.doc_id, r.query_id, r.n_terms,
+               COUNT(*) AS n_hit
+        FROM pc_tok k JOIN pc_reg r USING (term)
+        GROUP BY 1, 2, 3),
+    pc_m AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pc_hit WHERE n_hit = n_terms GROUP BY 1)
+    SELECT a.query_id, CAST(a.n_terms AS BIGINT) AS n_terms,
+           COALESCE(m.n_docs, 0) AS n_docs
+    FROM pc_all a LEFT JOIN pc_m m USING (query_id)"""

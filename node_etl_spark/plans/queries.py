@@ -150,6 +150,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q244_rendezvous_shards",
     "q245_attribution",
     "q246_quota_sample",
+    "q247_percolate",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -10710,3 +10711,41 @@ def _init_q246() -> None:
 
 
 _init_q246()
+
+# --------------------------------------------------------------------
+# q247 — percolation: stored-query registry matches the corpus
+# --------------------------------------------------------------------
+
+_Q247_RULES: list[tuple[str, list[str]]] = [
+    ("r_perf", ["fast", "slow"]),
+    ("r_join", ["join", "merge", "hash"]),
+    ("r_scan", ["scan", "filter", "table"]),
+    ("r_window", ["window", "sort"]),
+    ("r_dead", ["zzznotaterm"]),
+]
+
+
+def _init_q247() -> None:
+    from ..functions import search as SE2
+
+    @register(
+        "q247_percolate",
+        SE2.percolate_oracle_sql("documents", _Q247_RULES),
+        doc="Percolation / reverse search (functions/search.py "
+            "percolate; the Elasticsearch-percolator primitive): a "
+            "broadcast registry of conjunctive keyword rules matches "
+            "the document stream — a doc fires a rule iff it "
+            "contains ALL its terms. Inverts q119's access path "
+            "(ad-hoc query vs prebuilt index); one corpus scan "
+            "regardless of rule count, tokens filtered to registry "
+            "terms before the first shuffle. Dead rules report "
+            "n_docs = 0 rather than vanishing.",
+    )
+    def q247_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents")
+        from ..functions.search import percolate
+
+        return percolate(docs, _Q247_RULES)
+
+
+_init_q247()

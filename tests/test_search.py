@@ -196,3 +196,44 @@ def test_hard_negatives_excludes_relevant_and_ranks(spark):
     by_id = {r.doc_id: r for r in out}
     assert by_id[2].rank < by_id[3].rank  # more terms -> higher bm25
     assert by_id[2].grade == 2 and by_id[3].grade == 1
+
+
+def test_percolate_conjunction_and_dead_rules(spark):
+    from node_etl_spark.functions.search import percolate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta"),
+            (3, "beta gamma alpha alpha"),  # duplicates count once
+            (4, "delta"),
+        ],
+        "doc_id long, text string",
+    )
+    rules = [
+        ("both", ["alpha", "gamma"]),
+        ("single", ["delta"]),
+        ("dupe_terms", ["alpha", "alpha"]),  # de-duplicated -> 1 term
+        ("dead", ["omega"]),
+    ]
+    out = {r.query_id: r for r in percolate(docs, rules).collect()}
+    assert out["both"].n_docs == 2          # docs 1 and 3
+    assert out["single"].n_docs == 1        # doc 4
+    assert out["dupe_terms"].n_terms == 1
+    assert out["dupe_terms"].n_docs == 3    # docs 1,2,3
+    assert out["dead"].n_docs == 0          # kept, not dropped
+
+
+def test_percolate_registry_is_broadcast(spark):
+    from node_etl_spark.functions.search import percolate
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c")], "doc_id long, text string"
+    )
+    plan = (
+        percolate(docs, [("r", ["a"])])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
