@@ -217,6 +217,7 @@ HEADLINE = [
     "q245_attribution",
     "q246_quota_sample",
     "q247_percolate",
+    "q248_spearman_corr",
 ]
 
 

@@ -1434,3 +1434,121 @@ def attribution_sql(
                     + CASE WHEN rn = 1 THEN p_cents % n ELSE 0 END)
                 AS BIGINT) AS linear_cents
     FROM at_r GROUP BY 1"""
+
+
+# --------------------------------------------------------------------
+# Spearman rank correlation (robust twin of the Pearson matrix)
+# --------------------------------------------------------------------
+
+def spearman_corr(
+    series: DataFrame,
+    metric_col: str = "metric",
+    t_col: str = "t",
+    v_col: str = "v",
+) -> DataFrame:
+    """Pairwise Spearman rank correlation between aligned series —
+    the robust twin of q127's Pearson matrix: monotone-invariant and
+    immune to the heavy-tailed daily totals that drag moment-based
+    correlation around.
+
+    Input is LONG format (metric, t, v) with exact integer values.
+    Ranks use the standard average-tie convention, held exact as
+    DOUBLED ranks (``2*rank_min + ties - 1`` — always an integer, so
+    the whole rank transform and every sufficient statistic stays in
+    BIGINT; the only floats are the final two sqrts, one multiply,
+    one divide, rounded at 6). rho is Pearson on the doubled ranks
+    (scaling both variables by 2 cancels).
+
+    Scale shape: one rank window per metric (series are
+    pre-aggregated — days, not events), a t-aligned self-join of the
+    dimension-sized rank frame for metric pairs, and one exact
+    sufficient-stats aggregate per pair. BIGINT stats are exact up to
+    ~1e5 aligned points per pair; beyond that widen to
+    DECIMAL(38,0).
+
+    Returns (m_a, m_b, n, rho) for every metric pair m_a < m_b over
+    the t-values BOTH series cover.
+    """
+    w_rank = Window.partitionBy(metric_col).orderBy(v_col)
+    w_ties = Window.partitionBy(metric_col, v_col)
+    # doubled average-tie rank = rank_min + rank_max
+    # = 2*rank_min + (ties - 1), rank() being the 1-based min rank
+    ranked = series.select(
+        F.col(metric_col).alias("m"),
+        F.col(t_col).alias("t"),
+        (
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_ties)
+            - F.lit(1)
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    a = ranked.select(
+        F.col("m").alias("m_a"), "t", F.col("r2").alias("x")
+    )
+    b = ranked.select(
+        F.col("m").alias("m_b"), "t", F.col("r2").alias("y")
+    )
+    j = a.join(b, "t").filter(F.col("m_a") < F.col("m_b"))
+    s = j.groupBy("m_a", "m_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return s.select(
+        "m_a",
+        "m_b",
+        "n",
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6),
+        ).alias("rho"),
+    )
+
+
+def spearman_oracle_sql(series_sql: str) -> str:
+    """DuckDB mirror of :func:`spearman_corr` over a (metric, t, v)
+    subquery — same doubled average-tie ranks, same exact BIGINT
+    sufficient statistics, same float tail."""
+    return f"""
+    WITH sp_src AS ({series_sql}),
+    sp_r AS (
+        SELECT metric AS m, t,
+               CAST(2 * rank() OVER (PARTITION BY metric ORDER BY v)
+                    + COUNT(*) OVER (PARTITION BY metric, v)
+                    - 1 AS BIGINT) AS r2
+        FROM sp_src),
+    sp_j AS (
+        SELECT a.m AS m_a, b.m AS m_b, a.r2 AS x, b.r2 AS y
+        FROM sp_r a JOIN sp_r b ON a.t = b.t AND a.m < b.m),
+    sp_s AS (
+        SELECT m_a, m_b,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM sp_j GROUP BY 1, 2)
+    SELECT m_a, m_b, n,
+           CASE WHEN (n * sxx - sx * sx) > 0
+                 AND (n * syy - sy * sy) > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+                           6)
+           END AS rho
+    FROM sp_s"""

@@ -151,6 +151,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q245_attribution",
     "q246_quota_sample",
     "q247_percolate",
+    "q248_spearman_corr",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -10749,3 +10750,71 @@ def _init_q247() -> None:
 
 
 _init_q247()
+
+# --------------------------------------------------------------------
+# q248 — Spearman rank correlation between daily metrics
+# --------------------------------------------------------------------
+
+def _init_q248() -> None:
+    from ..functions import profile as P8
+
+    _series_sql = """
+        SELECT m.metric, m.t, m.v FROM (
+            SELECT 'revenue' AS metric,
+                   CAST(date_diff('day', DATE '1970-01-01', l_shipdate)
+                        AS BIGINT) AS t,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM lineitem GROUP BY 2
+            UNION ALL
+            SELECT 'quantity',
+                   CAST(date_diff('day', DATE '1970-01-01', l_shipdate)
+                        AS BIGINT),
+                   CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+            FROM lineitem GROUP BY 2
+            UNION ALL
+            SELECT 'items',
+                   CAST(date_diff('day', DATE '1970-01-01', l_shipdate)
+                        AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM lineitem GROUP BY 2) m"""
+
+    @register(
+        "q248_spearman_corr",
+        P8.spearman_oracle_sql(_series_sql),
+        doc="Pairwise Spearman rank correlation between daily "
+            "revenue, quantity, and item-count series "
+            "(functions/profile.py spearman_corr) — the robust, "
+            "monotone-invariant twin of q127's Pearson matrix. "
+            "Average-tie ranks are held exact as doubled-rank "
+            "BIGINTs, so every sufficient statistic is integer and "
+            "the float tail is two sqrts, one multiply, one divide, "
+            "round(6). Rank windows run on PRE-AGGREGATED days; the "
+            "pair join is dimension-sized.",
+    )
+    def q248_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = table(spark, sf_dir, "lineitem").select(
+            F.expr(
+                "CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)"
+            ).alias("t"),
+            F.expr(
+                "CAST(round(l_extendedprice * 100) AS BIGINT)"
+            ).alias("cents"),
+            F.expr("CAST(round(l_quantity) AS BIGINT)").alias("qty"),
+        )
+        daily = li.groupBy("t").agg(
+            F.sum("cents").cast("bigint").alias("revenue"),
+            F.sum("qty").cast("bigint").alias("quantity"),
+            F.count(F.lit(1)).cast("bigint").alias("items"),
+        )
+        series = daily.selectExpr(
+            "stack(3, 'revenue', revenue, 'quantity', quantity,"
+            " 'items', items) AS (metric, v)",
+            "t",
+        ).select("metric", "t", "v")
+        from ..functions.profile import spearman_corr
+
+        return spearman_corr(series)
+
+
+_init_q248()

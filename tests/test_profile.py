@@ -200,3 +200,46 @@ def test_attribution_models_and_conservation(spark):
     tot = 1000
     for col in ("first_cents", "last_cents", "linear_cents"):
         assert sum(getattr(r, col) for r in rows.values()) == tot
+
+
+def test_spearman_monotone_invariance_and_ties(spark):
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.functions.profile import spearman_corr
+
+    # y = x^3 is a perfect monotone relation -> rho exactly 1;
+    # z = -x -> rho exactly -1; Pearson on raw x^3 would be < 1
+    rows = [("x", t, t) for t in range(1, 21)]
+    rows += [("y", t, t**3) for t in range(1, 21)]
+    rows += [("z", t, -t) for t in range(1, 21)]
+    df = spark.createDataFrame(rows, "metric string, t long, v long")
+    out = {
+        (r.m_a, r.m_b): r.rho for r in spearman_corr(df).collect()
+    }
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert out[("y", "z")] == -1.0
+
+
+def test_spearman_average_tie_ranks(spark):
+    from node_etl_spark.functions.profile import spearman_corr
+
+    # a: [1,2,2,3] vs b: [1,2,3,4] — tied middle pair takes the
+    # average rank 2.5; closed form rho = 3*sqrt(10)/10
+    rows = [("a", t, v) for t, v in enumerate([1, 2, 2, 3])]
+    rows += [("b", t, v) for t, v in enumerate([1, 2, 3, 4])]
+    df = spark.createDataFrame(rows, "metric string, t long, v long")
+    (r,) = spearman_corr(df).collect()
+    import math
+
+    assert abs(r.rho - 3 * math.sqrt(10) / 10) < 1e-6
+
+
+def test_spearman_constant_series_null_rho(spark):
+    from node_etl_spark.functions.profile import spearman_corr
+
+    rows = [("a", t, 5) for t in range(4)]
+    rows += [("b", t, v) for t, v in enumerate([1, 2, 3, 4])]
+    df = spark.createDataFrame(rows, "metric string, t long, v long")
+    (r,) = spearman_corr(df).collect()
+    assert r.rho is None  # zero rank variance -> undefined, not NaN
