@@ -218,6 +218,7 @@ HEADLINE = [
     "q246_quota_sample",
     "q247_percolate",
     "q248_spearman_corr",
+    "q249_sequence_mining",
 ]
 
 

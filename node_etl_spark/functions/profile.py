@@ -1552,3 +1552,115 @@ def spearman_oracle_sql(series_sql: str) -> str:
                            6)
            END AS rho
     FROM sp_s"""
+
+
+# --------------------------------------------------------------------
+# Sequential pattern mining (bounded subsequence support)
+# --------------------------------------------------------------------
+
+def sequence_mining(
+    events: DataFrame,
+    min_support: int = 5,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Frequent sequential patterns of length 2 and 3 (the useful
+    prefix of PrefixSpan / GSP, Srikant & Agrawal 1996): a user
+    SUPPORTS pattern ``a>b`` if some a-event precedes some b-event
+    in their timeline (any gap), and ``a>b>c`` likewise; support =
+    distinct users. Generalizes q102 (adjacent transitions only) and
+    q239 (one fixed funnel, occurrence-counted).
+
+    The naive shape joins each user's timeline against itself once
+    per pattern position — O(n^k) per user. This implementation uses
+    the bounds reduction: with ``pos`` the per-user event rank,
+    ``a>b`` holds iff ``min_pos(a) < max_pos(b)`` (take the earliest
+    a and the latest b), and ``a>b>c`` holds iff some b-event lies
+    strictly between ``min_pos(a)`` and ``max_pos(c)``. So the work
+    is one rank window, a per-(user, type) min/max aggregate
+    (dimension-sized: |types| rows per user), a |types|² bounds
+    cross per user, and for triples one bounded join of the event
+    stream against those bounds — linear in events with a |types|²
+    constant, never n².
+
+    Returns (pattern, support) with support >= ``min_support``.
+    """
+    ts_col, id_col = order_cols
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("et"),
+        F.row_number().over(w).alias("pos"),
+    )
+    bounds = ev.groupBy("u", "et").agg(
+        F.min("pos").alias("mn"), F.max("pos").alias("mx")
+    )
+    a = bounds.select(
+        "u", F.col("et").alias("ta"), F.col("mn").alias("a_mn")
+    )
+    c = bounds.select(
+        "u", F.col("et").alias("tc"), F.col("mx").alias("c_mx")
+    )
+    p2 = (
+        a.join(c, "u")
+        .filter(F.col("a_mn") < F.col("c_mx"))
+        .select(
+            F.concat_ws(">", "ta", "tc").alias("pattern"), "u"
+        )
+    )
+    ac = a.join(c, "u").filter(F.col("a_mn") + 1 < F.col("c_mx"))
+    p3 = (
+        ac.join(ev.select("u", F.col("et").alias("tb"), "pos"), "u")
+        .filter(
+            (F.col("pos") > F.col("a_mn"))
+            & (F.col("pos") < F.col("c_mx"))
+        )
+        .select(
+            F.concat_ws(">", "ta", "tb", "tc").alias("pattern"), "u"
+        )
+        .distinct()
+    )
+    return (
+        p2.unionByName(p3)
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
+def sequence_mining_sql(
+    events_sql: str,
+    min_support: int = 5,
+) -> str:
+    """DuckDB mirror of :func:`sequence_mining` — deliberately the
+    NAIVE subsequence joins (distinct users over an O(n^2)/O(n^3)
+    per-user self-join). The two shapes agree only if the bounds
+    reduction is exactly right, the strongest check the gate can
+    make (q239's pattern). Input subquery must yield
+    (user_id, event_type, ts, event_id)."""
+    return f"""
+    WITH sm_e AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS pos
+        FROM ({events_sql})),
+    sm_p2 AS (
+        SELECT DISTINCT x.event_type || '>' || y.event_type AS pattern,
+               x.user_id
+        FROM sm_e x JOIN sm_e y
+          ON y.user_id = x.user_id AND y.pos > x.pos),
+    sm_p3 AS (
+        SELECT DISTINCT x.event_type || '>' || y.event_type
+                   || '>' || z.event_type AS pattern,
+               x.user_id
+        FROM sm_e x
+        JOIN sm_e y ON y.user_id = x.user_id AND y.pos > x.pos
+        JOIN sm_e z ON z.user_id = y.user_id AND z.pos > y.pos),
+    sm_all AS (
+        SELECT pattern, user_id FROM sm_p2
+        UNION ALL
+        SELECT pattern, user_id FROM sm_p3)
+    SELECT pattern, CAST(COUNT(*) AS BIGINT) AS support
+    FROM sm_all GROUP BY 1
+    HAVING COUNT(*) >= {int(min_support)}"""

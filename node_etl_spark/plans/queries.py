@@ -152,6 +152,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q246_quota_sample",
     "q247_percolate",
     "q248_spearman_corr",
+    "q249_sequence_mining",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -10818,3 +10819,36 @@ def _init_q248() -> None:
 
 
 _init_q248()
+
+# --------------------------------------------------------------------
+# q249 — frequent sequential patterns (length 2 and 3)
+# --------------------------------------------------------------------
+
+def _init_q249() -> None:
+    from ..functions import profile as P9
+
+    @register(
+        "q249_sequence_mining",
+        P9.sequence_mining_sql(
+            "SELECT user_id, event_type, ts, event_id FROM events",
+            min_support=5,
+        ),
+        doc="Frequent sequential patterns of length 2/3 over user "
+            "timelines (functions/profile.py sequence_mining; GSP, "
+            "Srikant & Agrawal 1996): support = distinct users whose "
+            "timeline contains the subsequence, any gap. Spark runs "
+            "the bounds reduction (a>b iff min_pos(a) < max_pos(b); "
+            "a>b>c iff a b-event lies strictly between — linear in "
+            "events with a |types|^2 constant); the ORACLE runs the "
+            "naive O(n^3)-per-user subsequence joins, so agreement "
+            "proves the reduction exactly (q239's adversarial-shape "
+            "pattern). Generalizes q102's adjacent transitions.",
+    )
+    def q249_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        from ..functions.profile import sequence_mining
+
+        return sequence_mining(ev, min_support=5)
+
+
+_init_q249()

@@ -243,3 +243,34 @@ def test_spearman_constant_series_null_rho(spark):
     df = spark.createDataFrame(rows, "metric string, t long, v long")
     (r,) = spearman_corr(df).collect()
     assert r.rho is None  # zero rank variance -> undefined, not NaN
+
+
+def test_sequence_mining_bounds_reduction_edge_cases(spark):
+    import datetime as dt
+
+    from node_etl_spark.functions.profile import sequence_mining
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def row(u, i, et):
+        return (u, et, t0 + dt.timedelta(minutes=i), i)
+
+    # u1 timeline: b a b   -> supports a>b, b>a, b>b, b>a>b ...
+    #                         but NOT a>a, NOT a>b>a
+    # u2 timeline: b a c   -> b-event precedes a, so a>b>c must NOT
+    #                         fire (the strictly-between check)
+    rows = [row(1, 1, "b"), row(1, 2, "a"), row(1, 3, "b"),
+            row(2, 1, "b"), row(2, 2, "a"), row(2, 3, "c")]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    sup = {
+        r.pattern: r.support
+        for r in sequence_mining(df, min_support=1).collect()
+    }
+    assert sup["a>b"] == 1 and sup["b>a"] == 2 and sup["b>b"] == 1
+    assert "a>a" not in sup
+    assert sup["b>a>b"] == 1
+    assert "a>b>a" not in sup
+    assert "a>b>c" not in sup          # b is BEFORE a for u2
+    assert sup["b>a>c"] == 1
