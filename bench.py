@@ -219,6 +219,7 @@ HEADLINE = [
     "q247_percolate",
     "q248_spearman_corr",
     "q249_sequence_mining",
+    "q250_isotonic_fit",
 ]
 
 

@@ -1664,3 +1664,125 @@ def sequence_mining_sql(
     SELECT pattern, CAST(COUNT(*) AS BIGINT) AS support
     FROM sm_all GROUP BY 1
     HAVING COUNT(*) >= {int(min_support)}"""
+
+
+# --------------------------------------------------------------------
+# Isotonic regression calibration (PAV via the minimax formula)
+# --------------------------------------------------------------------
+
+def isotonic_fit(
+    bins: DataFrame,
+    bin_col: str = "bin",
+    y_col: str = "y",
+    c_col: str = "c",
+) -> DataFrame:
+    """Isotonic regression over pre-aggregated score bins — the
+    model-calibration step (Zadrozny & Elkan 2002) that maps a raw
+    score to a MONOTONE success rate, where q230's quantile
+    normalization only aligns distributions. Computed by the minimax
+    characterization of the pool-adjacent-violators solution
+    (Robertson-Wright-Dykstra 1988, Thm 1.4.4):
+
+        iso(i) = max_{j<=i} min_{k>=i} mean(y over bins j..k)
+
+    which needs no sequential pooling loop — the whole fit is two
+    dimension-sized joins over the B-row bin frame (B² interval
+    means from exclusive prefix sums, then a (j,i,k) min/max
+    cascade, O(B³) rows with B fixed), after ONE corpus-scale count
+    aggregate produced the bins. Every interval mean is one divide
+    of exact BIGINTs — identical doubles cross-engine, so min/max
+    selection is portable; final round(6).
+
+    Input: (bin, y, c) with integer successes/trials per ascending
+    score bin. Returns (bin, c, y, rate, iso_rate) with iso_rate
+    non-decreasing in bin and conserving sum(iso_rate * c) = sum(y).
+    """
+    w = Window.orderBy(bin_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pref = bins.select(
+        F.col(bin_col).alias("b"),
+        F.col(y_col).cast("bigint").alias("y"),
+        F.col(c_col).cast("bigint").alias("c"),
+        (F.sum(y_col).over(w) - F.col(y_col))
+        .cast("bigint")
+        .alias("y_excl"),
+        (F.sum(c_col).over(w) - F.col(c_col))
+        .cast("bigint")
+        .alias("c_excl"),
+        F.sum(y_col).over(w).cast("bigint").alias("y_incl"),
+        F.sum(c_col).over(w).cast("bigint").alias("c_incl"),
+    )
+    j = pref.select(
+        F.col("b").alias("j"),
+        F.col("y_excl").alias("jy"),
+        F.col("c_excl").alias("jc"),
+    )
+    k = pref.select(
+        F.col("b").alias("k"),
+        F.col("y_incl").alias("ky"),
+        F.col("c_incl").alias("kc"),
+    )
+    pairs = (
+        j.join(k, F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            (
+                (F.col("ky") - F.col("jy")).cast("double")
+                / (F.col("kc") - F.col("jc")).cast("double")
+            ).alias("mean"),
+        )
+    )
+    i = pref.select(F.col("b").alias("i"))
+    mn = (
+        pairs.join(
+            i, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i"))
+        )
+        .groupBy("j", "i")
+        .agg(F.min("mean").alias("mn"))
+    )
+    iso = mn.groupBy("i").agg(F.round(F.max("mn"), 6).alias("iso_rate"))
+    return (
+        bins.select(
+            F.col(bin_col).alias("bin"),
+            F.col(c_col).cast("bigint").alias("c"),
+            F.col(y_col).cast("bigint").alias("y"),
+            F.round(
+                F.col(y_col).cast("double") / F.col(c_col).cast("double"),
+                6,
+            ).alias("rate"),
+        )
+        .join(iso, F.col("bin") == F.col("i"))
+        .select("bin", "c", "y", "rate", "iso_rate")
+    )
+
+
+def isotonic_oracle_sql(bins_sql: str) -> str:
+    """DuckDB mirror of :func:`isotonic_fit` over a (bin, y, c)
+    subquery — same exclusive-prefix interval means, same minimax
+    cascade."""
+    return f"""
+    WITH if_b AS ({bins_sql}),
+    if_p AS (
+        SELECT bin AS b, CAST(y AS BIGINT) AS y, CAST(c AS BIGINT) AS c,
+               CAST(SUM(y) OVER (ORDER BY bin) - y AS BIGINT) AS y_excl,
+               CAST(SUM(c) OVER (ORDER BY bin) - c AS BIGINT) AS c_excl,
+               CAST(SUM(y) OVER (ORDER BY bin) AS BIGINT) AS y_incl,
+               CAST(SUM(c) OVER (ORDER BY bin) AS BIGINT) AS c_incl
+        FROM if_b),
+    if_pairs AS (
+        SELECT j.b AS j, k.b AS k,
+               CAST(k.y_incl - j.y_excl AS DOUBLE)
+                   / CAST(k.c_incl - j.c_excl AS DOUBLE) AS mean
+        FROM if_p j JOIN if_p k ON j.b <= k.b),
+    if_mn AS (
+        SELECT p.j, i.b AS i, MIN(p.mean) AS mn
+        FROM if_pairs p JOIN if_p i ON p.j <= i.b AND p.k >= i.b
+        GROUP BY 1, 2),
+    if_iso AS (
+        SELECT i, round(MAX(mn), 6) AS iso_rate FROM if_mn GROUP BY 1)
+    SELECT b.bin, CAST(b.c AS BIGINT) AS c, CAST(b.y AS BIGINT) AS y,
+           round(CAST(b.y AS DOUBLE) / CAST(b.c AS DOUBLE), 6) AS rate,
+           s.iso_rate
+    FROM if_b b JOIN if_iso s ON s.i = b.bin"""

@@ -153,6 +153,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q247_percolate",
     "q248_spearman_corr",
     "q249_sequence_mining",
+    "q250_isotonic_fit",
     # q100-q104: missed every rotation since r2 (r3/r4/r5 all
     # sampled q105-q205 + the early band)
     "q100_value_anomalies",
@@ -10852,3 +10853,55 @@ def _init_q249() -> None:
 
 
 _init_q249()
+
+# --------------------------------------------------------------------
+# q250 — isotonic calibration of value-score vs purchase rate
+# --------------------------------------------------------------------
+
+def _init_q250() -> None:
+    from ..functions import profile as P10
+
+    _bins_sql = """
+        SELECT CAST(least(39, CAST(floor(value / 10) AS BIGINT))
+                    AS BIGINT) AS bin,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1"""
+
+    @register(
+        "q250_isotonic_fit",
+        P10.isotonic_oracle_sql(_bins_sql),
+        doc="Isotonic calibration (functions/profile.py isotonic_fit; "
+            "Zadrozny-Elkan 2002): monotone purchase-rate fit over 40 "
+            "value bins via the minimax characterization of PAV "
+            "(RWD 1988) — no sequential pooling loop, just two "
+            "dimension-sized joins over the bin frame after one "
+            "corpus-scale count aggregate. Interval means are single "
+            "divides of exact BIGINT prefix sums, so cross-engine "
+            "min/max selection is portable. The monotone + "
+            "mass-conserving properties are unit-tested; q230 "
+            "aligns distributions, this calibrates PROBABILITIES.",
+    )
+    def q250_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        bins = ev.groupBy(
+            F.least(
+                F.lit(39), F.floor(F.col("value") / 10).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("bin")
+        ).agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+        )
+        from ..functions.profile import isotonic_fit
+
+        return isotonic_fit(bins)
+
+
+_init_q250()

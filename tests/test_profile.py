@@ -274,3 +274,47 @@ def test_sequence_mining_bounds_reduction_edge_cases(spark):
     assert "a>b>a" not in sup
     assert "a>b>c" not in sup          # b is BEFORE a for u2
     assert sup["b>a>c"] == 1
+
+
+def test_isotonic_fit_pools_violators(spark):
+    from node_etl_spark.functions.profile import isotonic_fit
+
+    # rates [0.2, 0.5, 0.3]: bins 1,2 violate monotonicity and pool
+    # to their weighted mean 0.4 -> iso = [0.2, 0.4, 0.4]
+    bins = spark.createDataFrame(
+        [(0, 2, 10), (1, 5, 10), (2, 3, 10)], "bin long, y long, c long"
+    )
+    out = {r.bin: r for r in isotonic_fit(bins).collect()}
+    assert out[0].iso_rate == 0.2
+    assert out[1].iso_rate == 0.4
+    assert out[2].iso_rate == 0.4
+
+
+def test_isotonic_fit_monotone_and_mass_conserving(spark):
+    from node_etl_spark.functions.profile import isotonic_fit
+
+    rows = [
+        (b, y, c)
+        for b, (y, c) in enumerate(
+            [(1, 10), (5, 10), (2, 10), (9, 10), (4, 10), (10, 10)]
+        )
+    ]
+    bins = spark.createDataFrame(rows, "bin long, y long, c long")
+    out = sorted(isotonic_fit(bins).collect(), key=lambda r: r.bin)
+    isos = [r.iso_rate for r in out]
+    assert isos == sorted(isos)  # non-decreasing
+    # PAV conserves total successes: sum(iso * c) == sum(y)
+    assert abs(sum(r.iso_rate * r.c for r in out) - sum(r.y for r in out)) < 1e-6
+    # already-monotone prefix is untouched
+    assert out[0].iso_rate == 0.1
+
+
+def test_isotonic_fit_monotone_input_identity(spark):
+    from node_etl_spark.functions.profile import isotonic_fit
+
+    bins = spark.createDataFrame(
+        [(0, 1, 10), (1, 3, 10), (2, 7, 10)], "bin long, y long, c long"
+    )
+    out = {r.bin: r for r in isotonic_fit(bins).collect()}
+    for b, want in [(0, 0.1), (1, 0.3), (2, 0.7)]:
+        assert out[b].iso_rate == want
