@@ -1786,3 +1786,157 @@ def isotonic_oracle_sql(bins_sql: str) -> str:
            round(CAST(b.y AS DOUBLE) / CAST(b.c AS DOUBLE), 6) AS rate,
            s.iso_rate
     FROM if_b b JOIN if_iso s ON s.i = b.bin"""
+
+
+# --------------------------------------------------------------------
+# COEC: position-bias-corrected click-through rate
+# --------------------------------------------------------------------
+
+def coec_ctr(
+    views: DataFrame,
+    clicks: DataFrame,
+    click_window_min: int = 30,
+    max_pos: int = 10,
+    min_views: int = 20,
+) -> DataFrame:
+    """Clicks-over-expected-clicks (COEC; Zhang & Jones 2007 /
+    Chapelle-Zhang WWW'09 examine-then-click family): naive CTR
+    rewards items shown at good positions; COEC divides an item's
+    clicks by the clicks EXPECTED from the positions it was actually
+    shown at, using the global per-position prior.
+
+    Inputs: ``views`` (user_id, item, ts, event_id) impressions —
+    event_id a unique impression key — and ``clicks``
+    (user_id, item, ts). A view converts if the same user clicks the
+    same item within ``click_window_min`` minutes after it. Position
+    is the view's rank within its user's day (capped at
+    ``max_pos``) — the feed-order proxy.
+
+    Determinism: the per-item expected-clicks sum adds one float
+    prior per position group; both engines sum ``round(prior, 12)``
+    as exact DECIMAL(24,12) (the PSI-term idiom), so accumulation
+    order cannot split them. COEC itself is one divide, round(6).
+
+    Scale shape: the click-match is a per-(user, item) interval
+    join bounded by click density; position priors are a max_pos-row
+    broadcast; everything else is two hash aggregates. Returns
+    (item, views, clicks, ctr, coec) for items with >=
+    ``min_views`` impressions.
+    """
+    w = Window.partitionBy(
+        "user_id", F.to_date("ts")
+    ).orderBy("ts", "item")
+    v = views.select(
+        "user_id",
+        "item",
+        "ts",
+        "event_id",
+        F.least(F.row_number().over(w), F.lit(max_pos)).alias("pos"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("item").alias("c_item"),
+        F.col("ts").alias("c_ts"),
+    )
+    matched = v.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_item") == F.col("item"))
+        & (F.col("c_ts") > F.col("ts"))
+        & (
+            F.col("c_ts")
+            <= F.col("ts") + F.expr(f"INTERVAL {int(click_window_min)} MINUTES")
+        ),
+        "left_semi",
+    ).select("event_id", F.lit(1).alias("clicked"))
+    imp = v.join(matched, "event_id", "left").select(
+        "item", "pos", F.coalesce("clicked", F.lit(0)).alias("clicked")
+    )
+    prior = imp.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v_p"),
+        F.sum("clicked").cast("bigint").alias("c_p"),
+    ).select(
+        "pos",
+        F.round(
+            F.col("c_p").cast("double") / F.col("v_p").cast("double"), 12
+        )
+        .cast("decimal(24,12)")
+        .alias("prior"),
+    )
+    per_item = (
+        imp.join(F.broadcast(prior), "pos")
+        .groupBy("item")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("views"),
+            F.sum("clicked").cast("bigint").alias("clicks"),
+            F.sum("prior").alias("expected"),
+        )
+        .filter(F.col("views") >= min_views)
+    )
+    return per_item.select(
+        "item",
+        "views",
+        "clicks",
+        F.round(
+            F.col("clicks").cast("double") / F.col("views").cast("double"),
+            6,
+        ).alias("ctr"),
+        F.when(
+            F.col("expected") > 0,
+            F.round(
+                F.col("clicks").cast("double")
+                / F.col("expected").cast("double"),
+                6,
+            ),
+        ).alias("coec"),
+    )
+
+
+def coec_oracle_sql(
+    views_sql: str,
+    clicks_sql: str,
+    click_window_min: int = 30,
+    max_pos: int = 10,
+    min_views: int = 20,
+) -> str:
+    """DuckDB mirror of :func:`coec_ctr`."""
+    return f"""
+    WITH co_v0 AS ({views_sql}),
+    co_c AS ({clicks_sql}),
+    co_v AS (
+        SELECT user_id, item, ts,
+               least(row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts, item), {int(max_pos)}) AS pos
+        FROM co_v0),
+    co_i AS (
+        SELECT v.item, v.pos,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM co_c c
+                   WHERE c.user_id = v.user_id AND c.item = v.item
+                     AND c.ts > v.ts
+                     AND c.ts <= v.ts + INTERVAL {int(click_window_min)} MINUTE)
+                    THEN 1 ELSE 0 END AS clicked
+        FROM co_v v),
+    co_p AS (
+        SELECT pos,
+               CAST(round(CAST(SUM(clicked) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE), 12)
+                    AS DECIMAL(24,12)) AS prior
+        FROM co_i GROUP BY 1),
+    co_a AS (
+        SELECT i.item,
+               CAST(COUNT(*) AS BIGINT) AS views,
+               CAST(SUM(i.clicked) AS BIGINT) AS clicks,
+               SUM(p.prior) AS expected
+        FROM co_i i JOIN co_p p USING (pos)
+        GROUP BY 1
+        HAVING COUNT(*) >= {int(min_views)})
+    SELECT item, views, clicks,
+           round(CAST(clicks AS DOUBLE) / CAST(views AS DOUBLE), 6)
+               AS ctr,
+           CASE WHEN expected > 0
+                THEN round(CAST(clicks AS DOUBLE)
+                           / CAST(expected AS DOUBLE), 6)
+           END AS coec
+    FROM co_a"""

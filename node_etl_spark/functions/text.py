@@ -1800,11 +1800,15 @@ def line_dedup(
     Scale shape: one narrow line explode, then a ``groupBy(line) →
     min(struct(doc_id, pos))`` winner aggregate — partial (map-side)
     aggregation absorbs hot boilerplate lines before the shuffle,
-    which is why this is written as agg + join-back rather than a
+    which is why this is written as an agg rather than a
     ``row_number`` window (a window partition on a line duplicated
     millions of times is a straggler at 100 TB; the min-struct agg
-    reduces it map-side, and the join back is AQE-skew-splittable).
-    Reassembly is sort_array over (pos, line) structs — no window.
+    reduces it map-side). The winner rows ARE the kept rows — the
+    min-struct carries the surviving ``(doc_id, pos)`` with it — so
+    there is no join back onto the line stream, per-doc totals come
+    straight from the document frame, and the corpus is exploded
+    exactly once. Reassembly is sort_array over (pos, line)
+    structs — no window.
 
     Returns (doc_id, n_lines, n_kept, clean_text); documents whose
     every line first appeared elsewhere come back with ``n_kept = 0``
@@ -1824,19 +1828,18 @@ def line_dedup(
             )
         ).alias("pos", "line"),
     )
-    winners = lines.groupBy("line").agg(
-        F.min(F.struct("doc_id", "pos")).alias("w")
-    )
     kept = (
-        lines.join(winners, "line")
-        .filter(
-            (F.col("doc_id") == F.col("w.doc_id"))
-            & (F.col("pos") == F.col("w.pos"))
+        lines.groupBy("line")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+        .select(
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.pos").alias("pos"),
+            "line",
         )
-        .select("doc_id", "pos", "line")
     )
-    totals = lines.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.floor(n_ln).cast("bigint").alias("n_lines"),
     )
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),

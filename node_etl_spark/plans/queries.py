@@ -10905,3 +10905,49 @@ def _init_q250() -> None:
 
 
 _init_q250()
+
+# --------------------------------------------------------------------
+# q251 — position-bias-corrected CTR (COEC) from the clickstream
+# --------------------------------------------------------------------
+
+def _init_q251() -> None:
+    from ..functions import profile as P11
+
+    _views_sql = """
+        SELECT user_id, CAST(props->>'k' AS BIGINT) AS item, ts,
+               event_id
+        FROM events WHERE event_type = 'view'"""
+    _clicks_sql = """
+        SELECT user_id, CAST(props->>'k' AS BIGINT) AS item, ts
+        FROM events WHERE event_type = 'click'"""
+
+    @register(
+        "q251_coec_ctr",
+        P11.coec_oracle_sql(_views_sql, _clicks_sql),
+        doc="Clicks-over-expected-clicks item ranking "
+            "(functions/profile.py coec_ctr; Zhang-Jones 2007): "
+            "impressions = view events on item props.k, converted "
+            "if the same user clicks the same item within 30 min; "
+            "position = view's rank in its user-day (feed-order "
+            "proxy). Naive CTR is divided by the clicks expected "
+            "from the item's actual positions under the global "
+            "per-position prior — the de-biasing every ranking "
+            "pipeline needs before CTR becomes a label. Priors sum "
+            "as round-12 DECIMAL (PSI idiom) so float order cannot "
+            "split engines; interval join bounded by click density.",
+    )
+    def q251_coec_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        item = F.get_json_object("props", "$.k").cast("bigint")
+        views = ev.filter(F.col("event_type") == "view").select(
+            "user_id", item.alias("item"), "ts", "event_id"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", item.alias("item"), "ts"
+        )
+        from ..functions.profile import coec_ctr
+
+        return coec_ctr(views, clicks)
+
+
+_init_q251()

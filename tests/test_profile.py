@@ -318,3 +318,68 @@ def test_isotonic_fit_monotone_input_identity(spark):
     out = {r.bin: r for r in isotonic_fit(bins).collect()}
     for b, want in [(0, 0.1), (1, 0.3), (2, 0.7)]:
         assert out[b].iso_rate == want
+
+
+def test_coec_separates_position_bias(spark):
+    from datetime import datetime, timedelta
+
+    from node_etl_spark.functions.profile import coec_ctr
+
+    # Two items with IDENTICAL naive CTR (0.75): item 100 always at
+    # pos 1, item 200 always at pos 2.  A filler item (999) breaks
+    # the prior symmetry — it is clicked 4x when shown at pos 1 and
+    # 0x at pos 2, so prior(pos1)=10/16 > prior(pos2)=6/16, and the
+    # same clicks earned at the worse position must score higher.
+    t0 = datetime(2024, 1, 1, 8, 0)
+    views, clicks = [], []
+    eid = 0
+    # 8 user-days; each user sees filler at pos1, then item at pos2
+    # "top": shown at pos 1 (before filler) for users 0-7, clicked 6x
+    for u in range(8):
+        views.append((f"u{u}", 100, t0 + timedelta(days=u), eid)); eid += 1
+        views.append((f"u{u}", 999, t0 + timedelta(days=u, minutes=1), eid)); eid += 1
+        if u < 6:
+            clicks.append((f"u{u}", 100, t0 + timedelta(days=u, minutes=5)))
+    # "deep": shown at pos 2 (after filler 999) for users 8-15, clicked 6x
+    for u in range(8, 16):
+        views.append((f"u{u}", 999, t0 + timedelta(days=u), eid)); eid += 1
+        views.append((f"u{u}", 200, t0 + timedelta(days=u, minutes=1), eid)); eid += 1
+        if u < 14:
+            clicks.append((f"u{u}", 200, t0 + timedelta(days=u, minutes=5)))
+        if u < 12:
+            clicks.append((f"u{u}", 999, t0 + timedelta(days=u, minutes=6)))
+    v = spark.createDataFrame(
+        views, "user_id string, item long, ts timestamp, event_id long"
+    )
+    c = spark.createDataFrame(clicks, "user_id string, item long, ts timestamp")
+    out = {r.item: r for r in coec_ctr(v, c, min_views=8).collect()}
+    # priors: pos1 = (6 + 4clicks on 999@pos1)/16, pos2 = (6 + 0... )
+    # rather than hand-derive, assert the structural property: both
+    # real items have ctr 0.75, but the pos-1 item is NOT favoured
+    # over the pos-2 item once position is corrected
+    assert out[100].ctr == out[200].ctr == 0.75
+    # item 200 earned its clicks from a worse position -> higher COEC
+    assert out[200].coec > out[100].coec
+    assert out[100].views == out[200].views == 8
+
+
+def test_coec_click_window_excludes_late_clicks(spark):
+    from datetime import datetime, timedelta
+
+    from node_etl_spark.functions.profile import coec_ctr
+
+    t0 = datetime(2024, 1, 1, 8, 0)
+    views = [(f"u{i}", 1, t0 + timedelta(days=i), i) for i in range(4)]
+    clicks = [
+        ("u0", 1, t0 + timedelta(minutes=29)),          # inside
+        ("u1", 1, t0 + timedelta(days=1, minutes=31)),  # outside
+        ("u2", 1, t0 + timedelta(days=2)),              # ts == view ts: excluded
+    ]
+    v = spark.createDataFrame(
+        views, "user_id string, item long, ts timestamp, event_id long"
+    )
+    c = spark.createDataFrame(clicks, "user_id string, item long, ts timestamp")
+    (r,) = coec_ctr(v, c, min_views=1).collect()
+    assert r.views == 4 and r.clicks == 1
+    # all views at pos 1 -> expected = 4 * (1/4) = 1 -> coec == 1.0
+    assert r.coec == 1.0
