@@ -220,6 +220,13 @@ HEADLINE = [
     "q248_spearman_corr",
     "q249_sequence_mining",
     "q250_isotonic_fit",
+    "q251_coec_ctr",
+    "q252_adamic_adar",
+    "q253_naive_bayes",
+    "q254_conformal_coverage",
+    "q255_dp_histogram",
+    "q256_waterfill_budget",
+    "q257_offpolicy_eval",
 ]
 
 

@@ -1522,3 +1522,122 @@ def hits_oracle_sql(edges_sql: str, rounds: int = 4) -> str:
         f"    SELECT CAST(d AS VARCHAR) AS node, 'authority' AS role,"
         f" a AS score FROM a{rounds}"
     )
+
+
+# --------------------------------------------------------------------
+# Link prediction: Adamic-Adar scores over non-adjacent pairs
+# --------------------------------------------------------------------
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int = 1000,
+    top_n: int = 100,
+) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003 "Friends and
+    neighbors on the web"): score every NON-adjacent node pair by
+    ``sum(1 / ln(deg(z)))`` over their common neighbors ``z``, the
+    classic degree-discounted common-neighbor count, and return the
+    ``top_n`` candidate links.
+
+    Scale shape: one wedge self-join on the common neighbor — the
+    same join that would explode on a hub is bounded by
+    ``max_degree``, which EXCLUDES nodes of degree > max_degree as
+    common neighbors (semantics, not a silent cap: a z adjacent to
+    everything carries ~zero AA signal anyway, 1/ln(deg) -> 0, and
+    dropping it bounds the wedge fan-out at max_degree^2 per node
+    instead of hub^2). Existing edges leave via one anti-join.
+    Common neighbors have degree >= 2 by construction (they touch
+    both endpoints), so ln(deg) > 0 always.
+
+    Determinism: each wedge contributes ``round(1/ln(deg z), 12)``
+    summed as exact DECIMAL(24,12) (accumulation order cannot split
+    engines); the final global top-n orders by (score desc, a, b).
+    Returns (a, b, common, aa_score) with a < b.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = und.select(F.col("a").alias("z"), F.col("b").alias("x")).unionByName(
+        und.select(F.col("b").alias("z"), F.col("a").alias("x"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    # deg >= 2: a degree-1 node can never close a wedge, and the
+    # filter keeps 1/ln(deg) away from ln(1) = 0 under ANSI mode
+    hub_ok = adj.join(
+        deg.filter((F.col("deg") <= max_degree) & (F.col("deg") >= 2)), "z"
+    ).select(
+        "z",
+        "x",
+        F.round(F.lit(1.0) / F.log(F.col("deg").cast("double")), 12)
+        .cast("decimal(24,12)")
+        .alias("w"),
+    )
+    p, q = hub_ok.alias("p"), hub_ok.alias("q")
+    scored = (
+        p.join(
+            q,
+            (F.col("p.z") == F.col("q.z")) & (F.col("p.x") < F.col("q.x")),
+        )
+        .select(
+            F.col("p.x").alias("a"),
+            F.col("q.x").alias("b"),
+            F.col("p.w").alias("w"),
+        )
+        .join(und, ["a", "b"], "left_anti")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common"),
+            F.sum("w").cast("double").alias("aa_score"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("aa_score").desc(), F.col("a").asc(), F.col("b").asc()
+        )
+        .limit(int(top_n))
+        .select("a", "b", "common", "aa_score")
+    )
+
+
+def adamic_adar_oracle_sql(
+    edges_sql: str,
+    max_degree: int = 1000,
+    top_n: int = 100,
+) -> str:
+    """DuckDB mirror of :func:`adamic_adar`."""
+    return f"""
+    WITH aa_raw AS ({edges_sql}),
+    aa_und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM aa_raw WHERE src <> dst),
+    aa_adj AS (
+        SELECT a AS z, b AS x FROM aa_und
+        UNION ALL
+        SELECT b AS z, a AS x FROM aa_und),
+    aa_deg AS (
+        SELECT z, CAST(COUNT(*) AS BIGINT) AS deg FROM aa_adj GROUP BY 1),
+    aa_w AS (
+        SELECT j.z, j.x,
+               CAST(round(1.0 / ln(CAST(d.deg AS DOUBLE)), 12)
+                    AS DECIMAL(24,12)) AS w
+        FROM aa_adj j JOIN aa_deg d ON d.z = j.z
+        WHERE d.deg <= {int(max_degree)} AND d.deg >= 2),
+    aa_s AS (
+        SELECT p.x AS a, q.x AS b,
+               CAST(COUNT(*) AS BIGINT) AS common,
+               CAST(SUM(p.w) AS DOUBLE) AS aa_score
+        FROM aa_w p JOIN aa_w q ON p.z = q.z AND p.x < q.x
+        WHERE NOT EXISTS (
+            SELECT 1 FROM aa_und u WHERE u.a = p.x AND u.b = q.x)
+        GROUP BY 1, 2)
+    SELECT a, b, common, aa_score FROM aa_s
+    ORDER BY aa_score DESC, a, b
+    LIMIT {int(top_n)}"""

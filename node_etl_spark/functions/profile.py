@@ -1940,3 +1940,449 @@ def coec_oracle_sql(
                            / CAST(expected AS DOUBLE), 6)
            END AS coec
     FROM co_a"""
+
+
+# --------------------------------------------------------------------
+# Split-conformal prediction intervals with held-out coverage
+# --------------------------------------------------------------------
+
+def conformal_coverage(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.1,
+    train_buckets: int = 8,
+    calib_bucket: int = 8,
+    buckets: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Split-conformal calibration (Vovk et al. 2005; Lei et al.
+    JASA 2018) with an honest held-out coverage check, per group.
+
+    Three-way md5 hash split of the rows: buckets <
+    ``train_buckets`` fit the predictor (here the per-group mean —
+    the predictor is deliberately simple; the conformal wrapper is
+    the operator), bucket == ``calib_bucket`` calibrates, the rest
+    test. Nonconformity = |value - prediction|; the conformal
+    quantile is the ``ceil((n_calib + 1) * (1 - alpha))``-th
+    smallest calibration score (the finite-sample-valid order
+    statistic — worth being exact about: quantile interpolation
+    would void the coverage guarantee), +infinity when the rank
+    exceeds n_calib. Coverage on test = fraction with score <=
+    threshold; conformal theory promises >= 1 - alpha in
+    expectation.
+
+    Determinism: prediction = round(double-division of exact decimal
+    sum, 6); scores round(,6); the order statistic is picked by
+    (score, id) row_number so calibration ties cannot split engines.
+    Scale shape: one aggregate for the predictor, one
+    rank-within-group window over the CALIBRATION slice only (10% of
+    rows), one broadcast join of the per-group thresholds back onto
+    the test slice. Returns (group, n_calib, q_hat, n_test, covered,
+    coverage).
+    """
+    from .sampling import hash_bucket
+
+    q = 1.0 - float(alpha)
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("v"),
+        F.col(id_col).alias("rid"),
+        hash_bucket(F.col(id_col), seed=seed, buckets=buckets).alias("bkt"),
+    )
+    pred = (
+        base.filter(F.col("bkt") < train_buckets)
+        .groupBy("grp")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(24,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("yhat")
+        )
+    )
+    calib = (
+        base.filter(F.col("bkt") == calib_bucket)
+        .join(F.broadcast(pred), "grp")
+        .select(
+            "grp",
+            "rid",
+            F.round(F.abs(F.col("v") - F.col("yhat")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy("score", "rid")
+    ranked = calib.select(
+        "grp",
+        "score",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n_calib"),
+    )
+    thresh = (
+        ranked.filter(
+            F.col("rk")
+            == F.ceil((F.col("n_calib") + 1) * F.lit(q)).cast("int")
+        )
+        .select("grp", F.col("n_calib").cast("bigint").alias("n_calib"),
+                F.col("score").alias("q_hat"))
+    )
+    test = (
+        base.filter(
+            (F.col("bkt") > calib_bucket)
+            | ((F.col("bkt") >= train_buckets) & (F.col("bkt") < calib_bucket))
+        )
+        .join(F.broadcast(pred), "grp")
+        .join(F.broadcast(thresh), "grp")
+        .select(
+            "grp",
+            "n_calib",
+            "q_hat",
+            (F.round(F.abs(F.col("v") - F.col("yhat")), 6) <= F.col("q_hat"))
+            .cast("int")
+            .alias("cov"),
+        )
+    )
+    return test.groupBy("grp", "n_calib", "q_hat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum("cov").cast("bigint").alias("covered"),
+    ).select(
+        "grp",
+        "n_calib",
+        "q_hat",
+        "n_test",
+        "covered",
+        F.round(
+            F.col("covered").cast("double") / F.col("n_test").cast("double"),
+            6,
+        ).alias("coverage"),
+    )
+
+
+def conformal_oracle_sql(
+    rows_sql: str,
+    group: str = "event_type",
+    value: str = "value",
+    id_: str = "event_id",
+    alpha: float = 0.1,
+    train_buckets: int = 8,
+    calib_bucket: int = 8,
+    buckets: int = 10,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of :func:`conformal_coverage`."""
+    from .sampling import hash_bucket_sql
+
+    bkt = hash_bucket_sql(id_, seed=seed, buckets=buckets)
+    q = 1.0 - float(alpha)
+    return f"""
+    WITH cf_base AS (
+        SELECT {group} AS grp, {value} AS v, {id_} AS rid,
+               {bkt} AS bkt
+        FROM ({rows_sql})),
+    cf_pred AS (
+        SELECT grp,
+               round(CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS yhat
+        FROM cf_base WHERE bkt < {int(train_buckets)} GROUP BY 1),
+    cf_cal AS (
+        SELECT b.grp, b.rid, round(abs(b.v - p.yhat), 6) AS score
+        FROM cf_base b JOIN cf_pred p USING (grp)
+        WHERE b.bkt = {int(calib_bucket)}),
+    cf_rk AS (
+        SELECT grp, score,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY score, rid) AS rk,
+               COUNT(*) OVER (PARTITION BY grp) AS n_calib
+        FROM cf_cal),
+    cf_th AS (
+        SELECT grp, CAST(n_calib AS BIGINT) AS n_calib, score AS q_hat
+        FROM cf_rk
+        WHERE rk = CAST(ceil((n_calib + 1) * {q!r}) AS INTEGER)),
+    cf_test AS (
+        SELECT b.grp, t.n_calib, t.q_hat,
+               CASE WHEN round(abs(b.v - p.yhat), 6) <= t.q_hat
+                    THEN 1 ELSE 0 END AS cov
+        FROM cf_base b
+        JOIN cf_pred p USING (grp)
+        JOIN cf_th t USING (grp)
+        WHERE b.bkt > {int(calib_bucket)}
+           OR (b.bkt >= {int(train_buckets)} AND b.bkt < {int(calib_bucket)}))
+    SELECT grp, n_calib, q_hat,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(cov) AS BIGINT) AS covered,
+           round(CAST(SUM(cov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS coverage
+    FROM cf_test
+    GROUP BY 1, 2, 3"""
+
+
+# --------------------------------------------------------------------
+# Differentially-private histogram release (seeded Laplace)
+# --------------------------------------------------------------------
+
+def dp_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Laplace-mechanism histogram release (Dwork et al. TCC 2006):
+    per-cell counts plus Laplace(1/epsilon) noise — sensitivity of a
+    disjoint-cell histogram is 1 — with the noise drawn from a
+    SEEDED hash of the cell key instead of an OS RNG, so the release
+    is reproducible (and cross-engine testable): a real pipeline
+    would swap the hash for a DRBG keyed per release, the plumbing
+    is identical.
+
+    u in (0,1) comes from the first 12 hex chars of
+    ``md5(cellkey:seed)`` (48 uniform bits, exact in a double);
+    noise = -b * sign(u - 0.5) * ln(1 - 2|u - 0.5|), the standard
+    inverse-CDF Laplace transform, rounded to 6 so libm ULP noise
+    cannot split engines. Released count = max(0, count + noise)
+    rounded to 6 (post-processing keeps DP). Pure row-local
+    expressions over a one-aggregate frame — nothing here shuffles
+    beyond the groupBy.
+
+    Returns group_cols + (n_raw, noise, n_released). n_raw is
+    included for the oracle check; a production release would drop
+    it (and the DP guarantee is about the released column only).
+    """
+    b = 1.0 / float(epsilon)
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in group_cols]
+    )
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(key, F.lit(f":{seed}"))), 1, 12),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 48))
+    )
+    centered = u - F.lit(0.5)
+    noise = F.round(
+        -F.lit(b)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered)),
+        6,
+    )
+    return agg.select(
+        *group_cols,
+        "n_raw",
+        noise.alias("noise"),
+        F.round(
+            F.greatest(
+                F.lit(0.0), F.col("n_raw").cast("double") + noise
+            ),
+            6,
+        ).alias("n_released"),
+    )
+
+
+def dp_histogram_oracle_sql(
+    rows_sql: str,
+    group_exprs: list[str],
+    epsilon: float = 1.0,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of :func:`dp_histogram`. ``group_exprs`` are the
+    SELECT expressions producing the (already-named) group columns."""
+    b = 1.0 / float(epsilon)
+    names = [e.split(" AS ")[-1].strip() for e in group_exprs]
+    keys = ", ".join(names)
+    cell = " || chr(31) || ".join(f"CAST({n} AS VARCHAR)" for n in names)
+    return f"""
+    WITH dp_a AS (
+        SELECT {', '.join(group_exprs)},
+               CAST(COUNT(*) AS BIGINT) AS n_raw
+        FROM ({rows_sql}) GROUP BY {', '.join(str(i + 1) for i in range(len(names)))}),
+    dp_u AS (
+        SELECT *,
+               CAST(CAST(('0x' || substring(md5({cell} || ':{seed}'), 1, 12))
+                         AS BIGINT) AS DOUBLE) / {float(1 << 48)!r} AS u
+        FROM dp_a),
+    dp_n AS (
+        SELECT *, round(-({b!r}) * sign(u - 0.5)
+                        * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise
+        FROM dp_u)
+    SELECT {keys}, n_raw, noise,
+           round(greatest(0.0, CAST(n_raw AS DOUBLE) + noise), 6)
+               AS n_released
+    FROM dp_n"""
+
+
+# --------------------------------------------------------------------
+# Off-policy evaluation of logged feedback: IPS and SNIPS
+# --------------------------------------------------------------------
+
+def offpolicy_eval(
+    views: DataFrame,
+    clicks: DataFrame,
+    click_window_min: int = 30,
+    max_pos: int = 10,
+    clip: float = 10.0,
+) -> DataFrame:
+    """Replay (counterfactual) evaluation of a UNIFORM target policy
+    on logged feedback — inverse-propensity scoring (Horvitz-Thompson
+    1952; Li et al. WSDM'11 replay) and its self-normalized variant
+    (SNIPS, Swaminathan-Joachims NeurIPS'15).
+
+    Logged data: the same clickstream shape as :func:`coec_ctr` —
+    impressions with a feed position (rank within user-day, capped),
+    reward = click within ``click_window_min``. Behavior propensity
+    mu(item | pos) is the empirical frequency of the item among that
+    position's impressions; the target policy is uniform over the
+    items the position ever showed, pi = 1 / n_items(pos). Weight
+    w = min(pi / mu, clip); IPS = sum(w * r) / N estimates the CTR
+    the uniform policy WOULD get, SNIPS = sum(w * r) / sum(w) trades
+    a little bias for variance. clip_frac reports how much mass the
+    clip touched — the standard OPE diagnostic.
+
+    Determinism: w and w * r are rounded to 9 and summed as exact
+    DECIMAL(28,9); divisions happen once at the end, rounded to 6.
+    Scale shape: propensities are a (pos, item) aggregate joined
+    back by key; the click-match is the bounded per-(user, item)
+    interval join. Returns per-position rows (pos, n, naive_ctr,
+    ips_ctr, snips_ctr, clip_frac).
+    """
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "item")
+    v = views.select(
+        "user_id",
+        "item",
+        "ts",
+        "event_id",
+        F.least(F.row_number().over(w), F.lit(max_pos)).alias("pos"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("item").alias("c_item"),
+        F.col("ts").alias("c_ts"),
+    )
+    rewarded = v.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_item") == F.col("item"))
+        & (F.col("c_ts") > F.col("ts"))
+        & (
+            F.col("c_ts")
+            <= F.col("ts") + F.expr(f"INTERVAL {int(click_window_min)} MINUTES")
+        ),
+        "left_semi",
+    ).select("event_id", F.lit(1).alias("r"))
+    imp = v.join(rewarded, "event_id", "left").select(
+        "pos", "item", F.coalesce("r", F.lit(0)).alias("r")
+    )
+    mu = imp.groupBy("pos", "item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pi")
+    )
+    posn = mu.groupBy("pos").agg(
+        F.sum("n_pi").cast("bigint").alias("n_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("k_pos"),
+    )
+    wts = (
+        imp.join(mu, ["pos", "item"])
+        .join(F.broadcast(posn), "pos")
+        .select(
+            "pos",
+            "r",
+            # pi/mu = (1/k) / (n_pi/n_pos) = n_pos / (k * n_pi)
+            F.round(
+                F.least(
+                    F.lit(float(clip)),
+                    F.col("n_pos").cast("double")
+                    / (F.col("k_pos") * F.col("n_pi")).cast("double"),
+                ),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("w"),
+        )
+    )
+    agg = wts.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("n_click"),
+        F.sum("w").alias("sw"),
+        F.sum(F.expr("w * r")).alias("swr"),
+        F.sum(
+            F.when(F.col("w") >= F.round(F.lit(float(clip)), 9), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_clip"),
+    )
+    return agg.select(
+        "pos",
+        "n",
+        F.round(F.col("n_click").cast("double") / F.col("n").cast("double"), 6)
+        .alias("naive_ctr"),
+        F.round(F.col("swr").cast("double") / F.col("n").cast("double"), 6)
+        .alias("ips_ctr"),
+        F.when(
+            F.col("sw") > 0,
+            F.round(F.col("swr").cast("double") / F.col("sw").cast("double"), 6),
+        ).alias("snips_ctr"),
+        F.round(F.col("n_clip").cast("double") / F.col("n").cast("double"), 6)
+        .alias("clip_frac"),
+    )
+
+
+def offpolicy_oracle_sql(
+    views_sql: str,
+    clicks_sql: str,
+    click_window_min: int = 30,
+    max_pos: int = 10,
+    clip: float = 10.0,
+) -> str:
+    """DuckDB mirror of :func:`offpolicy_eval`."""
+    return f"""
+    WITH op_v0 AS ({views_sql}),
+    op_c AS ({clicks_sql}),
+    op_v AS (
+        SELECT user_id, item, ts, event_id,
+               least(row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts, item), {int(max_pos)}) AS pos
+        FROM op_v0),
+    op_i AS (
+        SELECT v.pos, v.item,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM op_c c
+                   WHERE c.user_id = v.user_id AND c.item = v.item
+                     AND c.ts > v.ts
+                     AND c.ts <= v.ts + INTERVAL {int(click_window_min)} MINUTE)
+                    THEN 1 ELSE 0 END AS r
+        FROM op_v v),
+    op_mu AS (
+        SELECT pos, item, CAST(COUNT(*) AS BIGINT) AS n_pi
+        FROM op_i GROUP BY 1, 2),
+    op_p AS (
+        SELECT pos, CAST(SUM(n_pi) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) AS BIGINT) AS k_pos
+        FROM op_mu GROUP BY 1),
+    op_w AS (
+        SELECT i.pos, i.r,
+               CAST(round(least({float(clip)!r},
+                   CAST(p.n_pos AS DOUBLE)
+                   / CAST(p.k_pos * m.n_pi AS DOUBLE)), 9)
+                    AS DECIMAL(28,9)) AS w
+        FROM op_i i
+        JOIN op_mu m USING (pos, item)
+        JOIN op_p p ON p.pos = i.pos),
+    op_a AS (
+        SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r) AS BIGINT) AS n_click,
+               SUM(w) AS sw, SUM(w * r) AS swr,
+               CAST(SUM(CASE WHEN w >= CAST(round({float(clip)!r}, 9)
+                                       AS DECIMAL(28,9))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clip
+        FROM op_w GROUP BY 1)
+    SELECT pos, n,
+           round(CAST(n_click AS DOUBLE) / CAST(n AS DOUBLE), 6) AS naive_ctr,
+           round(CAST(swr AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ips_ctr,
+           CASE WHEN sw > 0
+                THEN round(CAST(swr AS DOUBLE) / CAST(sw AS DOUBLE), 6)
+           END AS snips_ctr,
+           round(CAST(n_clip AS DOUBLE) / CAST(n AS DOUBLE), 6) AS clip_frac
+    FROM op_a"""

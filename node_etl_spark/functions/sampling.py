@@ -1126,3 +1126,124 @@ def quota_sample_sql(
                                   ORDER BY hx) AS rn
         FROM qs_h qh JOIN qs_a a USING ({keys}))
     SELECT {keys}, {id_col} FROM qs_r WHERE rn <= alloc"""
+
+
+# --------------------------------------------------------------------
+# Water-filling token-budget allocation across domains
+# --------------------------------------------------------------------
+
+def waterfill_budget(
+    df: DataFrame,
+    group_col: str = "source",
+    size_col: str = "n_chars",
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Max-min fair (water-filling) allocation of a token budget
+    across domains (the classic progressive-filling solution to
+    max-min fairness — Bertsekas & Gallager 1992 §6.5.2; the same
+    shape data teams use to cap dominant web domains while leaving
+    small domains whole, cf. Dolma / FineWeb domain budgets).
+
+    Each domain holds ``cap_i`` tokens (sum of ``size_col``); the
+    global budget is ``budget_frac`` of the corpus total. Water
+    level L solves ``sum_i min(cap_i, L) = B``: every domain keeps
+    ``min(cap_i, L)`` — small domains survive intact, the level
+    uniformly truncates the giants, and no domain that was cut
+    would trade with a smaller one (max-min fairness).
+
+    Closed form, no iteration: sort domains by cap ascending; with
+    prefix sum ``P_i`` over smaller caps and ``r_i`` domains
+    remaining (self included), the level lies in domain i's segment
+    iff ``P_{i-1} + cap_i * r_i >= B`` and the previous segment
+    exhausted (< B at i-1); then ``L = (B - P_{i-1}) / r_i``. One
+    dimension-sized window over the DOMAIN aggregate (domains are
+    few; the corpus-scale work is the one groupBy), integer until
+    the final division. Returns (grp, cap, level, alloc,
+    kept_frac) — level repeated for the audit trail.
+    """
+    caps = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(F.col(size_col).cast("bigint")).alias("cap")
+    )
+    w = Window.orderBy("cap", "grp")
+    seg = caps.select(
+        "grp",
+        "cap",
+        (F.sum("cap").over(w) - F.col("cap")).alias("p_prev"),
+        (F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ) - F.row_number().over(w) + 1).alias("rem"),
+        F.sum("cap").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    b = (F.col("total").cast("double") * F.lit(float(budget_frac)))
+    # the first (cap asc) segment able to absorb the rest of the
+    # budget holds the level; everything before it is kept whole
+    lvl_seg = seg.filter(
+        (F.col("p_prev").cast("double") + F.col("cap").cast("double") * F.col("rem") >= b)
+    ).select(
+        F.min(F.struct("cap", "grp", "p_prev", "rem", "total")).alias("s")
+    ).select(
+        F.round(
+            (F.col("s.total").cast("double") * F.lit(float(budget_frac))
+             - F.col("s.p_prev").cast("double"))
+            / F.col("s.rem").cast("double"),
+            6,
+        ).alias("level")
+    )
+    return (
+        seg.crossJoin(F.broadcast(lvl_seg))
+        .select(
+            "grp",
+            "cap",
+            "level",
+            F.round(F.least(F.col("cap").cast("double"), F.col("level")), 6)
+            .alias("alloc"),
+        )
+        .select(
+            "grp",
+            "cap",
+            "level",
+            "alloc",
+            F.round(F.col("alloc") / F.col("cap").cast("double"), 6)
+            .alias("kept_frac"),
+        )
+    )
+
+
+def waterfill_oracle_sql(
+    rows_sql: str,
+    group: str = "source",
+    size: str = "n_chars",
+    budget_frac: float = 0.5,
+) -> str:
+    """DuckDB mirror of :func:`waterfill_budget`."""
+    return f"""
+    WITH wf_caps AS (
+        SELECT {group} AS grp, CAST(SUM({size}) AS BIGINT) AS cap
+        FROM ({rows_sql}) GROUP BY 1),
+    wf_seg AS (
+        SELECT grp, cap,
+               SUM(cap) OVER (ORDER BY cap, grp) - cap AS p_prev,
+               COUNT(*) OVER () - row_number() OVER (ORDER BY cap, grp)
+                   + 1 AS rem,
+               SUM(cap) OVER () AS total
+        FROM wf_caps),
+    wf_lvl AS (
+        SELECT round((CAST(total AS DOUBLE) * {float(budget_frac)!r}
+                      - CAST(p_prev AS DOUBLE))
+                     / CAST(rem AS DOUBLE), 6) AS level
+        FROM wf_seg
+        WHERE CAST(p_prev AS DOUBLE)
+              + CAST(cap AS DOUBLE) * rem
+              >= CAST(total AS DOUBLE) * {float(budget_frac)!r}
+        ORDER BY cap, grp LIMIT 1)
+    SELECT s.grp, s.cap, l.level,
+           round(least(CAST(s.cap AS DOUBLE), l.level), 6) AS alloc,
+           round(round(least(CAST(s.cap AS DOUBLE), l.level), 6)
+                 / CAST(s.cap AS DOUBLE), 6) AS kept_frac
+    FROM wf_seg s CROSS JOIN wf_lvl l"""

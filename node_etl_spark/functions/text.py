@@ -1898,3 +1898,206 @@ def line_dedup_sql(
            COALESCE(kp.n_kept, 0) AS n_kept,
            COALESCE(kp.clean_text, '') AS clean_text
     FROM ld_tot t LEFT JOIN ld_kept kp USING (doc_id)"""
+
+
+# --------------------------------------------------------------------
+# Multinomial Naive Bayes text classifier (train + confusion matrix)
+# --------------------------------------------------------------------
+
+def naive_bayes_confusion(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_buckets: int = 8,
+    buckets: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Train a multinomial Naive Bayes classifier (Laplace-smoothed;
+    McCallum & Nigam 1998) on a deterministic hash split of the
+    corpus and return the held-out confusion matrix.
+
+    Split: md5 bucket of the doc id; buckets < ``train_buckets``
+    train, the rest test (the repo-wide leakage-safe idiom). Model:
+    ``logP(w|c) = ln((count_wc + 1) / (tokens_c + V))`` over
+    lowercase whitespace tokens, priors ``ln(docs_c / docs)``.
+    Scoring drops tokens outside the training vocabulary (standard
+    multinomial NB practice) and argmaxes
+    ``prior_c + sum_tokens logP(w|c)``.
+
+    Determinism: every log term is ``round(ln(...), 12)`` summed as
+    exact DECIMAL(38,12) — libm ULP differences sit ~1e-16, four
+    decades below the grid, and decimal accumulation is
+    order-independent. Argmax ties break on the smaller class name.
+
+    Scale shape: the model is one (word, class)-keyed aggregate; the
+    per-class score join fans each test token out |C| times (|C| =
+    #labels, single digits) and reduces map-side; no window over the
+    corpus, no driver-side loop. Returns
+    (true_label, pred_label, n_docs).
+    """
+    from .sampling import hash_bucket
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("label"),
+        F.col(text_col).alias("text"),
+        (hash_bucket(F.col(id_col), seed=seed, buckets=buckets)
+         < train_buckets).alias("is_train"),
+    )
+    toks = base.select(
+        "doc_id",
+        "label",
+        "is_train",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+            )
+        ).alias("word"),
+    )
+    train = toks.filter("is_train")
+    # class totals: token mass and doc counts
+    cls = train.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tok_c")
+    )
+    docs_c = (
+        base.filter("is_train")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("docs_c"))
+    )
+    vocab_n = train.select("word").distinct().count()
+    total_train_docs = base.filter("is_train").count()
+    wc = train.groupBy("word", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    # dense (word x class) log-prob grid: every train word gets a row
+    # per class so absent (w, c) pairs still contribute the smoothed
+    # ln(1 / (tok_c + V)) mass
+    grid = (
+        wc.select("word").distinct()
+        .crossJoin(F.broadcast(cls))
+        .join(wc, ["word", "label"], "left")
+        .select(
+            "word",
+            "label",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tok_c") + F.lit(vocab_n)).cast("double")
+                ),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("logp"),
+        )
+    )
+    prior = docs_c.select(
+        "label",
+        F.round(
+            F.log(
+                F.col("docs_c").cast("double") / F.lit(float(total_train_docs))
+            ),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("logprior"),
+    )
+    test_toks = toks.filter(~F.col("is_train")).select(
+        "doc_id", F.col("label").alias("true_label"), "word"
+    )
+    scores = (
+        test_toks.join(
+            grid.withColumnRenamed("label", "cand"), "word"
+        )
+        .groupBy("doc_id", "true_label", "cand")
+        .agg(F.sum("logp").alias("ll"))
+        .join(F.broadcast(prior.withColumnRenamed("label", "cand")), "cand")
+        .select(
+            "doc_id",
+            "true_label",
+            "cand",
+            (F.col("ll") + F.col("logprior")).alias("score"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("score").desc(), F.col("cand").asc()
+        )
+    )
+    pred = (
+        scores.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("true_label", F.col("cand").alias("pred_label"))
+    )
+    return pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+def naive_bayes_oracle_sql(
+    docs_sql: str,
+    label: str = "lang",
+    text: str = "text",
+    id_: str = "doc_id",
+    train_buckets: int = 8,
+    buckets: int = 10,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of :func:`naive_bayes_confusion`."""
+    from .sampling import hash_bucket_sql
+
+    bkt = hash_bucket_sql(id_, seed=seed, buckets=buckets)
+    return f"""
+    WITH nb_base AS (
+        SELECT {id_} AS doc_id, {label} AS label, {text} AS text,
+               {bkt} < {int(train_buckets)} AS is_train
+        FROM ({docs_sql})),
+    nb_tok AS (
+        SELECT doc_id, label, is_train, t.word
+        FROM nb_base,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                w -> w <> '')) AS t(word)),
+    nb_cls AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS tok_c
+        FROM nb_tok WHERE is_train GROUP BY 1),
+    nb_docs AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS docs_c
+        FROM nb_base WHERE is_train GROUP BY 1),
+    nb_v AS (
+        SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v,
+               (SELECT COUNT(*) FROM nb_base WHERE is_train) AS nd
+        FROM nb_tok WHERE is_train),
+    nb_wc AS (
+        SELECT word, label, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM nb_tok WHERE is_train GROUP BY 1, 2),
+    nb_grid AS (
+        SELECT w.word, c.label,
+               CAST(round(ln(CAST(COALESCE(wc.cnt, 0) + 1 AS DOUBLE)
+                             / CAST(c.tok_c + nb_v.v AS DOUBLE)), 12)
+                    AS DECIMAL(38,12)) AS logp
+        FROM (SELECT DISTINCT word FROM nb_wc) w
+        CROSS JOIN nb_cls c
+        CROSS JOIN nb_v
+        LEFT JOIN nb_wc wc ON wc.word = w.word AND wc.label = c.label),
+    nb_prior AS (
+        SELECT d.label,
+               CAST(round(ln(CAST(d.docs_c AS DOUBLE)
+                             / CAST(nb_v.nd AS DOUBLE)), 12)
+                    AS DECIMAL(38,12)) AS logprior
+        FROM nb_docs d CROSS JOIN nb_v),
+    nb_sc AS (
+        SELECT t.doc_id, t.label AS true_label, g.label AS cand,
+               SUM(g.logp) + ANY_VALUE(p.logprior) AS score
+        FROM nb_tok t
+        JOIN nb_grid g ON g.word = t.word
+        JOIN nb_prior p ON p.label = g.label
+        WHERE NOT t.is_train
+        GROUP BY 1, 2, 3),
+    nb_pred AS (
+        SELECT true_label, cand AS pred_label,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand ASC) AS rn
+        FROM nb_sc)
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM nb_pred WHERE rn = 1
+    GROUP BY 1, 2"""

@@ -108,7 +108,16 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # 195-query gate is unchanged (scripts/check_oracle.py iterates
 # QUERIES itself); only the driver's 50-row sample rotates.
 DRIVER_GATE_SENTINELS: list[str] = [
-    # round-6 fixes and additions — must be verified first
+    # round-6 fixes and additions — must be verified first, newest
+    # (least soak-tested) at the head; entries past the driver's
+    # 50-row cap carry to the next rotation
+    "q251_coec_ctr",
+    "q252_adamic_adar",
+    "q253_naive_bayes",
+    "q254_conformal_coverage",
+    "q255_dp_histogram",
+    "q256_waterfill_budget",
+    "q257_offpolicy_eval",
     "q206_sketch_neardup",
     "q207_semdedup_capped",
     "q208_zorder_kd",
@@ -10951,3 +10960,216 @@ def _init_q251() -> None:
 
 
 _init_q251()
+
+# --------------------------------------------------------------------
+# q252 — Adamic-Adar link prediction over the co-purchase graph
+# --------------------------------------------------------------------
+
+def _init_q252() -> None:
+    from ..functions.graph import adamic_adar_oracle_sql
+
+    @register(
+        "q252_adamic_adar",
+        adamic_adar_oracle_sql(_PART_EDGES2_SQL, max_degree=1000, top_n=100),
+        doc="Adamic-Adar link prediction (functions/graph.py "
+            "adamic_adar; Adamic-Adar 2003): top-100 NON-adjacent "
+            "part pairs ranked by sum(1/ln(deg z)) over common "
+            "co-purchase neighbors. The wedge self-join is bounded "
+            "by excluding common neighbors of degree > 1000 (a hub "
+            "carries ~no AA signal and its wedge fan-out is the one "
+            "quadratic hazard); existing edges leave via anti-join. "
+            "Each wedge weight rides the round-12 DECIMAL sum so "
+            "accumulation order cannot split engines.",
+    )
+    def q252_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.graph import adamic_adar
+
+        edges = _part_cooccur(spark, sf_dir, min_cnt=2).select("src", "dst")
+        return adamic_adar(edges, max_degree=1000, top_n=100)
+
+
+_init_q252()
+
+
+# --------------------------------------------------------------------
+# q253 — multinomial Naive Bayes language classifier, held-out
+# --------------------------------------------------------------------
+
+def _init_q253() -> None:
+    from ..functions.text import naive_bayes_oracle_sql
+
+    @register(
+        "q253_naive_bayes",
+        naive_bayes_oracle_sql("SELECT * FROM documents"),
+        doc="Multinomial Naive Bayes train + held-out confusion "
+            "matrix (functions/text.py naive_bayes_confusion; "
+            "McCallum-Nigam 1998): md5-bucket 80/20 split, "
+            "Laplace-smoothed per-(word, lang) log-probs over "
+            "lowercase tokens, argmax with smallest-label "
+            "tie-break. Every ln rides the round-12 DECIMAL(38,12) "
+            "sum; the model is one (word, class) aggregate and "
+            "scoring fans tokens out |C| ways then reduces "
+            "map-side — no window over the corpus, no driver loop "
+            "beyond two scalar counts (V, n_docs).",
+    )
+    def q253_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.text import naive_bayes_confusion
+
+        docs = table(spark, sf_dir, "documents")
+        return naive_bayes_confusion(docs)
+
+
+_init_q253()
+
+
+# --------------------------------------------------------------------
+# q254 — split-conformal prediction intervals with coverage audit
+# --------------------------------------------------------------------
+
+def _init_q254() -> None:
+    from ..functions import profile as P12
+
+    _rows_sql = "SELECT event_type, value, event_id FROM events"
+
+    @register(
+        "q254_conformal_coverage",
+        P12.conformal_oracle_sql(_rows_sql),
+        doc="Split-conformal intervals + honest coverage "
+            "(functions/profile.py conformal_coverage; Vovk 2005 / "
+            "Lei JASA 2018): 80/10/10 md5 split of events per "
+            "event_type; nonconformity |value - train mean|, "
+            "threshold = the exact ceil((n+1)(1-alpha)) order "
+            "statistic of the calibration slice (interpolated "
+            "quantiles would void the finite-sample guarantee), "
+            "coverage measured on the untouched test slice. The "
+            "only window runs over the 10% calibration slice; "
+            "thresholds broadcast back. Complements q250 (isotonic "
+            "calibrates probabilities; this wraps point predictions "
+            "in validity-guaranteed intervals).",
+    )
+    def q254_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.profile import conformal_coverage
+
+        ev = table(spark, sf_dir, "events").select(
+            "event_type", "value", "event_id"
+        )
+        return conformal_coverage(ev)
+
+
+_init_q254()
+
+
+# --------------------------------------------------------------------
+# q255 — differentially-private histogram release (seeded Laplace)
+# --------------------------------------------------------------------
+
+def _init_q255() -> None:
+    from ..functions import profile as P13
+
+    @register(
+        "q255_dp_histogram",
+        P13.dp_histogram_oracle_sql(
+            "SELECT event_type, CAST(ts AS DATE) AS day FROM events",
+            ["event_type", "day"],
+            epsilon=1.0,
+        ),
+        doc="Laplace-mechanism DP histogram (functions/profile.py "
+            "dp_histogram; Dwork TCC 2006): per-(event_type, day) "
+            "counts + Laplace(1/eps) noise from the inverse CDF of "
+            "a SEEDED md5 uniform (48 exact bits), released as "
+            "max(0, count + noise) — reproducible noise makes the "
+            "release cross-engine testable; a production run keys a "
+            "DRBG per release through identical plumbing. Pure "
+            "row-local math over one aggregate; noise rounded to 6 "
+            "so libm ULP cannot split engines.",
+    )
+    def q255_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.profile import dp_histogram
+
+        ev = table(spark, sf_dir, "events").select(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        return dp_histogram(ev, ["event_type", "day"], epsilon=1.0)
+
+
+_init_q255()
+
+
+# --------------------------------------------------------------------
+# q256 — water-filling token budget across sources
+# --------------------------------------------------------------------
+
+def _init_q256() -> None:
+    from ..functions import sampling as S6
+
+    @register(
+        "q256_waterfill_budget",
+        S6.waterfill_oracle_sql("SELECT source, n_chars FROM documents"),
+        doc="Max-min fair (water-filling) corpus budget "
+            "(functions/sampling.py waterfill_budget; Bertsekas-"
+            "Gallager §6.5.2, the Dolma/FineWeb domain-cap shape): "
+            "each source keeps min(cap, L) chars where the water "
+            "level L solves sum min(cap_i, L) = 50% of the corpus — "
+            "small sources survive whole, the level truncates the "
+            "giants. Closed form via one prefix-sum window over the "
+            "SOURCE aggregate (dimension-sized; the corpus-scale "
+            "work is one groupBy) — no iteration, integer until the "
+            "final divide. q220 caps each domain independently; "
+            "this solves the coupled fair-division problem.",
+    )
+    def q256_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.sampling import waterfill_budget
+
+        docs = table(spark, sf_dir, "documents").select("source", "n_chars")
+        return waterfill_budget(docs)
+
+
+_init_q256()
+
+
+# --------------------------------------------------------------------
+# q257 — IPS / SNIPS off-policy evaluation of the clickstream
+# --------------------------------------------------------------------
+
+def _init_q257() -> None:
+    from ..functions import profile as P14
+
+    _views_sql = """
+        SELECT user_id, CAST(props->>'k' AS BIGINT) AS item, ts,
+               event_id
+        FROM events WHERE event_type = 'view'"""
+    _clicks_sql = """
+        SELECT user_id, CAST(props->>'k' AS BIGINT) AS item, ts
+        FROM events WHERE event_type = 'click'"""
+
+    @register(
+        "q257_offpolicy_eval",
+        P14.offpolicy_oracle_sql(_views_sql, _clicks_sql),
+        doc="Counterfactual replay evaluation (functions/profile.py "
+            "offpolicy_eval; Horvitz-Thompson 1952, Li WSDM'11, "
+            "SNIPS NeurIPS'15): estimates the CTR a UNIFORM "
+            "recommendation policy would achieve from logged "
+            "feedback only — w = min(pi/mu, 10) with mu the "
+            "empirical item-given-position propensity, IPS = "
+            "sum(wr)/N, SNIPS = sum(wr)/sum(w), plus the clipped-"
+            "mass diagnostic. Weights ride round-9 DECIMAL(28,9) "
+            "sums; propensities are one (pos, item) aggregate "
+            "joined back by key. Completes the q251 clickstream "
+            "family: COEC de-biases the LABEL, this evaluates a "
+            "POLICY.",
+    )
+    def q257_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        item = F.get_json_object("props", "$.k").cast("bigint")
+        views = ev.filter(F.col("event_type") == "view").select(
+            "user_id", item.alias("item"), "ts", "event_id"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", item.alias("item"), "ts"
+        )
+        from ..functions.profile import offpolicy_eval
+
+        return offpolicy_eval(views, clicks)
+
+
+_init_q257()

@@ -526,3 +526,37 @@ def test_hits_dedups_parallel_edges(spark):
     hub = {r.node: r.score for r in rows if r.role == "hub"}
     # symmetric structure after dedup: both hubs end at the grid max
     assert hub["a"] == hub["b"] == 1_000_000
+
+
+def test_adamic_adar_hand_graph(spark):
+    import math
+
+    from node_etl_spark.functions.graph import adamic_adar
+
+    # path a-z1-b plus a-z2-b and z1-c: common neighbors of (a,b) are
+    # z1 (deg 3) and z2 (deg 2); (a,b) not adjacent
+    edges = spark.createDataFrame(
+        [(1, 10), (10, 2), (1, 11), (11, 2), (10, 3)],
+        "src long, dst long",
+    )
+    out = {(r.a, r.b): r for r in adamic_adar(edges, top_n=10).collect()}
+    aa = out[(1, 2)]
+    want = round(1 / math.log(3), 12) + round(1 / math.log(2), 12)
+    assert aa.common == 2
+    assert abs(aa.aa_score - want) < 1e-9
+    # adjacent pairs are excluded
+    assert (1, 10) not in out
+    # (1, 3) share z1 only
+    assert out[(1, 3)].common == 1
+
+
+def test_adamic_adar_hub_exclusion(spark):
+    from node_etl_spark.functions.graph import adamic_adar
+
+    # star: hub 99 connects 1..5; every leaf pair's only common
+    # neighbor is the hub -> max_degree=3 excludes it, no pairs
+    edges = spark.createDataFrame(
+        [(99, i) for i in range(1, 6)], "src long, dst long"
+    )
+    assert adamic_adar(edges, max_degree=3).count() == 0
+    assert adamic_adar(edges, max_degree=5).count() == 10

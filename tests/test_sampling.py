@@ -710,3 +710,31 @@ def test_quota_sample_stable_under_repartition(spark):
         for r in quota_sample(df.repartition(13), ["s"], "id", 20).collect()
     )
     assert a == b
+
+
+def test_waterfill_level_hand_computed(spark):
+    from node_etl_spark.functions.sampling import waterfill_budget
+
+    # caps 10, 20, 70 -> total 100, budget 50; level L solves
+    # min(10,L) + min(20,L) + min(70,L) = 50 -> 10 + 20 + L = 50
+    # -> L = 20?  no: if L >= 20 then 10 + 20 + L = 50 -> L = 20,
+    # consistent (L == 20 keeps cap 20 whole)
+    rows = [("s1", 10), ("s2", 20), ("s3", 70)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = {r.grp: r for r in waterfill_budget(df, budget_frac=0.5).collect()}
+    assert out["s1"].alloc == 10.0
+    assert out["s2"].alloc == 20.0
+    assert out["s3"].alloc == 20.0
+    assert out["s3"].level == 20.0
+    assert abs(sum(r.alloc for r in out.values()) - 50.0) < 1e-6
+    assert out["s1"].kept_frac == 1.0
+
+
+def test_waterfill_full_budget_keeps_everything(spark):
+    from node_etl_spark.functions.sampling import waterfill_budget
+
+    rows = [("a", 5), ("b", 500)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = {r.grp: r for r in waterfill_budget(df, budget_frac=1.0).collect()}
+    assert out["a"].alloc == 5.0 and out["b"].alloc == 500.0
+    assert all(r.kept_frac == 1.0 for r in out.values())

@@ -725,3 +725,30 @@ def test_line_dedup_winner_agg_has_partial_aggregation(spark):
     # the skew-safety argument rests on map-side partial aggregation
     # of the min(struct) winner agg before the line shuffle
     assert "partial_min" in plan or "partial_first" in plan.lower()
+
+
+def test_naive_bayes_learns_separable_vocab(spark):
+    from node_etl_spark.functions.text import naive_bayes_confusion
+
+    # two fully separable vocabularies; ids 0..39 hash into a mix of
+    # train/test buckets, every doc of class "x" says only x-words
+    rows = [(i, "x" if i % 2 == 0 else "y",
+             "alpha beta gamma" if i % 2 == 0 else "delta epsilon zeta")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = naive_bayes_confusion(df).collect()
+    # perfect diagonal: every held-out doc classified as its own class
+    assert all(r.true_label == r.pred_label for r in out)
+    assert sum(r.n_docs for r in out) > 0
+
+
+def test_naive_bayes_prior_breaks_empty_evidence(spark):
+    from node_etl_spark.functions.text import naive_bayes_confusion
+
+    # shared single-word vocabulary -> likelihoods tie across
+    # classes; the majority-class prior must decide, ties on the
+    # smaller label
+    rows = [(i, "maj" if i < 30 else "min", "same") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = naive_bayes_confusion(df).collect()
+    assert all(r.pred_label == "maj" for r in out)
