@@ -227,6 +227,9 @@ HEADLINE = [
     "q255_dp_histogram",
     "q256_waterfill_budget",
     "q257_offpolicy_eval",
+    "q258_ridge_cv",
+    "q259_topic_segments",
+    "q260_bh_fdr_screen",
 ]
 
 

@@ -2386,3 +2386,336 @@ def offpolicy_oracle_sql(
            END AS snips_ctr,
            round(CAST(n_clip AS DOUBLE) / CAST(n AS DOUBLE), 6) AS clip_frac
     FROM op_a"""
+
+
+# --------------------------------------------------------------------
+# Distributed ridge regression with k-fold CV (fold-additive moments)
+# --------------------------------------------------------------------
+
+def ridge_cv(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    id_col: str,
+    k: int = 5,
+    lam: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """K-fold cross-validated ridge regression on two features +
+    intercept, solved in closed form from SUFFICIENT STATISTICS —
+    the pattern that makes regression a one-pass aggregate at
+    100 TB (Chu et al. NIPS'06 "Map-Reduce for ML on multicore"):
+    X'X and X'y are sums of per-row outer products, so each fold's
+    TRAIN moments are ``total - fold`` — one corpus scan computes
+    all k models, no per-fold passes.
+
+    The 3x3 normal system ((X'X + lam*diag(0,1,1)) b = X'y — the
+    intercept is not penalized) is solved per fold by Cramer's rule
+    on the driver-free fold frame (k rows). Determinism: every
+    moment is ``round(product, 9)`` summed as exact DECIMAL(38,9);
+    both engines then run the IDENTICAL fixed-order IEEE double
+    arithmetic for the determinants, so coefficients match
+    bit-for-bit. Test MSE joins the k coefficient rows back and
+    decimal-sums round-6 squared residuals.
+
+    Returns (fold, n_train, n_test, b0, b1, b2, mse) — one row per
+    fold, coefficients rounded to 8, mse to 4.
+    """
+    from .sampling import hash_bucket
+
+    base = df.select(
+        hash_bucket(F.col(id_col), seed=seed, buckets=k).alias("fold"),
+        F.col(x1_col).cast("double").alias("x1"),
+        F.col(x2_col).cast("double").alias("x2"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+
+    def m(expr: str):
+        return F.sum(F.round(F.expr(expr), 9).cast("decimal(38,9)"))
+
+    per_fold = base.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        m("x1").alias("s1"),
+        m("x2").alias("s2"),
+        m("x1 * x1").alias("s11"),
+        m("x1 * x2").alias("s12"),
+        m("x2 * x2").alias("s22"),
+        m("y").alias("sy"),
+        m("x1 * y").alias("s1y"),
+        m("x2 * y").alias("s2y"),
+    )
+    tot = per_fold.agg(
+        F.sum("n").alias("n"),
+        *[F.sum(c).alias(c) for c in
+          ["s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y"]],
+    )
+    train = per_fold.crossJoin(F.broadcast(tot).alias("t")).select(
+        "fold",
+        (F.col("t.n") - per_fold["n"]).cast("bigint").alias("n_train"),
+        per_fold["n"].cast("bigint").alias("n_test"),
+        *[
+            (F.col(f"t.{c}") - per_fold[c]).cast("double").alias(c)
+            for c in ["s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y"]
+        ],
+    )
+    # normal equations (A + lam on the feature diagonal) b = v, A =
+    # [[n, s1, s2], [s1, s11+lam, s12], [s2, s12, s22+lam]]
+    L = float(lam)
+    coef = train.select(
+        "fold",
+        "n_train",
+        "n_test",
+        F.expr(
+            f"""
+            named_struct(
+              'a11', CAST(n_train AS DOUBLE), 'a12', s1, 'a13', s2,
+              'a22', s11 + {L!r}, 'a23', s12, 'a33', s22 + {L!r},
+              'v1', sy, 'v2', s1y, 'v3', s2y)
+            """
+        ).alias("m"),
+    ).select(
+        "fold",
+        "n_train",
+        "n_test",
+        F.expr(
+            """
+            m.a11 * (m.a22 * m.a33 - m.a23 * m.a23)
+            - m.a12 * (m.a12 * m.a33 - m.a23 * m.a13)
+            + m.a13 * (m.a12 * m.a23 - m.a22 * m.a13)
+            """
+        ).alias("det"),
+        F.col("m").alias("m"),
+    ).select(
+        "fold",
+        "n_train",
+        "n_test",
+        (
+            F.expr(
+                """
+                m.v1 * (m.a22 * m.a33 - m.a23 * m.a23)
+                - m.a12 * (m.v2 * m.a33 - m.a23 * m.v3)
+                + m.a13 * (m.v2 * m.a23 - m.a22 * m.v3)
+                """
+            )
+            / F.col("det")
+        ).alias("b0"),
+        (
+            F.expr(
+                """
+                m.a11 * (m.v2 * m.a33 - m.v3 * m.a23)
+                - m.v1 * (m.a12 * m.a33 - m.a23 * m.a13)
+                + m.a13 * (m.a12 * m.v3 - m.v2 * m.a13)
+                """
+            )
+            / F.col("det")
+        ).alias("b1"),
+        (
+            F.expr(
+                """
+                m.a11 * (m.a22 * m.v3 - m.v2 * m.a23)
+                - m.a12 * (m.a12 * m.v3 - m.v2 * m.a13)
+                + m.v1 * (m.a12 * m.a23 - m.a22 * m.a13)
+                """
+            )
+            / F.col("det")
+        ).alias("b2"),
+    )
+    scored = base.join(F.broadcast(coef), "fold").select(
+        "fold",
+        "n_train",
+        "n_test",
+        "b0",
+        "b1",
+        "b2",
+        F.round(
+            F.expr("pow(y - (b0 + b1 * x1 + b2 * x2), 2)"), 6
+        )
+        .cast("decimal(38,6)")
+        .alias("se"),
+    )
+    return scored.groupBy("fold", "n_train", "n_test").agg(
+        F.round(F.first("b0"), 8).alias("b0"),
+        F.round(F.first("b1"), 8).alias("b1"),
+        F.round(F.first("b2"), 8).alias("b2"),
+        F.round(
+            F.sum("se").cast("double") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("mse"),
+    )
+
+
+def ridge_cv_oracle_sql(
+    rows_sql: str,
+    x1: str,
+    x2: str,
+    y: str,
+    id_: str,
+    k: int = 5,
+    lam: float = 1.0,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of :func:`ridge_cv`."""
+    from .sampling import hash_bucket_sql
+
+    bkt = hash_bucket_sql(id_, seed=seed, buckets=k)
+    L = float(lam)
+
+    def m(expr: str, alias: str) -> str:
+        return (f"SUM(CAST(round({expr}, 9) AS DECIMAL(38,9))) AS {alias}")
+
+    return f"""
+    WITH rg_b AS (
+        SELECT {bkt} AS fold,
+               CAST({x1} AS DOUBLE) AS x1, CAST({x2} AS DOUBLE) AS x2,
+               CAST({y} AS DOUBLE) AS y
+        FROM ({rows_sql})),
+    rg_f AS (
+        SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+               {m('x1', 's1')}, {m('x2', 's2')},
+               {m('x1 * x1', 's11')}, {m('x1 * x2', 's12')},
+               {m('x2 * x2', 's22')},
+               {m('y', 'sy')}, {m('x1 * y', 's1y')}, {m('x2 * y', 's2y')}
+        FROM rg_b GROUP BY 1),
+    rg_t AS (
+        SELECT SUM(n) AS n, SUM(s1) AS s1, SUM(s2) AS s2,
+               SUM(s11) AS s11, SUM(s12) AS s12, SUM(s22) AS s22,
+               SUM(sy) AS sy, SUM(s1y) AS s1y, SUM(s2y) AS s2y
+        FROM rg_f),
+    rg_tr AS (
+        SELECT f.fold,
+               CAST(t.n - f.n AS BIGINT) AS n_train,
+               CAST(f.n AS BIGINT) AS n_test,
+               CAST(t.s1 - f.s1 AS DOUBLE) AS s1,
+               CAST(t.s2 - f.s2 AS DOUBLE) AS s2,
+               CAST(t.s11 - f.s11 AS DOUBLE) AS s11,
+               CAST(t.s12 - f.s12 AS DOUBLE) AS s12,
+               CAST(t.s22 - f.s22 AS DOUBLE) AS s22,
+               CAST(t.sy - f.sy AS DOUBLE) AS sy,
+               CAST(t.s1y - f.s1y AS DOUBLE) AS s1y,
+               CAST(t.s2y - f.s2y AS DOUBLE) AS s2y
+        FROM rg_f f CROSS JOIN rg_t t),
+    rg_m AS (
+        SELECT fold, n_train, n_test,
+               CAST(n_train AS DOUBLE) AS a11, s1 AS a12, s2 AS a13,
+               s11 + {L!r} AS a22, s12 AS a23, s22 + {L!r} AS a33,
+               sy AS v1, s1y AS v2, s2y AS v3
+        FROM rg_tr),
+    rg_c AS (
+        SELECT fold, n_train, n_test,
+               (v1 * (a22 * a33 - a23 * a23)
+                - a12 * (v2 * a33 - a23 * v3)
+                + a13 * (v2 * a23 - a22 * v3))
+               / (a11 * (a22 * a33 - a23 * a23)
+                  - a12 * (a12 * a33 - a23 * a13)
+                  + a13 * (a12 * a23 - a22 * a13)) AS b0,
+               (a11 * (v2 * a33 - v3 * a23)
+                - v1 * (a12 * a33 - a23 * a13)
+                + a13 * (a12 * v3 - v2 * a13))
+               / (a11 * (a22 * a33 - a23 * a23)
+                  - a12 * (a12 * a33 - a23 * a13)
+                  + a13 * (a12 * a23 - a22 * a13)) AS b1,
+               (a11 * (a22 * v3 - v2 * a23)
+                - a12 * (a12 * v3 - v2 * a13)
+                + v1 * (a12 * a23 - a22 * a13))
+               / (a11 * (a22 * a33 - a23 * a23)
+                  - a12 * (a12 * a33 - a23 * a13)
+                  + a13 * (a12 * a23 - a22 * a13)) AS b2
+        FROM rg_m)
+    SELECT b.fold, c.n_train, c.n_test,
+           round(ANY_VALUE(c.b0), 8) AS b0,
+           round(ANY_VALUE(c.b1), 8) AS b1,
+           round(ANY_VALUE(c.b2), 8) AS b2,
+           round(CAST(SUM(CAST(round(
+                     pow(b.y - (c.b0 + c.b1 * b.x1 + c.b2 * b.x2), 2), 6)
+                     AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS mse
+    FROM rg_b b JOIN rg_c c USING (fold)
+    GROUP BY 1, 2, 3"""
+
+
+# --------------------------------------------------------------------
+# Multiple-testing control: Benjamini-Hochberg step-up
+# --------------------------------------------------------------------
+
+def bh_fdr(
+    df: DataFrame,
+    key_col: str,
+    p_col: str,
+    q: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control (Benjamini & Hochberg
+    JRSS-B 1995): given one p-value per hypothesis, find the largest
+    rank k with ``p_(k) <= q * k / m`` and reject hypotheses ranked
+    <= k — the standard guard against the false-discovery flood any
+    dashboard fires when it screens thousands of segments at alpha
+    each.
+
+    The rank window runs over the HYPOTHESIS frame (one row per
+    tested key — dimension-sized after upstream aggregation, never
+    the corpus), ties broken by key so both engines rank
+    identically. The threshold comparison multiplies integers
+    before dividing (p * m <= q * i avoids an engine-specific
+    division grid). Returns (key, p, rank, m, rejected).
+    """
+    w = Window.orderBy(F.col(p_col).asc(), F.col(key_col).asc())
+    ranked = df.select(
+        F.col(key_col).alias("key"),
+        F.col(p_col).alias("p"),
+        F.row_number().over(w).alias("rank"),
+        F.count(F.lit(1))
+        .over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias("m"),
+    )
+    # k* = max rank whose p clears its own line; a window max over
+    # the same tiny frame
+    kstar = ranked.select(
+        "key",
+        "p",
+        "rank",
+        "m",
+        F.max(
+            F.when(
+                F.col("p") * F.col("m").cast("double")
+                <= F.lit(float(q)) * F.col("rank").cast("double"),
+                F.col("rank"),
+            ).otherwise(F.lit(0))
+        )
+        .over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("k"),
+    )
+    return kstar.select(
+        "key",
+        "p",
+        "rank",
+        "m",
+        (F.col("rank") <= F.col("k")).cast("int").alias("rejected"),
+    )
+
+
+def bh_fdr_sql(hyp_sql: str, key: str, p: str, q: float = 0.05) -> str:
+    """DuckDB mirror of :func:`bh_fdr`. ``hyp_sql`` yields one row
+    per hypothesis with columns ``{key}`` and ``{p}``."""
+    return f"""
+    WITH bh_h AS ({hyp_sql}),
+    bh_r AS (
+        SELECT {key} AS key, {p} AS p,
+               row_number() OVER (ORDER BY {p} ASC, {key} ASC) AS rank,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM bh_h),
+    bh_k AS (
+        SELECT *, MAX(CASE WHEN p * CAST(m AS DOUBLE)
+                                <= {float(q)!r} * CAST(rank AS DOUBLE)
+                           THEN rank ELSE 0 END) OVER () AS k
+        FROM bh_r)
+    SELECT key, p, rank, m,
+           CASE WHEN rank <= k THEN 1 ELSE 0 END AS rejected
+    FROM bh_k"""

@@ -2101,3 +2101,207 @@ def naive_bayes_oracle_sql(
     SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM nb_pred WHERE rn = 1
     GROUP BY 1, 2"""
+
+
+# --------------------------------------------------------------------
+# Topic segmentation: TextTiling-style block-similarity valleys
+# --------------------------------------------------------------------
+
+def topic_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 30,
+) -> DataFrame:
+    """TextTiling-style topic segmentation (Hearst CL 1997, the
+    block-comparison variant): split each document into fixed
+    ``block_tokens``-token blocks, measure the Jaccard similarity of
+    adjacent blocks' token SETS, and call a block gap a topic
+    boundary when its similarity falls more than one standard
+    deviation below the document's mean gap similarity (Hearst's
+    depth-score cutoff, simplified to the per-document z-rule so
+    the whole pass stays closed-form).
+
+    Determinism: Jaccard is an integer ratio rounded to 6; the
+    mean/std gate uses exact decimal sums of the rounded sims
+    (variance via (n*sumsq - sum^2), sqrt on identical doubles).
+    Scale shape: one explode to (doc, block, token) distinct, one
+    self-join shifted by block+1 keyed on (doc, token) — bounded by
+    block vocabulary, never corpus^2 — then two doc-keyed
+    aggregates. Docs with < 3 blocks emit no row (no gap
+    statistics to speak of). Returns (doc_id, n_blocks, n_gaps,
+    mean_sim, n_boundaries).
+    """
+    k = int(block_tokens)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("pos", "tok"),
+    ).select(
+        "doc_id", (F.col("pos") / k).cast("int").alias("blk"), "tok"
+    ).distinct()
+    sizes = toks.groupBy("doc_id", "blk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    nblk = sizes.groupBy("doc_id").agg(
+        F.max("blk").alias("max_blk"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.blk") == F.col("a.blk") + 1)
+            & (F.col("a.tok") == F.col("b.tok")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"), F.col("a.blk").alias("blk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    sa = sizes.select("doc_id", "blk", F.col("sz").alias("sz_a"))
+    sb = sizes.select(
+        "doc_id", (F.col("blk") - 1).alias("blk"), F.col("sz").alias("sz_b")
+    )
+    gaps = (
+        sa.join(sb, ["doc_id", "blk"])
+        .join(inter, ["doc_id", "blk"], "left")
+        .select(
+            "doc_id",
+            "blk",
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+                / (
+                    F.col("sz_a") + F.col("sz_b")
+                    - F.coalesce(F.col("inter"), F.lit(0))
+                ).cast("double"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("sim"),
+        )
+    )
+    stats = gaps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("sim").alias("ssum"),
+        F.sum(F.expr("sim * sim")).alias("ssq"),
+    ).filter(F.col("n_gaps") >= 2)
+    gated = gaps.join(stats, "doc_id").select(
+        "doc_id",
+        "n_gaps",
+        "ssum",
+        (
+            F.col("sim").cast("double")
+            < F.col("ssum").cast("double") / F.col("n_gaps").cast("double")
+            - F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    (
+                        F.col("n_gaps").cast("double")
+                        * F.col("ssq").cast("double")
+                        - F.col("ssum").cast("double")
+                        * F.col("ssum").cast("double")
+                    )
+                    / (
+                        F.col("n_gaps").cast("double")
+                        * (F.col("n_gaps") - 1).cast("double")
+                    ),
+                )
+            )
+        )
+        .cast("int")
+        .alias("is_b"),
+    )
+    # mean_sim on the exact integer micro-grid: ssum is an exact
+    # 6-dp decimal, so round-half-up of ssum/n is pure BIGINT math —
+    # a double round() here would split engines on .5-ULP ties
+    agg = gated.groupBy("doc_id", "n_gaps").agg(
+        (
+            F.expr(
+                "(2 * CAST(first(ssum) * 1000000 AS BIGINT) + n_gaps)"
+                " DIV (2 * n_gaps)"
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("mean_sim"),
+        F.sum("is_b").cast("bigint").alias("n_boundaries"),
+    )
+    return (
+        nblk.join(agg, "doc_id")
+        .select(
+            "doc_id",
+            "n_blocks",
+            "n_gaps",
+            "mean_sim",
+            "n_boundaries",
+        )
+    )
+
+
+def topic_segments_sql(
+    table_sql: str,
+    id_: str = "doc_id",
+    text: str = "text",
+    block_tokens: int = 30,
+) -> str:
+    """DuckDB mirror of :func:`topic_segments`."""
+    k = int(block_tokens)
+    return f"""
+    WITH tsg_l AS (
+        SELECT {id_} AS doc_id,
+               list_filter(string_split_regex(lower({text}), '\\s+'),
+                           w -> w <> '') AS lst
+        FROM {table_sql}),
+    tsg_tok AS (
+        SELECT DISTINCT doc_id,
+               CAST(t.i // {k} AS INTEGER) AS blk,
+               lst[CAST(t.i AS INTEGER) + 1] AS tok
+        FROM tsg_l, unnest(range(len(lst))) AS t(i)),
+    tsg_sz AS (
+        SELECT doc_id, blk, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM tsg_tok GROUP BY 1, 2),
+    tsg_nb AS (
+        SELECT doc_id, MAX(blk) AS max_blk,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks
+        FROM tsg_sz GROUP BY 1),
+    tsg_i AS (
+        SELECT a.doc_id, a.blk, CAST(COUNT(*) AS BIGINT) AS inter
+        FROM tsg_tok a JOIN tsg_tok b
+          ON b.doc_id = a.doc_id AND b.blk = a.blk + 1 AND b.tok = a.tok
+        GROUP BY 1, 2),
+    tsg_g AS (
+        SELECT sa.doc_id, sa.blk,
+               CAST(round(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+                          / CAST(sa.sz + sb.sz - COALESCE(i.inter, 0)
+                                 AS DOUBLE), 6) AS DECIMAL(18,6)) AS sim
+        FROM tsg_sz sa
+        JOIN tsg_sz sb ON sb.doc_id = sa.doc_id AND sb.blk = sa.blk + 1
+        LEFT JOIN tsg_i i ON i.doc_id = sa.doc_id AND i.blk = sa.blk),
+    tsg_s AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               SUM(sim) AS ssum, SUM(sim * sim) AS ssq
+        FROM tsg_g GROUP BY 1
+        HAVING COUNT(*) >= 2),
+    tsg_b AS (
+        SELECT g.doc_id, s.n_gaps, s.ssum,
+               CASE WHEN CAST(g.sim AS DOUBLE)
+                         < CAST(s.ssum AS DOUBLE) / CAST(s.n_gaps AS DOUBLE)
+                           - sqrt(greatest(0.0,
+                               (CAST(s.n_gaps AS DOUBLE)
+                                * CAST(s.ssq AS DOUBLE)
+                                - CAST(s.ssum AS DOUBLE)
+                                * CAST(s.ssum AS DOUBLE))
+                               / (CAST(s.n_gaps AS DOUBLE)
+                                  * CAST(s.n_gaps - 1 AS DOUBLE))))
+                    THEN 1 ELSE 0 END AS is_b
+        FROM tsg_g g JOIN tsg_s s USING (doc_id)),
+    tsg_a AS (
+        SELECT doc_id, n_gaps,
+               CAST((2 * CAST(ANY_VALUE(ssum) * 1000000 AS BIGINT) + n_gaps)
+                    // (2 * n_gaps) AS DOUBLE) / 1000000.0 AS mean_sim,
+               CAST(SUM(is_b) AS BIGINT) AS n_boundaries
+        FROM tsg_b GROUP BY 1, 2)
+    SELECT nb.doc_id, nb.n_blocks, a.n_gaps, a.mean_sim, a.n_boundaries
+    FROM tsg_nb nb JOIN tsg_a a USING (doc_id)"""

@@ -113,6 +113,9 @@ DRIVER_GATE_SENTINELS: list[str] = [
     # 50-row cap carry to the next rotation
     "q251_coec_ctr",
     "q252_adamic_adar",
+    "q258_ridge_cv",
+    "q259_topic_segments",
+    "q260_bh_fdr_screen",
     "q253_naive_bayes",
     "q254_conformal_coverage",
     "q255_dp_histogram",
@@ -11173,3 +11176,185 @@ def _init_q257() -> None:
 
 
 _init_q257()
+
+# --------------------------------------------------------------------
+# q258 — k-fold ridge regression from fold-additive moments
+# --------------------------------------------------------------------
+
+def _init_q258() -> None:
+    from ..functions import profile as P15
+
+    @register(
+        "q258_ridge_cv",
+        P15.ridge_cv_oracle_sql(
+            "SELECT l_quantity, l_discount, l_extendedprice,"
+            " l_orderkey * 8 + l_linenumber AS rid FROM lineitem",
+            "l_quantity", "l_discount", "l_extendedprice", "rid",
+        ),
+        doc="5-fold cross-validated ridge regression "
+            "(functions/profile.py ridge_cv; Chu NIPS'06 sufficient-"
+            "statistics pattern): extendedprice ~ quantity + discount "
+            "+ intercept. ONE corpus scan computes per-fold moment "
+            "rows; each fold's train moments are total - fold "
+            "(additivity), the 3x3 ridge system solves by Cramer on "
+            "the k-row frame, and test MSE joins coefficients back "
+            "by fold. Moments ride round-9 DECIMAL(38,9) sums; both "
+            "engines then run the identical fixed-order IEEE double "
+            "arithmetic, so coefficients match bit-for-bit.",
+    )
+    def q258_ridge_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.profile import ridge_cv
+
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_quantity",
+            "l_discount",
+            "l_extendedprice",
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
+        )
+        return ridge_cv(
+            li, "l_quantity", "l_discount", "l_extendedprice", "rid"
+        )
+
+
+_init_q258()
+
+
+# --------------------------------------------------------------------
+# q259 — TextTiling topic segmentation over the corpus
+# --------------------------------------------------------------------
+
+def _init_q259() -> None:
+    from ..functions.text import topic_segments_sql
+
+    @register(
+        "q259_topic_segments",
+        topic_segments_sql("documents"),
+        doc="TextTiling topic segmentation (functions/text.py "
+            "topic_segments; Hearst CL 1997 block comparison): "
+            "adjacent 30-token blocks compared by token-set Jaccard; "
+            "a gap is a topic boundary when its similarity drops "
+            "more than one std below the document's mean gap "
+            "similarity. The adjacent-block intersection is a "
+            "(doc, token)-keyed shifted self-join — bounded by block "
+            "vocabulary, never corpus^2 — and the z-gate uses exact "
+            "decimal sums of round-6 sims. The chunking complement "
+            "to q50: q50 cuts by SIZE, this finds SEMANTIC cuts.",
+    )
+    def q259_topic_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents")
+        from ..functions.text import topic_segments
+
+        return topic_segments(docs)
+
+
+_init_q259()
+
+# --------------------------------------------------------------------
+# q260 — FDR-controlled return-rate screening across brands
+# --------------------------------------------------------------------
+
+
+
+def _init_q260() -> None:
+    from ..functions import profile as P16
+
+    # brand-level aggregation of the per-part rows happens in the
+    # hypothesis SQL below (rewritten flat for DuckDB)
+    hyp_sql = """
+        SELECT b.key,
+               least(1.0, round(exp(-(
+                   CASE WHEN g.p0 * (1.0 - g.p0) = 0 THEN 0.0
+                        ELSE pow(CAST(b.x AS DOUBLE) / CAST(b.n AS DOUBLE)
+                                 - g.p0, 2)
+                             / (g.p0 * (1.0 - g.p0)
+                                / CAST(b.n AS DOUBLE)) END
+                   ) / 2.0), 9)) AS p
+        FROM (
+            SELECT p.p_brand AS key,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS x
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1
+        ) b
+        CROSS JOIN (
+            SELECT CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS p0
+            FROM lineitem
+        ) g"""
+
+    @register(
+        "q260_bh_fdr_screen",
+        P16.bh_fdr_sql(hyp_sql, "key", "p", q=0.05),
+        doc="FDR-controlled anomaly screen (functions/profile.py "
+            "bh_fdr; Benjamini-Hochberg JRSS-B 1995): every brand's "
+            "return rate is tested against the global rate with a "
+            "two-proportion z-squared statistic converted to a "
+            "CHERNOFF-BOUND p-value (exp(-z^2/2) — a valid tail "
+            "upper bound computable without erf on either engine; "
+            "the step-up machinery is the operator, the p-value "
+            "generator is pluggable), then the BH step-up picks the "
+            "largest rank k with p_(k) <= 0.05 k/m. Hypothesis frame "
+            "is brand-sized; the corpus-scale work is one lineitem "
+            "aggregate. Guards the q117/q163-style drift dashboards "
+            "against the multiple-testing flood.",
+    )
+    def q260_bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.profile import bh_fdr
+
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_returnflag"
+        )
+        pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        per_brand = (
+            li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+            .groupBy(F.col("p_brand").alias("key"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(
+                    F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("x"),
+            )
+        )
+        glob = li.agg(
+            (
+                F.sum(
+                    F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("p0")
+        )
+        hyp = per_brand.crossJoin(F.broadcast(glob)).select(
+            "key",
+            F.least(
+                F.lit(1.0),
+                F.round(
+                    F.exp(
+                        -F.when(
+                            F.col("p0") * (F.lit(1.0) - F.col("p0")) == 0,
+                            F.lit(0.0),
+                        ).otherwise(
+                            F.pow(
+                                F.col("x").cast("double")
+                                / F.col("n").cast("double")
+                                - F.col("p0"),
+                                F.lit(2.0),
+                            )
+                            / (
+                                F.col("p0")
+                                * (F.lit(1.0) - F.col("p0"))
+                                / F.col("n").cast("double")
+                            )
+                        )
+                        / F.lit(2.0)
+                    ),
+                    9,
+                ),
+            ).alias("p"),
+        )
+        return bh_fdr(hyp, "key", "p", q=0.05)
+
+
+_init_q260()

@@ -485,3 +485,62 @@ def test_offpolicy_upweights_rare_item(spark):
     assert r.ips_ctr == 0.5
     # w(item1) = 0.5/0.9 = 5/9: sum(w) = 9*(5/9) + 5 = 10 -> 0.5
     assert abs(r.snips_ctr - 0.5) < 1e-6
+
+
+def test_ridge_cv_recovers_planted_coefficients(spark):
+    from node_etl_spark.functions.profile import ridge_cv
+
+    # y = 3 + 2*x1 - 5*x2 exactly, lam=0 -> every fold recovers the
+    # plane to rounding
+    rows = [
+        (i, float(i % 17), float((i * 7) % 13), 3.0 + 2 * (i % 17) - 5.0 * ((i * 7) % 13))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "rid long, x1 double, x2 double, y double")
+    out = ridge_cv(df, "x1", "x2", "y", "rid", k=5, lam=0.0).collect()
+    assert len(out) == 5
+    for r in out:
+        assert abs(r.b0 - 3.0) < 1e-5
+        assert abs(r.b1 - 2.0) < 1e-5
+        assert abs(r.b2 + 5.0) < 1e-5
+        assert r.mse < 1e-6
+        assert r.n_train + r.n_test == 2000
+
+
+def test_ridge_cv_lambda_shrinks_coefficients(spark):
+    from node_etl_spark.functions.profile import ridge_cv
+
+    rows = [
+        (i, float(i % 11), float((i * 3) % 7), 10.0 * (i % 11))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "rid long, x1 double, x2 double, y double")
+    free = {r.fold: r for r in ridge_cv(df, "x1", "x2", "y", "rid", lam=0.0).collect()}
+    tight = {r.fold: r for r in ridge_cv(df, "x1", "x2", "y", "rid", lam=1e6).collect()}
+    # heavy penalty pulls the slope toward zero on every fold
+    assert all(abs(tight[f].b1) < abs(free[f].b1) for f in free)
+
+
+def test_bh_fdr_step_up_hand_example(spark):
+    from node_etl_spark.functions.profile import bh_fdr
+
+    # classic BH: m=5, q=0.25; sorted p = .01 .02 .04 .2 .9
+    # lines: .05 .10 .15 .20 .25 -> k*=4 (p4=.2 <= .2); note p3=.04
+    # clears easily, and rank 4 is included even though p4/m line
+    # would fail a naive per-test cutoff
+    rows = [("a", 0.02), ("b", 0.9), ("c", 0.01), ("d", 0.2), ("e", 0.04)]
+    df = spark.createDataFrame(rows, "key string, p double")
+    out = {r.key: r for r in bh_fdr(df, "key", "p", q=0.25).collect()}
+    rej = {k for k, r in out.items() if r.rejected == 1}
+    assert rej == {"c", "a", "e", "d"}
+    assert out["b"].rejected == 0
+    assert out["d"].rank == 4 and out["d"].m == 5
+
+
+def test_bh_fdr_no_rejections_when_uniform(spark):
+    from node_etl_spark.functions.profile import bh_fdr
+
+    rows = [(f"k{i}", 0.5 + 0.01 * i) for i in range(20)]
+    df = spark.createDataFrame(rows, "key string, p double")
+    out = bh_fdr(df, "key", "p", q=0.05).collect()
+    assert all(r.rejected == 0 for r in out)

@@ -752,3 +752,38 @@ def test_naive_bayes_prior_breaks_empty_evidence(spark):
     df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
     out = naive_bayes_confusion(df).collect()
     assert all(r.pred_label == "maj" for r in out)
+
+
+def test_topic_segments_finds_planted_boundary(spark):
+    from node_etl_spark.functions.text import topic_segments
+
+    # 6 blocks of 10 tokens: first 3 blocks share a vocabulary,
+    # last 3 share a different one -> exactly one valley at gap 2
+    va = ["apple banana cherry date elder fig grape husk ivy jack"] * 3
+    vb = ["kiwi lemon mango nutmeg olive pear quince rye sage thyme"] * 3
+    text = " ".join(va + vb)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    (r,) = topic_segments(df, block_tokens=10).collect()
+    assert r.n_blocks == 6 and r.n_gaps == 5
+    assert r.n_boundaries == 1
+
+
+def test_topic_segments_uniform_doc_has_no_boundary(spark):
+    from node_etl_spark.functions.text import topic_segments
+
+    text = " ".join(["same words everywhere again"] * 30)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    (r,) = topic_segments(df, block_tokens=10).collect()
+    # all gaps identical -> std 0, nothing is below mean - std
+    assert r.n_boundaries == 0
+    assert r.mean_sim == 1.0
+
+
+def test_topic_segments_short_doc_emits_nothing(spark):
+    from node_etl_spark.functions.text import topic_segments
+
+    df = spark.createDataFrame(
+        [(1, "only ten tokens here nothing more to see at all")],
+        "doc_id long, text string",
+    )
+    assert topic_segments(df, block_tokens=10).count() == 0
