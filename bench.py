@@ -230,6 +230,8 @@ HEADLINE = [
     "q258_ridge_cv",
     "q259_topic_segments",
     "q260_bh_fdr_screen",
+    "q261_mahalanobis_outliers",
+    "q262_sprt_monitor",
 ]
 
 

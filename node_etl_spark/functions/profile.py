@@ -2719,3 +2719,288 @@ def bh_fdr_sql(hyp_sql: str, key: str, p: str, q: float = 0.05) -> str:
     SELECT key, p, rank, m,
            CASE WHEN rank <= k THEN 1 ELSE 0 END AS rejected
     FROM bh_k"""
+
+
+# --------------------------------------------------------------------
+# Mahalanobis outliers from grouped covariance moments
+# --------------------------------------------------------------------
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    group_col: str,
+    x1_col: str,
+    x2_col: str,
+    id_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-group multivariate outliers by squared Mahalanobis
+    distance on two features (Mahalanobis 1936) — the covariance-
+    aware generalization of the q112 MAD rule: a point can be
+    ordinary on every axis yet far off the group's correlation
+    ridge, which is exactly what the Euclidean-distance screens
+    miss.
+
+    One corpus scan computes each group's moment vector (sums,
+    squares, cross term) as round-9 exact decimal sums; the 2x2
+    covariance inverts in closed form on the GROUP frame, and
+    d^2 = (dx, dy) S^-1 (dx, dy)' is a row-local expression after a
+    broadcast join back. Groups with singular covariance (det <=
+    0, e.g. constant features) emit nothing — a documented drop,
+    not a NaN. Returns the ``top_k`` rows per group by
+    (d2 desc, id): (grp, rid, d2) with d2 rounded to 6.
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(x1_col).cast("double").alias("x1"),
+        F.col(x2_col).cast("double").alias("x2"),
+        F.col(id_col).alias("rid"),
+    )
+
+    def m(expr: str):
+        return F.sum(F.round(F.expr(expr), 9).cast("decimal(38,9)"))
+
+    mom = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        m("x1").alias("s1"),
+        m("x2").alias("s2"),
+        m("x1 * x1").alias("s11"),
+        m("x1 * x2").alias("s12"),
+        m("x2 * x2").alias("s22"),
+    ).filter(F.col("n") >= 3)
+    cov = mom.select(
+        "grp",
+        (F.col("s1").cast("double") / F.col("n").cast("double")).alias("m1"),
+        (F.col("s2").cast("double") / F.col("n").cast("double")).alias("m2"),
+        F.expr(
+            "(CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+            " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)"
+        ).alias("c11"),
+        F.expr(
+            "(CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+            " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)"
+        ).alias("c12"),
+        F.expr(
+            "(CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+            " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)"
+        ).alias("c22"),
+    ).withColumn(
+        "det", F.expr("c11 * c22 - c12 * c12")
+    ).filter(F.col("det") > 0)
+    scored = base.join(F.broadcast(cov), "grp").select(
+        "grp",
+        "rid",
+        F.round(
+            F.expr(
+                "((x1 - m1) * (c22 * (x1 - m1) - c12 * (x2 - m2))"
+                " + (x2 - m2) * (c11 * (x2 - m2) - c12 * (x1 - m1)))"
+                " / det"
+            ),
+            6,
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("d2").desc(), F.col("rid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("grp", "rid", "d2")
+    )
+
+
+def mahalanobis_oracle_sql(
+    rows_sql: str,
+    group: str,
+    x1: str,
+    x2: str,
+    id_: str,
+    top_k: int = 5,
+) -> str:
+    """DuckDB mirror of :func:`mahalanobis_outliers`."""
+
+    def m(expr: str, alias: str) -> str:
+        return f"SUM(CAST(round({expr}, 9) AS DECIMAL(38,9))) AS {alias}"
+
+    return f"""
+    WITH mh_b AS (
+        SELECT {group} AS grp, CAST({x1} AS DOUBLE) AS x1,
+               CAST({x2} AS DOUBLE) AS x2, {id_} AS rid
+        FROM ({rows_sql})),
+    mh_m AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               {m('x1', 's1')}, {m('x2', 's2')},
+               {m('x1 * x1', 's11')}, {m('x1 * x2', 's12')},
+               {m('x2 * x2', 's22')}
+        FROM mh_b GROUP BY 1
+        HAVING COUNT(*) >= 3),
+    mh_c AS (
+        SELECT grp,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+               (CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS c11,
+               (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS c12,
+               (CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS c22
+        FROM mh_m),
+    mh_d AS (
+        SELECT grp, m1, m2, c11, c12, c22, c11 * c22 - c12 * c12 AS det
+        FROM mh_c
+        WHERE c11 * c22 - c12 * c12 > 0),
+    mh_s AS (
+        SELECT b.grp, b.rid,
+               round(((b.x1 - d.m1) * (d.c22 * (b.x1 - d.m1)
+                                       - d.c12 * (b.x2 - d.m2))
+                      + (b.x2 - d.m2) * (d.c11 * (b.x2 - d.m2)
+                                         - d.c12 * (b.x1 - d.m1)))
+                     / d.det, 6) AS d2,
+               row_number() OVER (PARTITION BY b.grp
+                                  ORDER BY round(((b.x1 - d.m1)
+                                      * (d.c22 * (b.x1 - d.m1)
+                                         - d.c12 * (b.x2 - d.m2))
+                                      + (b.x2 - d.m2) * (d.c11 * (b.x2 - d.m2)
+                                         - d.c12 * (b.x1 - d.m1)))
+                                      / d.det, 6) DESC, b.rid ASC) AS rn
+        FROM mh_b b JOIN mh_d d USING (grp))
+    SELECT grp, rid, d2 FROM mh_s WHERE rn <= {int(top_k)}"""
+
+
+# --------------------------------------------------------------------
+# Sequential A/B monitoring: Wald SPRT over daily conversion counts
+# --------------------------------------------------------------------
+
+def sprt_monitor(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    n_col: str,
+    x_col: str,
+    p0: float = 0.10,
+    p1: float = 0.12,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Wald sequential probability ratio test (Wald 1945) replayed
+    over each group's daily Bernoulli counts — the always-valid
+    alternative to peeking at a fixed-horizon test every morning
+    (each peek at alpha inflates the false-positive rate; the SPRT
+    boundaries price the peeking in).
+
+    Input is already day-aggregated: (group, day, n trials,
+    x successes). The log-likelihood-ratio walk adds
+    ``x*ln(p1/p0) + (n-x)*ln((1-p1)/(1-p0))`` per day — both log
+    constants are computed ONCE in Python and inlined as identical
+    literals in Spark and the oracle, so no engine evaluates a
+    transcendental. Daily terms round to 9 and accumulate as exact
+    decimals through a per-group ordered window (days per group, a
+    short series). Decision = first day the walk leaves
+    ``[ln(beta/(1-alpha)), ln((1-beta)/alpha)]``: 'accept_h1',
+    'accept_h0', or 'continue' if it never exits. Returns (grp,
+    n_days, final_llr, decision, decided_day).
+    """
+    import math
+
+    lw = round(math.log(p1 / p0), 12)
+    ll = round(math.log((1.0 - p1) / (1.0 - p0)), 12)
+    a = round(math.log((1.0 - beta) / alpha), 6)
+    b = round(math.log(beta / (1.0 - alpha)), 6)
+    daily = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(day_col).alias("day"),
+        F.round(
+            F.col(x_col).cast("double") * F.lit(lw)
+            + (F.col(n_col) - F.col(x_col)).cast("double") * F.lit(ll),
+            9,
+        )
+        .cast("decimal(38,9)")
+        .alias("term"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = daily.select(
+        "grp",
+        "day",
+        F.sum("term").over(w).cast("double").alias("llr"),
+    ).select(
+        "grp",
+        "day",
+        "llr",
+        F.when(F.col("llr") >= a, F.lit("accept_h1"))
+        .when(F.col("llr") <= b, F.lit("accept_h0"))
+        .alias("hit"),
+    )
+    agg = walk.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max(F.struct(F.col("day"), F.col("llr"))).alias("last"),
+        F.min(
+            F.when(
+                F.col("hit").isNotNull(),
+                F.struct(F.col("day"), F.col("hit")),
+            )
+        ).alias("first_hit"),
+    )
+    return agg.select(
+        "grp",
+        "n_days",
+        # no re-round: llr is already exact on the 1e-9 decimal grid,
+        # identical in both engines; a round(6) here could split on a
+        # .5-ULP tie
+        F.col("last.llr").alias("final_llr"),
+        F.coalesce(F.col("first_hit.hit"), F.lit("continue")).alias(
+            "decision"
+        ),
+        F.col("first_hit.day").alias("decided_day"),
+    )
+
+
+def sprt_oracle_sql(
+    daily_sql: str,
+    group: str = "grp",
+    day: str = "day",
+    n: str = "n",
+    x: str = "x",
+    p0: float = 0.10,
+    p1: float = 0.12,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> str:
+    """DuckDB mirror of :func:`sprt_monitor`. ``daily_sql`` yields
+    one row per (group, day) with trial and success counts."""
+    import math
+
+    lw = round(math.log(p1 / p0), 12)
+    ll = round(math.log((1.0 - p1) / (1.0 - p0)), 12)
+    a = round(math.log((1.0 - beta) / alpha), 6)
+    b = round(math.log(beta / (1.0 - alpha)), 6)
+    return f"""
+    WITH sp_d AS (
+        SELECT {group} AS grp, {day} AS day,
+               CAST(round(CAST({x} AS DOUBLE) * {lw!r}
+                          + CAST({n} - {x} AS DOUBLE) * {ll!r}, 9)
+                    AS DECIMAL(38,9)) AS term
+        FROM ({daily_sql})),
+    sp_w AS (
+        SELECT grp, day,
+               CAST(SUM(term) OVER (PARTITION BY grp ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS llr
+        FROM sp_d),
+    sp_h AS (
+        SELECT grp, day, llr,
+               CASE WHEN llr >= {a!r} THEN 'accept_h1'
+                    WHEN llr <= {b!r} THEN 'accept_h0' END AS hit
+        FROM sp_w),
+    sp_a AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_days,
+               MAX(struct_pack(day := day, llr := llr)) AS last,
+               MIN(CASE WHEN hit IS NOT NULL
+                        THEN struct_pack(day := day, hit := hit) END)
+                   AS first_hit
+        FROM sp_h GROUP BY 1)
+    SELECT grp, n_days,
+           last.llr AS final_llr,
+           COALESCE(first_hit.hit, 'continue') AS decision,
+           first_hit.day AS decided_day
+    FROM sp_a"""

@@ -116,6 +116,8 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q258_ridge_cv",
     "q259_topic_segments",
     "q260_bh_fdr_screen",
+    "q261_mahalanobis_outliers",
+    "q262_sprt_monitor",
     "q253_naive_bayes",
     "q254_conformal_coverage",
     "q255_dp_histogram",
@@ -11358,3 +11360,90 @@ def _init_q260() -> None:
 
 
 _init_q260()
+
+# --------------------------------------------------------------------
+# q261 — Mahalanobis outliers per order-priority group
+# --------------------------------------------------------------------
+
+def _init_q261() -> None:
+    from ..functions import profile as P17
+
+    @register(
+        "q261_mahalanobis_outliers",
+        P17.mahalanobis_oracle_sql(
+            "SELECT l_returnflag, l_quantity, l_extendedprice,"
+            " l_orderkey * 8 + l_linenumber AS rid FROM lineitem",
+            "l_returnflag", "l_quantity", "l_extendedprice", "rid",
+        ),
+        doc="Covariance-aware outliers (functions/profile.py "
+            "mahalanobis_outliers; Mahalanobis 1936): top-5 rows per "
+            "returnflag group by squared Mahalanobis distance on "
+            "(quantity, extendedprice) — catches points far off the "
+            "group's correlation ridge that per-axis screens (q112 "
+            "MAD) miss. One scan builds round-9 decimal moment "
+            "vectors; the 2x2 covariance inverts in closed form on "
+            "the group frame and d^2 is row-local after a broadcast "
+            "join. Singular-covariance groups drop by contract.",
+    )
+    def q261_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.profile import mahalanobis_outliers
+
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            "l_quantity",
+            "l_extendedprice",
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
+        )
+        return mahalanobis_outliers(
+            li, "l_returnflag", "l_quantity", "l_extendedprice", "rid"
+        )
+
+
+_init_q261()
+
+
+# --------------------------------------------------------------------
+# q262 — Wald SPRT sequential monitor over daily purchase conversion
+# --------------------------------------------------------------------
+
+def _init_q262() -> None:
+    from ..functions import profile as P18
+
+    _daily_sql = """
+        SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN value >= 300 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+        FROM events GROUP BY 1, 2"""
+
+    @register(
+        "q262_sprt_monitor",
+        P18.sprt_oracle_sql(_daily_sql),
+        doc="Wald SPRT sequential monitor (functions/profile.py "
+            "sprt_monitor; Wald 1945): replays each event_type's "
+            "daily high-value rate (value >= 300) as a log-"
+            "likelihood-ratio walk testing p1=0.12 vs p0=0.10, "
+            "boundaries ln((1-b)/a), ln(b/(1-a)) — the always-valid "
+            "peek-every-morning protocol that q238/q260's fixed-"
+            "horizon tests are not. Both log constants are computed "
+            "once in Python and inlined identically in both "
+            "engines; daily terms ride round-9 decimal cumulative "
+            "sums over a per-group window (days, not corpus).",
+    )
+    def q262_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.profile import sprt_monitor
+
+        ev = table(spark, sf_dir, "events")
+        daily = ev.groupBy(
+            F.col("event_type").alias("grp"),
+            F.to_date("ts").alias("day"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("value") >= 300, 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+        )
+        return sprt_monitor(daily, "grp", "day", "n", "x")
+
+
+_init_q262()

@@ -544,3 +544,58 @@ def test_bh_fdr_no_rejections_when_uniform(spark):
     df = spark.createDataFrame(rows, "key string, p double")
     out = bh_fdr(df, "key", "p", q=0.05).collect()
     assert all(r.rejected == 0 for r in out)
+
+
+def test_mahalanobis_catches_off_ridge_point(spark):
+    from node_etl_spark.functions.profile import mahalanobis_outliers
+
+    # tight ridge y ~= 2x plus one point ON-axis-ordinary but far
+    # off the ridge: (5, -10) has unremarkable x and |y| yet must
+    # rank first; the Euclidean-farthest point (9, 18.4) must not
+    rows = [("g", float(x), 2.0 * x + (0.4 if x == 9 else 0.0), x)
+            for x in range(10)]
+    rows.append(("g", 5.0, -10.0, 99))
+    df = spark.createDataFrame(rows, "grp string, x1 double, x2 double, rid long")
+    out = mahalanobis_outliers(df, "grp", "x1", "x2", "rid", top_k=2).collect()
+    assert out[0].rid == 99 or max(out, key=lambda r: r.d2).rid == 99
+
+
+def test_mahalanobis_drops_singular_groups(spark):
+    from node_etl_spark.functions.profile import mahalanobis_outliers
+
+    # constant x2 -> zero variance -> singular covariance -> no rows
+    rows = [("g", float(i), 7.0, i) for i in range(10)]
+    df = spark.createDataFrame(rows, "grp string, x1 double, x2 double, rid long")
+    assert mahalanobis_outliers(df, "grp", "x1", "x2", "rid").count() == 0
+
+
+def test_sprt_decides_h1_on_hot_run(spark):
+    import datetime as dt
+
+    from node_etl_spark.functions.profile import sprt_monitor
+
+    # 15% conversion over 1000/day: the walk climbs past the upper
+    # boundary within the month
+    rows = [("exp", dt.date(2024, 1, d + 1), 1000, 150) for d in range(30)]
+    df = spark.createDataFrame(rows, "grp string, day date, n long, x long")
+    (r,) = sprt_monitor(df, "grp", "day", "n", "x").collect()
+    assert r.decision == "accept_h1"
+    assert r.decided_day is not None and r.decided_day <= dt.date(2024, 1, 5)
+
+
+def test_sprt_decides_h0_on_cold_run_and_continues_when_ambiguous(spark):
+    import datetime as dt
+
+    from node_etl_spark.functions.profile import sprt_monitor
+
+    cold = [("c", dt.date(2024, 1, d + 1), 1000, 100) for d in range(30)]
+    # 11% sits between p0 and p1 -> small daily drift; 3 days is not
+    # enough evidence either way
+    amb = [("a", dt.date(2024, 1, d + 1), 100, 11) for d in range(3)]
+    df = spark.createDataFrame(
+        cold + amb, "grp string, day date, n long, x long"
+    )
+    out = {r.grp: r for r in sprt_monitor(df, "grp", "day", "n", "x").collect()}
+    assert out["c"].decision == "accept_h0"
+    assert out["a"].decision == "continue"
+    assert out["a"].decided_day is None
