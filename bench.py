@@ -232,6 +232,8 @@ HEADLINE = [
     "q260_bh_fdr_screen",
     "q261_mahalanobis_outliers",
     "q262_sprt_monitor",
+    "q263_chao1_vocab",
+    "q264_seasonal_decompose",
 ]
 
 

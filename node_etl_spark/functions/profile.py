@@ -3004,3 +3004,153 @@ def sprt_oracle_sql(
            COALESCE(first_hit.hit, 'continue') AS decision,
            first_hit.day AS decided_day
     FROM sp_a"""
+
+
+# --------------------------------------------------------------------
+# Classical seasonal decomposition: day-of-week index + trend
+# --------------------------------------------------------------------
+
+def seasonal_decompose(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Classical multiplicative seasonal decomposition on a weekly
+    cycle (the ratio-to-moving-average family, Makridakis et al.
+    "Forecasting" ch. 3, reduced to its distributable core): per
+    group, each day-of-week's seasonal index = that weekday's mean
+    daily value over the group mean; the trend is the OLS slope of
+    the DESEASONALIZED series (value / index) against the day
+    number. Answers "is Tuesday really down, or is everything
+    down?" for the q120/q144-style trend dashboards, which fit raw
+    values and confound weekday mix with drift.
+
+    Determinism: daily values are exact decimal sums; weekday and
+    group means are integer-ratio doubles; the deseasonalized OLS
+    runs on round-9 decimal moments with the identical fixed-order
+    closed form both engines. One corpus aggregate to days,
+    then dimension-sized math. Returns one row per (grp, dow):
+    (grp, dow, s_index, trend_slope) — the slope repeats per group
+    for audit convenience.
+    """
+    daily = df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.to_date(F.col(day_col)).alias("day"),
+    ).agg(
+        F.sum(F.col(value_col).cast("decimal(24,6)"))
+        .cast("double")
+        .alias("v")
+    )
+    keyed = daily.select(
+        "grp",
+        "day",
+        "v",
+        F.dayofweek("day").cast("int").alias("dow"),
+        F.datediff("day", F.lit("2020-01-01")).cast("double").alias("t"),
+    )
+    dow_mean = keyed.groupBy("grp", "dow").agg(
+        (
+            F.sum(F.round("v", 6).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dmean")
+    )
+    g_mean = keyed.groupBy("grp").agg(
+        (
+            F.sum(F.round("v", 6).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("gmean")
+    )
+    idx = dow_mean.join(g_mean, "grp").select(
+        "grp",
+        "dow",
+        F.round(F.col("dmean") / F.col("gmean"), 9).alias("idx"),
+    )
+    deseas = keyed.join(F.broadcast(idx), ["grp", "dow"]).select(
+        "grp",
+        "dow",
+        "t",
+        F.round(F.col("v") / F.col("idx"), 6).alias("z"),
+    )
+
+    def m(expr: str):
+        return F.sum(F.round(F.expr(expr), 9).cast("decimal(38,9)"))
+
+    mom = deseas.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        m("t").alias("st"),
+        m("z").alias("sz"),
+        m("t * t").alias("stt"),
+        m("t * z").alias("stz"),
+    )
+    slope = mom.select(
+        "grp",
+        F.round(
+            F.expr(
+                "(CAST(n AS DOUBLE) * CAST(stz AS DOUBLE)"
+                " - CAST(st AS DOUBLE) * CAST(sz AS DOUBLE))"
+                " / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)"
+                "    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))"
+            ),
+            6,
+        ).alias("trend_slope"),
+    )
+    return (
+        idx.join(F.broadcast(slope), "grp")
+        .select("grp", "dow", F.round("idx", 6).alias("s_index"), "trend_slope")
+    )
+
+
+def seasonal_oracle_sql(
+    rows_sql: str,
+    group: str,
+    day: str,
+    value: str,
+) -> str:
+    """DuckDB mirror of :func:`seasonal_decompose`. Day-of-week uses
+    Spark's dayofweek numbering (1 = Sunday)."""
+
+    def m(expr: str, alias: str) -> str:
+        return f"SUM(CAST(round({expr}, 9) AS DECIMAL(38,9))) AS {alias}"
+
+    return f"""
+    WITH sd_d AS (
+        SELECT {group} AS grp, CAST({day} AS DATE) AS day,
+               CAST(SUM(CAST({value} AS DECIMAL(24,6))) AS DOUBLE) AS v
+        FROM ({rows_sql}) GROUP BY 1, 2),
+    sd_k AS (
+        SELECT grp, day, v,
+               CAST(dayofweek(day) + 1 AS INTEGER) AS dow,
+               CAST(date_diff('day', DATE '2020-01-01', day) AS DOUBLE) AS t
+        FROM sd_d),
+    sd_dm AS (
+        SELECT grp, dow,
+               CAST(SUM(CAST(round(v, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS dmean
+        FROM sd_k GROUP BY 1, 2),
+    sd_gm AS (
+        SELECT grp,
+               CAST(SUM(CAST(round(v, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS gmean
+        FROM sd_k GROUP BY 1),
+    sd_i AS (
+        SELECT dm.grp, dm.dow, round(dm.dmean / gm.gmean, 9) AS idx
+        FROM sd_dm dm JOIN sd_gm gm USING (grp)),
+    sd_z AS (
+        SELECT k.grp, k.t, round(k.v / i.idx, 6) AS z
+        FROM sd_k k JOIN sd_i i ON i.grp = k.grp AND i.dow = k.dow),
+    sd_m AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               {m('t', 'st')}, {m('z', 'sz')},
+               {m('t * t', 'stt')}, {m('t * z', 'stz')}
+        FROM sd_z GROUP BY 1),
+    sd_s AS (
+        SELECT grp,
+               round((CAST(n AS DOUBLE) * CAST(stz AS DOUBLE)
+                      - CAST(st AS DOUBLE) * CAST(sz AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)), 6)
+                   AS trend_slope
+        FROM sd_m)
+    SELECT i.grp, i.dow, round(i.idx, 6) AS s_index, s.trend_slope
+    FROM sd_i i JOIN sd_s s USING (grp)"""

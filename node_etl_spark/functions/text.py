@@ -2305,3 +2305,107 @@ def topic_segments_sql(
         FROM tsg_b GROUP BY 1, 2)
     SELECT nb.doc_id, nb.n_blocks, a.n_gaps, a.mean_sim, a.n_boundaries
     FROM tsg_nb nb JOIN tsg_a a USING (doc_id)"""
+
+
+# --------------------------------------------------------------------
+# Vocabulary coverage: Chao1 richness from frequency-of-frequencies
+# --------------------------------------------------------------------
+
+def chao1_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = "lang",
+) -> DataFrame:
+    """Chao1 species-richness estimate of the UNSEEN vocabulary
+    (Chao 1984; the capture-recapture bound ecologists use, applied
+    to tokens): from the frequency-of-frequencies alone —
+    ``F1`` singletons, ``F2`` doubletons, ``V`` observed types —
+    the total vocabulary is at least ``V + F1^2 / (2 F2)``
+    (``V + F1(F1-1)/2`` when F2 = 0, the bias-corrected form). The
+    sampling-adequacy number a corpus team reads before claiming
+    "we've seen the language": coverage = V / chao1.
+
+    Two narrow aggregates — token counts, then counts-of-counts —
+    and a 4-value closed form per group; the integer moments make
+    the estimate portable (one divide, round 2; coverage round 6).
+    Returns (grp, n_tokens, vocab, f1, f2, chao1, coverage).
+    """
+    toks = df.select(
+        (F.col(group_col) if group_col else F.lit("all")).alias("grp"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("word"),
+    )
+    wc = toks.groupBy("grp", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    fof = wc.groupBy("grp").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    chao = F.when(
+        F.col("f2") > 0,
+        F.col("vocab").cast("double")
+        + F.col("f1").cast("double") * F.col("f1").cast("double")
+        / (F.lit(2.0) * F.col("f2").cast("double")),
+    ).otherwise(
+        F.col("vocab").cast("double")
+        + F.col("f1").cast("double") * (F.col("f1") - 1).cast("double")
+        / F.lit(2.0)
+    )
+    return fof.select(
+        "grp",
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        F.round(chao, 2).alias("chao1"),
+        F.round(F.col("vocab").cast("double") / chao, 6).alias("coverage"),
+    )
+
+
+def chao1_vocab_sql(
+    table_sql: str,
+    text: str = "text",
+    group: str | None = "lang",
+) -> str:
+    """DuckDB mirror of :func:`chao1_vocab`."""
+    g = group if group else "'all'"
+    return f"""
+    WITH c1_t AS (
+        SELECT {g} AS grp, t.word
+        FROM {table_sql},
+             unnest(list_filter(string_split_regex(lower({text}), '\\s+'),
+                                w -> w <> '')) AS t(word)),
+    c1_w AS (
+        SELECT grp, word, CAST(COUNT(*) AS BIGINT) AS c
+        FROM c1_t GROUP BY 1, 2),
+    c1_f AS (
+        SELECT grp, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        FROM c1_w GROUP BY 1),
+    c1_c AS (
+        SELECT *,
+               CASE WHEN f2 > 0
+                    THEN CAST(vocab AS DOUBLE)
+                         + CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE)
+                           / (2.0 * CAST(f2 AS DOUBLE))
+                    ELSE CAST(vocab AS DOUBLE)
+                         + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE) / 2.0
+               END AS ch
+        FROM c1_f)
+    SELECT grp, n_tokens, vocab, f1, f2,
+           round(ch, 2) AS chao1,
+           round(CAST(vocab AS DOUBLE) / ch, 6) AS coverage
+    FROM c1_c"""

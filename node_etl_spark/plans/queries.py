@@ -118,6 +118,8 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q260_bh_fdr_screen",
     "q261_mahalanobis_outliers",
     "q262_sprt_monitor",
+    "q263_chao1_vocab",
+    "q264_seasonal_decompose",
     "q253_naive_bayes",
     "q254_conformal_coverage",
     "q255_dp_histogram",
@@ -11447,3 +11449,67 @@ def _init_q262() -> None:
 
 
 _init_q262()
+
+# --------------------------------------------------------------------
+# q263 — Chao1 unseen-vocabulary estimate per language
+# --------------------------------------------------------------------
+
+def _init_q263() -> None:
+    from ..functions.text import chao1_vocab_sql
+
+    @register(
+        "q263_chao1_vocab",
+        chao1_vocab_sql("documents"),
+        doc="Chao1 vocabulary-richness estimate (functions/text.py "
+            "chao1_vocab; Chao 1984 capture-recapture): per "
+            "language, total vocabulary >= V + F1^2/(2 F2) from the "
+            "frequency-of-frequencies (bias-corrected form when no "
+            "doubletons); coverage = V/chao1 is the sampling-"
+            "adequacy number to read before claiming a corpus has "
+            "'seen the language'. Two narrow hash aggregates over "
+            "the token stream; q111 tracks OBSERVED vocab growth, "
+            "this bounds what remains UNSEEN.",
+    )
+    def q263_chao1_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents")
+        from ..functions.text import chao1_vocab
+
+        return chao1_vocab(docs)
+
+
+_init_q263()
+
+
+# --------------------------------------------------------------------
+# q264 — weekly seasonal indices + deseasonalized trend
+# --------------------------------------------------------------------
+
+def _init_q264() -> None:
+    from ..functions import profile as P19
+
+    @register(
+        "q264_seasonal_decompose",
+        P19.seasonal_oracle_sql(
+            "SELECT event_type, ts, value FROM events",
+            "event_type", "ts", "value",
+        ),
+        doc="Classical multiplicative seasonal decomposition "
+            "(functions/profile.py seasonal_decompose; ratio-to-"
+            "mean family, Makridakis ch.3): per event_type, day-of-"
+            "week indices (weekday mean over group mean) and the "
+            "OLS trend of the DESEASONALIZED daily series — "
+            "separates 'Tuesdays are slow' from 'everything is "
+            "slowing', which the raw-value fits (q120/q144) "
+            "confound. One corpus aggregate to days; everything "
+            "after is dimension-sized decimal-moment math.",
+    )
+    def q264_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events").select(
+            "event_type", "ts", "value"
+        )
+        from ..functions.profile import seasonal_decompose
+
+        return seasonal_decompose(ev, "event_type", "ts", "value")
+
+
+_init_q264()

@@ -599,3 +599,40 @@ def test_sprt_decides_h0_on_cold_run_and_continues_when_ambiguous(spark):
     assert out["c"].decision == "accept_h0"
     assert out["a"].decision == "continue"
     assert out["a"].decided_day is None
+
+
+def test_seasonal_decompose_flat_series_unit_indices(spark):
+    import datetime as dt
+
+    from node_etl_spark.functions.profile import seasonal_decompose
+
+    # constant daily value -> every dow index 1.0, slope 0
+    rows = [("g", dt.datetime(2024, 1, 1 + d, 12), 10.0) for d in range(28)]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, v double")
+    out = seasonal_decompose(df, "grp", "ts", "v").collect()
+    assert len(out) == 7
+    assert all(r.s_index == 1.0 for r in out)
+    assert all(r.trend_slope == 0.0 for r in out)
+
+
+def test_seasonal_decompose_separates_weekday_dip_from_trend(spark):
+    import datetime as dt
+
+    from node_etl_spark.functions.profile import seasonal_decompose
+
+    # value = (100 + 2*day) halved on Sundays: the deseasonalized
+    # slope must recover ~2/day and Sunday's index must sit near 0.5
+    rows = []
+    base = dt.date(2024, 1, 1)
+    for d in range(56):
+        day = base + dt.timedelta(days=d)
+        v = 100.0 + 2.0 * d
+        if day.isoweekday() == 7:  # Sunday
+            v *= 0.5
+        rows.append(("g", dt.datetime(day.year, day.month, day.day, 9), v))
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, v double")
+    out = {r.dow: r for r in seasonal_decompose(df, "grp", "ts", "v").collect()}
+    # Spark dayofweek: Sunday = 1
+    assert out[1].s_index < 0.62
+    assert all(out[d].s_index > 0.95 for d in range(2, 8))
+    assert abs(out[3].trend_slope - 2.0) < 0.35

@@ -787,3 +787,39 @@ def test_topic_segments_short_doc_emits_nothing(spark):
         "doc_id long, text string",
     )
     assert topic_segments(df, block_tokens=10).count() == 0
+
+
+def test_chao1_hand_counts(spark):
+    from node_etl_spark.functions.text import chao1_vocab
+
+    # tokens: a a a b b c d -> V=4, F1={c,d}=2, F2={b}=1,
+    # chao1 = 4 + 4/2 = 6, coverage = 4/6
+    df = spark.createDataFrame(
+        [(1, "en", "a a a b b c d")], "doc_id long, lang string, text string"
+    )
+    (r,) = chao1_vocab(df).collect()
+    assert (r.n_tokens, r.vocab, r.f1, r.f2) == (7, 4, 2, 1)
+    assert r.chao1 == 6.0
+    assert abs(r.coverage - 4.0 / 6.0) < 1e-6
+
+
+def test_chao1_no_doubletons_uses_corrected_form(spark):
+    from node_etl_spark.functions.text import chao1_vocab
+
+    # a b c (all singletons): chao1 = 3 + 3*2/2 = 6
+    df = spark.createDataFrame(
+        [(1, "en", "a b c")], "doc_id long, lang string, text string"
+    )
+    (r,) = chao1_vocab(df).collect()
+    assert r.f2 == 0 and r.chao1 == 6.0
+
+
+def test_chao1_saturated_vocab_reports_full_coverage(spark):
+    from node_etl_spark.functions.text import chao1_vocab
+
+    # every type seen 3+ times: F1=0 -> chao1 = V, coverage 1
+    df = spark.createDataFrame(
+        [(1, "en", "x y x y x y")], "doc_id long, lang string, text string"
+    )
+    (r,) = chao1_vocab(df).collect()
+    assert r.f1 == 0 and r.chao1 == float(r.vocab) and r.coverage == 1.0
