@@ -234,6 +234,8 @@ HEADLINE = [
     "q262_sprt_monitor",
     "q263_chao1_vocab",
     "q264_seasonal_decompose",
+    "q265_ewma_anomalies",
+    "q266_hll_set_algebra",
 ]
 
 

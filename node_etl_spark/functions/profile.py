@@ -3154,3 +3154,106 @@ def seasonal_oracle_sql(
         FROM sd_m)
     SELECT i.grp, i.dow, round(i.idx, 6) AS s_index, s.trend_slope
     FROM sd_i i JOIN sd_s s USING (grp)"""
+
+
+# --------------------------------------------------------------------
+# EWMA anomaly walk over daily series (integer fixed-point fold)
+# --------------------------------------------------------------------
+
+def ewma_anomalies(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """EWMA (alpha = 1/4) forecast walk over each group's daily
+    totals with a spike/crash flag per day — the Holt-free core of
+    every ops anomaly monitor: a day is anomalous when its value
+    more than doubles or falls below half of yesterday's smoothed
+    level, and the level then absorbs it.
+
+    Sequential by nature, distributed by shape: the corpus collapses
+    to per-(group, day) integer micro-totals first; the fold runs as
+    a Catalyst higher-order ``aggregate`` over each group's SORTED
+    day array (days-per-group elements, JVM-side, no Python, no
+    window over the corpus). All state is BIGINT micros with
+    round-half-up division — ``s' = (v + 3 s + 2) DIV 4`` — so the
+    walk is exact and the DuckDB mirror (a recursive CTE) matches
+    bit-for-bit; no float ever enters the recursion.
+
+    Returns (grp, n_days, final_ewma, n_anomalies).
+    """
+    daily = df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.to_date(F.col(day_col)).alias("day"),
+    ).agg(
+        F.sum(
+            F.round(F.col(value_col).cast("double") * 1e6).cast("bigint")
+        ).alias("vm")
+    )
+    packed = daily.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("day"), F.col("vm")))
+        ).alias("arr"),
+    )
+    walk = packed.select(
+        "grp",
+        "n_days",
+        F.expr(
+            """
+            aggregate(
+                slice(arr, 2, greatest(0, CAST(n_days AS INT) - 1)),
+                named_struct('s', arr[0].vm, 'na', CAST(0 AS BIGINT)),
+                (acc, x) -> named_struct(
+                    's', (x.vm + 3 * acc.s + 2) DIV 4,
+                    'na', acc.na + CASE WHEN x.vm > 2 * acc.s
+                                          OR 2 * x.vm < acc.s
+                                        THEN 1 ELSE 0 END)
+            )
+            """
+        ).alias("w"),
+    )
+    return walk.select(
+        "grp",
+        "n_days",
+        (F.col("w.s").cast("double") / F.lit(1e6)).alias("final_ewma"),
+        F.col("w.na").alias("n_anomalies"),
+    )
+
+
+def ewma_oracle_sql(
+    rows_sql: str,
+    group: str,
+    day: str,
+    value: str,
+) -> str:
+    """DuckDB mirror of :func:`ewma_anomalies` — the same integer
+    walk as a recursive CTE."""
+    return f"""
+    WITH RECURSIVE ew_d AS (
+        SELECT {group} AS grp, CAST({day} AS DATE) AS day,
+               CAST(SUM(CAST(round(CAST({value} AS DOUBLE) * 1e6, 0)
+                             AS BIGINT)) AS BIGINT) AS vm
+        FROM ({rows_sql}) GROUP BY 1, 2),
+    ew_r AS (
+        SELECT grp, vm,
+               row_number() OVER (PARTITION BY grp ORDER BY day) AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS n_days
+        FROM ew_d),
+    ew_w AS (
+        SELECT grp, rn, vm AS s, CAST(0 AS BIGINT) AS na
+        FROM ew_r WHERE rn = 1
+        UNION ALL
+        SELECT r.grp, r.rn,
+               (r.vm + 3 * w.s + 2) // 4 AS s,
+               w.na + CASE WHEN r.vm > 2 * w.s OR 2 * r.vm < w.s
+                           THEN 1 ELSE 0 END AS na
+        FROM ew_w w JOIN ew_r r ON r.grp = w.grp AND r.rn = w.rn + 1)
+    SELECT w.grp, CAST(r.n_days AS BIGINT) AS n_days,
+           CAST(w.s AS DOUBLE) / 1e6 AS final_ewma,
+           w.na AS n_anomalies
+    FROM ew_w w
+    JOIN (SELECT grp, MAX(rn) AS rn, ANY_VALUE(n_days) AS n_days
+          FROM ew_r GROUP BY 1) r
+      ON r.grp = w.grp AND r.rn = w.rn"""

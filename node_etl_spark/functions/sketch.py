@@ -789,3 +789,131 @@ def hll_oracle_sql(
                                 / CAST(zeros AS DOUBLE))
                       ELSE raw END, 6) AS est_distinct
     FROM hll_est"""
+
+
+def hll_set_algebra(
+    a: DataFrame,
+    b: DataFrame,
+    element_col: str,
+    label_a: str = "a",
+    label_b: str = "b",
+    p: int = 10,
+    seed: int = 11,
+) -> DataFrame:
+    """HLL sketch ALGEBRA (Flajolet 2007 + the standard inclusion-
+    exclusion estimator): estimate |A|, |B|, |A ∪ B| (max-merge of
+    register states — the only exact operation HLL supports) and
+    derive |A ∩ B| = |A| + |B| - |A ∪ B| and Jaccard — the audience-
+    overlap question q151 answers EXACTLY, re-answered from two
+    constant-size sketches that never rescan or co-shuffle the raw
+    sets. At 100 TB the exact bitmap join is a corpus shuffle; two
+    2^p-row states union on a broadcast.
+
+    The exact intersection is computed alongside (one distinct
+    semi-join at gate scale) so the output self-reports estimator
+    error; a production rollup would drop it. All register math is
+    the q243 integer path; the inclusion-exclusion tail is three
+    already-rounded doubles subtracted once, then round(6).
+    Returns one row: (n_a, n_b, union_est, inter_est, jaccard_est,
+    inter_exact, err_pct).
+    """
+    ea = a.select(F.col(element_col).alias("e")).distinct()
+    eb = b.select(F.col(element_col).alias("e")).distinct()
+    tagged = ea.select(F.lit(label_a).alias("g"), "e").unionByName(
+        eb.select(F.lit(label_b).alias("g"), "e")
+    )
+    est = hll_distinct(
+        tagged, "g", "e", p=p, seed=seed, merged_label="u"
+    ).select("g", "est_distinct")
+    wide = (
+        est.groupBy()
+        .pivot("g", [label_a, label_b, "u"])
+        .agg(F.first("est_distinct"))
+        .select(
+            F.col(label_a).alias("n_a"),
+            F.col(label_b).alias("n_b"),
+            F.col("u").alias("union_est"),
+        )
+    )
+    inter_exact = ea.join(eb, "e", "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("inter_exact")
+    )
+    return (
+        wide.crossJoin(F.broadcast(inter_exact))
+        .select(
+            "n_a",
+            "n_b",
+            "union_est",
+            F.round(
+                F.col("n_a") + F.col("n_b") - F.col("union_est"), 6
+            ).alias("inter_est"),
+            "inter_exact",
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "union_est",
+            "inter_est",
+            F.round(F.col("inter_est") / F.col("union_est"), 6).alias(
+                "jaccard_est"
+            ),
+            "inter_exact",
+            F.when(
+                F.col("inter_exact") > 0,
+                F.round(
+                    (F.col("inter_est") - F.col("inter_exact").cast("double"))
+                    / F.col("inter_exact").cast("double")
+                    * 100,
+                    2,
+                ),
+            ).alias("err_pct"),
+        )
+    )
+
+
+def hll_set_algebra_sql(
+    a_sql: str,
+    b_sql: str,
+    label_a: str = "a",
+    label_b: str = "b",
+    p: int = 10,
+    seed: int = 11,
+) -> str:
+    """DuckDB mirror of :func:`hll_set_algebra`. ``a_sql``/``b_sql``
+    each yield one column ``e``."""
+    inner = hll_oracle_sql(
+        f"""(SELECT '{label_a}' AS g, e FROM (SELECT DISTINCT e FROM ({a_sql}))
+            UNION ALL
+            SELECT '{label_b}' AS g, e FROM (SELECT DISTINCT e FROM ({b_sql}))
+           ) hsa_in""",
+        "g",
+        "e",
+        p=p,
+        seed=seed,
+        merged_label="u",
+    )
+    return f"""
+    WITH hsa_est AS ({inner}),
+    hsa_w AS (
+        SELECT MAX(CASE WHEN g = '{label_a}' THEN est_distinct END) AS n_a,
+               MAX(CASE WHEN g = '{label_b}' THEN est_distinct END) AS n_b,
+               MAX(CASE WHEN g = 'u' THEN est_distinct END) AS union_est
+        FROM hsa_est),
+    hsa_x AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS inter_exact FROM (
+            SELECT DISTINCT e FROM ({a_sql})
+            INTERSECT
+            SELECT DISTINCT e FROM ({b_sql}))),
+    hsa_i AS (
+        SELECT n_a, n_b, union_est,
+               round(n_a + n_b - union_est, 6) AS inter_est,
+               inter_exact
+        FROM hsa_w CROSS JOIN hsa_x)
+    SELECT n_a, n_b, union_est, inter_est,
+           round(inter_est / union_est, 6) AS jaccard_est,
+           inter_exact,
+           CASE WHEN inter_exact > 0
+                THEN round((inter_est - CAST(inter_exact AS DOUBLE))
+                           / CAST(inter_exact AS DOUBLE) * 100, 2)
+           END AS err_pct
+    FROM hsa_i"""

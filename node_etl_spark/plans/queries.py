@@ -120,6 +120,8 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q262_sprt_monitor",
     "q263_chao1_vocab",
     "q264_seasonal_decompose",
+    "q265_ewma_anomalies",
+    "q266_hll_set_algebra",
     "q253_naive_bayes",
     "q254_conformal_coverage",
     "q255_dp_histogram",
@@ -11513,3 +11515,81 @@ def _init_q264() -> None:
 
 
 _init_q264()
+
+# --------------------------------------------------------------------
+# q265 — EWMA anomaly walk over daily event volumes
+# --------------------------------------------------------------------
+
+def _init_q265() -> None:
+    from ..functions import profile as P20
+
+    @register(
+        "q265_ewma_anomalies",
+        P20.ewma_oracle_sql(
+            "SELECT event_type, ts, value FROM events",
+            "event_type", "ts", "value",
+        ),
+        doc="EWMA (alpha=1/4) anomaly walk (functions/profile.py "
+            "ewma_anomalies): per event_type the daily value total "
+            "is folded through an integer fixed-point forecast — "
+            "s' = (v + 3s + 2) DIV 4 on BIGINT micros — flagging "
+            "days that double or halve the smoothed level. The "
+            "inherently-sequential recursion runs as a Catalyst "
+            "higher-order aggregate over each group's sorted day "
+            "array (JVM-side, days-sized); the oracle replays the "
+            "identical integer walk as a recursive CTE, so a "
+            "GENUINELY order-dependent computation sits on the "
+            "exact gate. Complements q156 (CUSUM drift) with the "
+            "level-tracking spike rule ops monitors actually run.",
+    )
+    def q265_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events").select(
+            "event_type", "ts", "value"
+        )
+        from ..functions.profile import ewma_anomalies
+
+        return ewma_anomalies(ev, "event_type", "ts", "value")
+
+
+_init_q265()
+
+
+# --------------------------------------------------------------------
+# q266 — HLL set algebra: viewer/purchaser audience overlap
+# --------------------------------------------------------------------
+
+def _init_q266() -> None:
+    from ..functions import sketch as SK2
+
+    _A_SQL = "SELECT user_id AS e FROM events WHERE event_type = 'view'"
+    _B_SQL = (
+        "SELECT user_id AS e FROM events WHERE event_type = 'purchase'"
+    )
+
+    @register(
+        "q266_hll_set_algebra",
+        SK2.hll_set_algebra_sql(_A_SQL, _B_SQL),
+        doc="HLL sketch algebra (functions/sketch.py "
+            "hll_set_algebra): viewers vs purchasers as two q243 "
+            "register states — union by max-merge (the one exact "
+            "HLL operation), intersection by inclusion-exclusion, "
+            "Jaccard from the estimates, with the exact overlap "
+            "computed alongside to self-report estimator error. "
+            "q151 answers this EXACTLY with a corpus shuffle; two "
+            "2^10-row sketches answer it from state that per-shard "
+            "rollups can keep merging without rescans.",
+    )
+    def q266_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        a = ev.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("e")
+        )
+        b = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("e")
+        )
+        from ..functions.sketch import hll_set_algebra
+
+        return hll_set_algebra(a, b, "e")
+
+
+_init_q266()

@@ -636,3 +636,56 @@ def test_seasonal_decompose_separates_weekday_dip_from_trend(spark):
     assert out[1].s_index < 0.62
     assert all(out[d].s_index > 0.95 for d in range(2, 8))
     assert abs(out[3].trend_slope - 2.0) < 0.35
+
+
+def test_ewma_walk_hand_computed(spark):
+    import datetime as dt
+
+    from node_etl_spark.functions.profile import ewma_anomalies
+
+    # days: 4, 4, 16 (spike), 4 (crash) in value units
+    rows = [
+        ("g", dt.datetime(2024, 1, 1, 9), 4.0),
+        ("g", dt.datetime(2024, 1, 2, 9), 4.0),
+        ("g", dt.datetime(2024, 1, 3, 9), 16.0),
+        ("g", dt.datetime(2024, 1, 4, 9), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, v double")
+    (r,) = ewma_anomalies(df, "grp", "ts", "v").collect()
+    # micros: s0=4e6; d2: v=4e6 not anomalous, s=(4+12+eps)/4=4e6
+    # d3: 16e6 > 2*4e6 -> anomaly; s=(16e6+12e6+2)/4=7e6
+    # d4: 2*4e6=8e6 > 7e6? crash rule is 2v < s: 8e6 < 7e6 false;
+    # spike: 4e6 > 14e6 false -> not anomalous; s=(4e6+21e6+2)/4
+    assert r.n_days == 4
+    assert r.n_anomalies == 1
+    assert abs(r.final_ewma - (4e6 + 21e6 + 2) // 4 / 1e6) < 1e-9
+
+
+def test_ewma_multiple_days_in_one_day_aggregate_first(spark):
+    import datetime as dt
+
+    from node_etl_spark.functions.profile import ewma_anomalies
+
+    # two events same day sum to the daily total before the walk
+    rows = [
+        ("g", dt.datetime(2024, 1, 1, 9), 2.0),
+        ("g", dt.datetime(2024, 1, 1, 15), 2.0),
+        ("g", dt.datetime(2024, 1, 2, 9), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, v double")
+    (r,) = ewma_anomalies(df, "grp", "ts", "v").collect()
+    assert r.n_days == 2 and r.n_anomalies == 0
+    assert r.final_ewma == 4.0
+
+
+def test_ewma_single_day_group(spark):
+    import datetime as dt
+
+    from node_etl_spark.functions.profile import ewma_anomalies
+
+    df = spark.createDataFrame(
+        [("g", dt.datetime(2024, 1, 1, 9), 7.5)],
+        "grp string, ts timestamp, v double",
+    )
+    (r,) = ewma_anomalies(df, "grp", "ts", "v").collect()
+    assert (r.n_days, r.n_anomalies, r.final_ewma) == (1, 0, 7.5)

@@ -93,3 +93,29 @@ def test_hll_merged_row_equals_union_sketch(spark):
         ).collect()
     }["all"]
     assert merged == direct
+
+
+def test_hll_set_algebra_identical_sets(spark):
+    from node_etl_spark.functions.sketch import hll_set_algebra
+
+    a = spark.range(1000).selectExpr("id AS e")
+    (r,) = hll_set_algebra(a, a, "e").collect()
+    # A == B: union estimate equals both marginals -> intersection
+    # estimate equals them too, jaccard 1, exact overlap 1000
+    assert r.n_a == r.n_b == r.union_est
+    assert abs(r.inter_est - r.n_a) < 1e-6
+    assert r.jaccard_est == 1.0
+    assert r.inter_exact == 1000
+
+
+def test_hll_set_algebra_disjoint_and_overlap_accuracy(spark):
+    from node_etl_spark.functions.sketch import hll_set_algebra
+
+    a = spark.range(0, 20000).selectExpr("id AS e")
+    b = spark.range(10000, 30000).selectExpr("id AS e")
+    (r,) = hll_set_algebra(a, b, "e").collect()
+    assert r.inter_exact == 10000
+    # p=10 registers: ~3% standard error on the marginals; the
+    # intersection differences compound — allow 15%
+    assert abs(r.err_pct) < 15.0
+    assert 0.1 < r.jaccard_est < 0.6
