@@ -236,6 +236,9 @@ HEADLINE = [
     "q264_seasonal_decompose",
     "q265_ewma_anomalies",
     "q266_hll_set_algebra",
+    "q267_source_ablation",
+    "q268_shapley_vocab",
+    "q269_hill_tail_index",
 ]
 
 

@@ -3257,3 +3257,100 @@ def ewma_oracle_sql(
     JOIN (SELECT grp, MAX(rn) AS rn, ANY_VALUE(n_days) AS n_days
           FROM ew_r GROUP BY 1) r
       ON r.grp = w.grp AND r.rn = w.rn"""
+
+
+# --------------------------------------------------------------------
+# Heavy-tail audit: Hill estimator of the tail index
+# --------------------------------------------------------------------
+
+def hill_tail_index(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index (Hill 1975):
+    ``alpha = 1 / mean(ln(x_(i) / x_(k+1)))`` over each group's top
+    ``k`` order statistics — the heavy-tail audit that decides
+    whether means/variances of a value column can be trusted at all
+    (alpha <= 2: infinite variance; alpha <= 1: infinite mean, and
+    every q193-style trimmed mean is load-bearing).
+
+    Scale shape: a top-(k+1) per group via window rank over the
+    POSITIVE values only — the k+1 threshold row broadcasts back —
+    then one k-row-per-group aggregate. Each ln ratio rounds to 12
+    and sums as exact decimal; ties at the threshold resolve by a
+    deterministic (value, id-free) rank on value desc so both
+    engines pick identical top sets regardless of row order (ties
+    inside the top-k contribute identical ratios anyway). Groups
+    with fewer than k+1 positive values emit nothing. Returns
+    (grp, k_used, x_k1, alpha) with alpha rounded 6.
+    """
+    pos = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("x"),
+    ).filter(F.col("x") > 0)
+    w = Window.partitionBy("grp").orderBy(F.col("x").desc())
+    ranked = pos.select(
+        "grp", "x", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= k + 1)
+    thresh = ranked.filter(F.col("rk") == k + 1).select(
+        "grp", F.col("x").alias("xk1")
+    )
+    top = ranked.filter(F.col("rk") <= k).join(
+        F.broadcast(thresh), "grp"
+    )
+    agg = top.groupBy("grp", "xk1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.sum(
+            F.round(F.log(F.col("x") / F.col("xk1")), 12).cast(
+                "decimal(38,12)"
+            )
+        ).alias("slog"),
+    )
+    return agg.select(
+        "grp",
+        "k_used",
+        F.round(F.col("xk1"), 6).alias("x_k1"),
+        F.when(
+            F.col("slog") > 0,
+            F.round(
+                F.col("k_used").cast("double")
+                / F.col("slog").cast("double"),
+                6,
+            ),
+        ).alias("alpha"),
+    )
+
+
+def hill_oracle_sql(
+    rows_sql: str,
+    group: str,
+    value: str,
+    k: int = 200,
+) -> str:
+    """DuckDB mirror of :func:`hill_tail_index`."""
+    return f"""
+    WITH hl_p AS (
+        SELECT {group} AS grp, CAST({value} AS DOUBLE) AS x
+        FROM ({rows_sql})
+        WHERE CAST({value} AS DOUBLE) > 0),
+    hl_r AS (
+        SELECT grp, x,
+               row_number() OVER (PARTITION BY grp ORDER BY x DESC) AS rk
+        FROM hl_p),
+    hl_t AS (
+        SELECT grp, x AS xk1 FROM hl_r WHERE rk = {int(k) + 1}),
+    hl_a AS (
+        SELECT r.grp, t.xk1,
+               CAST(COUNT(*) AS BIGINT) AS k_used,
+               SUM(CAST(round(ln(r.x / t.xk1), 12) AS DECIMAL(38,12)))
+                   AS slog
+        FROM hl_r r JOIN hl_t t USING (grp)
+        WHERE r.rk <= {int(k)}
+        GROUP BY 1, 2)
+    SELECT grp, k_used, round(xk1, 6) AS x_k1,
+           CASE WHEN slog > 0
+                THEN round(CAST(k_used AS DOUBLE) / CAST(slog AS DOUBLE), 6)
+           END AS alpha
+    FROM hl_a"""

@@ -1247,3 +1247,291 @@ def waterfill_oracle_sql(
            round(round(least(CAST(s.cap AS DOUBLE), l.level), 6)
                  / CAST(s.cap AS DOUBLE), 6) AS kept_frac
     FROM wf_seg s CROSS JOIN wf_lvl l"""
+
+
+# --------------------------------------------------------------------
+# Leave-one-source-out ablation scorecard
+# --------------------------------------------------------------------
+
+def source_ablation(
+    df: DataFrame,
+    group_col: str = "source",
+    metric_col: str = "n_chars",
+) -> DataFrame:
+    """Leave-one-out ablation over sources for ADDITIVE corpus
+    metrics: for each source, what happens to the corpus mean when
+    that source is removed — the cheap first answer to "which
+    source is dragging us down", computed for every source at once
+    from one aggregate via the subtraction trick (no k passes;
+    same additivity as ridge_cv's fold moments).
+
+    LOO mean_without_i = (total - part_i) / (n - n_i); delta =
+    loo_mean - corpus_mean: a POSITIVE delta means removing the
+    source RAISES the corpus mean (the source scored below
+    average). All sums exact BIGINT; divisions are single double
+    ops rounded 6. Sources covering the whole corpus (n == n_i)
+    emit a null loo_mean by contract. Returns (grp, n_docs, share,
+    mean_metric, loo_mean, delta).
+    """
+    parts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col(metric_col).cast("bigint")).alias("s"),
+    )
+    tot = parts.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("s").cast("bigint").alias("ts"),
+    )
+    return parts.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        F.col("n").alias("n_docs"),
+        F.round(F.col("n").cast("double") / F.col("tn").cast("double"), 6)
+        .alias("share"),
+        F.round(F.col("s").cast("double") / F.col("n").cast("double"), 6)
+        .alias("mean_metric"),
+        F.when(
+            F.col("tn") > F.col("n"),
+            F.round(
+                (F.col("ts") - F.col("s")).cast("double")
+                / (F.col("tn") - F.col("n")).cast("double"),
+                6,
+            ),
+        ).alias("loo_mean"),
+        F.when(
+            F.col("tn") > F.col("n"),
+            F.round(
+                (F.col("ts") - F.col("s")).cast("double")
+                / (F.col("tn") - F.col("n")).cast("double")
+                - F.col("ts").cast("double") / F.col("tn").cast("double"),
+                6,
+            ),
+        ).alias("delta"),
+    )
+
+
+def source_ablation_sql(
+    rows_sql: str,
+    group: str = "source",
+    metric: str = "n_chars",
+) -> str:
+    """DuckDB mirror of :func:`source_ablation`."""
+    return f"""
+    WITH ab_p AS (
+        SELECT {group} AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({metric}) AS BIGINT) AS s
+        FROM ({rows_sql}) GROUP BY 1),
+    ab_t AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(s) AS BIGINT) AS ts
+        FROM ab_p)
+    SELECT grp, n AS n_docs,
+           round(CAST(n AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS share,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_metric,
+           CASE WHEN tn > n
+                THEN round(CAST(ts - s AS DOUBLE) / CAST(tn - n AS DOUBLE), 6)
+           END AS loo_mean,
+           CASE WHEN tn > n
+                THEN round(CAST(ts - s AS DOUBLE) / CAST(tn - n AS DOUBLE)
+                           - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE), 6)
+           END AS delta
+    FROM ab_p CROSS JOIN ab_t"""
+
+
+# --------------------------------------------------------------------
+# Exact Shapley valuation of sources on the vocabulary-coverage game
+# --------------------------------------------------------------------
+
+def shapley_vocab_coverage(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    players: int = 6,
+) -> DataFrame:
+    """EXACT Shapley data valuation (Shapley 1953; the data-
+    valuation framing of Ghorbani & Zou ICML'19) of sources under
+    the vocabulary-coverage game: ``v(S)`` = number of distinct
+    tokens contributed by the sources in coalition ``S``. Coverage
+    games make exact Shapley tractable at corpus scale: one scan
+    reduces the corpus to a <= 2^k-row (token-membership-mask ->
+    count) table, after which the whole 2^k-subset lattice is
+    integer arithmetic on a dimension-sized frame — no sampling, no
+    Monte Carlo, no k passes.
+
+    The top ``players - 1`` sources by doc count (ties by name) play
+    individually; the tail buckets into 'other' — the cap is the
+    semantics, not a truncation, and it keeps the lattice at
+    2^players. phi accumulates as ``s!(k-1-s)! * marginal`` exact
+    BIGINTs divided ONCE by k! (factorials inlined from Python), so
+    efficiency — sum(phi) = v(N) = total vocabulary — holds to the
+    rounding grid and is unit-tested. Returns (player, phi,
+    phi_share) ordered by phi desc.
+    """
+    import math as _math
+
+    k = int(players)
+    ranked = (
+        df.groupBy(F.col(group_col).alias("src"))
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .select(
+            "src",
+            F.row_number()
+            .over(Window.orderBy(F.col("nd").desc(), F.col("src").asc()))
+            .alias("rk"),
+        )
+        .select(
+            "src",
+            F.when(F.col("rk") < k, F.col("src"))
+            .otherwise(F.lit("other"))
+            .alias("player"),
+            F.when(F.col("rk") < k, F.col("rk") - 1)
+            .otherwise(F.lit(k - 1))
+            .alias("bit"),
+        )
+    )
+    toks = (
+        df.select(
+            F.col(group_col).alias("src"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("word"),
+        )
+        .join(F.broadcast(ranked), "src")
+        .select("word", "bit")
+        .distinct()
+    )
+    masks = toks.groupBy("word").agg(
+        F.expr("sum(DISTINCT shiftleft(CAST(1 AS BIGINT), bit))").alias(
+            "mask"
+        )
+    )
+    mc = masks.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    subsets = df.sparkSession.range(1 << k).select(
+        F.col("id").cast("bigint").alias("S")
+    )
+    v = (
+        subsets.crossJoin(F.broadcast(mc))
+        .groupBy("S")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("(S & mask) != 0"), F.col("cnt")
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    # marginal of player i over subset S (i not in S):
+    # weight numerator = |S|! (k-1-|S|)!, one /k! at the end
+    wnum = {s: _math.factorial(s) * _math.factorial(k - 1 - s) for s in range(k)}
+    kfact = _math.factorial(k)
+    wmap = F.expr(
+        "map(" + ", ".join(f"{s}, CAST({w} AS BIGINT)" for s, w in wnum.items()) + ")"
+    )
+    players_df = ranked.select("player", "bit").distinct()
+    va = v.select(F.col("S").alias("S0"), F.col("v").alias("v0"))
+    vb = v.select(F.col("S").alias("S1"), F.col("v").alias("v1"))
+    phi = (
+        players_df.crossJoin(va)
+        .filter(F.expr("(S0 & shiftleft(CAST(1 AS BIGINT), bit)) = 0"))
+        .withColumn(
+            "S1", F.expr("S0 | shiftleft(CAST(1 AS BIGINT), bit)")
+        )
+        .join(F.broadcast(vb), "S1")
+        .select(
+            "player",
+            (
+                wmap[F.expr("bit_count(S0)")]
+                * (F.col("v1") - F.col("v0"))
+            ).alias("term"),
+        )
+        .groupBy("player")
+        .agg(F.sum("term").cast("bigint").alias("num"))
+    )
+    total = v.filter(F.col("S") == (1 << k) - 1).select(
+        F.col("v").alias("vN")
+    )
+    return (
+        phi.crossJoin(F.broadcast(total))
+        .select(
+            "player",
+            F.round(
+                F.col("num").cast("double") / F.lit(float(kfact)), 6
+            ).alias("phi"),
+            F.round(
+                F.col("num").cast("double")
+                / (F.lit(float(kfact)) * F.col("vN").cast("double")),
+                6,
+            ).alias("phi_share"),
+        )
+        .orderBy(F.col("phi").desc(), F.col("player").asc())
+    )
+
+
+def shapley_vocab_sql(
+    table_sql: str,
+    group: str = "source",
+    text: str = "text",
+    players: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`shapley_vocab_coverage`."""
+    import math as _math
+
+    k = int(players)
+    wnum = {s: _math.factorial(s) * _math.factorial(k - 1 - s) for s in range(k)}
+    kfact = _math.factorial(k)
+    wcase = " ".join(
+        f"WHEN {s} THEN CAST({w} AS BIGINT)" for s, w in wnum.items()
+    )
+    return f"""
+    WITH sh_r AS (
+        SELECT {group} AS src,
+               row_number() OVER (ORDER BY COUNT(*) DESC, {group} ASC)
+                   AS rk
+        FROM {table_sql} GROUP BY 1),
+    sh_p AS (
+        SELECT src,
+               CASE WHEN rk < {k} THEN src ELSE 'other' END AS player,
+               CASE WHEN rk < {k} THEN rk - 1 ELSE {k - 1} END AS bit
+        FROM sh_r),
+    sh_t AS (
+        SELECT DISTINCT t.word, p.bit
+        FROM {table_sql} d
+        JOIN sh_p p ON p.src = d.{group},
+        unnest(list_filter(string_split_regex(lower(d.{text}), '\\s+'),
+                           w -> w <> '')) AS t(word)),
+    sh_m AS (
+        SELECT word, CAST(SUM(DISTINCT (1::BIGINT << bit)) AS BIGINT)
+                   AS mask
+        FROM sh_t GROUP BY 1),
+    sh_mc AS (
+        SELECT mask, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM sh_m GROUP BY 1),
+    sh_s AS (SELECT CAST(i AS BIGINT) AS S
+             FROM unnest(range({1 << k})) AS t(i)),
+    sh_v AS (
+        SELECT s.S,
+               CAST(COALESCE(SUM(CASE WHEN (s.S & m.mask) <> 0
+                                      THEN m.cnt ELSE 0 END), 0) AS BIGINT)
+                   AS v
+        FROM sh_s s CROSS JOIN sh_mc m
+        GROUP BY 1),
+    sh_pl AS (SELECT DISTINCT player, bit FROM sh_p),
+    sh_phi AS (
+        SELECT p.player,
+               CAST(SUM((CASE bit_count(v0.S)
+                         {wcase} END) * (v1.v - v0.v)) AS BIGINT) AS num
+        FROM sh_pl p
+        JOIN sh_v v0 ON (v0.S & (1::BIGINT << p.bit)) = 0
+        JOIN sh_v v1 ON v1.S = (v0.S | (1::BIGINT << p.bit))
+        GROUP BY 1),
+    sh_tot AS (SELECT v AS vN FROM sh_v WHERE S = {(1 << k) - 1})
+    SELECT player,
+           round(CAST(num AS DOUBLE) / {float(kfact)!r}, 6) AS phi,
+           round(CAST(num AS DOUBLE)
+                 / ({float(kfact)!r} * CAST(vN AS DOUBLE)), 6) AS phi_share
+    FROM sh_phi CROSS JOIN sh_tot
+    ORDER BY phi DESC, player ASC"""

@@ -122,6 +122,9 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q264_seasonal_decompose",
     "q265_ewma_anomalies",
     "q266_hll_set_algebra",
+    "q267_source_ablation",
+    "q268_shapley_vocab",
+    "q269_hill_tail_index",
     "q253_naive_bayes",
     "q254_conformal_coverage",
     "q255_dp_histogram",
@@ -11593,3 +11596,95 @@ def _init_q266() -> None:
 
 
 _init_q266()
+
+# --------------------------------------------------------------------
+# q267 — leave-one-source-out ablation scorecard
+# --------------------------------------------------------------------
+
+def _init_q267() -> None:
+    from ..functions import sampling as S7
+
+    @register(
+        "q267_source_ablation",
+        S7.source_ablation_sql("SELECT source, n_chars FROM documents"),
+        doc="Leave-one-out source ablation (functions/sampling.py "
+            "source_ablation): for every source at once, the corpus "
+            "mean doc length WITHOUT it via the subtraction trick "
+            "(total - part over one aggregate — the additive-metric "
+            "answer to 'which source drags the corpus', no k "
+            "passes). Positive delta = removing the source raises "
+            "the mean. Exact BIGINT sums; the q268 Shapley refines "
+            "this for the NON-additive coverage game.",
+    )
+    def q267_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select("source", "n_chars")
+        from ..functions.sampling import source_ablation
+
+        return source_ablation(docs)
+
+
+_init_q267()
+
+
+# --------------------------------------------------------------------
+# q268 — exact Shapley valuation of sources (vocabulary coverage)
+# --------------------------------------------------------------------
+
+def _init_q268() -> None:
+    from ..functions import sampling as S8
+
+    @register(
+        "q268_shapley_vocab",
+        S8.shapley_vocab_sql("documents"),
+        doc="EXACT Shapley data valuation (functions/sampling.py "
+            "shapley_vocab_coverage; Shapley 1953, Ghorbani-Zou "
+            "ICML'19 framing) on the vocabulary-coverage game: "
+            "v(S) = distinct tokens covered by coalition S, top-5 "
+            "sources play individually + 'other'. Coverage games "
+            "dodge the Monte-Carlo that general Shapley needs: one "
+            "scan folds the corpus to a (membership-mask -> count) "
+            "table, the 64-subset lattice is pure BIGINT arithmetic "
+            "(factorial weights inlined, ONE division by k!), and "
+            "efficiency sum(phi) = total vocab is unit-tested.",
+    )
+    def q268_shapley_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents")
+        from ..functions.sampling import shapley_vocab_coverage
+
+        return shapley_vocab_coverage(docs)
+
+
+_init_q268()
+
+
+# --------------------------------------------------------------------
+# q269 — Hill tail-index audit of order values
+# --------------------------------------------------------------------
+
+def _init_q269() -> None:
+    from ..functions import profile as P21
+
+    @register(
+        "q269_hill_tail_index",
+        P21.hill_oracle_sql(
+            "SELECT o_orderpriority, o_totalprice FROM orders",
+            "o_orderpriority", "o_totalprice",
+        ),
+        doc="Hill tail-index audit (functions/profile.py "
+            "hill_tail_index; Hill 1975): per order priority, "
+            "alpha = 1/mean(ln(x_(i)/x_(k+1))) over the top-200 "
+            "order values — alpha <= 2 means infinite variance and "
+            "every mean-based dashboard (q80, q91) is lying. "
+            "Top-(k+1) window per group, threshold row broadcast "
+            "back, round-12 decimal log sums.",
+    )
+    def q269_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderpriority", "o_totalprice"
+        )
+        from ..functions.profile import hill_tail_index
+
+        return hill_tail_index(o, "o_orderpriority", "o_totalprice")
+
+
+_init_q269()

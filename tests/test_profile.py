@@ -689,3 +689,24 @@ def test_ewma_single_day_group(spark):
     )
     (r,) = ewma_anomalies(df, "grp", "ts", "v").collect()
     assert (r.n_days, r.n_anomalies, r.final_ewma) == (1, 0, 7.5)
+
+
+def test_hill_recovers_pareto_alpha(spark):
+    from node_etl_spark.functions.profile import hill_tail_index
+
+    # exact Pareto(alpha=2) quantile grid: x_i = (1 - i/n)^(-1/2);
+    # Hill on the top-k of a Pareto sample estimates ~alpha
+    n = 5000
+    rows = [("g", (1.0 - i / n) ** -0.5) for i in range(n)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    (r,) = hill_tail_index(df, "grp", "x", k=500).collect()
+    assert r.k_used == 500
+    assert 1.7 < r.alpha < 2.3
+
+
+def test_hill_skips_small_groups(spark):
+    from node_etl_spark.functions.profile import hill_tail_index
+
+    rows = [("small", float(i + 1)) for i in range(50)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    assert hill_tail_index(df, "grp", "x", k=200).count() == 0

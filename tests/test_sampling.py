@@ -738,3 +738,59 @@ def test_waterfill_full_budget_keeps_everything(spark):
     out = {r.grp: r for r in waterfill_budget(df, budget_frac=1.0).collect()}
     assert out["a"].alloc == 5.0 and out["b"].alloc == 500.0
     assert all(r.kept_frac == 1.0 for r in out.values())
+
+
+def test_source_ablation_subtraction_math(spark):
+    from node_etl_spark.functions.sampling import source_ablation
+
+    rows = [("a", 10)] * 4 + [("b", 100)] * 1
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = {r.grp: r for r in source_ablation(df).collect()}
+    # corpus mean = 140/5 = 28; without a: 100/1; without b: 40/4
+    assert out["a"].loo_mean == 100.0 and out["a"].delta == 72.0
+    assert out["b"].loo_mean == 10.0 and out["b"].delta == -18.0
+    assert out["a"].share == 0.8
+
+
+def test_source_ablation_single_source_null_loo(spark):
+    from node_etl_spark.functions.sampling import source_ablation
+
+    df = spark.createDataFrame([("only", 5)], "source string, n_chars long")
+    (r,) = source_ablation(df).collect()
+    assert r.loo_mean is None and r.delta is None
+
+
+def test_shapley_efficiency_and_dummy_player(spark):
+    from node_etl_spark.functions.sampling import shapley_vocab_coverage
+
+    # s1 brings {a b}, s2 brings {b c}, s3 brings nothing new ({a})
+    rows = [
+        (1, "s1", "a b"),
+        (2, "s2", "b c"),
+        (3, "s3", "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.player: r for r in shapley_vocab_coverage(df, players=4).collect()}
+    # efficiency: total vocab = 3 = sum of phi
+    assert abs(sum(r.phi for r in out.values()) - 3.0) < 1e-6
+    # c is s2's alone -> phi(s2) strictly largest
+    assert out["s2"].phi == max(r.phi for r in out.values())
+    # symmetry sanity: every player covering a shared word gets
+    # a positive share (a appears in s1 and s3)
+    assert all(r.phi > 0 for r in out.values())
+
+
+def test_shapley_unique_coverage_dominates(spark):
+    from node_etl_spark.functions.sampling import shapley_vocab_coverage
+
+    # u has 5 unique words; v and w duplicate each other's 2 words:
+    # phi(u) = 5, phi(v) = phi(w) = 1
+    rows = [
+        (1, "u", "q w e r t"),
+        (2, "v", "x y"),
+        (3, "w", "x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.player: r.phi for r in shapley_vocab_coverage(df, players=4).collect()}
+    assert out["u"] == 5.0
+    assert out["v"] == out["w"] == 1.0
