@@ -239,6 +239,9 @@ HEADLINE = [
     "q267_source_ablation",
     "q268_shapley_vocab",
     "q269_hill_tail_index",
+    "q270_kcenter_coreset",
+    "q271_matched_att",
+    "q272_diff_in_diff",
 ]
 
 

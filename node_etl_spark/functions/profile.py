@@ -3354,3 +3354,254 @@ def hill_oracle_sql(
                 THEN round(CAST(k_used AS DOUBLE) / CAST(slog AS DOUBLE), 6)
            END AS alpha
     FROM hl_a"""
+
+
+# --------------------------------------------------------------------
+# Causal estimates from observational logs: matching ATT and DiD
+# --------------------------------------------------------------------
+
+def matched_att(
+    units: DataFrame,
+    treat_col: str = "treated",
+    score_col: str = "score",
+    outcome_col: str = "y",
+    id_col: str = "uid",
+) -> DataFrame:
+    """Nearest-neighbor matching estimate of the average treatment
+    effect on the treated (Rubin 1973 matching family): each
+    treated unit is matched WITH REPLACEMENT to the control unit
+    nearest on the 1-D balancing score, and ATT = mean over treated
+    of (y_t - y_matched_control). Equidistant scores break toward
+    the smaller control id; within a score the representative
+    control is the (uid, y)-smallest — both deterministic.
+
+    Scale shape: matching happens on the DISTINCT-SCORE axis, not
+    the unit axis — controls collapse to one min-struct
+    representative per score, treated contribute their distinct
+    scores, and the prev/next-control carry (the q99 LOCF frames)
+    runs over that score-level frame (bounded by the score range,
+    thousands of rows at any corpus size, never a corpus-sized
+    single-partition window). Treated units then pick up their
+    match with one broadcast join on score. Integer scores and
+    outcomes keep every delta exact; one division at the end,
+    rounded 6. Returns one row (n_treated, n_matched, att,
+    mean_y_treated, mean_y_control).
+    """
+    base = units.select(
+        F.col(id_col).alias("uid"),
+        F.col(score_col).cast("bigint").alias("score"),
+        F.col(outcome_col).cast("bigint").alias("y"),
+        F.col(treat_col).cast("int").alias("is_t"),
+    )
+    reps = (
+        base.filter(F.col("is_t") == 0)
+        .groupBy("score")
+        .agg(F.min(F.struct("uid", "y")).alias("c"))
+        .select("score", F.lit(0).alias("is_t"), "c")
+    )
+    tsc = (
+        base.filter(F.col("is_t") == 1)
+        .select("score")
+        .distinct()
+        .select("score", F.lit(1).alias("is_t"), F.lit(None).cast(
+            "struct<uid:bigint,y:bigint>"
+        ).alias("c"))
+    )
+    w = Window.orderBy("score", "is_t")
+    frame = reps.unionByName(tsc).select(
+        "score",
+        "is_t",
+        F.last(
+            F.when(F.col("is_t") == 0, F.struct("score", "c")),
+            ignorenulls=True,
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_c"),
+        F.first(
+            F.when(F.col("is_t") == 0, F.struct("score", "c")),
+            ignorenulls=True,
+        )
+        .over(w.rowsBetween(1, Window.unboundedFollowing))
+        .alias("next_c"),
+    )
+    pick_prev = (
+        F.when(F.col("next_c").isNull(), True)
+        .when(F.col("prev_c").isNull(), False)
+        .when(
+            F.abs(F.col("score") - F.col("prev_c.score"))
+            < F.abs(F.col("next_c.score") - F.col("score")),
+            True,
+        )
+        .when(
+            F.abs(F.col("score") - F.col("prev_c.score"))
+            > F.abs(F.col("next_c.score") - F.col("score")),
+            False,
+        )
+        .otherwise(F.col("prev_c.c.uid") < F.col("next_c.c.uid"))
+    )
+    decision = (
+        frame.filter(F.col("is_t") == 1)
+        .select(
+            "score",
+            F.when(pick_prev, F.col("prev_c.c"))
+            .otherwise(F.col("next_c.c"))
+            .alias("m"),
+        )
+        .filter(F.col("m").isNotNull())
+    )
+    matched = base.filter(F.col("is_t") == 1).join(
+        F.broadcast(decision), "score"
+    )
+    return matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_treated"),
+        F.count("m").cast("bigint").alias("n_matched"),
+        F.round(
+            F.sum(F.col("y") - F.col("m.y")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("att"),
+        F.round(
+            F.sum("y").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_y_treated"),
+        F.round(
+            F.sum(F.col("m.y")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_y_control"),
+    )
+
+
+def matched_att_sql(units_sql: str) -> str:
+    """DuckDB mirror of :func:`matched_att`. ``units_sql`` yields
+    (uid, score, y, treated)."""
+    return f"""
+    WITH ma_b AS (
+        SELECT uid, CAST(score AS BIGINT) AS score,
+               CAST(y AS BIGINT) AS y, CAST(treated AS INTEGER) AS is_t
+        FROM ({units_sql})),
+    ma_r AS (
+        SELECT score, 0 AS is_t,
+               MIN(struct_pack(uid := uid, y := y)) AS c
+        FROM ma_b WHERE is_t = 0 GROUP BY 1),
+    ma_ts AS (
+        SELECT DISTINCT score, 1 AS is_t,
+               CAST(NULL AS STRUCT(uid BIGINT, y BIGINT)) AS c
+        FROM ma_b WHERE is_t = 1),
+    ma_u AS (SELECT * FROM ma_r UNION ALL SELECT * FROM ma_ts),
+    ma_f AS (
+        SELECT score, is_t,
+               LAST_VALUE(CASE WHEN is_t = 0 THEN
+                       struct_pack(score := score, c := c) END IGNORE NULLS)
+                   OVER (ORDER BY score, is_t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_c,
+               FIRST_VALUE(CASE WHEN is_t = 0 THEN
+                       struct_pack(score := score, c := c) END IGNORE NULLS)
+                   OVER (ORDER BY score, is_t
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_c
+        FROM ma_u),
+    ma_d AS (
+        SELECT score,
+               CASE WHEN next_c IS NULL THEN prev_c.c
+                    WHEN prev_c IS NULL THEN next_c.c
+                    WHEN abs(score - prev_c.score)
+                         < abs(next_c.score - score) THEN prev_c.c
+                    WHEN abs(score - prev_c.score)
+                         > abs(next_c.score - score) THEN next_c.c
+                    WHEN prev_c.c.uid < next_c.c.uid THEN prev_c.c
+                    ELSE next_c.c END AS m
+        FROM ma_f WHERE is_t = 1),
+    ma_m AS (
+        SELECT b.uid, b.y, d.m
+        FROM ma_b b JOIN ma_d d USING (score)
+        WHERE b.is_t = 1 AND d.m IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+           CAST(COUNT(m) AS BIGINT) AS n_matched,
+           round(CAST(SUM(y - m.y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS att,
+           round(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS mean_y_treated,
+           round(CAST(SUM(m.y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS mean_y_control
+    FROM ma_m"""
+
+
+def diff_in_diff(
+    df: DataFrame,
+    unit_col: str,
+    treated_col: str,
+    post_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-period difference-in-differences (Card & Krueger 1994
+    canonical design): DiD = (T_post - T_pre) - (C_post - C_pre)
+    over per-unit-period outcome totals — the parallel-trends
+    subtraction that turns a before/after comparison into a
+    treatment estimate.
+
+    Input is row-level; the op aggregates to unit-period cells,
+    then to the four design cells (exact integer cent/micro sums),
+    and the DiD itself is three subtractions of round-6 cell means.
+    Returns one row per design cell PLUS the estimate columns
+    repeated, wide: (mean_t_pre, mean_t_post, mean_c_pre,
+    mean_c_post, did).
+    """
+    cells = (
+        df.groupBy(
+            F.col(unit_col).alias("u"),
+            F.col(treated_col).cast("int").alias("t"),
+            F.col(post_col).cast("int").alias("p"),
+        )
+        .agg(F.sum(F.col(value_col).cast("bigint")).alias("v"))
+        .groupBy("t", "p")
+        .agg(
+            F.round(
+                F.sum("v").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_v")
+        )
+    )
+    flat = cells.agg(
+        F.sum(F.when((F.col("t") == 1) & (F.col("p") == 0), F.col("mean_v"))).alias("mean_t_pre"),
+        F.sum(F.when((F.col("t") == 1) & (F.col("p") == 1), F.col("mean_v"))).alias("mean_t_post"),
+        F.sum(F.when((F.col("t") == 0) & (F.col("p") == 0), F.col("mean_v"))).alias("mean_c_pre"),
+        F.sum(F.when((F.col("t") == 0) & (F.col("p") == 1), F.col("mean_v"))).alias("mean_c_post"),
+    )
+    return flat.select(
+        "mean_t_pre",
+        "mean_t_post",
+        "mean_c_pre",
+        "mean_c_post",
+        F.round(
+            (F.col("mean_t_post") - F.col("mean_t_pre"))
+            - (F.col("mean_c_post") - F.col("mean_c_pre")),
+            6,
+        ).alias("did"),
+    )
+
+
+def diff_in_diff_sql(rows_sql: str) -> str:
+    """DuckDB mirror of :func:`diff_in_diff`. ``rows_sql`` yields
+    (u, treated, post, v) row-level."""
+    return f"""
+    WITH dd_u AS (
+        SELECT u, CAST(treated AS INTEGER) AS t,
+               CAST(post AS INTEGER) AS p,
+               CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS v
+        FROM ({rows_sql}) GROUP BY 1, 2, 3),
+    dd_c AS (
+        SELECT t, p,
+               round(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS mean_v
+        FROM dd_u GROUP BY 1, 2),
+    dd_f AS (
+        SELECT SUM(CASE WHEN t = 1 AND p = 0 THEN mean_v END) AS mean_t_pre,
+               SUM(CASE WHEN t = 1 AND p = 1 THEN mean_v END) AS mean_t_post,
+               SUM(CASE WHEN t = 0 AND p = 0 THEN mean_v END) AS mean_c_pre,
+               SUM(CASE WHEN t = 0 AND p = 1 THEN mean_v END) AS mean_c_post
+        FROM dd_c)
+    SELECT mean_t_pre, mean_t_post, mean_c_pre, mean_c_post,
+           round((mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre), 6)
+               AS did
+    FROM dd_f"""

@@ -2777,3 +2777,138 @@ def knn_label_eval_oracle_sql(
            CAST(COUNT(*) AS BIGINT) AS n
     FROM pred p JOIN {table} tl ON tl.vec_id = p.query_id
     GROUP BY 1, 2"""
+
+
+# --------------------------------------------------------------------
+# Gonzalez k-center coreset selection (exact integer-grid distances)
+# --------------------------------------------------------------------
+
+def kcenter_select(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center / farthest-point coreset selection (Gonzalez
+    1985, the 2-approximation every diverse-sample and
+    coreset-seeding pipeline leans on): start from the smallest id,
+    then ``k - 1`` times pick the point farthest from the selected
+    set. The selected rows are the maximally-spread skeleton of the
+    embedding space — seeds for q133's k-means, probes for recall
+    audits, a diversity-first eval slice.
+
+    Cross-engine exactness: components quantize once to the 1e6
+    integer grid, so every squared distance is a pure BIGINT sum
+    (64 dims x (2e6)^2 ~ 2.6e14, far inside int64) — no float
+    enters the argmax, and ties break on the smaller id. Each round
+    is ONE row-local zip-fold against the newest center inlined as
+    a 64-int literal array (no join, no shuffle) plus one max
+    reduction; driver state is k rows of 64 ints (a bounded
+    collect, the q133 pattern). Returns (rnd, vec_id, d2) — d2 the
+    squared grid distance to the previously-selected set (0 for the
+    seed), i.e. the covering radius as it tightens.
+    """
+    q = df.select(
+        F.col(id_col).alias("vid"),
+        F.expr(
+            f"transform({vec_col}, x ->"
+            " CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT))"
+        ).alias("qv"),
+    ).localCheckpoint(eager=True)
+
+    first = q.agg(F.min("vid").alias("v")).collect()[0][0]
+    centers = [
+        (1, first, 0)
+    ]
+    seed_vec = q.filter(F.col("vid") == first).collect()[0]["qv"]
+    cur_vec = seed_vec
+
+    state = q.select("vid", "qv", F.lit(None).cast("bigint").alias("dmin"))
+    for rnd in range(2, int(k) + 1):
+        carr = F.array(*[F.lit(int(c)) for c in cur_vec])
+        dist = F.expr(
+            "aggregate(zip_with(qv, __c, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, e) -> acc + e)"
+        )
+        state = (
+            state.withColumn("__c", carr)
+            .select(
+                "vid",
+                "qv",
+                F.least(
+                    F.coalesce("dmin", F.lit((1 << 62))), dist
+                ).alias("dmin"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        far = (
+            state.agg(
+                F.max(F.struct(F.col("dmin"), (-F.col("vid")).alias("nv")))
+                .alias("m")
+            )
+            .select(F.col("m.dmin").alias("d"), (-F.col("m.nv")).alias("v"))
+            .collect()[0]
+        )
+        centers.append((rnd, far["v"], far["d"]))
+        cur_vec = q.filter(F.col("vid") == far["v"]).collect()[0]["qv"]
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        centers, "rnd int, vec_id bigint, d2 bigint"
+    ).orderBy("rnd")
+
+
+def kcenter_oracle_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    id_: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    """DuckDB mirror of :func:`kcenter_select` — the same greedy
+    walk unrolled as one long-form CTE chain per round (the oracle
+    optimizes for obviousness, not speed)."""
+    head = f"""
+    WITH kc_l AS (
+        SELECT {id_} AS vid, CAST(t.i AS INTEGER) AS i,
+               CAST(round(CAST(e[t.i + 1] AS DOUBLE) * 1e6, 0) AS BIGINT)
+                   AS q
+        FROM (SELECT {id_}, {vec} AS e FROM {table}) b,
+             unnest(range(len(e))) AS t(i)),
+    kc_c1 AS (SELECT MIN(vid) AS v FROM kc_l)"""
+    parts = [head]
+    prev_d = None
+    for r in range(2, int(k) + 1):
+        pc = f"kc_c{r - 1}"
+        dn = f"kc_dn{r}"
+        dm = f"kc_d{r}"
+        cn = f"kc_c{r}"
+        parts.append(f""",
+    {dn} AS (
+        SELECT l.vid, CAST(SUM((l.q - c.q) * (l.q - c.q)) AS BIGINT) AS d
+        FROM kc_l l
+        JOIN kc_l c ON c.i = l.i AND c.vid = (SELECT v FROM {pc})
+        GROUP BY 1)""")
+        if prev_d is None:
+            parts.append(f""",
+    {dm} AS (SELECT vid, d AS dmin FROM {dn})""")
+        else:
+            parts.append(f""",
+    {dm} AS (
+        SELECT p.vid, least(p.dmin, n.d) AS dmin
+        FROM {prev_d} p JOIN {dn} n USING (vid))""")
+        parts.append(f""",
+    {cn} AS (
+        SELECT vid AS v, dmin AS d FROM {dm}
+        ORDER BY dmin DESC, vid ASC LIMIT 1)""")
+        prev_d = dm
+    sel = [
+        f"SELECT 1 AS rnd, (SELECT v FROM kc_c1) AS vec_id,"
+        f" CAST(0 AS BIGINT) AS d2"
+    ]
+    for r in range(2, int(k) + 1):
+        sel.append(
+            f"SELECT {r} AS rnd, v AS vec_id, d AS d2 FROM kc_c{r}"
+        )
+    parts.append("\n    " + "\n    UNION ALL\n    ".join(sel))
+    parts.append("\n    ORDER BY rnd")
+    return "".join(parts)

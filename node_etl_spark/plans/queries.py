@@ -125,6 +125,9 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q267_source_ablation",
     "q268_shapley_vocab",
     "q269_hill_tail_index",
+    "q270_kcenter_coreset",
+    "q271_matched_att",
+    "q272_diff_in_diff",
     "q253_naive_bayes",
     "q254_conformal_coverage",
     "q255_dp_histogram",
@@ -11688,3 +11691,142 @@ def _init_q269() -> None:
 
 
 _init_q269()
+
+# --------------------------------------------------------------------
+# q270 — Gonzalez k-center coreset over the embedding table
+# --------------------------------------------------------------------
+
+def _init_q270() -> None:
+    from ..functions.similarity import kcenter_oracle_sql
+
+    @register(
+        "q270_kcenter_coreset",
+        kcenter_oracle_sql("embeddings", k=8),
+        doc="Greedy k-center coreset selection (functions/"
+            "similarity.py kcenter_select; Gonzalez 1985 farthest-"
+            "point 2-approximation): 8 maximally-spread embedding "
+            "rows as seeds/probes/diversity slices. Squared "
+            "distances are pure BIGINT sums on the 1e6 integer "
+            "grid — no float in the argmax — each round one "
+            "row-local zip-fold against the newest center inlined "
+            "as a literal array (no join) plus one max reduction; "
+            "ties break on the smaller id. Oracle unrolls the same "
+            "walk as long-form CTEs.",
+    )
+    def q270_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = table(spark, sf_dir, "embeddings")
+        from ..functions.similarity import kcenter_select
+
+        return kcenter_select(emb, k=8)
+
+
+_init_q270()
+
+# --------------------------------------------------------------------
+# q271 — matched ATT: does purchasing associate with higher spend?
+# --------------------------------------------------------------------
+
+_Q271_UNITS_SQL = """
+        SELECT user_id AS uid,
+               CAST(COUNT(*) AS BIGINT) AS score,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS y,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS INTEGER) AS treated
+        FROM events GROUP BY 1"""
+
+
+def _init_q271() -> None:
+    from ..functions import profile as P22
+
+    @register(
+        "q271_matched_att",
+        P22.matched_att_sql(_Q271_UNITS_SQL),
+        doc="Nearest-neighbor matching ATT (functions/profile.py "
+            "matched_att; Rubin 1973): per-user outcome (total value "
+            "cents) of purchasers vs activity-matched non-purchasers "
+            "— the observational answer to 'what does purchasing "
+            "add, net of being active'. Matching runs on the "
+            "DISTINCT-SCORE axis (controls collapse to a min-struct "
+            "representative per activity level; the LOCF prev/next "
+            "carry is over thousands of score rows at any corpus "
+            "size), treated units re-join by score broadcast.",
+    )
+    def q271_matched_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        units = ev.groupBy(F.col("user_id").alias("uid")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("score"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("treated"),
+        )
+        from ..functions.profile import matched_att
+
+        return matched_att(units)
+
+
+_init_q271()
+
+
+# --------------------------------------------------------------------
+# q272 — difference-in-differences on early signups
+# --------------------------------------------------------------------
+
+def _init_q272() -> None:
+    from ..functions import profile as P23
+
+    _rows_sql = """
+        SELECT e.user_id AS u,
+               CASE WHEN s.user_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS treated,
+               CASE WHEN CAST(e.ts AS DATE) >= DATE '2024-01-16'
+                    THEN 1 ELSE 0 END AS post,
+               CAST(round(e.value * 100, 0) AS BIGINT) AS v
+        FROM events e
+        LEFT JOIN (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'signup'
+                     AND CAST(ts AS DATE) < DATE '2024-01-16') s
+          ON s.user_id = e.user_id"""
+
+    @register(
+        "q272_diff_in_diff",
+        P23.diff_in_diff_sql(_rows_sql),
+        doc="Two-period difference-in-differences (functions/"
+            "profile.py diff_in_diff; Card-Krueger 1994 design): "
+            "users who signed up in the first half of January are "
+            "the treated cohort; DiD = (T_post - T_pre) - (C_post - "
+            "C_pre) over per-user-period value totals (exact cents) "
+            "— the parallel-trends subtraction that q98-style "
+            "before/after cohort reads skip. Three aggregates, all "
+            "dimension-sized after the first.",
+    )
+    def q272_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        signups = (
+            ev.filter(
+                (F.col("event_type") == "signup")
+                & (F.to_date("ts") < F.lit("2024-01-16"))
+            )
+            .select("user_id")
+            .distinct()
+            .withColumn("__t", F.lit(1))
+        )
+        rows = ev.join(F.broadcast(signups), "user_id", "left").select(
+            F.col("user_id").alias("u"),
+            F.coalesce("__t", F.lit(0)).alias("treated"),
+            (F.to_date("ts") >= F.lit("2024-01-16")).cast("int").alias(
+                "post"
+            ),
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        )
+        from ..functions.profile import diff_in_diff
+
+        return diff_in_diff(rows, "u", "treated", "post", "v")
+
+
+_init_q272()

@@ -710,3 +710,79 @@ def test_hill_skips_small_groups(spark):
     rows = [("small", float(i + 1)) for i in range(50)]
     df = spark.createDataFrame(rows, "grp string, x double")
     assert hill_tail_index(df, "grp", "x", k=200).count() == 0
+
+
+def test_matched_att_hand_example(spark):
+    from node_etl_spark.functions.profile import matched_att
+
+    # treated u1 (score 10, y 100) -> nearest control c1 (score 9,
+    # y 40); treated u2 (score 3, y 50) -> exact-score control c2
+    # (score 3, y 30); att = ((100-40) + (50-30))/2 = 40
+    rows = [
+        (1, 10, 100, 1),
+        (2, 3, 50, 1),
+        (101, 9, 40, 0),
+        (102, 3, 30, 0),
+        (103, 30, 999, 0),
+    ]
+    df = spark.createDataFrame(rows, "uid long, score long, y long, treated int")
+    (r,) = matched_att(df).collect()
+    assert r.n_treated == 2 and r.n_matched == 2
+    assert r.att == 40.0
+    assert r.mean_y_treated == 75.0 and r.mean_y_control == 35.0
+
+
+def test_matched_att_equidistant_breaks_to_smaller_uid(spark):
+    from node_etl_spark.functions.profile import matched_att
+
+    # controls at scores 4 and 6 equidistant from treated score 5:
+    # pick uid-smaller control (uid 50, y 7)
+    rows = [
+        (1, 5, 10, 1),
+        (50, 4, 7, 0),
+        (60, 6, 100, 0),
+    ]
+    df = spark.createDataFrame(rows, "uid long, score long, y long, treated int")
+    (r,) = matched_att(df).collect()
+    assert r.att == 3.0
+
+
+def test_matched_att_no_controls_empty_mean(spark):
+    from node_etl_spark.functions.profile import matched_att
+
+    df = spark.createDataFrame(
+        [(1, 5, 10, 1)], "uid long, score long, y long, treated int"
+    )
+    (r,) = matched_att(df).collect()
+    assert r.n_treated == 0  # no matched rows -> empty aggregate
+
+
+def test_diff_in_diff_hand_cells(spark):
+    from node_etl_spark.functions.profile import diff_in_diff
+
+    # T: pre means 10, post 30 (delta 20); C: pre 5, post 10 (5)
+    rows = [
+        ("t1", 1, 0, 10), ("t1", 1, 1, 30),
+        ("c1", 0, 0, 5), ("c1", 0, 1, 10),
+    ]
+    df = spark.createDataFrame(rows, "u string, treated int, post int, v long")
+    (r,) = diff_in_diff(df, "u", "treated", "post", "v").collect()
+    assert (r.mean_t_pre, r.mean_t_post) == (10.0, 30.0)
+    assert (r.mean_c_pre, r.mean_c_post) == (5.0, 10.0)
+    assert r.did == 15.0
+
+
+def test_diff_in_diff_sums_within_unit_period(spark):
+    from node_etl_spark.functions.profile import diff_in_diff
+
+    # two treated units with multiple rows per period aggregate
+    # before averaging: T pre means = (4, 6) -> 5
+    rows = [
+        ("a", 1, 0, 2), ("a", 1, 0, 2), ("b", 1, 0, 6),
+        ("a", 1, 1, 9), ("b", 1, 1, 11),
+        ("c", 0, 0, 1), ("c", 0, 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "u string, treated int, post int, v long")
+    (r,) = diff_in_diff(df, "u", "treated", "post", "v").collect()
+    assert r.mean_t_pre == 5.0 and r.mean_t_post == 10.0
+    assert r.did == 5.0

@@ -649,3 +649,41 @@ def test_knn_label_eval_majority_tiebreak(spark):
     out = S.knn_label_eval(df, df.filter("vec_id = 2"), k=2).collect()
     (r,) = out
     assert r.true_label == 3 and r.pred_label == 3  # min label wins tie
+
+
+def test_kcenter_picks_spread_points(spark):
+    from node_etl_spark.functions.similarity import kcenter_select
+
+    # three tight clusters on a line at 0, 100, 200 (+ jitter); k=3
+    # must pick one point from each cluster, seeded at min id
+    import itertools
+
+    rows = []
+    vid = 0
+    for base in (0.0, 100.0, 200.0):
+        for j in range(5):
+            rows.append((vid, [base + 0.1 * j] + [0.0] * 3))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kcenter_select(df, k=3).collect()
+    assert [r.rnd for r in out] == [1, 2, 3]
+    picked = [r.vec_id for r in out]
+    assert picked[0] == 0  # seed = min id
+    clusters = {v // 5 for v in picked}
+    assert clusters == {0, 1, 2}
+    # the seed row reports d2 = 0; later rounds decrease or hold
+    assert out[0].d2 == 0
+    assert out[1].d2 >= out[2].d2
+
+
+def test_kcenter_integer_grid_exactness(spark):
+    from node_etl_spark.functions.similarity import kcenter_select
+
+    # distance between quantized [0.000001] and [0.000003] grids is
+    # (1-3)^2 = 4 exactly
+    df = spark.createDataFrame(
+        [(1, [0.000001, 0.0]), (2, [0.000003, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.rnd: r for r in kcenter_select(df, k=2).collect()}
+    assert out[2].vec_id == 2 and out[2].d2 == 4
