@@ -242,6 +242,7 @@ HEADLINE = [
     "q270_kcenter_coreset",
     "q271_matched_att",
     "q272_diff_in_diff",
+    "q273_bootstrap_ci",
 ]
 
 

@@ -3605,3 +3605,185 @@ def diff_in_diff_sql(rows_sql: str) -> str:
            round((mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre), 6)
                AS did
     FROM dd_f"""
+
+
+# --------------------------------------------------------------------
+# Poisson bootstrap confidence intervals (seeded, one pass)
+# --------------------------------------------------------------------
+
+def _poisson1_thresholds(kmax: int = 8) -> list[float]:
+    """Cumulative Poisson(1) thresholds P(X <= k), k = 0..kmax-1,
+    computed once in Python and inlined identically in both engines."""
+    import math
+
+    acc, out, term = 0.0, [], math.exp(-1.0)
+    for k in range(kmax):
+        acc += term
+        out.append(round(acc, 12))
+        term /= k + 1
+    return out
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    b: int = 100,
+    alpha: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Percentile bootstrap CI for the per-group mean via the
+    POISSON bootstrap (Hanley & MacGibbon 2006; the resampling that
+    works when data cannot be held or indexed on one machine —
+    each row independently receives a Poisson(1) multiplicity per
+    replicate, so one scan with a B-way explode yields all B
+    resampled means; no sampling with replacement over a shuffled
+    corpus). Weights come from the inverse CDF of a seeded md5
+    uniform, thresholds inlined from Python — the same
+    reproducibility contract as q255's DP noise.
+
+    The CI is the conservative order-statistic percentile: lo =
+    ceil(alpha/2 * B)-th smallest replicate mean, hi the mirrored
+    rank. Replicate means are single divides of exact decimal sums;
+    the rank window runs over B rows per group. Returns (grp, n,
+    mean_full, ci_lo, ci_hi).
+    """
+    th = _poisson1_thresholds()
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("rid"),
+        F.round(F.col(value_col).cast("double") * 1e6)
+        .cast("bigint")
+        .alias("vm"),
+    )
+    rep = base.select(
+        "grp",
+        "rid",
+        "vm",
+        F.explode(F.sequence(F.lit(0), F.lit(int(b) - 1))).alias("bi"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("rid").cast("string"),
+                        F.col("bi").cast("string"),
+                        F.lit(str(seed)),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 48))
+    )
+    w = F.lit(len(th))
+    for k in range(len(th) - 1, -1, -1):
+        w = F.when(u <= F.lit(th[k]), F.lit(k)).otherwise(w)
+    means = (
+        rep.select("grp", "bi", w.alias("w"), "vm")
+        .groupBy("grp", "bi")
+        .agg(
+            F.sum("w").cast("bigint").alias("sw"),
+            F.sum(F.expr("CAST(w AS BIGINT) * vm")).cast("bigint").alias("swv"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "grp",
+            F.round(
+                F.col("swv").cast("double")
+                / (F.col("sw").cast("double") * F.lit(1e6)),
+                6,
+            ).alias("m"),
+        )
+    )
+    import math as _math
+
+    lo_rank = max(1, _math.ceil(alpha / 2.0 * b))
+    hi_rank = b + 1 - lo_rank
+    wnd = Window.partitionBy("grp").orderBy("m")
+    ranked = means.select(
+        "grp", "m", F.row_number().over(wnd).alias("rk")
+    )
+    ci = ranked.groupBy("grp").agg(
+        F.max(F.when(F.col("rk") == lo_rank, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == hi_rank, F.col("m"))).alias("ci_hi"),
+    )
+    full = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum("vm").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e6)),
+            6,
+        ).alias("mean_full"),
+    )
+    return full.join(ci, "grp").select(
+        "grp", "n", "mean_full", "ci_lo", "ci_hi"
+    )
+
+
+def poisson_bootstrap_sql(
+    rows_sql: str,
+    group: str,
+    value: str,
+    id_: str,
+    b: int = 100,
+    alpha: float = 0.05,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of :func:`poisson_bootstrap_ci`."""
+    import math as _math
+
+    th = _poisson1_thresholds()
+    lo_rank = max(1, _math.ceil(alpha / 2.0 * b))
+    hi_rank = b + 1 - lo_rank
+    wcase = " ".join(
+        f"WHEN u <= {t!r} THEN {k}" for k, t in enumerate(th)
+    )
+    return f"""
+    WITH pb_b AS (
+        SELECT {group} AS grp, {id_} AS rid,
+               CAST(round(CAST({value} AS DOUBLE) * 1e6, 0) AS BIGINT)
+                   AS vm
+        FROM ({rows_sql})),
+    pb_r AS (
+        SELECT grp, rid, vm, t.bi
+        FROM pb_b, unnest(range({int(b)})) AS t(bi)),
+    pb_u AS (
+        SELECT grp, bi, vm,
+               CAST(CAST(('0x' || substring(md5(
+                   CAST(rid AS VARCHAR) || ':' || CAST(bi AS VARCHAR)
+                   || ':' || '{seed}'), 1, 12)) AS BIGINT) AS DOUBLE)
+               / {float(1 << 48)!r} AS u
+        FROM pb_r),
+    pb_w AS (
+        SELECT grp, bi, vm,
+               CASE {wcase} ELSE {len(th)} END AS w
+        FROM pb_u),
+    pb_m AS (
+        SELECT grp,
+               round(CAST(SUM(CAST(w AS BIGINT) * vm) AS DOUBLE)
+                     / (CAST(SUM(w) AS DOUBLE) * 1e6), 6) AS m
+        FROM pb_w GROUP BY grp, bi
+        HAVING SUM(w) > 0),
+    pb_k AS (
+        SELECT grp, m,
+               row_number() OVER (PARTITION BY grp ORDER BY m) AS rk
+        FROM pb_m),
+    pb_ci AS (
+        SELECT grp,
+               MAX(CASE WHEN rk = {lo_rank} THEN m END) AS ci_lo,
+               MAX(CASE WHEN rk = {hi_rank} THEN m END) AS ci_hi
+        FROM pb_k GROUP BY 1),
+    pb_f AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(SUM(vm) AS DOUBLE)
+                     / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_full
+        FROM pb_b GROUP BY 1)
+    SELECT f.grp, f.n, f.mean_full, c.ci_lo, c.ci_hi
+    FROM pb_f f JOIN pb_ci c USING (grp)"""

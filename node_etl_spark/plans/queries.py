@@ -128,6 +128,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q270_kcenter_coreset",
     "q271_matched_att",
     "q272_diff_in_diff",
+    "q273_bootstrap_ci",
     "q253_naive_bayes",
     "q254_conformal_coverage",
     "q255_dp_histogram",
@@ -11830,3 +11831,39 @@ def _init_q272() -> None:
 
 
 _init_q272()
+
+# --------------------------------------------------------------------
+# q273 — Poisson bootstrap CI for per-type mean event value
+# --------------------------------------------------------------------
+
+def _init_q273() -> None:
+    from ..functions import profile as P24
+
+    @register(
+        "q273_bootstrap_ci",
+        P24.poisson_bootstrap_sql(
+            "SELECT event_type, value, event_id FROM events",
+            "event_type", "value", "event_id",
+        ),
+        doc="Poisson bootstrap CI (functions/profile.py "
+            "poisson_bootstrap_ci; Hanley-MacGibbon 2006, the "
+            "resampling built for data that cannot sit on one "
+            "machine): every row draws a seeded Poisson(1) "
+            "multiplicity per replicate, so ONE scan with a 100-way "
+            "explode yields all resampled means — no with-"
+            "replacement sampling over a shuffled corpus. "
+            "Conservative order-statistic percentile CI; thresholds "
+            "and weights inlined from Python like q255's noise. "
+            "Puts uncertainty bars on every mean this catalog "
+            "reports.",
+    )
+    def q273_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events").select(
+            "event_type", "value", "event_id"
+        )
+        from ..functions.profile import poisson_bootstrap_ci
+
+        return poisson_bootstrap_ci(ev, "event_type", "value", "event_id")
+
+
+_init_q273()

@@ -786,3 +786,39 @@ def test_diff_in_diff_sums_within_unit_period(spark):
     (r,) = diff_in_diff(df, "u", "treated", "post", "v").collect()
     assert r.mean_t_pre == 5.0 and r.mean_t_post == 10.0
     assert r.did == 5.0
+
+
+def test_bootstrap_ci_brackets_the_mean(spark):
+    from node_etl_spark.functions.profile import poisson_bootstrap_ci
+
+    rows = [("g", float(10 + (i % 21)), i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, v double, rid long")
+    (r,) = poisson_bootstrap_ci(df, "grp", "v", "rid").collect()
+    assert r.n == 2000
+    # mean of 10..30 uniform-ish grid = 20; CI must bracket the
+    # full-sample mean and be tight at n=2000
+    assert r.ci_lo <= r.mean_full <= r.ci_hi
+    assert r.ci_hi - r.ci_lo < 2.0
+    assert abs(r.mean_full - 20.0) < 0.5
+
+
+def test_bootstrap_ci_deterministic_across_runs(spark):
+    from node_etl_spark.functions.profile import poisson_bootstrap_ci
+
+    rows = [("g", float(i), i) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, v double, rid long")
+    a = poisson_bootstrap_ci(df, "grp", "v", "rid", b=50).collect()[0]
+    b_ = poisson_bootstrap_ci(df, "grp", "v", "rid", b=50).collect()[0]
+    assert (a.ci_lo, a.ci_hi) == (b_.ci_lo, b_.ci_hi)
+
+
+def test_poisson_thresholds_are_poisson1(spark):
+    import math
+
+    from node_etl_spark.functions.profile import _poisson1_thresholds
+
+    th = _poisson1_thresholds()
+    # P(X<=0) = e^-1, P(X<=1) = 2e^-1; mass covered > 0.99999
+    assert abs(th[0] - math.exp(-1)) < 1e-9
+    assert abs(th[1] - 2 * math.exp(-1)) < 1e-9
+    assert th[-1] > 0.99999
