@@ -3657,34 +3657,47 @@ def poisson_bootstrap_ci(
         .cast("bigint")
         .alias("vm"),
     )
+    # md5 is the hot path: one hash serves FOUR replicates (4 x 32
+    # exact uniform bits from the 32-hex digest), so the explode is
+    # b/4-way, not b-way — measured 4x on the sf1 leg
+    nh = (int(b) + 3) // 4
     rep = base.select(
         "grp",
         "rid",
         "vm",
-        F.explode(F.sequence(F.lit(0), F.lit(int(b) - 1))).alias("bi"),
-    )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.col("rid").cast("string"),
-                        F.col("bi").cast("string"),
-                        F.lit(str(seed)),
-                    )
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(1 << 48))
+        F.explode(F.sequence(F.lit(0), F.lit(nh - 1))).alias("hb"),
+    ).select(
+        "grp",
+        "vm",
+        "hb",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("rid").cast("string"),
+                F.col("hb").cast("string"),
+                F.lit(str(seed)),
+            )
+        ).alias("h"),
+    ).select(
+        "grp",
+        "vm",
+        "hb",
+        "h",
+        F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("lane"),
+    ).filter(F.col("hb") * 4 + F.col("lane") < int(b)).select(
+        "grp",
+        "vm",
+        (F.col("hb") * 4 + F.col("lane")).alias("bi"),
+        (
+            F.conv(
+                F.expr("substring(h, lane * 8 + 1, 8)"), 16, 10
+            ).cast("double")
+            / F.lit(float(1 << 32))
+        ).alias("u"),
     )
     w = F.lit(len(th))
     for k in range(len(th) - 1, -1, -1):
-        w = F.when(u <= F.lit(th[k]), F.lit(k)).otherwise(w)
+        w = F.when(F.col("u") <= F.lit(th[k]), F.lit(k)).otherwise(w)
     means = (
         rep.select("grp", "bi", w.alias("w"), "vm")
         .groupBy("grp", "bi")
@@ -3751,16 +3764,17 @@ def poisson_bootstrap_sql(
                CAST(round(CAST({value} AS DOUBLE) * 1e6, 0) AS BIGINT)
                    AS vm
         FROM ({rows_sql})),
-    pb_r AS (
-        SELECT grp, rid, vm, t.bi
-        FROM pb_b, unnest(range({int(b)})) AS t(bi)),
+    pb_h AS MATERIALIZED (
+        SELECT grp, vm, t.hb,
+               md5(CAST(rid AS VARCHAR) || ':' || CAST(t.hb AS VARCHAR)
+                   || ':' || '{seed}') AS h
+        FROM pb_b, unnest(range({(int(b) + 3) // 4})) AS t(hb)),
     pb_u AS (
-        SELECT grp, bi, vm,
-               CAST(CAST(('0x' || substring(md5(
-                   CAST(rid AS VARCHAR) || ':' || CAST(bi AS VARCHAR)
-                   || ':' || '{seed}'), 1, 12)) AS BIGINT) AS DOUBLE)
-               / {float(1 << 48)!r} AS u
-        FROM pb_r),
+        SELECT grp, hb * 4 + l.lane AS bi, vm,
+               CAST(CAST(('0x' || substring(h, l.lane * 8 + 1, 8))
+                         AS BIGINT) AS DOUBLE) / {float(1 << 32)!r} AS u
+        FROM pb_h, unnest(range(4)) AS l(lane)
+        WHERE hb * 4 + l.lane < {int(b)}),
     pb_w AS (
         SELECT grp, bi, vm,
                CASE {wcase} ELSE {len(th)} END AS w
