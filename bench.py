@@ -243,6 +243,9 @@ HEADLINE = [
     "q271_matched_att",
     "q272_diff_in_diff",
     "q273_bootstrap_ci",
+    "q274_uplift_deciles",
+    "q275_local_clustering",
+    "q276_rake_keyphrases",
 ]
 
 

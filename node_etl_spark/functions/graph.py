@@ -1641,3 +1641,153 @@ def adamic_adar_oracle_sql(
     SELECT a, b, common, aa_score FROM aa_s
     ORDER BY aa_score DESC, a, b
     LIMIT {int(top_n)}"""
+
+
+# --------------------------------------------------------------------
+# Per-node local clustering coefficients (top-k)
+# --------------------------------------------------------------------
+
+def local_clustering(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_degree: int = 2,
+    top_n: int = 50,
+) -> DataFrame:
+    """Per-node local clustering coefficient (Watts & Strogatz
+    1998): ``lcc(v) = triangles_at_v / C(deg v, 2)`` — how much of
+    each node's neighborhood is itself connected, the node-level
+    refinement of q160's single global number (a graph can have a
+    bland global coefficient while individual hubs are cliques or
+    stars).
+
+    Reuses the degree-oriented wedge join (Cohen'09): each triangle
+    is found once at its lowest-degree corner and credited to ALL
+    THREE corners with one integer unpivot — no per-node wedge
+    enumeration, so the skew bound of the global count carries
+    over. Returns the ``top_n`` nodes by (lcc desc, node asc)
+    among those with degree >= ``min_degree``; lcc is an integer
+    ratio rounded 6. Columns (node, deg, tri, lcc).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | (
+                    (F.col("deg_a") == F.col("deg_b"))
+                    & (F.col("a") < F.col("b"))
+                ),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    w1, w2 = oriented.alias("x"), oriented.alias("y")
+    tri_corners = (
+        w1.join(
+            w2, (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v"))
+        )
+        .select(
+            F.col("x.u").alias("c0"),
+            F.col("x.v").alias("p"),
+            F.col("y.v").alias("q"),
+        )
+        .join(
+            und.select(
+                F.col("a").alias("p"), F.col("b").alias("q")
+            ),
+            ["p", "q"],
+            "left_semi",
+        )
+        .select(
+            F.explode(F.array("c0", "p", "q")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tri"))
+    )
+    scored = (
+        deg.filter(F.col("deg") >= min_degree)
+        .join(tri_corners, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("tri", F.lit(0)).cast("bigint").alias("tri"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("tri", F.lit(0)).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+                6,
+            ).alias("lcc"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("lcc").desc(), F.col("node").asc())
+        .limit(int(top_n))
+    )
+
+
+def local_clustering_oracle_sql(
+    edges_sql: str,
+    min_degree: int = 2,
+    top_n: int = 50,
+) -> str:
+    """DuckDB mirror of :func:`local_clustering`."""
+    return f"""
+    WITH lc_raw AS ({edges_sql}),
+    lc_und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM lc_raw WHERE src <> dst),
+    lc_deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM lc_und UNION ALL SELECT b FROM lc_und)
+        GROUP BY 1),
+    lc_or AS (
+        SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END
+                   AS u,
+               CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END
+                   AS v
+        FROM lc_und u
+        JOIN lc_deg da ON da.node = u.a
+        JOIN lc_deg db ON db.node = u.b),
+    lc_tri AS (
+        SELECT x.u AS c0, x.v AS p, y.v AS q
+        FROM lc_or x JOIN lc_or y ON x.u = y.u AND x.v < y.v
+        WHERE EXISTS (SELECT 1 FROM lc_und
+                      WHERE a = least(x.v, y.v) AND b = greatest(x.v, y.v))),
+    lc_cn AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+            SELECT c0 AS node FROM lc_tri
+            UNION ALL SELECT p FROM lc_tri
+            UNION ALL SELECT q FROM lc_tri)
+        GROUP BY 1),
+    lc_s AS (
+        SELECT d.node, d.deg, COALESCE(c.tri, 0) AS tri,
+               round(2.0 * CAST(COALESCE(c.tri, 0) AS DOUBLE)
+                     / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) AS lcc
+        FROM lc_deg d LEFT JOIN lc_cn c USING (node)
+        WHERE d.deg >= {int(min_degree)})
+    SELECT node, deg, tri, lcc FROM lc_s
+    ORDER BY lcc DESC, node ASC
+    LIMIT {int(top_n)}"""

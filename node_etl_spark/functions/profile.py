@@ -3801,3 +3801,156 @@ def poisson_bootstrap_sql(
         FROM pb_b GROUP BY 1)
     SELECT f.grp, f.n, f.mean_full, c.ci_lo, c.ci_hi
     FROM pb_f f JOIN pb_ci c USING (grp)"""
+
+
+# --------------------------------------------------------------------
+# Uplift curve by score decile (qini-style targeting audit)
+# --------------------------------------------------------------------
+
+def uplift_deciles(
+    units: DataFrame,
+    treat_col: str = "treated",
+    score_col: str = "score",
+    outcome_col: str = "y",
+    id_col: str = "uid",
+    buckets: int = 10,
+) -> DataFrame:
+    """Cumulative uplift curve (Radcliffe 2007 qini family): rank
+    ALL units by targeting score descending, cut into deciles, and
+    report at each depth the cumulative treated-minus-control mean
+    outcome — "if we only acted on the top d/10, how much lift
+    would we bank". The targeting audit that decides whether q271's
+    average effect concentrates where a model says it does.
+
+    Scale shape: deciles come from the SCORE HISTOGRAM — decile of
+    score s = ceil(buckets * cum_users_through_s / N) on the
+    distinct-score frame — never an ntile window over the unit
+    axis; all users sharing a score share a decile by contract
+    (score-level granularity is the price of the corpus-safe plan,
+    and the honest one: a targeting rule cannot split ties it
+    cannot see). Cumulative sums run over the buckets-row frame.
+    Returns (decile, n_t, n_c, cum_rate_t, cum_rate_c, uplift).
+    """
+    base = units.select(
+        F.col(id_col).alias("uid"),
+        F.col(score_col).cast("bigint").alias("score"),
+        F.col(outcome_col).cast("bigint").alias("y"),
+        F.col(treat_col).cast("int").alias("is_t"),
+    )
+    hist = base.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wcum = Window.orderBy(F.col("score").desc())
+    n_tot = hist.agg(F.sum("n").cast("bigint").alias("nt"))
+    dec = (
+        hist.crossJoin(F.broadcast(n_tot))
+        .select(
+            "score",
+            F.ceil(
+                F.lit(buckets)
+                * F.sum("n").over(wcum).cast("double")
+                / F.col("nt").cast("double")
+            )
+            .cast("int")
+            .alias("decile"),
+        )
+    )
+    cells = (
+        base.join(F.broadcast(dec), "score")
+        .groupBy("decile")
+        .agg(
+            F.sum(F.when(F.col("is_t") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_t"),
+            F.sum(F.when(F.col("is_t") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_c"),
+            F.sum(F.when(F.col("is_t") == 1, F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("y_t"),
+            F.sum(F.when(F.col("is_t") == 0, F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("y_c"),
+        )
+    )
+    wd = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select(
+        "decile",
+        F.col("n_t"),
+        F.col("n_c"),
+        F.sum("n_t").over(wd).alias("ct_n"),
+        F.sum("n_c").over(wd).alias("cc_n"),
+        F.sum("y_t").over(wd).alias("ct_y"),
+        F.sum("y_c").over(wd).alias("cc_y"),
+    )
+    rate_t = F.when(
+        F.col("ct_n") > 0,
+        F.round(F.col("ct_y").cast("double") / F.col("ct_n").cast("double"), 6),
+    )
+    rate_c = F.when(
+        F.col("cc_n") > 0,
+        F.round(F.col("cc_y").cast("double") / F.col("cc_n").cast("double"), 6),
+    )
+    return cum.select(
+        "decile",
+        "n_t",
+        "n_c",
+        rate_t.alias("cum_rate_t"),
+        rate_c.alias("cum_rate_c"),
+        F.round(rate_t - rate_c, 6).alias("uplift"),
+    )
+
+
+def uplift_oracle_sql(units_sql: str, buckets: int = 10) -> str:
+    """DuckDB mirror of :func:`uplift_deciles`. ``units_sql`` yields
+    (uid, score, y, treated)."""
+    return f"""
+    WITH up_b AS (
+        SELECT uid, CAST(score AS BIGINT) AS score,
+               CAST(y AS BIGINT) AS y, CAST(treated AS INTEGER) AS is_t
+        FROM ({units_sql})),
+    up_h AS (
+        SELECT score, CAST(COUNT(*) AS BIGINT) AS n
+        FROM up_b GROUP BY 1),
+    up_d AS (
+        SELECT score,
+               CAST(ceil({int(buckets)}
+                   * CAST(SUM(n) OVER (ORDER BY score DESC) AS DOUBLE)
+                   / CAST((SELECT SUM(n) FROM up_h) AS DOUBLE))
+                   AS INTEGER) AS decile
+        FROM up_h),
+    up_c AS (
+        SELECT d.decile,
+               CAST(SUM(CASE WHEN b.is_t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_t,
+               CAST(SUM(CASE WHEN b.is_t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_c,
+               CAST(SUM(CASE WHEN b.is_t = 1 THEN b.y ELSE 0 END) AS BIGINT)
+                   AS y_t,
+               CAST(SUM(CASE WHEN b.is_t = 0 THEN b.y ELSE 0 END) AS BIGINT)
+                   AS y_c
+        FROM up_b b JOIN up_d d USING (score)
+        GROUP BY 1),
+    up_k AS (
+        SELECT decile, n_t, n_c,
+               SUM(n_t) OVER w AS ct_n, SUM(n_c) OVER w AS cc_n,
+               SUM(y_t) OVER w AS ct_y, SUM(y_c) OVER w AS cc_y
+        FROM up_c
+        WINDOW w AS (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT decile, n_t, n_c,
+           CASE WHEN ct_n > 0 THEN
+               round(CAST(ct_y AS DOUBLE) / CAST(ct_n AS DOUBLE), 6)
+           END AS cum_rate_t,
+           CASE WHEN cc_n > 0 THEN
+               round(CAST(cc_y AS DOUBLE) / CAST(cc_n AS DOUBLE), 6)
+           END AS cum_rate_c,
+           round(CASE WHEN ct_n > 0 THEN
+                     round(CAST(ct_y AS DOUBLE) / CAST(ct_n AS DOUBLE), 6)
+                 END
+                 - CASE WHEN cc_n > 0 THEN
+                     round(CAST(cc_y AS DOUBLE) / CAST(cc_n AS DOUBLE), 6)
+                 END, 6) AS uplift
+    FROM up_k"""

@@ -2409,3 +2409,202 @@ def chao1_vocab_sql(
            round(ch, 2) AS chao1,
            round(CAST(vocab AS DOUBLE) / ch, 6) AS coverage
     FROM c1_c"""
+
+
+# --------------------------------------------------------------------
+# RAKE keyphrase extraction (corpus-level)
+# --------------------------------------------------------------------
+
+RAKE_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "for",
+    "with", "is", "are", "was", "be", "by", "at", "as", "it", "that",
+    "this", "from", "but", "not", "have", "has",
+)
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 50,
+    max_phrase_words: int = 4,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010 "Automatic
+    keyword extraction from individual documents"): candidate
+    phrases are maximal stopword-free token runs; every content
+    word scores ``degree/frequency`` (degree = summed lengths of
+    the phrases it appears in), and a phrase scores the sum of its
+    words' scores — multi-word phrases float up, which is exactly
+    what the unigram TF-IDF pass (q126) cannot surface.
+
+    Scale shape: phrase ids come from a cumulative stopword-break
+    window PARTITIONED BY DOC (document-sized frames); word stats
+    and phrase aggregation are two hash aggregates. Scores are
+    exact integer ratios: phrase score = sum over member words of
+    deg_w/freq_w — accumulated as round-9 decimals of per-word
+    integer ratios. Phrases longer than ``max_phrase_words`` drop
+    (RAKE's standard guard against run-on garbage). Returns the
+    corpus top ``top_n``: (phrase, n_occur, score).
+    """
+    sw = F.array(*[F.lit(s) for s in RAKE_STOPWORDS])
+    # punctuation BREAKS phrases (Rose 2010 splits candidates at
+    # punctuation AND stopwords): segment on non-alnum runs first,
+    # then break segments at stopwords
+    segs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9\s]+")
+        ).alias("seg", "stext"),
+    )
+    toks = segs.select(
+        "doc_id",
+        "seg",
+        F.posexplode(
+            F.filter(F.split(F.col("stext"), r"\s+"), lambda t: t != "")
+        ).alias("pos", "tok"),
+    ).select(
+        "doc_id",
+        "seg",
+        "pos",
+        "tok",
+        F.array_contains(sw, F.col("tok")).cast("int").alias("brk"),
+    )
+    wp = Window.partitionBy("doc_id", "seg").orderBy("pos")
+    phrased = toks.select(
+        "doc_id",
+        F.col("seg"),
+        "pos",
+        "tok",
+        "brk",
+        F.sum("brk").over(
+            wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("pid0"),
+    ).filter(F.col("brk") == 0).select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.concat_ws("_", F.col("seg"), F.col("pid0")).alias("pid"),
+    )
+    # collect_list gives no ordering guarantee — sort by pos structs
+    # before joining tokens into the phrase (the q242 idiom)
+    phrases = (
+        phrased.groupBy("doc_id", "pid")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("plen"),
+            F.array_join(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(pos, tok))),"
+                    " x -> x.tok)"
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+        .filter(F.col("plen") <= max_phrase_words)
+    )
+    member = phrased.join(
+        phrases.select("doc_id", "pid", "plen"), ["doc_id", "pid"]
+    ).select("tok", "plen")
+    wstats = member.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    wscore = wstats.select(
+        "tok",
+        F.round(
+            F.col("deg").cast("double") / F.col("freq").cast("double"), 9
+        )
+        .cast("decimal(28,9)")
+        .alias("ws"),
+    )
+    pscore = (
+        phrased.join(phrases.select("doc_id", "pid"), ["doc_id", "pid"])
+        .join(wscore, "tok")
+        .groupBy("doc_id", "pid")
+        .agg(F.sum("ws").alias("score"))
+    )
+    final = (
+        phrases.join(pscore.select("doc_id", "pid", "score"), ["doc_id", "pid"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occur"),
+            F.max(F.col("score").cast("double")).alias("score"),
+        )
+    )
+    return (
+        final.select(
+            "phrase", "n_occur", F.round("score", 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("phrase").asc())
+        .limit(int(top_n))
+    )
+
+
+def rake_oracle_sql(
+    table_sql: str,
+    id_: str = "doc_id",
+    text: str = "text",
+    top_n: int = 50,
+    max_phrase_words: int = 4,
+) -> str:
+    """DuckDB mirror of :func:`rake_keyphrases`."""
+    sw = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    return f"""
+    WITH rk_sg AS (
+        SELECT {id_} AS doc_id, CAST(s.i AS INTEGER) AS seg,
+               sl[CAST(s.i AS INTEGER) + 1] AS stext
+        FROM (SELECT {id_}, string_split_regex(lower({text}),
+                         '[^a-z0-9\\s]+') AS sl
+              FROM {table_sql}) b,
+             unnest(range(len(sl))) AS s(i)),
+    rk_l AS (
+        SELECT doc_id, seg,
+               list_filter(string_split_regex(stext, '\\s+'),
+                           w -> w <> '') AS lst
+        FROM rk_sg),
+    rk_t AS (
+        SELECT doc_id, seg, CAST(t.i AS INTEGER) AS pos,
+               lst[CAST(t.i AS INTEGER) + 1] AS tok,
+               CASE WHEN lst[CAST(t.i AS INTEGER) + 1] IN ({sw})
+                    THEN 1 ELSE 0 END AS brk
+        FROM rk_l, unnest(range(len(lst))) AS t(i)),
+    rk_p AS (
+        SELECT doc_id, seg, tok, brk,
+               SUM(brk) OVER (PARTITION BY doc_id, seg ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS pid0,
+               pos
+        FROM rk_t),
+    rk_c AS (
+        SELECT doc_id, tok,
+               CAST(seg AS VARCHAR) || '_' || CAST(pid0 AS VARCHAR) AS pid,
+               pos
+        FROM rk_p WHERE brk = 0),
+    rk_ph AS (
+        SELECT doc_id, pid, CAST(COUNT(*) AS INTEGER) AS plen,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase
+        FROM rk_c GROUP BY 1, 2
+        HAVING COUNT(*) <= {int(max_phrase_words)}),
+    rk_m AS (
+        SELECT c.tok, p.plen
+        FROM rk_c c JOIN rk_ph p USING (doc_id, pid)),
+    rk_w AS (
+        SELECT tok,
+               CAST(round(CAST(SUM(plen) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE), 9)
+                    AS DECIMAL(28,9)) AS ws
+        FROM rk_m GROUP BY 1),
+    rk_ps AS (
+        SELECT c.doc_id, c.pid, SUM(w.ws) AS score
+        FROM rk_c c
+        JOIN rk_ph p USING (doc_id, pid)
+        JOIN rk_w w ON w.tok = c.tok
+        GROUP BY 1, 2),
+    rk_f AS (
+        SELECT p.phrase, CAST(COUNT(*) AS BIGINT) AS n_occur,
+               MAX(CAST(s.score AS DOUBLE)) AS score
+        FROM rk_ph p JOIN rk_ps s USING (doc_id, pid)
+        GROUP BY 1)
+    SELECT phrase, n_occur, round(score, 6) AS score
+    FROM rk_f
+    ORDER BY score DESC, phrase ASC
+    LIMIT {int(top_n)}"""

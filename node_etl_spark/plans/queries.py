@@ -129,6 +129,9 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q271_matched_att",
     "q272_diff_in_diff",
     "q273_bootstrap_ci",
+    "q274_uplift_deciles",
+    "q275_local_clustering",
+    "q276_rake_keyphrases",
     "q253_naive_bayes",
     "q254_conformal_coverage",
     "q255_dp_histogram",
@@ -11867,3 +11870,100 @@ def _init_q273() -> None:
 
 
 _init_q273()
+
+# --------------------------------------------------------------------
+# q274 — uplift by activity decile (qini-style targeting audit)
+# --------------------------------------------------------------------
+
+def _init_q274() -> None:
+    from ..functions import profile as P25
+
+    @register(
+        "q274_uplift_deciles",
+        P25.uplift_oracle_sql(_Q271_UNITS_SQL),
+        doc="Cumulative uplift curve (functions/profile.py "
+            "uplift_deciles; Radcliffe 2007 qini family): the q271 "
+            "cohorts ranked by activity score and cut into deciles "
+            "from the SCORE HISTOGRAM (never an ntile window over "
+            "the unit axis; equal scores share a decile by "
+            "contract), reporting cumulative treated-minus-control "
+            "mean outcome at each depth — does the q271 average "
+            "effect concentrate where the targeting score says.",
+    )
+    def q274_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        units = ev.groupBy(F.col("user_id").alias("uid")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("score"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("treated"),
+        )
+        from ..functions.profile import uplift_deciles
+
+        return uplift_deciles(units)
+
+
+_init_q274()
+
+
+# --------------------------------------------------------------------
+# q275 — per-part local clustering coefficients
+# --------------------------------------------------------------------
+
+def _init_q275() -> None:
+    from ..functions.graph import local_clustering_oracle_sql
+
+    @register(
+        "q275_local_clustering",
+        local_clustering_oracle_sql(_PART_EDGES2_SQL),
+        doc="Per-node local clustering (functions/graph.py "
+            "local_clustering; Watts-Strogatz 1998): top-50 parts "
+            "by neighborhood density on the co-purchase graph — the "
+            "node-level refinement of q160's one global number. "
+            "Each triangle is found ONCE at its lowest-degree "
+            "corner (the same Cohen'09 orientation that bounds hub "
+            "skew) and credited to all three corners by an integer "
+            "unpivot; lcc = 2*tri/(deg*(deg-1)) exact-ratio.",
+    )
+    def q275_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.graph import local_clustering
+
+        edges = _part_cooccur(spark, sf_dir, min_cnt=2).select("src", "dst")
+        return local_clustering(edges)
+
+
+_init_q275()
+
+
+# --------------------------------------------------------------------
+# q276 — RAKE corpus keyphrases
+# --------------------------------------------------------------------
+
+def _init_q276() -> None:
+    from ..functions.text import rake_oracle_sql
+
+    @register(
+        "q276_rake_keyphrases",
+        rake_oracle_sql("documents"),
+        doc="RAKE keyphrase extraction (functions/text.py "
+            "rake_keyphrases; Rose 2010): maximal stopword-free "
+            "token runs scored by summed word degree/frequency — "
+            "the multi-word phrases q126's unigram TF-IDF cannot "
+            "surface. Phrase ids from a per-document cumulative "
+            "break window; word stats are two hash aggregates; "
+            "phrase text assembled by position-sorted structs "
+            "(collect_list alone guarantees no order).",
+    )
+    def q276_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents")
+        from ..functions.text import rake_keyphrases
+
+        return rake_keyphrases(docs)
+
+
+_init_q276()

@@ -560,3 +560,28 @@ def test_adamic_adar_hub_exclusion(spark):
     )
     assert adamic_adar(edges, max_degree=3).count() == 0
     assert adamic_adar(edges, max_degree=5).count() == 10
+
+
+def test_local_clustering_triangle_plus_tail(spark):
+    from node_etl_spark.functions.graph import local_clustering
+
+    # triangle 1-2-3 plus pendant 3-4: lcc(1)=lcc(2)=1.0,
+    # lcc(3)= 2*1/(3*2) = 1/3; node 4 has deg 1 -> filtered
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    out = {r.node: r for r in local_clustering(edges).collect()}
+    assert out[1].lcc == 1.0 and out[2].lcc == 1.0
+    assert abs(out[3].lcc - 1 / 3) < 1e-6
+    assert 4 not in out
+    assert out[3].tri == 1 and out[3].deg == 3
+
+
+def test_local_clustering_star_is_zero(spark):
+    from node_etl_spark.functions.graph import local_clustering
+
+    edges = spark.createDataFrame(
+        [(9, i) for i in range(1, 5)], "src long, dst long"
+    )
+    out = {r.node: r for r in local_clustering(edges).collect()}
+    assert out[9].lcc == 0.0 and out[9].tri == 0

@@ -822,3 +822,34 @@ def test_poisson_thresholds_are_poisson1(spark):
     assert abs(th[0] - math.exp(-1)) < 1e-9
     assert abs(th[1] - 2 * math.exp(-1)) < 1e-9
     assert th[-1] > 0.99998
+
+
+def test_uplift_concentrates_in_top_decile(spark):
+    from node_etl_spark.functions.profile import uplift_deciles
+
+    # scores 100..1: top-20 scores treated with y=100, control y=0;
+    # deeper deciles all y=0 -> uplift at decile 2 = 100, decays as
+    # zero-effect depth is added
+    rows = []
+    for i in range(100):
+        score = 100 - i
+        treated = 1 if i % 2 == 0 else 0
+        y = 100 if (i < 20 and treated) else 0
+        rows.append((i, score, y, treated))
+    df = spark.createDataFrame(rows, "uid long, score long, y long, treated int")
+    out = {r.decile: r for r in uplift_deciles(df).collect()}
+    assert out[2].uplift == 100.0
+    assert out[10].uplift == 20.0  # 10 of 50 treated carry 100
+    # n_t/n_c are per-decile; cumulative counts are the rate bases
+    assert sum(r.n_t for r in out.values()) == 50
+    assert sum(r.n_c for r in out.values()) == 50
+
+
+def test_uplift_score_ties_share_decile(spark):
+    from node_etl_spark.functions.profile import uplift_deciles
+
+    # all units share one score -> single decile row at bucket 10
+    rows = [(i, 5, i % 2, i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "uid long, score long, y long, treated int")
+    out = uplift_deciles(df).collect()
+    assert len(out) == 1 and out[0].decile == 10

@@ -823,3 +823,36 @@ def test_chao1_saturated_vocab_reports_full_coverage(spark):
     )
     (r,) = chao1_vocab(df).collect()
     assert r.f1 == 0 and r.chao1 == float(r.vocab) and r.coverage == 1.0
+
+
+def test_rake_scores_multiword_phrase_over_unigrams(spark):
+    from node_etl_spark.functions.text import rake_keyphrases
+
+    # "deep learning" appears as a cohesive 2-gram; "data" occurs
+    # alone; RAKE must rank the phrase above the unigram
+    text = (
+        "deep learning and deep learning for data and data and the"
+        " data of deep learning"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = rake_keyphrases(df).collect()
+    assert out[0].phrase == "deep learning"
+    assert out[0].n_occur == 3
+    scores = {r.phrase: r.score for r in out}
+    assert scores["deep learning"] > scores["data"]
+    # word scores: deep: deg 6 freq 3 -> 2; learning -> 2; phrase 4
+    assert scores["deep learning"] == 4.0
+
+
+def test_rake_strips_punctuation_and_breaks_phrases(spark):
+    from node_etl_spark.functions.text import rake_keyphrases
+
+    df = spark.createDataFrame(
+        [(1, "red apples, green apples. the ripe red apples")],
+        "doc_id long, text string",
+    )
+    out = {r.phrase: r for r in rake_keyphrases(df).collect()}
+    # commas/periods vanish; "the" breaks the run
+    assert "red apples" in out
+    assert all("," not in p and "." not in p for p in out)
+    assert "the" not in " ".join(out)
