@@ -246,6 +246,9 @@ HEADLINE = [
     "q274_uplift_deciles",
     "q275_local_clustering",
     "q276_rake_keyphrases",
+    "q277_calibration_error",
+    "q278_cuped_adjust",
+    "q279_median_of_means",
 ]
 
 

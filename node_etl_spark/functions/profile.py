@@ -3954,3 +3954,337 @@ def uplift_oracle_sql(units_sql: str, buckets: int = 10) -> str:
                      round(CAST(cc_y AS DOUBLE) / CAST(cc_n AS DOUBLE), 6)
                  END, 6) AS uplift
     FROM up_k"""
+
+
+# --------------------------------------------------------------------
+# Expected calibration error of a probabilistic predictor
+# --------------------------------------------------------------------
+
+def expected_calibration_error(
+    df: DataFrame,
+    conf_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error (Naeini et al. AAAI'15; the
+    reliability-diagram number every model card quotes): bucket
+    predictions by confidence into ``bins`` equal-width bins and
+    ECE = sum_b (n_b / N) * |acc_b - conf_b|. Complements the
+    calibration FIXERS (q230 quantile, q250 isotonic) with the
+    measurement that says whether fixing is needed.
+
+    One aggregate; accuracies and mean confidences are single
+    divides of exact sums (confidence summed on the round-9
+    decimal grid). Returns per-bin rows plus the weighted total in
+    every row: (bin, n, conf_avg, acc, gap, ece).
+    """
+    b = int(bins)
+    binned = df.select(
+        F.least(
+            F.lit(b - 1),
+            F.floor(F.col(conf_col).cast("double") * b).cast("int"),
+        ).alias("bin"),
+        F.round(F.col(conf_col).cast("double"), 9)
+        .cast("decimal(28,9)")
+        .alias("c"),
+        F.col(label_col).cast("int").alias("y"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    tot = cells.agg(F.sum("n").cast("bigint").alias("nt"))
+    per = cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "nt",
+        F.round(F.col("sc").cast("double") / F.col("n").cast("double"), 6)
+        .alias("conf_avg"),
+        F.round(F.col("sy").cast("double") / F.col("n").cast("double"), 6)
+        .alias("acc"),
+    ).select(
+        "bin",
+        "n",
+        "nt",
+        "conf_avg",
+        "acc",
+        F.round(F.abs(F.col("acc") - F.col("conf_avg")), 6).alias("gap"),
+    )
+    ece = per.agg(
+        F.round(
+            F.sum(
+                F.col("gap").cast("decimal(28,9)") * F.col("n")
+            ).cast("double")
+            / F.first(F.col("nt")).cast("double"),
+            6,
+        ).alias("ece")
+    )
+    return per.crossJoin(F.broadcast(ece)).select(
+        "bin", "n", "conf_avg", "acc", "gap", "ece"
+    )
+
+
+def ece_oracle_sql(rows_sql: str, conf: str, label: str, bins: int = 10) -> str:
+    """DuckDB mirror of :func:`expected_calibration_error`."""
+    b = int(bins)
+    return f"""
+    WITH ec_b AS (
+        SELECT least({b - 1},
+                     CAST(floor(CAST({conf} AS DOUBLE) * {b}) AS INTEGER))
+                   AS bin,
+               CAST(round(CAST({conf} AS DOUBLE), 9) AS DECIMAL(28,9)) AS c,
+               CAST({label} AS INTEGER) AS y
+        FROM ({rows_sql})),
+    ec_c AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(c) AS sc, CAST(SUM(y) AS BIGINT) AS sy
+        FROM ec_b GROUP BY 1),
+    ec_p AS (
+        SELECT bin, n,
+               round(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS conf_avg,
+               round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc
+        FROM ec_c),
+    ec_g AS (
+        SELECT bin, n, conf_avg, acc,
+               round(abs(acc - conf_avg), 6) AS gap
+        FROM ec_p),
+    ec_e AS (
+        SELECT round(CAST(SUM(CAST(gap AS DECIMAL(28,9)) * n) AS DOUBLE)
+                     / CAST(SUM(n) AS DOUBLE), 6) AS ece
+        FROM ec_g)
+    SELECT g.bin, g.n, g.conf_avg, g.acc, g.gap, e.ece
+    FROM ec_g g CROSS JOIN ec_e e"""
+
+
+# --------------------------------------------------------------------
+# CUPED variance reduction for experiment metrics
+# --------------------------------------------------------------------
+
+def cuped_adjust(
+    df: DataFrame,
+    unit_col: str,
+    pre_col: str,
+    post_col: str,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. WSDM'13; the standard
+    pre-experiment covariate adjustment at every experimentation
+    platform): adjusted metric Y' = Y - theta (X - mean X) with
+    theta = cov(X, Y)/var(X) from pre/post unit aggregates. The
+    payoff is the variance ratio — var(Y')/var(Y) = 1 - rho^2 —
+    i.e. how much smaller an experiment the same power now needs.
+
+    One unit-level aggregate feeds five round-9 decimal moments;
+    theta and both variances are fixed-order double closed forms.
+    Returns one row (n, theta, var_y, var_adj, reduction_pct).
+    """
+
+    def m(expr: str):
+        return F.sum(F.round(F.expr(expr), 9).cast("decimal(38,9)"))
+
+    mom = df.select(
+        F.col(unit_col).alias("u"),
+        F.col(pre_col).cast("double").alias("x"),
+        F.col(post_col).cast("double").alias("y"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        m("x").alias("sx"),
+        m("y").alias("sy"),
+        m("x * x").alias("sxx"),
+        m("x * y").alias("sxy"),
+        m("y * y").alias("syy"),
+    )
+    return mom.select(
+        "n",
+        F.round(
+            F.expr(
+                "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+                " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+                " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+                "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            ),
+            6,
+        ).alias("theta"),
+        F.round(
+            F.expr(
+                "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+                " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+                " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))"
+            ),
+            6,
+        ).alias("var_y"),
+        F.round(
+            F.expr(
+                "((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+                "  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+                " - pow(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+                "       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)"
+                "   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+                "      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+                " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))"
+            ),
+            6,
+        ).alias("var_adj"),
+    ).select(
+        "n",
+        "theta",
+        "var_y",
+        "var_adj",
+        F.when(
+            F.col("var_y") > 0,
+            F.round(
+                (F.lit(1.0) - F.col("var_adj") / F.col("var_y")) * 100, 2
+            ),
+        ).alias("reduction_pct"),
+    )
+
+
+def cuped_oracle_sql(rows_sql: str) -> str:
+    """DuckDB mirror of :func:`cuped_adjust`. ``rows_sql`` yields
+    (u, x, y) unit aggregates."""
+
+    def m(expr: str, alias: str) -> str:
+        return f"SUM(CAST(round({expr}, 9) AS DECIMAL(38,9))) AS {alias}"
+
+    return f"""
+    WITH cu_b AS (
+        SELECT u, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+        FROM ({rows_sql})),
+    cu_m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {m('x', 'sx')}, {m('y', 'sy')},
+               {m('x * x', 'sxx')}, {m('x * y', 'sxy')},
+               {m('y * y', 'syy')}
+        FROM cu_b),
+    cu_r AS (
+        SELECT n,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                   AS theta,
+               round((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6)
+                   AS var_y,
+               round(((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                      - pow(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                     / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6)
+                   AS var_adj
+        FROM cu_m)
+    SELECT n, theta, var_y, var_adj,
+           CASE WHEN var_y > 0
+                THEN round((1.0 - var_adj / var_y) * 100, 2)
+           END AS reduction_pct
+    FROM cu_r"""
+
+
+# --------------------------------------------------------------------
+# Median-of-means robust location estimate
+# --------------------------------------------------------------------
+
+def median_of_means(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Median-of-means estimator (Nemirovski-Yudin 1983 / the
+    heavy-tail-robust mean modern statistics reaches for when q269
+    says the tail index is low): rows hash into ``k`` buckets, the
+    estimate is the MEDIAN of the k bucket means — sub-Gaussian
+    deviation bounds under nothing but finite variance, where the
+    plain mean is hostage to the largest outlier.
+
+    Buckets come from the portable md5 idiom so both engines build
+    identical partitions; bucket means are single divides of exact
+    decimal sums; the median is the lower order statistic of the
+    k-row frame (exact, no interpolation). Returns (grp, n,
+    mean_plain, mom) per group.
+    """
+    from .sampling import hash_bucket
+
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.round(F.col(value_col).cast("double") * 1e6)
+        .cast("bigint")
+        .alias("vm"),
+        hash_bucket(F.col(id_col), seed=seed, buckets=int(k)).alias("bk"),
+    )
+    bm = base.groupBy("grp", "bk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("vm").cast("bigint").alias("s"),
+    ).select(
+        "grp",
+        "n",
+        F.round(
+            F.col("s").cast("double") / (F.col("n").cast("double") * 1e6), 9
+        ).alias("m"),
+    )
+    w = Window.partitionBy("grp").orderBy("m")
+    med = bm.select(
+        "grp",
+        "n",
+        "m",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("nb"),
+    )
+    mom = med.filter(
+        F.col("rk") == F.expr("CAST((nb + 1) / 2 AS INT)")
+    ).select("grp", F.round("m", 6).alias("mom"))
+    plain = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum("vm").cast("double")
+            / (F.count(F.lit(1)).cast("double") * 1e6),
+            6,
+        ).alias("mean_plain"),
+    )
+    return plain.join(mom, "grp").select("grp", "n", "mean_plain", "mom")
+
+
+def median_of_means_sql(
+    rows_sql: str,
+    group: str,
+    value: str,
+    id_: str,
+    k: int = 32,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of :func:`median_of_means`."""
+    from .sampling import hash_bucket_sql
+
+    bkt = hash_bucket_sql(id_, seed=seed, buckets=int(k))
+    return f"""
+    WITH mm_b AS (
+        SELECT {group} AS grp,
+               CAST(round(CAST({value} AS DOUBLE) * 1e6, 0) AS BIGINT)
+                   AS vm,
+               {bkt} AS bk
+        FROM ({rows_sql})),
+    mm_m AS (
+        SELECT grp,
+               round(CAST(SUM(vm) AS DOUBLE)
+                     / (CAST(COUNT(*) AS DOUBLE) * 1e6), 9) AS m
+        FROM mm_b GROUP BY grp, bk),
+    mm_r AS (
+        SELECT grp, m,
+               row_number() OVER (PARTITION BY grp ORDER BY m) AS rk,
+               COUNT(*) OVER (PARTITION BY grp) AS nb
+        FROM mm_m),
+    mm_md AS (
+        SELECT grp, round(m, 6) AS mom
+        FROM mm_r WHERE rk = CAST((nb + 1) / 2 AS INTEGER)),
+    mm_p AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(SUM(vm) AS DOUBLE)
+                     / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_plain
+        FROM mm_b GROUP BY 1)
+    SELECT p.grp, p.n, p.mean_plain, d.mom
+    FROM mm_p p JOIN mm_md d USING (grp)"""

@@ -132,6 +132,9 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q274_uplift_deciles",
     "q275_local_clustering",
     "q276_rake_keyphrases",
+    "q277_calibration_error",
+    "q278_cuped_adjust",
+    "q279_median_of_means",
     "q253_naive_bayes",
     "q254_conformal_coverage",
     "q255_dp_histogram",
@@ -11967,3 +11970,140 @@ def _init_q276() -> None:
 
 
 _init_q276()
+
+# --------------------------------------------------------------------
+# q277 — expected calibration error of a propensity proxy
+# --------------------------------------------------------------------
+
+def _init_q277() -> None:
+    from ..functions import profile as P26
+
+    _rows_sql = """
+        SELECT CAST(SUM(CASE WHEN event_type = 'purchase'
+                              AND CAST(ts AS DATE) < DATE '2024-01-16'
+                             THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+               / CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                               THEN 1 ELSE 0 END) + 2 AS DOUBLE) AS conf,
+               MAX(CASE WHEN event_type = 'purchase'
+                         AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                        THEN 1 ELSE 0 END) AS label
+        FROM events GROUP BY user_id"""
+
+    @register(
+        "q277_calibration_error",
+        P26.ece_oracle_sql(_rows_sql, "conf", "label"),
+        doc="Expected calibration error (functions/profile.py "
+            "expected_calibration_error; Naeini AAAI'15): a "
+            "Laplace-smoothed first-half purchase propensity per "
+            "user scored against second-half reality, bucketed into "
+            "10 confidence bins; ECE = sum n_b/N |acc_b - conf_b|. "
+            "The MEASUREMENT next to the calibration fixers (q230 "
+            "aligns distributions, q250 fits monotone rates): one "
+            "user aggregate, one bin aggregate, exact decimal "
+            "confidence sums.",
+    )
+    def q277_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        pre = F.to_date("ts") < F.lit("2024-01-16")
+        units = ev.groupBy("user_id").agg(
+            (
+                (
+                    F.sum(
+                        F.when(
+                            (F.col("event_type") == "purchase") & pre, 1
+                        ).otherwise(0)
+                    )
+                    + 1
+                ).cast("double")
+                / (
+                    F.sum(F.when(pre, 1).otherwise(0)) + 2
+                ).cast("double")
+            ).alias("conf"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & ~pre, 1
+                ).otherwise(0)
+            ).alias("label"),
+        )
+        from ..functions.profile import expected_calibration_error
+
+        return expected_calibration_error(units, "conf", "label")
+
+
+_init_q277()
+
+
+# --------------------------------------------------------------------
+# q278 — CUPED variance reduction on user value
+# --------------------------------------------------------------------
+
+def _init_q278() -> None:
+    from ..functions import profile as P27
+
+    _rows_sql = """
+        SELECT user_id AS u,
+               SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                        THEN value ELSE 0 END) AS x,
+               SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                        THEN value ELSE 0 END) AS y
+        FROM events GROUP BY 1"""
+
+    @register(
+        "q278_cuped_adjust",
+        P27.cuped_oracle_sql(_rows_sql),
+        doc="CUPED variance reduction (functions/profile.py "
+            "cuped_adjust; Deng WSDM'13): theta = cov/var of each "
+            "user's pre-period value against post-period value, "
+            "reporting var(Y - theta X) and the percent reduction "
+            "(1 - rho^2) — how much smaller an experiment the same "
+            "power needs once the pre-period covariate is used. "
+            "Five round-9 decimal moments from one unit aggregate; "
+            "fixed-order double closed forms.",
+    )
+    def q278_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        pre = F.to_date("ts") < F.lit("2024-01-16")
+        units = ev.groupBy(F.col("user_id").alias("u")).agg(
+            F.sum(F.when(pre, F.col("value")).otherwise(0.0)).alias("x"),
+            F.sum(F.when(~pre, F.col("value")).otherwise(0.0)).alias("y"),
+        )
+        from ..functions.profile import cuped_adjust
+
+        return cuped_adjust(units, "u", "x", "y")
+
+
+_init_q278()
+
+
+# --------------------------------------------------------------------
+# q279 — median-of-means robust value estimate
+# --------------------------------------------------------------------
+
+def _init_q279() -> None:
+    from ..functions import profile as P28
+
+    @register(
+        "q279_median_of_means",
+        P28.median_of_means_sql(
+            "SELECT event_type, value, event_id FROM events",
+            "event_type", "value", "event_id",
+        ),
+        doc="Median-of-means robust location (functions/profile.py "
+            "median_of_means; Nemirovski-Yudin): 32 md5 buckets per "
+            "event_type, estimate = median of the bucket means — "
+            "sub-Gaussian concentration under finite variance where "
+            "the plain mean is hostage to one outlier; the "
+            "estimator to reach for when q269's Hill index says the "
+            "tail is heavy. Exact micro-integer sums; median as an "
+            "exact order statistic of the 32-row frame.",
+    )
+    def q279_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events").select(
+            "event_type", "value", "event_id"
+        )
+        from ..functions.profile import median_of_means
+
+        return median_of_means(ev, "event_type", "value", "event_id")
+
+
+_init_q279()

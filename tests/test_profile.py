@@ -853,3 +853,60 @@ def test_uplift_score_ties_share_decile(spark):
     df = spark.createDataFrame(rows, "uid long, score long, y long, treated int")
     out = uplift_deciles(df).collect()
     assert len(out) == 1 and out[0].decile == 10
+
+
+def test_ece_perfect_calibration_is_zero(spark):
+    from node_etl_spark.functions.profile import expected_calibration_error
+
+    # bin 0.5: half positive; bin 0.75: three-quarters positive ->
+    # per-bin acc == conf -> ece 0
+    rows = [(0.5, i % 2) for i in range(40)]
+    rows += [(0.75, 0 if i % 4 == 0 else 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "conf double, label int")
+    out = expected_calibration_error(df, "conf", "label").collect()
+    assert all(r.ece == 0.0 for r in out)
+    assert all(r.gap == 0.0 for r in out)
+
+
+def test_ece_detects_overconfidence(spark):
+    from node_etl_spark.functions.profile import expected_calibration_error
+
+    # model says 0.95 but accuracy is 0.5 -> ece = 0.45
+    rows = [(0.95, i % 2) for i in range(100)]
+    df = spark.createDataFrame(rows, "conf double, label int")
+    (r,) = expected_calibration_error(df, "conf", "label").collect()
+    assert r.bin == 9 and r.gap == 0.45 and r.ece == 0.45
+
+
+def test_cuped_reduction_matches_rho_squared(spark):
+    from node_etl_spark.functions.profile import cuped_adjust
+
+    # y = 2x + noise-free => rho = 1 -> ~100% reduction, theta = 2
+    rows = [(i, float(i % 50), 2.0 * (i % 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "u long, x double, y double")
+    (r,) = cuped_adjust(df, "u", "x", "y").collect()
+    assert r.theta == 2.0
+    assert r.var_adj == 0.0 and r.reduction_pct == 100.0
+
+
+def test_cuped_uncorrelated_covariate_no_reduction(spark):
+    from node_etl_spark.functions.profile import cuped_adjust
+
+    # x cycles 0/1 independent of y pattern by construction
+    rows = [(i, float(i % 2), float((i // 2) % 7)) for i in range(700)]
+    df = spark.createDataFrame(rows, "u long, x double, y double")
+    (r,) = cuped_adjust(df, "u", "x", "y").collect()
+    assert abs(r.reduction_pct) < 1.0
+
+
+def test_median_of_means_shrugs_off_outlier(spark):
+    from node_etl_spark.functions.profile import median_of_means
+
+    rows = [("g", 10.0, i) for i in range(3200)]
+    rows.append(("g", 1e9, 99999))  # one wild row
+    df = spark.createDataFrame(rows, "grp string, v double, rid long")
+    (r,) = median_of_means(df, "grp", "v", "rid").collect()
+    # plain mean is dragged ~312k up; MoM stays at 10 (the outlier
+    # poisons exactly one of 32 buckets)
+    assert r.mean_plain > 1000.0
+    assert r.mom == 10.0
