@@ -249,6 +249,9 @@ HEADLINE = [
     "q277_calibration_error",
     "q278_cuped_adjust",
     "q279_median_of_means",
+    "q280_balance_smd",
+    "q281_rfm_segments",
+    "q282_within_estimator",
 ]
 
 

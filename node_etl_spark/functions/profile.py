@@ -4288,3 +4288,387 @@ def median_of_means_sql(
         FROM mm_b GROUP BY 1)
     SELECT p.grp, p.n, p.mean_plain, d.mom
     FROM mm_p p JOIN mm_md d USING (grp)"""
+
+
+# --------------------------------------------------------------------
+# Covariate balance audit: standardized mean differences
+# --------------------------------------------------------------------
+
+def balance_smd(
+    units: DataFrame,
+    treat_col: str,
+    covariates: list[str],
+) -> DataFrame:
+    """Standardized mean differences between treated and control
+    for each covariate (Rosenbaum-Rubin balance diagnostics;
+    |SMD| < 0.1 is the conventional 'balanced' line): SMD =
+    (mean_t - mean_c) / sqrt((var_t + var_c) / 2). The audit that
+    must accompany any q271-style matched estimate — an ATT over
+    imbalanced covariates is confounding wearing a suit.
+
+    One aggregate computes all covariates' per-arm round-9 decimal
+    moments (the frame unpivots covariates first, so adding a
+    column is a constant, not a pass); variances and the SMD are
+    fixed-order double closed forms. Returns (covariate, mean_t,
+    mean_c, smd, balanced).
+    """
+    arms = units.select(
+        F.col(treat_col).cast("int").alias("t"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("cov"),
+                        F.col(c).cast("double").alias("x"),
+                    )
+                    for c in covariates
+                ]
+            )
+        ).alias("e"),
+    ).select("t", F.col("e.cov").alias("cov"), F.col("e.x").alias("x"))
+    mom = arms.groupBy("cov", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round("x", 9).cast("decimal(38,9)")).alias("s"),
+        F.sum(F.round(F.expr("x * x"), 9).cast("decimal(38,9)")).alias("ss"),
+    )
+    wide = mom.groupBy("cov").agg(
+        *[
+            F.max(F.when(F.col("t") == arm, F.col(c))).alias(f"{c}{arm}")
+            for arm in (0, 1)
+            for c in ("n", "s", "ss")
+        ]
+    )
+    mean_t = F.expr("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)")
+    mean_c = F.expr("CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)")
+    var_t = F.expr(
+        "(CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)"
+        " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+        " / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))"
+    )
+    var_c = F.expr(
+        "(CAST(n0 AS DOUBLE) * CAST(ss0 AS DOUBLE)"
+        " - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))"
+        " / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE))"
+    )
+    smd = F.when(
+        (var_t + var_c) > 0,
+        F.round(
+            (mean_t - mean_c)
+            / F.sqrt((var_t + var_c) / F.lit(2.0)),
+            6,
+        ),
+    )
+    return wide.select(
+        "cov",
+        F.round(mean_t, 6).alias("mean_t"),
+        F.round(mean_c, 6).alias("mean_c"),
+        smd.alias("smd"),
+        F.when(F.abs(smd) < 0.1, 1).otherwise(0).alias("balanced"),
+    )
+
+
+def balance_smd_sql(units_sql: str, covariates: list[str]) -> str:
+    """DuckDB mirror of :func:`balance_smd`. ``units_sql`` yields
+    (treated, <covariates...>)."""
+    unions = "\n        UNION ALL\n        ".join(
+        f"SELECT CAST(treated AS INTEGER) AS t, '{c}' AS cov,"
+        f" CAST({c} AS DOUBLE) AS x FROM ({units_sql})"
+        for c in covariates
+    )
+    return f"""
+    WITH bs_a AS (
+        {unions}),
+    bs_m AS (
+        SELECT cov, t, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(round(x, 9) AS DECIMAL(38,9))) AS s,
+               SUM(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS ss
+        FROM bs_a GROUP BY 1, 2),
+    bs_w AS (
+        SELECT cov,
+               MAX(CASE WHEN t = 0 THEN n END) AS n0,
+               MAX(CASE WHEN t = 0 THEN s END) AS s0,
+               MAX(CASE WHEN t = 0 THEN ss END) AS ss0,
+               MAX(CASE WHEN t = 1 THEN n END) AS n1,
+               MAX(CASE WHEN t = 1 THEN s END) AS s1,
+               MAX(CASE WHEN t = 1 THEN ss END) AS ss1
+        FROM bs_m GROUP BY 1),
+    bs_s AS (
+        SELECT cov,
+               CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_t,
+               CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean_c,
+               (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) AS var_t,
+               (CAST(n0 AS DOUBLE) * CAST(ss0 AS DOUBLE)
+                - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+               / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE)) AS var_c
+        FROM bs_w)
+    SELECT cov, round(mean_t, 6) AS mean_t, round(mean_c, 6) AS mean_c,
+           CASE WHEN var_t + var_c > 0
+                THEN round((mean_t - mean_c)
+                           / sqrt((var_t + var_c) / 2.0), 6)
+           END AS smd,
+           CASE WHEN abs(CASE WHEN var_t + var_c > 0
+                 THEN round((mean_t - mean_c)
+                            / sqrt((var_t + var_c) / 2.0), 6) END) < 0.1
+                THEN 1 ELSE 0 END AS balanced
+    FROM bs_s"""
+
+
+# --------------------------------------------------------------------
+# RFM segmentation by histogram quintiles
+# --------------------------------------------------------------------
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    asof: str,
+    buckets: int = 5,
+) -> DataFrame:
+    """Recency-Frequency-Monetary segmentation (Hughes 1994, the
+    classic CRM cut): each user scores 1..5 on recency (days since
+    last event, LOWER is better), frequency (event count) and
+    monetary (total cents); segments are the score triples. Scores
+    come from the q274 HISTOGRAM-quintile rule per dimension —
+    ceil(buckets * cum/N) over the distinct-value frame, ties share
+    a bucket — never a corpus-axis ntile. Returns one row per
+    (r_score, f_score, m_score) cell: (r_score, f_score, m_score,
+    n_users, avg_monetary).
+    """
+    b = int(buckets)
+    units = df.groupBy(F.col(user_col).alias("u")).agg(
+        F.datediff(F.lit(asof), F.max(F.col(ts_col))).cast("bigint").alias(
+            "rec"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("frq"),
+        F.sum(F.round(F.col(value_col) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("mon"),
+    )
+
+    def hist_score(col: str, asc: bool):
+        wc = Window.orderBy(F.col("v").asc() if asc else F.col("v").desc())
+        h = units.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        t = h.agg(F.sum("n").cast("bigint").alias("nt"))
+        return h.crossJoin(F.broadcast(t)).select(
+            F.col("v").alias(col),
+            F.ceil(
+                F.lit(b)
+                * F.sum("n").over(wc).cast("double")
+                / F.col("nt").cast("double")
+            )
+            .cast("int")
+            .alias(f"{col}_s"),
+        )
+    # recency: fewer days = better = HIGHER score -> ascending
+    # cumulation ranks small recency into the top bucket via desc?
+    # convention: score 5 = best. recency asc -> first buckets are
+    # the most recent; we want them scored 5 -> use (b + 1 - bucket)
+    rsc = hist_score("rec", asc=True).select(
+        "rec", (F.lit(b + 1) - F.col("rec_s")).alias("r_score")
+    )
+    fsc = hist_score("frq", asc=True).select(
+        "frq", F.col("frq_s").alias("f_score")
+    )
+    msc = hist_score("mon", asc=True).select(
+        "mon", F.col("mon_s").alias("m_score")
+    )
+    scored = (
+        units.join(F.broadcast(rsc), "rec")
+        .join(F.broadcast(fsc), "frq")
+        .join(F.broadcast(msc), "mon")
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(
+            F.sum("mon").cast("double")
+            / (F.count(F.lit(1)).cast("double") * 100),
+            2,
+        ).alias("avg_monetary"),
+    )
+
+
+def rfm_oracle_sql(
+    rows_sql: str,
+    user: str,
+    ts: str,
+    value: str,
+    asof: str,
+    buckets: int = 5,
+) -> str:
+    """DuckDB mirror of :func:`rfm_segments`."""
+    b = int(buckets)
+
+    def hist(col: str) -> str:
+        return f"""(
+        SELECT v AS {col},
+               CAST(ceil({b} * CAST(SUM(n) OVER (ORDER BY v ASC) AS DOUBLE)
+                    / CAST((SELECT COUNT(*) FROM rfm_u) AS DOUBLE))
+                    AS INTEGER) AS {col}_s
+        FROM (SELECT {col} AS v, CAST(COUNT(*) AS BIGINT) AS n
+              FROM rfm_u GROUP BY 1) h)"""
+
+    return f"""
+    WITH rfm_u AS (
+        SELECT {user} AS u,
+               CAST(date_diff('day', CAST(MAX({ts}) AS DATE),
+                              DATE '{asof}') AS BIGINT) AS rec,
+               CAST(COUNT(*) AS BIGINT) AS frq,
+               CAST(SUM(CAST(round({value} * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS mon
+        FROM ({rows_sql}) GROUP BY 1),
+    rfm_r AS {hist('rec')},
+    rfm_f AS {hist('frq')},
+    rfm_m AS {hist('mon')},
+    rfm_s AS (
+        SELECT u, ({b} + 1 - r.rec_s) AS r_score, f.frq_s AS f_score,
+               m.mon_s AS m_score, un.mon
+        FROM rfm_u un
+        JOIN rfm_r r USING (rec)
+        JOIN rfm_f f USING (frq)
+        JOIN rfm_m m USING (mon))
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(CAST(SUM(mon) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * 100), 2) AS avg_monetary
+    FROM rfm_s GROUP BY 1, 2, 3"""
+
+
+# --------------------------------------------------------------------
+# Panel fixed-effects (within) estimator vs pooled OLS
+# --------------------------------------------------------------------
+
+def within_estimator(
+    df: DataFrame,
+    unit_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Panel fixed-effects slope by the within transformation
+    (Mundlak 1961 / the workhorse panel estimator): demean x and y
+    WITHIN each unit, then OLS on the demeaned data — every
+    time-invariant unit confounder drops out algebraically, which
+    is why the within slope and the pooled slope disagree exactly
+    when unit-level selection is doing the work. Both reported so
+    the gap is the diagnostic.
+
+    Per-unit integer moment five-tuples reduce map-side; each
+    unit's demeaned cross/self products (the only divisions) round
+    to 6 and sum as exact decimals, so the global numerator and
+    denominator are order-independent. Returns one row (n_units,
+    n_obs, beta_within, beta_pooled).
+    """
+    pm = df.groupBy(F.col(unit_col).alias("u")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col(x_col).cast("bigint")).alias("sx"),
+        F.sum(F.col(y_col).cast("bigint")).alias("sy"),
+        F.sum(F.expr(f"CAST({x_col} AS BIGINT) * CAST({y_col} AS BIGINT)"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.expr(f"CAST({x_col} AS BIGINT) * CAST({x_col} AS BIGINT)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    within = pm.select(
+        "n",
+        "sx",
+        "sy",
+        F.round(
+            F.col("sxy").cast("double")
+            - F.col("sx").cast("double")
+            * F.col("sy").cast("double")
+            / F.col("n").cast("double"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("wxy"),
+        F.round(
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double")
+            * F.col("sx").cast("double")
+            / F.col("n").cast("double"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("wxx"),
+        F.col("sxy"),
+        F.col("sxx"),
+    )
+    agg = within.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("n").cast("bigint").alias("n_obs"),
+        F.sum("wxy").alias("swxy"),
+        F.sum("wxx").alias("swxx"),
+        F.sum("sx").cast("decimal(38,0)").alias("tx"),
+        F.sum("sy").cast("decimal(38,0)").alias("ty"),
+        F.sum("sxy").alias("txy"),
+        F.sum("sxx").alias("txx"),
+    )
+    return agg.select(
+        "n_units",
+        "n_obs",
+        F.when(
+            F.col("swxx") > 0,
+            F.round(
+                F.col("swxy").cast("double") / F.col("swxx").cast("double"),
+                6,
+            ),
+        ).alias("beta_within"),
+        F.round(
+            F.expr(
+                "(CAST(n_obs AS DOUBLE) * CAST(txy AS DOUBLE)"
+                " - CAST(tx AS DOUBLE) * CAST(ty AS DOUBLE))"
+                " / (CAST(n_obs AS DOUBLE) * CAST(txx AS DOUBLE)"
+                "    - CAST(tx AS DOUBLE) * CAST(tx AS DOUBLE))"
+            ),
+            6,
+        ).alias("beta_pooled"),
+    )
+
+
+def within_oracle_sql(rows_sql: str) -> str:
+    """DuckDB mirror of :func:`within_estimator`. ``rows_sql``
+    yields (u, x, y) integer panel observations."""
+    return f"""
+    WITH wi_p AS (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS BIGINT)) AS BIGINT) AS sx,
+               CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS sy,
+               CAST(SUM(CAST(x AS BIGINT) * CAST(y AS BIGINT))
+                    AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(x AS BIGINT) * CAST(x AS BIGINT))
+                    AS DECIMAL(38,0)) AS sxx
+        FROM ({rows_sql}) GROUP BY 1),
+    wi_w AS (
+        SELECT n, sx, sy, sxy, sxx,
+               CAST(round(CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                            / CAST(n AS DOUBLE), 6) AS DECIMAL(38,6))
+                   AS wxy,
+               CAST(round(CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                            / CAST(n AS DOUBLE), 6) AS DECIMAL(38,6))
+                   AS wxx
+        FROM wi_p),
+    wi_a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+               CAST(SUM(n) AS BIGINT) AS n_obs,
+               SUM(wxy) AS swxy, SUM(wxx) AS swxx,
+               CAST(SUM(sx) AS DECIMAL(38,0)) AS tx,
+               CAST(SUM(sy) AS DECIMAL(38,0)) AS ty,
+               SUM(sxy) AS txy, SUM(sxx) AS txx
+        FROM wi_w)
+    SELECT n_units, n_obs,
+           CASE WHEN swxx > 0
+                THEN round(CAST(swxy AS DOUBLE) / CAST(swxx AS DOUBLE), 6)
+           END AS beta_within,
+           round((CAST(n_obs AS DOUBLE) * CAST(txy AS DOUBLE)
+                  - CAST(tx AS DOUBLE) * CAST(ty AS DOUBLE))
+                 / (CAST(n_obs AS DOUBLE) * CAST(txx AS DOUBLE)
+                    - CAST(tx AS DOUBLE) * CAST(tx AS DOUBLE)), 6)
+               AS beta_pooled
+    FROM wi_a"""

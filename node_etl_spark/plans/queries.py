@@ -135,6 +135,9 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q277_calibration_error",
     "q278_cuped_adjust",
     "q279_median_of_means",
+    "q280_balance_smd",
+    "q281_rfm_segments",
+    "q282_within_estimator",
     "q253_naive_bayes",
     "q254_conformal_coverage",
     "q255_dp_histogram",
@@ -12107,3 +12110,135 @@ def _init_q279() -> None:
 
 
 _init_q279()
+
+# --------------------------------------------------------------------
+# q280 — covariate balance audit of the q271 match design
+# --------------------------------------------------------------------
+
+def _init_q280() -> None:
+    from ..functions import profile as P29
+
+    _units_sql = """
+        SELECT CAST(MAX(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS INTEGER) AS treated,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS active_days,
+               CAST(SUM(CASE WHEN event_type = 'error'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+        FROM events GROUP BY user_id"""
+
+    @register(
+        "q280_balance_smd",
+        P29.balance_smd_sql(
+            _units_sql, ["n_events", "active_days", "n_errors"]
+        ),
+        doc="Covariate balance audit (functions/profile.py "
+            "balance_smd; Rosenbaum-Rubin diagnostics): standardized "
+            "mean differences between q271's purchaser/non-purchaser "
+            "arms on activity covariates — |SMD| < 0.1 is the "
+            "conventional balance line, and an ATT over imbalanced "
+            "covariates is confounding wearing a suit. Covariates "
+            "unpivot into one aggregate (adding a column is a "
+            "constant, not a pass); round-9 decimal moments.",
+    )
+    def q280_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        units = ev.groupBy("user_id").agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("treated"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct(F.to_date("ts"))
+            .cast("bigint")
+            .alias("active_days"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_errors"),
+        )
+        from ..functions.profile import balance_smd
+
+        return balance_smd(
+            units, "treated", ["n_events", "active_days", "n_errors"]
+        )
+
+
+_init_q280()
+
+
+# --------------------------------------------------------------------
+# q281 — RFM segmentation of the user base
+# --------------------------------------------------------------------
+
+def _init_q281() -> None:
+    from ..functions import profile as P30
+
+    @register(
+        "q281_rfm_segments",
+        P30.rfm_oracle_sql(
+            "SELECT user_id, ts, value FROM events",
+            "user_id", "ts", "value", "2024-01-31",
+        ),
+        doc="RFM segmentation (functions/profile.py rfm_segments; "
+            "Hughes 1994): quintile scores on recency (days to "
+            "2024-01-31, lower better), frequency and monetary "
+            "(exact cents) via the q274 histogram-quintile rule "
+            "(distinct-value frames, ties share a bucket — no "
+            "corpus-axis ntile); one row per RFM cell with size and "
+            "average spend. The classic CRM cut as three broadcast "
+            "joins over one user aggregate.",
+    )
+    def q281_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+        from ..functions.profile import rfm_segments
+
+        return rfm_segments(ev, "user_id", "ts", "value", "2024-01-31")
+
+
+_init_q281()
+
+
+# --------------------------------------------------------------------
+# q282 — fixed-effects within estimator vs pooled OLS
+# --------------------------------------------------------------------
+
+def _init_q282() -> None:
+    from ..functions import profile as P31
+
+    _rows_sql = """
+        SELECT user_id AS u, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM events GROUP BY 1, 2"""
+
+    @register(
+        "q282_within_estimator",
+        P31.within_oracle_sql(_rows_sql),
+        doc="Panel fixed-effects slope (functions/profile.py "
+            "within_estimator; the within transformation): daily "
+            "value-cents regressed on daily event count, demeaned "
+            "WITHIN each user so every time-invariant user "
+            "confounder drops out algebraically; the pooled OLS "
+            "slope is reported next to it — the gap IS the "
+            "selection diagnostic. Integer moment five-tuples "
+            "reduce map-side; only the per-user demeaning divides.",
+    )
+    def q282_within_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        panel = ev.groupBy(
+            F.col("user_id").alias("u"), F.to_date("ts").alias("d")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y"),
+        )
+        from ..functions.profile import within_estimator
+
+        return within_estimator(panel, "u", "x", "y")
+
+
+_init_q282()

@@ -910,3 +910,59 @@ def test_median_of_means_shrugs_off_outlier(spark):
     # poisons exactly one of 32 buckets)
     assert r.mean_plain > 1000.0
     assert r.mom == 10.0
+
+
+def test_balance_smd_detects_imbalance(spark):
+    from node_etl_spark.functions.profile import balance_smd
+
+    # cov a: treated mean 10 vs control 0 (imbalanced); cov b: both
+    # arms identical distribution (balanced, smd 0)
+    rows = [(1, 10.0 + (i % 3), 5.0 + (i % 2)) for i in range(60)]
+    rows += [(0, 0.0 + (i % 3), 5.0 + (i % 2)) for i in range(60)]
+    df = spark.createDataFrame(rows, "treated int, a double, b double")
+    out = {r.cov: r for r in balance_smd(df, "treated", ["a", "b"]).collect()}
+    assert out["a"].balanced == 0 and abs(out["a"].smd) > 2
+    assert out["b"].balanced == 1 and out["b"].smd == 0.0
+    assert out["a"].mean_t == 11.0 and out["a"].mean_c == 1.0
+
+
+def test_rfm_scores_direction(spark):
+    import datetime as dt
+
+    from node_etl_spark.functions.profile import rfm_segments
+
+    # whale: recent, frequent, big spend -> (5,5,5);
+    # ghost: old single tiny event -> (1,1,1)
+    rows = []
+    for d in range(10):  # whale: 10 events late in the month
+        rows.append((1, dt.datetime(2024, 1, 20 + d % 10, 9), 100.0))
+    rows.append((2, dt.datetime(2024, 1, 1, 9), 1.0))  # ghost
+    for u in range(3, 8):  # mid users
+        rows.append((u, dt.datetime(2024, 1, 10, 9), 10.0))
+        rows.append((u, dt.datetime(2024, 1, 11, 9), 10.0))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        (r.r_score, r.f_score, r.m_score): r
+        for r in rfm_segments(df, "user_id", "ts", "value", "2024-01-31").collect()
+    }
+    assert (5, 5, 5) in out and out[(5, 5, 5)].n_users == 1
+    assert (1, 1, 1) in out and out[(1, 1, 1)].n_users == 1
+
+
+def test_within_estimator_kills_unit_confounder(spark):
+    from node_etl_spark.functions.profile import within_estimator
+
+    # within every unit y = 3x; units have wildly different
+    # intercepts correlated with their x levels, so pooled OLS is
+    # biased upward while within recovers exactly 3
+    rows = []
+    for u in range(10):
+        alpha = 1000 * u     # confounder
+        for t in range(20):
+            x = u * 10 + t   # x level rises with the confounder
+            rows.append((u, x, alpha + 3 * x))
+    df = spark.createDataFrame(rows, "u long, x long, y long")
+    (r,) = within_estimator(df, "u", "x", "y").collect()
+    assert r.beta_within == 3.0
+    assert r.beta_pooled > 3.5
+    assert r.n_units == 10 and r.n_obs == 200
