@@ -4433,7 +4433,11 @@ def rfm_segments(
     monetary (total cents); segments are the score triples. Scores
     come from the q274 HISTOGRAM-quintile rule per dimension —
     ceil(buckets * cum/N) over the distinct-value frame, ties share
-    a bucket — never a corpus-axis ntile. Returns one row per
+    a bucket — never a corpus-axis ntile. Monetary SCORES on the
+    dollar grid (cents DIV 100): per-user cent sums are nearly
+    all-distinct, and an all-distinct histogram is the user-sized
+    window this design exists to avoid; recency and frequency are
+    already coarse. Returns one row per
     (r_score, f_score, m_score) cell: (r_score, f_score, m_score,
     n_users, avg_monetary).
     """
@@ -4474,13 +4478,14 @@ def rfm_segments(
     fsc = hist_score("frq", asc=True).select(
         "frq", F.col("frq_s").alias("f_score")
     )
-    msc = hist_score("mon", asc=True).select(
-        "mon", F.col("mon_s").alias("m_score")
+    units = units.withColumn("mon_g", F.expr("mon DIV 100"))
+    msc = hist_score("mon_g", asc=True).select(
+        "mon_g", F.col("mon_g_s").alias("m_score")
     )
     scored = (
         units.join(F.broadcast(rsc), "rec")
         .join(F.broadcast(fsc), "frq")
-        .join(F.broadcast(msc), "mon")
+        .join(F.broadcast(msc), "mon_g")
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
@@ -4519,18 +4524,20 @@ def rfm_oracle_sql(
                               DATE '{asof}') AS BIGINT) AS rec,
                CAST(COUNT(*) AS BIGINT) AS frq,
                CAST(SUM(CAST(round({value} * 100, 0) AS BIGINT)) AS BIGINT)
-                   AS mon
+                   AS mon,
+               CAST(SUM(CAST(round({value} * 100, 0) AS BIGINT)) AS BIGINT)
+                   // 100 AS mon_g
         FROM ({rows_sql}) GROUP BY 1),
     rfm_r AS {hist('rec')},
     rfm_f AS {hist('frq')},
-    rfm_m AS {hist('mon')},
+    rfm_m AS {hist('mon_g')},
     rfm_s AS (
         SELECT u, ({b} + 1 - r.rec_s) AS r_score, f.frq_s AS f_score,
-               m.mon_s AS m_score, un.mon
+               m.mon_g_s AS m_score, un.mon
         FROM rfm_u un
         JOIN rfm_r r USING (rec)
         JOIN rfm_f f USING (frq)
-        JOIN rfm_m m USING (mon))
+        JOIN rfm_m m USING (mon_g))
     SELECT r_score, f_score, m_score,
            CAST(COUNT(*) AS BIGINT) AS n_users,
            round(CAST(SUM(mon) AS DOUBLE)
