@@ -252,6 +252,7 @@ HEADLINE = [
     "q280_balance_smd",
     "q281_rfm_segments",
     "q282_within_estimator",
+    "q283_stream_ewma",
 ]
 
 

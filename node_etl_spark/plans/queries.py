@@ -138,6 +138,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q280_balance_smd",
     "q281_rfm_segments",
     "q282_within_estimator",
+    "q283_stream_ewma",
     "q253_naive_bayes",
     "q254_conformal_coverage",
     "q255_dp_histogram",
@@ -12242,3 +12243,50 @@ def _init_q282() -> None:
 
 
 _init_q282()
+
+# --------------------------------------------------------------------
+# q283 — streaming EWMA anomaly monitor (stream/batch parity)
+# --------------------------------------------------------------------
+
+def _init_q283() -> None:
+    from ..functions import profile as P32
+
+    @register(
+        "q283_stream_ewma",
+        P32.ewma_oracle_sql(
+            "SELECT event_type, ts, value FROM events",
+            "event_type", "ts", "value",
+        ),
+        doc="Streaming EWMA anomaly monitor (streaming/stream.py "
+            "ewma_stream): q265's integer fixed-point walk carried "
+            "in applyInPandasWithState GroupState across micro-"
+            "batches, replayed through a real availableNow stream — "
+            "and gated against the SAME recursive-CTE oracle as the "
+            "batch operator, so stream and batch answers must agree "
+            "bit-for-bit (the stream/batch-parity guarantee, here "
+            "for a CUSTOM stateful op, not just the built-in "
+            "windowed aggregations q105 proves).",
+    )
+    def q283_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..streaming.stream import ewma_stream
+
+        def build(source):
+            return ewma_stream(source())
+
+        sink = _replay_events(
+            spark,
+            sf_dir,
+            ["event_id", "ts", "event_type", "value"],
+            build,
+            mode="update",
+            sink_prefix="q283",
+        )
+        w = Window.partitionBy("grp").orderBy(F.col("n_days").desc())
+        return (
+            sink.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("grp", "n_days", "final_ewma", "n_anomalies")
+        )
+
+
+_init_q283()

@@ -421,3 +421,102 @@ def bitmap_state_rollup(spark: SparkSession, path: str) -> DataFrame:
         .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("distinct_users"))
         .orderBy("week")
     )
+
+
+# --------------------------------------------------------------------
+# Streaming EWMA anomaly walk (stateful twin of batch ewma_anomalies)
+# --------------------------------------------------------------------
+
+EWMA_SCHEMA = (
+    "grp string, n_days bigint, final_ewma double, n_anomalies bigint"
+)
+_EWMA_STATE_SCHEMA = (
+    "s bigint, na bigint, nd bigint, last_day int, pending string"
+)
+
+
+def _ewma_fn(key: tuple, pdf_iter, state: GroupState):
+    """Integer EWMA walk state function (applyInPandasWithState):
+    per micro-batch, fold the batch's daily micro-totals into the
+    carried (level, anomaly-count) state in day order — the SAME
+    s' = (v + 3s + 2) // 4 BIGINT walk as the batch operator, so
+    the stream's final state must equal the batch answer exactly.
+
+    Each batch's days merge with a carried partial day (``pending``
+    holds the latest day's still-open total as "day:vm"); days are
+    assumed batch-ordered (the availableNow replay delivers them
+    so), the realistic contract for an ops monitor fed by an
+    ordered log.
+    """
+    import json as _json
+
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    day = rows["ts"].dt.floor("D").astype("int64") // 86_400_000_000_000
+    vm = (rows["value"].astype("float64") * 1e6).round().astype("int64")
+    daily = (
+        pd.DataFrame({"day": day, "vm": vm})
+        .groupby("day", sort=True)["vm"]
+        .sum()
+    )
+    if state.exists:
+        s, na, nd, last_day, pending = state.get
+        pend = _json.loads(pending)
+    else:
+        s, na, nd, last_day, pend = None, 0, 0, -1, None
+    items = list(daily.items())
+    for d, v in items:
+        d, v = int(d), int(v)
+        if pend is not None and d == pend[0]:
+            pend[1] += v
+            continue
+        if pend is not None:
+            # close the pending day into the walk
+            if s is None:
+                s = pend[1]
+            else:
+                if pend[1] > 2 * s or 2 * pend[1] < s:
+                    na += 1
+                s = (pend[1] + 3 * s + 2) // 4
+            nd += 1
+        pend = [d, v]
+    state.update(
+        (
+            -1 if s is None else int(s),
+            int(na),
+            int(nd),
+            int(pend[0]) if pend else -1,
+            _json.dumps(pend),
+        )
+    )
+    # emit the walk AS IF the pending day closed now (complete-state
+    # semantics for the read side)
+    fs, fna, fnd = s, na, nd
+    if pend is not None:
+        if fs is None:
+            fs = pend[1]
+        else:
+            if pend[1] > 2 * fs or 2 * pend[1] < fs:
+                fna += 1
+            fs = (pend[1] + 3 * fs + 2) // 4
+        fnd += 1
+    yield pd.DataFrame(
+        {
+            "grp": [key[0]],
+            "n_days": [fnd],
+            "final_ewma": [float(fs) / 1e6 if fs is not None else None],
+            "n_anomalies": [fna],
+        }
+    )
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Streaming EWMA anomaly monitor over (event_type, ts, value):
+    the custom-stateful twin of the batch ``ewma_anomalies`` — same
+    integer walk, carried in GroupState across micro-batches."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _ewma_fn,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

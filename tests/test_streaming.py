@@ -474,3 +474,58 @@ def test_interval_left_outer_boundary_emission_across_restart(spark, tmp_path):
     assert len(rows) == 3, f"expected exactly-once emission, got {rows}"
     got = {(r.k, r.rid_r) for r in rows}
     assert got == {(1, 10), (2, None), (3, 30)}
+
+
+def test_ewma_stream_matches_batch_across_batches(spark, tmp_path):
+    """The stream's integer walk must equal the batch operator even
+    when days arrive split across MULTIPLE micro-batches (state
+    carry, pending-day merge)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.functions.profile import ewma_anomalies
+    from node_etl_spark.streaming import stream as st
+
+    rows = []
+    for d in range(8):
+        v = 16.0 if d == 5 else 4.0
+        # two events per day so the daily total is 2v
+        for h in (9, 15):
+            rows.append((d * 2 + h, dt.datetime(2024, 1, 1 + d, h), "g", v))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    # batch answer
+    (want,) = ewma_anomalies(df, "event_type", "ts", "value").collect()
+
+    # stream the same rows in TWO files -> two micro-batches
+    src_dir = str(tmp_path / "ev")
+    df.filter(F.dayofmonth("ts") <= 4).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    df.filter(F.dayofmonth("ts") > 4).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    stream = st.ewma_stream(
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_ewma_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink = spark.table("t_ewma_stream")
+    last = (
+        sink.orderBy(F.col("n_days").desc()).limit(1).collect()[0]
+    )
+    assert last.n_days == want.n_days == 8
+    assert last.final_ewma == want.final_ewma
+    assert last.n_anomalies == want.n_anomalies == 1
