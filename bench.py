@@ -253,6 +253,8 @@ HEADLINE = [
     "q281_rfm_segments",
     "q282_within_estimator",
     "q283_stream_ewma",
+    "q284_logrank_test",
+    "q285_quantile_effects",
 ]
 
 

@@ -4679,3 +4679,288 @@ def within_oracle_sql(rows_sql: str) -> str:
                     - CAST(tx AS DOUBLE) * CAST(tx AS DOUBLE)), 6)
                AS beta_pooled
     FROM wi_a"""
+
+
+# --------------------------------------------------------------------
+# Log-rank test between two survival cohorts
+# --------------------------------------------------------------------
+
+def logrank_test(
+    df: DataFrame,
+    group_col: str = "grp",
+    time_col: str = "t",
+    event_col: str = "e",
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966; the standard 'are
+    these two survival curves the same' companion to q198's
+    Kaplan-Meier): at every distinct event time, compare group 1's
+    observed deaths to those expected from the pooled risk set;
+    chi2 = (sum O - sum E)^2 / sum V with the hypergeometric
+    variance V_t = d n1 n2 (n - d) / (n^2 (n - 1)).
+
+    Input: one row per subject — (group in {0,1}, integer duration,
+    event flag 1 = observed / 0 = censored). Risk sets come from
+    suffix sums over the DISTINCT-TIME frame (cumulative windows on
+    a dimension-sized axis, never the subject axis); E and V terms
+    are round-9 decimal sums of fixed-order double expressions.
+    Returns one row (n1, n2, d1, d2, o_minus_e, chi2).
+    """
+    base = df.select(
+        F.col(group_col).cast("int").alias("g"),
+        F.col(time_col).cast("bigint").alias("t"),
+        F.col(event_col).cast("int").alias("e"),
+    )
+    cells = base.groupBy("t").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ent1"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ent0"),
+        F.sum(F.when((F.col("g") == 1) & (F.col("e") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when((F.col("g") == 0) & (F.col("e") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d0"),
+    )
+    # risk set at t = subjects with duration >= t: suffix sums
+    ws = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = cells.select(
+        "t",
+        "d1",
+        "d0",
+        F.sum("ent1").over(ws).alias("n1t"),
+        F.sum("ent0").over(ws).alias("n0t"),
+    ).filter((F.col("d1") + F.col("d0")) > 0)
+    terms = risk.select(
+        "d1",
+        "d0",
+        F.round(
+            F.expr(
+                "CAST(d1 + d0 AS DOUBLE) * CAST(n1t AS DOUBLE)"
+                " / CAST(n1t + n0t AS DOUBLE)"
+            ),
+            9,
+        )
+        .cast("decimal(38,9)")
+        .alias("e1"),
+        F.round(
+            F.expr(
+                "CASE WHEN n1t + n0t > 1 THEN"
+                " CAST(d1 + d0 AS DOUBLE) * CAST(n1t AS DOUBLE)"
+                " * CAST(n0t AS DOUBLE)"
+                " * CAST(n1t + n0t - d1 - d0 AS DOUBLE)"
+                " / (CAST(n1t + n0t AS DOUBLE) * CAST(n1t + n0t AS DOUBLE)"
+                "    * CAST(n1t + n0t - 1 AS DOUBLE))"
+                " ELSE 0.0 END"
+            ),
+            9,
+        )
+        .cast("decimal(38,9)")
+        .alias("v"),
+    )
+    tot = base.agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    agg = terms.agg(
+        F.sum("d1").cast("bigint").alias("d1"),
+        F.sum("d0").cast("bigint").alias("d2"),
+        F.sum("e1").alias("se1"),
+        F.sum("v").alias("sv"),
+    )
+    return tot.crossJoin(F.broadcast(agg)).select(
+        "n1",
+        "n2",
+        "d1",
+        "d2",
+        F.round(
+            F.col("d1").cast("double") - F.col("se1").cast("double"), 6
+        ).alias("o_minus_e"),
+        F.when(
+            F.col("sv") > 0,
+            F.round(
+                F.pow(
+                    F.col("d1").cast("double") - F.col("se1").cast("double"),
+                    F.lit(2.0),
+                )
+                / F.col("sv").cast("double"),
+                6,
+            ),
+        ).alias("chi2"),
+    )
+
+
+def logrank_oracle_sql(subjects_sql: str) -> str:
+    """DuckDB mirror of :func:`logrank_test`. ``subjects_sql``
+    yields (g, t, e)."""
+    return f"""
+    WITH lr_b AS (
+        SELECT CAST(g AS INTEGER) AS g, CAST(t AS BIGINT) AS t,
+               CAST(e AS INTEGER) AS e
+        FROM ({subjects_sql})),
+    lr_c AS (
+        SELECT t,
+               CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ent1,
+               CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ent0,
+               CAST(SUM(CASE WHEN g = 1 AND e = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d1,
+               CAST(SUM(CASE WHEN g = 0 AND e = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d0
+        FROM lr_b GROUP BY 1),
+    lr_r AS (
+        SELECT t, d1, d0,
+               SUM(ent1) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n1t,
+               SUM(ent0) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n0t
+        FROM lr_c),
+    lr_t AS (
+        SELECT d1, d0,
+               CAST(round(CAST(d1 + d0 AS DOUBLE) * CAST(n1t AS DOUBLE)
+                          / CAST(n1t + n0t AS DOUBLE), 9)
+                    AS DECIMAL(38,9)) AS e1,
+               CAST(round(CASE WHEN n1t + n0t > 1 THEN
+                          CAST(d1 + d0 AS DOUBLE) * CAST(n1t AS DOUBLE)
+                          * CAST(n0t AS DOUBLE)
+                          * CAST(n1t + n0t - d1 - d0 AS DOUBLE)
+                          / (CAST(n1t + n0t AS DOUBLE)
+                             * CAST(n1t + n0t AS DOUBLE)
+                             * CAST(n1t + n0t - 1 AS DOUBLE))
+                          ELSE 0.0 END, 9) AS DECIMAL(38,9)) AS v
+        FROM lr_r WHERE d1 + d0 > 0),
+    lr_a AS (
+        SELECT CAST(SUM(d1) AS BIGINT) AS d1,
+               CAST(SUM(d0) AS BIGINT) AS d2,
+               SUM(e1) AS se1, SUM(v) AS sv
+        FROM lr_t),
+    lr_n AS (
+        SELECT CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2
+        FROM lr_b)
+    SELECT n.n1, n.n2, a.d1, a.d2,
+           round(CAST(a.d1 AS DOUBLE) - CAST(a.se1 AS DOUBLE), 6)
+               AS o_minus_e,
+           CASE WHEN a.sv > 0
+                THEN round(pow(CAST(a.d1 AS DOUBLE)
+                               - CAST(a.se1 AS DOUBLE), 2)
+                           / CAST(a.sv AS DOUBLE), 6)
+           END AS chi2
+    FROM lr_n n CROSS JOIN lr_a a"""
+
+
+# --------------------------------------------------------------------
+# Quantile treatment effects via histogram quantiles
+# --------------------------------------------------------------------
+
+def quantile_effects(
+    units: DataFrame,
+    treat_col: str = "treated",
+    outcome_col: str = "y",
+    quantiles: tuple = (10, 25, 50, 75, 90),
+) -> DataFrame:
+    """Quantile treatment effects (Doksum 1974; the distributional
+    refinement of a mean effect): QTE(q) = Q_treated(q) -
+    Q_control(q) at the requested percentiles — a treatment can
+    leave the mean still and move the tails, and only the QTE
+    profile shows it.
+
+    Quantiles are exact lower order statistics read off each arm's
+    OUTCOME HISTOGRAM (value -> count, cumulative window over the
+    distinct-value frame; rank = ceil(q/100 * n)) — deterministic,
+    interpolation-free, and never a window over the unit axis.
+    Returns (pct, q_treated, q_control, qte) per percentile.
+    """
+    base = units.select(
+        F.col(treat_col).cast("int").alias("t"),
+        F.col(outcome_col).cast("bigint").alias("y"),
+    )
+    hist = base.groupBy("t", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wc = Window.partitionBy("t").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "t",
+        "y",
+        F.sum("n").over(wc).alias("c"),
+        F.sum("n").over(Window.partitionBy("t")).alias("nt"),
+    )
+    pcts = F.explode(
+        F.array(*[F.lit(int(p)) for p in quantiles])
+    ).alias("pct")
+    ranked = cum.select("t", "y", "c", "nt").crossJoin(
+        cum.sparkSession.range(1).select(pcts)
+    )
+    qs = (
+        ranked.filter(
+            F.col("c")
+            >= F.ceil(
+                F.col("pct").cast("double") / 100.0 * F.col("nt").cast("double")
+            )
+        )
+        .groupBy("t", "pct")
+        .agg(F.min("y").alias("q"))
+    )
+    wide = qs.groupBy("pct").agg(
+        F.max(F.when(F.col("t") == 1, F.col("q"))).alias("q_treated"),
+        F.max(F.when(F.col("t") == 0, F.col("q"))).alias("q_control"),
+    )
+    return wide.select(
+        "pct",
+        "q_treated",
+        "q_control",
+        (F.col("q_treated") - F.col("q_control")).alias("qte"),
+    )
+
+
+def quantile_effects_sql(
+    units_sql: str,
+    quantiles: tuple = (10, 25, 50, 75, 90),
+) -> str:
+    """DuckDB mirror of :func:`quantile_effects`. ``units_sql``
+    yields (treated, y)."""
+    plist = ", ".join(str(int(p)) for p in quantiles)
+    return f"""
+    WITH qe_b AS (
+        SELECT CAST(treated AS INTEGER) AS t, CAST(y AS BIGINT) AS y
+        FROM ({units_sql})),
+    qe_h AS (
+        SELECT t, y, CAST(COUNT(*) AS BIGINT) AS n
+        FROM qe_b GROUP BY 1, 2),
+    qe_c AS (
+        SELECT t, y,
+               SUM(n) OVER (PARTITION BY t ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               SUM(n) OVER (PARTITION BY t) AS nt
+        FROM qe_h),
+    qe_p AS (SELECT CAST(p.pct AS INTEGER) AS pct
+             FROM unnest([{plist}]) AS p(pct)),
+    qe_q AS (
+        SELECT c.t, p.pct, MIN(c.y) AS q
+        FROM qe_c c CROSS JOIN qe_p p
+        WHERE c.c >= ceil(CAST(p.pct AS DOUBLE) / 100.0
+                          * CAST(c.nt AS DOUBLE))
+        GROUP BY 1, 2),
+    qe_w AS (
+        SELECT pct,
+               MAX(CASE WHEN t = 1 THEN q END) AS q_treated,
+               MAX(CASE WHEN t = 0 THEN q END) AS q_control
+        FROM qe_q GROUP BY 1)
+    SELECT pct, q_treated, q_control,
+           q_treated - q_control AS qte
+    FROM qe_w"""

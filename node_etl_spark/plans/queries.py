@@ -139,6 +139,8 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q281_rfm_segments",
     "q282_within_estimator",
     "q283_stream_ewma",
+    "q284_logrank_test",
+    "q285_quantile_effects",
     "q253_naive_bayes",
     "q254_conformal_coverage",
     "q255_dp_histogram",
@@ -12290,3 +12292,114 @@ def _init_q283() -> None:
 
 
 _init_q283()
+
+# --------------------------------------------------------------------
+# q284 — log-rank test: early vs late signups' time-to-purchase
+# --------------------------------------------------------------------
+
+def _init_q284() -> None:
+    from ..functions import profile as P33
+
+    _subjects_sql = """
+        SELECT CASE WHEN MIN(CASE WHEN event_type = 'signup'
+                                  THEN CAST(ts AS DATE) END)
+                         < DATE '2024-01-10' THEN 1 ELSE 0 END AS g,
+               CAST(COALESCE(
+                   date_diff('day', MIN(CAST(ts AS DATE)),
+                             MIN(CASE WHEN event_type = 'purchase'
+                                      THEN CAST(ts AS DATE) END)),
+                   date_diff('day', MIN(CAST(ts AS DATE)),
+                             DATE '2024-01-31')) AS BIGINT) AS t,
+               CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                                  THEN CAST(ts AS DATE) END) IS NOT NULL
+                    THEN 1 ELSE 0 END AS e
+        FROM events GROUP BY user_id"""
+
+    @register(
+        "q284_logrank_test",
+        P33.logrank_oracle_sql(_subjects_sql),
+        doc="Two-sample log-rank test (functions/profile.py "
+            "logrank_test; Mantel 1966): do early signups (first "
+            "signup before Jan 10) reach their first purchase "
+            "FASTER than the rest, with non-purchasers censored at "
+            "month end — the hypothesis test q198's Kaplan-Meier "
+            "curves only eyeball. Risk sets are suffix sums over "
+            "the distinct-time frame; hypergeometric E/V terms ride "
+            "round-9 decimal sums.",
+    )
+    def q284_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        sd = F.min(
+            F.when(F.col("event_type") == "signup", F.to_date("ts"))
+        )
+        pd_ = F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        )
+        subj = ev.groupBy("user_id").agg(
+            F.when(sd < F.lit("2024-01-10"), 1).otherwise(0).alias("g"),
+            F.coalesce(
+                F.datediff(pd_, F.min(F.to_date("ts"))),
+                F.datediff(F.lit("2024-01-31"), F.min(F.to_date("ts"))),
+            )
+            .cast("bigint")
+            .alias("t"),
+            F.when(pd_.isNotNull(), 1).otherwise(0).alias("e"),
+        )
+        from ..functions.profile import logrank_test
+
+        return logrank_test(subj, "g", "t", "e")
+
+
+_init_q284()
+
+
+# --------------------------------------------------------------------
+# q285 — quantile treatment effects for the q271 design
+# --------------------------------------------------------------------
+
+def _init_q285() -> None:
+    from ..functions import profile as P34
+
+    _units_sql = """
+        SELECT CAST(MAX(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS INTEGER) AS treated,
+               CAST(SUM(CASE WHEN event_type <> 'purchase'
+                             THEN CAST(round(value * 100, 0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id"""
+
+    @register(
+        "q285_quantile_effects",
+        P34.quantile_effects_sql(_units_sql),
+        doc="Quantile treatment effects (functions/profile.py "
+            "quantile_effects; Doksum 1974): purchaser vs non-"
+            "purchaser NON-purchase spend compared at the 10/25/50/"
+            "75/90th percentiles — a mean effect (q271) can sit "
+            "still while the tails move, and only the QTE profile "
+            "shows where the distribution shifts. Exact order "
+            "statistics off per-arm outcome histograms (cumulative "
+            "windows over distinct values, never the unit axis).",
+    )
+    def q285_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        units = ev.groupBy("user_id").agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("treated"),
+            F.sum(
+                F.when(
+                    F.col("event_type") != "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        from ..functions.profile import quantile_effects
+
+        return quantile_effects(units)
+
+
+_init_q285()

@@ -966,3 +966,52 @@ def test_within_estimator_kills_unit_confounder(spark):
     assert r.beta_within == 3.0
     assert r.beta_pooled > 3.5
     assert r.n_units == 10 and r.n_obs == 200
+
+
+def test_logrank_identical_curves_zero_statistic(spark):
+    from node_etl_spark.functions.profile import logrank_test
+
+    # both groups identical event times -> O == E -> chi2 == 0
+    rows = [(g, t, 1) for g in (0, 1) for t in (1, 2, 3, 4, 5)]
+    df = spark.createDataFrame(rows, "grp int, t long, e int")
+    (r,) = logrank_test(df).collect()
+    assert r.o_minus_e == 0.0 and r.chi2 == 0.0
+    assert r.n1 == 5 and r.n2 == 5
+
+
+def test_logrank_detects_separated_curves(spark):
+    from node_etl_spark.functions.profile import logrank_test
+
+    # group 1 all fails early, group 0 all late -> big chi2
+    rows = [(1, t, 1) for t in range(1, 21)]
+    rows += [(0, t + 100, 1) for t in range(1, 21)]
+    df = spark.createDataFrame(rows, "grp int, t long, e int")
+    (r,) = logrank_test(df).collect()
+    assert r.chi2 > 10.0
+    assert r.d1 == 20 and r.d2 == 20
+
+
+def test_logrank_censoring_shrinks_risk_sets(spark):
+    from node_etl_spark.functions.profile import logrank_test
+
+    # censored rows join risk sets but never the death counts
+    rows = [(1, 5, 1), (1, 9, 0), (0, 5, 1), (0, 9, 0)]
+    df = spark.createDataFrame(rows, "grp int, t long, e int")
+    (r,) = logrank_test(df).collect()
+    assert r.d1 == 1 and r.d2 == 1
+    assert r.chi2 == 0.0  # symmetric
+
+
+def test_quantile_effects_planted_tail_shift(spark):
+    from node_etl_spark.functions.profile import quantile_effects
+
+    # same median, treated upper tail shifted +100
+    control = [(0, y) for y in range(1, 101)]
+    treated = [(1, y) for y in range(1, 76)] + [
+        (1, y + 100) for y in range(76, 101)
+    ]
+    df = spark.createDataFrame(control + treated, "treated int, y long")
+    out = {r.pct: r for r in quantile_effects(df).collect()}
+    assert out[50].qte == 0
+    assert out[90].qte == 100
+    assert out[10].qte == 0
