@@ -255,6 +255,8 @@ HEADLINE = [
     "q283_stream_ewma",
     "q284_logrank_test",
     "q285_quantile_effects",
+    "q286_mann_kendall",
+    "q287_moore_lewis",
 ]
 
 

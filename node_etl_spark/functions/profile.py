@@ -4964,3 +4964,121 @@ def quantile_effects_sql(
     SELECT pct, q_treated, q_control,
            q_treated - q_control AS qte
     FROM qe_w"""
+
+
+# --------------------------------------------------------------------
+# Mann-Kendall trend test (significance twin of Theil-Sen)
+# --------------------------------------------------------------------
+
+def mann_kendall(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mann-Kendall trend test (Mann 1945 / Kendall; the standard
+    non-parametric 'is there a monotone trend' companion to q240's
+    Theil-Sen slope — the slope says HOW MUCH, this says WHETHER):
+    S = sum over pairs of sign(y_j - y_i), with the tie-corrected
+    variance ``var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18``
+    and the continuity-corrected z.
+
+    Runs on pre-aggregated per-(group, t) points (the q240 shape:
+    pairs are points^2 per group, invariant to corpus rows). S and
+    both variance terms are EXACT integers; the only floats are one
+    sqrt and one divide, rounded 6. Returns (grp, n_points, s_stat,
+    var_s, z).
+    """
+    pts = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(y_col).cast("bigint").alias("y"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.grp") == F.col("b.grp"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(F.col("a.grp").alias("grp"))
+        .agg(
+            F.sum(
+                F.signum(
+                    (F.col("b.y") - F.col("a.y")).cast("double")
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nn = pts.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ties = (
+        pts.groupBy("grp", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.expr("tc * (tc - 1) * (2 * tc + 5)")
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    j = s.join(nn, "grp").join(ties, "grp")
+    var_s = F.expr(
+        "CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0"
+    )
+    zc = F.when(F.col("s_stat") > 0, F.col("s_stat") - 1).when(
+        F.col("s_stat") < 0, F.col("s_stat") + 1
+    ).otherwise(F.lit(0))
+    return j.select(
+        "grp",
+        F.col("n").alias("n_points"),
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.when(
+            var_s > 0,
+            F.round(zc.cast("double") / F.sqrt(var_s), 6),
+        ).otherwise(F.lit(0.0)).alias("z"),
+    )
+
+
+def mann_kendall_sql(rows_sql: str, group: str, t: str, y: str) -> str:
+    """DuckDB mirror of :func:`mann_kendall`."""
+    return f"""
+    WITH mk_p AS (
+        SELECT {group} AS grp, CAST({t} AS BIGINT) AS t,
+               CAST({y} AS BIGINT) AS y
+        FROM ({rows_sql})),
+    mk_s AS (
+        SELECT a.grp,
+               CAST(SUM(CAST(sign(CAST(b.y - a.y AS DOUBLE)) AS BIGINT))
+                    AS BIGINT) AS s_stat
+        FROM mk_p a JOIN mk_p b ON b.grp = a.grp AND a.t < b.t
+        GROUP BY 1),
+    mk_n AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM mk_p GROUP BY 1),
+    mk_t AS (
+        SELECT grp,
+               CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT)
+                   AS tie_term
+        FROM (SELECT grp, y, CAST(COUNT(*) AS BIGINT) AS tc
+              FROM mk_p GROUP BY 1, 2)
+        GROUP BY 1),
+    mk_j AS (
+        SELECT s.grp, n.n, s.s_stat, t.tie_term,
+               CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term AS DOUBLE)
+               / 18.0 AS var_s
+        FROM mk_s s JOIN mk_n n USING (grp) JOIN mk_t t USING (grp))
+    SELECT grp, n AS n_points, s_stat,
+           round(var_s, 6) AS var_s,
+           CASE WHEN var_s > 0
+                THEN round(CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+                                     WHEN s_stat < 0 THEN s_stat + 1
+                                     ELSE 0 END AS DOUBLE)
+                           / sqrt(var_s), 6)
+                ELSE 0.0 END AS z
+    FROM mk_j"""

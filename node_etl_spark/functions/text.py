@@ -2608,3 +2608,143 @@ def rake_oracle_sql(
     FROM rk_f
     ORDER BY score DESC, phrase ASC
     LIMIT {int(top_n)}"""
+
+
+# --------------------------------------------------------------------
+# Moore-Lewis cross-entropy data selection
+# --------------------------------------------------------------------
+
+def moore_lewis_select(
+    df: DataFrame,
+    in_domain_col,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 200,
+) -> DataFrame:
+    """Moore-Lewis intelligent data selection (Moore & Lewis ACL
+    2010, the classic before DSIR): score every document by the
+    per-token log-likelihood RATIO between an in-domain unigram LM
+    and the out-of-domain complement model (the H_out - H_in
+    cross-entropy difference in Moore-Lewis terms) and keep the top
+    scorers: documents the in-domain model finds easy but the rest
+    of the corpus finds surprising are the most in-domain-like.
+    q219's DSIR resamples by hashed-ngram importance; this is the
+    likelihood-ratio original.
+
+    ``in_domain_col`` is a boolean Column marking the seed slice.
+    Both LMs are Laplace-smoothed unigram counts over a SHARED
+    vocabulary (all tokens), so the score is a sum of
+    ``round(ln(p_in / p_gen), 12)`` per token — exact decimal
+    accumulation, one (word -> two log-probs) broadcast-or-hash
+    join, two scalar counts. Docs with no tokens drop. Returns the
+    top ``top_n``: (doc_id, n_toks, ml_score) by (score desc, id).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        in_domain_col.cast("int").alias("ind"),
+    )
+    toks = base.select(
+        "doc_id",
+        "ind",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+            )
+        ).alias("word"),
+    )
+    wc = toks.groupBy("word").agg(
+        F.sum("ind").cast("bigint").alias("c_in"),
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+    )
+    tot = wc.agg(
+        F.sum("c_in").cast("bigint").alias("t_in"),
+        F.sum("c_all").cast("bigint").alias("t_all"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    ).collect()[0]
+    t_in, t_all, v = tot["t_in"], tot["t_all"], tot["v"]
+    lr = wc.select(
+        "word",
+        F.round(
+            F.log(
+                (F.col("c_in") + 1).cast("double") / F.lit(float(t_in + v))
+            )
+            - F.log(
+                (F.col("c_all") - F.col("c_in") + 1).cast("double")
+                / F.lit(float(t_all - t_in + v))
+            ),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("llr"),
+    )
+    scored = (
+        toks.join(lr, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum("llr").alias("sllr"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            F.round(
+                F.col("sllr").cast("double") / F.col("n_toks").cast("double"),
+                6,
+            ).alias("ml_score"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("ml_score").desc(), F.col("doc_id").asc())
+        .limit(int(top_n))
+    )
+
+
+def moore_lewis_sql(
+    table_sql: str,
+    in_domain_pred: str,
+    id_: str = "doc_id",
+    text: str = "text",
+    top_n: int = 200,
+) -> str:
+    """DuckDB mirror of :func:`moore_lewis_select`.
+    ``in_domain_pred`` is a boolean SQL expression over the table's
+    columns."""
+    return f"""
+    WITH ml_b AS (
+        SELECT {id_} AS doc_id, {text} AS text,
+               CASE WHEN {in_domain_pred} THEN 1 ELSE 0 END AS ind
+        FROM {table_sql}),
+    ml_t AS (
+        SELECT doc_id, ind, t.word
+        FROM ml_b,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                w -> w <> '')) AS t(word)),
+    ml_w AS (
+        SELECT word, CAST(SUM(ind) AS BIGINT) AS c_in,
+               CAST(COUNT(*) AS BIGINT) AS c_all
+        FROM ml_t GROUP BY 1),
+    ml_g AS (
+        SELECT CAST(SUM(c_in) AS BIGINT) AS t_in,
+               CAST(SUM(c_all) AS BIGINT) AS t_all,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM ml_w),
+    ml_lr AS (
+        SELECT w.word,
+               CAST(round(ln(CAST(w.c_in + 1 AS DOUBLE)
+                             / CAST(g.t_in + g.v AS DOUBLE))
+                          - ln(CAST(w.c_all - w.c_in + 1 AS DOUBLE)
+                               / CAST(g.t_all - g.t_in + g.v AS DOUBLE)),
+                          12) AS DECIMAL(38,12)) AS llr
+        FROM ml_w w CROSS JOIN ml_g g),
+    ml_s AS (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+               SUM(l.llr) AS sllr
+        FROM ml_t t JOIN ml_lr l USING (word)
+        GROUP BY 1)
+    SELECT doc_id, n_toks,
+           round(CAST(sllr AS DOUBLE) / CAST(n_toks AS DOUBLE), 6)
+               AS ml_score
+    FROM ml_s
+    ORDER BY ml_score DESC, doc_id ASC
+    LIMIT {int(top_n)}"""

@@ -141,6 +141,8 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q283_stream_ewma",
     "q284_logrank_test",
     "q285_quantile_effects",
+    "q286_mann_kendall",
+    "q287_moore_lewis",
     "q253_naive_bayes",
     "q254_conformal_coverage",
     "q255_dp_histogram",
@@ -12403,3 +12405,95 @@ def _init_q285() -> None:
 
 
 _init_q285()
+
+# --------------------------------------------------------------------
+# q286 — Mann-Kendall trend significance per brand
+# --------------------------------------------------------------------
+
+def _init_q286() -> None:
+    from ..functions import profile as P35
+
+    _rows_sql = """
+        SELECT p.p_brand AS grp,
+               CAST(date_diff('day', DATE '1992-01-01',
+                    date_trunc('week', l.l_shipdate)) AS BIGINT) // 7
+                   AS wk,
+               CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2"""
+
+    @register(
+        "q286_mann_kendall",
+        P35.mann_kendall_sql(_rows_sql, "grp", "wk", "cents"),
+        doc="Mann-Kendall trend test (functions/profile.py "
+            "mann_kendall; Mann 1945): non-parametric monotone-trend "
+            "significance for each brand's weekly revenue — q240's "
+            "Theil-Sen says HOW STEEP, this says WHETHER (S = sum "
+            "of pair signs, tie-corrected variance, continuity-"
+            "corrected z). S and both variance terms are exact "
+            "integers over the pre-aggregated week frame; pairs are "
+            "weeks^2 per group, invariant to corpus rows.",
+    )
+    def q286_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_shipdate", "l_extendedprice"
+        )
+        pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        pts = (
+            li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+            .groupBy(
+                F.col("p_brand").alias("grp"),
+                (
+                    F.datediff(
+                        F.date_trunc("week", "l_shipdate"),
+                        F.lit("1992-01-01"),
+                    )
+                    / 7
+                )
+                .cast("bigint")
+                .alias("wk"),
+            )
+            .agg(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("cents")
+            )
+        )
+        from ..functions.profile import mann_kendall
+
+        return mann_kendall(pts, "grp", "wk", "cents")
+
+
+_init_q286()
+
+
+# --------------------------------------------------------------------
+# q287 — Moore-Lewis in-domain data selection
+# --------------------------------------------------------------------
+
+def _init_q287() -> None:
+    from ..functions.text import moore_lewis_sql
+
+    @register(
+        "q287_moore_lewis",
+        moore_lewis_sql("documents", "lang = 'en'"),
+        doc="Moore-Lewis cross-entropy selection (functions/text.py "
+            "moore_lewis_select; Moore-Lewis ACL 2010): English "
+            "docs as the in-domain seed, every document scored by "
+            "the per-token log-likelihood ratio between the seed "
+            "unigram LM and the out-of-domain complement, top-200 "
+            "kept. The likelihood-ratio ORIGINAL next to q219's "
+            "hashed-ngram DSIR; one (word -> two log-probs) join, "
+            "round-12 decimal sums, two scalar counts.",
+    )
+    def q287_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents")
+        from ..functions.text import moore_lewis_select
+
+        return moore_lewis_select(docs, F.col("lang") == "en")
+
+
+_init_q287()

@@ -1015,3 +1015,25 @@ def test_quantile_effects_planted_tail_shift(spark):
     assert out[50].qte == 0
     assert out[90].qte == 100
     assert out[10].qte == 0
+
+
+def test_mann_kendall_perfect_trend(spark):
+    from node_etl_spark.functions.profile import mann_kendall
+
+    # strictly increasing series: S = C(n,2) = 45, z > 0 and large
+    rows = [("g", t, 10 * t) for t in range(10)]
+    df = spark.createDataFrame(rows, "grp string, t long, y long")
+    (r,) = mann_kendall(df, "grp", "t", "y").collect()
+    assert r.s_stat == 45
+    assert r.z > 3.0
+    # no ties: var = n(n-1)(2n+5)/18 = 10*9*25/18 = 125
+    assert r.var_s == 125.0
+
+
+def test_mann_kendall_ties_shrink_variance(spark):
+    from node_etl_spark.functions.profile import mann_kendall
+
+    rows = [("g", t, 5) for t in range(10)]  # all tied -> S=0, var 0
+    df = spark.createDataFrame(rows, "grp string, t long, y long")
+    (r,) = mann_kendall(df, "grp", "t", "y").collect()
+    assert r.s_stat == 0 and r.var_s == 0.0 and r.z == 0.0

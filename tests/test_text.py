@@ -856,3 +856,26 @@ def test_rake_strips_punctuation_and_breaks_phrases(spark):
     assert "red apples" in out
     assert all("," not in p and "." not in p for p in out)
     assert "the" not in " ".join(out)
+
+
+def test_moore_lewis_prefers_seed_vocabulary(spark):
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.functions.text import moore_lewis_select
+
+    rows = [
+        (1, "en", "alpha beta gamma alpha beta"),
+        (2, "en", "alpha gamma beta gamma"),
+        (3, "xx", "delta epsilon zeta delta"),
+        (4, "xx", "epsilon zeta delta zeta"),
+        # the candidate that reads like the seed must outrank the
+        # one that reads like the complement
+        (5, "yy", "alpha beta gamma"),
+        (6, "yy", "delta epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.doc_id: r for r in moore_lewis_select(
+        df, F.col("lang") == "en", top_n=10
+    ).collect()}
+    assert out[5].ml_score > out[6].ml_score
+    assert out[1].ml_score > 0 and out[3].ml_score < 0
