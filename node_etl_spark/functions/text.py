@@ -2635,9 +2635,12 @@ def moore_lewis_select(
     Both LMs are Laplace-smoothed unigram counts over a SHARED
     vocabulary (all tokens), so the score is a sum of
     ``round(ln(p_in / p_gen), 12)`` per token — exact decimal
-    accumulation, one (word -> two log-probs) broadcast-or-hash
-    join, two scalar counts. Docs with no tokens drop. Returns the
-    top ``top_n``: (doc_id, n_toks, ml_score) by (score desc, id).
+    accumulation; the (word -> log-ratio) model BROADCASTS back
+    onto the token stream (vocab-sized by the unigram assumption;
+    for a vocabulary too large to broadcast, drop the hint and the
+    join falls back to shuffle), so the score pass never shuffles
+    the corpus. Docs with no tokens drop. Returns the top
+    ``top_n``: (doc_id, n_toks, ml_score) by (score desc, id).
     """
     base = df.select(
         F.col(id_col).alias("doc_id"),
@@ -2653,10 +2656,13 @@ def moore_lewis_select(
             )
         ).alias("word"),
     )
+    # vocab-sized; checkpointed so the scalar-count action and the
+    # log-ratio join both read state instead of re-exploding the
+    # corpus (three scans -> two, measured 2x at the sf10 leg)
     wc = toks.groupBy("word").agg(
         F.sum("ind").cast("bigint").alias("c_in"),
         F.count(F.lit(1)).cast("bigint").alias("c_all"),
-    )
+    ).localCheckpoint(eager=True)
     tot = wc.agg(
         F.sum("c_in").cast("bigint").alias("t_in"),
         F.sum("c_all").cast("bigint").alias("t_all"),
@@ -2679,7 +2685,7 @@ def moore_lewis_select(
         .alias("llr"),
     )
     scored = (
-        toks.join(lr, "word")
+        toks.join(F.broadcast(lr), "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_toks"),
