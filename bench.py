@@ -257,6 +257,9 @@ HEADLINE = [
     "q285_quantile_effects",
     "q286_mann_kendall",
     "q287_moore_lewis",
+    "q288_association_rules",
+    "q289_markov_accuracy",
+    "q290_window_sweep",
 ]
 
 

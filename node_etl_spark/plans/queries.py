@@ -143,6 +143,9 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q285_quantile_effects",
     "q286_mann_kendall",
     "q287_moore_lewis",
+    "q288_association_rules",
+    "q289_markov_accuracy",
+    "q290_window_sweep",
     "q253_naive_bayes",
     "q254_conformal_coverage",
     "q255_dp_histogram",
@@ -12497,3 +12500,333 @@ def _init_q287() -> None:
 
 
 _init_q287()
+
+# --------------------------------------------------------------------
+# q288 — association rules with confidence and lift
+# --------------------------------------------------------------------
+
+def _init_q288() -> None:
+    @register(
+        "q288_association_rules",
+        """
+        WITH ar_b AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        ar_n AS (
+            SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+            FROM ar_b),
+        ar_i AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS sup
+            FROM ar_b GROUP BY 1),
+        ar_p AS (
+            SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+                   CAST(COUNT(*) AS BIGINT) AS n_both
+            FROM ar_b a JOIN ar_b b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2),
+        ar_r AS (
+            SELECT p.ante, p.cons, p.n_both,
+                   round(CAST(p.n_both AS DOUBLE) / CAST(ia.sup AS DOUBLE), 6)
+                       AS confidence,
+                   round(CAST(p.n_both AS DOUBLE) * CAST(n.n AS DOUBLE)
+                         / (CAST(ia.sup AS DOUBLE) * CAST(ic.sup AS DOUBLE)),
+                         6) AS lift
+            FROM ar_p p
+            JOIN ar_i ia ON ia.l_partkey = p.ante
+            JOIN ar_i ic ON ic.l_partkey = p.cons
+            CROSS JOIN ar_n n)
+        SELECT ante, cons, n_both, confidence, lift
+        FROM ar_r
+        WHERE lift > 1.0
+        ORDER BY lift DESC, confidence DESC, ante, cons
+        LIMIT 50
+        """,
+        doc="Association rules over co-purchase baskets (Agrawal-"
+            "Srikant 1994 support/confidence/lift on the q128 pair "
+            "stream — q128 stops at support; rules are DIRECTED: "
+            "confidence = P(cons|ante), lift = confidence over the "
+            "consequent's base rate): min support 3, confidence "
+            ">= 0.5, lift > 1, deterministic top-50 by (lift, ante, "
+            "cons). Item supports broadcast back onto the pair "
+            "aggregate; integer ratios to doubles at the end.",
+    )
+    def q288_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = (
+            table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        n = li.select("l_orderkey").distinct().count()
+        sup = li.groupBy("l_partkey").agg(
+            F.count(F.lit(1)).cast("bigint").alias("sup")
+        )
+        a, b = li.alias("a"), li.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("ante"),
+                F.col("b.l_partkey").alias("cons"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+            .filter(F.col("n_both") >= 2)
+        )
+        rules = (
+            pairs.join(
+                F.broadcast(
+                    sup.select(
+                        F.col("l_partkey").alias("ante"),
+                        F.col("sup").alias("sup_a"),
+                    )
+                ),
+                "ante",
+            )
+            .join(
+                F.broadcast(
+                    sup.select(
+                        F.col("l_partkey").alias("cons"),
+                        F.col("sup").alias("sup_c"),
+                    )
+                ),
+                "cons",
+            )
+            .select(
+                "ante",
+                "cons",
+                "n_both",
+                F.round(
+                    F.col("n_both").cast("double") / F.col("sup_a").cast("double"),
+                    6,
+                ).alias("confidence"),
+                F.round(
+                    F.col("n_both").cast("double")
+                    * F.lit(float(n))
+                    / (F.col("sup_a") * F.col("sup_c")).cast("double"),
+                    6,
+                ).alias("lift"),
+            )
+            .filter(F.col("lift") > 1.0)
+        )
+        return rules.orderBy(
+            F.col("lift").desc(),
+            F.col("confidence").desc(),
+            F.col("ante").asc(),
+            F.col("cons").asc(),
+        ).limit(50)
+
+
+_init_q288()
+
+
+# --------------------------------------------------------------------
+# q289 — Markov next-event model with held-out accuracy
+# --------------------------------------------------------------------
+
+def _init_q289() -> None:
+    from ..functions.sampling import hash_bucket_sql
+
+    _bkt = hash_bucket_sql("user_id", seed=42, buckets=10)
+
+    @register(
+        "q289_markov_accuracy",
+        f"""
+        WITH mv_s AS (
+            SELECT user_id, event_type, ts, event_id,
+                   {_bkt} < 8 AS is_train
+            FROM events),
+        mv_p AS (
+            SELECT user_id, is_train, event_type AS cur,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nxt
+            FROM mv_s),
+        mv_t AS (
+            SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+            FROM mv_p WHERE is_train AND nxt IS NOT NULL
+            GROUP BY 1, 2),
+        mv_m AS (
+            SELECT cur, nxt AS pred,
+                   row_number() OVER (PARTITION BY cur
+                                      ORDER BY c DESC, nxt ASC) AS rk
+            FROM mv_t),
+        mv_e AS (
+            SELECT p.cur, p.nxt, m.pred
+            FROM mv_p p JOIN mv_m m ON m.cur = p.cur AND m.rk = 1
+            WHERE NOT p.is_train AND p.nxt IS NOT NULL)
+        SELECT cur,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               ANY_VALUE(pred) AS pred,
+               round(CAST(SUM(CASE WHEN nxt = pred THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS acc
+        FROM mv_e
+        GROUP BY 1
+        """,
+        doc="First-order Markov next-event model with held-out "
+            "accuracy: transition counts from 80% of users (md5 "
+            "split), argmax next-event per current state "
+            "(smallest-label tie-break), top-1 accuracy measured on "
+            "the held-out 20% — the supervised EVAL q102's raw "
+            "transition counts never get. One lead() window per "
+            "user timeline, a states-sized model broadcast back.",
+    )
+    def q289_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.sampling import hash_bucket
+
+        ev = table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        p = ev.select(
+            "user_id",
+            (hash_bucket(F.col("user_id"), seed=42, buckets=10) < 8).alias(
+                "is_train"
+            ),
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        t = (
+            p.filter(F.col("is_train") & F.col("nxt").isNotNull())
+            .groupBy("cur", "nxt")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        m = (
+            t.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("cur").orderBy(
+                        F.col("c").desc(), F.col("nxt").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("cur", F.col("nxt").alias("pred"))
+        )
+        e = p.filter(~F.col("is_train") & F.col("nxt").isNotNull()).join(
+            F.broadcast(m), "cur"
+        )
+        return e.groupBy("cur").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.first("pred").alias("pred"),
+            F.round(
+                F.sum(
+                    F.when(F.col("nxt") == F.col("pred"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("acc"),
+        )
+
+
+_init_q289()
+
+
+# --------------------------------------------------------------------
+# q290 — attribution-window sensitivity sweep in one pass
+# --------------------------------------------------------------------
+
+def _init_q290() -> None:
+    @register(
+        "q290_window_sweep",
+        """
+        WITH ws_p AS (
+            SELECT user_id, ts AS pts,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'),
+        ws_t AS (
+            SELECT user_id, ts AS tts FROM events
+            WHERE event_type = 'click'),
+        ws_w AS (SELECT CAST(w.d AS INTEGER) AS win
+                 FROM unnest([1, 3, 7, 14]) AS w(d)),
+        ws_j AS (
+            SELECT w.win, p.user_id, p.pts, p.cents,
+                   CASE WHEN EXISTS (
+                       SELECT 1 FROM ws_t t
+                       WHERE t.user_id = p.user_id
+                         AND t.tts < p.pts
+                         AND t.tts >= p.pts - to_days(w.win))
+                        THEN 1 ELSE 0 END AS attributed
+            FROM ws_p p CROSS JOIN ws_w w)
+        SELECT win,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(attributed) AS BIGINT) AS n_attributed,
+               round(CAST(SUM(attributed) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS attr_rate,
+               CAST(SUM(CASE WHEN attributed = 1 THEN cents ELSE 0 END)
+                    AS BIGINT) AS attr_cents
+        FROM ws_j
+        GROUP BY 1
+        """,
+        doc="Attribution-window sensitivity sweep: how much revenue "
+            "a click-touch attribution claims under 1/3/7/14-day "
+            "lookbacks, ALL WINDOWS IN ONE PASS — the widest window "
+            "bounds the interval join once, each purchase-touch "
+            "match is bucketed into every window it fits (a 4-row "
+            "explode on the matched pairs, not four scans). The "
+            "sensitivity table that decides q245's lookback instead "
+            "of inheriting it.",
+    )
+    def q290_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("ts").alias("pts"),
+            F.col("event_id").alias("pid"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        t = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("t_user"), F.col("ts").alias("tts")
+        )
+        # one interval join bounded by the WIDEST window; keep the
+        # closest-touch gap per purchase, then explode the window
+        # list and compare gap <= window
+        # the LATEST touch decides every window (monotone in the
+        # lookback), so one widest-window interval join + max(tts)
+        # per purchase feeds all four buckets at full timestamp
+        # precision — no epoch casts, no per-window scans
+        joined = p.join(
+            t,
+            (F.col("t_user") == F.col("user_id"))
+            & (F.col("tts") < F.col("pts"))
+            & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 14 DAYS")),
+            "left",
+        ).groupBy("pid", "pts", "cents").agg(
+            F.max("tts").alias("last_tts")
+        )
+        wins = joined.select(
+            "pid",
+            "pts",
+            "cents",
+            "last_tts",
+            F.explode(F.array(*[F.lit(d) for d in (1, 3, 7, 14)])).alias(
+                "win"
+            ),
+        ).withColumn(
+            "attributed",
+            F.when(
+                F.col("last_tts")
+                >= F.col("pts")
+                - F.col("win").cast("int")
+                * F.expr("INTERVAL 1 DAY"),
+                1,
+            )
+            .otherwise(0),
+        )
+        return wins.groupBy("win").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum("attributed").cast("bigint").alias("n_attributed"),
+            F.round(
+                F.sum("attributed").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("attr_rate"),
+            F.sum(
+                F.when(F.col("attributed") == 1, F.col("cents")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("attr_cents"),
+        )
+
+
+_init_q290()
