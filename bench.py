@@ -260,6 +260,8 @@ HEADLINE = [
     "q288_association_rules",
     "q289_markov_accuracy",
     "q290_window_sweep",
+    "q291_forecast_backtest",
+    "q292_coldstart_audit",
 ]
 
 

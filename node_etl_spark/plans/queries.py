@@ -146,6 +146,8 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q288_association_rules",
     "q289_markov_accuracy",
     "q290_window_sweep",
+    "q291_forecast_backtest",
+    "q292_coldstart_audit",
     "q253_naive_bayes",
     "q254_conformal_coverage",
     "q255_dp_histogram",
@@ -12830,3 +12832,184 @@ def _init_q290() -> None:
 
 
 _init_q290()
+
+# --------------------------------------------------------------------
+# q291 — rolling-origin backtest of a seasonal-naive forecaster
+# --------------------------------------------------------------------
+
+def _init_q291() -> None:
+    @register(
+        "q291_forecast_backtest",
+        """
+        WITH fb_d AS (
+            SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2),
+        fb_l AS (
+            SELECT grp, day, cents,
+                   lag(cents, 7) OVER (PARTITION BY grp ORDER BY day)
+                       AS pred
+            FROM fb_d),
+        fb_e AS (
+            SELECT grp, abs(cents - pred) AS ae, cents, pred
+            FROM fb_l WHERE pred IS NOT NULL)
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n_folds,
+               round(CAST(SUM(ae) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     / 100.0, 2) AS mae,
+               round(CAST(SUM(CAST(round(CAST(ae AS DOUBLE)
+                              / CAST(cents AS DOUBLE), 9)
+                              AS DECIMAL(28,9))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) * 100, 2) AS mape_pct
+        FROM fb_e
+        WHERE cents > 0
+        GROUP BY 1
+        """,
+        doc="Rolling-origin forecast backtest (Tashman 2000 "
+            "evaluation-on-a-rolling-origin): the seasonal-naive "
+            "forecaster (same weekday last week — the baseline any "
+            "q76-style model must beat) evaluated at EVERY origin "
+            "of each event_type's daily series at once via one "
+            "lag(7) window; MAE in currency units and MAPE over "
+            "positive-actual days, per-fold ratios on the round-9 "
+            "decimal grid. The eval harness q76 never had: one "
+            "window, no per-origin refits.",
+    )
+    def q291_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        d = ev.groupBy(
+            F.col("event_type").alias("grp"), F.to_date("ts").alias("day")
+        ).agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        w = Window.partitionBy("grp").orderBy("day")
+        e = (
+            d.withColumn("pred", F.lag("cents", 7).over(w))
+            .filter(F.col("pred").isNotNull() & (F.col("cents") > 0))
+            .select(
+                "grp",
+                F.abs(F.col("cents") - F.col("pred")).alias("ae"),
+                "cents",
+            )
+        )
+        return e.groupBy("grp").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_folds"),
+            F.round(
+                F.sum("ae").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 100.0,
+                2,
+            ).alias("mae"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("ae").cast("double")
+                        / F.col("cents").cast("double"),
+                        9,
+                    ).cast("decimal(28,9)")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * 100,
+                2,
+            ).alias("mape_pct"),
+        )
+
+
+_init_q291()
+
+
+# --------------------------------------------------------------------
+# q292 — cold-start coverage audit of the temporal split
+# --------------------------------------------------------------------
+
+def _init_q292() -> None:
+    @register(
+        "q292_coldstart_audit",
+        """
+        WITH cs_s AS (
+            SELECT user_id,
+                   CAST(props->>'k' AS BIGINT) AS item,
+                   CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-25'
+                        THEN 1 ELSE 0 END AS is_test
+            FROM events WHERE event_type IN ('view', 'click')),
+        cs_u AS (
+            SELECT 'user' AS entity,
+                   CAST(COUNT(DISTINCT CASE WHEN is_test = 1
+                        THEN user_id END) AS BIGINT) AS n_test,
+                   CAST(COUNT(DISTINCT CASE WHEN is_test = 1
+                        AND user_id NOT IN (
+                            SELECT DISTINCT user_id FROM cs_s
+                            WHERE is_test = 0)
+                        THEN user_id END) AS BIGINT) AS n_cold
+            FROM cs_s),
+        cs_i AS (
+            SELECT 'item' AS entity,
+                   CAST(COUNT(DISTINCT CASE WHEN is_test = 1
+                        THEN item END) AS BIGINT) AS n_test,
+                   CAST(COUNT(DISTINCT CASE WHEN is_test = 1
+                        AND item NOT IN (
+                            SELECT DISTINCT item FROM cs_s
+                            WHERE is_test = 0)
+                        THEN item END) AS BIGINT) AS n_cold
+            FROM cs_s)
+        SELECT entity, n_test, n_cold,
+               round(CAST(n_cold AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+                   AS cold_frac
+        FROM (SELECT * FROM cs_u UNION ALL SELECT * FROM cs_i)
+        """,
+        doc="Cold-start coverage audit: after a temporal split (last "
+            "week = test), what fraction of test users and items "
+            "never appear in train — the number that decides whether "
+            "an offline eval (q212, q289) measures the MODEL or the "
+            "cold-start policy; a recsys eval with 40% cold items is "
+            "measuring the fallback. Train-entity sets resolve as "
+            "left-anti joins (never NOT IN over a corpus in the "
+            "Spark plan); two entity axes in one scan shape.",
+    )
+    def q292_coldstart_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events").filter(
+            F.col("event_type").isin("view", "click")
+        )
+        s = ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+            (F.to_date("ts") >= F.lit("2024-01-25")).cast("int").alias(
+                "is_test"
+            ),
+        )
+
+        def axis(col: str, label: str) -> DataFrame:
+            test = (
+                s.filter(F.col("is_test") == 1).select(col).distinct()
+            )
+            train = (
+                s.filter(F.col("is_test") == 0).select(col).distinct()
+            )
+            cold = test.join(train, col, "left_anti")
+            n_test = test.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_test")
+            )
+            n_cold = cold.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_cold")
+            )
+            return (
+                n_test.crossJoin(n_cold)
+                .select(
+                    F.lit(label).alias("entity"),
+                    "n_test",
+                    "n_cold",
+                    F.round(
+                        F.col("n_cold").cast("double")
+                        / F.col("n_test").cast("double"),
+                        6,
+                    ).alias("cold_frac"),
+                )
+            )
+
+        return axis("user_id", "user").unionByName(axis("item", "item"))
+
+
+_init_q292()
