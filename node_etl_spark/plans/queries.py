@@ -12965,48 +12965,49 @@ def _init_q292() -> None:
             "never appear in train — the number that decides whether "
             "an offline eval (q212, q289) measures the MODEL or the "
             "cold-start policy; a recsys eval with 40% cold items is "
-            "measuring the fallback. Train-entity sets resolve as "
-            "left-anti joins (never NOT IN over a corpus in the "
-            "Spark plan); two entity axes in one scan shape.",
+            "measuring the fallback. One per-entity flag aggregate "
+            "per axis over the once-parsed frame (max(is_test)/"
+            "max(is_train) — no distinct+anti-join pairs, no "
+            "repeated JSON parse); the oracle keeps the NOT IN "
+            "shape as the adversarial cross-check.",
     )
     def q292_coldstart_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = table(spark, sf_dir, "events").filter(
             F.col("event_type").isin("view", "click")
         )
+        # parsed once; each axis is then ONE per-entity aggregate
+        # (any_test/any_train flags), not distinct+anti-join pairs —
+        # the first cut recomputed the JSON parse four times and ran
+        # 29x super-linear at the decade
         s = ev.select(
             "user_id",
             F.get_json_object("props", "$.k").cast("bigint").alias("item"),
             (F.to_date("ts") >= F.lit("2024-01-25")).cast("int").alias(
                 "is_test"
             ),
-        )
+        ).localCheckpoint(eager=True)
 
         def axis(col: str, label: str) -> DataFrame:
-            test = (
-                s.filter(F.col("is_test") == 1).select(col).distinct()
+            flags = s.groupBy(col).agg(
+                F.max("is_test").alias("any_test"),
+                F.max(1 - F.col("is_test")).alias("any_train"),
             )
-            train = (
-                s.filter(F.col("is_test") == 0).select(col).distinct()
-            )
-            cold = test.join(train, col, "left_anti")
-            n_test = test.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_test")
-            )
-            n_cold = cold.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_cold")
-            )
-            return (
-                n_test.crossJoin(n_cold)
-                .select(
-                    F.lit(label).alias("entity"),
-                    "n_test",
-                    "n_cold",
-                    F.round(
-                        F.col("n_cold").cast("double")
-                        / F.col("n_test").cast("double"),
-                        6,
-                    ).alias("cold_frac"),
+            return flags.agg(
+                F.sum(F.col("any_test")).cast("bigint").alias("n_test"),
+                F.sum(
+                    F.col("any_test") * (1 - F.col("any_train"))
                 )
+                .cast("bigint")
+                .alias("n_cold"),
+            ).select(
+                F.lit(label).alias("entity"),
+                "n_test",
+                "n_cold",
+                F.round(
+                    F.col("n_cold").cast("double")
+                    / F.col("n_test").cast("double"),
+                    6,
+                ).alias("cold_frac"),
             )
 
         return axis("user_id", "user").unionByName(axis("item", "item"))
