@@ -262,6 +262,8 @@ HEADLINE = [
     "q290_window_sweep",
     "q291_forecast_backtest",
     "q292_coldstart_audit",
+    "q293_burstiness",
+    "q294_readability",
 ]
 
 

@@ -148,6 +148,8 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q290_window_sweep",
     "q291_forecast_backtest",
     "q292_coldstart_audit",
+    "q293_burstiness",
+    "q294_readability",
     "q253_naive_bayes",
     "q254_conformal_coverage",
     "q255_dp_histogram",
@@ -13014,3 +13016,227 @@ def _init_q292() -> None:
 
 
 _init_q292()
+
+# --------------------------------------------------------------------
+# q293 — inter-event burstiness per user cohort
+# --------------------------------------------------------------------
+
+def _init_q293() -> None:
+    @register(
+        "q293_burstiness",
+        """
+        WITH bu_g AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap
+            FROM events),
+        bu_u AS (
+            SELECT user_id, CAST(COUNT(gap) AS BIGINT) AS n,
+                   CAST(SUM(gap) AS BIGINT) AS s,
+                   CAST(SUM(CAST(gap AS DECIMAL(38,0)) * gap)
+                        AS DECIMAL(38,0)) AS ss
+            FROM bu_g WHERE gap IS NOT NULL
+            GROUP BY 1
+            HAVING COUNT(gap) >= 5),
+        bu_b AS (
+            SELECT user_id, n,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                   sqrt(greatest(0.0,
+                        (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                       AS sigma
+            FROM bu_u),
+        bu_s AS (
+            SELECT user_id, n,
+                   CASE WHEN sigma + mu > 0
+                        THEN CAST(round((sigma - mu) / (sigma + mu), 9)
+                                  AS DECIMAL(18,9)) END AS b
+            FROM bu_b)
+        SELECT CAST(least(4, n // 20) AS INTEGER) AS activity_band,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               round(CAST(SUM(b) AS DOUBLE) / CAST(COUNT(b) AS DOUBLE), 6)
+                   AS avg_burstiness
+        FROM bu_s
+        GROUP BY 1
+        """,
+        doc="Inter-event burstiness (Goh-Barabasi EPL 2008: B = "
+            "(sigma - mu)/(sigma + mu) of a user's inter-arrival "
+            "gaps — -1 periodic, 0 Poisson, ->1 bursty), averaged "
+            "by activity band: the temporal-signature audit behind "
+            "bot screens and session-gap choices (q57's 30-min gap "
+            "presumes a burst structure this measures). One lag "
+            "window per user timeline, exact integer gap moments, "
+            "per-user B on the round-9 decimal grid.",
+    )
+    def q293_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # epoch-microsecond gaps: date_diff(SECOND) truncates in Spark
+        # but counts boundary crossings in DuckDB — sub-second parts
+        # split the engines (caught at the sf0.01 gate)
+        g = ev.select(
+            "user_id",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP))"
+                " - lag(unix_micros(CAST(ts AS TIMESTAMP))) OVER "
+                "(PARTITION BY user_id ORDER BY ts, event_id)"
+            ).alias("gap"),
+        )
+        u = (
+            g.filter(F.col("gap").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("gap").cast("bigint").alias("s"),
+                F.sum(
+                    F.expr("CAST(gap AS DECIMAL(38,0)) * gap")
+                ).alias("ss"),
+            )
+            .filter(F.col("n") >= 5)
+        )
+        b = u.select(
+            "user_id",
+            "n",
+            F.expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)").alias("mu"),
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    F.expr(
+                        "(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
+                        " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+                        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+                    ),
+                )
+            ).alias("sigma"),
+        ).select(
+            "user_id",
+            "n",
+            F.when(
+                F.col("sigma") + F.col("mu") > 0,
+                F.round(
+                    (F.col("sigma") - F.col("mu"))
+                    / (F.col("sigma") + F.col("mu")),
+                    9,
+                ).cast("decimal(18,9)"),
+            ).alias("b"),
+        )
+        return b.groupBy(
+            F.least(F.lit(4), F.expr("n DIV 20")).cast("int").alias(
+                "activity_band"
+            )
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(
+                F.sum("b").cast("double") / F.count("b").cast("double"), 6
+            ).alias("avg_burstiness"),
+        )
+
+
+_init_q293()
+
+
+# --------------------------------------------------------------------
+# q294 — readability profile per source (Flesch-style)
+# --------------------------------------------------------------------
+
+def _init_q294() -> None:
+    @register(
+        "q294_readability",
+        r"""
+        WITH rd_d AS (
+            SELECT source,
+                   CAST(len(list_filter(string_split_regex(lower(text),
+                        '\s+'), w -> w <> '')) AS BIGINT) AS words,
+                   CAST(greatest(1, len(string_split_regex(text,
+                        '[.!?]+')) - 1) AS BIGINT) AS sents,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[aeiouy]+')) AS BIGINT) AS syl
+            FROM documents),
+        rd_f AS (
+            SELECT source, words, sents, syl,
+                   CAST(round(206.835
+                        - 1.015 * CAST(words AS DOUBLE)
+                          / CAST(sents AS DOUBLE)
+                        - 84.6 * CAST(syl AS DOUBLE)
+                          / CAST(words AS DOUBLE), 6)
+                        AS DECIMAL(18,6)) AS fre
+            FROM rd_d WHERE words > 0)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               round(CAST(SUM(words) AS DOUBLE) / CAST(SUM(sents) AS DOUBLE),
+                     2) AS words_per_sentence,
+               round(CAST(SUM(syl) AS DOUBLE) / CAST(SUM(words) AS DOUBLE),
+                     4) AS syllables_per_word,
+               round(CAST(SUM(fre) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2)
+                   AS avg_flesch
+        FROM rd_f
+        GROUP BY 1
+        """,
+        doc="Readability profile per source (Flesch 1948 reading "
+            "ease with a vowel-group syllable PROXY — the proxy is "
+            "the standard hack when no dictionary ships; both "
+            "engines count the identical regexp so the proxy is "
+            "exact cross-engine): words/sentence, syllables/word, "
+            "mean FRE per source. The style axis q24's "
+            "length/punct/stopword profile lacks; row-local regexp "
+            "counts, one aggregate — rides the scan.",
+    )
+    def q294_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents")
+        d = docs.select(
+            "source",
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+                )
+            )
+            .cast("bigint")
+            .alias("words"),
+            F.greatest(
+                F.lit(1), F.size(F.split("text", r"[.!?]+")) - 1
+            )
+            .cast("bigint")
+            .alias("sents"),
+            F.size(
+                F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+            )
+            .cast("bigint")
+            .alias("syl"),
+        ).filter(F.col("words") > 0)
+        f = d.select(
+            "source",
+            "words",
+            "sents",
+            "syl",
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015)
+                * F.col("words").cast("double")
+                / F.col("sents").cast("double")
+                - F.lit(84.6)
+                * F.col("syl").cast("double")
+                / F.col("words").cast("double"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("fre"),
+        )
+        return f.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("words").cast("double") / F.sum("sents").cast("double"),
+                2,
+            ).alias("words_per_sentence"),
+            F.round(
+                F.sum("syl").cast("double") / F.sum("words").cast("double"),
+                4,
+            ).alias("syllables_per_word"),
+            F.round(
+                F.sum("fre").cast("double") / F.count(F.lit(1)).cast("double"),
+                2,
+            ).alias("avg_flesch"),
+        )
+
+
+_init_q294()
