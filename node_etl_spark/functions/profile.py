@@ -2434,6 +2434,10 @@ def ridge_cv(
     def m(expr: str):
         return F.sum(F.round(F.expr(expr), 9).cast("decimal(38,9)"))
 
+    # k rows; checkpointed so the totals, the train subtraction and
+    # the coefficient join read state instead of re-running the
+    # corpus moment scan (~12% on the bench — the md5 fold hash per
+    # scoring row, not the extra scans, is the dominant cost)
     per_fold = base.groupBy("fold").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         m("x1").alias("s1"),
@@ -2444,7 +2448,7 @@ def ridge_cv(
         m("y").alias("sy"),
         m("x1 * y").alias("s1y"),
         m("x2 * y").alias("s2y"),
-    )
+    ).localCheckpoint(eager=True)
     tot = per_fold.agg(
         F.sum("n").alias("n"),
         *[F.sum(c).alias(c) for c in
