@@ -693,3 +693,48 @@ def test_q239_funnel_dp_is_single_aggregate_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q239_funnel_count")
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q290_attribution_monotone_in_window(spark, sf_dir):
+    """Wider lookbacks can only attribute MORE: rates and cents must
+    be non-decreasing in the window — the invariant that makes the
+    single widest-window join sound."""
+    rows = sorted(
+        QUERIES["q290_window_sweep"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.win,
+    )
+    assert [r.win for r in rows] == [1, 3, 7, 14]
+    assert all(
+        a.n_attributed <= b.n_attributed and a.attr_cents <= b.attr_cents
+        for a, b in zip(rows, rows[1:])
+    )
+    # every window sees the same purchase universe
+    assert len({r.n_purchases for r in rows}) == 1
+
+
+def test_q293_burstiness_bounded(spark, sf_dir):
+    """B = (sigma-mu)/(sigma+mu) lies in (-1, 1) by construction."""
+    rows = QUERIES["q293_burstiness"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 < r.avg_burstiness < 1.0
+
+
+def test_q294_readability_plan_is_single_aggregate(spark, sf_dir):
+    """Readability rides the scan: no joins, no windows, no Python."""
+    plan = _plan(spark, sf_dir, "q294_readability")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Python" not in plan and "Pandas" not in plan
+
+
+def test_q288_rules_confidence_lift_consistency(spark, sf_dir):
+    """lift = confidence / consequent base rate implies every
+    returned rule (lift > 1 filter) has confidence above the
+    consequent's global support share."""
+    rows = QUERIES["q288_association_rules"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    for r in rows:
+        assert r.lift > 1.0
+        assert 0 < r.confidence <= 1.0
+        assert r.n_both >= 2
