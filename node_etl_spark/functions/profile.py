@@ -1823,9 +1823,11 @@ def coec_ctr(
     (item, views, clicks, ctr, coec) for items with >=
     ``min_views`` impressions.
     """
+    # event_id is the final tiebreaker: two impressions with the same
+    # (user, day, ts, item) would otherwise get engine-dependent pos
     w = Window.partitionBy(
         "user_id", F.to_date("ts")
-    ).orderBy("ts", "item")
+    ).orderBy("ts", "item", "event_id")
     v = views.select(
         "user_id",
         "item",
@@ -1907,7 +1909,7 @@ def coec_oracle_sql(
         SELECT user_id, item, ts,
                least(row_number() OVER (
                    PARTITION BY user_id, CAST(ts AS DATE)
-                   ORDER BY ts, item), {int(max_pos)}) AS pos
+                   ORDER BY ts, item, event_id), {int(max_pos)}) AS pos
         FROM co_v0),
     co_i AS (
         SELECT v.item, v.pos,
@@ -2148,8 +2150,15 @@ def dp_histogram(
     it (and the DP guarantee is about the released column only).
     """
     b = 1.0 / float(epsilon)
+    # coalesce NULL key parts to a sentinel BEFORE hashing: concat_ws
+    # silently skips NULLs while SQL `||` NULL-propagates, so without
+    # this a NULL-keyed cell draws different noise cross-engine
     key = F.concat_ws(
-        "\x1f", *[F.col(c).cast("string") for c in group_cols]
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in group_cols
+        ],
     )
     agg = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_raw")
@@ -2193,7 +2202,11 @@ def dp_histogram_oracle_sql(
     b = 1.0 / float(epsilon)
     names = [e.split(" AS ")[-1].strip() for e in group_exprs]
     keys = ", ".join(names)
-    cell = " || chr(31) || ".join(f"CAST({n} AS VARCHAR)" for n in names)
+    # COALESCE to the same NULL sentinel the Spark side uses, so a
+    # NULL key part can't NULL-propagate through || and diverge
+    cell = " || chr(31) || ".join(
+        f"COALESCE(CAST({n} AS VARCHAR), chr(0) || 'null')" for n in names
+    )
     return f"""
     WITH dp_a AS (
         SELECT {', '.join(group_exprs)},
@@ -2248,7 +2261,11 @@ def offpolicy_eval(
     interval join. Returns per-position rows (pos, n, naive_ctr,
     ips_ctr, snips_ctr, clip_frac).
     """
-    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "item")
+    # event_id is the final tiebreaker: two impressions with the same
+    # (user, day, ts, item) would otherwise get engine-dependent pos
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        "ts", "item", "event_id"
+    )
     v = views.select(
         "user_id",
         "item",
@@ -2343,7 +2360,7 @@ def offpolicy_oracle_sql(
         SELECT user_id, item, ts, event_id,
                least(row_number() OVER (
                    PARTITION BY user_id, CAST(ts AS DATE)
-                   ORDER BY ts, item), {int(max_pos)}) AS pos
+                   ORDER BY ts, item, event_id), {int(max_pos)}) AS pos
         FROM op_v0),
     op_i AS (
         SELECT v.pos, v.item,

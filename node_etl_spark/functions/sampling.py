@@ -978,7 +978,13 @@ def rendezvous_shard(
                     F.md5(
                         F.concat_ws(
                             ":",
-                            key_col.cast("string"),
+                            # NULL sentinel: concat_ws skips NULLs but
+                            # SQL || NULL-propagates — coalesce on both
+                            # sides so NULL keys shard identically
+                            F.coalesce(
+                                key_col.cast("string"),
+                                F.lit("\x00null"),
+                            ),
                             s.cast("string"),
                             F.lit(str(seed)),
                         )
@@ -1006,7 +1012,8 @@ def rendezvous_shard_sql(
     return (
         "CAST(list_max(list_transform(range(0, "
         f"{int(n_shards)}), s -> {{'h': CAST(('0x' || "
-        f"substring(md5(CAST({key_expr} AS VARCHAR) || ':' || "
+        f"substring(md5(COALESCE(CAST({key_expr} AS VARCHAR), "
+        "chr(0) || 'null') || ':' || "
         f"CAST(s AS VARCHAR) || ':{seed}'), 1, 15)) AS BIGINT), "
         "'s': s})).s AS INT)"
     )

@@ -12292,7 +12292,13 @@ def _init_q283() -> None:
             mode="update",
             sink_prefix="q283",
         )
-        w = Window.partitionBy("grp").orderBy(F.col("n_days").desc())
+        # pick each group's FRESHEST emission by the state function's
+        # monotonic seq counter — n_days alone ties when a later
+        # micro-batch merely extends the still-pending day, and the
+        # tied rows carry different walk values
+        w = Window.partitionBy("grp").orderBy(
+            F.col("seq").desc(), F.col("n_days").desc()
+        )
         return (
             sink.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)

@@ -428,10 +428,12 @@ def bitmap_state_rollup(spark: SparkSession, path: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 EWMA_SCHEMA = (
-    "grp string, n_days bigint, final_ewma double, n_anomalies bigint"
+    "grp string, n_days bigint, final_ewma double, n_anomalies bigint,"
+    " seq bigint"
 )
 _EWMA_STATE_SCHEMA = (
-    "s bigint, na bigint, nd bigint, last_day int, pending string"
+    "s bigint, na bigint, nd bigint, last_day int, pending string,"
+    " seq bigint"
 )
 
 
@@ -459,10 +461,16 @@ def _ewma_fn(key: tuple, pdf_iter, state: GroupState):
         .sum()
     )
     if state.exists:
-        s, na, nd, last_day, pending = state.get
+        s, na, nd, last_day, pending, seq = state.get
+        # -1 is the storage sentinel for "walk not seeded yet" (the
+        # state tuple can't hold None); restore it to None or a group
+        # whose first batch held a single day would treat -1 as a
+        # real EWMA level and break stream/batch parity
+        s = None if s == -1 else s
         pend = _json.loads(pending)
     else:
-        s, na, nd, last_day, pend = None, 0, 0, -1, None
+        s, na, nd, last_day, pend, seq = None, 0, 0, -1, None, 0
+    seq += 1
     items = list(daily.items())
     for d, v in items:
         d, v = int(d), int(v)
@@ -486,6 +494,7 @@ def _ewma_fn(key: tuple, pdf_iter, state: GroupState):
             int(nd),
             int(pend[0]) if pend else -1,
             _json.dumps(pend),
+            int(seq),
         )
     )
     # emit the walk AS IF the pending day closed now (complete-state
@@ -499,12 +508,18 @@ def _ewma_fn(key: tuple, pdf_iter, state: GroupState):
                 fna += 1
             fs = (pend[1] + 3 * fs + 2) // 4
         fnd += 1
+    # seq is a per-group emission counter: a later micro-batch that
+    # only extends the still-pending day emits the SAME n_days with a
+    # different walk value, so the read side needs a monotonic key to
+    # pick the freshest row deterministically (order by seq, not just
+    # n_days)
     yield pd.DataFrame(
         {
             "grp": [key[0]],
             "n_days": [fnd],
             "final_ewma": [float(fs) / 1e6 if fs is not None else None],
             "n_anomalies": [fna],
+            "seq": [int(seq)],
         }
     )
 

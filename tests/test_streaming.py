@@ -529,3 +529,56 @@ def test_ewma_stream_matches_batch_across_batches(spark, tmp_path):
     assert last.n_days == want.n_days == 8
     assert last.final_ewma == want.final_ewma
     assert last.n_anomalies == want.n_anomalies == 1
+
+
+def test_ewma_stream_single_day_first_batch(spark, tmp_path):
+    """Regression (round-7 ADVICE): when a group's FIRST micro-batch
+    holds exactly one distinct day, the stored level sentinel (-1 =
+    not-seeded) must restore to None on the next batch — otherwise
+    the second batch seeds the walk from level -1 (skipping the seed
+    step, mis-firing the anomaly check) and stream/batch parity
+    breaks."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.functions.profile import ewma_anomalies
+    from node_etl_spark.streaming import stream as st
+
+    rows = []
+    for d in range(6):
+        v = 20.0 if d == 3 else 5.0
+        rows.append((d, dt.datetime(2024, 2, 1 + d, 12), "g", v))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    (want,) = ewma_anomalies(df, "event_type", "ts", "value").collect()
+
+    src_dir = str(tmp_path / "ev1d")
+    # batch 1 = ONLY day 1 (the single-day seed batch), batch 2 = rest
+    df.filter(F.dayofmonth("ts") == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    df.filter(F.dayofmonth("ts") > 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    stream = st.ewma_stream(
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_ewma_stream_1d")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink = spark.table("t_ewma_stream_1d")
+    last = sink.orderBy(F.col("seq").desc()).limit(1).collect()[0]
+    assert last.n_days == want.n_days == 6
+    assert last.final_ewma == want.final_ewma
+    assert last.n_anomalies == want.n_anomalies == 1
