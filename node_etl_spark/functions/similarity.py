@@ -240,6 +240,69 @@ def topk_oracle_sql(
     """
 
 
+def topk_recall_audit(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    recall_floor: float,
+) -> DataFrame:
+    """Self-validation frame for an approximate top-k path: mean
+    recall@k of ``approx`` against the IN-PLAN exact
+    :func:`brute_force_topk` result, as ONE row whose exact columns
+    (n_queries, n_exact_pairs) the SQL oracle recomputes from the
+    base table and whose ``recall_ok`` boolean carries the accuracy
+    claim — if the ANN path's recall ever drops below
+    ``recall_floor`` the cross-engine value hash mismatches and the
+    gate turns red. This puts the approximate operators on the exact
+    gate (the q211/q243 pattern) instead of a rows-only check.
+
+    Both inputs are (query_id, neighbor_id, ...) frames; the overlap
+    is a broadcast-sized left-semi join (n_queries * k rows), the two
+    scalar aggregates cross-join as one-row frames.
+    """
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hits = e.join(a, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    stats = e.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs"),
+    )
+    return stats.crossJoin(F.broadcast(hits)).select(
+        "n_queries",
+        "n_exact_pairs",
+        F.lit(int(k)).alias("k"),
+        F.lit(float(recall_floor)).alias("recall_floor"),
+        (
+            F.col("n_hits").cast("double")
+            / F.col("n_exact_pairs").cast("double")
+            >= F.lit(float(recall_floor))
+        ).alias("recall_ok"),
+    )
+
+
+def topk_recall_audit_sql(
+    k: int,
+    recall_floor: float,
+    query_pred: str = "vec_id < 50",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB mirror of :func:`topk_recall_audit`: the exact columns
+    are recomputed from the base table (brute-force top-k returns
+    exactly k rows per query whenever the corpus has > k vectors,
+    which every sf dir does); ``recall_ok`` asserts the same floor —
+    TRUE here, and the Spark side must agree or the hash differs."""
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) * {int(k)} AS BIGINT) AS n_exact_pairs,
+           {int(k)} AS k,
+           CAST({float(recall_floor)!r} AS DOUBLE) AS recall_floor,
+           TRUE AS recall_ok
+    FROM {table} WHERE {query_pred}
+    """
+
+
 # ------------------------------------------------- embedding near-dup
 
 

@@ -108,59 +108,78 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # 195-query gate is unchanged (scripts/check_oracle.py iterates
 # QUERIES itself); only the driver's 50-row sample rotates.
 DRIVER_GATE_SENTINELS: list[str] = [
-    # round-6 fixes and additions — must be verified first, newest
-    # (least soak-tested) at the head; entries past the driver's
-    # 50-row cap carry to the next rotation
-    "q251_coec_ctr",
-    "q252_adamic_adar",
-    "q258_ridge_cv",
-    "q259_topic_segments",
-    "q260_bh_fdr_screen",
-    "q261_mahalanobis_outliers",
-    "q262_sprt_monitor",
-    "q263_chao1_vocab",
-    "q264_seasonal_decompose",
-    "q265_ewma_anomalies",
-    "q266_hll_set_algebra",
-    "q267_source_ablation",
-    "q268_shapley_vocab",
-    "q269_hill_tail_index",
-    "q270_kcenter_coreset",
-    "q271_matched_att",
-    "q272_diff_in_diff",
-    "q273_bootstrap_ci",
-    "q274_uplift_deciles",
-    "q275_local_clustering",
-    "q276_rake_keyphrases",
-    "q277_calibration_error",
-    "q278_cuped_adjust",
-    "q279_median_of_means",
-    "q280_balance_smd",
-    "q281_rfm_segments",
-    "q282_within_estimator",
-    "q283_stream_ewma",
-    "q284_logrank_test",
-    "q285_quantile_effects",
-    "q286_mann_kendall",
-    "q287_moore_lewis",
-    "q288_association_rules",
-    "q289_markov_accuracy",
-    "q290_window_sweep",
-    "q291_forecast_backtest",
-    "q292_coldstart_audit",
-    "q293_burstiness",
-    "q294_readability",
-    "q253_naive_bayes",
-    "q254_conformal_coverage",
-    "q255_dp_histogram",
-    "q256_waterfill_budget",
-    "q257_offpolicy_eval",
-    "q206_sketch_neardup",
-    "q207_semdedup_capped",
-    "q208_zorder_kd",
-    "q209_duplicate_spans",
-    "q210_simhash_dedup_groups",
-    "q211_ivf_pq_topk",
+    # ROUND-7 ROTATION (verdict r6 ask #1): the ENTIRE 50-row driver
+    # sample is drawn from the 144 queries that have never had a row
+    # in any CORRECTNESS_r*.json (r1-r6 artifacts, union of keys).
+    # No new catalog query goes ahead of this backlog; new round-7
+    # entries are appended at the BACK. Order: the explicitly carried
+    # q93-q99 first, then q100-q104, the q106-q135 band, q139,
+    # q144-q147, q151/q155/q165 — exactly 50 — then the rest of the
+    # backlog (carries to r8), then the remaining registration order.
+    "q93_incremental_dedup",
+    "q94_salted_enrichment",
+    "q95_json_props_rollup",
+    "q96_calendar_coverage",
+    "q97_event_funnel",
+    "q98_retention_cohorts",
+    "q99_locf_imputation",
+    "q100_value_anomalies",
+    "q101_approx_percentiles",
+    "q102_event_transitions",
+    "q103_lineno_integrity",
+    "q104_brand_mode",
+    "q106_scd2_intervals",
+    "q107_skew_profile",
+    "q108_fuzzy_part_pairs",
+    "q109_weighted_sample",
+    "q110_rolling_distinct_users",
+    "q111_vocab_growth",
+    "q112_mad_outliers",
+    "q113_partition_checksum",
+    "q114_incremental_rollup",
+    "q115_event_paths",
+    "q116_dq_suite",
+    "q117_psi_drift",
+    "q118_sketch_rollup",
+    "q119_bm25_search",
+    "q120_brand_trend",
+    "q121_trailing_window",
+    "q122_part_pagerank",
+    "q123_order_streaks",
+    "q124_bitmap_distinct",
+    "q125_golden_records",
+    "q126_doc_keywords",
+    "q127_corr_matrix",
+    "q128_basket_pairs",
+    "q129_hashed_features",
+    "q130_part_reach",
+    "q131_pack_sequences",
+    "q132_token_entropy",
+    "q133_kmeans_step",
+    "q134_linear_interp",
+    "q135_session_window",
+    "q139_pii_scrub",
+    "q144_brand_trend_ols",
+    "q145_part_skyline",
+    "q146_orc_roundtrip",
+    "q147_audio_energy",
+    "q151_audience_overlap",
+    "q155_resample_epochs",
+    "q165_mannwhitney_auc",
+    # --- r8 carry: the rest of the never-driver-checked backlog ---
+    "q167_chisq_independence",
+    "q168_mutual_information",
+    "q171_bloom_semi_join",
+    "q176_partition_pruned_read",
+    "q182_join_size_estimate",
+    "q183_snapshot_diff",
+    "q184_lateness_audit",
+    "q188_fd_audit",
+    "q192_schema_evolution",
+    "q193_trimmed_mean",
+    "q194_range_boundaries",
+    "q197_k_anonymity",
+    "q198_survival_curve",
     "q212_retrieval_eval",
     "q213_rater_agreement",
     "q214_fs_record_linkage",
@@ -200,15 +219,7 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q248_spearman_corr",
     "q249_sequence_mining",
     "q250_isotonic_fit",
-    # q100-q104: missed every rotation since r2 (r3/r4/r5 all
-    # sampled q105-q205 + the early band)
-    "q100_value_anomalies",
-    "q101_approx_percentiles",
-    "q102_event_transitions",
-    "q103_lineno_integrity",
-    "q104_brand_mode",
-    # q52-q92 backfill (same three-rotation gap; q93-q99 carry to
-    # r7 — the driver records exactly 50 rows)
+    "q19_cube",
     "q52_moving_average",
     "q53_nested_details",
     "q54_dup_clusters",
@@ -906,16 +917,27 @@ def q26_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q27_ann_lsh_topk",
-    None,  # approximate op: rows-only check; recall vs q26 tested in tests/
+    S.topk_recall_audit_sql(k=5, recall_floor=0.6),
     doc="Hyperplane-LSH bucketed ANN top-5 (the 100TB-scale path), "
         "with query-side multi-probe (2 boundary-bit flips per table, "
         "Lv et al. VLDB'07): the recall of ~3x more tables at zero "
         "extra corpus-index cost — probing multiplies only the small "
-        "query stream. Recall bracket pinned in tests/test_similarity.py.",
+        "query stream. Self-validating on the exact gate (r7, the "
+        "q211/q243 pattern): emits mean recall@5 vs the IN-PLAN "
+        "brute-force exact top-5 as a recall_ok boolean next to the "
+        "exact counts the oracle recomputes — measured recall "
+        "0.85-0.98 across sf0.001-0.1, floor 0.6; a recall "
+        "regression flips the boolean and reds the gate.",
 )
 def q27_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    return S.lsh_topk(emb, emb.filter("vec_id < 50"), dim=64, k=5, n_probes=2)
+    q = emb.filter("vec_id < 50")
+    return S.topk_recall_audit(
+        S.brute_force_topk(emb, q, k=5),
+        S.lsh_topk(emb, q, dim=64, k=5, n_probes=2),
+        k=5,
+        recall_floor=0.6,
+    )
 
 
 # --------------------------------------------------------------------
@@ -1344,14 +1366,25 @@ def q37_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q38_ivf_topk",
-    None,  # approximate op: rows-only check; recall vs q26 tested in tests/
+    S.topk_recall_audit_sql(k=5, recall_floor=0.5),
     doc="IVF (inverted-file) ANN top-5: spherical k-means coarse "
         "quantizer, n_probe cell probing — the second scale path "
-        "next to hyperplane LSH.",
+        "next to hyperplane LSH. Self-validating on the exact gate "
+        "(r7): emits mean recall@5 vs the IN-PLAN brute-force exact "
+        "top-5 as a recall_ok boolean next to the exact counts the "
+        "oracle recomputes — measured recall 0.66-0.70 across "
+        "sf0.001-0.1 at n_probe/n_cells = 1/4, floor 0.5 (the same "
+        "bracket tests/test_similarity.py pins).",
 )
 def q38_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, emb.filter("vec_id < 50"), k=5)
+    q = emb.filter("vec_id < 50")
+    return S.topk_recall_audit(
+        S.brute_force_topk(emb, q, k=5),
+        S.ivf_topk(emb, q, k=5),
+        k=5,
+        recall_floor=0.5,
+    )
 
 
 @register(
@@ -1455,17 +1488,40 @@ def q41_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q42_approx_distinct",
-    None,  # sketch estimates are engine-specific; accuracy pinned in tests/
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           abs(approx_count_distinct(o_custkey)
+               - COUNT(DISTINCT o_custkey))
+               <= 0.06 * COUNT(DISTINCT o_custkey) AS approx_ok
+    FROM orders GROUP BY 1
+    """,
     doc="Approximate distinct customers per priority (HyperLogLog++), "
-        "the constant-memory path for 100TB cardinality counting.",
+        "the constant-memory path for 100TB cardinality counting. "
+        "Self-validating on the exact gate (r7): each engine runs "
+        "ITS OWN HLL sketch (Spark approx_count_distinct rsd=0.02, "
+        "DuckDB approx_count_distinct) next to the shared exact "
+        "COUNT(DISTINCT), and the hashed approx_ok boolean asserts "
+        "the same 6% (= 3 sigma at rsd 2%) bound on both — a sketch "
+        "regression on either engine reds the gate. The "
+        "deterministic md5-register HLL with a fully value-hashed "
+        "estimate is q243.",
 )
 def q42_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
-            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("exact_custs"),
+            (
+                F.abs(
+                    F.approx_count_distinct("o_custkey", rsd=0.02)
+                    - F.countDistinct("o_custkey")
+                ).cast("double")
+                <= F.lit(0.06) * F.countDistinct("o_custkey").cast("double")
+            ).alias("approx_ok"),
         )
     )
 
@@ -3552,22 +3608,141 @@ def q100_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q101_approx_percentiles",
-    None,  # sketch estimates are engine-specific; accuracy pinned in tests/
+    """
+    WITH qc AS (
+        SELECT c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer),
+    qr AS (
+        SELECT c_mktsegment, cents,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment ORDER BY cents) AS rn,
+               COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM qc),
+    qe AS (
+        SELECT c_mktsegment, CAST(MAX(n) AS BIGINT) AS n,
+               MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+                   AS p50_cents,
+               MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END)
+                   AS p90_cents,
+               MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END)
+                   AS p99_cents
+        FROM qr GROUP BY 1),
+    qa AS (
+        SELECT c_mktsegment,
+               approx_quantile(cents, 0.5) AS a0,
+               approx_quantile(cents, 0.9) AS a1,
+               approx_quantile(cents, 0.99) AS a2
+        FROM qc GROUP BY 1),
+    qk AS (
+        SELECT c.c_mktsegment,
+               SUM(CASE WHEN cents < a0 THEN 1 ELSE 0 END) AS lo0,
+               SUM(CASE WHEN cents <= a0 THEN 1 ELSE 0 END) AS hi0,
+               SUM(CASE WHEN cents < a1 THEN 1 ELSE 0 END) AS lo1,
+               SUM(CASE WHEN cents <= a1 THEN 1 ELSE 0 END) AS hi1,
+               SUM(CASE WHEN cents < a2 THEN 1 ELSE 0 END) AS lo2,
+               SUM(CASE WHEN cents <= a2 THEN 1 ELSE 0 END) AS hi2
+        FROM qc c JOIN qa USING (c_mktsegment) GROUP BY 1)
+    SELECT e.c_mktsegment, e.n, e.p50_cents, e.p90_cents, e.p99_cents,
+           (CAST((e.n + 1) // 2 AS DOUBLE)
+                <= hi0 + greatest(3.0, 0.005 * e.n)
+            AND CAST((e.n + 1) // 2 AS DOUBLE)
+                >= lo0 + 1 - greatest(3.0, 0.005 * e.n)
+            AND CAST((9 * e.n + 9) // 10 AS DOUBLE)
+                <= hi1 + greatest(3.0, 0.005 * e.n)
+            AND CAST((9 * e.n + 9) // 10 AS DOUBLE)
+                >= lo1 + 1 - greatest(3.0, 0.005 * e.n)
+            AND CAST((99 * e.n + 99) // 100 AS DOUBLE)
+                <= hi2 + greatest(3.0, 0.005 * e.n)
+            AND CAST((99 * e.n + 99) // 100 AS DOUBLE)
+                >= lo2 + 1 - greatest(3.0, 0.005 * e.n))
+               AS approx_rank_ok
+    FROM qe e JOIN qk USING (c_mktsegment)
+    """,
     doc="Approximate percentiles per segment (Greenwald-Khanna / "
         "t-digest-class sketch, bounded memory) — the 100TB companion "
         "to exact percentile q44: mergeable per-partition sketches, "
-        "one narrow shuffle of sketch state instead of a global sort.",
+        "one narrow shuffle of sketch state instead of a global sort. "
+        "Self-validating on the exact gate (r7): the hashed columns "
+        "are the EXACT discrete percentiles (value at the integer "
+        "rank ceil(p*n), computed identically on both engines over "
+        "integer cents) plus approx_rank_ok — each engine checks ITS "
+        "OWN sketch (Spark GK percentile_approx accuracy=10000, "
+        "DuckDB t-digest approx_quantile) against the same rank "
+        "window: some rank of the returned element must sit within "
+        "max(3, 0.5% of n) of the target rank.",
 )
 def q101_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        table(spark, sf_dir, "customer")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.percentile_approx(
-                "c_acctbal", [0.5, 0.9, 0.99], 10000
-            ).alias("approx_pcts"),
-            F.count(F.lit(1)).alias("n"),
+    cust = table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents")
+    wn = Window.partitionBy("c_mktsegment")
+    ranked = cust.select(
+        "c_mktsegment",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # integer target ranks — ceil(p*n) as exact integer division so
+    # both engines pick the identical rank even where p*n floats
+    # would round differently
+    t50, t90, t99 = (
+        "(n + 1) div 2",
+        "(9 * n + 9) div 10",
+        "(99 * n + 99) div 100",
+    )
+    exact = ranked.groupBy("c_mktsegment").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr(t50), F.col("cents"))
+        ).alias("p50_cents"),
+        F.max(
+            F.when(F.col("rn") == F.expr(t90), F.col("cents"))
+        ).alias("p90_cents"),
+        F.max(
+            F.when(F.col("rn") == F.expr(t99), F.col("cents"))
+        ).alias("p99_cents"),
+    )
+    approx = cust.groupBy("c_mktsegment").agg(
+        F.percentile_approx("cents", [0.5, 0.9, 0.99], 10000).alias("pa")
+    )
+    rank_aggs = []
+    for i in range(3):
+        a_i = F.element_at("pa", i + 1)
+        rank_aggs.append(
+            F.sum(F.when(F.col("cents") < a_i, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"lo{i}")
         )
+        rank_aggs.append(
+            F.sum(F.when(F.col("cents") <= a_i, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"hi{i}")
+        )
+    rk = (
+        cust.join(F.broadcast(approx), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(*rank_aggs)
+    )
+    out = exact.join(rk, "c_mktsegment")
+    tol = F.greatest(F.lit(3.0), F.lit(0.005) * F.col("n").cast("double"))
+    ok = F.lit(True)
+    for i, t in enumerate((t50, t90, t99)):
+        tgt = F.expr(t).cast("double")
+        ok = (
+            ok
+            & (tgt <= F.col(f"hi{i}").cast("double") + tol)
+            & (tgt >= F.col(f"lo{i}").cast("double") + 1 - tol)
+        )
+    return out.select(
+        "c_mktsegment",
+        "n",
+        "p50_cents",
+        "p90_cents",
+        "p99_cents",
+        ok.alias("approx_rank_ok"),
     )
 
 
@@ -4274,8 +4449,30 @@ def q117_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q118_sketch_rollup",
-    None,  # DataSketches state is not SQL-expressible; accuracy is
-    # pinned against exact counts in tests/test_dq.py
+    """
+    WITH se AS (
+        SELECT weekofyear(ts) AS week, user_id, value FROM events),
+    sx AS (
+        SELECT week, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               abs(approx_count_distinct(user_id)
+                   - COUNT(DISTINCT user_id))
+                   <= 0.05 * COUNT(DISTINCT user_id) AS users_ok,
+               approx_quantile(value, 0.5) AS a50
+        FROM se GROUP BY 1),
+    rk AS (
+        SELECT e.week,
+               SUM(CASE WHEN e.value < s.a50 THEN 1 ELSE 0 END) AS lo,
+               SUM(CASE WHEN e.value <= s.a50 THEN 1 ELSE 0 END) AS hi,
+               COUNT(*) AS n
+        FROM se e JOIN sx s USING (week) GROUP BY 1)
+    SELECT s.week, s.n_events, s.exact_users, s.users_ok,
+           (0.5 * r.n <= r.hi + greatest(3.0, 0.03 * r.n)
+            AND 0.5 * r.n >= r.lo + 1 - greatest(3.0, 0.03 * r.n))
+               AS p50_rank_ok
+    FROM sx s JOIN rk r ON r.week = s.week
+    ORDER BY s.week
+    """,
     doc="Mergeable-sketch rollup (the incremental-analytics pattern): "
         "per-day HLL user sketches and KLL value sketches are the "
         "persisted state; weekly answers come from UNIONING sketches "
@@ -4283,19 +4480,27 @@ def q117_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rescanning events. At 100TB this turns 'distinct users last "
         "N days' from an O(corpus) shuffle into an O(days) merge of "
         "kilobyte sketches — the same trick as q114's additive "
-        "rollup, extended to non-additive aggregates.",
+        "rollup, extended to non-additive aggregates. Self-validating "
+        "on the exact gate (r7): hashed columns are the exact weekly "
+        "n_events and COUNT(DISTINCT user), plus two booleans — "
+        "users_ok holds each engine's OWN distinct sketch (Spark "
+        "Apache DataSketches HLL lgK=12, DuckDB HLL) within 5% of "
+        "exact, p50_rank_ok holds the engine's own median estimate "
+        "(Spark merged weekly KLL k=200, DuckDB t-digest) within a "
+        "3%-of-n rank window (measured: <=0.8% both sketches, "
+        "sf0.001-0.1).",
 )
 def q118_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
     daily = (
-        table(spark, sf_dir, "events")
-        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .agg(
             F.hll_sketch_agg("user_id").alias("users_sk"),
             F.kll_sketch_agg_double("value").alias("value_sk"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
-    return (
+    weekly = (
         daily.groupBy(F.weekofyear(F.to_date("day")).alias("week"))
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("users_sk"))
@@ -4318,6 +4523,46 @@ def q118_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.5),
             ).alias("est_p50_value"),
             F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+    evw = ev.select(
+        F.weekofyear(F.to_date("ts")).alias("week"), "user_id", "value"
+    )
+    exact = evw.groupBy("week").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    rk = (
+        evw.join(
+            F.broadcast(weekly.select("week", "est_p50_value")), "week"
+        )
+        .groupBy("week")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("est_p50_value"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("lo"),
+            F.sum(F.when(F.col("value") <= F.col("est_p50_value"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hi"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    tol = F.greatest(F.lit(3.0), F.lit(0.03) * F.col("n").cast("double"))
+    half = F.lit(0.5) * F.col("n").cast("double")
+    return (
+        weekly.join(exact, "week")
+        .join(rk, "week")
+        .select(
+            "week",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users")).cast("double")
+                <= F.lit(0.05) * F.col("exact_users").cast("double")
+            ).alias("users_ok"),
+            (
+                (half <= F.col("hi").cast("double") + tol)
+                & (half >= F.col("lo").cast("double") + 1 - tol)
+            ).alias("p50_rank_ok"),
         )
         .orderBy("week")
     )

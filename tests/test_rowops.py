@@ -110,35 +110,43 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
 
 
 def test_approx_percentiles_accuracy(spark, sf_dir):
-    # q101 rows-only query: sketch estimates must sit within 2% of the
-    # exact interpolated percentiles on the gate data
+    # q101 (self-validating since r7): the hashed exact discrete
+    # percentiles must agree with a direct exact computation, and the
+    # in-plan rank check of the GK sketch must hold on every segment
     from node_etl_spark.plans import QUERIES
     from node_etl_spark.tables import table
 
-    got = {
-        r.c_mktsegment: r.approx_pcts
-        for r in QUERIES["q101_approx_percentiles"].fn(spark, sf_dir).collect()
-    }
+    rows = QUERIES["q101_approx_percentiles"].fn(spark, sf_dir).collect()
+    assert rows and all(r.approx_rank_ok for r in rows)
     import pyspark.sql.functions as F
 
-    # percentile_approx guarantees RANK accuracy (returns a real data
-    # value within eps of the target rank), so bracket each estimate
-    # between the exact quantiles at p +/- 2%
-    lo_hi = {
-        r.c_mktsegment: (r.lo, r.hi)
+    # the exact side: value at rank ceil(p*n) over integer cents
+    want = {
+        r.c_mktsegment: (r.p50, r.p90, r.p99)
         for r in table(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("c"),
+        )
         .groupBy("c_mktsegment")
         .agg(
-            F.expr("percentile(c_acctbal, array(0.48, 0.88, 0.97))").alias("lo"),
-            F.expr("percentile(c_acctbal, array(0.52, 0.92, 1.0))").alias("hi"),
+            F.expr(
+                "sort_array(collect_list(c))[CAST((count(c) + 1) div 2"
+                " AS INT) - 1]"
+            ).alias("p50"),
+            F.expr(
+                "sort_array(collect_list(c))[CAST((9 * count(c) + 9)"
+                " div 10 AS INT) - 1]"
+            ).alias("p90"),
+            F.expr(
+                "sort_array(collect_list(c))[CAST((99 * count(c) + 99)"
+                " div 100 AS INT) - 1]"
+            ).alias("p99"),
         )
         .collect()
     }
-    assert set(got) == set(lo_hi)
-    for seg, approx in got.items():
-        lo, hi = lo_hi[seg]
-        for a, l, h in zip(approx, lo, hi):
-            assert l <= a <= h, (seg, a, l, h)
+    got = {r.c_mktsegment: (r.p50_cents, r.p90_cents, r.p99_cents) for r in rows}
+    assert got == want
 
 
 def test_spread_skips_derived_frames(spark, sf_dir):
