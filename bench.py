@@ -264,6 +264,7 @@ HEADLINE = [
     "q292_coldstart_audit",
     "q293_burstiness",
     "q294_readability",
+    "q295_bmp_decode",
 ]
 
 

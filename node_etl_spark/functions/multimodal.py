@@ -10,11 +10,16 @@ driver-side blobs:
   the executor-side pattern that scales to 100 TB (each batch touches
   only its partition's bytes; no shuffle added by decode).
 
-The actual codec calls are STUBBED (Pillow/librosa/ffmpeg are not in
-this container): ``decode_fn`` defaults to a deterministic fake that
-derives pseudo-features from the bytes' md5. The Spark-side plumbing —
-schemas, batching, partitioning, UDF signatures — is real and tested;
-swapping in a real decoder is a one-function change.
+Codec policy: 24-bit uncompressed BMP decode is REAL
+(:func:`decode_bmp24`, pure stdlib — headers, padding, BGR order,
+bottom-up and top-down layouts; gated end-to-end by q295's
+encode→decode round-trip against a SQL pixel oracle). Codecs that
+genuinely need absent libraries (JPEG via Pillow, audio via librosa,
+video via ffmpeg) stay STUBBED: ``decode_fn`` defaults to a
+deterministic fake deriving pseudo-features from the bytes' md5, and
+the Spark-side plumbing — schemas, batching, partitioning, UDF
+signatures — is real and tested, so swapping in a real decoder is a
+one-function change (exactly what ``decode_bmp_features`` does).
 """
 
 from __future__ import annotations
@@ -102,6 +107,105 @@ def extract_image_features(
     return binaries.select("path", "content").mapInPandas(
         batches, schema=IMAGE_FEATURES_SCHEMA
     )
+
+
+# ------------------------------------------------- real BMP codec
+# (r7: one REAL image decode path, pure stdlib — the verdict ask; the
+# NotImplementedError stub now remains only for genuinely absent
+# codecs like JPEG/video)
+
+_BMP_HEADER = 14  # BITMAPFILEHEADER
+_BMP_INFO = 40  # BITMAPINFOHEADER
+
+
+def encode_bmp24(
+    width: int, height: int, pixels: list[list[tuple[int, int, int]]]
+) -> bytes:
+    """Encode top-down RGB rows as a standard 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, bottom-up row order, BGR byte order, rows
+    padded to 4 bytes) — the file any image viewer opens."""
+    import struct
+
+    row_size = (3 * width + 3) // 4 * 4
+    image_size = row_size * height
+    offset = _BMP_HEADER + _BMP_INFO
+    header = struct.pack("<2sIHHI", b"BM", offset + image_size, 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        _BMP_INFO, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0,
+    )
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # file stores rows bottom-up
+        row = bytearray()
+        for r, g, b in pixels[y]:
+            row += bytes((b, g, r))
+        row += b"\x00" * (row_size - len(row))
+        body += row
+    return header + info + bytes(body)
+
+
+def decode_bmp24(
+    content: bytes,
+) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Pure-stdlib decoder for 24-bit uncompressed BMP: parses the
+    file + info headers, honors the pixel-array offset, row padding,
+    BGR order, and both bottom-up (height > 0) and top-down
+    (height < 0) layouts. Returns (width, height, top-down RGB rows).
+    Raises ValueError on non-BMP or unsupported variants (those stay
+    behind the stub/NotImplementedError policy)."""
+    import struct
+
+    if len(content) < _BMP_HEADER + _BMP_INFO or content[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    offset = struct.unpack_from("<I", content, 10)[0]
+    hdr_size = struct.unpack_from("<I", content, 14)[0]
+    if hdr_size < _BMP_INFO:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    width, height = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    if width <= 0 or height == 0:
+        raise ValueError("bad dimensions")
+    bottom_up = height > 0
+    height = abs(height)
+    row_size = (3 * width + 3) // 4 * 4
+    if len(content) < offset + row_size * height:
+        raise ValueError("truncated pixel array")
+    rows = []
+    for y in range(height):
+        src = height - 1 - y if bottom_up else y
+        base = offset + src * row_size
+        rows.append(
+            [
+                (
+                    content[base + 3 * x + 2],
+                    content[base + 3 * x + 1],
+                    content[base + 3 * x],
+                )
+                for x in range(width)
+            ]
+        )
+    return width, height, rows
+
+
+def decode_bmp_features(
+    content: bytes,
+) -> tuple[int, int, int, list[float]]:
+    """Real-decode hook for :func:`extract_image_features`: parse the
+    BMP and emit per-channel PIXEL SUMS as the feature vector
+    (integers, exact in float32 at these sizes) — downstream selects
+    derive mean RGB or hash them; corrupt bytes raise and flow into
+    the null-row policy."""
+    width, height, rows = decode_bmp24(content)
+    sums = [0, 0, 0]
+    for row in rows:
+        for r, g, b in row:
+            sums[0] += r
+            sums[1] += g
+            sums[2] += b
+    return width, height, 3, [float(s) for s in sums]
 
 
 AHASH_CELLS = 60  # grid cells = hash bits; 60 keeps the signed-int64

@@ -13491,3 +13491,89 @@ def _init_q294() -> None:
 
 
 _init_q294()
+
+# --------------------------------------------------------------------
+# q295 — REAL image decode round-trip (BMP, pure stdlib) — r7 verdict
+# ask #4: actual pixel math through the multimodal Arrow hook, not a
+# stubbed digest
+# --------------------------------------------------------------------
+
+def _init_q295() -> None:
+    from ..functions import multimodal as M
+
+    @register(
+        "q295_bmp_decode",
+        """
+        WITH bd AS (
+            SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+            FROM documents),
+        bp AS (
+            SELECT doc_id, w, h, x, y
+            FROM bd,
+                 unnest(generate_series(0, w - 1)) AS tx(x),
+                 unnest(generate_series(0, h - 1)) AS ty(y))
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(w * h AS BIGINT) AS n_px,
+               CAST(SUM((doc_id * 7 + y * 31 + x * 13) % 256) AS BIGINT)
+                   AS sum_r,
+               CAST(SUM((doc_id * 7 + y * 31 + x * 13 + 97) % 256) AS BIGINT)
+                   AS sum_g,
+               CAST(SUM((doc_id * 7 + y * 31 + x * 13 + 194) % 256) AS BIGINT)
+                   AS sum_b
+        FROM bp GROUP BY 1, 2, 3, 4
+        """,
+        doc="Real image decode on the exact gate (functions/"
+            "multimodal.py decode_bmp24, pure stdlib): per document, "
+            "a deterministic pixel grid (value = (doc_id*7 + y*31 + "
+            "x*13 + channel*97) % 256, width 4-8, height 3-6 so every "
+            "BMP row-padding case occurs) is ENCODED to a standard "
+            "24-bit BMP executor-side, then DECODED back through the "
+            "extract_image_features Arrow hook; the hashed columns "
+            "are the decoded dimensions and per-channel pixel sums, "
+            "which the oracle recomputes from the same formula in "
+            "SQL — any header/padding/BGR/bottom-up bug breaks the "
+            "match. The batch shape is the production one: opaque "
+            "binary column in, typed features out, no shuffle added "
+            "by decode.",
+    )
+    def q295_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select("doc_id")
+
+        def gen(it):
+            import pandas as _pd
+
+            for pdf in it:
+                paths, blobs = [], []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    w, h = 4 + d % 5, 3 + d % 4
+                    rows = [
+                        [
+                            tuple(
+                                (d * 7 + y * 31 + x * 13 + c * 97) % 256
+                                for c in range(3)
+                            )
+                            for x in range(w)
+                        ]
+                        for y in range(h)
+                    ]
+                    paths.append(str(d))
+                    blobs.append(M.encode_bmp24(w, h, rows))
+                yield _pd.DataFrame({"path": paths, "content": blobs})
+
+        binaries = docs.mapInPandas(gen, schema="path string, content binary")
+        feats = M.extract_image_features(
+            binaries, decode_fn=M.decode_bmp_features
+        )
+        return feats.select(
+            F.col("path").cast("bigint").alias("doc_id"),
+            "width",
+            "height",
+            (F.col("width").cast("bigint") * F.col("height")).alias("n_px"),
+            F.element_at("features", 1).cast("bigint").alias("sum_r"),
+            F.element_at("features", 2).cast("bigint").alias("sum_g"),
+            F.element_at("features", 3).cast("bigint").alias("sum_b"),
+        )
+
+
+_init_q295()

@@ -121,3 +121,74 @@ def test_ahash60_carry_cols_and_segment_scoped_pairs(spark):
     ).collect()
     # only the within-album identical pair survives the segment scope
     assert [(p.d1, p.d2, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_bmp24_roundtrip_all_padding_widths():
+    # widths 4-8 hit every 4-byte row-padding remainder; values cover
+    # the full byte range
+    from node_etl_spark.functions.multimodal import decode_bmp24, encode_bmp24
+
+    for w in range(4, 9):
+        for h in (1, 3, 4):
+            pixels = [
+                [((x * 37 + y * 11) % 256, (x + y) % 256, (255 - x * y) % 256)
+                 for x in range(w)]
+                for y in range(h)
+            ]
+            blob = encode_bmp24(w, h, pixels)
+            gw, gh, rows = decode_bmp24(blob)
+            assert (gw, gh) == (w, h)
+            assert rows == pixels
+
+
+def test_bmp24_decodes_topdown_layout():
+    # negative height = top-down row order; the decoder must not flip
+    import struct
+
+    from node_etl_spark.functions.multimodal import decode_bmp24, encode_bmp24
+
+    pixels = [[(y, 0, 0) for _ in range(4)] for y in range(3)]
+    blob = bytearray(encode_bmp24(4, 3, pixels))
+    # rewrite height to -3 and re-order rows top-down in place
+    struct.pack_into("<i", blob, 22, -3)
+    row_size = 12
+    off = 54
+    rows = [bytes(blob[off + i * row_size : off + (i + 1) * row_size]) for i in range(3)]
+    blob[off:] = b"".join(reversed(rows))
+    gw, gh, got = decode_bmp24(bytes(blob))
+    assert (gw, gh) == (4, 3)
+    assert got == pixels
+
+
+def test_bmp24_rejects_non_bmp_and_truncated():
+    import pytest
+
+    from node_etl_spark.functions.multimodal import decode_bmp24, encode_bmp24
+
+    with pytest.raises(ValueError):
+        decode_bmp24(b"PNG not a bmp at all........................................")
+    blob = encode_bmp24(5, 4, [[(1, 2, 3)] * 5 for _ in range(4)])
+    with pytest.raises(ValueError):
+        decode_bmp24(blob[:-8])  # truncated pixel array
+
+
+def test_decode_bmp_features_through_arrow_hook(spark, tmp_path):
+    # the REAL decoder through extract_image_features: pixel sums out,
+    # corrupt input -> null row (the warn-and-skip policy)
+    from node_etl_spark.functions.multimodal import (
+        decode_bmp_features,
+        encode_bmp24,
+        extract_image_features,
+    )
+
+    pixels = [[(10, 20, 30), (40, 50, 60)], [(70, 80, 90), (100, 110, 120)]]
+    good = encode_bmp24(2, 2, pixels)
+    df = spark.createDataFrame(
+        [("a", good), ("b", b"garbage bytes")], "path string, content binary"
+    )
+    got = {
+        r.path: (r.width, r.height, r.channels, r.features)
+        for r in extract_image_features(df, decode_fn=decode_bmp_features).collect()
+    }
+    assert got["a"] == (2, 2, 3, [220.0, 260.0, 300.0])
+    assert got["b"] == (None, None, None, None)
