@@ -181,3 +181,42 @@ def test_cusum_prefix_identity_matches_recursion(spark, vals, ref):
         sp = max(0, sp + (v - ref))
         sn = max(0, sn - (v - ref))
         assert got[t] == (sp, sn), (t, vals, ref)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=hst.integers(1, 12),
+    h=hst.integers(1, 6),
+    seed=hst.integers(0, 2**31),
+    topdown=hst.booleans(),
+)
+def test_bmp24_roundtrip_property(w, h, seed, topdown):
+    # pure-Python property: encode->decode is the identity over any
+    # dimensions (every 4-byte padding remainder) and pixel contents;
+    # top-down variants (negative height) decode to the same rows
+    import struct
+
+    from node_etl_spark.functions.multimodal import decode_bmp24, encode_bmp24
+
+    rnd = seed
+    pixels = []
+    for y in range(h):
+        row = []
+        for x in range(w):
+            rnd = (1103515245 * rnd + 12345) % (2**31)
+            row.append(((rnd >> 16) % 256, (rnd >> 8) % 256, rnd % 256))
+        pixels.append(row)
+    blob = encode_bmp24(w, h, pixels)
+    if topdown:
+        blob = bytearray(blob)
+        struct.pack_into("<i", blob, 22, -h)
+        row_size = (3 * w + 3) // 4 * 4
+        off = 54
+        rows = [
+            bytes(blob[off + i * row_size : off + (i + 1) * row_size])
+            for i in range(h)
+        ]
+        blob[off:] = b"".join(reversed(rows))
+        blob = bytes(blob)
+    gw, gh, got = decode_bmp24(blob)
+    assert (gw, gh, got) == (w, h, pixels)

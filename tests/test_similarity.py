@@ -687,3 +687,24 @@ def test_kcenter_integer_grid_exactness(spark):
     )
     out = {r.rnd: r for r in kcenter_select(df, k=2).collect()}
     assert out[2].vec_id == 2 and out[2].d2 == 4
+
+
+def test_topk_recall_audit_boolean_semantics(spark):
+    # the r7 gate frame: exact columns + a floor boolean that flips
+    # when the approximate path loses too many true neighbors
+    from node_etl_spark.functions.similarity import topk_recall_audit
+
+    exact = spark.createDataFrame(
+        [(q, n) for q in (1, 2) for n in (10, 11, 12)],
+        "query_id long, neighbor_id long",
+    )
+    # approx recovers 4 of 6 exact pairs -> recall 0.667
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 12), (2, 99)],
+        "query_id long, neighbor_id long",
+    )
+    (row,) = topk_recall_audit(exact, approx, k=3, recall_floor=0.6).collect()
+    assert (row.n_queries, row.n_exact_pairs, row.k) == (2, 6, 3)
+    assert row.recall_ok  # 0.667 >= 0.6
+    (row,) = topk_recall_audit(exact, approx, k=3, recall_floor=0.7).collect()
+    assert not row.recall_ok  # 0.667 < 0.7

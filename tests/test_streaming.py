@@ -582,3 +582,67 @@ def test_ewma_stream_single_day_first_batch(spark, tmp_path):
     assert last.n_days == want.n_days == 6
     assert last.final_ewma == want.final_ewma
     assert last.n_anomalies == want.n_anomalies == 1
+
+
+def test_ewma_stream_restart_recovers_walk_state(spark, tmp_path):
+    """Kill-and-resume for the custom EWMA state (incl. the r7 seq
+    counter): phase 1 drains a single-day batch and shuts down;
+    phase 2 restarts from the SAME checkpoint with the remaining
+    days. The final emission matches the batch operator exactly —
+    only possible if the (level, counts, pending-day, seq) tuple
+    round-tripped through the state store across the restart."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.functions.profile import ewma_anomalies
+    from node_etl_spark.streaming import stream as st
+
+    rows = []
+    for d in range(7):
+        v = 18.0 if d == 4 else 6.0
+        rows.append((d, dt.datetime(2024, 3, 1 + d, 10), "g", v))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    (want,) = ewma_anomalies(df, "event_type", "ts", "value").collect()
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        stream = st.ewma_stream(
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, event_type string,"
+                " value double"
+            ).parquet(src)
+        )
+        (
+            # update-mode stateful op: parquet can't take update
+            # directly, so append each micro-batch via foreachBatch
+            stream.writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    df.filter(F.dayofmonth("ts") == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    df.filter(F.dayofmonth("ts") > 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    sink = spark.read.schema(st.EWMA_SCHEMA).parquet(out)
+    last = sink.orderBy(F.col("seq").desc()).limit(1).collect()[0]
+    assert last.seq == 2  # one emission per phase, counter carried
+    assert last.n_days == want.n_days == 7
+    assert last.final_ewma == want.final_ewma
+    assert last.n_anomalies == want.n_anomalies == 1
