@@ -4,6 +4,7 @@ from .paged import PagedRestSource, default_url_gen
 from .layout import compact_parquet, zorder_write
 from .upsert import last_write_wins, upsert_parquet
 from .readers import (
+    BinarySource,
     CsvSource,
     FrameSource,
     JsonSource,
@@ -28,7 +29,7 @@ from .writers import (
 
 __all__ = [
     "PathSource", "ParquetSource", "OrcSource", "CsvSource", "JsonSource", "NdjsonSource",
-    "XmlSource", "FrameSource", "folder_source", "apply_root_node",
+    "XmlSource", "FrameSource", "BinarySource", "folder_source", "apply_root_node",
     "PagedRestSource", "default_url_gen",
     "NdjsonSink", "ParquetSink", "OrcSink", "CsvSink", "XmlSink", "JsonArraySink", "NoopSink",
     "HttpNdjsonSink", "MongoSink",

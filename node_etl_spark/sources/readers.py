@@ -47,6 +47,18 @@ class ParquetSource(PathSource):
         return read_parquet(spark, path)
 
 
+class BinarySource(PathSource):
+    """Opaque binary-file scan (Spark ``binaryFile``): one row per
+    file — path, modificationTime, length, content. The ingest edge
+    of the multimodal surface (functions/multimodal.py); pass
+    ``options={"pathGlobFilter": "*.bmp"}`` to scope the scan. The
+    scan is distributed (files partition across executors), content
+    bytes never touch the driver."""
+
+    def _read(self, spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.format("binaryFile").options(**self.options).load(path)
+
+
 class OrcSource(PathSource):
     """ORC columnar scan — same pushdown story as ParquetSource
     (predicate + column pruning reach the stripe reader); net-new

@@ -44,6 +44,7 @@ from .operators import (
 from .operators.base import FnTransform, Op
 from .pipeline import Catalog, Pipeline
 from .sources import (
+    BinarySource,
     CsvSource,
     JsonArraySink,
     JsonSource,
@@ -86,6 +87,11 @@ _REGISTRY: dict[str, Callable[..., Op]] = {
     ),
     "ndjson": lambda d, c: NdjsonSource(d["path"], schema=d.get("schema")),
     "xml": lambda d, c: XmlSource(d["path"], row_tag=d.get("row_tag", "item")),
+    # opaque media ingest (functions/multimodal.py): one row per file
+    "binary": lambda d, c: BinarySource(
+        d["path"],
+        options={"pathGlobFilter": d["glob"]} if d.get("glob") else None,
+    ),
     # reference ReaderPaged as a spec node: url template with
     # {%offset%}/{%limit%} placeholders, reqOptions shape per
     # job-reader.js (headers / auth / method)
@@ -630,6 +636,34 @@ def _fuzzy_dedup_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     return FnTransform(fn, name="fuzzy_dedup")
 
 
+def _decode_image_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """Arrow-batched image decode over (path, content) rows. ``codec``
+    picks the decoder: ``bmp`` = the REAL pure-stdlib 24-bit BMP parser
+    (functions/multimodal.py decode_bmp24), ``fake`` = the
+    deterministic digest stand-in for formats whose libraries are
+    absent (JPEG etc.). Corrupt files become null-feature rows — the
+    reference's warn-and-skip error policy."""
+    from .functions.multimodal import (
+        _fake_decode,
+        decode_bmp_features,
+        extract_image_features,
+    )
+
+    codec = d.get("codec", "bmp")
+    decoders = {"bmp": decode_bmp_features, "fake": _fake_decode}
+    if codec not in decoders:
+        raise KeyError(
+            f"unknown image codec {codec!r} (supported: bmp, fake; "
+            "JPEG/video need libraries absent from this environment)"
+        )
+    decode = decoders[codec]
+
+    def fn(df):
+        return extract_image_features(df, decode_fn=decode)
+
+    return FnTransform(fn, name="decode_image")
+
+
 def _bloom_semi_join_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     from .functions.sketch import bloom_semi_join
 
@@ -689,6 +723,7 @@ _REGISTRY.update(
         "semdedup": _semdedup_op,
         "fuzzy_dedup": _fuzzy_dedup_op,
         "bloom_semi_join": _bloom_semi_join_op,
+        "decode_image": _decode_image_op,
     }
 )
 

@@ -591,3 +591,41 @@ def test_spec_fuzzy_dedup_drops_typo_twins(spark):
     kept = {r.doc_id for r in op.apply(df, Context()).collect()}
     # 0/1/3 are one lev<=2 cluster (keep lowest id 0); 2 untouched
     assert kept == {0, 2}
+
+
+def test_example_media_features_spec(spark, tmp_path):
+    # examples/media_features.json end-to-end: opaque binary ingest
+    # (binaryFile source, glob-scoped) -> REAL BMP decode through the
+    # Arrow hook -> typed feature projection -> parquet. A corrupt
+    # file rides along and must be dropped by the null-row filter.
+    import json as _json
+    import os
+
+    from node_etl_spark.functions.multimodal import encode_bmp24
+    from node_etl_spark.spec import from_spec
+
+    data = tmp_path / "media"
+    data.mkdir()
+    # two 2x2 BMPs with known pixels + one corrupt .bmp + one non-bmp
+    px_a = [[(10, 20, 30), (10, 20, 30)], [(10, 20, 30), (10, 20, 30)]]
+    px_b = [[(0, 0, 0), (255, 255, 255)], [(255, 255, 255), (0, 0, 0)]]
+    (data / "a.bmp").write_bytes(encode_bmp24(2, 2, px_a))
+    (data / "b.bmp").write_bytes(encode_bmp24(2, 2, px_b))
+    (data / "broken.bmp").write_bytes(b"BM garbage")
+    (data / "notes.txt").write_bytes(b"not an image, excluded by glob")
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = _json.load(
+        open(os.path.join(root, "examples", "media_features.json"))
+    )
+    out = str(tmp_path / "out")
+    from_spec(spec).run(spark, config={"DATA": str(data), "OUT": out})
+    got = {
+        os.path.basename(r.path): r
+        for r in spark.read.parquet(out + "/image_features").collect()
+    }
+    assert set(got) == {"a.bmp", "b.bmp"}  # corrupt dropped, txt unscanned
+    a, b = got["a.bmp"], got["b.bmp"]
+    assert (a.width, a.height, a.n_px) == (2, 2, 4)
+    assert (a.mean_r, a.mean_g, a.mean_b) == (10.0, 20.0, 30.0)
+    assert (b.mean_r, b.mean_g, b.mean_b) == (127.5, 127.5, 127.5)
