@@ -152,7 +152,10 @@ def psi_drift(
         "bin",
         "n_ref",
         "n_cur",
-        "psi_term",
+        # round the emitted term too: raw (p-q)*ln(p/q) doubles can
+        # differ from the SQL engine's libm in the last ulp (seen at
+        # sf0.001), and the gate hashes every column
+        F.round("psi_term", 12).alias("psi_term"),
         F.sum(F.round("psi_term", 12).cast("decimal(24,12)"))
         .over(w)
         .cast("double")
@@ -188,7 +191,7 @@ def psi_oracle_sql(
                     / ((CAST(n_cur AS DOUBLE) + 0.5)
                        / (t_cur + {0.5 * bins}))) AS psi_term
         FROM counts, tot)
-    SELECT bin, n_ref, n_cur, psi_term,
+    SELECT bin, n_ref, n_cur, round(psi_term, 12) AS psi_term,
            CAST(SUM(CAST(round(psi_term, 12) AS DECIMAL(24,12)))
                     OVER () AS DOUBLE) AS total_psi
     FROM terms

@@ -2162,22 +2162,33 @@ def bitext_margin_pairs(
     else:
         raise ValueError(f"unknown method {method!r}")
 
-    def mean_k(tk: DataFrame, name: str) -> DataFrame:
+    # margin = sim / ((mean_a + mean_b) / 2) computed as ONE ratio of
+    # exact decimals: 2*sim*na*nb / (sum_a*nb + sum_b*na). Rounding
+    # the per-direction means first is an engine trap — sum/k of
+    # 6-dp decimals lands EXACTLY on a 7th-digit 5 a quarter of the
+    # time, and the two engines resolve that half-way tie differently
+    # (seen at sf0.001); the single end rounding is the generic
+    # float-boundary class every rounded division here accepts.
+    def sum_k(tk: DataFrame, sname: str, cname: str) -> DataFrame:
         return tk.groupBy("query_id").agg(
-            F.round(
-                F.sum(F.col("sim").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                6,
-            ).alias(name)
+            F.sum(F.col("sim").cast("decimal(18,6)")).alias(sname),
+            F.count(F.lit(1)).cast("bigint").alias(cname),
         )
 
-    ma = mean_k(fwd, "mean_a")
-    mb = mean_k(bwd, "mean_b")
+    ma = sum_k(fwd, "sum_a", "n_a")
+    mb = sum_k(bwd, "sum_b", "n_b")
     best = fwd.filter(F.col("rank") == 1).select(
         F.col("query_id").alias("src_id"),
         F.col("neighbor_id").alias("tgt_id"),
         "sim",
     )
+    num = (
+        F.lit(2)
+        * F.col("sim").cast("decimal(18,6)")
+        * F.col("n_a")
+        * F.col("n_b")
+    )
+    den = F.col("sum_a") * F.col("n_b") + F.col("sum_b") * F.col("n_a")
     return (
         best.join(ma.withColumnRenamed("query_id", "src_id"), "src_id")
         .join(mb.withColumnRenamed("query_id", "tgt_id"), "tgt_id")
@@ -2186,7 +2197,7 @@ def bitext_margin_pairs(
             "tgt_id",
             "sim",
             F.round(
-                F.col("sim") / ((F.col("mean_a") + F.col("mean_b")) / 2), 6
+                num.cast("double") / den.cast("double"), 6
             ).alias("margin"),
         )
         .filter(F.col("margin") >= threshold)
@@ -2231,20 +2242,25 @@ def bitext_oracle_sql(
                    ORDER BY sim DESC, a_id) AS rnk
         FROM sims),
     ma AS (
-        SELECT a_id,
-               round(CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE)
-                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_a
+        SELECT a_id, SUM(CAST(sim AS DECIMAL(18,6))) AS sum_a,
+               CAST(COUNT(*) AS BIGINT) AS n_a
         FROM fwd WHERE rnk <= {k} GROUP BY a_id),
     mb AS (
-        SELECT b_id,
-               round(CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE)
-                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_b
+        SELECT b_id, SUM(CAST(sim AS DECIMAL(18,6))) AS sum_b,
+               CAST(COUNT(*) AS BIGINT) AS n_b
         FROM bwd WHERE rnk <= {k} GROUP BY b_id),
     best AS (SELECT a_id, b_id, sim FROM fwd WHERE rnk = 1)
+    -- one ratio of exact decimals (see bitext_margin_pairs: rounded
+    -- per-direction means hit exact half-way ties across engines)
     SELECT best.a_id AS src_id, best.b_id AS tgt_id, best.sim,
-           round(best.sim / ((ma.mean_a + mb.mean_b) / 2), 6) AS margin
+           round(CAST(2 * CAST(best.sim AS DECIMAL(18,6)) * n_a * n_b
+                      AS DOUBLE)
+                 / CAST(sum_a * n_b + sum_b * n_a AS DOUBLE), 6) AS margin
     FROM best JOIN ma USING (a_id) JOIN mb USING (b_id)
-    WHERE round(best.sim / ((ma.mean_a + mb.mean_b) / 2), 6) >= {threshold}
+    WHERE round(CAST(2 * CAST(best.sim AS DECIMAL(18,6)) * n_a * n_b
+                     AS DOUBLE)
+                / CAST(sum_a * n_b + sum_b * n_a AS DOUBLE), 6)
+          >= {threshold}
     """
 
 
@@ -2434,10 +2450,7 @@ def bitext_lsh_oracle_sql(
     (forward: planes/rung from side B, backward: from side A), exact
     cosine + top-k + margin over candidates only — replicated
     bit-exactly, the q136 pattern extended to a two-sided miner."""
-    mean_sql = (
-        "round(CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE)"
-        " / CAST(COUNT(*) AS DOUBLE), 6)"
-    )
+    sum_sql = "SUM(CAST(sim AS DECIMAL(18,6)))"
     return f"""
     WITH e AS (SELECT CAST({id_} AS BIGINT) AS id, {vec} AS v,
                       {side_expr} AS side FROM {table}),
@@ -2488,16 +2501,23 @@ def bitext_lsh_oracle_sql(
                    ORDER BY sim DESC, a_id) AS rnk
         FROM simr),
     ma AS (
-        SELECT a_id, {mean_sql} AS mean_a
+        SELECT a_id, {sum_sql} AS sum_a, CAST(COUNT(*) AS BIGINT) AS n_a
         FROM fwd WHERE rnk <= {k} GROUP BY a_id),
     mb AS (
-        SELECT b_id, {mean_sql} AS mean_b
+        SELECT b_id, {sum_sql} AS sum_b, CAST(COUNT(*) AS BIGINT) AS n_b
         FROM bwd WHERE rnk <= {k} GROUP BY b_id),
     best AS (SELECT a_id, b_id, sim FROM fwd WHERE rnk = 1)
+    -- one ratio of exact decimals (see bitext_margin_pairs: rounded
+    -- per-direction means hit exact half-way ties across engines)
     SELECT best.a_id AS src_id, best.b_id AS tgt_id, best.sim,
-           round(best.sim / ((ma.mean_a + mb.mean_b) / 2), 6) AS margin
+           round(CAST(2 * CAST(best.sim AS DECIMAL(18,6)) * n_a * n_b
+                      AS DOUBLE)
+                 / CAST(sum_a * n_b + sum_b * n_a AS DOUBLE), 6) AS margin
     FROM best JOIN ma USING (a_id) JOIN mb USING (b_id)
-    WHERE round(best.sim / ((ma.mean_a + mb.mean_b) / 2), 6) >= {threshold}
+    WHERE round(CAST(2 * CAST(best.sim AS DECIMAL(18,6)) * n_a * n_b
+                     AS DOUBLE)
+                / CAST(sum_a * n_b + sum_b * n_a AS DOUBLE), 6)
+          >= {threshold}
     """
 
 

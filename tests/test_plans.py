@@ -771,3 +771,23 @@ def test_q288_rules_confidence_lift_consistency(spark, sf_dir):
         assert r.lift > 1.0
         assert 0 < r.confidence <= 1.0
         assert r.n_both >= 2
+
+
+def test_bmp_decode_plan_adds_no_shuffle(spark, sf_dir):
+    # q295: generate -> encode -> decode are chained mapInPandas
+    # stages over the same partitioning; the only exchange allowed is
+    # whatever the final projection needs (none)
+    plan = _plan(spark, sf_dir, "q295_bmp_decode")
+    assert plan.count("MapInPandas") == 2  # encode stage + decode stage
+    assert "Exchange" not in plan
+
+
+def test_ann_recall_audit_plans_stay_bucketed(spark, sf_dir):
+    # q27: the reshape (in-plan exact audit) must not have degraded
+    # the ANN side into a cartesian product — the LSH candidate join
+    # stays a hash join on (table, bucket), the exact side is the
+    # blocked-GEMM mapInPandas, and the one-row aggregates broadcast
+    plan = _plan(spark, sf_dir, "q27_ann_lsh_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats x hits cross
+    assert "MapInPandas" in plan  # blocked exact GEMM
