@@ -264,10 +264,38 @@ DRIVER_GATE_SENTINELS: list[str] = [
 ]
 
 
+def _driver_verified() -> set[str]:
+    """Query names that already have a row in ANY committed
+    CORRECTNESS_r*.json driver artifact. Makes the rotation
+    self-maintaining: each round's ~50-row driver sample targets the
+    still-unverified backlog automatically, without hand-reordering
+    DRIVER_GATE_SENTINELS every round. Missing/unreadable artifacts
+    degrade to the static order (empty set)."""
+    import json
+    from pathlib import Path
+
+    seen: set[str] = set()
+    root = Path(__file__).resolve().parents[2]
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            seen.update(json.loads(f.read_text()))
+        except Exception:  # noqa: BLE001 - artifact hygiene, never fatal
+            pass
+    return seen
+
+
 def _gate_order() -> list[str]:
-    head = [n for n in DRIVER_GATE_SENTINELS if n in QUERIES]
-    seen = set(head)
-    return head + [n for n in QUERIES if n not in seen]
+    """Driver-gate emission order: (1) never-driver-verified queries —
+    curated DRIVER_GATE_SENTINELS order first, then remaining
+    registration order (new queries land here, BEHIND the curated
+    backlog, per the round-6 verdict rule); (2) already-verified
+    queries in the same sentinel-then-registration order."""
+    verified = _driver_verified()
+    curated = [n for n in DRIVER_GATE_SENTINELS if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(curated)]
+    ordered = curated + rest
+    head = [n for n in ordered if n not in verified]
+    return head + [n for n in ordered if n in verified]
 
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

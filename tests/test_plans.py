@@ -143,6 +143,30 @@ def test_parity_doc_tracks_query_catalog():
     assert not dangling, f"PARITY.md cites unknown short refs: {dangling}"
 
 
+def test_gate_order_targets_unverified_backlog_first():
+    # the driver records only the first ~50 queries() entries per
+    # round; the rotation must put every query that has NO row in any
+    # committed CORRECTNESS artifact ahead of all verified ones, so
+    # each round's sample burns down the backlog automatically
+    import json
+    from pathlib import Path
+
+    from node_etl_spark.plans.queries import QUERIES, _gate_order
+
+    root = Path(__file__).resolve().parents[1]
+    seen = set()
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        seen.update(json.loads(f.read_text()))
+    order = _gate_order()
+    assert sorted(order) == sorted(QUERIES)  # nothing dropped or duped
+    if not seen:  # artifacts absent (fresh clone): static order is fine
+        return
+    never = [n for n in order if n not in seen]
+    assert order[: len(never)] == never, (
+        "verified queries appear before unverified backlog entries"
+    )
+
+
 def test_driver_contract_consistency():
     # every oracle key has a query; names are unique and stable-format
     import __spark_entry__ as e
