@@ -1037,3 +1037,62 @@ def test_mann_kendall_ties_shrink_variance(spark):
     df = spark.createDataFrame(rows, "grp string, t long, y long")
     (r,) = mann_kendall(df, "grp", "t", "y").collect()
     assert r.s_stat == 0 and r.var_s == 0.0 and r.z == 0.0
+
+
+def test_dp_histogram_null_group_key_matches_oracle(spark):
+    # regression (r7 ADVICE): a NULL group key must draw the SAME
+    # seeded noise on both engines — concat_ws silently skips NULLs
+    # while SQL || propagates them, so both sides now coalesce to a
+    # sentinel before hashing
+    import duckdb
+
+    from node_etl_spark.functions.profile import (
+        dp_histogram,
+        dp_histogram_oracle_sql,
+    )
+
+    rows = [("a",)] * 3 + [(None,)] * 4 + [("b",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {
+        r.k: (r.n_raw, r.noise, r.n_released)
+        for r in dp_histogram(df, ["k"], epsilon=1.0).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES ('a'), ('a'), ('a'), "
+        "(NULL), (NULL), (NULL), (NULL), ('b')) AS v(k)"
+    )
+    sql = dp_histogram_oracle_sql("SELECT k FROM t", ["k"], epsilon=1.0)
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()}
+    assert got == want
+    assert None in got  # the NULL cell itself is released, identically
+
+
+def test_offpolicy_position_ties_break_on_event_id(spark):
+    # regression (r7 ADVICE): two impressions with identical
+    # (user, day, ts, item) must get deterministic feed positions via
+    # the event_id tiebreaker — run twice with shuffled input order
+    # and demand identical per-position output
+    import datetime as dt
+
+    from node_etl_spark.functions.profile import offpolicy_eval
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    views = [
+        (7, 100, t0, 1),
+        (7, 100, t0, 2),  # exact (user, ts, item) tie with event 1
+        (7, 200, t0, 3),
+        (8, 100, t0, 4),
+    ]
+    schema = "user_id long, item long, ts timestamp, event_id long"
+    clicks = spark.createDataFrame(
+        [(7, 100, t0 + dt.timedelta(minutes=5))],
+        "user_id long, item long, ts timestamp",
+    )
+    a = offpolicy_eval(spark.createDataFrame(views, schema), clicks)
+    b = offpolicy_eval(
+        spark.createDataFrame(list(reversed(views)), schema), clicks
+    )
+    rows_a = sorted(tuple(r) for r in a.collect())
+    rows_b = sorted(tuple(r) for r in b.collect())
+    assert rows_a == rows_b and rows_a

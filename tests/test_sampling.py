@@ -794,3 +794,38 @@ def test_shapley_unique_coverage_dominates(spark):
     out = {r.player: r.phi for r in shapley_vocab_coverage(df, players=4).collect()}
     assert out["u"] == 5.0
     assert out["v"] == out["w"] == 1.0
+
+
+def test_rendezvous_null_key_matches_oracle(spark):
+    # regression (r7 ADVICE class): NULL keys shard identically on
+    # both engines via the shared sentinel (concat_ws skips NULLs,
+    # SQL || propagates — unguarded, the oracle's hash would be NULL)
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.functions.sampling import (
+        rendezvous_shard,
+        rendezvous_shard_sql,
+    )
+
+    df = spark.createDataFrame([("x",), (None,), ("y",)], "k string")
+    got = {
+        r.k: r.shard
+        for r in df.select(
+            "k", rendezvous_shard(F.col("k"), 8).alias("shard")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES ('x'), (NULL), ('y')) "
+        "AS v(k)"
+    )
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT k, {rendezvous_shard_sql('k', 8)} AS s FROM t"
+        ).fetchall()
+    }
+    assert got == want
+    assert got[None] is not None  # NULL key gets a real, stable shard
