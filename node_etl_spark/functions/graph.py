@@ -1400,6 +1400,7 @@ def hits(
     rounds: int = 4,
     src: str = "src",
     dst: str = "dst",
+    broadcast_scores: bool = False,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) over a directed —
     typically bipartite — edge set: authority(p) = Σ hub(c) over
@@ -1408,10 +1409,20 @@ def hits(
     bursty buyers and authorities are widely-bought items — the dual
     centrality PageRank's single score conflates.
 
-    Execution per round: two shuffle joins (scores onto edges) + two
-    hash aggregates — exactly the Pregel cost shape of
-    :func:`pagerank`, with per-round ``localCheckpoint`` lineage
-    truncation. Score state is one row per node; edges persist once.
+    Execution per round: two joins (scores onto edges) + two hash
+    aggregates — exactly the Pregel cost shape of :func:`pagerank`,
+    with per-round ``localCheckpoint`` lineage truncation. Score
+    state is one row per node; edges persist once.
+    ``broadcast_scores`` (mirroring pagerank's ``broadcast_ranks``)
+    ships the node-sized score frame to the persisted edge partitions
+    instead of shuffling the edge set twice per round. Default False:
+    interleaved best-of-2 A/B at sf0.1 (4 rounds) measured the
+    shuffle form FASTER on local mode — 5.7-7.4s vs 7.6-9.0s — because
+    each of the 2*rounds broadcasts pays a driver collect round-trip
+    that outweighs a co-located exchange. On a real cluster with an
+    edge set that dwarfs node state, the trade reverses (two saved
+    edge shuffles per round); flip it on there — unless node state
+    itself outgrows executor memory (billions of nodes).
 
     Cross-engine exactness: scores live on the 1e-6 integer grid
     (BIGINT in [0, 1e6]); each half-round's sums are pure BIGINT
@@ -1439,16 +1450,17 @@ def hits(
             .alias(col),
         )
 
+    state = (lambda df: F.broadcast(df)) if broadcast_scores else (lambda df: df)
     auth = None
     for _ in range(rounds):
         raw_a = (
-            e.join(hubs, "s")
+            e.join(state(hubs), "s")
             .groupBy("d")
             .agg(F.sum("h").alias("a"))
         )
         auth = renorm(raw_a, "a").localCheckpoint(eager=True)
         raw_h = (
-            e.join(auth, "d")
+            e.join(state(auth), "d")
             .groupBy("s")
             .agg(F.sum("a").alias("h"))
         )
