@@ -368,11 +368,14 @@ def main() -> None:
         )
     )
     # ...and a final SHORT line that is complete, parseable JSON well
-    # inside any tail window, so the headline number always survives
+    # inside any tail window, so the headline number always survives.
+    # Distinct metric name + summary flag (round-8 ADVICE): a consumer
+    # parsing by metric key must never double-count the two lines
     print(
         json.dumps(
             {
-                "metric": "headline_suite_seconds",
+                "metric": "headline_suite_seconds_summary",
+                "summary": True,
                 "value": total,
                 "unit": "sec",
                 "sf": sf,

@@ -2151,6 +2151,14 @@ def dp_histogram(
     Returns group_cols + (n_raw, noise, n_released). n_raw is
     included for the oracle check; a production release would drop
     it (and the DP guarantee is about the released column only).
+
+    Known sentinel collision (accepted trade-off): a REAL string key
+    equal to "\\x00null" hashes identically to a NULL key, merging
+    its noise draw with the NULL cell's. NUL bytes are vanishingly
+    rare in key columns and the collision only correlates two cells'
+    noise (it never changes counts); a collision-free alternative is
+    a type-tagged encoding (distinct literal branch for the NULL
+    case) at the cost of a bulkier expression on both engines.
     """
     b = 1.0 / float(epsilon)
     # coalesce NULL key parts to a sentinel BEFORE hashing: concat_ws

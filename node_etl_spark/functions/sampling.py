@@ -969,6 +969,14 @@ def rendezvous_shard(
     its shard/bucket count without rewriting the corpus. The argmax
     is a single narrow projection (transform + array_max over
     (hash, shard) structs) — zero shuffle, zero state.
+
+    Known sentinel collision (accepted trade-off): a REAL key equal
+    to the string "\\x00null" hashes like a NULL key and therefore
+    always co-shards with NULL rows. NUL bytes are vanishingly rare
+    in shard keys and the worst case is one extra key on NULL's
+    shard; a type-tagged encoding (separate literal branch for NULL)
+    would remove the collision at the cost of a bulkier expression
+    mirrored in every oracle.
     """
     cands = F.transform(
         F.sequence(F.lit(0), F.lit(int(n_shards) - 1)),

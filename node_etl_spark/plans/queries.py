@@ -264,21 +264,32 @@ DRIVER_GATE_SENTINELS: list[str] = [
 ]
 
 
-def _driver_verified() -> set[str]:
-    """Query names that already have a row in ANY committed
-    CORRECTNESS_r*.json driver artifact. Makes the rotation
-    self-maintaining: each round's ~50-row driver sample targets the
-    still-unverified backlog automatically, without hand-reordering
-    DRIVER_GATE_SENTINELS every round. Missing/unreadable artifacts
-    degrade to the static order (empty set)."""
+def _driver_verified(root=None) -> set[str]:
+    """Query names with a GREEN row (hash_match == true and err == null)
+    in any committed CORRECTNESS_r*.json driver artifact. Makes the
+    rotation self-maintaining: each round's ~50-row driver sample targets
+    the still-unverified backlog automatically, without hand-reordering
+    DRIVER_GATE_SENTINELS every round. Rows that merely APPEAR in an
+    artifact but never hash-passed (err='no_oracle' rows from r1-r3,
+    hash_match=false failures) do NOT count — a reshaped or previously
+    failed query re-queues ahead of already-green queries. Missing or
+    unreadable artifacts degrade to the static order (empty set)."""
     import json
     from pathlib import Path
 
     seen: set[str] = set()
-    root = Path(__file__).resolve().parents[2]
-    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
+    for f in sorted(Path(root).glob("CORRECTNESS_r*.json")):
         try:
-            seen.update(json.loads(f.read_text()))
+            rows = json.loads(f.read_text())
+            seen.update(
+                k
+                for k, v in rows.items()
+                if isinstance(v, dict)
+                and v.get("hash_match") is True
+                and v.get("err") is None
+            )
         except Exception:  # noqa: BLE001 - artifact hygiene, never fatal
             pass
     return seen

@@ -433,7 +433,7 @@ EWMA_SCHEMA = (
 )
 _EWMA_STATE_SCHEMA = (
     "s bigint, na bigint, nd bigint, last_day int, pending string,"
-    " seq bigint"
+    " seq bigint, seeded boolean"
 )
 
 
@@ -461,12 +461,13 @@ def _ewma_fn(key: tuple, pdf_iter, state: GroupState):
         .sum()
     )
     if state.exists:
-        s, na, nd, last_day, pending, seq = state.get
-        # -1 is the storage sentinel for "walk not seeded yet" (the
-        # state tuple can't hold None); restore it to None or a group
-        # whose first batch held a single day would treat -1 as a
-        # real EWMA level and break stream/batch parity
-        s = None if s == -1 else s
+        s, na, nd, last_day, pending, seq, seeded = state.get
+        # an explicit seeded flag (not a level-value sentinel) marks
+        # "walk not seeded yet": a sentinel like -1 would collide with
+        # a legitimate level of -1 micro-units when event values can
+        # be negative, silently resetting the walk and breaking
+        # stream/batch parity
+        s = int(s) if seeded else None
         pend = _json.loads(pending)
     else:
         s, na, nd, last_day, pend, seq = None, 0, 0, -1, None, 0
@@ -489,12 +490,13 @@ def _ewma_fn(key: tuple, pdf_iter, state: GroupState):
         pend = [d, v]
     state.update(
         (
-            -1 if s is None else int(s),
+            0 if s is None else int(s),
             int(na),
             int(nd),
             int(pend[0]) if pend else -1,
             _json.dumps(pend),
             int(seq),
+            s is not None,
         )
     )
     # emit the walk AS IF the pending day closed now (complete-state

@@ -145,26 +145,58 @@ def test_parity_doc_tracks_query_catalog():
 
 def test_gate_order_targets_unverified_backlog_first():
     # the driver records only the first ~50 queries() entries per
-    # round; the rotation must put every query that has NO row in any
-    # committed CORRECTNESS artifact ahead of all verified ones, so
-    # each round's sample burns down the backlog automatically
+    # round; the rotation must put every query that has no GREEN row
+    # (hash_match true, err null) in any committed CORRECTNESS artifact
+    # ahead of all verified ones, so each round's sample burns down the
+    # backlog automatically and reshaped/failed queries re-queue
     import json
     from pathlib import Path
 
     from node_etl_spark.plans.queries import QUERIES, _gate_order
 
     root = Path(__file__).resolve().parents[1]
-    seen = set()
+    green = set()
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
-        seen.update(json.loads(f.read_text()))
+        rows = json.loads(f.read_text())
+        green.update(
+            k
+            for k, v in rows.items()
+            if isinstance(v, dict)
+            and v.get("hash_match") is True
+            and v.get("err") is None
+        )
     order = _gate_order()
     assert sorted(order) == sorted(QUERIES)  # nothing dropped or duped
-    if not seen:  # artifacts absent (fresh clone): static order is fine
+    if not green:  # artifacts absent (fresh clone): static order is fine
         return
-    never = [n for n in order if n not in seen]
+    never = [n for n in order if n not in green]
     assert order[: len(never)] == never, (
         "verified queries appear before unverified backlog entries"
     )
+
+
+def test_driver_verified_ignores_red_rows(tmp_path):
+    # VERDICT r7 ask #2: a row that merely APPEARS in an artifact but
+    # never hash-passed (err='no_oracle' from r1-r3, hash_match=false
+    # failures) must NOT count as verified — it re-queues in the gate
+    # head ahead of already-green queries
+    import json
+
+    from node_etl_spark.plans.queries import _driver_verified
+
+    art = {
+        "q_green": {"hash_match": True, "err": None, "rows_match": True},
+        "q_red_no_oracle": {"hash_match": None, "err": "no_oracle"},
+        "q_red_mismatch": {"hash_match": False, "err": None},
+        "q_red_errored": {"hash_match": True, "err": "timeout"},
+        "q_malformed": "not-a-dict",
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(art))
+    # a later round turns one red row green: union must pick it up
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_red_mismatch": {"hash_match": True, "err": None}})
+    )
+    assert _driver_verified(tmp_path) == {"q_green", "q_red_mismatch"}
 
 
 def test_driver_contract_consistency():

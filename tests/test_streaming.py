@@ -533,11 +533,11 @@ def test_ewma_stream_matches_batch_across_batches(spark, tmp_path):
 
 def test_ewma_stream_single_day_first_batch(spark, tmp_path):
     """Regression (round-7 ADVICE): when a group's FIRST micro-batch
-    holds exactly one distinct day, the stored level sentinel (-1 =
-    not-seeded) must restore to None on the next batch — otherwise
-    the second batch seeds the walk from level -1 (skipping the seed
-    step, mis-firing the anomaly check) and stream/batch parity
-    breaks."""
+    holds exactly one distinct day, the stored not-seeded marker (now
+    an explicit boolean field) must restore to an unseeded walk on the
+    next batch — otherwise the second batch seeds the walk from a
+    garbage level (skipping the seed step, mis-firing the anomaly
+    check) and stream/batch parity breaks."""
     import datetime as dt
 
     from pyspark.sql import functions as F
@@ -582,6 +582,64 @@ def test_ewma_stream_single_day_first_batch(spark, tmp_path):
     assert last.n_days == want.n_days == 6
     assert last.final_ewma == want.final_ewma
     assert last.n_anomalies == want.n_anomalies == 1
+
+
+def test_ewma_stream_negative_level_not_mistaken_for_unseeded(
+    spark, tmp_path
+):
+    """Regression (round-8 ADVICE): a legitimately NEGATIVE walk level
+    that lands exactly on -1 micro-units (seed day total -0.000001)
+    must survive the state round-trip. The old encoding overloaded -1
+    as the 'not seeded' sentinel, so such a group was silently reset
+    to unseeded on the next micro-batch; the state tuple now carries
+    an explicit `seeded` boolean instead."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.functions.profile import ewma_anomalies
+    from node_etl_spark.streaming import stream as st
+
+    # day 1 total = -1 micro-unit -> after day 2 arrives, the CLOSED
+    # seed level stored in state is exactly -1
+    vals = [-0.000001, 8.0, 2.0, 2.0, 40.0, 2.0]
+    rows = [
+        (d, dt.datetime(2024, 4, 1 + d, 12), "g", v)
+        for d, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    (want,) = ewma_anomalies(df, "event_type", "ts", "value").collect()
+
+    src_dir = str(tmp_path / "evneg")
+    # batch 1 = days 1-2 (closes day 1 at level -1), batch 2 = rest
+    df.filter(F.dayofmonth("ts") <= 2).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    df.filter(F.dayofmonth("ts") > 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    stream = st.ewma_stream(
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_ewma_stream_neg")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink = spark.table("t_ewma_stream_neg")
+    last = sink.orderBy(F.col("seq").desc()).limit(1).collect()[0]
+    assert last.n_days == want.n_days == 6
+    assert last.final_ewma == want.final_ewma
+    assert last.n_anomalies == want.n_anomalies
 
 
 def test_ewma_stream_restart_recovers_walk_state(spark, tmp_path):
