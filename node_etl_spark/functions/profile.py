@@ -1981,11 +1981,13 @@ def conformal_coverage(
     Determinism: prediction = round(double-division of exact decimal
     sum, 6); scores round(,6); the order statistic is picked by
     (score, id) row_number so calibration ties cannot split engines.
-    Scale shape: one aggregate for the predictor, one
-    rank-within-group window over the CALIBRATION slice only (10% of
-    rows), one broadcast join of the per-group thresholds back onto
-    the test slice. Returns (group, n_calib, q_hat, n_test, covered,
-    coverage).
+    Scale shape: one aggregate for the predictor, one aggregate for
+    the per-group percentile_approx rank band, one rank-within-group
+    window over only the BAND of the calibration slice (~6n/acc rows
+    per group — the exact order statistic provably lies inside; see
+    the inline derivation), one broadcast join of the per-group
+    thresholds back onto the test slice. Returns (group, n_calib,
+    q_hat, n_test, covered, coverage).
     """
     from .sampling import hash_bucket
 
@@ -2016,12 +2018,77 @@ def conformal_coverage(
             F.round(F.abs(F.col("v") - F.col("yhat")), 6).alias("score"),
         )
     )
+    # Banded exact order statistic (round-8 scale fix). The naive
+    # shape — row_number() over the WHOLE calibration slice filtered
+    # by rk == ceil((n+1)q) — defeats WindowGroupLimit pushdown (the
+    # rank filter is an equality, not a rn <= k prefix), so with
+    # low-cardinality groups at 100 TB it is a multi-TB single-task
+    # sort per group. Instead, bracket the target rank with a
+    # percentile_approx band and take the exact order statistic
+    # INSIDE the band; global rank = (#rows strictly below the band)
+    # + rank within the band. The bracket is provable from the GK
+    # sketch guarantee (rank error <= n/acc, Greenwald & Khanna
+    # SIGMOD'01): for n >= acc,
+    #   rank(lo at q - 2/acc) <= n(q - 1/acc) + 1 <= nq < r, and
+    #   rank(hi at q + 4/acc) >= n(q + 3/acc) - 1 >= nq + 2 > r
+    # (r = ceil((n+1)q) lies in (nq, nq + 2)). Groups smaller than
+    # acc use an infinite band — identical to the unbanded plan,
+    # where the per-group sort is tiny anyway. Ties at the band
+    # edges are kept by the >=/<= filter, so the (score, rid)
+    # tiebreak order is preserved exactly; the result is the SAME
+    # order statistic as the unbanded plan, only the window input
+    # shrinks from the full slice to ~6n/acc rows per group.
+    acc = 2000
+    plo = max(0.0, q - 2.0 / acc)
+    phi = min(1.0, q + 4.0 / acc)
+    bounds = (
+        calib.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_calib"),
+            # one shared GK sketch serves both band edges (array
+            # percentages) — half the sketch cost of two aggregates
+            F.percentile_approx(
+                "score", F.array(F.lit(plo), F.lit(phi)), F.lit(acc)
+            ).alias("b"),
+        )
+        .select(
+            "grp",
+            "n_calib",
+            F.when(F.col("n_calib") >= acc, F.col("b")[0])
+            .otherwise(F.lit(float("-inf")))
+            .alias("b_lo"),
+            F.when(F.col("n_calib") >= acc, F.col("b")[1])
+            .otherwise(F.lit(float("inf")))
+            .alias("b_hi"),
+        )
+    )
+    below = (
+        calib.join(F.broadcast(bounds), "grp")
+        .filter(F.col("score") < F.col("b_lo"))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_below"))
+    )
+    band = (
+        calib.join(F.broadcast(bounds), "grp")
+        .filter(
+            (F.col("score") >= F.col("b_lo"))
+            & (F.col("score") <= F.col("b_hi"))
+        )
+        .join(F.broadcast(below), "grp", "left")
+        .select(
+            "grp",
+            "score",
+            "rid",
+            "n_calib",
+            F.coalesce(F.col("n_below"), F.lit(0)).alias("n_below"),
+        )
+    )
     w = Window.partitionBy("grp").orderBy("score", "rid")
-    ranked = calib.select(
+    ranked = band.select(
         "grp",
         "score",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n_calib"),
+        "n_calib",
+        (F.col("n_below") + F.row_number().over(w)).alias("rk"),
     )
     thresh = (
         ranked.filter(

@@ -415,6 +415,40 @@ def test_conformal_threshold_is_exact_order_statistic(spark):
     assert 0.8 <= r.coverage <= 1.0
 
 
+def test_conformal_band_path_matches_brute_force(spark):
+    # round-8 scale fix: groups with n_calib >= 2000 take the
+    # percentile_approx-banded path (exact order statistic inside a
+    # rank-bracketing band + count-below offset) instead of ranking
+    # the whole calibration slice. The value-37 modulus makes heavy
+    # TIES, so band-edge tie handling (>=/<= keeps whole tie runs)
+    # is exercised; the result must equal the brute-force order
+    # statistic exactly.
+    from node_etl_spark.functions.profile import conformal_coverage
+
+    rows = [("g", float(i % 37), i) for i in range(26000)]
+    df = spark.createDataFrame(
+        rows, "event_type string, value double, event_id long"
+    )
+    out = conformal_coverage(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    import hashlib
+    import math
+
+    def bkt(i):
+        return int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:8], 16) % 10
+
+    train = [v for (_, v, i) in rows if bkt(i) < 8]
+    yhat = round(sum(train) / len(train), 6)
+    calib = sorted(
+        (round(abs(v - yhat), 6), i) for (_, v, i) in rows if bkt(i) == 8
+    )
+    assert len(calib) >= 2000, "fixture must trigger the banded path"
+    k = math.ceil((len(calib) + 1) * 0.9)
+    assert r.n_calib == len(calib)
+    assert abs(r.q_hat - calib[k - 1][0]) < 1e-12
+
+
 def test_dp_histogram_reproducible_and_clamped(spark):
     from node_etl_spark.functions.profile import dp_histogram
 
