@@ -703,6 +703,7 @@ def quantile_calibrate(
     score_col: str,
     group_col: str,
     id_col: str,
+    group_rank_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Quantile normalization of per-group scores onto the global
     score distribution (the microarray-normalization construct,
@@ -718,33 +719,67 @@ def quantile_calibrate(
     form ((2r-1)·N + 2n_s - 1) div (2n_s), never a double — and the
     calibrated value is the g-th smallest global (score, id) pair.
 
-    Scale shape: the within-group rank is a group-partitioned window
-    (parallel across groups); group sizes and the total are broadcast
-    scalars; the global rank comes from util.global_row_index (range
-    partition + two narrow passes — no single-partition window); the
-    final lookup is one shuffle join on an integer rank. NULL scores
-    are excluded (documented in global_row_index: Spark and DuckDB
-    disagree on NULL rank order).
+    Scale shape: sources are LOW-cardinality, so a plain
+    row_number() window would funnel each source's full corpus slice
+    through one task's sort — at 100 TB a multi-TB single-task sort
+    (the round-7 q254 hazard class). The within-group rank is
+    therefore ADAPTIVE on the collected per-group counts (an
+    AQE-style driver decision off a tiny #groups-row collect):
+    groups all under ``group_rank_threshold`` rows use the window
+    (cheapest locally, bounded sort), any bigger group switches the
+    whole rank to util.grouped_row_index (range-partition two-pass —
+    a big source spans many partitions). Both paths produce
+    BIT-IDENTICAL ranks (the (score, id) order is total), so the
+    choice is purely physical. The global rank is always
+    util.global_row_index; the final lookup is one shuffle join on
+    an integer rank. NULL scores are excluded (documented in
+    global_row_index: Spark and DuckDB disagree on NULL rank order).
 
     Ties: (score_col, id_col) is the total order on both the group
     and global sides — id must be unique. Returns (id_col, group_col,
     score_col, calibrated).
     """
-    from ..util import global_row_index
+    from ..util import global_row_index, grouped_row_index
 
     base = df.filter(F.col(score_col).isNotNull()).select(
         id_col, group_col, score_col
     )
-    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
-    ranked = base.select(
-        id_col,
-        group_col,
-        score_col,
-        F.row_number().over(w).cast("bigint").alias("__r"),
-    )
     sizes = base.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("__ns")
     )
+    # adaptive within-group rank (round-8 window sweep): decide off
+    # UNFILTERED per-group counts — an upper bound on the filtered
+    # sizes (conservative: can only switch to the distributed path
+    # early), chosen because it scans ONLY the group column (the
+    # score/not-null projection would drag the wide score source —
+    # e.g. document text — into the decision job). #groups rows,
+    # tiny by the low-cardinality contract.
+    max_group = max(
+        (
+            r["__n"]
+            for r in df.groupBy(F.col(group_col))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        ),
+        default=0,
+    )
+    if max_group > int(group_rank_threshold):
+        ranked = grouped_row_index(
+            base, [group_col], [score_col, id_col], "__r0"
+        ).select(
+            id_col,
+            group_col,
+            score_col,
+            (F.col("__r0") + 1).cast("bigint").alias("__r"),
+        )
+    else:
+        w = Window.partitionBy(group_col).orderBy(score_col, id_col)
+        ranked = base.select(
+            id_col,
+            group_col,
+            score_col,
+            F.row_number().over(w).cast("bigint").alias("__r"),
+        )
     tot = base.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     g = global_row_index(
         base.select(score_col, id_col), [score_col, id_col], "__gidx"

@@ -139,6 +139,104 @@ def global_row_index(
     return result
 
 
+_GROUP_NULL = object()  # grouped_row_index: canonical key for a NULL part
+
+
+def grouped_row_index(
+    df: DataFrame,
+    group_cols: list[str],
+    sort_cols: list[str],
+    index_col: str = "idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 0-based PER-GROUP rank over a total order within each
+    group ((group_cols, sort_cols) must be a unique key) — the
+    distributed replacement for ``row_number() OVER (PARTITION BY
+    group ORDER BY sort)`` when a single group can hold a
+    corpus-scale row count: the window funnels each group through
+    ONE task's sort, while this range-partitions on (group, sort) so
+    a big group spans many contiguous partitions.
+
+    Same two-pass zipWithIndex shape as :func:`global_row_index`:
+    range-partition + local sort (one shuffle), count rows per
+    (partition, group) — a driver collect of at most
+    partitions x distinct-groups rows, so use this for
+    LOW-cardinality groups (high-cardinality groups don't need it:
+    the plain window is already parallel across groups) — then a
+    narrow Arrow pass adds ``per-group offset + local position``.
+    Output is bit-identical to the window (the order is total);
+    the NULL-sort-key caveat of global_row_index applies unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    gcols = [F.col(c) for c in group_cols]
+    scols = [F.col(c) for c in sort_cols]
+    ordered = (
+        df.repartitionByRange(n_parts, *gcols, *scols)
+        .sortWithinPartitions(*gcols, *scols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+
+    def gkey(vals) -> tuple:
+        # NaN != NaN and None break dict lookups; canonicalize both
+        return tuple(
+            _GROUP_NULL
+            if v is None or (isinstance(v, float) and v != v)
+            else v
+            for v in vals
+        )
+
+    counts = (
+        ordered.groupBy("__pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # per-(partition, group) start offsets: partitions hold contiguous
+    # (group, sort) ranges, so ascending pid order IS ascending
+    # in-group rank order
+    offsets: dict = {}
+    acc: dict = {}
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        k = gkey([r[c] for c in group_cols])
+        offsets[(int(r["__pid"]), k)] = acc.get(k, 0)
+        acc[k] = acc.get(k, 0) + r["n"]
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {index_col} bigint"
+    field_names = [f.name for f in df.schema.fields]
+
+    def attach(batches):
+        pid = None
+        pos: dict = {}  # carries per-group position across Arrow batches
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["__pid"].iloc[0])
+            idx = np.empty(len(pdf), dtype="int64")
+            # rows are sorted by (group, sort): each group's rows are
+            # contiguous, so one vectorized range per group run
+            for k, sub in pdf.groupby(group_cols, sort=False, dropna=False):
+                kk = gkey(k if isinstance(k, tuple) else (k,))
+                p = pos.get(kk)
+                if p is None:
+                    p = offsets[(pid, kk)]
+                idx[sub.index.to_numpy()] = np.arange(p, p + len(sub))
+                pos[kk] = p + len(sub)
+            out = pdf[field_names].copy()
+            out[index_col] = idx
+            yield out
+
+    result = ordered.mapInPandas(attach, out_schema).localCheckpoint(eager=True)
+    ordered.unpersist(False)
+    return result
+
+
 # --- HOF alias-shadowing lint -------------------------------------------
 #
 # Spark binds a higher-order-function lambda's OUTER column references

@@ -252,6 +252,33 @@ def test_global_row_index_matches_total_order(spark):
     assert [(r.key, r.rid) for r in got] == expected
 
 
+def test_grouped_row_index_matches_group_window(spark):
+    # round-8 window sweep: the distributed per-group rank must be
+    # bit-identical to row_number() OVER (PARTITION BY grp ORDER BY
+    # v, rid), including when one group spans many range partitions
+    # and when a group key is NULL
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.util import grouped_row_index
+
+    rows = [
+        (i, None if i % 97 == 0 else f"g{i % 3}", (i * 37) % 101)
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "rid long, grp string, v long").repartition(16)
+    out = grouped_row_index(
+        df, ["grp"], ["v", "rid"], "gidx", num_partitions=12
+    )
+    w = Window.partitionBy("grp").orderBy("v", "rid")
+    want = df.select(
+        "rid", (F.row_number().over(w) - 1).cast("bigint").alias("gidx")
+    )
+    got = {r.rid: r.gidx for r in out.collect()}
+    exp = {r.rid: r.gidx for r in want.collect()}
+    assert got == exp
+
+
 def test_sorted_neighborhood_window_pairs_exact(spark):
     from node_etl_spark.functions.dedup import sorted_neighborhood_pairs
 

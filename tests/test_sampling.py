@@ -507,6 +507,30 @@ def test_quantile_calibrate_identity_on_single_group(spark):
     assert all(r.calibrated == r.score for r in rows)
 
 
+def test_quantile_calibrate_distributed_branch_identical(spark):
+    # round-8 window sweep: forcing group_rank_threshold=0 switches
+    # the within-group rank to util.grouped_row_index (the scale path
+    # for a corpus-sized source); results must be bit-identical to
+    # the default window branch
+    from node_etl_spark.functions.sampling import quantile_calibrate
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", (i * 37) % 101) for i in range(1, 601)],
+        "id bigint, grp string, score bigint",
+    ).repartition(8)
+    base = {
+        r.id: r.calibrated
+        for r in quantile_calibrate(df, "score", "grp", "id").collect()
+    }
+    dist = {
+        r.id: r.calibrated
+        for r in quantile_calibrate(
+            df, "score", "grp", "id", group_rank_threshold=0
+        ).collect()
+    }
+    assert base == dist
+
+
 def test_temporal_split_per_entity_tail(spark):
     from datetime import datetime
 
