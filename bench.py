@@ -265,6 +265,7 @@ HEADLINE = [
     "q293_burstiness",
     "q294_readability",
     "q295_bmp_decode",
+    "q296_folder_glob_scan",
 ]
 
 

@@ -13616,3 +13616,57 @@ def _init_q295() -> None:
 
 
 _init_q295()
+
+
+# --------------------------------------------------------------------
+# q296 — folder-glob scan with filename predicate (ReaderFolder on the
+# exact gate; verdict r7 ask #5)
+# --------------------------------------------------------------------
+
+@register(
+    "q296_folder_glob_scan",
+    _ROUNDTRIP_ORACLE,
+    doc="Folder-glob scan with a filename predicate on the exact gate "
+        "(sources/readers.py folder_source; reference ReaderFolder, "
+        "job-reader-folder.js:72-206): orders are written as a "
+        "MULTI-FILE NDJSON folder (3 part files), then two decoy "
+        "files are planted in the same directory — a VALID ndjson "
+        "row that would corrupt the aggregate if read, and a text "
+        "file — and the scan's pathGlobFilter ('part-*') must "
+        "exclude both at file LISTING time. The oracle aggregates "
+        "the original parquet, so the hash passes only if the glob "
+        "found every part file, the filename predicate dropped the "
+        "decoys, and the round-trip conserved values.",
+)
+def q296_folder_glob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources import FrameSource, NdjsonSink
+    from ..sources.readers import folder_source
+
+    path = f"{_SCRATCH}/folder_glob"
+    Pipeline(
+        [
+            # repartition(3): the glob must genuinely fan over
+            # multiple files, not one
+            FrameSource(_roundtrip_frame(spark, sf_dir).repartition(3)),
+            NdjsonSink(path),
+        ]
+    ).run(spark)
+    # decoys go in AFTER the sink (overwrite clears the dir): a
+    # schema-valid row that would shift the totals, and a non-data
+    # file — pathGlobFilter must exclude both
+    with open(os.path.join(path, "extra-rows.json"), "w") as f:
+        f.write(
+            '{"o_orderkey": 1, "o_orderstatus": "F",'
+            ' "o_totalprice": 1000000.0}\n'
+        )
+    with open(os.path.join(path, "notes.txt"), "w") as f:
+        f.write("not data\n")
+    src = folder_source(
+        path,
+        fmt="json",
+        path_filter_glob="part-*",
+        schema="o_orderkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    return _roundtrip_agg(Pipeline([src]), spark)

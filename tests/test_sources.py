@@ -56,6 +56,38 @@ def test_folder_glob_with_filter(spark, tmp_path):
     assert sorted(r.v for r in df.collect()) == [1, 2]
 
 
+def test_q296_decoys_are_load_bearing(spark, sf_dir):
+    # the q296 gate entry proves ReaderFolder's filename predicate
+    # END-TO-END: after the query runs, the decoy files must exist in
+    # the fixture folder, and scanning WITHOUT the pathGlobFilter must
+    # produce a DIFFERENT aggregate — i.e. the oracle hash can only
+    # pass because the predicate excluded them at listing time
+    import os
+
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.plans.queries import QUERIES
+
+    filtered = (
+        QUERIES["q296_folder_glob_scan"].fn(spark, sf_dir)
+        .agg(F.sum("n").alias("rows"))
+        .collect()[0]
+        .rows
+    )
+    folder = "/root/repo/.scratch/folder_glob"
+    assert os.path.exists(os.path.join(folder, "extra-rows.json"))
+    assert os.path.exists(os.path.join(folder, "notes.txt"))
+    parts = [f for f in os.listdir(folder) if f.startswith("part-")]
+    assert len(parts) >= 3, "glob must fan over multiple part files"
+    raw = spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).json(folder)
+    # without the filter BOTH decoys leak: the valid json row, plus a
+    # PERMISSIVE all-null row parsed out of notes.txt
+    assert raw.count() == filtered + 2
+    assert raw.filter("o_orderkey IS NOT NULL").count() == filtered + 1
+
+
 def test_paged_rest_source(spark):
     # reference ReaderPaged state machine: offset/limit pages, stop on
     # empty page, totalRows short-circuit
