@@ -1072,6 +1072,9 @@ def quota_sample(
     id_col: str,
     budget: int,
     seed: int = 23,
+    gate_factor: float = 2.0,
+    gate_slack: float = 64.0,
+    gate_threshold: int = 0,
 ) -> DataFrame:
     """Exact-budget stratified sampling by largest-remainder
     (Hamilton) apportionment: every stratum gets
@@ -1090,10 +1093,31 @@ def quota_sample(
     Scale shape: one count aggregate (map-side partials), the
     apportionment on the dimension-sized strata frame, a broadcast
     join of allocations back onto the stream, and one
-    rank-within-stratum window ordered by hash. A stratum holding
-    most of the corpus makes that window a hot partition; for such
-    skew pre-filter with an over-sampled hash-bucket gate (keep
-    ~2x alloc/n_g of the stratum by bucket) before ranking.
+    rank-within-stratum window ordered by hash — with the window's
+    input PRE-GATED (round 8) by a row-local predicate on columns the
+    plan already carries (no extra pass): a row passes when its
+    top-60-bit hash fraction u is under
+    ``(gate_factor*alloc_g + gate_slack)/n_g`` — an expected
+    2*alloc_g + 64 rows per stratum — so even a stratum holding most
+    of a 100 TB corpus feeds the sort a budget-sized sliver instead
+    of its whole slice. Small strata neutralize automatically (the
+    threshold fraction exceeds 1, keeping every row), so the gate is
+    ON by default and measured FASTER already at the sf10 test scale;
+    ``gate_threshold`` (per-stratum n_g floor for gating) remains as
+    an escape hatch to force the plain ungated window.
+
+    The gate keeps the sample EXACT: u-order is the prefix of the
+    h-order (h lexicographic == 128-bit numeric; u is its top 60
+    bits), so whenever the gate keeps >= alloc_g rows it provably
+    contains all alloc_g winners. The kept count rides the same
+    window stage (count over the rank's partition — no extra
+    exchange) and an underflow raises a LOUD error instead of
+    returning a short sample; with slack 64 the underflow draw has
+    probability ~e^-(2*alloc+64) <= 2e-28 per stratum — the same
+    beyond-cosmic class as the md5-no-collision assumption the
+    deterministic hash idiom already rests on, and the one
+    theoretical gap (a gated stratum where ZERO rows pass cannot
+    raise) is bounded by the same number.
 
     Returns the sampled rows: (*strata_cols, id).
     """
@@ -1119,6 +1143,7 @@ def quota_sample(
     )
     alloc = alloc.select(
         *[F.col(c) for c in strata_cols],
+        "n_g",
         (
             F.col("fl")
             + F.when(F.row_number().over(wr) <= leftover, 1).otherwise(0)
@@ -1129,14 +1154,44 @@ def quota_sample(
     h = F.md5(
         F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
     ).alias("h")
-    ws = Window.partitionBy(*g).orderBy("h")
-    return (
-        df.select(*g, F.col(id_col), h)
-        .join(F.broadcast(alloc), strata_cols)
-        .withColumn("rn", F.row_number().over(ws))
-        .filter(F.col("rn") <= F.col("alloc"))
-        .select(*strata_cols, id_col)
+    rows = df.select(*g, F.col(id_col), h).join(
+        F.broadcast(alloc), strata_cols
     )
+    # exact-preserving hash gate (see docstring), decided PER STRATUM
+    # inside the plan — small strata keep every row (identical to the
+    # ungated shape), hot strata keep only the bottom-of-hash sliver
+    u = F.conv(F.substring("h", 1, 15), 16, 10).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    active = F.col("n_g") > F.lit(int(gate_threshold))
+    gate = (~active) | (
+        u * F.col("n_g").cast("double")
+        < F.lit(float(gate_factor)) * F.col("alloc").cast("double")
+        + F.lit(float(gate_slack))
+    )
+    ws = Window.partitionBy(*g).orderBy("h")
+    # same partition+order spec as the rank, full frame: both window
+    # functions share ONE WindowExec (no second pass, no exchange)
+    wn = ws.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        rows.filter(gate)
+        .withColumn("rn", F.row_number().over(ws))
+        .withColumn("__kn", F.count(F.lit(1)).over(wn))
+    )
+    # underflow guard rides the rank filter itself (same window
+    # stage, zero extra passes; a guard column would risk pruning)
+    keep = F.when(
+        active & (F.col("__kn") < F.col("alloc")),
+        F.raise_error(
+            F.lit(
+                "quota_sample gate underflow (beyond-cosmic draw or"
+                " corrupted hash): rerun with a larger gate_slack"
+            )
+        ).isNotNull(),
+    ).otherwise(F.col("rn") <= F.col("alloc"))
+    return ranked.filter(keep).select(*strata_cols, id_col)
 
 
 def quota_sample_sql(

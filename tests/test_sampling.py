@@ -697,6 +697,50 @@ def test_quota_sample_exact_budget_and_proportionality(spark):
     assert c == {"a": 7, "b": 2, "c": 1}
 
 
+def test_quota_sample_gate_identical_and_underflow_raises(spark):
+    # round-8 hash gate: with the gate ACTIVE (force threshold 0 so
+    # every stratum keeps only ~2*alloc+64 of thousands) the selected
+    # ids must equal the ungated default; a stratum whose gate
+    # underflows (slack shrunk so kept < alloc, but > 0) must raise
+    # the loud guard error, never return a short sample
+    import pytest
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.functions.sampling import quota_sample
+
+    df = spark.range(12000).select(
+        F.when(F.col("id") % 10 < 8, "big")
+        .when(F.col("id") % 10 < 9, "mid")
+        .otherwise("small")
+        .alias("s"),
+        F.col("id"),
+    )
+
+    def ids(**kw):
+        return sorted(
+            (r.s, r.id) for r in quota_sample(df, ["s"], "id", 12, **kw).collect()
+        )
+
+    gated = ids()  # default: gate on, sliver-sized window input
+    ungated = ids(gate_threshold=10**12)  # escape hatch: plain window
+    assert gated == ungated
+    assert len(gated) == 12
+    # slack tuned from the actual hash values so the big stratum
+    # keeps EXACTLY 3 rows (> 0, < alloc=9) -> the in-window guard
+    # must raise, never return a short sample
+    import hashlib
+
+    def u(i):
+        return int(
+            hashlib.md5(f"{i}:23".encode()).hexdigest()[:15], 16
+        ) / float(1 << 60)
+
+    big = sorted(u(i) for i in range(12000) if i % 10 < 8)
+    slack = (big[2] + big[3]) / 2.0 * len(big)
+    with pytest.raises(Exception, match="underflow"):
+        ids(gate_threshold=0, gate_factor=0.0, gate_slack=slack)
+
+
 def test_quota_sample_largest_remainder_tiebreak(spark):
     from pyspark.sql import functions as F
 
