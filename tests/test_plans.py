@@ -199,6 +199,22 @@ def test_driver_verified_ignores_red_rows(tmp_path):
     assert _driver_verified(tmp_path) == {"q_green", "q_red_mismatch"}
 
 
+def test_topk_windows_get_windowgrouplimit_pushdown(spark, sf_dir):
+    # round-8 window audit: every site SCALE.md claims as
+    # "pushdown" has a literal rn <= k rank filter, which Spark must
+    # turn into WindowGroupLimit (per-partition local top-k BEFORE
+    # the exchange) — the property that keeps a low-cardinality
+    # partition's sort bounded at 100 TB
+    for name in (
+        "q56_stratified_sample",
+        "q88_centroid_outliers",
+        "q161_kmv_cardinality",
+        "q261_mahalanobis_outliers",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "WindowGroupLimit" in plan, f"{name}: pushdown missing"
+
+
 def test_driver_contract_consistency():
     # every oracle key has a query; names are unique and stable-format
     import __spark_entry__ as e
