@@ -266,6 +266,7 @@ HEADLINE = [
     "q294_readability",
     "q295_bmp_decode",
     "q296_folder_glob_scan",
+    "q297_png_decode",
 ]
 
 

@@ -13,7 +13,10 @@ driver-side blobs:
 Codec policy: 24-bit uncompressed BMP decode is REAL
 (:func:`decode_bmp24`, pure stdlib — headers, padding, BGR order,
 bottom-up and top-down layouts; gated end-to-end by q295's
-encode→decode round-trip against a SQL pixel oracle). Codecs that
+encode→decode round-trip against a SQL pixel oracle), and so is
+8-bit truecolor PNG (:func:`decode_png24`, pure stdlib — zlib
+inflate, per-chunk CRC32, all five scanline unfilters; gated by
+q297 the same way). Codecs that
 genuinely need absent libraries (JPEG via Pillow, audio via librosa,
 video via ffmpeg) stay STUBBED: ``decode_fn`` defaults to a
 deterministic fake deriving pseudo-features from the bytes' md5, and
@@ -199,6 +202,190 @@ def decode_bmp_features(
     derive mean RGB or hash them; corrupt bytes raise and flow into
     the null-row policy."""
     width, height, rows = decode_bmp24(content)
+    sums = [0, 0, 0]
+    for row in rows:
+        for r, g, b in row:
+            sums[0] += r
+            sums[1] += g
+            sums[2] += b
+    return width, height, 3, [float(s) for s in sums]
+
+
+# ------------------------------------------------- real PNG codec
+# (r8: second real image decode path, pure stdlib — zlib inflate +
+# CRC32 + all five scanline filters; gated end-to-end by q297's
+# encode→decode round-trip against a SQL pixel oracle, mirroring the
+# r7 BMP pattern. The NotImplementedError stub now remains only for
+# JPEG/video, which genuinely need absent libraries.)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick the neighbor
+    (left, up, up-left) closest to the linear estimate a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_filter(ft: int, line: bytes, prev: bytes, bpp: int = 3) -> bytes:
+    """Apply scanline filter ``ft`` (0=None 1=Sub 2=Up 3=Average
+    4=Paeth) to a raw row given the previous raw row."""
+    n = len(line)
+    out = bytearray(n)
+    for i in range(n):
+        left = line[i - bpp] if i >= bpp else 0
+        up = prev[i]
+        upleft = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = left
+        elif ft == 2:
+            pred = up
+        elif ft == 3:
+            pred = (left + up) >> 1
+        elif ft == 4:
+            pred = _paeth(left, up, upleft)
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[i] = (line[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter(ft: int, cur: bytearray, prev: bytes, bpp: int = 3) -> None:
+    """Reverse a scanline filter in place."""
+    n = len(cur)
+    for i in range(n):
+        left = cur[i - bpp] if i >= bpp else 0
+        up = prev[i]
+        upleft = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = left
+        elif ft == 2:
+            pred = up
+        elif ft == 3:
+            pred = (left + up) >> 1
+        elif ft == 4:
+            pred = _paeth(left, up, upleft)
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        cur[i] = (cur[i] + pred) & 0xFF
+
+
+def encode_png24(
+    width: int,
+    height: int,
+    pixels: list[list[tuple[int, int, int]]],
+    filters: list[int] | None = None,
+) -> bytes:
+    """Encode top-down RGB rows as a standard 8-bit truecolor PNG
+    (IHDR colortype 2, non-interlaced, zlib-compressed IDAT, CRC32
+    per chunk) — the file any image viewer opens. ``filters`` sets
+    the per-row scanline filter schedule (default: cycle 0..4), so
+    the encoder deliberately emits EVERY filter type and acts as the
+    decoder's adversary in tests and the q297 gate."""
+    import struct
+    import zlib
+
+    raw = bytearray()
+    prev = bytes(3 * width)
+    for y in range(height):
+        line = bytes(v for px in pixels[y] for v in px)
+        ft = filters[y % len(filters)] if filters else y % 5
+        raw.append(ft)
+        raw += _png_filter(ft, line, prev)
+        prev = line
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png24(
+    content: bytes,
+) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Pure-stdlib decoder for 8-bit truecolor non-interlaced PNG:
+    verifies the signature and every chunk's CRC32, walks the chunk
+    stream (multiple IDATs concatenate), inflates with zlib, and
+    reverses all five scanline filters (None/Sub/Up/Average/Paeth).
+    Returns (width, height, top-down RGB rows). Raises ValueError on
+    non-PNG or unsupported variants (palette, alpha, 16-bit,
+    interlaced stay behind the stub/NotImplementedError policy)."""
+    import struct
+    import zlib
+
+    if len(content) < 8 or content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        tag = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(content):
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not ended or not idat:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError("only 8-bit truecolor non-interlaced supported")
+    if width <= 0 or height <= 0:
+        raise ValueError("bad dimensions")
+    raw = zlib.decompress(bytes(idat))
+    stride = 3 * width
+    if len(raw) != height * (1 + stride):
+        raise ValueError("bad decompressed length")
+    rows, prev = [], bytes(stride)
+    for y in range(height):
+        base = y * (1 + stride)
+        cur = bytearray(raw[base + 1 : base + 1 + stride])
+        _png_unfilter(raw[base], cur, prev)
+        rows.append(
+            [tuple(cur[3 * x : 3 * x + 3]) for x in range(width)]
+        )
+        prev = bytes(cur)
+    return width, height, rows
+
+
+def decode_png_features(
+    content: bytes,
+) -> tuple[int, int, int, list[float]]:
+    """Real-decode hook for :func:`extract_image_features` (PNG twin
+    of :func:`decode_bmp_features`): per-channel pixel sums as the
+    feature vector; corrupt bytes raise into the null-row policy."""
+    width, height, rows = decode_png24(content)
     sums = [0, 0, 0]
     for row in rows:
         for r, g, b in row:

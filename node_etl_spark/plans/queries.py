@@ -13670,3 +13670,96 @@ def q296_folder_glob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="o_orderkey bigint, o_orderstatus string, o_totalprice double",
     )
     return _roundtrip_agg(Pipeline([src]), spark)
+
+
+# --------------------------------------------------------------------
+# q297 — real PNG decode on the exact gate (zlib inflate + CRC32 +
+# all five scanline filters; the r8 twin of q295's BMP path)
+# --------------------------------------------------------------------
+
+def _init_q297() -> None:
+    from ..functions import multimodal as M
+
+    @register(
+        "q297_png_decode",
+        """
+        WITH pd AS (
+            SELECT doc_id, 3 + doc_id % 7 AS w, 3 + doc_id % 5 AS h
+            FROM documents),
+        pp AS (
+            SELECT doc_id, w, h, x, y
+            FROM pd,
+                 unnest(generate_series(0, w - 1)) AS tx(x),
+                 unnest(generate_series(0, h - 1)) AS ty(y))
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(w * h AS BIGINT) AS n_px,
+               CAST(SUM((doc_id * 11 + y * 23 + x * 17) % 256) AS BIGINT)
+                   AS sum_r,
+               CAST(SUM((doc_id * 11 + y * 23 + x * 17 + 89) % 256) AS BIGINT)
+                   AS sum_g,
+               CAST(SUM((doc_id * 11 + y * 23 + x * 17 + 178) % 256) AS BIGINT)
+                   AS sum_b
+        FROM pp GROUP BY 1, 2, 3, 4
+        """,
+        doc="Real PNG decode on the exact gate (functions/"
+            "multimodal.py decode_png24, pure stdlib: zlib inflate, "
+            "per-chunk CRC32, None/Sub/Up/Average/Paeth unfilters): "
+            "per document a deterministic pixel grid (value = "
+            "(doc_id*11 + y*23 + x*17 + channel*89) % 256, width 3-9, "
+            "height 3-7) is ENCODED to a standard 8-bit truecolor "
+            "PNG executor-side with a (doc_id + y) % 5 filter "
+            "schedule — so every scanline filter type appears across "
+            "the corpus — then DECODED back through the "
+            "extract_image_features Arrow hook; the hashed columns "
+            "are the decoded dims and per-channel pixel sums, which "
+            "the oracle recomputes from the formula in SQL. Any "
+            "chunk/CRC/inflate/unfilter bug breaks the match. Same "
+            "production batch shape as q295: binary column in, typed "
+            "features out, no shuffle added by decode.",
+    )
+    def q297_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select("doc_id")
+
+        def gen(it):
+            import pandas as _pd
+
+            for pdf in it:
+                paths, blobs = [], []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    w, h = 3 + d % 7, 3 + d % 5
+                    rows = [
+                        [
+                            tuple(
+                                (d * 11 + y * 23 + x * 17 + c * 89) % 256
+                                for c in range(3)
+                            )
+                            for x in range(w)
+                        ]
+                        for y in range(h)
+                    ]
+                    paths.append(str(d))
+                    blobs.append(
+                        M.encode_png24(
+                            w, h, rows,
+                            filters=[(d + y) % 5 for y in range(h)],
+                        )
+                    )
+                yield _pd.DataFrame({"path": paths, "content": blobs})
+
+        binaries = docs.mapInPandas(gen, schema="path string, content binary")
+        feats = M.extract_image_features(
+            binaries, decode_fn=M.decode_png_features
+        )
+        return feats.select(
+            F.col("path").cast("bigint").alias("doc_id"),
+            "width",
+            "height",
+            (F.col("width").cast("bigint") * F.col("height")).alias("n_px"),
+            F.element_at("features", 1).cast("bigint").alias("sum_r"),
+            F.element_at("features", 2).cast("bigint").alias("sum_g"),
+            F.element_at("features", 3).cast("bigint").alias("sum_b"),
+        )
+
+
+_init_q297()

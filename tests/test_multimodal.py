@@ -192,3 +192,73 @@ def test_decode_bmp_features_through_arrow_hook(spark, tmp_path):
     }
     assert got["a"] == (2, 2, 3, [220.0, 260.0, 300.0])
     assert got["b"] == (None, None, None, None)
+
+
+def test_png24_roundtrip_every_filter_type():
+    # each of the five scanline filters (None/Sub/Up/Average/Paeth)
+    # forced for a whole image, plus the default 0..4 cycle; values
+    # cover the byte range; odd widths exercise the bpp offsets
+    from node_etl_spark.functions.multimodal import decode_png24, encode_png24
+
+    for w, h in ((1, 1), (4, 3), (7, 5), (5, 6)):
+        pixels = [
+            [((x * 37 + y * 11) % 256, (x + y * 3) % 256, (255 - x * y) % 256)
+             for x in range(w)]
+            for y in range(h)
+        ]
+        for filters in (None, [0], [1], [2], [3], [4]):
+            blob = encode_png24(w, h, pixels, filters=filters)
+            gw, gh, rows = decode_png24(blob)
+            assert (gw, gh) == (w, h)
+            assert rows == pixels, (w, h, filters)
+
+
+def test_png24_rejects_bad_signature_crc_and_unsupported():
+    import struct
+
+    import pytest
+
+    from node_etl_spark.functions.multimodal import decode_png24, encode_png24
+
+    blob = encode_png24(4, 3, [[(1, 2, 3)] * 4 for _ in range(3)])
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png24(b"BM" + blob[2:])
+    flipped = bytearray(blob)
+    flipped[20] ^= 0xFF  # corrupt a byte inside IHDR -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png24(bytes(flipped))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png24(blob[:24])
+    # rewrite colortype to 6 (RGBA) WITH a valid CRC: unsupported
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 6, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    rgba = blob[:8] + chunk + blob[8 + len(chunk):]
+    with pytest.raises(ValueError, match="truecolor"):
+        decode_png24(rgba)
+
+
+def test_decode_png_features_through_arrow_hook(spark):
+    # the REAL PNG decoder through extract_image_features: pixel sums
+    # out, corrupt input -> null row (the warn-and-skip policy)
+    from node_etl_spark.functions.multimodal import (
+        decode_png_features,
+        encode_png24,
+        extract_image_features,
+    )
+
+    good = encode_png24(2, 2, [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (100, 110, 120)]])
+    df = spark.createDataFrame(
+        [("a", bytearray(good)), ("b", bytearray(b"not a png"))],
+        "path string, content binary",
+    )
+    got = {
+        r.path: (r.width, r.height, r.channels, r.features)
+        for r in extract_image_features(df, decode_fn=decode_png_features).collect()
+    }
+    assert got["a"] == (2, 2, 3, [112.0, 125.0, 138.0])
+    assert got["b"] == (None, None, None, None)
