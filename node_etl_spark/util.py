@@ -166,6 +166,13 @@ def grouped_row_index(
     narrow Arrow pass adds ``per-group offset + local position``.
     Output is bit-identical to the window (the order is total);
     the NULL-sort-key caveat of global_row_index applies unchanged.
+
+    Group-key types: the per-(partition, group) offsets are keyed by
+    the DRIVER-collected values and looked up against the ARROW-batch
+    values, which must compare equal in Python. Strings, ints,
+    floats, bools and NULLs do (int 3 == float 3.0 hashes alike);
+    date/timestamp group columns may not (datetime.date vs
+    pd.Timestamp) — cast such keys to string first.
     """
     import numpy as np
     import pandas as pd
