@@ -267,6 +267,7 @@ HEADLINE = [
     "q295_bmp_decode",
     "q296_folder_glob_scan",
     "q297_png_decode",
+    "q298_wav_energy",
 ]
 
 

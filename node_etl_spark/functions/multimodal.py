@@ -16,7 +16,9 @@ bottom-up and top-down layouts; gated end-to-end by q295's
 encode→decode round-trip against a SQL pixel oracle), and so is
 8-bit truecolor PNG (:func:`decode_png24`, pure stdlib — zlib
 inflate, per-chunk CRC32, all five scanline unfilters; gated by
-q297 the same way). Codecs that
+q297 the same way), and so is the WAV audio container
+(:func:`decode_wav16`, RIFF chunk walker cross-validated against the
+stdlib ``wave`` module; gated by q298). Codecs that
 genuinely need absent libraries (JPEG via Pillow, audio via librosa,
 video via ffmpeg) stay STUBBED: ``decode_fn`` defaults to a
 deterministic fake deriving pseudo-features from the bytes' md5, and
@@ -393,6 +395,134 @@ def decode_png_features(
             sums[1] += g
             sums[2] += b
     return width, height, 3, [float(s) for s in sums]
+
+
+# ------------------------------------------------- real WAV container
+# (r8: the audio path gets a real container parser next to q147's raw
+# PCM stand-in — pure stdlib RIFF/WAVE chunk walking with the classic
+# traps: unknown chunks between fmt and data, odd-size chunk pad
+# bytes. Gated end-to-end by q298. The sample MATH was already real;
+# this makes the container real too. Compressed audio codecs stay
+# stubbed — genuinely absent libraries.)
+
+
+def encode_wav16(
+    sample_rate: int, samples: list[int], junk: bytes | None = b"x" * 7
+) -> bytes:
+    """Encode mono signed-16-bit PCM as a standard RIFF/WAVE file. By
+    default a 7-byte LIST chunk (odd size -> pad byte required by the
+    RIFF spec) is planted BETWEEN fmt and data, so a parser that
+    assumes fmt-then-data contiguity or forgets odd-size padding
+    breaks — the encoder is the decoder's adversary, as with PNG."""
+    import struct
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    body = chunk(b"fmt ", fmt)
+    if junk is not None:
+        body += chunk(b"LIST", junk)
+    body += chunk(b"data", data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav16(content: bytes) -> tuple[int, list[int]]:
+    """Pure-stdlib parser for mono PCM16 RIFF/WAVE: verifies the
+    RIFF/WAVE magic, walks the chunk list honoring odd-size pad
+    bytes and skipping unknown chunks, and requires fmt before data.
+    Returns (sample_rate, samples as signed ints). Raises ValueError
+    on non-WAV or unsupported variants (compressed formats, multi-
+    channel, other bit depths stay behind the stub policy)."""
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        tag = content[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", content, pos + 4)
+        payload = content[pos + 8 : pos + 8 + length]
+        if len(payload) < length:
+            raise ValueError("truncated chunk")
+        if tag == b"fmt ":
+            fmt = payload
+        elif tag == b"data":
+            data = payload
+        pos += 8 + length + (length % 2)  # odd chunks carry a pad byte
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("short fmt chunk")
+    audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt)
+    if (audio_fmt, channels, bits) != (1, 1, 16):
+        raise ValueError("only mono PCM16 supported")
+    if len(data) % 2:
+        raise ValueError("odd data length for 16-bit samples")
+    return rate, list(struct.unpack(f"<{len(data) // 2}h", data))
+
+
+def wav_window_energy(
+    binaries: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    window: int = 64,
+) -> DataFrame:
+    """Windowed audio energy over REAL WAV files: parse the RIFF
+    container (:func:`decode_wav16`), then per non-overlapping window
+    of ``window`` samples emit ``sum(s^2)`` as BIGINT — the real-
+    container twin of :func:`pcm_window_energy` (which interprets raw
+    bytes). One Arrow-batched 1:N pass, zero shuffles; corrupt files
+    yield no rows (warn-and-skip). Returns (id, sample_rate, win,
+    n_samples, energy)."""
+    import numpy as np
+
+    id_type = binaries.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, sample_rate int, win bigint,"
+        " n_samples bigint, energy bigint"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, rates, wins, ns, es = [], [], [], [], []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                if rid is None or (
+                    isinstance(rid, float) and pd.isna(rid)
+                ):
+                    continue
+                try:
+                    rate, samples = decode_wav16(bytes(content))
+                except Exception:  # noqa: BLE001 - corrupt input policy
+                    continue
+                if not samples:
+                    continue
+                s = np.asarray(samples, dtype=np.int64)
+                d = s * s
+                starts = np.arange(0, len(s), window)
+                e = np.add.reduceat(d, starts)
+                sizes = np.minimum(starts + window, len(s)) - starts
+                k = len(starts)
+                ids.extend([rid] * k)
+                rates.extend([rate] * k)
+                wins.extend(range(k))
+                ns.extend(sizes.tolist())
+                es.extend(e.tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "win": pd.Series(wins, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "energy": pd.Series(es, dtype="int64"),
+                }
+            )
+
+    return binaries.select(id_col, content_col).mapInPandas(
+        batches, schema=schema
+    )
 
 
 AHASH_CELLS = 60  # grid cells = hash bits; 60 keeps the signed-int64

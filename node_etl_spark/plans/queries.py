@@ -13763,3 +13763,77 @@ def _init_q297() -> None:
 
 
 _init_q297()
+
+
+# --------------------------------------------------------------------
+# q298 — real WAV container parse + windowed energy on the exact gate
+# (r8 audio twin of q295/q297: real RIFF chunk walking, real math)
+# --------------------------------------------------------------------
+
+def _init_q298() -> None:
+    from ..functions import multimodal as M
+
+    @register(
+        "q298_wav_energy",
+        """
+        WITH wd AS (
+            SELECT doc_id, 192 + doc_id % 200 AS n,
+                   CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate
+            FROM documents),
+        ws AS (
+            SELECT doc_id, sample_rate, n, i,
+                   (doc_id * 31 + i * 17) % 4096 - 2048 AS s,
+                   i // 64 AS win
+            FROM wd, unnest(generate_series(0, n - 1)) AS ti(i))
+        SELECT doc_id, sample_rate, CAST(win AS BIGINT) AS win,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(s * s) AS BIGINT) AS energy
+        FROM ws GROUP BY 1, 2, 3
+        """,
+        doc="Real WAV container parse on the exact gate (functions/"
+            "multimodal.py decode_wav16, pure stdlib RIFF chunk "
+            "walker: magic, unknown-chunk skip, odd-size pad bytes, "
+            "PCM16 fmt validation): per document a deterministic "
+            "mono PCM16 signal (s_i = (doc_id*31 + i*17) % 4096 - "
+            "2048, 192-391 samples, rate 8/12/16 kHz) is ENCODED to "
+            "a standard WAV executor-side — with an odd-size LIST "
+            "junk chunk planted between fmt and data, so naive "
+            "fmt-then-data parsers break — then parsed back and "
+            "reduced to per-64-sample-window integer energies "
+            "(wav_window_energy, Arrow 1:N, zero shuffles), which "
+            "the oracle recomputes from the formula in SQL. The "
+            "encoder is independently validated against the stdlib "
+            "wave module in unit tests.",
+    )
+    def q298_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select("doc_id")
+
+        def gen(it):
+            import pandas as _pd
+
+            for pdf in it:
+                ids, blobs = [], []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    n = 192 + d % 200
+                    samples = [
+                        (d * 31 + i * 17) % 4096 - 2048 for i in range(n)
+                    ]
+                    ids.append(d)
+                    blobs.append(
+                        M.encode_wav16(8000 + (d % 3) * 4000, samples)
+                    )
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": _pd.Series(ids, dtype="int64"),
+                        "content": blobs,
+                    }
+                )
+
+        binaries = docs.mapInPandas(
+            gen, schema="doc_id bigint, content binary"
+        )
+        return M.wav_window_energy(binaries, id_col="doc_id", window=64)
+
+
+_init_q298()

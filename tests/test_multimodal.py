@@ -262,3 +262,66 @@ def test_decode_png_features_through_arrow_hook(spark):
     }
     assert got["a"] == (2, 2, 3, [112.0, 125.0, 138.0])
     assert got["b"] == (None, None, None, None)
+
+
+def test_wav16_roundtrip_and_stdlib_cross_check():
+    # our encoder must round-trip through our parser AND through the
+    # INDEPENDENT stdlib wave module (which walks the same chunk
+    # stream), junk chunk and odd-size padding included
+    import io
+    import struct
+    import wave
+
+    from node_etl_spark.functions.multimodal import decode_wav16, encode_wav16
+
+    samples = [((i * 17 + 31) % 4096) - 2048 for i in range(300)]
+    for junk in (None, b"x" * 7, b"y" * 8):  # absent, odd (pad byte), even
+        blob = encode_wav16(16000, samples, junk=junk)
+        rate, got = decode_wav16(blob)
+        assert rate == 16000 and got == samples
+    blob = encode_wav16(16000, samples)
+    w = wave.open(io.BytesIO(blob))
+    assert (w.getframerate(), w.getnchannels(), w.getsampwidth()) == (16000, 1, 2)
+    ind = struct.unpack(f"<{w.getnframes()}h", w.readframes(w.getnframes()))
+    assert list(ind) == samples
+
+
+def test_wav16_rejects_non_wav_truncated_and_stereo():
+    import struct
+
+    import pytest
+
+    from node_etl_spark.functions.multimodal import decode_wav16, encode_wav16
+
+    blob = encode_wav16(8000, [0, 1, -1, 32767, -32768])
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav16(b"RIFX" + blob[4:])
+    with pytest.raises(ValueError, match="missing fmt"):
+        decode_wav16(blob[:12])
+    stereo = bytearray(blob)
+    struct.pack_into("<H", stereo, blob.find(b"fmt ") + 8 + 2, 2)
+    with pytest.raises(ValueError, match="mono PCM16"):
+        decode_wav16(bytes(stereo))
+
+
+def test_wav_window_energy_through_arrow_hook(spark):
+    # real WAV in, per-window integer energies out; corrupt file
+    # yields no rows (warn-and-skip)
+    from node_etl_spark.functions.multimodal import (
+        encode_wav16,
+        wav_window_energy,
+    )
+
+    samples = [3] * 64 + [-2] * 10  # two windows: full + trailing partial
+    blob = encode_wav16(12000, samples)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"not a wav"))],
+        "doc_id long, content binary",
+    )
+    rows = sorted(
+        wav_window_energy(df, window=64).collect(), key=lambda r: r.win
+    )
+    assert [(r.doc_id, r.sample_rate, r.win, r.n_samples, r.energy) for r in rows] == [
+        (1, 12000, 0, 64, 64 * 9),
+        (1, 12000, 1, 10, 10 * 4),
+    ]
