@@ -166,7 +166,51 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q151_audience_overlap",
     "q155_resample_epochs",
     "q165_mannwhitney_auc",
-    # --- r8 carry: the rest of the never-driver-checked backlog ---
+    # --- r8 carry: the rest of the never-driver-checked backlog.
+    # Verdict r7 ask #1 orders it explicitly: q19 + q52-q92 first
+    # (the oldest never-checked band), then the q167-q250 gaps. ---
+    "q19_cube",
+    "q52_moving_average",
+    "q53_nested_details",
+    "q54_dup_clusters",
+    "q55_hash_split",
+    "q56_stratified_sample",
+    "q57_sessionize",
+    "q58_priority_exists",
+    "q59_promo_share",
+    "q60_small_qty_revenue",
+    "q61_large_orders",
+    "q62_idle_rich_customers",
+    "q63_or_predicates",
+    "q64_returned_revenue",
+    "q65_cheapest_parts",
+    "q66_pivot_events",
+    "q67_lww_merge",
+    "q68_token_frequencies",
+    "q69_profile_documents",
+    "q70_trade_volume",
+    "q71_market_share",
+    "q72_dedup_within_gap",
+    "q73_hopping_windows",
+    "q74_neardup_by_source",
+    "q75_acctbal_quartiles",
+    "q76_forecast_revenue",
+    "q77_product_profit",
+    "q78_important_parts",
+    "q79_lateness_priority",
+    "q80_order_distribution",
+    "q81_top_supplier",
+    "q82_supplier_diversity",
+    "q83_excess_shippers",
+    "q84_waiting_suppliers",
+    "q85_repetition_signals",
+    "q86_decontaminate",
+    "q87_label_centroids",
+    "q88_centroid_outliers",
+    "q89_source_health",
+    "q90_price_histogram",
+    "q91_balance_distribution",
+    "q92_reorder_gaps",
     "q167_chisq_independence",
     "q168_mutual_information",
     "q171_bloom_semi_join",
@@ -219,48 +263,6 @@ DRIVER_GATE_SENTINELS: list[str] = [
     "q248_spearman_corr",
     "q249_sequence_mining",
     "q250_isotonic_fit",
-    "q19_cube",
-    "q52_moving_average",
-    "q53_nested_details",
-    "q54_dup_clusters",
-    "q55_hash_split",
-    "q56_stratified_sample",
-    "q57_sessionize",
-    "q58_priority_exists",
-    "q59_promo_share",
-    "q60_small_qty_revenue",
-    "q61_large_orders",
-    "q62_idle_rich_customers",
-    "q63_or_predicates",
-    "q64_returned_revenue",
-    "q65_cheapest_parts",
-    "q66_pivot_events",
-    "q67_lww_merge",
-    "q68_token_frequencies",
-    "q69_profile_documents",
-    "q70_trade_volume",
-    "q71_market_share",
-    "q72_dedup_within_gap",
-    "q73_hopping_windows",
-    "q74_neardup_by_source",
-    "q75_acctbal_quartiles",
-    "q76_forecast_revenue",
-    "q77_product_profit",
-    "q78_important_parts",
-    "q79_lateness_priority",
-    "q80_order_distribution",
-    "q81_top_supplier",
-    "q82_supplier_diversity",
-    "q83_excess_shippers",
-    "q84_waiting_suppliers",
-    "q85_repetition_signals",
-    "q86_decontaminate",
-    "q87_label_centroids",
-    "q88_centroid_outliers",
-    "q89_source_health",
-    "q90_price_histogram",
-    "q91_balance_distribution",
-    "q92_reorder_gaps",
 ]
 
 
