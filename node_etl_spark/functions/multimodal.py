@@ -16,11 +16,15 @@ bottom-up and top-down layouts; gated end-to-end by q295's
 encode→decode round-trip against a SQL pixel oracle), and so is
 8-bit truecolor PNG (:func:`decode_png24`, pure stdlib — zlib
 inflate, per-chunk CRC32, all five scanline unfilters; gated by
-q297 the same way), and so is the WAV audio container
+q297 the same way), and so is baseline sequential grayscale JPEG
+(:func:`decode_jpeg_gray`, pure stdlib+numpy — marker walk, Annex-K
+quant/Huffman tables, entropy decode with byte un-stuffing and RSTn
+restarts, IDCT; gated by q299 on the constant-block-exact input
+class), and so is the WAV audio container
 (:func:`decode_wav16`, RIFF chunk walker cross-validated against the
 stdlib ``wave`` module; gated by q298). Codecs that
-genuinely need absent libraries (JPEG via Pillow, audio via librosa,
-video via ffmpeg) stay STUBBED: ``decode_fn`` defaults to a
+genuinely need absent libraries (color/progressive JPEG via Pillow,
+compressed audio via librosa, video via ffmpeg) stay STUBBED: ``decode_fn`` defaults to a
 deterministic fake deriving pseudo-features from the bytes' md5, and
 the Spark-side plumbing — schemas, batching, partitioning, UDF
 signatures — is real and tested, so swapping in a real decoder is a
@@ -395,6 +399,468 @@ def decode_png_features(
             sums[1] += g
             sums[2] += b
     return width, height, 3, [float(s) for s in sums]
+
+
+# ------------------------------------------------- real JPEG codec
+# (r8: baseline sequential JPEG, grayscale, pure stdlib+numpy — the
+# last stubbed image codec gets a real path. Full machinery: 8x8 DCT,
+# standard Annex-K luminance quant + Huffman tables, zigzag, DC
+# differential coding, AC run-length with ZRL/EOB, canonical Huffman
+# entropy coding, 0xFF byte stuffing, DRI/RSTn restart markers, JFIF
+# APP0 + COM segments. Gated end-to-end by q299 (constant-per-block
+# images round-trip EXACTLY through the lossy pipeline — DC-only
+# blocks with even-valued levels quantize without rounding — hashed
+# against a SQL pixel oracle); the AC/entropy layer is exactly
+# invertible for ANY integer coefficient block and is property-tested
+# separately. Color JPEG (chroma subsampling) and progressive stay
+# behind the stub policy. Reference parity: the reference pipes media
+# through opaque Buffer columns (lib/etl.js Thru/Mapper contract);
+# decode here is the same executor-side 1:1 batch stage as q295/q297.)
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU-T T.81 Table K.1 (luminance quantization)
+_JPEG_QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# ITU-T T.81 Tables K.3/K.5 (luminance DC/AC Huffman specs):
+# counts-per-code-length 1..16, then symbol values in code order.
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman code assignment (T.81 Annex C): symbol ->
+    (code, bit length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _huff_decode_table(
+    bits: list[int], vals: list[int]
+) -> dict[tuple[int, int], int]:
+    """(bit length, code) -> symbol, for MSB-first sequential decode."""
+    return {(ln, c): s for s, (c, ln) in _huff_codes(bits, vals).items()}
+
+
+def _dct_matrix():
+    """8x8 orthonormal DCT-II matrix: F = T @ f @ T.T (T.81 A.3.3)."""
+    import math
+
+    import numpy as np
+
+    t = np.empty((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            t[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return t
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (the pre-marker rule)."""
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+    def marker(self, byte2: int) -> None:
+        """Emit a raw marker (not subject to stuffing)."""
+        self.align()
+        self.out += bytes((0xFF, byte2))
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(category size, magnitude bits) for a DIFF/AC value (F.1.2.1.1:
+    negatives are one's-complemented within their category)."""
+    size = abs(v).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _encode_block_coeffs(
+    w: _JpegBitWriter,
+    zz: list[int],
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Entropy-encode one quantized block (zigzag order); returns the
+    new DC predictor."""
+    size, mag = _jpeg_magnitude(zz[0] - pred)
+    w.write(*dc_codes[size])
+    if size:
+        w.write(mag, size)
+    run = 0
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.write(*ac_codes[0xF0])  # ZRL: 16 zeros
+            run -= 16
+        size, mag = _jpeg_magnitude(zz[k])
+        w.write(*ac_codes[(run << 4) | size])
+        w.write(mag, size)
+        run = 0
+    if run:
+        w.write(*ac_codes[0x00])  # EOB
+    return zz[0]
+
+
+def encode_jpeg_gray(
+    width: int,
+    height: int,
+    pixels: list[list[int]],
+    restart_interval: int = 0,
+    comment: bytes | None = b"node_etl_spark",
+    quant: list[int] | None = None,
+) -> bytes:
+    """Encode top-down grayscale rows (ints 0..255) as a baseline
+    sequential JFIF JPEG (SOF0, one component, standard Annex-K
+    luminance quant + Huffman tables) — the file any image viewer
+    opens. ``restart_interval`` > 0 plants DRI/RSTn markers (and a
+    COM segment is planted by default), so the encoder acts as the
+    decoder's adversary exactly like the PNG/WAV twins."""
+    import struct
+
+    import numpy as np
+
+    q = list(quant) if quant is not None else list(_JPEG_QUANT_LUMA)
+    arr = np.asarray(pixels, dtype=np.float64)
+    if arr.shape != (height, width) or width <= 0 or height <= 0:
+        raise ValueError("bad pixel grid")
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    padded = np.pad(
+        arr, ((0, 8 * bh - height), (0, 8 * bw - width)), mode="edge"
+    )
+    t = _dct_matrix()
+    qmat = np.asarray(q, dtype=np.float64).reshape(8, 8)
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    w = _JpegBitWriter()
+    w.out += bytes((0xFF, 0xD8))  # SOI
+    # APP0/JFIF v1.1, no thumbnail
+    app0 = b"JFIF\x00" + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    w.out += bytes((0xFF, 0xE0)) + struct.pack(">H", 2 + len(app0)) + app0
+    if comment is not None:
+        w.out += bytes((0xFF, 0xFE)) + struct.pack(">H", 2 + len(comment)) + comment
+    dqt = bytes([0]) + bytes(q[_JPEG_ZIGZAG[i]] for i in range(64))
+    w.out += bytes((0xFF, 0xDB)) + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0))
+    w.out += bytes((0xFF, 0xC0)) + struct.pack(">H", 2 + len(sof)) + sof
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    w.out += bytes((0xFF, 0xC4)) + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        w.out += bytes((0xFF, 0xDD)) + struct.pack(">HH", 4, restart_interval)
+    sos = bytes((1, 1, 0x00, 0, 63, 0))
+    w.out += bytes((0xFF, 0xDA)) + struct.pack(">H", 2 + len(sos)) + sos
+
+    pred, mcu, rst = 0, 0, 0
+    n_mcus = bw * bh
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                pred = 0
+            block = padded[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] - 128.0
+            coeffs = np.rint((t @ block @ t.T) / qmat).astype(np.int64)
+            zz = [int(coeffs.flat[_JPEG_ZIGZAG[k]]) for k in range(64)]
+            pred = _encode_block_coeffs(w, zz, pred, dc_codes, ac_codes)
+            mcu += 1
+    assert mcu == n_mcus
+    w.align()
+    w.out += bytes((0xFF, 0xD9))  # EOI
+    return bytes(w.out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data: un-stuffs
+    0xFF 0x00, refuses to read through a real marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy data")
+            b = self.data[self.pos]
+            if b == 0xFF:
+                if (
+                    self.pos + 1 >= len(self.data)
+                    or self.data[self.pos + 1] != 0x00
+                ):
+                    raise ValueError("marker inside entropy data")
+                self.pos += 2
+            else:
+                self.pos += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def align(self) -> None:
+        self.n = 0
+
+
+def _read_huff(br: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _receive_extend(br: _JpegBitReader, size: int) -> int:
+    if size == 0:
+        return 0
+    v = 0
+    for _ in range(size):
+        v = (v << 1) | br.read_bit()
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_block_coeffs(
+    br: _JpegBitReader,
+    pred: int,
+    dc_tab: dict[tuple[int, int], int],
+    ac_tab: dict[tuple[int, int], int],
+) -> list[int]:
+    """Entropy-decode one block into zigzag-order coefficients
+    (exact inverse of :func:`_encode_block_coeffs`)."""
+    zz = [0] * 64
+    zz[0] = pred + _receive_extend(br, _read_huff(br, dc_tab))
+    k = 1
+    while k < 64:
+        sym = _read_huff(br, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run != 15:
+                raise ValueError("bad AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient index overflow")
+        zz[k] = _receive_extend(br, size)
+        k += 1
+    return zz
+
+
+def decode_jpeg_gray(content: bytes) -> tuple[int, int, list[list[int]]]:
+    """Pure stdlib+numpy decoder for baseline sequential grayscale
+    JPEG: walks the marker stream (skipping APPn/COM), parses
+    DQT/DHT/SOF0/DRI/SOS, entropy-decodes with byte un-stuffing and
+    RSTn predictor resets, dequantizes, inverse-zigzags, applies the
+    8x8 IDCT, and crops edge padding. Returns (width, height,
+    top-down gray rows). Raises ValueError on non-JPEG or
+    unsupported variants (color, progressive, arithmetic, 12-bit
+    stay behind the stub/NotImplementedError policy)."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 4 or content[:2] != bytes((0xFF, 0xD8)):
+        raise ValueError("not a JPEG file")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    dc_tabs: dict[int, dict[tuple[int, int], int]] = {}
+    ac_tabs: dict[int, dict[tuple[int, int], int]] = {}
+    width = height = None
+    comp_q = comp_dc = comp_ac = 0
+    restart_interval = 0
+    sos_at = None
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("expected marker")
+        m = content[pos + 1]
+        if m == 0xFF:  # fill byte
+            pos += 1
+            continue
+        (seglen,) = struct.unpack_from(">H", content, pos + 2)
+        if seglen < 2 or pos + 2 + seglen > len(content):
+            raise ValueError("truncated segment")
+        seg = content[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if m == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if i + 65 > len(seg):
+                    raise ValueError("short DQT")
+                zzq = seg[i + 1 : i + 65]
+                tbl = [0] * 64
+                for k in range(64):
+                    tbl[_JPEG_ZIGZAG[k]] = zzq[k]
+                quant[tq] = tbl
+                i += 65
+        elif m == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("short DHT")
+                tab = _huff_decode_table(bits, vals)
+                (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                i += 17 + n
+        elif m == 0xC0:  # SOF0 baseline
+            prec, height, width, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit grayscale supported")
+            if seg[7] != 0x11:  # component list starts at offset 6
+                raise ValueError("subsampling unsupported")
+            comp_q = seg[8]
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif m == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif m == 0xDA:  # SOS
+            ncomp = seg[0]
+            if ncomp != 1:
+                raise ValueError("only single-scan grayscale supported")
+            comp_dc, comp_ac = seg[2] >> 4, seg[2] & 0x0F
+            sos_at = pos
+            break
+        # APPn (0xE0-0xEF) / COM (0xFE): skipped via seglen
+    if sos_at is None or width is None or height is None:
+        raise ValueError("missing SOF/SOS")
+    if width <= 0 or height <= 0:
+        raise ValueError("bad dimensions")
+    if comp_q not in quant or comp_dc not in dc_tabs or comp_ac not in ac_tabs:
+        raise ValueError("missing quant/Huffman table")
+    qmat = np.asarray(quant[comp_q], dtype=np.float64).reshape(8, 8)
+    dc_tab, ac_tab = dc_tabs[comp_dc], ac_tabs[comp_ac]
+
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    t = _dct_matrix()
+    br = _JpegBitReader(content, sos_at)
+    blocks = np.empty((bh * bw, 8, 8), dtype=np.float64)
+    pred, rst = 0, 0
+    for mcu in range(bh * bw):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            br.align()
+            if (
+                br.pos + 2 > len(content)
+                or content[br.pos] != 0xFF
+                or content[br.pos + 1] != 0xD0 + rst
+            ):
+                raise ValueError("missing restart marker")
+            br.pos += 2
+            rst = (rst + 1) % 8
+            pred = 0
+        zz = _decode_block_coeffs(br, pred, dc_tab, ac_tab)
+        pred = zz[0]
+        coeffs = np.zeros(64, dtype=np.float64)
+        for k in range(64):
+            coeffs[_JPEG_ZIGZAG[k]] = zz[k]
+        blocks[mcu] = coeffs.reshape(8, 8) * qmat
+    br.align()
+    if (
+        br.pos + 2 > len(content)
+        or content[br.pos] != 0xFF
+        or content[br.pos + 1] != 0xD9
+    ):
+        raise ValueError("missing EOI")
+    # batched IDCT over all blocks: f = T.T @ F @ T, level shift, clamp
+    spatial = np.einsum("ux,nuv,vy->nxy", t, blocks, t)
+    spatial = np.clip(np.rint(spatial + 128.0), 0, 255).astype(np.int64)
+    img = np.empty((bh * 8, bw * 8), dtype=np.int64)
+    for mcu in range(bh * bw):
+        by, bx = divmod(mcu, bw)
+        img[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = spatial[mcu]
+    return width, height, [list(map(int, r)) for r in img[:height, :width]]
+
+
+def decode_jpeg_features(content: bytes) -> tuple[int, int, int, list[float]]:
+    """Real-decode hook for :func:`extract_image_features` (JPEG twin
+    of :func:`decode_bmp_features` / :func:`decode_png_features`):
+    the feature vector is the gray pixel sum; corrupt bytes raise
+    into the null-row policy."""
+    width, height, rows = decode_jpeg_gray(content)
+    total = 0
+    for row in rows:
+        total += sum(row)
+    return width, height, 1, [float(total)]
 
 
 # ------------------------------------------------- real WAV container

@@ -13839,3 +13839,95 @@ def _init_q298() -> None:
 
 
 _init_q298()
+
+
+# --------------------------------------------------------------------
+# q299 — real baseline JPEG decode on the exact gate (DCT + Annex-K
+# quant/Huffman + entropy coding + restart markers; closes the last
+# stubbed image codec next to q295 BMP / q297 PNG)
+# --------------------------------------------------------------------
+
+def _init_q299() -> None:
+    from ..functions import multimodal as M
+
+    @register(
+        "q299_jpeg_decode",
+        """
+        WITH jd AS (
+            SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+            FROM documents),
+        jb AS (
+            SELECT doc_id, bw, bh, bx, by,
+                   2 * ((doc_id * 7 + bx * 13 + by * 19) % 128) AS v
+            FROM jd,
+                 unnest(generate_series(0, bw - 1)) AS tx(bx),
+                 unnest(generate_series(0, bh - 1)) AS ty(by))
+        SELECT doc_id, CAST(8 * bw AS INT) AS width,
+               CAST(8 * bh AS INT) AS height,
+               CAST(64 * bw * bh AS BIGINT) AS n_px,
+               CAST(SUM(64 * v) AS BIGINT) AS sum_gray
+        FROM jb GROUP BY 1, 2, 3, 4
+        """,
+        doc="Real baseline JPEG decode on the exact gate (functions/"
+            "multimodal.py decode_jpeg_gray, pure stdlib+numpy: marker "
+            "walk, DQT/DHT/SOF0/DRI/SOS parse, canonical Huffman "
+            "entropy decode with 0xFF un-stuffing and RSTn predictor "
+            "resets, dequant, inverse zigzag, 8x8 IDCT). Per document "
+            "a constant-per-8x8-block gray image (block value = "
+            "2*((doc_id*7 + bx*13 + by*19) % 128), 1-3 x 1-2 blocks) "
+            "is ENCODED executor-side to a standard JFIF baseline "
+            "JPEG — real DCT, standard Annex-K luminance quant and "
+            "Huffman tables, a planted COM segment, and a doc_id%4 "
+            "restart interval so RSTn markers appear — then DECODED "
+            "back through the extract_image_features Arrow hook. "
+            "Constant blocks with even-valued levels are the one "
+            "input class the lossy pipeline reproduces EXACTLY (the "
+            "DC quantizer step 16 divides 8*level with no rounding; "
+            "all ACs quantize to zero), so the decoded per-image "
+            "pixel sums hash-match a plain SQL oracle; any marker/"
+            "Huffman/stuffing/restart/IDCT bug breaks the match. The "
+            "general lossy path (nonzero ACs, ZRL/EOB runs) is "
+            "exactness-tested at the coefficient layer in unit tests. "
+            "Same production batch shape as q295/q297: binary column "
+            "in, typed features out, no shuffle added by decode.",
+    )
+    def q299_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select("doc_id")
+
+        def gen(it):
+            import pandas as _pd
+
+            for pdf in it:
+                paths, blobs = [], []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    bw, bh = 1 + d % 3, 1 + d % 2
+                    img = [
+                        [
+                            2 * ((d * 7 + (x // 8) * 13 + (y // 8) * 19) % 128)
+                            for x in range(8 * bw)
+                        ]
+                        for y in range(8 * bh)
+                    ]
+                    paths.append(str(d))
+                    blobs.append(
+                        M.encode_jpeg_gray(
+                            8 * bw, 8 * bh, img, restart_interval=d % 4
+                        )
+                    )
+                yield _pd.DataFrame({"path": paths, "content": blobs})
+
+        binaries = docs.mapInPandas(gen, schema="path string, content binary")
+        feats = M.extract_image_features(
+            binaries, decode_fn=M.decode_jpeg_features
+        )
+        return feats.select(
+            F.col("path").cast("bigint").alias("doc_id"),
+            "width",
+            "height",
+            (F.col("width").cast("bigint") * F.col("height")).alias("n_px"),
+            F.element_at("features", 1).cast("bigint").alias("sum_gray"),
+        )
+
+
+_init_q299()

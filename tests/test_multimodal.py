@@ -325,3 +325,199 @@ def test_wav_window_energy_through_arrow_hook(spark):
         (1, 12000, 0, 64, 64 * 9),
         (1, 12000, 1, 10, 10 * 4),
     ]
+
+
+# ---------------------------------------------------------- JPEG codec
+
+
+def test_jpeg_entropy_layer_exact_for_any_coeff_block():
+    # The Huffman/run-length/magnitude layer is exactly invertible for
+    # ANY integer coefficient block (lossiness lives only in
+    # DCT+quantization). Drive encoder/decoder block primitives
+    # directly with adversarial blocks: long zero runs needing ZRL,
+    # trailing zeros needing EOB, max-category values, negatives.
+    import random
+
+    from node_etl_spark.functions.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _decode_block_coeffs,
+        _encode_block_coeffs,
+        _huff_codes,
+        _huff_decode_table,
+        _JpegBitReader,
+        _JpegBitWriter,
+    )
+
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_tab = _huff_decode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_tab = _huff_decode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    rng = random.Random(42)
+    blocks = [
+        [0] * 64,                     # all-zero: bare EOB
+        [1023] + [0] * 63,            # max DC category
+        [-1023] + [0] * 62 + [-1],    # negative DC, last-slot AC (no EOB)
+        [0] * 63 + [5],               # 62-zero run: 3 ZRLs + coded run
+        [7] + [0, 1] * 31 + [0],      # alternating short runs
+    ]
+    for _ in range(50):
+        blk = [rng.randint(-1023, 1023)]
+        for _k in range(63):
+            blk.append(rng.choice([0, 0, 0, rng.randint(-255, 255)]))
+        blocks.append(blk)
+
+    w = _JpegBitWriter()
+    pred = 0
+    for blk in blocks:
+        pred = _encode_block_coeffs(w, blk, pred, dc_codes, ac_codes)
+    w.align()
+    data = bytes(w.out) + b"\xff\xd9"
+
+    br = _JpegBitReader(data, 0)
+    pred = 0
+    for blk in blocks:
+        got = _decode_block_coeffs(br, pred, dc_tab, ac_tab)
+        pred = got[0]
+        assert got == blk
+
+
+def test_jpeg_constant_block_roundtrip_exact_with_restarts():
+    # constant-per-block images with EVEN levels survive the lossy
+    # pipeline exactly (DC step 16 divides 8*level; ACs quantize to
+    # 0) — the q299 gate's input class, here across every restart
+    # interval including none
+    from node_etl_spark.functions.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    vals = [0, 2, 84, 128, 254, 126, 200, 66]
+    w, h = 32, 16  # 4x2 blocks
+    img = [
+        [vals[(y // 8) * 4 + (x // 8)] for x in range(w)] for y in range(h)
+    ]
+    for ri in (0, 1, 2, 3, 7):
+        blob = encode_jpeg_gray(w, h, img, restart_interval=ri)
+        gw, gh, rows = decode_jpeg_gray(blob)
+        assert (gw, gh) == (w, h)
+        assert rows == img
+        if ri:
+            assert b"\xff\xd0" in blob  # RST0 really appears
+            assert b"\xff\xdd" in blob  # DRI segment
+
+
+def test_jpeg_lossy_roundtrip_bounded_error_and_edge_padding():
+    # general content: decode is approximate but bounded, and
+    # non-multiple-of-8 dims exercise edge-replication padding + crop
+    import numpy as np
+
+    from node_etl_spark.functions.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    for w, h in ((5, 3), (17, 9), (24, 16), (30, 21)):
+        img = [
+            [min(255, 40 + 3 * x + 5 * y) for x in range(w)]
+            for y in range(h)
+        ]
+        gw, gh, rows = decode_jpeg_gray(encode_jpeg_gray(w, h, img))
+        assert (gw, gh) == (w, h)
+        mae = np.abs(np.asarray(rows, float) - np.asarray(img, float)).mean()
+        assert mae < 4.0, (w, h, mae)
+
+
+def test_jpeg_marker_stream_is_spec_conformant():
+    # no second decoder exists in this env (no Pillow), so assert the
+    # emitted stream structurally against T.81/JFIF: marker layout,
+    # Annex-K table bytes in zigzag order, SOF0 geometry, EOI tail
+    import struct
+
+    from node_etl_spark.functions.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_QUANT_LUMA,
+        _JPEG_ZIGZAG,
+        encode_jpeg_gray,
+    )
+
+    blob = encode_jpeg_gray(24, 8, [[8] * 24] * 8, restart_interval=2)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    segs = {}
+    pos = 2
+    while blob[pos + 1] != 0xDA:
+        assert blob[pos] == 0xFF
+        (ln,) = struct.unpack_from(">H", blob, pos + 2)
+        segs[blob[pos + 1]] = blob[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+    assert segs[0xE0][:5] == b"JFIF\x00"
+    assert segs[0xDB][0] == 0x00  # 8-bit table 0
+    assert list(segs[0xDB][1:65]) == [
+        _JPEG_QUANT_LUMA[_JPEG_ZIGZAG[k]] for k in range(64)
+    ]
+    prec, hh, ww, nc = struct.unpack_from(">BHHB", segs[0xC0], 0)
+    assert (prec, hh, ww, nc) == (8, 8, 24, 1)
+    dht = segs[0xC4]
+    assert dht[0] == 0x00 and list(dht[1:17]) == _JPEG_DC_BITS
+    ndc = sum(_JPEG_DC_BITS)
+    assert list(dht[17 : 17 + ndc]) == _JPEG_DC_VALS
+    assert dht[17 + ndc] == 0x10
+    assert list(dht[18 + ndc : 34 + ndc]) == _JPEG_AC_BITS
+    assert list(dht[34 + ndc :]) == _JPEG_AC_VALS
+    assert struct.unpack(">H", segs[0xDD])[0] == 2
+    assert b"\xff\xd0" in blob  # 3 MCUs, interval 2 -> one RST0
+
+
+def test_jpeg_rejects_non_jpeg_truncated_and_unsupported():
+    import pytest
+
+    from node_etl_spark.functions.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    blob = encode_jpeg_gray(16, 8, [[100] * 16] * 8)
+    for bad in (
+        b"",
+        b"\x89PNG",
+        b"\xff\xd8\xff\xd9",          # no SOF/SOS
+        blob[: len(blob) // 2],        # truncated mid-stream
+        blob.replace(b"\xff\xc0", b"\xff\xc2", 1),  # progressive SOF2
+    ):
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(bad)
+    # stuffing corruption: drop the 0x00 after a stuffed 0xFF in the
+    # entropy stream, if one exists — the reader must not misparse
+    sos = blob.find(b"\xff\xda")
+    stuffed = blob.find(b"\xff\x00", sos)
+    if stuffed != -1:
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(blob[:stuffed + 1] + blob[stuffed + 2 :])
+
+
+def test_decode_jpeg_features_through_arrow_hook(spark):
+    from node_etl_spark.functions.multimodal import (
+        decode_jpeg_features,
+        encode_jpeg_gray,
+        extract_image_features,
+    )
+
+    good = encode_jpeg_gray(8, 8, [[42] * 8] * 8)
+    df = spark.createDataFrame(
+        [("a", bytearray(good)), ("b", bytearray(b"not a jpeg"))],
+        "path string, content binary",
+    )
+    got = {
+        r.path: (r.width, r.height, r.channels, r.features)
+        for r in extract_image_features(
+            df, decode_fn=decode_jpeg_features
+        ).collect()
+    }
+    assert got["a"] == (8, 8, 1, [42.0 * 64])
+    assert got["b"] == (None, None, None, None)
