@@ -13931,3 +13931,114 @@ def _init_q299() -> None:
 
 
 _init_q299()
+
+
+# --------------------------------------------------------------------
+# q300 — real animated-GIF decode + frame sampling on the exact gate
+# (the video-shaped member of the q295/q297/q298/q299 codec family:
+# multi-frame container, real LZW, lossless => exact)
+# --------------------------------------------------------------------
+
+def _init_q300() -> None:
+    from ..functions import multimodal as M
+
+    @register(
+        "q300_gif_frames",
+        """
+        WITH gd AS (
+            SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+                   2 + doc_id % 3 AS nf, 1 + doc_id % 2 AS k
+            FROM documents),
+        gf AS (
+            SELECT doc_id, w, h, k, f
+            FROM gd, unnest(generate_series(0, nf - 1)) AS tf(f)),
+        gts AS (
+            SELECT doc_id, w, h, k, f,
+                   (SELECT SUM((3 + (doc_id + i) % 6) * 10)
+                    FROM unnest(generate_series(0, f)) AS ti(i)) AS ts
+            FROM gf),
+        gpx AS (
+            SELECT doc_id, w, h, k, f, ts,
+                   (doc_id + f * 5 + y * 7 + x * 3) % 8 AS v
+            FROM gts,
+                 unnest(generate_series(0, w - 1)) AS tx(x),
+                 unnest(generate_series(0, h - 1)) AS ty(y))
+        SELECT doc_id, CAST(f AS INT) AS frame_idx,
+               CAST(ts AS BIGINT) AS frame_ts_ms,
+               CAST(w * h AS BIGINT) AS n_px,
+               CAST(SUM(v) AS BIGINT) AS sum_idx,
+               CAST(SUM((v * 37 + 11) % 256) AS BIGINT) AS sum_r
+        FROM gpx WHERE f % k = 0 GROUP BY 1, 2, 3, 4
+        """,
+        doc="Real animated-GIF decode + frame sampling on the exact "
+            "gate (functions/multimodal.py decode_gif + "
+            "gif_frame_stats, pure stdlib: GIF89a block walk with "
+            "extension skipping, global color table, and a full LZW "
+            "decoder — variable 3..12-bit LSB-first codes, CLEAR/EOI, "
+            "the KwKwK corner case, 4096-entry dictionary reset, "
+            "255-byte sub-block framing). Per document a "
+            "deterministic 2-4-frame animation (index = (doc_id + "
+            "f*5 + y*7 + x*3) % 8, 8-color palette with r = "
+            "(i*37+11) % 256, per-frame centisecond delays) is "
+            "ENCODED executor-side — with NETSCAPE-loop and comment "
+            "extensions planted so naive block walkers break — then "
+            "DECODED back and sampled every (1 + doc_id % 2) frames "
+            "with exact per-frame stats: cumulative timestamp from "
+            "the GCE delays, index sum, palette-mapped red sum. GIF "
+            "is lossless, so the oracle recomputes everything in "
+            "plain SQL; any LZW/width-growth/sub-block/extension bug "
+            "breaks the match. This is the real-decode twin of the "
+            "sample_frames stub (reference parity: opaque Buffer "
+            "media columns through Thru/Mapper, lib/etl.js) — same "
+            "1:N Arrow batch explosion, zero shuffles added.",
+    )
+    def q300_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select("doc_id")
+        palette = [((i * 37 + 11) % 256, (i * 53) % 256, (i * 91) % 256)
+                   for i in range(8)]
+
+        def gen(it):
+            import pandas as _pd
+
+            for pdf in it:
+                ids, blobs = [], []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    w, h, nf = 3 + d % 5, 2 + d % 4, 2 + d % 3
+                    frames = [
+                        [
+                            [(d + f * 5 + y * 7 + x * 3) % 8
+                             for x in range(w)]
+                            for y in range(h)
+                        ]
+                        for f in range(nf)
+                    ]
+                    delays = [3 + ((d + f) % 6) for f in range(nf)]
+                    ids.append(d)
+                    blobs.append(
+                        M.encode_gif(w, h, frames, palette, delays)
+                    )
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": _pd.Series(ids, dtype="int64"),
+                        "content": blobs,
+                    }
+                )
+
+        binaries = docs.mapInPandas(
+            gen, schema="doc_id bigint, content binary"
+        )
+        # every_k varies per doc, so sample in two branches and union:
+        # k=1 docs keep every frame, k=2 docs keep even frames. Both
+        # branches are the same 1:N decode stage; the union is
+        # partition-local (no shuffle).
+        k1 = M.gif_frame_stats(
+            binaries.where(F.col("doc_id") % 2 == 0), every_k=1
+        )
+        k2 = M.gif_frame_stats(
+            binaries.where(F.col("doc_id") % 2 == 1), every_k=2
+        )
+        return k1.unionByName(k2)
+
+
+_init_q300()

@@ -521,3 +521,104 @@ def test_decode_jpeg_features_through_arrow_hook(spark):
     }
     assert got["a"] == (8, 8, 1, [42.0 * 64])
     assert got["b"] == (None, None, None, None)
+
+
+# ----------------------------------------------------------- GIF codec
+
+
+def test_gif_lzw_exact_incl_width_growth_and_dict_reset():
+    # long random streams force code-width growth to 12 bits and the
+    # 4096-entry dictionary reset; short runs force the KwKwK case
+    import random
+
+    from node_etl_spark.functions.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rng = random.Random(3)
+    for mcs in (2, 3, 8):
+        for n in (1, 7, 300, 30000):
+            idx = [rng.randrange(1 << mcs) for _ in range(n)]
+            assert _gif_lzw_decode(_gif_lzw_encode(idx, mcs), mcs, n) == idx
+    assert _gif_lzw_decode(_gif_lzw_encode([1] * 7, 2), 2, 7) == [1] * 7
+
+
+def test_gif_container_roundtrip_multi_frame_delays_palette():
+    import random
+
+    from node_etl_spark.functions.multimodal import decode_gif, encode_gif
+
+    rng = random.Random(9)
+    for _ in range(10):
+        w, h = rng.randint(1, 12), rng.randint(1, 9)
+        npal = rng.randint(2, 17)
+        pal = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(npal)
+        ]
+        nf = rng.randint(1, 5)
+        frames = [
+            [[rng.randrange(npal) for _ in range(w)] for _ in range(h)]
+            for _ in range(nf)
+        ]
+        delays = [rng.randint(1, 50) for _ in range(nf)]
+        blob = encode_gif(w, h, frames, pal, delays)
+        # planted extensions really appear (decoder must skip them)
+        assert b"NETSCAPE2.0" in blob and b"\x21\xfe" in blob
+        gw, gh, gpal, gframes = decode_gif(blob)
+        assert (gw, gh) == (w, h)
+        assert [tuple(p) for p in gpal[:npal]] == pal
+        assert [d for d, _ in gframes] == delays
+        assert [r for _, r in gframes] == frames
+
+
+def test_gif_rejects_non_gif_truncated_and_unsupported():
+    import pytest
+
+    from node_etl_spark.functions.multimodal import decode_gif, encode_gif
+
+    blob = encode_gif(4, 3, [[[1, 0, 1, 0]] * 3], [(0, 0, 0), (255, 0, 0)])
+    for bad in (
+        b"",
+        b"GIF89a",
+        blob[:20],
+        blob.replace(b"GIF89a", b"GIF99a"),
+        blob[:-1],  # missing trailer
+    ):
+        with pytest.raises(ValueError):
+            decode_gif(bad)
+    # interlace flag set -> unsupported (stub policy, not garbage out)
+    img_desc = blob.find(b"\x2c")
+    tweaked = bytearray(blob)
+    tweaked[img_desc + 9] |= 0x40
+    with pytest.raises(ValueError):
+        decode_gif(bytes(tweaked))
+
+
+def test_gif_frame_stats_through_arrow_hook(spark):
+    from node_etl_spark.functions.multimodal import (
+        encode_gif,
+        gif_frame_stats,
+    )
+
+    pal = [(10, 0, 0), (20, 0, 0), (30, 0, 0)]
+    frames = [
+        [[0, 1], [2, 0]],  # sum_idx 3, sum_r 10+20+30+10=70
+        [[2, 2], [2, 2]],  # sum_idx 8, sum_r 120
+        [[1, 1], [1, 1]],  # sum_idx 4, sum_r 80
+    ]
+    blob = encode_gif(2, 2, frames, pal, delays_cs=[5, 7, 9])
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"junk"))],
+        "doc_id bigint, content binary",
+    )
+    got = {
+        (r.doc_id, r.frame_idx): (r.frame_ts_ms, r.n_px, r.sum_idx, r.sum_r)
+        for r in gif_frame_stats(df, every_k=2).collect()
+    }
+    # every_k=2 keeps frames 0 and 2; timestamps are cumulative delays
+    assert got == {
+        (1, 0): (50, 4, 3, 70),
+        (1, 2): (210, 4, 4, 80),
+    }
