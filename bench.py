@@ -268,6 +268,8 @@ HEADLINE = [
     "q296_folder_glob_scan",
     "q297_png_decode",
     "q298_wav_energy",
+    "q299_jpeg_decode",
+    "q300_gif_frames",
 ]
 
 

@@ -1204,6 +1204,59 @@ def gif_frame_stats(
     )
 
 
+# ----------------------------------------- container sniffing dispatch
+# (r8: with four real codecs in the family, production folders are
+# MIXED — route each file by magic bytes instead of forcing one
+# decode_fn per scan. Pure container sniffing, no decode attempted.)
+
+
+def sniff_media_type(content: bytes) -> str | None:
+    """Identify a media container from magic bytes: 'bmp', 'png',
+    'jpeg', 'gif', 'wav', or None for unknown formats. Sniffing only
+    reads the header — it never decodes."""
+    if len(content) >= 8 and content[:8] == _PNG_SIG:
+        return "png"
+    if len(content) >= 2 and content[:2] == b"BM":
+        return "bmp"
+    if len(content) >= 2 and content[:2] == b"\xff\xd8":
+        return "jpeg"
+    if len(content) >= 6 and content[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if (
+        len(content) >= 12
+        and content[:4] == b"RIFF"
+        and content[8:12] == b"WAVE"
+    ):
+        return "wav"
+    return None
+
+
+def decode_image_auto(content: bytes) -> tuple[int, int, int, list[float]]:
+    """Magic-dispatching image decode hook for
+    :func:`extract_image_features`: BMP/PNG/JPEG route to their real
+    decoders; GIF decodes frame 0 and palette-maps it to per-channel
+    sums. Unknown containers raise into the null-row policy (audio
+    and true video are not images — WAV deliberately raises here)."""
+    kind = sniff_media_type(content)
+    if kind == "bmp":
+        return decode_bmp_features(content)
+    if kind == "png":
+        return decode_png_features(content)
+    if kind == "jpeg":
+        return decode_jpeg_features(content)
+    if kind == "gif":
+        width, height, palette, frames = decode_gif(content)
+        sums = [0, 0, 0]
+        for row in frames[0][1]:
+            for v in row:
+                r, g, b = palette[v]
+                sums[0] += r
+                sums[1] += g
+                sums[2] += b
+        return width, height, 3, [float(s) for s in sums]
+    raise ValueError(f"not an image container: {kind or 'unknown'}")
+
+
 # ------------------------------------------------- real WAV container
 # (r8: the audio path gets a real container parser next to q147's raw
 # PCM stand-in — pure stdlib RIFF/WAVE chunk walking with the classic

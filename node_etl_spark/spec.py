@@ -638,23 +638,41 @@ def _fuzzy_dedup_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
 
 def _decode_image_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     """Arrow-batched image decode over (path, content) rows. ``codec``
-    picks the decoder: ``bmp`` = the REAL pure-stdlib 24-bit BMP parser
-    (functions/multimodal.py decode_bmp24), ``fake`` = the
+    picks the decoder: ``bmp``/``png``/``jpeg``/``gif`` = the REAL
+    pure-stdlib parsers (functions/multimodal.py), ``auto`` = route
+    each file by magic bytes (mixed folders), ``fake`` = the
     deterministic digest stand-in for formats whose libraries are
-    absent (JPEG etc.). Corrupt files become null-feature rows — the
-    reference's warn-and-skip error policy."""
+    absent (color JPEG, video). Corrupt files become null-feature
+    rows — the reference's warn-and-skip error policy."""
     from .functions.multimodal import (
         _fake_decode,
         decode_bmp_features,
+        decode_image_auto,
+        decode_jpeg_features,
+        decode_png_features,
         extract_image_features,
     )
+    from .functions.multimodal import sniff_media_type
 
-    codec = d.get("codec", "bmp")
-    decoders = {"bmp": decode_bmp_features, "fake": _fake_decode}
+    def _gif_only(content):
+        if sniff_media_type(content) != "gif":
+            raise ValueError("not a GIF")
+        return decode_image_auto(content)  # frame-0 palette-mapped sums
+
+    codec = d.get("codec", "auto")
+    decoders = {
+        "bmp": decode_bmp_features,
+        "png": decode_png_features,
+        "jpeg": decode_jpeg_features,
+        "gif": _gif_only,
+        "auto": decode_image_auto,
+        "fake": _fake_decode,
+    }
     if codec not in decoders:
         raise KeyError(
-            f"unknown image codec {codec!r} (supported: bmp, fake; "
-            "JPEG/video need libraries absent from this environment)"
+            f"unknown image codec {codec!r} (supported: bmp, png, jpeg, "
+            "gif, auto, fake; color JPEG/video need libraries absent "
+            "from this environment)"
         )
     decode = decoders[codec]
 

@@ -629,3 +629,48 @@ def test_example_media_features_spec(spark, tmp_path):
     assert (a.width, a.height, a.n_px) == (2, 2, 4)
     assert (a.mean_r, a.mean_g, a.mean_b) == (10.0, 20.0, 30.0)
     assert (b.mean_r, b.mean_g, b.mean_b) == (127.5, 127.5, 127.5)
+
+
+def test_decode_image_auto_routes_mixed_codecs(spark):
+    # codec "auto" (the new default): one scan over a MIXED media
+    # folder routes each file by magic bytes to its real decoder —
+    # BMP/PNG/JPEG pixels, GIF frame-0 palette sums; WAV and garbage
+    # are not images and become null rows (warn-and-skip)
+    from node_etl_spark.functions.multimodal import (
+        encode_bmp24,
+        encode_gif,
+        encode_jpeg_gray,
+        encode_png24,
+        encode_wav16,
+    )
+    from node_etl_spark.context import Context
+    from node_etl_spark.spec import op_from_spec
+
+    rows = [
+        ("a.bmp", bytearray(encode_bmp24(2, 1, [[(1, 2, 3), (4, 5, 6)]]))),
+        ("b.png", bytearray(encode_png24(2, 1, [[(1, 2, 3), (4, 5, 6)]]))),
+        ("c.jpg", bytearray(encode_jpeg_gray(8, 8, [[42] * 8] * 8))),
+        ("d.gif", bytearray(encode_gif(
+            2, 1, [[[0, 1]]], [(10, 20, 30), (40, 50, 60)]))),
+        ("e.wav", bytearray(encode_wav16(8000, [1, 2, 3]))),
+        ("f.bin", bytearray(b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    op = op_from_spec({"op": "decode_image"})  # default codec: auto
+    got = {
+        r.path: (r.width, r.height, r.channels, r.features)
+        for r in op.apply(df, Context()).collect()
+    }
+    assert got["a.bmp"] == (2, 1, 3, [5.0, 7.0, 9.0])
+    assert got["b.png"] == (2, 1, 3, [5.0, 7.0, 9.0])
+    assert got["c.jpg"] == (8, 8, 1, [2688.0])
+    assert got["d.gif"] == (2, 1, 3, [50.0, 70.0, 90.0])
+    assert got["e.wav"] == (None, None, None, None)
+    assert got["f.bin"] == (None, None, None, None)
+    # explicit single-codec ops still reject cross-format files
+    op_gif = op_from_spec({"op": "decode_image", "codec": "gif"})
+    got = {
+        r.path: r.width
+        for r in op_gif.apply(df, Context()).collect()
+    }
+    assert got["d.gif"] == 2 and got["a.bmp"] is None
