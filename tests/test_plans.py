@@ -863,3 +863,18 @@ def test_ann_recall_audit_plans_stay_bucketed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats x hits cross
     assert "MapInPandas" in plan  # blocked exact GEMM
+
+
+def test_jpeg_and_gif_decode_plans_add_no_shuffle(spark, sf_dir):
+    # q299/q300: like q295/q297, generate -> encode -> decode are
+    # chained mapInPandas stages over the source partitioning; decode
+    # must add zero Exchange (the 100 TB property: codec work is
+    # embarrassingly parallel, partition-local)
+    plan = _plan(spark, sf_dir, "q299_jpeg_decode")
+    assert plan.count("MapInPandas") == 2  # encode stage + decode stage
+    assert "Exchange" not in plan
+    plan = _plan(spark, sf_dir, "q300_gif_frames")
+    # two filtered branches (every_k=1 / every_k=2), each encode+stats
+    assert plan.count("MapInPandas") == 4
+    assert "Exchange" not in plan
+    assert "Union" in plan  # partition-local union, not a shuffle
