@@ -270,6 +270,8 @@ HEADLINE = [
     "q298_wav_energy",
     "q299_jpeg_decode",
     "q300_gif_frames",
+    "q301_webdataset_shard",
+    "q302_webdataset_samples",
 ]
 
 

@@ -14042,3 +14042,165 @@ def _init_q300() -> None:
 
 
 _init_q300()
+
+
+# --------------------------------------------------------------------
+# q301/q302 — WebDataset tar-shard ingestion on the exact gate
+# (the dominant layout for large multimodal training corpora: tar
+# shards whose members group into samples by filename prefix)
+# --------------------------------------------------------------------
+
+def _init_q301_q302() -> None:
+    from ..functions import multimodal as M
+
+    @register(
+        "q301_webdataset_shard",
+        """
+        SELECT doc_id, doc_id || '.txt' AS member_name,
+               CAST(octet_length(encode(text)) AS BIGINT) AS member_size,
+               md5(text) AS member_md5
+        FROM documents
+        UNION ALL
+        SELECT doc_id, doc_id || '.cls' AS member_name,
+               CAST(octet_length(encode(lang)) AS BIGINT) AS member_size,
+               md5(lang) AS member_md5
+        FROM documents
+        """,
+        doc="WebDataset tar-shard explode on the exact gate "
+            "(functions/multimodal.py encode_tar_shard / "
+            "explode_tar_members, pure stdlib tarfile+gzip): per "
+            "document a DETERMINISTIC ustar shard (fixed mtime/uid/"
+            "mode — content-addressable) holding '<id>.txt' = the "
+            "document text and '<id>.cls' = its language tag is "
+            "built executor-side — gzip-compressed for odd doc_ids, "
+            "so the r:* compression sniff is exercised — then "
+            "EXPLODED back 1:N and hashed as (member_name, size, "
+            "md5), which the oracle recomputes from the documents "
+            "table (DuckDB md5/octet_length over the same UTF-8 "
+            "bytes). Zero shuffles added: shard explode is "
+            "partition-local (plan-asserted). Reference parity: the "
+            "reference's folder/binary ingestion (job-reader-*.js) "
+            "never had an archive path; this is the Spark-first "
+            "ingestion surface a 100 TB multimodal corpus ships as.",
+    )
+    def q301_webdataset_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+
+        def gen(it):
+            import pandas as _pd
+
+            for pdf in it:
+                ids, blobs = [], []
+                for d, text, lang in zip(
+                    pdf["doc_id"], pdf["text"], pdf["lang"]
+                ):
+                    d = int(d)
+                    members = [
+                        (f"{d}.txt", str(text).encode("utf-8")),
+                        (f"{d}.cls", str(lang).encode("utf-8")),
+                    ]
+                    ids.append(d)
+                    blobs.append(
+                        M.encode_tar_shard(members, compress=bool(d % 2))
+                    )
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": _pd.Series(ids, dtype="int64"),
+                        "content": blobs,
+                    }
+                )
+
+        binaries = docs.mapInPandas(
+            gen, schema="doc_id bigint, content binary"
+        )
+        members = M.explode_tar_members(binaries)
+        return members.select(
+            "doc_id",
+            "member_name",
+            "member_size",
+            F.lower(F.md5("member_bytes")).alias("member_md5"),
+        )
+
+    @register(
+        "q302_webdataset_samples",
+        """
+        SELECT doc_id, doc_id || '-0' AS sample_key,
+               CAST(2 AS INT) AS n_parts, md5(text) AS txt_md5,
+               CAST(octet_length(encode('{"lang":"' || lang || '"}')) AS BIGINT)
+                   AS meta_size
+        FROM documents
+        UNION ALL
+        SELECT doc_id, doc_id || '-1' AS sample_key,
+               CAST(2 AS INT) AS n_parts, md5(source) AS txt_md5,
+               CAST(octet_length(encode('{"lang":"' || lang || '"}')) AS BIGINT)
+                   AS meta_size
+        FROM documents
+        """,
+        doc="WebDataset sample grouping on the exact gate "
+            "(functions/multimodal.py webdataset_samples): members "
+            "group into samples by the basename prefix before the "
+            "FIRST dot, using member ADJACENCY within the shard (the "
+            "WebDataset contract) — so grouping is partition-local "
+            "with ZERO shuffles, where a naive groupBy(sample_key) "
+            "would shuffle the whole corpus. Per document the shard "
+            "holds two samples ('<id>-0', '<id>-1'), each with a "
+            "'.txt' part (text / source) and a multi-dot "
+            "'.meta.json' part (the extension must stay whole); the "
+            "emitted (sample_key, n_parts, md5(txt), meta size) rows "
+            "are recomputed by the oracle from the documents table. "
+            "Samples come out as one row with a map<ext, binary> "
+            "parts column — the typed, Spark-native representation "
+            "downstream decode stages consume.",
+    )
+    def q302_webdataset_samples(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+
+        def gen(it):
+            import pandas as _pd
+
+            for pdf in it:
+                ids, blobs = [], []
+                for d, text, lang, source in zip(
+                    pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+                ):
+                    d = int(d)
+                    meta = ('{"lang":"%s"}' % lang).encode("utf-8")
+                    members = [
+                        (f"{d}-0.txt", str(text).encode("utf-8")),
+                        (f"{d}-0.meta.json", meta),
+                        (f"{d}-1.txt", str(source).encode("utf-8")),
+                        (f"{d}-1.meta.json", meta),
+                    ]
+                    ids.append(d)
+                    blobs.append(
+                        M.encode_tar_shard(members, compress=bool(d % 2))
+                    )
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": _pd.Series(ids, dtype="int64"),
+                        "content": blobs,
+                    }
+                )
+
+        binaries = docs.mapInPandas(
+            gen, schema="doc_id bigint, content binary"
+        )
+        samples = M.webdataset_samples(binaries)
+        return samples.select(
+            "doc_id",
+            "sample_key",
+            F.size("parts").cast("int").alias("n_parts"),
+            F.lower(F.md5(F.element_at("parts", "txt"))).alias("txt_md5"),
+            F.octet_length(F.element_at("parts", "meta.json"))
+            .cast("bigint")
+            .alias("meta_size"),
+        )
+
+
+_init_q301_q302()

@@ -1,5 +1,7 @@
 import hashlib
 
+from pyspark.sql import functions as F
+
 from node_etl_spark.functions import multimodal as M
 
 
@@ -622,3 +624,103 @@ def test_gif_frame_stats_through_arrow_hook(spark):
         (1, 0): (50, 4, 3, 70),
         (1, 2): (210, 4, 4, 80),
     }
+
+
+# ------------------------------------------------- WebDataset shards
+
+
+def test_tar_shard_deterministic_and_gzip_sniffed():
+    from node_etl_spark.functions.multimodal import (
+        encode_tar_shard,
+        iter_tar_members,
+    )
+
+    members = [("1.txt", b"hello"), ("1.cls", b"en"), ("2.txt", b"x" * 600)]
+    plain = encode_tar_shard(members)
+    gz = encode_tar_shard(members, compress=True)
+    assert plain == encode_tar_shard(members)  # content-addressable
+    assert gz[:2] == b"\x1f\x8b"
+    assert list(iter_tar_members(plain)) == members
+    assert list(iter_tar_members(gz)) == members  # r:* sniffs gzip
+
+
+def test_explode_tar_members_through_arrow_hook(spark):
+    from node_etl_spark.functions.multimodal import (
+        encode_tar_shard,
+        explode_tar_members,
+    )
+
+    shard = encode_tar_shard([("a.txt", b"abc"), ("a.cls", b"1")])
+    df = spark.createDataFrame(
+        [(1, bytearray(shard)), (2, bytearray(b"not a tar"))],
+        "doc_id bigint, content binary",
+    )
+    got = {
+        (r.doc_id, r.member_name): (r.member_size, bytes(r.member_bytes))
+        for r in explode_tar_members(df).collect()
+    }
+    # corrupt shard contributes no rows (warn-and-skip)
+    assert got == {
+        (1, "a.txt"): (3, b"abc"),
+        (1, "a.cls"): (1, b"1"),
+    }
+
+
+def test_webdataset_samples_adjacency_grouping(spark):
+    from node_etl_spark.functions.multimodal import (
+        encode_tar_shard,
+        webdataset_samples,
+    )
+
+    # two samples; multi-dot extension stays whole; a leading
+    # directory prefix is stripped to the basename (shards often
+    # carry a data/ prefix)
+    shard = encode_tar_shard(
+        [
+            ("data/000/017.jpg", b"JPG"),
+            ("data/000/017.meta.json", b"{}"),
+            ("data/000/018.jpg", b"JPG2"),
+            ("data/000/018.txt", b"caption"),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(7, bytearray(shard))], "doc_id bigint, content binary"
+    )
+    got = {
+        r.sample_key: {k: bytes(v) for k, v in r.parts.items()}
+        for r in webdataset_samples(df).collect()
+    }
+    assert got == {
+        "017": {"jpg": b"JPG", "meta.json": b"{}"},
+        "018": {"jpg": b"JPG2", "txt": b"caption"},
+    }
+
+
+def test_webdataset_shard_composes_with_image_decode(spark):
+    # the full multimodal ingest chain: tar shard -> member explode ->
+    # magic-sniffed real decode; one partition-local pipeline
+    from node_etl_spark.functions.multimodal import (
+        decode_image_auto,
+        encode_png24,
+        encode_tar_shard,
+        explode_tar_members,
+        extract_image_features,
+    )
+
+    png = encode_png24(2, 1, [[(1, 2, 3), (4, 5, 6)]])
+    shard = encode_tar_shard([("s.png", png), ("s.txt", b"caption")])
+    df = spark.createDataFrame(
+        [(1, bytearray(shard))], "doc_id bigint, content binary"
+    )
+    members = explode_tar_members(df).select(
+        F.col("member_name").alias("path"),
+        F.col("member_bytes").alias("content"),
+    )
+    got = {
+        r.path: (r.width, r.channels, r.features)
+        for r in extract_image_features(
+            members, decode_fn=decode_image_auto
+        ).collect()
+    }
+    assert got["s.png"] == (2, 3, [5.0, 7.0, 9.0])
+    assert got["s.txt"] == (None, None, None)  # not an image: null row

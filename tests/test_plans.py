@@ -878,3 +878,13 @@ def test_jpeg_and_gif_decode_plans_add_no_shuffle(spark, sf_dir):
     assert plan.count("MapInPandas") == 4
     assert "Exchange" not in plan
     assert "Union" in plan  # partition-local union, not a shuffle
+
+
+def test_webdataset_plans_add_no_shuffle(spark, sf_dir):
+    # q301/q302: shard build -> explode / sample grouping are chained
+    # mapInPandas stages; the WebDataset adjacency contract makes
+    # sample grouping partition-local, so NO Exchange may appear
+    for name in ("q301_webdataset_shard", "q302_webdataset_samples"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("MapInPandas") == 2, name
+        assert "Exchange" not in plan, name
