@@ -272,6 +272,7 @@ HEADLINE = [
     "q300_gif_frames",
     "q301_webdataset_shard",
     "q302_webdataset_samples",
+    "q303_unicode_normalize",
 ]
 
 

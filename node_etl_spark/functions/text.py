@@ -295,6 +295,53 @@ def clean_text(text_col: str | Column) -> Column:
     return F.trim(F.regexp_replace(c, "\\s+", " "))
 
 
+def unicode_normalize(
+    text_col: str | Column,
+    form: str = "NFC",
+    strip_accents: bool = False,
+    casefold: bool = False,
+) -> Column:
+    """Unicode text canonicalization for multilingual corpora: apply a
+    normalization form (NFC/NFD/NFKC/NFKD via the stdlib
+    ``unicodedata`` — the same tables every tokenizer pipeline uses),
+    optionally strip combining marks (NFD -> drop category Mn ->
+    re-compose; matches DuckDB's ``strip_accents`` for Latin scripts,
+    which is what keeps this on the exact oracle gate, q303), and
+    optionally casefold. Web-crawled text mixes composed and
+    decomposed forms of the SAME grapheme; dedup fingerprints, BPE
+    merges and n-gram stats all silently fragment without this pass.
+
+    Arrow-batched pandas_udf (one Python crossing per batch, no
+    per-row overhead); NULL in -> NULL out. At 100 TB this rides the
+    existing text scan — no shuffle, no extra pass."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            out = unicodedata.normalize(form, v)
+            if strip_accents:
+                out = "".join(
+                    ch
+                    for ch in unicodedata.normalize("NFD", out)
+                    if unicodedata.category(ch) != "Mn"
+                )
+                out = unicodedata.normalize(form, out)
+            return out.casefold() if casefold else out
+
+        return s.map(one)
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return norm(c)
+
+
 # PII redaction patterns, ordered (emails first: an IP-shaped host
 # inside an address should surface as a@<IP>, never eat the local
 # part). Engine-portable by construction: no alternation, backrefs,

@@ -14204,3 +14204,70 @@ def _init_q301_q302() -> None:
 
 
 _init_q301_q302()
+
+
+# --------------------------------------------------------------------
+# q303 — Unicode normalization on the exact gate (NFC composition +
+# accent stripping; web text mixes composed and decomposed graphemes)
+# --------------------------------------------------------------------
+
+def _init_q303() -> None:
+    @register(
+        "q303_unicode_normalize",
+        """
+        WITH r AS (
+            SELECT doc_id,
+                   replace(replace(text, 'e', 'e' || chr(769)),
+                           'a', 'a' || chr(768)) AS raw
+            FROM documents)
+        SELECT doc_id,
+               CAST(length(raw) AS BIGINT) AS raw_chars,
+               CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_chars,
+               md5(nfc_normalize(raw)) AS nfc_md5,
+               md5(strip_accents(nfc_normalize(raw))) AS stripped_md5
+        FROM r
+        """,
+        doc="Unicode canonicalization on the exact gate (functions/"
+            "text.py unicode_normalize, stdlib unicodedata via an "
+            "Arrow-batched pandas_udf): the corpus is ASCII, so the "
+            "plan first injects DECOMPOSED grapheme sequences "
+            "deterministically (every 'e' gains a combining acute "
+            "U+0301, every 'a' a combining grave U+0300 — the same "
+            "literal replace in both engines), then NFC-composes and "
+            "accent-strips. Hashed columns: codepoint counts before/"
+            "after composition (every injected pair must compose: "
+            "raw_chars - nfc_chars = injected marks) plus md5 of the "
+            "NFC and stripped strings, which the oracle recomputes "
+            "with DuckDB's ICU-backed nfc_normalize/strip_accents — "
+            "two INDEPENDENT Unicode implementations agreeing "
+            "byte-for-byte. Dedup fingerprints, BPE merges and "
+            "n-gram stats silently fragment when composed and "
+            "decomposed forms of the same grapheme coexist; this "
+            "pass rides the existing text scan (no shuffle, "
+            "plan-asserted zero Exchange).",
+    )
+    def q303_unicode_normalize(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        raw = F.regexp_replace(
+            F.regexp_replace(F.col("text"), "e", "e\u0301"),
+            "a",
+            "a\u0300",
+        )
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", raw.alias("raw")
+        )
+        nfc = T.unicode_normalize("raw", "NFC")
+        stripped = T.unicode_normalize("raw", "NFC", strip_accents=True)
+        return docs.select(
+            "doc_id",
+            F.length("raw").cast("bigint").alias("raw_chars"),
+            F.length(nfc).cast("bigint").alias("nfc_chars"),
+            F.lower(F.md5(F.encode(nfc, "UTF-8"))).alias("nfc_md5"),
+            F.lower(F.md5(F.encode(stripped, "UTF-8"))).alias(
+                "stripped_md5"
+            ),
+        )
+
+
+_init_q303()

@@ -888,3 +888,9 @@ def test_webdataset_plans_add_no_shuffle(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert plan.count("MapInPandas") == 2, name
         assert "Exchange" not in plan, name
+
+
+def test_unicode_normalize_plan_adds_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q303_unicode_normalize")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan  # vectorized, not row-at-a-time

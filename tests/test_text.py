@@ -879,3 +879,36 @@ def test_moore_lewis_prefers_seed_vocabulary(spark):
     ).collect()}
     assert out[5].ml_score > out[6].ml_score
     assert out[1].ml_score > 0 and out[3].ml_score < 0
+
+
+def test_unicode_normalize_forms_strip_and_casefold(spark):
+    from node_etl_spark.functions.text import unicode_normalize
+
+    rows = [
+        (1, "café"),          # decomposed -> NFC composes
+        (2, "café"),           # already composed
+        (3, "ﬁne"),            # fi ligature: NFKC folds, NFC keeps
+        (4, None),                  # NULL in -> NULL out
+        (5, "ÀBC"),           # casefold + strip combine
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    out = df.select(
+        "id",
+        unicode_normalize("t", "NFC").alias("nfc"),
+        unicode_normalize("t", "NFKC").alias("nfkc"),
+        unicode_normalize("t", "NFC", strip_accents=True).alias("plain"),
+        unicode_normalize(
+            "t", "NFC", strip_accents=True, casefold=True
+        ).alias("folded"),
+    )
+    got = {r.id: r for r in out.collect()}
+    assert got[1].nfc == "café" and got[2].nfc == "café"
+    assert got[1].plain == "cafe" and got[2].plain == "cafe"
+    assert got[3].nfc == "ﬁne" and got[3].nfkc == "fine"
+    assert got[4].nfc is None and got[4].folded is None
+    assert got[5].folded == "abc"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        unicode_normalize("t", "NFX")
