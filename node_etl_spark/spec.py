@@ -709,6 +709,57 @@ def _bloom_semi_join_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     return FnTransform(fn, name="bloom_semi_join")
 
 
+def _explode_tar_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """1:N tar/tar.gz shard explode over binary rows (WebDataset-style
+    ingestion): one output row per regular member."""
+    from .functions.multimodal import explode_tar_members
+
+    def fn(df):
+        return explode_tar_members(
+            df,
+            id_col=d.get("id", "path"),
+            content_col=d.get("content", "content"),
+        )
+
+    return FnTransform(fn, name="explode_tar")
+
+
+def _webdataset_samples_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """WebDataset sample grouping: members -> one row per sample with
+    a map<ext, binary> parts column (adjacency-based, shuffle-free)."""
+    from .functions.multimodal import webdataset_samples
+
+    def fn(df):
+        return webdataset_samples(
+            df,
+            id_col=d.get("id", "path"),
+            content_col=d.get("content", "content"),
+        )
+
+    return FnTransform(fn, name="webdataset_samples")
+
+
+def _unicode_normalize_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """Unicode canonicalization of a text column (NFC/NFD/NFKC/NFKD +
+    optional accent strip / casefold), in place or into ``out``."""
+    from .functions.text import unicode_normalize
+
+    col = d.get("col", "text")
+
+    def fn(df):
+        return df.withColumn(
+            d.get("out", col),
+            unicode_normalize(
+                col,
+                d.get("form", "NFC"),
+                strip_accents=bool(d.get("strip_accents", False)),
+                casefold=bool(d.get("casefold", False)),
+            ),
+        )
+
+    return FnTransform(fn, name="unicode_normalize")
+
+
 _REGISTRY.update(
     {
         # corpus curation (functions/text.py, functions/sampling.py,
@@ -742,6 +793,9 @@ _REGISTRY.update(
         "fuzzy_dedup": _fuzzy_dedup_op,
         "bloom_semi_join": _bloom_semi_join_op,
         "decode_image": _decode_image_op,
+        "explode_tar": _explode_tar_op,
+        "webdataset_samples": _webdataset_samples_op,
+        "unicode_normalize": _unicode_normalize_op,
     }
 )
 

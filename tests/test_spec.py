@@ -674,3 +674,61 @@ def test_decode_image_auto_routes_mixed_codecs(spark):
         for r in op_gif.apply(df, Context()).collect()
     }
     assert got["d.gif"] == 2 and got["a.bmp"] is None
+
+
+def test_example_webdataset_ingest_spec(spark, tmp_path):
+    # examples/webdataset_ingest.json end-to-end: tar-shard binary
+    # ingest -> member explode -> magic-sniffed image decode ->
+    # typed projection -> parquet
+    import json as _json
+    import os
+
+    from node_etl_spark.functions.multimodal import (
+        encode_png24,
+        encode_tar_shard,
+    )
+    from node_etl_spark.spec import from_spec
+
+    data = tmp_path / "shards"
+    data.mkdir()
+    png = encode_png24(2, 2, [[(1, 2, 3)] * 2] * 2)
+    (data / "shard-000.tar").write_bytes(
+        encode_tar_shard([("a.png", png), ("a.txt", b"caption")])
+    )
+    (data / "shard-001.tar.gz").write_bytes(
+        encode_tar_shard([("b.png", png)], compress=True)
+    )
+    (data / "ignore.bin").write_bytes(b"not a shard, excluded by glob")
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = _json.load(
+        open(os.path.join(root, "examples", "webdataset_ingest.json"))
+    )
+    out = str(tmp_path / "out")
+    from_spec(spec).run(spark, config={"DATA": str(data), "OUT": out})
+    got = {
+        r.member: (r.width, r.height, r.channels, r.n_px)
+        for r in spark.read.parquet(out + "/shard_image_features").collect()
+    }
+    # caption member decodes to null -> filtered; both shards' PNGs land
+    assert got == {"a.png": (2, 2, 3, 4), "b.png": (2, 2, 3, 4)}
+
+
+def test_unicode_normalize_spec_op(spark):
+    from node_etl_spark.context import Context
+    from node_etl_spark.spec import op_from_spec
+
+    df = spark.createDataFrame(
+        [(1, "Café STRASSE")], "id bigint, text string"
+    )
+    op = op_from_spec(
+        {
+            "op": "unicode_normalize",
+            "strip_accents": True,
+            "casefold": True,
+            "out": "norm",
+        }
+    )
+    row = op.apply(df, Context()).collect()[0]
+    assert row.text == "Café STRASSE"
+    assert row.norm == "cafe strasse"
