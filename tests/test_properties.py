@@ -220,3 +220,135 @@ def test_bmp24_roundtrip_property(w, h, seed, topdown):
         blob = bytes(blob)
     gw, gh, got = decode_bmp24(blob)
     assert (gw, gh, got) == (w, h, pixels)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    mcs=hst.integers(2, 8),
+    idx=hst.lists(hst.integers(0, 255), min_size=1, max_size=4000),
+)
+def test_gif_lzw_roundtrip_property(mcs, idx):
+    # pure-Python property: the GIF LZW layer is the identity over any
+    # index stream whose values fit the palette width — including
+    # streams long enough to grow code width and reset the dictionary
+    from node_etl_spark.functions.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    idx = [v % (1 << mcs) for v in idx]
+    assert _gif_lzw_decode(_gif_lzw_encode(idx, mcs), mcs, len(idx)) == idx
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    blocks=hst.lists(
+        hst.lists(hst.integers(-1023, 1023), min_size=64, max_size=64),
+        min_size=1,
+        max_size=6,
+    ),
+    zero_mask=hst.lists(hst.integers(0, 63), min_size=0, max_size=60),
+)
+def test_jpeg_entropy_layer_roundtrip_property(blocks, zero_mask):
+    # pure-Python property: the Huffman/run-length layer inverts ANY
+    # integer coefficient sequence (zero_mask forces long zero runs so
+    # ZRL/EOB paths are hit often, not just on hand-picked cases)
+    from node_etl_spark.functions.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _decode_block_coeffs,
+        _encode_block_coeffs,
+        _huff_codes,
+        _huff_decode_table,
+        _JpegBitReader,
+        _JpegBitWriter,
+    )
+
+    for blk in blocks:
+        for k in zero_mask:
+            if k:  # never zero the DC slot: categories stay exercised
+                blk[k] = 0
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_tab = _huff_decode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_tab = _huff_decode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    pred = 0
+    for blk in blocks:
+        pred = _encode_block_coeffs(w, blk, pred, dc_codes, ac_codes)
+    w.align()
+    br = _JpegBitReader(bytes(w.out) + b"\xff\xd9", 0)
+    pred = 0
+    for blk in blocks:
+        got = _decode_block_coeffs(br, pred, dc_tab, ac_tab)
+        pred = got[0]
+        assert got == blk
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    names=hst.lists(
+        hst.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz0123456789._-",
+            min_size=1,
+            max_size=40,
+        ).filter(lambda s: not s.startswith(".")),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    payload=hst.binary(min_size=0, max_size=2000),
+    compress=hst.booleans(),
+)
+def test_tar_shard_roundtrip_property(names, payload, compress):
+    # pure-Python property: shard encode->walk is the identity over
+    # arbitrary member names (dots, dashes, underscores) and payload
+    # slices, compressed or not
+    from node_etl_spark.functions.multimodal import (
+        encode_tar_shard,
+        iter_tar_members,
+    )
+
+    members = [
+        (name, payload[i::max(1, len(names))])
+        for i, name in enumerate(names)
+    ]
+    blob = encode_tar_shard(members, compress=compress)
+    assert list(iter_tar_members(blob)) == members
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    s=hst.text(
+        alphabet=hst.sampled_from(
+            "abce ̧́̀éàÇﬁA"
+        ),
+        max_size=60,
+    )
+)
+def test_unicode_normalize_agrees_with_duckdb_property(s):
+    # cross-engine property on the q303 charset family: the stdlib
+    # unicodedata path and DuckDB's ICU path agree on NFC and accent
+    # stripping for arbitrary mixes of composed chars, decomposed
+    # sequences, and bare combining marks
+    import unicodedata
+
+    import duckdb
+
+    nfc_py = unicodedata.normalize("NFC", s)
+    strip_py = unicodedata.normalize(
+        "NFC",
+        "".join(
+            ch
+            for ch in unicodedata.normalize("NFD", nfc_py)
+            if unicodedata.category(ch) != "Mn"
+        ),
+    )
+    nfc_db, strip_db = duckdb.sql(
+        "select nfc_normalize(?), strip_accents(nfc_normalize(?))",
+        params=[s, s],
+    ).fetchone()
+    assert nfc_py == nfc_db
+    assert strip_py == strip_db
