@@ -273,6 +273,7 @@ HEADLINE = [
     "q301_webdataset_shard",
     "q302_webdataset_samples",
     "q303_unicode_normalize",
+    "q304_compressed_text",
 ]
 
 

@@ -1361,6 +1361,122 @@ def webdataset_samples(
     )
 
 
+# ------------------------------------------- compressed text columns
+# (r8: text corpora land in lakes with per-value compression — a
+# binary column of gzip/zlib/bz2/lzma payloads next to typed metadata.
+# All four codecs are stdlib and deterministic (gzip pinned to
+# mtime=0), so the round-trip gates exactly (q304). Vectorized
+# pandas_udf: one Arrow crossing per batch; decompression sniffs the
+# codec from magic bytes by default, because real lakes mix codecs
+# across files and eras. zstd/snappy need absent libraries and follow
+# the stub policy — the sniff returns None for them and the value
+# becomes a NULL (warn-and-skip), never garbage.)
+
+_TEXT_CODECS = ("gzip", "zlib", "bz2", "lzma")
+
+
+def compress_bytes(data: bytes, codec: str) -> bytes:
+    """Deterministically compress one value (gzip mtime=0, fixed
+    levels) — same bytes in, same bytes out, forever."""
+    import bz2
+    import gzip
+    import lzma
+    import zlib
+
+    if codec == "gzip":
+        return gzip.compress(data, 6, mtime=0)
+    if codec == "zlib":
+        return zlib.compress(data, 6)
+    if codec == "bz2":
+        return bz2.compress(data, 9)
+    if codec == "lzma":
+        return lzma.compress(data, preset=6)
+    raise ValueError(f"unknown codec {codec!r} (supported: {_TEXT_CODECS})")
+
+
+def sniff_compression(data: bytes) -> str | None:
+    """Identify a compression container from magic bytes."""
+    if len(data) >= 2 and data[:2] == b"\x1f\x8b":
+        return "gzip"
+    if len(data) >= 6 and data[:6] == b"\xfd7zXZ\x00":
+        return "lzma"
+    if len(data) >= 3 and data[:3] == b"BZh":
+        return "bz2"
+    if len(data) >= 2 and data[0] == 0x78 and (data[0] * 256 + data[1]) % 31 == 0:
+        return "zlib"  # RFC1950: CMF=0x78 and the FCHECK divisibility rule
+    return None
+
+
+def decompress_bytes(data: bytes, codec: str = "auto") -> bytes:
+    """Inverse of :func:`compress_bytes`; ``codec='auto'`` sniffs the
+    container. Raises ValueError on unknown containers or corrupt
+    payloads (callers map this to the NULL-out policy)."""
+    import bz2
+    import gzip
+    import lzma
+    import zlib
+
+    kind = sniff_compression(data) if codec == "auto" else codec
+    try:
+        if kind == "gzip":
+            return gzip.decompress(data)
+        if kind == "zlib":
+            return zlib.decompress(data)
+        if kind == "bz2":
+            return bz2.decompress(data)
+        if kind == "lzma":
+            return lzma.decompress(data)
+    except Exception as exc:  # noqa: BLE001 - normalize codec errors
+        raise ValueError(f"corrupt {kind} payload") from exc
+    raise ValueError("unknown compression container")
+
+
+def compress_text(text_col, codec: str = "gzip"):
+    """Column expression: UTF-8 encode + compress a string column into
+    a binary column (vectorized pandas_udf; NULL-safe)."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    if codec not in _TEXT_CODECS:
+        raise ValueError(f"unknown codec {codec!r}")
+
+    @pandas_udf("binary")
+    def comp(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None
+            if v is None
+            else compress_bytes(v.encode("utf-8"), codec)
+        )
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return comp(c)
+
+
+def decompress_text(bin_col, codec: str = "auto"):
+    """Column expression: decompress a binary column back to a string
+    column. Unknown containers / corrupt payloads / invalid UTF-8
+    become NULL (the warn-and-skip policy), never garbage."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def decomp(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return decompress_bytes(bytes(v), codec).decode("utf-8")
+            except (ValueError, UnicodeDecodeError):
+                return None
+
+        return s.map(one)
+
+    c = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    return decomp(c)
+
+
 # ----------------------------------------- container sniffing dispatch
 # (r8: with four real codecs in the family, production folders are
 # MIXED — route each file by magic bytes instead of forcing one

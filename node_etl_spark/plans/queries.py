@@ -14271,3 +14271,77 @@ def _init_q303() -> None:
 
 
 _init_q303()
+
+
+# --------------------------------------------------------------------
+# q304 — compressed text columns on the exact gate (per-value
+# gzip/zlib/bz2/lzma with magic-byte sniffing; the lake-storage
+# pattern for text corpora)
+# --------------------------------------------------------------------
+
+def _init_q304() -> None:
+    from ..functions import multimodal as M
+
+    @register(
+        "q304_compressed_text",
+        """
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib'
+                    WHEN 2 THEN 'bz2' ELSE 'lzma' END AS codec,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               md5(text) AS text_md5
+        FROM documents
+        """,
+        doc="Compressed text columns on the exact gate (functions/"
+            "multimodal.py compress_text / decompress_text, all-stdlib "
+            "gzip/zlib/bz2/lzma, deterministic encodes): each "
+            "document's text is compressed executor-side with a codec "
+            "chosen by doc_id % 4, then decompressed back through the "
+            "MAGIC-SNIFFING auto path (real lakes mix codecs across "
+            "files and eras — the RFC1950 zlib FCHECK rule, gzip/xz/"
+            "bzip2 magics all exercised) and hashed as (codec, "
+            "codepoint count, md5), which the oracle recomputes from "
+            "the raw documents table. Both pandas_udf crossings are "
+            "Arrow-batched and the plan adds zero Exchange. zstd/"
+            "snappy need absent libraries: the sniff returns unknown "
+            "and the value becomes NULL (warn-and-skip), never "
+            "garbage — unit-tested.",
+    )
+    def q304_compressed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        codec = (
+            F.when(F.col("doc_id") % 4 == 0, F.lit("gzip"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("zlib"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("bz2"))
+            .otherwise(F.lit("lzma"))
+        )
+
+        def gen(it):
+            import pandas as _pd
+
+            for pdf in it:
+                blobs = [
+                    M.compress_bytes(str(t).encode("utf-8"), c)
+                    for t, c in zip(pdf["text"], pdf["codec"])
+                ]
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "codec": pdf["codec"],
+                        "blob": blobs,
+                    }
+                )
+
+        packed = docs.withColumn("codec", codec).mapInPandas(
+            gen, schema="doc_id bigint, codec string, blob binary"
+        )
+        text = M.decompress_text("blob", codec="auto")
+        return packed.select(
+            "doc_id",
+            "codec",
+            F.length(text).cast("bigint").alias("n_chars"),
+            F.lower(F.md5(F.encode(text, "UTF-8"))).alias("text_md5"),
+        )
+
+
+_init_q304()

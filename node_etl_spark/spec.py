@@ -739,6 +739,37 @@ def _webdataset_samples_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     return FnTransform(fn, name="webdataset_samples")
 
 
+def _compress_text_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """Compress a string column into a binary column (stdlib
+    gzip/zlib/bz2/lzma, deterministic encodes)."""
+    from .functions.multimodal import compress_text
+
+    col = d.get("col", "text")
+
+    def fn(df):
+        return df.withColumn(
+            d.get("out", col), compress_text(col, d.get("codec", "gzip"))
+        )
+
+    return FnTransform(fn, name="compress_text")
+
+
+def _decompress_text_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """Decompress a binary column back to a string column; the default
+    ``codec='auto'`` sniffs gzip/zlib/bz2/lzma magics per value.
+    Unknown containers / corrupt payloads become NULL."""
+    from .functions.multimodal import decompress_text
+
+    col = d.get("col", "content")
+
+    def fn(df):
+        return df.withColumn(
+            d.get("out", col), decompress_text(col, d.get("codec", "auto"))
+        )
+
+    return FnTransform(fn, name="decompress_text")
+
+
 def _unicode_normalize_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     """Unicode canonicalization of a text column (NFC/NFD/NFKC/NFKD +
     optional accent strip / casefold), in place or into ``out``."""
@@ -794,6 +825,8 @@ _REGISTRY.update(
         "bloom_semi_join": _bloom_semi_join_op,
         "decode_image": _decode_image_op,
         "explode_tar": _explode_tar_op,
+        "compress_text": _compress_text_op,
+        "decompress_text": _decompress_text_op,
         "webdataset_samples": _webdataset_samples_op,
         "unicode_normalize": _unicode_normalize_op,
     }

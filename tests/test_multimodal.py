@@ -724,3 +724,62 @@ def test_webdataset_shard_composes_with_image_decode(spark):
     }
     assert got["s.png"] == (2, 3, [5.0, 7.0, 9.0])
     assert got["s.txt"] == (None, None, None)  # not an image: null row
+
+
+# --------------------------------------------- compressed text columns
+
+
+def test_compress_decompress_all_codecs_and_sniff():
+    from node_etl_spark.functions.multimodal import (
+        _TEXT_CODECS,
+        compress_bytes,
+        decompress_bytes,
+        sniff_compression,
+    )
+
+    data = ("héllo wörld " * 50).encode("utf-8")
+    for codec in _TEXT_CODECS:
+        blob = compress_bytes(data, codec)
+        assert sniff_compression(blob) == codec
+        assert decompress_bytes(blob, codec) == data
+        assert decompress_bytes(blob, "auto") == data  # sniffed
+        assert compress_bytes(data, codec) == blob  # deterministic
+    import pytest
+
+    with pytest.raises(ValueError):
+        compress_bytes(data, "zstd")  # absent lib: stub policy
+    with pytest.raises(ValueError):
+        decompress_bytes(b"\x28\xb5\x2f\xfd unknown zstd frame")
+    with pytest.raises(ValueError):
+        decompress_bytes(b"\x1f\x8b corrupt gzip")
+
+
+def test_compress_text_columns_roundtrip_nulls_and_garbage(spark):
+    from node_etl_spark.functions.multimodal import (
+        compress_text,
+        decompress_text,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, None)], "id bigint, t string"
+    )
+    packed = df.select("id", compress_text("t", "bz2").alias("blob"))
+    out = {
+        r.id: r.t2
+        for r in packed.select(
+            "id", decompress_text("blob").alias("t2")
+        ).collect()
+    }
+    assert out == {1: "hello", 2: None}
+    # unknown container (zstd-shaped) and corrupt payloads -> NULL
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"\x28\xb5\x2f\xfdzstd")), (2, bytearray(b"BZh junk"))],
+        "id bigint, blob binary",
+    )
+    got = {
+        r.id: r.t
+        for r in bad.select(
+            "id", decompress_text("blob").alias("t")
+        ).collect()
+    }
+    assert got == {1: None, 2: None}

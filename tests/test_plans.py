@@ -894,3 +894,12 @@ def test_unicode_normalize_plan_adds_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q303_unicode_normalize")
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan  # vectorized, not row-at-a-time
+
+
+def test_compressed_text_plan_single_udf_no_shuffle(spark, sf_dir):
+    # q304: compress (mapInPandas) + ONE sniffing decompress UDF
+    # (Catalyst dedups the repeated column expression) and no Exchange
+    plan = _plan(spark, sf_dir, "q304_compressed_text")
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan

@@ -732,3 +732,18 @@ def test_unicode_normalize_spec_op(spark):
     row = op.apply(df, Context()).collect()[0]
     assert row.text == "Café STRASSE"
     assert row.norm == "cafe strasse"
+
+
+def test_compress_decompress_text_spec_ops(spark):
+    from node_etl_spark.context import Context
+    from node_etl_spark.spec import op_from_spec
+
+    df = spark.createDataFrame([(1, "payload")], "id bigint, text string")
+    packed = op_from_spec(
+        {"op": "compress_text", "codec": "lzma", "out": "blob"}
+    ).apply(df, Context())
+    row = op_from_spec(
+        {"op": "decompress_text", "col": "blob", "out": "back"}
+    ).apply(packed, Context()).collect()[0]
+    assert bytes(row.blob)[:6] == b"\xfd7zXZ\x00"
+    assert row.back == "payload"
