@@ -274,6 +274,7 @@ HEADLINE = [
     "q302_webdataset_samples",
     "q303_unicode_normalize",
     "q304_compressed_text",
+    "q305_quality_classifier",
 ]
 
 

@@ -295,6 +295,69 @@ def clean_text(text_col: str | Column) -> Column:
     return F.trim(F.regexp_replace(c, "\\s+", " "))
 
 
+def hashed_linear_score(
+    text_col: str | Column,
+    seed: int = 42,
+    buckets: int = 1024,
+    scale: int = 1000,
+) -> Column:
+    """Linear-classifier INFERENCE over hashing-trick features — the
+    fastText-style quality/toxicity scorer every corpus pipeline runs
+    over all data. Per token: bucket = portable md5 bucket
+    (sampling.hash_bucket), weight = an integer derived from the
+    bucket (Knuth multiplicative mix) standing in for a trained
+    coefficient — swap the weight expression for a literal array
+    lookup of real weights in production; the plan shape is
+    identical. Score = sum of weights.
+
+    The entire expression is JVM-side (split/filter/transform/
+    aggregate higher-order functions — Catalyst evaluates them in the
+    scan stage; HOF lambdas are CodegenFallback but never leave the
+    JVM): no Python crossing, no vocabulary broadcast, no shuffle — at 100 TB
+    inference rides the text scan for free, unlike the featurize-
+    then-join shape (q129) which exists for TRAINING exports. Exact
+    integer arithmetic end-to-end, so the oracle gate (q305) matches
+    bit-for-bit.
+
+    HOF-shadowing note (util.hof_shadow_risks): the lambdas below
+    reference only their own lambda variables, never outer projection
+    columns, so the r5 q206 rebind hazard cannot apply."""
+    from .sampling import hash_bucket
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(F.split(c, " "), lambda t: t != "")
+    mod = 2 * scale + 1
+
+    def weight(t: Column) -> Column:
+        b = hash_bucket(t, seed=seed, buckets=buckets).cast("long")
+        return (b * F.lit(2654435761) + F.lit(seed)) % mod - scale
+
+    return F.aggregate(
+        F.transform(toks, weight),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def hashed_linear_score_sql(
+    text_expr: str = "text",
+    seed: int = 42,
+    buckets: int = 1024,
+    scale: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`hashed_linear_score` (scalar subquery)."""
+    from .sampling import hash_bucket_sql
+
+    bucket = hash_bucket_sql("t", seed=seed, buckets=buckets)
+    mod = 2 * scale + 1
+    return f"""(
+        SELECT COALESCE(SUM(
+            (CAST({bucket} AS BIGINT) * 2654435761 + {seed}) % {mod}
+            - {scale}), 0)
+        FROM unnest(string_split({text_expr}, ' ')) AS tt(t)
+        WHERE t <> '')"""
+
+
 def unicode_normalize(
     text_col: str | Column,
     form: str = "NFC",

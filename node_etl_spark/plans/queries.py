@@ -14345,3 +14345,81 @@ def _init_q304() -> None:
 
 
 _init_q304()
+
+
+# --------------------------------------------------------------------
+# q305 — hashed linear-classifier inference on the exact gate (the
+# fastText-style quality scorer shape: zero shuffles, zero Python,
+# zero vocabulary broadcast — pure whole-stage codegen)
+# --------------------------------------------------------------------
+
+def _init_q305() -> None:
+    from ..functions.text import hashed_linear_score, hashed_linear_score_sql
+
+    score_sql = hashed_linear_score_sql("text", seed=7, buckets=512)
+
+    @register(
+        "q305_quality_classifier",
+        f"""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   CAST(length(string_split(text, ' ')) -
+                        length(list_filter(string_split(text, ' '),
+                                           t -> t = '')) AS BIGINT)
+                       AS n_terms,
+                   CAST({score_sql} AS BIGINT) AS score
+            FROM documents)
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(SUM(score) AS BIGINT) AS sum_score,
+               CAST(MIN(score) AS BIGINT) AS min_score,
+               CAST(MAX(score) AS BIGINT) AS max_score,
+               CAST(SUM(n_terms) AS BIGINT) AS sum_terms
+        FROM s GROUP BY lang
+        """,
+        doc="Linear-classifier inference via the hashing trick on the "
+            "exact gate (functions/text.py hashed_linear_score): per "
+            "token a portable md5 bucket (512 buckets, seed 7) maps "
+            "through a Knuth-mix integer weight, summed per document "
+            "— the fastText-style quality-scorer SHAPE with surrogate "
+            "weights (production swaps the weight expression for a "
+            "literal array of trained coefficients; identical plan). "
+            "The whole expression is split/filter/transform/aggregate "
+            "higher-order functions — whole-stage codegen, no Python "
+            "crossing, no vocabulary broadcast, no shuffle before the "
+            "final per-language rollup (plan-asserted). Exact integer "
+            "arithmetic end-to-end; the oracle recomputes the same "
+            "score with DuckDB list functions. Complements "
+            "q129_hashed_features, which exports the (doc, feature, "
+            "weight) TRAINING matrix; this is the inference pass that "
+            "scores 100 TB in one scan.",
+    )
+    def q305_quality_classifier(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        scored = docs.select(
+            "lang",
+            F.size(toks).cast("bigint").alias("n_terms"),
+            hashed_linear_score("text", seed=7, buckets=512).alias(
+                "score"
+            ),
+        )
+        return scored.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("score") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum("score").cast("bigint").alias("sum_score"),
+            F.min("score").cast("bigint").alias("min_score"),
+            F.max("score").cast("bigint").alias("max_score"),
+            F.sum("n_terms").cast("bigint").alias("sum_terms"),
+        )
+
+
+_init_q305()

@@ -903,3 +903,14 @@ def test_compressed_text_plan_single_udf_no_shuffle(spark, sf_dir):
     assert plan.count("ArrowEvalPython") == 1
     assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan
+
+
+def test_quality_classifier_plan_jvm_side_one_exchange(spark, sf_dir):
+    # q305: inference rides the text scan JVM-side — zero Python
+    # stages, and the ONLY exchange is the final per-language rollup
+    # (with map-side partial aggregation before it)
+    plan = _plan(spark, sf_dir, "q305_quality_classifier")
+    assert plan.count("EvalPython") == 0
+    assert plan.count("MapInPandas") == 0
+    assert plan.count("Exchange") == 1
+    assert "partial" in plan.lower()  # map-side combine before the shuffle

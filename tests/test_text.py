@@ -912,3 +912,33 @@ def test_unicode_normalize_forms_strip_and_casefold(spark):
 
     with pytest.raises(ValueError):
         unicode_normalize("t", "NFX")
+
+
+def test_hashed_linear_score_matches_reference_and_handles_edges(spark):
+    from node_etl_spark.functions.sampling import hash_bucket
+    from node_etl_spark.functions.text import hashed_linear_score
+
+    rows = [(1, "alpha beta beta"), (2, ""), (3, "   "), (4, None)]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    got = {
+        r.id: r.score
+        for r in df.select(
+            "id", hashed_linear_score("text", seed=7, buckets=512).alias("score")
+        ).collect()
+    }
+    # reference computation via the same portable bucket, per token
+    buckets = {
+        r.t: r.b
+        for r in spark.createDataFrame(
+            [("alpha",), ("beta",)], "t string"
+        ).select("t", hash_bucket(F.col("t"), seed=7, buckets=512).alias("b"))
+        .collect()
+    }
+
+    def w(tok):
+        return (buckets[tok] * 2654435761 + 7) % 2001 - 1000
+
+    assert got[1] == w("alpha") + 2 * w("beta")
+    assert got[2] == 0          # empty text -> empty token list
+    assert got[3] == 0          # whitespace-only -> all filtered
+    assert got[4] is None       # NULL propagates
