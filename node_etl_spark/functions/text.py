@@ -345,17 +345,24 @@ def hashed_linear_score_sql(
     buckets: int = 1024,
     scale: int = 1000,
 ) -> str:
-    """DuckDB twin of :func:`hashed_linear_score` (scalar subquery)."""
+    """DuckDB twin of :func:`hashed_linear_score` (scalar subquery).
+
+    NULL text yields NULL (matching the Spark side, where
+    ``split(NULL)`` propagates); the inner COALESCE only covers the
+    empty-token-list case (empty/whitespace text scores 0 in both
+    engines). Cross-engine NULL/empty/whitespace agreement is pinned
+    by ``tests/test_text.py`` (ADVICE r8 item 1)."""
     from .sampling import hash_bucket_sql
 
     bucket = hash_bucket_sql("t", seed=seed, buckets=buckets)
     mod = 2 * scale + 1
     return f"""(
+        CASE WHEN {text_expr} IS NULL THEN NULL ELSE (
         SELECT COALESCE(SUM(
             (CAST({bucket} AS BIGINT) * 2654435761 + {seed}) % {mod}
             - {scale}), 0)
         FROM unnest(string_split({text_expr}, ' ')) AS tt(t)
-        WHERE t <> '')"""
+        WHERE t <> '') END)"""
 
 
 def unicode_normalize(

@@ -1827,14 +1827,20 @@ def q52_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q53_nested_details",
     """
     SELECT o.o_orderkey,
-           coalesce(d.quantities, []) AS quantities
+           coalesce(d.quantities, '') AS quantities
     FROM orders o
     LEFT JOIN (SELECT l_orderkey AS o_orderkey,
-                      list(l_quantity ORDER BY l_quantity) AS quantities
+                      string_agg(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR),
+                                 ',' ORDER BY l_quantity) AS quantities
                FROM lineitem GROUP BY l_orderkey) d USING (o_orderkey)
     """,
-    doc="JoinDetail's faithful nested shape: details as a sorted array "
-        "per master (reference processor(master, details[])).",
+    doc="JoinDetail's faithful nested shape: details nested as a sorted "
+        "array per master (reference processor(master, details[])). The "
+        "GATE projection flattens the array<double> to a canonical "
+        "fixed-decimal comma-joined string, because the driver's pandas "
+        "canonicalizer cannot hash list-typed columns (r8 verdict ask #1); "
+        "the nested shape itself is still built by JoinDetail and is "
+        "asserted in tests/test_operators.py.",
 )
 def q53_nested_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     detail = table(spark, sf_dir, "lineitem").select(
@@ -1844,9 +1850,15 @@ def q53_nested_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe = Pipeline([_src(sf_dir, "orders"), jd])
     return pipe.run(spark).select(
         "o_orderkey",
-        F.coalesce(
-            F.sort_array(F.col("quantities.l_quantity")),
-            F.array().cast("array<double>"),
+        F.array_join(
+            F.transform(
+                F.coalesce(
+                    F.sort_array(F.col("quantities.l_quantity")),
+                    F.array().cast("array<double>"),
+                ),
+                lambda x: x.cast("decimal(12,2)").cast("string"),
+            ),
+            ",",
         ).alias("quantities"),
     )
 
@@ -14423,3 +14435,116 @@ def _init_q305() -> None:
 
 
 _init_q305()
+
+
+# --------------------------------------------------------------------
+# q306 — real MJPEG-in-AVI video decode + frame sampling on the exact
+# gate (r9: the VIDEO container gets real, closing the codec family:
+# q295 BMP, q297 PNG, q298 WAV, q299 JPEG, q300 GIF, q306 AVI. MJPEG
+# has no inter-frame prediction, so a 1-in-k frame sample pays 1/k of
+# the decode cost — the scale argument for sampled video featurize.)
+# --------------------------------------------------------------------
+
+def _init_q306() -> None:
+    from ..functions import multimodal as M
+
+    @register(
+        "q306_video_frames",
+        """
+        WITH vd AS (
+            SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh,
+                   2 + doc_id % 3 AS nf, 1 + doc_id % 2 AS k,
+                   20 + doc_id % 5 AS mspf
+            FROM documents),
+        vf AS (
+            SELECT doc_id, bw, bh, k, mspf, f
+            FROM vd, unnest(generate_series(0, nf - 1)) AS tf(f)
+            WHERE f % k = 0),
+        vb AS (
+            SELECT doc_id, bw, bh, mspf, f,
+                   2 * ((doc_id * 7 + f * 11 + bx * 13 + by * 19) % 128) AS v
+            FROM vf,
+                 unnest(generate_series(0, bw - 1)) AS tx(bx),
+                 unnest(generate_series(0, bh - 1)) AS ty(by))
+        SELECT doc_id, CAST(f AS INT) AS frame_idx,
+               CAST(f * mspf AS BIGINT) AS frame_ts_ms,
+               CAST(64 * bw * bh AS BIGINT) AS n_px,
+               CAST(SUM(64 * v) AS BIGINT) AS sum_gray
+        FROM vb GROUP BY 1, 2, 3, 4
+        """,
+        doc="Real VIDEO decode + frame sampling on the exact gate "
+            "(functions/multimodal.py decode_avi_mjpeg + "
+            "video_frame_stats): pure-stdlib RIFF/AVI container parse "
+            "— nested LIST walk with odd-size pad bytes, avih timing/"
+            "dimensions, strh fourcc validation, '00dc' frame chunks, "
+            "planted JUNK chunk as the adversary — then each sampled "
+            "frame's payload through the REAL baseline JPEG decoder "
+            "(q299's marker/Huffman/IDCT path). Per document a "
+            "deterministic 2-4-frame MJPEG clip of constant-per-8x8-"
+            "block gray frames (block value = 2*((doc_id*7 + f*11 + "
+            "bx*13 + by*19) % 128) — the input class the lossy JPEG "
+            "pipeline reproduces EXACTLY, as q299 proves) is ENCODED "
+            "executor-side at 20-24 ms/frame timing, then DECODED "
+            "back and sampled every (1 + doc_id % 2) frames with "
+            "exact per-frame stats (container-derived ms timestamp, "
+            "pixel count, gray sum). Skipped frames are never "
+            "entropy-decoded — MJPEG has no inter-frame prediction, "
+            "so sampling divides decode cost by k at 100 TB. Same "
+            "1:N mapInPandas shape as q300, zero Exchange "
+            "(plan-asserted); modern inter-predicted codecs remain a "
+            "documented ffmpeg deployment dependency behind the same "
+            "hook (PARITY.md).",
+    )
+    def q306_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select("doc_id")
+
+        def gen(it):
+            import pandas as _pd
+
+            for pdf in it:
+                ids, ks, blobs = [], [], []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    bw, bh, nf = 1 + d % 3, 1 + d % 2, 2 + d % 3
+                    jpegs = [
+                        M.encode_jpeg_gray(
+                            8 * bw,
+                            8 * bh,
+                            [
+                                [
+                                    2 * ((d * 7 + f * 11 + (x // 8) * 13
+                                          + (y // 8) * 19) % 128)
+                                    for x in range(8 * bw)
+                                ]
+                                for y in range(8 * bh)
+                            ],
+                            restart_interval=(d + f) % 3,
+                        )
+                        for f in range(nf)
+                    ]
+                    ids.append(d)
+                    ks.append(1 + d % 2)
+                    blobs.append(
+                        M.encode_avi_mjpeg(
+                            8 * bw, 8 * bh, jpegs,
+                            ms_per_frame=20 + d % 5,
+                        )
+                    )
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": _pd.Series(ids, dtype="int64"),
+                        "k": _pd.Series(ks, dtype="int32"),
+                        "content": blobs,
+                    }
+                )
+
+        binaries = docs.mapInPandas(
+            gen, schema="doc_id bigint, k int, content binary"
+        )
+        # per-document stride (1 + doc_id % 2) goes in as a COLUMN —
+        # the operator's per-row every_k mode — so skipped frames are
+        # genuinely never entropy-decoded, matching the 1/k cost claim
+        return M.video_frame_stats(binaries, every_k="k")
+
+
+_init_q306()

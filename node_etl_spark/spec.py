@@ -643,7 +643,14 @@ def _decode_image_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     each file by magic bytes (mixed folders), ``fake`` = the
     deterministic digest stand-in for formats whose libraries are
     absent (color JPEG, video). Corrupt files become null-feature
-    rows — the reference's warn-and-skip error policy."""
+    rows — the reference's warn-and-skip error policy.
+
+    The default codec is ``bmp`` — the original contract from the
+    round-6 media wave. Specs over mixed folders must opt into
+    ``codec: "auto"`` explicitly (ADVICE r8: an implicit default flip
+    to ``auto`` would silently really-decode PNG/JPEG/GIF files that
+    previously became null-feature rows, changing downstream
+    ``width IS NOT NULL`` filters without any spec edit)."""
     from .functions.multimodal import (
         _fake_decode,
         decode_bmp_features,
@@ -659,7 +666,7 @@ def _decode_image_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
             raise ValueError("not a GIF")
         return decode_image_auto(content)  # frame-0 palette-mapped sums
 
-    codec = d.get("codec", "auto")
+    codec = d.get("codec", "bmp")
     decoders = {
         "bmp": decode_bmp_features,
         "png": decode_png_features,
@@ -680,6 +687,27 @@ def _decode_image_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
         return extract_image_features(df, decode_fn=decode)
 
     return FnTransform(fn, name="decode_image")
+
+
+def _video_frames_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """Real MJPEG-in-AVI frame sampling (r9): parse the AVI container,
+    decode every k-th frame's baseline JPEG payload, emit exact
+    per-frame stats. ``every_k`` is an int stride or the NAME of an
+    int column for per-row adaptive sampling; skipped frames are
+    never entropy-decoded. Other fourccs reject with the documented
+    ffmpeg deployment-dependency message (PARITY.md codec closure)."""
+    from .functions.multimodal import video_frame_stats
+
+    id_col = d.get("id_col", "doc_id")
+    content_col = d.get("content_col", "content")
+    every_k = d.get("every_k", 1)
+
+    def fn(df):
+        return video_frame_stats(
+            df, id_col=id_col, content_col=content_col, every_k=every_k
+        )
+
+    return FnTransform(fn, name="video_frames")
 
 
 def _bloom_semi_join_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
@@ -824,6 +852,7 @@ _REGISTRY.update(
         "fuzzy_dedup": _fuzzy_dedup_op,
         "bloom_semi_join": _bloom_semi_join_op,
         "decode_image": _decode_image_op,
+        "video_frames": _video_frames_op,
         "explode_tar": _explode_tar_op,
         "compress_text": _compress_text_op,
         "decompress_text": _decompress_text_op,

@@ -753,6 +753,66 @@ def test_compress_decompress_all_codecs_and_sniff():
     with pytest.raises(ValueError):
         decompress_bytes(b"\x1f\x8b corrupt gzip")
 
+    # ADVICE r8: RFC1950-valid zlib streams with smaller deflate
+    # windows (CMF low nibble 8, CINFO<=7 — other writers emit these)
+    # must sniff as zlib too, not just the common 0x78
+    import zlib
+
+    for wbits in (9, 11, 13, 15):  # CMF 0x18/0x38/0x58/0x78
+        co = zlib.compressobj(9, zlib.DEFLATED, wbits)
+        blob = co.compress(data) + co.flush()
+        assert sniff_compression(blob) == "zlib", hex(blob[0])
+        assert decompress_bytes(blob, "auto") == data
+    # CINFO>7 (reserved) and non-deflate CM stay unknown even when the
+    # FCHECK checksum happens to divide
+    assert sniff_compression(b"\x88\x00garbage") is None
+    assert sniff_compression(b"\x79\x04garbage") is None
+
+
+def test_decoders_normalize_truncation_to_valueerror():
+    # ADVICE r8: docstrings promise ValueError on corrupt input, but a
+    # struct.unpack_from on a truncated segment used to leak
+    # struct.error — the _corrupt_as_valueerror wrapper closes the gap
+    import pytest
+
+    from node_etl_spark.functions.multimodal import (
+        decode_bmp24,
+        decode_gif,
+        decode_jpeg_gray,
+        decode_png24,
+        decode_wav16,
+        encode_gif,
+    )
+
+    gif = encode_gif(2, 1, [[[0, 1]]], [(1, 2, 3), (4, 5, 6)])
+    cases = [
+        (decode_gif, b"GIF89a\x02\x00"),  # header cut mid-LSD
+        (decode_gif, gif[:15]),
+        (decode_jpeg_gray, b"\xff\xd8\xff\xc0\x00"),  # SOF cut mid-length
+        (decode_wav16, b"RIFF\x10\x00\x00\x00WAVEfmt \x02"),
+        (decode_bmp24, b"BM" + b"\x00" * 10),
+        (decode_png24, b"\x89PNG\r\n\x1a\n\x00\x00"),
+    ]
+    for fn, blob in cases:
+        with pytest.raises(ValueError):
+            fn(blob)
+
+
+def test_gif_frame_stats_rejects_every_k_zero(spark):
+    # ADVICE r8: every_k=0 used to ZeroDivisionError inside the
+    # executor (fi % every_k), failing the whole task; now rejected
+    # up front before the mapInPandas stage is built
+    import pytest
+
+    from node_etl_spark.functions.multimodal import gif_frame_stats
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b""))], "doc_id bigint, content binary"
+    )
+    for bad in (0, -1):
+        with pytest.raises(ValueError):
+            gif_frame_stats(df, every_k=bad)
+
 
 def test_compress_text_columns_roundtrip_nulls_and_garbage(spark):
     from node_etl_spark.functions.multimodal import (
@@ -783,3 +843,110 @@ def test_compress_text_columns_roundtrip_nulls_and_garbage(spark):
         ).collect()
     }
     assert got == {1: None, 2: None}
+
+
+def test_avi_mjpeg_container_roundtrip_and_adversaries():
+    import pytest
+
+    from node_etl_spark.functions.multimodal import (
+        decode_avi_mjpeg,
+        decode_jpeg_gray,
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+        sniff_media_type,
+    )
+
+    def frame(d, f, bw, bh):
+        return [
+            [2 * ((d * 7 + f * 11 + (x // 8) * 13 + (y // 8) * 19) % 128)
+             for x in range(8 * bw)]
+            for y in range(8 * bh)
+        ]
+
+    jpegs = [
+        encode_jpeg_gray(16, 8, frame(3, f, 2, 1), restart_interval=f % 3)
+        for f in range(4)
+    ]
+    avi = encode_avi_mjpeg(16, 8, jpegs, ms_per_frame=25)
+    assert sniff_media_type(avi) == "avi"
+    w, h, mspf, frames = decode_avi_mjpeg(avi)
+    assert (w, h, mspf) == (16, 8, 25)
+    assert frames == jpegs  # byte-exact payload recovery through JUNK
+    # every recovered frame decodes to the exact constant-block pixels
+    for f, payload in enumerate(frames):
+        fw, fh, rows = decode_jpeg_gray(payload)
+        assert (fw, fh) == (16, 8) and rows == frame(3, f, 2, 1)
+    # odd-length payloads exercise the RIFF pad-byte rule
+    odd = encode_avi_mjpeg(4, 4, [b"\xff\xd8\x01", b"\xff\xd8\x02\x03"])
+    assert decode_avi_mjpeg(odd)[3] == [b"\xff\xd8\x01", b"\xff\xd8\x02\x03"]
+    # junk=None still decodes (JUNK is optional)
+    assert decode_avi_mjpeg(
+        encode_avi_mjpeg(4, 4, [b"\xff\xd8\x01"], junk=None)
+    )[3] == [b"\xff\xd8\x01"]
+    for bad in (
+        b"",
+        b"RIFF\x04\x00\x00\x00WAVE",  # WAV, not AVI
+        avi[:40],  # truncated mid-hdrl
+        avi[:-3],  # truncated mid-idx1
+        avi.replace(b"vidsMJPG", b"vidsH264"),  # ffmpeg-only fourcc
+    ):
+        with pytest.raises(ValueError):
+            decode_avi_mjpeg(bad)
+
+
+def test_video_frame_stats_through_arrow_hook(spark):
+    import pytest
+
+    from node_etl_spark.functions.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+        video_frame_stats,
+    )
+
+    def clip(d, nf, bw, bh, mspf):
+        jpegs = [
+            encode_jpeg_gray(
+                8 * bw, 8 * bh,
+                [
+                    [2 * ((d * 7 + f * 11 + (x // 8) * 13 + (y // 8) * 19)
+                          % 128)
+                     for x in range(8 * bw)]
+                    for y in range(8 * bh)
+                ],
+            )
+            for f in range(nf)
+        ]
+        return bytearray(encode_avi_mjpeg(8 * bw, 8 * bh, jpegs, mspf))
+
+    rows = [
+        (1, 1, clip(1, 4, 1, 1, 20)),
+        (2, 2, clip(2, 5, 2, 1, 30)),   # stride 2 -> frames 0,2,4
+        (3, 1, bytearray(b"not an avi")),  # corrupt: zero rows
+        (None, 1, clip(9, 2, 1, 1, 10)),  # null id skipped
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, k int, content binary"
+    )
+    # constant stride
+    got = video_frame_stats(df, every_k=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert sorted(r.frame_idx for r in by_doc[1]) == [0, 2]
+    assert sorted(r.frame_idx for r in by_doc[2]) == [0, 2, 4]
+    assert 3 not in by_doc and None not in by_doc
+    # per-row stride column
+    got = video_frame_stats(df, every_k="k").collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert sorted(r.frame_idx for r in by_doc[1]) == [0, 1, 2, 3]
+    assert sorted(r.frame_idx for r in by_doc[2]) == [0, 2, 4]
+    # container-derived timestamps and exact constant-block sums
+    f2 = {r.frame_idx: r for r in by_doc[2]}
+    assert f2[2].frame_ts_ms == 60 and f2[4].frame_ts_ms == 120
+    assert f2[0].n_px == 128
+    v = [2 * ((2 * 7 + 0 * 11 + bx * 13) % 128) for bx in (0, 1)]
+    assert f2[0].sum_gray == 64 * sum(v)
+    with pytest.raises(ValueError):
+        video_frame_stats(df, every_k=0)

@@ -229,6 +229,31 @@ def test_driver_contract_consistency():
     assert {n for n in qs if n not in osql} == set()
 
 
+def test_gate_schemas_are_driver_canonicalizable(spark, sf_dir):
+    # r8 verdict ask #3: the driver's pandas canonicalizer hashes every
+    # output column through sort_values/factorize, which crashes on
+    # list-typed cells (q53 red row, CORRECTNESS_r08). Guard the whole
+    # class: every registered gate query must emit a FLAT schema — no
+    # array/map/struct columns. Nested shapes stay available inside
+    # operators (JoinDetail nest_as etc.); gate projections flatten.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, q in QUERIES.items():
+        df = q.fn(spark, sf_dir)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append(f"{name}: {bad}")
+    assert not offenders, (
+        "gate queries with driver-unhashable complex output columns: "
+        + "; ".join(offenders)
+    )
+
+
 def test_scan_agg_pushes_all_predicates(spark, sf_dir):
     # q76 (TPC-H Q6 shape): every predicate must reach the parquet scan
     plan = _plan(spark, sf_dir, "q76_forecast_revenue")
@@ -878,6 +903,17 @@ def test_jpeg_and_gif_decode_plans_add_no_shuffle(spark, sf_dir):
     assert plan.count("MapInPandas") == 4
     assert "Exchange" not in plan
     assert "Union" in plan  # partition-local union, not a shuffle
+
+
+def test_video_frames_plan_adds_no_shuffle(spark, sf_dir):
+    # q306: clip encode -> AVI parse + per-row-stride frame sample +
+    # JPEG decode are chained mapInPandas stages over the source
+    # partitioning; zero Exchange (the 100 TB property: video decode
+    # is embarrassingly parallel, partition-local, and skipped frames
+    # are never entropy-decoded)
+    plan = _plan(spark, sf_dir, "q306_video_frames")
+    assert plan.count("MapInPandas") == 2  # encode stage + stats stage
+    assert "Exchange" not in plan
 
 
 def test_webdataset_plans_add_no_shuffle(spark, sf_dir):

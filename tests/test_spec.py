@@ -656,7 +656,9 @@ def test_decode_image_auto_routes_mixed_codecs(spark):
         ("f.bin", bytearray(b"garbage")),
     ]
     df = spark.createDataFrame(rows, "path string, content binary")
-    op = op_from_spec({"op": "decode_image"})  # default codec: auto
+    # mixed-folder routing is an explicit opt-in (default stays 'bmp'
+    # for spec backward compatibility — ADVICE r8)
+    op = op_from_spec({"op": "decode_image", "codec": "auto"})
     got = {
         r.path: (r.width, r.height, r.channels, r.features)
         for r in op.apply(df, Context()).collect()
@@ -674,6 +676,14 @@ def test_decode_image_auto_routes_mixed_codecs(spark):
         for r in op_gif.apply(df, Context()).collect()
     }
     assert got["d.gif"] == 2 and got["a.bmp"] is None
+    # omitted codec = the original 'bmp' contract: BMP decodes, the
+    # PNG next to it stays a null-feature row (no silent auto-routing)
+    op_default = op_from_spec({"op": "decode_image"})
+    got = {
+        r.path: r.width
+        for r in op_default.apply(df, Context()).collect()
+    }
+    assert got["a.bmp"] == 2 and got["b.png"] is None
 
 
 def test_example_webdataset_ingest_spec(spark, tmp_path):
@@ -747,3 +757,30 @@ def test_compress_decompress_text_spec_ops(spark):
     ).apply(packed, Context()).collect()[0]
     assert bytes(row.blob)[:6] == b"\xfd7zXZ\x00"
     assert row.back == "payload"
+
+
+def test_video_frames_spec_op(spark):
+    from node_etl_spark.functions.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+    )
+    from node_etl_spark.context import Context
+    from node_etl_spark.spec import op_from_spec
+
+    jpegs = [
+        encode_jpeg_gray(8, 8, [[2 * ((f * 11 + 3) % 128)] * 8] * 8)
+        for f in range(3)
+    ]
+    df = spark.createDataFrame(
+        [(7, 2, bytearray(encode_avi_mjpeg(8, 8, jpegs, 40)))],
+        "doc_id bigint, k int, content binary",
+    )
+    op = op_from_spec({"op": "video_frames", "every_k": 2})
+    got = sorted(
+        (r.frame_idx, r.frame_ts_ms) for r in op.apply(df, Context()).collect()
+    )
+    assert got == [(0, 0), (2, 80)]
+    # per-row stride via column name
+    op_col = op_from_spec({"op": "video_frames", "every_k": "k"})
+    got = sorted(r.frame_idx for r in op_col.apply(df, Context()).collect())
+    assert got == [0, 2]

@@ -942,3 +942,22 @@ def test_hashed_linear_score_matches_reference_and_handles_edges(spark):
     assert got[2] == 0          # empty text -> empty token list
     assert got[3] == 0          # whitespace-only -> all filtered
     assert got[4] is None       # NULL propagates
+
+    # cross-engine: the DuckDB SQL twin must agree on every edge row,
+    # including NULL text (ADVICE r8: the twin used to COALESCE NULL
+    # text to 0 while Spark propagates NULL)
+    import duckdb
+
+    from node_etl_spark.functions.text import hashed_linear_score_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        "(1, 'alpha beta beta'), (2, ''), (3, '   '), (4, NULL)"
+        ") v(id, text)"
+    )
+    expr = hashed_linear_score_sql("text", seed=7, buckets=512)
+    oracle = {
+        i: s for i, s in con.execute(f"SELECT id, {expr} FROM t").fetchall()
+    }
+    assert oracle == got
