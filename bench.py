@@ -276,6 +276,7 @@ HEADLINE = [
     "q304_compressed_text",
     "q305_quality_classifier",
     "q306_video_frames",
+    "q307_progressive_jpeg",
 ]
 
 

@@ -748,16 +748,138 @@ def _decode_block_coeffs(
     return zz
 
 
+def _expect_rst(br, content: bytes, rst: int) -> int:
+    br.align()
+    if (
+        br.pos + 2 > len(content)
+        or content[br.pos] != 0xFF
+        or content[br.pos + 1] != 0xD0 + rst
+    ):
+        raise ValueError("missing restart marker")
+    br.pos += 2
+    return (rst + 1) % 8
+
+
+def _decode_prog_dc_first(br, content, coefs, dc_tab, al, ri) -> None:
+    pred, rst = 0, 0
+    for i in range(len(coefs)):
+        if ri and i and i % ri == 0:
+            rst = _expect_rst(br, content, rst)
+            pred = 0
+        pred += _receive_extend(br, _read_huff(br, dc_tab))
+        coefs[i][0] = pred << al
+
+
+def _decode_prog_dc_refine(br, content, coefs, al, ri) -> None:
+    rst = 0
+    for i in range(len(coefs)):
+        if ri and i and i % ri == 0:
+            rst = _expect_rst(br, content, rst)
+        if br.read_bit():
+            coefs[i][0] |= 1 << al
+
+
+def _receive(br, n: int) -> int:
+    v = 0
+    for _ in range(n):
+        v = (v << 1) | br.read_bit()
+    return v
+
+
+def _decode_prog_ac_first(br, content, coefs, ac_tab, ss, se, al, ri):
+    eobrun, rst = 0, 0
+    for i, zz in enumerate(coefs):
+        if ri and i and i % ri == 0:
+            if eobrun:
+                raise ValueError("EOB run crosses restart interval")
+            rst = _expect_rst(br, content, rst)
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            sym = _read_huff(br, ac_tab)
+            r, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += _receive(br, r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC coefficient index overflow")
+            zz[k] = _receive_extend(br, size) << al
+            k += 1
+
+
+def _decode_prog_ac_refine(br, content, coefs, ac_tab, ss, se, al, ri):
+    p1, eobrun, rst = 1 << al, 0, 0
+
+    def correct(zz, k) -> None:
+        if br.read_bit() and (zz[k] & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else -p1
+
+    for i, zz in enumerate(coefs):
+        if ri and i and i % ri == 0:
+            if eobrun:
+                raise ValueError("EOB run crosses restart interval")
+            rst = _expect_rst(br, content, rst)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _read_huff(br, ac_tab)
+                r, size = sym >> 4, sym & 0x0F
+                newval = 0
+                if size == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += _receive(br, r)
+                        break
+                    # ZRL: pass 16 zero-history coefficients below
+                else:
+                    if size != 1:
+                        raise ValueError("bad refinement symbol")
+                    newval = p1 if br.read_bit() else -p1
+                while k <= se:
+                    if zz[k] != 0:
+                        correct(zz, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("refinement position overflow")
+                    zz[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    correct(zz, k)
+                k += 1
+            eobrun -= 1
+
+
 @_corrupt_as_valueerror
 def decode_jpeg_gray(content: bytes) -> tuple[int, int, list[list[int]]]:
-    """Pure stdlib+numpy decoder for baseline sequential grayscale
-    JPEG: walks the marker stream (skipping APPn/COM), parses
-    DQT/DHT/SOF0/DRI/SOS, entropy-decodes with byte un-stuffing and
-    RSTn predictor resets, dequantizes, inverse-zigzags, applies the
-    8x8 IDCT, and crops edge padding. Returns (width, height,
-    top-down gray rows). Raises ValueError on non-JPEG or
-    unsupported variants (color, progressive, arithmetic, 12-bit
-    stay behind the stub/NotImplementedError policy)."""
+    """Pure stdlib+numpy decoder for grayscale JPEG — BOTH baseline
+    sequential (SOF0) and progressive (SOF2, spectral selection +
+    successive approximation per T.81 Annex G): walks the marker
+    stream (skipping APPn/COM, honoring mid-stream DQT/DHT/DRI),
+    entropy-decodes every scan with byte un-stuffing and RSTn resets
+    (predictor AND EOB-run state), accumulates coefficients across
+    progressive scans (DC first/refine, AC first with EOB runs, the
+    AC refinement correction-bit algorithm), then dequantizes,
+    inverse-zigzags, applies the 8x8 IDCT, and crops edge padding.
+    Returns (width, height, top-down gray rows). Raises ValueError on
+    non-JPEG or unsupported variants (color, arithmetic coding,
+    12-bit, hierarchical stay behind the documented libjpeg
+    deployment dependency — PARITY.md codec closure)."""
     import struct
 
     import numpy as np
@@ -769,16 +891,25 @@ def decode_jpeg_gray(content: bytes) -> tuple[int, int, list[list[int]]]:
     dc_tabs: dict[int, dict[tuple[int, int], int]] = {}
     ac_tabs: dict[int, dict[tuple[int, int], int]] = {}
     width = height = None
-    comp_q = comp_dc = comp_ac = 0
+    progressive = None
+    comp_q = 0
     restart_interval = 0
-    sos_at = None
-    while pos + 4 <= len(content):
+    coefs: list[list[int]] | None = None
+    n_scans = 0
+    saw_eoi = False
+    while pos + 2 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("expected marker")
         m = content[pos + 1]
         if m == 0xFF:  # fill byte
             pos += 1
             continue
+        if m == 0xD9:  # EOI
+            saw_eoi = True
+            pos += 2
+            break
+        if pos + 4 > len(content):
+            raise ValueError("truncated segment")
         (seglen,) = struct.unpack_from(">H", content, pos + 2)
         if seglen < 2 or pos + 2 + seglen > len(content):
             raise ValueError("truncated segment")
@@ -810,64 +941,100 @@ def decode_jpeg_gray(content: bytes) -> tuple[int, int, list[list[int]]]:
                 tab = _huff_decode_table(bits, vals)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = tab
                 i += 17 + n
-        elif m == 0xC0:  # SOF0 baseline
+        elif m in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if progressive is not None:
+                raise ValueError("multiple SOF segments")
+            progressive = m == 0xC2
             prec, height, width, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8 or ncomp != 1:
                 raise ValueError("only 8-bit grayscale supported")
             if seg[7] != 0x11:  # component list starts at offset 6
                 raise ValueError("subsampling unsupported")
             comp_q = seg[8]
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("only baseline sequential (SOF0) supported")
+            if width <= 0 or height <= 0:
+                raise ValueError("bad dimensions")
+            bw, bh = (width + 7) // 8, (height + 7) // 8
+            coefs = [[0] * 64 for _ in range(bw * bh)]
+        elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                "only baseline (SOF0) and progressive (SOF2) supported"
+            )
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif m == 0xDA:  # SOS
-            ncomp = seg[0]
-            if ncomp != 1:
-                raise ValueError("only single-scan grayscale supported")
-            comp_dc, comp_ac = seg[2] >> 4, seg[2] & 0x0F
-            sos_at = pos
-            break
+        elif m == 0xDA:  # SOS — one scan; progressive files have many
+            if coefs is None:
+                raise ValueError("SOS before SOF")
+            if seg[0] != 1:
+                raise ValueError("only single-component scans supported")
+            td, ta = seg[2] >> 4, seg[2] & 0x0F
+            ss, se, ah, al = seg[3], seg[4], seg[5] >> 4, seg[5] & 0x0F
+            br = _JpegBitReader(content, pos)
+            if not progressive:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError("bad baseline scan header")
+                if td not in dc_tabs or ta not in ac_tabs:
+                    raise ValueError("missing quant/Huffman table")
+                pred, rst = 0, 0
+                for i in range(len(coefs)):
+                    if restart_interval and i and i % restart_interval == 0:
+                        rst = _expect_rst(br, content, rst)
+                        pred = 0
+                    zz = _decode_block_coeffs(
+                        br, pred, dc_tabs[td], ac_tabs[ta]
+                    )
+                    pred = zz[0]
+                    coefs[i] = zz
+            elif ss == 0:  # progressive DC scan
+                if se != 0:
+                    raise ValueError("bad DC scan band")
+                if ah == 0:
+                    if td not in dc_tabs:
+                        raise ValueError("missing quant/Huffman table")
+                    _decode_prog_dc_first(
+                        br, content, coefs, dc_tabs[td], al, restart_interval
+                    )
+                else:
+                    if ah != al + 1:
+                        raise ValueError("bad successive approximation")
+                    _decode_prog_dc_refine(
+                        br, content, coefs, al, restart_interval
+                    )
+            else:  # progressive AC scan
+                if not ss <= se <= 63:
+                    raise ValueError("bad AC scan band")
+                if ta not in ac_tabs:
+                    raise ValueError("missing quant/Huffman table")
+                if ah == 0:
+                    _decode_prog_ac_first(
+                        br, content, coefs, ac_tabs[ta], ss, se, al,
+                        restart_interval,
+                    )
+                else:
+                    if ah != al + 1:
+                        raise ValueError("bad successive approximation")
+                    _decode_prog_ac_refine(
+                        br, content, coefs, ac_tabs[ta], ss, se, al,
+                        restart_interval,
+                    )
+            n_scans += 1
+            br.align()
+            pos = br.pos
         # APPn (0xE0-0xEF) / COM (0xFE): skipped via seglen
-    if sos_at is None or width is None or height is None:
+    if not saw_eoi:
+        raise ValueError("missing EOI")
+    if coefs is None or width is None or height is None or n_scans == 0:
         raise ValueError("missing SOF/SOS")
-    if width <= 0 or height <= 0:
-        raise ValueError("bad dimensions")
-    if comp_q not in quant or comp_dc not in dc_tabs or comp_ac not in ac_tabs:
+    if comp_q not in quant:
         raise ValueError("missing quant/Huffman table")
     qmat = np.asarray(quant[comp_q], dtype=np.float64).reshape(8, 8)
-    dc_tab, ac_tab = dc_tabs[comp_dc], ac_tabs[comp_ac]
-
     bw, bh = (width + 7) // 8, (height + 7) // 8
     t = _dct_matrix()
-    br = _JpegBitReader(content, sos_at)
     blocks = np.empty((bh * bw, 8, 8), dtype=np.float64)
-    pred, rst = 0, 0
-    for mcu in range(bh * bw):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            br.align()
-            if (
-                br.pos + 2 > len(content)
-                or content[br.pos] != 0xFF
-                or content[br.pos + 1] != 0xD0 + rst
-            ):
-                raise ValueError("missing restart marker")
-            br.pos += 2
-            rst = (rst + 1) % 8
-            pred = 0
-        zz = _decode_block_coeffs(br, pred, dc_tab, ac_tab)
-        pred = zz[0]
-        coeffs = np.zeros(64, dtype=np.float64)
+    for mcu, zz in enumerate(coefs):
+        c = np.zeros(64, dtype=np.float64)
         for k in range(64):
-            coeffs[_JPEG_ZIGZAG[k]] = zz[k]
-        blocks[mcu] = coeffs.reshape(8, 8) * qmat
-    br.align()
-    if (
-        br.pos + 2 > len(content)
-        or content[br.pos] != 0xFF
-        or content[br.pos + 1] != 0xD9
-    ):
-        raise ValueError("missing EOI")
+            c[_JPEG_ZIGZAG[k]] = zz[k]
+        blocks[mcu] = c.reshape(8, 8) * qmat
     # batched IDCT over all blocks: f = T.T @ F @ T, level shift, clamp
     spatial = np.einsum("ux,nuv,vy->nxy", t, blocks, t)
     spatial = np.clip(np.rint(spatial + 128.0), 0, 255).astype(np.int64)
@@ -888,6 +1055,255 @@ def decode_jpeg_features(content: bytes) -> tuple[int, int, int, list[float]]:
     for row in rows:
         total += sum(row)
     return width, height, 1, [float(total)]
+
+
+# ------------------------------------------- progressive JPEG scans
+# (r9: SOF2 progressive grayscale gets REAL — spectral selection +
+# successive approximation per ITU-T T.81 Annex G, the scan scripts
+# every web JPEG encoder emits. The entropy layer below implements
+# both directions: DC first/refine, AC first with EOB-run
+# accumulation, and the AC refinement correction-bit algorithm
+# (G.1.2.3) whose interleaving of newly-significant coefficients,
+# buffered correction bits, and EOB runs is the classically
+# bug-prone part of every JPEG codec. Only grayscale: color JPEG
+# stays a libjpeg deployment dependency — PARITY.md codec closure.)
+
+# Progressive AC scans need EOBn symbols (r<<4 with r<15) that the
+# baseline Annex-K table lacks, so use a fixed full-alphabet canonical
+# table: all 256 symbols at 8-9 bits (254 at len 8, 2 at len 9 — the
+# all-ones 9-bit code stays unassigned per C.2). A production encoder
+# would optimize per-image; fixed tables keep encode deterministic.
+_JPEG_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_PROG_AC_VALS = list(range(256))
+
+
+class _ProgScanWriter:
+    """Encoder state for one progressive scan: bit writer + EOB-run
+    accumulator + buffered correction bits (libjpeg-style, public
+    T.81 Annex G semantics)."""
+
+    def __init__(self, w: "_JpegBitWriter", ac_codes) -> None:
+        self.w = w
+        self.ac_codes = ac_codes
+        self.eobrun = 0
+        self.be: list[int] = []  # correction bits buffered behind the run
+
+    def sym(self, s: int) -> None:
+        code, ln = self.ac_codes[s]
+        self.w.write(code, ln)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.w.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for b in self.be:
+            self.w.write(b, 1)
+        self.be = []
+
+
+def _encode_dc_first_scan(w, zzs, dc_codes, al, restart_interval) -> None:
+    pred, rst = 0, 0
+    for i, zz in enumerate(zzs):
+        if restart_interval and i and i % restart_interval == 0:
+            w.marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+            pred = 0
+        v = zz[0] >> al  # arithmetic shift: floor, refinement restores
+        diff, pred = v - pred, v
+        size, bits = _jpeg_magnitude(diff)
+        code, ln = dc_codes[size]
+        w.write(code, ln)
+        w.write(bits, size)
+    w.align()
+
+
+def _encode_dc_refine_scan(w, zzs, al, restart_interval) -> None:
+    rst = 0
+    for i, zz in enumerate(zzs):
+        if restart_interval and i and i % restart_interval == 0:
+            w.marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+        w.write((zz[0] >> al) & 1, 1)
+    w.align()
+
+
+def _encode_ac_first_scan(w, zzs, ac_codes, ss, se, al, restart_interval):
+    st = _ProgScanWriter(w, ac_codes)
+    rst = 0
+    for i, zz in enumerate(zzs):
+        if restart_interval and i and i % restart_interval == 0:
+            st.flush_eobrun()
+            w.marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+        r = 0
+        for k in range(ss, se + 1):
+            t = abs(zz[k]) >> al  # point transform truncates toward 0
+            if t == 0:
+                r += 1
+                continue
+            st.flush_eobrun()
+            while r > 15:
+                st.sym(0xF0)  # ZRL
+                r -= 16
+            v = t if zz[k] > 0 else -t
+            size, bits = _jpeg_magnitude(v)
+            st.sym((r << 4) | size)
+            w.write(bits, size)
+            r = 0
+        if r > 0:
+            st.eobrun += 1
+            if st.eobrun == 0x7FFF:
+                st.flush_eobrun()
+    st.flush_eobrun()
+    w.align()
+
+
+def _encode_ac_refine_scan(w, zzs, ac_codes, ss, se, al, restart_interval):
+    st = _ProgScanWriter(w, ac_codes)
+    rst = 0
+    for i, zz in enumerate(zzs):
+        if restart_interval and i and i % restart_interval == 0:
+            st.flush_eobrun()
+            w.marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+        absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+        # last newly-significant position bounds ZRL emission (G.1.2.3)
+        eob = -1
+        for j, t in enumerate(absv):
+            if t == 1:
+                eob = j
+        r, br = 0, []
+        for j, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and j <= eob:
+                st.flush_eobrun()
+                st.sym(0xF0)
+                r -= 16
+                for b in br:
+                    w.write(b, 1)
+                br = []
+            if t > 1:
+                # already significant: queue this scan's correction bit
+                br.append(t & 1)
+                continue
+            st.flush_eobrun()
+            st.sym((r << 4) | 1)
+            w.write(1 if zz[ss + j] > 0 else 0, 1)
+            for b in br:
+                w.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            st.eobrun += 1
+            st.be.extend(br)
+            # cap well below the 0x7FFF run limit so the buffered
+            # correction-bit list stays bounded too
+            if st.eobrun == 0x7FFF or len(st.be) > 900:
+                st.flush_eobrun()
+    st.flush_eobrun()
+    w.align()
+
+
+def encode_jpeg_progressive_gray(
+    width: int,
+    height: int,
+    pixels: list[list[int]],
+    restart_interval: int = 0,
+    comment: bytes | None = b"node_etl_spark",
+    quant: list[int] | None = None,
+    dc_al: int = 1,
+    ac_al: int = 2,
+    spectral_split: int = 5,
+) -> bytes:
+    """Encode grayscale rows as a PROGRESSIVE JPEG (SOF2) with the
+    scan script real encoders use: DC first at successive-
+    approximation level ``dc_al``, AC first scans split into two
+    spectral bands at ``spectral_split``, then DC/AC refinement
+    scans walking each approximation level down to 0. Same DCT/
+    quantization as :func:`encode_jpeg_gray`, so for the exact input
+    class (constant even-valued 8x8 blocks) the decoded pixels match
+    the baseline path bit-for-bit. ``restart_interval`` plants RSTn
+    markers inside EVERY scan (EOB runs must flush at restart
+    boundaries — the adversarial corner)."""
+    import struct
+
+    import numpy as np
+
+    if not 0 <= dc_al <= 13 or not 0 <= ac_al <= 13:
+        raise ValueError("approximation levels must be in 0..13")
+    if not 1 <= spectral_split <= 62:
+        raise ValueError("spectral_split must be in 1..62")
+    q = list(quant) if quant is not None else list(_JPEG_QUANT_LUMA)
+    arr = np.asarray(pixels, dtype=np.float64)
+    if arr.shape != (height, width) or width <= 0 or height <= 0:
+        raise ValueError("bad pixel grid")
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    padded = np.pad(
+        arr, ((0, 8 * bh - height), (0, 8 * bw - width)), mode="edge"
+    )
+    t = _dct_matrix()
+    qmat = np.asarray(q, dtype=np.float64).reshape(8, 8)
+    zzs = []
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] - 128.0
+            coeffs = np.rint((t @ block @ t.T) / qmat).astype(np.int64)
+            zzs.append([int(coeffs.flat[_JPEG_ZIGZAG[k]]) for k in range(64)])
+
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    w = _JpegBitWriter()
+    w.out += bytes((0xFF, 0xD8))  # SOI
+    app0 = (
+        b"JFIF\x00" + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    w.out += bytes((0xFF, 0xE0)) + struct.pack(">H", 2 + len(app0)) + app0
+    if comment is not None:
+        w.out += (
+            bytes((0xFF, 0xFE)) + struct.pack(">H", 2 + len(comment)) + comment
+        )
+    dqt = bytes([0]) + bytes(q[_JPEG_ZIGZAG[i]] for i in range(64))
+    w.out += bytes((0xFF, 0xDB)) + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0))
+    w.out += bytes((0xFF, 0xC2)) + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10])
+        + bytes(_JPEG_PROG_AC_BITS)
+        + bytes(_JPEG_PROG_AC_VALS)
+    )
+    w.out += bytes((0xFF, 0xC4)) + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        w.out += bytes((0xFF, 0xDD)) + struct.pack(">HH", 4, restart_interval)
+
+    def sos(ss, se, ah, al):
+        hdr = bytes((1, 1, 0x00, ss, se, (ah << 4) | al))
+        w.out += bytes((0xFF, 0xDA)) + struct.pack(">H", 2 + len(hdr)) + hdr
+
+    bands = [(1, spectral_split), (spectral_split + 1, 63)]
+    # scan script: DC first, AC firsts, then refinements down to 0
+    sos(0, 0, 0, dc_al)
+    _encode_dc_first_scan(w, zzs, dc_codes, dc_al, restart_interval)
+    for ss, se in bands:
+        sos(ss, se, 0, ac_al)
+        _encode_ac_first_scan(w, zzs, ac_codes, ss, se, ac_al, restart_interval)
+    for al in range(dc_al - 1, -1, -1):
+        sos(0, 0, al + 1, al)
+        _encode_dc_refine_scan(w, zzs, al, restart_interval)
+    for al in range(ac_al - 1, -1, -1):
+        for ss, se in bands:
+            sos(ss, se, al + 1, al)
+            _encode_ac_refine_scan(
+                w, zzs, ac_codes, ss, se, al, restart_interval
+            )
+    w.out += bytes((0xFF, 0xD9))  # EOI
+    return bytes(w.out)
 
 
 # ------------------------------------------------- real GIF codec

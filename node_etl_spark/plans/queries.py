@@ -14548,3 +14548,105 @@ def _init_q306() -> None:
 
 
 _init_q306()
+
+
+# --------------------------------------------------------------------
+# q307 — PROGRESSIVE JPEG decode on the exact gate (r9: SOF2 spectral
+# selection + successive approximation get real, removing the last
+# pure-stdlib-feasible codec stub; only color JPEG / inter-predicted
+# video remain, as documented deployment dependencies in PARITY.md)
+# --------------------------------------------------------------------
+
+def _init_q307() -> None:
+    from ..functions import multimodal as M
+
+    @register(
+        "q307_progressive_jpeg",
+        """
+        WITH jd AS (
+            SELECT doc_id, 1 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh
+            FROM documents),
+        jb AS (
+            SELECT doc_id, bw, bh, bx, by,
+                   2 * ((doc_id * 5 + bx * 17 + by * 23) % 128) AS v
+            FROM jd,
+                 unnest(generate_series(0, bw - 1)) AS tx(bx),
+                 unnest(generate_series(0, bh - 1)) AS ty(by))
+        SELECT doc_id, CAST(8 * bw AS INT) AS width,
+               CAST(8 * bh AS INT) AS height,
+               CAST(64 * bw * bh AS BIGINT) AS n_px,
+               CAST(SUM(64 * v) AS BIGINT) AS sum_gray
+        FROM jb GROUP BY 1, 2, 3, 4
+        """,
+        doc="PROGRESSIVE JPEG (SOF2) decode on the exact gate "
+            "(functions/multimodal.py encode_jpeg_progressive_gray + "
+            "decode_jpeg_gray, pure stdlib+numpy per T.81 Annex G): "
+            "spectral selection (two AC bands, per-doc split point), "
+            "successive approximation (per-doc DC/AC precision "
+            "ladders), DC first/refine scans, AC first scans with "
+            "EOB-run accumulation, and the AC refinement correction-"
+            "bit algorithm — the classically bug-prone interleaving "
+            "of newly-significant coefficients, buffered correction "
+            "bits, and EOB runs. Per document a constant-per-8x8-"
+            "block gray image (the class the lossy pipeline "
+            "reproduces EXACTLY, as q299 proves for baseline) is "
+            "ENCODED executor-side with a doc-dependent scan script "
+            "(dc_al = doc_id%3, ac_al = doc_id%4, split in "
+            "{1,5,20,62}, restart interval doc_id%4 planting RSTn "
+            "markers inside every scan — EOB runs must flush at "
+            "restart boundaries), then DECODED back through the same "
+            "extract_image_features Arrow hook as q299. Any scan-"
+            "script/EOB-run/refinement/restart bug breaks the hash. "
+            "General lossy inputs are covered by the progressive==  "
+            "baseline decode-equality test over random images "
+            "(tests/test_multimodal.py). Zero Exchange added "
+            "(plan-asserted).",
+    )
+    def q307_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select("doc_id")
+        splits = (1, 5, 20, 62)
+
+        def gen(it):
+            import pandas as _pd
+
+            for pdf in it:
+                paths, blobs = [], []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    bw, bh = 1 + d % 4, 1 + d % 3
+                    img = [
+                        [
+                            2 * ((d * 5 + (x // 8) * 17 + (y // 8) * 23)
+                                 % 128)
+                            for x in range(8 * bw)
+                        ]
+                        for y in range(8 * bh)
+                    ]
+                    paths.append(str(d))
+                    blobs.append(
+                        M.encode_jpeg_progressive_gray(
+                            8 * bw,
+                            8 * bh,
+                            img,
+                            restart_interval=d % 4,
+                            dc_al=d % 3,
+                            ac_al=d % 4,
+                            spectral_split=splits[d % 4],
+                        )
+                    )
+                yield _pd.DataFrame({"path": paths, "content": blobs})
+
+        binaries = docs.mapInPandas(gen, schema="path string, content binary")
+        feats = M.extract_image_features(
+            binaries, decode_fn=M.decode_jpeg_features
+        )
+        return feats.select(
+            F.col("path").cast("bigint").alias("doc_id"),
+            "width",
+            "height",
+            (F.col("width").cast("bigint") * F.col("height")).alias("n_px"),
+            F.element_at("features", 1).cast("bigint").alias("sum_gray"),
+        )
+
+
+_init_q307()

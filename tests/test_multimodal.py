@@ -490,7 +490,10 @@ def test_jpeg_rejects_non_jpeg_truncated_and_unsupported():
         b"\x89PNG",
         b"\xff\xd8\xff\xd9",          # no SOF/SOS
         blob[: len(blob) // 2],        # truncated mid-stream
-        blob.replace(b"\xff\xc0", b"\xff\xc2", 1),  # progressive SOF2
+        # SOF2 + a baseline-style scan header (Ss=0,Se=63) is malformed
+        # for progressive (DC scans must have Se=0) — r9: progressive
+        # itself now DECODES, see test_progressive_jpeg_* below
+        blob.replace(b"\xff\xc0", b"\xff\xc2", 1),
     ):
         with pytest.raises(ValueError):
             decode_jpeg_gray(bad)
@@ -950,3 +953,82 @@ def test_video_frame_stats_through_arrow_hook(spark):
     assert f2[0].sum_gray == 64 * sum(v)
     with pytest.raises(ValueError):
         video_frame_stats(df, every_k=0)
+
+
+def test_progressive_jpeg_matches_baseline_decode():
+    # progressive (SOF2) and baseline (SOF0) quantize identically, so
+    # the progressive scan pipeline (DC first/refine, banded AC first
+    # with EOB runs, AC refinement correction bits) must reconstruct
+    # the SAME coefficients — decode equality with the already
+    # oracle-gated baseline path validates both entropy directions
+    import random
+
+    from node_etl_spark.functions.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_jpeg_progressive_gray,
+    )
+
+    rng = random.Random(42)
+    for _ in range(8):
+        w, h = rng.randint(3, 40), rng.randint(3, 30)
+        img = [[rng.randint(0, 255) for _ in range(w)] for _ in range(h)]
+        ri = rng.choice([0, 0, 1, 2, 5])
+        base = decode_jpeg_gray(
+            encode_jpeg_gray(w, h, img, restart_interval=ri)
+        )
+        for dc_al, ac_al, split in [(1, 2, 5), (0, 0, 5), (2, 3, 20),
+                                    (1, 1, 1), (3, 4, 62)]:
+            prog = decode_jpeg_gray(
+                encode_jpeg_progressive_gray(
+                    w, h, img, restart_interval=ri,
+                    dc_al=dc_al, ac_al=ac_al, spectral_split=split,
+                )
+            )
+            assert prog == base, (dc_al, ac_al, split, ri)
+
+
+def test_progressive_jpeg_exact_on_constant_blocks_and_rejections():
+    import pytest
+
+    from node_etl_spark.functions.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_progressive_gray,
+    )
+
+    img = [[2 * ((7 + (x // 8) * 13 + (y // 8) * 19) % 128)
+            for x in range(24)] for y in range(16)]
+    for ri in (0, 2):
+        blob = encode_jpeg_progressive_gray(24, 16, img, restart_interval=ri)
+        assert decode_jpeg_gray(blob) == (24, 16, img)
+    with pytest.raises(ValueError):
+        encode_jpeg_progressive_gray(24, 16, img, spectral_split=0)
+    with pytest.raises(ValueError):
+        encode_jpeg_progressive_gray(24, 16, img, dc_al=14)
+    blob = encode_jpeg_progressive_gray(24, 16, img)
+    for bad in (blob[:60], blob[:-4], blob[: len(blob) // 2]):
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(bad)
+
+
+def test_progressive_jpeg_through_avi_and_arrow_hook(spark):
+    # progressive frames ride the SAME decode hook: extract_image_
+    # features and MJPEG-AVI frame stats need no changes (the decoder
+    # dispatches on SOF marker)
+    from node_etl_spark.functions.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg_progressive_gray,
+        video_frame_stats,
+    )
+
+    img = [[2 * ((5 + (x // 8) * 13) % 128) for x in range(16)]
+           for _ in range(8)]
+    avi = encode_avi_mjpeg(
+        16, 8, [encode_jpeg_progressive_gray(16, 8, img)], ms_per_frame=10
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(avi))], "doc_id bigint, content binary"
+    )
+    rows = video_frame_stats(df).collect()
+    assert len(rows) == 1
+    assert rows[0].n_px == 128 and rows[0].sum_gray == sum(map(sum, img))

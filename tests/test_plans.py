@@ -905,6 +905,14 @@ def test_jpeg_and_gif_decode_plans_add_no_shuffle(spark, sf_dir):
     assert "Union" in plan  # partition-local union, not a shuffle
 
 
+def test_progressive_jpeg_plan_adds_no_shuffle(spark, sf_dir):
+    # q307: same encode -> decode mapInPandas chain as q299; the
+    # progressive scan pipeline must not change the plan shape
+    plan = _plan(spark, sf_dir, "q307_progressive_jpeg")
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange" not in plan
+
+
 def test_video_frames_plan_adds_no_shuffle(spark, sf_dir):
     # q306: clip encode -> AVI parse + per-row-stride frame sample +
     # JPEG decode are chained mapInPandas stages over the source

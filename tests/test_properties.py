@@ -352,3 +352,96 @@ def test_unicode_normalize_agrees_with_duckdb_property(s):
     ).fetchone()
     assert nfc_py == nfc_db
     assert strip_py == strip_db
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    blocks=hst.lists(
+        hst.lists(hst.integers(-1023, 1023), min_size=64, max_size=64),
+        min_size=1,
+        max_size=6,
+    ),
+    zero_mask=hst.lists(hst.integers(0, 63), min_size=0, max_size=60),
+    dc_al=hst.integers(0, 3),
+    ac_al=hst.integers(0, 3),
+    split=hst.sampled_from([1, 5, 20, 62]),
+    ri=hst.sampled_from([0, 0, 1, 2]),
+)
+def test_progressive_scan_layer_roundtrip_property(
+    blocks, zero_mask, dc_al, ac_al, split, ri
+):
+    # pure-Python property over the T.81 Annex G scan pipeline: for
+    # ANY integer coefficient sequence, the full progressive scan
+    # script (DC first/refine, banded AC first with EOB runs, AC
+    # refinement correction bits, restarts inside every scan) must
+    # reconstruct the exact coefficients. This exercises the
+    # general-coefficient paths the constant-block gate (q307) cannot:
+    # nonzero ACs across both bands, ZRL-in-refinement, buffered
+    # correction bits riding EOB runs
+    from node_etl_spark.functions.multimodal import (
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_PROG_AC_BITS,
+        _JPEG_PROG_AC_VALS,
+        _decode_prog_ac_first,
+        _decode_prog_ac_refine,
+        _decode_prog_dc_first,
+        _decode_prog_dc_refine,
+        _encode_ac_first_scan,
+        _encode_ac_refine_scan,
+        _encode_dc_first_scan,
+        _encode_dc_refine_scan,
+        _huff_codes,
+        _huff_decode_table,
+        _JpegBitReader,
+        _JpegBitWriter,
+    )
+
+    for blk in blocks:
+        for k in zero_mask:
+            if k:
+                blk[k] = 0
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+    dc_tab = _huff_decode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_tab = _huff_decode_table(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    bands = [(1, split), (split + 1, 63)]
+    scans = []  # (encode_fn, decode_fn) pairs in script order
+    scans.append((
+        lambda w: _encode_dc_first_scan(w, blocks, dc_codes, dc_al, ri),
+        lambda br, c, coefs: _decode_prog_dc_first(
+            br, c, coefs, dc_tab, dc_al, ri),
+    ))
+    for ss, se in bands:
+        scans.append((
+            (lambda ss, se: lambda w: _encode_ac_first_scan(
+                w, blocks, ac_codes, ss, se, ac_al, ri))(ss, se),
+            (lambda ss, se: lambda br, c, coefs: _decode_prog_ac_first(
+                br, c, coefs, ac_tab, ss, se, ac_al, ri))(ss, se),
+        ))
+    for al in range(dc_al - 1, -1, -1):
+        scans.append((
+            (lambda al: lambda w: _encode_dc_refine_scan(
+                w, blocks, al, ri))(al),
+            (lambda al: lambda br, c, coefs: _decode_prog_dc_refine(
+                br, c, coefs, al, ri))(al),
+        ))
+    for al in range(ac_al - 1, -1, -1):
+        for ss, se in bands:
+            scans.append((
+                (lambda ss, se, al: lambda w: _encode_ac_refine_scan(
+                    w, blocks, ac_codes, ss, se, al, ri))(ss, se, al),
+                (lambda ss, se, al: lambda br, c, coefs:
+                 _decode_prog_ac_refine(
+                     br, c, coefs, ac_tab, ss, se, al, ri))(ss, se, al),
+            ))
+
+    coefs = [[0] * 64 for _ in blocks]
+    for enc, dec in scans:
+        w = _JpegBitWriter()
+        enc(w)  # each scan emitter aligns at its end
+        data = bytes(w.out) + b"\xff\xd9"
+        br = _JpegBitReader(data, 0)
+        dec(br, data, coefs)
+    assert coefs == blocks

@@ -784,3 +784,39 @@ def test_video_frames_spec_op(spark):
     op_col = op_from_spec({"op": "video_frames", "every_k": "k"})
     got = sorted(r.frame_idx for r in op_col.apply(df, Context()).collect())
     assert got == [0, 2]
+
+
+def test_example_video_frame_sample_spec(spark, tmp_path):
+    # examples/video_frame_sample.json end-to-end: AVI folder scan ->
+    # MJPEG frame sampling -> typed projection -> parquet
+    import json as _json
+    import os
+
+    from node_etl_spark.functions.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+    )
+    from node_etl_spark.spec import from_spec
+
+    data = tmp_path / "clips"
+    data.mkdir()
+    img = [[2 * ((3 + (x // 8) * 13) % 128) for x in range(16)]
+           for _ in range(8)]
+    jpegs = [encode_jpeg_gray(16, 8, img) for _ in range(5)]
+    (data / "a.avi").write_bytes(encode_avi_mjpeg(16, 8, jpegs, 40))
+    (data / "junk.txt").write_text("not a clip")
+    (data / "bad.avi").write_bytes(b"RIFF garbage")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = _json.load(
+        open(os.path.join(root, "examples", "video_frame_sample.json"))
+    )
+    out = str(tmp_path / "out")
+    from_spec(spec).run(spark, config={"DATA": str(data), "OUT": out})
+    got = spark.read.parquet(out + "/video_frames")
+    rows = sorted(
+        (r.frame_idx, r.frame_ts_ms, r.n_px, float(r.mean_gray))
+        for r in got.collect()
+    )
+    want_mean = round(sum(map(sum, img)) / 128.0, 4)
+    assert rows == [(0, 0, 128, want_mean), (2, 80, 128, want_mean),
+                    (4, 160, 128, want_mean)]
