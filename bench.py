@@ -277,6 +277,7 @@ HEADLINE = [
     "q305_quality_classifier",
     "q306_video_frames",
     "q307_progressive_jpeg",
+    "q308_color_jpeg",
 ]
 
 

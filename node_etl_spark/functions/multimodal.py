@@ -1057,6 +1057,386 @@ def decode_jpeg_features(content: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, 1, [float(total)]
 
 
+# ------------------------------------------------ color JPEG (r9)
+# (baseline YCbCr with 4:2:0 / 4:2:2 / 4:4:4 chroma subsampling —
+# interleaved MCUs, two quantization tables, nearest-neighbor chroma
+# upsampling on decode. Pure stdlib+numpy; the "color JPEG needs
+# libjpeg" line in PARITY.md narrows to progressive color and
+# arithmetic coding. The exact gate (q308) works in the YCbCr domain,
+# where constant-per-MCU planes survive the lossy pipeline
+# bit-for-bit; the RGB conversion layer is deterministic integer math
+# unit-tested separately.)
+
+# ITU-T T.81 Table K.2 (chrominance quantization)
+_JPEG_QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+_JPEG_SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def _plane_blocks_zz(plane, qmat, t):
+    """Quantized zigzag coefficients for one padded plane, block
+    row-major. ``plane`` dims must be multiples of 8."""
+    import numpy as np
+
+    h, w = plane.shape
+    zzs = []
+    for by in range(h // 8):
+        row = []
+        for bx in range(w // 8):
+            block = plane[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] - 128.0
+            coeffs = np.rint((t @ block @ t.T) / qmat).astype(np.int64)
+            row.append(
+                [int(coeffs.flat[_JPEG_ZIGZAG[k]]) for k in range(64)]
+            )
+        zzs.append(row)
+    return zzs
+
+
+def encode_jpeg_color(
+    width: int,
+    height: int,
+    y_rows: list[list[int]],
+    cb_rows: list[list[int]],
+    cr_rows: list[list[int]],
+    subsampling: str = "420",
+    restart_interval: int = 0,
+    comment: bytes | None = b"node_etl_spark",
+) -> bytes:
+    """Encode full-resolution YCbCr planes as a baseline color JFIF
+    JPEG (SOF0, three components, K.1 luma + K.2 chroma quantization,
+    interleaved MCUs). ``subsampling``: '444', '422' (2x1), or '420'
+    (2x2, the web default); chroma planes are box-averaged
+    (round-half-up) to the subsampled grid. All components share the
+    standard luminance Huffman tables (spec-legal table reuse — a
+    production encoder would add the K.4/K.6 chroma tables; entropy
+    choice does not affect exactness). ``restart_interval`` (in MCUs)
+    plants DRI/RSTn resetting all three DC predictors."""
+    import struct
+
+    import numpy as np
+
+    if subsampling not in _JPEG_SUBSAMPLING:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    sh, sv = _JPEG_SUBSAMPLING[subsampling]
+    planes = []
+    for rows in (y_rows, cb_rows, cr_rows):
+        a = np.asarray(rows, dtype=np.float64)
+        if a.shape != (height, width) or width <= 0 or height <= 0:
+            raise ValueError("bad plane grid")
+        planes.append(a)
+    ypl, cbpl, crpl = planes
+    mcu_w, mcu_h = 8 * sh, 8 * sv
+    mw, mh = -(-width // mcu_w), -(-height // mcu_h)
+
+    def pad_to(a, ph, pw):
+        return np.pad(
+            a, ((0, ph - a.shape[0]), (0, pw - a.shape[1])), mode="edge"
+        )
+
+    ypad = pad_to(ypl, mh * mcu_h, mw * mcu_w)
+    subs = []
+    for c in (cbpl, crpl):
+        cpad = pad_to(c, mh * mcu_h, mw * mcu_w)
+        # box-average to the subsampled grid, round half up
+        sub = cpad.reshape(mh * 8, sv, mw * 8, sh).sum(axis=(1, 3))
+        subs.append(np.floor((sub + sh * sv / 2.0) / (sh * sv)))
+    t = _dct_matrix()
+    qy = np.asarray(_JPEG_QUANT_LUMA, dtype=np.float64).reshape(8, 8)
+    qc = np.asarray(_JPEG_QUANT_CHROMA, dtype=np.float64).reshape(8, 8)
+    yzz = _plane_blocks_zz(ypad, qy, t)
+    cbzz = _plane_blocks_zz(subs[0], qc, t)
+    crzz = _plane_blocks_zz(subs[1], qc, t)
+
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    w.out += bytes((0xFF, 0xD8))
+    app0 = (
+        b"JFIF\x00" + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    w.out += bytes((0xFF, 0xE0)) + struct.pack(">H", 2 + len(app0)) + app0
+    if comment is not None:
+        w.out += (
+            bytes((0xFF, 0xFE)) + struct.pack(">H", 2 + len(comment)) + comment
+        )
+    for tq, q in ((0, _JPEG_QUANT_LUMA), (1, _JPEG_QUANT_CHROMA)):
+        dqt = bytes([tq]) + bytes(q[_JPEG_ZIGZAG[i]] for i in range(64))
+        w.out += bytes((0xFF, 0xDB)) + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        (1, (sh << 4) | sv, 0, 2, 0x11, 1, 3, 0x11, 1)
+    )
+    w.out += bytes((0xFF, 0xC0)) + struct.pack(">H", 2 + len(sof)) + sof
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    w.out += bytes((0xFF, 0xC4)) + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        w.out += bytes((0xFF, 0xDD)) + struct.pack(">HH", 4, restart_interval)
+    sos = bytes((3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    w.out += bytes((0xFF, 0xDA)) + struct.pack(">H", 2 + len(sos)) + sos
+
+    preds = [0, 0, 0]
+    rst = 0
+    mcu = 0
+    for my in range(mh):
+        for mx in range(mw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                preds = [0, 0, 0]
+            for by in range(sv):
+                for bx in range(sh):
+                    zz = yzz[my * sv + by][mx * sh + bx]
+                    preds[0] = _encode_block_coeffs(
+                        w, zz, preds[0], dc_codes, ac_codes
+                    )
+            preds[1] = _encode_block_coeffs(
+                w, cbzz[my][mx], preds[1], dc_codes, ac_codes
+            )
+            preds[2] = _encode_block_coeffs(
+                w, crzz[my][mx], preds[2], dc_codes, ac_codes
+            )
+            mcu += 1
+    w.align()
+    w.out += bytes((0xFF, 0xD9))
+    return bytes(w.out)
+
+
+@_corrupt_as_valueerror
+def decode_jpeg_ycbcr(
+    content: bytes,
+) -> tuple[int, int, list[list[int]], list[list[int]], list[list[int]]]:
+    """Pure stdlib+numpy decoder for baseline COLOR JPEG (SOF0, three
+    components, 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling): walks the
+    marker stream, entropy-decodes the interleaved MCU scan with
+    per-component DC predictors and RSTn resets, dequantizes with the
+    per-component quantization tables, applies the 8x8 IDCT, and
+    upsamples chroma to full resolution by nearest-neighbor
+    replication (a spec-conformant decoder choice — matched by the
+    encoder twin, documented for external files). Returns (width,
+    height, Y rows, Cb rows, Cr rows) at full resolution. Grayscale
+    files belong to :func:`decode_jpeg_gray`; progressive color and
+    arithmetic coding stay behind the libjpeg deployment dependency
+    (PARITY.md)."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 4 or content[:2] != bytes((0xFF, 0xD8)):
+        raise ValueError("not a JPEG file")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    dc_tabs: dict[int, dict[tuple[int, int], int]] = {}
+    ac_tabs: dict[int, dict[tuple[int, int], int]] = {}
+    width = height = None
+    comps = None  # list of (comp_id, h, v, tq)
+    restart_interval = 0
+    sos = None
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("expected marker")
+        m = content[pos + 1]
+        if m == 0xFF:
+            pos += 1
+            continue
+        (seglen,) = struct.unpack_from(">H", content, pos + 2)
+        if seglen < 2 or pos + 2 + seglen > len(content):
+            raise ValueError("truncated segment")
+        seg = content[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if m == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zzq = seg[i + 1 : i + 65]
+                if len(zzq) < 64:
+                    raise ValueError("short DQT")
+                tbl = [0] * 64
+                for k in range(64):
+                    tbl[_JPEG_ZIGZAG[k]] = zzq[k]
+                quant[tq] = tbl
+                i += 65
+        elif m == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("short DHT")
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_table(
+                    bits, vals
+                )
+                i += 17 + n
+        elif m == 0xC0:
+            prec, height, width, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            if ncomp != 3:
+                raise ValueError(
+                    "decode_jpeg_ycbcr handles 3-component color; use "
+                    "decode_jpeg_gray for grayscale"
+                )
+            comps = []
+            for c in range(3):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            if comps[1][1:3] != (1, 1) or comps[2][1:3] != (1, 1):
+                raise ValueError("chroma sampling factors must be 1x1")
+            if comps[0][1] not in (1, 2) or comps[0][2] not in (1, 2):
+                raise ValueError("luma sampling factors must be 1 or 2")
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif m == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif m == 0xDA:
+            if comps is None:
+                raise ValueError("SOS before SOF")
+            if seg[0] != 3:
+                raise ValueError("expected interleaved 3-component scan")
+            tabs = {}
+            for c in range(3):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                tabs[cid] = (tt >> 4, tt & 0x0F)
+            sos = (pos, tabs)
+            break
+    if sos is None or width is None or comps is None:
+        raise ValueError("missing SOF/SOS")
+    if width <= 0 or height <= 0:
+        raise ValueError("bad dimensions")
+    sh, sv = comps[0][1], comps[0][2]
+    mw, mh = -(-width // (8 * sh)), -(-height // (8 * sv))
+    t = _dct_matrix()
+    qmats = []
+    for cid, _h, _v, tq in comps:
+        if tq not in quant:
+            raise ValueError("missing quant/Huffman table")
+        qmats.append(
+            np.asarray(quant[tq], dtype=np.float64).reshape(8, 8)
+        )
+    pos, tabs = sos
+    for cid, _h, _v, _tq in comps:
+        td, ta = tabs[cid]
+        if td not in dc_tabs or ta not in ac_tabs:
+            raise ValueError("missing quant/Huffman table")
+    br = _JpegBitReader(content, pos)
+    # per-component coefficient planes at subsampled block resolution
+    nblocks = [(mh * sv, mw * sh), (mh, mw), (mh, mw)]
+    blocks = [
+        np.zeros((bh * bw, 8, 8), dtype=np.float64)
+        for bh, bw in nblocks
+    ]
+    preds = [0, 0, 0]
+    rst = 0
+    for mcu in range(mh * mw):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            rst = _expect_rst(br, content, rst)
+            preds = [0, 0, 0]
+        my, mx = divmod(mcu, mw)
+        for ci, (cid, ch, cv, _tq) in enumerate(comps):
+            td, ta = tabs[cid]
+            for by in range(cv):
+                for bx in range(ch):
+                    zz = _decode_block_coeffs(
+                        br, preds[ci], dc_tabs[td], ac_tabs[ta]
+                    )
+                    preds[ci] = zz[0]
+                    c = np.zeros(64, dtype=np.float64)
+                    for k in range(64):
+                        c[_JPEG_ZIGZAG[k]] = zz[k]
+                    bh, bw = nblocks[ci]
+                    row = my * cv + by
+                    col = mx * ch + bx
+                    blocks[ci][row * bw + col] = (
+                        c.reshape(8, 8) * qmats[ci]
+                    )
+    br.align()
+    if (
+        br.pos + 2 > len(content)
+        or content[br.pos] != 0xFF
+        or content[br.pos + 1] != 0xD9
+    ):
+        raise ValueError("missing EOI")
+    planes = []
+    for ci in range(3):
+        bh, bw = nblocks[ci]
+        spatial = np.einsum("ux,nuv,vy->nxy", t, blocks[ci], t)
+        spatial = np.clip(np.rint(spatial + 128.0), 0, 255).astype(np.int64)
+        img = np.empty((bh * 8, bw * 8), dtype=np.int64)
+        for b in range(bh * bw):
+            by, bx = divmod(b, bw)
+            img[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = spatial[b]
+        planes.append(img)
+    ypl = planes[0][:height, :width]
+    out = [ [list(map(int, r)) for r in ypl] ]
+    for ci in (1, 2):
+        up = np.repeat(np.repeat(planes[ci], sv, axis=0), sh, axis=1)
+        out.append([list(map(int, r)) for r in up[:height, :width]])
+    return width, height, out[0], out[1], out[2]
+
+
+def ycbcr_to_rgb_rows(y_rows, cb_rows, cr_rows):
+    """JFIF YCbCr -> RGB (BT.601 full-range, round-half-away, clamp):
+    the deterministic integer conversion layer over
+    :func:`decode_jpeg_ycbcr`."""
+    import numpy as np
+
+    y = np.asarray(y_rows, dtype=np.float64)
+    cb = np.asarray(cb_rows, dtype=np.float64) - 128.0
+    cr = np.asarray(cr_rows, dtype=np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    out = []
+    for ch in (r, g, b):
+        out.append(np.clip(np.rint(ch), 0, 255).astype(np.int64))
+    rr, gg, bb = out
+    return [
+        [(int(rr[yx, xx]), int(gg[yx, xx]), int(bb[yx, xx]))
+         for xx in range(rr.shape[1])]
+        for yx in range(rr.shape[0])
+    ]
+
+
+def decode_jpeg_rgb(
+    content: bytes,
+) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Baseline color JPEG -> top-down RGB rows (decode_jpeg_ycbcr +
+    the BT.601 conversion)."""
+    w, h, y, cb, cr = decode_jpeg_ycbcr(content)
+    return w, h, ycbcr_to_rgb_rows(y, cb, cr)
+
+
+def decode_jpeg_color_features(
+    content: bytes,
+) -> tuple[int, int, int, list[float]]:
+    """Real-decode hook for :func:`extract_image_features` over COLOR
+    JPEGs: features = exact per-plane YCbCr sums (the integer domain
+    the q308 oracle can recompute); corrupt bytes raise into the
+    null-row policy."""
+    w, h, y, cb, cr = decode_jpeg_ycbcr(content)
+    sums = []
+    for plane in (y, cb, cr):
+        total = 0
+        for row in plane:
+            total += sum(row)
+        sums.append(float(total))
+    return w, h, 3, sums
+
+
 # ------------------------------------------- progressive JPEG scans
 # (r9: SOF2 progressive grayscale gets REAL — spectral selection +
 # successive approximation per ITU-T T.81 Annex G, the scan scripts
@@ -1974,7 +2354,19 @@ def decode_image_auto(content: bytes) -> tuple[int, int, int, list[float]]:
     if kind == "png":
         return decode_png_features(content)
     if kind == "jpeg":
-        return decode_jpeg_features(content)
+        try:
+            return decode_jpeg_features(content)  # grayscale (SOF0/SOF2)
+        except ValueError:
+            # 3-component baseline: decode to RGB, per-channel sums
+            # (the same feature convention as BMP/PNG)
+            w, h, rgb = decode_jpeg_rgb(content)
+            sums = [0, 0, 0]
+            for row in rgb:
+                for r, g, b in row:
+                    sums[0] += r
+                    sums[1] += g
+                    sums[2] += b
+            return w, h, 3, [float(s) for s in sums]
     if kind == "gif":
         width, height, palette, frames = decode_gif(content)
         sums = [0, 0, 0]

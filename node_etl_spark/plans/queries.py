@@ -14650,3 +14650,128 @@ def _init_q307() -> None:
 
 
 _init_q307()
+
+
+# --------------------------------------------------------------------
+# q308 — baseline COLOR JPEG decode on the exact gate (r9: YCbCr with
+# 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, interleaved MCUs, two
+# quantization tables. The gate works in the YCbCr integer domain —
+# constant-per-MCU planes survive the lossy pipeline bit-for-bit; the
+# RGB conversion layer is unit-tested separately. PARITY's libjpeg
+# dependency narrows to progressive COLOR + arithmetic coding.)
+# --------------------------------------------------------------------
+
+def _init_q308() -> None:
+    from ..functions import multimodal as M
+
+    @register(
+        "q308_color_jpeg",
+        """
+        WITH cd AS (
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 8 ELSE 16 END AS mw,
+                   CASE doc_id % 3 WHEN 2 THEN 16 ELSE 8 END AS mh
+            FROM documents),
+        dims AS (
+            SELECT doc_id, mw, mh,
+                   mw + doc_id % 7 AS w, mh + doc_id % 5 AS h
+            FROM cd),
+        px AS (
+            SELECT doc_id, w, h,
+                   x // mw AS mx, y // mh AS my
+            FROM dims,
+                 unnest(generate_series(0, w - 1)) AS tx(x),
+                 unnest(generate_series(0, h - 1)) AS ty(y)),
+        v AS (
+            SELECT doc_id, w, h,
+                   128 + 2 * (((doc_id * 3 + mx * 7 + my * 11) % 60) - 30)
+                       AS vy,
+                   128 + 17 * (((doc_id + mx * 5 + my * 3) % 5) - 2) AS vcb,
+                   128 + 17 * (((doc_id * 2 + mx * 3 + my * 7) % 5) - 2)
+                       AS vcr
+            FROM px)
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(w * h AS BIGINT) AS n_px,
+               CAST(SUM(vy) AS BIGINT) AS sum_y,
+               CAST(SUM(vcb) AS BIGINT) AS sum_cb,
+               CAST(SUM(vcr) AS BIGINT) AS sum_cr
+        FROM v GROUP BY 1, 2, 3, 4
+        """,
+        doc="Baseline COLOR JPEG decode on the exact gate (functions/"
+            "multimodal.py encode_jpeg_color + decode_jpeg_ycbcr): "
+            "three-component SOF0 with per-doc chroma subsampling "
+            "(4:4:4 / 4:2:2 / 4:2:0 by doc_id%3), K.1 luma + K.2 "
+            "chroma quantization tables, interleaved MCU entropy "
+            "coding with three DC predictors, RSTn restarts resetting "
+            "all of them (doc_id%3 interval), box-filter chroma "
+            "downsampling on encode and nearest-neighbor upsampling "
+            "on decode. Per document constant-per-MCU YCbCr planes "
+            "(Y-128 even so the step-16 luma DC quantizer is exact; "
+            "Cb/Cr offsets multiples of 17, the K.2 DC step) at "
+            "non-MCU-aligned dims (edge MCUs exercise padding) are "
+            "ENCODED then DECODED back through the extract_image_"
+            "features Arrow hook; per-plane pixel sums hash against "
+            "plain SQL. Any MCU-interleave/predictor/subsample/"
+            "padding bug breaks the match. General lossy inputs: the "
+            "4:4:4 luma path is pinned to the oracle-gated grayscale "
+            "pipeline on random images (tests/test_multimodal.py). "
+            "Zero Exchange added (plan-asserted).",
+    )
+    def q308_color_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select("doc_id")
+        modes = ("444", "422", "420")
+
+        def gen(it):
+            import pandas as _pd
+
+            for pdf in it:
+                paths, blobs = [], []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    mode = modes[d % 3]
+                    mw = 8 if d % 3 == 0 else 16
+                    mh = 16 if d % 3 == 2 else 8
+                    w, h = mw + d % 7, mh + d % 5
+                    Y = [
+                        [128 + 2 * (((d * 3 + (x // mw) * 7
+                                      + (y // mh) * 11) % 60) - 30)
+                         for x in range(w)]
+                        for y in range(h)
+                    ]
+                    Cb = [
+                        [128 + 17 * (((d + (x // mw) * 5
+                                       + (y // mh) * 3) % 5) - 2)
+                         for x in range(w)]
+                        for y in range(h)
+                    ]
+                    Cr = [
+                        [128 + 17 * (((d * 2 + (x // mw) * 3
+                                       + (y // mh) * 7) % 5) - 2)
+                         for x in range(w)]
+                        for y in range(h)
+                    ]
+                    paths.append(str(d))
+                    blobs.append(
+                        M.encode_jpeg_color(
+                            w, h, Y, Cb, Cr, subsampling=mode,
+                            restart_interval=d % 3,
+                        )
+                    )
+                yield _pd.DataFrame({"path": paths, "content": blobs})
+
+        binaries = docs.mapInPandas(gen, schema="path string, content binary")
+        feats = M.extract_image_features(
+            binaries, decode_fn=M.decode_jpeg_color_features
+        )
+        return feats.select(
+            F.col("path").cast("bigint").alias("doc_id"),
+            "width",
+            "height",
+            (F.col("width").cast("bigint") * F.col("height")).alias("n_px"),
+            F.element_at("features", 1).cast("bigint").alias("sum_y"),
+            F.element_at("features", 2).cast("bigint").alias("sum_cb"),
+            F.element_at("features", 3).cast("bigint").alias("sum_cr"),
+        )
+
+
+_init_q308()

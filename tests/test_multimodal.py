@@ -1032,3 +1032,108 @@ def test_progressive_jpeg_through_avi_and_arrow_hook(spark):
     rows = video_frame_stats(df).collect()
     assert len(rows) == 1
     assert rows[0].n_px == 128 and rows[0].sum_gray == sum(map(sum, img))
+
+
+def test_color_jpeg_constant_mcu_exact_all_subsamplings():
+    from node_etl_spark.functions.multimodal import (
+        decode_jpeg_ycbcr,
+        encode_jpeg_color,
+    )
+
+    def planes(d, w, h, mw, mh):
+        y = [[128 + 2 * (((d * 3 + (x // mw) * 7 + (y_ // mh) * 11) % 60)
+                         - 30) for x in range(w)] for y_ in range(h)]
+        cb = [[128 + 17 * (((d + (x // mw) * 5 + (y_ // mh) * 3) % 5) - 2)
+               for x in range(w)] for y_ in range(h)]
+        cr = [[128 + 17 * (((d * 2 + (x // mw) * 3 + (y_ // mh) * 7) % 5)
+                           - 2) for x in range(w)] for y_ in range(h)]
+        return y, cb, cr
+
+    for mode, (sh, sv) in [("444", (1, 1)), ("422", (2, 1)),
+                           ("420", (2, 2))]:
+        mw, mh = 8 * sh, 8 * sv
+        for d, w, h, ri in [(3, mw, mh, 0), (7, 2 * mw + 5, mh + 3, 2),
+                            (11, 3 * mw, 2 * mh + 1, 1)]:
+            y, cb, cr = planes(d, w, h, mw, mh)
+            blob = encode_jpeg_color(
+                w, h, y, cb, cr, subsampling=mode, restart_interval=ri
+            )
+            assert decode_jpeg_ycbcr(blob) == (w, h, y, cb, cr), (mode, d)
+
+
+def test_color_jpeg_444_luma_matches_gray_pipeline():
+    # on random input the 444 luma channel must reproduce EXACTLY what
+    # the oracle-gated grayscale codec produces (same quant table, same
+    # DCT path) — pins the color MCU interleave to a verified baseline
+    import random
+
+    from node_etl_spark.functions.multimodal import (
+        decode_jpeg_gray,
+        decode_jpeg_ycbcr,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    rng = random.Random(5)
+    for _ in range(3):
+        w, h = rng.randint(3, 25), rng.randint(3, 20)
+        y = [[rng.randint(0, 255) for _ in range(w)] for _ in range(h)]
+        cb = [[rng.randint(0, 255) for _ in range(w)] for _ in range(h)]
+        cr = [[rng.randint(0, 255) for _ in range(w)] for _ in range(h)]
+        _, _, gy, _, _ = decode_jpeg_ycbcr(
+            encode_jpeg_color(w, h, y, cb, cr, subsampling="444")
+        )
+        assert gy == decode_jpeg_gray(encode_jpeg_gray(w, h, y))[2]
+
+
+def test_color_jpeg_rgb_layer_and_auto_routing(spark):
+    from node_etl_spark.functions.multimodal import (
+        decode_image_auto,
+        decode_jpeg_rgb,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        sniff_media_type,
+    )
+
+    # neutral chroma: RGB == (Y,Y,Y) exactly for the even-constant class
+    yp = [[2 * ((x // 8 + (yy // 8) * 3 + 5) % 128) for x in range(24)]
+          for yy in range(16)]
+    cp = [[128] * 24 for _ in range(16)]
+    blob = encode_jpeg_color(24, 16, yp, cp, cp, subsampling="420")
+    assert sniff_media_type(blob) == "jpeg"
+    w, h, rgb = decode_jpeg_rgb(blob)
+    assert (w, h) == (24, 16)
+    assert all(rgb[yy][x] == (yp[yy][x],) * 3
+               for yy in range(16) for x in range(24))
+    # decode_image_auto routes color JPEG to per-channel RGB sums
+    gw, gh, ch, feats = decode_image_auto(blob)
+    want = float(sum(map(sum, yp)))
+    assert (gw, gh, ch) == (24, 16, 3) and feats == [want, want, want]
+    # ...and still routes grayscale JPEG through the gray path
+    gblob = encode_jpeg_gray(16, 8, [[100] * 16] * 8)
+    gw, gh, ch, feats = decode_image_auto(gblob)
+    assert (gw, gh, ch) == (16, 8, 1)
+
+
+def test_color_jpeg_rejections():
+    import pytest
+
+    from node_etl_spark.functions.multimodal import (
+        decode_jpeg_gray,
+        decode_jpeg_ycbcr,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    yp = [[100] * 16 for _ in range(8)]
+    cp = [[128] * 16 for _ in range(8)]
+    blob = encode_jpeg_color(16, 8, yp, cp, cp)
+    with pytest.raises(ValueError):
+        decode_jpeg_ycbcr(encode_jpeg_gray(16, 8, yp))  # gray -> wrong fn
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(blob)  # color -> wrong fn
+    for bad in (b"", b"\xff\xd8\xff\xd9", blob[:40], blob[:-3]):
+        with pytest.raises(ValueError):
+            decode_jpeg_ycbcr(bad)
+    with pytest.raises(ValueError):
+        encode_jpeg_color(16, 8, yp, cp, cp, subsampling="411")

@@ -913,6 +913,14 @@ def test_progressive_jpeg_plan_adds_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_color_jpeg_plan_adds_no_shuffle(spark, sf_dir):
+    # q308: same encode -> decode mapInPandas chain as q299/q307; the
+    # three-component interleave must not change the plan shape
+    plan = _plan(spark, sf_dir, "q308_color_jpeg")
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange" not in plan
+
+
 def test_video_frames_plan_adds_no_shuffle(spark, sf_dir):
     # q306: clip encode -> AVI parse + per-row-stride frame sample +
     # JPEG decode are chained mapInPandas stages over the source
