@@ -278,6 +278,7 @@ HEADLINE = [
     "q306_video_frames",
     "q307_progressive_jpeg",
     "q308_color_jpeg",
+    "q309_image_neardup",
 ]
 
 

@@ -14775,3 +14775,134 @@ def _init_q308() -> None:
 
 
 _init_q308()
+
+
+# --------------------------------------------------------------------
+# q309 — REAL-pixel perceptual near-dup pairs on the exact gate (r9:
+# the codec wave feeds the dedup story — decode actual BMP pixels,
+# aHash the gray plane, Manku-band the 60-bit fingerprints. The fake
+# byte-class grid (q215's ahash60) kept this gateable before real
+# decoders existed; now the whole pipeline is real AND exact.)
+# --------------------------------------------------------------------
+
+def _init_q309() -> None:
+    from ..functions import dedup as DD
+    from ..functions import multimodal as M
+
+    @register(
+        "q309_image_neardup",
+        """
+        WITH cells AS (
+            SELECT doc_id, i, j,
+                   (CAST(('0x' || substring(md5(
+                        CAST((doc_id // 3) * 60 + i * 10 + j AS VARCHAR)
+                        || ':9'), 1, 8)) AS BIGINT) % 256 +
+                    CASE WHEN i = 0 AND j < doc_id % 3 THEN 61 ELSE 0 END
+                   ) % 256 AS v
+            FROM documents,
+                 unnest(generate_series(0, 5)) AS ti(i),
+                 unnest(generate_series(0, 9)) AS tj(j)),
+        tot AS (SELECT doc_id, SUM(v) AS tv FROM cells GROUP BY 1),
+        sig AS (
+            SELECT c.doc_id,
+                   CAST(SUM(CASE WHEN v * 60 > tv
+                            THEN (CAST(1 AS BIGINT) << (i * 10 + j))
+                            ELSE 0 END) AS BIGINT) AS h
+            FROM cells c JOIN tot USING (doc_id) GROUP BY 1),
+        combos AS (
+            SELECT doc_id, h, b1, b2,
+                   (h >> (b1 * 10)) & 1023 AS k1,
+                   (h >> (b2 * 10)) & 1023 AS k2
+            FROM sig,
+                 (SELECT t1.a AS b1, t2.b AS b2
+                  FROM unnest(generate_series(0, 5)) AS t1(a),
+                       unnest(generate_series(0, 5)) AS t2(b)
+                  WHERE t1.a < t2.b) bands),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2,
+                   a.h AS h1, c.h AS h2
+            FROM combos a
+            JOIN combos c ON a.b1 = c.b1 AND a.b2 = c.b2
+                         AND a.k1 = c.k1 AND a.k2 = c.k2
+                         AND a.doc_id < c.doc_id)
+        SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(h1, h2)) <= 4
+        """,
+        doc="REAL-pixel perceptual near-dup pairs on the exact gate "
+            "(functions/multimodal.py image_ahash + functions/dedup.py "
+            "simhash_band_pairs): per document an 80x48 gray BMP of "
+            "8x8 constant cells (cell (i,j) value = the engine's "
+            "portable md5 bucket of (base,i,j) — distinct base "
+            "images land ~60 random bits apart so banding buckets "
+            "stay sparse: cross-base pairs measured ZERO at 500 "
+            "docs, where a first-cut linear-congruence pattern "
+            "saturated the sketch space with 53k pairs; groups of "
+            "three documents share a base image, variants perturbing "
+            "0-2 cells by +61) is ENCODED executor-side, REALLY "
+            "DECODED back "
+            "(decode_bmp24 -> integer gray), aHashed over a 6x10 cell "
+            "grid with the cross-multiplied integer mean rule (no "
+            "float thresholds -> DuckDB recomputes the identical "
+            "60-bit fingerprint WITHOUT decoding, because the whole "
+            "pixel pipeline is deterministic), then paired by Manku "
+            "combination banding (agree on >=1 of the 15 two-block "
+            "combos, exact popcount <= 4 verifies). The SQL oracle "
+            "mirrors the banding join — complete by the same "
+            "pigeonhole argument, so both sides enumerate exactly "
+            "the hamming<=4 pairs. Scale shape: bucket join over "
+            "20-bit combo keys, never all-pairs (same plan family as "
+            "q215/q216, plan-asserted no cartesian).",
+    )
+    def q309_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select("doc_id")
+
+        def gen(it):
+            import hashlib
+
+            import pandas as _pd
+
+            for pdf in it:
+                ids, blobs = [], []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    base, var = d // 3, d % 3
+                    pixels = []
+                    for y in range(48):
+                        i = y // 8
+                        row = []
+                        for x in range(80):
+                            j = x // 8
+                            cid = base * 60 + i * 10 + j
+                            v = (
+                                int(
+                                    hashlib.md5(
+                                        f"{cid}:9".encode()
+                                    ).hexdigest()[:8],
+                                    16,
+                                )
+                                % 256
+                                + (61 if i == 0 and j < var else 0)
+                            ) % 256
+                            row.append((v, v, v))
+                        pixels.append(row)
+                    ids.append(d)
+                    blobs.append(M.encode_bmp24(80, 48, pixels))
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": _pd.Series(ids, dtype="int64"),
+                        "content": blobs,
+                    }
+                )
+
+        binaries = docs.mapInPandas(
+            gen, schema="doc_id bigint, content binary"
+        )
+        sigs = M.image_ahash(binaries).select(
+            "doc_id", F.col("phash").alias("simhash")
+        )
+        return DD.simhash_band_pairs(sigs, max_hamming=4).select(
+            "d1", "d2", "hamming"
+        )
+
+
+_init_q309()

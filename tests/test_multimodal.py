@@ -1137,3 +1137,54 @@ def test_color_jpeg_rejections():
             decode_jpeg_ycbcr(bad)
     with pytest.raises(ValueError):
         encode_jpeg_color(16, 8, yp, cp, cp, subsampling="411")
+
+
+def test_image_ahash_real_decode_and_band_pairs(spark):
+    from node_etl_spark.functions import dedup as D
+    from node_etl_spark.functions.multimodal import (
+        encode_bmp24,
+        encode_jpeg_gray,
+        encode_png24,
+        image_ahash,
+    )
+
+    def bmp_img(cells, w=40, h=24):
+        # 4x10 grid of (h//?(rows))... build per-pixel from a 6x10 cell fn
+        return [
+            [(cells(y * 6 // h, x * 10 // w),) * 3 for x in range(w)]
+            for y in range(h)
+        ]
+
+    base = lambda i, j: (37 * i + 91 * j + 13) % 256  # noqa: E731
+    mut = lambda i, j: 255 if (i, j) == (0, 0) else base(i, j)  # noqa: E731
+    rows = [
+        (1, bytearray(encode_bmp24(
+            40, 24, bmp_img(base)))),
+        (2, bytearray(encode_bmp24(
+            40, 24, bmp_img(mut)))),           # near-dup of 1
+        (3, bytearray(encode_png24(
+            40, 24, [[p for p in r] for r in bmp_img(base)]))),  # PNG twin
+        (4, bytearray(encode_jpeg_gray(
+            16, 16, [[2 * ((x // 8) * 30 + (y // 8) * 50) % 256
+                      for x in range(16)] for y in range(16)]))),
+        (5, bytearray(b"not an image")),       # corrupt: no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    sigs = {r.doc_id: r for r in image_ahash(df).collect()}
+    assert set(sigs) == {1, 2, 3, 4}
+    assert (sigs[1].width, sigs[1].height) == (40, 24)
+    # PNG and BMP of the SAME pixels must fingerprint identically
+    # (both lossless -> same gray plane)
+    assert sigs[3].phash == sigs[1].phash
+    # the 1-cell mutation stays hamming-close but not identical
+    ham = bin(sigs[1].phash ^ sigs[2].phash).count("1")
+    assert 1 <= ham <= 4
+    pairs = D.simhash_band_pairs(
+        image_ahash(df).select(
+            "doc_id", F.col("phash").alias("simhash")
+        ),
+        max_hamming=4,
+    ).collect()
+    got = {(p.d1, p.d2) for p in pairs}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert not any(4 in p for p in got)

@@ -913,6 +913,22 @@ def test_progressive_jpeg_plan_adds_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_image_neardup_plan_bands_never_cartesian(spark, sf_dir):
+    # q309: encode -> real decode -> aHash are mapInPandas stages; the
+    # pair stage must be the Manku banding equi-join (bucket join on
+    # combo keys), never a cartesian/broadcast-nested-loop all-pairs
+    plan = _plan(spark, sf_dir, "q309_image_neardup")
+    # encode + ahash run ONCE into the persisted combo frame; the
+    # printed plan shows the cached subtree under both join sides
+    assert "InMemoryTableScan" in plan
+    assert plan.count("MapInPandas") in (2, 4)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # equi-join on the combo keys (broadcast at test SF; shuffled hash
+    # at scale) — the nested-loop operators above are the failure mode
+    assert "Join" in plan and "ci#" in plan
+
+
 def test_color_jpeg_plan_adds_no_shuffle(spark, sf_dir):
     # q308: same encode -> decode mapInPandas chain as q299/q307; the
     # three-component interleave must not change the plan shape
