@@ -2347,7 +2347,8 @@ def decode_image_auto(content: bytes) -> tuple[int, int, int, list[float]]:
     :func:`extract_image_features`: BMP/PNG/JPEG route to their real
     decoders; GIF decodes frame 0 and palette-maps it to per-channel
     sums. Unknown containers raise into the null-row policy (audio
-    and true video are not images — WAV deliberately raises here)."""
+    and video are not single images — WAV and AVI deliberately raise
+    here; route AVI through video_frame_stats instead)."""
     kind = sniff_media_type(content)
     if kind == "bmp":
         return decode_bmp_features(content)

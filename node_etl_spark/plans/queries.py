@@ -14866,24 +14866,31 @@ def _init_q309() -> None:
                 for d in pdf["doc_id"]:
                     d = int(d)
                     base, var = d // 3, d % 3
-                    pixels = []
-                    for y in range(48):
-                        i = y // 8
-                        row = []
-                        for x in range(80):
-                            j = x // 8
-                            cid = base * 60 + i * 10 + j
-                            v = (
+                    # 60 md5 calls per doc (one per CELL), then expand
+                    # to pixels — not one per pixel
+                    cells = [
+                        [
+                            (
                                 int(
                                     hashlib.md5(
-                                        f"{cid}:9".encode()
+                                        f"{base * 60 + i * 10 + j}:9"
+                                        .encode()
                                     ).hexdigest()[:8],
                                     16,
                                 )
                                 % 256
                                 + (61 if i == 0 and j < var else 0)
                             ) % 256
-                            row.append((v, v, v))
+                            for j in range(10)
+                        ]
+                        for i in range(6)
+                    ]
+                    pixels = []
+                    for y in range(48):
+                        crow = cells[y // 8]
+                        row = []
+                        for j in range(10):
+                            row.extend([(crow[j],) * 3] * 8)
                         pixels.append(row)
                     ids.append(d)
                     blobs.append(M.encode_bmp24(80, 48, pixels))
