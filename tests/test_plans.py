@@ -913,6 +913,15 @@ def test_progressive_jpeg_plan_adds_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_r9_codec_queries_prune_documents_scan(spark, sf_dir):
+    # the generator queries need only doc_id; the parquet scan must
+    # prune every other documents column (text/lang/source/...)
+    for name in ("q306_video_frames", "q307_progressive_jpeg",
+                 "q308_color_jpeg", "q309_image_neardup"):
+        plan = _plan(spark, sf_dir, name)
+        assert "ReadSchema: struct<doc_id:bigint>" in plan, name
+
+
 def test_image_neardup_plan_bands_never_cartesian(spark, sf_dir):
     # q309: encode -> real decode -> aHash are mapInPandas stages; the
     # pair stage must be the Manku banding equi-join (bucket join on
