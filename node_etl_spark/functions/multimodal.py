@@ -161,9 +161,12 @@ def encode_bmp24(
 def _corrupt_as_valueerror(fn):
     """Decoders document 'raises ValueError on corrupt input', but a
     truncated segment can surface as struct.error from unpack_from
-    (ADVICE r8). In-repo callers catch broad Exception (warn-and-skip),
-    but direct callers following the documented contract would miss
-    it — normalize here so the contract is accurate."""
+    (ADVICE r8) — or as IndexError when a segment's LENGTH field is
+    valid but its payload is shorter than the fields being indexed
+    (e.g. a 3-byte SOS). In-repo callers catch broad Exception
+    (warn-and-skip), but direct callers following the documented
+    contract would miss both — normalize here so the contract is
+    accurate."""
     import functools
     import struct
 
@@ -171,7 +174,7 @@ def _corrupt_as_valueerror(fn):
     def wrapped(*args, **kwargs):
         try:
             return fn(*args, **kwargs)
-        except struct.error as exc:
+        except (struct.error, IndexError) as exc:
             raise ValueError(f"truncated input: {exc}") from exc
 
     return wrapped
@@ -713,9 +716,7 @@ def _read_huff(br: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
 def _receive_extend(br: _JpegBitReader, size: int) -> int:
     if size == 0:
         return 0
-    v = 0
-    for _ in range(size):
-        v = (v << 1) | br.read_bit()
+    v = _receive(br, size)
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
@@ -1628,12 +1629,9 @@ def encode_jpeg_progressive_gray(
     )
     t = _dct_matrix()
     qmat = np.asarray(q, dtype=np.float64).reshape(8, 8)
-    zzs = []
-    for by in range(bh):
-        for bx in range(bw):
-            block = padded[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] - 128.0
-            coeffs = np.rint((t @ block @ t.T) / qmat).astype(np.int64)
-            zzs.append([int(coeffs.flat[_JPEG_ZIGZAG[k]]) for k in range(64)])
+    # shared block-DCT/quantize/zigzag helper (also used by the color
+    # encoder) — one implementation to keep quantization in sync
+    zzs = [zz for row in _plane_blocks_zz(padded, qmat, t) for zz in row]
 
     dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _huff_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
@@ -2957,15 +2955,22 @@ def decode_avi_mjpeg(content: bytes) -> tuple[int, int, int, list[bytes]]:
             pos = payload_end + (length % 2)
 
     width = height = ms_per_frame = None
-    handler = None
-    frames: list[bytes] = []
+    # multi-stream AVIs (video + audio, or several video streams):
+    # stream index = strl order; frame chunks are tagged "NNdc"/"NNdb"
+    # with NN the two-digit stream number. Collect per stream and keep
+    # only the FIRST 'vids' stream's frames, validating ITS fourcc —
+    # merging all streams would interleave foreign codec chunks into
+    # the frame numbering (r9 review finding).
+    stream_idx = 0
+    video_stream: tuple[int, bytes] | None = None
+    by_stream: dict[bytes, list[bytes]] = {}
 
     def scan_movi(pos: int, end: int) -> None:
         for tag, p0, p1 in walk(content, pos, end):
             if tag == b"LIST" and content[p0 : p0 + 4] == b"rec ":
                 scan_movi(p0 + 4, p1)
             elif tag[2:4] in (b"dc", b"db"):
-                frames.append(content[p0:p1])
+                by_stream.setdefault(tag[:2], []).append(content[p0:p1])
 
     for tag, p0, p1 in walk(content, 12, len(content)):
         if tag != b"LIST":
@@ -2983,17 +2988,31 @@ def decode_avi_mjpeg(content: bytes) -> tuple[int, int, int, list[bytes]]:
                     for t3, r0, r1 in walk(content, q0 + 4, q1):
                         if t3 == b"strh" and r1 - r0 >= 8:
                             fcc_type = content[r0 : r0 + 4]
-                            if fcc_type == b"vids":
-                                handler = content[r0 + 4 : r0 + 8]
+                            if (
+                                fcc_type == b"vids"
+                                and video_stream is None
+                            ):
+                                video_stream = (
+                                    stream_idx,
+                                    content[r0 + 4 : r0 + 8],
+                                )
+                    stream_idx += 1
         elif kind == b"movi":
             scan_movi(p0 + 4, p1)
     if width is None or ms_per_frame is None:
         raise ValueError("missing avih header")
-    if handler is not None and handler not in (b"MJPG", b"mjpg", b"\x00" * 4):
-        raise ValueError(
-            f"unsupported video fourcc {handler!r}: only MJPEG decodes "
-            "in-repo; modern codecs need ffmpeg (deployment dependency)"
-        )
+    if video_stream is not None:
+        idx, handler = video_stream
+        if handler not in (b"MJPG", b"mjpg", b"\x00" * 4):
+            raise ValueError(
+                f"unsupported video fourcc {handler!r}: only MJPEG "
+                "decodes in-repo; modern codecs need ffmpeg "
+                "(deployment dependency)"
+            )
+        frames = by_stream.get(b"%02d" % idx, [])
+    else:
+        # header-less minimal files: stream 00 by convention
+        frames = by_stream.get(b"00", [])
     return width, height, ms_per_frame, frames
 
 
@@ -3042,7 +3061,13 @@ def video_frame_stats(
                     isinstance(rid, float) and pd.isna(rid)
                 ):
                     continue
-                k = int(ks.iloc[i]) if per_row else every_k
+                if per_row:
+                    kv = ks.iloc[i]
+                    if kv is None or pd.isna(kv):
+                        continue  # NULL stride: warn-and-skip row
+                    k = int(kv)
+                else:
+                    k = every_k
                 if k < 1:
                     continue  # per-row bad stride: warn-and-skip row
                 try:

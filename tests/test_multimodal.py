@@ -1188,3 +1188,110 @@ def test_image_ahash_real_decode_and_band_pairs(spark):
     got = {(p.d1, p.d2) for p in pairs}
     assert (1, 2) in got and (1, 3) in got and (2, 3) in got
     assert not any(4 in p for p in got)
+
+
+def test_decoders_normalize_short_segments_to_valueerror():
+    # r9 review finding: a segment whose LENGTH field is valid but
+    # whose payload is shorter than the fields being indexed used to
+    # leak IndexError past the documented ValueError contract
+    import struct
+
+    import pytest
+
+    from node_etl_spark.functions.multimodal import (
+        decode_jpeg_gray,
+        decode_jpeg_ycbcr,
+    )
+
+    soi = b"\xff\xd8"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 2 + 6) + struct.pack(
+        ">BHHB", 8, 8, 8, 1
+    )  # 6-byte SOF payload: component list truncated
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(soi + sof0 + b"\xff\xd9")
+    good_sof = b"\xff\xc0" + struct.pack(">H", 2 + 9) + struct.pack(
+        ">BHHB", 8, 8, 8, 1
+    ) + bytes((1, 0x11, 0))
+    short_sos = b"\xff\xda" + struct.pack(">H", 2 + 1) + bytes((1,))
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(soi + good_sof + short_sos + b"\xff\xd9")
+    with pytest.raises(ValueError):
+        decode_jpeg_ycbcr(soi + good_sof.replace(
+            struct.pack(">BHHB", 8, 8, 8, 1),
+            struct.pack(">BHHB", 8, 8, 8, 3),
+        ) + short_sos + b"\xff\xd9")
+
+
+def test_video_frame_stats_null_stride_skips_row(spark):
+    # r9 review finding: a NULL in the per-row stride column used to
+    # crash the whole task via int(NaN) outside the guard
+    from node_etl_spark.functions.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+        video_frame_stats,
+    )
+
+    img = [[100] * 8] * 8
+    clip = bytearray(
+        encode_avi_mjpeg(8, 8, [encode_jpeg_gray(8, 8, img)] * 3, 10)
+    )
+    df = spark.createDataFrame(
+        [(1, 1, clip), (2, None, clip)],
+        "doc_id bigint, k int, content binary",
+    )
+    rows = video_frame_stats(df, every_k="k").collect()
+    assert sorted({r.doc_id for r in rows}) == [1]
+    assert len(rows) == 3
+
+
+def test_avi_multistream_keeps_only_the_video_stream():
+    # r9 review finding: frames from OTHER streams (audio, a second
+    # video stream) must not interleave into the frame numbering, and
+    # a non-video stream's fourcc must not trigger rejection
+    import struct
+
+    from node_etl_spark.functions.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    jpegs = [b"\xff\xd8\x01", b"\xff\xd8\x02"]
+    base = bytearray(encode_avi_mjpeg(8, 8, jpegs, 10))
+
+    def chunk(tag, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind, data):
+        return chunk(b"LIST", kind + data)
+
+    # append an AUDIO strl AFTER the video strl (stream 1) and plant
+    # its '01wb'-style data chunk inside movi as '01dc' noise
+    strh_aud = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"auds", b"PCM ", 0, 0, 0, 0,
+        1, 8000, 0, 100, 0, 0, 1, 0, 0, 0, 0,
+    )
+    audio_strl = lst(b"strl", chunk(b"strh", strh_aud))
+    hdrl_at = bytes(base).find(b"hdrl")
+    # splice the audio strl into the hdrl list (grow both LIST sizes)
+    hdrl_len_at = hdrl_at - 4
+    (hdrl_len,) = struct.unpack_from("<I", base, hdrl_len_at)
+    grown = bytearray(bytes(base))
+    insert_at = hdrl_at + hdrl_len  # end of hdrl payload
+    grown[insert_at:insert_at] = audio_strl
+    struct.pack_into("<I", grown, hdrl_len_at, hdrl_len + len(audio_strl))
+    struct.pack_into(
+        "<I", grown, 4, struct.unpack_from("<I", grown, 4)[0]
+        + len(audio_strl)
+    )
+    # plant a foreign '01dc' chunk at the head of movi
+    movi_at = bytes(grown).find(b"movi")
+    noise = chunk(b"01dc", b"NOTJPEG")
+    (movi_len,) = struct.unpack_from("<I", grown, movi_at - 4)
+    grown[movi_at + 4 : movi_at + 4] = noise
+    struct.pack_into("<I", grown, movi_at - 4, movi_len + len(noise))
+    struct.pack_into(
+        "<I", grown, 4, struct.unpack_from("<I", grown, 4)[0] + len(noise)
+    )
+    w, h, mspf, frames = decode_avi_mjpeg(bytes(grown))
+    assert frames == jpegs  # stream-0 frames only, in order

@@ -632,7 +632,8 @@ def test_example_media_features_spec(spark, tmp_path):
 
 
 def test_decode_image_auto_routes_mixed_codecs(spark):
-    # codec "auto" (the new default): one scan over a MIXED media
+    # codec "auto" (explicit opt-in; the default stays "bmp"): one
+    # scan over a MIXED media
     # folder routes each file by magic bytes to its real decoder —
     # BMP/PNG/JPEG pixels, GIF frame-0 palette sums; WAV and garbage
     # are not images and become null rows (warn-and-skip)
