@@ -710,6 +710,26 @@ def _video_frames_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     return FnTransform(fn, name="video_frames")
 
 
+def _image_ahash_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """Real-pixel perceptual fingerprint (r9): decode BMP/PNG/JPEG
+    binaries, 6x10-cell average hash with the exact integer mean
+    rule; output (id, phash, width, height) feeds the banding dedup
+    ops downstream."""
+    from .functions.multimodal import image_ahash
+
+    id_col = d.get("id_col", "doc_id")
+    content_col = d.get("content_col", "content")
+    rows = int(d.get("rows", 6))
+    cols = int(d.get("cols", 10))
+
+    def fn(df):
+        return image_ahash(
+            df, id_col=id_col, content_col=content_col, rows=rows, cols=cols
+        )
+
+    return FnTransform(fn, name="image_ahash")
+
+
 def _bloom_semi_join_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     from .functions.sketch import bloom_semi_join
 
@@ -853,6 +873,7 @@ _REGISTRY.update(
         "bloom_semi_join": _bloom_semi_join_op,
         "decode_image": _decode_image_op,
         "video_frames": _video_frames_op,
+        "image_ahash": _image_ahash_op,
         "explode_tar": _explode_tar_op,
         "compress_text": _compress_text_op,
         "decompress_text": _decompress_text_op,

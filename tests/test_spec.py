@@ -821,3 +821,20 @@ def test_example_video_frame_sample_spec(spark, tmp_path):
     want_mean = round(sum(map(sum, img)) / 128.0, 4)
     assert rows == [(0, 0, 128, want_mean), (2, 80, 128, want_mean),
                     (4, 160, 128, want_mean)]
+
+
+def test_image_ahash_spec_op(spark):
+    from node_etl_spark.context import Context
+    from node_etl_spark.functions.multimodal import encode_bmp24
+    from node_etl_spark.spec import op_from_spec
+
+    img = [[((37 * (y // 4) + 91 * (x // 8) + 13) % 256,) * 3
+            for x in range(80)] for y in range(24)]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp24(80, 24, img))), (2, bytearray(b"junk"))],
+        "doc_id bigint, content binary",
+    )
+    op = op_from_spec({"op": "image_ahash"})
+    rows = op.apply(df, Context()).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 1
+    assert rows[0].width == 80 and 0 < rows[0].phash < (1 << 60)
