@@ -1295,3 +1295,48 @@ def test_avi_multistream_keeps_only_the_video_stream():
     )
     w, h, mspf, frames = decode_avi_mjpeg(bytes(grown))
     assert frames == jpegs  # stream-0 frames only, in order
+
+
+def test_webdataset_shard_composes_with_video_decode(spark):
+    # r9 capstone composition: WebDataset tar shard -> member explode
+    # -> MJPEG-AVI frame sampling; clips ride shards exactly like
+    # images do (q301/q302 gate the shard path, q306 the video path —
+    # this pins that they COMPOSE, still partition-local)
+    from node_etl_spark.functions.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+        encode_tar_shard,
+        explode_tar_members,
+        video_frame_stats,
+    )
+
+    def clip(v, nf, mspf):
+        img = [[2 * (v % 128)] * 8] * 8
+        return encode_avi_mjpeg(
+            8, 8, [encode_jpeg_gray(8, 8, img)] * nf, mspf
+        )
+
+    shard = encode_tar_shard(
+        [
+            ("a.avi", clip(10, 3, 20)),
+            ("a.json", b'{"label": "cat"}'),
+            ("b.avi", clip(20, 2, 40)),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(shard))], "doc_id bigint, content binary"
+    )
+    members = explode_tar_members(df).select(
+        F.col("member_name").alias("doc_id"),
+        F.col("member_bytes").alias("content"),
+    )
+    stats = video_frame_stats(members, every_k=2).collect()
+    by = {}
+    for r in stats:
+        by.setdefault(r.doc_id, []).append((r.frame_idx, r.frame_ts_ms))
+    # JSON sidecar is not an AVI: warn-and-skip, no row
+    assert set(by) == {"a.avi", "b.avi"}
+    assert sorted(by["a.avi"]) == [(0, 0), (2, 40)]
+    assert sorted(by["b.avi"]) == [(0, 0)]
+    assert all(r.sum_gray == 64 * 2 * (10 % 128) for r in stats
+               if r.doc_id == "a.avi")
