@@ -279,6 +279,7 @@ HEADLINE = [
     "q307_progressive_jpeg",
     "q308_color_jpeg",
     "q309_image_neardup",
+    "q310_snappy_roundtrip",
 ]
 
 

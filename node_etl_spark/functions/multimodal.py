@@ -2191,11 +2191,186 @@ def webdataset_samples(
 # mtime=0), so the round-trip gates exactly (q304). Vectorized
 # pandas_udf: one Arrow crossing per batch; decompression sniffs the
 # codec from magic bytes by default, because real lakes mix codecs
-# across files and eras. zstd/snappy need absent libraries and follow
-# the stub policy — the sniff returns None for them and the value
-# becomes a NULL (warn-and-skip), never garbage.)
+# across files and eras. snappy is REAL as of r9 (pure-stdlib framed
+# + raw, see below); zstd needs an absent library and follows the
+# stub policy — the sniff returns None and the value becomes a NULL
+# (warn-and-skip), never garbage.)
 
-_TEXT_CODECS = ("gzip", "zlib", "bz2", "lzma")
+# --- snappy (r9): REAL pure-stdlib implementation. The raw format's
+# decoder is complete (literal + all three copy-tag widths, including
+# overlapping copies); the encoder emits the spec-legal all-literal
+# form (deterministic; production swaps python-snappy behind the same
+# two functions for ratio). The FRAMED container (sNaPpY magic,
+# masked-CRC32C chunks) is what makes snappy sniffable — raw snappy
+# has no magic — so compress_bytes emits framed and the sniffer
+# recognizes it; decompress accepts framed or raw. zstd stays the one
+# genuinely library-bound codec (PARITY.md codec closure).
+
+_SNAPPY_MAGIC = b"\xff\x06\x00\x00sNaPpY"
+
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli), reflected poly 0x82F63B78 — the checksum
+    the snappy framing format requires (stdlib zlib.crc32 is CRC-32/
+    ISO-HDLC, a different polynomial)."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _snappy_mask_crc(crc: int) -> int:
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def _snappy_raw_compress(data: bytes) -> bytes:
+    """Raw snappy stream in the spec-legal all-literal form: varint
+    uncompressed length, then literal runs."""
+    out = bytearray()
+    n = len(data)
+    while True:  # varint
+        if n < 0x80:
+            out.append(n)
+            break
+        out.append((n & 0x7F) | 0x80)
+        n >>= 7
+    pos = 0
+    while pos < len(data):
+        run = data[pos : pos + 65536]
+        ln = len(run) - 1
+        if ln < 60:
+            out.append(ln << 2)
+        elif ln < 256:
+            out += bytes((60 << 2, ln))
+        else:
+            out += bytes((61 << 2, ln & 0xFF, ln >> 8))
+        out += run
+        pos += len(run)
+    return bytes(out)
+
+
+def _snappy_raw_decompress(data: bytes) -> bytes:
+    """Full raw-snappy decoder: 00 literal, 01/10/11 copy tags,
+    overlapping copies handled byte-wise per the spec."""
+    pos, shift, want = 0, 0, 0
+    while True:  # varint uncompressed length
+        if pos >= len(data):
+            raise ValueError("truncated snappy varint")
+        b = data[pos]
+        want |= (b & 0x7F) << shift
+        pos += 1
+        shift += 7
+        if not b & 0x80:
+            break
+        if shift > 35:
+            raise ValueError("snappy varint overflow")
+    out = bytearray()
+    while pos < len(data):
+        tag = data[pos]
+        ttype = tag & 3
+        pos += 1
+        if ttype == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                if pos + nb > len(data):
+                    raise ValueError("truncated snappy literal length")
+                ln = int.from_bytes(data[pos : pos + nb], "little")
+                pos += nb
+            ln += 1
+            if pos + ln > len(data):
+                raise ValueError("truncated snappy literal")
+            out += data[pos : pos + ln]
+            pos += ln
+            continue
+        if ttype == 1:  # copy, 1-byte offset
+            ln = ((tag >> 2) & 0x07) + 4
+            if pos >= len(data):
+                raise ValueError("truncated snappy copy")
+            off = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif ttype == 2:  # copy, 2-byte offset
+            ln = (tag >> 2) + 1
+            if pos + 2 > len(data):
+                raise ValueError("truncated snappy copy")
+            off = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte offset
+            ln = (tag >> 2) + 1
+            if pos + 4 > len(data):
+                raise ValueError("truncated snappy copy")
+            off = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("bad snappy copy offset")
+        start = len(out) - off
+        for i in range(ln):  # byte-wise: copies may overlap themselves
+            out.append(out[start + i])
+    if len(out) != want:
+        raise ValueError("snappy length mismatch")
+    return bytes(out)
+
+
+def _snappy_frame_compress(data: bytes) -> bytes:
+    out = bytearray(_SNAPPY_MAGIC)
+    pos = 0
+    while True:
+        chunk = data[pos : pos + 65536]
+        crc = _snappy_mask_crc(_crc32c(chunk)).to_bytes(4, "little")
+        payload = crc + _snappy_raw_compress(chunk)
+        out += bytes((0x00,)) + len(payload).to_bytes(3, "little") + payload
+        pos += 65536
+        if pos >= len(data):
+            break
+    return bytes(out)
+
+
+def _snappy_frame_decompress(data: bytes) -> bytes:
+    if not data.startswith(_SNAPPY_MAGIC):
+        raise ValueError("not a framed snappy stream")
+    pos = len(_SNAPPY_MAGIC)
+    out = bytearray()
+    while pos < len(data):
+        if pos + 4 > len(data):
+            raise ValueError("truncated snappy chunk header")
+        ctype = data[pos]
+        ln = int.from_bytes(data[pos + 1 : pos + 4], "little")
+        pos += 4
+        if pos + ln > len(data):
+            raise ValueError("truncated snappy chunk")
+        body = data[pos : pos + ln]
+        pos += ln
+        if ctype == 0x00 or ctype == 0x01:  # compressed / uncompressed
+            if ln < 4:
+                raise ValueError("short snappy chunk")
+            crc = int.from_bytes(body[:4], "little")
+            payload = (
+                _snappy_raw_decompress(body[4:])
+                if ctype == 0x00
+                else bytes(body[4:])
+            )
+            if _snappy_mask_crc(_crc32c(payload)) != crc:
+                raise ValueError("snappy chunk checksum mismatch")
+            out += payload
+        elif ctype == 0xFE or 0x80 <= ctype <= 0xFD:
+            continue  # padding / skippable
+        else:
+            raise ValueError(f"unknown snappy chunk type {ctype:#x}")
+    return bytes(out)
+
+
+_TEXT_CODECS = ("gzip", "zlib", "bz2", "lzma", "snappy")
 
 
 def compress_bytes(data: bytes, codec: str) -> bytes:
@@ -2214,6 +2389,8 @@ def compress_bytes(data: bytes, codec: str) -> bytes:
         return bz2.compress(data, 9)
     if codec == "lzma":
         return lzma.compress(data, preset=6)
+    if codec == "snappy":
+        return _snappy_frame_compress(data)
     raise ValueError(f"unknown codec {codec!r} (supported: {_TEXT_CODECS})")
 
 
@@ -2225,6 +2402,8 @@ def sniff_compression(data: bytes) -> str | None:
         return "lzma"
     if len(data) >= 3 and data[:3] == b"BZh":
         return "bz2"
+    if len(data) >= 10 and data[:10] == _SNAPPY_MAGIC:
+        return "snappy"
     if (
         len(data) >= 2
         and (data[0] & 0x0F) == 8  # CM=8 (deflate) — any CINFO window
@@ -2256,6 +2435,10 @@ def decompress_bytes(data: bytes, codec: str = "auto") -> bytes:
             return bz2.decompress(data)
         if kind == "lzma":
             return lzma.decompress(data)
+        if kind == "snappy":
+            if data.startswith(_SNAPPY_MAGIC):
+                return _snappy_frame_decompress(data)
+            return _snappy_raw_decompress(data)
     except Exception as exc:  # noqa: BLE001 - normalize codec errors
         raise ValueError(f"corrupt {kind} payload") from exc
     raise ValueError("unknown compression container")

@@ -14913,3 +14913,81 @@ def _init_q309() -> None:
 
 
 _init_q309()
+
+
+# --------------------------------------------------------------------
+# q310 — snappy compressed columns on the exact gate (r9: snappy gets
+# a REAL pure-stdlib implementation — framed container with masked
+# CRC32C + full raw decoder incl. all copy tags — so the one codec
+# every columnar lake writes by default no longer NULLs out. zstd is
+# now the only library-bound codec; PARITY.md codec closure.)
+# --------------------------------------------------------------------
+
+def _init_q310() -> None:
+    from ..functions import multimodal as M
+
+    @register(
+        "q310_snappy_roundtrip",
+        """
+        SELECT doc_id,
+               doc_id % 5 <> 0 AS ok,
+               CASE WHEN doc_id % 5 = 0 THEN NULL
+                    ELSE CAST(length(text) AS BIGINT) END AS n_chars,
+               CASE WHEN doc_id % 5 = 0 THEN NULL
+                    ELSE md5(text) END AS text_md5
+        FROM documents
+        """,
+        doc="Snappy compressed text columns on the exact gate "
+            "(functions/multimodal.py _snappy_frame_compress / "
+            "_snappy_raw_decompress via compress_bytes/"
+            "decompress_bytes): per document the text is compressed "
+            "executor-side to the FRAMED snappy container (sNaPpY "
+            "magic, 64 KiB chunks, masked CRC-32C — the pure-stdlib "
+            "table-driven Castagnoli implementation, not zlib's "
+            "ISO-HDLC crc32), one in five blobs gets its last "
+            "payload byte flipped, then everything goes back through "
+            "the MAGIC-SNIFFING decompress path. Corrupt blobs fail "
+            "the chunk checksum deterministically and become NULL "
+            "(warn-and-skip, never garbage); intact blobs round-trip "
+            "bit-exactly, hashed as (length, md5) against plain SQL "
+            "over the original text. The raw (unframed) format, all "
+            "three copy-tag widths, overlapping copies, and public "
+            "CRC-32C test vectors are unit-tested "
+            "(tests/test_multimodal.py). Same zero-Exchange Arrow "
+            "shape as q304 (plan-asserted).",
+    )
+    def q310_snappy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def gen(it):
+            import pandas as _pd
+
+            for pdf in it:
+                ids, blobs = [], []
+                for d, t in zip(pdf["doc_id"], pdf["text"]):
+                    d = int(d)
+                    blob = bytearray(
+                        M.compress_bytes(t.encode("utf-8"), "snappy")
+                    )
+                    if d % 5 == 0:
+                        blob[-1] ^= 0xFF  # breaks the chunk CRC
+                    ids.append(d)
+                    blobs.append(bytes(blob))
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": _pd.Series(ids, dtype="int64"),
+                        "blob": blobs,
+                    }
+                )
+
+        packed = docs.mapInPandas(gen, schema="doc_id bigint, blob binary")
+        text2 = M.decompress_text("blob", codec="auto")
+        return packed.select(
+            "doc_id",
+            text2.isNotNull().alias("ok"),
+            F.length(text2).cast("bigint").alias("n_chars"),
+            F.md5(F.encode(text2, "utf-8")).alias("text_md5"),
+        )
+
+
+_init_q310()

@@ -1340,3 +1340,81 @@ def test_webdataset_shard_composes_with_video_decode(spark):
     assert sorted(by["b.avi"]) == [(0, 0)]
     assert all(r.sum_gray == 64 * 2 * (10 % 128) for r in stats
                if r.doc_id == "a.avi")
+
+
+def test_snappy_raw_and_framed_codec():
+    import pytest
+
+    from node_etl_spark.functions.multimodal import (
+        _crc32c,
+        _snappy_frame_compress,
+        _snappy_frame_decompress,
+        _snappy_raw_compress,
+        _snappy_raw_decompress,
+        compress_bytes,
+        decompress_bytes,
+        sniff_compression,
+    )
+
+    # public CRC-32C check value (Castagnoli; distinct from zlib.crc32)
+    assert _crc32c(b"123456789") == 0xE3069283
+    assert _crc32c(b"") == 0
+
+    data = ("snappy round trip " * 500).encode() + bytes(range(256))
+    for payload in (b"", b"x", data, bytes(70000)):  # multi-chunk framed
+        framed = compress_bytes(payload, "snappy")
+        assert sniff_compression(framed) == "snappy"
+        assert decompress_bytes(framed, "auto") == payload
+        assert _snappy_frame_compress(payload) == framed  # deterministic
+        raw = _snappy_raw_compress(payload)
+        assert decompress_bytes(raw, "snappy") == payload  # raw, no magic
+        assert sniff_compression(raw) in (None, "zlib") or payload == b""
+
+    # copy tags from the public format description: 1-byte-offset
+    # (len 4-11), 2-byte-offset, and self-overlapping copies
+    raw = bytes([12, 3 << 2]) + b"abcd" + bytes([1 | (4 << 2), 4])
+    assert _snappy_raw_decompress(raw) == b"abcdabcdabcd"
+    raw = bytes([8, 1 << 2]) + b"xy" + bytes([2 | (5 << 2)]) + (2).to_bytes(
+        2, "little"
+    )
+    assert _snappy_raw_decompress(raw) == b"xyxyxyxy"
+    raw = bytes([5, 0 << 2]) + b"a" + bytes([1 | (0 << 2), 1])  # RLE via
+    assert _snappy_raw_decompress(raw) == b"aaaaa"  # overlap, off=1 len=4
+    # skippable + padding chunks in the framed container are ignored
+    framed = bytearray(compress_bytes(b"hello", "snappy"))
+    framed += bytes((0xFE, 3, 0, 0)) + b"pad"
+    framed += bytes((0x80, 1, 0, 0)) + b"s"
+    assert _snappy_frame_decompress(bytes(framed)) == b"hello"
+
+    for bad in (
+        b"\xff\x06\x00\x00sNaPpX",           # wrong magic
+        compress_bytes(b"hello", "snappy")[:-1],  # truncated chunk
+        bytes([200]),                        # truncated varint
+        bytes([4, 1 | (0 << 2), 9]),         # copy offset beyond output
+    ):
+        with pytest.raises(ValueError):
+            decompress_bytes(bad, "snappy")
+    # checksum mismatch: flip a payload byte
+    blob = bytearray(compress_bytes(b"checksum me", "snappy"))
+    blob[-1] ^= 0xFF
+    with pytest.raises(ValueError):
+        decompress_bytes(bytes(blob), "auto")
+
+
+def test_snappy_text_columns_roundtrip(spark):
+    from node_etl_spark.functions.multimodal import (
+        compress_text,
+        decompress_text,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "héllo snappy"), (2, None), (3, "x" * 100000)],
+        "doc_id bigint, text string",
+    )
+    out = df.select(
+        "doc_id",
+        decompress_text(compress_text("text", "snappy"), "auto").alias("t2"),
+    )
+    got = {r.doc_id: r.t2 for r in out.collect()}
+    assert got[1] == "héllo snappy" and got[2] is None
+    assert got[3] == "x" * 100000  # multi-chunk framed value

@@ -982,6 +982,15 @@ def test_compressed_text_plan_single_udf_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_snappy_roundtrip_plan_single_udf_no_shuffle(spark, sf_dir):
+    # q310: compress+corrupt (mapInPandas) + ONE sniffing decompress
+    # UDF (Catalyst dedups the repeated column) and no Exchange
+    plan = _plan(spark, sf_dir, "q310_snappy_roundtrip")
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+
+
 def test_quality_classifier_plan_jvm_side_one_exchange(spark, sf_dir):
     # q305: inference rides the text scan JVM-side — zero Python
     # stages, and the ONLY exchange is the final per-language rollup
