@@ -445,3 +445,20 @@ def test_progressive_scan_layer_roundtrip_property(
         br = _JpegBitReader(data, 0)
         dec(br, data, coefs)
     assert coefs == blocks
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=hst.binary(min_size=0, max_size=70000))
+def test_snappy_raw_and_framed_roundtrip_property(data):
+    # ANY byte string survives snappy round-trips in both containers;
+    # 70000-byte inputs force multi-chunk framed streams and the
+    # two-byte literal-length form in the raw stream
+    from node_etl_spark.functions.multimodal import (
+        _snappy_frame_compress,
+        _snappy_frame_decompress,
+        _snappy_raw_compress,
+        _snappy_raw_decompress,
+    )
+
+    assert _snappy_raw_decompress(_snappy_raw_compress(data)) == data
+    assert _snappy_frame_decompress(_snappy_frame_compress(data)) == data
