@@ -266,35 +266,44 @@ DRIVER_GATE_SENTINELS: list[str] = [
 ]
 
 
-def _driver_verified(root=None) -> set[str]:
-    """Query names with a GREEN row (hash_match == true and err == null)
-    in any committed CORRECTNESS_r*.json driver artifact. Makes the
-    rotation self-maintaining: each round's ~50-row driver sample targets
-    the still-unverified backlog automatically, without hand-reordering
-    DRIVER_GATE_SENTINELS every round. Rows that merely APPEAR in an
-    artifact but never hash-passed (err='no_oracle' rows from r1-r3,
-    hash_match=false failures) do NOT count — a reshaped or previously
-    failed query re-queues ahead of already-green queries. Missing or
-    unreadable artifacts degrade to the static order (empty set)."""
+def _driver_green_rounds(root=None) -> dict[str, int]:
+    """Latest round in which each query had a GREEN row (hash_match ==
+    true and err == null) in a committed CORRECTNESS_r*.json driver
+    artifact, keyed by query name. Makes the rotation self-maintaining:
+    each round's ~50-row driver sample targets the still-unverified
+    backlog automatically, without hand-reordering DRIVER_GATE_SENTINELS
+    every round. Rows that merely APPEAR in an artifact but never
+    hash-passed (err='no_oracle' rows from r1-r3, hash_match=false
+    failures) do NOT count — a reshaped or previously failed query
+    re-queues ahead of already-green queries. Missing or unreadable
+    artifacts degrade to the static order (empty dict)."""
     import json
+    import re
     from pathlib import Path
 
-    seen: set[str] = set()
+    latest: dict[str, int] = {}
     if root is None:
         root = Path(__file__).resolve().parents[2]
     for f in sorted(Path(root).glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", f.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(f.read_text())
-            seen.update(
-                k
-                for k, v in rows.items()
-                if isinstance(v, dict)
-                and v.get("hash_match") is True
-                and v.get("err") is None
-            )
+            for k, v in rows.items():
+                if (
+                    isinstance(v, dict)
+                    and v.get("hash_match") is True
+                    and v.get("err") is None
+                ):
+                    latest[k] = max(latest.get(k, 0), rnd)
         except Exception:  # noqa: BLE001 - artifact hygiene, never fatal
             pass
-    return seen
+    return latest
+
+
+def _driver_verified(root=None) -> set[str]:
+    """Set view of _driver_green_rounds (names with any green row)."""
+    return set(_driver_green_rounds(root))
 
 
 def _gate_order() -> list[str]:
@@ -302,13 +311,21 @@ def _gate_order() -> list[str]:
     curated DRIVER_GATE_SENTINELS order first, then remaining
     registration order (new queries land here, BEHIND the curated
     backlog, per the round-6 verdict rule); (2) already-verified
-    queries in the same sentinel-then-registration order."""
-    verified = _driver_verified()
+    queries on a STALENESS LADDER (verdict r9 ask #3): ascending by the
+    round of their most recent green driver row, oldest-confirmed
+    first, so spare rotation slots re-confirm the r1-era rows on the
+    current tree instead of re-verifying last round's sample. Ties
+    break by the same sentinel-then-registration order."""
+    green_rounds = _driver_green_rounds()
     curated = [n for n in DRIVER_GATE_SENTINELS if n in QUERIES]
     rest = [n for n in QUERIES if n not in set(curated)]
     ordered = curated + rest
-    head = [n for n in ordered if n not in verified]
-    return head + [n for n in ordered if n in verified]
+    head = [n for n in ordered if n not in green_rounds]
+    tail = sorted(
+        (n for n in ordered if n in green_rounds),
+        key=lambda n: (green_rounds[n], ordered.index(n)),
+    )
+    return head + tail
 
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -199,6 +199,42 @@ def test_driver_verified_ignores_red_rows(tmp_path):
     assert _driver_verified(tmp_path) == {"q_green", "q_red_mismatch"}
 
 
+def test_gate_order_staleness_ladder(tmp_path):
+    # VERDICT r9 ask #3: among already-green queries, the rotation must
+    # order by the round of the most recent green row ASCENDING, so
+    # spare driver slots re-confirm the oldest-verified rows (the
+    # r1-era q01-q51 band) instead of re-sampling last round's set
+    import json
+
+    from node_etl_spark.plans.queries import (
+        QUERIES,
+        _driver_green_rounds,
+        _gate_order,
+    )
+
+    art_r1 = {"q_old": {"hash_match": True, "err": None}}
+    art_r9 = {
+        "q_old": {"hash_match": True, "err": None},  # re-greened later
+        "q_new": {"hash_match": True, "err": None},
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(art_r1))
+    (tmp_path / "CORRECTNESS_r09.json").write_text(json.dumps(art_r9))
+    rounds = _driver_green_rounds(tmp_path)
+    assert rounds == {"q_old": 9, "q_new": 9}  # latest round wins
+
+    # on the real committed artifacts: the verified tail of the gate
+    # order must be non-decreasing in latest-green round
+    real = _driver_green_rounds()
+    if not real:
+        return
+    order = _gate_order()
+    tail_rounds = [real[n] for n in order if n in real]
+    assert tail_rounds == sorted(tail_rounds), (
+        "verified queries are not on an oldest-green-first ladder"
+    )
+    assert sorted(order) == sorted(QUERIES)
+
+
 def test_topk_windows_get_windowgrouplimit_pushdown(spark, sf_dir):
     # round-8 window audit: every site SCALE.md claims as
     # "pushdown" has a literal rn <= k rank filter, which Spark must
