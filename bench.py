@@ -346,10 +346,16 @@ def main() -> None:
             clear_blocks()
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
-    # the driver records only the last ~2000 chars of output; emit the
+    # the driver records only the LAST ~2000 chars of output; emit the
     # queries dict under short keys ("q01", "q122", ...) with compact
-    # separators so the ONE JSON line always fits that capture window
-    short = {name.split("_", 1)[0]: secs for name, secs in timings.items()}
+    # separators. Sorted ASCENDING by seconds (verdict r9 ask #5): the
+    # tail window keeps the END of the line, so the slowest (hot-set)
+    # queries go last and survive any truncation length — BENCH_r09
+    # lost q01-q174's timings because registration order put them first
+    short = {
+        name.split("_", 1)[0]: secs
+        for name, secs in sorted(timings.items(), key=lambda kv: kv[1])
+    }
     # fixed-work CPU calibration (hash+sum over 100M longs, best of
     # 3): round-over-round suite comparisons span VM instances whose
     # raw speed varies by tens of percent; dividing by calib_sec
