@@ -174,7 +174,21 @@ def _corrupt_as_valueerror(fn):
     def wrapped(*args, **kwargs):
         try:
             return fn(*args, **kwargs)
-        except (struct.error, IndexError) as exc:
+        except struct.error as exc:
+            raise ValueError(f"truncated input: {exc}") from exc
+        except IndexError as exc:
+            # only IndexErrors RAISED by the byte-parsing code in this
+            # module are 'truncated input'; one whose deepest frame is
+            # in some other file is a genuine bug in a helper and must
+            # propagate, not be swallowed by warn-and-skip callers
+            # (ADVICE r9). numpy C-level bound errors surface at the
+            # in-module call line and remain indistinguishable — the
+            # decoders index numpy buffers only after length checks.
+            tb = exc.__traceback__
+            while tb is not None and tb.tb_next is not None:
+                tb = tb.tb_next
+            if tb is not None and tb.tb_frame.f_code.co_filename != __file__:
+                raise
             raise ValueError(f"truncated input: {exc}") from exc
 
     return wrapped
@@ -2328,8 +2342,19 @@ def _snappy_frame_compress(data: bytes) -> bytes:
     while True:
         chunk = data[pos : pos + 65536]
         crc = _snappy_mask_crc(_crc32c(chunk)).to_bytes(4, "little")
-        payload = crc + _snappy_raw_compress(chunk)
-        out += bytes((0x00,)) + len(payload).to_bytes(3, "little") + payload
+        comp = _snappy_raw_compress(chunk)
+        # framing spec: prefer an uncompressed (0x01) chunk when the
+        # compressed form is not smaller (ADVICE r9 — the all-literal
+        # encoder always expands by the length header, so every chunk
+        # takes this branch today; a real LZ77 matcher dropped behind
+        # _snappy_raw_compress flips it automatically). The CRC covers
+        # the UNCOMPRESSED bytes in both chunk types.
+        if len(comp) < len(chunk):
+            ctype, body = 0x00, comp
+        else:
+            ctype, body = 0x01, chunk
+        payload = crc + body
+        out += bytes((ctype,)) + len(payload).to_bytes(3, "little") + payload
         pos += 65536
         if pos >= len(data):
             break
@@ -2426,6 +2451,17 @@ def decompress_bytes(data: bytes, codec: str = "auto") -> bytes:
     import zlib
 
     kind = sniff_compression(data) if codec == "auto" else codec
+    if kind == "zlib" and codec == "auto":
+        # the RFC1950 sniff is a weak heuristic (low nibble 8, CINFO
+        # <= 7, 1/31 checksum pass), not a magic: arbitrary binary can
+        # satisfy it. Attempt the inflate and report an UNKNOWN
+        # container on failure instead of committing to 'corrupt
+        # zlib' (ADVICE r9); explicit codec='zlib' keeps the precise
+        # corrupt-payload error below.
+        try:
+            return zlib.decompress(data)
+        except Exception:  # noqa: BLE001 - sniff false positive
+            raise ValueError("unknown compression container") from None
     try:
         if kind == "gzip":
             return gzip.decompress(data)
@@ -3118,8 +3154,12 @@ def decode_avi_mjpeg(content: bytes) -> tuple[int, int, int, list[bytes]]:
     and skipping JUNK/unknown chunks, parses avih inside LIST hdrl
     for dimensions and frame timing, and collects the '00dc'/'00db'
     frame payloads inside LIST movi in stream order (rec-grouped
-    movi lists are flattened). Returns (width, height, ms_per_frame,
-    [jpeg_bytes, ...]). Raises ValueError on non-AVI, truncated, or
+    movi lists are flattened). Returns (width, height, us_per_frame,
+    [jpeg_bytes, ...]) — frame timing stays in MICROSECONDS (the
+    container's dwMicroSecPerFrame unit): dividing to ms here would
+    floor 33333 us (30 fps) to 33 ms and drift timestamps ~1%
+    cumulatively (ADVICE r9); callers derive ms per frame INDEX as
+    fi * us_per_frame // 1000. Raises ValueError on non-AVI, truncated, or
     non-MJPEG streams (other fourccs stay behind the documented
     ffmpeg deployment-dependency policy)."""
     import struct
@@ -3137,7 +3177,7 @@ def decode_avi_mjpeg(content: bytes) -> tuple[int, int, int, list[bytes]]:
             yield tag, pos + 8, payload_end
             pos = payload_end + (length % 2)
 
-    width = height = ms_per_frame = None
+    width = height = us_per_frame = None
     # multi-stream AVIs (video + audio, or several video streams):
     # stream index = strl order; frame chunks are tagged "NNdc"/"NNdb"
     # with NN the two-digit stream number. Collect per stream and keep
@@ -3165,7 +3205,7 @@ def decode_avi_mjpeg(content: bytes) -> tuple[int, int, int, list[bytes]]:
                     if q1 - q0 < 40:
                         raise ValueError("short avih chunk")
                     vals = struct.unpack_from("<10I", content, q0)
-                    ms_per_frame = vals[0] // 1000
+                    us_per_frame = vals[0]
                     width, height = vals[8], vals[9]
                 elif t2 == b"LIST" and content[q0 : q0 + 4] == b"strl":
                     for t3, r0, r1 in walk(content, q0 + 4, q1):
@@ -3182,7 +3222,7 @@ def decode_avi_mjpeg(content: bytes) -> tuple[int, int, int, list[bytes]]:
                     stream_idx += 1
         elif kind == b"movi":
             scan_movi(p0 + 4, p1)
-    if width is None or ms_per_frame is None:
+    if width is None or us_per_frame is None:
         raise ValueError("missing avih header")
     if video_stream is not None:
         idx, handler = video_stream
@@ -3196,7 +3236,7 @@ def decode_avi_mjpeg(content: bytes) -> tuple[int, int, int, list[bytes]]:
     else:
         # header-less minimal files: stream 00 by convention
         frames = by_stream.get(b"00", [])
-    return width, height, ms_per_frame, frames
+    return width, height, us_per_frame, frames
 
 
 def video_frame_stats(
@@ -3254,7 +3294,7 @@ def video_frame_stats(
                 if k < 1:
                     continue  # per-row bad stride: warn-and-skip row
                 try:
-                    _w, _h, mspf, frames = decode_avi_mjpeg(bytes(content))
+                    _w, _h, uspf, frames = decode_avi_mjpeg(bytes(content))
                 except Exception:  # noqa: BLE001 - corrupt input policy
                     continue
                 for fi, payload in enumerate(frames):
@@ -3267,7 +3307,9 @@ def video_frame_stats(
                     px = np.asarray(rows, dtype=np.int64)
                     ids.append(rid)
                     fis.append(fi)
-                    tss.append(fi * mspf)
+                    # µs-domain product floored ONCE per timestamp:
+                    # per-frame ms rounding would drift cumulatively
+                    tss.append(fi * uspf // 1000)
                     ns.append(fw * fh)
                     sgs.append(int(px.sum()))
             yield pd.DataFrame(

@@ -1675,6 +1675,53 @@ _ROUNDTRIP_ORACLE = f"""
 _SCRATCH = "/root/repo/.scratch"
 
 
+def _codec_fixture(spark, sf_dir, name, version, build):
+    """Pre-materialized codec fixture (verdict r9 ask #4): the
+    deterministic synthetic ENCODE stage of the codec queries
+    (q295-q310) used to run inline on every execution, so roughly half
+    of each benched time measured the test-data GENERATOR rather than
+    the decode operator being graded. Build once per (sf, query,
+    version) into a parquet under .scratch/fixtures, then start the
+    measured plan at the decode stage with a plain columnar scan.
+
+    ``build()`` returns the generation DataFrame; generation is fully
+    deterministic (doc_id-seeded formulas, fixed encoder metadata), so
+    fixture identity is checkable: an order-independent content
+    fingerprint (bit_xor of xxhash64 over all columns + row count) is
+    recorded in the ``_FIXTURE_OK`` sidecar at build time, and the
+    determinism test rebuilds into a fresh root and compares. The
+    build lands in a temp dir and publishes via atomic rename, so a
+    concurrent builder (pytest-xdist halves) either wins the rename or
+    discards its copy — readers never see a partial fixture. BUMP THE
+    VERSION whenever the generation formula or encoder output bytes
+    change, or a stale fixture from a previous round silently feeds
+    the new oracle."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    final = f"{_SCRATCH}/fixtures/{tag}/{name}_v{version}"
+    if not _os.path.exists(_os.path.join(final, "_FIXTURE_OK")):
+        tmp = f"{final}.build-{_uuid.uuid4().hex[:8]}"
+        build().write.mode("overwrite").parquet(tmp)
+        back = spark.read.parquet(tmp)
+        cols = ", ".join(f"`{c}`" for c in back.columns)
+        fp = back.agg(
+            F.expr(f"bit_xor(xxhash64({cols}))").alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        with open(_os.path.join(tmp, "_FIXTURE_OK"), "w") as f:
+            f.write(_json.dumps({"rows": fp["n"], "xxh64_xor": fp["h"]}))
+        try:
+            _os.makedirs(_os.path.dirname(final), exist_ok=True)
+            _os.rename(tmp, final)
+        except OSError:  # lost the publish race: another build won
+            _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(final)
+
+
 def _roundtrip_frame(spark: SparkSession, sf_dir: str):
     return table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
@@ -13631,7 +13678,12 @@ def _init_q295() -> None:
                     blobs.append(M.encode_bmp24(w, h, rows))
                 yield _pd.DataFrame({"path": paths, "content": blobs})
 
-        binaries = docs.mapInPandas(gen, schema="path string, content binary")
+        binaries = _codec_fixture(
+            spark, sf_dir, "q295_bmp_decode", 1,
+            lambda: docs.mapInPandas(
+                gen, schema="path string, content binary"
+            ),
+        )
         feats = M.extract_image_features(
             binaries, decode_fn=M.decode_bmp_features
         )
@@ -13778,7 +13830,12 @@ def _init_q297() -> None:
                     )
                 yield _pd.DataFrame({"path": paths, "content": blobs})
 
-        binaries = docs.mapInPandas(gen, schema="path string, content binary")
+        binaries = _codec_fixture(
+            spark, sf_dir, "q297_png_decode", 1,
+            lambda: docs.mapInPandas(
+                gen, schema="path string, content binary"
+            ),
+        )
         feats = M.extract_image_features(
             binaries, decode_fn=M.decode_png_features
         )
@@ -13861,8 +13918,11 @@ def _init_q298() -> None:
                     }
                 )
 
-        binaries = docs.mapInPandas(
-            gen, schema="doc_id bigint, content binary"
+        binaries = _codec_fixture(
+            spark, sf_dir, "q298_wav_energy", 1,
+            lambda: docs.mapInPandas(
+                gen, schema="doc_id bigint, content binary"
+            ),
         )
         return M.wav_window_energy(binaries, id_col="doc_id", window=64)
 
@@ -13946,7 +14006,12 @@ def _init_q299() -> None:
                     )
                 yield _pd.DataFrame({"path": paths, "content": blobs})
 
-        binaries = docs.mapInPandas(gen, schema="path string, content binary")
+        binaries = _codec_fixture(
+            spark, sf_dir, "q299_jpeg_decode", 1,
+            lambda: docs.mapInPandas(
+                gen, schema="path string, content binary"
+            ),
+        )
         feats = M.extract_image_features(
             binaries, decode_fn=M.decode_jpeg_features
         )
@@ -14054,8 +14119,11 @@ def _init_q300() -> None:
                     }
                 )
 
-        binaries = docs.mapInPandas(
-            gen, schema="doc_id bigint, content binary"
+        binaries = _codec_fixture(
+            spark, sf_dir, "q300_gif_frames", 1,
+            lambda: docs.mapInPandas(
+                gen, schema="doc_id bigint, content binary"
+            ),
         )
         # every_k varies per doc, so sample in two branches and union:
         # k=1 docs keep every frame, k=2 docs keep even frames. Both
@@ -14141,8 +14209,11 @@ def _init_q301_q302() -> None:
                     }
                 )
 
-        binaries = docs.mapInPandas(
-            gen, schema="doc_id bigint, content binary"
+        binaries = _codec_fixture(
+            spark, sf_dir, "q301_webdataset_shard", 1,
+            lambda: docs.mapInPandas(
+                gen, schema="doc_id bigint, content binary"
+            ),
         )
         members = M.explode_tar_members(binaries)
         return members.select(
@@ -14217,8 +14288,11 @@ def _init_q301_q302() -> None:
                     }
                 )
 
-        binaries = docs.mapInPandas(
-            gen, schema="doc_id bigint, content binary"
+        binaries = _codec_fixture(
+            spark, sf_dir, "q302_webdataset_samples", 1,
+            lambda: docs.mapInPandas(
+                gen, schema="doc_id bigint, content binary"
+            ),
         )
         samples = M.webdataset_samples(binaries)
         return samples.select(
@@ -14361,8 +14435,11 @@ def _init_q304() -> None:
                     }
                 )
 
-        packed = docs.withColumn("codec", codec).mapInPandas(
-            gen, schema="doc_id bigint, codec string, blob binary"
+        packed = _codec_fixture(
+            spark, sf_dir, "q304_compressed_text", 1,
+            lambda: docs.withColumn("codec", codec).mapInPandas(
+                gen, schema="doc_id bigint, codec string, blob binary"
+            ),
         )
         text = M.decompress_text("blob", codec="auto")
         return packed.select(
@@ -14555,8 +14632,11 @@ def _init_q306() -> None:
                     }
                 )
 
-        binaries = docs.mapInPandas(
-            gen, schema="doc_id bigint, k int, content binary"
+        binaries = _codec_fixture(
+            spark, sf_dir, "q306_video_frames", 1,
+            lambda: docs.mapInPandas(
+                gen, schema="doc_id bigint, k int, content binary"
+            ),
         )
         # per-document stride (1 + doc_id % 2) goes in as a COLUMN —
         # the operator's per-row every_k mode — so skipped frames are
@@ -14653,7 +14733,12 @@ def _init_q307() -> None:
                     )
                 yield _pd.DataFrame({"path": paths, "content": blobs})
 
-        binaries = docs.mapInPandas(gen, schema="path string, content binary")
+        binaries = _codec_fixture(
+            spark, sf_dir, "q307_progressive_jpeg", 1,
+            lambda: docs.mapInPandas(
+                gen, schema="path string, content binary"
+            ),
+        )
         feats = M.extract_image_features(
             binaries, decode_fn=M.decode_jpeg_features
         )
@@ -14776,7 +14861,12 @@ def _init_q308() -> None:
                     )
                 yield _pd.DataFrame({"path": paths, "content": blobs})
 
-        binaries = docs.mapInPandas(gen, schema="path string, content binary")
+        binaries = _codec_fixture(
+            spark, sf_dir, "q308_color_jpeg", 1,
+            lambda: docs.mapInPandas(
+                gen, schema="path string, content binary"
+            ),
+        )
         feats = M.extract_image_features(
             binaries, decode_fn=M.decode_jpeg_color_features
         )
@@ -14918,8 +15008,11 @@ def _init_q309() -> None:
                     }
                 )
 
-        binaries = docs.mapInPandas(
-            gen, schema="doc_id bigint, content binary"
+        binaries = _codec_fixture(
+            spark, sf_dir, "q309_image_neardup", 1,
+            lambda: docs.mapInPandas(
+                gen, schema="doc_id bigint, content binary"
+            ),
         )
         sigs = M.image_ahash(binaries).select(
             "doc_id", F.col("phash").alias("simhash")
@@ -14997,7 +15090,14 @@ def _init_q310() -> None:
                     }
                 )
 
-        packed = docs.mapInPandas(gen, schema="doc_id bigint, blob binary")
+        packed = _codec_fixture(
+            # v2: framed compressor now emits uncompressed (0x01)
+            # chunks when compression does not shrink (ADVICE r9)
+            spark, sf_dir, "q310_snappy_roundtrip", 2,
+            lambda: docs.mapInPandas(
+                gen, schema="doc_id bigint, blob binary"
+            ),
+        )
         text2 = M.decompress_text("blob", codec="auto")
         return packed.select(
             "doc_id",

@@ -730,6 +730,46 @@ def _image_ahash_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     return FnTransform(fn, name="image_ahash")
 
 
+def _simhash_dedup_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """Fingerprint near-dup REMOVAL (r10, verdict r9 ask #6): Manku
+    combination banding pairs over an integer fingerprint column
+    (``sig_col``, e.g. image_ahash's phash or simhash64's sketch),
+    connected-component clusters, keep-lowest-id survivorship — the
+    q309 pair stage plus the exact_dedup survivorship rule as one
+    declarative op. Scale shape: 20-bit combo-key bucket join +
+    fixed-round union-find, never all-pairs."""
+    from pyspark.sql import functions as F
+
+    from .functions import dedup as dd
+    from .functions.graph import dedup_clusters
+
+    idc = d.get("id_col", "doc_id")
+    sig = d.get("sig_col", "simhash")
+    max_hamming = int(d.get("max_hamming", 4))
+    bits = int(d.get("bits", 60))
+    blocks = int(d.get("blocks", 6))
+
+    def fn(df):
+        sigs = df.select(
+            F.col(idc).alias("doc_id"), F.col(sig).alias("simhash")
+        )
+        pairs = dd.simhash_band_pairs(
+            sigs,
+            max_hamming=max_hamming,
+            bits=bits,
+            blocks=blocks,
+            collapse_identical=True,
+        )
+        removed = (
+            dedup_clusters(sigs, pairs, id_col="doc_id")
+            .filter(~F.col("is_canonical"))
+            .select(F.col("doc_id").alias(idc))
+        )
+        return df.join(removed, idc, "left_anti")
+
+    return FnTransform(fn, name="simhash_dedup")
+
+
 def _bloom_semi_join_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     from .functions.sketch import bloom_semi_join
 
@@ -874,6 +914,7 @@ _REGISTRY.update(
         "decode_image": _decode_image_op,
         "video_frames": _video_frames_op,
         "image_ahash": _image_ahash_op,
+        "simhash_dedup": _simhash_dedup_op,
         "explode_tar": _explode_tar_op,
         "compress_text": _compress_text_op,
         "decompress_text": _decompress_text_op,

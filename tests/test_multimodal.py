@@ -872,13 +872,23 @@ def test_avi_mjpeg_container_roundtrip_and_adversaries():
     ]
     avi = encode_avi_mjpeg(16, 8, jpegs, ms_per_frame=25)
     assert sniff_media_type(avi) == "avi"
-    w, h, mspf, frames = decode_avi_mjpeg(avi)
-    assert (w, h, mspf) == (16, 8, 25)
+    w, h, uspf, frames = decode_avi_mjpeg(avi)
+    # timing comes back in MICROSECONDS (ADVICE r9: 30fps = 33333 us
+    # must not floor to 33 ms and drift); 25 ms/frame encodes as 25000
+    assert (w, h, uspf) == (16, 8, 25000)
     assert frames == jpegs  # byte-exact payload recovery through JUNK
     # every recovered frame decodes to the exact constant-block pixels
     for f, payload in enumerate(frames):
         fw, fh, rows = decode_jpeg_gray(payload)
         assert (fw, fh) == (16, 8) and rows == frame(3, f, 2, 1)
+    # a standard 30 fps file stores dwMicroSecPerFrame=33333: the
+    # decoder must hand it back un-floored (ts for frame 30 is then
+    # 30*33333//1000 = 999 ms, not 30*33 = 990)
+    import struct as _struct
+
+    fps30 = bytearray(avi)
+    _struct.pack_into("<I", fps30, bytes(fps30).find(b"avih") + 8, 33333)
+    assert decode_avi_mjpeg(bytes(fps30))[2] == 33333
     # odd-length payloads exercise the RIFF pad-byte rule
     odd = encode_avi_mjpeg(4, 4, [b"\xff\xd8\x01", b"\xff\xd8\x02\x03"])
     assert decode_avi_mjpeg(odd)[3] == [b"\xff\xd8\x01", b"\xff\xd8\x02\x03"]
@@ -1293,7 +1303,7 @@ def test_avi_multistream_keeps_only_the_video_stream():
     struct.pack_into(
         "<I", grown, 4, struct.unpack_from("<I", grown, 4)[0] + len(noise)
     )
-    w, h, mspf, frames = decode_avi_mjpeg(bytes(grown))
+    w, h, uspf, frames = decode_avi_mjpeg(bytes(grown))
     assert frames == jpegs  # stream-0 frames only, in order
 
 
@@ -1418,3 +1428,90 @@ def test_snappy_text_columns_roundtrip(spark):
     got = {r.doc_id: r.t2 for r in out.collect()}
     assert got[1] == "héllo snappy" and got[2] is None
     assert got[3] == "x" * 100000  # multi-chunk framed value
+
+
+def test_snappy_framed_prefers_uncompressed_chunks():
+    # ADVICE r9: the framing spec recommends uncompressed (0x01)
+    # chunks when compression does not shrink — with the all-literal
+    # raw encoder that is every chunk, and the blob gets smaller
+    from node_etl_spark.functions.multimodal import (
+        _SNAPPY_MAGIC,
+        _crc32c,
+        _snappy_frame_decompress,
+        _snappy_mask_crc,
+        _snappy_raw_compress,
+        compress_bytes,
+        decompress_bytes,
+    )
+
+    payload = b"not very compressible \x00\x01\x02" * 40
+    framed = compress_bytes(payload, "snappy")
+    assert framed[len(_SNAPPY_MAGIC)] == 0x01  # uncompressed chunk type
+    # 0x01 body = crc + raw bytes: total = magic + 4 hdr + 4 crc + len
+    assert len(framed) == len(_SNAPPY_MAGIC) + 8 + len(payload)
+    assert decompress_bytes(framed, "auto") == payload
+    # legacy 0x00 (compressed) chunks from earlier rounds still decode
+    comp = _snappy_raw_compress(payload)
+    crc = _snappy_mask_crc(_crc32c(payload)).to_bytes(4, "little")
+    body = crc + comp
+    legacy = (
+        _SNAPPY_MAGIC
+        + bytes((0x00,))
+        + len(body).to_bytes(3, "little")
+        + body
+    )
+    assert _snappy_frame_decompress(legacy) == payload
+    # CRC covers the UNCOMPRESSED bytes: flipping a raw data byte in
+    # an 0x01 chunk still fails the checksum deterministically
+    import pytest
+
+    bad = bytearray(framed)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError):
+        decompress_bytes(bytes(bad), "auto")
+
+
+def test_zlib_sniff_false_positive_reports_unknown_container():
+    # ADVICE r9: the RFC1950 sniff is a 1/31 heuristic — arbitrary
+    # binary passing it must surface as 'unknown compression
+    # container' under auto, not 'corrupt zlib'; explicit codec='zlib'
+    # keeps the precise corrupt-payload error
+    import pytest
+
+    from node_etl_spark.functions.multimodal import (
+        decompress_bytes,
+        sniff_compression,
+    )
+
+    fake = b"\x78\x9cdefinitely not a deflate stream"
+    assert sniff_compression(fake) == "zlib"  # header passes the sniff
+    with pytest.raises(ValueError, match="unknown compression container"):
+        decompress_bytes(fake, "auto")
+    with pytest.raises(ValueError, match="corrupt zlib payload"):
+        decompress_bytes(fake, "zlib")
+
+
+def test_corrupt_wrapper_propagates_foreign_indexerrors():
+    # ADVICE r9: only byte-parsing IndexErrors raised inside
+    # multimodal.py are 'truncated input'; an IndexError whose deepest
+    # frame is in OTHER code (a helper bug) must propagate so
+    # warn-and-skip callers do not swallow it
+    import struct
+
+    import pytest
+
+    from node_etl_spark.functions.multimodal import _corrupt_as_valueerror
+
+    @_corrupt_as_valueerror
+    def foreign_bug():
+        return [][5]  # deepest frame: THIS test file
+
+    with pytest.raises(IndexError):
+        foreign_bug()
+
+    @_corrupt_as_valueerror
+    def truncated_parse():
+        struct.unpack_from("<I", b"\x01", 0)
+
+    with pytest.raises(ValueError, match="truncated input"):
+        truncated_parse()

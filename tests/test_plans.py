@@ -199,6 +199,43 @@ def test_driver_verified_ignores_red_rows(tmp_path):
     assert _driver_verified(tmp_path) == {"q_green", "q_red_mismatch"}
 
 
+def test_codec_fixture_build_reuse_determinism(spark, tmp_path, monkeypatch):
+    # VERDICT r9 ask #4: codec fixtures build ONCE per (sf, query,
+    # version) — the benched plan starts at decode — and generation is
+    # deterministic, so a rebuild into a fresh root must reproduce the
+    # identical content fingerprint recorded in the sidecar
+    import json
+
+    from node_etl_spark.plans import queries as Q
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(10).selectExpr(
+            "id AS doc_id",
+            "encode(md5(CAST(id AS STRING)), 'utf-8') AS content",
+        )
+
+    monkeypatch.setattr(Q, "_SCRATCH", str(tmp_path / "a"))
+    df = Q._codec_fixture(spark, "/any/sf0.001", "fx", 1, build)
+    assert df.count() == 10 and calls["n"] == 1
+    Q._codec_fixture(spark, "/any/sf0.001", "fx", 1, build)
+    assert calls["n"] == 1, "cached fixture was rebuilt"
+    fp1 = json.loads(
+        (tmp_path / "a/fixtures/sf0.001/fx_v1/_FIXTURE_OK").read_text()
+    )
+    monkeypatch.setattr(Q, "_SCRATCH", str(tmp_path / "b"))
+    Q._codec_fixture(spark, "/any/sf0.001", "fx", 1, build)
+    fp2 = json.loads(
+        (tmp_path / "b/fixtures/sf0.001/fx_v1/_FIXTURE_OK").read_text()
+    )
+    assert calls["n"] == 2 and fp1 == fp2, "generation is not deterministic"
+    # a version bump (generation change) must rebuild, not reuse
+    Q._codec_fixture(spark, "/any/sf0.001", "fx", 2, build)
+    assert calls["n"] == 3
+
+
 def test_gate_order_staleness_ladder(tmp_path):
     # VERDICT r9 ask #3: among already-green queries, the rotation must
     # order by the round of the most recent green row ASCENDING, so
@@ -907,11 +944,13 @@ def test_q288_rules_confidence_lift_consistency(spark, sf_dir):
 
 
 def test_bmp_decode_plan_adds_no_shuffle(spark, sf_dir):
-    # q295: generate -> encode -> decode are chained mapInPandas
-    # stages over the same partitioning; the only exchange allowed is
-    # whatever the final projection needs (none)
+    # q295: the synthetic encode stage is pre-materialized once per SF
+    # (verdict r9 ask #4, _codec_fixture) so the measured plan is a
+    # columnar fixture scan -> ONE decode mapInPandas; the only
+    # exchange allowed is whatever the final projection needs (none)
     plan = _plan(spark, sf_dir, "q295_bmp_decode")
-    assert plan.count("MapInPandas") == 2  # encode stage + decode stage
+    assert plan.count("MapInPandas") == 1  # decode stage only
+    assert "fixtures" in plan  # scans the pre-built fixture parquet
     assert "Exchange" not in plan
 
 
@@ -927,46 +966,49 @@ def test_ann_recall_audit_plans_stay_bucketed(spark, sf_dir):
 
 
 def test_jpeg_and_gif_decode_plans_add_no_shuffle(spark, sf_dir):
-    # q299/q300: like q295/q297, generate -> encode -> decode are
-    # chained mapInPandas stages over the source partitioning; decode
-    # must add zero Exchange (the 100 TB property: codec work is
-    # embarrassingly parallel, partition-local)
+    # q299/q300: like q295/q297, the measured plan starts at the
+    # pre-built fixture scan; decode must add zero Exchange (the
+    # 100 TB property: codec work is embarrassingly parallel,
+    # partition-local)
     plan = _plan(spark, sf_dir, "q299_jpeg_decode")
-    assert plan.count("MapInPandas") == 2  # encode stage + decode stage
+    assert plan.count("MapInPandas") == 1  # decode stage only
     assert "Exchange" not in plan
     plan = _plan(spark, sf_dir, "q300_gif_frames")
-    # two filtered branches (every_k=1 / every_k=2), each encode+stats
-    assert plan.count("MapInPandas") == 4
+    # two filtered branches (every_k=1 / every_k=2), one stats stage each
+    assert plan.count("MapInPandas") == 2
     assert "Exchange" not in plan
     assert "Union" in plan  # partition-local union, not a shuffle
 
 
 def test_progressive_jpeg_plan_adds_no_shuffle(spark, sf_dir):
-    # q307: same encode -> decode mapInPandas chain as q299; the
+    # q307: same fixture-scan -> decode shape as q299; the
     # progressive scan pipeline must not change the plan shape
     plan = _plan(spark, sf_dir, "q307_progressive_jpeg")
-    assert plan.count("MapInPandas") == 2
+    assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan
 
 
 def test_r9_codec_queries_prune_documents_scan(spark, sf_dir):
-    # the generator queries need only doc_id; the parquet scan must
-    # prune every other documents column (text/lang/source/...)
+    # the measured plan must start at the pre-built fixture scan
+    # (verdict r9 ask #4) and never touch the documents table — the
+    # doc_id-only pruned generation scan now lives in the one-time
+    # fixture build, not in every benched execution
     for name in ("q306_video_frames", "q307_progressive_jpeg",
                  "q308_color_jpeg", "q309_image_neardup"):
         plan = _plan(spark, sf_dir, name)
-        assert "ReadSchema: struct<doc_id:bigint>" in plan, name
+        assert "fixtures" in plan, name
+        assert "documents.parquet" not in plan, name
 
 
 def test_image_neardup_plan_bands_never_cartesian(spark, sf_dir):
-    # q309: encode -> real decode -> aHash are mapInPandas stages; the
+    # q309: fixture scan -> real decode -> aHash mapInPandas; the
     # pair stage must be the Manku banding equi-join (bucket join on
     # combo keys), never a cartesian/broadcast-nested-loop all-pairs
     plan = _plan(spark, sf_dir, "q309_image_neardup")
-    # encode + ahash run ONCE into the persisted combo frame; the
+    # decode+ahash run ONCE into the persisted combo frame; the
     # printed plan shows the cached subtree under both join sides
     assert "InMemoryTableScan" in plan
-    assert plan.count("MapInPandas") in (2, 4)
+    assert plan.count("MapInPandas") in (1, 2)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # equi-join on the combo keys (broadcast at test SF; shuffled hash
@@ -975,31 +1017,31 @@ def test_image_neardup_plan_bands_never_cartesian(spark, sf_dir):
 
 
 def test_color_jpeg_plan_adds_no_shuffle(spark, sf_dir):
-    # q308: same encode -> decode mapInPandas chain as q299/q307; the
+    # q308: same fixture-scan -> decode shape as q299/q307; the
     # three-component interleave must not change the plan shape
     plan = _plan(spark, sf_dir, "q308_color_jpeg")
-    assert plan.count("MapInPandas") == 2
+    assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan
 
 
 def test_video_frames_plan_adds_no_shuffle(spark, sf_dir):
-    # q306: clip encode -> AVI parse + per-row-stride frame sample +
-    # JPEG decode are chained mapInPandas stages over the source
-    # partitioning; zero Exchange (the 100 TB property: video decode
-    # is embarrassingly parallel, partition-local, and skipped frames
+    # q306: fixture scan -> AVI parse + per-row-stride frame sample +
+    # JPEG decode in one mapInPandas stage over the scan partitioning;
+    # zero Exchange (the 100 TB property: video decode is
+    # embarrassingly parallel, partition-local, and skipped frames
     # are never entropy-decoded)
     plan = _plan(spark, sf_dir, "q306_video_frames")
-    assert plan.count("MapInPandas") == 2  # encode stage + stats stage
+    assert plan.count("MapInPandas") == 1  # stats stage only
     assert "Exchange" not in plan
 
 
 def test_webdataset_plans_add_no_shuffle(spark, sf_dir):
-    # q301/q302: shard build -> explode / sample grouping are chained
-    # mapInPandas stages; the WebDataset adjacency contract makes
-    # sample grouping partition-local, so NO Exchange may appear
+    # q301/q302: fixture scan -> explode / sample grouping; the
+    # WebDataset adjacency contract makes sample grouping
+    # partition-local, so NO Exchange may appear
     for name in ("q301_webdataset_shard", "q302_webdataset_samples"):
         plan = _plan(spark, sf_dir, name)
-        assert plan.count("MapInPandas") == 2, name
+        assert plan.count("MapInPandas") == 1, name
         assert "Exchange" not in plan, name
 
 
@@ -1010,20 +1052,22 @@ def test_unicode_normalize_plan_adds_no_shuffle(spark, sf_dir):
 
 
 def test_compressed_text_plan_single_udf_no_shuffle(spark, sf_dir):
-    # q304: compress (mapInPandas) + ONE sniffing decompress UDF
-    # (Catalyst dedups the repeated column expression) and no Exchange
+    # q304: fixture scan + ONE sniffing decompress UDF (Catalyst
+    # dedups the repeated column expression) and no Exchange; the
+    # compress stage lives in the one-time fixture build
     plan = _plan(spark, sf_dir, "q304_compressed_text")
     assert plan.count("ArrowEvalPython") == 1
-    assert plan.count("MapInPandas") == 1
+    assert plan.count("MapInPandas") == 0
     assert "Exchange" not in plan
 
 
 def test_snappy_roundtrip_plan_single_udf_no_shuffle(spark, sf_dir):
-    # q310: compress+corrupt (mapInPandas) + ONE sniffing decompress
-    # UDF (Catalyst dedups the repeated column) and no Exchange
+    # q310: fixture scan (compress+corrupt live in the one-time
+    # fixture build) + ONE sniffing decompress UDF (Catalyst dedups
+    # the repeated column) and no Exchange
     plan = _plan(spark, sf_dir, "q310_snappy_roundtrip")
     assert plan.count("ArrowEvalPython") == 1
-    assert plan.count("MapInPandas") == 1
+    assert plan.count("MapInPandas") == 0
     assert "Exchange" not in plan
 
 
