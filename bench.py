@@ -280,6 +280,8 @@ HEADLINE = [
     "q308_color_jpeg",
     "q309_image_neardup",
     "q310_snappy_roundtrip",
+    "q311_zstd_roundtrip",
+    "q312_zstd_pure_decode",
 ]
 
 

@@ -2395,7 +2395,745 @@ def _snappy_frame_decompress(data: bytes) -> bytes:
     return bytes(out)
 
 
-_TEXT_CODECS = ("gzip", "zlib", "bz2", "lzma", "snappy")
+# --------------------------------------------------------------------
+# zstd (RFC 8878) — r10, closing the last codec from PARITY's
+# deployment-dependency list. Two engines behind one seam:
+#   * COMPRESS: the system libzstd via a pure-stdlib ctypes binding
+#     (no pip package needed — libzstd.so ships with every mainstream
+#     distro); falls back to `_zstd_stored_compress`, which writes a
+#     valid zstd frame of RAW blocks + content checksum that every
+#     conformant decoder reads (entropy ENCODING is the genuinely
+#     library-bound half).
+#   * DECOMPRESS: libzstd when present (the 100 TB fast path), else
+#     `_zstd_py_decompress` — a complete pure-stdlib RFC 8878 frame
+#     decoder (FSE, Huffman literals incl. 4-stream, interleaved
+#     sequence bitstreams, repeat offsets, XXH64 content checksum),
+#     cross-validated against real libzstd output in unit tests.
+# --------------------------------------------------------------------
+
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+_ZSTD_MAX_OUT = 1 << 27  # 128 MiB per value: decompression-bomb guard
+
+# XXH64 primes (public domain reference constants)
+_XX64_P1 = 0x9E3779B185EBCA87
+_XX64_P2 = 0xC2B2AE3D27D4EB4F
+_XX64_P3 = 0x165667B19E3779F9
+_XX64_P4 = 0x85EBCA77C2B2AE63
+_XX64_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _xxh64(data: bytes, seed: int = 0) -> int:
+    """Pure-stdlib XXH64 (zstd's frame checksum is its low 32 bits,
+    seed 0). Cross-checked against the JVM implementation via Spark's
+    xxhash64(binary, seed 42) in tests — two independent codebases
+    agreeing on random inputs."""
+    import struct
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _M64
+
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XX64_P1 + _XX64_P2) & _M64
+        v2 = (seed + _XX64_P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XX64_P1) & _M64
+        while i <= n - 32:
+            a, b, c, d = struct.unpack_from("<4Q", data, i)
+            v1 = (rotl((v1 + a * _XX64_P2) & _M64, 31) * _XX64_P1) & _M64
+            v2 = (rotl((v2 + b * _XX64_P2) & _M64, 31) * _XX64_P1) & _M64
+            v3 = (rotl((v3 + c * _XX64_P2) & _M64, 31) * _XX64_P1) & _M64
+            v4 = (rotl((v4 + d * _XX64_P2) & _M64, 31) * _XX64_P1) & _M64
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (rotl((v * _XX64_P2) & _M64, 31) * _XX64_P1) & _M64
+            h = (h * _XX64_P1 + _XX64_P4) & _M64
+    else:
+        h = (seed + _XX64_P5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        k = int.from_bytes(data[i : i + 8], "little")
+        h ^= (rotl((k * _XX64_P2) & _M64, 31) * _XX64_P1) & _M64
+        h = (rotl(h, 27) * _XX64_P1 + _XX64_P4) & _M64
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XX64_P1) & _M64
+        h = (rotl(h, 23) * _XX64_P2 + _XX64_P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XX64_P5) & _M64
+        h = (rotl(h, 11) * _XX64_P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XX64_P2) & _M64
+    h ^= h >> 29
+    h = (h * _XX64_P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+_LIBZSTD_CACHE: list = []  # [] unprobed; [None] absent; [lib] loaded
+
+
+def _libzstd():
+    """ctypes handle to the SYSTEM libzstd, or None. Stdlib-only
+    binding (ctypes) — no pip package; parameter enums are stable ABI
+    (zstd.h: compressionLevel=100, contentSizeFlag=200,
+    checksumFlag=201)."""
+    if _LIBZSTD_CACHE:
+        return _LIBZSTD_CACHE[0]
+    import ctypes
+    import ctypes.util
+
+    lib = None
+    names = ["libzstd.so.1", "libzstd.so", "libzstd.1.dylib"]
+    found = ctypes.util.find_library("zstd")
+    if found:
+        names.append(found)
+    for name in names:
+        try:
+            lib = ctypes.CDLL(name)
+            break
+        except OSError:
+            continue
+    if lib is not None:
+        try:
+            c = ctypes
+            lib.ZSTD_isError.restype = c.c_uint
+            lib.ZSTD_isError.argtypes = [c.c_size_t]
+            lib.ZSTD_compressBound.restype = c.c_size_t
+            lib.ZSTD_compressBound.argtypes = [c.c_size_t]
+            lib.ZSTD_createCCtx.restype = c.c_void_p
+            lib.ZSTD_freeCCtx.argtypes = [c.c_void_p]
+            lib.ZSTD_CCtx_setParameter.restype = c.c_size_t
+            lib.ZSTD_CCtx_setParameter.argtypes = [c.c_void_p, c.c_int, c.c_int]
+            lib.ZSTD_compress2.restype = c.c_size_t
+            lib.ZSTD_compress2.argtypes = [
+                c.c_void_p, c.c_void_p, c.c_size_t, c.c_char_p,
+                c.c_size_t,
+            ]  # (cctx, dst, dstCap, src, srcSize)
+            lib.ZSTD_decompress.restype = c.c_size_t
+            lib.ZSTD_decompress.argtypes = [
+                c.c_void_p, c.c_size_t, c.c_char_p, c.c_size_t,
+            ]
+            lib.ZSTD_getFrameContentSize.restype = c.c_ulonglong
+            lib.ZSTD_getFrameContentSize.argtypes = [c.c_char_p, c.c_size_t]
+        except AttributeError:  # too old / stripped: treat as absent
+            lib = None
+    _LIBZSTD_CACHE.append(lib)
+    return lib
+
+
+def _zstd_lib_compress(data: bytes, level: int = 3) -> bytes:
+    import ctypes
+
+    lib = _libzstd()
+    cctx = lib.ZSTD_createCCtx()
+    if not cctx:
+        raise ValueError("zstd context allocation failed")
+    try:
+        lib.ZSTD_CCtx_setParameter(cctx, 100, level)  # compressionLevel
+        lib.ZSTD_CCtx_setParameter(cctx, 200, 1)  # contentSizeFlag
+        lib.ZSTD_CCtx_setParameter(cctx, 201, 1)  # checksumFlag
+        bound = lib.ZSTD_compressBound(len(data))
+        dst = ctypes.create_string_buffer(bound)
+        ret = lib.ZSTD_compress2(cctx, dst, bound, data, len(data))
+        if lib.ZSTD_isError(ret):
+            raise ValueError("zstd compression failed")
+        return dst.raw[:ret]
+    finally:
+        lib.ZSTD_freeCCtx(cctx)
+
+
+def _zstd_lib_decompress(data: bytes) -> bytes:
+    import ctypes
+
+    lib = _libzstd()
+    size = lib.ZSTD_getFrameContentSize(data, len(data))
+    if size == _M64:  # ZSTD_CONTENTSIZE_UNKNOWN: stream without FCS
+        return _zstd_py_decompress(data)
+    if size == _M64 - 1:  # ZSTD_CONTENTSIZE_ERROR
+        raise ValueError("corrupt zstd frame header")
+    if size > _ZSTD_MAX_OUT:
+        raise ValueError("zstd content too large")
+    dst = ctypes.create_string_buffer(max(int(size), 1))
+    ret = lib.ZSTD_decompress(dst, int(size), data, len(data))
+    if lib.ZSTD_isError(ret) or ret != size:
+        raise ValueError("corrupt zstd payload")
+    return dst.raw[: int(size)]
+
+
+def _zstd_stored_compress(data: bytes) -> bytes:
+    """Valid zstd frame using only RAW blocks (single-segment, content
+    size + XXH64 checksum): the pure-stdlib WRITER fallback when
+    libzstd is absent. Expands by 3 bytes per 128 KiB plus a 9-17 byte
+    envelope; every conformant decoder (including libzstd and
+    _zstd_py_decompress) reads it."""
+    n = len(data)
+    if n < 256:
+        fcs_code, fcs = 0, n.to_bytes(1, "little")
+    elif n <= 0xFFFF + 256:
+        fcs_code, fcs = 1, (n - 256).to_bytes(2, "little")
+    elif n < (1 << 32):
+        fcs_code, fcs = 2, n.to_bytes(4, "little")
+    else:
+        fcs_code, fcs = 3, n.to_bytes(8, "little")
+    out = bytearray(_ZSTD_MAGIC)
+    out.append((fcs_code << 6) | (1 << 5) | (1 << 2))  # single-seg+checksum
+    out += fcs
+    pos = 0
+    while True:
+        chunk = data[pos : pos + 131072]  # Block_Maximum_Size
+        pos += len(chunk)
+        last = 1 if pos >= n else 0
+        out += ((len(chunk) << 3) | last).to_bytes(3, "little")  # type raw
+        out += chunk
+        if last:
+            break
+    out += (_xxh64(data, 0) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)
+
+
+class _ZstdBackBits:
+    """Backward bitstream (RFC 8878 §4.1): the encoder writes bits
+    back-to-front; the final byte carries a 1-bit end marker. read(n)
+    past the start zero-fills (legal only where the spec allows —
+    callers check `pos` for overflow)."""
+
+    __slots__ = ("val", "pos")
+
+    def __init__(self, data: bytes):
+        if not data:
+            raise ValueError("empty zstd bitstream")
+        v = int.from_bytes(data, "little")
+        if v == 0:
+            raise ValueError("missing zstd bitstream end marker")
+        self.val = v
+        self.pos = v.bit_length() - 1  # drop the padding marker bit
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        p = self.pos - n
+        self.pos = p
+        if p >= 0:
+            return (self.val >> p) & ((1 << n) - 1)
+        return (self.val << -p) & ((1 << n) - 1)
+
+    def peek(self, n: int) -> int:
+        p = self.pos - n
+        if p >= 0:
+            return (self.val >> p) & ((1 << n) - 1)
+        return (self.val << -p) & ((1 << n) - 1)
+
+
+def _fse_table(counts, accuracy_log):
+    """FSE decode table per RFC 8878 §4.1.1: cell i -> (symbol, nbits,
+    baseline). '-1' (less-than-one) symbols take cells from the table
+    end; the rest spread with the standard (size/2 + size/8 + 3)
+    step."""
+    size = 1 << accuracy_log
+    syms = [0] * size
+    high = size - 1
+    for s, c in enumerate(counts):
+        if c == -1:
+            syms[high] = s
+            high -= 1
+    pos = 0
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    for s, c in enumerate(counts):
+        for _ in range(max(c, 0)):
+            syms[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ValueError("corrupt FSE distribution")
+    nxt = [c if c > 0 else 1 for c in counts]
+    table = []
+    for i in range(size):
+        s = syms[i]
+        x = nxt[s]
+        nxt[s] = x + 1
+        nbits = accuracy_log - (x.bit_length() - 1)
+        table.append((s, nbits, (x << nbits) - size))
+    return table
+
+
+def _fse_read_distribution(data: bytes, offset: int, max_symbol: int):
+    """Read an FSE normalized-count header (forward, LSB-first).
+    Returns (counts, accuracy_log, bytes_consumed). Mirrors the
+    reference FSE_readNCount flow: threshold reads with one-bit-short
+    small values, 2-bit zero-repeat flags after a zero count."""
+    bitpos = 0
+
+    def peek(n: int) -> int:
+        end = offset + (bitpos + n + 7) // 8
+        chunk = int.from_bytes(data[offset:end], "little")
+        return (chunk >> bitpos) & ((1 << n) - 1)
+
+    accuracy_log = peek(4) + 5
+    bitpos += 4
+    if accuracy_log > 9:
+        raise ValueError("FSE accuracy log too large")
+    remaining = (1 << accuracy_log) + 1
+    threshold = 1 << accuracy_log
+    nbits = accuracy_log + 1
+    counts: list[int] = []
+    prev_zero = False
+    while remaining > 1 and len(counts) <= max_symbol:
+        if prev_zero:
+            while True:
+                rep = peek(2)
+                bitpos += 2
+                counts.extend([0] * rep)
+                if rep != 3:
+                    break
+            prev_zero = False
+            if len(counts) > max_symbol:
+                break
+        maxv = 2 * threshold - 1 - remaining
+        v = peek(nbits)
+        if (v & (threshold - 1)) < maxv:
+            v &= threshold - 1
+            bitpos += nbits - 1
+        else:
+            if v >= threshold:
+                v -= maxv
+            bitpos += nbits
+        count = v - 1  # 0 encodes the 'less than 1' (-1) probability
+        remaining -= -count if count < 0 else count
+        counts.append(count)
+        prev_zero = count == 0
+        while remaining < threshold:
+            nbits -= 1
+            threshold >>= 1
+    if remaining != 1:
+        raise ValueError("corrupt FSE distribution total")
+    used = (bitpos + 7) // 8
+    if offset + used > len(data):
+        raise ValueError("truncated FSE distribution")
+    return counts, accuracy_log, used
+
+
+def _huf_table(weights):
+    """Canonical Huffman decode table from explicit weights plus the
+    implicit last weight (completes the power of two). Table of
+    2^max_bits cells -> (symbol, nbits); lowest-weight symbols fill
+    from cell 0 (RFC 8878 §4.2.1)."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("empty huffman weights")
+    max_bits = total.bit_length()
+    left = (1 << max_bits) - total
+    if left == 0 or left & (left - 1):
+        raise ValueError("corrupt huffman weights")
+    if max_bits > 11:
+        raise ValueError("huffman code length over 11 bits")
+    weights = list(weights) + [left.bit_length()]
+    table = [None] * (1 << max_bits)
+    code = 0
+    for w in range(1, max_bits + 1):
+        nbits = max_bits + 1 - w
+        span = 1 << (w - 1)
+        for s, ws in enumerate(weights):
+            if ws == w:
+                table[code : code + span] = [(s, nbits)] * span
+                code += span
+    if code != len(table):
+        raise ValueError("corrupt huffman weights")
+    return table, max_bits
+
+
+def _huf_read_weights(data: bytes, offset: int):
+    """Huffman tree description (RFC 8878 §4.2.1.2): header byte >= 128
+    means direct 4-bit weights; < 128 means FSE-compressed weights
+    (two interleaved states, emission from the OTHER state after
+    bitstream overflow — the reference FSE_decompress interleave
+    rule). Returns (weights, bytes_consumed)."""
+    hb = data[offset]
+    if hb >= 128:
+        n = hb - 127
+        nbytes = (n + 1) // 2
+        raw = data[offset + 1 : offset + 1 + nbytes]
+        if len(raw) < nbytes:
+            raise ValueError("truncated huffman weights")
+        weights = []
+        for i in range(n):
+            b = raw[i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        return weights, 1 + nbytes
+    comp = data[offset + 1 : offset + 1 + hb]
+    if len(comp) < hb:
+        raise ValueError("truncated huffman weights")
+    counts, al, used = _fse_read_distribution(comp, 0, 255)
+    if al > 6:
+        raise ValueError("huffman weight accuracy log over 6")
+    table = _fse_table(counts, al)
+    bs = _ZstdBackBits(comp[used:])
+    states = [bs.read(al), bs.read(al)]
+    if bs.pos < 0:
+        raise ValueError("truncated huffman weight stream")
+    weights = []
+    i = 0
+    while len(weights) < 256:
+        sym, nb, base = table[states[i & 1]]
+        weights.append(sym)
+        states[i & 1] = base + bs.read(nb)
+        if bs.pos < 0:  # overflow: flush the OTHER state and stop
+            weights.append(table[states[(i + 1) & 1]][0])
+            break
+        i += 1
+    else:
+        raise ValueError("huffman weights overflow")
+    return weights, 1 + hb
+
+
+def _huf_decode_stream(table, max_bits, data, out_len):
+    if out_len == 0:
+        return b""
+    bs = _ZstdBackBits(data)
+    out = bytearray()
+    while len(out) < out_len:
+        s, nb = table[bs.peek(max_bits)]
+        bs.pos -= nb
+        if bs.pos < 0:
+            raise ValueError("corrupt huffman literal stream")
+        out.append(s)
+    if bs.pos != 0:
+        raise ValueError("huffman literal stream not fully consumed")
+    return bytes(out)
+
+
+# Sequence code tables (RFC 8878 §3.1.1.3.2.1): code -> (baseline, bits)
+_ZSTD_LL_CODE = [(i, 0) for i in range(16)] + [
+    (16, 1), (18, 1), (20, 1), (22, 1), (24, 2), (28, 2), (32, 3),
+    (40, 3), (48, 4), (64, 6), (128, 7), (256, 8), (512, 9), (1024, 10),
+    (2048, 11), (4096, 12), (8192, 13), (16384, 14), (32768, 15),
+    (65536, 16),
+]
+_ZSTD_ML_CODE = [(i + 3, 0) for i in range(32)] + [
+    (35, 1), (37, 1), (39, 1), (41, 1), (43, 2), (47, 2), (51, 3),
+    (59, 3), (67, 4), (83, 4), (99, 5), (131, 7), (259, 8), (515, 9),
+    (1027, 10), (2051, 11), (4099, 12), (8195, 13), (16387, 14),
+    (32771, 15), (65539, 16),
+]
+# Predefined FSE distributions (RFC 8878 §3.1.1.3.2.2)
+_ZSTD_LL_DEFAULT = ([
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
+    2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1,
+], 6)
+_ZSTD_ML_DEFAULT = ([
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, -1, -1, -1, -1, -1, -1, -1,
+], 6)
+_ZSTD_OF_DEFAULT = ([
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, -1, -1, -1, -1, -1,
+], 5)
+_ZSTD_PREDEF_CACHE: dict = {}
+
+
+def _zstd_seq_table(data, sp, mode, prev, default, max_code, max_al):
+    """One sequence-section table per compression mode: 0 predefined,
+    1 RLE (single 1-cell state), 2 FSE-described, 3 repeat previous.
+    Returns ((table, accuracy_log), new_offset)."""
+    if mode == 0:
+        key = id(default)
+        if key not in _ZSTD_PREDEF_CACHE:
+            counts, al = default
+            _ZSTD_PREDEF_CACHE[key] = (_fse_table(counts, al), al)
+        return _ZSTD_PREDEF_CACHE[key], sp
+    if mode == 1:
+        sym = data[sp]
+        if sym > max_code:
+            raise ValueError("zstd RLE sequence symbol out of range")
+        return ([(sym, 0, 0)], 0), sp + 1
+    if mode == 2:
+        counts, al, used = _fse_read_distribution(data, sp, max_code)
+        if al > max_al:
+            raise ValueError("zstd sequence accuracy log too large")
+        return (_fse_table(counts, al), al), sp + used
+    if prev is None:
+        raise ValueError("zstd repeat mode with no previous table")
+    return prev, sp
+
+
+def _zstd_decode_block(block: bytes, out: bytearray, ctx: dict) -> None:
+    """One compressed block: literals section (raw/RLE/Huffman incl.
+    the 4-stream split) + sequences section (interleaved FSE states,
+    backward bitstream, repeat-offset history)."""
+    if not block:
+        raise ValueError("empty zstd compressed block")
+    b0 = block[0]
+    lt = b0 & 3
+    sf = (b0 >> 2) & 3
+    if lt <= 1:  # raw / RLE literals
+        if sf in (0, 2):
+            regen, p = b0 >> 3, 1
+        elif sf == 1:
+            regen, p = (b0 >> 4) | (block[1] << 4), 2
+        else:
+            regen = (b0 >> 4) | (block[1] << 4) | (block[2] << 12)
+            p = 3
+        if lt == 0:
+            literals = bytes(block[p : p + regen])
+            p += regen
+        else:
+            literals = block[p : p + 1] * regen
+            p += 1
+        if len(literals) != regen:
+            raise ValueError("truncated zstd literals")
+    else:  # Huffman-compressed / treeless literals
+        if sf == 0:
+            streams, szbits, hlen = 1, 10, 3
+        elif sf == 1:
+            streams, szbits, hlen = 4, 10, 3
+        elif sf == 2:
+            streams, szbits, hlen = 4, 14, 4
+        else:
+            streams, szbits, hlen = 4, 18, 5
+        hdr = int.from_bytes(block[:hlen], "little")
+        regen = (hdr >> 4) & ((1 << szbits) - 1)
+        comp = (hdr >> (4 + szbits)) & ((1 << szbits) - 1)
+        section = block[hlen : hlen + comp]
+        if len(section) != comp:
+            raise ValueError("truncated zstd literals section")
+        p = hlen + comp
+        q = 0
+        if lt == 2:
+            weights, q = _huf_read_weights(section, 0)
+            ctx["huf"] = _huf_table(weights)
+        if ctx["huf"] is None:
+            raise ValueError("treeless literals with no previous table")
+        table, max_bits = ctx["huf"]
+        if streams == 1:
+            literals = _huf_decode_stream(table, max_bits, section[q:], regen)
+        else:
+            if q + 6 > len(section):
+                raise ValueError("truncated zstd stream jump table")
+            sizes = [
+                int.from_bytes(section[q : q + 2], "little"),
+                int.from_bytes(section[q + 2 : q + 4], "little"),
+                int.from_bytes(section[q + 4 : q + 6], "little"),
+            ]
+            q += 6
+            sizes.append(len(section) - q - sum(sizes))
+            if sizes[3] <= 0:
+                raise ValueError("corrupt zstd stream sizes")
+            r = (regen + 3) // 4
+            regs = [r, r, r, regen - 3 * r]
+            if regs[3] < 0:
+                raise ValueError("corrupt zstd 4-stream regen size")
+            lit = bytearray()
+            for sz, rg in zip(sizes, regs):
+                lit += _huf_decode_stream(
+                    table, max_bits, section[q : q + sz], rg
+                )
+                q += sz
+            literals = bytes(lit)
+    # ---- sequences section ----
+    seq = block[p:]
+    if not seq:
+        raise ValueError("missing zstd sequences section")
+    s0 = seq[0]
+    if s0 == 0:
+        out += literals
+        return
+    if s0 < 128:
+        nseq, sp = s0, 1
+    elif s0 < 255:
+        nseq, sp = ((s0 - 128) << 8) + seq[1], 2
+    else:
+        nseq, sp = int.from_bytes(seq[1:3], "little") + 0x7F00, 3
+    modes = seq[sp]
+    sp += 1
+    if modes & 3:
+        raise ValueError("reserved zstd sequence mode bits set")
+    ctx["ll"], sp = _zstd_seq_table(
+        seq, sp, modes >> 6, ctx["ll"], _ZSTD_LL_DEFAULT, 35, 9
+    )
+    ctx["of"], sp = _zstd_seq_table(
+        seq, sp, (modes >> 4) & 3, ctx["of"], _ZSTD_OF_DEFAULT, 31, 8
+    )
+    ctx["ml"], sp = _zstd_seq_table(
+        seq, sp, (modes >> 2) & 3, ctx["ml"], _ZSTD_ML_DEFAULT, 52, 9
+    )
+    (ll_tab, ll_al), (of_tab, of_al), (ml_tab, ml_al) = (
+        ctx["ll"], ctx["of"], ctx["ml"],
+    )
+    bs = _ZstdBackBits(seq[sp:])
+    ll_state = bs.read(ll_al)
+    of_state = bs.read(of_al)
+    ml_state = bs.read(ml_al)
+    if bs.pos < 0:
+        raise ValueError("truncated zstd sequence bitstream")
+    rep = ctx["rep"]
+    lp = 0
+    for i in range(nseq):
+        of_code = of_tab[of_state][0]
+        if of_code > 31:
+            raise ValueError("zstd offset code out of range")
+        ofv = (1 << of_code) + bs.read(of_code)
+        mlb, mlx = _ZSTD_ML_CODE[ml_tab[ml_state][0]]
+        ml = mlb + bs.read(mlx)
+        llb, llx = _ZSTD_LL_CODE[ll_tab[ll_state][0]]
+        ll = llb + bs.read(llx)
+        if ofv > 3:
+            offset = ofv - 3
+            rep[2], rep[1], rep[0] = rep[1], rep[0], offset
+        else:
+            k = ofv if ll != 0 else ofv + 1  # ll==0 shifts the history
+            if k == 1:
+                offset = rep[0]
+            elif k == 2:
+                offset = rep[1]
+                rep[1], rep[0] = rep[0], offset
+            elif k == 3:
+                offset = rep[2]
+                rep[2], rep[1], rep[0] = rep[1], rep[0], offset
+            else:  # k == 4: Repeated_Offset1 - 1
+                offset = rep[0] - 1
+                rep[2], rep[1], rep[0] = rep[1], rep[0], offset
+        if offset <= 0:
+            raise ValueError("corrupt zstd repeat offset")
+        if lp + ll > len(literals):
+            raise ValueError("zstd literals overrun")
+        out += literals[lp : lp + ll]
+        lp += ll
+        if offset > len(out):
+            raise ValueError("zstd match before window start")
+        if len(out) + ml > _ZSTD_MAX_OUT:
+            raise ValueError("zstd output too large")
+        if ml:
+            if offset == 1:
+                out += out[-1:] * ml
+            elif ml <= offset:
+                start = len(out) - offset
+                out += out[start : start + ml]
+            else:  # self-overlapping copy
+                start = len(out) - offset
+                for _ in range(ml):
+                    out.append(out[start])
+                    start += 1
+        if i != nseq - 1:  # update states: LL, then ML, then OF
+            _s, nb, base = ll_tab[ll_state]
+            ll_state = base + bs.read(nb)
+            _s, nb, base = ml_tab[ml_state]
+            ml_state = base + bs.read(nb)
+            _s, nb, base = of_tab[of_state]
+            of_state = base + bs.read(nb)
+            if bs.pos < 0:
+                raise ValueError("zstd sequence bitstream overrun")
+    if bs.pos != 0:
+        raise ValueError("zstd sequence bitstream not fully consumed")
+    out += literals[lp:]
+
+
+@_corrupt_as_valueerror
+def _zstd_py_decompress(data: bytes) -> bytes:
+    """Pure-stdlib zstd decoder (RFC 8878): frame header, raw/RLE/
+    compressed blocks, Huffman literals (direct + FSE-compressed
+    weights, 1- and 4-stream), FSE sequence tables (predefined / RLE /
+    described / repeat), interleaved backward bitstream, repeat-offset
+    history, skippable frames, XXH64 content checksum. Dictionaries
+    and windows over 128 MiB are rejected. Cross-validated against
+    real libzstd output in tests/test_multimodal.py."""
+    pos = 0
+    out_all = bytearray()
+    while pos < len(data):
+        if pos + 4 > len(data):
+            raise ValueError("truncated zstd magic")
+        mv = int.from_bytes(data[pos : pos + 4], "little")
+        if (mv & 0xFFFFFFF0) == 0x184D2A50:  # skippable frame
+            if pos + 8 > len(data):
+                raise ValueError("truncated zstd skippable frame")
+            pos += 8 + int.from_bytes(data[pos + 4 : pos + 8], "little")
+            if pos > len(data):
+                raise ValueError("truncated zstd skippable frame")
+            continue
+        if data[pos : pos + 4] != _ZSTD_MAGIC:
+            raise ValueError("not a zstd frame")
+        pos = _zstd_decode_frame(data, pos + 4, out_all)
+    return bytes(out_all)
+
+
+def _zstd_decode_frame(data: bytes, pos: int, out_all: bytearray) -> int:
+    fhd = data[pos]
+    pos += 1
+    if fhd & 0x08:
+        raise ValueError("reserved zstd frame header bit set")
+    single = (fhd >> 5) & 1
+    if not single:
+        wd = data[pos]
+        pos += 1
+        base = 1 << (10 + (wd >> 3))
+        if base + (base // 8) * (wd & 7) > _ZSTD_MAX_OUT:
+            raise ValueError("zstd window too large")
+    did_len = (0, 1, 2, 4)[fhd & 3]
+    if did_len:
+        if int.from_bytes(data[pos : pos + did_len], "little"):
+            raise ValueError("zstd dictionaries not supported")
+        pos += did_len
+    fcs_len = (1 if single else 0, 2, 4, 8)[fhd >> 6]
+    fcs = None
+    if fcs_len:
+        if pos + fcs_len > len(data):
+            raise ValueError("truncated zstd frame header")
+        fcs = int.from_bytes(data[pos : pos + fcs_len], "little")
+        pos += fcs_len
+        if fcs_len == 2:
+            fcs += 256
+        if fcs > _ZSTD_MAX_OUT:
+            raise ValueError("zstd content too large")
+    start = len(out_all)
+    ctx = {"huf": None, "ll": None, "of": None, "ml": None, "rep": [1, 4, 8]}
+    while True:
+        if pos + 3 > len(data):
+            raise ValueError("truncated zstd block header")
+        bh = int.from_bytes(data[pos : pos + 3], "little")
+        pos += 3
+        last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+        if btype == 0:
+            if pos + bsize > len(data):
+                raise ValueError("truncated zstd raw block")
+            out_all += data[pos : pos + bsize]
+            pos += bsize
+        elif btype == 1:
+            if pos >= len(data):
+                raise ValueError("truncated zstd RLE block")
+            out_all += data[pos : pos + 1] * bsize
+            pos += 1
+        elif btype == 2:
+            if pos + bsize > len(data):
+                raise ValueError("truncated zstd compressed block")
+            _zstd_decode_block(data[pos : pos + bsize], out_all, ctx)
+            pos += bsize
+        else:
+            raise ValueError("reserved zstd block type")
+        if len(out_all) > _ZSTD_MAX_OUT:
+            raise ValueError("zstd output too large")
+        if last:
+            break
+    content = bytes(out_all[start:])
+    if fcs is not None and len(content) != fcs:
+        raise ValueError("zstd content size mismatch")
+    if (fhd >> 2) & 1:  # content checksum
+        if pos + 4 > len(data):
+            raise ValueError("truncated zstd checksum")
+        want = int.from_bytes(data[pos : pos + 4], "little")
+        pos += 4
+        if (_xxh64(content, 0) & 0xFFFFFFFF) != want:
+            raise ValueError("zstd content checksum mismatch")
+    return pos
+
+
+_TEXT_CODECS = ("gzip", "zlib", "bz2", "lzma", "snappy", "zstd")
 
 
 def compress_bytes(data: bytes, codec: str) -> bytes:
@@ -2416,6 +3154,14 @@ def compress_bytes(data: bytes, codec: str) -> bytes:
         return lzma.compress(data, preset=6)
     if codec == "snappy":
         return _snappy_frame_compress(data)
+    if codec == "zstd":
+        # entropy ENCODING is the library-bound half: use the system
+        # libzstd via ctypes when present (level 3, content size +
+        # checksum); else write the raw-block stored frame — valid
+        # zstd either way
+        if _libzstd() is not None:
+            return _zstd_lib_compress(data)
+        return _zstd_stored_compress(data)
     raise ValueError(f"unknown codec {codec!r} (supported: {_TEXT_CODECS})")
 
 
@@ -2429,6 +3175,13 @@ def sniff_compression(data: bytes) -> str | None:
         return "bz2"
     if len(data) >= 10 and data[:10] == _SNAPPY_MAGIC:
         return "snappy"
+    if len(data) >= 4 and data[:4] == _ZSTD_MAGIC:
+        return "zstd"
+    if (
+        len(data) >= 4
+        and (int.from_bytes(data[:4], "little") & 0xFFFFFFF0) == 0x184D2A50
+    ):
+        return "zstd"  # skippable frame (legal leading frame)
     if (
         len(data) >= 2
         and (data[0] & 0x0F) == 8  # CM=8 (deflate) — any CINFO window
@@ -2475,6 +3228,13 @@ def decompress_bytes(data: bytes, codec: str = "auto") -> bytes:
             if data.startswith(_SNAPPY_MAGIC):
                 return _snappy_frame_decompress(data)
             return _snappy_raw_decompress(data)
+        if kind == "zstd":
+            # system libzstd (ctypes) when present — the fast path —
+            # else the pure-stdlib RFC 8878 decoder; identical outputs
+            # (pinned by the cross-engine tests)
+            if _libzstd() is not None:
+                return _zstd_lib_decompress(data)
+            return _zstd_py_decompress(data)
     except Exception as exc:  # noqa: BLE001 - normalize codec errors
         raise ValueError(f"corrupt {kind} payload") from exc
     raise ValueError("unknown compression container")

@@ -15108,3 +15108,159 @@ def _init_q310() -> None:
 
 
 _init_q310()
+
+# --------------------------------------------------------------------
+# q311/q312 — zstd compressed columns on the exact gate (r10: the LAST
+# codec from PARITY's deployment-dependency list gets real. Two
+# engines behind the one decompress_bytes seam: the system libzstd
+# via a pure-stdlib ctypes binding — no pip package — and a complete
+# pure-Python RFC 8878 frame decoder for library-less deployments,
+# cross-validated against real libzstd output.)
+# --------------------------------------------------------------------
+
+def _init_q311_q312() -> None:
+    from ..functions import multimodal as M
+
+    @register(
+        "q311_zstd_roundtrip",
+        """
+        SELECT doc_id,
+               doc_id % 5 <> 0 AS ok,
+               CASE WHEN doc_id % 5 = 0 THEN NULL
+                    ELSE CAST(length(text) AS BIGINT) END AS n_chars,
+               CASE WHEN doc_id % 5 = 0 THEN NULL
+                    ELSE md5(text) END AS text_md5
+        FROM documents
+        """,
+        doc="Zstd compressed text columns on the exact gate (functions/"
+            "multimodal.py compress_bytes/decompress_bytes, codec "
+            "'zstd'): per document the text is compressed executor-side "
+            "to a REAL entropy-coded zstd frame (the system libzstd "
+            "through a pure-stdlib ctypes binding — level 3, content "
+            "size + XXH64 checksum; deployments without the shared "
+            "library fall back to the raw-block stored-frame writer, "
+            "valid zstd either way), one in five blobs gets its last "
+            "byte flipped (breaks the XXH64 content checksum "
+            "deterministically), then everything goes back through the "
+            "MAGIC-SNIFFING decompress path. Corrupt blobs become NULL "
+            "(warn-and-skip, never garbage); intact blobs round-trip "
+            "bit-exactly, hashed as (length, md5) against plain SQL "
+            "over the original text. Same zero-Exchange Arrow shape as "
+            "q304/q310 (plan-asserted). The r9 PARITY note called zstd "
+            "the one library-bound codec; the ctypes binding closes it "
+            "without any new package.",
+    )
+    def q311_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def gen(it):
+            import pandas as _pd
+
+            for pdf in it:
+                ids, blobs = [], []
+                for d, t in zip(pdf["doc_id"], pdf["text"]):
+                    d = int(d)
+                    blob = bytearray(
+                        M.compress_bytes(t.encode("utf-8"), "zstd")
+                    )
+                    if d % 5 == 0:
+                        blob[-1] ^= 0xFF  # breaks the XXH64 checksum
+                    ids.append(d)
+                    blobs.append(bytes(blob))
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": _pd.Series(ids, dtype="int64"),
+                        "blob": blobs,
+                    }
+                )
+
+        packed = _codec_fixture(
+            spark, sf_dir, "q311_zstd_roundtrip", 1,
+            lambda: docs.mapInPandas(
+                gen, schema="doc_id bigint, blob binary"
+            ),
+        )
+        text2 = M.decompress_text("blob", codec="auto")
+        return packed.select(
+            "doc_id",
+            text2.isNotNull().alias("ok"),
+            F.length(text2).cast("bigint").alias("n_chars"),
+            F.md5(F.encode(text2, "utf-8")).alias("text_md5"),
+        )
+
+    @register(
+        "q312_zstd_pure_decode",
+        """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               md5(text) AS text_md5
+        FROM documents WHERE doc_id % 10 = 0
+        """,
+        doc="The PURE-STDLIB zstd decoder on the exact gate (functions/"
+            "multimodal.py _zstd_py_decompress — a complete RFC 8878 "
+            "frame decoder: FSE normalized-count headers, predefined/"
+            "RLE/described/repeat sequence tables, canonical Huffman "
+            "literals incl. FSE-compressed weights and the 4-stream "
+            "split, interleaved backward bitstream, repeat-offset "
+            "history, XXH64 content checksum). Real entropy-coded "
+            "frames (written by the system libzstd) decode through the "
+            "Python engine and hash as (length, md5) against plain SQL "
+            "over the original text. Deliberately SAMPLED to a "
+            "deterministic 10% of documents (doc_id % 10 = 0): the "
+            "pure decoder is the library-less fallback engine, graded "
+            "for correctness here, not throughput — q311 benches the "
+            "production ctypes path on the full corpus. Zero Exchange "
+            "added; generation pruned the scan to the sample before "
+            "the fixture was built.",
+    )
+    def q312_zstd_pure_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.functions import pandas_udf
+
+        docs = (
+            table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .where(F.col("doc_id") % 10 == 0)
+        )
+
+        def gen(it):
+            import pandas as _pd
+
+            for pdf in it:
+                blobs = [
+                    M.compress_bytes(str(t).encode("utf-8"), "zstd")
+                    for t in pdf["text"]
+                ]
+                yield _pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "blob": blobs}
+                )
+
+        packed = _codec_fixture(
+            spark, sf_dir, "q312_zstd_pure_decode", 1,
+            lambda: docs.mapInPandas(
+                gen, schema="doc_id bigint, blob binary"
+            ),
+        )
+
+        @pandas_udf("string")
+        def dec(s):
+            import pandas as _pd
+
+            def one(v):
+                if v is None:
+                    return None
+                try:
+                    return M._zstd_py_decompress(bytes(v)).decode("utf-8")
+                except (ValueError, UnicodeDecodeError):
+                    return None
+
+            return s.map(one)
+
+        text2 = dec(F.col("blob"))
+        return packed.select(
+            "doc_id",
+            F.length(text2).cast("bigint").alias("n_chars"),
+            F.md5(F.encode(text2, "utf-8")).alias("text_md5"),
+        )
+
+
+_init_q311_q312()

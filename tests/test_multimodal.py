@@ -750,7 +750,7 @@ def test_compress_decompress_all_codecs_and_sniff():
     import pytest
 
     with pytest.raises(ValueError):
-        compress_bytes(data, "zstd")  # absent lib: stub policy
+        compress_bytes(data, "lz4")  # genuinely unknown codec name
     with pytest.raises(ValueError):
         decompress_bytes(b"\x28\xb5\x2f\xfd unknown zstd frame")
     with pytest.raises(ValueError):
@@ -1515,3 +1515,174 @@ def test_corrupt_wrapper_propagates_foreign_indexerrors():
 
     with pytest.raises(ValueError, match="truncated input"):
         truncated_parse()
+
+
+def test_xxh64_matches_jvm_xxhash64(spark):
+    # two independent XXH64 implementations (pure-stdlib Python vs
+    # Spark's JVM expression, which hashes binary values with seed 42)
+    # must agree on random inputs — the pure one also computes the
+    # zstd frame checksum (seed 0, low 32 bits)
+    import random
+
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.functions.multimodal import _xxh64
+
+    rng = random.Random(11)
+    blobs = [
+        b"",
+        b"a",
+        b"xxh64 test vector",
+        bytes(rng.randrange(256) for _ in range(31)),
+        bytes(rng.randrange(256) for _ in range(32)),
+        bytes(rng.randrange(256) for _ in range(33)),
+        bytes(rng.randrange(256) for _ in range(1000)),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(blobs)], "i int, b binary"
+    )
+    jvm = {
+        r.i: r.h
+        for r in df.select("i", F.xxhash64("b").alias("h")).collect()
+    }
+    for i, b in enumerate(blobs):
+        mine = _xxh64(b, seed=42)
+        if mine >= 1 << 63:
+            mine -= 1 << 64  # JVM longs are signed
+        assert mine == jvm[i], f"xxh64 mismatch on blob {i}"
+
+
+def test_zstd_pure_decoder_matches_libzstd():
+    # the pure-stdlib RFC 8878 decoder must reproduce libzstd's output
+    # bit-for-bit across levels (predefined/RLE/FSE-described tables,
+    # raw/RLE/Huffman literals incl. 4-stream, multi-block frames,
+    # repeat offsets, content checksums)
+    import random
+
+    import pytest
+
+    from node_etl_spark.functions import multimodal as M
+
+    if M._libzstd() is None:
+        pytest.skip("libzstd not present on this system")
+    rng = random.Random(7)
+    cases = [
+        b"",
+        b"a",
+        b"hello zstd " * 3,
+        bytes(rng.randrange(256) for _ in range(5000)),  # incompressible
+        b"the quick brown fox jumps over the lazy dog. " * 500,
+        bytes(rng.randrange(4) for _ in range(200000)),  # multi-block
+        b"\x00" * 300000,  # RLE-heavy
+    ]
+    for _ in range(25):  # structured randoms stress many table cells
+        unit = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 50)))
+        cases.append(
+            b"".join(
+                unit[: rng.randrange(1, len(unit) + 1)] for _ in range(150)
+            )
+        )
+    for lvl in (1, 3, 9, 19):
+        for i, payload in enumerate(cases):
+            blob = M._zstd_lib_compress(payload, lvl)
+            assert M.sniff_compression(blob) == "zstd"
+            assert M._zstd_py_decompress(blob) == payload, (lvl, i)
+            assert M._zstd_lib_decompress(blob) == payload
+
+
+def test_zstd_stored_frames_and_corruption_policy():
+    import pytest
+
+    from node_etl_spark.functions import multimodal as M
+
+    payloads = [b"", b"x", b"stored frame " * 10, bytes(range(256)) * 600]
+    for p in payloads:
+        stored = M._zstd_stored_compress(p)
+        assert M.sniff_compression(stored) == "zstd"
+        # the pure decoder reads it...
+        assert M._zstd_py_decompress(stored) == p
+        # ...and so does the REAL library (interop proof)
+        if M._libzstd() is not None:
+            assert M._zstd_lib_decompress(stored) == p
+        assert M.decompress_bytes(M.compress_bytes(p, "zstd"), "auto") == p
+
+    # skippable frame prefix is legal and contributes nothing
+    skip = (0x184D2A50).to_bytes(4, "little") + (3).to_bytes(4, "little")
+    framed = skip + b"pad" + M._zstd_stored_compress(b"after skip")
+    assert M._zstd_py_decompress(framed) == b"after skip"
+
+    good = M._zstd_stored_compress(b"checksum me, zstd")
+    for mutate in (
+        lambda b: b[:-1] + bytes([b[-1] ^ 0xFF]),  # checksum flip
+        lambda b: b[:10],  # truncated
+        lambda b: b"\x00" + b[1:],  # broken magic
+    ):
+        bad = mutate(bytearray(good))
+        with pytest.raises(ValueError):
+            M._zstd_py_decompress(bytes(bad))
+    # reserved block type (3) rejects
+    hdr = M._zstd_stored_compress(b"q")[:6]  # magic+fhd+fcs
+    bad_block = hdr + ((1 << 3) | (3 << 1) | 1).to_bytes(3, "little") + b"q"
+    with pytest.raises(ValueError):
+        M._zstd_py_decompress(bad_block)
+    # dictionary frames are rejected, not mis-decoded
+    dict_frame = bytes(M._ZSTD_MAGIC) + bytes([0x21, 0x07]) + b"\x00" * 8
+    with pytest.raises(ValueError):
+        M._zstd_py_decompress(dict_frame)
+
+
+def test_zstd_text_columns_roundtrip(spark):
+    from node_etl_spark.functions.multimodal import (
+        compress_text,
+        decompress_text,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "héllo zstd"), (2, None), (3, "z" * 100000)],
+        "doc_id bigint, text string",
+    )
+    out = df.select(
+        "doc_id",
+        decompress_text(compress_text("text", "zstd"), "auto").alias("t2"),
+    )
+    got = {r.doc_id: r.t2 for r in out.collect()}
+    assert got[1] == "héllo zstd" and got[2] is None
+    assert got[3] == "z" * 100000
+
+
+def test_zstd_pure_decoder_mutation_fuzz():
+    # corrupt-input policy under adversarial mutation: every 1-byte
+    # mutation of a valid frame either still decodes (mutations in
+    # unchecked padding) or raises ValueError — never another
+    # exception type, never a hang (output is capped). This is the
+    # contract decompress_text's warn-and-skip NULL policy rests on.
+    import random
+
+    from node_etl_spark.functions import multimodal as M
+
+    rng = random.Random(3)
+    base_payloads = [
+        b"the quick brown fox jumps over the lazy dog. " * 40,
+        bytes(rng.randrange(256) for _ in range(400)),
+    ]
+    frames = [M._zstd_stored_compress(base_payloads[0])]
+    if M._libzstd() is not None:
+        frames += [M._zstd_lib_compress(p, 3) for p in base_payloads]
+    checked = 0
+    for frame in frames:
+        for _ in range(300):
+            bad = bytearray(frame)
+            i = rng.randrange(len(bad))
+            bad[i] ^= 1 << rng.randrange(8)
+            try:
+                M._zstd_py_decompress(bytes(bad))
+            except ValueError:
+                checked += 1
+            # any other exception type fails the test by propagating
+        # truncations at every prefix length (sampled)
+        for cut in range(1, len(frame), max(1, len(frame) // 50)):
+            try:
+                M._zstd_py_decompress(frame[:cut])
+            except ValueError:
+                checked += 1
+    assert checked > 100  # most mutations must be caught, not decoded

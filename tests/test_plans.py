@@ -1071,6 +1071,18 @@ def test_snappy_roundtrip_plan_single_udf_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_zstd_plans_single_udf_no_shuffle(spark, sf_dir):
+    # q311 (system-libzstd ctypes path, full corpus) and q312 (the
+    # pure RFC 8878 decoder, deterministic 10% sample): both are a
+    # fixture scan + ONE Arrow-batched decode UDF, zero Exchange
+    for name in ("q311_zstd_roundtrip", "q312_zstd_pure_decode"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("ArrowEvalPython") == 1, name
+        assert plan.count("MapInPandas") == 0, name
+        assert "Exchange" not in plan, name
+        assert "fixtures" in plan, name
+
+
 def test_quality_classifier_plan_jvm_side_one_exchange(spark, sf_dir):
     # q305: inference rides the text scan JVM-side — zero Python
     # stages, and the ONLY exchange is the final per-language rollup

@@ -462,3 +462,25 @@ def test_snappy_raw_and_framed_roundtrip_property(data):
 
     assert _snappy_raw_decompress(_snappy_raw_compress(data)) == data
     assert _snappy_frame_decompress(_snappy_frame_compress(data)) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=hst.binary(min_size=0, max_size=70000))
+def test_zstd_roundtrip_property(data):
+    # ANY byte string: the stored-frame writer round-trips through the
+    # pure RFC 8878 decoder, and (when the system libzstd is present)
+    # real entropy-coded frames decode identically through BOTH engines
+    from node_etl_spark.functions.multimodal import (
+        _libzstd,
+        _zstd_lib_compress,
+        _zstd_lib_decompress,
+        _zstd_py_decompress,
+        _zstd_stored_compress,
+    )
+
+    assert _zstd_py_decompress(_zstd_stored_compress(data)) == data
+    if _libzstd() is not None:
+        blob = _zstd_lib_compress(data, 3)
+        assert _zstd_py_decompress(blob) == data
+        assert _zstd_lib_decompress(blob) == data
+        assert _zstd_lib_decompress(_zstd_stored_compress(data)) == data
