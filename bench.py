@@ -282,6 +282,8 @@ HEADLINE = [
     "q310_snappy_roundtrip",
     "q311_zstd_roundtrip",
     "q312_zstd_pure_decode",
+    "q313_warc_records",
+    "q314_html_extract",
 ]
 
 

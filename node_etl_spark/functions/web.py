@@ -1,0 +1,320 @@
+"""Web-crawl ingestion: WARC shards and HTML text extraction.
+
+The dominant raw layout for LLM web corpora is the Common Crawl one:
+``.warc.gz`` shards where EVERY WARC RECORD IS ITS OWN GZIP MEMBER
+(members concatenated), so byte ranges can be fetched and decompressed
+independently. This module gives the engine that surface, pure-stdlib:
+
+* :func:`encode_warc_gz` — deterministic WARC/1.0 writer (fixed dates,
+  content-derived record IDs; per-record gzip members or plain bytes).
+* :func:`iter_warc_records` / :func:`explode_warc_records` — shard ->
+  records as a 1:N Arrow-batched mapInPandas (zero shuffles, corrupt
+  shards warn-and-skip), optionally splitting HTTP response payloads
+  into (status, content-type, body) — the Common Crawl `response`
+  record shape.
+* :func:`html_to_text` / :func:`html_text` — stdlib ``html.parser``
+  extraction: title + whitespace-normalized body text with
+  script/style/noscript/template subtrees dropped and entities
+  decoded. The cheap deterministic pass that runs BEFORE heavyweight
+  boilerplate models at 100 TB (functions/text.py strip_boilerplate
+  is the line-level next stage).
+
+Reference parity: the reference's readers stop at file/HTTP/FTP bytes
+(job-reader*.js); archive-of-records ingestion is the Spark-first
+surface a crawl-scale corpus actually ships as, same argument as the
+WebDataset tar path (multimodal.py encode_tar_shard).
+
+Scale shape: one shard = one row = one Python batch item; records
+explode partition-local. Size shards to executor memory (Common
+Crawl's 1 GiB .warc.gz works with 4-8 GiB executors); the per-member
+gzip framing means a future range-reader can stream records without
+ever materializing the shard, behind the same explode signature.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_CRLF = b"\r\n"
+_WARC_DATE = "2026-01-01T00:00:00Z"  # fixed: writer output is
+# content-addressable (same records -> same bytes, forever)
+
+
+def encode_warc_gz(records, per_record_gzip: bool = True) -> bytes:
+    """Deterministic WARC/1.0 shard. ``records`` is an iterable of
+    (warc_type, target_uri_or_None, payload_bytes, content_type).
+    With ``per_record_gzip`` each record becomes its own gzip member
+    (mtime=0) — the Common Crawl layout; otherwise plain concatenated
+    records. Record IDs derive from the payload+uri md5, not a clock."""
+    out = bytearray()
+    for warc_type, uri, payload, ctype in records:
+        rid = hashlib.md5(
+            (warc_type + "\x00" + (uri or "")).encode("utf-8") + payload
+        ).hexdigest()
+        head = [f"WARC/1.0"]
+        head.append(f"WARC-Type: {warc_type}")
+        head.append(f"WARC-Record-ID: <urn:md5:{rid}>")
+        head.append(f"WARC-Date: {_WARC_DATE}")
+        if uri is not None:
+            head.append(f"WARC-Target-URI: {uri}")
+        head.append(f"Content-Type: {ctype}")
+        head.append(f"Content-Length: {len(payload)}")
+        rec = (
+            _CRLF.join(h.encode("utf-8") for h in head)
+            + _CRLF * 2
+            + payload
+            + _CRLF * 2
+        )
+        out += gzip.compress(rec, 6, mtime=0) if per_record_gzip else rec
+    return bytes(out)
+
+
+def http_response_bytes(
+    body: bytes,
+    status: int = 200,
+    content_type: str = "text/html; charset=utf-8",
+) -> bytes:
+    """The payload of a WARC `response` record: a full HTTP response."""
+    head = (
+        f"HTTP/1.1 {status} OK\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    )
+    return head.encode("utf-8") + body
+
+
+def _parse_http_response(payload: bytes):
+    """(status, content_type, body) from an HTTP response payload;
+    raises ValueError when it is not one."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0 or not payload.startswith(b"HTTP/"):
+        raise ValueError("not an HTTP response payload")
+    head = payload[:sep].decode("latin-1").split("\r\n")
+    parts = head[0].split(" ", 2)
+    if len(parts) < 2 or not parts[1].isdigit():
+        raise ValueError("bad HTTP status line")
+    status = int(parts[1])
+    ctype = None
+    for line in head[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-type":
+            ctype = v.strip()
+    return status, ctype, payload[sep + 4 :]
+
+
+def iter_warc_records(data: bytes) -> Iterator[dict]:
+    """Walk a WARC shard (gzip members, whole-shard gzip, or plain
+    bytes) yielding one dict per record: warc_type, record_id,
+    target_uri, content_type, payload. Header names are
+    case-insensitive; payload length comes from Content-Length (the
+    WARC framing contract). Raises ValueError on corrupt framing."""
+    if data[:2] == b"\x1f\x8b":
+        # gzip.decompress walks ALL concatenated members, so the
+        # per-record-member layout and a whole-shard gzip both land here
+        data = gzip.decompress(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate inter-record padding of bare CRLFs
+        while pos < n and data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        eol = data.find(b"\r\n", pos)
+        if eol < 0 or not data[pos:eol].startswith(b"WARC/"):
+            raise ValueError("missing WARC version line")
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        last_key = None
+        while True:
+            eol = data.find(b"\r\n", pos)
+            if eol < 0:
+                raise ValueError("truncated WARC header block")
+            line = data[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            if line[:1] in (b" ", b"\t") and last_key:  # folded value
+                headers[last_key] += " " + line.decode("latin-1").strip()
+                continue
+            k, _, v = line.decode("latin-1").partition(":")
+            last_key = k.strip().lower()
+            headers[last_key] = v.strip()
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("WARC record without Content-Length") from None
+        if pos + length > n:
+            raise ValueError("truncated WARC payload")
+        payload = data[pos : pos + length]
+        pos += length
+        yield {
+            "warc_type": headers.get("warc-type"),
+            "record_id": headers.get("warc-record-id"),
+            "target_uri": headers.get("warc-target-uri"),
+            "content_type": headers.get("content-type"),
+            "payload": payload,
+        }
+
+
+def explode_warc_records(
+    binaries: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    parse_http: bool = True,
+) -> DataFrame:
+    """Shard -> record rows, 1:N partition-local (zero shuffles added;
+    plan-asserted on the gate). With ``parse_http`` the `response`
+    records' HTTP payloads split into (http_status,
+    http_content_type, body); non-HTTP records carry their raw
+    payload as ``body`` with NULL http fields. Corrupt shards yield
+    no rows (the reference's warn-and-skip error policy)."""
+    id_type = binaries.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, record_idx int, warc_type string,"
+        " target_uri string, content_type string,"
+        " http_status int, http_content_type string, body binary"
+    )
+    in_cols = [id_col, content_col]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "id", "idx", "wt", "uri", "ct", "hs", "hct", "body",
+            )}
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                if rid is None or content is None:
+                    continue
+                try:
+                    recs = list(iter_warc_records(bytes(content)))
+                except Exception:  # noqa: BLE001 - corrupt shard policy
+                    continue
+                for i, r in enumerate(recs):
+                    hs = hct = None
+                    body = r["payload"]
+                    if parse_http and r["warc_type"] == "response":
+                        try:
+                            hs, hct, body = _parse_http_response(body)
+                        except ValueError:
+                            body = r["payload"]
+                    rows["id"].append(rid)
+                    rows["idx"].append(i)
+                    rows["wt"].append(r["warc_type"])
+                    rows["uri"].append(r["target_uri"])
+                    rows["ct"].append(r["content_type"])
+                    rows["hs"].append(hs)
+                    rows["hct"].append(hct)
+                    rows["body"].append(body)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(rows["id"], dtype=pdf[id_col].dtype),
+                    "record_idx": pd.Series(rows["idx"], dtype="int32"),
+                    "warc_type": pd.Series(rows["wt"], dtype="object"),
+                    "target_uri": pd.Series(rows["uri"], dtype="object"),
+                    "content_type": pd.Series(rows["ct"], dtype="object"),
+                    "http_status": pd.Series(rows["hs"], dtype="Int32"),
+                    "http_content_type": pd.Series(
+                        rows["hct"], dtype="object"
+                    ),
+                    "body": pd.Series(rows["body"], dtype="object"),
+                }
+            )
+
+    return binaries.select(*in_cols).mapInPandas(batches, schema=schema)
+
+
+class _TextExtractor:
+    """html.parser-based extraction state: title text, body text with
+    script/style/noscript/template subtrees excluded, head text (other
+    than title) ignored."""
+
+    _SKIP = {"script", "style", "noscript", "template"}
+
+    def __init__(self) -> None:
+        from html.parser import HTMLParser
+
+        outer = self
+
+        class _P(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__(convert_charrefs=True)
+                self.skip_depth = 0
+                self.in_title = False
+                self.in_head = False
+
+            def handle_starttag(self, tag, attrs):
+                if tag in _TextExtractor._SKIP:
+                    self.skip_depth += 1
+                elif tag == "title":
+                    self.in_title = True
+                elif tag == "head":
+                    self.in_head = True
+
+            def handle_endtag(self, tag):
+                if tag in _TextExtractor._SKIP:
+                    self.skip_depth = max(0, self.skip_depth - 1)
+                elif tag == "title":
+                    self.in_title = False
+                elif tag == "head":
+                    self.in_head = False
+
+            def handle_data(self, data):
+                if self.skip_depth:
+                    return
+                if self.in_title:
+                    outer.title_parts.append(data)
+                elif not self.in_head:
+                    outer.body_parts.append(data)
+
+        self.title_parts: list[str] = []
+        self.body_parts: list[str] = []
+        self.parser = _P()
+
+
+def html_to_text(html: str) -> tuple[str, str]:
+    """(title, body_text) from an HTML string: entities decoded
+    (convert_charrefs), script/style/noscript/template dropped,
+    whitespace runs collapsed to single spaces and ends trimmed —
+    the same normalization the SQL oracle applies with
+    regexp_replace(..., '\\s+', ' ', 'g')."""
+    ex = _TextExtractor()
+    ex.parser.feed(html)
+    ex.parser.close()
+    norm = lambda parts: re.sub(  # noqa: E731 - tiny local helper
+        r"\s+", " ", " ".join(parts)
+    ).strip()
+    return norm(ex.title_parts), norm(ex.body_parts)
+
+
+def html_text(col):
+    """Column expression: HTML string -> struct<title, body> via one
+    Arrow-batched pandas_udf (NULL-safe; a parse that throws yields a
+    NULL struct, warn-and-skip)."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("title string, body string")
+    def extract(s: pd.Series) -> pd.DataFrame:
+        titles, bodies = [], []
+        for v in s:
+            if v is None:
+                titles.append(None)
+                bodies.append(None)
+                continue
+            try:
+                t, b = html_to_text(str(v))
+            except Exception:  # noqa: BLE001 - malformed HTML policy
+                t = b = None
+            titles.append(t)
+            bodies.append(b)
+        return pd.DataFrame({"title": titles, "body": bodies})
+
+    return extract(col if isinstance(col, Column) else F.col(col))

@@ -15264,3 +15264,172 @@ def _init_q311_q312() -> None:
 
 
 _init_q311_q312()
+
+# --------------------------------------------------------------------
+# q313/q314 — Common Crawl-style ingestion on the exact gate (r10):
+# WARC shards (gzip-member-per-record) explode to typed records with
+# HTTP response splitting, and HTML extracts to title + normalized
+# body text. Together with lang-ID/quality/dedup this completes the
+# crawl-curation pipeline: .warc.gz -> HTML -> text -> filters.
+# --------------------------------------------------------------------
+
+def _init_q313_q314() -> None:
+    from ..functions import web as W
+
+    @register(
+        "q313_warc_records",
+        """
+        SELECT doc_id, CAST(0 AS INT) AS record_idx,
+               'warcinfo' AS warc_type,
+               CAST(NULL AS VARCHAR) AS target_uri,
+               'application/warc-fields' AS content_type,
+               CAST(NULL AS INT) AS http_status,
+               CAST(octet_length(encode('software: node-etl-spark'
+                    || chr(13) || chr(10))) AS BIGINT) AS n_bytes,
+               md5('software: node-etl-spark' || chr(13) || chr(10))
+                   AS body_md5
+        FROM documents
+        UNION ALL
+        SELECT doc_id, CAST(1 AS INT), 'response',
+               'https://example.com/' || source || '/' || doc_id,
+               'application/http; msgtype=response',
+               CAST(200 AS INT),
+               CAST(octet_length(encode(text)) AS BIGINT),
+               md5(text)
+        FROM documents
+        """,
+        doc="WARC shard ingestion on the exact gate (functions/web.py "
+            "encode_warc_gz / explode_warc_records, pure stdlib): per "
+            "document a deterministic WARC/1.0 shard holding a "
+            "warcinfo record and an HTTP `response` record (the "
+            "Common Crawl shape) is built executor-side — odd doc_ids "
+            "use the gzip-MEMBER-PER-RECORD framing crawls actually "
+            "ship (concatenated members, range-fetchable), even ones "
+            "plain bytes — then EXPLODED back 1:N with the HTTP "
+            "payload split into (status, content-type, body). Hashed "
+            "columns (record order, types, URIs, body size + md5) are "
+            "recomputed by the oracle from the documents table. "
+            "Framing adversaries: folded headers, case-insensitive "
+            "names, CRLF padding between records — all unit-tested; "
+            "corrupt shards yield no rows (warn-and-skip). Zero "
+            "shuffles added (plan-asserted). Reference parity: the "
+            "reference reads raw file/HTTP bytes (job-reader*.js); "
+            "archive-of-records shards are the Spark-first surface a "
+            "crawl-scale corpus ships as, same argument as the "
+            "WebDataset tar path (q301).",
+    )
+    def q313_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+
+        def gen(it):
+            import pandas as _pd
+
+            for pdf in it:
+                ids, blobs = [], []
+                for d, s, t in zip(
+                    pdf["doc_id"], pdf["source"], pdf["text"]
+                ):
+                    d = int(d)
+                    recs = [
+                        (
+                            "warcinfo",
+                            None,
+                            b"software: node-etl-spark\r\n",
+                            "application/warc-fields",
+                        ),
+                        (
+                            "response",
+                            f"https://example.com/{s}/{d}",
+                            W.http_response_bytes(
+                                str(t).encode("utf-8"),
+                                content_type="text/plain; charset=utf-8",
+                            ),
+                            "application/http; msgtype=response",
+                        ),
+                    ]
+                    ids.append(d)
+                    blobs.append(
+                        W.encode_warc_gz(recs, per_record_gzip=bool(d % 2))
+                    )
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": _pd.Series(ids, dtype="int64"),
+                        "content": blobs,
+                    }
+                )
+
+        binaries = _codec_fixture(
+            spark, sf_dir, "q313_warc_records", 1,
+            lambda: docs.mapInPandas(
+                gen, schema="doc_id bigint, content binary"
+            ),
+        )
+        recs = W.explode_warc_records(binaries)
+        return recs.select(
+            "doc_id",
+            "record_idx",
+            "warc_type",
+            "target_uri",
+            "content_type",
+            "http_status",
+            F.octet_length("body").cast("bigint").alias("n_bytes"),
+            F.lower(F.md5("body")).alias("body_md5"),
+        )
+
+    @register(
+        "q314_html_extract",
+        """
+        WITH h AS (
+            SELECT doc_id, source,
+                   trim(regexp_replace(source || ' ' || text || ' & more',
+                                       '\\s+', ' ', 'g')) AS body
+            FROM documents)
+        SELECT doc_id, source AS title,
+               CAST(length(body) AS BIGINT) AS body_chars,
+               md5(body) AS body_md5
+        FROM h
+        """,
+        doc="HTML text extraction on the exact gate (functions/web.py "
+            "html_to_text / html_text, stdlib html.parser): each "
+            "document is wrapped JVM-side (zero generation cost, no "
+            "fixture needed) into an HTML page whose title and h1 "
+            "carry the source, whose paragraph carries the text plus "
+            "an &amp; entity, and which plants style and script "
+            "subtrees that MUST be dropped. The extractor returns "
+            "(title, whitespace-normalized body); the oracle "
+            "recomputes both from the raw columns with the identical "
+            "regexp_replace('\\s+',' ') normalization — entity "
+            "decoding, subtree exclusion, and head/title routing all "
+            "hash-checked. One Arrow-batched pandas_udf (Catalyst "
+            "dedups the struct expression), zero Exchange "
+            "(plan-asserted). This is the cheap deterministic pass "
+            "that runs before line-level boilerplate stripping "
+            "(q164) in a crawl-curation pipeline.",
+    )
+    def q314_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        html = F.concat(
+            F.lit("<html><head><title>"),
+            F.col("source"),
+            F.lit("</title><style>p{color:red}</style></head><body><h1>"),
+            F.col("source"),
+            F.lit("</h1>\n<p>"),
+            F.col("text"),
+            F.lit(" &amp; more</p><script>var x=1;</script></body></html>"),
+        )
+        parts = W.html_text(html)
+        return docs.select(
+            "doc_id",
+            parts["title"].alias("title"),
+            F.length(parts["body"]).cast("bigint").alias("body_chars"),
+            F.lower(F.md5(F.encode(parts["body"], "UTF-8"))).alias(
+                "body_md5"
+            ),
+        )
+
+
+_init_q313_q314()

@@ -770,6 +770,48 @@ def _simhash_dedup_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     return FnTransform(fn, name="simhash_dedup")
 
 
+def _warc_records_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """Common Crawl-style WARC shard explode (r10): shard binary ->
+    one row per record (warc_type, target_uri, content_type, HTTP
+    status/content-type/body for `response` records). gzip-member-
+    per-record, whole-shard gzip, and plain framings all sniffed;
+    corrupt shards warn-and-skip. Partition-local 1:N."""
+    from .functions.web import explode_warc_records
+
+    def fn(df):
+        return explode_warc_records(
+            df,
+            id_col=d.get("id_col", "path"),
+            content_col=d.get("content_col", "content"),
+            parse_http=bool(d.get("parse_http", True)),
+        )
+
+    return FnTransform(fn, name="warc_records")
+
+
+def _html_text_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """HTML -> (title, body) text extraction (r10): stdlib html.parser,
+    entities decoded, script/style/noscript/template dropped,
+    whitespace normalized. Adds ``title``/``body`` (or ``out`` prefix)
+    string columns from the HTML column ``col``."""
+    from pyspark.sql import functions as F
+
+    from .functions.web import html_text
+
+    col = d.get("col", "html")
+    out = d.get("out", "")
+    t_name = f"{out}title" if out else "title"
+    b_name = f"{out}body" if out else "body"
+
+    def fn(df):
+        parts = html_text(F.col(col))
+        return df.withColumns(
+            {t_name: parts["title"], b_name: parts["body"]}
+        )
+
+    return FnTransform(fn, name="html_text")
+
+
 def _bloom_semi_join_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
     from .functions.sketch import bloom_semi_join
 
@@ -915,6 +957,8 @@ _REGISTRY.update(
         "video_frames": _video_frames_op,
         "image_ahash": _image_ahash_op,
         "simhash_dedup": _simhash_dedup_op,
+        "warc_records": _warc_records_op,
+        "html_text": _html_text_op,
         "explode_tar": _explode_tar_op,
         "compress_text": _compress_text_op,
         "decompress_text": _decompress_text_op,

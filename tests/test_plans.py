@@ -1071,6 +1071,21 @@ def test_snappy_roundtrip_plan_single_udf_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_warc_and_html_plans_add_no_shuffle(spark, sf_dir):
+    # q313: fixture scan -> 1:N record explode, partition-local;
+    # q314: JVM-side HTML build (no fixture, no generation python) +
+    # ONE Arrow-batched extract UDF (Catalyst dedups the struct expr)
+    plan = _plan(spark, sf_dir, "q313_warc_records")
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+    assert "fixtures" in plan
+    plan = _plan(spark, sf_dir, "q314_html_extract")
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("MapInPandas") == 0
+    assert "Exchange" not in plan
+    assert "documents.parquet" in plan  # no fixture: generation is JVM concat
+
+
 def test_zstd_plans_single_udf_no_shuffle(spark, sf_dir):
     # q311 (system-libzstd ctypes path, full corpus) and q312 (the
     # pure RFC 8878 decoder, deterministic 10% sample): both are a

@@ -1,0 +1,211 @@
+"""WARC ingestion + HTML extraction (functions/web.py, r10)."""
+
+import gzip
+
+import pytest
+
+
+def _page(title, body_html):
+    return (
+        f"<html><head><title>{title}</title>"
+        f"<style>p{{margin:0}}</style></head>"
+        f"<body>{body_html}<script>var x=1;</script></body></html>"
+    ).encode("utf-8")
+
+
+def test_warc_roundtrip_framings_and_adversaries():
+    from node_etl_spark.functions.web import (
+        encode_warc_gz,
+        http_response_bytes,
+        iter_warc_records,
+    )
+
+    recs = [
+        ("warcinfo", None, b"software: x\r\n", "application/warc-fields"),
+        (
+            "response",
+            "https://a.example/1",
+            http_response_bytes(_page("T", "<p>hello</p>")),
+            "application/http; msgtype=response",
+        ),
+    ]
+    for per_member in (True, False):
+        shard = encode_warc_gz(recs, per_record_gzip=per_member)
+        got = list(iter_warc_records(shard))
+        assert [r["warc_type"] for r in got] == ["warcinfo", "response"]
+        assert got[1]["target_uri"] == "https://a.example/1"
+        assert got[1]["payload"].startswith(b"HTTP/1.1 200")
+    # whole-shard gzip (some mirrors re-compress): same records
+    whole = gzip.compress(encode_warc_gz(recs, per_record_gzip=False))
+    assert len(list(iter_warc_records(whole))) == 2
+    # writer determinism: content-addressable bytes
+    assert encode_warc_gz(recs) == encode_warc_gz(recs)
+
+    # header adversaries: case-insensitive names + folded continuation
+    raw = (
+        b"WARC/1.0\r\n"
+        b"warc-type: metadata\r\n"
+        b"WARC-TARGET-URI: https://x\r\n"
+        b" /folded\r\n"
+        b"CONTENT-LENGTH: 2\r\n\r\nhi\r\n\r\n"
+    )
+    (rec,) = iter_warc_records(raw)
+    assert rec["warc_type"] == "metadata"
+    assert rec["target_uri"] == "https://x /folded"
+    assert rec["payload"] == b"hi"
+
+    for bad in (
+        b"NOTWARC/1.0\r\nContent-Length: 0\r\n\r\n",
+        raw[:-6],  # payload truncated
+        b"WARC/1.0\r\nWARC-Type: response\r\n\r\n",  # no Content-Length
+    ):
+        with pytest.raises(ValueError):
+            list(iter_warc_records(bad))
+
+
+def test_explode_warc_records_http_split_and_corrupt_policy(spark):
+    from node_etl_spark.functions.web import (
+        encode_warc_gz,
+        explode_warc_records,
+        http_response_bytes,
+    )
+
+    shard = encode_warc_gz(
+        [
+            ("warcinfo", None, b"v\r\n", "application/warc-fields"),
+            (
+                "response",
+                "https://a.example/1",
+                http_response_bytes(b"BODY", status=301),
+                "application/http; msgtype=response",
+            ),
+            (
+                "request",
+                "https://a.example/1",
+                b"GET / HTTP/1.1\r\n\r\n",
+                "application/http; msgtype=request",
+            ),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(shard)), (2, bytearray(b"garbage, not warc"))],
+        "doc_id bigint, content binary",
+    )
+    rows = explode_warc_records(df).collect()
+    assert {r.doc_id for r in rows} == {1}  # corrupt shard: no rows
+    by_idx = {r.record_idx: r for r in rows}
+    assert by_idx[0].warc_type == "warcinfo" and by_idx[0].http_status is None
+    assert by_idx[1].http_status == 301
+    assert bytes(by_idx[1].body) == b"BODY"
+    # request records keep their raw payload, NULL http fields
+    assert by_idx[2].http_status is None
+    assert bytes(by_idx[2].body).startswith(b"GET /")
+
+
+def test_html_to_text_extraction_rules():
+    from node_etl_spark.functions.web import html_to_text
+
+    title, body = html_to_text(
+        "<html><head><title> T &amp; A </title><meta x><style>p{}</style>"
+        "</head><body><h1>Hi</h1>\n\t<p>one &lt;two&gt;   three</p>"
+        "<noscript>no</noscript><script>var p = '<p>ignored</p>';</script>"
+        "</body></html>"
+    )
+    assert title == "T & A"
+    assert body == "Hi one <two> three"
+    # head text other than title never leaks into the body
+    t2, b2 = html_to_text("<head><title>t</title>headjunk</head><p>x</p>")
+    assert (t2, b2) == ("t", "x")
+
+
+def test_example_crawl_curation_spec(spark, tmp_path):
+    # examples/crawl_curation.json end-to-end: .warc.gz ingest ->
+    # record explode -> 200-response filter -> HTML extraction ->
+    # quality/lang -> exact dedup (keep-lowest-URL) -> parquet
+    import json as _json
+    import os
+
+    from node_etl_spark.functions.web import (
+        encode_warc_gz,
+        http_response_bytes,
+    )
+    from node_etl_spark.spec import from_spec
+
+    t1 = "<p>Ducks like bread and water near the pond.</p>"
+    t2 = "<p>Les canards aiment le pain et l'eau.</p>"
+    resp = lambda body, status=200: http_response_bytes(  # noqa: E731
+        body, status=status
+    )
+    data = tmp_path / "crawl"
+    data.mkdir()
+    (data / "seg-0.warc.gz").write_bytes(
+        encode_warc_gz(
+            [
+                ("warcinfo", None, b"v\r\n", "application/warc-fields"),
+                ("response", "https://a.example/1",
+                 resp(_page("Ducks", t1)),
+                 "application/http; msgtype=response"),
+                ("response", "https://gone.example/404",
+                 resp(_page("Gone", "<p>nope</p>"), status=404),
+                 "application/http; msgtype=response"),
+            ]
+        )
+    )
+    (data / "seg-1.warc").write_bytes(
+        encode_warc_gz(
+            [
+                # duplicate TEXT of a.example/1 under a later URL:
+                # exact_dedup must keep the lexicographically first
+                ("response", "https://b.example/2",
+                 resp(_page("Ducks copy", t1)),
+                 "application/http; msgtype=response"),
+                ("response", "https://c.example/3",
+                 resp(_page("Canards", t2)),
+                 "application/http; msgtype=response"),
+            ],
+            per_record_gzip=False,
+        )
+    )
+    (data / "notes.txt").write_text("excluded by glob")
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = _json.load(
+        open(os.path.join(root, "examples", "crawl_curation.json"))
+    )
+    out = str(tmp_path / "out")
+    from_spec(spec).run(spark, config={"DATA": str(data), "OUT": out})
+    rows = spark.read.parquet(out + "/corpus").collect()
+    got = {r.url: r for r in rows}
+    assert set(got) == {"https://a.example/1", "https://c.example/3"}
+    a = got["https://a.example/1"]
+    assert a.title == "Ducks"
+    assert a.text == "Ducks like bread and water near the pond."
+    assert a.quality is not None and a.lang_guess is not None
+
+
+def test_warc_and_html_spec_ops(spark):
+    from node_etl_spark.context import Context
+    from node_etl_spark.functions.web import (
+        encode_warc_gz,
+        http_response_bytes,
+    )
+    from node_etl_spark.spec import op_from_spec
+
+    shard = encode_warc_gz(
+        [("response", "https://x/1",
+          http_response_bytes(_page("t", "<p>b</p>")),
+          "application/http; msgtype=response")]
+    )
+    df = spark.createDataFrame(
+        [("s0", bytearray(shard))], "path string, content binary"
+    )
+    recs = op_from_spec({"op": "warc_records"}).apply(df, Context())
+    row = recs.collect()[0]
+    assert row.http_status == 200 and row.path == "s0"
+    html_df = spark.createDataFrame(
+        [(1, "<html><title>T</title><body><p>B</p></body></html>")],
+        "i int, html string",
+    )
+    out = op_from_spec({"op": "html_text"}).apply(html_df, Context())
+    r = out.collect()[0]
+    assert (r.title, r.body) == ("T", "B")
