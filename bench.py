@@ -284,6 +284,7 @@ HEADLINE = [
     "q312_zstd_pure_decode",
     "q313_warc_records",
     "q314_html_extract",
+    "q315_zstd_ndjson_scan",
 ]
 
 

@@ -15433,3 +15433,75 @@ def _init_q313_q314() -> None:
 
 
 _init_q313_q314()
+
+# --------------------------------------------------------------------
+# q315 — per-file-compressed NDJSON shards on the exact gate (r10):
+# the .jsonl.zst / .jsonl.gz layout LLM text corpora ship in, which
+# Spark's JVM line reader cannot read here (no native Hadoop codecs).
+# --------------------------------------------------------------------
+
+def _init_q315() -> None:
+    from ..functions import multimodal as M
+
+    @register(
+        "q315_zstd_ndjson_scan",
+        _ROUNDTRIP_ORACLE,
+        doc="Compressed-NDJSON folder scan on the exact gate (sources/"
+            "readers.py CompressedNdjsonSource, spec op 'ndjson_z'): "
+            "orders are written as a multi-file NDJSON folder, then "
+            "each shard is packaged the way a lake writer would — one "
+            "codec per file, MIXED across the folder (.jsonl.zst via "
+            "the new r10 zstd path, .jsonl.gz, and one left plain to "
+            "exercise the uncompressed fallback) — plus a non-data "
+            "decoy the glob must exclude. The scan is a distributed "
+            "binaryFile read feeding ONE magic-sniffing Arrow "
+            "decompress UDF; line explode and from_json stay "
+            "JVM-side, malformed lines drop PERMISSIVE-style. The "
+            "oracle aggregates the original parquet, so the hash "
+            "passes only if every shard decompressed, every line "
+            "parsed, and values were conserved end-to-end. Scale "
+            "shape: one file = one task (the non-splittable-codec "
+            "contract); parallelism = shard count, which is the "
+            "corpus layout's own knob.",
+    )
+    def q315_zstd_ndjson_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import glob as _glob
+        import os
+
+        from ..sources import CompressedNdjsonSource, FrameSource, NdjsonSink
+
+        path = f"{_SCRATCH}/zndjson_scan"
+        Pipeline(
+            [
+                FrameSource(_roundtrip_frame(spark, sf_dir).repartition(3)),
+                NdjsonSink(path),
+            ]
+        ).run(spark)
+        codecs = [("zstd", ".zst"), ("gzip", ".gz"), (None, "")]
+        parts = sorted(
+            p
+            for p in _glob.glob(os.path.join(path, "part-*"))
+            if not p.endswith(".crc")
+        )
+        for i, p in enumerate(parts):
+            codec, suffix = codecs[i % 3]
+            with open(p, "rb") as f:
+                raw = f.read()
+            blob = M.compress_bytes(raw, codec) if codec else raw
+            with open(p + ".jsonl" + suffix, "wb") as f:
+                f.write(blob)
+            os.remove(p)
+        with open(os.path.join(path, "notes.txt"), "w") as f:
+            f.write("not data\n")
+        src = CompressedNdjsonSource(
+            path,
+            glob="part-*.jsonl*",
+            schema=(
+                "o_orderkey bigint, o_orderstatus string,"
+                " o_totalprice double"
+            ),
+        )
+        return _roundtrip_agg(Pipeline([src]), spark)
+
+
+_init_q315()

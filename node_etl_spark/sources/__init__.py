@@ -5,6 +5,7 @@ from .layout import compact_parquet, zorder_write
 from .upsert import last_write_wins, upsert_parquet
 from .readers import (
     BinarySource,
+    CompressedNdjsonSource,
     CsvSource,
     FrameSource,
     JsonSource,
@@ -28,7 +29,7 @@ from .writers import (
 )
 
 __all__ = [
-    "PathSource", "ParquetSource", "OrcSource", "CsvSource", "JsonSource", "NdjsonSource",
+    "PathSource", "ParquetSource", "OrcSource", "CsvSource", "JsonSource", "NdjsonSource", "CompressedNdjsonSource",
     "XmlSource", "FrameSource", "BinarySource", "folder_source", "apply_root_node",
     "PagedRestSource", "default_url_gen",
     "NdjsonSink", "ParquetSink", "OrcSink", "CsvSink", "XmlSink", "JsonArraySink", "NoopSink",

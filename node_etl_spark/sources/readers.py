@@ -161,6 +161,72 @@ class NdjsonSource(PathSource):
         return reader.json(path)
 
 
+class CompressedNdjsonSource(PathSource):
+    """NDJSON shards compressed per FILE with any sniffable codec —
+    `.jsonl.gz` / `.jsonl.zst` / bz2 / lzma / snappy — the layout LLM
+    text corpora actually ship in (r10). Spark's JVM line reader
+    cannot read zstd/snappy text here at all (no native Hadoop
+    codecs), so the scan is a distributed ``binaryFile`` read feeding
+    ONE Arrow-batched magic-sniffing decompress UDF
+    (functions/multimodal.py decompress_text); the line split/explode
+    and JSON parsing stay JVM-side (``from_json``). Error policy:
+    malformed JSON lines parse to NULL and drop (the reference's
+    PERMISSIVE warn-and-skip, job-reader-jsons.js:41-44); corrupt
+    FILES decompress to NULL and contribute zero rows instead of
+    failing the job. Plain uncompressed shards also pass through
+    (the sniff falls back to treating bytes as UTF-8).
+
+    Scale note: one file = one task = one whole-file decompress in
+    executor memory — the non-splittable-codec contract; shard sizing
+    (100-500 MB) is the corpus layout's own requirement, not this
+    reader's. A ``schema`` is REQUIRED: schema inference would need a
+    second decompress pass over every shard."""
+
+    def __init__(
+        self,
+        path: str,
+        schema: str,
+        glob: str | None = None,
+        options: Mapping[str, str] | None = None,
+        name: str | None = None,
+    ) -> None:
+        super().__init__(path, options=options or {}, name=name)
+        if not schema:
+            raise ValueError("CompressedNdjsonSource requires a schema")
+        self.schema = schema
+        self.glob = glob
+
+    def _read(self, spark: SparkSession, path: str) -> DataFrame:
+        from ..functions.multimodal import decompress_text
+
+        reader = spark.read.format("binaryFile")
+        if self.glob:
+            reader = reader.option("pathGlobFilter", self.glob)
+        binaries = reader.load(path)
+        text = decompress_text("content", codec="auto")
+        # uncompressed shards: unknown container -> NULL -> fall back
+        # to the raw bytes decoded as UTF-8
+        text = F.coalesce(text, F.col("content").cast("string"))
+        lines = binaries.select(
+            F.explode(F.split(text, "\n")).alias("__line")
+        ).where(F.length(F.trim(F.col("__line"))) > 0)
+        # PERMISSIVE from_json yields an all-null struct for malformed
+        # lines, not a NULL — route bad lines into a corrupt-record
+        # field and filter on it (the NdjsonSource warn-and-skip twin)
+        parsed = lines.select(
+            F.from_json(
+                "__line",
+                self.schema + ", __corrupt string",
+                {"columnNameOfCorruptRecord": "__corrupt"},
+            ).alias("__row")
+        )
+        return (
+            parsed.where(F.col("__row.__corrupt").isNull())
+            .select("__row.*")
+            .drop("__corrupt")
+        )
+
+
 class XmlSource(PathSource):
     """Streaming-tag XML: one row per ``row_tag`` occurrence
     (reference SAX xmlNode, job-parser-xml.js:15-17)."""

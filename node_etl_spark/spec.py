@@ -45,6 +45,7 @@ from .operators.base import FnTransform, Op
 from .pipeline import Catalog, Pipeline
 from .sources import (
     BinarySource,
+    CompressedNdjsonSource,
     CsvSource,
     JsonArraySink,
     JsonSource,
@@ -86,6 +87,11 @@ _REGISTRY: dict[str, Callable[..., Op]] = {
         multiline=d.get("multiline", True),
     ),
     "ndjson": lambda d, c: NdjsonSource(d["path"], schema=d.get("schema")),
+    # per-file-compressed NDJSON shards (.jsonl.gz/.jsonl.zst/...):
+    # binaryFile scan + magic-sniffing decompress; schema REQUIRED
+    "ndjson_z": lambda d, c: CompressedNdjsonSource(
+        d["path"], schema=d["schema"], glob=d.get("glob")
+    ),
     "xml": lambda d, c: XmlSource(d["path"], row_tag=d.get("row_tag", "item")),
     # opaque media ingest (functions/multimodal.py): one row per file
     "binary": lambda d, c: BinarySource(

@@ -1086,6 +1086,18 @@ def test_warc_and_html_plans_add_no_shuffle(spark, sf_dir):
     assert "documents.parquet" in plan  # no fixture: generation is JVM concat
 
 
+def test_compressed_ndjson_scan_plan(spark, sf_dir):
+    # q315: binaryFile scan -> ONE magic-sniffing decompress UDF;
+    # explode + from_json stay JVM-side; the only Exchange is the
+    # final aggregation's shuffle (with map-side partial agg)
+    plan = _plan(spark, sf_dir, "q315_zstd_ndjson_scan")
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("MapInPandas") == 0
+    assert "Generate" in plan  # JVM-side line explode
+    assert plan.count("Exchange") == 1
+    assert "partial" in plan.lower()
+
+
 def test_zstd_plans_single_udf_no_shuffle(spark, sf_dir):
     # q311 (system-libzstd ctypes path, full corpus) and q312 (the
     # pure RFC 8878 decoder, deterministic 10% sample): both are a

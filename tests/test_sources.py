@@ -454,3 +454,52 @@ def test_mongo_sink_write_roundtrip(spark, monkeypatch):
 
     assert calls == [("etl", "out", 10), ("etl", "out", 10), ("etl", "out", 5)]
     assert closed == [True]
+
+
+def test_compressed_ndjson_source_mixed_codecs_and_error_policy(
+    spark, tmp_path
+):
+    # r10 CompressedNdjsonSource: .jsonl.zst / .jsonl.gz / plain mixed
+    # in one folder; malformed JSON lines drop PERMISSIVE-style;
+    # corrupt files contribute zero rows instead of failing the scan
+    from node_etl_spark.functions.multimodal import compress_bytes
+    from node_etl_spark.pipeline import Pipeline
+    from node_etl_spark.sources import CompressedNdjsonSource
+    from node_etl_spark.spec import op_from_spec
+
+    lines = b'{"k": 1, "v": "a"}\nnot json at all\n{"k": 2, "v": "b"}\n'
+    (tmp_path / "s0.jsonl.zst").write_bytes(compress_bytes(lines, "zstd"))
+    (tmp_path / "s1.jsonl.gz").write_bytes(compress_bytes(lines, "gzip"))
+    (tmp_path / "s2.jsonl").write_bytes(lines)
+    corrupt = bytearray(compress_bytes(lines, "zstd"))
+    corrupt[-1] ^= 0xFF  # breaks the frame checksum
+    (tmp_path / "s3.jsonl.zst").write_bytes(bytes(corrupt))
+    (tmp_path / "ignore.txt").write_text("excluded by glob")
+
+    src = CompressedNdjsonSource(
+        str(tmp_path), schema="k bigint, v string", glob="s*.jsonl*"
+    )
+    rows = sorted(
+        (r.k, r.v) for r in Pipeline([src]).run(spark).collect()
+    )
+    # 3 readable shards x 2 valid lines; the bad line and the corrupt
+    # shard contribute nothing
+    assert rows == [(1, "a"), (1, "a"), (1, "a"), (2, "b"), (2, "b"), (2, "b")]
+
+    # schema is mandatory (inference would re-decompress every shard)
+    import pytest
+
+    with pytest.raises(ValueError):
+        CompressedNdjsonSource(str(tmp_path), schema="")
+
+    # spec op wiring
+    op = op_from_spec(
+        {
+            "op": "ndjson_z",
+            "path": str(tmp_path),
+            "glob": "s0.jsonl.zst",
+            "schema": "k bigint, v string",
+        }
+    )
+    got = sorted((r.k, r.v) for r in Pipeline([op]).run(spark).collect())
+    assert got == [(1, "a"), (2, "b")]
