@@ -3686,6 +3686,45 @@ def pcm_energy_oracle_sql(
     """
 
 
+@_corrupt_as_valueerror
+def _bmp_gray_np(content: bytes):
+    """Vectorized 24-bit-BMP -> integer gray plane, the exact
+    ``(r+g+b)//3`` semantics of :func:`decode_bmp24` (equality pinned
+    by tests) without building 3*w*h Python tuples — the
+    :func:`image_ahash` hot path (q309: one frombuffer/reshape per
+    image instead of per-pixel list work). Rejects exactly the
+    variants the scalar decoder rejects."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < _BMP_HEADER + _BMP_INFO or content[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    offset = struct.unpack_from("<I", content, 10)[0]
+    hdr_size = struct.unpack_from("<I", content, 14)[0]
+    if hdr_size < _BMP_INFO:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    width, height = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    if width <= 0 or height == 0:
+        raise ValueError("bad dimensions")
+    bottom_up = height > 0
+    height = abs(height)
+    row_size = (3 * width + 3) // 4 * 4
+    if len(content) < offset + row_size * height:
+        raise ValueError("truncated pixel array")
+    arr = np.frombuffer(
+        content, dtype=np.uint8, count=row_size * height, offset=offset
+    ).reshape(height, row_size)[:, : 3 * width]
+    px = arr.reshape(height, width, 3).astype(np.int64)
+    if bottom_up:
+        px = px[::-1]
+    return width, height, px.sum(axis=2) // 3
+
+
 def image_ahash(
     binaries: DataFrame,
     id_col: str = "doc_id",
@@ -3718,9 +3757,9 @@ def image_ahash(
     def gray_of(content: bytes):
         kind = sniff_media_type(content)
         if kind == "bmp":
-            w, h, px = decode_bmp24(content)
-            g = np.asarray(px, dtype=np.int64)
-            return w, h, g.sum(axis=2) // 3
+            # vectorized hot path: same exact integers as decode_bmp24
+            # (equality pinned by tests), ~5x on q309's 80x48 corpus
+            return _bmp_gray_np(content)
         if kind == "png":
             w, h, px = decode_png24(content)
             g = np.asarray(px, dtype=np.int64)

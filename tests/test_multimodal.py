@@ -1686,3 +1686,44 @@ def test_zstd_pure_decoder_mutation_fuzz():
             except ValueError:
                 checked += 1
     assert checked > 100  # most mutations must be caught, not decoded
+
+
+def test_bmp_gray_np_matches_scalar_decoder():
+    # the image_ahash hot path must produce the EXACT gray integers of
+    # decode_bmp24 ((r+g+b)//3) on random images, odd widths (row
+    # padding), top-down layouts, and reject the same variants
+    import random
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from node_etl_spark.functions.multimodal import (
+        _bmp_gray_np,
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    rng = random.Random(5)
+    for w, h in [(1, 1), (3, 2), (5, 7), (80, 48), (17, 4)]:
+        px = [
+            [tuple(rng.randrange(256) for _ in range(3)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        blob = encode_bmp24(w, h, px)
+        gw, gh, gray = _bmp_gray_np(blob)
+        dw, dh, rows = decode_bmp24(blob)
+        ref = np.asarray(rows, dtype=np.int64).sum(axis=2) // 3
+        assert (gw, gh) == (dw, dh) == (w, h)
+        assert np.array_equal(gray, ref), (w, h)
+        # top-down variant: negate the height field; both decoders
+        # must agree on the flipped orientation
+        td = bytearray(blob)
+        struct.pack_into("<i", td, 22, -h)
+        _, _, gray_td = _bmp_gray_np(bytes(td))
+        _, _, rows_td = decode_bmp24(bytes(td))
+        ref_td = np.asarray(rows_td, dtype=np.int64).sum(axis=2) // 3
+        assert np.array_equal(gray_td, ref_td)
+    for bad in (b"", b"BM" + b"\x00" * 20, encode_bmp24(2, 2, [[(0,) * 3] * 2] * 2)[:30]):
+        with pytest.raises(ValueError):
+            _bmp_gray_np(bad)
