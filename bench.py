@@ -285,6 +285,7 @@ HEADLINE = [
     "q313_warc_records",
     "q314_html_extract",
     "q315_zstd_ndjson_scan",
+    "q316_token_shards_roundtrip",
 ]
 
 

@@ -15505,3 +15505,86 @@ def _init_q315() -> None:
 
 
 _init_q315()
+
+# --------------------------------------------------------------------
+# q316 — packed token-shard export round-trip on the exact gate (r10):
+# the fixed-dtype binary layout trainers consume (Megatron-style
+# .bin+index as one self-describing file), with the distributed-writer
+# commit protocol (shards first, manifest last).
+# --------------------------------------------------------------------
+
+def _init_q316() -> None:
+    from ..functions.sampling import hash_bucket, hash_bucket_sql
+
+    @register(
+        "q316_token_shards_roundtrip",
+        f"""
+        WITH toks AS (
+            SELECT doc_id, {hash_bucket_sql("t", seed=13, buckets=30000)}
+                       AS tid
+            FROM documents,
+                 unnest(string_split(text, ' ')) AS tt(t)
+            WHERE t <> '')
+        SELECT doc_id AS seq_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(tid) AS BIGINT) AS sum_ids,
+               CAST(MIN(tid) AS INT) AS min_id,
+               CAST(MAX(tid) AS INT) AS max_id
+        FROM toks GROUP BY doc_id
+        """,
+        doc="Packed token-shard export on the exact gate (sources/"
+            "tokenshards.py write_token_shards/read_token_shards, spec "
+            "ops token_shards_sink/token_shards): documents tokenize "
+            "JVM-side (split + portable md5 bucket ids, 30k vocab), "
+            "export as uint16 binary shards — one self-describing file "
+            "per partition (magic, dtype, seq index, payload, crc32), "
+            "temp-write + atomic rename, manifest committed LAST — "
+            "then read back through a distributed binaryFile scan and "
+            "aggregated per sequence (count, sum, min, max of token "
+            "ids), which the oracle recomputes from the raw text with "
+            "the identical md5-bucket formula. Any index/payload/"
+            "dtype/crc framing bug breaks the hash; corrupt shards "
+            "and out-of-range vocab ids are separately unit-tested "
+            "(skip vs fail-the-export). Scale shape: one partition = "
+            "one shard = one sequential write, no shuffle on either "
+            "side; shard size is an upstream repartition knob.",
+    )
+    def q316_token_shards_roundtrip(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from ..sources.tokenshards import (
+            read_token_shards,
+            write_token_shards,
+        )
+
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        toks = F.transform(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != ""),
+            lambda t: hash_bucket(t, seed=13, buckets=30000),
+        )
+        seqs = docs.select(
+            F.col("doc_id").alias("seq_id"), toks.alias("tokens")
+        ).repartition(4)
+        out_dir = f"{_SCRATCH}/token_shards"
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        write_token_shards(seqs, out_dir, dtype="uint16")
+        back = read_token_shards(spark, out_dir)
+        return (
+            back.where(F.size("tokens") > 0)
+            .select(
+                "seq_id",
+                F.size("tokens").cast("bigint").alias("n_tokens"),
+                F.aggregate(
+                    "tokens",
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x.cast("bigint"),
+                ).alias("sum_ids"),
+                F.array_min("tokens").cast("int").alias("min_id"),
+                F.array_max("tokens").cast("int").alias("max_id"),
+            )
+        )
+
+
+_init_q316()

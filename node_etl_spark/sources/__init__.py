@@ -2,6 +2,13 @@ from .base_source import PathSource
 from .bucketed import read_bucketed, write_bucketed
 from .paged import PagedRestSource, default_url_gen
 from .layout import compact_parquet, zorder_write
+from .tokenshards import (
+    TokenShardSink,
+    TokenShardSource,
+    parse_token_shard,
+    read_token_shards,
+    write_token_shards,
+)
 from .upsert import last_write_wins, upsert_parquet
 from .readers import (
     BinarySource,
@@ -36,4 +43,6 @@ __all__ = [
     "HttpNdjsonSink", "MongoSink",
     "write_bucketed", "read_bucketed",
     "upsert_parquet", "last_write_wins", "zorder_write", "compact_parquet",
+    "TokenShardSink", "TokenShardSource", "write_token_shards",
+    "read_token_shards", "parse_token_shard",
 ]

@@ -47,6 +47,8 @@ from .sources import (
     BinarySource,
     CompressedNdjsonSource,
     CsvSource,
+    TokenShardSink,
+    TokenShardSource,
     JsonArraySink,
     JsonSource,
     NdjsonSink,
@@ -91,6 +93,11 @@ _REGISTRY: dict[str, Callable[..., Op]] = {
     # binaryFile scan + magic-sniffing decompress; schema REQUIRED
     "ndjson_z": lambda d, c: CompressedNdjsonSource(
         d["path"], schema=d["schema"], glob=d.get("glob")
+    ),
+    # packed token shards (sources/tokenshards.py): the fixed-dtype
+    # binary export trainers consume; see token_shards_sink below
+    "token_shards": lambda d, c: TokenShardSource(
+        d["path"], glob=d.get("glob", "*.tokens")
     ),
     "xml": lambda d, c: XmlSource(d["path"], row_tag=d.get("row_tag", "item")),
     # opaque media ingest (functions/multimodal.py): one row per file
@@ -151,6 +158,12 @@ _REGISTRY: dict[str, Callable[..., Op]] = {
     ),
     # sinks (§2.5)
     "parquet_sink": lambda d, c: ParquetSink(d["path"], mode=d.get("mode", "overwrite")),
+    "token_shards_sink": lambda d, c: TokenShardSink(
+        d["path"],
+        id_col=d.get("id_col", "seq_id"),
+        tokens_col=d.get("tokens_col", "tokens"),
+        dtype=d.get("dtype", "uint16"),
+    ),
     "ndjson_sink": lambda d, c: NdjsonSink(d["path"], mode=d.get("mode", "overwrite")),
     # destination may be a path or an http(s) URL (reference WriterJSON
     # + getWriteStreamByUrl); req_options carries headers/auth/method

@@ -1098,6 +1098,16 @@ def test_compressed_ndjson_scan_plan(spark, sf_dir):
     assert "partial" in plan.lower()
 
 
+def test_token_shards_read_plan(spark, sf_dir):
+    # q316's returned plan is the READ side: distributed binaryFile
+    # scan -> one shard-parsing mapInPandas -> JVM-side aggregates;
+    # no Exchange (per-sequence aggregates are row-local expressions)
+    plan = _plan(spark, sf_dir, "q316_token_shards_roundtrip")
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+    assert "binaryFile" in plan or "BinaryFile" in plan
+
+
 def test_zstd_plans_single_udf_no_shuffle(spark, sf_dir):
     # q311 (system-libzstd ctypes path, full corpus) and q312 (the
     # pure RFC 8878 decoder, deterministic 10% sample): both are a

@@ -503,3 +503,69 @@ def test_compressed_ndjson_source_mixed_codecs_and_error_policy(
     )
     got = sorted((r.k, r.v) for r in Pipeline([op]).run(spark).collect())
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_token_shards_roundtrip_commit_and_corruption(spark, tmp_path):
+    # r10 packed token shards: write-side atomic publish + manifest-
+    # last commit; read-side exact reconstruction incl. empty
+    # sequences; corrupt shards skip; vocab/dtype overflow FAILS the
+    # export (never wraps silently)
+    import json
+    import os
+
+    import pytest
+
+    from node_etl_spark.context import Context
+    from node_etl_spark.pipeline import Pipeline
+    from node_etl_spark.sources import (
+        TokenShardSink,
+        TokenShardSource,
+        write_token_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, []), (3, [65535, 0]), (4, [7] * 1000)],
+        "seq_id bigint, tokens array<int>",
+    ).repartition(2)
+    out = str(tmp_path / "shards")
+    entries = write_token_shards(df, out)
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert man["dtype"] == "uint16"
+    assert sum(e["n_seqs"] for e in man["shards"]) == 4
+    assert sum(e["n_tokens"] for e in man["shards"]) == 1005
+    assert entries == man["shards"]
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+    back = TokenShardSource(out).load(spark, Context())
+    got = {r.seq_id: list(r.tokens) for r in back.collect()}
+    assert got == {1: [1, 2, 3], 2: [], 3: [65535, 0], 4: [7] * 1000}
+
+    # corrupt shard (crc flip) contributes zero rows
+    shard = os.path.join(out, man["shards"][0]["shard"])
+    blob = bytearray(open(shard, "rb").read())
+    blob[-1] ^= 0xFF
+    (tmp_path / "shards" / "bad.tokens").write_bytes(bytes(blob))
+    assert TokenShardSource(out).load(spark, Context()).count() == 4
+
+    # uint16 overflow fails the export
+    over = spark.createDataFrame(
+        [(1, [70000])], "seq_id bigint, tokens array<int>"
+    )
+    with pytest.raises(Exception, match="out of range"):
+        write_token_shards(over, str(tmp_path / "over"))
+    # uint32 dtype accepts it
+    write_token_shards(over, str(tmp_path / "wide"), dtype="uint32")
+    wide = TokenShardSource(str(tmp_path / "wide")).load(spark, Context())
+    assert [list(r.tokens) for r in wide.collect()] == [[70000]]
+
+    # sink spec op end-to-end through a Pipeline
+    from node_etl_spark.spec import op_from_spec
+
+    sink = op_from_spec(
+        {"op": "token_shards_sink", "path": str(tmp_path / "spec_out")}
+    )
+    sink.write(df, Context())
+    src = op_from_spec(
+        {"op": "token_shards", "path": str(tmp_path / "spec_out")}
+    )
+    assert Pipeline([src]).run(spark).count() == 4
