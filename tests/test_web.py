@@ -209,3 +209,56 @@ def test_warc_and_html_spec_ops(spark):
     out = op_from_spec({"op": "html_text"}).apply(html_df, Context())
     r = out.collect()[0]
     assert (r.title, r.body) == ("T", "B")
+
+
+def test_example_pretrain_corpus_spec(spark, tmp_path):
+    # examples/pretrain_corpus.json end-to-end: the whole pretraining
+    # pipeline — warc ingest -> html extract -> quality -> dedup ->
+    # tokenize -> packed uint16 token shards + manifest
+    import hashlib
+    import json as _json
+    import os
+
+    from node_etl_spark.context import Context
+    from node_etl_spark.functions.web import (
+        encode_warc_gz,
+        http_response_bytes,
+    )
+    from node_etl_spark.sources import TokenShardSource
+    from node_etl_spark.spec import from_spec
+
+    text = "ducks like bread and water near the pond today"
+    data = tmp_path / "crawl"
+    data.mkdir()
+    (data / "seg-0.warc.gz").write_bytes(
+        encode_warc_gz(
+            [
+                ("response", "https://a.example/1",
+                 http_response_bytes(_page("Ducks", f"<p>{text}</p>")),
+                 "application/http; msgtype=response"),
+                ("response", "https://b.example/dup",
+                 http_response_bytes(_page("Copy", f"<p>{text}</p>")),
+                 "application/http; msgtype=response"),
+            ]
+        )
+    )
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = _json.load(
+        open(os.path.join(root, "examples", "pretrain_corpus.json"))
+    )
+    out = str(tmp_path / "out")
+    from_spec(spec).run(spark, config={"DATA": str(data), "OUT": out})
+
+    assert os.path.exists(os.path.join(out, "tokens", "manifest.json"))
+    back = TokenShardSource(out + "/tokens").load(spark, Context())
+    rows = back.collect()
+    assert len(rows) == 1  # duplicate text deduped to one sequence
+    # body = the paragraph text (the title lives in <title>, which is
+    # extracted separately, not into the body); token ids are the
+    # portable md5 bucket both engines share
+    body = text
+    want = [
+        int(hashlib.md5(f"{w}:13".encode()).hexdigest()[:8], 16) % 30000
+        for w in body.split()
+    ]
+    assert list(rows[0].tokens) == want
