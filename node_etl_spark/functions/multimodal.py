@@ -1754,6 +1754,15 @@ def _gif_lzw_encode(indices: list[int], min_code_size: int) -> bytes:
         prefix = (k,)
     if prefix:
         emit(table[prefix], width)
+        # the decoder adds one more entry while PROCESSING this final
+        # code (the encoder's emit-then-add loop never adds for it, so
+        # the usual one-add-ahead offset between the two bump rules
+        # breaks here): when that last entry lands exactly on
+        # 1 << width, the decoder widens before reading EOI — emit
+        # EOI at the width the decoder's state implies (hypothesis
+        # falsified the mcs=2 boundary, r10)
+        if nxt == (1 << width) and width < 12:
+            width += 1
     emit(eoi, width)
     if n:
         out.append(acc & 0xFF)
