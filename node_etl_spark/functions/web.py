@@ -233,9 +233,17 @@ def explode_warc_records(
 class _TextExtractor:
     """html.parser-based extraction state: title text, body text with
     script/style/noscript/template subtrees excluded, head text (other
-    than title) ignored."""
+    than title) ignored. BLOCK-level tags insert a word boundary;
+    inline tags (<b>, <span>, <a>...) do not — '<b>W</b>ord' stays
+    'Word' while '<p>a</p><p>b</p>' reads 'a b'."""
 
     _SKIP = {"script", "style", "noscript", "template"}
+    _BLOCK = {
+        "p", "div", "br", "h1", "h2", "h3", "h4", "h5", "h6", "li",
+        "ul", "ol", "dl", "dt", "dd", "tr", "td", "th", "table",
+        "section", "article", "header", "footer", "blockquote", "pre",
+        "hr", "form", "aside", "nav", "figure", "figcaption",
+    }
 
     def __init__(self) -> None:
         from html.parser import HTMLParser
@@ -256,6 +264,8 @@ class _TextExtractor:
                     self.in_title = True
                 elif tag == "head":
                     self.in_head = True
+                elif tag in _TextExtractor._BLOCK:
+                    outer.body_parts.append("\n")
 
             def handle_endtag(self, tag):
                 if tag in _TextExtractor._SKIP:
@@ -264,6 +274,8 @@ class _TextExtractor:
                     self.in_title = False
                 elif tag == "head":
                     self.in_head = False
+                elif tag in _TextExtractor._BLOCK:
+                    outer.body_parts.append("\n")
 
             def handle_data(self, data):
                 if self.skip_depth:
@@ -281,6 +293,7 @@ class _TextExtractor:
 def html_to_text(html: str) -> tuple[str, str]:
     """(title, body_text) from an HTML string: entities decoded
     (convert_charrefs), script/style/noscript/template dropped,
+    block-level tags as word boundaries, inline tags transparent,
     whitespace runs collapsed to single spaces and ends trimmed —
     the same normalization the SQL oracle applies with
     regexp_replace(..., '\\s+', ' ', 'g')."""
@@ -288,7 +301,7 @@ def html_to_text(html: str) -> tuple[str, str]:
     ex.parser.feed(html)
     ex.parser.close()
     norm = lambda parts: re.sub(  # noqa: E731 - tiny local helper
-        r"\s+", " ", " ".join(parts)
+        r"\s+", " ", "".join(parts)
     ).strip()
     return norm(ex.title_parts), norm(ex.body_parts)
 

@@ -262,3 +262,16 @@ def test_example_pretrain_corpus_spec(spark, tmp_path):
         for w in body.split()
     ]
     assert list(rows[0].tokens) == want
+
+
+def test_html_inline_vs_block_word_boundaries():
+    # inline tags are transparent (no word split); block tags and <br>
+    # are word boundaries — the behavior that keeps '<b>W</b>ord' one
+    # token and '<p>a</p><p>b</p>' two
+    from node_etl_spark.functions.web import html_to_text
+
+    _, body = html_to_text(
+        "<body><p><b>W</b>ord one</p><p>two</p>three<br>four"
+        "<span>5</span>6</body>"
+    )
+    assert body == "Word one two three four56"  # span is inline
