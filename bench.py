@@ -286,6 +286,7 @@ HEADLINE = [
     "q314_html_extract",
     "q315_zstd_ndjson_scan",
     "q316_token_shards_roundtrip",
+    "q317_png_variants",
 ]
 
 

@@ -428,13 +428,241 @@ def decode_png24(
     return width, height, rows
 
 
+# PNG variant support (r10): the web's PNGs are mostly NOT 8-bit
+# truecolor progressive-free files — palette (ctype 3), grayscale
+# (0), alpha channels (4/6), sub-byte depths, 16-bit, and Adam7
+# interlacing are all common. decode_png handles every legal
+# depth/ctype combination and both interlace modes; decode_png24
+# stays as the strict truecolor-only decoder (its rejections are
+# load-bearing for older tests/gates).
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+    4: (8, 16), 6: (8, 16),
+}
+# Adam7 pass origins/strides (x0, y0, dx, dy), PNG spec §8.2
+_PNG_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_pack_bits(samples, depth: int, stride: int) -> bytes:
+    """Pack sub-byte samples MSB-first into a scanline of ``stride``
+    bytes (trailing pad bits zero)."""
+    out = bytearray(stride)
+    bitpos = 0
+    for v in samples:
+        byte_i, shift = bitpos // 8, 8 - depth - (bitpos % 8)
+        out[byte_i] |= (v & ((1 << depth) - 1)) << shift
+        bitpos += depth
+    return bytes(out)
+
+
+def _png_unpack_samples(line: bytes, depth: int, count: int) -> list[int]:
+    """Unpack ``count`` samples from a scanline (MSB-first sub-byte
+    packing; 16-bit keeps the HIGH byte, the standard 8-bit
+    reduction)."""
+    if depth == 8:
+        return list(line[:count])
+    if depth == 16:
+        return [line[2 * i] for i in range(count)]
+    out = []
+    mask = (1 << depth) - 1
+    for i in range(count):
+        bitpos = i * depth
+        out.append((line[bitpos // 8] >> (8 - depth - bitpos % 8)) & mask)
+    return out
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels,
+    color_type: int = 2,
+    bit_depth: int = 8,
+    palette: list[tuple[int, int, int]] | None = None,
+    interlace: int = 0,
+    filters: list[int] | None = None,
+) -> bytes:
+    """General deterministic PNG writer for gates and tests: gray (0),
+    truecolor (2), palette (3, with PLTE), gray+alpha (4), RGBA (6);
+    bit depths 1/2/4/8 where legal; interlace 0 or 1 (Adam7 — each
+    pass filters independently, per spec). ``pixels[y][x]`` is an int
+    for 1-channel types, a tuple otherwise."""
+    import struct
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    if bit_depth not in _PNG_DEPTHS[color_type] or bit_depth == 16:
+        raise ValueError("unsupported encode depth for color type")
+    if color_type == 3 and not palette:
+        raise ValueError("palette color type needs a palette")
+
+    def pass_bytes(ys, xs):
+        out = bytearray()
+        bits = bit_depth * ch
+        stride = (bits * len(xs) + 7) // 8
+        bpp = max(1, bits // 8)
+        prev = bytes(stride)
+        for ri, y in enumerate(ys):
+            samples = []
+            for x in xs:
+                v = pixels[y][x]
+                samples.extend((v,) if ch == 1 else tuple(v))
+            line = (
+                bytes(samples)
+                if bit_depth == 8
+                else _png_pack_bits(samples, bit_depth, stride)
+            )
+            ft = filters[ri % len(filters)] if filters else ri % 5
+            out.append(ft)
+            out += _png_filter(ft, line, prev, bpp)
+            prev = line
+        return out
+
+    raw = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            xs = list(range(x0, width, dx))
+            ys = list(range(y0, height, dy))
+            if xs and ys:
+                raw += pass_bytes(ys, xs)
+    else:
+        raw += pass_bytes(range(height), range(width))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace
+    )
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw), 6)) + chunk(b"IEND", b"")
+    return out
+
+
+@_corrupt_as_valueerror
+def decode_png(
+    content: bytes,
+) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Pure-stdlib decoder for EVERY legal PNG pixel layout: gray /
+    truecolor / palette / gray+alpha / RGBA, bit depths 1-16
+    (sub-byte MSB-first; 16-bit reduced to the high byte), Adam7
+    interlacing (per-pass filtering), chunk CRC verification, multiple
+    IDATs. Alpha is dropped and gray scales exactly
+    (255 / (2^d - 1) is an integer for d in 1/2/4). Returns top-down
+    RGB rows; ValueError on corrupt framing or palette overruns."""
+    import struct
+    import zlib
+
+    if len(content) < 8 or content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    plte: bytes | None = None
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        tag = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(content):
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"PLTE":
+            plte = data
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not ended or not idat:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if ctype not in _PNG_CHANNELS or depth not in _PNG_DEPTHS[ctype]:
+        raise ValueError("illegal PNG depth/color-type combination")
+    if comp != 0 or filt != 0 or interlace > 1:
+        raise ValueError("unsupported PNG compression/filter/interlace")
+    if width <= 0 or height <= 0:
+        raise ValueError("bad dimensions")
+    if ctype == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG without a valid PLTE")
+        palette = [tuple(plte[3 * i : 3 * i + 3]) for i in range(len(plte) // 3)]
+    ch = _PNG_CHANNELS[ctype]
+    scale = {1: 255, 2: 85, 4: 17}.get(depth, 1)
+    raw = zlib.decompress(bytes(idat))
+    rows: list[list] = [[(0, 0, 0)] * width for _ in range(height)]
+    rpos = 0
+
+    def do_pass(ys, xs):
+        nonlocal rpos
+        bits = depth * ch
+        stride = (bits * len(xs) + 7) // 8
+        bpp = max(1, bits // 8)
+        prev = bytes(stride)
+        for y in ys:
+            if rpos + 1 + stride > len(raw):
+                raise ValueError("truncated PNG pixel data")
+            ft = raw[rpos]
+            cur = bytearray(raw[rpos + 1 : rpos + 1 + stride])
+            rpos += 1 + stride
+            _png_unfilter(ft, cur, prev, bpp)
+            samples = _png_unpack_samples(bytes(cur), depth, ch * len(xs))
+            row = rows[y]
+            for i, x in enumerate(xs):
+                s = samples[i * ch : (i + 1) * ch]
+                if ctype == 0:
+                    g = s[0] * scale
+                    row[x] = (g, g, g)
+                elif ctype == 2:
+                    row[x] = (s[0], s[1], s[2])
+                elif ctype == 3:
+                    if s[0] >= len(palette):
+                        raise ValueError("palette index out of range")
+                    row[x] = palette[s[0]]
+                elif ctype == 4:
+                    g = s[0] * scale
+                    row[x] = (g, g, g)
+                else:
+                    row[x] = (s[0], s[1], s[2])
+            prev = bytes(cur)
+
+    if interlace:
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            xs = list(range(x0, width, dx))
+            ys = list(range(y0, height, dy))
+            if xs and ys:
+                do_pass(ys, xs)
+    else:
+        do_pass(range(height), range(width))
+    if rpos != len(raw):
+        raise ValueError("PNG pixel data length mismatch")
+    return width, height, rows
+
+
 def decode_png_features(
     content: bytes,
 ) -> tuple[int, int, int, list[float]]:
     """Real-decode hook for :func:`extract_image_features` (PNG twin
     of :func:`decode_bmp_features`): per-channel pixel sums as the
-    feature vector; corrupt bytes raise into the null-row policy."""
-    width, height, rows = decode_png24(content)
+    feature vector; corrupt bytes raise into the null-row policy.
+    Routes through :func:`decode_png`, so every legal PNG pixel
+    layout (palette/gray/alpha/sub-byte/16-bit/Adam7) decodes."""
+    width, height, rows = decode_png(content)
     sums = [0, 0, 0]
     for row in rows:
         for r, g, b in row:
@@ -3770,7 +3998,9 @@ def image_ahash(
             # (equality pinned by tests), ~5x on q309's 80x48 corpus
             return _bmp_gray_np(content)
         if kind == "png":
-            w, h, px = decode_png24(content)
+            # general decoder: palette/gray/alpha/sub-byte/Adam7
+            # fingerprints too, not just 8-bit truecolor (r10)
+            w, h, px = decode_png(content)
             g = np.asarray(px, dtype=np.int64)
             return w, h, g.sum(axis=2) // 3
         if kind == "jpeg":

@@ -15590,3 +15590,161 @@ def _init_q316() -> None:
 
 
 _init_q316()
+
+# --------------------------------------------------------------------
+# q317 — PNG variant decode on the exact gate (r10): the web's PNGs
+# are mostly NOT 8-bit truecolor — palette, grayscale, alpha,
+# sub-byte depths, and Adam7 interlacing are everywhere. The hashed
+# position-WEIGHTED checksum pins interlaced pixel PLACEMENT, not
+# just values (a decoder that scrambles Adam7 pass geometry but
+# decodes bytes right fails the hash).
+# --------------------------------------------------------------------
+
+def _init_q317() -> None:
+    from ..functions import multimodal as M
+
+    @register(
+        "q317_png_variants",
+        """
+        WITH pd AS (
+            SELECT doc_id, doc_id % 4 AS v,
+                   4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+            FROM documents),
+        px AS (
+            SELECT doc_id, v, w, h, x, y,
+                   CASE v
+                     WHEN 0 THEN 85 * ((doc_id + 3*x + 5*y) % 4)
+                     WHEN 1 THEN (((doc_id + x + 2*y) % 16) * 37 + 11) % 256
+                     ELSE (doc_id + 7*x + 3*y) % 256
+                   END AS r,
+                   CASE v
+                     WHEN 0 THEN 85 * ((doc_id + 3*x + 5*y) % 4)
+                     WHEN 1 THEN (((doc_id + x + 2*y) % 16) * 53) % 256
+                     ELSE (doc_id + 11*x + 5*y) % 256
+                   END AS g,
+                   CASE v
+                     WHEN 0 THEN 85 * ((doc_id + 3*x + 5*y) % 4)
+                     WHEN 1 THEN (((doc_id + x + 2*y) % 16) * 91) % 256
+                     ELSE (doc_id + 13*x + 7*y) % 256
+                   END AS b
+            FROM pd,
+                 unnest(generate_series(0, w - 1)) AS tx(x),
+                 unnest(generate_series(0, h - 1)) AS ty(y))
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(w * h AS BIGINT) AS n_px,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g) AS BIGINT) AS sum_g,
+               CAST(SUM(b) AS BIGINT) AS sum_b,
+               CAST(SUM((y * w + x + 1) * (r + g + b)) AS BIGINT) AS wsum
+        FROM px GROUP BY 1, 2, 3, 4
+        """,
+        doc="PNG variant decode on the exact gate (functions/"
+            "multimodal.py encode_png/decode_png): per document one of "
+            "four REAL-WORLD pixel layouts by doc_id %% 4 — 2-bit "
+            "grayscale ADAM7-INTERLACED (exact 85x scaling), 4-bit "
+            "PALETTE Adam7-interlaced (PLTE lookup), 8-bit RGBA "
+            "non-interlaced (alpha dropped), 8-bit truecolor "
+            "Adam7-interlaced — encoded executor-side at 4-8 x 3-6 "
+            "dims (tiny images exercise EMPTY Adam7 passes and "
+            "sub-byte row padding; the filter schedule still cycles "
+            "all five types per pass), then decoded back through the "
+            "extract hook. Hashed columns: per-channel sums PLUS a "
+            "position-WEIGHTED checksum sum((y*w+x+1)*(r+g+b)) that "
+            "the oracle recomputes from the formulas — any Adam7 "
+            "pass-geometry, bit-unpacking, palette, or scaling bug "
+            "breaks the hash (channel sums alone are permutation-"
+            "invariant and would miss scrambled placement). Same "
+            "zero-Exchange Arrow shape as q295/q297.",
+    )
+    def q317_png_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select("doc_id")
+        pal = [((i * 37 + 11) % 256, (i * 53) % 256, (i * 91) % 256)
+               for i in range(16)]
+
+        def gen(it):
+            import pandas as _pd
+
+            for pdf in it:
+                ids, blobs = [], []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    v, w, h = d % 4, 4 + d % 5, 3 + d % 4
+                    if v == 0:
+                        px = [[(d + 3 * x + 5 * y) % 4 for x in range(w)]
+                              for y in range(h)]
+                        blob = M.encode_png(
+                            w, h, px, color_type=0, bit_depth=2,
+                            interlace=1,
+                        )
+                    elif v == 1:
+                        px = [[(d + x + 2 * y) % 16 for x in range(w)]
+                              for y in range(h)]
+                        blob = M.encode_png(
+                            w, h, px, color_type=3, bit_depth=4,
+                            palette=pal, interlace=1,
+                        )
+                    elif v == 2:
+                        px = [
+                            [
+                                (
+                                    (d + 7 * x + 3 * y) % 256,
+                                    (d + 11 * x + 5 * y) % 256,
+                                    (d + 13 * x + 7 * y) % 256,
+                                    (d + x + y) % 256,
+                                )
+                                for x in range(w)
+                            ]
+                            for y in range(h)
+                        ]
+                        blob = M.encode_png(w, h, px, color_type=6)
+                    else:
+                        px = [
+                            [
+                                (
+                                    (d + 7 * x + 3 * y) % 256,
+                                    (d + 11 * x + 5 * y) % 256,
+                                    (d + 13 * x + 7 * y) % 256,
+                                )
+                                for x in range(w)
+                            ]
+                            for y in range(h)
+                        ]
+                        blob = M.encode_png(
+                            w, h, px, color_type=2, interlace=1
+                        )
+                    ids.append(str(d))
+                    blobs.append(blob)
+                yield _pd.DataFrame({"path": ids, "content": blobs})
+
+        binaries = _codec_fixture(
+            spark, sf_dir, "q317_png_variants", 1,
+            lambda: docs.mapInPandas(
+                gen, schema="path string, content binary"
+            ),
+        )
+
+        def decode_weighted(content):
+            w, h, rows = M.decode_png(content)
+            sr = sg = sb = ws = 0
+            for y, row in enumerate(rows):
+                for x, (r, g, b) in enumerate(row):
+                    sr += r
+                    sg += g
+                    sb += b
+                    ws += (y * w + x + 1) * (r + g + b)
+            return w, h, 3, [float(sr), float(sg), float(sb), float(ws)]
+
+        feats = M.extract_image_features(binaries, decode_fn=decode_weighted)
+        return feats.select(
+            F.col("path").cast("bigint").alias("doc_id"),
+            "width",
+            "height",
+            (F.col("width").cast("bigint") * F.col("height")).alias("n_px"),
+            F.element_at("features", 1).cast("bigint").alias("sum_r"),
+            F.element_at("features", 2).cast("bigint").alias("sum_g"),
+            F.element_at("features", 3).cast("bigint").alias("sum_b"),
+            F.element_at("features", 4).cast("bigint").alias("wsum"),
+        )
+
+
+_init_q317()

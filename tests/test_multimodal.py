@@ -1727,3 +1727,90 @@ def test_bmp_gray_np_matches_scalar_decoder():
     for bad in (b"", b"BM" + b"\x00" * 20, encode_bmp24(2, 2, [[(0,) * 3] * 2] * 2)[:30]):
         with pytest.raises(ValueError):
             _bmp_gray_np(bad)
+
+
+def test_png_variant_roundtrips_and_adam7():
+    # r10 general PNG codec: every legal depth/color-type combination
+    # (gray 1/2/4/8, palette 1/2/4/8, truecolor, gray+alpha, RGBA)
+    # round-trips in BOTH interlace modes at odd dims (sub-byte row
+    # padding + empty Adam7 passes); grays scale exactly (255, 85,
+    # 17 are integers); alpha drops; the strict truecolor decoder and
+    # the general one agree
+    import random
+    import struct
+    import zlib
+
+    import pytest
+
+    from node_etl_spark.functions import multimodal as M
+
+    rng = random.Random(9)
+    W, H = 13, 7
+    pal = [((i * 37 + 11) % 256, (i * 53) % 256, (i * 91) % 256)
+           for i in range(16)]
+    scale = {1: 255, 2: 85, 4: 17, 8: 1}
+    for interlace in (0, 1):
+        for ct, depths in ((0, (1, 2, 4, 8)), (2, (8,)), (3, (1, 2, 4, 8)),
+                           (4, (8,)), (6, (8,))):
+            for d in depths:
+                p = pal[: min(1 << d, 16)]
+                if ct == 0:
+                    px = [[rng.randrange(1 << d) for _ in range(W)]
+                          for _ in range(H)]
+                    want = [[(v * scale[d],) * 3 for v in r] for r in px]
+                elif ct == 2:
+                    px = [[tuple(rng.randrange(256) for _ in range(3))
+                           for _ in range(W)] for _ in range(H)]
+                    want = px
+                elif ct == 3:
+                    px = [[rng.randrange(len(p)) for _ in range(W)]
+                          for _ in range(H)]
+                    want = [[p[v] for v in r] for r in px]
+                elif ct == 4:
+                    px = [[(rng.randrange(256), rng.randrange(256))
+                           for _ in range(W)] for _ in range(H)]
+                    want = [[(v[0],) * 3 for v in r] for r in px]
+                else:
+                    px = [[tuple(rng.randrange(256) for _ in range(4))
+                           for _ in range(W)] for _ in range(H)]
+                    want = [[v[:3] for v in r] for r in px]
+                blob = M.encode_png(
+                    W, H, px, color_type=ct, bit_depth=d, palette=p,
+                    interlace=interlace,
+                )
+                assert M.decode_png(blob) == (W, H, want), (ct, d, interlace)
+
+    rgb = [[(x, y, x + y) for x in range(5)] for y in range(4)]
+    blob = M.encode_png24(5, 4, rgb)
+    assert M.decode_png(blob) == M.decode_png24(blob)
+
+    # 16-bit grayscale: high-byte reduction
+    samples = [[(y * 3 + x) * 1000 % 65536 for x in range(3)]
+               for y in range(2)]
+    raw = bytearray()
+    for row in samples:
+        raw.append(0)
+        raw += b"".join(struct.pack(">H", v) for v in row)
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    blob16 = (M._PNG_SIG
+              + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 16, 0, 0, 0, 0))
+              + chunk(b"IDAT", zlib.compress(bytes(raw)))
+              + chunk(b"IEND", b""))
+    _, _, rows16 = M.decode_png(blob16)
+    assert rows16 == [[(struct.pack(">H", v)[0],) * 3 for v in row]
+                      for row in samples]
+
+    # corrupt variants reject: palette overrun, illegal combo, junk
+    bad_pal = M.encode_png(2, 2, [[3] * 2] * 2, color_type=3, bit_depth=2,
+                           palette=pal[:2])
+    for bad in (
+        bad_pal,                       # index 3 with a 2-entry PLTE
+        blob16[:40],                   # truncated
+        blob16.replace(b"\x10\x00\x00", b"\x10\x03\x00", 1),  # 16/3 illegal
+    ):
+        with pytest.raises(ValueError):
+            M.decode_png(bad)

@@ -1098,6 +1098,15 @@ def test_compressed_ndjson_scan_plan(spark, sf_dir):
     assert "partial" in plan.lower()
 
 
+def test_png_variants_plan_adds_no_shuffle(spark, sf_dir):
+    # q317: fixture scan -> one decode mapInPandas, zero Exchange —
+    # same shape as q295/q297 with the general PNG decoder
+    plan = _plan(spark, sf_dir, "q317_png_variants")
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+    assert "fixtures" in plan
+
+
 def test_token_shards_read_plan(spark, sf_dir):
     # q316's returned plan is the READ side: distributed binaryFile
     # scan -> one shard-parsing mapInPandas -> JVM-side aggregates;
