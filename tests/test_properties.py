@@ -484,3 +484,123 @@ def test_zstd_roundtrip_property(data):
         assert _zstd_py_decompress(blob) == data
         assert _zstd_lib_decompress(blob) == data
         assert _zstd_lib_decompress(_zstd_stored_compress(data)) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    members=hst.lists(
+        hst.tuples(
+            hst.text(
+                alphabet=hst.characters(
+                    min_codepoint=48, max_codepoint=122
+                ),
+                min_size=1,
+                max_size=30,
+            ),
+            hst.binary(min_size=0, max_size=2000),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    gz=hst.booleans(),
+)
+def test_warc_roundtrip_property(members, gz):
+    # ANY (uri, payload) record set survives the WARC writer/walker
+    # pair in both framings, byte-exactly and in order
+    from node_etl_spark.functions.web import encode_warc_gz, iter_warc_records
+
+    recs = [
+        ("response", f"https://x/{name}", payload, "application/http")
+        for name, payload in members
+    ]
+    shard = encode_warc_gz(recs, per_record_gzip=gz)
+    got = list(iter_warc_records(shard))
+    assert [r["target_uri"] for r in got] == [r[1] for r in recs]
+    assert [r["payload"] for r in got] == [p for _, p in members]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seqs=hst.lists(
+        hst.lists(hst.integers(0, 65535), min_size=0, max_size=300),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_token_shard_roundtrip_property(seqs):
+    # ANY uint16 sequence set survives the shard pack/parse pair,
+    # incl. empty sequences and multi-sequence payload offsets
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from node_etl_spark.sources.tokenshards import (
+        _MAGIC,
+        parse_token_shard,
+    )
+
+    ids = list(range(len(seqs)))
+    payload = np.concatenate(
+        [np.asarray(s, dtype=np.uint16) for s in seqs]
+        or [np.empty(0, np.uint16)]
+    ).tobytes()
+    head = bytearray(_MAGIC)
+    head.append(2)
+    head += struct.pack("<I", len(ids))
+    for sid, s in zip(ids, seqs):
+        head += struct.pack("<qi", sid, len(s))
+    blob = (
+        bytes(head) + payload
+        + struct.pack("<I", zlib.crc32(payload) & 0xFFFFFFFF)
+    )
+    got_ids, got_arrays = parse_token_shard(blob)
+    assert got_ids == ids
+    assert [list(a) for a in got_arrays] == seqs
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=hst.integers(1, 20),
+    h=hst.integers(1, 12),
+    ct_depth=hst.sampled_from(
+        [(0, 1), (0, 2), (0, 4), (0, 8), (2, 8), (3, 2), (3, 8), (4, 8), (6, 8)]
+    ),
+    interlace=hst.integers(0, 1),
+    seed=hst.integers(0, 2**31),
+)
+def test_png_variant_roundtrip_property(w, h, ct_depth, interlace, seed):
+    # ANY dims (incl. 1xN / Nx1, which empty several Adam7 passes),
+    # every supported color-type/depth pair, both interlace modes
+    import random
+
+    from node_etl_spark.functions.multimodal import decode_png, encode_png
+
+    ct, depth = ct_depth
+    rng = random.Random(seed)
+    pal = [((i * 37 + 11) % 256, (i * 53) % 256, (i * 91) % 256)
+           for i in range(min(1 << depth, 16))]
+    scale = {1: 255, 2: 85, 4: 17, 8: 1}[depth]
+    if ct == 0:
+        px = [[rng.randrange(1 << depth) for _ in range(w)] for _ in range(h)]
+        want = [[(v * scale,) * 3 for v in r] for r in px]
+    elif ct == 2:
+        px = [[tuple(rng.randrange(256) for _ in range(3))
+               for _ in range(w)] for _ in range(h)]
+        want = px
+    elif ct == 3:
+        px = [[rng.randrange(len(pal)) for _ in range(w)] for _ in range(h)]
+        want = [[pal[v] for v in r] for r in px]
+    elif ct == 4:
+        px = [[(rng.randrange(256), rng.randrange(256))
+               for _ in range(w)] for _ in range(h)]
+        want = [[(v[0],) * 3 for v in r] for r in px]
+    else:
+        px = [[tuple(rng.randrange(256) for _ in range(4))
+               for _ in range(w)] for _ in range(h)]
+        want = [[v[:3] for v in r] for r in px]
+    blob = encode_png(
+        w, h, px, color_type=ct, bit_depth=depth, palette=pal,
+        interlace=interlace,
+    )
+    assert decode_png(blob) == (w, h, want)
