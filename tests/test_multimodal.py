@@ -1814,3 +1814,39 @@ def test_png_variant_roundtrips_and_adam7():
     ):
         with pytest.raises(ValueError):
             M.decode_png(bad)
+
+
+def test_png_decoder_mutation_fuzz():
+    # ValueError-only corrupt-input contract for the general PNG
+    # decoder (the same battery the zstd pure decoder passes): every
+    # 1-byte mutation / truncation either decodes or raises ValueError
+    import random
+
+    from node_etl_spark.functions import multimodal as M
+
+    rng = random.Random(4)
+    pal = [((i * 37 + 11) % 256, (i * 53) % 256, (i * 91) % 256)
+           for i in range(16)]
+    frames = [
+        M.encode_png(9, 5, [[rng.randrange(16) for _ in range(9)]
+                            for _ in range(5)],
+                     color_type=3, bit_depth=4, palette=pal, interlace=1),
+        M.encode_png(7, 6, [[tuple(rng.randrange(256) for _ in range(3))
+                             for _ in range(7)] for _ in range(6)],
+                     color_type=2, interlace=0),
+    ]
+    caught = 0
+    for frame in frames:
+        for _ in range(400):
+            bad = bytearray(frame)
+            bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+            try:
+                M.decode_png(bytes(bad))
+            except ValueError:
+                caught += 1
+        for cut in range(1, len(frame), max(1, len(frame) // 40)):
+            try:
+                M.decode_png(frame[:cut])
+            except ValueError:
+                caught += 1
+    assert caught > 400  # CRCs catch nearly every mutation
