@@ -22,10 +22,40 @@ never sees a partial export. Corrupt shards (bad magic / short file /
 crc mismatch) are skipped by the reader with zero rows, the engine's
 warn-and-skip policy.
 
+Read protocol (ADVICE r10): when ``manifest.json`` exists the reader
+scans EXACTLY the shards it lists — orphan shards from Spark task
+retries/speculation (each attempt writes a distinct uuid name, but
+only the winning attempt's rows reach the collected manifest) and
+stale shards from a previous export into the same directory are
+ignored, which is what makes the manifest-last commit an actual
+transaction boundary rather than documentation. The glob is the
+fallback for manifest-less directories only.
+
+Deployment contract — what "atomic publish" assumes:
+
+* ``os.rename`` within a directory is atomic on POSIX local disks and
+  on NFS; that is the environment this writer targets (and the only
+  one testable here). On object stores (S3/GCS) rename is
+  copy+delete and NOT atomic — but the rename is not the commit
+  point, the manifest is: shard names are fresh uuids (never
+  overwritten, so no torn read of a half-copied object under a name
+  a reader already knows), and a manifest-respecting reader cannot
+  observe the export until ``manifest.json`` lands. On an object
+  store, write shards directly under their final uuid names (skip
+  the temp+rename dance) and PUT the manifest last — the same
+  reader-side protocol holds because single-object PUTs are atomic.
+* dtype widths are checked on the WRITE side: uint16 ids must be
+  < 2**16 and uint32 ids < 2**32, else the export raises — a vocab/
+  dtype mismatch must fail the job, never wrap silently (ADVICE r10:
+  the previous build wrapped >= 2**32 at write and >= 2**31 at read).
+
 Scale shape: one partition = one shard = one sequential write; no
 shuffle on either side. Repartition upstream to pick the shard size
-(trainers want 100-500 MB). At read time one shard = one task —
-parallelism is the shard count, as with every non-splittable layout.
+(trainers want 100-500 MB). At read time one shard = one task by
+default; for oversized shards :func:`read_token_shards` takes
+``rows_per_task`` and splits WITHIN shards on the self-describing seq
+index — each task byte-range-reads only its slice of the payload, so
+read parallelism is no longer capped by the shard count.
 """
 
 from __future__ import annotations
@@ -44,7 +74,10 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.base import Sink, Source
 
 _MAGIC = b"TSH1"
-_DTYPES = {"uint16": (2, np.uint16, 65536), "uint32": (4, np.uint32, None)}
+_DTYPES = {
+    "uint16": (2, np.uint16, 1 << 16),
+    "uint32": (4, np.uint32, 1 << 32),
+}
 
 
 def write_token_shards(
@@ -72,9 +105,7 @@ def write_token_shards(
                 if sid is None or toks is None:
                     continue
                 arr = np.asarray(toks, dtype=np.int64)
-                if arr.size and (
-                    arr.min() < 0 or (limit and arr.max() >= limit)
-                ):
+                if arr.size and (arr.min() < 0 or arr.max() >= limit):
                     raise ValueError(
                         f"token id out of range for dtype {dtype}"
                     )
@@ -162,16 +193,65 @@ def parse_token_shard(blob: bytes):
     return ids, out
 
 
+_READ_SCHEMA = "seq_id bigint, tokens array<bigint>"
+# bigint tokens, not int: uint32 shards legally carry ids in
+# [2**31, 2**32) which an int32 read would wrap negative (ADVICE r10)
+
+
+def _manifest_shards(path: str) -> list[str] | None:
+    """Shard names listed by ``path/manifest.json``, or None when the
+    directory has no (readable) manifest — the glob-fallback signal."""
+    try:
+        with open(os.path.join(path, "manifest.json")) as f:
+            man = json.load(f)
+        return [e["shard"] for e in man["shards"]]
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
 def read_token_shards(
-    spark: SparkSession, path: str, glob: str = "*.tokens"
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.tokens",
+    rows_per_task: int | None = None,
 ) -> DataFrame:
-    """Distributed shard scan -> (seq_id bigint, tokens array<int>).
-    One shard = one task; corrupt shards yield no rows."""
-    binaries = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob)
-        .load(path)
-    )
+    """Distributed shard scan -> (seq_id bigint, tokens array<bigint>).
+
+    When ``manifest.json`` exists the scan is restricted to exactly
+    the shards it lists (retry/speculation orphans and prior exports
+    excluded); the ``glob`` applies only to manifest-less directories.
+    Default: one shard = one task, payload crc32 verified, corrupt
+    shards yield no rows. With ``rows_per_task`` the manifest's
+    per-shard seq counts split large shards into row ranges — each
+    task reads the shard's seq index (12 bytes/seq) plus ONLY its own
+    payload byte range, so read parallelism is rows/rows_per_task,
+    not the shard count. Ranged tasks verify framing and total file
+    size against the index but cannot verify the whole-payload crc32
+    (it is not range-decomposable); exports needing the crc check
+    read once without ``rows_per_task``."""
+    names = _manifest_shards(path)
+    if rows_per_task is not None:
+        if rows_per_task <= 0:
+            raise ValueError("rows_per_task must be positive")
+        if names is None:
+            raise ValueError(
+                "ranged token-shard reads need manifest.json (per-"
+                "shard seq counts); read without rows_per_task to "
+                "scan a manifest-less directory"
+            )
+        return _read_token_shards_ranged(spark, path, rows_per_task)
+    if names is not None:
+        if not names:
+            return spark.createDataFrame([], _READ_SCHEMA)
+        binaries = spark.read.format("binaryFile").load(
+            [os.path.join(path, n) for n in names]
+        )
+    else:
+        binaries = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", glob)
+            .load(path)
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -182,7 +262,7 @@ def read_token_shards(
                 except Exception:  # noqa: BLE001 - corrupt shard policy
                     continue
                 ids.extend(sids)
-                toks.extend([a.astype("int32").tolist() for a in arrays])
+                toks.extend([a.tolist() for a in arrays])
             yield pd.DataFrame(
                 {
                     "seq_id": pd.Series(ids, dtype="int64"),
@@ -191,8 +271,100 @@ def read_token_shards(
             )
 
     return binaries.select("content").mapInPandas(
-        batches, schema="seq_id bigint, tokens array<int>"
+        batches, schema=_READ_SCHEMA
     )
+
+
+def _read_token_shards_ranged(
+    spark: SparkSession, path: str, rows_per_task: int
+) -> DataFrame:
+    """Splittable read: (shard, start, count) row-range tasks built
+    driver-side from the manifest, each served by one byte-range read
+    of the payload (plus the index region for offsets)."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        man = json.load(f)
+    tasks = []
+    for e in man["shards"]:
+        n = int(e["n_seqs"])
+        for start in range(0, n, rows_per_task):
+            tasks.append(
+                (
+                    os.path.join(path, e["shard"]),
+                    start,
+                    min(rows_per_task, n - start),
+                )
+            )
+    if not tasks:
+        return spark.createDataFrame([], _READ_SCHEMA)
+    plan = spark.createDataFrame(
+        tasks, "file string, start int, count int"
+    ).repartition(len(tasks))
+
+    def ranges(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, toks = [], []
+            for file, start, count in zip(
+                pdf["file"], pdf["start"], pdf["count"]
+            ):
+                try:
+                    sids, arrays = _read_shard_range(
+                        str(file), int(start), int(count)
+                    )
+                except (OSError, ValueError):  # corrupt-shard policy
+                    continue
+                ids.extend(sids)
+                toks.extend([a.tolist() for a in arrays])
+            yield pd.DataFrame(
+                {
+                    "seq_id": pd.Series(ids, dtype="int64"),
+                    "tokens": pd.Series(toks, dtype="object"),
+                }
+            )
+
+    return plan.mapInPandas(ranges, schema=_READ_SCHEMA)
+
+
+def _read_shard_range(file: str, start: int, count: int):
+    """(seq_ids, token_arrays) for rows [start, start+count) of one
+    shard, reading only the header+index and the range's payload
+    bytes. ValueError on framing/size inconsistencies."""
+    with open(file, "rb") as f:
+        head = f.read(9)
+        if len(head) != 9 or head[:4] != _MAGIC:
+            raise ValueError("not a token shard")
+        width = head[4]
+        np_dtype = {2: np.uint16, 4: np.uint32}.get(width)
+        if np_dtype is None:
+            raise ValueError("unknown token dtype code")
+        (n_seqs,) = struct.unpack_from("<I", head, 5)
+        if start >= n_seqs:
+            return [], []
+        count = min(count, n_seqs - start)
+        index = f.read(n_seqs * 12)
+        if len(index) != n_seqs * 12:
+            raise ValueError("truncated token shard index")
+        recs = np.frombuffer(
+            index, dtype=np.dtype([("sid", "<i8"), ("len", "<i4")])
+        )
+        lens = recs["len"].astype(np.int64)
+        if (lens < 0).any():
+            raise ValueError("negative sequence length")
+        total = int(lens.sum())
+        # whole-file size check stands in for the non-rangeable crc
+        if os.path.getsize(file) != 9 + n_seqs * 12 + total * width + 4:
+            raise ValueError("token shard size mismatch")
+        prefix = int(lens[:start].sum())
+        span = int(lens[start : start + count].sum())
+        f.seek(9 + n_seqs * 12 + prefix * width)
+        payload = f.read(span * width)
+        if len(payload) != span * width:
+            raise ValueError("truncated token shard payload")
+    flat = np.frombuffer(payload, dtype=np_dtype).astype(np.int64)
+    out, off = [], 0
+    for ln in lens[start : start + count]:
+        out.append(flat[off : off + int(ln)])
+        off += int(ln)
+    return [int(s) for s in recs["sid"][start : start + count]], out
 
 
 class TokenShardSink(Sink):
@@ -229,13 +401,21 @@ class TokenShardSource(Source):
     ``token_shards``)."""
 
     def __init__(
-        self, path: str, glob: str = "*.tokens", name: str | None = None
+        self,
+        path: str,
+        glob: str = "*.tokens",
+        rows_per_task: int | None = None,
+        name: str | None = None,
     ) -> None:
         super().__init__(name)
         self.path = path
         self.glob = glob
+        self.rows_per_task = rows_per_task
 
     def load(self, spark: SparkSession, ctx) -> DataFrame:
         return read_token_shards(
-            spark, ctx.resolve_url(self.path), glob=self.glob
+            spark,
+            ctx.resolve_url(self.path),
+            glob=self.glob,
+            rows_per_task=self.rows_per_task,
         )

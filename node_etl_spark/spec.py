@@ -97,7 +97,9 @@ _REGISTRY: dict[str, Callable[..., Op]] = {
     # packed token shards (sources/tokenshards.py): the fixed-dtype
     # binary export trainers consume; see token_shards_sink below
     "token_shards": lambda d, c: TokenShardSource(
-        d["path"], glob=d.get("glob", "*.tokens")
+        d["path"],
+        glob=d.get("glob", "*.tokens"),
+        rows_per_task=d.get("rows_per_task"),
     ),
     "xml": lambda d, c: XmlSource(d["path"], row_tag=d.get("row_tag", "item")),
     # opaque media ingest (functions/multimodal.py): one row per file

@@ -540,8 +540,18 @@ def test_token_shards_roundtrip_commit_and_corruption(spark, tmp_path):
     got = {r.seq_id: list(r.tokens) for r in back.collect()}
     assert got == {1: [1, 2, 3], 2: [], 3: [65535, 0], 4: [7] * 1000}
 
-    # corrupt shard (crc flip) contributes zero rows
+    # an orphan shard NOT in the manifest (task retry / older export)
+    # is excluded by the manifest-restricted scan (ADVICE r10)
     shard = os.path.join(out, man["shards"][0]["shard"])
+    (tmp_path / "shards" / "orphan.tokens").write_bytes(
+        open(shard, "rb").read()
+    )
+    assert TokenShardSource(out).load(spark, Context()).count() == 4
+
+    # corrupt shard (crc flip) contributes zero rows on the
+    # manifest-less glob path
+    os.remove(os.path.join(out, "manifest.json"))
+    os.remove(str(tmp_path / "shards" / "orphan.tokens"))
     blob = bytearray(open(shard, "rb").read())
     blob[-1] ^= 0xFF
     (tmp_path / "shards" / "bad.tokens").write_bytes(bytes(blob))
@@ -558,6 +568,27 @@ def test_token_shards_roundtrip_commit_and_corruption(spark, tmp_path):
     wide = TokenShardSource(str(tmp_path / "wide")).load(spark, Context())
     assert [list(r.tokens) for r in wide.collect()] == [[70000]]
 
+    # uint32 ids in [2**31, 2**32) survive the round trip exactly —
+    # the int32-wrap regression (ADVICE r10); >= 2**32 fails the write
+    big = spark.createDataFrame(
+        [(9, [2**31, 2**32 - 1])], "seq_id bigint, tokens array<bigint>"
+    )
+    write_token_shards(big, str(tmp_path / "big"), dtype="uint32")
+    got_big = TokenShardSource(str(tmp_path / "big")).load(
+        spark, Context()
+    )
+    assert got_big.schema["tokens"].dataType.simpleString() == (
+        "array<bigint>"
+    )
+    assert [list(r.tokens) for r in got_big.collect()] == [
+        [2**31, 2**32 - 1]
+    ]
+    over32 = spark.createDataFrame(
+        [(1, [2**32])], "seq_id bigint, tokens array<bigint>"
+    )
+    with pytest.raises(Exception, match="out of range"):
+        write_token_shards(over32, str(tmp_path / "over32"), dtype="uint32")
+
     # sink spec op end-to-end through a Pipeline
     from node_etl_spark.spec import op_from_spec
 
@@ -569,3 +600,52 @@ def test_token_shards_roundtrip_commit_and_corruption(spark, tmp_path):
         {"op": "token_shards", "path": str(tmp_path / "spec_out")}
     )
     assert Pipeline([src]).run(spark).count() == 4
+
+
+def test_token_shards_ranged_read(spark, tmp_path):
+    # r11 splittable read: rows_per_task slices WITHIN shards on the
+    # seq index; every slicing must reconstruct the full export
+    import os
+
+    import pytest
+
+    from node_etl_spark.sources import (
+        read_token_shards,
+        write_token_shards,
+    )
+
+    rows = [(i, list(range(i % 7))) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "seq_id bigint, tokens array<int>"
+    ).repartition(3)
+    out = str(tmp_path / "shards")
+    write_token_shards(df, out, dtype="uint16")
+    want = {i: list(range(i % 7)) for i in range(50)}
+    for rpt in (1, 7, 1000):
+        back = read_token_shards(spark, out, rows_per_task=rpt)
+        got = {r.seq_id: list(r.tokens) for r in back.collect()}
+        assert got == want, f"rows_per_task={rpt}"
+    # parallelism scales with rows, not shard count
+    assert (
+        read_token_shards(spark, out, rows_per_task=7)
+        .rdd.getNumPartitions()
+        > 3
+    )
+    # truncated shard -> size check fails -> zero rows from it (and
+    # the default whole-shard path agrees via its crc)
+    import json
+
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    victim = os.path.join(out, man["shards"][0]["shard"])
+    blob = open(victim, "rb").read()
+    open(victim, "wb").write(blob[:-5])
+    n_victim = man["shards"][0]["n_seqs"]
+    assert (
+        read_token_shards(spark, out, rows_per_task=7).count()
+        == 50 - n_victim
+    )
+    assert read_token_shards(spark, out).count() == 50 - n_victim
+    # ranged mode requires the manifest
+    os.remove(os.path.join(out, "manifest.json"))
+    with pytest.raises(ValueError, match="manifest"):
+        read_token_shards(spark, out, rows_per_task=7)
