@@ -2758,6 +2758,10 @@ def _libzstd():
             ]
             lib.ZSTD_getFrameContentSize.restype = c.c_ulonglong
             lib.ZSTD_getFrameContentSize.argtypes = [c.c_char_p, c.c_size_t]
+            lib.ZSTD_findFrameCompressedSize.restype = c.c_size_t
+            lib.ZSTD_findFrameCompressedSize.argtypes = [
+                c.c_char_p, c.c_size_t,
+            ]
         except AttributeError:  # too old / stripped: treat as absent
             lib = None
     _LIBZSTD_CACHE.append(lib)
@@ -2786,21 +2790,40 @@ def _zstd_lib_compress(data: bytes, level: int = 3) -> bytes:
 
 
 def _zstd_lib_decompress(data: bytes) -> bytes:
+    """Frame-by-frame libzstd decode: legal inputs may carry LEADING
+    SKIPPABLE FRAMES or be several concatenated frames (RFC 8878 §3),
+    so sizing the destination from the first frame's content size
+    alone mis-reports them as corrupt (ADVICE r10). Frames without a
+    content-size field fall through to the pure-Python streaming
+    decoder for the whole input."""
     import ctypes
 
     lib = _libzstd()
-    size = lib.ZSTD_getFrameContentSize(data, len(data))
-    if size == _M64:  # ZSTD_CONTENTSIZE_UNKNOWN: stream without FCS
-        return _zstd_py_decompress(data)
-    if size == _M64 - 1:  # ZSTD_CONTENTSIZE_ERROR
-        raise ValueError("corrupt zstd frame header")
-    if size > _ZSTD_MAX_OUT:
-        raise ValueError("zstd content too large")
-    dst = ctypes.create_string_buffer(max(int(size), 1))
-    ret = lib.ZSTD_decompress(dst, int(size), data, len(data))
-    if lib.ZSTD_isError(ret) or ret != size:
-        raise ValueError("corrupt zstd payload")
-    return dst.raw[: int(size)]
+    out = bytearray()
+    pos, n = 0, len(data)
+    while pos < n:
+        frame = data[pos:]
+        fsize = lib.ZSTD_findFrameCompressedSize(frame, len(frame))
+        if lib.ZSTD_isError(fsize) or fsize == 0:
+            raise ValueError("corrupt zstd frame")
+        size = lib.ZSTD_getFrameContentSize(frame, len(frame))
+        if size == _M64:  # ZSTD_CONTENTSIZE_UNKNOWN: stream w/o FCS
+            return _zstd_py_decompress(data)
+        if size == _M64 - 1:  # ZSTD_CONTENTSIZE_ERROR
+            raise ValueError("corrupt zstd frame header")
+        # skippable frames report content size 0 and emit nothing
+        if size:
+            if len(out) + size > _ZSTD_MAX_OUT:
+                raise ValueError("zstd content too large")
+            dst = ctypes.create_string_buffer(int(size))
+            ret = lib.ZSTD_decompress(
+                dst, int(size), data[pos : pos + fsize], fsize
+            )
+            if lib.ZSTD_isError(ret) or ret != size:
+                raise ValueError("corrupt zstd payload")
+            out += dst.raw[: int(size)]
+        pos += fsize
+    return bytes(out)
 
 
 def _zstd_stored_compress(data: bytes) -> bytes:
@@ -3499,22 +3522,44 @@ def compress_text(text_col, codec: str = "gzip"):
     return comp(c)
 
 
-def decompress_text(bin_col, codec: str = "auto"):
+def decompress_text(bin_col, codec: str = "auto", on_unknown: str = "null"):
     """Column expression: decompress a binary column back to a string
     column. Unknown containers / corrupt payloads / invalid UTF-8
-    become NULL (the warn-and-skip policy), never garbage."""
+    become NULL (the warn-and-skip policy), never garbage.
+
+    ``on_unknown='raw'`` decodes UNSNIFFABLE payloads as plain UTF-8
+    instead of nulling them — the mixed-folder contract where
+    uncompressed shards sit next to compressed ones. A payload whose
+    container IS recognized but fails to decompress still nulls out
+    (ADVICE r10: a corrupt .gz must contribute zero rows, never feed
+    its raw bytes downstream as if they were text)."""
     from pyspark.sql import Column
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
+
+    if on_unknown not in ("null", "raw"):
+        raise ValueError(f"unknown on_unknown mode {on_unknown!r}")
 
     @pandas_udf("string")
     def decomp(s: pd.Series) -> pd.Series:
         def one(v):
             if v is None:
                 return None
+            b = bytes(v)
             try:
-                return decompress_bytes(bytes(v), codec).decode("utf-8")
-            except (ValueError, UnicodeDecodeError):
+                return decompress_bytes(b, codec).decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+            except ValueError as exc:
+                # "unknown compression container" covers both the
+                # no-magic case and a weak zlib sniff that failed to
+                # inflate (decompress_bytes folds the latter into the
+                # former); sniffed-but-corrupt raises "corrupt <kind>"
+                if on_unknown == "raw" and str(exc).startswith("unknown"):
+                    try:
+                        return b.decode("utf-8")
+                    except UnicodeDecodeError:
+                        return None
                 return None
 
         return s.map(one)

@@ -15414,13 +15414,24 @@ def _init_q313_q314() -> None:
         docs = table(spark, sf_dir, "documents").select(
             "doc_id", "source", "text"
         )
+
+        def esc(col):
+            # JVM-side HTML escaping (ADVICE r10): raw corpus text may
+            # contain markup characters; escaping here means the
+            # extractor's entity-DECODED output equals the raw column
+            # the oracle hashes, for any corpus
+            c = F.col(col)
+            c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+            c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+            return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
         html = F.concat(
             F.lit("<html><head><title>"),
-            F.col("source"),
+            esc("source"),
             F.lit("</title><style>p{color:red}</style></head><body><h1>"),
-            F.col("source"),
+            esc("source"),
             F.lit("</h1>\n<p>"),
-            F.col("text"),
+            esc("text"),
             F.lit(" &amp; more</p><script>var x=1;</script></body></html>"),
         )
         parts = W.html_text(html)

@@ -172,9 +172,11 @@ class CompressedNdjsonSource(PathSource):
     and JSON parsing stay JVM-side (``from_json``). Error policy:
     malformed JSON lines parse to NULL and drop (the reference's
     PERMISSIVE warn-and-skip, job-reader-jsons.js:41-44); corrupt
-    FILES decompress to NULL and contribute zero rows instead of
-    failing the job. Plain uncompressed shards also pass through
-    (the sniff falls back to treating bytes as UTF-8).
+    FILES — a recognized codec magic whose payload fails to
+    decompress — contribute zero rows instead of failing the job.
+    Plain uncompressed shards also pass through: ONLY unsniffable
+    payloads fall back to raw UTF-8 (ADVICE r10 — a corrupt .gz must
+    never feed its compressed bytes downstream as text).
 
     Scale note: one file = one task = one whole-file decompress in
     executor memory — the non-splittable-codec contract; shard sizing
@@ -193,6 +195,13 @@ class CompressedNdjsonSource(PathSource):
         super().__init__(path, options=options or {}, name=name)
         if not schema:
             raise ValueError("CompressedNdjsonSource requires a schema")
+        if "__corrupt" in schema:
+            # the corrupt-record routing column is appended to the
+            # user schema below; a real column of that name would
+            # silently eat its own rows (ADVICE r10)
+            raise ValueError(
+                "schema may not contain the reserved column '__corrupt'"
+            )
         self.schema = schema
         self.glob = glob
 
@@ -203,10 +212,9 @@ class CompressedNdjsonSource(PathSource):
         if self.glob:
             reader = reader.option("pathGlobFilter", self.glob)
         binaries = reader.load(path)
-        text = decompress_text("content", codec="auto")
-        # uncompressed shards: unknown container -> NULL -> fall back
-        # to the raw bytes decoded as UTF-8
-        text = F.coalesce(text, F.col("content").cast("string"))
+        # unsniffable container -> raw UTF-8 (plain shards);
+        # sniffed-but-corrupt -> NULL -> zero rows from that file
+        text = decompress_text("content", codec="auto", on_unknown="raw")
         lines = binaries.select(
             F.explode(F.split(text, "\n")).alias("__line")
         ).where(F.length(F.trim(F.col("__line"))) > 0)

@@ -1606,10 +1606,31 @@ def test_zstd_stored_frames_and_corruption_policy():
             assert M._zstd_lib_decompress(stored) == p
         assert M.decompress_bytes(M.compress_bytes(p, "zstd"), "auto") == p
 
-    # skippable frame prefix is legal and contributes nothing
+    # skippable frame prefix is legal and contributes nothing — on
+    # BOTH engines (ADVICE r10: the lib path used to size its buffer
+    # from the first frame and reject these as corrupt), and so are
+    # concatenated frames
     skip = (0x184D2A50).to_bytes(4, "little") + (3).to_bytes(4, "little")
     framed = skip + b"pad" + M._zstd_stored_compress(b"after skip")
     assert M._zstd_py_decompress(framed) == b"after skip"
+    multi = (
+        framed
+        + M._zstd_stored_compress(b" and more")
+        + skip
+        + b"end"
+    )
+    assert M._zstd_py_decompress(multi) == b"after skip and more"
+    if M._libzstd() is not None:
+        assert M._zstd_lib_decompress(framed) == b"after skip"
+        assert M._zstd_lib_decompress(multi) == b"after skip and more"
+        real = M._zstd_lib_compress(b"lib frame " * 40, 3)
+        assert (
+            M._zstd_lib_decompress(skip + b"xyz" + real + real)
+            == b"lib frame " * 80
+        )
+        # identical bytes, identical verdicts: the sniffed 'zstd'
+        # dispatch stays engine-independent
+        assert M.decompress_bytes(multi, "auto") == b"after skip and more"
 
     good = M._zstd_stored_compress(b"checksum me, zstd")
     for mutate in (

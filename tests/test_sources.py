@@ -486,11 +486,30 @@ def test_compressed_ndjson_source_mixed_codecs_and_error_policy(
     # shard contribute nothing
     assert rows == [(1, "a"), (1, "a"), (1, "a"), (2, "b"), (2, "b"), (2, "b")]
 
+    # a corrupt-but-sniffable shard must contribute ZERO rows even
+    # when its raw bytes happen to contain a parseable JSON line
+    # (ADVICE r10: the old raw-cast fallback would leak k=99 here)
+    leaky = bytearray(compress_bytes(lines, "gzip"))
+    leaky[10] ^= 0xFF  # corrupt the deflate stream, keep the magic
+    (tmp_path / "s4.jsonl.gz").write_bytes(
+        bytes(leaky) + b'\n{"k": 99, "v": "leak"}\n'
+    )
+    rows = sorted(
+        (r.k, r.v) for r in Pipeline([src]).run(spark).collect()
+    )
+    assert rows == [(1, "a"), (1, "a"), (1, "a"), (2, "b"), (2, "b"), (2, "b")]
+
     # schema is mandatory (inference would re-decompress every shard)
     import pytest
 
     with pytest.raises(ValueError):
         CompressedNdjsonSource(str(tmp_path), schema="")
+
+    # the reserved corrupt-record column may not appear in the schema
+    with pytest.raises(ValueError, match="__corrupt"):
+        CompressedNdjsonSource(
+            str(tmp_path), schema="k bigint, __corrupt string"
+        )
 
     # spec op wiring
     op = op_from_spec(

@@ -275,3 +275,37 @@ def test_html_inline_vs_block_word_boundaries():
         "<span>5</span>6</body>"
     )
     assert body == "Word one two three four56"  # span is inline
+
+
+def test_q314_escaped_wrap_handles_markup_text(spark):
+    # ADVICE r10: the q314 HTML wrap escapes & < > JVM-side, so a
+    # corpus whose text CONTAINS markup still extracts back to the
+    # raw string the oracle hashes
+    import re
+
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.functions import web as W
+
+    nasty = 'a <b>bold</b> claim & "5 < 7 > 3" &amp; entities'
+    df = spark.createDataFrame([(1, "src", nasty)], "doc_id int, source string, text string")
+
+    def esc(col):
+        c = F.col(col)
+        c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+        c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+        return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+    html = F.concat(
+        F.lit("<html><head><title>"), esc("source"),
+        F.lit("</title></head><body><h1>"), esc("source"),
+        F.lit("</h1>\n<p>"), esc("text"),
+        F.lit(" &amp; more</p><script>var x=1;</script></body></html>"),
+    )
+    parts = W.html_text(html)
+    row = df.select(
+        parts["title"].alias("t"), parts["body"].alias("b")
+    ).collect()[0]
+    want_body = re.sub(r"\s+", " ", f"src {nasty} & more").strip()
+    assert row.t == "src"
+    assert row.b == want_body
