@@ -309,3 +309,54 @@ def test_q314_escaped_wrap_handles_markup_text(spark):
     want_body = re.sub(r"\s+", " ", f"src {nasty} & more").strip()
     assert row.t == "src"
     assert row.b == want_body
+
+
+def test_iter_warc_records_streams_with_bounded_memory():
+    # verdict r10 ask #5: the reader must never materialize the
+    # inflated shard — peak traced allocations while draining a
+    # multi-hundred-member shard stay near ONE record, far below the
+    # inflated total
+    import tracemalloc
+
+    from node_etl_spark.functions.web import (
+        encode_warc_gz,
+        http_response_bytes,
+        iter_warc_records,
+    )
+
+    body = (b"the quick brown fox jumps over the lazy dog " * 500)  # ~22KB
+    recs = [
+        (
+            "response",
+            f"https://ex.com/{i}",
+            http_response_bytes(body),
+            "application/http; msgtype=response",
+        )
+        for i in range(300)
+    ]
+    shard = encode_warc_gz(recs, per_record_gzip=True)
+    inflated = 300 * (len(body) + 200)  # ~6.7 MB
+
+    tracemalloc.start()
+    n = 0
+    for r in iter_warc_records(shard):
+        assert r["payload"].endswith(body)
+        n += 1
+    peak = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+    assert n == 300
+    # one record is ~22KB; allow the 64KB inflate window + slack,
+    # but stay an order of magnitude under the inflated shard
+    assert peak < inflated / 10, f"peak {peak} vs inflated {inflated}"
+
+    # mid-stream corruption: records before the bad member still
+    # arrive, then ValueError (explode_warc_records drops the rest)
+    cut = shard[: len(shard) - 40]  # truncate the final gzip member
+    got = []
+    try:
+        for r in iter_warc_records(cut):
+            got.append(r)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    assert 290 <= len(got) < 300
