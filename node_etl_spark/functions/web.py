@@ -256,7 +256,7 @@ def explode_warc_records(
     id_type = binaries.schema[id_col].dataType.simpleString()
     schema = (
         f"{id_col} {id_type}, record_idx int, warc_type string,"
-        " target_uri string, content_type string,"
+        " record_id string, target_uri string, content_type string,"
         " http_status int, http_content_type string, body binary"
     )
     in_cols = [id_col, content_col]
@@ -264,7 +264,7 @@ def explode_warc_records(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = {k: [] for k in (
-            "id", "idx", "wt", "uri", "ct", "hs", "hct", "body",
+            "id", "idx", "wt", "rid", "uri", "ct", "hs", "hct", "body",
         )}
         pending = 0
 
@@ -274,6 +274,7 @@ def explode_warc_records(
                     id_col: pd.Series(rows["id"], dtype=id_dtype),
                     "record_idx": pd.Series(rows["idx"], dtype="int32"),
                     "warc_type": pd.Series(rows["wt"], dtype="object"),
+                    "record_id": pd.Series(rows["rid"], dtype="object"),
                     "target_uri": pd.Series(rows["uri"], dtype="object"),
                     "content_type": pd.Series(rows["ct"], dtype="object"),
                     "http_status": pd.Series(rows["hs"], dtype="Int32"),
@@ -304,6 +305,7 @@ def explode_warc_records(
                         rows["id"].append(rid)
                         rows["idx"].append(i)
                         rows["wt"].append(r["warc_type"])
+                        rows["rid"].append(r["record_id"])
                         rows["uri"].append(r["target_uri"])
                         rows["ct"].append(r["content_type"])
                         rows["hs"].append(hs)

@@ -704,3 +704,67 @@ def test_ewma_stream_restart_recovers_walk_state(spark, tmp_path):
     assert last.n_days == want.n_days == 7
     assert last.final_ewma == want.final_ewma
     assert last.n_anomalies == want.n_anomalies == 1
+
+
+def test_warc_stream_refresh_matches_batch(spark, tmp_path):
+    # r11 crawl-refresh twin (q319): availableNow WARC stream +
+    # record-id dedup must equal the batch explode + dropDuplicates
+    # over the same shards
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.functions.web import (
+        encode_warc_gz,
+        explode_warc_records,
+        http_response_bytes,
+    )
+    from node_etl_spark.streaming import stream as st
+
+    def shard(urls_texts):
+        return encode_warc_gz(
+            [
+                (
+                    "response",
+                    u,
+                    http_response_bytes(t.encode()),
+                    "application/http; msgtype=response",
+                )
+                for u, t in urls_texts
+            ]
+        )
+
+    day1 = shard([("https://x/1", "one"), ("https://x/2", "two")])
+    day2 = shard([("https://x/2", "two"), ("https://x/3", "three")])
+    staged = str(tmp_path / "crawl")
+    spark.createDataFrame(
+        [
+            (pd.Timestamp("2026-01-01").to_pydatetime(), bytearray(day1)),
+            (pd.Timestamp("2026-01-02").to_pydatetime(), bytearray(day2)),
+        ],
+        "crawl_ts timestamp, content binary",
+    ).write.parquet(staged)
+
+    schema = "crawl_ts timestamp, content binary"
+    stream_in = spark.readStream.schema(schema).parquet(staged)
+    deduped = st.dedup_by_keys(
+        explode_warc_records(stream_in, id_col="crawl_ts"),
+        keys=["record_id"],
+        ts_col="crawl_ts",
+        watermark="72 hours",
+    ).select("record_id", "target_uri", F.md5("body").alias("h"))
+    st.run_to_memory(deduped, "warc_refresh", mode="append")
+    got = {
+        (r.target_uri, r.h)
+        for r in spark.table("warc_refresh").collect()
+    }
+
+    batch = (
+        explode_warc_records(
+            spark.read.parquet(staged), id_col="crawl_ts"
+        )
+        .dropDuplicates(["record_id"])
+        .select("target_uri", F.md5("body").alias("h"))
+    )
+    want = {(r.target_uri, r.h) for r in batch.collect()}
+    assert got == want
+    assert len(got) == 3  # the re-crawled page deduped
