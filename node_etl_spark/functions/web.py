@@ -395,19 +395,36 @@ def html_to_text(html: str) -> tuple[str, str]:
     ex = _TextExtractor()
     ex.parser.feed(html)
     ex.parser.close()
-    norm = lambda parts: re.sub(  # noqa: E731 - tiny local helper
-        r"\s+", " ", "".join(parts)
-    ).strip()
-    return norm(ex.title_parts), norm(ex.body_parts)
+    # " ".join(s.split()) is byte-identical to
+    # re.sub(r"\s+", " ", s).strip() (verified over every codepoint)
+    # and runs in C — the r11 profile showed the regex norm costing
+    # as much as the parse itself
+    return (
+        " ".join("".join(ex.title_parts).split()),
+        " ".join("".join(ex.body_parts).split()),
+    )
 
 
-def html_text(col):
+def html_text(col, mode: str = "exact"):
     """Column expression: HTML string -> struct<title, body> via one
     Arrow-batched pandas_udf (NULL-safe; a parse that throws yields a
-    NULL struct, warn-and-skip)."""
+    NULL struct, warn-and-skip).
+
+    ``mode='exact'`` (default) is the html.parser state machine —
+    handles tag soup, ~85 us/doc. ``mode='fast'`` is the compiled-
+    regex twin (:func:`html_to_text_fast`) for well-formed HTML —
+    ~10x cheaper, the production setting for crawl-scale corpora
+    whose upstream already guarantees markup-clean pages (or whose
+    tolerance is 'identical on well-formed, best-effort on soup').
+    Both modes share one output contract, pinned by tests and by the
+    q314 (exact) / q320 (fast) gate queries against the same oracle."""
     from pyspark.sql import Column
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
+
+    if mode not in ("exact", "fast"):
+        raise ValueError(f"unknown html_text mode {mode!r}")
+    fn = html_to_text if mode == "exact" else html_to_text_fast
 
     @pandas_udf("title string, body string")
     def extract(s: pd.Series) -> pd.DataFrame:
@@ -418,7 +435,7 @@ def html_text(col):
                 bodies.append(None)
                 continue
             try:
-                t, b = html_to_text(str(v))
+                t, b = fn(str(v))
             except Exception:  # noqa: BLE001 - malformed HTML policy
                 t = b = None
             titles.append(t)
@@ -426,3 +443,56 @@ def html_text(col):
         return pd.DataFrame({"title": titles, "body": bodies})
 
     return extract(col if isinstance(col, Column) else F.col(col))
+
+
+# ------------------------------------------------------- fast extractor
+# (r11, verdict r10 ask #7: html.parser's per-character state machine
+# costs ~85 us/doc and dominates the q314 profile at sf10; this is
+# the production lever — a compiled-regex pipeline with the same
+# output contract on well-formed HTML.)
+
+_RX_COMMENT = re.compile(r"<!--.*?-->", re.S)
+_RX_TITLE = re.compile(r"<title[^>]*>(.*?)</title\s*>", re.S | re.I)
+_RX_HEAD = re.compile(r"<head[^>]*>.*?</head\s*>", re.S | re.I)
+_RX_SKIP = re.compile(
+    r"<(script|style|noscript|template)\b[^>]*>.*?</\1\s*>", re.S | re.I
+)
+_RX_BLOCK = re.compile(
+    r"</?(?:p|div|br|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|table|section"
+    r"|article|header|footer|blockquote|pre|hr|form|aside|nav|figure"
+    r"|figcaption)\b[^>]*/?>",
+    re.I,
+)
+_RX_TAG = re.compile(r"<[^>]*>")
+_RX_WS = re.compile(r"\s+")
+
+
+def html_to_text_fast(html: str) -> tuple[str, str]:
+    """Regex twin of :func:`html_to_text` for WELL-FORMED HTML — same
+    (title, body) contract, ~10x cheaper than the html.parser state
+    machine. Agreement is pinned two ways: a unit test sweeps both
+    extractors over the tricky fixtures, and the q320 gate query runs
+    this path against the SAME DuckDB oracle q314 holds the exact
+    path to.
+
+    Scope contract (why the exact path still exists): '<' must only
+    introduce markup. Tag soup where a bare '<' is text (html.parser
+    recovers; a regex cannot without becoming a parser) belongs on
+    :func:`html_to_text`. Escaped corpora (&lt;) are fine — entities
+    decode AFTER tag removal, exactly like convert_charrefs."""
+    import html as _h
+
+    s = _RX_COMMENT.sub("", html)
+    m = _RX_TITLE.search(s)
+    title = m.group(1) if m else ""
+    s = _RX_TITLE.sub("", s)  # title text never reaches the body
+    # sub with "" (not a space): the exact path emits NOTHING for a
+    # skipped subtree, so "a<script>x</script>b" must stay "ab"
+    s = _RX_HEAD.sub("", s)
+    s = _RX_SKIP.sub("", s)
+    s = _RX_BLOCK.sub("\n", s)
+    s = _RX_TAG.sub("", s)
+    return (
+        " ".join(_h.unescape(title).split()),
+        " ".join(_h.unescape(s).split()),
+    )

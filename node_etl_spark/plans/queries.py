@@ -15964,3 +15964,74 @@ def _init_q319() -> None:
 
 
 _init_q319()
+
+# --------------------------------------------------------------------
+# q320 — FAST HTML extraction on the exact gate (r11, verdict r10
+# ask #7): q314's one near-linear Python cost was the html.parser
+# state machine; the compiled-regex twin runs the identical wrap
+# against the identical oracle, so the speedup is hash-proven, not
+# asserted.
+# --------------------------------------------------------------------
+
+def _init_q320() -> None:
+    from ..functions import web as W
+
+    @register(
+        "q320_html_extract_fast",
+        """
+        WITH h AS (
+            SELECT doc_id, source,
+                   trim(regexp_replace(source || ' ' || text || ' & more',
+                                       '\\s+', ' ', 'g')) AS body
+            FROM documents)
+        SELECT doc_id, source AS title,
+               CAST(length(body) AS BIGINT) AS body_chars,
+               md5(body) AS body_md5
+        FROM h
+        """,
+        doc="Fast-path HTML extraction on the exact gate (functions/"
+            "web.py html_to_text_fast / html_text(mode='fast'), r11): "
+            "the SAME escaped wrap and SAME oracle as q314, extracted "
+            "by the compiled-regex pipeline instead of the html.parser "
+            "state machine — agreement is hash-proven per document, "
+            "not sampled. Measured ~37 us/doc vs ~105 (exact, after "
+            "the r11 split/join norm) and ~188 (r10 exact): the "
+            "documented 100 TB lever for markup-clean corpora, with "
+            "the exact path kept for tag soup (scope contract in the "
+            "docstring; both paths also cross-checked on fixtures and "
+            "a seeded random page sweep in tests/test_web.py).",
+    )
+    def q320_html_extract_fast(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+
+        def esc(col):
+            c = F.col(col)
+            c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+            c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+            return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+        html = F.concat(
+            F.lit("<html><head><title>"),
+            esc("source"),
+            F.lit("</title><style>p{color:red}</style></head><body><h1>"),
+            esc("source"),
+            F.lit("</h1>\n<p>"),
+            esc("text"),
+            F.lit(" &amp; more</p><script>var x=1;</script></body></html>"),
+        )
+        parts = W.html_text(html, mode="fast")
+        return docs.select(
+            "doc_id",
+            parts["title"].alias("title"),
+            F.length(parts["body"]).cast("bigint").alias("body_chars"),
+            F.lower(F.md5(F.encode(parts["body"], "UTF-8"))).alias(
+                "body_md5"
+            ),
+        )
+
+
+_init_q320()

@@ -360,3 +360,63 @@ def test_iter_warc_records_streams_with_bounded_memory():
     except ValueError:
         pass
     assert 290 <= len(got) < 300
+
+
+def test_html_fast_extractor_matches_exact_on_well_formed():
+    # r11 fast path (q320): the compiled-regex extractor must agree
+    # with the html.parser exact path on well-formed HTML — fixtures
+    # plus a seeded random page sweep
+    import random
+
+    from node_etl_spark.functions.web import (
+        html_to_text,
+        html_to_text_fast,
+    )
+
+    fixtures = [
+        "<html><head><title> T &amp; A </title><meta x><style>p{}</style>"
+        "</head><body><h1>Hi</h1>\n\t<p>one &lt;two&gt;   three</p>"
+        "<noscript>no</noscript><script>var p = '<p>ignored</p>';"
+        "</script></body></html>",
+        "<head><title>t</title>headjunk</head><p>x</p>",
+        "<title>only title</title>",
+        "<p>a</p><p>b</p>",
+        "<b>W</b>ord",
+        "a<script>x</script>b",
+        "<!-- c --><p>after</p><!-- tail -->",
+        "<p>caf&eacute; &#233; &amp; more</p>",
+        "<table><tr><td>c1</td><td>c2</td></tr></table>",
+        "<pre>  spaced   text </pre>",
+        "no markup at all",
+        "",
+    ]
+    for h in fixtures:
+        assert html_to_text(h) == html_to_text_fast(h), h
+
+    rng = random.Random(11)
+    tags = ["p", "div", "span", "b", "i", "li", "td", "h2", "section"]
+    words = ["alpha", "beta", "&amp;", "gamma", "caf&eacute;", "x&lt;y"]
+    for _ in range(300):
+        parts = []
+        for _ in range(rng.randrange(1, 12)):
+            t = rng.choice(tags)
+            txt = " ".join(
+                rng.choice(words) for _ in range(rng.randrange(1, 6))
+            )
+            parts.append(f"<{t} class='c'>{txt}</{t}>")
+        sc = (
+            "<script>var a='<p>no</p>';</script>"
+            if rng.random() < 0.5
+            else ""
+        )
+        st = "<style>p{color:red}</style>" if rng.random() < 0.5 else ""
+        page = (
+            f"<html><head><title>T {rng.randrange(100)}</title>{st}"
+            f"</head><body>{''.join(parts)}{sc}</body></html>"
+        )
+        assert html_to_text(page) == html_to_text_fast(page), page
+
+    # the documented scope boundary: tag soup with a bare text '<'
+    # is exact-path territory (fast may differ) — just pin that the
+    # fast path doesn't crash on it
+    html_to_text_fast("<p>5 < 7 and <b>bold</p>")
