@@ -21,273 +21,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from node_etl_spark.plans import QUERIES  # noqa: E402
 from node_etl_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_topk_orders",
-    "q05_group_count",
-    "q06_vocab_join",
-    "q07_order_details",
-    "q08_quarter_rollup",
-    "q09_unpivot_measures",
-    "q10_running_total",
-    "q12_hierarchy_levels",
-    "q13_semi_join",
-    "q16_routed_split",
-    "q20_dedup_exact",
-    "q21_ngram_jaccard_pairs",
-    "q22_minhash_lsh_dedup",
-    "q23_simhash_pairs",
-    "q24_text_profile",
-    "q26_embedding_topk",
-    "q27_ann_lsh_topk",
-    "q28_asof_join",
-    "q29_range_join",
-    "q30_array2map",
-    "q32_tree_build",
-    "q33_quality_lang",
-    "q34_top_orders_per_cust",
-    "q35_embedding_neardup",
-    "q36_media_metadata",
-    "q37_frame_sample",
-    "q38_ivf_topk",
-    "q39_bpe_tokens",
-    "q40_shipping_priority",
-    "q41_nation_volume",
-    "q43_grouping_sets",
-    "q44_percentiles",
-    "q45_first_event_per_user",
-    "q50_chunk_documents",
-    "q51_clean_text",
-    "q54_dup_clusters",
-    "q55_hash_split",
-    "q56_stratified_sample",
-    "q57_sessionize",
-    "q58_priority_exists",
-    "q60_small_qty_revenue",
-    "q61_large_orders",
-    "q64_returned_revenue",
-    "q68_token_frequencies",
-    "q70_trade_volume",
-    "q71_market_share",
-    "q76_forecast_revenue",
-    "q77_product_profit",
-    "q80_order_distribution",
-    "q84_waiting_suppliers",
-    "q85_repetition_signals",
-    "q86_decontaminate",
-    "q88_centroid_outliers",
-    "q90_price_histogram",
-    "q92_reorder_gaps",
-    "q93_incremental_dedup",
-    "q97_event_funnel",
-    "q99_locf_imputation",
-    "q100_value_anomalies",
-    "q106_scd2_intervals",
-    "q107_skew_profile",
-    "q109_weighted_sample",
-    "q110_rolling_distinct_users",
-    "q113_partition_checksum",
-    "q115_event_paths",
-    "q116_dq_suite",
-    "q117_psi_drift",
-    "q118_sketch_rollup",
-    "q119_bm25_search",
-    "q120_brand_trend",
-    "q121_trailing_window",
-    "q122_part_pagerank",
-    "q123_order_streaks",
-    "q124_bitmap_distinct",
-    "q125_golden_records",
-    "q126_doc_keywords",
-    "q127_corr_matrix",
-    "q128_basket_pairs",
-    "q129_hashed_features",
-    "q130_part_reach",
-    "q131_pack_sequences",
-    "q132_token_entropy",
-    "q133_kmeans_step",
-    "q134_linear_interp",
-    "q135_session_window",
-    "q136_neardup_lsh",
-    "q139_pii_scrub",
-    "q140_winnow_fingerprints",
-    "q141_part_communities",
-    "q142_part_distances",
-    "q143_containment_dedup",
-    "q144_brand_trend_ols",
-    "q145_part_skyline",
-    "q147_audio_energy",
-    "q148_bigram_lm_score",
-    "q150_mix_sources",
-    "q151_audience_overlap",
-    "q152_benford_audit",
-    "q153_sorted_neighborhood",
-    "q154_quantize_embeddings",
-    "q155_resample_epochs",
-    "q156_cusum_drift",
-    "q157_negative_samples",
-    "q158_concentration_audit",
-    "q159_contrastive_triplets",
-    "q160_triangle_census",
-    "q161_kmv_cardinality",
-    "q162_related_parts_ppr",
-    "q163_ks_drift",
-    "q164_boilerplate_strip",
-    "q165_mannwhitney_auc",
-    "q166_heavy_hitters",
-    "q167_chisq_independence",
-    "q168_mutual_information",
-    "q169_semdedup",
-    "q170_pq_codes",
-    "q171_bloom_semi_join",
-    "q172_bitext_mining",
-    "q173_temperature_mix",
-    "q174_part_kcore",
-    "q175_degree_assortativity",
-    "q176_partition_pruned_read",
-    "q177_url_canonical_dedup",
-    "q178_matryoshka_audit",
-    "q179_quality_weighted_sample",
-    "q180_hybrid_rrf",
-    "q181_span_corruption",
-    "q182_join_size_estimate",
-    "q183_snapshot_diff",
-    "q184_lateness_audit",
-    "q185_distribution_match",
-    "q186_conversation_assembly",
-    "q187_preference_pairs",
-    "q188_fd_audit",
-    "q189_stream_heavy_hitters",
-    "q190_pass_at_k",
-    "q191_bradley_terry",
-    "q192_schema_evolution",
-    "q193_trimmed_mean",
-    "q194_range_boundaries",
-    "q195_sentence_truncate",
-    "q196_leakage_safe_split",
-    "q197_k_anonymity",
-    "q198_survival_curve",
-    "q199_kfold_assignment",
-    "q200_dataset_card",
-    "q201_skew_salted_activity",
-    "q202_bitext_mining_lsh",
-    "q203_zorder_layout",
-    "q204_stream_interval_left",
-    "q205_binary_sketches",
-    "q206_sketch_neardup",
-    "q207_semdedup_capped",
-    "q208_zorder_kd",
-    "q209_duplicate_spans",
-    "q210_simhash_dedup_groups",
-    "q211_ivf_pq_topk",
-    "q212_retrieval_eval",
-    "q213_rater_agreement",
-    "q214_fs_record_linkage",
-    "q215_media_dedup_groups",
-    "q216_incremental_neardup",
-    "q217_stream_enrich",
-    "q218_kn_trigram_score",
-    "q219_dsir_select",
-    "q220_domain_cap",
-    "q221_bpe_learn",
-    "q222_cm_sketch",
-    "q223_novelty_audit",
-    "q224_blocklist_filter",
-    "q225_jl_projection",
-    "q226_top_pc_power",
-    "q227_pmi_collocations",
-    "q228_tokenizer_fertility",
-    "q229_hits_hubs_authorities",
-    "q230_quantile_calibrate",
-    "q231_decayed_trending",
-    "q232_hard_negatives",
-    "q233_knn_label_eval",
-    "q234_temporal_split",
-    "q235_target_encoding",
-    "q236_skipgram_pairs",
-    "q237_source_divergence",
-    "q238_wilson_ranking",
-    "q239_funnel_count",
-    "q240_theil_sen_trend",
-    "q241_lead_lag_corr",
-    "q242_line_dedup",
-    "q243_hll_cardinality",
-    "q244_rendezvous_shards",
-    "q245_attribution",
-    "q246_quota_sample",
-    "q247_percolate",
-    "q248_spearman_corr",
-    "q249_sequence_mining",
-    "q250_isotonic_fit",
-    "q251_coec_ctr",
-    "q252_adamic_adar",
-    "q253_naive_bayes",
-    "q254_conformal_coverage",
-    "q255_dp_histogram",
-    "q256_waterfill_budget",
-    "q257_offpolicy_eval",
-    "q258_ridge_cv",
-    "q259_topic_segments",
-    "q260_bh_fdr_screen",
-    "q261_mahalanobis_outliers",
-    "q262_sprt_monitor",
-    "q263_chao1_vocab",
-    "q264_seasonal_decompose",
-    "q265_ewma_anomalies",
-    "q266_hll_set_algebra",
-    "q267_source_ablation",
-    "q268_shapley_vocab",
-    "q269_hill_tail_index",
-    "q270_kcenter_coreset",
-    "q271_matched_att",
-    "q272_diff_in_diff",
-    "q273_bootstrap_ci",
-    "q274_uplift_deciles",
-    "q275_local_clustering",
-    "q276_rake_keyphrases",
-    "q277_calibration_error",
-    "q278_cuped_adjust",
-    "q279_median_of_means",
-    "q280_balance_smd",
-    "q281_rfm_segments",
-    "q282_within_estimator",
-    "q283_stream_ewma",
-    "q284_logrank_test",
-    "q285_quantile_effects",
-    "q286_mann_kendall",
-    "q287_moore_lewis",
-    "q288_association_rules",
-    "q289_markov_accuracy",
-    "q290_window_sweep",
-    "q291_forecast_backtest",
-    "q292_coldstart_audit",
-    "q293_burstiness",
-    "q294_readability",
-    "q295_bmp_decode",
-    "q296_folder_glob_scan",
-    "q297_png_decode",
-    "q298_wav_energy",
-    "q299_jpeg_decode",
-    "q300_gif_frames",
-    "q301_webdataset_shard",
-    "q302_webdataset_samples",
-    "q303_unicode_normalize",
-    "q304_compressed_text",
-    "q305_quality_classifier",
-    "q306_video_frames",
-    "q307_progressive_jpeg",
-    "q308_color_jpeg",
-    "q309_image_neardup",
-    "q310_snappy_roundtrip",
-    "q311_zstd_roundtrip",
-    "q312_zstd_pure_decode",
-    "q313_warc_records",
-    "q314_html_extract",
-    "q315_zstd_ndjson_scan",
-    "q316_token_shards_roundtrip",
-    "q317_png_variants",
-]
+# The benched set is DERIVED from the registry (verdict r10 ask #3):
+# every gate query is benched unless explicitly excluded here with a
+# one-line reason, and tests/test_plans.py asserts the partition —
+# a new query can never land gate-green yet silently skip the bench.
+# (The r1-r10 HEADLINE list was hand-curated and had drifted 52
+# queries behind the registry for no documented reason.)
+EXCLUDED: dict[str, str] = {}
+
+HEADLINE = [n for n in QUERIES if n not in EXCLUDED]
+
+# calibration anchors: the r9 driver box's probe values. Dividing a
+# run's probes by these gives that box's slowdown vs the anchor;
+# value_calib_adjusted divides the suite seconds by the geometric
+# mean of the two slowdowns (JVM + Python-worker), separating engine
+# changes from machine changes across rounds (verdict r10 ask #4 —
+# r10's raw 0.77x understated the win because its box probed 1.66x
+# slower than r9's).
+CALIB_REF_SEC = 0.071
+CALIB_REF_PY_SEC = 0.39
 
 
 def main() -> None:
@@ -409,6 +161,14 @@ def main() -> None:
         if i == 0:
             continue  # warm-up: python worker fork + Arrow setup
         calib_py = dt if calib_py is None else min(calib_py, dt)
+    # machine-normalized suite seconds: divide by the geometric mean
+    # of this box's slowdown vs the r9 anchor on both probes. Compare
+    # value_calib_adjusted across rounds; the raw value stays for
+    # on-box A/Bs.
+    slowdown = (
+        (calib / CALIB_REF_SEC) * (calib_py / CALIB_REF_PY_SEC)
+    ) ** 0.5
+    adjusted = round(total / slowdown, 3)
     # key order matters: the driver's BENCH artifact keeps only the
     # LAST ~2000 chars of stdout, so the headline total and calibration
     # must come AFTER the (long) queries dict or they get truncated
@@ -423,6 +183,7 @@ def main() -> None:
                 "n_queries": len(short),
                 "calib_sec": round(calib, 3),
                 "calib_pyworker_sec": round(calib_py, 3),
+                "value_calib_adjusted": adjusted,
                 "value": total,
             },
             separators=(",", ":"),
@@ -438,6 +199,7 @@ def main() -> None:
                 "metric": "headline_suite_seconds_summary",
                 "summary": True,
                 "value": total,
+                "value_calib_adjusted": adjusted,
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(short),

@@ -1138,3 +1138,18 @@ def test_quality_classifier_plan_jvm_side_one_exchange(spark, sf_dir):
     assert plan.count("MapInPandas") == 0
     assert plan.count("Exchange") == 1
     assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_bench_set_partitions_the_registry():
+    # verdict r10 ask #3: HEADLINE is derived from the registry minus
+    # an explicit, reasoned exclusion list — a new gate query can
+    # never silently skip the bench
+    import bench
+    from node_etl_spark.plans import QUERIES
+
+    assert set(bench.HEADLINE) | set(bench.EXCLUDED) == set(QUERIES)
+    assert not set(bench.HEADLINE) & set(bench.EXCLUDED)
+    assert len(bench.HEADLINE) + len(bench.EXCLUDED) == len(QUERIES)
+    for name, reason in bench.EXCLUDED.items():
+        assert name in QUERIES, f"stale exclusion {name}"
+        assert reason and reason.strip(), f"exclusion {name} needs a reason"
