@@ -496,3 +496,173 @@ def html_to_text_fast(html: str) -> tuple[str, str]:
         " ".join(_h.unescape(title).split()),
         " ".join(_h.unescape(s).split()),
     )
+
+
+# ------------------------------------------------- CDX index + fetch
+# (r11: the Common Crawl ACCESS pattern. Shards are write-once; every
+# consumer after the first reads them through an index of compressed
+# member byte ranges — "index once, random-access forever". This is
+# what the per-record gzip framing exists FOR: a fetch is one ranged
+# read + one member inflate, never a shard scan.)
+
+
+def iter_warc_members(data: bytes) -> Iterator[tuple[int, int, dict]]:
+    """Walk a PER-MEMBER-FRAMED .warc.gz shard yielding
+    (offset, length, record) where [offset, offset+length) is the
+    compressed gzip-member byte range that decompresses to exactly
+    that record — the row shape of a CDX index. ValueError when the
+    shard is not per-member gzip (plain or whole-shard-gzip WARCs
+    have no rangeable members) or a member is corrupt."""
+    import zlib
+
+    pos, n = 0, len(data)
+    while pos < n:
+        if data[pos : pos + 2] != b"\x1f\x8b":
+            raise ValueError("not a per-member gzip WARC shard")
+        start = pos
+        d = zlib.decompressobj(31)
+        buf = bytearray()
+        try:
+            while True:
+                fed = data[pos : pos + _GZ_FEED]
+                buf += d.decompress(fed)
+                if d.eof:
+                    pos += len(fed) - len(d.unused_data)
+                    break
+                pos += len(fed)
+                if pos >= n:
+                    raise ValueError("truncated gzip member")
+        except zlib.error:
+            raise ValueError("corrupt gzip member") from None
+        recs, _ = _take_records(buf, final=True)
+        for r in recs:
+            yield start, pos - start, r
+
+
+def build_cdx_index(
+    binaries: DataFrame,
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Shard scan -> CDX rows (path, offset, length, warc_type,
+    record_id, target_uri): one partition-local mapInPandas, zero
+    shuffles. The index is tiny (~60 bytes/record vs the multi-KB
+    records), so at 100 TB of shards the index is the only thing a
+    query planner ever scans; fetches are ranged reads. Corrupt
+    shards contribute no index rows (warn-and-skip)."""
+    schema = (
+        f"{path_col} string, offset bigint, length bigint,"
+        " warc_type string, record_id string, target_uri string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("p", "o", "l", "wt", "rid", "uri")}
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                if path is None or content is None:
+                    continue
+                try:
+                    for off, ln, r in iter_warc_members(bytes(content)):
+                        rows["p"].append(path)
+                        rows["o"].append(off)
+                        rows["l"].append(ln)
+                        rows["wt"].append(r["warc_type"])
+                        rows["rid"].append(r["record_id"])
+                        rows["uri"].append(r["target_uri"])
+                except ValueError:  # corrupt shard policy
+                    continue
+            yield pd.DataFrame(
+                {
+                    path_col: pd.Series(rows["p"], dtype="object"),
+                    "offset": pd.Series(rows["o"], dtype="int64"),
+                    "length": pd.Series(rows["l"], dtype="int64"),
+                    "warc_type": pd.Series(rows["wt"], dtype="object"),
+                    "record_id": pd.Series(rows["rid"], dtype="object"),
+                    "target_uri": pd.Series(rows["uri"], dtype="object"),
+                }
+            )
+
+    return binaries.select(path_col, content_col).mapInPandas(
+        batches, schema=schema
+    )
+
+
+def fetch_warc_record(file: str, offset: int, length: int) -> dict:
+    """One CDX fetch: ranged read of the compressed member + inflate +
+    parse. The I/O cost is the member, never the shard. Accepts the
+    ``file:`` URIs binaryFile puts in its path column."""
+    if file.startswith("file:"):
+        from urllib.parse import urlparse
+
+        file = urlparse(file).path
+    with open(file, "rb") as f:
+        f.seek(offset)
+        blob = f.read(length)
+    if len(blob) != length:
+        raise ValueError("short read for CDX range")
+    recs = list(iter_warc_records(blob))
+    if not recs:
+        raise ValueError("CDX range held no record")
+    return recs[0]
+
+
+def fetch_warc_records(
+    index: DataFrame, parse_http: bool = True
+) -> DataFrame:
+    """CDX index rows -> records via ranged reads: each task opens the
+    shard file, seeks, and reads ONLY its members. Output matches
+    :func:`explode_warc_records` minus record_idx (a fetch is
+    unordered by nature); rows whose range fails to read/parse are
+    skipped. Fetch parallelism is the index partitioning — repartition
+    the index, not the shards."""
+    schema = (
+        "path string, warc_type string, record_id string,"
+        " target_uri string, content_type string, http_status int,"
+        " http_content_type string, body binary"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "p", "wt", "rid", "uri", "ct", "hs", "hct", "body",
+            )}
+            for path, off, ln in zip(
+                pdf["path"], pdf["offset"], pdf["length"]
+            ):
+                try:
+                    r = fetch_warc_record(str(path), int(off), int(ln))
+                except (OSError, ValueError):  # bad range: skip
+                    continue
+                hs = hct = None
+                body = r["payload"]
+                if parse_http and r["warc_type"] == "response":
+                    try:
+                        hs, hct, body = _parse_http_response(body)
+                    except ValueError:
+                        body = r["payload"]
+                rows["p"].append(path)
+                rows["wt"].append(r["warc_type"])
+                rows["rid"].append(r["record_id"])
+                rows["uri"].append(r["target_uri"])
+                rows["ct"].append(r["content_type"])
+                rows["hs"].append(hs)
+                rows["hct"].append(hct)
+                rows["body"].append(body)
+            yield pd.DataFrame(
+                {
+                    "path": pd.Series(rows["p"], dtype="object"),
+                    "warc_type": pd.Series(rows["wt"], dtype="object"),
+                    "record_id": pd.Series(rows["rid"], dtype="object"),
+                    "target_uri": pd.Series(rows["uri"], dtype="object"),
+                    "content_type": pd.Series(rows["ct"], dtype="object"),
+                    "http_status": pd.Series(rows["hs"], dtype="Int32"),
+                    "http_content_type": pd.Series(
+                        rows["hct"], dtype="object"
+                    ),
+                    "body": pd.Series(rows["body"], dtype="object"),
+                }
+            )
+
+    return index.select("path", "offset", "length").mapInPandas(
+        batches, schema=schema
+    )

@@ -16035,3 +16035,116 @@ def _init_q320() -> None:
 
 
 _init_q320()
+
+# --------------------------------------------------------------------
+# q321 — CDX index + ranged fetch (r11): the Common Crawl ACCESS
+# pattern. Shards are write-once; everyone after the first reader
+# goes through an index of compressed member byte ranges, and a
+# fetch costs one ranged read + one member inflate — never a shard
+# scan. This is what q313's per-record gzip framing exists FOR.
+# --------------------------------------------------------------------
+
+def _init_q321() -> None:
+    from ..functions import web as W
+
+    @register(
+        "q321_warc_cdx_fetch",
+        """
+        SELECT doc_id,
+               'https://cdx.example/' || source || '/' || doc_id AS url,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS body_md5
+        FROM documents
+        """,
+        doc="CDX index + random-access fetch on the exact gate "
+            "(functions/web.py iter_warc_members / build_cdx_index / "
+            "fetch_warc_records, r11): documents pack into REAL "
+            ".warc.gz files on disk (8 shards, per-record gzip "
+            "members, distributed writer with atomic dir publish), "
+            "then (1) build_cdx_index scans the shards once and emits "
+            "(path, offset, length, uri) rows — zero shuffles, ~60 "
+            "bytes/record — and (2) fetch_warc_records reads each "
+            "record back through open+seek+read of EXACTLY its "
+            "compressed member range and inflates just that member. "
+            "The oracle recomputes url/bytes/md5 from the raw table, "
+            "so an off-by-one in any offset/length breaks the gzip "
+            "decode and fails the hash — the index is proven by "
+            "using it, not by inspection. Scale shape: at 100 TB the "
+            "index (0.1% of the data) is the only full scan; fetch "
+            "parallelism is index partitioning, and executor memory "
+            "per fetch is one member. The same rows serve point "
+            "lookups (one uri -> one ranged read), which no "
+            "scan-shaped reader can do.",
+    )
+    def q321_warc_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os as _os
+        import shutil as _shutil
+        import uuid as _uuid
+
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+        final = f"{_SCRATCH}/fixtures/{tag}/q321_warc_files_v1"
+        if not _os.path.exists(_os.path.join(final, "_FILES_OK")):
+            tmp = f"{final}.build-{_uuid.uuid4().hex[:8]}"
+            _os.makedirs(tmp, exist_ok=True)
+
+            def write_shards(it):
+                import pandas as _pd
+
+                names = []
+                for pdf in it:
+                    recs = [
+                        (
+                            "response",
+                            f"https://cdx.example/{s}/{int(d)}",
+                            W.http_response_bytes(
+                                str(t).encode("utf-8"),
+                                content_type="text/plain; charset=utf-8",
+                            ),
+                            "application/http; msgtype=response",
+                        )
+                        for d, s, t in zip(
+                            pdf["doc_id"], pdf["source"], pdf["text"]
+                        )
+                    ]
+                    if not recs:
+                        continue
+                    blob = W.encode_warc_gz(recs, per_record_gzip=True)
+                    name = f"seg-{_uuid.uuid4().hex}.warc.gz"
+                    with open(_os.path.join(tmp, name), "wb") as f:
+                        f.write(blob)
+                    names.append(name)
+                yield _pd.DataFrame({"shard": names})
+
+            docs.repartition(8).mapInPandas(
+                write_shards, schema="shard string"
+            ).collect()
+            with open(_os.path.join(tmp, "_FILES_OK"), "w") as f:
+                f.write("ok")
+            try:
+                _os.rename(tmp, final)
+            except OSError:  # lost the publish race
+                _shutil.rmtree(tmp, ignore_errors=True)
+
+        binaries = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.warc.gz")
+            .load(final)
+        )
+        idx = W.build_cdx_index(binaries)
+        fetched = W.fetch_warc_records(
+            idx.where(F.col("warc_type") == "response").repartition(32)
+        )
+        return fetched.select(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.octet_length("body").cast("bigint").alias("n_bytes"),
+            F.lower(F.md5("body")).alias("body_md5"),
+        )
+
+
+_init_q321()

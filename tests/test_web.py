@@ -420,3 +420,64 @@ def test_html_fast_extractor_matches_exact_on_well_formed():
     # is exact-path territory (fast may differ) — just pin that the
     # fast path doesn't crash on it
     html_to_text_fast("<p>5 < 7 and <b>bold</p>")
+
+
+def test_cdx_index_and_ranged_fetch(spark, tmp_path):
+    # r11 CDX surface: member byte ranges are exact (fetch re-reads
+    # only [offset, offset+length)), non-member framings are refused,
+    # bad ranges skip
+    import pytest
+
+    from node_etl_spark.functions.web import (
+        build_cdx_index,
+        encode_warc_gz,
+        fetch_warc_record,
+        fetch_warc_records,
+        http_response_bytes,
+        iter_warc_members,
+    )
+
+    recs = [
+        (
+            "response",
+            f"https://x/{i}",
+            http_response_bytes(f"body {i}".encode()),
+            "application/http; msgtype=response",
+        )
+        for i in range(10)
+    ]
+    shard = encode_warc_gz(recs, per_record_gzip=True)
+    p = tmp_path / "seg-0.warc.gz"
+    p.write_bytes(shard)
+
+    members = list(iter_warc_members(shard))
+    assert len(members) == 10
+    assert members[0][0] == 0
+    assert sum(ln for _, ln, _ in members) == len(shard)
+    r = fetch_warc_record(str(p), members[7][0], members[7][1])
+    assert r["target_uri"] == "https://x/7"
+
+    # plain (non-member) framing has no rangeable members
+    with pytest.raises(ValueError):
+        list(iter_warc_members(encode_warc_gz(recs, per_record_gzip=False)))
+
+    binaries = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(str(tmp_path))
+    )
+    idx = build_cdx_index(binaries)
+    rows = idx.collect()
+    assert len(rows) == 10
+    fetched = fetch_warc_records(idx)
+    got = {r.target_uri: bytes(r.body) for r in fetched.collect()}
+    assert got["https://x/3"] == b"body 3"
+    assert len(got) == 10
+
+    # a poisoned range (wrong length) skips, the rest still fetch
+    poisoned = spark.createDataFrame(
+        [(str(p), members[0][0], members[0][1] - 3)]
+        + [(str(p), o, ln) for o, ln, _ in members[1:]],
+        "path string, offset long, length long",
+    )
+    assert fetch_warc_records(poisoned).count() == 9
