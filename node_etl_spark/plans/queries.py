@@ -16148,3 +16148,149 @@ def _init_q321() -> None:
 
 
 _init_q321()
+
+# --------------------------------------------------------------------
+# q322 — WARC -> WET conversion (r11): Common Crawl ships THREE
+# artifacts per crawl — WARC (raw), WAT (metadata), WET (extracted
+# text as `conversion` records). This is the WET leg: response
+# shards -> HTML extraction -> conversion-record shards -> re-read,
+# one zero-Exchange partition-local chain.
+# --------------------------------------------------------------------
+
+def _init_q322() -> None:
+    from ..functions import web as W
+
+    @register(
+        "q322_wet_conversion",
+        """
+        WITH h AS (
+            SELECT doc_id, source,
+                   trim(regexp_replace(source || ' ' || text || ' & more',
+                                       '\\s+', ' ', 'g')) AS body
+            FROM documents)
+        SELECT doc_id,
+               'https://wet.example/' || source || '/' || doc_id AS url,
+               CAST(length(body) AS BIGINT) AS body_chars,
+               md5(body) AS body_md5
+        FROM h
+        """,
+        doc="WARC->WET conversion on the exact gate (functions/web.py, "
+            "r11): HTML response shards (escaped q314-style pages, "
+            "built once as a codec fixture) explode to records, "
+            "bodies extract through html_text(mode='fast'), and the "
+            "extracted text re-packs into WET shards — WARC "
+            "`conversion` records with text/plain payloads, the "
+            "artifact Common Crawl actually distributes for LLM "
+            "text — which are then exploded BACK and hashed, so the "
+            "whole conversion chain (gzip framing -> HTTP split -> "
+            "entity-decoding extraction -> conversion-record framing) "
+            "must round-trip bit-exactly against an oracle computed "
+            "from the raw table. Scale shape: scan -> explode -> "
+            "extract -> re-pack -> explode is ONE partition-local "
+            "pipeline, zero Exchange; WET shards inherit the "
+            "per-record gzip framing, so they are CDX-indexable "
+            "(q321) and range-fetchable like their WARC parents.",
+    )
+    def q322_wet_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+
+        def gen(it):
+            import pandas as _pd
+
+            def esc(s):
+                return (
+                    str(s)
+                    .replace("&", "&amp;")
+                    .replace("<", "&lt;")
+                    .replace(">", "&gt;")
+                )
+
+            for pdf in it:
+                recs = []
+                for d, s, t in zip(
+                    pdf["doc_id"], pdf["source"], pdf["text"]
+                ):
+                    page = (
+                        f"<html><head><title>{esc(s)}</title>"
+                        f"<style>p{{color:red}}</style></head><body>"
+                        f"<h1>{esc(s)}</h1>\n<p>{esc(t)} &amp; more</p>"
+                        f"<script>var x=1;</script></body></html>"
+                    )
+                    recs.append(
+                        (
+                            "response",
+                            f"https://wet.example/{s}/{int(d)}",
+                            W.http_response_bytes(page.encode("utf-8")),
+                            "application/http; msgtype=response",
+                        )
+                    )
+                blob = W.encode_warc_gz(recs) if recs else None
+                yield _pd.DataFrame(
+                    {
+                        "shard_id": _pd.Series(
+                            [0] if blob else [], dtype="int64"
+                        ),
+                        "content": [blob] if blob else [],
+                    }
+                )
+
+        shards = _codec_fixture(
+            spark, sf_dir, "q322_wet_conversion", 1,
+            lambda: docs.repartition(8).mapInPandas(
+                gen, schema="shard_id bigint, content binary"
+            ),
+        )
+        pages = W.explode_warc_records(shards, id_col="shard_id").where(
+            F.col("warc_type") == "response"
+        )
+        parts = W.html_text(F.decode("body", "UTF-8"), mode="fast")
+        extracted = pages.select(
+            F.col("target_uri").alias("uri"),
+            parts["body"].alias("wet_text"),
+        )
+
+        def pack_wet(it):
+            import pandas as _pd
+
+            for pdf in it:
+                recs = [
+                    (
+                        "conversion",
+                        str(u),
+                        str(t).encode("utf-8"),
+                        "text/plain",
+                    )
+                    for u, t in zip(pdf["uri"], pdf["wet_text"])
+                    if u is not None and t is not None
+                ]
+                blob = W.encode_warc_gz(recs) if recs else None
+                yield _pd.DataFrame(
+                    {
+                        "shard_id": _pd.Series(
+                            [0] if blob else [], dtype="int64"
+                        ),
+                        "content": [blob] if blob else [],
+                    }
+                )
+
+        wet_shards = extracted.mapInPandas(
+            pack_wet, schema="shard_id bigint, content binary"
+        )
+        wet = W.explode_warc_records(
+            wet_shards, id_col="shard_id", parse_http=False
+        ).where(F.col("warc_type") == "conversion")
+        return wet.select(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.length(F.decode("body", "UTF-8"))
+            .cast("bigint")
+            .alias("body_chars"),
+            F.lower(F.md5("body")).alias("body_md5"),
+        )
+
+
+_init_q322()
