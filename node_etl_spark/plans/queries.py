@@ -15820,13 +15820,18 @@ def _init_q318() -> None:
         )
         seqs = docs.select(
             F.col("doc_id").alias("seq_id"), toks.alias("tokens")
-        ).repartition(2)  # few BIG shards: the case ranged reads fix
+        ).repartition(4)  # few BIG shards: the case ranged reads fix
         out_dir = f"{_SCRATCH}/token_shards_ranged"
         import shutil
 
         shutil.rmtree(out_dir, ignore_errors=True)
-        write_token_shards(seqs, out_dir, dtype="uint16")
-        back = read_token_shards(spark, out_dir, rows_per_task=40)
+        entries = write_token_shards(seqs, out_dir, dtype="uint16")
+        # split every shard ~16 ways regardless of SF (floor 40 rows):
+        # the point is range tasks >> shard count, without drowning in
+        # per-task scheduling at large SFs
+        total = sum(e["n_seqs"] for e in entries)
+        rpt = max(40, -(-total // 64))
+        back = read_token_shards(spark, out_dir, rows_per_task=rpt)
         return (
             back.where(F.size("tokens") > 0)
             .select(

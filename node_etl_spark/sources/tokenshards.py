@@ -296,9 +296,17 @@ def _read_token_shards_ranged(
             )
     if not tasks:
         return spark.createDataFrame([], _READ_SCHEMA)
+    # one PARTITION can serve several range tasks sequentially —
+    # capping partitions at ~4x parallelism keeps scheduling overhead
+    # off the plan while every core still gets work (the r11 sf1 leg
+    # measured 1-row-per-partition plans paying more in task launch
+    # than in I/O)
+    n_parts = min(
+        len(tasks), max(spark.sparkContext.defaultParallelism * 4, 1)
+    )
     plan = spark.createDataFrame(
         tasks, "file string, start int, count int"
-    ).repartition(len(tasks))
+    ).repartition(n_parts)
 
     def ranges(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
