@@ -161,6 +161,27 @@ def main() -> None:
         if i == 0:
             continue  # warm-up: python worker fork + Arrow setup
         calib_py = dt if calib_py is None else min(calib_py, dt)
+    # third probe (r11): the numpy pyworker probe tracks Arrow+BLAS
+    # throughput but NOT bytecode interpretation speed, which is what
+    # the pure-Python codec family (q306-q308 JPEG/video bit readers)
+    # burns — the r11/r10 cross-box comparison showed a 1.5x codec
+    # delta at near-identical numpy probes. Fixed integer/branch
+    # loop, best of 3, driver-side (UDF workers fork this same
+    # interpreter).
+    def _bytecode_probe() -> int:
+        acc = 0
+        for i in range(2_000_000):
+            acc = (acc + i * 31) & 0xFFFFFFFF
+            if acc & 1:
+                acc ^= 0x9E3779B9
+        return acc
+
+    calib_bc = None
+    for _ in range(3):
+        t0 = time.time()
+        _bytecode_probe()
+        dt = time.time() - t0
+        calib_bc = dt if calib_bc is None else min(calib_bc, dt)
     # machine-normalized suite seconds: divide by the geometric mean
     # of this box's slowdown vs the r9 anchor on both probes. Compare
     # value_calib_adjusted across rounds; the raw value stays for
@@ -183,6 +204,7 @@ def main() -> None:
                 "n_queries": len(short),
                 "calib_sec": round(calib, 3),
                 "calib_pyworker_sec": round(calib_py, 3),
+                "calib_pybytecode_sec": round(calib_bc, 3),
                 "value_calib_adjusted": adjusted,
                 "value": total,
             },
@@ -205,6 +227,7 @@ def main() -> None:
                 "n_queries": len(short),
                 "calib_sec": round(calib, 3),
                 "calib_pyworker_sec": round(calib_py, 3),
+                "calib_pybytecode_sec": round(calib_bc, 3),
             },
             separators=(",", ":"),
         )
