@@ -666,3 +666,52 @@ def fetch_warc_records(
     return index.select("path", "offset", "length").mapInPandas(
         batches, schema=schema
     )
+
+
+# --------------------------------------------------- robots.txt gate
+# (r11: the step a POLITE crawl/refresh pipeline runs before any
+# fetch — and the step a training-data curation run increasingly
+# repeats at ingest time to honor retroactive opt-outs.)
+
+
+def robots_allowed(url_col, robots_by_host: dict, agent: str = "*"):
+    """Column expression: URL -> boolean per the stdlib
+    ``urllib.robotparser`` rules in ``robots_by_host`` ({host:
+    robots.txt text}). Hosts with no entry allow everything (the
+    web's default-open contract); a NULL url is NULL. The dict rides
+    the UDF closure — robots corpora are host-cardinality-sized
+    (KBs/host), the canonical broadcast-side table. Parsers build
+    once per host per worker, so per-row cost is one dict hit plus
+    the rule scan."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def check(s: pd.Series) -> pd.Series:
+        from urllib.parse import urlparse
+        from urllib.robotparser import RobotFileParser
+
+        parsers: dict[str, RobotFileParser | None] = {}
+
+        def one(u):
+            if u is None:
+                return None
+            host = urlparse(u).netloc
+            rp = parsers.get(host, False)
+            if rp is False:
+                txt = robots_by_host.get(host)
+                if txt is None:
+                    rp = None
+                else:
+                    rp = RobotFileParser()
+                    rp.parse(txt.splitlines())
+                parsers[host] = rp
+            if rp is None:
+                return True
+            return bool(rp.can_fetch(agent, u))
+
+        return s.map(one)
+
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    return check(c)

@@ -16305,3 +16305,224 @@ def _init_q322() -> None:
 
 
 _init_q322()
+
+# --------------------------------------------------------------------
+# q323 — WARC -> WAT metadata extraction (r11): the third Common
+# Crawl artifact. WAT shards carry one `metadata` record per response
+# with a JSON payload (uri, status, lengths, content digest) — what
+# link-graph and URL-frontier jobs consume INSTEAD of touching the
+# 25x-larger WARC bytes.
+# --------------------------------------------------------------------
+
+def _init_q323() -> None:
+    from ..functions import web as W
+
+    @register(
+        "q323_wat_metadata",
+        """
+        SELECT doc_id,
+               'https://wat.example/' || source || '/' || doc_id AS url,
+               CAST(200 AS INT) AS status,
+               CAST(octet_length(encode(text)) AS BIGINT)
+                   AS payload_length,
+               md5(text) AS digest
+        FROM documents
+        """,
+        doc="WARC->WAT metadata extraction on the exact gate "
+            "(functions/web.py + JVM json, r11): response shards "
+            "(text/plain bodies, own codec fixture) explode to "
+            "records; per record a WAT JSON payload {uri, status, "
+            "content_type, payload_length, digest:md5(body)} is built "
+            "ENTIRELY JVM-side (to_json over a struct — the digest is "
+            "F.md5 on the binary body, no Python in the metadata "
+            "pass), packed into `metadata` WARC records, exploded "
+            "back, and parsed with from_json. The oracle recomputes "
+            "every field from the raw table, so the chain proves "
+            "header routing, JSON round-tripping, and digest "
+            "integrity at once. Scale shape: WAT is the 100 TB "
+            "frontier/link-graph input — ~4% of the WARC bytes — and "
+            "this plan is scan -> explode -> codegen JSON -> repack, "
+            "zero Exchange; the JSON build stays in whole-stage "
+            "codegen between the two Arrow passes.",
+    )
+    def q323_wat_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+
+        def gen(it):
+            import pandas as _pd
+
+            for pdf in it:
+                recs = [
+                    (
+                        "response",
+                        f"https://wat.example/{s}/{int(d)}",
+                        W.http_response_bytes(
+                            str(t).encode("utf-8"),
+                            content_type="text/plain; charset=utf-8",
+                        ),
+                        "application/http; msgtype=response",
+                    )
+                    for d, s, t in zip(
+                        pdf["doc_id"], pdf["source"], pdf["text"]
+                    )
+                ]
+                blob = W.encode_warc_gz(recs) if recs else None
+                yield _pd.DataFrame(
+                    {
+                        "shard_id": _pd.Series(
+                            [0] if blob else [], dtype="int64"
+                        ),
+                        "content": [blob] if blob else [],
+                    }
+                )
+
+        shards = _codec_fixture(
+            spark, sf_dir, "q323_wat_metadata", 1,
+            lambda: docs.repartition(8).mapInPandas(
+                gen, schema="shard_id bigint, content binary"
+            ),
+        )
+        pages = W.explode_warc_records(shards, id_col="shard_id").where(
+            F.col("warc_type") == "response"
+        )
+        wat_json = F.to_json(
+            F.struct(
+                F.col("target_uri").alias("uri"),
+                F.col("http_status").alias("status"),
+                F.col("http_content_type").alias("content_type"),
+                F.octet_length("body").cast("bigint").alias(
+                    "payload_length"
+                ),
+                F.lower(F.md5("body")).alias("digest"),
+            )
+        )
+        meta = pages.select(
+            F.col("target_uri").alias("uri"),
+            wat_json.alias("wat"),
+        )
+
+        def pack_wat(it):
+            import pandas as _pd
+
+            for pdf in it:
+                recs = [
+                    (
+                        "metadata",
+                        str(u),
+                        str(j).encode("utf-8"),
+                        "application/json",
+                    )
+                    for u, j in zip(pdf["uri"], pdf["wat"])
+                    if u is not None and j is not None
+                ]
+                blob = W.encode_warc_gz(recs) if recs else None
+                yield _pd.DataFrame(
+                    {
+                        "shard_id": _pd.Series(
+                            [0] if blob else [], dtype="int64"
+                        ),
+                        "content": [blob] if blob else [],
+                    }
+                )
+
+        wat_shards = meta.mapInPandas(
+            pack_wat, schema="shard_id bigint, content binary"
+        )
+        wat = W.explode_warc_records(
+            wat_shards, id_col="shard_id", parse_http=False
+        ).where(F.col("warc_type") == "metadata")
+        parsed = wat.select(
+            F.from_json(
+                F.decode("body", "UTF-8"),
+                "uri string, status int, content_type string,"
+                " payload_length bigint, digest string",
+            ).alias("m")
+        )
+        return parsed.select(
+            F.regexp_extract("m.uri", r"/(\d+)$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("m.uri").alias("url"),
+            F.col("m.status").alias("status"),
+            F.col("m.payload_length").alias("payload_length"),
+            F.col("m.digest").alias("digest"),
+        )
+
+
+_init_q323()
+
+# --------------------------------------------------------------------
+# q324 — robots.txt frontier filtering (r11): the politeness gate a
+# crawl runs before any fetch, and the opt-out gate curation re-runs
+# at ingest. Rules are host-cardinality-sized — the canonical
+# broadcast-side table.
+# --------------------------------------------------------------------
+
+def _init_q324() -> None:
+    from ..functions import web as W
+
+    @register(
+        "q324_robots_filter",
+        """
+        WITH u AS (
+            SELECT doc_id, source,
+                   'https://' || source || '.example'
+                       || CASE WHEN doc_id % 5 = 0 THEN '/private/'
+                               ELSE '/public/' END
+                       || doc_id AS url,
+                   substr(md5(source), 1, 1) IN
+                       ('0','1','2','3','4','5','6','7') AS host_blocked
+            FROM documents)
+        SELECT doc_id, url,
+               (NOT host_blocked) AND doc_id % 5 <> 0 AS allowed
+        FROM u
+        """,
+        doc="robots.txt URL filtering on the exact gate (functions/"
+            "web.py robots_allowed, stdlib urllib.robotparser, r11): "
+            "20 hosts get deterministic robots corpora — every host "
+            "disallows /private/, and hosts whose md5(source) hex "
+            "starts 0-7 disallow everything (the hard opt-out case) — "
+            "parsed ONCE per host per worker from a closure-broadcast "
+            "{host: robots.txt} dict; URLs route through can_fetch. "
+            "The oracle re-derives both rules in SQL (same md5, same "
+            "path prefix), so prefix matching, host routing, and the "
+            "default-open contract for unknown hosts are all "
+            "hash-checked. Scale shape: rules are host-cardinality-"
+            "sized (KB/host) -> broadcast, never joined; the check is "
+            "one Arrow pass, zero Exchange. At 100 TB this gates the "
+            "frontier BEFORE fetch cost, and at ingest it is the "
+            "retroactive opt-out filter.",
+    )
+    def q324_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import hashlib as _hl
+
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "source"
+        )
+        hosts = [
+            r[0] for r in docs.select("source").distinct().collect()
+        ]
+        robots = {}
+        for s in hosts:
+            rules = ["User-agent: *", "Disallow: /private/"]
+            if _hl.md5(s.encode()).hexdigest()[0] in "01234567":
+                rules = ["User-agent: *", "Disallow: /"]
+            robots[f"{s}.example"] = "\n".join(rules) + "\n"
+        url = F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/private/"))
+            .otherwise(F.lit("/public/")),
+            F.col("doc_id"),
+        )
+        return docs.select(
+            "doc_id",
+            url.alias("url"),
+            W.robots_allowed(url, robots).alias("allowed"),
+        )
+
+
+_init_q324()

@@ -481,3 +481,33 @@ def test_cdx_index_and_ranged_fetch(spark, tmp_path):
         "path string, offset long, length long",
     )
     assert fetch_warc_records(poisoned).count() == 9
+
+
+def test_robots_allowed_rules(spark):
+    # r11 robots gate: prefix disallow, full disallow, default-open
+    # unknown hosts, NULL propagation
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.functions.web import robots_allowed
+
+    robots = {
+        "a.example": "User-agent: *\nDisallow: /private/\n",
+        "b.example": "User-agent: *\nDisallow: /\n",
+    }
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.example/public/1"),
+            (2, "https://a.example/private/2"),
+            (3, "https://b.example/anything"),
+            (4, "https://unknown.example/x"),
+            (5, None),
+        ],
+        "i int, url string",
+    )
+    got = {
+        r.i: r.ok
+        for r in df.select(
+            "i", robots_allowed(F.col("url"), robots).alias("ok")
+        ).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: True, 5: None}
