@@ -511,3 +511,35 @@ def test_robots_allowed_rules(spark):
         ).collect()
     }
     assert got == {1: True, 2: False, 3: False, 4: True, 5: None}
+
+
+def test_iter_warc_records_spans_feed_windows():
+    # a record far larger than the 64 KiB inflate feed window must
+    # assemble across chunks (both per-member and whole-shard gzip)
+    import gzip as _gz
+
+    from node_etl_spark.functions.web import (
+        encode_warc_gz,
+        iter_warc_records,
+    )
+
+    big = bytes(range(256)) * 1500  # 384 KB, incompressible-ish
+    recs = [
+        ("resource", "https://x/big", big, "application/octet-stream"),
+        ("resource", "https://x/small", b"tiny", "text/plain"),
+    ]
+    for framing in ("member", "whole", "plain"):
+        if framing == "member":
+            shard = encode_warc_gz(recs, per_record_gzip=True)
+        elif framing == "whole":
+            shard = _gz.compress(
+                encode_warc_gz(recs, per_record_gzip=False)
+            )
+        else:
+            shard = encode_warc_gz(recs, per_record_gzip=False)
+        got = list(iter_warc_records(shard))
+        assert [r["target_uri"] for r in got] == [
+            "https://x/big",
+            "https://x/small",
+        ], framing
+        assert got[0]["payload"] == big, framing
