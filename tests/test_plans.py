@@ -1153,3 +1153,45 @@ def test_bench_set_partitions_the_registry():
     for name, reason in bench.EXCLUDED.items():
         assert name in QUERIES, f"stale exclusion {name}"
         assert reason and reason.strip(), f"exclusion {name} needs a reason"
+
+
+def test_r11_crawl_family_plans(spark, sf_dir):
+    # q320: identical wrap to q314 through the FAST extractor — still
+    # one Arrow UDF, zero Exchange, no fixture (JVM concat builds the
+    # page)
+    plan = _plan(spark, sf_dir, "q320_html_extract_fast")
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("MapInPandas") == 0
+    assert "Exchange" not in plan
+    assert "documents.parquet" in plan
+
+    # q322 WET / q323 WAT: scan -> explode -> (extract/JVM json) ->
+    # repack -> re-explode, all partition-local mapInPandas; zero
+    # Exchange end-to-end
+    plan = _plan(spark, sf_dir, "q322_wet_conversion")
+    assert plan.count("MapInPandas") == 3  # explode, repack, re-explode
+    assert plan.count("ArrowEvalPython") == 1  # the fast extractor
+    assert "Exchange" not in plan
+    plan = _plan(spark, sf_dir, "q323_wat_metadata")
+    assert plan.count("MapInPandas") == 3
+    assert plan.count("ArrowEvalPython") == 0  # WAT json is all JVM
+    assert "Exchange" not in plan
+
+    # q321 CDX: index is partition-local; the ONLY Exchange is the
+    # deliberate fetch-parallelism repartition of the tiny index
+    plan = _plan(spark, sf_dir, "q321_warc_cdx_fetch")
+    assert plan.count("MapInPandas") == 2  # index walk, ranged fetch
+    assert plan.count("Exchange") == 1
+
+    # q324 robots: one Arrow check over a JVM-built url column; the
+    # rules ride the closure (no join in the plan)
+    plan = _plan(spark, sf_dir, "q324_robots_filter")
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+    # q318 ranged shards (read side): local task plan -> ONE Exchange
+    # (the capped repartition spreading range tasks) -> range reads
+    plan = _plan(spark, sf_dir, "q318_token_shards_ranged")
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange") == 1
