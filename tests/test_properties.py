@@ -604,3 +604,121 @@ def test_png_variant_roundtrip_property(w, h, ct_depth, interlace, seed):
         interlace=interlace,
     )
     assert decode_png(blob) == (w, h, want)
+
+
+@given(
+    payloads=hst.lists(
+        hst.binary(min_size=0, max_size=200_000), min_size=1, max_size=8
+    ),
+    per_member=hst.booleans(),
+)
+@settings(deadline=None, max_examples=40)
+def test_warc_streaming_reader_property(payloads, per_member):
+    # r11 streaming reader: ANY record sizes (incl. ones spanning many
+    # 64 KiB inflate windows) through any framing reproduce the
+    # payloads in order
+    from node_etl_spark.functions.web import (
+        encode_warc_gz,
+        iter_warc_records,
+    )
+
+    recs = [
+        ("resource", f"https://p/{i}", p, "application/octet-stream")
+        for i, p in enumerate(payloads)
+    ]
+    shard = encode_warc_gz(recs, per_record_gzip=per_member)
+    got = list(iter_warc_records(shard))
+    assert [r["payload"] for r in got] == payloads
+    assert [r["target_uri"] for r in got] == [
+        f"https://p/{i}" for i in range(len(payloads))
+    ]
+
+
+@given(
+    payloads=hst.lists(
+        hst.binary(min_size=0, max_size=5_000), min_size=1, max_size=10
+    )
+)
+@settings(deadline=None, max_examples=40)
+def test_cdx_member_ranges_property(payloads):
+    # r11 CDX: member ranges PARTITION the shard exactly, and every
+    # range independently decompresses to its own record
+    from node_etl_spark.functions.web import (
+        encode_warc_gz,
+        iter_warc_members,
+        iter_warc_records,
+    )
+
+    recs = [
+        ("resource", f"https://p/{i}", p, "application/octet-stream")
+        for i, p in enumerate(payloads)
+    ]
+    shard = encode_warc_gz(recs, per_record_gzip=True)
+    members = list(iter_warc_members(shard))
+    assert len(members) == len(payloads)
+    pos = 0
+    for (off, ln, rec), want in zip(members, payloads):
+        assert off == pos
+        assert rec["payload"] == want
+        (back,) = iter_warc_records(shard[off : off + ln])
+        assert back["payload"] == want
+        pos = off + ln
+    assert pos == len(shard)
+
+
+@given(
+    seqs=hst.lists(
+        hst.tuples(
+            hst.integers(-(2**62), 2**62),
+            hst.lists(hst.integers(0, 2**32 - 1), max_size=50),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    rows_per_task=hst.integers(1, 40),
+)
+@settings(deadline=None, max_examples=40)
+def test_token_shard_range_reads_property(tmp_path_factory, seqs, rows_per_task):
+    # r11 ranged reads: any row-range slicing of a uint32 shard
+    # reconstructs exactly the sequences the whole-shard parser sees
+    import os
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from node_etl_spark.sources.tokenshards import (
+        _read_shard_range,
+        parse_token_shard,
+    )
+
+    ids = [s for s, _ in seqs]
+    toks = [t for _, t in seqs]
+    payload = np.concatenate(
+        [np.asarray(t, dtype=np.uint32) for t in toks]
+        or [np.empty(0, np.uint32)]
+    ).tobytes()
+    head = bytearray(b"TSH1")
+    head.append(4)
+    head += struct.pack("<I", len(ids))
+    for sid, t in zip(ids, toks):
+        head += struct.pack("<qi", sid, len(t))
+    blob = bytes(head) + payload + struct.pack(
+        "<I", zlib.crc32(payload) & 0xFFFFFFFF
+    )
+    want_ids, want_arrays = parse_token_shard(blob)
+    assert want_ids == ids
+    assert [a.tolist() for a in want_arrays] == toks
+
+    d = tmp_path_factory.mktemp("shard")
+    f = os.path.join(str(d), "s.tokens")
+    open(f, "wb").write(blob)
+    got_ids, got_toks = [], []
+    start = 0
+    while start < len(ids):
+        sids, arrays = _read_shard_range(f, start, rows_per_task)
+        got_ids.extend(sids)
+        got_toks.extend(a.tolist() for a in arrays)
+        start += rows_per_task
+    assert got_ids == ids
+    assert got_toks == toks
