@@ -821,16 +821,68 @@ def _html_text_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
 
     col = d.get("col", "html")
     out = d.get("out", "")
+    mode = d.get("mode", "exact")  # r11: 'fast' = compiled-regex twin
     t_name = f"{out}title" if out else "title"
     b_name = f"{out}body" if out else "body"
 
     def fn(df):
-        parts = html_text(F.col(col))
+        parts = html_text(F.col(col), mode=mode)
         return df.withColumns(
             {t_name: parts["title"], b_name: parts["body"]}
         )
 
     return FnTransform(fn, name="html_text")
+
+
+def _cdx_index_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """CDX index build (r11): per-member .warc.gz shard rows ->
+    (path, offset, length, warc_type, record_id, target_uri) — the
+    compressed member byte ranges random access reads through."""
+    from .functions.web import build_cdx_index
+
+    def fn(df):
+        return build_cdx_index(
+            df,
+            path_col=d.get("path_col", "path"),
+            content_col=d.get("content_col", "content"),
+        )
+
+    return FnTransform(fn, name="cdx_index")
+
+
+def _warc_fetch_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """CDX ranged fetch (r11): (path, offset, length) rows -> records
+    via one ranged read + one member inflate each; bad ranges skip."""
+    from .functions.web import fetch_warc_records
+
+    def fn(df):
+        return fetch_warc_records(
+            df, parse_http=bool(d.get("parse_http", True))
+        )
+
+    return FnTransform(fn, name="warc_fetch")
+
+
+def _robots_filter_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """robots.txt gate (r11): boolean `allowed` column (or row filter
+    with ``drop: true``) from a {host: robots.txt} dict in the spec —
+    rules are host-cardinality-sized, the canonical broadcast side."""
+    from pyspark.sql import functions as F
+
+    from .functions.web import robots_allowed
+
+    col = d.get("col", "url")
+    robots = dict(d.get("robots", {}))
+    agent = d.get("agent", "*")
+    out = d.get("out", "allowed")
+
+    def fn(df):
+        ok = robots_allowed(F.col(col), robots, agent=agent)
+        if d.get("drop"):
+            return df.where(ok)
+        return df.withColumn(out, ok)
+
+    return FnTransform(fn, name="robots_filter")
 
 
 def _bloom_semi_join_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
@@ -980,6 +1032,9 @@ _REGISTRY.update(
         "simhash_dedup": _simhash_dedup_op,
         "warc_records": _warc_records_op,
         "html_text": _html_text_op,
+        "cdx_index": _cdx_index_op,
+        "warc_fetch": _warc_fetch_op,
+        "robots_filter": _robots_filter_op,
         "explode_tar": _explode_tar_op,
         "compress_text": _compress_text_op,
         "decompress_text": _decompress_text_op,

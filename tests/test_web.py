@@ -543,3 +543,50 @@ def test_iter_warc_records_spans_feed_windows():
             "https://x/small",
         ], framing
         assert got[0]["payload"] == big, framing
+
+
+def test_cdx_and_robots_spec_ops(spark, tmp_path):
+    # r11 spec surface: cdx_index -> warc_fetch chain and the
+    # robots_filter gate are declarable ops
+    from node_etl_spark.context import Context
+    from node_etl_spark.functions.web import (
+        encode_warc_gz,
+        http_response_bytes,
+    )
+    from node_etl_spark.spec import op_from_spec
+
+    shard = encode_warc_gz(
+        [
+            (
+                "response",
+                f"https://a.example/{p}/{i}",
+                http_response_bytes(f"b{i}".encode()),
+                "application/http; msgtype=response",
+            )
+            for i, p in enumerate(["public", "private", "public"])
+        ]
+    )
+    (tmp_path / "seg.warc.gz").write_bytes(shard)
+    binaries = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(str(tmp_path))
+    )
+    ctx = Context()
+    idx = op_from_spec({"op": "cdx_index"}).apply(binaries, ctx)
+    fetched = op_from_spec({"op": "warc_fetch"}).apply(idx, ctx)
+    gated = op_from_spec(
+        {
+            "op": "robots_filter",
+            "col": "target_uri",
+            "drop": True,
+            "robots": {
+                "a.example": "User-agent: *\nDisallow: /private/\n"
+            },
+        }
+    ).apply(fetched, ctx)
+    got = sorted(r.target_uri for r in gated.collect())
+    assert got == [
+        "https://a.example/public/0",
+        "https://a.example/public/2",
+    ]
