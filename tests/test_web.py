@@ -590,3 +590,50 @@ def test_cdx_and_robots_spec_ops(spark, tmp_path):
         "https://a.example/public/0",
         "https://a.example/public/2",
     ]
+
+
+def test_example_crawl_archive_lookup_spec(spark, tmp_path):
+    # examples/crawl_archive_lookup.json end-to-end: CDX index ->
+    # URL-slice filter -> ranged fetch -> robots gate -> fast extract
+    import json as _json
+    import os
+
+    from node_etl_spark.functions.web import (
+        encode_warc_gz,
+        http_response_bytes,
+    )
+    from node_etl_spark.spec import from_spec
+
+    data = tmp_path / "archive"
+    data.mkdir()
+    page = (
+        "<html><head><title>T</title></head>"
+        "<body><p>kept text</p></body></html>"
+    ).encode()
+    data.joinpath("seg-0.warc.gz").write_bytes(
+        encode_warc_gz(
+            [
+                ("response", "https://a.example/public/1",
+                 http_response_bytes(page),
+                 "application/http; msgtype=response"),
+                ("response", "https://a.example/private/2",
+                 http_response_bytes(page),
+                 "application/http; msgtype=response"),
+                ("response", "https://blocked.example/public/3",
+                 http_response_bytes(page),
+                 "application/http; msgtype=response"),
+            ]
+        )
+    )
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = _json.load(
+        open(os.path.join(root, "examples", "crawl_archive_lookup.json"))
+    )
+    out = str(tmp_path / "out")
+    from_spec(spec).run(spark, config={"DATA": str(data), "OUT": out})
+    rows = spark.read.parquet(out + "/slice").collect()
+    # /private/ never fetched (CDX filter), blocked.example fetched
+    # then dropped by robots
+    assert [(r.url, r.title, r.text) for r in rows] == [
+        ("https://a.example/public/1", "T", "kept text")
+    ]
