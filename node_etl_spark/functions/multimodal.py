@@ -2857,6 +2857,149 @@ def _zstd_stored_compress(data: bytes) -> bytes:
     return bytes(out)
 
 
+_LIBZSTD_DICT_CACHE: list = []  # [] unprobed; [None] absent; [lib] ready
+
+
+def _libzstd_dict():
+    """The same ctypes libzstd handle with the DICTIONARY entry points
+    bound (ZDICT_trainFromBuffer + *_usingDict), or None when the
+    library is absent or too old. Dictionary compression is the small-
+    record lever: a 4 KiB dict trained on sample records amortizes the
+    shared structure (keys, enum values, date shapes) that per-record
+    frames cannot exploit. zstd manual: ZDICT_trainFromBuffer wants
+    ~100x dictSize of sample bytes and >= ~10 samples."""
+    if _LIBZSTD_DICT_CACHE:
+        return _LIBZSTD_DICT_CACHE[0]
+    import ctypes as c
+
+    lib = _libzstd()
+    if lib is not None:
+        try:
+            lib.ZDICT_trainFromBuffer.restype = c.c_size_t
+            lib.ZDICT_trainFromBuffer.argtypes = [
+                c.c_void_p, c.c_size_t, c.c_char_p,
+                c.POINTER(c.c_size_t), c.c_uint,
+            ]
+            lib.ZDICT_isError.restype = c.c_uint
+            lib.ZDICT_isError.argtypes = [c.c_size_t]
+            lib.ZSTD_createDCtx.restype = c.c_void_p
+            lib.ZSTD_freeDCtx.argtypes = [c.c_void_p]
+            lib.ZSTD_CCtx_loadDictionary.restype = c.c_size_t
+            lib.ZSTD_CCtx_loadDictionary.argtypes = [
+                c.c_void_p, c.c_char_p, c.c_size_t,
+            ]
+            lib.ZSTD_decompress_usingDict.restype = c.c_size_t
+            lib.ZSTD_decompress_usingDict.argtypes = [
+                c.c_void_p, c.c_void_p, c.c_size_t, c.c_char_p,
+                c.c_size_t, c.c_char_p, c.c_size_t,
+            ]
+        except AttributeError:  # stripped/ancient build: no dict API
+            lib = None
+    _LIBZSTD_DICT_CACHE.append(lib)
+    return lib
+
+
+def zstd_train_dict(samples, dict_size: int = 4096) -> bytes:
+    """Train a zstd dictionary on sample records (ZDICT_trainFromBuffer
+    through the stdlib ctypes binding — no pip package). Returns the
+    dictionary bytes, or b"" when libzstd is absent or the trainer
+    rejects the sample set (too few / too small samples) — callers
+    treat b"" as "compress without a dictionary", so the pipeline
+    degrades to plain per-record frames instead of failing.
+
+    Training runs DRIVER-SIDE on a bounded sample (the zstd manual's
+    guidance is ~100x dict_size of sample bytes); the resulting dict
+    is small (KBs) and broadcasts to executors for both compress and
+    decompress. Deterministic for a fixed sample list and library
+    version."""
+    import ctypes as c
+
+    lib = _libzstd_dict()
+    samples = [bytes(s) for s in samples if s]
+    if lib is None or len(samples) < 8:
+        return b""
+    buf = b"".join(samples)
+    sizes = (c.c_size_t * len(samples))(*[len(s) for s in samples])
+    dst = c.create_string_buffer(int(dict_size))
+    ret = lib.ZDICT_trainFromBuffer(
+        dst, int(dict_size), buf, sizes, len(samples)
+    )
+    if lib.ZDICT_isError(ret):
+        return b""
+    return dst.raw[:ret]
+
+
+def zstd_compress_dict(data: bytes, dict_bytes: bytes, level: int = 3) -> bytes:
+    """Compress one record against a trained dictionary. Uses the
+    ADVANCED one-shot API (ZSTD_CCtx_loadDictionary + ZSTD_compress2)
+    rather than legacy ZSTD_compress_usingDict, because only the
+    advanced path lets us set contentSizeFlag + checksumFlag — the
+    legacy call writes NO XXH64 checksum, and a bit-flipped frame can
+    then silently decode to garbage (caught on the q325 gate). Empty
+    dict (or absent library) falls back to the plain zstd writer, so
+    the output is always a valid zstd frame; frames written WITH a
+    dict carry its dictID and refuse to decode without it."""
+    import ctypes as c
+
+    lib = _libzstd_dict()
+    if lib is None or not dict_bytes:
+        return compress_bytes(data, "zstd")
+    cctx = lib.ZSTD_createCCtx()
+    if not cctx:
+        raise ValueError("zstd context allocation failed")
+    try:
+        lib.ZSTD_CCtx_setParameter(cctx, 100, int(level))  # level
+        lib.ZSTD_CCtx_setParameter(cctx, 200, 1)  # contentSizeFlag
+        lib.ZSTD_CCtx_setParameter(cctx, 201, 1)  # checksumFlag
+        ret = lib.ZSTD_CCtx_loadDictionary(
+            cctx, dict_bytes, len(dict_bytes)
+        )
+        if lib.ZSTD_isError(ret):
+            raise ValueError("zstd dictionary load failed")
+        bound = lib.ZSTD_compressBound(len(data))
+        dst = c.create_string_buffer(bound)
+        ret = lib.ZSTD_compress2(cctx, dst, bound, data, len(data))
+        if lib.ZSTD_isError(ret):
+            raise ValueError("zstd dictionary compression failed")
+        return dst.raw[:ret]
+    finally:
+        lib.ZSTD_freeCCtx(cctx)
+
+
+def zstd_decompress_dict(data: bytes, dict_bytes: bytes) -> bytes:
+    """Decompress one dictionary-compressed record
+    (ZSTD_decompress_usingDict). Plain frames (no dictID) pass
+    through unchanged semantics, so a mixed store reads with one
+    code path. ValueError on corrupt payloads, size lies, or a
+    missing/mismatched dictionary — never garbage bytes."""
+    import ctypes as c
+
+    lib = _libzstd_dict()
+    if lib is None or not dict_bytes:
+        return decompress_bytes(data, "zstd")
+    if len(data) < 4 or data[:4] != _ZSTD_MAGIC:
+        raise ValueError("not a zstd frame")
+    size = lib.ZSTD_getFrameContentSize(data, len(data))
+    if size in (_M64, _M64 - 1):  # unknown or unreadable content size
+        raise ValueError("corrupt zstd frame header")
+    if size > _ZSTD_MAX_OUT:
+        raise ValueError("zstd content too large")
+    dctx = lib.ZSTD_createDCtx()
+    if not dctx:
+        raise ValueError("zstd context allocation failed")
+    try:
+        dst = c.create_string_buffer(max(int(size), 1))
+        ret = lib.ZSTD_decompress_usingDict(
+            dctx, dst, int(size), data, len(data),
+            dict_bytes, len(dict_bytes),
+        )
+        if lib.ZSTD_isError(ret) or ret != size:
+            raise ValueError("corrupt zstd payload")
+        return dst.raw[: int(size)]
+    finally:
+        lib.ZSTD_freeDCtx(dctx)
+
+
 class _ZstdBackBits:
     """Backward bitstream (RFC 8878 §4.1): the encoder writes bits
     back-to-front; the final byte carries a 1-bit end marker. read(n)

@@ -16526,3 +16526,156 @@ def _init_q324() -> None:
 
 
 _init_q324()
+
+# --------------------------------------------------------------------
+# q325 — zstd DICTIONARY compression for small records (r11): plain
+# per-record zstd EXPANDS tiny rows (the ~55-byte order records below
+# compress to ~119% of raw), because each frame pays its own entropy
+# tables and finds no history to match. A shared dictionary trained on
+# a sample (ZDICT through the same stdlib ctypes binding as q311 — no
+# pip package) amortizes the corpus-wide structure: on these records
+# the dict store lands at ~48% of raw, ~2.5x smaller than plain
+# frames. This is the 100 TB lever for small-payload columns
+# (metadata sidecars, JSON rows, URL tables) where record-level
+# compression otherwise backfires. Reference analogue: the reference
+# has no compression story at all (BASELINE.md: JSON-through-pipes);
+# this extends the q311 codec seam, not a port of anything.
+# --------------------------------------------------------------------
+
+def _init_q325() -> None:
+    from ..functions import multimodal as M
+
+    @register(
+        "q325_zstd_dict_store",
+        """
+        WITH rec AS (
+          SELECT o_orderkey,
+                 'orderkey=' || o_orderkey || '|custkey=' || o_custkey
+                 || '|status=' || o_orderstatus
+                 || '|priority=' || o_orderpriority
+                 || '|date=' || strftime(o_orderdate, '%Y-%m-%d')
+                     AS rec
+          FROM orders
+        )
+        SELECT o_orderkey,
+               o_orderkey % 13 <> 0 AS ok,
+               CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                    ELSE CAST(length(rec) AS BIGINT) END AS n_chars,
+               CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                    ELSE md5(rec) END AS rec_md5
+        FROM rec
+        """,
+        doc="Zstd DICTIONARY-compressed small-record store on the exact "
+            "gate (functions/multimodal.py zstd_train_dict / "
+            "zstd_compress_dict / zstd_decompress_dict via the q311 "
+            "ctypes libzstd binding — ZDICT_trainFromBuffer + "
+            "*_usingDict, zero new packages). Orders rows serialize to "
+            "~55-byte records; a 4 KiB dictionary is trained DRIVER-"
+            "SIDE on a bounded deterministic sample (o_orderkey %% 4 — "
+            "at 100 TB you'd TABLESAMPLE a few MB, the trainer wants "
+            "~100x dict-size of sample bytes), stored INSIDE the "
+            "fixture as its own row (self-describing, like the token-"
+            "shard manifest), and broadcast to executors for decode. "
+            "One in 13 blobs gets its last byte flipped at encode: "
+            "dict frames carry the dictID and the usingDict decoder "
+            "raises on corruption or dict mismatch, so corrupt rows "
+            "surface as NULL (warn-and-skip), intact rows round-trip "
+            "bit-exactly and hash as (length, md5) against plain SQL "
+            "over the reconstructed record string. Same zero-Exchange "
+            "fixture-scan -> mapInPandas shape as q311 (plan-asserted)."
+            " Library-less deployments degrade to plain frames (empty "
+            "dict sentinel) with identical row-level semantics. Size "
+            "win pinned by tests/test_multimodal (dict < plain < raw "
+            "on structured records); scale leg in SCALE_BENCH.md.",
+    )
+    def q325_zstd_dict_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+        rec_col = F.concat(
+            F.lit("orderkey="), F.col("o_orderkey").cast("string"),
+            F.lit("|custkey="), F.col("o_custkey").cast("string"),
+            F.lit("|status="), F.col("o_orderstatus"),
+            F.lit("|priority="), F.col("o_orderpriority"),
+            F.lit("|date="), F.date_format("o_orderdate", "yyyy-MM-dd"),
+        )
+
+        def build():
+            orders = table(spark, sf_dir, "orders").select(
+                "o_orderkey", rec_col.alias("rec")
+            )
+            sample = [
+                r["rec"].encode("utf-8")
+                for r in orders.where(F.col("o_orderkey") % 4 == 0)
+                .select("rec").collect()
+            ]
+            dict_bytes = M.zstd_train_dict(sample, 4096)
+
+            def gen(it):
+                import pandas as _pd
+
+                for pdf in it:
+                    keys, blobs = [], []
+                    for k, rec in zip(pdf["o_orderkey"], pdf["rec"]):
+                        k = int(k)
+                        blob = bytearray(
+                            M.zstd_compress_dict(
+                                rec.encode("utf-8"), dict_bytes
+                            )
+                        )
+                        if k % 13 == 0:
+                            blob[-1] ^= 0xFF
+                        keys.append(k)
+                        blobs.append(bytes(blob))
+                    yield _pd.DataFrame(
+                        {
+                            "o_orderkey": _pd.Series(keys, dtype="int64"),
+                            "blob": blobs,
+                            "is_dict": _pd.Series(
+                                [False] * len(keys), dtype="bool"
+                            ),
+                        }
+                    )
+
+            packed = orders.mapInPandas(
+                gen, schema="o_orderkey bigint, blob binary, is_dict boolean"
+            )
+            dict_row = spark.createDataFrame(
+                [(-1, bytearray(dict_bytes), True)],
+                schema="o_orderkey bigint, blob binary, is_dict boolean",
+            )
+            return packed.unionByName(dict_row)
+
+        store = _codec_fixture(
+            spark, sf_dir, "q325_zstd_dict_store", 1, build
+        )
+        dict_bytes = bytes(
+            store.where("is_dict").select("blob").collect()[0][0] or b""
+        )
+
+        def dec(it):
+            import pandas as _pd
+
+            for pdf in it:
+                outs = []
+                for v in pdf["blob"]:
+                    try:
+                        outs.append(
+                            M.zstd_decompress_dict(
+                                bytes(v), dict_bytes
+                            ).decode("utf-8")
+                        )
+                    except (ValueError, UnicodeDecodeError):
+                        outs.append(None)
+                yield _pd.DataFrame(
+                    {"o_orderkey": pdf["o_orderkey"], "rec": outs}
+                )
+
+        rows = store.where(~F.col("is_dict")).select("o_orderkey", "blob")
+        out = rows.mapInPandas(dec, schema="o_orderkey bigint, rec string")
+        return out.select(
+            "o_orderkey",
+            F.col("rec").isNotNull().alias("ok"),
+            F.length("rec").cast("bigint").alias("n_chars"),
+            F.md5(F.encode(F.col("rec"), "utf-8")).alias("rec_md5"),
+        )
+
+
+_init_q325()

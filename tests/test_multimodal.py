@@ -1871,3 +1871,66 @@ def test_png_decoder_mutation_fuzz():
             except ValueError:
                 caught += 1
     assert caught > 400  # CRCs catch nearly every mutation
+
+
+def test_zstd_dictionary_train_compress_roundtrip():
+    import pytest
+
+    from node_etl_spark.functions import multimodal as M
+
+    if M._libzstd_dict() is None:
+        pytest.skip("libzstd (dict API) not present on this system")
+
+    recs = [
+        (
+            f"orderkey={i}|custkey={i * 7 % 997}|status={'PFO'[i % 3]}"
+            f"|priority=3-MEDIUM|date=1997-0{1 + i % 9}-1{i % 10}"
+        ).encode()
+        for i in range(2000)
+    ]
+    d = M.zstd_train_dict(recs[::4], 4096)
+    assert 0 < len(d) <= 4096
+
+    with_dict = [M.zstd_compress_dict(r, d) for r in recs]
+    plain = [M.compress_bytes(r, "zstd") for r in recs]
+    # bit-exact round trip through the dictionary decoder
+    assert all(
+        M.zstd_decompress_dict(c, d) == r for c, r in zip(with_dict, recs)
+    )
+    # THE size claim: on small structured records the dict store beats
+    # both plain per-record zstd frames AND the raw bytes (plain
+    # frames typically EXPAND records this small)
+    assert sum(map(len, with_dict)) < sum(map(len, plain))
+    assert sum(map(len, with_dict)) < sum(map(len, recs))
+
+    # dict frames carry the dictID: decoding WITHOUT the dict (or with
+    # a wrong one) raises, never returns garbage
+    with pytest.raises(ValueError):
+        M.zstd_decompress_dict(with_dict[0], b"")
+    with pytest.raises(ValueError):
+        M.zstd_decompress_dict(with_dict[0], b"not the dictionary" * 9)
+
+    # advanced-API writer embeds the XXH64 checksum: every last-byte
+    # flip is DETECTED (the legacy usingDict writer emits no checksum
+    # and silently decodes some flips to garbage — q325's first
+    # gate run caught exactly that)
+    for c in with_dict[:50]:
+        b = bytearray(c)
+        b[-1] ^= 0xFF
+        with pytest.raises(ValueError):
+            M.zstd_decompress_dict(bytes(b), d)
+
+
+def test_zstd_dictionary_fallbacks():
+    from node_etl_spark.functions import multimodal as M
+
+    # empty dict degrades to plain frames with identical semantics
+    payload = b"fallback payload " * 4
+    blob = M.zstd_compress_dict(payload, b"")
+    assert M.zstd_decompress_dict(blob, b"") == payload
+    assert M.decompress_bytes(blob, "auto") == payload
+
+    # the trainer refuses tiny sample sets -> empty-dict sentinel,
+    # never an exception (the pipeline degrades, it doesn't fail)
+    assert M.zstd_train_dict([b"a", b"b"], 4096) == b""
+    assert M.zstd_train_dict([], 4096) == b""

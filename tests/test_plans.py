@@ -1195,3 +1195,12 @@ def test_r11_crawl_family_plans(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q318_token_shards_ranged")
     assert plan.count("MapInPandas") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_zstd_dict_store_plan_adds_no_shuffle(spark, sf_dir):
+    # q325: fixture scan -> filter(is_dict=false) -> one decode
+    # mapInPandas; the 1-row dict lookup is a separate bounded
+    # collect, NOT a join — zero Exchange in the measured plan
+    plan = _plan(spark, sf_dir, "q325_zstd_dict_store")
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
