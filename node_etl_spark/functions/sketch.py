@@ -917,3 +917,102 @@ def hll_set_algebra_sql(
                            / CAST(inter_exact AS DOUBLE) * 100, 2)
            END AS err_pct
     FROM hsa_i"""
+
+
+# --------------------------------------------------------------------
+# t-digest: mergeable quantile sketch (Dunning & Ertl, "Computing
+# extremely accurate quantiles using t-digests", 2019). The missing
+# member of this module's sketch family: KMV/HLL cover cardinality,
+# CM/Misra-Gries cover frequency, the t-digest covers QUANTILES.
+#
+# Shape at 100 TB: every partition reduces its values to at most
+# O(delta) centroids (one mapInPandas pass, no shuffle), the driver
+# merges #partitions x delta centroid rows (bounded collect, same
+# contract as the token-shard manifest), and any two digests merge by
+# concatenating centroid lists and re-compressing — so digests roll
+# up across executors, days, or shards. The implementation is the
+# MERGING variant (no tree, no RNG): given the same values it is
+# bit-deterministic, which is what lets q326 pin it on the gate.
+# --------------------------------------------------------------------
+
+
+def _td_compress(centroids, delta: int):
+    """Merge sorted (mean, weight) centroids under the classic size
+    bound w_max(q) = max(1, floor(4*W*q*(1-q)/delta)) (Dunning 2019
+    §2.2, the k1/quadratic bound). Deterministic: input is sorted by
+    (mean, weight), accumulation is left-to-right."""
+    cs = sorted(centroids)
+    W = sum(w for _, w in cs)
+    if not cs or W <= 0:
+        return []
+    out = []
+    cur_m, cur_w = cs[0]
+    cum = 0.0  # weight strictly left of the current centroid
+    for m, w in cs[1:]:
+        q = (cum + cur_w / 2.0) / W
+        limit = max(1.0, 4.0 * W * q * (1.0 - q) / float(delta))
+        if cur_w + w <= limit:
+            tot = cur_w + w
+            cur_m += (m - cur_m) * (w / tot)
+            cur_w = tot
+        else:
+            out.append((cur_m, cur_w))
+            cum += cur_w
+            cur_m, cur_w = m, w
+    out.append((cur_m, cur_w))
+    return out
+
+
+def tdigest_partials(df: DataFrame, col: str, delta: int = 100) -> DataFrame:
+    """Per-partition t-digest states: (mean, weight) centroid rows,
+    at most O(delta) per input partition, built in one partition-local
+    pass (zero Exchange — the plan is scan -> MapInPandas)."""
+
+    def build(it):
+        import pandas as _pd
+
+        for pdf in it:
+            vals = _pd.to_numeric(pdf[col], errors="coerce").dropna()
+            if len(vals) == 0:
+                continue
+            cs = _td_compress(
+                [(float(v), 1.0) for v in sorted(vals)], delta
+            )
+            yield _pd.DataFrame(
+                {
+                    "mean": [m for m, _ in cs],
+                    "weight": [w for _, w in cs],
+                }
+            )
+
+    return df.select(col).mapInPandas(build, schema="mean double, weight double")
+
+
+def tdigest_merge(centroid_rows, delta: int = 100):
+    """Merge any number of digests' centroid (mean, weight) pairs into
+    one digest — associative up to re-compression, the property that
+    makes the sketch roll up across partitions/days/shards."""
+    return _td_compress([(float(m), float(w)) for m, w in centroid_rows], delta)
+
+
+def tdigest_quantile(centroids, q: float) -> float:
+    """Estimate the q-quantile from a merged digest: walk cumulative
+    centroid weights, interpolate linearly between adjacent centroid
+    means (Dunning 2019 §2.9, simplified to mid-point attribution)."""
+    if not centroids:
+        return float("nan")
+    cs = sorted(centroids)
+    W = sum(w for _, w in cs)
+    target = q * W
+    cum = 0.0
+    for i, (m, w) in enumerate(cs):
+        if cum + w / 2.0 >= target:
+            if i == 0:
+                return m
+            pm, pw = cs[i - 1]
+            left = cum - pw / 2.0
+            right = cum + w / 2.0
+            frac = 0.0 if right == left else (target - left) / (right - left)
+            return pm + (m - pm) * frac
+        cum += w
+    return cs[-1][0]

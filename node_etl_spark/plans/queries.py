@@ -16679,3 +16679,109 @@ def _init_q325() -> None:
 
 
 _init_q325()
+
+# --------------------------------------------------------------------
+# q326 — t-digest quantile sketch (r11): the missing member of the
+# sketch family (KMV/HLL = cardinality, CM/Misra-Gries = frequency,
+# bloom = membership — nothing covered QUANTILES). Mergeable-state
+# shape at 100 TB: each partition reduces to O(delta) centroids in one
+# partition-local pass, the driver merges #partitions x delta rows
+# (bounded collect, same contract as the token-shard manifest), and
+# digests roll up across days/shards by concat + re-compress. The
+# MERGING variant (Dunning & Ertl 2019) uses no RNG, so the sketch is
+# bit-deterministic and auditable on the exact gate.
+# --------------------------------------------------------------------
+
+def _init_q326() -> None:
+    _TD_QS = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+    _TD_EPS = 0.005
+
+    @register(
+        "q326_tdigest_quantiles",
+        """
+        WITH n AS (SELECT count(*) AS n FROM lineitem),
+        grid(q) AS (
+          SELECT CAST(x AS DOUBLE) FROM (VALUES (0.01),(0.05),(0.25),
+            (0.5),(0.75),(0.95),(0.99)) t(x)
+        ),
+        ranked AS (
+          SELECT l_extendedprice AS v,
+                 row_number() OVER (ORDER BY l_extendedprice) AS rn
+          FROM lineitem
+        )
+        SELECT g.q AS q, r.v AS v_exact, TRUE AS sketch_ok
+        FROM grid g, n, ranked r
+        WHERE r.rn = CAST(CEIL(g.q * n.n) AS BIGINT)
+        """,
+        doc="t-digest quantile sketch on the exact gate (functions/"
+            "sketch.py tdigest_partials/tdigest_merge/tdigest_quantile "
+            "— the merging variant, Dunning & Ertl 2019, RNG-free and "
+            "so bit-deterministic). Per-partition digests build in one "
+            "zero-Exchange mapInPandas pass over l_extendedprice; the "
+            "driver merges the bounded centroid collect (#partitions x "
+            "O(delta) rows) and estimates a 7-point quantile grid. The "
+            "HASHED output is the EXACT discrete quantile (value at "
+            "global rank ceil(q*n) — actual data elements, so no "
+            "cross-engine float interpolation; both q*n products are "
+            "forced to DOUBLE so CEIL agrees) plus sketch_ok = the "
+            "in-plan audit that each t-digest estimate's true rank "
+            "sits within q +/- 0.005, computed by one conditional-sum "
+            "aggregate pass (the ANN-query audit pattern: approximate "
+            "path graded against the exact answer INSIDE the plan). "
+            "The exact side's single-partition rank window is the "
+            "AUDIT, not the production path — at 100 TB you ship the "
+            "digest and never globally sort.",
+    )
+    def q326_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import math
+
+        from ..functions.sketch import (
+            tdigest_merge,
+            tdigest_partials,
+            tdigest_quantile,
+        )
+
+        li = table(spark, sf_dir, "lineitem").select(
+            F.col("l_extendedprice").alias("v")
+        )
+
+        # sketch: partition-local digests -> bounded centroid collect
+        # -> driver merge (the mergeable-state path under grade)
+        parts = tdigest_partials(li, "v", delta=100).collect()
+        digest = tdigest_merge(
+            [(r["mean"], r["weight"]) for r in parts], delta=100
+        )
+        ests = {q: tdigest_quantile(digest, q) for q in _TD_QS}
+
+        # one-pass audit aggregate: n plus count(v <= est_q) per q
+        agg = li.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum((F.col("v") <= F.lit(ests[q])).cast("bigint")).alias(
+                    f"c{i}"
+                )
+                for i, q in enumerate(_TD_QS)
+            ],
+        ).collect()[0]
+        n = agg["n"]
+        audit = {
+            q: abs(agg[f"c{i}"] / n - q) <= _TD_EPS
+            for i, q in enumerate(_TD_QS)
+        }
+
+        # exact discrete quantiles: value at global rank ceil(q*n).
+        # python float q*n matches DuckDB's DOUBLE product bit-for-bit
+        ranks = {int(math.ceil(q * n)): q for q in _TD_QS}
+        grid = spark.createDataFrame(
+            [(rn, q, bool(audit[q])) for rn, q in ranks.items()],
+            schema="rn bigint, q double, sketch_ok boolean",
+        )
+        w = Window.orderBy("v")
+        ranked = li.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        return (
+            ranked.join(F.broadcast(grid), "rn")
+            .select("q", F.col("v").alias("v_exact"), "sketch_ok")
+        )
+
+
+_init_q326()

@@ -119,3 +119,53 @@ def test_hll_set_algebra_disjoint_and_overlap_accuracy(spark):
     # intersection differences compound — allow 15%
     assert abs(r.err_pct) < 15.0
     assert 0.1 < r.jaccard_est < 0.6
+
+
+def test_tdigest_accuracy_merge_and_determinism():
+    import numpy as np
+
+    from node_etl_spark.functions.sketch import (
+        _td_compress,
+        tdigest_merge,
+        tdigest_quantile,
+    )
+
+    rng = np.random.default_rng(42)
+    vals = np.concatenate(
+        [rng.lognormal(3, 1.5, 100000), rng.uniform(0, 5, 25000)]
+    )
+    parts = np.array_split(vals, 16)
+    partials = []
+    for p in parts:
+        partials += _td_compress([(float(v), 1.0) for v in sorted(p)], 100)
+    digest = tdigest_merge(partials, 100)
+
+    # mass conservation + bounded state
+    assert abs(sum(w for _, w in digest) - len(vals)) < 1e-6
+    assert len(digest) < 1500  # O(delta) centroids for 125k values
+
+    # rank error at every grid point well inside the q326 audit eps
+    sv = np.sort(vals)
+    for q in [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]:
+        est = tdigest_quantile(digest, q)
+        rank = np.searchsorted(sv, est) / len(sv)
+        assert abs(rank - q) < 0.005, (q, rank)
+
+    # deterministic: same inputs -> identical centroids (no RNG)
+    digest2 = tdigest_merge(partials, 100)
+    assert digest == digest2
+
+    # merging two digests == digesting the union, up to re-compression:
+    # quantile estimates from the two routes stay within the audit eps
+    a = _td_compress([(float(v), 1.0) for v in sorted(vals[:60000])], 100)
+    b = _td_compress([(float(v), 1.0) for v in sorted(vals[60000:])], 100)
+    merged = tdigest_merge(a + b, 100)
+    for q in [0.1, 0.5, 0.9]:
+        est = tdigest_quantile(merged, q)
+        rank = np.searchsorted(sv, est) / len(sv)
+        assert abs(rank - q) < 0.005
+
+    # edge cases: empty and single-value digests
+    assert tdigest_merge([], 100) == []
+    one = _td_compress([(7.0, 1.0)], 100)
+    assert tdigest_quantile(one, 0.5) == 7.0
