@@ -16785,3 +16785,86 @@ def _init_q326() -> None:
 
 
 _init_q326()
+
+# --------------------------------------------------------------------
+# q327 — manifest-versioned snapshot table (r11): Iceberg-v1-style
+# TIME TRAVEL on plain parquet, completing the manifest-last family
+# (token shards = atomic single export, upsert = last-write-wins
+# batches, snapshot table = full history). Copy-on-write delete
+# rewrites only the files that contain matching rows; reads resolve
+# from the manifest chain alone (no directory listing), so an AS-OF
+# read is one plain columnar scan with full pushdown.
+# --------------------------------------------------------------------
+
+def _init_q327() -> None:
+
+    @register(
+        "q327_snapshot_time_travel",
+        """
+        SELECT 1 AS version, o_orderkey, o_orderstatus
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 2 AS version, o_orderkey, o_orderstatus
+        FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        UNION ALL
+        SELECT 3 AS version, o_orderkey, o_orderstatus
+        FROM orders WHERE o_orderkey % 3 IN (0, 1)
+          AND o_orderstatus <> 'F'
+        """,
+        doc="Snapshot-table time travel on the exact gate (sources/"
+            "snapshot.py SnapshotTable): a three-commit history — v1 "
+            "base load (orderkey %% 3 = 0), v2 append (%% 3 = 1), v3 "
+            "copy-on-write DELETE of status 'F' rows — is built once "
+            "per scale factor (manifest-committed-last, atomic rename, "
+            "same writer contract as the token shards), then every "
+            "version is read back AS-OF and hashed row-level against "
+            "the SQL reconstruction of each snapshot's content. Proves "
+            "commit atomicity, version isolation (v1's rows are intact "
+            "after v3's delete — overwritten files stay referenced by "
+            "older manifests), and the COW contract (delete rewrites "
+            "only files containing matches; untouched files carry "
+            "over by reference). Read path is plain parquet scans from "
+            "the manifest file list — no format shim, full pushdown — "
+            "so the union plan adds zero Exchange (plan-asserted).",
+    )
+    def q327_snapshot_time_travel(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os as _os
+        import shutil as _shutil
+        import uuid as _uuid
+
+        from ..sources.snapshot import SnapshotTable
+
+        tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+        final = f"{_SCRATCH}/snapshots/{tag}/q327_v1"
+
+        def ready(p):
+            return SnapshotTable(p).versions() == [1, 2, 3]
+
+        if not ready(final):
+            tmp = f"{final}.build-{_uuid.uuid4().hex[:8]}"
+            t = SnapshotTable(tmp)
+            orders = table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus"
+            )
+            t.append(orders.where(F.col("o_orderkey") % 3 == 0))
+            t.append(orders.where(F.col("o_orderkey") % 3 == 1))
+            t.delete(spark, "o_orderstatus = 'F'")
+            try:
+                _os.makedirs(_os.path.dirname(final), exist_ok=True)
+                _os.rename(tmp, final)
+            except OSError:  # lost the publish race
+                _shutil.rmtree(tmp, ignore_errors=True)
+
+        t = SnapshotTable(final)
+        out = None
+        for v in (1, 2, 3):
+            part = t.read(spark, version=v).select(
+                F.lit(v).alias("version"), "o_orderkey", "o_orderstatus"
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+
+_init_q327()

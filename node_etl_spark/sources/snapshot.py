@@ -1,0 +1,180 @@
+"""Manifest-versioned snapshot table: Iceberg-v1-style time travel on
+plain parquet, zero table-format dependency.
+
+The reference has no table-format story at all (its sinks are
+JSON-through-pipes, ``index.js:30-41``); this module is the natural
+completion of the repo's manifest-last family: token shards
+(``tokenshards.py``) made single exports atomic, ``upsert.py`` made
+batches last-write-wins — the snapshot table adds HISTORY. Layout:
+
+    table/
+      data/part-<uuid>.parquet      immutable, content-addressed-ish
+      manifest-v1.json              file list + op + parent, committed
+      manifest-v2.json              LAST via atomic rename
+      ...
+
+Semantics (the useful subset of Iceberg v1):
+
+* **append** — new files, manifest = parent files + new files;
+* **overwrite** — manifest = new files only (old files stay on disk,
+  still referenced by older manifests: that IS time travel);
+* **delete(predicate)** — COPY-ON-WRITE at file granularity: only
+  files that actually contain matching rows are rewritten (read back
+  filtered), untouched files carry over by reference. At 100 TB this
+  is the whole point — deleting one customer's rows rewrites the few
+  files that contain them, not the table;
+* **read(version=None)** — latest (or AS-OF) manifest's file list fed
+  to one ``spark.read.parquet(*files)``: plain columnar scan, full
+  pushdown/pruning, no format shim in the read path.
+
+Writer contract is the same as ``write_token_shards``: data files are
+written first under uuid names (task retries/speculation leave
+orphans that no manifest references — harmless), the manifest is
+staged to a temp name and published with ``os.rename``, so readers
+see either the old version or the new one, never a partial commit.
+Rename-atomicity requires a local/NFS-like filesystem; on object
+stores use the documented token-shard variant (write-temp +
+manifest-only commit through a conditional PUT).
+
+Readers resolve versions from the manifest chain alone — no lock
+service, no listing of ``data/`` (so eventual-consistency on file
+listing cannot corrupt a read).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, f"manifest-v{version}.json")
+
+
+class SnapshotTable:
+    """A versioned parquet table rooted at ``path``. Cheap handle:
+    all state lives in the manifest files."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    # -- version chain ------------------------------------------------
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        out = []
+        for name in os.listdir(self.path):
+            if name.startswith("manifest-v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[len("manifest-v") : -len(".json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def manifest(self, version: int | None = None) -> dict:
+        vs = self.versions()
+        if not vs:
+            raise ValueError(f"snapshot table {self.path} has no commits")
+        v = max(vs) if version is None else int(version)
+        if v not in vs:
+            raise ValueError(
+                f"snapshot version {v} does not exist (have {vs})"
+            )
+        with open(_manifest_path(self.path, v)) as f:
+            m = json.load(f)
+        if m.get("version") != v or "files" not in m:
+            raise ValueError(f"corrupt manifest for version {v}")
+        return m
+
+    # -- commits ------------------------------------------------------
+
+    def _write_files(self, df: DataFrame) -> list[str]:
+        """Write df as immutable parquet files under data/, return
+        their table-relative names. Spark writes to a scratch subdir;
+        files are then hard-linked/renamed under uuid names so a
+        failed job never shadows committed data."""
+        staging = os.path.join(self.path, f".stage-{uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").parquet(staging)
+        os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
+        names = []
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            final = f"data/part-{uuid.uuid4().hex}.parquet"
+            os.rename(
+                os.path.join(staging, name),
+                os.path.join(self.path, final),
+            )
+            names.append(final)
+        for leftover in os.listdir(staging):
+            os.remove(os.path.join(staging, leftover))
+        os.rmdir(staging)
+        return names
+
+    def _publish(self, files: list[str], op: str, parent: int | None) -> int:
+        version = (max(self.versions()) if self.versions() else 0) + 1
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "op": op,
+            "files": sorted(files),
+        }
+        tmp = os.path.join(
+            self.path, f".manifest-{uuid.uuid4().hex[:12]}.tmp"
+        )
+        with open(tmp, "w") as f:
+            f.write(json.dumps(manifest, indent=1))
+        os.rename(tmp, _manifest_path(self.path, version))
+        return version
+
+    def append(self, df: DataFrame) -> int:
+        os.makedirs(self.path, exist_ok=True)
+        vs = self.versions()
+        parent = max(vs) if vs else None
+        old = self.manifest(parent)["files"] if parent else []
+        new = self._write_files(df)
+        return self._publish(old + new, "append", parent)
+
+    def overwrite(self, df: DataFrame) -> int:
+        os.makedirs(self.path, exist_ok=True)
+        vs = self.versions()
+        parent = max(vs) if vs else None
+        return self._publish(self._write_files(df), "overwrite", parent)
+
+    def delete(self, spark: SparkSession, predicate: str) -> int:
+        """Copy-on-write delete: rewrite ONLY the files that contain
+        rows matching ``predicate``; untouched files carry over by
+        reference. One file = one membership probe (a pushed-down
+        count), so the rewrite cost scales with affected data, not
+        table size."""
+        parent = max(self.versions())
+        files = self.manifest(parent)["files"]
+        keep, rewrite = [], []
+        for rel in files:
+            full = os.path.join(self.path, rel)
+            hit = spark.read.parquet(full).where(predicate).limit(1).count()
+            (rewrite if hit else keep).append(rel)
+        new = []
+        if rewrite:
+            survivors = spark.read.parquet(
+                *[os.path.join(self.path, r) for r in rewrite]
+            ).where(f"NOT ({predicate})")
+            if survivors.limit(1).count():
+                new = self._write_files(survivors)
+        return self._publish(keep + new, "delete", parent)
+
+    # -- reads ---------------------------------------------------------
+
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        m = self.manifest(version)
+        if not m["files"]:
+            raise ValueError(f"version {m['version']} is empty")
+        return spark.read.parquet(
+            *[os.path.join(self.path, rel) for rel in m["files"]]
+        )

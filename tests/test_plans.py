@@ -1204,3 +1204,11 @@ def test_zstd_dict_store_plan_adds_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q325_zstd_dict_store")
     assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan
+
+
+def test_snapshot_time_travel_plan_is_pruned_scans(spark, sf_dir):
+    # q327: three AS-OF reads = plain parquet scans from manifest file
+    # lists, unioned partition-locally — no Exchange, no format shim
+    plan = _plan(spark, sf_dir, "q327_snapshot_time_travel")
+    assert "Exchange" not in plan
+    assert "Union" in plan

@@ -668,3 +668,74 @@ def test_token_shards_ranged_read(spark, tmp_path):
     os.remove(os.path.join(out, "manifest.json"))
     with pytest.raises(ValueError, match="manifest"):
         read_token_shards(spark, out, rows_per_task=7)
+
+
+def test_snapshot_table_commits_time_travel_and_cow(spark, tmp_path):
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    assert t.versions() == []
+    with pytest.raises(ValueError):
+        t.manifest()
+
+    base = spark.range(0, 100).withColumn(
+        "grp", (F.col("id") % 4).cast("int")
+    )
+    v1 = t.append(base)
+    v2 = t.append(
+        spark.range(100, 150).withColumn(
+            "grp", (F.col("id") % 4).cast("int")
+        )
+    )
+    v3 = t.delete(spark, "grp = 3")
+    assert (v1, v2, v3) == (1, 2, 3)
+
+    # AS-OF reads reconstruct each snapshot exactly
+    assert t.read(spark, 1).count() == 100
+    assert t.read(spark, 2).count() == 150
+    got = {r["id"] for r in t.read(spark, 3).collect()}
+    assert got == {i for i in range(150) if i % 4 != 3}
+    # latest == v3; version isolation: v1 unchanged after the delete
+    assert t.read(spark).count() == len(got)
+    assert t.read(spark, 1).count() == 100
+
+    # COW: the delete rewrote data files, but every file referenced by
+    # v1/v2 still exists on disk (time travel keeps them reachable)
+    for v in (1, 2):
+        for rel in t.manifest(v)["files"]:
+            assert os.path.exists(os.path.join(t.path, rel))
+
+    # overwrite starts a fresh file list; history remains readable
+    t.overwrite(spark.range(0, 7).withColumn("grp", F.lit(0)))
+    assert t.read(spark).count() == 7
+    assert t.read(spark, 2).count() == 150
+    assert t.versions() == [1, 2, 3, 4]
+
+    # unknown versions and empty snapshots fail loudly
+    with pytest.raises(ValueError):
+        t.read(spark, 99)
+
+
+def test_snapshot_delete_skips_untouched_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl2"))
+    # two commits -> disjoint file sets; delete hits only commit 2 rows
+    t.append(spark.range(0, 50).withColumn("k", F.lit("a")))
+    t.append(spark.range(50, 100).withColumn("k", F.lit("b")))
+    before = set(t.manifest(2)["files"])
+    t.delete(spark, "k = 'b' AND id >= 90")
+    after = t.manifest(3)["files"]
+    # every file from commit 1 (k='a') carried over BY REFERENCE
+    commit1 = set(t.manifest(1)["files"])
+    assert commit1 <= set(after)
+    # at least one commit-2 file was rewritten (name not in v2's list)
+    assert any(f not in before for f in after)
+    assert {r["id"] for r in t.read(spark).collect()} == set(range(90))
