@@ -16868,3 +16868,73 @@ def _init_q327() -> None:
 
 
 _init_q327()
+
+# --------------------------------------------------------------------
+# q328 — privacy-preserving count release (r11): k-anonymity
+# suppression + a discrete-Laplace mechanism whose inverse CDF is
+# precomputed in EXACT rational arithmetic, so the identical integer
+# thresholds embed in the Spark plan and the SQL oracle and the
+# release is bit-reproducible cross-engine (the continuous Laplace
+# rides on ln(), which measurably differs in the last ulp between
+# libm implementations — 364/5000 JVM-vs-DuckDB mismatches).
+# --------------------------------------------------------------------
+
+def _init_q328() -> None:
+    from ..functions.privacy import dlap_noise_sql
+
+    _seed = "r11-release"
+    _noise = dlap_noise_sql(
+        "o_orderpriority || chr(31) || o_orderstatus || chr(31) || "
+        "CAST(order_year AS VARCHAR)",
+        _seed,
+    )
+
+    @register(
+        "q328_dp_count_release",
+        f"""
+        WITH c AS (
+          SELECT o_orderpriority, o_orderstatus,
+                 CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+                     AS order_year,
+                 count(*) AS n
+          FROM orders GROUP BY 1, 2, 3
+        )
+        SELECT o_orderpriority, o_orderstatus, order_year,
+               GREATEST(n + {_noise}, 0) AS n_noisy
+        FROM c WHERE n >= 5
+        """,
+        doc="Privacy-preserving count release on the exact gate "
+            "(functions/privacy.py dp_release_counts): per-(priority, "
+            "status, order-year) counts pass the k=5 small-cell "
+            "suppression rule, then each surviving group gets "
+            "discrete-Laplace noise (Ghosh-Roughgarden-Sundararajan "
+            "STOC'09; alpha=3/4 i.e. eps=ln(4/3), support truncated "
+            "at |z|<=16, ~0.6%% tail delta) and is clamped at zero. "
+            "The mechanism is a CASE ladder of integer comparisons "
+            "against thresholds floor(CDF(z)*2^60) computed in exact "
+            "Fraction arithmetic — the same constants generate BOTH "
+            "the Spark expression and this oracle, so the release is "
+            "reproducible on any engine with 64-bit integers and no "
+            "transcendental is evaluated anywhere. Noise attaches "
+            "AFTER the aggregate (one hash + ladder per GROUP, not "
+            "per row): at 100 TB the release adds nothing to the "
+            "shuffle. Production callers draw the seed at release "
+            "time; the pinned seed is what makes a release auditable.",
+    )
+    def q328_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.privacy import dp_release_counts
+
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        return dp_release_counts(
+            orders,
+            ["o_orderpriority", "o_orderstatus", "order_year"],
+            seed=_seed,
+            k_anon=5,
+        )
+
+
+_init_q328()
