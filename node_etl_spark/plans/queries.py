@@ -16938,3 +16938,76 @@ def _init_q328() -> None:
 
 
 _init_q328()
+
+# --------------------------------------------------------------------
+# q329 — snapshot compaction (r11): the maintenance half of q327.
+# Frequent appends leave a long tail of small files (per-file open
+# cost, tiny row groups that defeat column-chunk encodings) — the
+# operational tax of any manifest-versioned table. compact() rewrites
+# the current file set into fewer larger files as a NEW commit,
+# content-identical, with history untouched.
+# --------------------------------------------------------------------
+
+def _init_q329() -> None:
+
+    @register(
+        "q329_snapshot_compaction",
+        """
+        SELECT o_orderkey, o_orderstatus, TRUE AS compacted
+        FROM orders
+        """,
+        doc="Snapshot-table compaction on the exact gate (sources/"
+            "snapshot.py SnapshotTable.compact): eight small append "
+            "commits (o_orderkey %% 8 slices) produce a file-tail of "
+            ">= 8 data files; compact() rewrites the current snapshot "
+            "into 4 larger files as commit v9. The gate hashes the "
+            "POST-compaction read row-level against plain SQL over "
+            "orders (content identity is the whole contract) and the "
+            "'compacted' column pins the file-count drop read from "
+            "the manifests (strictly fewer files after, older "
+            "versions still reference the originals — history "
+            "survives maintenance). At 100 TB compaction runs per "
+            "partition-bucket with a size target; the read path is "
+            "unchanged plain parquet scans.",
+    )
+    def q329_snapshot_compaction(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os as _os
+        import shutil as _shutil
+        import uuid as _uuid
+
+        from ..sources.snapshot import SnapshotTable
+
+        tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+        final = f"{_SCRATCH}/snapshots/{tag}/q329_v1"
+
+        def ready(p):
+            return SnapshotTable(p).versions() == list(range(1, 10))
+
+        if not ready(final):
+            tmp = f"{final}.build-{_uuid.uuid4().hex[:8]}"
+            t = SnapshotTable(tmp)
+            orders = table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus"
+            )
+            for i in range(8):
+                t.append(orders.where(F.col("o_orderkey") % 8 == i))
+            t.compact(spark, target_files=4)
+            try:
+                _os.makedirs(_os.path.dirname(final), exist_ok=True)
+                _os.rename(tmp, final)
+            except OSError:  # lost the publish race
+                _shutil.rmtree(tmp, ignore_errors=True)
+
+        t = SnapshotTable(final)
+        n_before = len(t.manifest(8)["files"])
+        n_after = len(t.manifest(9)["files"])
+        return t.read(spark, version=9).select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.lit(bool(n_after < n_before)).alias("compacted"),
+        )
+
+
+_init_q329()

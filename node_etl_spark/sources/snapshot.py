@@ -167,6 +167,22 @@ class SnapshotTable:
                 new = self._write_files(survivors)
         return self._publish(keep + new, "delete", parent)
 
+    def compact(
+        self, spark: SparkSession, target_files: int = 1
+    ) -> int:
+        """Maintenance commit: rewrite the CURRENT snapshot's file set
+        into ``target_files`` larger files, content-identical. The
+        small-file problem is the operational tax of frequent appends
+        (every commit adds files; scans pay per-file open cost and
+        tiny row groups defeat column-chunk compression) — compaction
+        pays it back without touching history: older manifests still
+        reference the original files. At 100 TB you compact per
+        partition-bucket with a size target instead of a count."""
+        parent = max(self.versions())
+        cur = self.read(spark, parent)
+        new = self._write_files(cur.coalesce(max(1, int(target_files))))
+        return self._publish(new, "compact", parent)
+
     # -- reads ---------------------------------------------------------
 
     def read(

@@ -739,3 +739,26 @@ def test_snapshot_delete_skips_untouched_files(spark, tmp_path):
     # at least one commit-2 file was rewritten (name not in v2's list)
     assert any(f not in before for f in after)
     assert {r["id"] for r in t.read(spark).collect()} == set(range(90))
+
+
+def test_snapshot_compaction_preserves_content_and_history(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl3"))
+    for i in range(6):
+        t.append(
+            spark.range(i * 10, (i + 1) * 10).withColumn(
+                "m", (F.col("id") * 3).cast("bigint")
+            )
+        )
+    before = t.manifest(6)["files"]
+    v = t.compact(spark, target_files=2)
+    assert v == 7
+    after = t.manifest(7)["files"]
+    assert len(after) < len(before)
+    # content-identical, history intact
+    assert {r["id"] for r in t.read(spark).collect()} == set(range(60))
+    assert t.read(spark, 3).count() == 30
+    assert t.manifest(7)["op"] == "compact"
