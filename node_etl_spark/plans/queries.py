@@ -17011,3 +17011,44 @@ def _init_q329() -> None:
 
 
 _init_q329()
+
+# --------------------------------------------------------------------
+# q330 — content-defined chunking dedup (r11): the STORAGE-level
+# granularity between exact-document and line dedup. Boundaries are a
+# stateless per-position window-hash predicate (LBFS, SOSP'01), so
+# insertions shift almost no chunk edges AND the whole operator sits
+# on the exact oracle — DuckDB replays the boundary predicate
+# per-position with unnest(generate_series).
+# --------------------------------------------------------------------
+
+def _init_q330() -> None:
+    from ..functions.dedup import cdc_store_oracle_sql, cdc_store_stats
+
+    @register(
+        "q330_cdc_chunk_dedup",
+        cdc_store_oracle_sql(),
+        doc="Content-defined chunking + corpus-wide chunk dedup on the "
+            "exact gate (functions/dedup.py cdc_chunks / "
+            "cdc_store_stats): every document explodes into chunks cut "
+            "where md5 of the 16-char sliding window satisfies a 1/32 "
+            "mask (stateless predicate -> SQL-replayable; production "
+            "gear-hash CDC with min/max clamps changes constants, not "
+            "plan shape), then a chunk is charged to the corpus-wide "
+            "FIRST occurrence of its hash (the skew-safe min-key "
+            "winner rule) and each document reports its incremental "
+            "store cost (n_chunks, n_new_chunks, stored_chars). On "
+            "this corpus ~11%% of chunks are duplicates, so the store "
+            "genuinely shrinks. Plan: one zero-Exchange chunker "
+            "mapInPandas, then exactly two inherent shuffles (window "
+            "by chunk hash, re-aggregate by doc). At 100 TB chunk "
+            "hashes are the dedup KEY — the store ships (hash -> "
+            "bytes) once per chunk, the doc table ships hash lists; "
+            "this is how crawl snapshots with 90%% overlap stop "
+            "costing 90%% redundant storage.",
+    )
+    def q330_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        return cdc_store_stats(docs, "doc_id", "text")
+
+
+_init_q330()

@@ -615,3 +615,62 @@ def test_collapse_identical_emits_stars_not_cliques(spark):
     rows = star.collect()
     assert len(rows) == 3
     assert all(r.d1 == 1 and r.hamming == 0 for r in rows)
+
+
+def test_cdc_chunks_shift_resilience_and_reassembly(spark):
+    from node_etl_spark.functions.dedup import cdc_chunks
+
+    base = (
+        "The quick brown fox jumps over the lazy dog. " * 12
+        + "A genuinely unique closing sentence appears here."
+    )
+    shifted = "XYZ " + base  # 4-char prefix insertion
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], schema="doc_id bigint, text string"
+    )
+    rows = cdc_chunks(df, "doc_id", "text").collect()
+    by_doc = {1: [], 2: []}
+    for r in rows:
+        by_doc[r["id"]].append((r["chunk_idx"], r["chunk_md5"], r["chunk_len"]))
+    for d in by_doc.values():
+        d.sort()
+    # chunk lengths reassemble to the document
+    assert sum(l for _, _, l in by_doc[1]) == len(base)
+    assert sum(l for _, _, l in by_doc[2]) == len(shifted)
+    # content-defined property: after the insertion, MOST chunk hashes
+    # are shared (a fixed-block chunker would share none)
+    h1 = {h for _, h, _ in by_doc[1]}
+    h2 = {h for _, h, _ in by_doc[2]}
+    assert len(h1 & h2) / len(h1) > 0.7
+
+    # empty documents produce no chunks
+    empty = spark.createDataFrame(
+        [(3, "")], schema="doc_id bigint, text string"
+    )
+    assert cdc_chunks(empty, "doc_id", "text").count() == 0
+
+
+def test_cdc_store_stats_charges_first_occurrence_once(spark):
+    from node_etl_spark.functions.dedup import cdc_store_stats
+
+    from node_etl_spark.functions.dedup import cdc_chunks
+
+    text = "shared paragraph of text, repeated verbatim. " * 10
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], schema="doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in cdc_store_stats(df).collect()}
+    # identical docs chunk identically
+    assert out[1]["n_chunks"] == out[2]["n_chunks"]
+    # dedup also fires WITHIN doc 1 (the text repeats), so doc 1 owns
+    # exactly its distinct hashes — and doc 2 owns nothing at all
+    distinct1 = (
+        cdc_chunks(df.where("doc_id = 1"), "doc_id", "text")
+        .select("chunk_md5")
+        .distinct()
+        .count()
+    )
+    assert out[1]["n_new_chunks"] == distinct1 < out[1]["n_chunks"]
+    assert out[2]["n_new_chunks"] == 0
+    assert out[2]["stored_chars"] == 0
+    assert 0 < out[1]["stored_chars"] < len(text)
