@@ -2888,10 +2888,12 @@ def _libzstd_dict():
             lib.ZSTD_CCtx_loadDictionary.argtypes = [
                 c.c_void_p, c.c_char_p, c.c_size_t,
             ]
-            lib.ZSTD_decompress_usingDict.restype = c.c_size_t
-            lib.ZSTD_decompress_usingDict.argtypes = [
+            lib.ZSTD_createDDict.restype = c.c_void_p
+            lib.ZSTD_createDDict.argtypes = [c.c_char_p, c.c_size_t]
+            lib.ZSTD_decompress_usingDDict.restype = c.c_size_t
+            lib.ZSTD_decompress_usingDDict.argtypes = [
                 c.c_void_p, c.c_void_p, c.c_size_t, c.c_char_p,
-                c.c_size_t, c.c_char_p, c.c_size_t,
+                c.c_size_t, c.c_void_p,
             ]
         except AttributeError:  # stripped/ancient build: no dict API
             lib = None
@@ -2966,10 +2968,19 @@ def zstd_compress_dict(data: bytes, dict_bytes: bytes, level: int = 3) -> bytes:
         lib.ZSTD_freeCCtx(cctx)
 
 
+# (dict bytes -> digested DDict pointer + one reusable DCtx), cached
+# per worker process: ZSTD_decompress_usingDict re-digests the whole
+# dictionary on EVERY call, which dominated q325's decode profile.
+# A DDict digests once and is sharable/read-only thereafter; never
+# freed (a handful of KB per distinct dictionary per worker).
+_ZSTD_DDICT_CACHE: dict = {}
+
+
 def zstd_decompress_dict(data: bytes, dict_bytes: bytes) -> bytes:
-    """Decompress one dictionary-compressed record
-    (ZSTD_decompress_usingDict). Plain frames (no dictID) pass
-    through unchanged semantics, so a mixed store reads with one
+    """Decompress one dictionary-compressed record against a cached
+    digested dictionary (ZSTD_createDDict once per worker +
+    ZSTD_decompress_usingDDict per record). Plain frames (no dictID)
+    pass through unchanged semantics, so a mixed store reads with one
     code path. ValueError on corrupt payloads, size lies, or a
     missing/mismatched dictionary — never garbage bytes."""
     import ctypes as c
@@ -2984,20 +2995,26 @@ def zstd_decompress_dict(data: bytes, dict_bytes: bytes) -> bytes:
         raise ValueError("corrupt zstd frame header")
     if size > _ZSTD_MAX_OUT:
         raise ValueError("zstd content too large")
-    dctx = lib.ZSTD_createDCtx()
-    if not dctx:
-        raise ValueError("zstd context allocation failed")
-    try:
-        dst = c.create_string_buffer(max(int(size), 1))
-        ret = lib.ZSTD_decompress_usingDict(
-            dctx, dst, int(size), data, len(data),
-            dict_bytes, len(dict_bytes),
-        )
-        if lib.ZSTD_isError(ret) or ret != size:
-            raise ValueError("corrupt zstd payload")
-        return dst.raw[: int(size)]
-    finally:
-        lib.ZSTD_freeDCtx(dctx)
+    # keyed by the bytes object itself: bytes caches its __hash__, so
+    # the 4 KiB dict is hashed once per OBJECT, not once per record
+    # (keying by the pure-python _xxh64 re-hashed the dict per call
+    # and was 5x slower than no DDict at all)
+    key = dict_bytes
+    cached = _ZSTD_DDICT_CACHE.get(key)
+    if cached is None:
+        ddict = lib.ZSTD_createDDict(dict_bytes, len(dict_bytes))
+        dctx = lib.ZSTD_createDCtx()
+        if not ddict or not dctx:
+            raise ValueError("zstd context allocation failed")
+        cached = _ZSTD_DDICT_CACHE[key] = (ddict, dctx)
+    ddict, dctx = cached
+    dst = c.create_string_buffer(max(int(size), 1))
+    ret = lib.ZSTD_decompress_usingDDict(
+        dctx, dst, int(size), data, len(data), ddict
+    )
+    if lib.ZSTD_isError(ret) or ret != size:
+        raise ValueError("corrupt zstd payload")
+    return dst.raw[: int(size)]
 
 
 class _ZstdBackBits:
