@@ -17052,3 +17052,66 @@ def _init_q330() -> None:
 
 
 _init_q330()
+
+# --------------------------------------------------------------------
+# q331 — incremental change reads (r11): the consumer half of the
+# snapshot table. A downstream sync (index refresh, training-data
+# delta, replication) wants "what arrived since version K" WITHOUT
+# rescanning the table: changes(K, N) diffs the manifests and scans
+# only the files that joined — cost scales with the delta. The
+# append-only contract is enforced: spans containing rewrites raise
+# and route the consumer to a snapshot diff instead of silently
+# double-counting rewritten rows.
+# --------------------------------------------------------------------
+
+def _init_q331() -> None:
+
+    @register(
+        "q331_snapshot_changes",
+        """
+        SELECT 2 AS to_version, o_orderkey, o_orderstatus
+        FROM orders WHERE o_orderkey % 3 = 1
+        UNION ALL
+        SELECT 9 AS to_version, o_orderkey, o_orderstatus
+        FROM orders WHERE o_orderkey % 8 IN (5, 6, 7)
+        """,
+        doc="Incremental snapshot consumption on the exact gate "
+            "(sources/snapshot.py SnapshotTable.changes): over q327's "
+            "table, changes(1 -> 2) returns exactly the v2 append "
+            "(orderkey %% 3 = 1, scanned from only the files that "
+            "joined the manifest), and over q329's eight-append table, "
+            "changes(5 -> 9)... would span the compaction commit and "
+            "RAISES (append-only contract) — so the query reads "
+            "changes(5 -> 8) (appends 6,7,8 = orderkey %% 8 in 5,6,7) "
+            "and labels it with the to_version 9 twin the oracle "
+            "reconstructs; the rewrite-detection behavior itself is "
+            "pinned by unit test. Both legs hash row-level. The scan "
+            "cost claim is structural: version resolution is a "
+            "manifest diff, the plan contains scans of the delta "
+            "files only (plan row-count equals the delta).",
+    )
+    def q331_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os as _os
+
+        from ..sources.snapshot import SnapshotTable
+
+        # both fixture tables exist: q327/q329 build them on first run
+        for dep in ("q327_snapshot_time_travel", "q329_snapshot_compaction"):
+            QUERIES[dep].fn(spark, sf_dir).limit(1).count()
+
+        tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+        t27 = SnapshotTable(f"{_SCRATCH}/snapshots/{tag}/q327_v1")
+        t29 = SnapshotTable(f"{_SCRATCH}/snapshots/{tag}/q329_v1")
+
+        leg1 = t27.changes(spark, 1, 2).select(
+            F.lit(2).alias("to_version"), "o_orderkey", "o_orderstatus"
+        )
+        # appends 6..8 on the q329 table (v9 is the compaction rewrite,
+        # which changes() refuses by contract — unit-tested)
+        leg2 = t29.changes(spark, 5, 8).select(
+            F.lit(9).alias("to_version"), "o_orderkey", "o_orderstatus"
+        )
+        return leg1.unionByName(leg2)
+
+
+_init_q331()

@@ -185,6 +185,39 @@ class SnapshotTable:
 
     # -- reads ---------------------------------------------------------
 
+    def changes(
+        self, spark: SparkSession, from_version: int, to_version: int
+    ) -> DataFrame:
+        """Incremental consumption: the rows APPENDED between two
+        versions, read from only the files that joined the manifest —
+        an incremental consumer (downstream sync, index refresh,
+        training-data delta) never rescans the table. Cost scales
+        with the delta, not table size: version resolution is a
+        manifest diff, the scan touches new files only.
+
+        Append-only contract: if any file was REMOVED across the span
+        (a delete/overwrite/compact rewrote data), appended-file diff
+        no longer equals the row delta and this raises — the consumer
+        must fall back to a snapshot diff (functions/dq.snapshot_diff)
+        for that span. Commit ``op`` fields make the check cheap."""
+        if from_version >= to_version:
+            raise ValueError("changes() needs from_version < to_version")
+        old = set(self.manifest(from_version)["files"])
+        new_m = self.manifest(to_version)["files"]
+        removed = old - set(new_m)
+        if removed:
+            raise ValueError(
+                f"non-append history between v{from_version} and "
+                f"v{to_version}: {len(removed)} file(s) rewritten or "
+                "removed; use a snapshot diff for this span"
+            )
+        added = [f for f in new_m if f not in old]
+        if not added:
+            return self.read(spark, to_version).limit(0)
+        return spark.read.parquet(
+            *[os.path.join(self.path, rel) for rel in added]
+        )
+
     def read(
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame:

@@ -762,3 +762,37 @@ def test_snapshot_compaction_preserves_content_and_history(spark, tmp_path):
     assert {r["id"] for r in t.read(spark).collect()} == set(range(60))
     assert t.read(spark, 3).count() == 30
     assert t.manifest(7)["op"] == "compact"
+
+
+def test_snapshot_changes_reads_only_the_delta(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl4"))
+    t.append(spark.range(0, 10).withColumn("v", F.lit("a")))
+    t.append(spark.range(10, 25).withColumn("v", F.lit("b")))
+    t.append(spark.range(25, 30).withColumn("v", F.lit("c")))
+
+    got = {r["id"] for r in t.changes(spark, 1, 3).collect()}
+    assert got == set(range(10, 30))
+    assert {r["id"] for r in t.changes(spark, 2, 3).collect()} == set(
+        range(25, 30)
+    )
+
+    # rewrites break the append-only contract -> loud refusal
+    t.delete(spark, "id < 5")
+    with pytest.raises(ValueError, match="non-append"):
+        t.changes(spark, 1, 4)
+    # spans that avoid the rewrite still work
+    with pytest.raises(ValueError):
+        t.changes(spark, 3, 3)  # empty span is a usage error
+
+    # append after the delete: delta from the delete version is clean
+    t.append(spark.range(100, 103).withColumn("v", F.lit("d")))
+    assert {r["id"] for r in t.changes(spark, 4, 5).collect()} == {
+        100,
+        101,
+        102,
+    }
