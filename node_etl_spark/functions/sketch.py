@@ -1013,6 +1013,10 @@ def tdigest_quantile(centroids, q: float) -> float:
             left = cum - pw / 2.0
             right = cum + w / 2.0
             frac = 0.0 if right == left else (target - left) / (right - left)
-            return pm + (m - pm) * frac
+            # clamp into [pm, m]: at denormal magnitudes the float
+            # rounding of pm + (m-pm)*frac can land OUTSIDE the
+            # centroid interval and break quantile monotonicity
+            # (hypothesis-found with means around -2e-313)
+            return min(max(pm + (m - pm) * frac, pm), m)
         cum += w
     return cs[-1][0]

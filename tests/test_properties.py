@@ -722,3 +722,172 @@ def test_token_shard_range_reads_property(tmp_path_factory, seqs, rows_per_task)
         start += rows_per_task
     assert got_ids == ids
     assert got_toks == toks
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=hst.binary(min_size=0, max_size=30000))
+def test_zstd_dict_roundtrip_property(data):
+    # dictionary frames round-trip for ARBITRARY payloads (not just
+    # record-shaped ones the dict was trained for), and every
+    # last-byte corruption is detected (advanced-API XXH64)
+    import pytest
+
+    from node_etl_spark.functions import multimodal as M
+
+    if M._libzstd_dict() is None:
+        pytest.skip("libzstd dict API absent")
+    samples = [f"sample record {i} with shared shape".encode() for i in range(64)]
+    d = M.zstd_train_dict(samples, 2048)
+    blob = M.zstd_compress_dict(data, d)
+    assert M.zstd_decompress_dict(blob, d) == data
+    if len(blob) > 0:
+        bad = bytearray(blob)
+        bad[-1] ^= 0xFF
+        with pytest.raises(ValueError):
+            M.zstd_decompress_dict(bytes(bad), d)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    vals=hst.lists(
+        hst.floats(
+            min_value=-1e9,
+            max_value=1e9,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=4000,
+    ),
+    n_parts=hst.integers(1, 7),
+)
+def test_tdigest_property(vals, n_parts):
+    # invariants for any input and any partitioning: mass conserved,
+    # quantiles monotone in q, bounded by min/max, rank error within
+    # the q326 audit bound, and merge order-insensitive
+    from node_etl_spark.functions.sketch import (
+        _td_compress,
+        tdigest_merge,
+        tdigest_quantile,
+    )
+
+    step = max(1, len(vals) // n_parts)
+    parts = [vals[i : i + step] for i in range(0, len(vals), step)]
+    partials = []
+    for p in parts:
+        partials += _td_compress([(v, 1.0) for v in sorted(p)], 100)
+    digest = tdigest_merge(partials, 100)
+    assert abs(sum(w for _, w in digest) - len(vals)) < 1e-9 * max(
+        1, len(vals)
+    )
+    sv = sorted(vals)
+    qs = [0.0, 0.1, 0.3, 0.5, 0.7, 0.9, 1.0]
+    ests = [tdigest_quantile(digest, q) for q in qs]
+    assert ests == sorted(ests)
+    # rank tolerance: the t-digest bound plus the 1/n quantization
+    # floor (with n values, ranks only exist on a 1/n grid)
+    eps = 0.005 + 1.0 / len(sv)
+    for q, e in zip(qs, ests):
+        assert sv[0] <= e <= sv[-1]
+        lo = sum(1 for v in sv if v < e) / len(sv)
+        hi = sum(1 for v in sv if v <= e) / len(sv)
+        assert lo - eps <= q <= hi + eps
+    # merge is order-insensitive (sorted-merge determinism)
+    assert tdigest_merge(list(reversed(partials)), 100) == digest
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    text=hst.text(
+        alphabet=hst.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=2000,
+    ),
+    prefix=hst.text(
+        alphabet=hst.characters(min_codepoint=33, max_codepoint=126),
+        max_size=10,
+    ),
+)
+def test_cdc_chunking_property(text, prefix):
+    # pure-python replay of the chunker's boundary rule: chunks always
+    # reassemble to the document, and boundary positions after an
+    # insertion coincide with the original ones beyond the window
+    import hashlib
+
+    def cuts(t, w=16, mask=32):
+        return [
+            i
+            for i in range(w, len(t))
+            if int(
+                hashlib.md5(t[i - w : i].encode("utf-8")).hexdigest()[:2],
+                16,
+            )
+            % mask
+            == 0
+        ]
+
+    n = len(text)
+    c = cuts(text) + ([n] if n else [])
+    prev = 0
+    parts = []
+    for e in c:
+        parts.append(text[prev:e])
+        prev = e
+    assert "".join(parts) == text
+    assert all(p for p in parts) or n == 0
+
+    if n >= 64 and prefix:
+        shifted = prefix + text
+        k = len(prefix)
+        c1 = set(cuts(text))
+        c2 = {i - k for i in cuts(shifted)}
+        # beyond the window, boundaries are content-determined: every
+        # original cut at position >= window reappears shifted
+        tail1 = {i for i in c1 if i >= 16}
+        assert tail1 <= c2
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=hst.lists(
+        hst.sampled_from(["append", "delete", "compact"]),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_snapshot_history_property(spark, tmp_path_factory, ops):
+    # any commit sequence: version numbers are dense, every historical
+    # version stays readable and content-stable after later commits
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path_factory.mktemp("snap") / "tbl"))
+    nxt = 0
+    expected = {}  # version -> frozenset of ids
+    live = set()
+    for op in ops:
+        if op == "append" or not t.versions():
+            ids = set(range(nxt, nxt + 5))
+            nxt += 5
+            t.append(
+                spark.createDataFrame(
+                    [(i,) for i in sorted(ids)], schema="id bigint"
+                ).withColumn("b", (F.col("id") % 3).cast("int"))
+            )
+            live |= ids
+        elif op == "delete":
+            t.delete(spark, "b = 1")
+            live = {i for i in live if i % 3 != 1}
+        else:
+            t.compact(spark, target_files=1)
+        expected[max(t.versions())] = frozenset(live)
+    for v, ids in expected.items():
+        got = frozenset(
+            r["id"] for r in t.read(spark, v).collect()
+        )
+        assert got == ids, (v, ops)
+    assert t.versions() == list(range(1, len(expected) + 1))
