@@ -655,7 +655,7 @@ def test_cdc_store_stats_charges_first_occurrence_once(spark):
 
     from node_etl_spark.functions.dedup import cdc_chunks
 
-    text = "shared paragraph of text, repeated verbatim. " * 10
+    text = "the corpus repeats this exact sentence over and over again. " * 10
     df = spark.createDataFrame(
         [(1, text), (2, text)], schema="doc_id bigint, text string"
     )

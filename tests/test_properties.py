@@ -808,22 +808,24 @@ def test_tdigest_property(vals, n_parts):
     ),
 )
 def test_cdc_chunking_property(text, prefix):
-    # pure-python replay of the chunker's boundary rule: chunks always
-    # reassemble to the document, and boundary positions after an
-    # insertion coincide with the original ones beyond the window
-    import hashlib
+    # pure-python replay of the chunker's boundary rule (the weighted-
+    # codepoint polynomial, term by term): chunks always reassemble to
+    # the document, and boundary positions after an insertion coincide
+    # with the original ones beyond the window
+    from node_etl_spark.functions.dedup import _CDC_M, _CDC_POWS, _cdc_cuts
 
     def cuts(t, w=16, mask=32):
-        return [
-            i
-            for i in range(w, len(t))
-            if int(
-                hashlib.md5(t[i - w : i].encode("utf-8")).hexdigest()[:2],
-                16,
-            )
-            % mask
-            == 0
-        ]
+        out = []
+        for i in range(w, len(t)):
+            h = sum(
+                ord(c) * _CDC_POWS[w - 1 - k]
+                for k, c in enumerate(t[i - w : i])
+            ) % _CDC_M
+            if h % mask == 0:
+                out.append(i)
+        # the numpy fast path must agree with the scalar replay exactly
+        assert _cdc_cuts(t, w, mask) == out
+        return out
 
     n = len(text)
     c = cuts(text) + ([n] if n else [])
