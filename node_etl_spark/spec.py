@@ -1120,3 +1120,88 @@ def load_catalog(path: str) -> Catalog:
         op.name = name
         catalog.save(op)
     return catalog
+
+
+# -- r11-continuation spec ops: storage-dedup, quantile sketch, and
+# -- privacy release join the JSON-able op surface
+
+
+def _cdc_dedup_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """{"op": "cdc_dedup", "id_col": ..., "text_col": ..., "window":
+    16, "mask": 32} -> per-document incremental-store stats under
+    corpus-wide content-defined chunk dedup (functions/dedup.py
+    cdc_store_stats)."""
+    from .functions.dedup import cdc_store_stats
+
+    idc = d.get("id_col", "doc_id")
+    txt = d.get("text_col", "text")
+    window = int(d.get("window", 16))
+    mask = int(d.get("mask", 32))
+    return FnTransform(
+        lambda df: cdc_store_stats(df, idc, txt, window, mask),
+        name="cdc_dedup",
+    )
+
+
+def _quantile_sketch_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """{"op": "quantile_sketch", "col": ..., "qs": [0.5, ...],
+    "delta": 100} -> one row per requested quantile (q, est) from a
+    merged t-digest (functions/sketch.py). The digest builds
+    partition-locally and merges driver-side — the bounded-collect
+    contract documented at tdigest_partials."""
+    from .functions.sketch import (
+        tdigest_merge,
+        tdigest_partials,
+        tdigest_quantile,
+    )
+
+    col = d.get("col", "value")
+    qs = [float(q) for q in d.get("qs", [0.25, 0.5, 0.75])]
+    delta = int(d.get("delta", 100))
+
+    def fn(df):
+        spark = df.sparkSession
+        parts = tdigest_partials(df, col, delta).collect()
+        digest = tdigest_merge(
+            [(r["mean"], r["weight"]) for r in parts], delta
+        )
+        return spark.createDataFrame(
+            [(q, float(tdigest_quantile(digest, q))) for q in qs],
+            schema="q double, est double",
+        )
+
+    return FnTransform(fn, name="quantile_sketch")
+
+
+def _dp_release_op(d: Mapping[str, Any], c: Catalog | None) -> Op:
+    """{"op": "dp_release", "group_cols": [...], "seed": ...,
+    "k_anon": 5} -> noisy per-group counts (functions/privacy.py
+    dp_release_counts). ``seed`` is REQUIRED: an implicit default
+    would silently reuse noise across releases, which is exactly the
+    privacy failure the mechanism exists to prevent."""
+    from .functions.privacy import dp_release_counts
+
+    if "seed" not in d:
+        raise KeyError("dp_release requires an explicit 'seed'")
+    cols = list(d.get("group_cols", []))
+    if not cols:
+        raise KeyError("dp_release requires non-empty 'group_cols'")
+    return FnTransform(
+        lambda df: dp_release_counts(
+            df,
+            cols,
+            seed=str(d["seed"]),
+            k_anon=int(d.get("k_anon", 0)),
+            k_max=int(d.get("k_max", 16)),
+        ),
+        name="dp_release",
+    )
+
+
+_REGISTRY.update(
+    {
+        "cdc_dedup": _cdc_dedup_op,
+        "quantile_sketch": _quantile_sketch_op,
+        "dp_release": _dp_release_op,
+    }
+)

@@ -908,3 +908,47 @@ def test_image_ahash_spec_op(spark):
     rows = op.apply(df, Context()).collect()
     assert len(rows) == 1 and rows[0].doc_id == 1
     assert rows[0].width == 80 and 0 < rows[0].phash < (1 << 60)
+
+
+def test_cdc_dedup_and_quantile_sketch_and_dp_release_spec_ops(spark):
+    import pytest
+
+    from node_etl_spark.spec import op_from_spec
+
+    df = spark.createDataFrame(
+        [(i, "the corpus repeats this exact sentence over and over. " * 4)
+         for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    out = op_from_spec({"op": "cdc_dedup"}).apply(df, None)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 6
+    # five of six identical docs store nothing new
+    assert sum(1 for r in rows.values() if r["n_new_chunks"] == 0) == 5
+
+    nums = spark.range(0, 1000).selectExpr("CAST(id AS DOUBLE) AS value")
+    qs = op_from_spec(
+        {"op": "quantile_sketch", "col": "value", "qs": [0.1, 0.5, 0.9]}
+    ).apply(nums, None)
+    got = {r["q"]: r["est"] for r in qs.collect()}
+    assert abs(got[0.5] - 500) < 25 and abs(got[0.9] - 900) < 25
+
+    rel = op_from_spec(
+        {
+            "op": "dp_release",
+            "group_cols": ["g"],
+            "seed": "s1",
+            "k_anon": 3,
+        }
+    ).apply(
+        spark.createDataFrame(
+            [("a",)] * 20 + [("b",)], schema="g string"
+        ),
+        None,
+    )
+    rows = {r["g"]: r["n_noisy"] for r in rel.collect()}
+    assert set(rows) == {"a"} and abs(rows["a"] - 20) <= 16
+
+    # seed is mandatory: silent noise reuse is the failure mode
+    with pytest.raises(KeyError):
+        op_from_spec({"op": "dp_release", "group_cols": ["g"]})
