@@ -17115,3 +17115,90 @@ def _init_q331() -> None:
 
 
 _init_q331()
+
+# --------------------------------------------------------------------
+# q332 — snapshot vacuum (r11): the storage-cost counterpart of time
+# travel. Overwrites and compactions leave their inputs on disk,
+# referenced only by old manifests; vacuum(retain_last=N) expires the
+# manifests beyond the window and reclaims every unreferenced file —
+# including orphans from failed writer tasks (the ONE operation that
+# lists data/; reads never do). Completes the lifecycle: commit ->
+# compact -> vacuum.
+# --------------------------------------------------------------------
+
+def _init_q332() -> None:
+
+    @register(
+        "q332_snapshot_vacuum",
+        """
+        SELECT o_orderkey, o_orderstatus, TRUE AS vacuumed
+        FROM orders
+        """,
+        doc="Snapshot vacuum on the exact gate (sources/snapshot.py "
+            "SnapshotTable.vacuum): a four-commit history (two "
+            "appends, an OVERWRITE that replaces the file set, an "
+            "append) is vacuumed with retain_last=2 — v1/v2 manifests "
+            "expire, the files only they referenced are reclaimed, "
+            "and the surviving head (v3 overwrite of orderkey %% 4 in "
+            "0-2, plus v4's %% 4 = 3 append = the full orders table) "
+            "is hashed row-level against plain SQL. The 'vacuumed' "
+            "column pins the invariants read from disk: files were "
+            "actually removed, the retained versions still read, and "
+            "expired versions raise (unit-tested; here reflected as a "
+            "literal so the gate hash covers it). Orphan reclamation "
+            "and the refusal to vacuum everything are unit-tested.",
+    )
+    def q332_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os as _os
+        import shutil as _shutil
+        import uuid as _uuid
+
+        from ..sources.snapshot import SnapshotTable
+
+        tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+        final = f"{_SCRATCH}/snapshots/{tag}/q332_v1"
+
+        def ready(p):
+            t = SnapshotTable(p)
+            return t.versions() == [3, 4] and _os.path.exists(
+                _os.path.join(p, "_VACUUMED")
+            )
+
+        if not ready(final):
+            tmp = f"{final}.build-{_uuid.uuid4().hex[:8]}"
+            t = SnapshotTable(tmp)
+            orders = table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus"
+            )
+            t.append(orders.where(F.col("o_orderkey") % 4 == 0))
+            t.append(orders.where(F.col("o_orderkey") % 4 == 1))
+            t.overwrite(orders.where(F.col("o_orderkey") % 4 < 3))
+            t.append(orders.where(F.col("o_orderkey") % 4 == 3))
+            stats = t.vacuum(retain_last=2)
+            ok = (
+                stats["files_removed"] > 0
+                and t.versions() == [3, 4]
+            )
+            if ok:  # expired version must refuse to read
+                try:
+                    t.read(spark, 1)
+                    ok = False
+                except ValueError:
+                    pass
+            with open(_os.path.join(tmp, "_VACUUMED"), "w") as f:
+                f.write("ok" if ok else "fail")
+            try:
+                _os.makedirs(_os.path.dirname(final), exist_ok=True)
+                _os.rename(tmp, final)
+            except OSError:  # lost the publish race
+                _shutil.rmtree(tmp, ignore_errors=True)
+
+        t = SnapshotTable(final)
+        with open(_os.path.join(final, "_VACUUMED")) as f:
+            ok = f.read() == "ok"
+        return t.read(spark, version=4).select(
+            "o_orderkey", "o_orderstatus", F.lit(ok).alias("vacuumed")
+        )
+
+
+_init_q332()

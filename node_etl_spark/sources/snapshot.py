@@ -183,6 +183,42 @@ class SnapshotTable:
         new = self._write_files(cur.coalesce(max(1, int(target_files))))
         return self._publish(new, "compact", parent)
 
+    def vacuum(self, retain_last: int = 1) -> dict:
+        """Expire history: keep the newest ``retain_last`` manifests,
+        delete older ones, then remove every file under ``data/`` not
+        referenced by a surviving manifest — including orphans from
+        failed/speculative writer tasks that no manifest ever
+        referenced (this is the ONE operation that lists ``data/``;
+        reads never do). Irreversible by design: time travel beyond
+        the retained window raises afterwards. The storage-cost
+        counterpart of time travel — without it, every overwrite and
+        compaction leaks its inputs forever."""
+        if retain_last < 1:
+            raise ValueError("vacuum must retain at least one version")
+        vs = self.versions()
+        keep = vs[-retain_last:]
+        referenced = set()
+        for v in keep:
+            referenced.update(self.manifest(v)["files"])
+        files_removed = 0
+        data_dir = os.path.join(self.path, "data")
+        if os.path.isdir(data_dir):
+            for name in sorted(os.listdir(data_dir)):
+                rel = f"data/{name}"
+                if rel not in referenced:
+                    os.remove(os.path.join(data_dir, name))
+                    files_removed += 1
+        manifests_removed = 0
+        for v in vs:
+            if v not in keep:
+                os.remove(_manifest_path(self.path, v))
+                manifests_removed += 1
+        return {
+            "files_removed": files_removed,
+            "manifests_removed": manifests_removed,
+            "retained_versions": keep,
+        }
+
     # -- reads ---------------------------------------------------------
 
     def changes(

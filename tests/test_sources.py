@@ -796,3 +796,36 @@ def test_snapshot_changes_reads_only_the_delta(spark, tmp_path):
         101,
         102,
     }
+
+
+def test_snapshot_vacuum_reclaims_and_expires(spark, tmp_path):
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl5"))
+    t.append(spark.range(0, 20).withColumn("v", F.lit("a")))
+    t.overwrite(spark.range(20, 40).withColumn("v", F.lit("b")))
+    # plant an orphan (failed-task leftover no manifest references)
+    orphan = os.path.join(t.path, "data", "part-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+
+    with pytest.raises(ValueError):
+        t.vacuum(retain_last=0)
+
+    stats = t.vacuum(retain_last=1)
+    assert stats["manifests_removed"] == 1
+    assert stats["files_removed"] >= 2  # v1's files + the orphan
+    assert not os.path.exists(orphan)
+    assert t.versions() == [2]
+    assert {r["id"] for r in t.read(spark).collect()} == set(range(20, 40))
+    with pytest.raises(ValueError):
+        t.read(spark, 1)  # expired
+
+    # vacuum is idempotent once clean
+    again = t.vacuum(retain_last=1)
+    assert again["files_removed"] == 0 and again["manifests_removed"] == 0
