@@ -17202,3 +17202,84 @@ def _init_q332() -> None:
 
 
 _init_q332()
+
+# --------------------------------------------------------------------
+# q333 — manifest zonemaps: file pruning from commit-time stats
+# (r11): the defining scale feature of real table formats. Each
+# commit captures per-file [min,max] zonemaps for chosen columns from
+# the parquet FOOTERS (metadata-only) into the manifest; a ranged
+# read prunes files driver-side from stats already in hand — no
+# listing, no per-file footer fetch — then lets the exact predicate
+# push into the surviving scans. Missing stats degrade to a full
+# scan, never a wrong answer; rewrites (delete/compact) re-profile
+# the same columns so pruning survives maintenance.
+# --------------------------------------------------------------------
+
+def _init_q333() -> None:
+
+    @register(
+        "q333_snapshot_zonemap_scan",
+        """
+        WITH n AS (SELECT count(*) AS n FROM orders)
+        SELECT o_orderkey, o_orderstatus, TRUE AS pruned
+        FROM orders, n
+        WHERE o_orderkey BETWEEN n.n // 4 AND n.n // 2
+        """,
+        doc="Zonemap-pruned snapshot reads on the exact gate (sources/"
+            "snapshot.py append(stats_cols=...) / scan_files / "
+            "read(where=...)): orders commits range-partitioned into 8 "
+            "files with per-file o_orderkey [min,max] captured from "
+            "parquet footers into the manifest; the gate reads the "
+            "[n/4, n/2] key range and hashes row-level against plain "
+            "SQL. The 'pruned' column pins the structural claim: "
+            "scan_files() selects a strict subset of the manifest "
+            "(range partitioning makes key ranges disjoint, so ~3/4 "
+            "of files prove themselves irrelevant) while the result "
+            "stays exact because the predicate re-applies on the "
+            "surviving scans. At 100 TB this is the difference "
+            "between a driver-side metadata pass and opening every "
+            "file's footer.",
+    )
+    def q333_snapshot_zonemap_scan(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os as _os
+        import shutil as _shutil
+        import uuid as _uuid
+
+        from ..sources.snapshot import SnapshotTable
+
+        tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+        final = f"{_SCRATCH}/snapshots/{tag}/q333_v1"
+
+        def ready(p):
+            t = SnapshotTable(p)
+            return t.versions() == [1] and t.manifest(1).get("stats")
+
+        if not ready(final):
+            tmp = f"{final}.build-{_uuid.uuid4().hex[:8]}"
+            t = SnapshotTable(tmp)
+            orders = (
+                table(spark, sf_dir, "orders")
+                .select("o_orderkey", "o_orderstatus")
+                .repartitionByRange(8, "o_orderkey")
+            )
+            t.append(orders, stats_cols=["o_orderkey"])
+            try:
+                _os.makedirs(_os.path.dirname(final), exist_ok=True)
+                _os.rename(tmp, final)
+            except OSError:  # lost the publish race
+                _shutil.rmtree(tmp, ignore_errors=True)
+
+        t = SnapshotTable(final)
+        n = table(spark, sf_dir, "orders").count()
+        where = ("o_orderkey", n // 4, n // 2)
+        pruned = len(t.scan_files(1, where)) < len(t.manifest(1)["files"])
+        return t.read(spark, 1, where=where).select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.lit(bool(pruned)).alias("pruned"),
+        )
+
+
+_init_q333()

@@ -92,11 +92,44 @@ class SnapshotTable:
 
     # -- commits ------------------------------------------------------
 
-    def _write_files(self, df: DataFrame) -> list[str]:
+    def _file_stats(self, rel: str, cols: list[str]) -> dict:
+        """Per-file [min, max] zonemap for ``cols``, folded across row
+        groups from the parquet FOOTER (metadata-only: no data pages
+        read). Values are JSON-serialized — numbers as-is, everything
+        else (dates, timestamps, strings) via str(), which preserves
+        ordering for the uniform formats parquet stats carry."""
+        import pyarrow.parquet as _pq
+
+        def ser(v):
+            return v if isinstance(v, (int, float)) else str(v)
+
+        md = _pq.ParquetFile(os.path.join(self.path, rel)).metadata
+        out: dict = {}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                c = rg.column(i)
+                name = c.path_in_schema
+                if name not in cols or c.statistics is None:
+                    continue
+                s = c.statistics
+                if not s.has_min_max:
+                    continue
+                lo, hi = ser(s.min), ser(s.max)
+                if name in out:
+                    out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
+                else:
+                    out[name] = [lo, hi]
+        return out
+
+    def _write_files(
+        self, df: DataFrame, stats_cols: list[str] | None = None
+    ) -> tuple[list[str], dict]:
         """Write df as immutable parquet files under data/, return
-        their table-relative names. Spark writes to a scratch subdir;
-        files are then hard-linked/renamed under uuid names so a
-        failed job never shadows committed data."""
+        their table-relative names plus per-file zonemaps for
+        ``stats_cols``. Spark writes to a scratch subdir; files are
+        then renamed under uuid names so a failed job never shadows
+        committed data."""
         staging = os.path.join(self.path, f".stage-{uuid.uuid4().hex[:12]}")
         df.write.mode("overwrite").parquet(staging)
         os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
@@ -113,15 +146,36 @@ class SnapshotTable:
         for leftover in os.listdir(staging):
             os.remove(os.path.join(staging, leftover))
         os.rmdir(staging)
-        return names
+        stats = (
+            {rel: self._file_stats(rel, stats_cols) for rel in names}
+            if stats_cols
+            else {}
+        )
+        return names, stats
 
-    def _publish(self, files: list[str], op: str, parent: int | None) -> int:
+    def _publish(
+        self,
+        files: list[str],
+        op: str,
+        parent: int | None,
+        stats: dict | None = None,
+    ) -> int:
         version = (max(self.versions()) if self.versions() else 0) + 1
+        # zonemaps travel with the file reference: carried-over files
+        # keep their parent-manifest stats, rewritten files get fresh
+        # ones, files never profiled simply have no entry (= no prune)
+        merged = {}
+        if parent:
+            old = self.manifest(parent).get("stats", {})
+            merged.update({f: old[f] for f in files if f in old})
+        if stats:
+            merged.update(stats)
         manifest = {
             "version": version,
             "parent": parent,
             "op": op,
             "files": sorted(files),
+            "stats": merged,
         }
         tmp = os.path.join(
             self.path, f".manifest-{uuid.uuid4().hex[:12]}.tmp"
@@ -131,19 +185,24 @@ class SnapshotTable:
         os.rename(tmp, _manifest_path(self.path, version))
         return version
 
-    def append(self, df: DataFrame) -> int:
+    def append(
+        self, df: DataFrame, stats_cols: list[str] | None = None
+    ) -> int:
         os.makedirs(self.path, exist_ok=True)
         vs = self.versions()
         parent = max(vs) if vs else None
         old = self.manifest(parent)["files"] if parent else []
-        new = self._write_files(df)
-        return self._publish(old + new, "append", parent)
+        new, stats = self._write_files(df, stats_cols)
+        return self._publish(old + new, "append", parent, stats)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(
+        self, df: DataFrame, stats_cols: list[str] | None = None
+    ) -> int:
         os.makedirs(self.path, exist_ok=True)
         vs = self.versions()
         parent = max(vs) if vs else None
-        return self._publish(self._write_files(df), "overwrite", parent)
+        new, stats = self._write_files(df, stats_cols)
+        return self._publish(new, "overwrite", parent, stats)
 
     def delete(self, spark: SparkSession, predicate: str) -> int:
         """Copy-on-write delete: rewrite ONLY the files that contain
@@ -158,14 +217,16 @@ class SnapshotTable:
             full = os.path.join(self.path, rel)
             hit = spark.read.parquet(full).where(predicate).limit(1).count()
             (rewrite if hit else keep).append(rel)
-        new = []
+        new, stats = [], {}
         if rewrite:
             survivors = spark.read.parquet(
                 *[os.path.join(self.path, r) for r in rewrite]
             ).where(f"NOT ({predicate})")
             if survivors.limit(1).count():
-                new = self._write_files(survivors)
-        return self._publish(keep + new, "delete", parent)
+                new, stats = self._write_files(
+                    survivors, self._stats_cols(parent)
+                )
+        return self._publish(keep + new, "delete", parent, stats)
 
     def compact(
         self, spark: SparkSession, target_files: int = 1
@@ -180,8 +241,18 @@ class SnapshotTable:
         partition-bucket with a size target instead of a count."""
         parent = max(self.versions())
         cur = self.read(spark, parent)
-        new = self._write_files(cur.coalesce(max(1, int(target_files))))
-        return self._publish(new, "compact", parent)
+        new, stats = self._write_files(
+            cur.coalesce(max(1, int(target_files))),
+            self._stats_cols(parent),
+        )
+        return self._publish(new, "compact", parent, stats)
+
+    def _stats_cols(self, version: int) -> list[str]:
+        """Columns the given version keeps zonemaps for — rewrites
+        (delete/compact) re-profile the same columns so pruning
+        survives maintenance."""
+        stats = self.manifest(version).get("stats", {})
+        return sorted({c for fstats in stats.values() for c in fstats})
 
     def vacuum(self, retain_last: int = 1) -> dict:
         """Expire history: keep the newest ``retain_last`` manifests,
@@ -254,12 +325,72 @@ class SnapshotTable:
             *[os.path.join(self.path, rel) for rel in added]
         )
 
+    def scan_files(
+        self,
+        version: int | None = None,
+        where: tuple | list | None = None,
+    ) -> list[str]:
+        """The file list a read would scan: manifest files minus those
+        whose zonemap PROVES no row matches ``where`` (one or more
+        (col, lo, hi) closed ranges; ``lo``/``hi`` may be None for
+        half-open). Files without a zonemap for a referenced column
+        are always kept — missing stats degrade to a full scan, never
+        to a wrong answer. At 100 TB this is the point of carrying
+        stats in the manifest: pruning is a driver-side pass over
+        file metadata already in hand, not a listing + footer fetch
+        per file."""
+        m = self.manifest(version)
+        conds = []
+        if where:
+            conds = [where] if isinstance(where, tuple) else list(where)
+        stats = m.get("stats", {})
+
+        def may_match(rel) -> bool:
+            fstats = stats.get(rel, {})
+            for col, lo, hi in conds:
+                if col not in fstats:
+                    continue
+                fmin, fmax = fstats[col]
+                # coerce bounds into the serialized domain (numbers
+                # stay numbers; dates/timestamps compare as strings)
+                if isinstance(fmin, str):
+                    lo = None if lo is None else str(lo)
+                    hi = None if hi is None else str(hi)
+                if lo is not None and fmax < lo:
+                    return False
+                if hi is not None and fmin > hi:
+                    return False
+            return True
+
+        return [rel for rel in m["files"] if may_match(rel)]
+
     def read(
-        self, spark: SparkSession, version: int | None = None
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where: tuple | list | None = None,
     ) -> DataFrame:
         m = self.manifest(version)
         if not m["files"]:
             raise ValueError(f"version {m['version']} is empty")
-        return spark.read.parquet(
-            *[os.path.join(self.path, rel) for rel in m["files"]]
+        files = self.scan_files(version, where)
+        if not files:  # every file pruned: empty frame, right schema
+            return spark.read.parquet(
+                os.path.join(self.path, m["files"][0])
+            ).limit(0)
+        df = spark.read.parquet(
+            *[os.path.join(self.path, rel) for rel in files]
         )
+        # zonemaps prune FILES; the exact predicate still applies (and
+        # pushes down into the surviving scans)
+        conds = []
+        if where:
+            conds = [where] if isinstance(where, tuple) else list(where)
+        from pyspark.sql import functions as F
+
+        for col, lo, hi in conds:
+            if lo is not None:
+                df = df.where(F.col(col) >= lo)
+            if hi is not None:
+                df = df.where(F.col(col) <= hi)
+        return df

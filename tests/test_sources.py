@@ -829,3 +829,42 @@ def test_snapshot_vacuum_reclaims_and_expires(spark, tmp_path):
     # vacuum is idempotent once clean
     again = t.vacuum(retain_last=1)
     assert again["files_removed"] == 0 and again["manifests_removed"] == 0
+
+
+def test_snapshot_zonemap_pruned_reads(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl6"))
+    df = (
+        spark.range(0, 8000)
+        .withColumn("k", F.col("id"))
+        .repartitionByRange(8, "k")
+    )
+    t.append(df, stats_cols=["k"])
+    all_files = t.manifest(1)["files"]
+    assert len(all_files) == 8
+    assert all(
+        "k" in t.manifest(1)["stats"][f] for f in all_files
+    )
+
+    # range hitting ~2 of 8 disjoint range-partitioned files
+    pruned = t.scan_files(1, ("k", 2000, 3500))
+    assert 1 <= len(pruned) <= 3 < len(all_files)
+    got = {r["id"] for r in t.read(spark, 1, where=("k", 2000, 3500)).collect()}
+    assert got == set(range(2000, 3501))
+
+    # half-open ranges + empty result when fully pruned
+    assert {r["id"] for r in t.read(spark, 1, where=("k", 7800, None)).collect()} == set(range(7800, 8000))
+    assert t.read(spark, 1, where=("k", 100000, None)).count() == 0
+    assert t.scan_files(1, ("k", 100000, None)) == []
+
+    # stats survive maintenance rewrites (compact re-profiles)
+    t.compact(spark, target_files=2)
+    st2 = t.manifest(2)["stats"]
+    assert st2 and all("k" in v for v in st2.values())
+    assert {r["id"] for r in t.read(spark, 2, where=("k", 0, 10)).collect()} == set(range(11))
+
+    # columns never profiled -> no pruning, still-correct reads
+    assert t.read(spark, 2, where=("id", 0, 10)).count() == 11
