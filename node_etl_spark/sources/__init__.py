@@ -9,6 +9,7 @@ from .tokenshards import (
     read_token_shards,
     write_token_shards,
 )
+from .snapshot import SnapshotSink, SnapshotSource, SnapshotTable
 from .upsert import last_write_wins, upsert_parquet
 from .readers import (
     BinarySource,
@@ -45,4 +46,5 @@ __all__ = [
     "upsert_parquet", "last_write_wins", "zorder_write", "compact_parquet",
     "TokenShardSink", "TokenShardSource", "write_token_shards",
     "read_token_shards", "parse_token_shard",
+    "SnapshotTable", "SnapshotSource", "SnapshotSink",
 ]

@@ -394,3 +394,48 @@ class SnapshotTable:
             if hi is not None:
                 df = df.where(F.col(col) <= hi)
         return df
+
+
+# -- spec-surface adapters: the snapshot table as a pipeline node ----
+
+from .base_source import PathSource  # noqa: E402
+from ..operators.base import Sink  # noqa: E402
+
+
+class SnapshotSource(PathSource):
+    """Spec op ``{"op": "snapshot", "path": ..., "version": K,
+    "where": [col, lo, hi]}`` — an AS-OF (or latest) read, optionally
+    zonemap-pruned. ``where`` bounds use JSON scalars; null means
+    half-open."""
+
+    def __init__(self, path, version=None, where=None, **kwargs):
+        super().__init__(path, **kwargs)
+        self.version = version
+        self.where = tuple(where) if where else None
+
+    def _read(self, spark: SparkSession, path: str) -> DataFrame:
+        return SnapshotTable(path).read(
+            spark, version=self.version, where=self.where
+        )
+
+
+class SnapshotSink(Sink):
+    """Spec op ``{"op": "snapshot_sink", "path": ..., "mode":
+    "append"|"overwrite", "stats_cols": [...]}`` — a manifest commit.
+    Every pipeline run is one atomic version; consumers time-travel
+    or tail ``changes()`` between runs."""
+
+    def __init__(self, path, mode="append", stats_cols=None, name=None):
+        super().__init__(name)
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"snapshot_sink mode {mode!r}")
+        self.path = path
+        self.mode = mode
+        self.stats_cols = list(stats_cols or []) or None
+
+    def write(self, df: DataFrame, ctx) -> None:
+        t = SnapshotTable(ctx.resolve_url(self.path))
+        if self.mode == "append":
+            t.append(df, stats_cols=self.stats_cols)
+        else:
+            t.overwrite(df, stats_cols=self.stats_cols)

@@ -55,6 +55,8 @@ from .sources import (
     NdjsonSource,
     ParquetSink,
     ParquetSource,
+    SnapshotSink,
+    SnapshotSource,
     XmlSource,
 )
 
@@ -102,6 +104,11 @@ _REGISTRY: dict[str, Callable[..., Op]] = {
         rows_per_task=d.get("rows_per_task"),
     ),
     "xml": lambda d, c: XmlSource(d["path"], row_tag=d.get("row_tag", "item")),
+    # manifest-versioned snapshot table (sources/snapshot.py): AS-OF
+    # reads with optional zonemap-pruned key ranges
+    "snapshot": lambda d, c: SnapshotSource(
+        d["path"], version=d.get("version"), where=d.get("where")
+    ),
     # opaque media ingest (functions/multimodal.py): one row per file
     "binary": lambda d, c: BinarySource(
         d["path"],
@@ -160,6 +167,12 @@ _REGISTRY: dict[str, Callable[..., Op]] = {
     ),
     # sinks (§2.5)
     "parquet_sink": lambda d, c: ParquetSink(d["path"], mode=d.get("mode", "overwrite")),
+    # one pipeline run = one atomic manifest commit
+    "snapshot_sink": lambda d, c: SnapshotSink(
+        d["path"],
+        mode=d.get("mode", "append"),
+        stats_cols=d.get("stats_cols"),
+    ),
     "token_shards_sink": lambda d, c: TokenShardSink(
         d["path"],
         id_col=d.get("id_col", "seq_id"),

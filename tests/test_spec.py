@@ -952,3 +952,58 @@ def test_cdc_dedup_and_quantile_sketch_and_dp_release_spec_ops(spark):
     # seed is mandatory: silent noise reuse is the failure mode
     with pytest.raises(KeyError):
         op_from_spec({"op": "dp_release", "group_cols": ["g"]})
+
+
+def test_snapshot_spec_source_and_sink(spark, tmp_path):
+    from node_etl_spark.spec import from_spec
+
+    tbl = str(tmp_path / "snap_tbl")
+    # run 1: commit 0..9; run 2: append 10..14 — one version per run
+    for lo, hi in [(0, 10), (10, 15)]:
+        from_spec(
+            {
+                "name": "commit",
+                "chain": [
+                    {"op": "parquet", "path": "{%src%}"},
+                    {
+                        "op": "snapshot_sink",
+                        "path": tbl,
+                        "stats_cols": ["id"],
+                    },
+                ],
+            }
+        ).run(
+            spark,
+            args={"src": _write_range(spark, tmp_path, lo, hi)},
+        )
+
+    read_all = from_spec(
+        {"name": "r", "chain": [{"op": "snapshot", "path": tbl}]}
+    ).run(spark)
+    assert {r["id"] for r in read_all.collect()} == set(range(15))
+
+    as_of = from_spec(
+        {
+            "name": "r1",
+            "chain": [{"op": "snapshot", "path": tbl, "version": 1}],
+        }
+    ).run(spark)
+    assert as_of.count() == 10
+
+    ranged = from_spec(
+        {
+            "name": "r2",
+            "chain": [
+                {"op": "snapshot", "path": tbl, "where": ["id", 12, None]}
+            ],
+        }
+    ).run(spark)
+    assert {r["id"] for r in ranged.collect()} == {12, 13, 14}
+
+
+def _write_range(spark, tmp_path, lo, hi):
+    import uuid
+
+    p = str(tmp_path / f"src-{uuid.uuid4().hex[:8]}")
+    spark.range(lo, hi).write.parquet(p)
+    return p
