@@ -1007,3 +1007,41 @@ def _write_range(spark, tmp_path, lo, hi):
     p = str(tmp_path / f"src-{uuid.uuid4().hex[:8]}")
     spark.range(lo, hi).write.parquet(p)
     return p
+
+
+def test_examples_snapshot_store_and_private_release(spark, sf_dir, tmp_path):
+    # examples/governed_corpus_store.json: curate -> CDC store stats ->
+    # one atomic snapshot commit per run (re-runs append new versions);
+    # examples/private_release.json: suppressed + noised counts out
+    import json as _json
+    import os
+
+    from node_etl_spark.sources.snapshot import SnapshotTable
+    from node_etl_spark.spec import from_spec
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "gov")
+    spec = _json.load(
+        open(os.path.join(root, "examples", "governed_corpus_store.json"))
+    )
+    for _ in range(2):  # two runs -> two versions
+        from_spec(spec).run(spark, config={"DATA": sf_dir, "OUT": out})
+    t = SnapshotTable(out + "/corpus_table")
+    assert t.versions() == [1, 2]
+    v1, v2 = t.read(spark, 1).count(), t.read(spark, 2).count()
+    assert 0 < v1 and v2 == 2 * v1  # append semantics
+    assert set(t.read(spark).columns) == {
+        "doc_id", "n_chunks", "n_new_chunks", "stored_chars"
+    }
+    # commit-time zonemaps captured for the stats column
+    assert all("doc_id" in v for v in t.manifest(2)["stats"].values())
+
+    rel_out = str(tmp_path / "rel")
+    spec2 = _json.load(
+        open(os.path.join(root, "examples", "private_release.json"))
+    )
+    from_spec(spec2).run(spark, config={"DATA": sf_dir, "OUT": rel_out})
+    got = spark.read.json(rel_out + "/release")
+    rows = got.collect()
+    assert 0 < len(rows) <= 15  # k-anon may suppress small cells
+    assert all(r["n_noisy"] >= 0 for r in rows)
