@@ -1020,3 +1020,76 @@ def tdigest_quantile(centroids, q: float) -> float:
             return min(max(pm + (m - pm) * frac, pm), m)
         cum += w
     return cs[-1][0]
+
+
+def tdigest_group_partials(
+    df: DataFrame, group_col: str, col: str, delta: int = 100
+) -> DataFrame:
+    """Per-(input partition, group) digest states: the grouped twin of
+    :func:`tdigest_partials`. Still one partition-local pass — each
+    Arrow batch groups its own rows, so no shuffle happens before the
+    states exist and the downstream merge moves O(groups x partitions
+    x delta) centroid rows instead of the data."""
+
+    def build(it):
+        import pandas as _pd
+
+        for pdf in it:
+            outs = []
+            for g, sub in pdf.groupby("g", sort=True):
+                vals = _pd.to_numeric(sub[col], errors="coerce").dropna()
+                if len(vals) == 0:
+                    continue
+                cs = _td_compress(
+                    [(float(v), 1.0) for v in sorted(vals)], delta
+                )
+                outs.append(
+                    _pd.DataFrame(
+                        {
+                            "g": [g] * len(cs),
+                            "mean": [m for m, _ in cs],
+                            "weight": [w for _, w in cs],
+                        }
+                    )
+                )
+            if outs:
+                yield _pd.concat(outs, ignore_index=True)
+
+    return df.select(
+        F.col(group_col).alias("g"), F.col(col).alias(col)
+    ).mapInPandas(build, schema="g string, mean double, weight double")
+
+
+def tdigest_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    qs: list,
+    delta: int = 100,
+) -> DataFrame:
+    """Per-group quantile estimates (group, q, est): partial digests
+    merge per group via applyInPandas — ONE shuffle keyed by group,
+    carrying centroid rows, never data rows. The distributed-rollup
+    shape: the same merge would roll partials across days or shards."""
+    partials = tdigest_group_partials(df, group_col, col, delta)
+    qlist = [float(q) for q in qs]
+
+    def merge(pdf):
+        import pandas as _pd
+
+        digest = tdigest_merge(
+            list(zip(pdf["mean"], pdf["weight"])), delta
+        )
+        return _pd.DataFrame(
+            {
+                "g": [pdf["g"].iloc[0]] * len(qlist),
+                "q": qlist,
+                "est": [tdigest_quantile(digest, q) for q in qlist],
+            }
+        )
+
+    return (
+        partials.groupBy("g")
+        .applyInPandas(merge, schema="g string, q double, est double")
+        .withColumnRenamed("g", group_col)
+    )

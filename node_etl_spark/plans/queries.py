@@ -17283,3 +17283,108 @@ def _init_q333() -> None:
 
 
 _init_q333()
+
+# --------------------------------------------------------------------
+# q334 — GROUPED t-digest quantiles (r11): the per-key twin of q326
+# and the shape production telemetry actually needs (latency/size
+# quantiles per source, per tenant, per day). Fully distributed end
+# to end: partials build partition-locally, the merge is an
+# applyInPandas keyed by group — ONE shuffle carrying centroid rows
+# (O(groups x partitions x delta)), never data rows, and no driver
+# collect anywhere. The same merge rolls partials across days/shards.
+# --------------------------------------------------------------------
+
+def _init_q334() -> None:
+    _GQS = [0.1, 0.5, 0.9]
+
+    @register(
+        "q334_grouped_tdigest",
+        """
+        WITH v AS (
+          SELECT o_orderpriority AS priority, o_totalprice AS val
+          FROM orders
+        ),
+        n AS (SELECT priority, count(*) AS n FROM v GROUP BY priority),
+        grid(q) AS (
+          SELECT CAST(x AS DOUBLE) FROM (VALUES (0.1),(0.5),(0.9)) t(x)
+        ),
+        ranked AS (
+          SELECT priority, val,
+                 row_number() OVER (PARTITION BY priority ORDER BY val)
+                     AS rn
+          FROM v
+        )
+        SELECT r.priority, g.q AS q, r.val AS v_exact, TRUE AS sketch_ok
+        FROM grid g
+        JOIN n ON TRUE
+        JOIN ranked r
+          ON r.priority = n.priority
+         AND r.rn = CAST(CEIL(g.q * n.n) AS BIGINT)
+        """,
+        doc="Per-group t-digest quantiles on the exact gate (functions/"
+            "sketch.py tdigest_group_partials / tdigest_group_quantiles"
+            "): order-value quantiles per priority class. Unlike q326 "
+            "(global digest, driver merge) this is the fully "
+            "distributed rollup: partition-local grouped partials -> "
+            "applyInPandas merge keyed by group -> broadcast of the "
+            "(groups x qs)-row estimates back onto the data for the "
+            "in-plan audit (each estimate's within-group rank must sit "
+            "inside q +/- (0.005 + 1/n_g), the digest bound plus the "
+            "rank-quantization floor). HASHED output is the exact "
+            "per-group discrete quantile (value at rank ceil(q*n_g), "
+            "computed with PARTITIONED rank windows — the exact side "
+            "scales here, unlike a global sort) plus the audit bit. "
+            "ceil agrees cross-engine because both sides form the "
+            "rank as DOUBLE q times BIGINT n.",
+    )
+    def q334_grouped_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.sketch import tdigest_group_quantiles
+
+        v = table(spark, sf_dir, "orders").select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("val"),
+        )
+        ests = tdigest_group_quantiles(v, "priority", "val", _GQS)
+
+        # in-plan audit: one pass over data x broadcast estimates
+        audit = (
+            v.join(F.broadcast(ests), "priority")
+            .groupBy("priority", "q", "est")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (F.col("val") <= F.col("est")).cast("bigint")
+                ).alias("n_le"),
+            )
+            .select(
+                "priority",
+                "q",
+                "n",
+                (
+                    F.abs(F.col("n_le") / F.col("n") - F.col("q"))
+                    <= F.lit(0.005) + 1.0 / F.col("n")
+                ).alias("sketch_ok"),
+            )
+        )
+
+        # exact discrete quantile per group: partitioned rank window
+        w = Window.partitionBy("priority").orderBy("val")
+        ranked = v.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        targets = audit.select(
+            "priority",
+            "q",
+            "sketch_ok",
+            F.ceil(F.col("q") * F.col("n")).cast("bigint").alias("rn"),
+        )
+        return (
+            ranked.join(F.broadcast(targets), ["priority", "rn"])
+            .select(
+                "priority",
+                "q",
+                F.col("val").alias("v_exact"),
+                "sketch_ok",
+            )
+        )
+
+
+_init_q334()

@@ -169,3 +169,27 @@ def test_tdigest_accuracy_merge_and_determinism():
     assert tdigest_merge([], 100) == []
     one = _td_compress([(7.0, 1.0)], 100)
     assert tdigest_quantile(one, 0.5) == 7.0
+
+
+def test_tdigest_group_quantiles_distributed_merge(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.functions.sketch import tdigest_group_quantiles
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g, (mu, n) in {"a": (10.0, 4000), "b": (100.0, 2500)}.items():
+        for v in rng.lognormal(np.log(mu), 0.6, n):
+            rows.append((g, float(v)))
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    out = tdigest_group_quantiles(df, "g", "v", [0.1, 0.5, 0.9])
+    got = {(r["g"], r["q"]): r["est"] for r in out.collect()}
+    assert len(got) == 6
+    vals = {g: sorted(v for gg, v in rows if gg == g) for g in ("a", "b")}
+    for (g, q), est in got.items():
+        sv = vals[g]
+        rank = sum(1 for v in sv if v <= est) / len(sv)
+        assert abs(rank - q) < 0.01, (g, q, rank)
+    # groups are genuinely separated (the digest is per-group state)
+    assert got[("b", 0.5)] > 5 * got[("a", 0.5)]
