@@ -1212,3 +1212,18 @@ def test_snapshot_time_travel_plan_is_pruned_scans(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q327_snapshot_time_travel")
     assert "Exchange" not in plan
     assert "Union" in plan
+
+
+def test_grouped_tdigest_plan_is_group_keyed(spark, sf_dir):
+    # q334: one partial-build MapInPandas, one applyInPandas merge
+    # (FlatMapGroupsInPandas), broadcast join-backs for audit + exact
+    # targets — never a sort-merge join or cartesian, and every
+    # Exchange is keyed by the group (centroid/audit rows, not data
+    # re-distribution beyond the inherent group shuffles)
+    plan = _plan(spark, sf_dir, "q334_grouped_tdigest")
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 5
