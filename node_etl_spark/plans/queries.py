@@ -17388,3 +17388,79 @@ def _init_q334() -> None:
 
 
 _init_q334()
+
+# --------------------------------------------------------------------
+# q336 — snapshot schema evolution (r11): additive column evolution
+# without rewriting history. The commit's schema is table metadata
+# (Iceberg-style): readers scan with the VERSION's schema, so files
+# written before a column existed null-fill it at read time — no
+# mergeSchema footer sweep across the table, no backfill rewrite —
+# and an AS-OF read of an old version still presents the old
+# column set.
+# --------------------------------------------------------------------
+
+def _init_q336() -> None:
+
+    @register(
+        "q336_snapshot_schema_evolution",
+        """
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders
+        """,
+        doc="Additive schema evolution on the exact gate (sources/"
+            "snapshot.py manifest 'schema' field): v1 commits half of "
+            "orders with two columns, v2 appends the other half WITH "
+            "o_orderpriority. The latest read scans with v2's schema, "
+            "so v1's files null-fill the new column (hashed row-level "
+            "against the CASE reconstruction); the AS-OF v1 read still "
+            "presents exactly the old two-column schema (pinned by "
+            "unit test). No file is rewritten and no footer sweep "
+            "happens — the schema rides in the manifest, which is the "
+            "difference between O(1) metadata and O(files) mergeSchema "
+            "at 100 TB.",
+    )
+    def q336_snapshot_schema_evolution(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os as _os
+        import shutil as _shutil
+        import uuid as _uuid
+
+        from ..sources.snapshot import SnapshotTable
+
+        tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+        final = f"{_SCRATCH}/snapshots/{tag}/q336_v1"
+
+        def ready(p):
+            t = SnapshotTable(p)
+            return t.versions() == [1, 2] and t.manifest(2).get("schema")
+
+        if not ready(final):
+            tmp = f"{final}.build-{_uuid.uuid4().hex[:8]}"
+            t = SnapshotTable(tmp)
+            orders = table(spark, sf_dir, "orders")
+            t.append(
+                orders.where(F.col("o_orderkey") % 2 == 0).select(
+                    "o_orderkey", "o_orderstatus"
+                )
+            )
+            t.append(
+                orders.where(F.col("o_orderkey") % 2 == 1).select(
+                    "o_orderkey", "o_orderstatus", "o_orderpriority"
+                )
+            )
+            try:
+                _os.makedirs(_os.path.dirname(final), exist_ok=True)
+                _os.rename(tmp, final)
+            except OSError:  # lost the publish race
+                _shutil.rmtree(tmp, ignore_errors=True)
+
+        t = SnapshotTable(final)
+        return t.read(spark).select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority"
+        )
+
+
+_init_q336()

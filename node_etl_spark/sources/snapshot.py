@@ -159,6 +159,7 @@ class SnapshotTable:
         op: str,
         parent: int | None,
         stats: dict | None = None,
+        schema_json: dict | None = None,
     ) -> int:
         version = (max(self.versions()) if self.versions() else 0) + 1
         # zonemaps travel with the file reference: carried-over files
@@ -176,6 +177,13 @@ class SnapshotTable:
             "op": op,
             "files": sorted(files),
             "stats": merged,
+            # SCHEMA EVOLUTION: the commit's schema is table metadata
+            # (Iceberg-style). Readers scan with THIS schema, so files
+            # written before a column existed null-fill it at read
+            # time — no mergeSchema footer sweep, no rewrite. Additive
+            # evolution only (new nullable columns); type changes need
+            # a rewrite commit.
+            "schema": schema_json,
         }
         tmp = os.path.join(
             self.path, f".manifest-{uuid.uuid4().hex[:12]}.tmp"
@@ -193,7 +201,9 @@ class SnapshotTable:
         parent = max(vs) if vs else None
         old = self.manifest(parent)["files"] if parent else []
         new, stats = self._write_files(df, stats_cols)
-        return self._publish(old + new, "append", parent, stats)
+        return self._publish(
+            old + new, "append", parent, stats, df.schema.jsonValue()
+        )
 
     def overwrite(
         self, df: DataFrame, stats_cols: list[str] | None = None
@@ -202,7 +212,9 @@ class SnapshotTable:
         vs = self.versions()
         parent = max(vs) if vs else None
         new, stats = self._write_files(df, stats_cols)
-        return self._publish(new, "overwrite", parent, stats)
+        return self._publish(
+            new, "overwrite", parent, stats, df.schema.jsonValue()
+        )
 
     def delete(self, spark: SparkSession, predicate: str) -> int:
         """Copy-on-write delete: rewrite ONLY the files that contain
@@ -226,7 +238,10 @@ class SnapshotTable:
                 new, stats = self._write_files(
                     survivors, self._stats_cols(parent)
                 )
-        return self._publish(keep + new, "delete", parent, stats)
+        return self._publish(
+            keep + new, "delete", parent, stats,
+            self.manifest(parent).get("schema"),
+        )
 
     def compact(
         self, spark: SparkSession, target_files: int = 1
@@ -245,7 +260,10 @@ class SnapshotTable:
             cur.coalesce(max(1, int(target_files))),
             self._stats_cols(parent),
         )
-        return self._publish(new, "compact", parent, stats)
+        return self._publish(
+            new, "compact", parent, stats,
+            self.manifest(parent).get("schema"),
+        )
 
     def _stats_cols(self, version: int) -> list[str]:
         """Columns the given version keeps zonemaps for — rewrites
@@ -374,11 +392,18 @@ class SnapshotTable:
         if not m["files"]:
             raise ValueError(f"version {m['version']} is empty")
         files = self.scan_files(version, where)
+        reader = spark.read
+        if m.get("schema"):
+            from pyspark.sql.types import StructType
+
+            # scan with the COMMIT's schema: files written before a
+            # column existed null-fill it (additive schema evolution)
+            reader = reader.schema(StructType.fromJson(m["schema"]))
         if not files:  # every file pruned: empty frame, right schema
-            return spark.read.parquet(
+            return reader.parquet(
                 os.path.join(self.path, m["files"][0])
             ).limit(0)
-        df = spark.read.parquet(
+        df = reader.parquet(
             *[os.path.join(self.path, rel) for rel in files]
         )
         # zonemaps prune FILES; the exact predicate still applies (and

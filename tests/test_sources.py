@@ -868,3 +868,28 @@ def test_snapshot_zonemap_pruned_reads(spark, tmp_path):
 
     # columns never profiled -> no pruning, still-correct reads
     assert t.read(spark, 2, where=("id", 0, 10)).count() == 11
+
+
+def test_snapshot_schema_evolution_versions_pin_schemas(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl7"))
+    t.append(spark.range(0, 10).select("id"))
+    t.append(
+        spark.range(10, 20).select(
+            "id", F.lit("new").alias("tag"), (F.col("id") * 2).alias("dbl")
+        )
+    )
+    latest = t.read(spark)
+    assert latest.columns == ["id", "tag", "dbl"]
+    rows = {r["id"]: (r["tag"], r["dbl"]) for r in latest.collect()}
+    assert rows[3] == (None, None)  # pre-evolution file null-fills
+    assert rows[15] == ("new", 30)
+    # AS-OF v1 presents the OLD schema
+    assert t.read(spark, 1).columns == ["id"]
+    # maintenance keeps the evolved schema
+    t.compact(spark, target_files=1)
+    assert t.read(spark).columns == ["id", "tag", "dbl"]
+    assert t.read(spark).count() == 20
