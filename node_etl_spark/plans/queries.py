@@ -17464,3 +17464,88 @@ def _init_q336() -> None:
 
 
 _init_q336()
+
+# --------------------------------------------------------------------
+# q337 — merge-on-read positional deletes (r11): the Iceberg-v2 half
+# of the delete story. COW (q327) rewrites files at delete time; MOR
+# writes a match-sized delete-vector sidecar and pays at read time
+# with a broadcast anti-join on (file, row position) — the right
+# trade for frequent small deletes (opt-outs, takedowns) against hot
+# append streams. compact() materializes pending vectors; a COW
+# delete over pending vectors materializes through read() so it can
+# never resurrect mor-deleted rows (unit-tested).
+# --------------------------------------------------------------------
+
+def _init_q337() -> None:
+
+    @register(
+        "q337_snapshot_mor_delete",
+        """
+        SELECT 1 AS version, o_orderkey, o_orderstatus,
+               TRUE AS no_rewrite
+        FROM orders
+        UNION ALL
+        SELECT 2 AS version, o_orderkey, o_orderstatus,
+               TRUE AS no_rewrite
+        FROM orders WHERE o_orderstatus <> 'O'
+        """,
+        doc="Merge-on-read positional deletes on the exact gate "
+            "(sources/snapshot.py delete(mode='mor')): v1 commits all "
+            "of orders; v2 MOR-deletes status 'O' rows — the commit "
+            "writes ONE delete-vector sidecar (parquet "
+            "_metadata.row_index positions per file, stable for "
+            "immutable files) and not a single data file. Both "
+            "versions read back and hash row-level; 'no_rewrite' pins "
+            "the structural claim (v2's file set is IDENTICAL to "
+            "v1's, checked from the manifests). The read applies the "
+            "vector as a broadcast anti-join on (file, position) — "
+            "at 100 TB the sidecar becomes a roaring bitmap per file "
+            "with the same join shape, and compact() turns pending "
+            "vectors back into clean files when the read-tax "
+            "outgrows the rewrite cost.",
+    )
+    def q337_snapshot_mor_delete(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import os as _os
+        import shutil as _shutil
+        import uuid as _uuid
+
+        from ..sources.snapshot import SnapshotTable
+
+        tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+        final = f"{_SCRATCH}/snapshots/{tag}/q337_v1"
+
+        def ready(p):
+            t = SnapshotTable(p)
+            return t.versions() == [1, 2] and t.manifest(2).get("deletes")
+
+        if not ready(final):
+            tmp = f"{final}.build-{_uuid.uuid4().hex[:8]}"
+            t = SnapshotTable(tmp)
+            orders = table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus"
+            )
+            t.append(orders.repartition(4))
+            t.delete(spark, "o_orderstatus = 'O'", mode="mor")
+            try:
+                _os.makedirs(_os.path.dirname(final), exist_ok=True)
+                _os.rename(tmp, final)
+            except OSError:  # lost the publish race
+                _shutil.rmtree(tmp, ignore_errors=True)
+
+        t = SnapshotTable(final)
+        same_files = t.manifest(1)["files"] == t.manifest(2)["files"]
+        out = None
+        for v in (1, 2):
+            part = t.read(spark, version=v).select(
+                F.lit(v).alias("version"),
+                "o_orderkey",
+                "o_orderstatus",
+                F.lit(bool(same_files)).alias("no_rewrite"),
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+
+_init_q337()

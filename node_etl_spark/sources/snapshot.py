@@ -160,6 +160,7 @@ class SnapshotTable:
         parent: int | None,
         stats: dict | None = None,
         schema_json: dict | None = None,
+        deletes: list | None = None,
     ) -> int:
         version = (max(self.versions()) if self.versions() else 0) + 1
         # zonemaps travel with the file reference: carried-over files
@@ -184,6 +185,9 @@ class SnapshotTable:
             # evolution only (new nullable columns); type changes need
             # a rewrite commit.
             "schema": schema_json,
+            # merge-on-read delete-vector sidecars (deletes/*.json);
+            # readers anti-join them, compact() materializes them
+            "deletes": list(deletes or []),
         }
         tmp = os.path.join(
             self.path, f".manifest-{uuid.uuid4().hex[:12]}.tmp"
@@ -199,10 +203,12 @@ class SnapshotTable:
         os.makedirs(self.path, exist_ok=True)
         vs = self.versions()
         parent = max(vs) if vs else None
-        old = self.manifest(parent)["files"] if parent else []
+        pm = self.manifest(parent) if parent else {}
+        old = pm.get("files", [])
         new, stats = self._write_files(df, stats_cols)
         return self._publish(
-            old + new, "append", parent, stats, df.schema.jsonValue()
+            old + new, "append", parent, stats, df.schema.jsonValue(),
+            pm.get("deletes"),
         )
 
     def overwrite(
@@ -216,13 +222,46 @@ class SnapshotTable:
             new, "overwrite", parent, stats, df.schema.jsonValue()
         )
 
-    def delete(self, spark: SparkSession, predicate: str) -> int:
-        """Copy-on-write delete: rewrite ONLY the files that contain
-        rows matching ``predicate``; untouched files carry over by
+    def delete(
+        self, spark: SparkSession, predicate: str, mode: str = "cow"
+    ) -> int:
+        """Delete rows matching ``predicate``.
+
+        ``mode="cow"`` (copy-on-write): rewrite ONLY the files that
+        contain matching rows; untouched files carry over by
         reference. One file = one membership probe (a pushed-down
         count), so the rewrite cost scales with affected data, not
-        table size."""
+        table size. Best when deletes are rare and reads are hot.
+
+        ``mode="mor"`` (merge-on-read, Iceberg-v2-style positional
+        deletes): write NO data files — matching row positions are
+        captured per file (parquet ``_metadata.row_index``, stable
+        for immutable files) into a delete-vector sidecar under
+        ``deletes/``, and the manifest references it. The commit cost
+        is one scan + a sidecar write; readers anti-join the delete
+        vector (broadcast — vectors are match-sized). Best for
+        frequent small deletes; ``compact()`` materializes pending
+        vectors back into clean files. At 100 TB the sidecar becomes
+        a roaring bitmap per file — the JSON form here keeps the
+        same contract."""
+        if mode == "mor":
+            return self._delete_mor(spark, predicate)
+        if mode != "cow":
+            raise ValueError(f"delete mode {mode!r}")
         parent = max(self.versions())
+        if self.manifest(parent).get("deletes"):
+            # pending delete vectors: rewriting raw files would
+            # RESURRECT mor-deleted rows — materialize via read()
+            survivors = self.read(spark, parent).where(
+                f"NOT ({predicate})"
+            )
+            new, stats = self._write_files(
+                survivors, self._stats_cols(parent)
+            )
+            return self._publish(
+                new, "delete", parent, stats,
+                self.manifest(parent).get("schema"), [],
+            )
         files = self.manifest(parent)["files"]
         keep, rewrite = [], []
         for rel in files:
@@ -241,6 +280,43 @@ class SnapshotTable:
         return self._publish(
             keep + new, "delete", parent, stats,
             self.manifest(parent).get("schema"),
+        )
+
+    def _delete_mor(self, spark: SparkSession, predicate: str) -> int:
+        from pyspark.sql import functions as F
+
+        parent = max(self.versions())
+        m = self.manifest(parent)
+        # one scan over the CURRENT view (parent deletes applied, so
+        # stacked vectors never double-capture a row) collecting
+        # (file, position) pairs for matches
+        hits = (
+            self.read(spark, parent)
+            .where(predicate)
+            .select(
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("f"),
+                F.col("_metadata.row_index").alias("i"),
+            )
+            .collect()
+        )
+        vec: dict = {}
+        for r in hits:
+            vec.setdefault(f"data/{r['f']}", []).append(int(r["i"]))
+        for k in vec:
+            vec[k].sort()
+        os.makedirs(os.path.join(self.path, "deletes"), exist_ok=True)
+        rel = f"deletes/del-{uuid.uuid4().hex}.json"
+        with open(os.path.join(self.path, rel), "w") as f:
+            f.write(json.dumps(vec))
+        return self._publish(
+            m["files"],
+            "delete-mor",
+            parent,
+            None,
+            m.get("schema"),
+            list(m.get("deletes", [])) + [rel],
         )
 
     def compact(
@@ -262,7 +338,7 @@ class SnapshotTable:
         )
         return self._publish(
             new, "compact", parent, stats,
-            self.manifest(parent).get("schema"),
+            self.manifest(parent).get("schema"), [],
         )
 
     def _stats_cols(self, version: int) -> list[str]:
@@ -296,6 +372,16 @@ class SnapshotTable:
                 rel = f"data/{name}"
                 if rel not in referenced:
                     os.remove(os.path.join(data_dir, name))
+                    files_removed += 1
+        referenced_dels = set()
+        for v in keep:
+            referenced_dels.update(self.manifest(v).get("deletes") or [])
+        del_dir = os.path.join(self.path, "deletes")
+        if os.path.isdir(del_dir):
+            for name in sorted(os.listdir(del_dir)):
+                rel = f"deletes/{name}"
+                if rel not in referenced_dels:
+                    os.remove(os.path.join(del_dir, name))
                     files_removed += 1
         manifests_removed = 0
         for v in vs:
@@ -418,6 +504,35 @@ class SnapshotTable:
                 df = df.where(F.col(col) >= lo)
             if hi is not None:
                 df = df.where(F.col(col) <= hi)
+        pairs = []
+        for rel in m.get("deletes") or []:
+            with open(os.path.join(self.path, rel)) as fh:
+                vec = json.load(fh)
+            for fname, idxs in vec.items():
+                base = fname.rsplit("/", 1)[-1]
+                pairs.extend((base, int(i)) for i in idxs)
+        if pairs:
+            # merge-on-read: anti-join the delete vectors on (file,
+            # position). Vectors are match-sized and broadcast; at
+            # 100 TB the JSON becomes a roaring bitmap per file with
+            # the same join shape
+            deldf = spark.createDataFrame(pairs, "f string, i bigint")
+            df = (
+                df.withColumn(
+                    "__snap_f",
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ),
+                )
+                .withColumn("__snap_i", F.col("_metadata.row_index"))
+                .join(
+                    F.broadcast(deldf),
+                    (F.col("__snap_f") == F.col("f"))
+                    & (F.col("__snap_i") == F.col("i")),
+                    "left_anti",
+                )
+                .drop("__snap_f", "__snap_i")
+            )
         return df
 
 

@@ -893,3 +893,61 @@ def test_snapshot_schema_evolution_versions_pin_schemas(spark, tmp_path):
     t.compact(spark, target_files=1)
     assert t.read(spark).columns == ["id", "tag", "dbl"]
     assert t.read(spark).count() == 20
+
+
+def test_snapshot_mor_delete_vectors(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl8"))
+    t.append(
+        spark.range(0, 100)
+        .withColumn("b", (F.col("id") % 5).cast("int"))
+        .repartition(4)
+    )
+    files_v1 = set(t.manifest(1)["files"])
+
+    v2 = t.delete(spark, "b = 0", mode="mor")
+    # NO data file written or removed — only a delete-vector sidecar
+    assert set(t.manifest(v2)["files"]) == files_v1
+    assert len(t.manifest(v2)["deletes"]) == 1
+    got = {r["id"] for r in t.read(spark).collect()}
+    assert got == {i for i in range(100) if i % 5 != 0}
+    # time travel unaffected
+    assert t.read(spark, 1).count() == 100
+
+    # vectors STACK, and a later append carries them forward
+    t.delete(spark, "b = 1", mode="mor")
+    t.append(spark.range(100, 110).withColumn("b", F.lit(7)))
+    got = {r["id"] for r in t.read(spark).collect()}
+    assert got == {i for i in range(100) if i % 5 > 1} | set(range(100, 110))
+    assert len(t.manifest()["deletes"]) == 2
+
+    # compact MATERIALIZES the vectors: clean files, no sidecar refs
+    t.compact(spark, target_files=2)
+    assert t.manifest()["deletes"] == []
+    assert {r["id"] for r in t.read(spark).collect()} == got
+
+    # vacuum reclaims now-unreferenced sidecars
+    stats = t.vacuum(retain_last=1)
+    assert not os.listdir(os.path.join(t.path, "deletes"))
+    assert stats["files_removed"] > 0
+
+
+def test_snapshot_cow_delete_after_mor_does_not_resurrect(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl9"))
+    t.append(spark.range(0, 60).withColumn("b", (F.col("id") % 3).cast("int")))
+    t.delete(spark, "b = 0", mode="mor")
+    # a naive per-file COW rewrite would read raw files and bring the
+    # b=0 rows back; the guarded path materializes through read()
+    t.delete(spark, "b = 1", mode="cow")
+    got = {r["id"] for r in t.read(spark).collect()}
+    assert got == {i for i in range(60) if i % 3 == 2}
+    assert t.manifest()["deletes"] == []
