@@ -17549,3 +17549,144 @@ def _init_q337() -> None:
 
 
 _init_q337()
+
+# --------------------------------------------------------------------
+# q335 — streaming quantile monitor (r11): a t-digest per key carried
+# in applyInPandasWithState GroupState across micro-batches — the
+# unbounded twin of q334 and the sixth custom-stateful streaming op.
+# The mergeable-sketch contract is what makes the state STREAMABLE:
+# O(delta) centroids per key forever, regardless of stream length.
+# Each batch sorts its values before digesting, so the fold is
+# insensitive to arrival order within a batch and the final state is
+# reproducible — which is what lets the gate audit the stream's
+# estimates against batch-exact quantiles.
+# --------------------------------------------------------------------
+
+def _init_q335() -> None:
+
+    @register(
+        "q335_stream_quantiles",
+        """
+        WITH v AS (
+          SELECT event_type, value AS val FROM events
+          WHERE value IS NOT NULL
+        ),
+        n AS (SELECT event_type, count(*) AS n FROM v GROUP BY event_type),
+        ranked AS (
+          SELECT event_type, val,
+                 row_number() OVER (PARTITION BY event_type ORDER BY val)
+                     AS rn
+          FROM v
+        )
+        SELECT n.event_type, n.n AS n_events,
+               r50.val AS p50_exact, r90.val AS p90_exact,
+               TRUE AS sketch_ok
+        FROM n
+        JOIN ranked r50
+          ON r50.event_type = n.event_type
+         AND r50.rn = CAST(CEIL(CAST(0.5 AS DOUBLE) * n.n) AS BIGINT)
+        JOIN ranked r90
+          ON r90.event_type = n.event_type
+         AND r90.rn = CAST(CEIL(CAST(0.9 AS DOUBLE) * n.n) AS BIGINT)
+        """,
+        doc="Streaming per-key quantile monitor on the exact gate "
+            "(streaming/stream.py quantile_stream): the events table "
+            "replays through a real availableNow stream; each "
+            "event_type carries a t-digest in GroupState (a few KB of "
+            "centroids — state NEVER grows with the stream, the "
+            "mergeable-sketch property doing for quantiles what "
+            "watermarks do for windows). The freshest emission per "
+            "key (monotonic seq) yields the stream's p50/p90 "
+            "estimates plus its exact row count; the gate hashes the "
+            "batch-exact discrete quantiles (partitioned rank "
+            "windows) and sketch_ok = the in-plan audit that each "
+            "STREAM estimate's true rank sits within q +/- (0.005 + "
+            "1/n_g) AND the stream's count equals the batch count "
+            "(end-to-end no-loss proof). Same audit pattern as "
+            "q326/q334, now across the batch/stream boundary.",
+    )
+    def q335_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..streaming.stream import quantile_stream
+
+        def build(source):
+            return quantile_stream(source())
+
+        sink = _replay_events(
+            spark,
+            sf_dir,
+            ["event_id", "ts", "event_type", "value"],
+            build,
+            mode="update",
+            sink_prefix="q335",
+        )
+        w = Window.partitionBy("grp").orderBy(F.col("seq").desc())
+        final = (
+            sink.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("grp", "n_seen", "p50", "p90")
+        )
+
+        v = (
+            table(spark, sf_dir, "events")
+            .where(F.col("value").isNotNull())
+            .select(F.col("event_type"), F.col("value").alias("val"))
+        )
+        audit = (
+            v.join(F.broadcast(final), v.event_type == F.col("grp"))
+            .groupBy("event_type", "n_seen", "p50", "p90")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("val") <= F.col("p50")).cast("bigint")).alias(
+                    "n50"
+                ),
+                F.sum((F.col("val") <= F.col("p90")).cast("bigint")).alias(
+                    "n90"
+                ),
+            )
+            .select(
+                "event_type",
+                "n",
+                (
+                    (F.col("n_seen") == F.col("n"))
+                    & (
+                        F.abs(F.col("n50") / F.col("n") - 0.5)
+                        <= F.lit(0.005) + 1.0 / F.col("n")
+                    )
+                    & (
+                        F.abs(F.col("n90") / F.col("n") - 0.9)
+                        <= F.lit(0.005) + 1.0 / F.col("n")
+                    )
+                ).alias("sketch_ok"),
+            )
+        )
+
+        wq = Window.partitionBy("event_type").orderBy("val")
+        ranked = v.withColumn("rn", F.row_number().over(wq).cast("bigint"))
+        targets = audit.select(
+            "event_type",
+            "sketch_ok",
+            F.col("n").alias("n_events"),
+            F.ceil(F.lit(0.5) * F.col("n")).cast("bigint").alias("rn50"),
+            F.ceil(F.lit(0.9) * F.col("n")).cast("bigint").alias("rn90"),
+        )
+        joined = ranked.join(F.broadcast(targets), "event_type").where(
+            (F.col("rn") == F.col("rn50")) | (F.col("rn") == F.col("rn90"))
+        )
+        return (
+            joined.groupBy("event_type", "n_events", "sketch_ok")
+            .agg(
+                F.max(
+                    F.when(F.col("rn") == F.col("rn50"), F.col("val"))
+                ).alias("p50_exact"),
+                F.max(
+                    F.when(F.col("rn") == F.col("rn90"), F.col("val"))
+                ).alias("p90_exact"),
+            )
+            .select(
+                "event_type", "n_events", "p50_exact", "p90_exact",
+                "sketch_ok",
+            )
+        )
+
+
+_init_q335()

@@ -537,3 +537,68 @@ def ewma_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------- streaming quantiles
+
+_QDIGEST_SCHEMA = (
+    "grp string, n_seen bigint, p50 double, p90 double, seq int"
+)
+_QDIGEST_STATE_SCHEMA = "cjson string, n bigint, seq int"
+
+
+def _qdigest_fn(key: tuple, pdf_iter, state: GroupState):
+    """Streaming t-digest state function (applyInPandasWithState):
+    the carried state is the digest's centroid list (a few KB of
+    JSON — the mergeable-sketch contract means the state never grows
+    with the stream). Each micro-batch SORTS its values before
+    digesting, so the fold is insensitive to row arrival order
+    within the batch and the final state is a pure function of
+    (batch partitioning, values) — what lets q335 pin the stream's
+    estimates against batch-exact quantiles on the gate."""
+    import json as _json
+
+    from ..functions.sketch import (
+        _td_compress,
+        tdigest_merge,
+        tdigest_quantile,
+    )
+
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    vals = pd.to_numeric(rows["value"], errors="coerce").dropna()
+    if state.exists:
+        cjson, n, seq = state.get
+        cents = [tuple(c) for c in _json.loads(cjson)]
+    else:
+        cents, n, seq = [], 0, 0
+    batch = _td_compress(
+        [(float(v), 1.0) for v in sorted(vals)], 100
+    )
+    cents = tdigest_merge(cents + batch, 100)
+    n = int(n) + int(len(vals))
+    seq = int(seq) + 1
+    state.update((_json.dumps([list(c) for c in cents]), n, seq))
+    yield pd.DataFrame(
+        {
+            "grp": [key[0]],
+            "n_seen": [n],
+            "p50": [tdigest_quantile(cents, 0.5)],
+            "p90": [tdigest_quantile(cents, 0.9)],
+            "seq": [seq],
+        }
+    )
+
+
+def quantile_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-group quantile monitor over (event_type, value):
+    a t-digest per key carried in GroupState across micro-batches —
+    the unbounded twin of functions/sketch.py tdigest_group_quantiles.
+    State is O(delta) centroids per key forever; emissions carry a
+    monotonic seq so readers pick the freshest row."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _qdigest_fn,
+        outputStructType=_QDIGEST_SCHEMA,
+        stateStructType=_QDIGEST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

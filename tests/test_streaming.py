@@ -768,3 +768,45 @@ def test_warc_stream_refresh_matches_batch(spark, tmp_path):
     want = {(r.target_uri, r.h) for r in batch.collect()}
     assert got == want
     assert len(got) == 3  # the re-crawled page deduped
+
+
+def test_quantile_stream_state_bounded_and_accurate(spark, tmp_path):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.streaming.stream import (
+        quantile_stream,
+        run_to_memory,
+        stream_source,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(6000):
+        g = "a" if i % 3 else "b"
+        base = 10.0 if g == "a" else 200.0
+        rows.append((i, g, float(rng.lognormal(np.log(base), 0.5))))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double"
+    )
+    staged = str(tmp_path / "ev")
+    df.write.parquet(staged)
+    src = stream_source(
+        spark, staged, "event_id bigint, event_type string, value double"
+    )
+    run_to_memory(quantile_stream(src), "qstream_test", mode="update")
+    sink = spark.table("qstream_test")
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    wspec = w.partitionBy("grp").orderBy(F.col("seq").desc())
+    final = {
+        r["grp"]: r
+        for r in sink.withColumn("rn", F.row_number().over(wspec))
+        .filter("rn = 1")
+        .collect()
+    }
+    vals = {g: sorted(v for _, gg, v in rows if gg == g) for g in ("a", "b")}
+    for g, r in final.items():
+        assert r["n_seen"] == len(vals[g])  # no loss across batches
+        for q, est in ((0.5, r["p50"]), (0.9, r["p90"])):
+            rank = sum(1 for v in vals[g] if v <= est) / len(vals[g])
+            assert abs(rank - q) < 0.01, (g, q, rank)
