@@ -3990,9 +3990,13 @@ def _replay_events(
         out_ev = out_ev.unionAll(ev)
     out_ev.write.mode("overwrite").parquet(staged)
     schema = ", ".join(f"{c} {ddl[c]}" for c in cols)
-    out = build(lambda: st.stream_source(spark, staged, schema))
     sink = f"{sink_prefix}_{uuid.uuid4().hex[:8]}"
-    st.run_to_memory(out, sink, mode=mode)
+    # state-store partition count derived from staged bytes (see
+    # stream.scaled_state_partitions): a replay this small pays more
+    # in per-store fixed cost than it gains from parallelism
+    with st.scaled_state_partitions(spark, st._dir_bytes(staged)):
+        out = build(lambda: st.stream_source(spark, staged, schema))
+        st.run_to_memory(out, sink, mode=mode)
     shutil.rmtree(staged.rsplit("/", 1)[0], ignore_errors=True)
     return spark.table(sink)
 
@@ -4159,8 +4163,14 @@ def q107_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "PPJoin prefix filter (functions/dedup.py).",
 )
 def q108_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..util import spread
+
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a, b = p.alias("a"), p.alias("b")
+    # the broadcast join's probe side carries ALL the levenshtein
+    # compute; a dimension-sized part scan is one input split, so
+    # without a spread the whole O(sum |block|^2) DP runs in one task
+    # (no-op at corpus scale where the scan has native splits)
+    a, b = spread(p).alias("a"), p.alias("b")
     return (
         a.join(
             b,
@@ -15970,7 +15980,8 @@ def _init_q319() -> None:
             F.lower(F.md5("body")).alias("body_md5"),
         )
         sink = f"q319_{_uuid.uuid4().hex[:8]}"
-        st.run_to_memory(out, sink, mode="append")
+        with st.scaled_state_partitions(spark, st._dir_bytes(staged)):
+            st.run_to_memory(out, sink, mode="append")
         return spark.table(sink)
 
 
