@@ -2648,12 +2648,16 @@ def power_iteration_pc(
     Each round is v ← normalize(Xᵀ(Xv)), computed WITHOUT ever
     materializing the dim×dim Gram matrix:
 
-    * score_i = ⟨x_i, v⟩ — one row-local ``aggregate(zip_with(...))``
-      over the grid-quantized vector and the broadcast-literal v
-      (BIGINT exact, zero shuffle);
-    * w_j = Σ_i score_i · q_ij — ONE hash aggregate onto dim rows
-      (posexplode → groupBy(j)), DECIMAL(38,0) so the per-term
-      products (≤ ~2e19) never overflow;
+    * one ``mapInArrow`` pass computes, per Arrow batch, score_i =
+      ⟨q_i, v⟩ and the dim partial sums w_j = Σ_i score_i · q_ij as
+      two int64 numpy matmuls whose 128-bit products are recovered
+      exactly via a two-limb split, accumulated in Python ints, and
+      emitted as one DECIMAL(38,0) row per (partition, j) — so the
+      per-term products (≤ ~2e19) never overflow and the math stays
+      bit-exact (see ``w_frame`` below for why this replaced the
+      64-column codegen aggregate);
+    * ONE hash aggregate onto dim rows sums the partials
+      (DECIMAL(38,0), order-independent exact-integer sum);
     * L∞ normalization: v_j ← ⌊w_j / max|w| · 1e6 + 0.5⌋ on the 1e-6
       grid. Power iteration converges under any norm; the max form
       needs no sqrt and keeps v in small exact integers.
@@ -2683,49 +2687,125 @@ def power_iteration_pc(
         .persist()
     )
 
-    def w_row(v: list[int]) -> DataFrame:
-        # score as an explicit 64-term BIGINT sum (literal v values):
-        # higher-order folds (aggregate/zip_with) are INTERPRETED
-        # per-element, and a posexplode fans n rows out 64x before a
-        # decimal shuffle — at sf1 that round shape measured 8s; the
-        # flat codegen expression + single-row map-side aggregate
-        # below measures <1s. Sums are decimal, so the math (and the
-        # unrolled-CTE oracle) is order-independent and unchanged.
-        score = None
-        for j in range(dim):
-            term = F.col("__q")[j] * F.lit(int(v[j])).cast("bigint")
-            score = term if score is None else score + term
-        # project the score ONCE: referenced 64x by the aggregate, a
-        # non-cheap expression survives CollapseProject as its own
-        # attribute — inlined it recomputes the 64-term chain per
-        # aggregate column (64x work) and the codegen blowup measured
-        # 32s at sf0.01 vs ~2s projected
-        scored = base.select(
-            "__q", score.cast("decimal(38,0)").alias("__s")
-        )
-        return scored.agg(
-            *[
-                F.sum(F.col("__s") * F.col("__q")[j]).alias(f"w{j}")
-                for j in range(dim)
-            ]
+    def w_frame(v: list[int]) -> DataFrame:
+        # One mapInArrow + a 64-key hash aggregate per round. The
+        # r5-r10 form was a flat 64-term codegen score chain + 64
+        # DECIMAL(38,0) aggregate columns — exact, but Catalyst
+        # analysis + Janino compile of that tree cost ~2.5s PER ROUND
+        # regardless of data size (v changes each round, so nothing
+        # caches), which dominated the whole query at every bench SF
+        # (5 rounds over 2,000 sf0.1 rows = 13s). This form keeps the
+        # plan small and round-invariant (v travels in the pickled
+        # closure, not in literals) and does the per-batch math as two
+        # int64 numpy matmuls (guide §4.2) with the 128-bit products
+        # recovered exactly:
+        #   s_i = <q_i, v>          (int64 matmul, bound-checked)
+        #   s_i = hi_i*2^k + lo_i   (k from max|s|; lo in [0, 2^k))
+        #   w_j = 2^k * sum(q_ij*hi_i) + sum(q_ij*lo_i)
+        # Per-batch partials accumulate in arbitrary-precision Python
+        # ints and leave the worker as DECIMAL(38,0) rows (j, wp) —
+        # one row per (partition, j) — so the cross-partition sum is
+        # the same order-independent exact-integer sum as before and
+        # w_j is bit-identical to the unrolled-CTE oracle. Inputs
+        # whose magnitudes break the int64 bounds (|q| beyond ~1e7 at
+        # the default 10k-row batch) fall back to exact per-row
+        # Python-int math — slower, never wrong. Rows whose sliced
+        # vector is short or has null cells contributed NULL (nothing)
+        # to the old sums; they are skipped here, same result.
+        vs = [int(x) for x in v]
+        d = dim
+
+        def gen(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            v_np = np.asarray(vs, dtype=np.int64)
+            mv = max(1, max(abs(x) for x in vs))
+            tot = [0] * d
+            seen = False
+            for batch in batches:
+                arr = batch.column(0)
+                n = len(arr)
+                if n == 0:
+                    continue
+                flat = arr.flatten()
+                if (
+                    arr.null_count == 0
+                    and flat.null_count == 0
+                    and len(flat) == n * d
+                ):
+                    Q = np.asarray(flat, dtype=np.int64).reshape(n, d)
+                else:
+                    # slow path: drop rows the old NULL-propagating
+                    # score chain dropped (short slice / null cell)
+                    rows = [
+                        r[:d]
+                        for r in arr.to_pylist()
+                        if r is not None
+                        and len(r) >= d
+                        and all(x is not None for x in r[:d])
+                    ]
+                    if not rows:
+                        continue
+                    Q = np.asarray(rows, dtype=np.int64)
+                    n = len(rows)
+                seen = True
+                mq = int(np.abs(Q).max()) if Q.size else 0
+                if mq and d * mq * mv < (1 << 62):
+                    s = Q @ v_np
+                    smax = int(np.abs(s).max())
+                    k = max(0, smax.bit_length() - 21)
+                    if (
+                        n * mq * (1 << 21) < (1 << 62)
+                        and n * mq * (1 << k) < (1 << 62)
+                    ):
+                        hi = s >> k  # arithmetic shift == floor div
+                        lo = s - (hi << k)
+                        A = Q.T @ hi
+                        B = Q.T @ lo
+                        for j in range(d):
+                            tot[j] += (int(A[j]) << k) + int(B[j])
+                        continue
+                # exact fallback for extreme magnitudes
+                for i in range(Q.shape[0]):
+                    qi = [int(x) for x in Q[i]]
+                    si = sum(qq * ww for qq, ww in zip(qi, vs))
+                    for j in range(d):
+                        tot[j] += si * qi[j]
+            if seen:
+                from decimal import Decimal
+
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(list(range(d)), type=pa.int32()),
+                        pa.array(
+                            [Decimal(t) for t in tot],
+                            type=pa.decimal128(38, 0),
+                        ),
+                    ],
+                    names=["j", "wp"],
+                )
+
+        return (
+            base.select("__q")
+            .mapInArrow(gen, "j int, wp decimal(38,0)")
+            .groupBy("j")
+            .agg(F.sum("wp").alias("w"))
         )
 
     v = [1_000_000] * dim
     for _ in range(rounds - 1):
-        (row,) = w_row(v).collect()  # bounded: one row of dim sums
-        w = [float(row[f"w{j}"]) for j in range(dim)]
+        rows = w_frame(v).collect()  # bounded: dim rows of sums
+        wbyj = {r["j"]: r["w"] for r in rows}
+        w = [float(wbyj[j]) for j in range(dim)]
         m = max(abs(x) for x in w)
         v = [
             math.floor(w[j] / m * 1e6 + 0.5) if m > 0 else 0
             for j in range(dim)
         ]
-    # final round stays in-engine: unpivot the 1-row aggregate to
-    # (j, w), then one L-inf normalization against its broadcast max
-    wf = w_row(v).select(
-        F.posexplode(
-            F.array(*[F.col(f"w{j}") for j in range(dim)])
-        ).alias("j", "w")
-    )
+    # final round stays in-engine: the (j, w) aggregate normalized
+    # against its broadcast L-inf max
+    wf = w_frame(v)
     mf = wf.agg(F.max(F.abs(F.col("w").cast("double"))).alias("m"))
     out = wf.crossJoin(F.broadcast(mf)).select(
         F.col("j").cast("int").alias("j"),

@@ -617,6 +617,56 @@ def test_power_iteration_matches_numpy_eigvec(spark):
     assert abs(float(np.dot(v, top))) > 0.99
 
 
+def test_power_iteration_exact_vs_python_reference(spark):
+    # bit-exactness of the Arrow-round implementation against a pure
+    # Python-int replay of the same iteration, including rows that
+    # exceed the int64 fast-path bounds (|q| ~ 1e12 forces the exact
+    # fallback) and a short row the NULL-propagating semantics drop
+    import random
+
+    import numpy as np
+
+    rng = random.Random(7)
+    dim, rounds = 8, 3
+    rows = []
+    for i in range(30):
+        scale = 1e6 if i % 7 == 0 else 1.0  # mixed magnitudes
+        rows.append(
+            (i, [rng.uniform(-1, 1) * scale for _ in range(dim)])
+        )
+    rows.append((99, [0.5] * (dim - 2)))  # short row: dropped
+    df = vec_df(spark, rows)
+    out = {
+        r.j: r.v
+        for r in S.power_iteration_pc(df, rounds=rounds, dim=dim).collect()
+    }
+
+    # reference: same quantization (float32 storage, double math),
+    # exact Python ints throughout
+    Q = []
+    for _, emb in rows:
+        if len(emb) < dim:
+            continue
+        Q.append(
+            [
+                math.floor(float(np.float32(x)) * 1e6 + 0.5)
+                for x in emb[:dim]
+            ]
+        )
+    v = [1_000_000] * dim
+    for _ in range(rounds):
+        s = [sum(q * w for q, w in zip(qi, v)) for qi in Q]
+        w = [
+            sum(si * qi[j] for si, qi in zip(s, Q)) for j in range(dim)
+        ]
+        m = max(abs(float(x)) for x in w)
+        v = [
+            math.floor(float(w[j]) / m * 1e6 + 0.5) if m > 0 else 0
+            for j in range(dim)
+        ]
+    assert out == {j: v[j] for j in range(dim)}
+
+
 def test_knn_label_eval_separable_clusters(spark):
     # two tight clusters with distinct labels: the confusion matrix
     # must be purely diagonal
