@@ -2516,9 +2516,17 @@ def ridge_cv(
 
     Returns (fold, n_train, n_test, b0, b1, b2, mse) — one row per
     fold, coefficients rounded to 8, mse to 4.
+
+    r11: the input is spread() first — the md5 fold hash and the
+    nine round-9 double->decimal moment conversions are the per-row
+    cost, and on a single-split scan they ran in ONE task (7.5s of
+    the 8.8s sf0.1 total in the map-stage breakdown; guide §2.5).
+    No-op whenever the scan has native splits.
     """
+    from ..util import spread
     from .sampling import hash_bucket
 
+    df = spread(df)
     base = df.select(
         hash_bucket(F.col(id_col), seed=seed, buckets=k).alias("fold"),
         F.col(x1_col).cast("double").alias("x1"),
@@ -2847,7 +2855,15 @@ def mahalanobis_outliers(
     0, e.g. constant features) emit nothing — a documented drop,
     not a NaN. Returns the ``top_k`` rows per group by
     (d2 desc, id): (grp, rid, d2) with d2 rounded to 6.
+
+    r11: input spread() first — the round-9 double->decimal moment
+    conversions (and the d^2 scoring pass) are map-side per-row
+    cost that a single-split scan serializes into one task (guide
+    §2.5). No-op whenever the scan has native splits.
     """
+    from ..util import spread
+
+    df = spread(df)
     base = df.select(
         F.col(group_col).alias("grp"),
         F.col(x1_col).cast("double").alias("x1"),
@@ -3747,7 +3763,17 @@ def poisson_bootstrap_ci(
     rank. Replicate means are single divides of exact decimal sums;
     the rank window runs over B rows per group. Returns (grp, n,
     mean_full, ci_lo, ci_hi).
+
+    r11: the input is spread() first — the b/4-way explode, the md5
+    per (row, hash-block) and the weight inverse-CDF all run
+    map-side BEFORE the (grp, bi) shuffle, so on a single-split scan
+    (one parquet row group) the whole per-row cost otherwise lands
+    in ONE task (guide §2.5 input skew). No-op whenever the scan
+    already has >= cluster-parallelism native splits.
     """
+    from ..util import spread
+
+    df = spread(df)
     th = _poisson1_thresholds()
     base = df.select(
         F.col(group_col).alias("grp"),

@@ -1705,7 +1705,20 @@ def _codec_fixture(spark, sf_dir, name, version, build):
     final = f"{_SCRATCH}/fixtures/{tag}/{name}_v{version}"
     if not _os.path.exists(_os.path.join(final, "_FIXTURE_OK")):
         tmp = f"{final}.build-{_uuid.uuid4().hex[:8]}"
-        build().write.mode("overwrite").parquet(tmp)
+        # r11: one part-file per core (was: the build plan's native
+        # partitioning — usually ONE file, because the generator
+        # reads a single-row-group base table). A 1-file fixture
+        # serializes the benched DECODE mapInPandas into one task
+        # (guide §2.5 input skew); with ~defaultParallelism files the
+        # scan gets one split per file (openCost floor) and decode
+        # parallelizes with ZERO added Exchange, keeping the
+        # plan-asserted partition-local property. Content identical:
+        # the fingerprint is order-independent, row order never
+        # reaches an oracle (all decode queries hash order-
+        # insensitively).
+        build().repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").parquet(tmp)
         back = spark.read.parquet(tmp)
         cols = ", ".join(f"`{c}`" for c in back.columns)
         fp = back.agg(
