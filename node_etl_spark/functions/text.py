@@ -642,24 +642,34 @@ def bigram_rows(
 ) -> DataFrame:
     """All consecutive token pairs per document WITH multiplicity
     (unlike ``..dedup.shingle_rows``, which dedups — language-model
-    counts need every occurrence). Arrow-batched narrow pass."""
-    from pyspark.sql.functions import pandas_udf
+    counts need every occurrence).
 
-    @pandas_udf("array<struct<w1:string,w2:string>>")
-    def _pairs(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = [w for w in (t or "").split(" ") if w]
-            out.append(
-                [{"w1": a, "w2": b} for a, b in zip(toks, toks[1:])]
-            )
-        return pd.Series(out)
-
+    r11: pure JVM higher-order functions (split -> filter empties ->
+    transform over an index sequence) replace the former Arrow
+    pandas_udf — same tokens (split on single space, drop empty
+    strings), zero Python boundary (guide §4.1: prefer built-ins;
+    the ArrowEvalPython node disappears from every LM-score plan)."""
     from ..util import spread
 
     return (
         spread(df.select(F.col(id_col).alias("doc_id"), text_col))
-        .select("doc_id", F.explode(_pairs(F.col(text_col))).alias("p"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"filter(split(coalesce({text_col}, '') , ' '), x -> x != '')"
+            ).alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(__toks) >= 2 THEN "
+                    "transform(sequence(0, size(__toks) - 2), "
+                    "i -> struct(__toks[i] AS w1, __toks[i+1] AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("p"),
+        )
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
 
@@ -1093,28 +1103,34 @@ def trigram_rows(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """All consecutive token triples per document WITH multiplicity
-    (the trigram analogue of :func:`bigram_rows`). Arrow-batched
-    narrow pass; one output row per trigram occurrence."""
-    from pyspark.sql.functions import pandas_udf
+    (the trigram analogue of :func:`bigram_rows`). One output row per
+    trigram occurrence.
 
-    @pandas_udf("array<struct<w1:string,w2:string,w3:string>>")
-    def _triples(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = [w for w in (t or "").split(" ") if w]
-            out.append(
-                [
-                    {"w1": a, "w2": b, "w3": c}
-                    for a, b, c in zip(toks, toks[1:], toks[2:])
-                ]
-            )
-        return pd.Series(out)
-
+    r11: pure JVM higher-order functions replace the former Arrow
+    pandas_udf (same tokens: split on single space, drop empty
+    strings) — zero Python boundary (guide §4.1)."""
     from ..util import spread
 
     return (
         spread(df.select(F.col(id_col).alias("doc_id"), text_col))
-        .select("doc_id", F.explode(_triples(F.col(text_col))).alias("g"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"filter(split(coalesce({text_col}, '') , ' '), x -> x != '')"
+            ).alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(__toks) >= 3 THEN "
+                    "transform(sequence(0, size(__toks) - 3), "
+                    "i -> struct(__toks[i] AS w1, __toks[i+1] AS w2, "
+                    "__toks[i+2] AS w3)) "
+                    "ELSE array() END"
+                )
+            ).alias("g"),
+        )
         .select(
             "doc_id",
             F.col("g.w1").alias("w1"),
@@ -1168,8 +1184,12 @@ def kn_trigram_score(
         F.count(F.lit(1)).alias("tf")
     )
     tf3 = tf3.persist()
-    # trigram/bigram occurrence counts over the corpus
-    c3 = tf3.groupBy("w1", "w2", "w3").agg(F.sum("tf").alias("c3"))
+    # trigram/bigram occurrence counts over the corpus.
+    # r11: c3 (the trigram TYPE table) is persisted — every corpus
+    # statistic below re-aggregates c3, and without the persist each
+    # one re-ran the tf3->c3 groupBy from lineage (5x the dominant
+    # shuffle; guide §5 caching-for-reuse).
+    c3 = tf3.groupBy("w1", "w2", "w3").agg(F.sum("tf").alias("c3")).persist()
     c2 = c3.groupBy("w1", "w2").agg(
         F.sum("c3").alias("c2"),
         F.count(F.lit(1)).alias("n3f"),  # N1+(w1 w2 .)
@@ -1210,18 +1230,26 @@ def kn_trigram_score(
         )
         * p2
     )
-    term = (
-        tf3.join(c3, ["w1", "w2", "w3"])
-        .join(c2, ["w1", "w2"])
+    # r11: attach every statistic in TYPE space first (c3 is the
+    # smallest frame that still carries all join keys), producing one
+    # (w1, w2, w3) -> ln(p3) weight table, and join the per-doc tf3
+    # frame ONCE — the old chain dragged the biggest frame (tf3)
+    # through all five stat joins (guide §2.3: shuffle the lightweight
+    # proxy, not the payload). ln(p3) is computed per TYPE from the
+    # identical expression tree over identical integers, then
+    # multiplied by tf per doc row — bit-identical terms.
+    weight = (
+        c3.join(c2, ["w1", "w2"])
         .join(cc2, ["w2", "w3"])
         .join(mid, "w2")
         .join(prec, "w3")
         .crossJoin(F.broadcast(bt))
-        .select(
-            "doc_id",
-            "tf",
-            (F.col("tf") * F.log(p3)).cast("decimal(28,12)").alias("t"),
-        )
+        .select("w1", "w2", "w3", F.log(p3).alias("lp3"))
+    )
+    term = tf3.join(weight, ["w1", "w2", "w3"]).select(
+        "doc_id",
+        "tf",
+        (F.col("tf") * F.col("lp3")).cast("decimal(28,12)").alias("t"),
     )
     return (
         term.groupBy("doc_id")

@@ -1736,8 +1736,17 @@ def _codec_fixture(spark, sf_dir, name, version, build):
 
 
 def _roundtrip_frame(spark: SparkSession, sf_dir: str):
-    return table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+    from ..util import spread
+
+    # r11: spread the sink input — the single-row-group orders scan
+    # writes ONE csv/ndjson/xml/orc file, so the sink's text
+    # serialization AND the parse-back scan both ran single-task
+    # (guide §2.5); with one file per core both sides parallelize.
+    # No-op at scale; the roundtrip oracle is order-insensitive.
+    return spread(
+        table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
     )
 
 
