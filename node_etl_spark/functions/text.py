@@ -701,23 +701,27 @@ def bigram_lm_score(
     cb = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
     cc = tf.groupBy("w1").agg(F.sum("tf").alias("cc"))
     v = tf.agg(F.countDistinct("w2").alias("v"))
-    term = (
-        tf.join(cb, ["w1", "w2"])
-        .join(cc, "w1")
+    # r11: stats fold into the (w1, w2) TYPE table first (same
+    # type-space restructure as kn_trigram_score) — one ln(p) weight
+    # per bigram type from the identical expression tree, so each
+    # tf * ln(p) term stays bit-exact; the per-doc tf frame joins
+    # once instead of riding both stat joins (guide §2.3).
+    weight = (
+        cb.join(cc, "w1")
         .crossJoin(F.broadcast(v))
         .select(
-            "doc_id",
-            "tf",
-            (
-                F.col("tf")
-                * F.log(
-                    (F.col("cb") + F.lit(1)).cast("double")
-                    / (F.col("cc") + F.col("v")).cast("double")
-                )
-            )
-            .cast("decimal(28,12)")
-            .alias("t"),
+            "w1",
+            "w2",
+            F.log(
+                (F.col("cb") + F.lit(1)).cast("double")
+                / (F.col("cc") + F.col("v")).cast("double")
+            ).alias("lp"),
         )
+    )
+    term = tf.join(weight, ["w1", "w2"]).select(
+        "doc_id",
+        "tf",
+        (F.col("tf") * F.col("lp")).cast("decimal(28,12)").alias("t"),
     )
     return (
         term.groupBy("doc_id")
