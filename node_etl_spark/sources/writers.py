@@ -131,22 +131,43 @@ class JsonArraySink(Sink):
         self.transport = transport
 
     def write(self, df: DataFrame, ctx: "Context") -> None:
-        capped = df.limit(self.max_rows + 1).collect()
+        from pyspark.sql import functions as F
+
+        # Rows are serialized to JSON inside the JVM (codegen to_json)
+        # and the driver only concatenates strings: the previous
+        # pickled-Row collect + per-row asDict(recursive) + python
+        # json.dump was the dominant cost of the sink at the 150k-row
+        # gate leg (guide §4 — keep per-row work out of Python).
+        # ignoreNullFields=false keeps explicit "k": null entries,
+        # matching both the old python path and the reference's
+        # JSON.stringify; dates/timestamps now emit ISO-8601 (Jackson),
+        # which is JSON.stringify's format too.
+        capped = (
+            df.limit(self.max_rows + 1)
+            .select(
+                F.to_json(
+                    F.struct(*[F.col(c) for c in df.columns]),
+                    {"ignoreNullFields": "false"},
+                ).alias("j")
+            )
+            .collect()
+        )
         if len(capped) > self.max_rows:
             raise ValueError(
                 f"JsonArraySink: >{self.max_rows} rows; use NdjsonSink/ParquetSink"
             )
-        payload = [row.asDict(recursive=True) for row in capped]
+        payload = "[" + ",".join(r["j"] for r in capped) + "]"
         path = ctx.resolve_url(self.path)
         if path.startswith(("http:", "https:")):
-            data = json.dumps(payload, ensure_ascii=False, default=str).encode("utf-8")
-            (self.transport or _default_post)(path, data, self.req_options)
+            (self.transport or _default_post)(
+                path, payload.encode("utf-8"), self.req_options
+            )
             return
         if path.startswith("file:"):
             path = path[len("file:") :]
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w", encoding="utf-8") as fh:
-            json.dump(payload, fh, ensure_ascii=False, default=str)
+            fh.write(payload)
 
 
 class HttpNdjsonSink(Sink):
