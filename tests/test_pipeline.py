@@ -58,6 +58,26 @@ def test_json_array_sink(spark, tmp_path):
     assert sorted(d["v"] for d in data) == [1, 2]
 
 
+def test_json_array_sink_keeps_explicit_nulls_and_nesting(spark, tmp_path):
+    # the JVM to_json serialization path must keep "k": null entries
+    # (ignoreNullFields=false — JSON.stringify parity with the
+    # reference WriterJSON) and round-trip nested arrays/structs the
+    # way the old python json.dump of asDict(recursive=True) did
+    df = spark.createDataFrame(
+        [(1, None, [1, 2], {"a": "x"}), (2, "s", [], {"a": None})],
+        "id bigint, tag string, xs array<int>, st struct<a string>",
+    )
+    dest = str(tmp_path / "arr.json")
+    JsonArraySink(dest).write(df, Context())
+    raw = open(dest).read()
+    assert '"tag":null' in raw.replace(" ", "")  # explicit null kept
+    data = sorted(json.load(open(dest)), key=lambda d: d["id"])
+    assert data == [
+        {"id": 1, "tag": None, "xs": [1, 2], "st": {"a": "x"}},
+        {"id": 2, "tag": "s", "xs": [], "st": {"a": None}},
+    ]
+
+
 def test_splitter_routed_row_conservation(spark, tmp_path):
     # reference job-splitter.js routed mode: each row to exactly one receiver
     df = spark.createDataFrame([(i,) for i in range(20)], "v int")
