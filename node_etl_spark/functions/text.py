@@ -694,6 +694,13 @@ def bigram_lm_score(
     DECIMAL(28,12) and summed exactly (order-independent), and a
     final round(6) absorbs sub-ulp libm differences — the q132
     token-entropy discipline.
+
+    Storage contract: the per-doc tf frame is ``persist()``-ed (the
+    stats side and the scoring side both read it) and the handle is
+    owned by the returned plan — it cannot be released before the
+    caller's final action. Library callers running many scores in one
+    session should ``spark.catalog.clearCache()`` (or unpersist the
+    session's RDD handles) between calls, as bench.py does.
     """
     bg = bigram_rows(df, text_col=text_col, id_col=id_col)
     tf = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
@@ -1182,6 +1189,14 @@ def kn_trigram_score(
     identical expression tree (deterministic in both engines); each
     ``tf * ln(p3)`` term is quantized to DECIMAL(28,12) and summed
     exactly; a final round(6) absorbs sub-ulp libm ln() differences.
+
+    Storage contract: ``tf3`` and the trigram type table ``c3`` are
+    ``persist()``-ed (every corpus statistic re-aggregates them) and
+    the handles are owned by the returned plan — they cannot be
+    released before the caller's final action. Library callers running
+    many scores in one session should ``spark.catalog.clearCache()``
+    (or unpersist the session's RDD handles) between calls, as
+    bench.py does.
     """
     tg = trigram_rows(df, text_col=text_col, id_col=id_col)
     tf3 = tg.groupBy("doc_id", "w1", "w2", "w3").agg(

@@ -1703,7 +1703,31 @@ def _codec_fixture(spark, sf_dir, name, version, build):
 
     tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
     final = f"{_SCRATCH}/fixtures/{tag}/{name}_v{version}"
-    if not _os.path.exists(_os.path.join(final, "_FIXTURE_OK")):
+    ok = _os.path.exists(_os.path.join(final, "_FIXTURE_OK"))
+    if ok:
+        # r12 (verdict r11 ask #6): the r11 multi-file layout landed
+        # without a version bump, so a stale single-file fixture from
+        # an earlier round (or one built by a low-core companion run)
+        # would silently serialize the benched decode into one task
+        # again. The layout is part of fixture validity: fewer
+        # part-files than min(parallelism, rows) means a stale layout
+        # — rebuild. (Tiny fixtures — q319's 3 snapshot blobs — write
+        # one file per row and stay valid; a fixture built at higher
+        # parallelism stays valid at lower.)
+        try:
+            with open(_os.path.join(final, "_FIXTURE_OK")) as f:
+                rows = int(_json.load(f).get("rows", 0))
+        except (OSError, ValueError):
+            rows = 0
+        nparts = sum(
+            1 for f in _os.listdir(final) if f.startswith("part-")
+        )
+        if nparts < min(spark.sparkContext.defaultParallelism, rows):
+            ok = False
+            # drop the stale layout now so the atomic publish rename
+            # below has a clear target
+            _shutil.rmtree(final, ignore_errors=True)
+    if not ok:
         tmp = f"{final}.build-{_uuid.uuid4().hex[:8]}"
         # r11: one part-file per core (was: the build plan's native
         # partitioning — usually ONE file, because the generator

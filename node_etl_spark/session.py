@@ -49,6 +49,20 @@ def get_spark(
         # as pure task-overhead for the many tiny stages of iterative
         # operators.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-optimize (and byte-coalesce) the stages that
+        # MATERIALIZE persisted plans. Off by default only because a
+        # consumer relying on the cached output partitioning may then
+        # see an extra shuffle; profiling (guide §2.2) showed the
+        # opposite regime here: operators that persist small
+        # intermediate frames (per-doc tf tables, shingle streams)
+        # were materializing with the full session partition count,
+        # fanning every downstream stage into cores-many near-empty
+        # tasks. Byte-targeted, so a no-op on big cached frames —
+        # measured q218 3.52->2.25s, q219 2.81->1.68s at 32 cores.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

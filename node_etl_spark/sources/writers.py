@@ -141,12 +141,32 @@ class JsonArraySink(Sink):
         # ignoreNullFields=false keeps explicit "k": null entries,
         # matching both the old python path and the reference's
         # JSON.stringify; dates/timestamps now emit ISO-8601 (Jackson),
-        # which is JSON.stringify's format too.
+        # which is JSON.stringify's format too. Non-finite doubles emit
+        # as quoted "NaN"/"Infinity" strings (Jackson) — documented in
+        # the CHANGELOG (JSON has no token for them; the old python
+        # path emitted bare invalid tokens).
+        # to_json emits every struct field, so duplicate column names
+        # would produce duplicate JSON keys (parser-dependent result);
+        # the old Row.asDict() collapsed them silently — refuse instead.
+        if len(set(df.columns)) != len(df.columns):
+            dupes = sorted(
+                {c for c in df.columns if df.columns.count(c) > 1}
+            )
+            raise ValueError(
+                f"JsonArraySink: duplicate column names {dupes} would "
+                "emit duplicate JSON keys; rename before writing"
+            )
+        # backtick-quote every column reference so literal names
+        # containing dots resolve as-is; bare F.col(c) (and df[c])
+        # would parse "a.b" as a nested-field reference
+        def _q(c: str):
+            return F.col("`" + c.replace("`", "``") + "`")
+
         capped = (
             df.limit(self.max_rows + 1)
             .select(
                 F.to_json(
-                    F.struct(*[F.col(c) for c in df.columns]),
+                    F.struct(*[_q(c) for c in df.columns]),
                     {"ignoreNullFields": "false"},
                 ).alias("j")
             )

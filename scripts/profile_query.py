@@ -73,9 +73,10 @@ def main() -> None:
             times.append(dt)
             clear_blocks()
         if explain:
-            os.makedirs("plans/r11", exist_ok=True)
+            plans_dir = os.environ.get("PROFILE_PLANS_DIR", "plans/r12")
+            os.makedirs(plans_dir, exist_ok=True)
             df = q.fn(spark, sf_dir)
-            p = f"plans/r11/{name.split('_', 1)[0]}_{tag}.txt"
+            p = f"{plans_dir}/{name.split('_', 1)[0]}_{tag}.txt"
             with open(p, "w") as fh:
                 fh.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))

@@ -78,6 +78,49 @@ def test_json_array_sink_keeps_explicit_nulls_and_nesting(spark, tmp_path):
     ]
 
 
+def test_json_array_sink_pins_timestamp_and_date_format(spark, tmp_path):
+    # the JVM to_json path emits ISO-8601 for dates/timestamps
+    # (JSON.stringify parity). Pin the exact rendering so a format
+    # regression (e.g. back to python str()) fails loudly.
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                datetime.datetime(2024, 3, 5, 12, 30, 45, 123000),
+                datetime.date(2024, 3, 5),
+            )
+        ],
+        "id bigint, ts timestamp, d date",
+    )
+    dest = str(tmp_path / "arr.json")
+    JsonArraySink(dest).write(df, Context())
+    data = json.load(open(dest))
+    assert data == [
+        {"id": 1, "ts": "2024-03-05T12:30:45.123Z", "d": "2024-03-05"}
+    ]
+
+
+def test_json_array_sink_dotted_column_names(spark, tmp_path):
+    # literal column names containing dots must serialize as-is, not
+    # be parsed as nested-field references (the F.col(c) hazard)
+    df = spark.createDataFrame([(1, "x")], ["a.b", "plain"])
+    dest = str(tmp_path / "arr.json")
+    JsonArraySink(dest).write(df, Context())
+    assert json.load(open(dest)) == [{"a.b": 1, "plain": "x"}]
+
+
+def test_json_array_sink_refuses_duplicate_columns(spark, tmp_path):
+    import pytest
+
+    df = spark.createDataFrame([(1, 2)], "v int, w int").selectExpr(
+        "v", "w AS v"
+    )
+    with pytest.raises(ValueError, match="duplicate column names"):
+        JsonArraySink(str(tmp_path / "arr.json")).write(df, Context())
+
+
 def test_splitter_routed_row_conservation(spark, tmp_path):
     # reference job-splitter.js routed mode: each row to exactly one receiver
     df = spark.createDataFrame([(i,) for i in range(20)], "v int")
