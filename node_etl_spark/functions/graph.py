@@ -1410,9 +1410,10 @@ def hits(
     centrality PageRank's single score conflates.
 
     Execution per round: two joins (scores onto edges) + two hash
-    aggregates — exactly the Pregel cost shape of :func:`pagerank`,
-    with per-round ``localCheckpoint`` lineage truncation. Score
-    state is one row per node; edges persist once.
+    aggregates — exactly the Pregel cost shape of :func:`pagerank` —
+    with each half-round's raw sums persisted (the renorm max and the
+    next half-round both re-read them). Score state is one row per
+    node; edges persist once.
     ``broadcast_scores`` (mirroring pagerank's ``broadcast_ranks``)
     ships the node-sized score frame to the persisted edge partitions
     instead of shuffling the edge set twice per round. Default False:
@@ -1439,19 +1440,25 @@ def hits(
     ).localCheckpoint(eager=True)
 
     def renorm(df: DataFrame, col: str) -> DataFrame:
-        # Checkpoint the raw sums FIRST, then fetch the max as a 1-row
-        # driver read and fold it in as a literal: the old form
-        # (crossJoin(broadcast(df.agg(max))) then checkpoint) made the
-        # broadcast-build job re-walk the whole join+agg subtree for
-        # the max branch before the main job ran it again — two
-        # full-plan walks per half-round (ReuseExchange dedupes the
-        # shuffle map side but not the final-agg stage). Interleaved
-        # best-of-3 A/B at sf0.1 (4 rounds): 4.53s -> 4.14s, output
-        # bit-identical (the collected max is the same IEEE double the
-        # broadcast carried). The lazy floor projection over the
-        # checkpointed frame keeps lineage bounded — each half-round
-        # still truncates at the raw-sum checkpoint.
-        raw = df.localCheckpoint(eager=True)
+        # Persist the raw sums and let the 1-row max read MATERIALIZE
+        # the cache: one driver action per half-round where the r11
+        # form (localCheckpoint(eager) then first()) paid two — the
+        # checkpoint job and the max job walked the same node-sized
+        # data back to back, and at sf0.1 the per-job fixed cost
+        # (planning + scheduling) was the whole bill (guide §2.4 /
+        # §5). The max is fetched as a 1-row first() and folded in as
+        # a literal exactly as before — the old crossJoin(broadcast(
+        # agg)) form re-walked the whole subtree per half-round. The
+        # floor projection stays lazy over the persisted frame; the
+        # double reference (max branch + next half-round) hits the
+        # cache, which is what made lazy chaining safe here (the
+        # un-persisted lazy form measured 2x worse in r11).
+        # Interleaved best-of-3 A/B at sf0.1 (4 rounds): 5.12s ->
+        # 4.06s, output bit-identical. The per-half-round persists
+        # are node-sized and owned by the returned plan (callers
+        # clear the session's RDD handles between queries, as
+        # bench.py does).
+        raw = df.persist()
         m = raw.agg(F.max(F.col(col).cast("double")).alias("m")).first()["m"]
         return raw.select(
             df.columns[0],

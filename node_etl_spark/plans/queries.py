@@ -5994,20 +5994,41 @@ _PART_EDGES2_SQL = """
 
 def _part_cooccur(spark: SparkSession, sf_dir: str, min_cnt: int = 1) -> DataFrame:
     """Part co-occurrence pairs (src, dst, cnt = distinct co-orders)
-    via groupBy + double explode — one lineitem shuffle, the pair
-    blowup stays narrow inside each order's bounded set (see q122)."""
+    via groupBy + explode — one lineitem shuffle, the pair blowup
+    stays narrow inside each order's bounded set (see q122).
+
+    r12 (guide §2.3 — shuffle fewer bytes): only ``src < dst`` pairs
+    are generated and aggregated; the symmetric mirror is a narrow
+    union AFTER the count. The co-order count of (a, b) equals that
+    of (b, a), so mirroring post-aggregation is value-identical while
+    the explode output and the (src, dst) count shuffle both halve.
+    Pairs are generated by a nested HOF over the sorted set — exactly
+    n(n-1)/2 rows — instead of the n^2 double explode + filter."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
-    pairs = (
-        sets.select(F.explode("ps").alias("src"), "ps")
-        .select("src", F.explode("ps").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
+    sets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    lo = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     if min_cnt > 1:
-        pairs = pairs.filter(F.col("cnt") >= min_cnt)
-    return pairs
+        lo = lo.filter(F.col("cnt") >= min_cnt)
+    return lo.unionByName(
+        lo.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cnt"
+        )
+    )
 
 
 @register(
