@@ -5999,11 +5999,14 @@ def _part_cooccur(spark: SparkSession, sf_dir: str, min_cnt: int = 1) -> DataFra
 
     r12 (guide §2.3 — shuffle fewer bytes): only ``src < dst`` pairs
     are generated and aggregated; the symmetric mirror is a narrow
-    union AFTER the count. The co-order count of (a, b) equals that
-    of (b, a), so mirroring post-aggregation is value-identical while
-    the explode output and the (src, dst) count shuffle both halve.
-    Pairs are generated by a nested HOF over the sorted set — exactly
-    n(n-1)/2 rows — instead of the n^2 double explode + filter."""
+    per-row explode AFTER the count (each aggregated row emits both
+    directions in one pass — a union of the two directions would
+    execute the reduce-side aggregate twice). The co-order count of
+    (a, b) equals that of (b, a), so mirroring post-aggregation is
+    value-identical while the explode output and the (src, dst) count
+    shuffle both halve. Pairs are generated by a nested HOF over the
+    sorted set — exactly n(n-1)/2 rows — instead of the n^2 double
+    explode + filter."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     sets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
@@ -6024,11 +6027,18 @@ def _part_cooccur(spark: SparkSession, sf_dir: str, min_cnt: int = 1) -> DataFra
     )
     if min_cnt > 1:
         lo = lo.filter(F.col("cnt") >= min_cnt)
-    return lo.unionByName(
-        lo.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "cnt"
-        )
-    )
+    return lo.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst"), F.col("cnt")),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.col("cnt"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst", "p.cnt")
 
 
 @register(
