@@ -1227,3 +1227,55 @@ def test_grouped_tdigest_plan_is_group_keyed(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 5
+
+
+def test_part_cooccur_matches_double_explode_reference(spark, sf_dir):
+    # r12: pair generation was rewritten to emit only src<dst pairs
+    # (one nested-HOF explode over the sorted set) and mirror each
+    # aggregated row post-count. Pin value-equality against the
+    # straightforward n^2 double-explode form it replaced, including
+    # the min_cnt slice.
+    from pyspark.sql import functions as F
+
+    from node_etl_spark.plans.queries import _part_cooccur
+    from node_etl_spark.tables import table
+
+    def reference(min_cnt):
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        sets = li.groupBy("l_orderkey").agg(
+            F.collect_set("l_partkey").alias("ps")
+        )
+        pairs = (
+            sets.select(F.explode("ps").alias("src"), "ps")
+            .select("src", F.explode("ps").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        if min_cnt > 1:
+            pairs = pairs.filter(F.col("cnt") >= min_cnt)
+        return pairs
+
+    for min_cnt in (1, 2):
+        got = sorted(
+            map(tuple, _part_cooccur(spark, sf_dir, min_cnt).collect())
+        )
+        want = sorted(map(tuple, reference(min_cnt).collect()))
+        assert got == want and len(got) > 0
+
+
+def test_session_enables_aqe_for_cached_plan_partitioning(spark):
+    # r12: persisted plans must materialize WITH AQE coalescing —
+    # without this conf every persist() of a small frame pins the
+    # full session shuffle-partition count and fans each downstream
+    # stage into cores-many near-empty tasks (the "32 cores slower
+    # than 8" pathology). Pin it so a future session.py edit can't
+    # silently lose it.
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+        )
+        == "true"
+    )
